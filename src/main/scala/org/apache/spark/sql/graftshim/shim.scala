@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's classic Column <-> Catalyst Expression conversion
+  * (`ExpressionUtils` is private[sql]). This is the standard extension-library
+  * pattern for exposing custom Catalyst expressions as user-facing Columns.
+  */
+package object graftshim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local parity harness mimicking the driver's correctness gate:
+runs graft.Verify output (already on disk) against DuckDB oracles.
+
+Usage: python3 tools/parity.py <sfDir> <outDir>
+(outDir must contain <query>/ parquet dirs + oracle_sql.json from graft.Verify)
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        sp_glob = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not sp_glob:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            con.execute(f"CREATE OR REPLACE VIEW _oracle AS {sql}")
+            con.execute(f"CREATE OR REPLACE VIEW _spark AS SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            ocols = [d[0] for d in con.execute("SELECT * FROM _oracle LIMIT 0").description]
+            scols = [d[0] for d in con.execute("SELECT * FROM _spark LIMIT 0").description]
+            if sorted(ocols) != sorted(scols):
+                print(f"FAIL {name}: columns differ oracle={sorted(ocols)} spark={sorted(scols)}"); n_fail += 1; continue
+            cols = ", ".join(f'"{c}"' for c in sorted(ocols))
+            otypes = con.execute(f"DESCRIBE SELECT {cols} FROM _oracle").fetchall()
+            stypes = con.execute(f"DESCRIBE SELECT {cols} FROM _spark").fetchall()
+            tmism = [(a[0], a[1], b[1]) for a, b in zip(otypes, stypes) if a[1] != b[1]]
+            no = con.execute("SELECT COUNT(*) FROM _oracle").fetchone()[0]
+            ns = con.execute("SELECT COUNT(*) FROM _spark").fetchone()[0]
+            d1 = con.execute(f"SELECT COUNT(*) FROM (SELECT {cols} FROM _spark EXCEPT ALL SELECT {cols} FROM _oracle)").fetchone()[0]
+            d2 = con.execute(f"SELECT COUNT(*) FROM (SELECT {cols} FROM _oracle EXCEPT ALL SELECT {cols} FROM _spark)").fetchone()[0]
+            if no == ns and d1 == 0 and d2 == 0:
+                msg = f"PASS {name}: {no} rows"
+                if tmism: msg += f"  [type mismatch: {tmism}]"
+                print(msg); n_pass += 1
+            else:
+                print(f"FAIL {name}: rows oracle={no} spark={ns} spark-only={d1} oracle-only={d2} typemism={tmism}")
+                if d1 or d2:
+                    ex = con.execute(f"SELECT * FROM (SELECT {cols} FROM _spark EXCEPT ALL SELECT {cols} FROM _oracle) LIMIT 3").fetchall()
+                    ex2 = con.execute(f"SELECT * FROM (SELECT {cols} FROM _oracle EXCEPT ALL SELECT {cols} FROM _spark) LIMIT 3").fetchall()
+                    print(f"   spark-only sample: {ex}")
+                    print(f"   oracle-only sample: {ex2}")
+                n_fail += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed / {len(oracles)} oracle queries")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
