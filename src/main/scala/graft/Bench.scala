@@ -1,24 +1,62 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Runs every registered query on SPARK_GRAFT_SF_DIR and
+  * emits one JSON line `{"metric":"total","value":N,"unit":"sec",...}`.
+  *
+  * Harness rules (round-1 verdict fixes):
+  *  - action is the `noop` writer, not `.count()` — count() lets Catalyst
+  *    prune derived columns and under-measures; noop evaluates every column;
+  *  - one untimed warm-up action first so JVM/session startup doesn't
+  *    pollute the first query's number;
+  *  - the JSON line goes to stdout AND stderr (sbt prefixes stdout with
+  *    `[info]`, which broke the driver's parse in r1) AND to the file named
+  *    by $BENCH_OUT when set;
+  *  - a failed query records -1 and an `errors` entry instead of silently
+  *    recording a timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runNoop(name: String): Option[String] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        None
+      } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    runNoop(names.head) // warm-up: session init, codegen, parquet footer reads
+
+    val timed = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = runNoop(name)
+      val sec = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = timed.map { case (k, v, _) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val errs = timed.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timed.collect { case (_, v, _) if v >= 0 => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    System.err.println(json)
+    sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
     spark.stop()
   }
 }

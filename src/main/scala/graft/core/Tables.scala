@@ -24,15 +24,19 @@ object Tables {
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the raw nanos
-    * as long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to a
+    * as long (`spark.sql.legacy.parquet.nanosAsLong` — a session-wide conf;
+    * there is no per-read option, so the loader sets it and callers should
+    * know events() flips it for the session) and floor-convert to a
     * microsecond TIMESTAMP_NTZ — the same wall-clock instant DuckDB sees,
-    * truncated from ns to µs. Any query that does sub-µs-sensitive math must
-    * truncate to seconds first (see Helpers.tsSec) so both engines agree.
+    * truncated from ns to µs. The NTZ value is built by pure epoch
+    * arithmetic from the NTZ epoch literal, so it is independent of
+    * spark.sql.session.timeZone (timestamp_micros().cast(ntz) would route
+    * through LTZ and shift with the session zone).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
       .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
   }
 }

@@ -53,7 +53,8 @@ object RefParity {
       "A2 status-by-shift (src/etl_pipeline.py:489-499) with the F13 shift " +
         "classifier (src/etl_pipeline.py:78-83) over events.ts.",
       Some(s"""
-        SELECT CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 'MANHA'
+        SELECT CASE WHEN ts IS NULL THEN 'Indefinido'
+                    WHEN hour(ts) BETWEEN 6 AND 11 THEN 'MANHA'
                     WHEN hour(ts) BETWEEN 12 AND 17 THEN 'TARDE'
                     ELSE 'NOITE' END AS turno,
                COUNT(*) AS total,
@@ -98,7 +99,8 @@ object RefParity {
         ) ORDER BY dimensao, valor""")) { (s, dir) =>
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
-      val oc = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // No broadcast hint: customer grows with SF — let AQE pick the strategy.
+      val oc = o.join(c, col("o_custkey") === col("c_custkey"))
       def profile(df: org.apache.spark.sql.DataFrame,
                   dim: org.apache.spark.sql.Column, name: String) =
         df.groupBy(dim.as("valor"))
@@ -134,7 +136,7 @@ object RefParity {
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val realizado = when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("segmento"),
           col("o_orderpriority").as("prioridade"))
         .agg(
@@ -299,7 +301,7 @@ object RefParity {
           count(lit(1)).as("n_items"),
           cnt(col("l_returnflag") === "R").as("n_returned"),
           moneySum(col("l_extendedprice")).as("receita"))
-        .join(broadcast(sup), col("suppkey") === col("s_suppkey"), "left")
+        .join(sup, col("suppkey") === col("s_suppkey"), "left")
         .drop("s_suppkey")
         .withColumn("taxa_retorno", pct(col("n_returned"), col("n_items")))
         .withColumn("receita_por_saldo",
@@ -353,7 +355,9 @@ object RefParity {
       val dim = part
         .groupBy(normalize_key(col("p_type")).as("key_type"))
         .agg(moneyAvg(col("p_retailprice")).as("preco_medio_tipo"))
-      li.join(broadcast(part.select("p_partkey", "p_type")),
+      // part is SF-linear → no hint (AQE decides); dim is a distinct-type
+      // rollup (bounded cardinality) → broadcast is provably safe.
+      li.join(part.select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .withColumn("key_type", normalize_key(col("p_type")))
         .join(broadcast(dim), Seq("key_type"), "left")
@@ -385,7 +389,7 @@ object RefParity {
         "non-digits, cast, aggregate — pandas errors='coerce' ≡ Spark " +
         "non-ANSI cast-to-null.",
       Some(s"""
-        SELECT CAST(REGEXP_REPLACE(p_brand, '[^0-9]', '', 'g') AS BIGINT) AS brand_num,
+        SELECT TRY_CAST(REGEXP_REPLACE(p_brand, '[^0-9]', '', 'g') AS BIGINT) AS brand_num,
                COUNT(*) AS n,
                ${oMoneyAvg("p_retailprice")} AS preco_medio
         FROM part GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
@@ -498,7 +502,7 @@ object RefParity {
       val banned = Tables.part(s, dir)
         .filter(col("p_size") >= 48).select(col("p_partkey"))
       Tables.lineitem(s, dir)
-        .join(broadcast(banned), col("l_partkey") === col("p_partkey"), "left_anti")
+        .join(banned, col("l_partkey") === col("p_partkey"), "left_anti")
         .groupBy(col("l_returnflag").as("flag"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("receita"))
         .orderBy("flag")
@@ -582,7 +586,7 @@ object RefParity {
         .groupBy(col("l_orderkey"))
         .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("cents"))
       rev.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .orderBy(desc("cents"), asc("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"),
