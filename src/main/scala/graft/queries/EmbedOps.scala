@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity-search operators over the `embeddings` table
+  * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+  *
+  * Cross-engine determinism: float sums are order-sensitive, so every
+  * similarity is computed over *quantized integer* vectors
+  * (`round(x*1000)` as BIGINT — int8/int16-style quantization, the same
+  * trick production ANN systems use for speed). Integer dot products and
+  * norms are exact and order-independent; the final
+  * `dot / (sqrt(n1)*sqrt(n2))` is a deterministic IEEE computation from
+  * identical integers in Spark and DuckDB.
+  *
+  * Scale design: the brute-force path broadcasts only the (small, bounded)
+  * query set against a full corpus scan — linear in corpus size, the
+  * correct baseline shape. The IVF path probes nprobe cells chosen by
+  * exact integer centroid distance, searching only those partitions —
+  * the inverted-file ANN layout at 100 TB (cells ≡ coarse-quantizer
+  * partitions; here the corpus ships its cluster id in `label`).
+  */
+object EmbedOps {
+
+  private val DIM = 64
+
+  /** Quantized vector: round(x*1000) per element, as BIGINT. */
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer squared norm. */
+  private def norm2(v: Column): Column =
+    aggregate(transform(v, a => a * a), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer dot product of two equal-length long arrays. */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from exact integers — deterministic double both engines. */
+  private def cosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** (vec_id, label, q: array<long>, nn: long) with nonzero norm. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("q"))
+      .withColumn("nn", norm2(col("q")))
+      .filter(col("nn") > 0)
+
+  private val oQuant =
+    "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)"
+  private val oNorm2 = "list_sum(list_transform(q, a -> a * a))"
+  private def oDot(a: String, b: String): String =
+    s"list_sum(list_transform(range($DIM), i -> $a[i+1] * $b[i+1]))"
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------ brute-force top-k
+    Q("q32_knn_bruteforce",
+      "Exact cosine top-k: broadcast the bounded query set (vec_id < 10) " +
+        "against one linear corpus scan, integer dot products, " +
+        "row_number top-5 per query. The exact-search baseline every ANN " +
+        "variant is graded against.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz WHERE vec_id < 10),
+        pairs AS (SELECT qid, vec_id AS neighbor_id,
+                         ${oDot("qv", "q")}::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                  FROM qs JOIN nz ON vec_id <> qid),
+        r AS (SELECT qid AS query_id, neighbor_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM pairs)
+        SELECT query_id, rnk::INT AS rnk, neighbor_id, ROUND(cos, 6) AS cosine
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")) { (s, dir) =>
+      val corpus = quantized(s, dir)
+      val qs = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"))
+      val pairs = corpus.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid").as("query_id"), col("rnk"),
+          col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ------------------------------------------------------- IVF probe
+    Q("q33_knn_ivf",
+      "IVF-style ANN: per-cell integer centroids (elementwise sums + " +
+        "counts — exact, no float drift), each query probes the nprobe=3 " +
+        "nearest cells by scaled integer distance ||c*v - s||², then " +
+        "searches only those cells. Search cost drops from N to " +
+        "N*nprobe/cells; at 100 TB the cells are the partition layout.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM v CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM v GROUP BY 1),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz WHERE vec_id < 5),
+        dist AS (SELECT qid, cent.label, qv, qn,
+                        list_sum(list_transform(range($DIM),
+                          i -> (c * qv[i+1] - sv[i+1]) * (c * qv[i+1] - sv[i+1]))) AS d
+                 FROM qs CROSS JOIN cent JOIN cnt ON cent.label = cnt.label),
+        probe AS (SELECT qid, label, qv, qn FROM (
+                    SELECT qid, label, qv, qn,
+                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, label) AS pr
+                    FROM dist) WHERE pr <= 3),
+        cand AS (SELECT qid, nz.vec_id AS neighbor_id, nz.label,
+                        ${oDot("qv", "q")}::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                 FROM probe JOIN nz ON nz.label = probe.label AND nz.vec_id <> probe.qid),
+        r AS (SELECT qid AS query_id, neighbor_id, label, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand)
+        SELECT query_id, rnk::INT AS rnk, neighbor_id, label AS cell,
+               ROUND(cos, 6) AS cosine
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      val corpus = quantized(s, dir)
+      // integer centroids: elementwise sums via posexplode + reassemble
+      val cellsum = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(quant(col("embedding"))).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("x")).as("s"))
+      val cent = cellsum.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          e => e.getField("s")).as("sv"))
+      val cnt = Tables.embeddings(s, dir).groupBy(col("label"))
+        .agg(count(lit(1)).as("c"))
+      val centroids = cent.join(cnt, "label") // 1 row per cell — tiny
+      val qs = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"))
+      // scaled integer distance to every centroid: ||c*v - s||² (exact)
+      val dist = qs.crossJoin(broadcast(centroids))
+        .withColumn("d", aggregate(
+          zip_with(col("qv"), col("sv"),
+            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+          lit(0L), (acc, x) => acc + x))
+      val wp = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("label").asc)
+      val probe = dist.withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 3)
+        .select(col("qid"), col("label"), col("qv"), col("qn"))
+      // search only the probed cells (broadcast the tiny probe plan)
+      val cand = corpus.join(broadcast(probe),
+          corpus("label") === probe("label") && col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      cand.withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 3)
+        .select(col("qid").as("query_id"), col("rnk"),
+          col("vec_id").as("neighbor_id"), corpus("label").as("cell"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ------------------------------------------- cell-blocked pair stats
+    Q("q34_embed_celldup_stats",
+      "Embedding near-dup audit, cell-blocked: within each label cell, " +
+        "count pairs above cosine thresholds (exact integer comparison " +
+        "counts — no float aggregation). The blocked-quadratic shape: " +
+        "quadratic only within a cell, never across the corpus.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        p AS (SELECT a.label,
+                     ${oDot("a.q", "b.q")}::DOUBLE / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS cos
+              FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT label AS cell, COUNT(*) AS n_pairs,
+               COUNT(CASE WHEN cos >= 0.3 THEN 1 END) AS n_ge_03,
+               COUNT(CASE WHEN cos >= 0.2 THEN 1 END) AS n_ge_02
+        FROM p GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val nz = quantized(s, dir)
+      val a = nz.select(col("label"), col("vec_id").as("ia"),
+        col("q").as("qa"), col("nn").as("na"))
+      val b = nz.select(col("label").as("lb"), col("vec_id").as("ib"),
+        col("q").as("qb"), col("nn").as("nb"))
+      a.join(b, col("label") === col("lb") && col("ia") < col("ib"))
+        .withColumn("cos", cosine(dotL(col("qa"), col("qb")), col("na"), col("nb")))
+        .groupBy(col("label").as("cell"))
+        .agg(count(lit(1)).as("n_pairs"),
+          H.cnt(col("cos") >= 0.3).as("n_ge_03"),
+          H.cnt(col("cos") >= 0.2).as("n_ge_02"))
+        .orderBy("cell")
+    }
+  )
+}

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import H._
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * exact dedup, MinHash+LSH near-dup, exact n-gram-Jaccard similarity join,
+  * SimHash near-dup, text stats, language-ID, quality scoring, and
+  * content fingerprinting.
+  *
+  * Every operator is designed for the 100 TB shape first:
+  *  - candidate generation is always *bucketed* (LSH band join, SimHash
+  *    pigeonhole chunks, inverted shingle index) — never an all-pairs
+  *    cross join; the quadratic step only runs inside small buckets;
+  *  - all hashing is integer arithmetic derived from md5 prefixes so the
+  *    DuckDB oracle can reproduce it bit-for-bit (cross-engine exact);
+  *  - per-doc work is array expressions inside whole-stage codegen — no
+  *    UDFs, no driver-side loops.
+  *
+  * Oracle notes: q_dedup_minhash's oracle is the *ground truth* (exact
+  * all-pairs Jaccard, feasible for DuckDB at verify scale) — the LSH path
+  * must achieve 100% recall on the verify data, which holds with b=16
+  * bands × r=4 rows at the 0.8 threshold (miss probability ≤ 2e-4 per
+  * pair at s=0.8; the data's true pairs sit at s≥0.87 with the next pair
+  * down at s≈0.12).
+  */
+object LlmOps {
+
+  /** Mersenne prime 2^31-1: modulus for all MinHash permutations. */
+  private val P = 2147483647L
+  private val NUM_HASHES = 64
+  private val BANDS = 16
+  private val ROWS_PER_BAND = 4 // BANDS * ROWS_PER_BAND == NUM_HASHES
+
+  /** Deterministic permutation constants, < 2^31 so a*h never overflows
+    * a long (h < 2^28). Mirrored verbatim into the oracle SQL. */
+  private def permA(i: Int): Long = ((i + 1) * 2654435761L) % P
+  private def permB(i: Int): Long = ((i + 1) * 2246822519L) % P
+
+  /** 28-bit integer hash from the md5 hex prefix — the cross-engine
+    * primitive: Spark `conv(substr(md5(x),1,7),16,10)` ==
+    * DuckDB `('0x'||substr(md5(x),1,7))::BIGINT`. */
+  private def hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+  private def oHash28(x: String): String =
+    s"('0x' || substr(md5($x), 1, 7))::BIGINT"
+
+  /** Whitespace tokens of the text column. */
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** Distinct word 3-gram shingles; < 3 tokens → empty set. */
+  private def shingles3(w: Column): Column =
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of shingles3 (1-based list indexing; range(n<0) = []). */
+  private val oShingles3 =
+    "list_distinct(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))"
+
+  /** (doc_id, sh: array<string>) — non-empty shingle sets. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private val JACCARD_T = 0.8
+
+  /** Ground-truth near-dup oracle: exact all-pairs shingle Jaccard.
+    * Fine at verify scale (DuckDB, 500 docs); the engine never does this. */
+  private val oNearDupTruth = s"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    s AS (SELECT doc_id, $oShingles3 AS sh FROM t WHERE len(w) >= 3),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+    FROM p WHERE jac >= $JACCARD_T ORDER BY 1, 2"""
+
+  /** Exact Jaccard between two shingle-set columns (double division of
+    * int sizes — bit-identical to the oracle's len()::DOUBLE / len()). */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------ exact dedup
+    Q("q24_dedup_exact",
+      "Exact content dedup: hash-partition by sha2(text) and keep the " +
+        "lowest doc_id per group. One shuffle on the content hash — the " +
+        "canonical 100 TB dedup shape (no sort, no window).",
+      Some("""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keep_id""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // ------------------------------------------------- MinHash LSH near-dup
+    Q("q25_dedup_minhash",
+      "Near-dup detection via MinHash + banded LSH: shingle → 64 minhashes " +
+        "→ 16 bands of 4 → bucket self-join for candidates → exact-Jaccard " +
+        "verify at 0.8. The all-pairs step never happens; candidates come " +
+        "only from shared band buckets.",
+      Some(oNearDupTruth)) { (s, dir) =>
+      val sh = shingleSets(s, dir)
+      val hashed = sh.select(col("doc_id"), col("sh"),
+        transform(col("sh"), x => hash28(x)).as("hs"))
+      val sig = hashed.select(col("doc_id"), col("sh"),
+        array((0 until NUM_HASHES).map { i =>
+          array_min(transform(col("hs"),
+            h => (h * permA(i) + permB(i)) % P))
+        }: _*).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until BANDS).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until ROWS_PER_BAND).map(r =>
+              col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= JACCARD_T)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ------------------------------------- exact n-gram Jaccard similarity join
+    Q("q26_dedup_ngram_exact",
+      "Exact n-gram-Jaccard similarity join via an inverted shingle index: " +
+        "explode shingles, self-join on the shingle (pairs share ≥1 " +
+        "shingle), count the intersection in one shuffle, then derive " +
+        "Jaccard from set sizes. Exact — and still never all-pairs: " +
+        "disjoint docs never meet. (At 100 TB add prefix filtering to " +
+        "shrink the index; semantics unchanged.)",
+      Some(oNearDupTruth)) { (s, dir) =>
+      val sh = shingleSets(s, dir)
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val inter = inv.as("x").join(inv.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .withColumn("jac", col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+        .filter(col("jac") >= JACCARD_T)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ------------------------------------------------------ SimHash near-dup
+    Q("q27_dedup_simhash",
+      "SimHash near-dup: 28-bit simhash over token hashes, candidates via " +
+        "the pigeonhole trick (4 chunks of 7 bits — hamming ≤ 3 pairs MUST " +
+        "share a chunk, so the chunk-equality join has guaranteed 100% " +
+        "recall, unlike probabilistic LSH), exact hamming verify.",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+               list_transform(string_split_regex(text, '\\s+'),
+                              tok -> ${oHash28("tok")}) AS hs
+             FROM documents),
+        sim AS (SELECT doc_id, list_sum(list_transform(range(28), j ->
+                 CASE WHEN list_sum(list_transform(hs, x ->
+                        CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (1::BIGINT << j) ELSE 0 END)) AS sh
+                FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh))::INT AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY 1, 2""")) { (s, dir) =>
+      val hs = Tables.documents(s, dir)
+        .select(col("doc_id"), transform(toks(col("text")), t => hash28(t)).as("hs"))
+      // simhash bit j = 1 iff Σ_tokens (bit_j(h) ? +1 : -1) > 0
+      val simhash = (0 until 28).map { j =>
+        when(aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + when(((h / (1L << j)).cast("long") % 2) === 1, 1L).otherwise(-1L)
+        ) > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      val sim = hs.select(col("doc_id"), simhash.as("sh"))
+      // pigeonhole: hamming ≤ 3 ⇒ at least one of 4 disjoint 7-bit chunks equal
+      val chunks = sim.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            ((col("sh") / (1L << (7 * c))).cast("long") % (1L << 7)).as("v"))
+        }: _*)).as("ck"))
+        .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.v"))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---------------------------------------------------------- text stats
+    Q("q28_text_stats",
+      "Per-language corpus statistics: doc counts, token totals (exact " +
+        "integer sums), char totals, averages derived once at the end. " +
+        "Single hash-agg shuffle on a low-cardinality key.",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split_regex(text, '\s+')))::BIGINT AS total_tokens,
+               SUM(length(text))::BIGINT AS total_chars,
+               ROUND(CAST(SUM(len(string_split_regex(text, '\s+'))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+               ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .withColumn("avg_tokens",
+          round(col("total_tokens").cast("double") / col("n_docs"), 4))
+        .withColumn("avg_chars",
+          round(col("total_chars").cast("double") / col("n_docs"), 4))
+        .orderBy("lang")
+    },
+
+    // ------------------------------------------------------------- lang-ID
+    Q("q29_lang_id",
+      "Heuristic language-ID: score each doc by marker-stopword hits per " +
+        "language over the distinct token set, argmax with a fixed " +
+        "precedence, crosstab predicted vs labeled lang. Pure per-row " +
+        "array intrinsics + one small agg.",
+      Some("""
+        WITH t AS (SELECT lang, list_distinct(string_split_regex(text, '\s+')) AS w FROM documents),
+        sc AS (SELECT lang,
+                      len(list_intersect(w, ['the','a','of','to','in'])) AS s_en,
+                      len(list_intersect(w, ['el','la','los','de','y'])) AS s_es,
+                      len(list_intersect(w, ['le','les','des','et','une'])) AS s_fr,
+                      len(list_intersect(w, ['der','die','das','und','ein'])) AS s_de
+               FROM t),
+        pred AS (SELECT lang,
+                        CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+                             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                             WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                             WHEN s_fr >= s_de THEN 'fr'
+                             ELSE 'de' END AS predicted
+                 FROM sc)
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      def markers(ws: String*): Column = array(ws.map(lit): _*)
+      val w = array_distinct(toks(col("text")))
+      val scored = Tables.documents(s, dir).select(col("lang"),
+        size(array_intersect(w, markers("the", "a", "of", "to", "in"))).as("s_en"),
+        size(array_intersect(w, markers("el", "la", "los", "de", "y"))).as("s_es"),
+        size(array_intersect(w, markers("le", "les", "des", "et", "une"))).as("s_fr"),
+        size(array_intersect(w, markers("der", "die", "das", "und", "ein"))).as("s_de"))
+      scored.withColumn("predicted",
+          when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0 &&
+            col("s_de") === 0, "unknown")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+              col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+            .when(col("s_fr") >= col("s_de"), "fr")
+            .otherwise("de"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    // ------------------------------------------------------ quality scoring
+    Q("q30_quality_score",
+      "Per-doc quality signals: token count, stopword ratio, mean token " +
+        "length, and a rule-based quality tier — the length/stopword " +
+        "heuristics of C4-style corpus filtering, all integer-exact.",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w, length(text) AS nc FROM documents),
+        m AS (SELECT doc_id, len(w)::INT AS n_tokens,
+                     len(list_filter(w, x -> list_contains(['the','a','of','to','in'], x)))::INT AS n_stop,
+                     nc
+              FROM t)
+        SELECT doc_id, n_tokens, n_stop,
+               ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+               ROUND(CAST(nc - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+               CASE WHEN n_tokens >= 30 AND n_stop > 0 THEN 'good'
+                    WHEN n_tokens >= 10 THEN 'fair'
+                    ELSE 'poor' END AS tier
+        FROM m ORDER BY doc_id""")) { (s, dir) =>
+      val stop = array(Seq("the", "a", "of", "to", "in").map(lit): _*)
+      val w = toks(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), w.as("w"), length(col("text")).as("nc"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          size(filter(col("w"), x => array_contains(stop, x))).as("n_stop"),
+          col("nc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          // tokens are single-space separated: chars = Σlen + (n-1)
+          round((col("nc") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4)
+            .as("avg_token_len"),
+          when(col("n_tokens") >= 30 && col("n_stop") > 0, "good")
+            .when(col("n_tokens") >= 10, "fair")
+            .otherwise("poor").as("tier"))
+        .orderBy("doc_id")
+    },
+
+    // -------------------------------------------------- content fingerprint
+    Q("q31_fingerprint",
+      "Document fingerprinting: polynomial rolling hash (base 31, mod " +
+        "1e9+7) over the character stream — a pure left fold in codegen'd " +
+        "array intrinsics, mirrored exactly by the oracle's list_reduce.",
+      Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ascii(text[i])::BIGINT)),
+                 (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          aggregate(sequence(lit(1), length(col("text"))), lit(0L),
+            (h, i) => (h * 31 + ascii(col("text").substr(i, lit(1)))) % 1000000007L)
+            .as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}
