@@ -25,15 +25,19 @@ package object functions {
     graftshim.column(NormalizeKey(graftshim.expression(c)))
 
   /** Parse a Brazilian-locale money string: strip "R$", drop "." thousands
-    * separators, "," → "." decimal, cast to double; malformed → null
-    * (Spark's non-ANSI string→double cast yields null, matching pandas
-    * `errors='coerce'`). */
-  def money_br(c: Column): Column =
-    regexp_replace(
+    * separators, "," → "." decimal, cast to double; malformed → null,
+    * matching pandas `errors='coerce'`. Spark 4 runs ANSI mode by default,
+    * where a bad string→double cast THROWS — so the cast is guarded by a
+    * numeric-shape predicate instead of relying on legacy null-on-error. */
+  def money_br(c: Column): Column = {
+    val cleaned = trim(
       regexp_replace(
-        regexp_replace(trim(c.cast("string")), "R\\$", ""),
-        "\\.", ""),
-      ",", ".").cast("double")
+        regexp_replace(
+          regexp_replace(trim(c.cast("string")), "R\\$", ""),
+          "\\.", ""),
+        ",", "."))
+    when(cleaned.rlike("^-?[0-9]+(\\.[0-9]+)?$"), cleaned.cast("double"))
+  }
 
   /** Timestamp difference in fractional hours (null-propagating). */
   def ts_diff_hours(end: Column, start: Column): Column =
