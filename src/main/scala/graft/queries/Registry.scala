@@ -3,7 +3,8 @@ package graft.queries
 /** Single source of truth for every operator query the engine exposes to the
   * driver contract (SparkEntry.queries / oracleSql). */
 object Registry {
-  lazy val all: Seq[Q] = RefParity.all ++ LlmOps.all ++ EmbedOps.all
+  lazy val all: Seq[Q] =
+    RefParity.all ++ LlmOps.all ++ EmbedOps.all ++ WindowOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

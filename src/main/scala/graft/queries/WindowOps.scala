@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import H._
+
+/** Event-time window operators over `events` (SURVEY.md §2.10 EXT):
+  * tumbling, sliding, and session windows, batch-mode first — the same
+  * `window`/`session_window` expressions run unchanged under Structured
+  * Streaming (see graft.streaming for the streaming wiring + watermarks).
+  *
+  * Scale notes: a tumbling/sliding window agg is one hash shuffle on
+  * (window, keys) — identical cost shape to a date groupBy; session
+  * windows shuffle on the user key and sort within partitions, which is
+  * the unavoidable minimum for gap-based sessionization.
+  *
+  * Determinism notes: DuckDB reads events.ts at nanosecond precision,
+  * Spark's loader floor-truncates to microseconds (Tables.events). Hour
+  * buckets are immune; the session-gap comparison works on
+  * second-truncated timestamps so both engines compare identical values.
+  * Money sums go through integer cents (H.moneySum).
+  */
+object WindowOps {
+
+  val all: Seq[Q] = Seq(
+
+    // -------------------------------------------------- tumbling window
+    Q("q35_window_tumbling",
+      "Tumbling 1-hour event-time windows: per-window totals, conditional " +
+        "counts, exact revenue.",
+      Some(s"""
+        SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS ws,
+               COUNT(*) AS n,
+               ${oCnt("event_type='purchase'")} AS n_purchase,
+               ${oMoneySum("value")} AS receita
+        FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          cnt(col("event_type") === "purchase").as("n_purchase"),
+          moneySum(col("value")).as("receita"))
+        .select(col("window.start").as("ws"), col("n"), col("n_purchase"),
+          col("receita"))
+        .orderBy("ws")
+    },
+
+    // --------------------------------------------------- sliding window
+    Q("q36_window_sliding",
+      "Sliding windows (2-hour length, 1-hour slide): every event lands in " +
+        "two windows; per-window counts and exact revenue.",
+      Some(s"""
+        WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS tb,
+                          event_type, value
+                   FROM events),
+        x AS (SELECT tb AS ws, event_type, value FROM b
+              UNION ALL
+              SELECT tb - INTERVAL '1 hour' AS ws, event_type, value FROM b)
+        SELECT ws, COUNT(*) AS n,
+               ${oCnt("event_type='error'")} AS n_error,
+               ${oMoneySum("value")} AS receita
+        FROM x GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          cnt(col("event_type") === "error").as("n_error"),
+          moneySum(col("value")).as("receita"))
+        .select(col("window.start").as("ws"), col("n"), col("n_error"),
+          col("receita"))
+        .orderBy("ws")
+    },
+
+    // --------------------------------------------------- session window
+    Q("q37_window_session",
+      "Gap-based sessionization: per-user sessions with a 4-hour " +
+        "inactivity gap via session_window. Spark's semantics: a session " +
+        "is [first, last+gap), so an event exactly gap after the previous " +
+        "one starts a NEW session — the oracle's island computation breaks " +
+        "on diff >= gap to match.",
+      Some(s"""
+        WITH e AS (SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS tss, value
+                   FROM events),
+        g AS (SELECT user_id, tss, value,
+                     CASE WHEN lag(tss) OVER w IS NULL
+                            OR tss - lag(tss) OVER w >= INTERVAL '4 hours'
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
+        s AS (SELECT user_id, tss, value,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY tss
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+        SELECT user_id, MIN(tss) AS session_start, COUNT(*) AS n_events,
+               ${oMoneySum("value")} AS receita
+        FROM s GROUP BY user_id, sid ORDER BY 1, 2""")) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .groupBy(col("user_id"), session_window(col("tss"), "4 hours"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          moneySum(col("value")).as("receita"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("receita"))
+        .orderBy("user_id", "session_start")
+    }
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+
+/** Watermark/late-data semantics of the streaming wrappers, driven through
+  * MemoryStream micro-batches: a row arriving behind the watermark must be
+  * DROPPED, and append mode must emit a window only once its end passes
+  * the watermark. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window + watermark drops late rows, append emits finalized windows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sparkS.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = Streams.tumblingCounts(
+      input.toDF().toDF("ts", "etype"), "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("tumbling_test").outputMode("append").start()
+    try {
+      // batch 1: two rows in [10:00,10:10), one in [10:20,10:30)
+      // → watermark after the batch = 10:22 - 5m = 10:17
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "a"),
+        (ts("2024-01-01 10:05:00"), "b"),
+        (ts("2024-01-01 10:22:00"), "c"))
+      q.processAllAvailable()
+      // batch 2: a LATE row for [10:00,10:10) — behind the 10:17 watermark
+      input.addData((ts("2024-01-01 10:03:00"), "late"))
+      q.processAllAvailable()
+      // batch 3: advance watermark past every window end (10:40 - 5m = 10:35)
+      input.addData((ts("2024-01-01 10:40:00"), "d"))
+      q.processAllAvailable()
+
+      val out = sparkS.table("tumbling_test")
+        .select("ws", "n").as[(Timestamp, Long)].collect().toMap
+      // late row dropped: the 10:00 window holds 2, not 3
+      assert(out(ts("2024-01-01 10:00:00")) === 2L)
+      assert(out(ts("2024-01-01 10:20:00")) === 1L)
+      // the 10:40 window is not yet finalized → not emitted in append mode
+      assert(!out.contains(ts("2024-01-01 10:40:00")))
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap and split across it (streaming)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sparkS.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = Streams.sessionize(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gap = "10 minutes", lateness = "0 seconds")
+    val q = agg.writeStream
+      .format("memory").queryName("session_test").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 09:00:00"), 1L), // session A…
+        (ts("2024-01-01 09:05:00"), 1L), // …merges (gap 5m < 10m)
+        (ts("2024-01-01 09:30:00"), 1L), // new session (gap 25m)
+        (ts("2024-01-01 09:00:00"), 2L)) // other key: own session
+      q.processAllAvailable()
+      val out = sparkS.table("session_test")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(out === Set(
+        (1L, ts("2024-01-01 09:00:00"), 2L),
+        (1L, ts("2024-01-01 09:30:00"), 1L),
+        (2L, ts("2024-01-01 09:00:00"), 1L)))
+    } finally q.stop()
+  }
+}
