@@ -1,0 +1,102 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions._
+import graft.io.{Readers, Writers}
+import H._
+
+/** I/O-path operators: the reference's CSV front door (encoding retry,
+  * BR decimal-comma sink) proven by a full write→read round trip, plus
+  * queries wiring the remaining scalar operators (ts_diff_*, age_band)
+  * into the correctness gate.
+  */
+object IoOps {
+
+  val all: Seq[Q] = Seq(
+
+    // -------------------------------------------------- CSV round trip
+    Q("q38_csv_roundtrip",
+      "S1+S5 end-to-end: project part with an accented text column, sink " +
+        "as `;`-separated decimal-comma CSV in ISO-8859-1 (distributed " +
+        "write, no driver collect), re-ingest via the encoding-retry " +
+        "reader (UTF-8 strict-decode fails on the latin1 bytes → falls " +
+        "through to windows-1252), parse money with money_br, aggregate. " +
+        "The oracle aggregates the original parquet directly — equality " +
+        "proves the round trip is lossless at cent precision.",
+      Some(s"""
+        SELECT p_brand,
+               COUNT(*) AS n,
+               ${oMoneySum("p_retailprice")} AS receita,
+               ${oCnt("1=1")} AS n_accent_ok
+        FROM part GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_csv_rt").toString
+      Writers.csvBr(
+        Tables.part(s, dir)
+          .select(col("p_brand"), col("p_retailprice"),
+            lit("São João 2ª").as("cidade")),
+        tmp, encoding = "ISO-8859-1")
+      Readers.csvWithEncodingRetry(s, tmp, sep = ";")
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          moneySum(money_br(col("p_retailprice"))).as("receita"),
+          cnt(col("cidade") === "São João 2ª").as("n_accent_ok"))
+        .orderBy("p_brand")
+    },
+
+    // ------------------------------------------------ ts_diff operators
+    Q("q39_ship_transit",
+      "F8-F10 fractional timestamp diffs (ts_diff_days/hours/minutes) at " +
+        "row level: order-to-ship transit per lineitem, deterministic " +
+        "top-50 slice.",
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               (epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0 AS transit_days,
+               (epoch(l_shipdate) - epoch(o_orderdate)) / 3600.0 AS transit_hours,
+               (epoch(l_shipdate) - epoch(o_orderdate)) / 60.0 AS transit_minutes
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY l_orderkey, l_linenumber LIMIT 50""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ts_diff_days(col("l_shipdate"), col("o_orderdate")).as("transit_days"),
+          ts_diff_hours(col("l_shipdate"), col("o_orderdate")).as("transit_hours"),
+          ts_diff_minutes(col("l_shipdate"), col("o_orderdate")).as("transit_minutes"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(50)
+    },
+
+    // ----------------------------------------------- age_band operator
+    Q("q40_age_bands_fn",
+      "F11/F12 via the exported functions (age_years/age_band) rather " +
+        "than an inline CASE: band counts plus order-independent " +
+        "min/max fractional ages.",
+      Some("""
+        WITH a AS (SELECT date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-06-01') / 365.25 AS age
+                   FROM orders)
+        SELECT CASE WHEN age IS NULL THEN 'Indefinido'
+                    WHEN age >= 0 AND age < 13 THEN '0-12'
+                    WHEN age >= 13 AND age < 18 THEN '13-17'
+                    WHEN age >= 18 AND age < 40 THEN '18-39'
+                    WHEN age >= 40 AND age < 60 THEN '40-59'
+                    WHEN age >= 60 AND age < 120 THEN '60+'
+                    ELSE 'Indefinido' END AS faixa,
+               COUNT(*) AS n,
+               ROUND(MIN(age), 4) AS min_age,
+               ROUND(MAX(age), 4) AS max_age
+        FROM a GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val asOf = expr("DATE '1998-06-01'")
+      Tables.orders(s, dir)
+        .select(age_years(col("o_orderdate"), asOf).as("age"),
+          age_band(col("o_orderdate"), asOf).as("faixa"))
+        .groupBy("faixa")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("age")), 4).as("min_age"),
+          round(max(col("age")), 4).as("max_age"))
+        .orderBy("faixa")
+    }
+  )
+}

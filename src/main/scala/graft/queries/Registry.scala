@@ -4,7 +4,7 @@ package graft.queries
   * driver contract (SparkEntry.queries / oracleSql). */
 object Registry {
   lazy val all: Seq[Q] =
-    RefParity.all ++ LlmOps.all ++ EmbedOps.all ++ WindowOps.all
+    RefParity.all ++ LlmOps.all ++ EmbedOps.all ++ WindowOps.all ++ IoOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
