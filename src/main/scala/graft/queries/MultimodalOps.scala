@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+
+/** Gate queries for the multimodal plumbing (graft.ext.Multimodal): the
+  * metadata/binary path and the frame-sampling path. The decode stage
+  * itself is a documented stub (no codec libs in-container) exercised by
+  * MultimodalSpec; these queries verify what IS real — binary columns,
+  * pruned metadata, byte slicing — against DuckDB.
+  *
+  * Oracle note: Spark slices the binary content by BYTES, the oracle
+  * slices the source string by CHARS then encodes — identical because
+  * `documents.text` is ASCII (enforced by the fixture generator).
+  */
+object MultimodalOps {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q41_multimodal_meta",
+      "Media metadata projection over binary content: byte length, " +
+        "deterministic format tag (md5-hash pick), 8-byte header hex — " +
+        "the metadata a multimodal catalog scan serves without ever " +
+        "decoding content.",
+      Some("""
+        SELECT doc_id AS media_id,
+               ['jpeg','png','webp'][(('0x' || substr(md5(text), 1, 7))::BIGINT % 3) + 1] AS format,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               upper(hex(encode(substr(text, 1, 8)))) AS header_hex
+        FROM documents ORDER BY media_id""")) { (s, dir) =>
+      Multimodal.mediaFromDocuments(s, dir)
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          upper(hex(col("content").substr(lit(1), lit(8)))).as("header_hex"))
+        .orderBy("media_id")
+    },
+
+    Q("q42_frame_sample",
+      "Frame sampling: slice each media blob into 4 contiguous byte " +
+        "chunks and explode to one row per frame — per-media frame counts " +
+        "and sampled byte totals (the tail remainder past 4 equal frames " +
+        "is dropped, like a fixed-stride sampler).",
+      Some("""
+        WITH m AS (SELECT doc_id, text,
+                          greatest(octet_length(encode(text)) // 4, 1) AS fl
+                   FROM documents),
+        fr AS (SELECT doc_id,
+                      unnest(list_transform(range(4),
+                        i -> substr(text, (i * fl + 1)::INT, fl::INT))) AS f
+               FROM m)
+        SELECT doc_id AS media_id,
+               COUNT(*) AS n_frames,
+               SUM(octet_length(encode(f)))::BIGINT AS frame_bytes
+        FROM fr WHERE octet_length(encode(f)) > 0
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), 4)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame_bytes")).cast("long")).as("frame_bytes"))
+        .orderBy("media_id")
+    }
+  )
+}
