@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate turns explode(expensive_array_expr) into
+      // a scan-level filter that re-evaluates the whole array expression
+      // per row (interpreted, single scan task) — a pure pessimization
+      // for the dedup pipelines; excluding it is semantics-preserving.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,8 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, graftshim}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.expr.MinHashSig
 import H._
 
 /** LLM-training-data pipeline operators over the `documents` table:
@@ -62,11 +64,35 @@ object LlmOps {
   private val oShingles3 =
     "list_distinct(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))"
 
-  /** (doc_id, sh: array<string>) — non-empty shingle sets. */
+  /** (doc_id, sh: array<string>) — non-empty shingle sets.
+    *
+    * The token array is bound as a real column BEFORE the shingle
+    * lambda runs: interpreted higher-order functions re-evaluate any
+    * expression subtree their lambda body references on EVERY iteration,
+    * so shingling directly over `split(text)` costs |sh|·3 regex splits
+    * per row (~13 s for 5 000 docs); over a bound attribute it is an
+    * array lookup (~1 s). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
+      // first exchange: the lake ships one parquet file per table → one
+      // scan task; spread the CPU-heavy shingling across cores (at real
+      // scale the file count provides this and AQE coalesces the tail)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      // ≥3 tokens ⟺ non-empty shingle set, but filtering on the tokens is
+      // what keeps the scan cheap: predicate pushdown re-expands a filter
+      // on `sh` into the full (unbound) shingle tree inside the scan task,
+      // re-evaluating split() per lambda iteration — a 7 s single-task
+      // stage at bench scale. Pushed as size(split(text))>=3 it is one
+      // split per row.
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_sort(shingles3(col("w"))).as("sh"))
+      // second exchange: every consumer (signature path, inverted index,
+      // both verify sides) branches off THIS identical subtree, so
+      // ReuseExchange materializes the shingles exactly once instead of
+      // re-deriving them per branch — Spark-native common-subplan reuse
+      // without persist()'s lifecycle problems.
+      .repartition(col("doc_id"))
 
   private val JACCARD_T = 0.8
 
@@ -83,10 +109,11 @@ object LlmOps {
     FROM p WHERE jac >= $JACCARD_T ORDER BY 1, 2"""
 
   /** Exact Jaccard between two shingle-set columns (double division of
-    * int sizes — bit-identical to the oracle's len()::DOUBLE / len()). */
+    * int counts — bit-identical to the oracle's len()::DOUBLE / len()).
+    * Native merge-pass expression; shingleSets pre-sorts its arrays. */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    graftshim.column(graft.expr.SortedJaccard(
+      graftshim.expression(a), graftshim.expression(b)))
 
   val all: Seq[Q] = Seq(
 
@@ -114,13 +141,19 @@ object LlmOps {
         "only from shared band buckets.",
       Some(oNearDupTruth)) { (s, dir) =>
       val sh = shingleSets(s, dir)
-      val hashed = sh.select(col("doc_id"), col("sh"),
-        transform(col("sh"), x => hash28(x)).as("hs"))
-      val sig = hashed.select(col("doc_id"), col("sh"),
-        array((0 until NUM_HASHES).map { i =>
-          array_min(transform(col("hs"),
-            h => (h * permA(i) + permB(i)) % P))
-        }: _*).as("sig"))
+      // Signature path carries ONLY (doc_id, sig): carrying the shingle
+      // array alongside makes CollapseProject inline the (expensive)
+      // shingle expression into every downstream reference. The
+      // repartition is an exchange barrier for the same reason — the
+      // 64 band-key references below must hit a bound attribute, not a
+      // re-collapsed MinHashSig tree. (5000 rows × 64 longs: the extra
+      // shuffle is noise; the re-evaluation it prevents was ~10 s.)
+      val sig = sh.select(col("doc_id"),
+        graftshim.column(MinHashSig(
+          graftshim.expression(transform(col("sh"), x => hash28(x))),
+          (0 until NUM_HASHES).map(permA),
+          (0 until NUM_HASHES).map(permB), P)).as("sig"))
+        .repartition(col("doc_id"))
       val bands = sig.select(col("doc_id"),
         explode(array((0 until BANDS).map { b =>
           struct(lit(b).as("band"),
@@ -144,26 +177,33 @@ object LlmOps {
 
     // ------------------------------------- exact n-gram Jaccard similarity join
     Q("q26_dedup_ngram_exact",
-      "Exact n-gram-Jaccard similarity join via an inverted shingle index: " +
-        "explode shingles, self-join on the shingle (pairs share ≥1 " +
-        "shingle), count the intersection in one shuffle, then derive " +
-        "Jaccard from set sizes. Exact — and still never all-pairs: " +
-        "disjoint docs never meet. (At 100 TB add prefix filtering to " +
-        "shrink the index; semantics unchanged.)",
+      "Exact n-gram-Jaccard similarity join with PPJoin-style prefix " +
+        "filtering: index only each doc's rarest |s|-⌈t|s|⌉+1 shingles " +
+        "(global rarity order) — any pair with Jaccard ≥ t provably " +
+        "shares a prefix element, so recall stays exact while hot " +
+        "shingles (whose buckets explode quadratically) never enter the " +
+        "candidate index. Candidates verify against full shingle sets.",
       Some(oNearDupTruth)) { (s, dir) =>
       val sh = shingleSets(s, dir)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val inter = inv.as("x").join(inv.as("y"),
+      val inv = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("shingle"))
+      val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      // rarest-first order; prefix length |s| - ceil(t*|s|) + 1
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      val pfx = inv.join(dfreq, "shingle")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <=
+          col("sz") - ceil(col("sz") * JACCARD_T).cast("int") + 1)
+        .select(col("doc_id"), col("shingle"))
+      val cand = pfx.as("x").join(pfx.as("y"),
           col("x.shingle") === col("y.shingle") &&
             col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-        .withColumn("jac", col("n_inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jac") >= JACCARD_T)
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -191,6 +231,7 @@ object LlmOps {
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
         ORDER BY 1, 2""")) { (s, dir) =>
       val hs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), transform(toks(col("text")), t => hash28(t)).as("hs"))
       // simhash bit j = 1 iff Σ_tokens (bit_j(h) ? +1 : -1) > 0
       val simhash = (0 until 28).map { j =>
@@ -198,7 +239,11 @@ object LlmOps {
           acc + when(((h / (1L << j)).cast("long") % 2) === 1, 1L).otherwise(-1L)
         ) > 0, lit(1L << j)).otherwise(0L)
       }.reduce(_ + _)
+      // exchange barrier: the chunk projection references `sh` 5×, and
+      // without it CollapseProject would duplicate the 28-aggregate
+      // simhash expression per reference (see q25 note)
       val sim = hs.select(col("doc_id"), simhash.as("sh"))
+        .repartition(col("doc_id"))
       // pigeonhole: hamming ≤ 3 ⇒ at least one of 4 disjoint 7-bit chunks equal
       val chunks = sim.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map { c =>

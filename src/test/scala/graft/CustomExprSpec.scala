@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
+import graft.expr.{MinHashSig, SortedJaccard}
+
+/** The two performance-critical custom Catalyst expressions, checked
+  * against straightforward Scala reimplementations through real plans
+  * (codegen path). */
+class CustomExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 2147483647L
+  private val a = Seq(7L, 31L, 1299721L)
+  private val b = Seq(3L, 17L, 104729L)
+
+  test("MinHashSig matches a brute-force reference") {
+    val hashes = Seq(12L, 999999L, 42L, 268435455L)
+    val want = a.zip(b).map { case (ai, bi) =>
+      hashes.map(h => (ai * h + bi) % P).min
+    }
+    val got = Seq(Tuple1(hashes)).toDF("hs")
+      .select(graftshim.column(MinHashSig(
+        graftshim.expression(col("hs")), a, b, P)).as("sig"))
+      .as[Seq[Long]].head()
+    assert(got === want)
+  }
+
+  test("MinHashSig: empty input yields the prime sentinel per hash") {
+    val got = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+      .select(graftshim.column(MinHashSig(
+        graftshim.expression(col("hs")), a, b, P)).as("sig"))
+      .as[Seq[Long]].head()
+    assert(got === Seq(P, P, P))
+  }
+
+  test("SortedJaccard matches set-based Jaccard on sorted distinct arrays") {
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")), // 2/4
+      (Seq("a"), Seq("a")), // 1
+      (Seq("a"), Seq("b")), // 0
+      (Seq.empty[String], Seq.empty[String]), // 0 (guarded 0/0)
+      (Seq("a", "b"), Seq.empty[String]))
+    val want = cases.map { case (x, y) =>
+      val inter = x.toSet.intersect(y.toSet).size
+      val union = x.toSet.union(y.toSet).size
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    val got = cases.toDF("x", "y")
+      .select(graftshim.column(SortedJaccard(
+        graftshim.expression(col("x")), graftshim.expression(col("y")))).as("j"))
+      .as[Double].collect().toSeq
+    assert(got === want)
+  }
+}
