@@ -36,6 +36,39 @@ object Pipeline {
     if (blacklist.isEmpty) df
     else df.filter(!upper(trim(col("ID_Medico_Anon"))).isin(blacklist: _*))
 
+  /** F3: null-sentinel substitution (Criptografia.py:75-78): null →
+    * a literal sentinel (e.g. 'CPF_NULO'), else the string value. */
+  def nullSentinel(df: DataFrame, column: String, sentinel: String): DataFrame =
+    df.withColumn(column,
+      when(col(column).isNull, lit(sentinel)).otherwise(col(column).cast("string")))
+
+  /** P11: drop rows missing any of the required columns
+    * (etl_pipeline.py:442 — na.drop on booking + start timestamps). */
+  def dropIncomplete(df: DataFrame, required: Seq[String]): DataFrame =
+    df.na.drop("any", required.filter(df.columns.contains))
+
+  /** P6: fixed export projection (Criptografia.py:134-171): select the
+    * given columns in order, tolerating absent ones like the reference's
+    * presence guards. */
+  def exportProjection(df: DataFrame, columns: Seq[String]): DataFrame =
+    df.select(columns.filter(df.columns.contains).map(col): _*)
+
+  /** F25: the reference's declared-but-never-applied status decode maps
+    * (etl_pipeline.py:14-25), shipped as an optional recode transform
+    * (same when-chain pattern as F21); unmatched values pass through. */
+  val StatusMarcacaoDecode: Map[String, String] = Map(
+    "A" -> "Aberta", "E" -> "Executada", "C" -> "Cancelada", "B" -> "Bloqueada")
+  val StatusConfirmacaoDecode: Map[String, String] = Map(
+    "A" -> "Em Aberto", "N" -> "Nao Confirmado", "C" -> "Confirmado")
+
+  def decodeStatus(df: DataFrame, column: String,
+                   mapping: Map[String, String]): DataFrame =
+    if (!df.columns.contains(column)) df
+    else df.withColumn(column,
+      mapping.foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
+        acc.when(col(column) === k, v)
+      }.otherwise(col(column)))
+
   /** F5: SHA-256 pseudonymization (Criptografia.py:12-42): replace a
     * natural-key column with a surrogate id derived from it (+ optional
     * secondary), dropping the original. */

@@ -192,6 +192,26 @@ object Reports {
           pct(col("Agendamentos"), col("Horarios_Disponiveis"))))
       .orderBy("Unidade", "ID_Medico_Anon", "Procedimento", "Categoria_Servico")
 
+  /** F26: the reference's formatted console summary
+    * (etl_pipeline.py:304-314,431-437) — driver-side string rendering of
+    * an already-collected 1-row KPI aggregate (the only acceptable
+    * collect: a scalar row). BR money format: R$ 1.234,56. */
+  def formatSummary(totalAppts: Long, noShows: Long, realizedRevenue: Double,
+                    potentialRevenue: Double): String = {
+    def brMoney(x: Double): String = {
+      // explicit ROOT locale: the default JVM locale could already use
+      // comma decimals and the swap below would then double-apply
+      val s = String.format(java.util.Locale.ROOT, "%,.2f", Double.box(x))
+      "R$ " + s.map { case ',' => '.'; case '.' => ','; case c => c }
+    }
+    val taxa = if (totalAppts > 0) noShows.toDouble * 100 / totalAppts else 0.0
+    f"""|=== RESUMO ===
+        |Agendamentos: $totalAppts%d
+        |No-shows: $noShows%d ($taxa%.2f%%)
+        |Receita realizada: ${brMoney(realizedRevenue)}%s
+        |Receita potencial: ${brMoney(potentialRevenue)}%s""".stripMargin
+  }
+
   /** A10 crosstab with margins (etl_pipeline.py:381-409). */
   def crosstab(df: DataFrame, dim: String): DataFrame =
     df.filter(col(dim).isNotNull && col(dim) =!= "Indefinido")
