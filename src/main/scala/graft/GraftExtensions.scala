@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, graftshim}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expr.{NormalizeKey, RollingHash, SimHash28, SortedJaccard}
+
+/** SQL-surface registration of the engine's custom Catalyst expressions,
+  * so `spark.sql("SELECT normalize_key(c) ...")` works like any built-in.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`) for new sessions —
+  *    the standard extension-library hook;
+  *  - `GraftExtensions.register(spark)` for an already-running session
+  *    (e.g. a driver-provided one).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz, name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def one(f: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(c) => f(c)
+    case other => throw new IllegalArgumentException(
+      s"expected 1 argument, got ${other.length}")
+  }
+
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("normalize_key", classOf[NormalizeKey].getName, one(NormalizeKey(_))),
+    ("simhash28", classOf[SimHash28].getName, one(SimHash28(_))),
+    ("rolling_hash", classOf[RollingHash].getName, one(RollingHash(_))),
+    ("sorted_jaccard", classOf[SortedJaccard].getName, {
+      case Seq(a, b) => SortedJaccard(a, b)
+      case other => throw new IllegalArgumentException(
+        s"sorted_jaccard takes 2 arguments, got ${other.length}")
+    }))
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      graftshim.registerFunction(spark, name, builder)
+    }
+}

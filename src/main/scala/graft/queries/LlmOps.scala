@@ -233,16 +233,13 @@ object LlmOps {
       val hs = Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), transform(toks(col("text")), t => hash28(t)).as("hs"))
-      // simhash bit j = 1 iff Σ_tokens (bit_j(h) ? +1 : -1) > 0
-      val simhash = (0 until 28).map { j =>
-        when(aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + when(((h / (1L << j)).cast("long") % 2) === 1, 1L).otherwise(-1L)
-        ) > 0, lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _)
-      // exchange barrier: the chunk projection references `sh` 5×, and
-      // without it CollapseProject would duplicate the 28-aggregate
-      // simhash expression per reference (see q25 note)
-      val sim = hs.select(col("doc_id"), simhash.as("sh"))
+      // simhash bit j = 1 iff Σ_tokens (bit_j(h) ? +1 : -1) > 0 — native
+      // expression (one pass over tokens) instead of 28 interpreted
+      // aggregate() calls; exchange barrier so the 5 downstream
+      // references hit a bound attribute (see q25 note)
+      val sim = hs.select(col("doc_id"),
+          graftshim.column(graft.expr.SimHash28(
+            graftshim.expression(col("hs")))).as("sh"))
         .repartition(col("doc_id"))
       // pigeonhole: hamming ≤ 3 ⇒ at least one of 4 disjoint 7-bit chunks equal
       val chunks = sim.select(col("doc_id"), col("sh"),
@@ -382,9 +379,8 @@ object LlmOps {
         FROM documents ORDER BY doc_id""")) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          aggregate(sequence(lit(1), length(col("text"))), lit(0L),
-            (h, i) => (h * 31 + ascii(col("text").substr(i, lit(1)))) % 1000000007L)
-            .as("fp"))
+          graftshim.column(graft.expr.RollingHash(
+            graftshim.expression(col("text")))).as("fp"))
         .orderBy("doc_id")
     }
   )
