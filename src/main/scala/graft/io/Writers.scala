@@ -30,6 +30,14 @@ object Writers {
       }
     }
 
+  /** Date/key-partitioned parquet lake layout: the 100 TB posture for
+    * every fact table (SURVEY §4) — a filter on the partition column
+    * prunes whole directories at planning time (`PartitionFilters` in the
+    * scan) instead of reading and discarding rows. */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
   /** S5: BR-locale CSV sink. `singleFile=true` mirrors the reference's
     * one-file outputs without any driver collect. */
   def csvBr(df: DataFrame, path: String, encoding: String = "UTF-8",

@@ -364,6 +364,42 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------------------------------- BPE-ish token counts
+    Q("q32b_bpe_token_count",
+      "Sub-word-style token counting: a BPE-ish regex (letter runs / digit " +
+        "runs / single punctuation) alongside whitespace tokens — the " +
+        "chars-per-token fertility stat an LLM-corpus budget uses. The " +
+        "pattern is dialect-neutral so Spark (Java regex) and DuckDB (RE2) " +
+        "tokenize identically.",
+      Some("""
+        WITH t AS (SELECT lang,
+                          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe,
+                          len(string_split_regex(text, '\s+')) AS n_ws,
+                          length(text) AS nc
+                   FROM documents)
+        SELECT lang,
+               SUM(n_bpe)::BIGINT AS total_bpe_tokens,
+               SUM(n_ws)::BIGINT AS total_ws_tokens,
+               ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(n_bpe), 4) AS chars_per_bpe_token,
+               ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS fertility
+        FROM t GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe"),
+          size(toks(col("text"))).as("n_ws"),
+          length(col("text")).as("nc"))
+        .groupBy("lang")
+        .agg(
+          sum(col("n_bpe").cast("long")).as("total_bpe_tokens"),
+          sum(col("n_ws").cast("long")).as("total_ws_tokens"),
+          round(sum(col("nc").cast("long")).cast("double") /
+            sum(col("n_bpe").cast("long")), 4).as("chars_per_bpe_token"),
+          round(sum(col("n_bpe").cast("long")).cast("double") /
+            sum(col("n_ws").cast("long")), 4).as("fertility"))
+        .orderBy("lang")
+    },
+
     // -------------------------------------------------- content fingerprint
     Q("q31_fingerprint",
       "Document fingerprinting: polynomial rolling hash (base 31, mod " +

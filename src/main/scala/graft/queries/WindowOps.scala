@@ -74,16 +74,17 @@ object WindowOps {
     // --------------------------------------------------- session window
     Q("q37_window_session",
       "Gap-based sessionization: per-user sessions with a 4-hour " +
-        "inactivity gap via session_window. Spark's semantics: a session " +
-        "is [first, last+gap), so an event exactly gap after the previous " +
-        "one starts a NEW session — the oracle's island computation breaks " +
-        "on diff >= gap to match.",
+        "inactivity gap via session_window. Boundary semantics " +
+        "(empirically pinned by an exact-gap pair in the sf0.1 data): " +
+        "Spark MERGES an event arriving exactly `gap` after the previous " +
+        "one — the session end is inclusive — so the oracle's island " +
+        "computation breaks only on diff > gap.",
       Some(s"""
         WITH e AS (SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS tss, value
                    FROM events),
         g AS (SELECT user_id, tss, value,
                      CASE WHEN lag(tss) OVER w IS NULL
-                            OR tss - lag(tss) OVER w >= INTERVAL '4 hours'
+                            OR tss - lag(tss) OVER w > INTERVAL '4 hours'
                           THEN 1 ELSE 0 END AS brk
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
         s AS (SELECT user_id, tss, value,
