@@ -165,6 +165,77 @@ object EmbedOps {
         .orderBy("query_id", "rnk")
     },
 
+    // -------------------------------------- random-hyperplane LSH near-dup
+    Q("q34b_embed_neardup_lsh",
+      "Embedding near-dup via sign-random-projection LSH: 16 integer " +
+        "hyperplanes (components derived from md5 arithmetic — exact in " +
+        "both engines), 16-bit signatures, candidates from 4-bit chunk " +
+        "collisions, exact integer-cosine verify at 0.4. The oracle " +
+        "replicates the same pipeline, so the gate verifies the " +
+        "implementation bit-for-bit (LSH recall itself is probabilistic " +
+        "by design; the exact baseline is q32/q34).",
+      Some(s"""
+        WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        planes AS (SELECT j, list_transform(range($DIM),
+                     i -> ((('0x' || substr(md5('p_' || j || '_' || i), 1, 7))::BIGINT) % 2001) - 1000) AS w
+                   FROM (SELECT unnest(range(16)) AS j)),
+        dots AS (SELECT vec_id, j,
+                        list_sum(list_transform(range($DIM), i -> q[i+1] * w[i+1])) AS d
+                 FROM nz CROSS JOIN planes),
+        sig AS (SELECT vec_id,
+                       SUM(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sg
+                FROM dots GROUP BY 1),
+        chunks AS (SELECT vec_id, c, (sg >> (4 * c)) & 15 AS cv
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c)),
+        cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+                 FROM chunks a JOIN chunks b
+                   ON a.c = b.c AND a.cv = b.cv AND a.vec_id < b.vec_id),
+        ver AS (SELECT ia, ib,
+                       ${oDot("x.q", "y.q")}::DOUBLE / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cos
+                FROM cand JOIN nz x ON x.vec_id = ia JOIN nz y ON y.vec_id = ib)
+        SELECT ia AS id_a, ib AS id_b, ROUND(cos, 6) AS cosine
+        FROM ver WHERE cos >= 0.4 ORDER BY 1, 2""")) { (s, dir) =>
+      val nz = quantized(s, dir)
+      // deterministic integer planes, same md5 arithmetic as the oracle
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h28(key: String): Long = {
+        val hex = md.digest(key.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(7)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val planes: Seq[Seq[Long]] = (0 until 16).map(j =>
+        (0 until DIM).map(i => (h28(s"p_${j}_$i") % 2001) - 1000))
+      val dotsPerPlane = planes.zipWithIndex.map { case (w, j) =>
+        val d = aggregate(zip_with(col("q"), typedlit(w), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        when(d > 0, lit(1L << j)).otherwise(0L)
+      }
+      val sig = nz.select(col("vec_id"), col("q"), col("nn"),
+          dotsPerPlane.reduce(_ + _).as("sg"))
+        .repartition(col("vec_id")) // exchange barrier (see LlmOps q25 note)
+      val chunks = sig.select(col("vec_id"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("c"),
+            ((col("sg") / (1L << (4 * c))).cast("long") % 16).as("cv"))
+        }: _*)).as("ck"))
+        .select(col("vec_id"), col("ck.c"), col("ck.cv"))
+      val cand = chunks.as("x").join(chunks.as("y"),
+          col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+        .distinct()
+      cand
+        .join(sig.select(col("vec_id").as("ia"), col("q").as("qa"), col("nn").as("na")), "ia")
+        .join(sig.select(col("vec_id").as("ib"), col("q").as("qb"), col("nn").as("nb")), "ib")
+        .withColumn("cos", cosine(dotL(col("qa"), col("qb")), col("na"), col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("ia").as("id_a"), col("ib").as("id_b"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ------------------------------------------- cell-blocked pair stats
     Q("q34_embed_celldup_stats",
       "Embedding near-dup audit, cell-blocked: within each label cell, " +
