@@ -31,13 +31,16 @@ object EmbedOps {
   private def quant(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer squared norm. */
-  private def norm2(v: Column): Column =
-    aggregate(transform(v, a => a * a), lit(0L), (acc, x) => acc + x)
+  /** Exact integer squared norm (native dot with itself). */
+  private def norm2(v: Column): Column = dotL(v, v)
 
-  /** Exact integer dot product of two equal-length long arrays. */
+  /** Exact integer dot product — native expression (the interpreted
+    * aggregate(zip_with(...)) form dominates verify stages; see
+    * graft.expr.DotProduct). */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graftshim.column(graft.expr.DotProduct(
+      org.apache.spark.sql.graftshim.expression(a),
+      org.apache.spark.sql.graftshim.expression(b)))
 
   /** Cosine from exact integers — deterministic double both engines. */
   private def cosine(dot: Column, n1: Column, n2: Column): Column =
@@ -207,13 +210,11 @@ object EmbedOps {
       }
       val planes: Seq[Seq[Long]] = (0 until 16).map(j =>
         (0 until DIM).map(i => (h28(s"p_${j}_$i") % 2001) - 1000))
-      val dotsPerPlane = planes.zipWithIndex.map { case (w, j) =>
-        val d = aggregate(zip_with(col("q"), typedlit(w), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x)
-        when(d > 0, lit(1L << j)).otherwise(0L)
-      }
+      // native expression: all 16 plane dots in one loop per row instead
+      // of 16 interpreted zip_with/aggregate pairs
       val sig = nz.select(col("vec_id"), col("q"), col("nn"),
-          dotsPerPlane.reduce(_ + _).as("sg"))
+          org.apache.spark.sql.graftshim.column(graft.expr.PlaneSignBits(
+            org.apache.spark.sql.graftshim.expression(col("q")), planes)).as("sg"))
         .repartition(col("vec_id")) // exchange barrier (see LlmOps q25 note)
       val chunks = sig.select(col("vec_id"),
         explode(array((0 until 4).map { c =>

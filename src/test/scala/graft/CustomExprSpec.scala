@@ -34,6 +34,26 @@ class CustomExprSpec extends SparkSpec {
     assert(got === Seq(P, P, P))
   }
 
+  test("DotProduct matches elementwise math, min-length on ragged arrays") {
+    import graft.expr.DotProduct
+    val got = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)), (Seq(2L, 3L), Seq(10L)))
+      .toDF("a", "b")
+      .select(graftshim.column(DotProduct(
+        graftshim.expression(col("a")), graftshim.expression(col("b")))).as("d"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(32L, 20L))
+  }
+
+  test("PlaneSignBits packs dot-product signs into bits") {
+    import graft.expr.PlaneSignBits
+    // v=(1,-1): plane0=(1,0)→dot 1>0 → bit0; plane1=(0,1)→dot -1 → no bit
+    val got = Seq(Tuple1(Seq(1L, -1L))).toDF("v")
+      .select(graftshim.column(PlaneSignBits(
+        graftshim.expression(col("v")), Seq(Seq(1L, 0L), Seq(0L, 1L)))).as("s"))
+      .as[Long].head()
+    assert(got === 1L)
+  }
+
   test("SortedJaccard matches set-based Jaccard on sorted distinct arrays") {
     val cases = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")), // 2/4
