@@ -258,6 +258,107 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     },
 
+    // ----------------------------------------------- dedup cluster assignment
+    Q("q26b_dedup_clusters",
+      "The step that actually deduplicates a corpus: connected components " +
+        "over the verified near-dup pairs via min-label propagation " +
+        "(the Pregel superstep pattern — per-iteration convergence check " +
+        "on an aggregated scalar, lineage truncated per step; at corpus " +
+        "scale you cap supersteps). Output: every doc's canonical " +
+        "representative (= min doc_id of its component).",
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        s AS (SELECT doc_id, $oShingles3 AS sh FROM t WHERE len(w) >= 3),
+        p AS (SELECT a.doc_id AS x, b.doc_id AS y
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T),
+        e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y, x FROM p),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM r JOIN e ON e.a = r.dst)
+          SELECT * FROM r)
+        SELECT src AS doc_id, MIN(dst) AS canonical_id,
+               (MIN(dst) = src) AS is_kept
+        FROM reach GROUP BY src ORDER BY doc_id""")) { (s, dir) =>
+      // verified near-dup edges (reuse the LSH pipeline shape of q25)
+      val sh = shingleSets(s, dir)
+      val sig = sh.select(col("doc_id"),
+        graftshim.column(MinHashSig(
+          graftshim.expression(transform(col("sh"), x => hash28(x))),
+          (0 until NUM_HASHES).map(permA),
+          (0 until NUM_HASHES).map(permB), P)).as("sig"))
+        .repartition(col("doc_id"))
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until BANDS).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until ROWS_PER_BAND).map(r =>
+              col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val edges = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= JACCARD_T)
+        .select(col("id_a"), col("id_b"))
+      val bi = edges.union(edges.select(col("id_b"), col("id_a")))
+        .toDF("a", "b").localCheckpoint()
+      // min-label propagation to fixpoint
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val viaNbr = bi.join(labels, bi("a") === labels("doc_id"))
+          .select(col("b").as("doc_id"), col("label"))
+        val next = labels.select(col("doc_id"), col("label")).union(viaNbr)
+          .groupBy("doc_id").agg(min(col("label")).as("label"))
+          .localCheckpoint() // truncate lineage per superstep
+        val changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+        .select(col("doc_id"), col("label").as("canonical_id"),
+          (col("label") === col("doc_id")).as("is_kept"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------- top-k vocabulary
+    Q("q26c_top_tokens",
+      "Per-language top-5 vocabulary: explode tokens, one hash-agg on " +
+        "(lang, token), windowed top-k with a deterministic tie-break — " +
+        "the corpus-inspection primitive of any training-data audit.",
+      Some("""
+        WITH tok AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS token
+                     FROM documents),
+        c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        r AS (SELECT lang, token, n,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+              FROM c)
+        SELECT lang, rnk::INT AS rnk, token, n
+        FROM r WHERE rnk <= 5 ORDER BY lang, rnk""")) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token").asc)
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("token"), col("n"))
+        .orderBy("lang", "rnk")
+    },
+
     // ---------------------------------------------------------- text stats
     Q("q28_text_stats",
       "Per-language corpus statistics: doc counts, token totals (exact " +
