@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
 
@@ -49,6 +49,47 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Running per-user spend tracker — custom streaming state beyond what
+    * windowed aggregation expresses: each key keeps (n_events, total
+    * cents) across micro-batches and emits an updated snapshot per batch;
+    * processing-time timeout evicts idle keys so state stays bounded
+    * (the mapGroupsWithState pattern for arbitrary per-key state). */
+  final case class UserSpend(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** `idleTimeout=Some(d)` evicts idle keys after `d` of processing time —
+    * NOTE it also makes the engine fire continuous empty micro-batches to
+    * check timeouts (don't enable it under processAllAvailable-style test
+    * drivers); None keeps state until the query ends. */
+  def runningSpend(events: Dataset[(Long, Double)],
+                   idleTimeout: Option[String] = None): Dataset[UserSpend] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserSpend, UserSpend](timeoutConf) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserSpend]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserSpend(user, 0L, 0L))
+            val (n, cents) = rows.foldLeft((prev.n_events, prev.total_cents)) {
+              case ((c, s), (_, v)) => (c + 1, s + math.round(v * 100))
+            }
+            val next = UserSpend(user, n, cents)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+
+  /** Sink for stateful update streams (memory/console debugging). */
+  def updateSink[T](ds: Dataset[T], queryName: String): DataStreamWriter[T] =
+    ds.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update())
 
   /** Append-mode parquet sink with a checkpoint — the distributed
     * replacement for the reference's collect-to-driver single-file write

@@ -47,6 +47,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-user running spend accumulates across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sparkS.sqlContext
+
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.updateSink(
+      Streams.runningSpend(input.toDS()), "running_spend").start()
+    try {
+      input.addData((1L, 10.50), (1L, 2.25), (2L, 5.00))
+      q.processAllAvailable()
+      input.addData((1L, 0.25)) // second micro-batch: state must carry over
+      q.processAllAvailable()
+      // the memory sink holds one row per update; take each user's latest
+      val byUser = sparkS.table("running_spend")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(byUser(1L) === ((1L, 3L, 1300L))) // 10.50+2.25+0.25 → 1300 cents
+      assert(byUser(2L) === ((2L, 1L, 500L)))
+    } finally q.stop()
+  }
+
   test("session windows merge within gap and split across it (streaming)") {
     val sparkS = spark
     import sparkS.implicits._
