@@ -595,6 +595,33 @@ object RefParity {
           col("c_mktsegment").as("segmento"))
     },
 
+    // --------------------------------------------------- order statistics
+    Q("q23b_percentiles",
+      "Exact interpolated order statistics per group: median/p90/p99 of " +
+        "the price distribution — Spark's percentile() and DuckDB's " +
+        "quantile_cont() share the linear-interpolation definition, so " +
+        "values agree to rounding. (The 100 TB variant swaps in " +
+        "approx_percentile sketches; the exact form is the oracle-able " +
+        "baseline.)",
+      Some("""
+        SELECT l_returnflag AS flag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+               ROUND(MIN(l_extendedprice), 4) AS p_min,
+               ROUND(MAX(l_extendedprice), 4) AS p_max
+        FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          round(min(col("l_extendedprice")), 4).as("p_min"),
+          round(max(col("l_extendedprice")), 4).as("p_max"))
+        .orderBy("flag")
+    },
+
     // ---------------------------------------------------------------- A11
     Q("q23_kpi_summary",
       "A11 scalar KPI block (src/etl_pipeline.py:369-460): whole-table " +
