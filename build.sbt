@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must pass through to stdout UNPREFIXED: the bench
+// harness emits one machine-readable JSON line, and sbt's default logger
+// prepends "[info] " to every forked line, which breaks any JSON parse of
+// stdout. StdoutOutput sends the child process's stdout/stderr straight
+// through. showSuccess drops the trailing "[success] Total time ..." line
+// so the JSON stays the last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

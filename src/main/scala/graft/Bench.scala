@@ -10,9 +10,12 @@ import java.nio.file.{Files, Paths}
   *    prune derived columns and under-measures; noop evaluates every column;
   *  - one untimed warm-up action first so JVM/session startup doesn't
   *    pollute the first query's number;
-  *  - the JSON line goes to stdout AND stderr (sbt prefixes stdout with
-  *    `[info]`, which broke the driver's parse in r1) AND to the file named
-  *    by $BENCH_OUT when set;
+  *  - the JSON line goes to stdout AND stderr AND to the file named by
+  *    $BENCH_OUT when set. stdout is clean as of r3: build.sbt sets
+  *    `run / outputStrategy := StdoutOutput` (no `[info]` prefix on forked
+  *    output — that prefix is what broke the driver's parse in r1/r2) and
+  *    `showSuccess := false` (no trailing `[success]` line), so the JSON
+  *    is the LAST line of stdout and parses standalone;
   *  - a failed query records -1 and an `errors` entry instead of silently
   *    recording a timing.
   */
@@ -49,7 +52,18 @@ object Bench {
       val sec = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
       (name, sec, err)
     }
-    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JSON string escape incl. ALL control chars: exception messages
+    // routinely contain newlines — an unescaped one would split the
+    // "single-line JSON" exactly when machine-readable errors matter.
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = timed.map { case (k, v, _) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
       .mkString("{", ",", "}")
