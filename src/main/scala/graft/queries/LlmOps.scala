@@ -95,6 +95,19 @@ object LlmOps {
       .repartition(col("doc_id"))
 
   private val JACCARD_T = 0.8
+  /** JACCARD_T as an exact rational (4/5). All PPJoin threshold arithmetic
+    * (prefix length, length filter, positional filter) runs on integers:
+    * `ceil(0.8 * 35)` in doubles is `ceil(28.000000000000004)` = 29 — an
+    * off-by-one that silently shortens the prefix and loses recall. */
+  private val T_NUM = 4
+  private val T_DEN = 5
+
+  /** Exact ceil(n / d) for an integer-valued column: IEEE division of an
+    * integer by a small int is correctly rounded, so the result is either
+    * exactly integral (n divisible by d) or ≥ 1/d away from one — floor
+    * after the +d-1 shift cannot misround. */
+  private def ceilDiv(n: Column, d: Int): Column =
+    floor((n + (d - 1)) / d).cast("int")
 
   /** Ground-truth near-dup oracle: exact all-pairs shingle Jaccard.
     * Fine at verify scale (DuckDB, 500 docs); the engine never does this. */
@@ -177,27 +190,41 @@ object LlmOps {
 
     // ------------------------------------- exact n-gram Jaccard similarity join
     Q("q26_dedup_ngram_exact",
-      "Exact n-gram-Jaccard similarity join with PPJoin-style prefix " +
-        "filtering: index only each doc's rarest |s|-⌈t|s|⌉+1 shingles " +
-        "(global rarity order) — any pair with Jaccard ≥ t provably " +
-        "shares a prefix element, so recall stays exact while hot " +
-        "shingles (whose buckets explode quadratically) never enter the " +
-        "candidate index. Candidates verify against full shingle sets.",
+      "Exact n-gram-Jaccard similarity join with full PPJoin filtering: " +
+        "index only each doc's rarest |s|-⌈t|s|⌉+1 shingles (global " +
+        "rarity order) — any pair with Jaccard ≥ t provably shares a " +
+        "prefix element — then prune candidates with the exact length " +
+        "filter (t·|a| ≤ |b| ≤ |a|/t) and positional filter (the suffix " +
+        "after the matched position caps the possible overlap below the " +
+        "required ⌈t/(1+t)·(|a|+|b|)⌉). All three filters are " +
+        "recall-preserving; hot shingles never enter the candidate index. " +
+        "Candidates verify against full shingle sets.",
       Some(oNearDupTruth)) { (s, dir) =>
       val sh = shingleSets(s, dir)
       val inv = sh.select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("shingle"))
       val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      // rarest-first order; prefix length |s| - ceil(t*|s|) + 1
+      // rarest-first order; prefix length |s| - ceil(t*|s|) + 1; rn is the
+      // doc-global position in the canonical (df, shingle) order, which
+      // the positional filter below relies on being identical across docs
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
       val pfx = inv.join(dfreq, "shingle")
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <=
-          col("sz") - ceil(col("sz") * JACCARD_T).cast("int") + 1)
-        .select(col("doc_id"), col("shingle"))
+        .filter(col("rn") <= col("sz") - ceilDiv(col("sz") * T_NUM, T_DEN) + 1)
+        .select(col("doc_id"), col("sz"), col("rn"), col("shingle"))
+      // required overlap for J ≥ t: α = ⌈t/(1+t)·(|a|+|b|)⌉ = ⌈4(|a|+|b|)/9⌉
+      val alpha = ceilDiv((col("x.sz") + col("y.sz")) * T_NUM, T_NUM + T_DEN)
       val cand = pfx.as("x").join(pfx.as("y"),
           col("x.shingle") === col("y.shingle") &&
-            col("x.doc_id") < col("y.doc_id"))
+            col("x.doc_id") < col("y.doc_id") &&
+            // length filter: J ≥ t ⇒ t·|a| ≤ |b| ∧ t·|b| ≤ |a| (exact, 4/5)
+            col("x.sz") * T_NUM <= col("y.sz") * T_DEN &&
+            col("y.sz") * T_NUM <= col("x.sz") * T_DEN &&
+            // positional filter: overlap ≤ 1 + min(|a|-i, |b|-j) must reach α.
+            // Recall-safe under keep-if-any: for a true pair the FIRST shared
+            // prefix element (which exists and passes the bound) survives.
+            lit(1) + least(col("x.sz") - col("x.rn"),
+              col("y.sz") - col("y.rn")) >= alpha)
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
       cand
