@@ -16,7 +16,9 @@ run / fork := true
 // prepends "[info] " to every forked line, which breaks any JSON parse of
 // stdout. StdoutOutput sends the child process's stdout/stderr straight
 // through. showSuccess drops the trailing "[success] Total time ..." line
-// so the JSON stays the last line of stdout.
+// so the JSON stays the last line of stdout. showSuccess is intentionally
+// Global: sbt has no per-task success-line toggle, and suppressing it for
+// every task is harmless (compile/test errors still print).
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

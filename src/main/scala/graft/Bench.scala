@@ -69,7 +69,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, v, _) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
     println(json)
     System.err.println(json)
     sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
