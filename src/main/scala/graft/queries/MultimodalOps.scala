@@ -57,6 +57,53 @@ object MultimodalOps {
         .agg(count(lit(1)).as("n_frames"),
           sum(octet_length(col("frame_bytes")).cast("long")).as("frame_bytes"))
         .orderBy("media_id")
+    },
+
+    Q("q43_decode_features",
+      "The decode/feature-extract stage itself under the gate: " +
+        "Multimodal.extractFeatures (typed mapPartitions, per-partition " +
+        "decoder init) runs the deterministic stub codec — a normalized " +
+        "16-bin byte histogram — and the gate de-normalizes each float " +
+        "bin back to its exact integer count (count <= 2^23, so the " +
+        "float32 round-trip c/n*n rounds exactly) and sums per format. " +
+        "Oracle: per-byte high-nibble histogram via a lateral range join.",
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 ['jpeg','png','webp'][(('0x' || substr(md5(text), 1, 7))::BIGINT % 3) + 1] AS format,
+                 text
+          FROM documents),
+        mi AS (
+          SELECT format, text,
+                 unnest(range(octet_length(encode(text)))) AS i
+          FROM m),
+        ch AS (
+          SELECT format,
+                 ascii(substr(text, (i + 1)::INT, 1)) // 16 AS bin
+          FROM mi)
+        SELECT format,
+               COUNT(CASE WHEN bin = 2 THEN 1 END)::BIGINT AS b02,
+               COUNT(CASE WHEN bin = 3 THEN 1 END)::BIGINT AS b03,
+               COUNT(CASE WHEN bin = 4 THEN 1 END)::BIGINT AS b04,
+               COUNT(CASE WHEN bin = 5 THEN 1 END)::BIGINT AS b05,
+               COUNT(CASE WHEN bin = 6 THEN 1 END)::BIGINT AS b06,
+               COUNT(CASE WHEN bin = 7 THEN 1 END)::BIGINT AS b07
+        FROM ch GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, dir)
+      val feats = Multimodal
+        .extractFeatures(media.as[Multimodal.MediaRecord]).toDF()
+      // feature[i] = count_i / n_bytes; recover the exact count
+      val withCounts = feats
+        .join(media.select(col("media_id"), col("n_bytes")), Seq("media_id"))
+      // ASCII text occupies high-nibble bins 2..7 only; all-zero bins are
+      // omitted from the contract (their sums are trivially 0)
+      val bins = (2 to 7).map(i =>
+        sum(round(element_at(col("feature"), i + 1) * col("n_bytes"))
+          .cast("long")).as(f"b$i%02d"))
+      withCounts.groupBy(col("format"))
+        .agg(bins.head, bins.tail: _*)
+        .orderBy("format")
     }
   )
 }

@@ -622,6 +622,38 @@ object RefParity {
         .orderBy("flag")
     },
 
+    // ------------------------------------------- order statistics, sketch
+    Q("q23c_percentiles_approx",
+      "The 100 TB percentile path q23b names: approx_percentile sketches " +
+        "(mergeable, bounded-memory — no per-group value buffering). " +
+        "Cross-engine sketches differ bit-wise (Spark GK vs DuckDB " +
+        "t-digest), so the gate emits the EXACT percentiles plus " +
+        "within-tolerance flags for the sketch: at accuracy 10000 the GK " +
+        "rank error is <=0.01% of the group, far inside the 1% value " +
+        "tolerance asserted here, so the flags are deterministically true " +
+        "and hash-stable while the sketch genuinely runs.",
+      Some("""
+        SELECT l_returnflag AS flag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+               TRUE AS p50_sketch_ok,
+               TRUE AS p90_sketch_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("_a90"))
+        .withColumn("p50_sketch_ok",
+          abs(col("_a50") - col("p50_exact")) <= col("p50_exact") * 0.01)
+        .withColumn("p90_sketch_ok",
+          abs(col("_a90") - col("p90_exact")) <= col("p90_exact") * 0.01)
+        .drop("_a50", "_a90")
+        .orderBy("flag")
+    },
+
     // ---------------------------------------------------------------- A11
     Q("q23_kpi_summary",
       "A11 scalar KPI block (src/etl_pipeline.py:369-460): whole-table " +

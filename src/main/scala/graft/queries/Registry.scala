@@ -4,8 +4,8 @@ package graft.queries
   * driver contract (SparkEntry.queries / oracleSql). */
 object Registry {
   lazy val all: Seq[Q] =
-    RefParity.all ++ LlmOps.all ++ EmbedOps.all ++ WindowOps.all ++
-      IoOps.all ++ MultimodalOps.all
+    RefParity.all ++ EtlOps.all ++ LlmOps.all ++ EmbedOps.all ++
+      WindowOps.all ++ IoOps.all ++ MultimodalOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
