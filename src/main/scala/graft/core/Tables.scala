@@ -24,18 +24,26 @@ object Tables {
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the raw nanos
-    * as long (`spark.sql.legacy.parquet.nanosAsLong` — a session-wide conf;
-    * there is no per-read option, so the loader sets it and callers should
-    * know events() flips it for the session) and floor-convert to a
-    * microsecond TIMESTAMP_NTZ — the same wall-clock instant DuckDB sees,
+    * as long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
+    * a microsecond TIMESTAMP_NTZ — the same wall-clock instant DuckDB sees,
     * truncated from ns to µs. The NTZ value is built by pure epoch
     * arithmetic from the NTZ epoch literal, so it is independent of
     * spark.sql.session.timeZone (timestamp_micros().cast(ntz) would route
     * through LTZ and shift with the session zone).
+    *
+    * Conf scoping: the legacy flag is session-wide with no per-read option,
+    * and it is consulted when the scan EXECUTES (the relation's session
+    * state feeds the scan's hadoopConf), so set-restore around the read
+    * would break the returned lazy frame. Instead the read happens in a
+    * cloned session (`newSession()` — shared SparkContext, private
+    * SQLConf): the flag lives only in the clone, which stays attached to
+    * this relation, and the caller's session is never mutated
+    * (TablesConfScopeSpec proves both halves).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(scoped, dir, "events")
       .withColumn("ts",
         expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
   }

@@ -69,23 +69,34 @@ object Readers {
         s"no charset in ${charsets.mkString(",")} decodes $path"))
     // Spark 4 whitelists CSV charsets (utf-8/16/32, iso-8859-1, us-ascii);
     // anything else (e.g. the reference's cp1252) needs the legacy flag.
+    // The flag is consulted when the scan executes, so it is scoped to a
+    // cloned session (shared SparkContext, private SQLConf) that stays
+    // attached to this relation — the caller's session is never mutated
+    // (same pattern as Tables.events; see TablesConfScopeSpec).
     val builtin = Set("utf-8", "utf-16", "utf-16be", "utf-16le", "utf-32",
       "iso-8859-1", "us-ascii")
-    if (!builtin.contains(charset.toLowerCase))
-      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-    val df = spark.read
+    val reader =
+      if (builtin.contains(charset.toLowerCase)) spark
+      else {
+        val scoped = spark.newSession()
+        scoped.conf.set("spark.sql.legacy.javaCharsets", "true")
+        scoped
+      }
+    val df = reader.read
       .option("sep", sep)
       .option("header", header)
       .option("encoding", charset)
       .option("nullValue", "")
       .option("inferSchema", "true")
       .csv(path)
-    // extra NA tokens (Spark supports a single nullValue): normalize here
-    naTokens.filter(_.nonEmpty).foldLeft(df) { (d, tok) =>
-      d.columns.foldLeft(d)((dd, c) =>
-        dd.withColumn(c, when(trim(col(c).cast("string")) === tok.trim, lit(null))
-          .otherwise(col(c))))
-    }
+    // extra NA tokens (Spark supports a single nullValue): one collapsed
+    // projection — a single when(isin) per column, not |cols|x|tokens|
+    // stacked withColumn layers
+    val toks = naTokens.filter(_.nonEmpty).map(_.trim).distinct
+    if (toks.isEmpty) df
+    else df.withColumns(df.columns.map(c =>
+      c -> when(trim(col(c).cast("string")).isin(toks: _*), lit(null))
+        .otherwise(col(c))).toMap)
   }
 
   /** Expected price-table column names (S2). */

@@ -336,25 +336,12 @@ object LlmOps {
         .filter(jaccard(col("sh_a"), col("sh_b")) >= JACCARD_T)
         .select(col("id_a"), col("id_b"))
       val bi = edges.union(edges.select(col("id_b"), col("id_a")))
-        .toDF("a", "b").localCheckpoint()
-      // min-label propagation to fixpoint
-      var labels = Tables.documents(s, dir)
-        .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val viaNbr = bi.join(labels, bi("a") === labels("doc_id"))
-          .select(col("b").as("doc_id"), col("label"))
-        val next = labels.select(col("doc_id"), col("label")).union(viaNbr)
-          .groupBy("doc_id").agg(min(col("label")).as("label"))
-          .localCheckpoint() // truncate lineage per superstep
-        val changed = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-      labels
+        .toDF("a", "b")
+      // min-label propagation to fixpoint (reliable checkpoints + logged
+      // non-convergence handled inside the operator)
+      val cc = graft.operators.ConnectedComponents.minLabelPropagation(
+        Tables.documents(s, dir).select(col("doc_id")), bi, maxIter = 20)
+      cc.labels
         .select(col("doc_id"), col("label").as("canonical_id"),
           (col("label") === col("doc_id")).as("is_kept"))
         .orderBy("doc_id")
