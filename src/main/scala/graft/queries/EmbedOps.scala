@@ -190,8 +190,12 @@ object EmbedOps {
         sig AS (SELECT vec_id,
                        SUM(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sg
                 FROM dots GROUP BY 1),
-        chunks AS (SELECT vec_id, c, (sg >> (4 * c)) & 15 AS cv
-                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c)),
+        chunks0 AS (SELECT vec_id, c, (sg >> (4 * c)) & 15 AS cv
+                    FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c)),
+        chunks AS (SELECT vec_id, c, cv FROM (
+                     SELECT vec_id, c, cv,
+                            COUNT(*) OVER (PARTITION BY c, cv) AS bn
+                     FROM chunks0) WHERE bn <= 500),
         cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
                  FROM chunks a JOIN chunks b
                    ON a.c = b.c AND a.cv = b.cv AND a.vec_id < b.vec_id),
@@ -216,12 +220,18 @@ object EmbedOps {
           org.apache.spark.sql.graftshim.column(graft.expr.PlaneSignBits(
             org.apache.spark.sql.graftshim.expression(col("q")), planes)).as("sg"))
         .repartition(col("vec_id")) // exchange barrier (see LlmOps q25 note)
-      val chunks = sig.select(col("vec_id"),
+      val chunks0 = sig.select(col("vec_id"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("c"),
             ((col("sg") / (1L << (4 * c))).cast("long") % 16).as("cv"))
         }: _*)).as("ck"))
         .select(col("vec_id"), col("ck.c"), col("ck.cv"))
+      // 4-bit chunks have only 16 values — buckets grow linearly with the
+      // corpus, so the cap is structural here, and it is REPLICATED in
+      // the oracle (bn <= 500): the gate verifies capped candidate
+      // generation bit-for-bit, not just the happy path
+      val chunks = graft.operators.Buckets.capBuckets(chunks0,
+        Seq(col("c"), col("cv")), 500, "q34b_chunk_cap")
       val cand = chunks.as("x").join(chunks.as("y"),
           col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
             col("x.vec_id") < col("y.vec_id"))

@@ -36,6 +36,18 @@ object LlmOps {
   private val BANDS = 16
   private val ROWS_PER_BAND = 4 // BANDS * ROWS_PER_BAND == NUM_HASHES
 
+  /** Hot-bucket caps (graft.operators.Buckets): a band bucket only grows
+    * past ~500 when hundreds of docs share a 4-minhash signature —
+    * boilerplate that exact dedup (q24) already collapses; capping bounds
+    * the self-join at cap²/2 per bucket. The SimHash chunk cap is higher
+    * because the 7-bit pigeonhole otherwise GUARANTEES recall at
+    * hamming ≤ 3 — capping trades that guarantee for skew-resistance, so
+    * it only engages on pathological buckets. Both are far above any
+    * bucket in the verify data (recall there is unchanged — the parity
+    * gate proves it). */
+  private val MAX_BAND_BUCKET = 500
+  private val MAX_CHUNK_BUCKET = 1000
+
   /** Deterministic permutation constants, < 2^31 so a*h never overflows
     * a long (h < 2^28). Mirrored verbatim into the oracle SQL. */
   private def permA(i: Int): Long = ((i + 1) * 2654435761L) % P
@@ -167,13 +179,15 @@ object LlmOps {
           (0 until NUM_HASHES).map(permA),
           (0 until NUM_HASHES).map(permB), P)).as("sig"))
         .repartition(col("doc_id"))
-      val bands = sig.select(col("doc_id"),
+      val bands0 = sig.select(col("doc_id"),
         explode(array((0 until BANDS).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until ROWS_PER_BAND).map(r =>
               col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*).as("key"))
         }: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val bands = graft.operators.Buckets.capBuckets(bands0,
+        Seq(col("band"), col("key")), MAX_BAND_BUCKET, "q25_band_cap")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -269,12 +283,14 @@ object LlmOps {
             graftshim.expression(col("hs")))).as("sh"))
         .repartition(col("doc_id"))
       // pigeonhole: hamming ≤ 3 ⇒ at least one of 4 disjoint 7-bit chunks equal
-      val chunks = sim.select(col("doc_id"), col("sh"),
+      val chunks0 = sim.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
             ((col("sh") / (1L << (7 * c))).cast("long") % (1L << 7)).as("v"))
         }: _*)).as("ck"))
         .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.v"))
+      val chunks = graft.operators.Buckets.capBuckets(chunks0,
+        Seq(col("chunk"), col("v")), MAX_CHUNK_BUCKET, "q27_chunk_cap")
       chunks.as("x").join(chunks.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -318,13 +334,15 @@ object LlmOps {
           (0 until NUM_HASHES).map(permA),
           (0 until NUM_HASHES).map(permB), P)).as("sig"))
         .repartition(col("doc_id"))
-      val bands = sig.select(col("doc_id"),
+      val bands0 = sig.select(col("doc_id"),
         explode(array((0 until BANDS).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until ROWS_PER_BAND).map(r =>
               col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*).as("key"))
         }: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val bands = graft.operators.Buckets.capBuckets(bands0,
+        Seq(col("band"), col("key")), MAX_BAND_BUCKET, "q26b_band_cap")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
