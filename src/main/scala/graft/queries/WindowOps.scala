@@ -1,7 +1,9 @@
 package graft.queries
 
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.streaming.Streams
 import H._
 
 /** Event-time window operators over `events` (SURVEY.md §2.10 EXT):
@@ -104,6 +106,55 @@ object WindowOps {
           col("session_window.start").as("session_start"),
           col("n_events"), col("receita"))
         .orderBy("user_id", "session_start")
+    },
+
+    // ---------------------------------------- batch-vs-stream equivalence
+    Q("q48_stream_tumbling",
+      "The unified-model claim under the gate: the SAME tumbling-window " +
+        "aggregation as q35, executed through Structured Streaming " +
+        "(file source -> watermark -> append-mode parquet sink) and " +
+        "hash-compared to the batch oracle. Append mode only emits a " +
+        "window once the watermark passes its end, so two far-future " +
+        "sentinel files drive the watermark past every real window " +
+        "(watermark advances at batch boundaries: sentinel 1 flushes the " +
+        "real windows, sentinel 2 flushes nothing but forces the batch " +
+        "that applies sentinel 1's watermark); the sentinel windows are " +
+        "filtered back out. Runs at UTC (the driver's session timezone) — " +
+        "the NTZ->LTZ round trip is the identity there.",
+      Some("""
+        SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS ws,
+               COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val tmp = Files.createTempDirectory("q48_stream")
+      val srcDir = tmp.resolve("src").toString
+      val outDir = tmp.resolve("out").toString
+      val ckptDir = tmp.resolve("ckpt").toString
+      // materialize the stream source dir (streaming scans need a
+      // directory + explicit schema); watermarks reject TIMESTAMP_NTZ, so
+      // ts goes through LTZ for the stream and back to NTZ at the end
+      val ev = Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts_ltz"))
+      ev.write.mode("overwrite").parquet(srcDir)
+      val maxTs = ev.agg(max(col("ts_ltz"))).head().getTimestamp(0).toInstant
+      def sentinel(hoursAhead: Int): Unit =
+        s.range(1)
+          .select(lit(java.sql.Timestamp.from(maxTs.plusSeconds(hoursAhead * 3600L)))
+            .as("ts_ltz"))
+          .write.mode("append").parquet(srcDir)
+      val stream = Streams.eventsStream(s, srcDir, ev.schema)
+      val agg = Streams.tumblingCounts(stream, "ts_ltz", "1 hour", "1 hour")
+      val q = Streams.parquetSink(agg, outDir, ckptDir).start()
+      try {
+        q.processAllAvailable() // batch 1: all real data
+        sentinel(1000)
+        q.processAllAvailable() // batch 2: watermark still at batch-1 max
+        sentinel(2000)
+        q.processAllAvailable() // batch 3: flushes every real window
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .filter(col("ws") < lit(java.sql.Timestamp.from(maxTs.plusSeconds(500 * 3600L))))
+        .select(col("ws").cast("timestamp_ntz").as("ws"), col("n"))
+        .orderBy("ws")
     }
   )
 }
