@@ -134,14 +134,19 @@ object WindowOps {
       // ts goes through LTZ for the stream and back to NTZ at the end
       val ev = Tables.events(s, dir)
         .select(col("ts").cast("timestamp").as("ts_ltz"))
-      ev.write.mode("overwrite").parquet(srcDir)
+      ev.coalesce(4).write.mode("overwrite").parquet(srcDir)
       val maxTs = ev.agg(max(col("ts_ltz"))).head().getTimestamp(0).toInstant
       def sentinel(hoursAhead: Int): Unit =
         s.range(1)
           .select(lit(java.sql.Timestamp.from(maxTs.plusSeconds(hoursAhead * 3600L)))
             .as("ts_ltz"))
           .write.mode("append").parquet(srcDir)
-      val stream = Streams.eventsStream(s, srcDir, ev.schema)
+      // the stateful agg pays per-partition state-store overhead in EVERY
+      // micro-batch (3 here); ~720 windows need few partitions, so the
+      // stream runs on a conf-scoped clone with 8 shuffle partitions
+      val sc = s.newSession()
+      sc.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = Streams.eventsStream(sc, srcDir, ev.schema)
       val agg = Streams.tumblingCounts(stream, "ts_ltz", "1 hour", "1 hour")
       val q = Streams.parquetSink(agg, outDir, ckptDir).start()
       try {
