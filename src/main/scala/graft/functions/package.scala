@@ -84,4 +84,16 @@ package object functions {
     * src/Criptografia.py:29-42). */
   def pseudonymize(parts: Column*): Column =
     sha2(parts.map(_.cast("string")).reduce(concat(_, lit("|"), _)), 256)
+
+  /** PII scrubbing: replace email addresses and phone-like tokens with
+    * placeholder tags. The field-level complement of [[pseudonymize]] for
+    * free text — a pure projection (codegen'd regexp_replace), no
+    * shuffle; patterns kept POSIX-portable so oracle engines replicate
+    * them verbatim. */
+  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  val PhonePattern = "555-[0-9]+"
+  def redact_pii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
 }

@@ -551,6 +551,107 @@ object LlmOps {
           graftshim.column(graft.expr.RollingHash(
             graftshim.expression(col("text")))).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------- repetition quality signal
+    Q("q49_repetition_signal",
+      "Within-document repetition (the Gopher/C4 duplicate-n-gram " +
+        "signal): per-doc 2-gram count, distinct count, and duplicate " +
+        "fraction — boilerplate and degenerate generations score high and " +
+        "get filtered before training. Pure per-row array expressions " +
+        "over a bound token column (one split per row).",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        g AS (SELECT doc_id,
+                     list_transform(range(len(w) - 1),
+                                    i -> w[i+1] || ' ' || w[i+2]) AS g2
+              FROM t WHERE len(w) >= 2)
+        SELECT doc_id,
+               len(g2)::BIGINT AS n_2grams,
+               len(list_distinct(g2))::BIGINT AS n_distinct,
+               ROUND((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2), 4) AS dup_frac
+        FROM g ORDER BY doc_id""")) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+      t.select(col("doc_id"),
+          transform(sequence(lit(0), size(col("w")) - 2), i =>
+            concat_ws(" ", element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2))).as("g2"))
+        .select(col("doc_id"),
+          size(col("g2")).cast("long").as("n_2grams"),
+          size(array_distinct(col("g2"))).cast("long").as("n_distinct"))
+        .withColumn("dup_frac",
+          round((col("n_2grams") - col("n_distinct")).cast("double") /
+            col("n_2grams"), 4))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- deterministic hash sampling
+    Q("q50_hash_sample",
+      "Deterministic stratified sampling / split assignment: every doc " +
+        "hashes to a bucket (md5 arithmetic — reproducible across runs, " +
+        "engines, and cluster sizes, unlike rand()), per-language rates " +
+        "pick the sample, and sampled docs split 80/20 train/val. The " +
+        "shape every corpus ablation and held-out split uses: a pure " +
+        "projection, no shuffle, no state.",
+      Some("""
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('sample_' || doc_id), 1, 7))::BIGINT % 100 AS bucket,
+               CASE WHEN ('0x' || substr(md5('sample_' || doc_id), 1, 7))::BIGINT % 100
+                         < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+                    THEN (CASE WHEN ('0x' || substr(md5('sample_' || doc_id), 1, 7))::BIGINT % 100
+                               < (CASE WHEN lang = 'en' THEN 40 ELSE 16 END)
+                          THEN 'train' ELSE 'val' END)
+                    ELSE 'dropped' END AS split
+        FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val bucket = hash28(concat(lit("sample_"), col("doc_id"))) % 100
+      val rate = when(col("lang") === "en", 50).otherwise(20)
+      val trainRate = when(col("lang") === "en", 40).otherwise(16)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+          when(bucket < trainRate, "train")
+            .when(bucket < rate, "val")
+            .otherwise("dropped").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------- PII redaction
+    Q("q54_pii_redact",
+      "PII scrubbing: regex-redact emails and phone-like tokens to " +
+        "placeholder tags, with per-doc redaction counts and a hash of " +
+        "the redacted text proving byte-identical output. The corpus " +
+        "carries no PII, so deterministic synthetic contact strings are " +
+        "appended first — the operator under test is the redaction " +
+        "projection (graft.functions.redact_pii), which at scale is a " +
+        "pure codegen'd map, no shuffle.",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          text || ' contact user' || doc_id ||
+                          '@example.com or 555-' || doc_id AS raw
+                   FROM documents),
+        r AS (SELECT doc_id, raw,
+                     regexp_replace(
+                       regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+                       '555-[0-9]+', '[PHONE]', 'g') AS red
+              FROM t)
+        SELECT doc_id,
+               (length(raw) - length(regexp_replace(raw, '@', '', 'g')))::BIGINT AS n_emails,
+               ((length(raw) - length(regexp_replace(raw, '555-', '', 'g'))) // 4)::BIGINT AS n_phones,
+               sha256(red) AS redacted_hash
+        FROM r ORDER BY doc_id""")) { (s, dir) =>
+      val raw = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          (length(col("raw")) -
+            length(regexp_replace(col("raw"), "@", ""))).cast("long").as("n_emails"),
+          floor((length(col("raw")) -
+            length(regexp_replace(col("raw"), "555-", ""))) / 4)
+            .cast("long").as("n_phones"),
+          sha2(graft.functions.redact_pii(col("raw")), 256).as("redacted_hash"))
+        .orderBy("doc_id")
     }
   )
 }

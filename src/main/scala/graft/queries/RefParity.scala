@@ -654,6 +654,30 @@ object RefParity {
         .orderBy("flag")
     },
 
+    // -------------------------------------------------- cardinality sketch
+    Q("q53_hll_distinct",
+      "Distinct counting at 100 TB: the HyperLogLog++ sketch " +
+        "(approx_count_distinct — mergeable, fixed memory per group) " +
+        "beside the exact count. Same gate pattern as q23c: sketches " +
+        "differ across engines bit-wise, so the contract is the exact " +
+        "count plus a deterministic within-tolerance flag for the sketch " +
+        "(rsd 0.02 against a 15% assertion — structurally true).",
+      Some("""
+        SELECT l_returnflag AS flag,
+               COUNT(DISTINCT l_partkey) AS n_exact,
+               TRUE AS sketch_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("_a"))
+        .withColumn("sketch_ok",
+          abs(col("_a") - col("n_exact")) <= col("n_exact") * 0.15)
+        .drop("_a")
+        .orderBy("flag")
+    },
+
     // ---------------------------------------------------------------- A11
     Q("q23_kpi_summary",
       "A11 scalar KPI block (src/etl_pipeline.py:369-460): whole-table " +

@@ -5,7 +5,7 @@ package graft.queries
 object Registry {
   lazy val all: Seq[Q] =
     RefParity.all ++ EtlOps.all ++ LlmOps.all ++ EmbedOps.all ++
-      WindowOps.all ++ IoOps.all ++ MultimodalOps.all
+      WindowOps.all ++ JoinOps.all ++ IoOps.all ++ MultimodalOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
