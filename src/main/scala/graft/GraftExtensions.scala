@@ -16,11 +16,14 @@ import graft.expr.{NormalizeKey, RollingHash, SimHash28, SortedJaccard}
   *    (e.g. a driver-provided one).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, clazz, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz, name), builder))
     }
+    // custom logical operators: lowered during analysis (see graft.plans)
+    ext.injectResolutionRule(_ => graft.plans.RewriteAsOfJoin)
+  }
 }
 
 object GraftExtensions {

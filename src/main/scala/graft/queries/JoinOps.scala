@@ -42,18 +42,13 @@ object JoinOps {
         ORDER BY p.event_id""")) { (s, dir) =>
       val e = Tables.events(s, dir)
         .withColumn("tss", date_trunc("second", col("ts")))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(lit(null).cast("long").as("event_id"), col("user_id"),
-          col("tss"), lit(0).as("kind"))
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("tss"), lit(1).as("kind"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tss").asc, col("kind").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("last_click_tss",
-          max(when(col("kind") === 0, col("tss"))).over(w))
-        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("tss"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("tss").as("last_click_tss"))
+      graft.plans.AsOf.join(purchases, clicks,
+          leftOn = purchases("tss"), rightOn = clicks("last_click_tss"),
+          leftBy = purchases("user_id"), rightBy = clicks("c_user"))
         .select(col("event_id"), col("user_id"), col("tss").as("p_tss"),
           col("last_click_tss"),
           (unix_timestamp(col("tss")) - unix_timestamp(col("last_click_tss")))

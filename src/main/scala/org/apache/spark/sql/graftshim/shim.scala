@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge into Spark 4's classic Column <-> Catalyst Expression conversion
@@ -10,6 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graftshim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a raw LogicalPlan (Dataset.ofRows is private[sql]) —
+    * how a custom logical operator re-enters the public Dataset API. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a frame (for custom-operator inputs). */
+  def analyzed(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
   /** Register a custom expression as a temp SQL function on a live session
     * (FunctionRegistry is private[sql] — same bridge pattern as above). */
