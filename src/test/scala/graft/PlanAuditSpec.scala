@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.core.Tables
+import graft.queries.Registry
+
+/** Physical-plan audits: machine-checked versions of the `.explain`
+  * inspections the scale posture rests on. A refactor that silently
+  * breaks column pruning, filter pushdown, a provably-safe broadcast, or
+  * whole-stage codegen fails HERE, not in a 100 TB incident.
+  *
+  * Assertions read the formatted explain string — the same surface a
+  * human audit uses. sf0.001 keeps planning fast; plan SHAPE is
+  * SF-independent for these queries (no AQE runtime re-plan is asserted).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Plans are audited with AQE off: adaptive plans defer codegen/stage
+  // decisions until execution, so the static explain of an AQE plan shows
+  // no `*(n)` markers. The audited shape (pushdown, pruning, broadcast,
+  // exchange count) is what AQE *starts* from.
+  private lazy val session = {
+    val c = spark.newSession()
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    c.conf.set("spark.sql.maxMetadataStringLength", "2000") // untruncated PushedFilters
+    c
+  }
+
+  // simple mode: one line per operator, `*(n)` marks whole-stage-codegen
+  // stages, scan lines carry PushedFilters/ReadSchema
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  private def q(name: String): String =
+    planOf(Registry.byName(name).fn(session, dir))
+
+  test("q47 export projection: scan reads ONLY the projected columns") {
+    val p = q("q47_export_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_name") &&
+      readSchema.contains("c_acctbal"))
+    assert(!readSchema.contains("c_mktsegment") && !readSchema.contains("c_nationkey"),
+      s"column pruning broken: $readSchema")
+  }
+
+  test("plain-column predicates push down to the parquet scan") {
+    val p = planOf(Tables.orders(session, dir)
+      .filter(col("o_totalprice") > 1000.0 && col("o_orderstatus") === "F")
+      .select(col("o_orderkey")))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThan(o_totalprice") &&
+        l.contains("EqualTo(o_orderstatus")),
+      s"filters did not reach the scan:\n$p")
+  }
+
+  test("q11 price enrichment: bounded dim joins as broadcast, fact side never shuffles") {
+    val p = q("q11_price_enrichment")
+    assert(p.contains("BroadcastHashJoin"), "price dim must broadcast")
+  }
+
+  test("q24 exact dedup is ONE shuffle (hash-agg, no sort before the agg)") {
+    val p = q("q24_dedup_exact")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hash exchange for the groupBy; the final orderBy adds a range
+    // exchange — anything more means a redundant shuffle crept in
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), "dedup must hash-aggregate")
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen") {
+    val p = q("q01_daily_attendance")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")),
+      s"agg fell out of codegen:\n$p")
+  }
+
+  test("custom expressions do not break codegen (q31 rolling hash)") {
+    val p = q("q31_fingerprint")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"RollingHash should live inside a codegen stage:\n$p")
+  }
+
+  test("q51 as-of join lowers to window+filter — no join operator at all") {
+    val p = q("q51_asof_join")
+    assert(p.contains("Window"), "as-of lowering must use a window")
+    assert(!p.contains("NestedLoop"), "inequality nested-loop crept in")
+    assert(!p.contains("CartesianProduct"), "cartesian crept in")
+  }
+
+  test("q52 range join is an equi-join on buckets, never a nested loop") {
+    val p = q("q52_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "range join degenerated to a nested loop")
+  }
+
+  test("q32 knn broadcasts the bounded query side only") {
+    val p = q("q32_knn_bruteforce")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query set must broadcast")
+  }
+
+  test("metadata-only media query never touches the content column") {
+    val meta = graft.ext.Multimodal.mediaFromDocuments(session, dir)
+      .select(col("media_id"), col("n_bytes"))
+    val readSchema = planOf(meta).linesIterator
+      .find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("content"),
+      s"binary content must be pruned from metadata scans: $readSchema")
+  }
+
+  test("events loader: partition pruning survives the NTZ conversion") {
+    val p = planOf(Tables.events(session, dir).filter(col("event_type") === "click"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("event_type")),
+      "filter on a non-derived column must still push past the ts projection")
+  }
+}
