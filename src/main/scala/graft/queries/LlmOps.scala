@@ -616,6 +616,78 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------------------------- corpus-frequency scoring
+    Q("q55_bigram_typicality",
+      "Corpus-frequency LM scoring (the perplexity-filter shape without " +
+        "cross-engine log drift): global bigram counts in one hash-agg, " +
+        "then each doc's mean and minimum corpus frequency over its own " +
+        "bigrams — low typicality flags gibberish, high flags " +
+        "boilerplate. Integer counts + one guarded division keep it " +
+        "bit-exact; at 100 TB the frequency table is the shuffle (or a " +
+        "broadcast top-K with a default, the CCNet trick).",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(range(len(w) - 1),
+                                           i -> w[i+1] || ' ' || w[i+2])) AS bg
+              FROM t WHERE len(w) >= 2),
+        f AS (SELECT bg, COUNT(*) AS c FROM g GROUP BY 1)
+        SELECT g.doc_id,
+               COUNT(*) AS n_bigrams,
+               MIN(f.c) AS min_freq,
+               ROUND(SUM(f.c)::DOUBLE / COUNT(*), 4) AS avg_freq
+        FROM g JOIN f USING (bg)
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+            concat_ws(" ", element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2)))).as("bg"))
+        .repartition(col("bg")) // shared exchange: freq agg + join reuse it
+      val freq = g.groupBy("bg").agg(count(lit(1)).as("c"))
+      g.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          min(col("c")).as("min_freq"),
+          round(sum(col("c")).cast("double") / count(lit(1)), 4).as("avg_freq"))
+        .orderBy("doc_id")
+    },
+
+    // --------------------------------------------------- sequence packing
+    Q("q56_sequence_packing",
+      "Training-sequence packing: contiguous greedy packing of docs into " +
+        "4096-token bins within each language partition (bin = cumulative " +
+        "tokens before the doc, integer-divided by the budget) — the " +
+        "distributed packing shape: deterministic, one shuffle+sort per " +
+        "partition key, no global coordination. Emits per-bin fill " +
+        "stats; the tail bin underfills, every other bin's waste is " +
+        "bounded by one document.",
+      Some("""
+        WITH t AS (SELECT doc_id, lang,
+                          len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS offs
+              FROM t)
+        SELECT lang, (offs // 4096)::BIGINT AS bin_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens)::BIGINT AS tokens_packed
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("offs", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .groupBy(col("lang"), floor(col("offs") / 4096).as("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_packed"))
+        .orderBy("lang", "bin_id")
+    },
+
     // ------------------------------------------------------- PII redaction
     Q("q54_pii_redact",
       "PII scrubbing: regex-redact emails and phone-like tokens to " +
