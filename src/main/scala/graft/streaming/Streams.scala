@@ -86,6 +86,62 @@ object Streams {
       }
   }
 
+  /** A CLOSED user session: emitted exactly once, when the gap passes —
+    * either observed directly (a later in-batch event beyond the gap) or
+    * enforced by the event-time timeout once the watermark crosses
+    * `last + gap`. */
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n_events: Long)
+  /** Public: the state encoder's generated code instantiates it. */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the
+    * event-driven emission pattern `session_window` cannot express:
+    * each session is emitted ONCE, at close, rather than re-aggregated
+    * per batch. State per key is one (start,last,n) triple; the
+    * event-time timeout (watermark-driven) closes idle sessions, so
+    * state is bounded and no session hangs open forever.
+    *
+    * Input: (user_id, event time), MUST carry a watermark (event-time
+    * timeouts require one). */
+  def completedSessions(events: Dataset[(Long, java.sql.Timestamp)],
+                        gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def close(user: Long, st: SessionState) = ClosedSession(user,
+      new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last), st.n)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val done = close(user, state.get)
+            state.remove()
+            Iterator(done)
+          } else {
+            // per-batch rows arrive unordered; sort in memory (bounded by
+            // the micro-batch slice of one key)
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some(st) if t - st.last > gapMs =>
+                  closed ::= close(user, st)
+                  Some(SessionState(t, t, 1))
+                case Some(st) =>
+                  Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Sink for stateful update streams (memory/console debugging). */
   def updateSink[T](ds: Dataset[T], queryName: String): DataStreamWriter[T] =
     ds.writeStream.format("memory").queryName(queryName)

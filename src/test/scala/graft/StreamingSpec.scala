@@ -69,6 +69,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: sessions emit once, at close (gap or timeout)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sparkS.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = Streams.completedSessions(
+      input.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream
+      .format("memory").queryName("closed_sessions").outputMode("append").start()
+    try {
+      // user 1: two sessions split by an in-batch gap; user 2: one open session
+      input.addData(
+        (1L, ts("2024-01-01 09:00:00")),
+        (1L, ts("2024-01-01 09:05:00")),
+        (1L, ts("2024-01-01 09:30:00")), // 25m gap: closes the first session
+        (2L, ts("2024-01-01 09:31:00")))
+      q.processAllAvailable()
+      val afterBatch1 = sparkS.table("closed_sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      // only the explicitly-gapped session has closed; open ones stay in state
+      assert(afterBatch1 === Set(
+        (1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:05:00"), 2L)))
+
+      // advance the watermark past last+gap for both open sessions —
+      // the event-time timeout must close them (next batch fires timeouts)
+      input.addData((3L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 11:00:01")))
+      q.processAllAvailable()
+      val closed = sparkS.table("closed_sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(closed.contains(
+        (1L, ts("2024-01-01 09:30:00"), ts("2024-01-01 09:30:00"), 1L)))
+      assert(closed.contains(
+        (2L, ts("2024-01-01 09:31:00"), ts("2024-01-01 09:31:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("session windows merge within gap and split across it (streaming)") {
     val sparkS = spark
     import sparkS.implicits._
