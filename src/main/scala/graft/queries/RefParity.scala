@@ -612,6 +612,13 @@ object RefParity {
                ROUND(MAX(l_extendedprice), 4) AS p_max
         FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
       Tables.lineitem(s, dir)
+        // single-file lake → 3 scan tasks; percentile() buffers every
+        // group value in its partial buffer, so scan parallelism caps the
+        // whole query. Round-robin repartition of the pruned 2-column
+        // projection spreads the buffering across cores (measured ~2x);
+        // at real scale file count provides this and the repartition is
+        // AQE-coalesced noise.
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag").as("flag"))
         .agg(
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
@@ -640,6 +647,7 @@ object RefParity {
                TRUE AS p90_sketch_ok
         FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
       Tables.lineitem(s, dir)
+        .repartition(s.sparkContext.defaultParallelism) // see q23b note
         .groupBy(col("l_returnflag").as("flag"))
         .agg(
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
