@@ -160,6 +160,75 @@ object WindowOps {
         .filter(col("ws") < lit(java.sql.Timestamp.from(maxTs.plusSeconds(500 * 3600L))))
         .select(col("ws").cast("timestamp_ntz").as("ws"), col("n"))
         .orderBy("ws")
+    },
+
+    // ------------------------------- custom streaming state under the gate
+    Q("q57_stream_sessions",
+      "flatMapGroupsWithState under the hash gate: " +
+        "Streams.completedSessions (one (start,last,n) state per user, " +
+        "emit-once-at-close, event-time-timeout eviction) over a file " +
+        "stream of all events must reproduce the batch session islands " +
+        "of q37. Sentinel users with far-future times drive the " +
+        "watermark so every real session closes by timeout (timeouts " +
+        "fire the batch AFTER the watermark passes — hence two sentinel " +
+        "batches); boundary semantics match session_window: a gap of " +
+        "EXACTLY 4h merges (close only on strictly-greater).",
+      Some("""
+        WITH e AS (SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS tss
+                   FROM events),
+        g AS (SELECT user_id, tss,
+                     CASE WHEN lag(tss) OVER w IS NULL
+                            OR tss - lag(tss) OVER w > INTERVAL '4 hours'
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
+        s AS (SELECT user_id, tss,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY tss
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+        SELECT user_id, MIN(tss) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY 1, 2""")) { (s, dir) =>
+      import s.implicits._
+      val tmp = Files.createTempDirectory("q57_stream")
+      val srcDir = tmp.resolve("src").toString
+      val outDir = tmp.resolve("out").toString
+      val ckptDir = tmp.resolve("ckpt").toString
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("second", col("ts")).cast("timestamp").as("tss"))
+      ev.coalesce(4).write.mode("overwrite").parquet(srcDir)
+      val maxTs = ev.agg(max(col("tss"))).head().getTimestamp(0).toInstant
+      val SentinelUser = 1000000000L
+      def sentinel(hoursAhead: Int): Unit =
+        s.range(1).select(lit(SentinelUser).as("user_id"),
+            lit(java.sql.Timestamp.from(maxTs.plusSeconds(hoursAhead * 3600L))).as("tss"))
+          .write.mode("append").parquet(srcDir)
+      val sc = s.newSession()
+      sc.conf.set("spark.sql.shuffle.partitions", "8")
+      val sessions = Streams.completedSessions(
+        Streams.eventsStream(sc, srcDir, ev.schema)
+          .withWatermark("tss", "1 hour")
+          .as[(Long, java.sql.Timestamp)](
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.TIMESTAMP)),
+        gapMs = 4 * 3600 * 1000L)
+      val q = sessions.toDF().writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1: all real events into state
+        sentinel(1000)
+        q.processAllAvailable() // batch 2: watermark reaches maxTs - 1h
+        sentinel(2000)
+        q.processAllAvailable() // batch 3: timeouts fire for all users
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .filter(col("user_id") < SentinelUser)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     }
   )
 }
