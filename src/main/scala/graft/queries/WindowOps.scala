@@ -229,6 +229,44 @@ object WindowOps {
           col("session_start").cast("timestamp_ntz").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // ----------------------------------------------------- streaming dedup
+    Q("q58_stream_dedup",
+      "Streaming exact dedup — the arriving-data twin of q24: the source " +
+        "replays every event TWICE, and watermarked dropDuplicates on " +
+        "(event_id, event time) must emit each exactly once (the " +
+        "watermark bounds the dedup state store, so this runs forever at " +
+        "100 TB/day; unkeyed dropDuplicates would grow state without " +
+        "bound). Dedup emits rows immediately in append mode — no " +
+        "sentinel flushing needed; the gate aggregates the deduped sink " +
+        "and compares to batch distinct counts.",
+      Some("""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val tmp = Files.createTempDirectory("q58_stream")
+      val srcDir = tmp.resolve("src").toString
+      val outDir = tmp.resolve("out").toString
+      val ckptDir = tmp.resolve("ckpt").toString
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("tss"),
+          col("event_type"))
+      ev.coalesce(4).write.mode("overwrite").parquet(srcDir)
+      ev.coalesce(4).write.mode("append").parquet(srcDir) // the duplicates
+      val sc = s.newSession()
+      sc.conf.set("spark.sql.shuffle.partitions", "8")
+      val deduped = Streams.eventsStream(sc, srcDir, ev.schema)
+        .withWatermark("tss", "1 hour")
+        .dropDuplicates("event_id", "tss")
+      val q = deduped.writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
     }
   )
 }
