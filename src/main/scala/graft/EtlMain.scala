@@ -78,13 +78,16 @@ object EtlMain {
     sink("perfil_agenda", Reports.agendaProfile(withOcc))
 
     // console summary (etl_pipeline.py:431-437) — the one driver-side
-    // collect: a single scalar KPI row
+    // collect: a single scalar KPI row. Sums coalesce to 0: over an
+    // empty/fully-filtered base sum() is NULL and getLong would NPE.
     val k = enriched.agg(
       count(lit(1)).as("total"),
-      sum(when(col("Status_Consolidado") === "NO-SHOW", 1L).otherwise(0L)).as("ns"),
-      sum(when(col("Status_Consolidado") === "ATENDIDO",
-        round(col("Valor") * 100).cast("long")).otherwise(0L)).as("realized_c"),
-      sum(round(col("Valor") * 100).cast("long")).as("potential_c")).head()
+      coalesce(sum(when(col("Status_Consolidado") === "NO-SHOW", 1L)
+        .otherwise(0L)), lit(0L)).as("ns"),
+      coalesce(sum(when(col("Status_Consolidado") === "ATENDIDO",
+        round(col("Valor") * 100).cast("long")).otherwise(0L)), lit(0L)).as("realized_c"),
+      coalesce(sum(round(col("Valor") * 100).cast("long")), lit(0L)).as("potential_c"))
+      .head()
     println(Reports.formatSummary(k.getLong(0), k.getLong(1),
       k.getLong(2) / 100.0, k.getLong(3) / 100.0))
 
@@ -102,11 +105,21 @@ object EtlMain {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val asOf = args.lift(4) match {
-      case Some(ts) => to_timestamp(lit(ts))
-      case None => current_timestamp()
+    // disambiguate the two optional args: a 4th arg that parses as a
+    // timestamp (and has no 5th behind it) is the asOf anchor, not a
+    // silently-missing occupancy file
+    def isTimestamp(s: String): Boolean =
+      scala.util.Try(java.sql.Timestamp.valueOf(s)).isSuccess
+    val (occArg, asOfArg) = (args.lift(3), args.lift(4)) match {
+      case (Some(a), None) if isTimestamp(a) => (None, Some(a))
+      case (occ, ts) => (occ, ts)
     }
-    run(spark, args(0), args(1), args(2), args.lift(3), asOf)
+    occArg.filterNot(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .foreach(p => System.err.println(
+        s"WARNING: occupancy file '$p' not found - occupancy fills 0 " +
+          "(pass asOf as 'yyyy-MM-dd HH:mm:ss' if this was meant as the anchor)"))
+    val asOf = asOfArg.map(ts => to_timestamp(lit(ts))).getOrElse(current_timestamp())
+    run(spark, args(0), args(1), args(2), occArg, asOf)
     spark.stop()
   }
 }

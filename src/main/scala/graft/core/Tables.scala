@@ -35,14 +35,13 @@ object Tables {
     * and it is consulted when the scan EXECUTES (the relation's session
     * state feeds the scan's hadoopConf), so set-restore around the read
     * would break the returned lazy frame. Instead the read happens in a
-    * cloned session (`newSession()` — shared SparkContext, private
-    * SQLConf): the flag lives only in the clone, which stays attached to
-    * this relation, and the caller's session is never mutated
-    * (TablesConfScopeSpec proves both halves).
+    * [[Sessions.scoped]] clone — the caller's runtime conf carried over,
+    * the flag set only on the clone, the caller's session never mutated
+    * (TablesConfScopeSpec proves all three).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scoped = Sessions.scoped(spark,
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
     t(scoped, dir, "events")
       .withColumn("ts",
         expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))

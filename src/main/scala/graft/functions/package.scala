@@ -90,7 +90,7 @@ package object functions {
     * free text — a pure projection (codegen'd regexp_replace), no
     * shuffle; patterns kept POSIX-portable so oracle engines replicate
     * them verbatim. */
-  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "555-[0-9]+"
   def redact_pii(c: Column): Column =
     regexp_replace(

@@ -77,11 +77,8 @@ object Readers {
       "iso-8859-1", "us-ascii")
     val reader =
       if (builtin.contains(charset.toLowerCase)) spark
-      else {
-        val scoped = spark.newSession()
-        scoped.conf.set("spark.sql.legacy.javaCharsets", "true")
-        scoped
-      }
+      else graft.core.Sessions.scoped(spark,
+        "spark.sql.legacy.javaCharsets" -> "true")
     val df = reader.read
       .option("sep", sep)
       .option("header", header)

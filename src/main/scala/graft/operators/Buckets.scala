@@ -47,6 +47,10 @@ object Buckets {
 
   private def capImpl(df: DataFrame, keys: Seq[Column], maxBucket: Int,
                       attach: DataFrame => DataFrame): DataFrame = {
+    // fail fast instead of silently overwriting caller columns: the
+    // helper columns are withColumn'd and dropped internally
+    Seq("_bucket_n", "_cap").foreach(h => require(!df.columns.contains(h),
+      s"capBuckets: input already carries internal helper column '$h'"))
     val w = Window.partitionBy(keys: _*)
     val sized = df
       .withColumn("_bucket_n", count(lit(1)).over(w))

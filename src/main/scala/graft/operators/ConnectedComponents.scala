@@ -39,9 +39,11 @@ object ConnectedComponents {
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): Result = {
     val sc = vertices.sparkSession.sparkContext
-    // set-restore: an explicit checkpointDir is scoped to this run (the
-    // checkpointed blocks themselves outlive it — only the session
-    // setting is restored)
+    // Scoping: when the context had NO checkpoint dir, an explicit
+    // checkpointDir is cleared again after the run. When one was already
+    // set it is left in place: getCheckpointDir returns the UUID-suffixed
+    // internal path, and re-setting it would nest a fresh UUID under it
+    // on every call — there is no true restore API.
     val prevDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
     try {
@@ -71,7 +73,7 @@ object ConnectedComponents {
           s"> $maxIter; raise maxIter or pre-contract the graph")
       Result(labels, converged, iter)
     } finally {
-      if (checkpointDir.isDefined) sc.setCheckpointDir(prevDir.orNull)
+      if (checkpointDir.isDefined && prevDir.isEmpty) sc.setCheckpointDir(null)
     }
   }
 }

@@ -71,7 +71,15 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
 
     val pLeft = tagged(aj.left, lOut,
       Literal.create(null, rStruct.dataType), aj.leftOn, aj.leftBy, kind = 1)
-    val pRight = tagged(aj.right,
+    // SQL join semantics: NULL never matches — right rows with a null
+    // `on` or `by` can satisfy no `rightOn <= leftOn within rightBy`
+    // predicate, so they are dropped before the union. (Left rows with
+    // null keys still emit, with a null right side: a null `by`
+    // partition then contains no right rows, and a null `on` sorts
+    // first, before any right row.)
+    val rightNonNull = Filter(
+      And(IsNotNull(aj.rightOn), IsNotNull(aj.rightBy)), aj.right)
+    val pRight = tagged(rightNonNull,
       lOut.map(a => Alias(Literal.create(null, a.dataType), a.name)()),
       rStruct, aj.rightOn, aj.rightBy, kind = 0)
     val union = Union(pLeft, pRight)

@@ -704,7 +704,7 @@ object LlmOps {
                    FROM documents),
         r AS (SELECT doc_id, raw,
                      regexp_replace(
-                       regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+                       regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                        '555-[0-9]+', '[PHONE]', 'g') AS red
               FROM t)
         SELECT doc_id,

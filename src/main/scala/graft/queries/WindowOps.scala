@@ -24,6 +24,33 @@ import H._
   */
 object WindowOps {
 
+
+  /** Streaming-gate scaffolding shared by q48/q57/q58: materialize the
+    * source table into a temp dir (streaming scans need a directory +
+    * explicit schema), run the caller's streaming query to completion on
+    * a conf-scoped clone (8 shuffle partitions: stateful stages pay
+    * per-partition state-store overhead per micro-batch), then read the
+    * sink back on the caller's session and delete the source/checkpoint
+    * trees — the sink dir must outlive the returned lazy frame. */
+  private def streamGate(s: org.apache.spark.sql.SparkSession,
+                         source: org.apache.spark.sql.DataFrame)(
+      drive: (org.apache.spark.sql.SparkSession, String, String, String) => Unit)
+      : org.apache.spark.sql.DataFrame = {
+    val tmp = Files.createTempDirectory("stream_gate")
+    val srcDir = tmp.resolve("src").toString
+    val outDir = tmp.resolve("out").toString
+    val ckptDir = tmp.resolve("ckpt").toString
+    source.coalesce(4).write.mode("overwrite").parquet(srcDir)
+    val sc = graft.core.Sessions.scoped(s, "spark.sql.shuffle.partitions" -> "8")
+    try drive(sc, srcDir, outDir, ckptDir)
+    finally Seq(srcDir, ckptDir).foreach { d =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    s.read.parquet(outDir)
+  }
+
   val all: Seq[Q] = Seq(
 
     // -------------------------------------------------- tumbling window
@@ -125,38 +152,28 @@ object WindowOps {
         SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS ws,
                COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val tmp = Files.createTempDirectory("q48_stream")
-      val srcDir = tmp.resolve("src").toString
-      val outDir = tmp.resolve("out").toString
-      val ckptDir = tmp.resolve("ckpt").toString
-      // materialize the stream source dir (streaming scans need a
-      // directory + explicit schema); watermarks reject TIMESTAMP_NTZ, so
-      // ts goes through LTZ for the stream and back to NTZ at the end
+      // watermarks reject TIMESTAMP_NTZ, so ts goes through LTZ for the
+      // stream and back to NTZ at the end
       val ev = Tables.events(s, dir)
         .select(col("ts").cast("timestamp").as("ts_ltz"))
-      ev.coalesce(4).write.mode("overwrite").parquet(srcDir)
       val maxTs = ev.agg(max(col("ts_ltz"))).head().getTimestamp(0).toInstant
-      def sentinel(hoursAhead: Int): Unit =
-        s.range(1)
-          .select(lit(java.sql.Timestamp.from(maxTs.plusSeconds(hoursAhead * 3600L)))
-            .as("ts_ltz"))
-          .write.mode("append").parquet(srcDir)
-      // the stateful agg pays per-partition state-store overhead in EVERY
-      // micro-batch (3 here); ~720 windows need few partitions, so the
-      // stream runs on a conf-scoped clone with 8 shuffle partitions
-      val sc = s.newSession()
-      sc.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = Streams.eventsStream(sc, srcDir, ev.schema)
-      val agg = Streams.tumblingCounts(stream, "ts_ltz", "1 hour", "1 hour")
-      val q = Streams.parquetSink(agg, outDir, ckptDir).start()
-      try {
-        q.processAllAvailable() // batch 1: all real data
-        sentinel(1000)
-        q.processAllAvailable() // batch 2: watermark still at batch-1 max
-        sentinel(2000)
-        q.processAllAvailable() // batch 3: flushes every real window
-      } finally q.stop()
-      s.read.parquet(outDir)
+      streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
+        def sentinel(hoursAhead: Int): Unit =
+          sc.range(1)
+            .select(lit(java.sql.Timestamp.from(maxTs.plusSeconds(hoursAhead * 3600L)))
+              .as("ts_ltz"))
+            .write.mode("append").parquet(srcDir)
+        val stream = Streams.eventsStream(sc, srcDir, ev.schema)
+        val agg = Streams.tumblingCounts(stream, "ts_ltz", "1 hour", "1 hour")
+        val q = Streams.parquetSink(agg, outDir, ckptDir).start()
+        try {
+          q.processAllAvailable() // batch 1: all real data
+          sentinel(1000)
+          q.processAllAvailable() // batch 2: watermark still at batch-1 max
+          sentinel(2000)
+          q.processAllAvailable() // batch 3: flushes every real window
+        } finally q.stop()
+      }
         .filter(col("ws") < lit(java.sql.Timestamp.from(maxTs.plusSeconds(500 * 3600L))))
         .select(col("ws").cast("timestamp_ntz").as("ws"), col("n"))
         .orderBy("ws")
@@ -187,43 +204,36 @@ object WindowOps {
               FROM g)
         SELECT user_id, MIN(tss) AS session_start, COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid ORDER BY 1, 2""")) { (s, dir) =>
-      import s.implicits._
-      val tmp = Files.createTempDirectory("q57_stream")
-      val srcDir = tmp.resolve("src").toString
-      val outDir = tmp.resolve("out").toString
-      val ckptDir = tmp.resolve("ckpt").toString
       val ev = Tables.events(s, dir)
         .select(col("user_id"),
           date_trunc("second", col("ts")).cast("timestamp").as("tss"))
-      ev.coalesce(4).write.mode("overwrite").parquet(srcDir)
       val maxTs = ev.agg(max(col("tss"))).head().getTimestamp(0).toInstant
       val SentinelUser = 1000000000L
-      def sentinel(hoursAhead: Int): Unit =
-        s.range(1).select(lit(SentinelUser).as("user_id"),
-            lit(java.sql.Timestamp.from(maxTs.plusSeconds(hoursAhead * 3600L))).as("tss"))
-          .write.mode("append").parquet(srcDir)
-      val sc = s.newSession()
-      sc.conf.set("spark.sql.shuffle.partitions", "8")
-      val sessions = Streams.completedSessions(
-        Streams.eventsStream(sc, srcDir, ev.schema)
-          .withWatermark("tss", "1 hour")
-          .as[(Long, java.sql.Timestamp)](
-            org.apache.spark.sql.Encoders.tuple(
-              org.apache.spark.sql.Encoders.scalaLong,
-              org.apache.spark.sql.Encoders.TIMESTAMP)),
-        gapMs = 4 * 3600 * 1000L)
-      val q = sessions.toDF().writeStream
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckptDir)
-        .outputMode("append").start()
-      try {
-        q.processAllAvailable() // batch 1: all real events into state
-        sentinel(1000)
-        q.processAllAvailable() // batch 2: watermark reaches maxTs - 1h
-        sentinel(2000)
-        q.processAllAvailable() // batch 3: timeouts fire for all users
-      } finally q.stop()
-      s.read.parquet(outDir)
+      streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
+        def sentinel(hoursAhead: Int): Unit =
+          sc.range(1).select(lit(SentinelUser).as("user_id"),
+              lit(java.sql.Timestamp.from(maxTs.plusSeconds(hoursAhead * 3600L))).as("tss"))
+            .write.mode("append").parquet(srcDir)
+        val sessions = Streams.completedSessions(
+          Streams.eventsStream(sc, srcDir, ev.schema)
+            .withWatermark("tss", "1 hour")
+            .as[(Long, java.sql.Timestamp)](
+              org.apache.spark.sql.Encoders.tuple(
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.TIMESTAMP)),
+          gapMs = 4 * 3600 * 1000L)
+        val q = sessions.toDF().writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: all real events into state
+          sentinel(1000)
+          q.processAllAvailable() // batch 2: watermark reaches maxTs - 1h
+          sentinel(2000)
+          q.processAllAvailable() // batch 3: timeouts fire for all users
+        } finally q.stop()
+      }
         .filter(col("user_id") < SentinelUser)
         .select(col("user_id"),
           col("session_start").cast("timestamp_ntz").as("session_start"),
@@ -244,26 +254,20 @@ object WindowOps {
       Some("""
         SELECT event_type, COUNT(DISTINCT event_id) AS n
         FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val tmp = Files.createTempDirectory("q58_stream")
-      val srcDir = tmp.resolve("src").toString
-      val outDir = tmp.resolve("out").toString
-      val ckptDir = tmp.resolve("ckpt").toString
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts").cast("timestamp").as("tss"),
           col("event_type"))
-      ev.coalesce(4).write.mode("overwrite").parquet(srcDir)
-      ev.coalesce(4).write.mode("append").parquet(srcDir) // the duplicates
-      val sc = s.newSession()
-      sc.conf.set("spark.sql.shuffle.partitions", "8")
-      val deduped = Streams.eventsStream(sc, srcDir, ev.schema)
-        .withWatermark("tss", "1 hour")
-        .dropDuplicates("event_id", "tss")
-      val q = deduped.writeStream
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckptDir)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir)
+      streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
+        ev.coalesce(4).write.mode("append").parquet(srcDir) // the duplicates
+        val deduped = Streams.eventsStream(sc, srcDir, ev.schema)
+          .withWatermark("tss", "1 hour")
+          .dropDuplicates("event_id", "tss")
+        val q = deduped.writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type")

@@ -119,17 +119,28 @@ object Streams {
             Iterator(done)
           } else {
             // per-batch rows arrive unordered; sort in memory (bounded by
-            // the micro-batch slice of one key)
+            // the micro-batch slice of one key). A within-watermark late
+            // event merges in BOTH directions (it may extend the open
+            // session's start backwards); one that predates the open
+            // session by more than the gap is its own earlier island and
+            // closes immediately. Residual approximation: an event that
+            // would BRIDGE that earlier island to a still-later one in a
+            // future batch is already emitted — exact reconstruction
+            // under arbitrary reordering needs buffered-event state.
             val ts = rows.map(_._2.getTime).toSeq.sorted
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
             ts.foreach { t =>
               cur = cur match {
-                case Some(st) if t - st.last > gapMs =>
+                case Some(st) if t > st.last + gapMs =>
                   closed ::= close(user, st)
                   Some(SessionState(t, t, 1))
+                case Some(st) if t < st.start - gapMs =>
+                  closed ::= close(user, SessionState(t, t, 1))
+                  Some(st)
                 case Some(st) =>
-                  Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
+                  Some(SessionState(math.min(st.start, t),
+                    math.max(st.last, t), st.n + 1))
                 case None => Some(SessionState(t, t, 1))
               }
             }

@@ -44,6 +44,24 @@ class AsOfJoinSpec extends SparkSpec {
       5L -> None))       // no group at all
   }
 
+  test("SQL null semantics: null on/by never matches, null-keyed left rows emit with nulls") {
+    val l = Seq((1L, Option("A"), Option(ts("2024-01-01 10:00:00"))),
+      (2L, Option("A"), Option.empty[Timestamp]),      // null leftOn
+      (3L, Option.empty[String], Option(ts("2024-01-01 10:00:00"))) // null leftBy
+    ).toDF("t_id", "sym", "t_ts")
+    val r = Seq((Option("A"), Option(ts("2024-01-01 09:00:00")), 1.0),
+      (Option("A"), Option.empty[Timestamp], 99.0),    // null rightOn: never matches
+      (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 98.0) // null rightBy
+    ).toDF("q_sym", "q_ts", "px")
+    val got = AsOf.join(l, r, l("t_ts"), r("q_ts"), l("sym"), r("q_sym"))
+      .orderBy("t_id").select("t_id", "px").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+    assert(got.toSeq === Seq(
+      1L -> Some(1.0), // only the non-null right row matches
+      2L -> None,      // null leftOn satisfies no >= predicate
+      3L -> None))     // null leftBy matches no group (not even null rightBy)
+  }
+
   test("lowered plan composes: filters and joins over the result work") {
     // proves ExprId pinning — downstream references resolve post-rewrite
     assert(joined.filter(col("px") > 100.0).count() === 2)

@@ -16,6 +16,7 @@ class PiiSpec extends SparkSpec {
     words <- Gen.listOf(Gen.oneOf(
       Gen.alphaNumStr.map(_.take(8)),
       Gen.const("user.1@mail.example.com"),
+      Gen.const("john-doe+tag@my-site.co.uk"), // hyphen/plus addressing
       Gen.const("555-0199"),
       Gen.const("a@@b"), // near-miss shapes
       Gen.const("@nohandle"),

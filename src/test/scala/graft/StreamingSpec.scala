@@ -111,6 +111,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: a within-watermark late event extends session start backwards") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sparkS.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = Streams.completedSessions(
+      input.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "2 hours") // generous lateness: late rows process
+        .as[(Long, Timestamp)],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 12:00:00")), (1L, ts("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      // late (but within watermark) event BEFORE the open session's start
+      input.addData((1L, ts("2024-01-01 11:55:00")))
+      q.processAllAvailable()
+      // close everything via timeout
+      input.addData((9L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 20:00:01")))
+      q.processAllAvailable()
+      val closed = sparkS.table("late_sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filter(_._1 == 1L)
+      assert(closed.toSeq === Seq(
+        (1L, ts("2024-01-01 11:55:00"), ts("2024-01-01 12:01:00"), 3L)))
+    } finally q.stop()
+  }
+
   test("session windows merge within gap and split across it (streaming)") {
     val sparkS = spark
     import sparkS.implicits._

@@ -25,6 +25,18 @@ class TablesConfScopeSpec extends SparkSpec {
     assert(Tables.events(spark, "/root/testdata/sf0.001").count() === ev.count())
   }
 
+  test("scoped clones inherit the caller's RUNTIME conf (not just builder conf)") {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false") // runtime set — a bare newSession drops it
+      val clone = graft.core.Sessions.scoped(spark, NanosKey -> "true")
+      assert(clone.conf.get(key) === "false", "runtime conf lost on the clone")
+      assert(clone.conf.get(NanosKey) === "true")
+      assert(spark.conf.get(NanosKey) === "false", "override leaked to caller")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("csvWithEncodingRetry cp1252: caller conf untouched, frame executes") {
     spark.conf.unset(CharsetKey)
     val dir = Files.createTempDirectory("conf_scope")
