@@ -94,6 +94,19 @@ object EtlMain {
     enriched.unpersist()
   }
 
+  /** Disambiguate the two optional args: a 4th arg that parses as a
+    * timestamp (and has no 5th behind it) is the asOf anchor, not a
+    * silently-missing occupancy file. */
+  private[graft] def parseOptionalArgs(arg3: Option[String], arg4: Option[String])
+      : (Option[String], Option[String]) = {
+    def isTimestamp(s: String): Boolean =
+      scala.util.Try(java.sql.Timestamp.valueOf(s)).isSuccess
+    (arg3, arg4) match {
+      case (Some(a), None) if isTimestamp(a) => (None, Some(a))
+      case (occ, ts) => (occ, ts)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: EtlMain <base.csv> <prices.txt> <outDir> [occupancy.csv] [asOf]")
@@ -105,15 +118,7 @@ object EtlMain {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // disambiguate the two optional args: a 4th arg that parses as a
-    // timestamp (and has no 5th behind it) is the asOf anchor, not a
-    // silently-missing occupancy file
-    def isTimestamp(s: String): Boolean =
-      scala.util.Try(java.sql.Timestamp.valueOf(s)).isSuccess
-    val (occArg, asOfArg) = (args.lift(3), args.lift(4)) match {
-      case (Some(a), None) if isTimestamp(a) => (None, Some(a))
-      case (occ, ts) => (occ, ts)
-    }
+    val (occArg, asOfArg) = parseOptionalArgs(args.lift(3), args.lift(4))
     occArg.filterNot(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .foreach(p => System.err.println(
         s"WARNING: occupancy file '$p' not found - occupancy fills 0 " +

@@ -104,6 +104,16 @@ class EtlMainSpec extends SparkSpec {
     assert(p(4) === "3" && p(8) === "15" && p(10) === "20,00")
   }
 
+  test("optional-arg disambiguation: timestamp-shaped 4th arg is the asOf anchor") {
+    assert(EtlMain.parseOptionalArgs(Some("2024-06-01 00:00:00"), None) ===
+      ((None, Some("2024-06-01 00:00:00"))))
+    assert(EtlMain.parseOptionalArgs(Some("occ.csv"), None) ===
+      ((Some("occ.csv"), None)))
+    assert(EtlMain.parseOptionalArgs(Some("occ.csv"), Some("2024-06-01 00:00:00")) ===
+      ((Some("occ.csv"), Some("2024-06-01 00:00:00"))))
+    assert(EtlMain.parseOptionalArgs(None, None) === ((None, None)))
+  }
+
   test("golden: base_tratada_completa keeps all rows, no key_ columns") {
     val lines = readSink(outDir, "base_tratada_completa")
     assert(lines.length === 9) // header + 8 rows
