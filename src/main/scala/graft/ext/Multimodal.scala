@@ -71,6 +71,31 @@ object Multimodal {
     }
   }
 
+  /** Resize: keep every `factor`-th byte of the content — the
+    * deterministic stand-in for an image/audio downsample (no codec libs
+    * in-container; a real implementation swaps the byte-stride for a
+    * pixel resample with the same signature). Pure native expressions —
+    * stride indices via sequence/transform, no UDF — so the projection
+    * stays inside codegen and the operator is a per-row map at any
+    * scale. */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val len = octet_length(col("content"))
+    // sequence(0, -1) would step DOWNWARDS, not produce empty — guard 0-len
+    val resized = when(len > 0, concat_ws("",
+      transform(sequence(lit(0), ceil(len.cast("double") / factor).cast("long") - 1),
+        i => col("content").cast("string")
+          .substr((i * factor + 1).cast("int"), lit(1)))))
+      .otherwise(lit(""))
+    // bind once: aliasing the output "content" in the same select would
+    // make the n_bytes expression's col("content") resolve to the NEW
+    // alias (lateral column alias), double-applying the stride
+    media.withColumn("_resized", resized.cast("binary"))
+      .select(col("media_id"), col("format"),
+        col("_resized").as("content"),
+        octet_length(col("_resized")).cast("long").as("n_bytes"))
+  }
+
   /** Frame sampling: split content into `n` contiguous byte chunks
     * ("frames") and explode — pure native expressions, one row per frame,
     * no UDF. A video pipeline would swap the slicer for a keyframe

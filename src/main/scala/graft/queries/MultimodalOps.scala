@@ -59,6 +59,34 @@ object MultimodalOps {
         .orderBy("media_id")
     },
 
+    Q("q59_media_resize",
+      "The resize stage of the decode/feature/resize/frame-sample " +
+        "quartet: byte-stride downsampling (every 4th byte) standing in " +
+        "for a pixel resample — native stride expressions, no UDF, " +
+        "hash-checked output bytes. The binary->string round trip is " +
+        "byte-exact because the fixture content is ASCII (same note as " +
+        "q41/q42).",
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 ['jpeg','png','webp'][(('0x' || substr(md5(text), 1, 7))::BIGINT % 3) + 1] AS format,
+                 text
+          FROM documents),
+        r AS (SELECT doc_id, format,
+                     array_to_string(list_transform(
+                       range((octet_length(encode(text)) + 3) // 4),
+                       i -> text[(i * 4 + 1)::INT]), '') AS rz
+              FROM m)
+        SELECT doc_id AS media_id, format,
+               octet_length(encode(rz))::BIGINT AS n_bytes,
+               sha256(rz) AS content_hash
+        FROM r ORDER BY media_id""")) { (s, dir) =>
+      Multimodal.resize(Multimodal.mediaFromDocuments(s, dir), 4)
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          sha2(col("content"), 256).as("content_hash"))
+        .orderBy("media_id")
+    },
+
     Q("q43_decode_features",
       "The decode/feature-extract stage itself under the gate: " +
         "Multimodal.extractFeatures (typed mapPartitions, per-partition " +
