@@ -41,6 +41,16 @@ class MultimodalSpec extends SparkSpec {
       === Seq("01", "23", "45", "67"))
   }
 
+  test("resize: byte stride, n_bytes from the RESIZED content, empty-safe") {
+    val df = Seq((1L, "0123456789"), (2L, "")).toDF("media_id", "text")
+      .select(col("media_id"), lit("jpeg").as("format"),
+        col("text").cast("binary").as("content"))
+    val out = Multimodal.resize(df, 4).collect().sortBy(_.getLong(0))
+    assert(new String(out(0).getAs[Array[Byte]]("content"), "UTF-8") === "048")
+    assert(out(0).getAs[Long]("n_bytes") === 3) // ceil(10/4), not re-resized
+    assert(out(1).getAs[Long]("n_bytes") === 0) // empty content survives
+  }
+
   test("metadata-only scans prune the binary column") {
     val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
     val plan = media.select("media_id", "format").queryExecution
