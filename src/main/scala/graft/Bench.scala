@@ -5,21 +5,77 @@ import java.nio.file.{Files, Paths}
 /** Benchmark main. Runs every registered query on SPARK_GRAFT_SF_DIR and
   * emits one JSON line `{"metric":"total","value":N,"unit":"sec",...}`.
   *
-  * Harness rules (round-1 verdict fixes):
+  * Harness rules (round-1/2/4 verdict fixes):
   *  - action is the `noop` writer, not `.count()` — count() lets Catalyst
   *    prune derived columns and under-measures; noop evaluates every column;
   *  - one untimed warm-up action first so JVM/session startup doesn't
   *    pollute the first query's number;
-  *  - the JSON line goes to stdout AND stderr AND to the file named by
-  *    $BENCH_OUT when set. stdout is clean as of r3: build.sbt sets
-  *    `run / outputStrategy := StdoutOutput` (no `[info]` prefix on forked
-  *    output — that prefix is what broke the driver's parse in r1/r2) and
-  *    `showSuccess := false` (no trailing `[success]` line), so the JSON
-  *    is the LAST line of stdout and parses standalone;
   *  - a failed query records -1 and an `errors` entry instead of silently
-  *    recording a timing.
+  *    recording a timing;
+  *  - THE LAST STDOUT LINE MUST FIT THE DRIVER'S TAIL BUFFER. The driver
+  *    keeps only the last ~2000 chars of stdout and parses a complete JSON
+  *    line out of that window (r3 parsed, r4 didn't: 61 full-name entries
+  *    pushed the line past 2000 chars and its head fell out of the buffer).
+  *    So stdout gets a COMPACT line — short query keys (the `qNN` prefix)
+  *    and millisecond-precision timings — sized well under the buffer, and
+  *    the verbose full-name line goes to stderr and to $BENCH_OUT when set.
+  *    stdout is otherwise clean: build.sbt sets `run / outputStrategy :=
+  *    StdoutOutput` (no `[info]` prefix on forked output) and
+  *    `showSuccess := false` (no trailing `[success]` line).
   */
 object Bench {
+
+  /** JSON string escape incl. ALL control chars: exception messages
+    * routinely contain newlines — an unescaped one would split the
+    * "single-line JSON" exactly when machine-readable errors matter. */
+  def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** `q26b_dedup_clusters` → `q26b`. Falls back to the full name if the
+    * prefixes ever collide, so the compact line stays unambiguous. */
+  def shortKeys(names: Seq[String]): Map[String, String] = {
+    val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val collisions = pref.values.groupBy(identity).collect {
+      case (p, vs) if vs.size > 1 => p
+    }.toSet
+    pref.map { case (n, p) => n -> (if (collisions(p)) n else p) }
+  }
+
+  private def fmt(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Renders (compactStdoutLine, verboseLine). Pure — unit-tested by
+    * BenchJsonSpec against a replica of the driver's tail-buffer parse. */
+  def render(timed: Seq[(String, Double, Option[String])], sfDir: String): (String, String) = {
+    val short = shortKeys(timed.map(_._1))
+    val total = timed.collect { case (_, v, _) if v >= 0 => v }.sum
+    def line(key: String => String, precise: Boolean): String = {
+      val qs = timed.map { case (k, v, _) =>
+        s"${jq(key(k))}:${if (precise) v.toString else fmt(v)}"
+      }.mkString("{", ",", "}")
+      val errs = timed.collect { case (k, _, Some(e)) => s"${jq(key(k))}:${jq(e)}" }
+        .mkString("{", ",", "}")
+      val tot = if (precise) total.toString else fmt(total)
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
+    }
+    val compact = line(short, precise = false)
+    val verbose = line(identity, precise = true)
+    // Defensive floor: if the registry ever grows the compact line past the
+    // driver's window, drop the per-query map rather than emit an unparseable
+    // line (total + errors still land; the verbose channel keeps the detail).
+    val safe =
+      if (compact.length <= 1900) compact
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"errors":{},"sf":${jq(sfDir)}}"""
+    (safe, verbose)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,27 +108,10 @@ object Bench {
       val sec = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
       (name, sec, err)
     }
-    // JSON string escape incl. ALL control chars: exception messages
-    // routinely contain newlines — an unescaped one would split the
-    // "single-line JSON" exactly when machine-readable errors matter.
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val qs = timed.map { case (k, v, _) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-    val errs = timed.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
-      .mkString("{", ",", "}")
-    val total = timed.collect { case (_, v, _) if v >= 0 => v }.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
-    println(json)
-    System.err.println(json)
-    sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
+    val (compact, verbose) = render(timed, sfDir)
+    println(compact)
+    System.err.println(verbose)
+    sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), verbose + "\n"))
     spark.stop()
   }
 }

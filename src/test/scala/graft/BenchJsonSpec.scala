@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.queries.Registry
+
+/** The driver keeps only the last ~2000 chars of bench stdout and parses a
+  * complete JSON line out of that window (BENCH_r04 `parsed:null` post-mortem:
+  * 61 full-name query entries pushed the line past the buffer and its head
+  * was truncated away). This spec replicates that parse against the REAL
+  * registry, so adding queries can never silently regrow the line past the
+  * buffer again. */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  /** The driver-side parse replica: keep the last `window` chars of stdout,
+    * return the last line in it that is a complete JSON object. */
+  private def driverParse(stdout: String, window: Int = 2000): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val tail = stdout.takeRight(window)
+    tail.split("\n").reverseIterator
+      .find(l => l.startsWith("{") && l.trim.endsWith("}"))
+      .flatMap(l => scala.util.Try(mapper.readTree(l.trim)).toOption)
+  }
+
+  private def fakeTimings(names: Seq[String]): Seq[(String, Double, Option[String])] =
+    names.zipWithIndex.map { case (n, i) =>
+      // worst-case widths: long fraction + one failed query with a control
+      // char in its message (must be escaped, not split the line)
+      if (i == 1) (n, -1.0, Some("SparkException: boom\nline2\t\"quoted\""))
+      else (n, 12.3456789 + i, None)
+    }
+
+  test("compact line for the full registry survives the driver tail buffer") {
+    val names = Registry.all.map(_.name).sorted
+    val (compact, verbose) = Bench.render(fakeTimings(names), "/root/testdata/sf0.1")
+
+    assert(compact.length <= 1900, s"compact bench line ${compact.length} chars — driver buffer is 2000")
+    assert(!compact.contains("\n"))
+
+    // simulate stdout: warm-up noise from Spark, then the compact line
+    val stdout = ("x" * 5000) + "\nsome WARN log line\n" + compact + "\n"
+    val parsed = driverParse(stdout)
+    assert(parsed.isDefined, "driver replica failed to find a complete JSON line in the tail")
+    val node = parsed.get
+    assert(node.get("metric").asText == "total")
+    assert(node.get("value").asDouble > 0)
+    assert(node.get("queries").size == names.size)
+    assert(node.get("errors").size == 1)
+    assert(node.get("sf").asText == "/root/testdata/sf0.1")
+
+    // verbose channel (stderr / $BENCH_OUT) keeps full names and full precision
+    val v = mapper.readTree(verbose)
+    assert(v.get("queries").size == names.size)
+    names.foreach(n => assert(v.get("queries").has(n), s"verbose line missing $n"))
+  }
+
+  test("short keys are the qNN prefix, falling back to full names on collision") {
+    val ok = Bench.shortKeys(Seq("q26b_dedup_clusters", "q26_dedup_ngram_exact", "q01_daily"))
+    assert(ok("q26b_dedup_clusters") == "q26b")
+    assert(ok("q26_dedup_ngram_exact") == "q26")
+    assert(ok("q01_daily") == "q01")
+    val clash = Bench.shortKeys(Seq("q1_a", "q1_b", "q2_c"))
+    assert(clash("q1_a") == "q1_a" && clash("q1_b") == "q1_b" && clash("q2_c") == "q2")
+    // the real registry must have collision-free prefixes (compact width depends on it)
+    val real = Bench.shortKeys(Registry.all.map(_.name))
+    assert(real.values.toSeq.distinct.size == real.size)
+    assert(real.values.forall(_.length <= 5), "a registry name fell back to its full form")
+  }
+
+  test("error timings and pathological sf paths stay valid JSON") {
+    val (compact, _) = Bench.render(
+      Seq(("q1_x", 1.0, None), ("q2_y", -1.0, Some("msg with \"quote\" and \\slash"))),
+      """/tmp/weird"dir\name""")
+    val node = mapper.readTree(compact)
+    assert(node.get("queries").get("q2").asDouble == -1.0)
+    assert(node.get("sf").asText == """/tmp/weird"dir\name""")
+  }
+}
