@@ -4,8 +4,9 @@ package graft.queries
   * driver contract (SparkEntry.queries / oracleSql). */
 object Registry {
   lazy val all: Seq[Q] =
-    RefParity.all ++ EtlOps.all ++ LlmOps.all ++ EmbedOps.all ++
-      WindowOps.all ++ JoinOps.all ++ IoOps.all ++ MultimodalOps.all
+    RefParity.all ++ EtlOps.all ++ LlmOps.all ++ CorpusOps.all ++
+      EmbedOps.all ++ WindowOps.all ++ JoinOps.all ++ IoOps.all ++
+      MultimodalOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
