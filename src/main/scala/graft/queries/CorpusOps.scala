@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import H._
@@ -68,6 +69,12 @@ object CorpusOps {
   private val SPAN_W = 60
   private val SPAN_STRIDE = 30
 
+  /** Count-min sketch geometry (q64): depth 4, width 8192, probing the
+    * exact top-K so the gate compares sketch vs truth. */
+  private val CMS_D = 4
+  private val CMS_W = 8192
+  private val CMS_K = 20
+
   val all: Seq[Q] = Seq(
 
     // -------------------------------------------- benchmark decontamination
@@ -131,6 +138,128 @@ object CorpusOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"), cnt(col("nd") >= 2).as("n_dup_spans"))
         .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------ data-mixture sampling
+    Q("q62_mixture_quota",
+      "Data-mixing quota sampler: target mixture weights per language " +
+        "(en 30%, others 17.5%), first pass aggregates actual counts and " +
+        "derives the max achievable sample size (bottleneck stratum), " +
+        "exact per-language quotas filled by hash-rank — deterministic, " +
+        "reproducible across runs and cluster sizes. The count pass and " +
+        "quota table are tiny (|languages| rows, broadcast); the rank is " +
+        "one shuffle on the stratum key. At 100 TB exact-rank gives way " +
+        "to the q50 threshold-hash shape (no per-stratum sort), with the " +
+        "quota table still computed exactly this way.",
+      Some("""
+        WITH c AS (SELECT lang, COUNT(*) AS n,
+                          CASE WHEN lang = 'en' THEN 300 ELSE 175 END AS tgt
+                   FROM documents GROUP BY 1),
+        s AS (SELECT MIN(n * 1000 // tgt) AS cap FROM c),
+        q AS (SELECT lang, (tgt * cap) // 1000 AS quota FROM c, s),
+        r AS (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY ('0x'||substr(md5('mix_'||doc_id),1,7))::BIGINT, doc_id) AS rk
+              FROM documents)
+        SELECT r.doc_id, r.lang, rk <= quota AS picked
+        FROM r JOIN q USING (lang) ORDER BY doc_id""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("tgt", when(col("lang") === "en", 300L).otherwise(175L))
+      val cap = c.agg(min(floor(col("n") * 1000 / col("tgt"))).as("cap"))
+      val quota = c.crossJoin(broadcast(cap))
+        .select(col("lang"), floor(col("tgt") * col("cap") / 1000).as("quota"))
+      val w = Window.partitionBy("lang")
+        .orderBy(hash28(concat(lit("mix_"), col("doc_id"))), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
+        .join(broadcast(quota), "lang")
+        .select(col("doc_id"), col("lang"), (col("rk") <= col("quota")).as("picked"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------ TF-IDF salience
+    Q("q63_tfidf_terms",
+      "Salient-term extraction: top-3 terms per doc by TF-IDF with the " +
+        "IDF as an integer-scaled ratio (tf * (N*1e6 // df)) — monotone in " +
+        "the real log-IDF ranking for fixed tf, and bit-exact across " +
+        "engines (no transcendental drift). Shapes: one hash-agg for tf, " +
+        "one for df (broadcast-able: vocab is bounded), a window top-k " +
+        "per doc. The df join is the only corpus-sized shuffle.",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        sc AS (SELECT doc_id, term, tf, df, tf * ((n * 1000000) // df) AS score
+               FROM tf JOIN df USING (term), n),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rk FROM sc)
+        SELECT doc_id, term, tf, df, score
+        FROM r WHERE rk <= 3 ORDER BY doc_id, score DESC, term""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf") * floor(col("n") * 1000000L / col("df"))).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // ------------------------------------------------ count-min heavy hitters
+    Q("q64_cms_heavy_hitters",
+      "Heavy-hitter detection via a relational count-min sketch: 4 md5 " +
+        "hash rows x 8192 buckets, built in one hash-agg over token " +
+        "occurrences (the 32k-row bucket table IS the sketch — fixed size " +
+        "regardless of corpus scale, mergeable, broadcast-able), then " +
+        "candidate tokens probe it with est = min over rows of their " +
+        "bucket count. Every estimate is deterministic integer " +
+        "arithmetic, so unlike opaque sketch blobs it hash-matches the " +
+        "oracle exactly; est >= exact holds structurally (CMS never " +
+        "undercounts). Candidates here are the exact top-20 so the gate " +
+        "can compare both paths.",
+      Some(s"""
+        WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents),
+        ex AS (SELECT term, COUNT(*) AS n_exact FROM tok GROUP BY 1),
+        top AS (SELECT * FROM ex ORDER BY n_exact DESC, term LIMIT $CMS_K),
+        d AS (SELECT unnest(range($CMS_D)) AS d),
+        bux AS (SELECT d, ('0x'||substr(md5(d || '_' || term),1,7))::BIGINT % $CMS_W AS b,
+                       COUNT(*) AS c
+                FROM tok, d GROUP BY 1, 2),
+        est AS (SELECT top.term, top.n_exact, MIN(c) AS n_est
+                FROM top CROSS JOIN d
+                JOIN bux ON bux.d = d.d
+                        AND bux.b = ('0x'||substr(md5(d.d || '_' || top.term),1,7))::BIGINT % $CMS_W
+                GROUP BY 1, 2)
+        SELECT term, n_exact, n_est, n_est >= n_exact AS overcount_ok
+        FROM est ORDER BY n_exact DESC, term""")) { (s, dir) =>
+      def cmsKeys(term: Column): Column = array((0 until CMS_D).map { d =>
+        struct(lit(d).as("d"), (hash28(concat(lit(s"${d}_"), term)) % CMS_W).as("b"))
+      }: _*)
+      val tok = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(toks(col("text"))).as("term"))
+      val top = tok.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(CMS_K)
+      val sketch = tok
+        .select(explode(cmsKeys(col("term"))).as("db"))
+        .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      top.select(col("term"), col("n_exact"), explode(cmsKeys(col("term"))).as("p"))
+        .select(col("term"), col("n_exact"), col("p.d").as("d"), col("p.b").as("b"))
+        .join(broadcast(sketch), Seq("d", "b"))
+        .groupBy("term", "n_exact").agg(min(col("c")).as("n_est"))
+        .select(col("term"), col("n_exact"), col("n_est"),
+          (col("n_est") >= col("n_exact")).as("overcount_ok"))
+        .orderBy(col("n_exact").desc, col("term"))
     }
   )
 }
