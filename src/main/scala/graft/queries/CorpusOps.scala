@@ -75,6 +75,11 @@ object CorpusOps {
   private val CMS_W = 8192
   private val CMS_K = 20
 
+  /** Chunking geometry (q66): 50-token windows, stride 40 (10-token
+    * overlap), final partial window kept. */
+  private val CHUNK_W = 50
+  private val CHUNK_STRIDE = 40
+
   val all: Seq[Q] = Seq(
 
     // -------------------------------------------- benchmark decontamination
@@ -260,6 +265,34 @@ object CorpusOps {
         .select(col("term"), col("n_exact"), col("n_est"),
           (col("n_est") >= col("n_exact")).as("overcount_ok"))
         .orderBy(col("n_exact").desc, col("term"))
+    },
+
+    // -------------------------------------------------------- doc chunking
+    Q("q66_chunking",
+      "Training-chunk extraction: overlapping token windows (width 50, " +
+        "stride 40) per document — the context-window chunking every " +
+        "RAG/pretraining pipeline runs before tokenization. Pure " +
+        "per-row array expressions inside codegen (bound token array, " +
+        "slice + hash per window), no shuffle until the output sort; at " +
+        "scale it is a map-only stage.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        c AS (SELECT doc_id, unnest(range((len(w)-1) // $CHUNK_STRIDE + 1)) AS k, w FROM t)
+        SELECT doc_id, k::BIGINT AS chunk_idx,
+               len(list_slice(w, (k*$CHUNK_STRIDE + 1)::INT, (k*$CHUNK_STRIDE + $CHUNK_W)::INT))::BIGINT AS n_tokens,
+               md5(array_to_string(list_slice(w, (k*$CHUNK_STRIDE + 1)::INT, (k*$CHUNK_STRIDE + $CHUNK_W)::INT), ' ')) AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), floor((size(col("w")) - 1) / CHUNK_STRIDE).cast("int")),
+          k => struct(k.cast("long").as("chunk_idx"),
+            slice(col("w"), k * CHUNK_STRIDE + 1, lit(CHUNK_W)).as("chunk")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"),
+          size(col("c.chunk")).cast("long").as("n_tokens"),
+          md5(array_join(col("c.chunk"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

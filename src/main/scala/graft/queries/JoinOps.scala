@@ -94,6 +94,32 @@ object JoinOps {
         .groupBy(col("event_id"), col("user_id"), col("tss").as("p_tss"))
         .agg(count(col("c_user")).as("n_clicks_1h"))
         .orderBy("event_id")
+    },
+
+    // -------------------------------------------------------- salted join
+    Q("q65_salted_join",
+      "Skew-resistant fact-to-dim enrichment via operators/SaltedJoin: " +
+        "every event picks up its user's aggregate profile through an " +
+        "equi-join where the fact side is salted into 16 sub-keys and the " +
+        "dim side replicated per sub-key — no reducer owns a hot user's " +
+        "full row set. The oracle is the PLAIN join (salting must be " +
+        "semantically invisible); SaltedJoinSpec proves the spread. AQE " +
+        "skew-split is the zero-code default; explicit salting covers the " +
+        "layouts AQE can't re-plan (stateful consumers, bucketed writes).",
+      Some(s"""
+        WITH d AS (SELECT user_id, COUNT(*) AS user_events,
+                          ${H.oMoneySum("value")} AS user_value
+                   FROM events GROUP BY 1)
+        SELECT e.event_id, e.user_id, e.event_type, d.user_events, d.user_value
+        FROM events e JOIN d USING (user_id) ORDER BY event_id""")) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val dim = events.groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"), H.moneySum(col("value")).as("user_value"))
+      graft.operators.SaltedJoin.join(
+          events.select("event_id", "user_id", "event_type"), dim,
+          Seq("user_id"), salts = 16)
+        .select("event_id", "user_id", "event_type", "user_events", "user_value")
+        .orderBy("event_id")
     }
   )
 }
