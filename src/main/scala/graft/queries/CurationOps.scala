@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import H._
+
+/** Corpus-curation operators round 2: repeated-paragraph removal, markup
+  * stripping, and the Gopher quality-rule bundle — the remaining staples of
+  * a web-scale LLM training-data pipeline (CCNet / RefinedWeb / Gopher).
+  *
+  * Same 100 TB design rules as [[LlmOps]] / [[CorpusOps]]: one shuffle on a
+  * content hash where cross-doc state is needed, pure codegen'd projections
+  * everywhere else, integer-exact arithmetic the DuckDB oracle reproduces
+  * bit-for-bit, no UDFs, no collects.
+  */
+object CurationOps {
+
+  /** Whitespace tokens of the text column. */
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** Paragraph stand-in geometry (the corpus has no newlines): contiguous
+    * non-overlapping 20-token blocks, final partial block kept. At 100 TB
+    * the block boundary is the real '\n\n' split; the pipeline shape —
+    * explode units, one shuffle on the unit hash, reassemble in order —
+    * is identical. */
+  private val PAR_W = 20
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------- repeated-paragraph removal
+    Q("q67_paragraph_dedup",
+      "Corpus-level repeated-paragraph removal (the CCNet/RefinedWeb " +
+        "pre-dedup pass): explode docs into paragraph blocks, one shuffle " +
+        "on md5(block) to find each block's first-occurrence doc, drop " +
+        "every later occurrence (cross-doc AND within-doc), reassemble " +
+        "surviving blocks in document order. Output proves byte-exact " +
+        "reassembly via sha256 of the cleaned text. Docs whose every " +
+        "block is seen earlier come out empty — that is the dedup " +
+        "actually removing documents.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        b AS (SELECT doc_id, unnest(range((len(w)-1) // $PAR_W + 1)) AS k, w FROM t),
+        blk AS (SELECT doc_id, k,
+                       array_to_string(list_slice(w, (k*$PAR_W + 1)::INT, (k*$PAR_W + $PAR_W)::INT), ' ') AS btext
+                FROM b),
+        h AS (SELECT doc_id, k, btext, md5(btext) AS bh FROM blk),
+        firsts AS (SELECT bh, MIN(doc_id) AS first_doc FROM h GROUP BY 1),
+        firstk AS (SELECT bh, doc_id, MIN(k) AS first_k FROM h GROUP BY 1, 2),
+        kept AS (SELECT h.doc_id, h.k, h.btext
+                 FROM h JOIN firsts USING (bh) JOIN firstk ON firstk.bh = h.bh AND firstk.doc_id = h.doc_id
+                 WHERE h.doc_id = firsts.first_doc AND h.k = firstk.first_k),
+        tot AS (SELECT doc_id, COUNT(*) AS n_blocks FROM h GROUP BY 1),
+        ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+                      string_agg(btext, ' ' ORDER BY k) AS clean
+               FROM kept GROUP BY 1)
+        SELECT tot.doc_id, tot.n_blocks,
+               COALESCE(ka.n_kept, 0) AS n_kept,
+               (tot.n_blocks - COALESCE(ka.n_kept, 0)) AS n_removed,
+               sha256(COALESCE(ka.clean, '')) AS clean_hash
+        FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")) { (s, dir) =>
+      val blocks = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), floor((size(col("w")) - 1) / PAR_W).cast("int")),
+          k => struct(k.cast("long").as("k"),
+            array_join(slice(col("w"), k * PAR_W + 1, lit(PAR_W)), " ").as("btext")))).as("b"))
+        .select(col("doc_id"), col("b.k"), col("b.btext"), md5(col("b.btext")).as("bh"))
+        // shared exchange: the first-occurrence agg and the join reuse it —
+        // at 100 TB this one hash shuffle on the block hash IS the operator
+        .repartition(col("bh"))
+      // a block instance survives iff its doc is the hash's first doc AND
+      // its position is that doc's first occurrence of the hash
+      val firsts = blocks.groupBy("bh").agg(min(col("doc_id")).as("first_doc"))
+      val firstK = blocks.groupBy("bh", "doc_id").agg(min(col("k")).as("first_k"))
+      val kept = blocks
+        .join(firsts, "bh").join(firstK, Seq("bh", "doc_id"))
+        .filter(col("doc_id") === col("first_doc") && col("k") === col("first_k"))
+      val tot = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      val ka = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("k"), col("btext")))),
+            e => e.getField("btext")), " ").as("clean"))
+      tot.join(ka, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          sha2(coalesce(col("clean"), lit("")), 256).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ----------------------------------------------------- markup stripping
+    Q("q68_markup_strip",
+      "HTML/boilerplate stripping: drop <script>/<style> blocks wholesale, " +
+        "strip remaining tags and comments, decode the common entities, " +
+        "collapse whitespace — the extraction step between a WARC crawl " +
+        "and every text operator upstream. A pure codegen'd " +
+        "regexp-replace chain (patterns in the RE2∩Java dialect so both " +
+        "engines execute the same automaton), no shuffle: at 100 TB this " +
+        "is a map-only stage pinned to the scan. The corpus is plain " +
+        "text, so a deterministic per-doc HTML wrapper is synthesized " +
+        "first; the operator under test is the strip chain, proven " +
+        "byte-exact via sha256 against the original text.",
+      Some("""
+        WITH raw AS (SELECT doc_id, text,
+               '<html><head><title>Doc ' || doc_id ||
+               '</title><style>p{margin:0}</style></head><body><h1>&quot;T&amp;C&quot;</h1><p>' ||
+               text || '</p><script>var id=' || doc_id ||
+               ';</script><!-- crawled --></body></html>' AS html
+             FROM documents),
+        s1 AS (SELECT doc_id, text, length(html) AS html_len,
+                      regexp_replace(regexp_replace(html,
+                        '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                        '<style[^>]*>[^<]*</style>', ' ', 'g') AS x
+               FROM raw),
+        s2 AS (SELECT doc_id, text, html_len,
+                      regexp_replace(regexp_replace(x, '<!--[^>]*-->', ' ', 'g'),
+                                     '<[^>]+>', ' ', 'g') AS x
+               FROM s1),
+        s3 AS (SELECT doc_id, text, html_len,
+                      replace(replace(replace(replace(x,
+                        '&quot;', '"'), '&amp;', '&'), '&lt;', '<'), '&gt;', '>') AS x
+               FROM s2),
+        c AS (SELECT doc_id, text, html_len,
+                     trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean
+              FROM s3)
+        SELECT doc_id, html_len::BIGINT AS html_len, length(clean)::BIGINT AS clean_len,
+               sha256(clean) AS clean_hash,
+               (clean = 'Doc ' || doc_id || ' "T&C" ' || text) AS roundtrip_ok
+        FROM c ORDER BY doc_id""")) { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p{margin:0}</style></head><body><h1>&quot;T&amp;C&quot;</h1><p>"),
+        col("text"), lit("</p><script>var id="), col("doc_id"),
+        lit(";</script><!-- crawled --></body></html>"))
+      // tag contents carry no '<', so [^<]* matches them without the
+      // (dialect-divergent) non-greedy dot; each stage binds through a
+      // projection to keep the chain readable in the plan
+      val s1 = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), html.as("html"))
+        .select(col("doc_id"), col("text"), length(col("html")).as("html_len"),
+          regexp_replace(regexp_replace(col("html"),
+            "<script[^>]*>[^<]*</script>", " "),
+            "<style[^>]*>[^<]*</style>", " ").as("x"))
+      val s2 = s1.select(col("doc_id"), col("text"), col("html_len"),
+        regexp_replace(regexp_replace(col("x"), "<!--[^>]*-->", " "),
+          "<[^>]+>", " ").as("x"))
+      val s3 = s2.select(col("doc_id"), col("text"), col("html_len"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("x"),
+          "&quot;", "\""), "&amp;", "&"), "&lt;", "<"), "&gt;", ">").as("x"))
+      s3.select(col("doc_id"), col("text"), col("html_len"),
+          trim(regexp_replace(col("x"), "\\s+", " ")).as("clean"))
+        .select(col("doc_id"), col("html_len").cast("long").as("html_len"),
+          length(col("clean")).cast("long").as("clean_len"),
+          sha2(col("clean"), 256).as("clean_hash"),
+          // the <title> text survives tag-stripping (it is content, not
+          // markup); script/style BODIES are removed with their blocks
+          (col("clean") === concat(lit("Doc "), col("doc_id"),
+            lit(" \"T&C\" "), col("text"))).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------- Gopher quality rules
+    Q("q69_gopher_rules",
+      "The Gopher quality-filter bundle: word-count bounds, mean-word-" +
+        "length bounds, alphabetic-word fraction, and stopword presence, " +
+        "each an independent boolean plus the conjunctive keep decision. " +
+        "Every threshold compares SCALED INTEGERS (5*n_alpha >= 4*n, not " +
+        "n_alpha/n >= 0.8) so no float boundary case can disagree across " +
+        "engines; the reported ratios are display-only. Pure per-row " +
+        "projection over one bound token array — map-only at any scale.",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w,
+                          length(text) AS nc
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     len(w)::BIGINT AS n_words,
+                     (nc - len(w) + 1)::BIGINT AS n_wchars,
+                     len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+                     len(list_intersect(w, ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop
+              FROM t)
+        SELECT doc_id, n_words,
+               ROUND(n_wchars::DOUBLE / n_words, 4) AS mean_word_len,
+               ROUND(n_alpha::DOUBLE / n_words, 4) AS alpha_frac,
+               n_stop,
+               (n_words BETWEEN 50 AND 100000) AS ok_count,
+               (3 * n_words <= n_wchars AND n_wchars <= 10 * n_words) AS ok_word_len,
+               (5 * n_alpha >= 4 * n_words) AS ok_alpha,
+               (n_stop >= 2) AS ok_stop,
+               ((n_words BETWEEN 50 AND 100000)
+                 AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+                 AND 5 * n_alpha >= 4 * n_words
+                 AND n_stop >= 2) AS keep
+        FROM m ORDER BY doc_id""")) { (s, dir) =>
+      val stop = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*)
+      val m = Tables.documents(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("w"),
+          length(col("text")).as("nc"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          // single-space text: word chars = len(text) - (n-1) separators
+          (col("nc") - size(col("w")) + 1).cast("long").as("n_wchars"),
+          size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+          size(array_intersect(col("w"), stop)).cast("long").as("n_stop"))
+      val okCount = col("n_words").between(50, 100000)
+      val okWordLen = (lit(3) * col("n_words") <= col("n_wchars")) &&
+        (col("n_wchars") <= lit(10) * col("n_words"))
+      val okAlpha = lit(5) * col("n_alpha") >= lit(4) * col("n_words")
+      val okStop = col("n_stop") >= 2
+      m.select(col("doc_id"), col("n_words"),
+          round(col("n_wchars").cast("double") / col("n_words"), 4).as("mean_word_len"),
+          round(col("n_alpha").cast("double") / col("n_words"), 4).as("alpha_frac"),
+          col("n_stop"),
+          okCount.as("ok_count"), okWordLen.as("ok_word_len"),
+          okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+          (okCount && okWordLen && okAlpha && okStop).as("keep"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -5,8 +5,8 @@ package graft.queries
 object Registry {
   lazy val all: Seq[Q] =
     RefParity.all ++ EtlOps.all ++ LlmOps.all ++ CorpusOps.all ++
-      EmbedOps.all ++ WindowOps.all ++ JoinOps.all ++ IoOps.all ++
-      MultimodalOps.all
+      CurationOps.all ++ EmbedOps.all ++ WindowOps.all ++ JoinOps.all ++
+      IoOps.all ++ MultimodalOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
