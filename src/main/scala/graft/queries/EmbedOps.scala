@@ -247,6 +247,84 @@ object EmbedOps {
         .orderBy("id_a", "id_b")
     },
 
+    // ------------------------------------------------ distributed k-means
+    Q("q70_kmeans_embed",
+      "Distributed k-means (2 Lloyd iterations, k=8) over quantized " +
+        "embeddings — the coarse-quantizer training step that PRODUCES " +
+        "q33's IVF cells, and the clustering behind semantic dedup and " +
+        "data-mixture curation. The scale shape: centroids are k tiny " +
+        "rows broadcast to a map-only assignment (argmin over an in-row " +
+        "centroid array — no shuffle, no window), and each update is one " +
+        "hash-agg over (cluster, dim). Everything is integer-exact: " +
+        "squared-integer distances, ties argmin to the lowest cluster id, " +
+        "centroid elements floor(sum/count) — both engines reproduce the " +
+        "iteration bit-for-bit. At real scale each iteration's centroid " +
+        "table is checkpointed; the lazy re-derivation here is the same " +
+        "plan a 2-step pipeline materializes.",
+      Some {
+        def iter(n: Int, prevC: String): String = s"""
+        d$n AS (SELECT v.vec_id, v.q, $prevC.k,
+                      list_sum(list_transform(range($DIM),
+                        i -> (v.q[i+1] - $prevC.c[i+1]) * (v.q[i+1] - $prevC.c[i+1])))::BIGINT AS d
+               FROM v CROSS JOIN $prevC),
+        a$n AS (SELECT vec_id, q, k, d FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+                  FROM d$n) WHERE rn = 1),
+        s$n AS (SELECT k, i, SUM(q[i+1])::BIGINT AS sx, COUNT(*)::BIGINT AS cnt
+               FROM a$n, (SELECT unnest(range($DIM)) AS i) idx GROUP BY 1, 2),
+        c$n AS (SELECT k, array_agg(floor(sx::DOUBLE / cnt)::BIGINT ORDER BY i) AS c
+               FROM s$n GROUP BY 1)"""
+        s"""
+        WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        c0 AS (SELECT vec_id::INT AS k, q AS c FROM v WHERE vec_id < 8),
+        ${iter(1, "c0")},
+        ${iter(2, "c1")},
+        d3 AS (SELECT v.vec_id, c2.k,
+                      list_sum(list_transform(range($DIM),
+                        i -> (v.q[i+1] - c2.c[i+1]) * (v.q[i+1] - c2.c[i+1])))::BIGINT AS d
+               FROM v CROSS JOIN c2),
+        a3 AS (SELECT vec_id, k, d FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+                 FROM d3) WHERE rn = 1)
+        SELECT k AS cluster, COUNT(*)::BIGINT AS n_vecs,
+               SUM(d)::BIGINT AS total_sqdist, MIN(vec_id) AS min_vec
+        FROM a3 GROUP BY 1 ORDER BY 1"""
+      }) { (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      def dist(q: Column, c: Column): Column =
+        aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      // map-only assignment: ALL centroids ride along as one broadcast
+      // array row; per-vec argmin is array_min over (d, k) structs —
+      // deterministic ties to the lowest k, zero shuffle
+      def assign(cent: org.apache.spark.sql.DataFrame) = {
+        val centArr = cent.agg(collect_list(struct(col("k"), col("c"))).as("cs"))
+        v.crossJoin(broadcast(centArr))
+          .withColumn("best", array_min(transform(col("cs"), e =>
+            struct(dist(col("q"), e.getField("c")).as("d"),
+              e.getField("k").as("k")))))
+          .select(col("vec_id"), col("q"),
+            col("best").getField("k").as("k"), col("best").getField("d").as("d"))
+      }
+      // centroid update: one hash-agg on (cluster, dim), floor(sum/count)
+      def update(assigned: org.apache.spark.sql.DataFrame) =
+        assigned.select(col("k"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("k"), col("i"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+          .withColumn("ci", floor(col("sx").cast("double") / col("cnt")).cast("long"))
+          .groupBy(col("k"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
+            e => e.getField("ci")).as("c"))
+      val c0 = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("k"), col("q").as("c"))
+      val a3 = assign(update(assign(update(assign(c0)))))
+      a3.groupBy(col("k").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("total_sqdist"),
+          min(col("vec_id")).as("min_vec"))
+        .orderBy("cluster")
+    },
+
     // ------------------------------------------- cell-blocked pair stats
     Q("q34_embed_celldup_stats",
       "Embedding near-dup audit, cell-blocked: within each label cell, " +

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.queries.Registry
+
+/** Semantic unit tests for the curation operators (q67-q70) on handcrafted
+  * corpora — the oracle gate proves cross-engine parity; these prove the
+  * *intended* behavior on cases the synthetic corpus may not contain
+  * (within-doc duplicate paragraphs, fully-deduplicated docs, rule
+  * boundary values, degenerate k-means clusters). */
+class CurationOpsSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Writes a documents.parquet lake from (doc_id, text) pairs. */
+  private def docLake(docs: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("curation").toString
+    val rows = docs.map { case (id, t) => Row(id, t, "en", "src0", t.length.toLong) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // 20 tokens = exactly one paragraph block in q67's geometry
+  private def block(word: String): String = Seq.fill(20)(word).mkString(" ")
+
+  test("q67: cross-doc AND within-doc repeated paragraphs are removed, first occurrence wins") {
+    val dir = docLake(Seq(
+      0L -> s"${block("alpha")} ${block("beta")}", // both blocks first seen here
+      1L -> s"${block("alpha")} ${block("gamma")}", // alpha repeated -> dropped
+      2L -> s"${block("alpha")} ${block("beta")}", // nothing left -> empty doc
+      3L -> s"${block("delta")} ${block("delta")}")) // within-doc dup
+    val out = Registry.byName("q67_paragraph_dedup").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 2L, 0L)))
+    assert(out(1L) == ((2L, 1L, 1L)))
+    assert(out(2L) == ((2L, 0L, 2L))) // fully deduplicated away
+    assert(out(3L) == ((2L, 1L, 1L))) // second in-doc copy dropped
+    // a fully-removed doc reassembles to the empty string, byte-exactly
+    val emptyHash = Registry.byName("q67_paragraph_dedup").fn(spark, dir)
+      .filter("doc_id = 2").collect()(0).getString(4)
+    assert(emptyHash ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+  }
+
+  test("q68: strip chain reconstructs the original text byte-exactly for every doc") {
+    val dir = docLake(Seq(0L -> "plain words here", 1L -> "more body text"))
+    val rows = Registry.byName("q68_markup_strip").fn(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Boolean]("roundtrip_ok")),
+      "markup stripping must recover title + body text exactly")
+    rows.foreach(r =>
+      assert(r.getAs[Long]("clean_len") < r.getAs[Long]("html_len")))
+  }
+
+  test("q69: rule boundaries are inclusive and integer-exact") {
+    val pass = (Seq.fill(48)("the") ++ Seq("and", "big")).mkString(" ") // 50 words, stopwords
+    val short = "the and tiny" // fails ok_count only
+    val dir = docLake(Seq(0L -> pass, 1L -> short))
+    val out = Registry.byName("q69_gopher_rules").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"), "50 words is inside the inclusive bound")
+    assert(!out(1L).getAs[Boolean]("keep") && out(1L).getAs[Boolean]("ok_stop") &&
+      !out(1L).getAs[Boolean]("ok_count"))
+  }
+
+  test("q70: identical points collapse onto the lowest-id centroid with zero distance") {
+    val dir = Files.createTempDirectory("kmeans").toString
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val a = Array.fill(64)(1.0f); val b = Array.fill(64)(-1.0f)
+    // init centroids are vec_id 0..7: four at A, four at B; the rest tie
+    // onto the lowest cluster id of their point (0 for A, 4 for B)
+    val rows = (0L until 16L).map { i =>
+      Row(i, (if (i % 8 < 4) a else b).toSeq, 0)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), embSchema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Registry.byName("q70_kmeans_embed").fn(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum == 16, "every vector is assigned")
+    val byCluster = out.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byCluster.keySet == Set(0, 4), s"expected clusters 0 and 4, got $byCluster")
+    assert(byCluster.values.forall { case (n, d) => n == 8 && d == 0L })
+  }
+}

@@ -111,6 +111,23 @@ class PlanAuditSpec extends SparkSpec {
       s"binary content must be pruned from metadata scans: $readSchema")
   }
 
+  test("q68/q69 curation projections are map-only: no exchange before the output sort") {
+    for (name <- Seq("q68_markup_strip", "q69_gopher_rules")) {
+      val p = q(name)
+      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      // the only exchange allowed is the final orderBy's range partition
+      assert(exchanges <= 1, s"$name grew a shuffle:\n$p")
+    }
+  }
+
+  test("q70 k-means assignment broadcasts centroids — no cartesian, no per-vec window") {
+    val p = q("q70_kmeans_embed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid array must broadcast")
+    assert(!p.contains("CartesianProduct"), "assignment degenerated to a cartesian")
+    assert(!p.contains("Window"), "argmin must be the in-row array_min, not a window")
+  }
+
   test("events loader: partition pruning survives the NTZ conversion") {
     val p = planOf(Tables.events(session, dir).filter(col("event_type") === "click"))
     assert(p.linesIterator.exists(l =>
