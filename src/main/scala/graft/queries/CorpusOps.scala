@@ -112,6 +112,84 @@ object CorpusOps {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------- Bloom-filter decontamination
+    Q("q72_bloom_decontaminate",
+      "Decontamination when the eval suite is too large to broadcast " +
+        "exactly: fold its n-gram hashes into a 1 Mbit / 3-hash Bloom " +
+        "filter (16384 bigint words via bit_or, ~128 KB — fixed size for any " +
+        "suite size, mergeable, broadcast as ONE map row), then screen " +
+        "every training n-gram with a pure map-side membership test — " +
+        "zero shuffle over the corpus side beyond the per-doc distinct. " +
+        "Positions use the double-hashing scheme h1 + j*h2 on the " +
+        "existing 28-bit hash, so everything is integer arithmetic the " +
+        "oracle reproduces bit-for-bit (false-positive SET membership is " +
+        "deterministic, not random). The gate also carries the exact " +
+        "verdict per n-gram: no_false_negatives is structurally true — " +
+        "the Bloom screen may only over-flag, never miss.",
+      Some {
+        val oPos = "list_transform(range(3), j -> " +
+          "((h % 1048576) + j * (1 + h % 1048573)) % 1048576)"
+        s"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        g AS (SELECT DISTINCT doc_id, unnest($oNgramHashes) AS h
+              FROM t WHERE len(w) >= $NGRAM),
+        bh AS (SELECT DISTINCT h FROM g WHERE doc_id % $BENCH_MOD = $BENCH_REM),
+        bloom AS (SELECT p // 64 AS word,
+                         bit_or(1::UBIGINT << ((p % 64)::INT)) AS bits
+                  FROM (SELECT unnest($oPos) AS p FROM bh)
+                  GROUP BY 1),
+        cand AS (SELECT doc_id, h FROM g WHERE doc_id % $BENCH_MOD <> $BENCH_REM),
+        probe AS (SELECT doc_id, h,
+                         bool_and(((COALESCE(bits, 0::UBIGINT) >> ((p % 64)::INT)) & 1) = 1) AS bloom_pos
+                  FROM (SELECT doc_id, h, unnest($oPos) AS p FROM cand) c
+                  LEFT JOIN bloom ON bloom.word = c.p // 64
+                  GROUP BY 1, 2),
+        ex AS (SELECT cand.doc_id, cand.h, (bh.h IS NOT NULL) AS exact_hit
+               FROM cand LEFT JOIN bh ON cand.h = bh.h)
+        SELECT probe.doc_id,
+               COUNT(*) AS n_ngrams,
+               ${oCnt("bloom_pos")} AS n_bloom_pos,
+               ${oCnt("exact_hit")} AS n_exact_hit,
+               bool_and(NOT exact_hit OR bloom_pos) AS no_false_negatives
+        FROM probe JOIN ex ON probe.doc_id = ex.doc_id AND probe.h = ex.h
+        GROUP BY 1 HAVING ${oCnt("bloom_pos")} > 0 ORDER BY 1"""
+      }) { (s, dir) =>
+      val M = 1048576L // 2^20 bits; double-hash stride from a coprime modulus
+      def pos(h: org.apache.spark.sql.Column, j: Int) =
+        ((h % M) + lit(j.toLong) * (lit(1L) + h % 1048573L)) % M
+      val g = docNgrams(s, dir).dropDuplicates("doc_id", "h")
+      val isBench = col("doc_id") % BENCH_MOD === BENCH_REM
+      val bh = g.filter(isBench).select("h").distinct()
+      val bloom = bh
+        .select(explode(array((0 until 3).map(j => pos(col("h"), j)): _*)).as("p"))
+        .select(floor(col("p") / 64).cast("long").as("word"),
+          (col("p") % 64).cast("int").as("bit"))
+        .groupBy("word")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+      // the whole filter rides along as ONE word→bits map row
+      val bloomRow = bloom
+        .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("bm"))
+      val withPos = g.filter(!isBench)
+        .crossJoin(broadcast(bloomRow))
+        .select(Seq(col("doc_id"), col("h"), col("bm")) ++
+          (0 until 3).map(j => pos(col("h"), j).as(s"p$j")): _*)
+      val bloomPos = (0 until 3).map { j =>
+        expr(s"(shiftright(coalesce(element_at(bm, CAST(p$j DIV 64 AS BIGINT)), " +
+          s"CAST(0 AS BIGINT)), CAST(p$j % 64 AS INT)) & 1) = 1")
+      }.reduce(_ && _)
+      withPos
+        .withColumn("bloom_pos", bloomPos)
+        .join(broadcast(bh.withColumn("ex", lit(true))), Seq("h"), "left")
+        .withColumn("exact_hit", coalesce(col("ex"), lit(false)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          cnt(col("bloom_pos")).as("n_bloom_pos"),
+          cnt(col("exact_hit")).as("n_exact_hit"),
+          bool_and(!col("exact_hit") || col("bloom_pos")).as("no_false_negatives"))
+        .filter(col("n_bloom_pos") > 0)
+        .orderBy("doc_id")
+    },
+
     // --------------------------------------------- duplicated substrings
     Q("q61_substring_dup",
       "Duplicated-span detection (distributed stand-in for suffix-array " +

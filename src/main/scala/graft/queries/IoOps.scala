@@ -69,6 +69,47 @@ object IoOps {
         .limit(50)
     },
 
+    // ------------------------------------------- semi-structured parsing
+    Q("q71_json_extract",
+      "Semi-structured ingestion: parse the events.props JSON column " +
+        "with an explicit schema, tolerate corrupt records (from_json → " +
+        "NULL, never a job failure — the PERMISSIVE contract every " +
+        "at-scale ingest needs), and aggregate typed fields. Corruption " +
+        "is synthesized deterministically (every 10th event loses its " +
+        "closing brace) since the lake's JSON is clean. Parsing is a " +
+        "pure codegen'd projection — map-only at any scale.",
+      Some("""
+        WITH r AS (SELECT event_type,
+                          CASE WHEN event_id % 10 = 0
+                               THEN substr(props, 1, length(props) - 1)
+                               ELSE props END AS p
+                   FROM events),
+        j AS (SELECT event_type,
+                     CASE WHEN json_valid(p)
+                          THEN json_extract_string(p, '$.k')::INT END AS k
+              FROM r)
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_corrupt,
+               SUM(CASE WHEN k IS NOT NULL THEN k::BIGINT ELSE 0 END)::BIGINT AS sum_k,
+               ROUND(SUM(CASE WHEN k IS NOT NULL THEN k::BIGINT ELSE 0 END)::DOUBLE
+                     / COUNT(k), 4) AS avg_k
+        FROM j GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val p = when(col("event_id") % 10 === 0,
+        expr("substring(props, 1, length(props) - 1)")).otherwise(col("props"))
+      Tables.events(s, dir)
+        .select(col("event_type"), p.as("p"))
+        .select(col("event_type"),
+          from_json(col("p"), lit("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          cnt(col("k").isNull).as("n_corrupt"),
+          sum(coalesce(col("k").cast("long"), lit(0L))).as("sum_k"),
+          round(sum(coalesce(col("k").cast("long"), lit(0L))).cast("double") /
+            count(col("k")), 4).as("avg_k"))
+        .orderBy("event_type")
+    },
+
     // ----------------------------------------------- age_band operator
     Q("q40_age_bands_fn",
       "F11/F12 via the exported functions (age_years/age_band) rather " +
