@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import H._
@@ -218,6 +219,42 @@ object CurationOps {
           okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
           (okCount && okWordLen && okAlpha && okStop).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------- equi-depth histogram
+    Q("q74_equidepth_histogram",
+      "Equi-depth histogram construction over document length — the " +
+        "ANALYZE-stats / range-partition-planning primitive (Spark's own " +
+        "RangePartitioner approximates exactly this by sampling; here " +
+        "the cuts are exact and deterministic). One hash-agg collapses " +
+        "the corpus to its distinct lengths with counts — bounded by the " +
+        "value domain, NOT the corpus size, so the cumulative-rank " +
+        "window runs over a provably tiny table. A value's bucket is " +
+        "floor(first_rank * 8 / N): every row of one value lands in one " +
+        "bucket, heavy values spill their bucket rather than split.",
+      Some("""
+        WITH c AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        n AS (SELECT SUM(cnt)::BIGINT AS total FROM c),
+        cum AS (SELECT v, cnt,
+                       SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt AS first_rank
+                FROM c)
+        SELECT ((first_rank * 8) // total)::BIGINT AS bucket,
+               SUM(cnt)::BIGINT AS n_rows,
+               COUNT(*) AS n_distinct,
+               MIN(v) AS lo, MAX(v) AS hi
+        FROM cum, n GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+      val n = c.agg(sum(col("cnt")).as("total"))
+      // single-partition window is SAFE here: its input is the distinct
+      // value table (bounded by the length domain), not the corpus
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      c.withColumn("first_rank", sum(col("cnt")).over(w) - col("cnt"))
+        .crossJoin(broadcast(n))
+        .groupBy(floor(col("first_rank") * 8 / col("total")).as("bucket"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy("bucket")
     }
   )
 }

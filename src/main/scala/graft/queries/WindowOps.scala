@@ -271,6 +271,56 @@ object WindowOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // ---------------------------------------------- stream-stream join
+    Q("q73_stream_join",
+      "Watermarked stream-stream interval join — the attribution shape: " +
+        "every click joins the same user's views from the preceding hour. " +
+        "Both sides carry watermarks and the join condition bounds event " +
+        "time on both, so each side's buffered state is only the " +
+        "watermark horizon (the unbounded-state trap of naive " +
+        "stream-stream joins). Inner-join matches emit as they arrive — " +
+        "no sentinel flushing — and the sink must equal the batch " +
+        "interval join of the same table, proving the unified model for " +
+        "joins like q48 proves it for aggregations. Timestamps are " +
+        "second-truncated for the cross-engine compare.",
+      Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          date_trunc('second', ts::TIMESTAMP) AS tss
+                   FROM events)
+        SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+               (epoch(c.tss) - epoch(v.tss))::BIGINT AS secs_before
+        FROM e c JOIN e v
+          ON c.user_id = v.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.tss <= c.tss AND v.tss >= c.tss - INTERVAL '1 hour'
+        ORDER BY 1, 2""")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).cast("timestamp").as("tss"))
+      streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
+        val stream = Streams.eventsStream(sc, srcDir, ev.schema)
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+            col("tss").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+            col("tss").as("view_ts"))
+          // views must stay joinable a full hour longer than clicks
+          .withWatermark("view_ts", "2 hours")
+        val joined = clicks.join(views,
+          col("cu") === col("vu") &&
+            col("view_ts") <= col("click_ts") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+          .select(col("click_id"), col("view_id"), col("cu").as("user_id"),
+            (unix_timestamp(col("click_ts")) -
+              unix_timestamp(col("view_ts"))).as("secs_before"))
+        val q = Streams.parquetSink(joined, outDir, ckptDir).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+        .orderBy("click_id", "view_id")
     }
   )
 }

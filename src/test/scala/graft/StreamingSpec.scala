@@ -170,4 +170,48 @@ class StreamingSpec extends SparkSpec {
         (2L, ts("2024-01-01 09:00:00"), 1L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: buffered matches emit, behind-watermark rows drop") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sparkS.sqlContext
+
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val joined = clicks.toDF().toDF("cu", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+      .join(views.toDF().toDF("vu", "view_ts").withWatermark("view_ts", "2 hours"),
+        col("cu") === col("vu") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("cu"), col("click_ts"), col("view_ts"))
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join_test").outputMode("append").start()
+    try {
+      // batch 1: click + in-window view arrive together → match emits
+      clicks.addData((1L, ts("2024-01-01 10:00:00")))
+      views.addData((1L, ts("2024-01-01 09:30:00")))
+      q.processAllAvailable()
+      // batch 2: a view arriving LATER but still ahead of the watermark
+      // must match the click buffered in join state
+      views.addData((1L, ts("2024-01-01 09:50:00")))
+      q.processAllAvailable()
+      // batch 3: far-future traffic on BOTH sides advances the global
+      // watermark (min across inputs) and evicts the old state
+      clicks.addData((9L, ts("2024-01-01 20:00:00")))
+      views.addData((9L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      // batch 4: a view behind the view-side watermark (18:00) is dropped
+      views.addData((1L, ts("2024-01-01 09:55:00")))
+      q.processAllAvailable()
+
+      val out = sparkS.table("ss_join_test")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(out === Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 09:30:00")),
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 09:50:00")),
+        (9L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:00:00"))))
+    } finally q.stop()
+  }
 }
