@@ -16,15 +16,6 @@ import H._
   */
 object CorpusOps {
 
-  /** 28-bit integer hash from the md5 hex prefix — the cross-engine
-    * primitive (same contract as LlmOps.hash28): Spark
-    * `conv(substr(md5(x),1,7),16,10)` == DuckDB `('0x'||substr(md5(x),1,7))::BIGINT`. */
-  private def hash28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
-
-  /** Whitespace tokens of the text column. */
-  private def toks(c: Column): Column = split(c, "\\s+")
-
   /** Decontamination n-gram order: 8 contiguous tokens, the scale used by
     * published train-set decontamination (GPT-3 used 13-grams, The Pile 8+;
     * anything ≥ 8 makes incidental collisions negligible). */
@@ -352,10 +343,14 @@ object CorpusOps {
         "RAG/pretraining pipeline runs before tokenization. Pure " +
         "per-row array expressions inside codegen (bound token array, " +
         "slice + hash per window), no shuffle until the output sort; at " +
-        "scale it is a map-only stage.",
+        "scale it is a map-only stage. The last window starts only if it " +
+        "adds tokens beyond the previous one (start while prev end < n), " +
+        "so no chunk is a pure re-emission of already-chunked text.",
       Some(s"""
         WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
-        c AS (SELECT doc_id, unnest(range((len(w)-1) // $CHUNK_STRIDE + 1)) AS k, w FROM t)
+        c AS (SELECT doc_id,
+                     unnest(range(greatest(0, (len(w) - ${CHUNK_W - CHUNK_STRIDE + 1}) // $CHUNK_STRIDE) + 1)) AS k,
+                     w FROM t)
         SELECT doc_id, k::BIGINT AS chunk_idx,
                len(list_slice(w, (k*$CHUNK_STRIDE + 1)::INT, (k*$CHUNK_STRIDE + $CHUNK_W)::INT))::BIGINT AS n_tokens,
                md5(array_to_string(list_slice(w, (k*$CHUNK_STRIDE + 1)::INT, (k*$CHUNK_STRIDE + $CHUNK_W)::INT), ' ')) AS chunk_hash
@@ -364,7 +359,10 @@ object CorpusOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), toks(col("text")).as("w"))
         .select(col("doc_id"), explode(transform(
-          sequence(lit(0), floor((size(col("w")) - 1) / CHUNK_STRIDE).cast("int")),
+          // last start k satisfies k*stride + 1 <= n - (prev covered it
+          // otherwise): K = max(0, floor((n - (W - stride + 1)) / stride))
+          sequence(lit(0), greatest(lit(0),
+            floor((size(col("w")) - (CHUNK_W - CHUNK_STRIDE + 1)) / CHUNK_STRIDE)).cast("int")),
           k => struct(k.cast("long").as("chunk_idx"),
             slice(col("w"), k * CHUNK_STRIDE + 1, lit(CHUNK_W)).as("chunk")))).as("c"))
         .select(col("doc_id"), col("c.chunk_idx"),

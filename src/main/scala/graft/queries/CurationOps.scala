@@ -17,9 +17,6 @@ import H._
   */
 object CurationOps {
 
-  /** Whitespace tokens of the text column. */
-  private def toks(c: Column): Column = split(c, "\\s+")
-
   /** Paragraph stand-in geometry (the corpus has no newlines): contiguous
     * non-overlapping 20-token blocks, final partial block kept. At 100 TB
     * the block boundary is the real '\n\n' split; the pipeline shape —
@@ -122,7 +119,7 @@ object CurationOps {
                FROM s1),
         s3 AS (SELECT doc_id, text, html_len,
                       replace(replace(replace(replace(x,
-                        '&quot;', '"'), '&amp;', '&'), '&lt;', '<'), '&gt;', '>') AS x
+                        '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS x
                FROM s2),
         c AS (SELECT doc_id, text, html_len,
                      trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean
@@ -148,9 +145,11 @@ object CurationOps {
       val s2 = s1.select(col("doc_id"), col("text"), col("html_len"),
         regexp_replace(regexp_replace(col("x"), "<!--[^>]*-->", " "),
           "<[^>]+>", " ").as("x"))
+      // &amp; decodes LAST: doing it earlier turns escaped literals like
+      // '&amp;lt;' into '&lt;' and then wrongly into '<'
       val s3 = s2.select(col("doc_id"), col("text"), col("html_len"),
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("x"),
-          "&quot;", "\""), "&amp;", "&"), "&lt;", "<"), "&gt;", ">").as("x"))
+          "&quot;", "\""), "&lt;", "<"), "&gt;", ">"), "&amp;", "&").as("x"))
       s3.select(col("doc_id"), col("text"), col("html_len"),
           trim(regexp_replace(col("x"), "\\s+", " ")).as("clean"))
         .select(col("doc_id"), col("html_len").cast("long").as("html_len"),

@@ -292,17 +292,21 @@ object EmbedOps {
       }) { (s, dir) =>
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), quant(col("embedding")).as("q"))
-      def dist(q: Column, c: Column): Column =
-        aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
+        .withColumn("qn", norm2(col("q")))
       // map-only assignment: ALL centroids ride along as one broadcast
       // array row; per-vec argmin is array_min over (d, k) structs —
-      // deterministic ties to the lowest k, zero shuffle
+      // deterministic ties to the lowest k, zero shuffle. The distance
+      // is ||q||² - 2q·c + ||c||² with both dots NATIVE (DotProduct) and
+      // ||c||² precomputed per centroid — the interpreted
+      // aggregate(zip_with(...)) form is the known hot-loop pathology
+      // (see the dotL note at the top of this file).
       def assign(cent: org.apache.spark.sql.DataFrame) = {
-        val centArr = cent.agg(collect_list(struct(col("k"), col("c"))).as("cs"))
+        val centArr = cent.withColumn("cn", norm2(col("c")))
+          .agg(collect_list(struct(col("k"), col("c"), col("cn"))).as("cs"))
         v.crossJoin(broadcast(centArr))
           .withColumn("best", array_min(transform(col("cs"), e =>
-            struct(dist(col("q"), e.getField("c")).as("d"),
+            struct((col("qn") - lit(2L) * dotL(col("q"), e.getField("c")) +
+              e.getField("cn")).as("d"),
               e.getField("k").as("k")))))
           .select(col("vec_id"), col("q"),
             col("best").getField("k").as("k"), col("best").getField("d").as("d"))

@@ -44,7 +44,24 @@ object H {
   def ratio(num: Column, den: Column, scale: Int = 4): Column =
     when(den > 0, round(num.cast("double") / den, scale))
 
+  /** 28-bit integer hash from the md5 hex prefix — THE cross-engine
+    * hashing primitive every bucketed/sampled/sketched operator builds
+    * on: Spark `conv(substr(md5(x),1,7),16,10)` ==
+    * DuckDB `('0x'||substr(md5(x),1,7))::BIGINT`, exact in both. One
+    * definition here; a change (prefix width, algorithm) must change
+    * [[oHash28]] in lockstep or every parity gate breaks at once. */
+  def hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Whitespace tokenization of a text column (oracle twin:
+    * `string_split_regex(x, '\s+')`). */
+  def toks(c: Column): Column = split(c, "\\s+")
+
   // ---- oracle-side (DuckDB SQL) twins -------------------------------------
+  /** DuckDB twin of [[hash28]]. */
+  def oHash28(x: String): String =
+    s"('0x' || substr(md5($x), 1, 7))::BIGINT"
+
   def oCnt(cond: String): String = s"COUNT(CASE WHEN $cond THEN 1 END)"
   def oCentsSum(x: String): String = s"SUM(CAST(ROUND(($x)*100) AS BIGINT))"
   def oMoneySum(x: String): String =

@@ -53,17 +53,6 @@ object LlmOps {
   private def permA(i: Int): Long = ((i + 1) * 2654435761L) % P
   private def permB(i: Int): Long = ((i + 1) * 2246822519L) % P
 
-  /** 28-bit integer hash from the md5 hex prefix — the cross-engine
-    * primitive: Spark `conv(substr(md5(x),1,7),16,10)` ==
-    * DuckDB `('0x'||substr(md5(x),1,7))::BIGINT`. */
-  private def hash28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
-  private def oHash28(x: String): String =
-    s"('0x' || substr(md5($x), 1, 7))::BIGINT"
-
-  /** Whitespace tokens of the text column. */
-  private def toks(c: Column): Column = split(c, "\\s+")
-
   /** Distinct word 3-gram shingles; < 3 tokens → empty set. */
   private def shingles3(w: Column): Column =
     when(size(w) >= 3,

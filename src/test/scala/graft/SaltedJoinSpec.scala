@@ -29,10 +29,18 @@ class SaltedJoinSpec extends SparkSpec {
   }
 
   test("the hot key spreads across multiple sub-keys") {
-    val spread = fact.withColumn("s", SaltedJoin.saltOf(fact, 8))
+    val spread = fact.withColumn("s", SaltedJoin.saltOf(8))
       .filter(col("k") === 1L)
       .select(countDistinct(col("s"))).as[Long].head()
     assert(spread >= 4, s"hot key landed on only $spread of 8 salts")
+  }
+
+  test("IDENTICAL hot rows spread too — content-hash salting would collapse them") {
+    // 1000 byte-identical rows: the telemetry-replay shape of real skew
+    val dupFact = (1 to 1000).map(_ => (1L, "same-payload")).toDF("k", "payload")
+    val spread = dupFact.withColumn("s", SaltedJoin.saltOf(8))
+      .select(countDistinct(col("s"))).as[Long].head()
+    assert(spread >= 4, s"identical rows landed on only $spread of 8 salts")
   }
 
   test("reserved column and bad salt count are rejected") {
