@@ -128,6 +128,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "argmin must be the in-row array_min, not a window")
   }
 
+  test("q26c top-k per group engages WindowGroupLimit — partial top-5 before the group shuffle") {
+    val p = q("q26c_top_tokens")
+    // Spark's rank-limit pushdown: each map task keeps only its local
+    // top-5 per lang (Partial) before shuffling — without it the window
+    // sorts every (lang, token) row globally, which dies at corpus scale
+    assert(p.contains("WindowGroupLimit"), s"top-k pushdown lost:\n$p")
+  }
+
+  test("q67 paragraph dedup reuses the scan exchange across its four block-derivation branches") {
+    val p = q("q67_paragraph_dedup")
+    assert(p.contains("ReusedExchange"), s"common-subplan reuse lost:\n$p")
+  }
+
+  test("q72 bloom filter ships as one broadcast row — no cartesian, no per-ngram shuffle join") {
+    val p = q("q72_bloom_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bloom map row must broadcast")
+    assert(!p.contains("CartesianProduct"), "bloom probe degenerated to a cartesian")
+    assert(!p.contains("SortMergeJoin"), "membership test must not shuffle-join")
+  }
+
   test("events loader: partition pruning survives the NTZ conversion") {
     val p = planOf(Tables.events(session, dir).filter(col("event_type") === "click"))
     assert(p.linesIterator.exists(l =>
