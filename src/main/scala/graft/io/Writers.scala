@@ -38,6 +38,26 @@ object Writers {
                          partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
 
+  /** Bucketed external table: the co-located-join layout. Both sides of
+    * a recurring fact-to-fact join written with the SAME bucket count on
+    * the join key let every subsequent join run with ZERO exchange —
+    * each scan already satisfies the join's distribution requirement
+    * (and `sortBy` pre-sorts each bucket file, removing the sort too).
+    * At 100 TB this turns the nightly re-join of two persisted corpora
+    * from the dominant shuffle into a local merge per bucket.
+    * The table is EXTERNAL (data at `path`); metadata lands in the
+    * session catalog, which is what carries the bucket spec to readers
+    * (a bare parquet read of the same files sees no bucketing). */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+                    bucketCols: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S5: BR-locale CSV sink. `singleFile=true` mirrors the reference's
     * one-file outputs without any driver collect. */
   def csvBr(df: DataFrame, path: String, encoding: String = "UTF-8",
