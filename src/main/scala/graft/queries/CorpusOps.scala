@@ -170,6 +170,11 @@ object CorpusOps {
       }.reduce(_ && _)
       withPos
         .withColumn("bloom_pos", bloomPos)
+        // AUDIT-ONLY: the exact-verdict join below broadcasts the full
+        // bench n-gram set to measure the Bloom filter's false-positive
+        // behavior under the gate. At real scale this side is exactly
+        // what's too big to broadcast — production keeps only the Bloom
+        // half of this plan (or shuffle-joins a sampled audit slice).
         .join(broadcast(bh.withColumn("ex", lit(true))), Seq("h"), "left")
         .withColumn("exact_hit", coalesce(col("ex"), lit(false)))
         .groupBy("doc_id")

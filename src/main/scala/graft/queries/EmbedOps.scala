@@ -272,7 +272,7 @@ object EmbedOps {
                   FROM d$n) WHERE rn = 1),
         s$n AS (SELECT k, i, SUM(q[i+1])::BIGINT AS sx, COUNT(*)::BIGINT AS cnt
                FROM a$n, (SELECT unnest(range($DIM)) AS i) idx GROUP BY 1, 2),
-        c$n AS (SELECT k, array_agg(floor(sx::DOUBLE / cnt)::BIGINT ORDER BY i) AS c
+        c$n AS (SELECT k, array_agg((sx - ((sx % cnt + cnt) % cnt)) // cnt ORDER BY i) AS c
                FROM s$n GROUP BY 1)"""
         s"""
         WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
@@ -311,12 +311,16 @@ object EmbedOps {
           .select(col("vec_id"), col("q"),
             col("best").getField("k").as("k"), col("best").getField("d").as("d"))
       }
-      // centroid update: one hash-agg on (cluster, dim), floor(sum/count)
+      // centroid update: one hash-agg on (cluster, dim), floor(sum/count).
+      // Floor division stays in PURE LONG arithmetic (subtract the positive
+      // modulus, then exact `div`) — a double division would round once a
+      // per-dimension sum passes 2^53, which a 100 TB partition can reach.
+      // The oracle mirrors it with (sx - ((sx % cnt + cnt) % cnt)) // cnt.
       def update(assigned: org.apache.spark.sql.DataFrame) =
         assigned.select(col("k"), posexplode(col("q")).as(Seq("i", "x")))
           .groupBy(col("k"), col("i"))
           .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-          .withColumn("ci", floor(col("sx").cast("double") / col("cnt")).cast("long"))
+          .withColumn("ci", expr("(sx - pmod(sx, cnt)) div cnt"))
           .groupBy(col("k"))
           .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
             e => e.getField("ci")).as("c"))
