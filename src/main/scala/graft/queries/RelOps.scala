@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import H._
+
+/** Relational table-maintenance operators: CDC MERGE/upsert, SCD2 history
+  * build, multi-level ROLLUP reporting, and per-entity running totals —
+  * the warehouse-side surface a lakehouse pipeline needs around the
+  * analytics queries (the Delta/Iceberg `MERGE INTO`, dimension-history,
+  * and cumulative-report shapes, expressed as pure Spark plans).
+  *
+  * Scale notes per operator are on each query; the common rules match the
+  * rest of the engine: one hash shuffle on the natural key where cross-row
+  * state is needed, windows always partitioned (never global), money in
+  * integer cents, every nondeterministic tie broken by an explicit id.
+  */
+object RelOps {
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------- CDC MERGE / upsert
+    Q("q75_merge_upsert",
+      "MERGE INTO (Delta/Iceberg-style CDC apply) as a pure Spark plan: a " +
+        "deterministic changelog derived from orders (per-customer spend " +
+        "delta; keys ≡0 mod 97 become deletes; keys ≡0 mod 101 also " +
+        "generate brand-new inserted customers) is applied to the " +
+        "customer snapshot in ONE full-outer shuffle join on the key: " +
+        "matched+U updates the balance, matched+D deletes, unmatched " +
+        "change inserts, untouched rows pass through. The action column " +
+        "audits which branch each output row took. 100 TB shape: this is " +
+        "exactly one co-partitioned join (bucketed snapshot tables make " +
+        "it shuffle-free on the snapshot side) and rewrites only matched " +
+        "files under a lakehouse table format; AQE handles change-side " +
+        "skew.",
+      Some(s"""
+        WITH chg0 AS (
+          SELECT o_custkey AS key,
+                 ${oCentsSum("o_totalprice")} AS delta_cents,
+                 CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM orders GROUP BY 1),
+        chg AS (
+          SELECT key, delta_cents, op FROM chg0
+          UNION ALL
+          SELECT key + 1000000, delta_cents, 'I' FROM chg0 WHERE key % 101 = 0),
+        snap AS (
+          SELECT c_custkey AS key,
+                 CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents,
+                 c_mktsegment AS segment
+          FROM customer)
+        SELECT COALESCE(s.key, c.key) AS key,
+               CASE WHEN c.op IS NULL THEN 'kept'
+                    WHEN s.key IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action,
+               ROUND(CAST(CASE WHEN c.op IS NULL THEN s.bal_cents
+                               WHEN s.key IS NULL THEN c.delta_cents
+                               ELSE s.bal_cents + c.delta_cents
+                          END AS DOUBLE)/100, 2) AS balance,
+               COALESCE(s.segment, 'NEW') AS segment
+        FROM snap s FULL OUTER JOIN chg c ON s.key = c.key
+        WHERE c.op IS NULL OR c.op <> 'D'
+        ORDER BY key""")) { (s, dir) =>
+      val chg0 = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("key"))
+        .agg(centsSum(col("o_totalprice")).as("delta_cents"))
+        .withColumn("op",
+          when(col("key") % 97 === 0, lit("D")).otherwise(lit("U")))
+      val chg = chg0.unionByName(
+        chg0.filter(col("key") % 101 === 0)
+          .select((col("key") + 1000000L).as("key"), col("delta_cents"),
+            lit("I").as("op")))
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        col("c_mktsegment").as("segment"))
+      snap.as("s").join(chg.as("c"), Seq("key"), "full_outer")
+        // null op (no change row) must survive: an un-guarded !(op === "D")
+        // evaluates to NULL on kept rows and the filter would drop them
+        .filter(col("c.op").isNull || col("c.op") =!= "D")
+        .select(
+          col("key"),
+          when(col("c.op").isNull, lit("kept"))
+            .when(col("s.bal_cents").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("action"),
+          round((when(col("c.op").isNull, col("s.bal_cents"))
+            .when(col("s.bal_cents").isNull, col("c.delta_cents"))
+            .otherwise(col("s.bal_cents") + col("c.delta_cents")))
+            .cast("double") / 100, 2).as("balance"),
+          coalesce(col("s.segment"), lit("NEW")).as("segment"))
+        .orderBy("key")
+    },
+
+    // ---------------------------------------------------- SCD2 history
+    Q("q76_scd2_history",
+      "Slowly-changing-dimension type-2 history build from an event log: " +
+        "per user, compress consecutive duplicate states (change capture " +
+        "via lag), then derive [valid_from, valid_to) intervals via lead; " +
+        "the open interval is flagged current. Both windows are " +
+        "PARTITIONED BY user — state per task is one user's rows, never " +
+        "a global sort — and share one shuffle on user_id. Ordering ties " +
+        "(same user, same second) break on event_id, so the history is " +
+        "deterministic on both engines. Timestamps are second-truncated " +
+        "(ns vs µs source precision).",
+      Some("""
+        WITH e AS (
+          SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS ts2,
+                 event_type AS state, event_id,
+                 LAG(event_type) OVER
+                   (PARTITION BY user_id ORDER BY date_trunc('second', ts::TIMESTAMP), event_id)
+                   AS prev_state
+          FROM events),
+        c AS (
+          SELECT user_id, ts2, state, event_id FROM e
+          WHERE prev_state IS NULL OR prev_state <> state)
+        SELECT user_id, event_id, ts2 AS valid_from,
+               LEAD(ts2) OVER (PARTITION BY user_id ORDER BY ts2, event_id)
+                 AS valid_to,
+               state,
+               LEAD(ts2) OVER (PARTITION BY user_id ORDER BY ts2, event_id)
+                 IS NULL AS is_current
+        FROM c ORDER BY user_id, valid_from, event_id""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts2"),
+          col("event_type").as("state"), col("event_id"))
+        .withColumn("prev_state", lag(col("state"), 1).over(w))
+      val changes = e
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      changes
+        .withColumn("valid_to", lead(col("ts2"), 1).over(w))
+        // event_id rides along as the SCD2 lineage column AND the
+        // deterministic within-second tiebreak (A→B→A inside one second
+        // yields two otherwise-identical rows for state A)
+        .select(col("user_id"), col("event_id"),
+          col("ts2").as("valid_from"), col("valid_to"),
+          col("state"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // ------------------------------------------- multi-level ROLLUP report
+    Q("q77_rollup_report",
+      "ROLLUP (l_returnflag, l_linestatus) with grouping_id: detail rows, " +
+        "per-flag subtotals, and the grand total from ONE pass — Spark " +
+        "lowers rollup to an Expand (3 rows per input here) feeding a " +
+        "single partial+final hash aggregate, so the subtotal levels cost " +
+        "one shuffle total, not one scan per level. Rolled-up dimensions " +
+        "surface as 'ALL' (coalesced identically in the oracle); the " +
+        "grouping_id bitmask disambiguates a genuine 'ALL' value from a " +
+        "rolled-up one. Quantities are integral doubles cast to long; " +
+        "revenue goes through integer cents.",
+      Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+               ${oMoneySum("l_extendedprice")} AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, returnflag, linestatus""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("sum_qty"), col("revenue"))
+        .orderBy("gid", "returnflag", "linestatus")
+    },
+
+    // --------------------------------------------- per-entity running totals
+    Q("q78_running_totals",
+      "Per-customer cumulative order revenue and order sequence number " +
+        "(the classic partitioned window frame ROWS UNBOUNDED PRECEDING): " +
+        "one shuffle on the customer key, per-partition sort by (date, " +
+        "orderkey) — the orderkey tiebreak makes same-day customers " +
+        "deterministic. Cumulative sums run in integer cents (exact at " +
+        "any depth); the output slices every 10th customer to keep the " +
+        "gate compact while still crossing partition boundaries.",
+      Some(s"""
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS order_seq,
+               ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w
+                 AS DOUBLE)/100, 2) AS cum_revenue
+        FROM orders
+        WHERE o_custkey % 10 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, order_seq""")) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("order_seq"),
+          round(sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+            .cast("double") / 100, 2).as("cum_revenue"))
+        .orderBy("o_custkey", "order_seq")
+    }
+  )
+}
