@@ -254,6 +254,92 @@ object CurationOps {
         .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"),
           min(col("v")).as("lo"), max(col("v")).as("hi"))
         .orderBy("bucket")
+    },
+
+    // ------------------------------------- temperature-weighted resampling
+    Q("q79_temperature_mix",
+      "Temperature-based language rebalancing (the mC4/XLM-R α-sampling " +
+        "step, α=0.5): per-language weights w_l = floor(sqrt(c_l·10^6)) " +
+        "give low-resource languages a boosted share p_l = w_l/Σw; each " +
+        "doc is kept iff hash28(doc_id) mod 10^6 < min(10^6, " +
+        "(w_l·T·10^6) div (Σw·c_l)) for a half-corpus target T. The " +
+        "whole decision is INTEGER arithmetic (integer sqrt, integer " +
+        "div) — no float sum ever crosses the engine boundary, so " +
+        "sampling is bit-reproducible; the picked set is stable under " +
+        "re-runs and cluster size (hash-derived, not random()). Shape: " +
+        "one tiny per-lang agg broadcast back over the corpus — a " +
+        "map-only keep decision at any scale. The long-arithmetic " +
+        "headroom (w·T·10^6 < 2^63) holds to corpora of ~10^10 docs; " +
+        "beyond that the same plan runs in DECIMAL(38).",
+      Some(s"""
+        WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        w AS (SELECT lang, n_docs,
+                     floor(sqrt((n_docs * 1000000)::DOUBLE))::BIGINT AS wgt
+              FROM c),
+        tot AS (SELECT SUM(n_docs)::BIGINT AS n, SUM(wgt)::BIGINT AS sw FROM w),
+        r AS (SELECT lang, n_docs, wgt,
+                     LEAST(1000000, (wgt * (n // 2) * 1000000) // (sw * n_docs))
+                       AS accept_ppm
+              FROM w, tot)
+        SELECT d.lang, ANY_VALUE(r.n_docs) AS n_docs,
+               ANY_VALUE(r.wgt) AS weight,
+               ANY_VALUE(r.accept_ppm) AS accept_ppm,
+               ${oCnt(s"${oHash28("d.doc_id::VARCHAR")} % 1000000 < r.accept_ppm")}
+                 AS n_sampled
+        FROM documents d JOIN r USING (lang)
+        GROUP BY d.lang ORDER BY d.lang""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("wgt",
+          floor(sqrt((col("n_docs") * 1000000L).cast("double"))).cast("long"))
+      val tot = c.agg(sum(col("n_docs")).as("n"), sum(col("wgt")).as("sw"))
+      val rates = c.crossJoin(broadcast(tot))
+        .withColumn("accept_ppm",
+          least(lit(1000000L),
+            expr("(wgt * (n div 2) * 1000000) div (sw * n_docs)")))
+        .select(col("lang"), col("n_docs"), col("wgt"), col("accept_ppm"))
+      docs.join(broadcast(rates), Seq("lang")) // bounded: one row per language
+        .groupBy(col("lang"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          first(col("wgt")).as("weight"),
+          first(col("accept_ppm")).as("accept_ppm"),
+          cnt(hash28(col("doc_id").cast("string")) % 1000000L < col("accept_ppm"))
+            .as("n_sampled"))
+        .orderBy("lang")
+    },
+
+    // --------------------------------------------- source-priority dedup
+    Q("q80_priority_dedup",
+      "Cross-source dedup with a keep policy: when the same content " +
+        "appears in several sources, keep the copy from the " +
+        "highest-priority source (curated beats crawled), tie-broken by " +
+        "lowest doc_id. One shuffle on sha256(text) — same canonical " +
+        "shape as exact dedup (q24) — with the argmin packed into a " +
+        "single BIGINT rank = priority·10^9 + doc_id, so the policy " +
+        "rides the existing MIN aggregate instead of a window or a " +
+        "join-back. (Packing bound: doc_id < 10^9 here; a 100 TB corpus " +
+        "packs into DECIMAL(38) or a binary-comparable key the same " +
+        "way.)",
+      Some("""
+        SELECT sha256(text) AS content_hash,
+               MIN(substr(source, 4)::BIGINT * 1000000000 + doc_id) % 1000000000
+                 AS keep_id,
+               MIN(substr(source, 4)::BIGINT * 1000000000 + doc_id) // 1000000000
+                 AS keep_priority,
+               COUNT(*) AS n_copies,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY 1 ORDER BY keep_id""")) { (s, dir) =>
+      val ranked = Tables.documents(s, dir)
+        .withColumn("rank",
+          substring(col("source"), 4, 10).cast("long") * 1000000000L +
+            col("doc_id"))
+      ranked
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg((min(col("rank")) % 1000000000L).as("keep_id"),
+          expr("min(rank) div 1000000000").as("keep_priority"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("keep_id")
     }
   )
 }

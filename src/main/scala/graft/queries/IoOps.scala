@@ -138,6 +138,39 @@ object IoOps {
           round(min(col("age")), 4).as("min_age"),
           round(max(col("age")), 4).as("max_age"))
         .orderBy("faixa")
+    },
+
+    // -------------------------------------------------- ORC round trip
+    Q("q82_orc_roundtrip",
+      "Columnar-format interop: sink a lineitem projection to ORC " +
+        "(Spark's second first-class columnar format — the " +
+        "Hive-ecosystem interchange the engine must speak alongside " +
+        "parquet), re-read it, aggregate. The oracle aggregates the " +
+        "ORIGINAL parquet, so a hash match proves the ORC round trip is " +
+        "lossless for long/double/string/timestamp columns. The write " +
+        "is distributed (no coalesce) and the re-read prunes columns " +
+        "and pushes the returnflag filter into the ORC scan exactly as " +
+        "parquet would.",
+      Some(s"""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+               ${oMoneySum("l_extendedprice")} AS revenue,
+               MAX(l_shipdate::TIMESTAMP) AS last_ship
+        FROM lineitem WHERE l_returnflag <> 'N'
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_orc_rt").toString
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy("l_returnflag")
     }
   )
 }

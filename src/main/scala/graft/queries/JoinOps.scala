@@ -120,6 +120,50 @@ object JoinOps {
           Seq("user_id"), salts = 16)
         .select("event_id", "user_id", "event_type", "user_events", "user_value")
         .orderBy("event_id")
+    },
+
+    // ------------------------------------------------ fuzzy (edit-distance) join
+    Q("q81_fuzzy_join",
+      "Fuzzy entity matching (edit-distance self-join, the record-linkage " +
+        "primitive): find distinct part-name pairs within Levenshtein 2. " +
+        "Scale shape, in order: (1) DOMAIN COLLAPSE — one hash-agg " +
+        "dedupes the corpus to its distinct-name domain (300:1 here; " +
+        "entity strings always dedupe hard), so everything after is " +
+        "bounded by the domain, not the table; (2) token-block inverted " +
+        "index — candidates must share a whole token, never all-pairs; " +
+        "(3) the length filter |len(a)-len(b)| ≤ 2 prunes inside the " +
+        "block join condition (lev ≥ length gap); (4) exact levenshtein " +
+        "only on survivors. The oracle replicates the blocking exactly — " +
+        "shared-token recall (an edit inside every token of a pair can " +
+        "evade it) is the documented PPJoin-style tradeoff; hot-token " +
+        "blocks at web scale get the q25/q34b capBuckets treatment.",
+      Some("""
+        WITH n AS (SELECT p_name AS name, COUNT(*)::BIGINT AS n_parts
+                   FROM part GROUP BY 1),
+        tok AS (SELECT name, n_parts, unnest(string_split(name, ' ')) AS tk
+                FROM n)
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name)::BIGINT AS dist,
+               a.n_parts AS n_a, b.n_parts AS n_b
+        FROM tok a JOIN tok b
+          ON a.tk = b.tk AND a.name < b.name
+         AND abs(length(a.name) - length(b.name)) <= 2
+        WHERE levenshtein(a.name, b.name) <= 2
+        ORDER BY name_a, name_b""")) { (s, dir) =>
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+      val tok = names.select(col("name"), col("n_parts"),
+        explode(split(col("name"), " ")).as("tk"))
+      tok.as("a").join(tok.as("b"),
+          col("a.tk") === col("b.tk") && col("a.name") < col("b.name") &&
+            abs(length(col("a.name")) - length(col("b.name"))) <= 2)
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"),
+          col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
+        .filter(col("dist") <= 2) // verify before dedupe: cheaper survivors
+        .distinct()
+        .orderBy("name_a", "name_b")
     }
   )
 }

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.queries.Registry
+
+/** Semantic unit tests for the relational-maintenance operators
+  * (q75-q78) on handcrafted lakes: the oracle gate proves cross-engine
+  * parity on the synthetic corpus; these prove the intended MERGE /
+  * SCD2 / rollup / running-total behavior on branch cases the corpus
+  * may not isolate (all four merge actions, change compression with a
+  * same-second tie, subtotal consistency, cumulative exactness). */
+class RelOpsSpec extends SparkSpec {
+
+  private def lake(): String = Files.createTempDirectory("relops").toString
+
+  private val custSchema = StructType(Seq(
+    StructField("c_custkey", LongType), StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+  private val ordSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+
+  private def write(dir: String, name: String, schema: StructType, rows: Seq[Row]): Unit =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  private def day(d: String): Timestamp = Timestamp.valueOf(s"$d 00:00:00")
+
+  test("q75: all four MERGE branches — kept, updated, deleted, inserted") {
+    val dir = lake()
+    write(dir, "customer", custSchema, Seq(
+      Row(1L, "c1", 0, 100.00, "SEG"),   // has orders -> updated
+      Row(5L, "c5", 0, 50.00, "SEG"),    // no orders -> kept
+      Row(97L, "c97", 0, 70.00, "SEG"),  // 97 % 97 == 0 -> deleted
+      Row(202L, "c202", 0, 10.00, "SEG"))) // 202 % 101 == 0 -> updated + spawns insert
+    write(dir, "orders", ordSchema, Seq(
+      Row(11L, 1L, "O", 25.50, day("1995-01-01"), "1-URGENT"),
+      Row(12L, 1L, "O", 10.00, day("1995-01-02"), "1-URGENT"),
+      Row(13L, 97L, "O", 99.99, day("1995-01-03"), "1-URGENT"),
+      Row(14L, 202L, "O", 5.25, day("1995-01-04"), "1-URGENT")))
+    val out = Registry.byName("q75_merge_upsert").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(out(1L) == (("updated", 135.50, "SEG")))   // 100 + 25.50 + 10
+    assert(out(5L) == (("kept", 50.00, "SEG")))
+    assert(!out.contains(97L), "matched delete must remove the row")
+    assert(out(202L) == (("updated", 15.25, "SEG")))
+    assert(out(1000202L) == (("inserted", 5.25, "NEW")))
+    assert(out.size == 4)
+  }
+
+  test("q76: consecutive duplicate states compress; same-second tie breaks on event_id") {
+    val dir = lake()
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType), // raw nanos
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ns(s: String): Long = Timestamp.valueOf(s).getTime * 1000000L
+    write(dir, "events", evSchema, Seq(
+      Row(1L, ns("2024-01-01 10:00:00"), 7L, "A", 0.0, "{}"),
+      Row(2L, ns("2024-01-01 10:01:00"), 7L, "A", 0.0, "{}"), // dup state -> compressed
+      Row(3L, ns("2024-01-01 10:02:00"), 7L, "B", 0.0, "{}"),
+      // same second, A then B by event_id: both are state changes
+      Row(4L, ns("2024-01-01 10:03:00"), 7L, "A", 0.0, "{}"),
+      Row(5L, ns("2024-01-01 10:03:00"), 7L, "B", 0.0, "{}")))
+    def ldt(s: String) = Timestamp.valueOf(s)
+    val rows = Registry.byName("q76_scd2_history").fn(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getString(4),
+        Option(r.getTimestamp(3)), r.getBoolean(5)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L, 4L, 5L), "compressed + ordered by event_id")
+    assert(rows.map(_._2).toSeq == Seq("A", "B", "A", "B"))
+    // interval chain: each valid_to equals the next valid_from; only last open
+    assert(rows.init.forall(!_._4) && rows.last._4)
+    assert(rows.last._3.isEmpty, "current row has open valid_to")
+    assert(rows(0)._3.contains(ldt("2024-01-01 10:02:00")))
+    // zero-length interval from the same-second A->B transition
+    assert(rows(2)._3.contains(ldt("2024-01-01 10:03:00")))
+  }
+
+  private val liSchema = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  test("q77: rollup emits detail, per-flag subtotal, and grand total consistently") {
+    val dir = lake()
+    def li(flag: String, status: String, qty: Double, price: Double) =
+      Row(1L, 1L, 1L, 1, qty, price, 0.0, 0.0, flag, status, day("1995-06-01"))
+    write(dir, "lineitem", liSchema, Seq(
+      li("A", "F", 2, 10.00), li("A", "O", 3, 20.00), li("R", "F", 5, 40.00)))
+    val out = Registry.byName("q77_rollup_report").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("A", "F", 0L)) == ((1L, 2L, 10.00)))
+    assert(out(("A", "ALL", 1L)) == ((2L, 5L, 30.00)))   // flag subtotal
+    assert(out(("R", "ALL", 1L)) == ((1L, 5L, 40.00)))
+    assert(out(("ALL", "ALL", 3L)) == ((3L, 10L, 70.00))) // grand total
+    assert(out.size == 3 + 2 + 1, "3 detail + 2 subtotal + 1 grand")
+  }
+
+  test("q78: per-customer cumulative revenue is exact and ordered by (date, orderkey)") {
+    val dir = lake()
+    write(dir, "orders", ordSchema, Seq(
+      // same day: orderkey 22 before 23 despite insert order
+      Row(23L, 10L, "O", 0.02, day("1995-01-02"), "x"),
+      Row(22L, 10L, "O", 0.01, day("1995-01-02"), "x"),
+      Row(21L, 10L, "O", 0.10, day("1995-01-01"), "x"),
+      Row(31L, 20L, "O", 9.99, day("1995-01-01"), "x"),
+      Row(41L, 11L, "O", 5.00, day("1995-01-01"), "x"))) // 11 % 10 != 0 -> sliced out
+    val rows = Registry.byName("q78_running_totals").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (10L, 21L, 1L, 0.10), (10L, 22L, 2L, 0.11), (10L, 23L, 3L, 0.13),
+      (20L, 31L, 1L, 9.99)))
+  }
+}
