@@ -620,12 +620,19 @@ object RefParity {
         // AQE-coalesced noise.
         .repartition(s.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag").as("flag"))
+        // ONE percentile aggregate with an array of fractions: the value
+        // buffer (the whole cost of exact percentiles) is built and
+        // sorted once for all three order statistics — three scalar
+        // percentile() calls would buffer the group three times over
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
           round(min(col("l_extendedprice")), 4).as("p_min"),
           round(max(col("l_extendedprice")), 4).as("p_max"))
+        .select(col("flag"),
+          round(col("ps").getItem(0), 4).as("p50"),
+          round(col("ps").getItem(1), 4).as("p90"),
+          round(col("ps").getItem(2), 4).as("p99"),
+          col("p_min"), col("p_max"))
         .orderBy("flag")
     },
 
@@ -650,15 +657,16 @@ object RefParity {
         .repartition(s.sparkContext.defaultParallelism) // see q23b note
         .groupBy(col("l_returnflag").as("flag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_exact"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_a50"),
-          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("_a90"))
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("_ps"),
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)")
+            .as("_as"))
+        .withColumn("p50_exact", round(col("_ps").getItem(0), 4))
+        .withColumn("p90_exact", round(col("_ps").getItem(1), 4))
         .withColumn("p50_sketch_ok",
-          abs(col("_a50") - col("p50_exact")) <= col("p50_exact") * 0.01)
+          abs(col("_as").getItem(0) - col("p50_exact")) <= col("p50_exact") * 0.01)
         .withColumn("p90_sketch_ok",
-          abs(col("_a90") - col("p90_exact")) <= col("p90_exact") * 0.01)
-        .drop("_a50", "_a90")
+          abs(col("_as").getItem(1) - col("p90_exact")) <= col("p90_exact") * 0.01)
+        .drop("_ps", "_as")
         .orderBy("flag")
     },
 

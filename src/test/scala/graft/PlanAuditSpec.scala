@@ -149,6 +149,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "membership test must not shuffle-join")
   }
 
+  test("q75 merge is ONE join: full-outer on the key, no nested-loop fallback") {
+    val p = q("q75_merge_upsert")
+    assert(p.linesIterator.count(l => l.contains("Join")) == 1,
+      s"MERGE must be a single join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"MERGE degenerated to a non-equi join:\n$p")
+  }
+
+  test("q76 SCD2: lag, change-filter, and lead all ride ONE user_id shuffle") {
+    val p = q("q76_scd2_history")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hash exchange on user_id shared by both windows + the final
+    // orderBy range exchange — a second hash exchange means the lead
+    // window re-shuffled what the lag window already partitioned
+    assert(exchanges <= 2, s"SCD2 grew a shuffle:\n$p")
+  }
+
+  test("q77 rollup lowers to Expand + one aggregate pass, not one scan per level") {
+    val p = q("q77_rollup_report")
+    assert(p.contains("Expand"), s"rollup must use Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"rollup must scan once:\n$p")
+  }
+
+  test("q78 running totals: one window shuffle, frame inside codegen-adjacent Window") {
+    val p = q("q78_running_totals")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"running total grew a shuffle:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"cumulative frame lost:\n$p")
+  }
+
+  test("q79 temperature mix: per-lang rates join back as broadcast, corpus never shuffle-joins") {
+    val p = q("q79_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+  }
+
+  test("q80 priority dedup: the keep policy rides the MIN aggregate — no window, no join-back") {
+    val p = q("q80_priority_dedup")
+    assert(!p.contains("Window"), s"policy must not need a window:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Join")) == 0,
+      s"policy must not need a join-back:\n$p")
+  }
+
+  test("q81 fuzzy join: token blocking keeps it an equi-join — no nested loop, no cartesian") {
+    val p = q("q81_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+  }
+
   test("events loader: partition pruning survives the NTZ conversion") {
     val p = planOf(Tables.events(session, dir).filter(col("event_type") === "click"))
     assert(p.linesIterator.exists(l =>
