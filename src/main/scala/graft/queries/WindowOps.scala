@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.streaming.Streams
@@ -321,6 +322,69 @@ object WindowOps {
         try q.processAllAvailable() finally q.stop()
       }
         .orderBy("click_id", "view_id")
+    },
+
+    // ------------------------------------------------- conversion funnel
+    Q("q83_funnel",
+      "Ordered conversion funnel (view → click → purchase) per (user, " +
+        "day): the day's first view, the first click AT-OR-AFTER that " +
+        "view, and the first purchase at-or-after that click — order " +
+        "matters, so a click before any view does not advance the " +
+        "funnel. Shape: three entire-partition MIN windows that all " +
+        "ride ONE hash exchange on the (user, day) funnel key (each " +
+        "stage's threshold is a plain column by the time the next " +
+        "window needs it), then one key-level dedupe (exchange-reusing) " +
+        "and a tiny stage rollup. Latency sums stay in integer epoch " +
+        "seconds.",
+      Some("""
+        WITH e AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS d,
+                          date_trunc('second', ts::TIMESTAMP) AS tss,
+                          event_type
+                   FROM events),
+        v AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tss END)
+                          OVER (PARTITION BY user_id, d) AS tv FROM e),
+        c AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tss >= tv
+                                 THEN tss END)
+                          OVER (PARTITION BY user_id, d) AS tc FROM v),
+        p AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tss >= tc
+                                 THEN tss END)
+                          OVER (PARTITION BY user_id, d) AS tp FROM c),
+        u AS (SELECT DISTINCT user_id, d, tv, tc, tp FROM p)
+        SELECT CASE WHEN tp IS NOT NULL THEN 3
+                    WHEN tc IS NOT NULL THEN 2
+                    WHEN tv IS NOT NULL THEN 1
+                    ELSE 0 END AS stage,
+               COUNT(*) AS n_users,
+               SUM(CASE WHEN tp IS NOT NULL
+                        THEN epoch(tp) - epoch(tv) END)::BIGINT
+                 AS total_latency_s
+        FROM u GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "d")
+      val secs = (c: org.apache.spark.sql.Column) =>
+        c.cast("timestamp").cast("long") // NTZ→LTZ is identity at UTC
+      val staged = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"),
+          date_trunc("second", col("ts")).as("tss"),
+          col("event_type"))
+        .withColumn("tv",
+          min(when(col("event_type") === "view", col("tss"))).over(w))
+        .withColumn("tc",
+          min(when(col("event_type") === "click" && col("tss") >= col("tv"),
+            col("tss"))).over(w))
+        .withColumn("tp",
+          min(when(col("event_type") === "purchase" && col("tss") >= col("tc"),
+            col("tss"))).over(w))
+      staged
+        .select("user_id", "d", "tv", "tc", "tp").distinct()
+        .groupBy(
+          when(col("tp").isNotNull, 3)
+            .when(col("tc").isNotNull, 2)
+            .when(col("tv").isNotNull, 1)
+            .otherwise(0).as("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("tp").isNotNull, secs(col("tp")) - secs(col("tv"))))
+            .as("total_latency_s"))
+        .orderBy("stage")
     }
   )
 }

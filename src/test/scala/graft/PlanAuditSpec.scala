@@ -38,6 +38,15 @@ class PlanAuditSpec extends SparkSpec {
   private def q(name: String): String =
     planOf(Registry.byName(name).fn(session, dir))
 
+  /** Count shuffle exchanges. Explain indents operators with `+-`/`:-`
+    * prefixes, so a startsWith("Exchange") only ever matches a root-level
+    * node (i.e. counts 0 for any real plan — the round-6 review found
+    * several audits passing vacuously that way). Matches the operator
+    * name anywhere in the line; ReusedExchange deliberately does NOT
+    * count — reuse is the thing the audits reward. */
+  private def exchangeCount(p: String): Int =
+    p.linesIterator.count(l => l.contains(" Exchange ") || l.startsWith("Exchange "))
+
   test("q47 export projection: scan reads ONLY the projected columns") {
     val p = q("q47_export_projection")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
@@ -64,7 +73,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q24 exact dedup is ONE shuffle (hash-agg, no sort before the agg)") {
     val p = q("q24_dedup_exact")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val exchanges = exchangeCount(p)
     // one hash exchange for the groupBy; the final orderBy adds a range
     // exchange — anything more means a redundant shuffle crept in
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
@@ -114,7 +123,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q68/q69 curation projections are map-only: no exchange before the output sort") {
     for (name <- Seq("q68_markup_strip", "q69_gopher_rules")) {
       val p = q(name)
-      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      val exchanges = exchangeCount(p)
       // the only exchange allowed is the final orderBy's range partition
       assert(exchanges <= 1, s"$name grew a shuffle:\n$p")
     }
@@ -159,7 +168,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q76 SCD2: lag, change-filter, and lead all ride ONE user_id shuffle") {
     val p = q("q76_scd2_history")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val exchanges = exchangeCount(p)
     // one hash exchange on user_id shared by both windows + the final
     // orderBy range exchange — a second hash exchange means the lead
     // window re-shuffled what the lag window already partitioned
@@ -175,7 +184,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q78 running totals: one window shuffle, frame inside codegen-adjacent Window") {
     val p = q("q78_running_totals")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val exchanges = exchangeCount(p)
     assert(exchanges <= 2, s"running total grew a shuffle:\n$p")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       s"cumulative frame lost:\n$p")
@@ -197,6 +206,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = q("q81_fuzzy_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join degenerated to all-pairs:\n$p")
+  }
+
+  test("q83 funnel: all three stage windows ride ONE user_id exchange") {
+    val p = q("q83_funnel")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(hashEx == 1, s"funnel windows must share one user shuffle:\n$p")
   }
 
   test("events loader: partition pruning survives the NTZ conversion") {
