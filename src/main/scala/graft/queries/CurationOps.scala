@@ -268,8 +268,9 @@ object CurationOps {
         "sampling is bit-reproducible; the picked set is stable under " +
         "re-runs and cluster size (hash-derived, not random()). Shape: " +
         "one tiny per-lang agg broadcast back over the corpus — a " +
-        "map-only keep decision at any scale. The long-arithmetic " +
-        "headroom (w·T·10^6 < 2^63) holds to corpora of ~10^10 docs; " +
+        "map-only keep decision at any scale. The division is staged " +
+        "((w·10^6 div Σw, ≤10^6) before ·T div c) so the largest " +
+        "intermediate is 10^6·T: long headroom to ~1.8·10^13 docs; " +
         "beyond that the same plan runs in DECIMAL(38).",
       Some(s"""
         WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
@@ -278,7 +279,7 @@ object CurationOps {
               FROM c),
         tot AS (SELECT SUM(n_docs)::BIGINT AS n, SUM(wgt)::BIGINT AS sw FROM w),
         r AS (SELECT lang, n_docs, wgt,
-                     LEAST(1000000, (wgt * (n // 2) * 1000000) // (sw * n_docs))
+                     LEAST(1000000, ((wgt * 1000000) // sw) * (n // 2) // n_docs)
                        AS accept_ppm
               FROM w, tot)
         SELECT d.lang, ANY_VALUE(r.n_docs) AS n_docs,
@@ -296,7 +297,7 @@ object CurationOps {
       val rates = c.crossJoin(broadcast(tot))
         .withColumn("accept_ppm",
           least(lit(1000000L),
-            expr("(wgt * (n div 2) * 1000000) div (sw * n_docs)")))
+            expr("((wgt * 1000000) div sw) * (n div 2) div n_docs")))
         .select(col("lang"), col("n_docs"), col("wgt"), col("accept_ppm"))
       docs.join(broadcast(rates), Seq("lang")) // bounded: one row per language
         .groupBy(col("lang"))

@@ -70,24 +70,30 @@ object RelOps {
         chg0.filter(col("key") % 101 === 0)
           .select((col("key") + 1000000L).as("key"), col("delta_cents"),
             lit("I").as("op")))
+      // keys stay DISTINCT columns (s_key/c_key + explicit condition, not
+      // a USING join): matched-vs-unmatched must be decided on the KEY
+      // like the oracle does — a proxy like "bal_cents IS NULL" would
+      // misclassify a matched row whose balance happens to be NULL as an
+      // insert (cross-engine divergence + wrong MERGE branch)
       val snap = Tables.customer(s, dir).select(
-        col("c_custkey").as("key"),
+        col("c_custkey").as("s_key"),
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
         col("c_mktsegment").as("segment"))
-      snap.as("s").join(chg.as("c"), Seq("key"), "full_outer")
+      val chgK = chg.select(col("key").as("c_key"), col("delta_cents"), col("op"))
+      snap.join(chgK, col("s_key") === col("c_key"), "full_outer")
         // null op (no change row) must survive: an un-guarded !(op === "D")
         // evaluates to NULL on kept rows and the filter would drop them
-        .filter(col("c.op").isNull || col("c.op") =!= "D")
+        .filter(col("op").isNull || col("op") =!= "D")
         .select(
-          col("key"),
-          when(col("c.op").isNull, lit("kept"))
-            .when(col("s.bal_cents").isNull, lit("inserted"))
+          coalesce(col("s_key"), col("c_key")).as("key"),
+          when(col("op").isNull, lit("kept"))
+            .when(col("s_key").isNull, lit("inserted"))
             .otherwise(lit("updated")).as("action"),
-          round((when(col("c.op").isNull, col("s.bal_cents"))
-            .when(col("s.bal_cents").isNull, col("c.delta_cents"))
-            .otherwise(col("s.bal_cents") + col("c.delta_cents")))
+          round((when(col("op").isNull, col("bal_cents"))
+            .when(col("s_key").isNull, col("delta_cents"))
+            .otherwise(col("bal_cents") + col("delta_cents")))
             .cast("double") / 100, 2).as("balance"),
-          coalesce(col("s.segment"), lit("NEW")).as("segment"))
+          coalesce(col("segment"), lit("NEW")).as("segment"))
         .orderBy("key")
     },
 

@@ -13,11 +13,7 @@ class FunnelSpec extends SparkSpec {
 
   test("q83: order-respecting stages — pre-view clicks don't advance the funnel") {
     val dir = Files.createTempDirectory("funnel").toString
-    val evSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType), // raw nanos
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    def ns(s: String): Long = Timestamp.valueOf(s).getTime * 1000000L
+    import EventLake.ns
     var id = 0L
     def ev(u: Long, t: String, ty: String): Row = { id += 1; Row(id, ns(t), u, ty, 0.0, "{}") }
     val rows = Seq(
@@ -38,7 +34,7 @@ class FunnelSpec extends SparkSpec {
       ev(5, "2024-01-01 12:00:00", "view"),
       ev(5, "2024-01-01 12:00:00", "click"),
       ev(5, "2024-01-01 12:00:00", "purchase"))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), evSchema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), EventLake.schema)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = Registry.byName("q83_funnel").fn(spark, dir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap

@@ -28,8 +28,9 @@ class MixDedupSpec extends SparkSpec {
     "downsamples the dominant one, all-integer rates") {
     // 900 en + 100 zh docs. w_en = floor(sqrt(9e8)) = 30000,
     // w_zh = floor(sqrt(1e8)) = 10000, S = 40000, T = 1000 div 2 = 500.
-    // ppm_en = (30000*500*1e6) div (40000*900) = 416666
-    // ppm_zh = (10000*500*1e6) div (40000*100) = 1250000 -> capped 1e6
+    // Staged division (overflow-safe order):
+    // ppm_en = (30000*1e6 div 40000) * 500 div 900 = 750000*500 div 900 = 416666
+    // ppm_zh = (10000*1e6 div 40000) * 500 div 100 = 1250000 -> capped 1e6
     val dir = docLake(
       (1L to 900L).map(i => (i, s"en doc $i", "en", "src0")) ++
         (1001L to 1100L).map(i => (i, s"zh doc $i", "zh", "src0")))

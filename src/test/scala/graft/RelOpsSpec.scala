@@ -37,30 +37,33 @@ class RelOpsSpec extends SparkSpec {
       Row(1L, "c1", 0, 100.00, "SEG"),   // has orders -> updated
       Row(5L, "c5", 0, 50.00, "SEG"),    // no orders -> kept
       Row(97L, "c97", 0, 70.00, "SEG"),  // 97 % 97 == 0 -> deleted
-      Row(202L, "c202", 0, 10.00, "SEG"))) // 202 % 101 == 0 -> updated + spawns insert
+      Row(202L, "c202", 0, 10.00, "SEG"), // 202 % 101 == 0 -> updated + spawns insert
+      Row(3L, "c3", 0, null, "SEG")))    // NULL balance but MATCHED -> still an update
     write(dir, "orders", ordSchema, Seq(
       Row(11L, 1L, "O", 25.50, day("1995-01-01"), "1-URGENT"),
       Row(12L, 1L, "O", 10.00, day("1995-01-02"), "1-URGENT"),
       Row(13L, 97L, "O", 99.99, day("1995-01-03"), "1-URGENT"),
-      Row(14L, 202L, "O", 5.25, day("1995-01-04"), "1-URGENT")))
+      Row(14L, 202L, "O", 5.25, day("1995-01-04"), "1-URGENT"),
+      Row(15L, 3L, "O", 1.00, day("1995-01-05"), "1-URGENT")))
     val out = Registry.byName("q75_merge_upsert").fn(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
-    assert(out(1L) == (("updated", 135.50, "SEG")))   // 100 + 25.50 + 10
-    assert(out(5L) == (("kept", 50.00, "SEG")))
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))).toMap
+    assert(out(1L) == (("updated", Some(135.50), "SEG")))   // 100 + 25.50 + 10
+    assert(out(5L) == (("kept", Some(50.00), "SEG")))
     assert(!out.contains(97L), "matched delete must remove the row")
-    assert(out(202L) == (("updated", 15.25, "SEG")))
-    assert(out(1000202L) == (("inserted", 5.25, "NEW")))
-    assert(out.size == 4)
+    assert(out(202L) == (("updated", Some(15.25), "SEG")))
+    assert(out(1000202L) == (("inserted", Some(5.25), "NEW")))
+    // matched row with NULL balance: the branch must key off the JOIN KEY,
+    // not a null-balance proxy — action is updated (NULL + delta = NULL),
+    // segment comes from the snapshot, not 'NEW'
+    assert(out(3L) == (("updated", None, "SEG")))
+    assert(out.size == 5)
   }
 
   test("q76: consecutive duplicate states compress; same-second tie breaks on event_id") {
     val dir = lake()
-    val evSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType), // raw nanos
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    def ns(s: String): Long = Timestamp.valueOf(s).getTime * 1000000L
-    write(dir, "events", evSchema, Seq(
+    import EventLake.ns
+    write(dir, "events", EventLake.schema, Seq(
       Row(1L, ns("2024-01-01 10:00:00"), 7L, "A", 0.0, "{}"),
       Row(2L, ns("2024-01-01 10:01:00"), 7L, "A", 0.0, "{}"), // dup state -> compressed
       Row(3L, ns("2024-01-01 10:02:00"), 7L, "B", 0.0, "{}"),
