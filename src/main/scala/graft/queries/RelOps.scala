@@ -18,6 +18,54 @@ import H._
   */
 object RelOps {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Customer snapshot in MERGE shape: (s_key, bal_cents, segment). */
+  private def mergeSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("s_key"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+      col("c_mktsegment").as("segment"))
+
+  /** Deterministic CDC changelog derived from orders:
+    * (c_key, delta_cents, op∈{U,D,I}) — per-customer spend delta, keys
+    * ≡0 mod 97 delete, keys ≡0 mod 101 also spawn inserted customers. */
+  private def mergeChangelog(s: SparkSession, dir: String): DataFrame = {
+    val chg0 = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(centsSum(col("o_totalprice")).as("delta_cents"))
+      .withColumn("op",
+        when(col("key") % 97 === 0, lit("D")).otherwise(lit("U")))
+    chg0.unionByName(
+        chg0.filter(col("key") % 101 === 0)
+          .select((col("key") + 1000000L).as("key"), col("delta_cents"),
+            lit("I").as("op")))
+      .select(col("key").as("c_key"), col("delta_cents"), col("op"))
+  }
+
+  /** The MERGE core, shared by the batch apply (q75) and the streaming
+    * foreachBatch apply (q84): one full-outer join on the key, four
+    * branches. Keys stay DISTINCT columns (s_key/c_key + explicit
+    * condition, not a USING join): matched-vs-unmatched must be decided
+    * on the KEY like the oracle does — a proxy like "bal_cents IS NULL"
+    * would misclassify a matched row whose balance happens to be NULL
+    * as an insert (cross-engine divergence + wrong MERGE branch).
+    * Output: (key, action, bal_cents, segment). */
+  private def applyChanges(snap: DataFrame, chg: DataFrame): DataFrame =
+    snap.join(chg, col("s_key") === col("c_key"), "full_outer")
+      // null op (no change row) must survive: an un-guarded !(op === "D")
+      // evaluates to NULL on kept rows and the filter would drop them
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("s_key"), col("c_key")).as("key"),
+        when(col("op").isNull, lit("kept"))
+          .when(col("s_key").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"),
+        (when(col("op").isNull, col("bal_cents"))
+          .when(col("s_key").isNull, col("delta_cents"))
+          .otherwise(col("bal_cents") + col("delta_cents"))).as("bal_cents"),
+        coalesce(col("segment"), lit("NEW")).as("segment"))
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------- CDC MERGE / upsert
@@ -61,39 +109,10 @@ object RelOps {
         FROM snap s FULL OUTER JOIN chg c ON s.key = c.key
         WHERE c.op IS NULL OR c.op <> 'D'
         ORDER BY key""")) { (s, dir) =>
-      val chg0 = Tables.orders(s, dir)
-        .groupBy(col("o_custkey").as("key"))
-        .agg(centsSum(col("o_totalprice")).as("delta_cents"))
-        .withColumn("op",
-          when(col("key") % 97 === 0, lit("D")).otherwise(lit("U")))
-      val chg = chg0.unionByName(
-        chg0.filter(col("key") % 101 === 0)
-          .select((col("key") + 1000000L).as("key"), col("delta_cents"),
-            lit("I").as("op")))
-      // keys stay DISTINCT columns (s_key/c_key + explicit condition, not
-      // a USING join): matched-vs-unmatched must be decided on the KEY
-      // like the oracle does — a proxy like "bal_cents IS NULL" would
-      // misclassify a matched row whose balance happens to be NULL as an
-      // insert (cross-engine divergence + wrong MERGE branch)
-      val snap = Tables.customer(s, dir).select(
-        col("c_custkey").as("s_key"),
-        round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
-        col("c_mktsegment").as("segment"))
-      val chgK = chg.select(col("key").as("c_key"), col("delta_cents"), col("op"))
-      snap.join(chgK, col("s_key") === col("c_key"), "full_outer")
-        // null op (no change row) must survive: an un-guarded !(op === "D")
-        // evaluates to NULL on kept rows and the filter would drop them
-        .filter(col("op").isNull || col("op") =!= "D")
-        .select(
-          coalesce(col("s_key"), col("c_key")).as("key"),
-          when(col("op").isNull, lit("kept"))
-            .when(col("s_key").isNull, lit("inserted"))
-            .otherwise(lit("updated")).as("action"),
-          round((when(col("op").isNull, col("bal_cents"))
-            .when(col("s_key").isNull, col("delta_cents"))
-            .otherwise(col("bal_cents") + col("delta_cents")))
-            .cast("double") / 100, 2).as("balance"),
-          coalesce(col("segment"), lit("NEW")).as("segment"))
+      applyChanges(mergeSnapshot(s, dir), mergeChangelog(s, dir))
+        .select(col("key"), col("action"),
+          round(col("bal_cents").cast("double") / 100, 2).as("balance"),
+          col("segment"))
         .orderBy("key")
     },
 
@@ -207,6 +226,81 @@ object RelOps {
           round(sum(round(col("o_totalprice") * 100).cast("long")).over(w)
             .cast("double") / 100, 2).as("cum_revenue"))
         .orderBy("o_custkey", "order_seq")
+    },
+
+    // --------------------------------------------- streaming MERGE (CDC)
+    Q("q84_stream_merge",
+      "Incremental CDC apply — q75's MERGE driven through Structured " +
+        "Streaming: the changelog arrives as a file stream (1 file per " +
+        "micro-batch), and foreachBatch applies the SAME applyChanges " +
+        "core to a parquet snapshot, ping-pong-swapping snapshot dirs " +
+        "(read the current, write the next — never overwrite what a " +
+        "lazy plan may still be reading). The changelog keys are " +
+        "disjoint across batches, so the final state is split-invariant " +
+        "and must hash-match the one-shot batch MERGE — which is " +
+        "exactly the q75 oracle minus the per-batch action audit. This " +
+        "is the lakehouse streaming-upsert pattern (foreachBatch + " +
+        "MERGE INTO) with the table format replaced by explicit " +
+        "snapshot versions.",
+      Some(s"""
+        WITH chg0 AS (
+          SELECT o_custkey AS key,
+                 ${oCentsSum("o_totalprice")} AS delta_cents,
+                 CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM orders GROUP BY 1),
+        chg AS (
+          SELECT key, delta_cents, op FROM chg0
+          UNION ALL
+          SELECT key + 1000000, delta_cents, 'I' FROM chg0 WHERE key % 101 = 0),
+        snap AS (
+          SELECT c_custkey AS key,
+                 CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents,
+                 c_mktsegment AS segment
+          FROM customer)
+        SELECT COALESCE(s.key, c.key) AS key,
+               ROUND(CAST(CASE WHEN c.op IS NULL THEN s.bal_cents
+                               WHEN s.key IS NULL THEN c.delta_cents
+                               ELSE s.bal_cents + c.delta_cents
+                          END AS DOUBLE)/100, 2) AS balance,
+               COALESCE(s.segment, 'NEW') AS segment
+        FROM snap s FULL OUTER JOIN chg c ON s.key = c.key
+        WHERE c.op IS NULL OR c.op <> 'D'
+        ORDER BY key""")) { (s, dir) =>
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("stream_merge")
+      val srcDir = tmp.resolve("src").toString
+      val snapA = tmp.resolve("snapA").toString
+      val snapB = tmp.resolve("snapB").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val chg = mergeChangelog(s, dir)
+      mergeSnapshot(s, dir).write.mode("overwrite").parquet(snapA)
+      // two changelog files -> two deterministic micro-batches
+      chg.filter(pmod(col("c_key"), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      chg.filter(pmod(col("c_key"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.shuffle.partitions" -> "8")
+      val cur = new java.util.concurrent.atomic.AtomicReference((snapA, snapB))
+      val stream = sc.readStream.schema(chg.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val (from, to) = cur.get()
+          val snap = batch.sparkSession.read.parquet(from)
+          applyChanges(snap, batch)
+            .select(col("key").as("s_key"), col("bal_cents"), col("segment"))
+            .write.mode("overwrite").parquet(to) // eager: completes before swap
+          cur.set((to, from))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(cur.get()._1)
+        .select(col("s_key").as("key"),
+          round(col("bal_cents").cast("double") / 100, 2).as("balance"),
+          col("segment"))
+        .orderBy("key")
     }
   )
 }
