@@ -296,7 +296,19 @@ object RelOps {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(cur.get()._1)
+      // the FINAL snapshot dir must outlive the returned lazy frame;
+      // everything else (source files, checkpoint, the superseded
+      // snapshot version) is deleted here — a fresh temp tree per call
+      // would otherwise leak one table copy per bench/verify execution
+      val (finalSnap, stale) = cur.get()
+      Seq(srcDir, ckpt, stale).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(d)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+      }
+      s.read.parquet(finalSnap)
         .select(col("s_key").as("key"),
           round(col("bal_cents").cast("double") / 100, 2).as("balance"),
           col("segment"))
