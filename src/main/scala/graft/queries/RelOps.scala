@@ -266,49 +266,55 @@ object RelOps {
         FROM snap s FULL OUTER JOIN chg c ON s.key = c.key
         WHERE c.op IS NULL OR c.op <> 'D'
         ORDER BY key""")) { (s, dir) =>
-      import java.nio.file.Files
-      val tmp = Files.createTempDirectory("stream_merge")
+      import graft.core.Fs
+      // FIXED scratch root, cleared at entry: bounds /tmp growth at one
+      // surviving snapshot copy across any number of runs (the q38/q82
+      // rule). Contract: a new q84 invocation invalidates the lazy frame
+      // a PREVIOUS invocation returned — fine for the sequential
+      // Verify/Bench drivers this gate serves.
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_merge")
+      Fs.deleteRecursively(tmp)
       val srcDir = tmp.resolve("src").toString
       val snapA = tmp.resolve("snapA").toString
       val snapB = tmp.resolve("snapB").toString
       val ckpt = tmp.resolve("ckpt").toString
-      val chg = mergeChangelog(s, dir)
-      mergeSnapshot(s, dir).write.mode("overwrite").parquet(snapA)
-      // two changelog files -> two deterministic micro-batches
-      chg.filter(pmod(col("c_key"), lit(2)) === 0)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      chg.filter(pmod(col("c_key"), lit(2)) === 1)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      val sc = graft.core.Sessions.scoped(s,
-        "spark.sql.shuffle.partitions" -> "8")
       val cur = new java.util.concurrent.atomic.AtomicReference((snapA, snapB))
-      val stream = sc.readStream.schema(chg.schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val q = stream.writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val (from, to) = cur.get()
-          val snap = batch.sparkSession.read.parquet(from)
-          applyChanges(snap, batch)
-            .select(col("key").as("s_key"), col("bal_cents"), col("segment"))
-            .write.mode("overwrite").parquet(to) // eager: completes before swap
-          cur.set((to, from))
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      // the FINAL snapshot dir must outlive the returned lazy frame;
-      // everything else (source files, checkpoint, the superseded
-      // snapshot version) is deleted here — a fresh temp tree per call
-      // would otherwise leak one table copy per bench/verify execution
-      val (finalSnap, stale) = cur.get()
-      Seq(srcDir, ckpt, stale).foreach { d =>
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(d)
-        if (Files.exists(root))
-          Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
+      try {
+        // persist: the changelog plan (orders scan -> agg -> union) feeds
+        // BOTH file writes below — unpersisted it would execute twice
+        val chg = mergeChangelog(s, dir).persist()
+        try {
+          mergeSnapshot(s, dir).write.mode("overwrite").parquet(snapA)
+          // two changelog files -> two deterministic micro-batches
+          chg.filter(pmod(col("c_key"), lit(2)) === 0)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          chg.filter(pmod(col("c_key"), lit(2)) === 1)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val sc = graft.core.Sessions.scoped(s,
+            "spark.sql.shuffle.partitions" -> "8")
+          val stream = sc.readStream.schema(chg.schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          val q = stream.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val (from, to) = cur.get()
+              val snap = batch.sparkSession.read.parquet(from)
+              applyChanges(snap, batch)
+                .select(col("key").as("s_key"), col("bal_cents"), col("segment"))
+                .write.mode("overwrite").parquet(to) // eager: completes before swap
+              cur.set((to, from))
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally chg.unpersist()
+        // success: drop everything but the final snapshot (which the
+        // returned lazy frame reads)
+        Seq(srcDir, ckpt, cur.get()._2).foreach(Fs.deleteRecursively)
+      } catch {
+        case t: Throwable => Fs.deleteRecursively(tmp); throw t
       }
-      s.read.parquet(finalSnap)
+      s.read.parquet(cur.get()._1)
         .select(col("s_key").as("key"),
           round(col("bal_cents").cast("double") / 100, 2).as("balance"),
           col("segment"))

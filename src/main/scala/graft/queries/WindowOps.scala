@@ -44,11 +44,7 @@ object WindowOps {
     source.coalesce(4).write.mode("overwrite").parquet(srcDir)
     val sc = graft.core.Sessions.scoped(s, "spark.sql.shuffle.partitions" -> "8")
     try drive(sc, srcDir, outDir, ckptDir)
-    finally Seq(srcDir, ckptDir).foreach { d =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
-        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    finally Seq(srcDir, ckptDir).foreach(graft.core.Fs.deleteRecursively)
     s.read.parquet(outDir)
   }
 

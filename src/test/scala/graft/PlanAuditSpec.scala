@@ -215,6 +215,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"funnel windows must share one user shuffle:\n$p")
   }
 
+  test("q85 graph rank: the distinct edge list is computed once and reused across supersteps") {
+    val p = q("q85_graph_rank")
+    assert(p.contains("ReusedExchange"),
+      s"edge-list exchange reuse lost — each superstep would recompute the distinct:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"supersteps must stay equi-joins:\n$p")
+  }
+
   test("events loader: partition pruning survives the NTZ conversion") {
     val p = planOf(Tables.events(session, dir).filter(col("event_type") === "click"))
     assert(p.linesIterator.exists(l =>
