@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Fs, Tables}
+import H._
+
+/** Lake-maintenance operators: file compaction and Z-order clustering —
+  * the OPTIMIZE half of the lakehouse story next to RelOps' MERGE/SCD2.
+  * Neither changes table CONTENT, so both gates hash-match aggregates of
+  * the ORIGINAL parquet through the rewritten layout; the layout claims
+  * themselves (bounded file sizes, non-overlapping ranges, per-bucket
+  * dimension spans) are machine-checked in LakeOpsSpec.
+  */
+object LakeOps {
+
+  private def shim(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.column(e)
+  private def ex(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftshim.expression(c)
+
+  val all: Seq[Q] = Seq(
+
+    // --------------------------------------------------- file compaction
+    Q("q86_compaction",
+      "Small-file compaction (the lakehouse OPTIMIZE): rewrite lineitem " +
+        "into range-partitioned files sorted by (shipdate, orderkey, " +
+        "linenumber) with a max-records cap — at 100 TB this is the " +
+        "nightly job that turns streaming micro-batch litter into " +
+        "scan-efficient, min/max-prunable files, and repartitionByRange " +
+        "+ sortWithinPartitions + maxRecordsPerFile is exactly its " +
+        "Spark plan (one skew-aware range exchange, no global sort). " +
+        "The gate re-reads the rewritten table and hash-matches " +
+        "aggregates against the ORIGINAL parquet — compaction must be " +
+        "a pure layout change. File-level invariants (record cap, " +
+        "non-overlapping sort ranges) are asserted in LakeOpsSpec.",
+      Some(s"""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+               ${oMoneySum("l_extendedprice")} AS revenue,
+               MIN(l_shipdate::TIMESTAMP) AS first_ship,
+               MAX(l_shipdate::TIMESTAMP) AS last_ship
+        FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_compaction")
+      Fs.deleteRecursively(tmp) // fixed scratch root, one copy ever (q38/q82 rule)
+      Tables.lineitem(s, dir)
+        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+        .write.option("maxRecordsPerFile", 100000)
+        .mode("overwrite").parquet(tmp.toString)
+      s.read.parquet(tmp.toString)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy("l_returnflag")
+    },
+
+    // -------------------------------------------------- Z-order clustering
+    Q("q87_zorder",
+      "Z-order (Morton) clustering key via the native InterleaveBits " +
+        "expression (codegen'd): interleaving the low bits of partkey " +
+        "and suppkey gives a single range-partitionable key under which " +
+        "every file/bucket has a BOUNDED min/max span in BOTH source " +
+        "dimensions — the OPTIMIZE ZORDER layout that makes parquet " +
+        "row-group pruning work for predicates on either column. The " +
+        "gate buckets the z-space (64 buckets = top 3 bits of each " +
+        "dimension) and emits per-bucket spans: the oracle replays the " +
+        "interleave bit-for-bit with shift arithmetic, and the spans " +
+        "THEMSELVES prove the locality claim (each dimension confined " +
+        "to a 32-value window per bucket, vs 256 unclustered).",
+      Some("""
+        WITH t AS (SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem),
+        z AS (SELECT a, b,
+                     list_sum(list_transform(range(16), i ->
+                       (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1))))::BIGINT AS z
+              FROM t)
+        SELECT z // 1024 AS bucket, COUNT(*) AS n,
+               MIN(a) AS a_lo, MAX(a) AS a_hi,
+               MIN(b) AS b_lo, MAX(b) AS b_hi
+        FROM z GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val withZ = Tables.lineitem(s, dir)
+        .select((col("l_partkey") % 256).as("a"), (col("l_suppkey") % 256).as("b"))
+        .withColumn("z", shim(graft.expr.InterleaveBits(ex(col("a")), ex(col("b")))))
+      withZ
+        .groupBy(expr("z div 1024").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("a_lo"), max(col("a")).as("a_hi"),
+          min(col("b")).as("b_lo"), max(col("b")).as("b_hi"))
+        .orderBy("bucket")
+    }
+  )
+}

@@ -6,7 +6,8 @@ object Registry {
   lazy val all: Seq[Q] =
     RefParity.all ++ EtlOps.all ++ LlmOps.all ++ CorpusOps.all ++
       CurationOps.all ++ EmbedOps.all ++ WindowOps.all ++ JoinOps.all ++
-      IoOps.all ++ MultimodalOps.all ++ RelOps.all ++ GraphOps.all
+      IoOps.all ++ MultimodalOps.all ++ RelOps.all ++ GraphOps.all ++
+      LakeOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

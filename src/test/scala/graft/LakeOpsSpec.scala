@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Layout invariants for the lake-maintenance operators — the oracle gate
+  * proves content preservation; these prove the LAYOUT claims: record
+  * caps and non-overlapping sort ranges for compaction (q86), bit
+  * semantics and per-bucket dimension confinement for Z-order (q87). */
+class LakeOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q86: rewritten files respect the record cap and have non-overlapping ship ranges") {
+    Registry.byName("q86_compaction").fn(spark, dir).collect() // runs the rewrite
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_compaction").toString
+    val files = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        // NTZ timestamps collect as LocalDateTime; epoch-second longs
+        // keep the range comparison type-stable
+        min(unix_timestamp(col("l_shipdate").cast("timestamp"))).as("lo"),
+        max(unix_timestamp(col("l_shipdate").cast("timestamp"))).as("hi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    assert(files.length > 1, "range partitioning should produce several files")
+    assert(files.forall(_._1 <= 100000L), "maxRecordsPerFile violated")
+    // range partitioning on (shipdate, orderkey, linenumber): consecutive
+    // files may only touch at an exact boundary date, never overlap past it
+    files.sliding(2).foreach { case Array((_, _, hiPrev), (_, loNext, _)) =>
+      assert(loNext >= hiPrev,
+        s"file ranges overlap: next starts $loNext before previous ends $hiPrev")
+    }
+  }
+
+  test("q87: InterleaveBits semantics and per-bucket dimension confinement") {
+    // unit semantics: a=0b101 -> bits 0,4 set; b=0b011 -> bits 1,3 set
+    assert(graft.expr.InterleaveBits.compute(5L, 3L) == 27L)
+    assert(graft.expr.InterleaveBits.compute(0L, 0L) == 0L)
+    assert(graft.expr.InterleaveBits.compute(65535L, 0L) == 0x55555555L)
+    assert(graft.expr.InterleaveBits.compute(0L, 65535L) == 0xAAAAAAAAL)
+    // locality: bucket = top 3 bits of each dimension -> every bucket
+    // confines both dimensions to a 32-value window (vs 256 unclustered)
+    val rows = Registry.byName("q87_zorder").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 31L, s"a span too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 31L, s"b span too wide: $r")
+    }
+  }
+}
