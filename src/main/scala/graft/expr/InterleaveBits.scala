@@ -20,6 +20,18 @@ case class InterleaveBits(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "interleave_bits"
 
+  // LongType children ONLY: codegen would silently widen a Java int while
+  // the interpreted nullSafeEval (constant folding, codegen fallback)
+  // would ClassCastException — reject the mismatch at analysis instead
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"interleave_bits needs two BIGINT children, got " +
+          s"(${left.dataType}, ${right.dataType})")
+
   override def nullSafeEval(a: Any, b: Any): Any =
     InterleaveBits.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])
 

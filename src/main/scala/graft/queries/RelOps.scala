@@ -312,7 +312,13 @@ object RelOps {
         // returned lazy frame reads)
         Seq(srcDir, ckpt, cur.get()._2).foreach(Fs.deleteRecursively)
       } catch {
-        case t: Throwable => Fs.deleteRecursively(tmp); throw t
+        case t: Throwable =>
+          // best-effort cleanup must never REPLACE the root cause: a
+          // concurrently-torn-down _temporary dir can make the walk
+          // throw, which would mask the streaming error
+          try Fs.deleteRecursively(tmp)
+          catch { case c: Throwable => t.addSuppressed(c) }
+          throw t
       }
       s.read.parquet(cur.get()._1)
         .select(col("s_key").as("key"),

@@ -24,7 +24,10 @@ class LakeOpsSpec extends SparkSpec {
         max(unix_timestamp(col("l_shipdate").cast("timestamp"))).as("hi"))
       .collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_._2)
+      // sort by (lo, hi): files sharing a boundary lo otherwise order
+      // arbitrarily and a (lo=X,hi=Z) before (lo=X,hi=X) pair would
+      // false-fail the non-overlap check
+      .sortBy(f => (f._2, f._3))
     assert(files.length > 1, "range partitioning should produce several files")
     assert(files.forall(_._1 <= 100000L), "maxRecordsPerFile violated")
     // range partitioning on (shipdate, orderkey, linenumber): consecutive
