@@ -198,6 +198,36 @@ object RelOps {
         .orderBy("gid", "returnflag", "linestatus")
     },
 
+    // ------------------------------------------------------- CUBE report
+    Q("q88_cube_report",
+      "CUBE (l_returnflag, l_linestatus): all four grouping-set levels — " +
+        "detail, each single-dimension subtotal, grand total — from the " +
+        "same one-pass Expand+aggregate dataflow as q77's ROLLUP (4 " +
+        "Expand rows per input instead of 3; still one scan, one " +
+        "shuffle). gid bitmask: 0 detail, 1 status rolled, 2 flag " +
+        "rolled, 3 grand.",
+      Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               ${oMoneySum("l_extendedprice")} AS revenue
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, returnflag, linestatus""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("revenue"))
+        .orderBy("gid", "returnflag", "linestatus")
+    },
+
     // --------------------------------------------- per-entity running totals
     Q("q78_running_totals",
       "Per-customer cumulative order revenue and order sequence number " +
