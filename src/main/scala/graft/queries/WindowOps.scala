@@ -381,6 +381,87 @@ object WindowOps {
           sum(when(col("tp").isNotNull, secs(col("tp")) - secs(col("tv"))))
             .as("total_latency_s"))
         .orderBy("stage")
+    },
+
+    // -------------------------------------------------- retention cohorts
+    Q("q89_retention_cohorts",
+      "Weekly retention cohorts (the product-analytics staple): each " +
+        "user's cohort is the Monday-truncated week of their FIRST " +
+        "event; retention at offset k counts distinct cohort users " +
+        "active k weeks later. Shape: one agg for first-seen, one " +
+        "distinct (user, week) activity table, one broadcastable join " +
+        "back on user, one final (cohort, offset) hash-agg — the " +
+        "corpus is touched twice and never sorted globally. Offsets " +
+        "stay integer (epoch div 7-day weeks on week-truncated " +
+        "timestamps — exact), and both engines truncate weeks to " +
+        "Monday.",
+      Some("""
+        WITH f AS (SELECT user_id,
+                          date_trunc('week', MIN(ts)::TIMESTAMP)::TIMESTAMP AS cohort
+                   FROM events GROUP BY 1),
+        a AS (SELECT DISTINCT user_id,
+                     date_trunc('week', ts::TIMESTAMP)::TIMESTAMP AS wk
+              FROM events)
+        SELECT f.cohort AS cohort_week,
+               ((epoch(a.wk)::BIGINT - epoch(f.cohort)::BIGINT) // 604800)
+                 AS offset_weeks,
+               COUNT(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      active.join(first, "user_id")
+        .groupBy(col("cohort").as("cohort_week"),
+          ((col("wk").cast("timestamp").cast("long") -
+            col("cohort").cast("timestamp").cast("long")) / 604800L)
+            .cast("long").as("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    },
+
+    // ---------------------------------------------- time-weighted average
+    Q("q90_time_weighted_avg",
+      "Interval-weighted mean value per user (the telemetry/billing " +
+        "aggregate where a reading holds until the next one): each " +
+        "event's value is weighted by the seconds until the user's next " +
+        "event (lead window; the open last interval is excluded). The " +
+        "lead window and the final per-user agg share ONE user_id " +
+        "shuffle; weights are integer cents x integer seconds, so " +
+        "accumulation is exact at any depth and the only float is the " +
+        "final guarded division.",
+      Some("""
+        WITH e AS (SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS tss,
+                          CAST(ROUND(value*100) AS BIGINT) AS cents,
+                          event_id
+                   FROM events),
+        i AS (SELECT user_id, cents,
+                     epoch(LEAD(tss) OVER w)::BIGINT - epoch(tss)::BIGINT AS dur_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id))
+        SELECT user_id,
+               COUNT(dur_s) AS n_intervals,
+               SUM(dur_s)::BIGINT AS total_s,
+               CASE WHEN SUM(dur_s) > 0
+                    THEN ROUND(CAST(SUM(cents * dur_s) AS DOUBLE)
+                               / SUM(dur_s) / 100, 4) END AS twa
+        FROM i GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("tss"),
+          round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+        .withColumn("dur_s",
+          lead(col("tss"), 1).over(w).cast("timestamp").cast("long") -
+            col("tss").cast("timestamp").cast("long"))
+      e.groupBy("user_id")
+        .agg(count(col("dur_s")).as("n_intervals"),
+          sum(col("dur_s")).as("total_s"),
+          when(sum(col("dur_s")) > 0,
+            round(sum(col("cents") * col("dur_s")).cast("double") /
+              sum(col("dur_s")) / 100, 4)).as("twa"))
+        .orderBy("user_id")
     }
   )
 }
