@@ -258,6 +258,94 @@ object RelOps {
         .orderBy("o_custkey", "order_seq")
     },
 
+    // ---------------------------------------------------- table profiling
+    Q("q91_table_profile",
+      "ANALYZE-style table profiling in ONE pass: per-column row count, " +
+        "null count, exact distinct count, and min/max for a column set " +
+        "— count + three COUNT(DISTINCT)s compile to a single " +
+        "Expand-based aggregate (one scan, one shuffle round), then a " +
+        "stack() unpivot emits the per-column long format. Values are " +
+        "normalized to DOUBLE (cents for money, epoch seconds for " +
+        "dates — both exact below 2^53) so one uniform schema carries " +
+        "every column's stats.",
+      Some("""
+        SELECT 'o_custkey' AS column_name, COUNT(*) AS n,
+               COUNT(*) - COUNT(o_custkey) AS n_null,
+               COUNT(DISTINCT o_custkey) AS n_distinct,
+               MIN(o_custkey)::DOUBLE AS min_v, MAX(o_custkey)::DOUBLE AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+               COUNT(DISTINCT o_orderdate),
+               MIN(epoch(o_orderdate::TIMESTAMP))::DOUBLE,
+               MAX(epoch(o_orderdate::TIMESTAMP))::DOUBLE
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+               COUNT(DISTINCT CAST(ROUND(o_totalprice*100) AS BIGINT)),
+               ROUND(CAST(MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100, 2),
+               ROUND(CAST(MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100, 2)
+        FROM orders
+        ORDER BY 1""")) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"),
+        round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      o.agg(
+          count(lit(1)).as("n"),
+          cnt(col("o_custkey").isNull).as("null_k"),
+          countDistinct(col("o_custkey")).as("nd_k"),
+          min(col("o_custkey")).cast("double").as("min_k"),
+          max(col("o_custkey")).cast("double").as("max_k"),
+          cnt(col("o_epoch").isNull).as("null_d"),
+          countDistinct(col("o_epoch")).as("nd_d"),
+          min(col("o_epoch")).cast("double").as("min_d"),
+          max(col("o_epoch")).cast("double").as("max_d"),
+          cnt(col("o_cents").isNull).as("null_p"),
+          countDistinct(col("o_cents")).as("nd_p"),
+          round(min(col("o_cents")).cast("double") / 100, 2).as("min_p"),
+          round(max(col("o_cents")).cast("double") / 100, 2).as("max_p"))
+        .select(expr(
+          """stack(3,
+             'o_custkey',   n, null_k, nd_k, min_k, max_k,
+             'o_orderdate', n, null_d, nd_d, min_d, max_d,
+             'o_totalprice', n, null_p, nd_p, min_p, max_p)
+             AS (column_name, n, n_null, n_distinct, min_v, max_v)"""))
+        .orderBy("column_name")
+    },
+
+    // ------------------------------------------------------ ntile buckets
+    Q("q92_ntile_quartiles",
+      "Value quartiles per order priority via ntile(4): the standard " +
+        "equal-count bucket assignment (sizes differ by at most one, " +
+        "larger buckets first — identical rule both engines), made " +
+        "deterministic by the (cents, orderkey) tiebreak ordering. One " +
+        "shuffle on the priority key; per-bucket count and boundary " +
+        "values summarize the distribution.",
+      Some("""
+        WITH t AS (SELECT o_orderpriority AS priority,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+                          NTILE(4) OVER (PARTITION BY o_orderpriority
+                                         ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT),
+                                                  o_orderkey) AS q
+                   FROM orders)
+        SELECT priority, q::BIGINT AS quartile, COUNT(*) AS n,
+               ROUND(CAST(MIN(cents) AS DOUBLE)/100, 2) AS lo,
+               ROUND(CAST(MAX(cents) AS DOUBLE)/100, 2) AS hi
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val w = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+        .withColumn("q", ntile(4).over(w).cast("long"))
+        .groupBy(col("priority"), col("q").as("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("cents")).cast("double") / 100, 2).as("lo"),
+          round(max(col("cents")).cast("double") / 100, 2).as("hi"))
+        .orderBy("priority", "quartile")
+    },
+
     // --------------------------------------------- streaming MERGE (CDC)
     Q("q84_stream_merge",
       "Incremental CDC apply — q75's MERGE driven through Structured " +
