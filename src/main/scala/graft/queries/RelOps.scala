@@ -260,14 +260,15 @@ object RelOps {
 
     // ---------------------------------------------------- table profiling
     Q("q91_table_profile",
-      "ANALYZE-style table profiling in ONE pass: per-column row count, " +
+      "ANALYZE-style table profiling in ONE scan: per-column row count, " +
         "null count, exact distinct count, and min/max for a column set " +
-        "— count + three COUNT(DISTINCT)s compile to a single " +
-        "Expand-based aggregate (one scan, one shuffle round), then a " +
-        "stack() unpivot emits the per-column long format. Values are " +
-        "normalized to DOUBLE (cents for money, epoch seconds for " +
-        "dates — both exact below 2^53) so one uniform schema carries " +
-        "every column's stats.",
+        "— count + three COUNT(DISTINCT)s compile to one Expand-based " +
+        "two-stage aggregate (a hash exchange on the expanded distinct " +
+        "keys, then a single-row final — the scan is never repeated " +
+        "per column), then a stack() unpivot emits the per-column long " +
+        "format. Values are normalized to DOUBLE (cents for money, " +
+        "epoch seconds for dates — both exact below 2^53) so one " +
+        "uniform schema carries every column's stats.",
       Some("""
         SELECT 'o_custkey' AS column_name, COUNT(*) AS n,
                COUNT(*) - COUNT(o_custkey) AS n_null,

@@ -223,6 +223,35 @@ class PlanAuditSpec extends SparkSpec {
       s"supersteps must stay equi-joins:\n$p")
   }
 
+  test("q88 cube: same one-scan Expand dataflow as rollup") {
+    val p = q("q88_cube_report")
+    assert(p.contains("Expand"), s"cube must use Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"cube must scan once:\n$p")
+  }
+
+  test("q89 cohorts: the join back to first-seen is hash-based, corpus scanned twice at most") {
+    val p = q("q89_retention_cohorts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join degenerated:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 2,
+      s"cohort build must touch the corpus at most twice:\n$p")
+  }
+
+  test("q90 time-weighted avg: lead window and final agg share ONE user shuffle") {
+    val p = q("q90_time_weighted_avg")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(hashEx == 1, s"window and agg must share the user shuffle:\n$p")
+  }
+
+  test("q91 profile: multi-distinct lowers to Expand over ONE scan") {
+    val p = q("q91_table_profile")
+    assert(p.contains("Expand"), s"multi-distinct must Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"profile must scan once:\n$p")
+  }
+
   test("events loader: partition pruning survives the NTZ conversion") {
     val p = planOf(Tables.events(session, dir).filter(col("event_type") === "click"))
     assert(p.linesIterator.exists(l =>

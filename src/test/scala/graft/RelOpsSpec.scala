@@ -108,6 +108,64 @@ class RelOpsSpec extends SparkSpec {
     assert(out.size == 3 + 2 + 1, "3 detail + 2 subtotal + 1 grand")
   }
 
+  test("q88: cube emits all four grouping-set levels consistently") {
+    val dir = lake()
+    def li(flag: String, status: String, price: Double) =
+      Row(1L, 1L, 1L, 1, 1.0, price, 0.0, 0.0, flag, status, day("1995-06-01"))
+    write(dir, "lineitem", liSchema, Seq(
+      li("A", "F", 10.00), li("A", "O", 20.00), li("R", "F", 40.00)))
+    val out = Registry.byName("q88_cube_report").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("A", "F", 0L)) == ((1L, 10.00)))
+    assert(out(("A", "ALL", 1L)) == ((2L, 30.00)))   // status rolled
+    assert(out(("ALL", "F", 2L)) == ((2L, 50.00)))   // flag rolled — CUBE-only level
+    assert(out(("ALL", "ALL", 3L)) == ((3L, 70.00)))
+    assert(out.size == 3 + 2 + 2 + 1, "detail + flag subtotals + status subtotals + grand")
+  }
+
+  test("q90: zero-duration users yield NULL twa; interval weighting is exact") {
+    val dir = lake()
+    import EventLake.ns
+    write(dir, "events", EventLake.schema, Seq(
+      // u1: 2.00 for 10s, then 4.00 for 30s -> twa = (200*10+400*30)/40/100 = 3.50
+      Row(1L, ns("2024-01-01 10:00:00"), 1L, "view", 2.00, "{}"),
+      Row(2L, ns("2024-01-01 10:00:10"), 1L, "view", 4.00, "{}"),
+      Row(3L, ns("2024-01-01 10:00:40"), 1L, "view", 9.99, "{}"), // open interval: excluded
+      // u2: both events in the SAME truncated second -> SUM(dur)=0 -> NULL twa
+      Row(4L, ns("2024-01-01 11:00:00"), 2L, "view", 1.00, "{}"),
+      Row(5L, ns("2024-01-01 11:00:00"), 2L, "view", 5.00, "{}"),
+      // u3: single event -> no intervals -> NULL total and twa
+      Row(6L, ns("2024-01-01 12:00:00"), 3L, "view", 7.00, "{}")))
+    val out = Registry.byName("q90_time_weighted_avg").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) == ((2L, Some(40L), Some(3.50))))
+    assert(out(2L) == ((1L, Some(0L), None)), "zero total duration must not divide")
+    assert(out(3L) == ((0L, None, None)))
+  }
+
+  test("q89: cohort offsets stay integral across a year boundary") {
+    val dir = lake()
+    import EventLake.ns
+    write(dir, "events", EventLake.schema, Seq(
+      // first seen Mon 2023-12-25 week; active again week of Mon 2024-01-08 -> offset 2
+      Row(1L, ns("2023-12-27 10:00:00"), 1L, "view", 0.0, "{}"),
+      Row(2L, ns("2024-01-10 10:00:00"), 1L, "view", 0.0, "{}")))
+    val out = Registry.byName("q89_retention_cohorts").fn(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 1L, 2L -> 1L))
+  }
+
+  test("q92: a tie run at a quartile boundary splits deterministically by orderkey") {
+    val dir = lake()
+    // 5 equal-value orders -> ntile(4) buckets of sizes 2,1,1,1 in orderkey order
+    write(dir, "orders", ordSchema, (1L to 5L).map(k =>
+      Row(k, 1L, "O", 10.00, day("1995-01-01"), "P")))
+    val out = Registry.byName("q92_ntile_quartiles").fn(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("q78: per-customer cumulative revenue is exact and ordered by (date, orderkey)") {
     val dir = lake()
     write(dir, "orders", ordSchema, Seq(
