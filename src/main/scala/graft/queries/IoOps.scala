@@ -144,6 +144,49 @@ object IoOps {
         .orderBy("faixa")
     },
 
+    // --------------------------------------------- schema evolution read
+    Q("q93_schema_evolution",
+      "Schema-evolution interop: a lake table written in two generations " +
+        "(v1: key+balance; v2 adds the segment column) must read back as " +
+        "ONE frame with mergeSchema — v1 rows surface NULL for the new " +
+        "column, exactly the lakehouse add-column contract. The write " +
+        "path splits customer by key parity, so the oracle can replay " +
+        "the evolution from the ORIGINAL table: segment is NULLed for " +
+        "v1-parity rows. Aggregates prove both generations' rows " +
+        "survive with correct null semantics for the evolved column. " +
+        "At 100 TB this is why mergeSchema (or a table-format schema " +
+        "registry) exists: rewriting history for every added column is " +
+        "not an option.",
+      Some(s"""
+        WITH m AS (
+          SELECT c_custkey AS key,
+                 CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents,
+                 CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS segment
+          FROM customer)
+        SELECT COALESCE(segment, 'UNKNOWN') AS segment,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(bal_cents) AS DOUBLE)/100, 2) AS total_bal
+        FROM m GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_schema_evo")
+      graft.core.Fs.deleteRecursively(tmp) // fixed scratch root (q38/q82 rule)
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        col("c_mktsegment").as("segment"))
+      // generation 1: even keys, pre-evolution schema (no segment column)
+      c.filter(col("key") % 2 === 0).drop("segment")
+        .write.mode("append").parquet(tmp.toString)
+      // generation 2: odd keys, evolved schema
+      c.filter(col("key") % 2 === 1)
+        .write.mode("append").parquet(tmp.toString)
+      s.read.option("mergeSchema", "true").parquet(tmp.toString)
+        .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal_cents")).cast("double") / 100, 2).as("total_bal"))
+        .orderBy("segment")
+    },
+
     // -------------------------------------------------- ORC round trip
     Q("q82_orc_roundtrip",
       "Columnar-format interop: sink a lineitem projection to ORC " +
