@@ -309,6 +309,73 @@ object CurationOps {
         .orderBy("lang")
     },
 
+    // ------------------------------------------ composed curation pipeline
+    Q("q94_curation_pipeline",
+      "The curation pipeline COMPOSED end-to-end as one lazy plan — " +
+        "exact dedup (min-id per sha256) → integer quality gate (length " +
+        "band + min word count) → α=0.5 temperature rebalance computed " +
+        "on the POST-FILTER language mix (the order production " +
+        "pipelines use: dedup before quality before sampling, rates " +
+        "from the surviving distribution). Per-language funnel counts " +
+        "audit every stage. One content-hash shuffle + one id join + " +
+        "map-only filters + one tiny rate broadcast — composing the " +
+        "stages adds NO new shuffle class, which is the point: the " +
+        "operators chain lazily into a single Catalyst plan, not a " +
+        "materialize-per-stage workflow.",
+      Some(s"""
+        WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)),
+        q AS (SELECT * FROM d
+              WHERE n_chars BETWEEN 10 AND 5000
+                AND len(string_split_regex(text, '\\s+')) >= 5),
+        c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM q GROUP BY 1),
+        w AS (SELECT lang, n_docs,
+                     floor(sqrt((n_docs * 1000000)::DOUBLE))::BIGINT AS wgt
+              FROM c),
+        tot AS (SELECT SUM(n_docs)::BIGINT AS n, SUM(wgt)::BIGINT AS sw FROM w),
+        r AS (SELECT lang, n_docs, wgt,
+                     LEAST(1000000, ((wgt * 1000000) // sw) * (n // 2) // n_docs)
+                       AS accept_ppm
+              FROM w, tot),
+        raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+        ded AS (SELECT lang, COUNT(*) AS n_dedup FROM d GROUP BY 1)
+        SELECT q.lang, ANY_VALUE(raw.n_raw) AS n_raw,
+               ANY_VALUE(ded.n_dedup) AS n_dedup,
+               ANY_VALUE(r.n_docs) AS n_quality,
+               ANY_VALUE(r.accept_ppm) AS accept_ppm,
+               ${oCnt(s"${oHash28("q.doc_id::VARCHAR")} % 1000000 < r.accept_ppm")}
+                 AS n_sampled
+        FROM q JOIN r USING (lang) JOIN raw USING (lang) JOIN ded USING (lang)
+        GROUP BY q.lang ORDER BY q.lang""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val keep = docs.groupBy(sha2(col("text"), 256)).agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val d = docs.join(keep, "doc_id")
+      val q = d.filter(col("n_chars").between(10, 5000) &&
+        size(toks(col("text"))) >= 5)
+      val c = q.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("wgt",
+          floor(sqrt((col("n_docs") * 1000000L).cast("double"))).cast("long"))
+      val tot = c.agg(sum("n_docs").as("n"), sum("wgt").as("sw"))
+      val rates = c.crossJoin(broadcast(tot))
+        .withColumn("accept_ppm",
+          least(lit(1000000L),
+            expr("((wgt * 1000000) div sw) * (n div 2) div n_docs")))
+        .select(col("lang"), col("n_docs").as("n_quality"), col("accept_ppm"))
+      val raw = docs.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+      val ded = d.groupBy("lang").agg(count(lit(1)).as("n_dedup"))
+      q.join(broadcast(rates), "lang") // bounded: one row per language
+        .join(broadcast(raw), "lang")
+        .join(broadcast(ded), "lang")
+        .groupBy("lang")
+        .agg(first("n_raw").as("n_raw"), first("n_dedup").as("n_dedup"),
+          first("n_quality").as("n_quality"),
+          first("accept_ppm").as("accept_ppm"),
+          cnt(hash28(col("doc_id").cast("string")) % 1000000L < col("accept_ppm"))
+            .as("n_sampled"))
+        .orderBy("lang")
+    },
+
     // --------------------------------------------- source-priority dedup
     Q("q80_priority_dedup",
       "Cross-source dedup with a keep policy: when the same content " +
