@@ -258,6 +258,79 @@ object RelOps {
         .orderBy("o_custkey", "order_seq")
     },
 
+    // ------------------------------------------- changelog compaction
+    Q("q95_changelog_compaction",
+      "Latest-record materialization (Kafka topic compaction / CDC " +
+        "snapshot build): collapse each customer's order history to the " +
+        "most recent record in ONE hash aggregate — no window, no sort, " +
+        "no join-back. The recency key packs (epoch, orderkey) into a " +
+        "single BIGINT so max_by/arg_max resolve ties identically on " +
+        "both engines (the key is unique by construction). This is the " +
+        "read-side dual of q75's MERGE: q75 applies a changelog to a " +
+        "snapshot, q95 derives the snapshot from the log.",
+      Some(s"""
+        WITH r AS (SELECT o_custkey,
+                          epoch(o_orderdate::TIMESTAMP)::BIGINT * 2147483648
+                            + o_orderkey AS rank,
+                          o_orderkey,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+                   FROM orders)
+        SELECT o_custkey,
+               arg_max(o_orderkey, rank) AS last_orderkey,
+               MAX(rank) // 2147483648 AS last_epoch,
+               ROUND(CAST(arg_max(cents, rank) AS DOUBLE)/100, 2) AS last_price,
+               COUNT(*) AS n_versions
+        FROM r GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          (col("o_orderdate").cast("timestamp").cast("long") * 2147483648L +
+            col("o_orderkey")).as("rank"),
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey")
+        .agg(expr("max_by(o_orderkey, rank)").as("last_orderkey"),
+          expr("max(rank) div 2147483648").as("last_epoch"),
+          round(expr("max_by(cents, rank)").cast("double") / 100, 2)
+            .as("last_price"),
+          count(lit(1)).as("n_versions"))
+        .orderBy("o_custkey")
+    },
+
+    // --------------------------------------------- referential integrity
+    Q("q98_integrity_audit",
+      "Referential-integrity audit (the FK checks a lakehouse runs " +
+        "because nothing else enforces them): orphaned orders (no " +
+        "customer), orphaned lineitems (no order), and childless " +
+        "customers (no orders), each a LEFT ANTI join — the same " +
+        "shape as the blacklist filter (q18), scaled to fact tables. " +
+        "One summary row; anti-joins broadcast when the right side is " +
+        "a dim and shuffle when fact-to-fact, exactly as AQE decides.",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS n_orphan_orders,
+          (SELECT COUNT(*) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS n_orphan_lineitems,
+          (SELECT COUNT(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+            AS n_childless_customers""")) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val orphanOrders = ord.join(cust,
+        ord("o_custkey") === cust("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_orders"))
+      val orphanLines = li.join(ord.select("o_orderkey"),
+        li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_lineitems"))
+      val childless = cust.join(ord.select("o_custkey"),
+        cust("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_childless_customers"))
+      orphanOrders.crossJoin(orphanLines).crossJoin(childless) // three 1-row frames
+    },
+
     // ---------------------------------------------------- table profiling
     Q("q91_table_profile",
       "ANALYZE-style table profiling in ONE scan: per-column row count, " +

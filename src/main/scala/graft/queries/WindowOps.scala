@@ -383,6 +383,65 @@ object WindowOps {
         .orderBy("stage")
     },
 
+    // ------------------------------------------------ transition bigrams
+    Q("q96_transition_bigrams",
+      "Event-transition matrix (first-order Markov counts, the path- " +
+        "analysis primitive): per user, lag over (second, event_id) " +
+        "ordering yields each consecutive (prev → next) pair; one " +
+        "global hash-agg counts the 25 transition cells and their share " +
+        "per source state. The lag window and nothing else touches " +
+        "per-user ordering — one user shuffle, then a tiny agg.",
+      Some("""
+        WITH e AS (SELECT user_id, event_type,
+                          LAG(event_type) OVER
+                            (PARTITION BY user_id
+                             ORDER BY date_trunc('second', ts::TIMESTAMP), event_id)
+                            AS prev_type
+                   FROM events)
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM e WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("tss"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // -------------------------------------------------- ratio to report
+    Q("q97_ratio_to_report",
+      "Percent-of-total reporting (the ratio_to_report window): each " +
+        "event type's share of total revenue. The corpus collapses to " +
+        "its 5-row type aggregate FIRST; the global-total window then " +
+        "runs over that bounded frame — the only safe place for an " +
+        "unpartitioned window (same domain-bounded rule as q74's " +
+        "cumulative ranks). Shares divide exact cent sums once, at the " +
+        "end.",
+      Some(s"""
+        WITH t AS (SELECT event_type, ${oCentsSum("value")} AS cents
+                   FROM events GROUP BY 1)
+        SELECT event_type,
+               ROUND(CAST(cents AS DOUBLE)/100, 2) AS revenue,
+               ROUND(CAST(cents AS DOUBLE) * 100 / SUM(cents) OVER (), 4)
+                 AS share_pct
+        FROM t ORDER BY 1""")) { (s, dir) =>
+      // single-partition window is SAFE here: its input is the 5-row
+      // event-type aggregate, not the corpus (q74 rule)
+      val w = Window.partitionBy()
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(centsSum(col("value")).as("cents"))
+        .select(col("event_type"),
+          round(col("cents").cast("double") / 100, 2).as("revenue"),
+          round(col("cents").cast("double") * 100 / sum(col("cents")).over(w), 4)
+            .as("share_pct"))
+        .orderBy("event_type")
+    },
+
     // -------------------------------------------------- retention cohorts
     Q("q89_retention_cohorts",
       "Weekly retention cohorts (the product-analytics staple): each " +
