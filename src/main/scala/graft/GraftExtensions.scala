@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, graftshim}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{NormalizeKey, RollingHash, SimHash28, SortedJaccard}
+import graft.expr.{NormalizeKey, RollingHash, SimHash28, SortedJaccard, TopKPacked}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions,
   * so `spark.sql("SELECT normalize_key(c) ...")` works like any built-in.
@@ -41,6 +41,14 @@ object GraftExtensions {
       case Seq(a, b) => SortedJaccard(a, b)
       case other => throw new IllegalArgumentException(
         s"sorted_jaccard takes 2 arguments, got ${other.length}")
+    }),
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in AggregateExpression, same as built-in max/sum
+    ("topk_packed", classOf[TopKPacked].getName, {
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+        TopKPacked(c, k)
+      case other => throw new IllegalArgumentException(
+        "topk_packed takes (col, int-literal k), got " + other)
     }))
 
   /** Register into an existing session's function registry. */

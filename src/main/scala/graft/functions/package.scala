@@ -96,4 +96,13 @@ package object functions {
     regexp_replace(
       regexp_replace(c, EmailPattern, "[EMAIL]"),
       PhonePattern, "[PHONE]")
+
+  /** Bounded per-group top-k over a packed BIGINT sort key — see
+    * [[graft.expr.TopKPacked]]. Returns the k largest values descending;
+    * the aggregate holds exactly k longs per group per task (map-side
+    * partials merge like `max`), vs the full per-group sort a
+    * ROW_NUMBER window pays. */
+  def topk_packed(c: Column, k: Int): Column =
+    graftshim.column(
+      graft.expr.TopKPacked(graftshim.expression(c), k).toAggregateExpression())
 }

@@ -68,6 +68,47 @@ object RelOps {
 
   val all: Seq[Q] = Seq(
 
+    // ----------------------------------------- bounded top-k per group
+    Q("q99_group_topk",
+      "Top-3 orders by value per order priority via a custom bounded " +
+        "top-k aggregate (graft.expr.TopKPacked, a " +
+        "TypedImperativeAggregate): each group's state is a fixed " +
+        "k-slot min-heap of packed BIGINTs (cents*10^9 + orderkey — a " +
+        "total, replayable order), combined map-side and merged like " +
+        "max, so the exchange carries k longs per group instead of the " +
+        "whole group that a ROW_NUMBER window would sort. 100 TB shape: " +
+        "per-group cost is O(k) memory regardless of group size — a " +
+        "10^9-row priority class costs the same buffer as a 10^3-row " +
+        "one, and there is no per-group sort anywhere; the heap bounds " +
+        "it at insert time. Pack headroom: cents < 2^33, key < 10^9 — " +
+        "holds through sf100; beyond that widen to two packed lanes. " +
+        "The oracle replays the identical order with a window.",
+      Some("""
+        WITH t AS (SELECT o_orderpriority AS priority,
+                          CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+                          ROW_NUMBER() OVER (
+                            PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+                                     o_orderkey DESC) AS rnk
+                   FROM orders)
+        SELECT priority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+               ROUND(CAST(cents AS DOUBLE)/100, 2) AS price
+        FROM t WHERE rnk <= 3 ORDER BY priority, rnk""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"),
+          (round(col("o_totalprice") * 100).cast("long") * lit(1000000000L) +
+            col("o_orderkey")).as("packed"))
+        .groupBy("priority")
+        .agg(graft.functions.topk_packed(col("packed"), 3).as("top"))
+        .select(col("priority"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("priority"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          (col("p") % 1000000000L).cast("long").as("o_orderkey"),
+          round(expr("p DIV 1000000000").cast("double") / 100, 2).as("price"))
+        .orderBy("priority", "rnk")
+    },
+
     // ------------------------------------------------- CDC MERGE / upsert
     Q("q75_merge_upsert",
       "MERGE INTO (Delta/Iceberg-style CDC apply) as a pure Spark plan: a " +

@@ -258,4 +258,18 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("event_type")),
       "filter on a non-derived column must still push past the ts projection")
   }
+
+  test("q99 top-k rides a partial+final ObjectHashAggregate — no Window, no per-group sort") {
+    val p = q("q99_group_topk")
+    assert(!p.contains("Window"), s"top-k must not window-sort the groups:\n$p")
+    // TypedImperativeAggregate lowers to ObjectHashAggregate, once partial
+    // (map side) and once final (after the group-key exchange)
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      s"expected partial+final object hash aggregate:\n$p")
+    assert(p.contains("partial_topk_packed"),
+      s"map-side partial aggregation lost:\n$p")
+    // exactly: one exchange for the group keys + the final presentation
+    // orderBy's range exchange over 15 rows — the DATA never globally sorts
+    assert(exchangeCount(p) <= 2, s"unexpected extra shuffles:\n$p")
+  }
 }
