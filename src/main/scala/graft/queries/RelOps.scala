@@ -109,6 +109,73 @@ object RelOps {
         .orderBy("priority", "rnk")
     },
 
+    // -------------------------------- incremental aggregate maintenance
+    Q("q100_incremental_agg",
+      "Incremental materialized-view refresh: a revenue-per-(priority, " +
+        "month) MV is materialized as PARTIAL STATE (sum_cents, n) to " +
+        "parquet, then refreshed by merging that stored state with a " +
+        "signed changelog delta — inserts contribute (+cents, +1), " +
+        "deletes (-cents, -1) — and re-aggregating. The refresh plan " +
+        "reads the MV parquet and the changelog ONLY; the base table is " +
+        "never rescanned. Groups whose count reaches 0 drop out. The " +
+        "changelog is derived deterministically from orders for the " +
+        "gate (keys ≡0 mod 5 arrive as inserts, base keys ≡0 mod 7 are " +
+        "deleted); at scale it arrives as CDC files. The oracle " +
+        "recomputes the effective set from scratch, so the hash match " +
+        "proves incremental == full recompute — the invariant every " +
+        "Flink/Delta MV maintenance pipeline rests on. 100 TB shape: " +
+        "refresh cost is O(changelog) + O(groups), independent of base " +
+        "size, BECAUSE the stored state is the mergeable partial " +
+        "(sum, count) — not the final average/round — and merge is one " +
+        "hash-agg over |groups| + |delta groups| rows.",
+      Some("""
+        SELECT o_orderpriority AS priority,
+               CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+               ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100, 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE (o_orderkey % 5 = 0) OR (o_orderkey % 7 <> 0)
+        GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      import graft.core.Fs
+      // fixed scratch root, cleared at entry (the q84 rule: bounds /tmp
+      // growth; a new invocation invalidates a previous lazy frame)
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_incr_mv")
+      Fs.deleteRecursively(tmp)
+      val mvDir = tmp.resolve("mv_v0").toString
+      val grp = Seq(col("priority"), col("ym"))
+      def shaped(df: DataFrame): DataFrame = df.select(
+        col("o_orderpriority").as("priority"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey").as("k"))
+      val orders = shaped(Tables.orders(s, dir))
+      // v0 materialization: partial state for the base set (keys %5 != 0)
+      orders.filter(col("k") % 5 =!= 0)
+        .groupBy(grp: _*)
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(mvDir)
+      // signed delta from the changelog: inserts (+), deletes (-)
+      val delta = orders.filter(col("k") % 5 === 0)
+        .select(col("priority"), col("ym"),
+          col("cents").as("s_cents"), lit(1L).as("s_n"))
+        .unionByName(orders.filter(col("k") % 5 =!= 0 && col("k") % 7 === 0)
+          .select(col("priority"), col("ym"),
+            (-col("cents")).as("s_cents"), lit(-1L).as("s_n")))
+        .groupBy(grp: _*)
+        .agg(sum(col("s_cents")).as("sum_cents"), sum(col("s_n")).as("n"))
+      // refresh: stored partials ∪ delta partials → one merge hash-agg
+      s.read.parquet(mvDir).unionByName(delta)
+        .groupBy(grp: _*)
+        .agg(sum(col("sum_cents")).as("sum_cents"), sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .select(col("priority"), col("ym"),
+          round(col("sum_cents").cast("double") / 100, 2).as("revenue"),
+          col("n").as("n_orders"))
+        .orderBy("priority", "ym")
+    },
+
     // ------------------------------------------------- CDC MERGE / upsert
     Q("q75_merge_upsert",
       "MERGE INTO (Delta/Iceberg-style CDC apply) as a pure Spark plan: a " +

@@ -166,6 +166,32 @@ class RelOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("q100: incremental MV refresh — merge of stored partials and a signed delta") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // stored MV partial state: group A (2 rows summed), group B (1 row)
+    val mv = Seq(("A", 500L, 2L), ("B", 300L, 1L)).toDF("g", "sum_cents", "n")
+    // changelog delta: delete BOTH A rows, insert one C row
+    val delta = Seq(("A", -500L, -2L), ("C", 700L, 1L)).toDF("g", "sum_cents", "n")
+    val out = mv.unionByName(delta)
+      .groupBy("g").agg(sum("sum_cents").as("s"), sum("n").as("n"))
+      .filter(col("n") > 0)
+      .orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    // A reached n=0 and dropped out; B untouched; C appeared
+    assert(out === Seq(("B", 300L, 1L), ("C", 700L, 1L)))
+  }
+
+  test("q100: the refresh plan reads the MV parquet, not a rescan of the base agg") {
+    val df = graft.queries.Registry.byName("q100_incremental_agg")
+      .fn(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // one scan of the stored state dir + the changelog derivation; the
+    // materialized base aggregation must come from parquet, not recompute
+    assert(plan.contains("graft_incr_mv"),
+      s"refresh must read the materialized state:\n$plan")
+  }
+
   test("q78: per-customer cumulative revenue is exact and ordered by (date, orderkey)") {
     val dir = lake()
     write(dir, "orders", ordSchema, Seq(
