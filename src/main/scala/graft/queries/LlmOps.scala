@@ -125,6 +125,47 @@ object LlmOps {
   /** Exact Jaccard between two shingle-set columns (double division of
     * int counts — bit-identical to the oracle's len()::DOUBLE / len()).
     * Native merge-pass expression; shingleSets pre-sorts its arrays. */
+  /** (doc_id, canonical_id): verified LSH near-dup edges → min-label
+    * connected components. The clustering core shared by q26b (dedup
+    * cluster assignment) and q101 (leakage-safe split): LSH banding over
+    * minhash signatures proposes candidates, exact Jaccard verifies,
+    * min-label propagation finds each doc's component representative. */
+  private def canonicalClusterIds(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+    val sig = sh.select(col("doc_id"),
+      graftshim.column(MinHashSig(
+        graftshim.expression(transform(col("sh"), x => hash28(x))),
+        (0 until NUM_HASHES).map(permA),
+        (0 until NUM_HASHES).map(permB), P)).as("sig"))
+      .repartition(col("doc_id"))
+    val bands0 = sig.select(col("doc_id"),
+      explode(array((0 until BANDS).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until ROWS_PER_BAND).map(r =>
+            col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val bands = graft.operators.Buckets.capBuckets(bands0,
+      Seq(col("band"), col("key")), MAX_BAND_BUCKET, "q26b_band_cap")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val edges = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= JACCARD_T)
+      .select(col("id_a"), col("id_b"))
+    val bi = edges.union(edges.select(col("id_b"), col("id_a")))
+      .toDF("a", "b")
+    // min-label propagation to fixpoint (reliable checkpoints + logged
+    // non-convergence handled inside the operator)
+    val cc = graft.operators.ConnectedComponents.minLabelPropagation(
+      Tables.documents(s, dir).select(col("doc_id")), bi, maxIter = 20)
+    cc.labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   private def jaccard(a: Column, b: Column): Column =
     graftshim.column(graft.expr.SortedJaccard(
       graftshim.expression(a), graftshim.expression(b)))
@@ -315,42 +356,53 @@ object LlmOps {
         SELECT src AS doc_id, MIN(dst) AS canonical_id,
                (MIN(dst) = src) AS is_kept
         FROM reach GROUP BY src ORDER BY doc_id""")) { (s, dir) =>
-      // verified near-dup edges (reuse the LSH pipeline shape of q25)
-      val sh = shingleSets(s, dir)
-      val sig = sh.select(col("doc_id"),
-        graftshim.column(MinHashSig(
-          graftshim.expression(transform(col("sh"), x => hash28(x))),
-          (0 until NUM_HASHES).map(permA),
-          (0 until NUM_HASHES).map(permB), P)).as("sig"))
-        .repartition(col("doc_id"))
-      val bands0 = sig.select(col("doc_id"),
-        explode(array((0 until BANDS).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("_", (0 until ROWS_PER_BAND).map(r =>
-              col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*).as("key"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      val bands = graft.operators.Buckets.capBuckets(bands0,
-        Seq(col("band"), col("key")), MAX_BAND_BUCKET, "q26b_band_cap")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      val edges = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .filter(jaccard(col("sh_a"), col("sh_b")) >= JACCARD_T)
-        .select(col("id_a"), col("id_b"))
-      val bi = edges.union(edges.select(col("id_b"), col("id_a")))
-        .toDF("a", "b")
-      // min-label propagation to fixpoint (reliable checkpoints + logged
-      // non-convergence handled inside the operator)
-      val cc = graft.operators.ConnectedComponents.minLabelPropagation(
-        Tables.documents(s, dir).select(col("doc_id")), bi, maxIter = 20)
-      cc.labels
-        .select(col("doc_id"), col("label").as("canonical_id"),
-          (col("label") === col("doc_id")).as("is_kept"))
+      canonicalClusterIds(s, dir)
+        .select(col("doc_id"), col("canonical_id"),
+          (col("canonical_id") === col("doc_id")).as("is_kept"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------ leakage-safe train/test split
+    Q("q101_leakage_split",
+      "Contamination-safe dataset split: docs are assigned to " +
+        "train/valid/test by hashing their DEDUP-CLUSTER representative " +
+        "(q26b's connected-component canonical id), not the doc itself " +
+        "— so near-duplicates can never straddle a split boundary and " +
+        "leak eval content into training. 8/1/1 via the md5-prefix " +
+        "hash28 mod 10 (the engine's cross-engine hashing primitive). " +
+        "100 TB shape: the split adds ONE map-side projection on top of " +
+        "the clustering output — no extra shuffle; determinism means " +
+        "re-runs and late-arriving shards assign identically without " +
+        "coordination. The per-doc output makes the no-straddle " +
+        "invariant hash-checkable: any cluster with two splits would " +
+        "diverge from the oracle's cluster-keyed assignment.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        s AS (SELECT doc_id, $oShingles3 AS sh FROM t WHERE len(w) >= 3),
+        p AS (SELECT a.doc_id AS x, b.doc_id AS y
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T),
+        e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y, x FROM p),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM r JOIN e ON e.a = r.dst)
+          SELECT * FROM r),
+        c AS (SELECT src AS doc_id, MIN(dst) AS canonical_id
+              FROM reach GROUP BY src)
+        SELECT doc_id, canonical_id,
+               CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, canonical_id,
+                     ${oHash28("canonical_id::VARCHAR")} % 10 AS h FROM c)
+        ORDER BY doc_id""")) { (s, dir) =>
+      canonicalClusterIds(s, dir)
+        .withColumn("h", hash28(col("canonical_id").cast("string")) % 10)
+        .select(col("doc_id"), col("canonical_id"),
+          when(col("h") < 8, "train").when(col("h") === 8, "valid")
+            .otherwise("test").as("split"))
         .orderBy("doc_id")
     },
 

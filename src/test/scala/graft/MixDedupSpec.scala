@@ -81,4 +81,21 @@ class MixDedupSpec extends SparkSpec {
     // token — the blocking tradeoff the query doc states; asserting its
     // ABSENCE pins the contract (and would flag an accidental all-pairs).
   }
+
+  test("q101: no dedup cluster straddles a split; buckets map 8/1/1") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("q101_leakage_split")
+      .fn(spark, "/root/testdata/sf0.001").cache()
+    try {
+      // the leakage invariant: every cluster is wholly in ONE split
+      val straddlers = out.groupBy("canonical_id")
+        .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+      assert(straddlers === 0, "a near-dup cluster crosses a split boundary")
+      // all three labels exist and the assignment is cluster-keyed: a
+      // canonical doc and its members carry the canonical's bucket
+      val splits = out.select("split").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(splits === Set("train", "valid", "test"))
+    } finally out.unpersist()
+  }
 }
