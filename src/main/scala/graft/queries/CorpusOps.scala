@@ -73,6 +73,54 @@ object CorpusOps {
 
   val all: Seq[Q] = Seq(
 
+    // ----------------------------------------- BPE merge-step statistics
+    Q("q102_bpe_pair_stats",
+      "The BPE trainer's inner loop at corpus scale: weighted " +
+        "adjacent-symbol-pair frequencies for merge selection. The " +
+        "corpus FIRST collapses to its distinct-word frequency table " +
+        "(the move every real BPE trainer makes — 10^11 tokens become " +
+        "10^6-10^7 distinct words), then each word explodes into its " +
+        "adjacent char 2-grams with multiplicity ('aaa' contributes " +
+        "'aa' twice, like the real algorithm) weighted by word " +
+        "frequency, and one hash-agg on the pair yields the merge " +
+        "candidates; top-20 by (count, pair) — the deterministic " +
+        "tie-break a replayable trainer needs. 100 TB shape: two " +
+        "shuffles (word collapse, pair agg), both onto domains bounded " +
+        "by vocabulary not corpus size; the top-k is " +
+        "TakeOrderedAndProject (partial top-k per partition), and the " +
+        "rank window runs over 20 rows, never the pair domain.",
+      Some("""
+        WITH w AS (SELECT UNNEST(string_split_regex(text, '\s+')) AS word
+                   FROM documents),
+        f AS (SELECT word, COUNT(*) AS freq FROM w
+              WHERE LENGTH(word) >= 2 GROUP BY 1),
+        pr AS (SELECT UNNEST(list_transform(range(1, LENGTH(word)),
+                             i -> substr(word, i, 2))) AS pair, freq
+               FROM f),
+        c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM pr GROUP BY 1),
+        r AS (SELECT pair, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+              FROM c)
+        SELECT CAST(rnk AS BIGINT) AS rnk, pair, cnt
+        FROM r WHERE rnk <= 20 ORDER BY rnk""")) { (s, dir) =>
+      val freqs = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val pairCounts = freqs
+        .select(explode(expr(
+          "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"
+        )).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      // top-20 FIRST (TakeOrderedAndProject: partial top-k per partition,
+      // no global sort), THEN the presentation rank over 20 rows
+      pairCounts.orderBy(col("cnt").desc, col("pair")).limit(20)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+        .select(col("rnk"), col("pair"), col("cnt"))
+        .orderBy("rnk")
+    },
+
     // -------------------------------------------- benchmark decontamination
     Q("q60_decontaminate",
       "Benchmark decontamination: hash every training doc's token 8-grams " +

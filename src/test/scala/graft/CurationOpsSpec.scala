@@ -48,6 +48,21 @@ class CurationOpsSpec extends SparkSpec {
       "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
   }
 
+  test("q102: pair counts carry within-word multiplicity weighted by word frequency") {
+    import org.apache.spark.sql.functions._
+    // "aaa" twice across the corpus: the pair 'aa' occurs twice PER word
+    // occurrence (positions 1 and 2), so cnt must be 4 — not 2 (distinct
+    // pairs per word) and not 1 (distinct words)
+    val dir = docLake(Seq((1L, "aaa xy"), (2L, "aaa")))
+    val out = graft.queries.Registry.byName("q102_bpe_pair_stats")
+      .fn(spark, dir)
+      .select("pair", "cnt").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("aa") === 4L)
+    assert(out("xy") === 1L)
+    // single-char words contribute nothing (filtered before the explode)
+    assert(!out.contains("a"))
+  }
+
   test("q68: strip chain reconstructs the original text byte-exactly for every doc") {
     val dir = docLake(Seq(0L -> "plain words here", 1L -> "more body text"))
     val rows = Registry.byName("q68_markup_strip").fn(spark, dir).collect()

@@ -259,6 +259,19 @@ class PlanAuditSpec extends SparkSpec {
       "filter on a non-derived column must still push past the ts projection")
   }
 
+  test("q102 pair top-k is TakeOrderedAndProject; the rank window sees 20 rows") {
+    val p = q("q102_bpe_pair_stats")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be partial top-k per partition, not a global sort:\n$p")
+    // the Window must sit ABOVE the take (post-limit, 20-row input) —
+    // i.e. the plan has no Sort other than inside the take
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val takeIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      s"rank window must run over the taken 20 rows, not the pair domain:\n$p")
+  }
+
   test("q99 top-k rides a partial+final ObjectHashAggregate — no Window, no per-group sort") {
     val p = q("q99_group_topk")
     assert(!p.contains("Window"), s"top-k must not window-sort the groups:\n$p")
