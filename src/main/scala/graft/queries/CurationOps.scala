@@ -26,6 +26,53 @@ object CurationOps {
 
   val all: Seq[Q] = Seq(
 
+    // ------------------------------------- robust outlier gate (median/MAD)
+    Q("q103_mad_outliers",
+      "Robust per-language length-outlier detection via median absolute " +
+        "deviation — the quality gate that, unlike mean/stddev z-scores, " +
+        "a few giant documents cannot drag. All order statistics run in " +
+        "SCALED INTEGERS so the outlier decision is engine-exact: " +
+        "2×median of BIGINTs is always integral (sum of the two middle " +
+        "values), so m2 = round(2·p50(n_chars)) and mad4 = " +
+        "round(2·p50(|2·n_chars − m2|)) are exact BIGINTs, and the " +
+        "classic |x−med| > 3·MAD test becomes the integer comparison " +
+        "2·adev2 > 3·mad4 — no float boundary can flip a verdict " +
+        "between engines. Two corpus passes + two 5-row broadcasts " +
+        "join the thresholds back. 100 TB: exact medians buffer group " +
+        "values (the q23b caveat); production swaps approx_percentile " +
+        "sketches and keeps the identical integer decision rule.",
+      Some("""
+        WITH d AS (SELECT lang, n_chars FROM documents),
+        m AS (SELECT lang,
+                     CAST(ROUND(2*quantile_cont(n_chars, 0.5)) AS BIGINT) AS m2
+              FROM d GROUP BY 1),
+        dev AS (SELECT d.lang, ABS(2*d.n_chars - m.m2) AS adev2, m.m2
+                FROM d JOIN m USING (lang)),
+        md AS (SELECT lang,
+                      CAST(ROUND(2*quantile_cont(adev2, 0.5)) AS BIGINT) AS mad4
+               FROM dev GROUP BY 1)
+        SELECT dev.lang, COUNT(*) AS n,
+               COUNT(CASE WHEN 2*adev2 > 3*mad4 THEN 1 END) AS n_outliers,
+               ROUND(CAST(MIN(m2) AS DOUBLE)/2, 1) AS median_chars,
+               ROUND(CAST(MIN(mad4) AS DOUBLE)/4, 2) AS mad_chars
+        FROM dev JOIN md USING (lang)
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+      val m = d.groupBy("lang")
+        .agg(round(expr("2*percentile(n_chars, 0.5D)")).cast("long").as("m2"))
+      val dev = d.join(broadcast(m), "lang")
+        .withColumn("adev2", abs(col("n_chars") * 2 - col("m2")))
+      val md = dev.groupBy("lang")
+        .agg(round(expr("2*percentile(adev2, 0.5D)")).cast("long").as("mad4"))
+      dev.join(broadcast(md), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          cnt(col("adev2") * 2 > col("mad4") * 3).as("n_outliers"),
+          round(min(col("m2")).cast("double") / 2, 1).as("median_chars"),
+          round(min(col("mad4")).cast("double") / 4, 2).as("mad_chars"))
+        .orderBy("lang")
+    },
+
     // ------------------------------------------- repeated-paragraph removal
     Q("q67_paragraph_dedup",
       "Corpus-level repeated-paragraph removal (the CCNet/RefinedWeb " +

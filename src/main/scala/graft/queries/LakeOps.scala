@@ -18,7 +18,73 @@ object LakeOps {
   private def ex(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.graftshim.expression(c)
 
+  /** q104's layout + stats + pruning steps: writes orders as 8
+    * range-partitioned files on o_orderdate, collects the per-file
+    * (min, max) manifest in one scan, and returns (files intersecting
+    * [lo, hi), total file count, lake path). Shared with LakeOpsSpec,
+    * which asserts the pruned list is a strict subset. */
+  def manifestPrunedFiles(s: org.apache.spark.sql.SparkSession, dir: String,
+      lo: String, hi: String): (Seq[String], Int, String) = {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_manifest")
+    Fs.deleteRecursively(tmp)
+    val lake = tmp.resolve("orders_lake").toString
+    Tables.orders(s, dir)
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(lake)
+    // stats collection — one scan, grouped on the file identity; Delta
+    // gathers the same (min, max, rows) per add-file at write time.
+    // The span test runs INSIDE Spark (session-timezone timestamp
+    // semantics, same as the query predicate) — only file names and a
+    // pruned-or-not bit ever reach the driver.
+    val manifest = s.read.parquet(lake)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("o_orderdate").as("f_lo"), max("o_orderdate").as("f_hi"))
+      .withColumn("keep",
+        col("f_hi") >= lit(lo).cast("timestamp") &&
+          col("f_lo") < lit(hi).cast("timestamp"))
+      .select("file", "keep").collect()
+    val files = manifest.toSeq.filter(_.getBoolean(1)).map(_.getString(0))
+    (files, manifest.length, lake)
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ------------------------------------------ min/max file skipping
+    Q("q104_manifest_skipping",
+      "Stats-based file skipping — the data-skipping half of the " +
+        "lakehouse scan path (Delta/Iceberg min-max pruning) built " +
+        "explicitly: orders is laid out as range-partitioned files on " +
+        "o_orderdate (q86's compaction layout), a per-file (min, max, " +
+        "rows) MANIFEST is collected in one scan (Delta gathers these " +
+        "at write time), and a quarter-window query consults the " +
+        "manifest FIRST, reading only files whose span intersects the " +
+        "predicate. The file-list selection is driver-side by design — " +
+        "that is the Delta-log replay move; the manifest is " +
+        "metadata-sized (#files, ~10^5 entries at 100 TB), never " +
+        "data-sized, and the data itself never leaves executors. The " +
+        "gate hash-matches the pruned scan against the oracle over the " +
+        "FULL table, proving skipping loses nothing; LakeOpsSpec " +
+        "asserts files are actually skipped.",
+      Some(s"""
+        SELECT o_orderpriority AS priority, COUNT(*) AS n,
+               ${oMoneySum("o_totalprice")} AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-04-01'
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val (files, _, lake) = manifestPrunedFiles(s, dir,
+        "1995-01-01", "1995-04-01")
+      val pruned =
+        if (files.isEmpty) s.read.parquet(lake).limit(0)
+        else s.read.parquet(files: _*)
+      pruned
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("priority")
+    },
 
     // --------------------------------------------------- file compaction
     Q("q86_compaction",

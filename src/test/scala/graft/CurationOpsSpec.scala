@@ -48,6 +48,28 @@ class CurationOpsSpec extends SparkSpec {
       "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
   }
 
+  test("q103: integer-exact medians; zero-MAD groups flag any deviation") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("mad").toString
+    // en: four identical lengths + one giant → MAD = 0, so the single
+    // deviating doc flags (the degenerate rule: 2*adev2 > 0).
+    // fr: [10, 20] → median 15 (the x.5 case: m2 = 30 exact), MAD = 5,
+    // deviations are 5 each → 2*10 > 3*20 false → no outliers.
+    val rows = Seq(
+      (1L, "en", 10L), (2L, "en", 10L), (3L, "en", 10L), (4L, "en", 10L),
+      (5L, "en", 100L),
+      (6L, "fr", 10L), (7L, "fr", 20L))
+      .map { case (id, l, n) => Row(id, "w w w", l, "s", n) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Registry.byName("q103_mad_outliers")
+      .fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("en") === ((5L, 1L, 10.0, 0.0)))
+    assert(out("fr") === ((2L, 0L, 15.0, 5.0)))
+  }
+
   test("q102: pair counts carry within-word multiplicity weighted by word frequency") {
     import org.apache.spark.sql.functions._
     // "aaa" twice across the corpus: the pair 'aa' occurs twice PER word
