@@ -86,6 +86,68 @@ object LakeOps {
         .orderBy("priority")
     },
 
+    // ------------------------------------------------------ time travel
+    Q("q106_time_travel",
+      "Snapshot time travel — the lakehouse VERSION AS OF read, built " +
+        "explicitly: customer v0 is materialized, a deterministic " +
+        "change set produces v1 (keys ≡3 mod 10 get +10.00, keys ≡0 " +
+        "mod 97 are deleted) written to a SEPARATE versioned dir (never " +
+        "overwriting what a lazy v0 plan may still read — the q84 " +
+        "rule), and an as-of resolver maps version → snapshot dir (the " +
+        "Delta-log version lookup). The gate reads BOTH versions " +
+        "through the resolver and emits per-segment summaries tagged " +
+        "by version; the oracle rebuilds each version relationally, so " +
+        "the hash match proves as-of reads reconstruct exact history. " +
+        "100 TB shape: time travel costs a metadata lookup + one " +
+        "ordinary pruned scan of immutable files; history depth adds " +
+        "storage, never read amplification.",
+      Some("""
+        WITH v0 AS (SELECT c_mktsegment AS segment,
+                           CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal,
+                           c_custkey AS key
+                    FROM customer),
+        v1 AS (SELECT segment,
+                      CASE WHEN key % 10 = 3 THEN bal + 1000 ELSE bal END AS bal,
+                      key
+               FROM v0 WHERE key % 97 <> 0)
+        SELECT CAST(0 AS BIGINT) AS version, segment, COUNT(*) AS n,
+               ROUND(CAST(SUM(bal) AS DOUBLE)/100, 2) AS balance
+        FROM v0 GROUP BY 2
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), segment, COUNT(*),
+               ROUND(CAST(SUM(bal) AS DOUBLE)/100, 2)
+        FROM v1 GROUP BY 2
+        ORDER BY 1, 2""")) { (s, dir) =>
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_time_travel")
+      Fs.deleteRecursively(tmp)
+      val v0dir = tmp.resolve("v0").toString
+      val v1dir = tmp.resolve("v1").toString
+      Tables.customer(s, dir).select(col("c_custkey").as("key"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          col("c_mktsegment").as("segment"))
+        .write.mode("overwrite").parquet(v0dir)
+      // v1 derives from the STORED v0 (snapshot lineage, not source
+      // lineage): update keys ≡3 mod 10, delete keys ≡0 mod 97
+      s.read.parquet(v0dir)
+        .filter(col("key") % 97 =!= 0)
+        .withColumn("bal_cents", when(col("key") % 10 === 3,
+          col("bal_cents") + 1000L).otherwise(col("bal_cents")))
+        .write.mode("overwrite").parquet(v1dir)
+      // the version log: as-of resolves to the newest version <= asked
+      val log = Seq((0L, v0dir), (1L, v1dir))
+      def asOf(ver: Long) =
+        s.read.parquet(log.filter(_._1 <= ver).maxBy(_._1)._2)
+      def summary(ver: Long) = asOf(ver)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal_cents")).cast("double") / 100, 2).as("balance"))
+        .withColumn("version", lit(ver))
+      summary(0L).unionByName(summary(1L))
+        .select("version", "segment", "n", "balance")
+        .orderBy("version", "segment")
+    },
+
     // --------------------------------------------------- file compaction
     Q("q86_compaction",
       "Small-file compaction (the lakehouse OPTIMIZE): rewrite lineitem " +

@@ -628,6 +628,46 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ----------------------------------- fixed-size per-stratum sampling
+    Q("q105_stratified_sample",
+      "Exactly-N-per-stratum deterministic sampling (fixed-size eval " +
+        "slices, per-language audit samples): bottom-10-by-hash per " +
+        "language via the bounded top-k aggregate on the packed key " +
+        "(2^28 − hash28(doc_id))·10^9 + doc_id. This is reservoir " +
+        "sampling's job done coordination-free: the hash order is a " +
+        "fixed uniform permutation, so the sample is exactly N per " +
+        "stratum, identical on re-runs, at any parallelism, and under " +
+        "late-arriving shards — properties true reservoir sampling " +
+        "(RNG + sequential state) cannot give a distributed engine. " +
+        "100 TB shape: same O(k)-state single aggregate as q99 — no " +
+        "per-stratum sort, no window over the corpus.",
+      Some(s"""
+        WITH d AS (SELECT lang, doc_id,
+                          ${oHash28("doc_id::VARCHAR")} AS h FROM documents),
+        r AS (SELECT lang, doc_id, h,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY h, doc_id DESC) AS rnk
+              FROM d)
+        SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, h
+        FROM r WHERE rnk <= 10 ORDER BY lang, rnk""")) { (s, dir) =>
+      val M = 1L << 28
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          hash28(col("doc_id").cast("string")).as("h"))
+        // bottom-k by h == top-k by (M - h); doc_id tiebreak rides the
+        // low lane (same-h collisions keep the larger id first)
+        .withColumn("packed",
+          (lit(M) - col("h")) * lit(1000000000L) + col("doc_id"))
+        .groupBy("lang")
+        .agg(graft.functions.topk_packed(col("packed"), 10).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("lang"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          (col("p") % 1000000000L).cast("long").as("doc_id"),
+          (lit(M) - expr("p DIV 1000000000")).cast("long").as("h"))
+        .orderBy("lang", "rnk")
+    },
+
     // ------------------------------------------- deterministic hash sampling
     Q("q50_hash_sample",
       "Deterministic stratified sampling / split assignment: every doc " +

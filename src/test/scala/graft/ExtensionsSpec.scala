@@ -24,6 +24,7 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; names covered above
     assert(GraftExtensions.functions.map(_._1).toSet ===
-      Set("normalize_key", "simhash28", "rolling_hash", "sorted_jaccard"))
+      Set("normalize_key", "simhash28", "rolling_hash", "sorted_jaccard",
+        "topk_packed"))
   }
 }

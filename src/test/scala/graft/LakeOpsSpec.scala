@@ -56,6 +56,26 @@ class LakeOpsSpec extends SparkSpec {
     assert(pruned === direct)
   }
 
+  test("q106: as-of reads see exact history — update applied, delete absent, v0 untouched") {
+    import org.apache.spark.sql.functions._
+    // run the operator (it materializes v0/v1 under graft_time_travel)
+    graft.queries.Registry.byName("q106_time_travel")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_time_travel")
+    val v0 = spark.read.parquet(tmp.resolve("v0").toString)
+    val v1 = spark.read.parquet(tmp.resolve("v1").toString)
+    // deletes: keys ≡0 mod 97 exist in v0, not v1
+    val del0 = v0.filter(col("key") % 97 === 0).count()
+    assert(del0 > 0 && v1.filter(col("key") % 97 === 0).count() === 0)
+    // updates: every surviving ≡3 mod 10 key gained exactly 1000 cents
+    val joined = v0.select(col("key"), col("bal_cents").as("b0"))
+      .join(v1.select(col("key"), col("bal_cents").as("b1")), "key")
+      .withColumn("d", col("b1") - col("b0"))
+    assert(joined.filter(col("key") % 10 === 3 && col("d") =!= 1000L).count() === 0)
+    assert(joined.filter(col("key") % 10 =!= 3 && col("d") =!= 0L).count() === 0)
+  }
+
   test("q87: InterleaveBits semantics and per-bucket dimension confinement") {
     // unit semantics: a=0b101 -> bits 0,4 set; b=0b011 -> bits 1,3 set
     assert(graft.expr.InterleaveBits.compute(5L, 3L) == 27L)

@@ -82,6 +82,27 @@ class MixDedupSpec extends SparkSpec {
     // ABSENCE pins the contract (and would flag an accidental all-pairs).
   }
 
+  test("q105: exactly N per stratum with dense ranks, hash-deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("q105_stratified_sample")
+      .fn(spark, "/root/testdata/sf0.001").cache()
+    try {
+      val perLang = out.groupBy("lang").agg(
+        count(lit(1)).as("n"), max("rnk").as("maxr"), min("rnk").as("minr"))
+        .collect()
+      perLang.foreach { r =>
+        assert(r.getLong(1) <= 10, s"stratum over quota: $r")
+        assert(r.getLong(3) === 1L && r.getLong(2) === r.getLong(1),
+          s"ranks must be dense 1..n: $r")
+      }
+      // determinism: a second evaluation (fresh plan) yields the same set
+      val again = Registry.byName("q105_stratified_sample")
+        .fn(spark, "/root/testdata/sf0.001")
+      assert(out.exceptAll(again).count() === 0 &&
+        again.exceptAll(out).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("q101: no dedup cluster straddles a split; buckets map 8/1/1") {
     import org.apache.spark.sql.functions._
     val out = Registry.byName("q101_leakage_split")
