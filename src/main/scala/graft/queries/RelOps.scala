@@ -176,6 +176,73 @@ object RelOps {
         .orderBy("priority", "ym")
     },
 
+    // ------------------------------------------------------ ordered LISTAGG
+    Q("q107_listagg",
+      "Ordered string aggregation (LISTAGG / string_agg): per market " +
+        "segment, the five alphabetically-first customer names joined " +
+        "','. The engine shape is collect_list → array_sort → slice → " +
+        "concat_ws inside ONE hash aggregate — deterministic because " +
+        "the order comes from the SORT, never from arrival order (the " +
+        "classic listagg nondeterminism bug). 100 TB note: untruncated " +
+        "listagg is inherently O(group) state — the slice(5) cap here " +
+        "is the honest bounded form; for unbounded concatenation at " +
+        "scale you want the file sink, not a string cell.",
+      Some("""
+        WITH r AS (SELECT c_mktsegment AS segment, c_name,
+                          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                             ORDER BY c_name) AS rnk
+                   FROM customer)
+        SELECT segment, COUNT(*) AS n_listed,
+               string_agg(c_name, ',' ORDER BY c_name) AS first_names
+        FROM r WHERE rnk <= 5
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(slice(array_sort(collect_list(col("c_name"))), 1, 5).as("names"))
+        .select(col("segment"),
+          least(size(col("names")), lit(5)).cast("long").as("n_listed"),
+          concat_ws(",", col("names")).as("first_names"))
+        .orderBy("segment")
+    },
+
+    // ------------------------------------------- month-over-month change
+    Q("q108_mom_change",
+      "Month-over-month revenue change per order priority — the lag() " +
+        "report every BI layer ships: revenue aggregates to the " +
+        "(priority, month) domain FIRST (one corpus shuffle), so the " +
+        "lag window runs over ≤ |priorities|×|months| rows — domain-" +
+        "bounded, never data-bounded. Money stays integer cents through " +
+        "the lag subtraction; the percent is the only float and it is " +
+        "guarded + rounded identically on both engines. First month per " +
+        "priority yields NULL change (no synthetic zero).",
+      Some(s"""
+        WITH m AS (SELECT o_orderpriority AS priority,
+                          CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+                          ${oCentsSum("o_totalprice")} AS cents
+                   FROM orders GROUP BY 1, 2),
+        l AS (SELECT priority, ym, cents,
+                     LAG(cents) OVER (PARTITION BY priority ORDER BY ym) AS prev
+              FROM m)
+        SELECT priority, ym,
+               ROUND(CAST(cents AS DOUBLE)/100, 2) AS revenue,
+               CASE WHEN prev > 0 THEN
+                 ROUND(CAST(cents - prev AS DOUBLE)*100/prev, 2) END AS pct_change
+        FROM l ORDER BY 1, 2""")) { (s, dir) =>
+      val w = Window.partitionBy("priority").orderBy("ym")
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(centsSum(col("o_totalprice")).as("cents"))
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .select(col("priority"), col("ym"),
+          round(col("cents").cast("double") / 100, 2).as("revenue"),
+          when(col("prev") > 0,
+            round((col("cents") - col("prev")).cast("double") * 100 /
+              col("prev"), 2)).as("pct_change"))
+        .orderBy("priority", "ym")
+    },
+
     // ------------------------------------------------- CDC MERGE / upsert
     Q("q75_merge_upsert",
       "MERGE INTO (Delta/Iceberg-style CDC apply) as a pure Spark plan: a " +

@@ -166,6 +166,36 @@ class RelOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("q107: listagg order comes from the sort, not arrival order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // names arrive reversed and interleaved across partitions; the
+    // aggregate must still emit them alphabetically, capped at 5
+    val df = Seq("zeta", "alpha", "mu", "beta", "nu", "eta", "xi")
+      .map(n => ("S", n)).toDF("segment", "c_name").repartition(4)
+    val got = df.groupBy("segment")
+      .agg(slice(array_sort(collect_list(col("c_name"))), 1, 5).as("names"))
+      .select(concat_ws(",", col("names"))).as[String].head()
+    assert(got === "alpha,beta,eta,mu,nu")
+  }
+
+  test("q108: first month is NULL change; lag subtraction stays in integer cents") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p").orderBy("ym")
+    val rows = Seq(("A", 199501L, 10000L), ("A", 199502L, 15000L),
+      ("A", 199503L, 12000L)).toDF("p", "ym", "cents")
+    val out = rows.withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("ym"), when(col("prev") > 0,
+        round((col("cents") - col("prev")).cast("double") * 100 / col("prev"), 2))
+        .as("pct"))
+      .orderBy("ym").collect()
+    assert(out(0).isNullAt(1))                 // no synthetic zero
+    assert(out(1).getDouble(1) === 50.0)       // (15000-10000)/10000
+    assert(out(2).getDouble(1) === -20.0)      // (12000-15000)/15000
+  }
+
   test("q100: incremental MV refresh — merge of stored partials and a signed delta") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
