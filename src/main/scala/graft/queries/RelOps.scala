@@ -176,6 +176,46 @@ object RelOps {
         .orderBy("priority", "ym")
     },
 
+    // ----------------------------------------- INTERSECT / EXCEPT cohorts
+    Q("q109_set_ops",
+      "Distributed set operations (SURVEY §2.8 beyond UNION): customer " +
+        "cohorts active in both 1994 and 1995 (INTERSECT), only 1994 " +
+        "(EXCEPT), only 1995 (EXCEPT reversed). Catalyst lowers " +
+        "INTERSECT to a left-semi and EXCEPT to a left-anti hash join " +
+        "over the deduplicated key sets (plan-audited) — hash-" +
+        "partitioned on the key, so at 100 TB each cohort is one " +
+        "shuffle of the distinct-key domain, never row-level data " +
+        "movement. The three cohort counts union into one report.",
+      Some("""
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE YEAR(o_orderdate) = 1994),
+             b AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE YEAR(o_orderdate) = 1995)
+        SELECT 'both_years' AS cohort, COUNT(*) AS n_customers
+        FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        UNION ALL
+        SELECT 'only_1994', COUNT(*)
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        UNION ALL
+        SELECT 'only_1995', COUNT(*)
+        FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        ORDER BY 1""")) { (s, dir) =>
+      def yr(y: Int): DataFrame = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+      val a = yr(1994)
+      val b = yr(1995)
+      Seq("both_years" -> a.intersect(b),
+          "only_1994" -> a.except(b),
+          "only_1995" -> b.except(a))
+        .map { case (lbl, df) =>
+          df.agg(count(lit(1)).as("n_customers"))
+            .select(lit(lbl).as("cohort"), col("n_customers"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("cohort")
+    },
+
     // ------------------------------------------------------ ordered LISTAGG
     Q("q107_listagg",
       "Ordered string aggregation (LISTAGG / string_agg): per market " +

@@ -272,6 +272,29 @@ class PlanAuditSpec extends SparkSpec {
       s"rank window must run over the taken 20 rows, not the pair domain:\n$p")
   }
 
+  test("q109 set ops lower to semi/anti hash joins over distinct key sets") {
+    val p = q("q109_set_ops")
+    assert(p.contains("LeftSemi"), s"INTERSECT must be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"EXCEPT must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop") ||
+      p.contains("BroadcastNestedLoopJoin"), // tiny sides may broadcast-NL
+      s"no unbounded join strategies:\n$p")
+  }
+
+  test("q105 stratified sample rides the same ObjectHashAggregate shape as q99") {
+    val p = q("q105_stratified_sample")
+    assert(!p.contains("Window"), s"no window over the corpus:\n$p")
+    assert(p.contains("partial_topk_packed"),
+      s"map-side partial top-k lost:\n$p")
+  }
+
+  test("q103 MAD thresholds join back as broadcasts — corpus never shuffle-joins") {
+    val p = q("q103_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"threshold joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not sort-merge on 5-row dims:\n$p")
+  }
+
   test("q99 top-k rides a partial+final ObjectHashAggregate — no Window, no per-group sort") {
     val p = q("q99_group_topk")
     assert(!p.contains("Window"), s"top-k must not window-sort the groups:\n$p")
