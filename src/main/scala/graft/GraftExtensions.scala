@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, graftshim}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{NormalizeKey, RollingHash, SimHash28, SortedJaccard, TopKPacked}
+import graft.expr.{CharPairs, NormalizeKey, RollingHash, SimHash28, SortedJaccard, TopKPacked}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions,
   * so `spark.sql("SELECT normalize_key(c) ...")` works like any built-in.
@@ -49,7 +49,9 @@ object GraftExtensions {
         TopKPacked(c, k)
       case other => throw new IllegalArgumentException(
         "topk_packed takes (col, int-literal k), got " + other)
-    }))
+    }),
+    // generator: usable in SELECT / LATERAL VIEW like built-in explode
+    ("char_pairs", classOf[CharPairs].getName, one(CharPairs(_))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -108,9 +108,11 @@ object CorpusOps {
         .filter(length(col("word")) >= 2)
         .groupBy("word").agg(count(lit(1)).as("freq"))
       val pairCounts = freqs
-        .select(explode(expr(
-          "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"
-        )).as("pair"), col("freq"))
+        // native generator (graft.expr.CharPairs): one pass over the
+        // word, rows emitted directly — no per-row intermediate array
+        .select(org.apache.spark.sql.graftshim.column(
+          graft.expr.CharPairs(org.apache.spark.sql.graftshim.expression(
+            col("word")))).as("pair"), col("freq"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
       // top-20 FIRST (TakeOrderedAndProject: partial top-k per partition,
       // no global sort), THEN the presentation rank over 20 rows

@@ -72,4 +72,32 @@ class CustomExprSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(got === want)
   }
+
+  test("CharPairs generator: adjacent pairs, UTF-8 chars, empty on short/null") {
+    import graft.expr.CharPairs
+    def pairs(s: Option[String]): Seq[String] =
+      Seq(Tuple1(s.orNull)).toDF("w")
+        .select(graftshim.column(CharPairs(graftshim.expression(col("w")))).as("p"))
+        .as[String].collect().toSeq
+    assert(pairs(Some("abc")) === Seq("ab", "bc"))
+    // multibyte: numChars/substringSQL must walk chars, not bytes
+    assert(pairs(Some("héllo")) === Seq("hé", "él", "ll", "lo"))
+    assert(pairs(Some("x")) === Seq.empty)
+    assert(pairs(Some("")) === Seq.empty)
+    assert(pairs(None) === Seq.empty)
+  }
+
+  test("CharPairs SQL surface matches the HOF formulation it replaced") {
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("pairing", "aaa").toDF("w").createOrReplaceTempView("words")
+    val gen = s.sql("SELECT w, char_pairs(w) AS pair FROM words")
+      .as[(String, String)].collect().sorted.toSeq
+    val hof = s.sql(
+      """SELECT w, explode(transform(sequence(1, length(w)-1),
+         i -> substring(w, i, 2))) AS pair FROM words""")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(gen === hof)
+  }
 }

@@ -25,6 +25,6 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; names covered above
     assert(GraftExtensions.functions.map(_._1).toSet ===
       Set("normalize_key", "simhash28", "rolling_hash", "sorted_jaccard",
-        "topk_packed"))
+        "topk_packed", "char_pairs"))
   }
 }
