@@ -73,6 +73,45 @@ object CorpusOps {
 
   val all: Seq[Q] = Seq(
 
+    // ------------------------------------------- tokenizer fertility audit
+    Q("q110_token_fertility",
+      "Per-language tokenizer-fertility statistics — the multilingual " +
+        "budgeting audit (how many characters one token 'costs' per " +
+        "language decides vocabulary allocation and per-language " +
+        "training-token budgets). ONE hash-agg over the corpus: doc " +
+        "counts, token totals (whitespace tokenization, the same " +
+        "primitive as q28/q32b), char totals, and the derived " +
+        "chars-per-token and tokens-per-doc ratios — counts stay " +
+        "BIGINT-exact, each ratio is one guarded double division " +
+        "rounded identically on both engines. 100 TB shape: map-side " +
+        "partial counts, 5-row result; nothing leaves the executors " +
+        "but the partials.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+               CASE WHEN SUM(len(string_split_regex(text, '\s+'))) > 0 THEN
+                 ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE)
+                       / SUM(len(string_split_regex(text, '\s+'))), 4) END
+                 AS chars_per_token,
+               ROUND(CAST(SUM(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+                     / COUNT(*), 2) AS tokens_per_doc
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), length(col("text")).cast("long").as("c"),
+          size(toks(col("text"))).cast("long").as("t"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t")).as("n_tokens"),
+          sum(col("c")).as("n_chars"),
+          when(sum(col("t")) > 0,
+            round(sum(col("c")).cast("double") / sum(col("t")), 4))
+            .as("chars_per_token"),
+          round(sum(col("t")).cast("double") / count(lit(1)), 2)
+            .as("tokens_per_doc"))
+        .orderBy("lang")
+    },
+
     // ----------------------------------------- BPE merge-step statistics
     Q("q102_bpe_pair_stats",
       "The BPE trainer's inner loop at corpus scale: weighted " +
