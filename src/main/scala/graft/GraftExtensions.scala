@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // custom logical operators: lowered during analysis (see graft.plans)
     ext.injectResolutionRule(_ => graft.plans.RewriteAsOfJoin)
+    // physical path for the same node when spark.graft.asof.impl=exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -46,11 +46,14 @@ final case class AsOfJoin(
   * also works on driver-provided sessions without it. */
 object RewriteAsOfJoin extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case aj: AsOfJoin if aj.childrenResolved &&
-        Seq(aj.leftOn, aj.rightOn, aj.leftBy, aj.rightBy).forall(_.resolved) =>
-      lower(aj)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // impl=exec leaves the node for AsOfJoinStrategy to plan physically
+    if (conf.getConfString("spark.graft.asof.impl", "rewrite") == "exec") plan
+    else plan.transformUp {
+      case aj: AsOfJoin if aj.childrenResolved &&
+          Seq(aj.leftOn, aj.rightOn, aj.leftBy, aj.rightBy).forall(_.resolved) =>
+        lower(aj)
+    }
 
   private def lower(aj: AsOfJoin): LogicalPlan = {
     val lOut = aj.left.output
@@ -131,8 +134,18 @@ object AsOf {
       graftshim.analyzed(left), graftshim.analyzed(r),
       graftshim.expression(leftOn), rCol(rightOn),
       graftshim.expression(leftBy), rCol(rightBy))
-    // eager lowering: works on any session; sessions built with
-    // GraftExtensions also lower the raw node through the analyzer
-    graftshim.ofRows(left.sparkSession, RewriteAsOfJoin(node))
+    val spark = left.sparkSession
+    if (spark.conf.get("spark.graft.asof.impl", "rewrite") == "exec") {
+      // physical path: keep the raw node; ensure the planner strategy is
+      // present (experimental.extraStrategies is the public per-session
+      // hook; GraftExtensions-built sessions already inject it)
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          AsOfJoinStrategy +: spark.experimental.extraStrategies
+      graftshim.ofRows(spark, node)
+    } else
+      // eager lowering: works on any session; sessions built with
+      // GraftExtensions also lower the raw node through the analyzer
+      graftshim.ofRows(spark, RewriteAsOfJoin(node))
   }
 }

@@ -80,6 +80,61 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getLong(out(0).fieldIndex("rid")) === 1L)
   }
 
+  test("physical exec path: AsOfJoinExec equals the rewrite on every edge case") {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.asof.impl", "exec")
+    import s.implicits._
+    // same fixtures as the semantic tests, but spread over partitions so
+    // the merge crosses co-partitioned shuffle + sort boundaries
+    val l = Seq(
+      (1L, Option("A"), Option(ts("2024-01-01 10:00:05"))),
+      (2L, Option("A"), Option(ts("2024-01-01 10:00:00"))), // inclusive
+      (3L, Option("A"), Option(ts("2024-01-01 09:00:00"))), // pre-quote
+      (4L, Option("B"), Option(ts("2024-01-01 12:00:00"))), // tie-break
+      (5L, Option("C"), Option(ts("2024-01-01 12:00:00"))), // no group
+      (6L, Option("A"), Option.empty[Timestamp]),           // null leftOn
+      (7L, Option.empty[String], Option(ts("2024-01-01 10:00:00"))) // null leftBy
+    ).toDF("t_id", "sym", "t_ts").repartition(3)
+    val r = Seq(
+      (Option("A"), Option(ts("2024-01-01 10:00:00")), 101.0),
+      (Option("A"), Option(ts("2024-01-01 10:00:03")), 102.0),
+      (Option("A"), Option(ts("2024-01-01 10:00:07")), 103.0),
+      (Option("B"), Option(ts("2024-01-01 11:59:00")), 55.0),
+      (Option("B"), Option(ts("2024-01-01 11:59:00")), 56.0), // tie
+      (Option("A"), Option.empty[Timestamp], 99.0),           // null rightOn
+      (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 98.0) // null rightBy
+    ).toDF("q_sym", "q_ts", "px").repartition(3)
+    val exec = AsOf.join(l, r, l("t_ts"), r("q_ts"), l("sym"), r("q_sym"))
+    // the physical operator must actually be in the plan (SparkPlan
+    // nodeName strips the Exec suffix → "AsOfJoin" + expression list)
+    assert(exec.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    val got = exec.orderBy("t_id").select("t_id", "px").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+    assert(got.toSeq === Seq(
+      1L -> Some(102.0), 2L -> Some(101.0), 3L -> None,
+      4L -> Some(56.0), 5L -> None, 6L -> None, 7L -> None))
+    // cross-check: bit-identical to the rewrite path on the same inputs
+    s.conf.set("spark.graft.asof.impl", "rewrite")
+    val rew = AsOf.join(l, r, l("t_ts"), r("q_ts"), l("sym"), r("q_sym"))
+    assert(exec.exceptAll(rew).count() === 0 && rew.exceptAll(exec).count() === 0)
+  }
+
+  test("exec plan shape: co-partitioned exchanges + sorts on (by, on)") {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.asof.impl", "exec")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    import s.implicits._
+    val l = Seq((1L, "A", ts("2024-01-01 10:00:05"))).toDF("t_id", "sym", "t_ts")
+    val r = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("q_sym", "q_ts", "px")
+    val p = AsOf.join(l, r, l("t_ts"), r("q_ts"), l("sym"), r("q_sym"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), p)
+    assert(p.linesIterator.count(l0 => l0.contains("Exchange hashpartitioning")) == 2,
+      s"both sides must co-partition on the by key:\n$p")
+    assert(p.linesIterator.count(_.contains("Sort [")) == 2,
+      s"both sides must sort (by, on):\n$p")
+  }
+
   test("raw node lowers through the injected analyzer rule pattern") {
     // RewriteAsOfJoin on the raw node yields a resolved, executable plan
     val node = AsOfJoin(
