@@ -56,6 +56,46 @@ object JoinOps {
         .orderBy("event_id")
     },
 
+    // ------------------------------------- as-of join, physical operator
+    Q("q51b_asof_exec",
+      "q51 through the PHYSICAL as-of operator (plans/AsOfJoinExec via " +
+        "spark.graft.asof.impl=exec on a scoped session clone): the " +
+        "co-partitioned sorted-merge pass with one buffered right row " +
+        "of state, planned by the injected SparkStrategy. Same oracle " +
+        "as q51 — the hash match certifies the custom SparkPlan's " +
+        "semantics against DuckDB's native ASOF JOIN, independently of " +
+        "the spec that pins exec ≡ rewrite.",
+      Some("""
+        WITH e AS (SELECT event_id, user_id,
+                          date_trunc('second', ts::TIMESTAMP) AS tss, event_type
+                   FROM events),
+        p AS (SELECT event_id, user_id, tss FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, tss FROM e WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.tss AS p_tss,
+               c.tss AS last_click_tss,
+               date_diff('second', c.tss, p.tss)::BIGINT AS gap_s
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.tss >= c.tss
+        ORDER BY p.event_id""")) { (s0, dir) =>
+      // scoped clone: conf change invisible to the shared session
+      val s = s0.newSession()
+      s.conf.set("spark.graft.asof.impl", "exec")
+      val e = Tables.events(s, dir)
+        .withColumn("tss", date_trunc("second", col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tss"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("tss").as("last_click_tss"))
+      graft.plans.AsOf.join(purchases, clicks,
+          leftOn = purchases("tss"), rightOn = clicks("last_click_tss"),
+          leftBy = purchases("user_id"), rightBy = clicks("c_user"))
+        .select(col("event_id"), col("user_id"), col("tss").as("p_tss"),
+          col("last_click_tss"),
+          (unix_timestamp(col("tss")) - unix_timestamp(col("last_click_tss")))
+            .cast("long").as("gap_s"))
+        .orderBy("event_id")
+    },
+
     // --------------------------------------------------------- range join
     Q("q52_range_join",
       "Interval/range join: clicks per user inside the hour before each " +
