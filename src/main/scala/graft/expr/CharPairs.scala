@@ -23,8 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the norm — Spark's own Explode is interpreted the same way); the hot
   * loop below is compiled Scala on UTF8String bytes.
   *
-  * Null or length<2 inputs produce zero rows (explode-on-empty-array
-  * semantics, matching the HOF form it replaces).
+  * Null or length<2 inputs produce zero rows. NOTE this is SAFER than
+  * the raw HOF form, not identical to it: `sequence(1, length-1)` on a
+  * 1-char string is sequence(1, 0) = [1, 0] (Spark defaults to a
+  * DESCENDING step when start > stop), so the unguarded HOF emits two
+  * bogus rows where this generator emits none — q102 guarded it with
+  * LENGTH >= 2; the generator needs no guard.
   */
 case class CharPairs(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback {
@@ -32,6 +36,12 @@ case class CharPairs(child: Expression)
   override def prettyName: String = "char_pairs"
   override def elementSchema: StructType =
     StructType(StructField("pair", StringType, nullable = false) :: Nil)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_pairs requires a STRING input, got ${child.dataType.sql}")
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)

@@ -49,11 +49,18 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     // impl=exec leaves the node for AsOfJoinStrategy to plan physically
     if (conf.getConfString("spark.graft.asof.impl", "rewrite") == "exec") plan
-    else plan.transformUp {
-      case aj: AsOfJoin if aj.childrenResolved &&
-          Seq(aj.leftOn, aj.rightOn, aj.leftBy, aj.rightBy).forall(_.resolved) =>
-        lower(aj)
-    }
+    else force(plan)
+
+  /** The unconditional lowering. [[AsOf.join]]'s eager rewrite path calls
+    * this directly: `apply` reads the AMBIENT SQLConf (the thread's
+    * active session), which may disagree with the session the caller
+    * already checked — routing through `apply` could then return the raw
+    * node to a session with no strategy for it. */
+  def force(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case aj: AsOfJoin if aj.childrenResolved &&
+        Seq(aj.leftOn, aj.rightOn, aj.leftBy, aj.rightBy).forall(_.resolved) =>
+      lower(aj)
+  }
 
   private def lower(aj: AsOfJoin): LogicalPlan = {
     val lOut = aj.left.output
@@ -145,7 +152,9 @@ object AsOf {
       graftshim.ofRows(spark, node)
     } else
       // eager lowering: works on any session; sessions built with
-      // GraftExtensions also lower the raw node through the analyzer
-      graftshim.ofRows(spark, RewriteAsOfJoin(node))
+      // GraftExtensions also lower the raw node through the analyzer.
+      // force, not apply: apply consults the ambient SQLConf, which may
+      // be a different session than the one checked above
+      graftshim.ofRows(spark, RewriteAsOfJoin.force(node))
   }
 }

@@ -101,7 +101,13 @@ final case class AsOfJoinExec(
               val ro = rOn.eval(r)
               if (ro == null) rBuf.next() // null on matches nothing
               else if (lo != null && onOrd.compare(ro, lo) <= 0) {
-                cand = r.copy(); candBy = rb; rBuf.next()
+                cand = r.copy()
+                // re-evaluate the key from the COPY: rb points into the
+                // reused scan/spill buffer and can be overwritten by the
+                // time the match test runs (e.g. UTF8String keys after a
+                // sorter spill)
+                candBy = rBy.eval(cand)
+                rBuf.next()
               } else advancing = false
             }
           }

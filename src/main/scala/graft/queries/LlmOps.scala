@@ -146,7 +146,7 @@ object LlmOps {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val bands = graft.operators.Buckets.capBuckets(bands0,
-      Seq(col("band"), col("key")), MAX_BAND_BUCKET, "q26b_band_cap")
+      Seq(col("band"), col("key")), MAX_BAND_BUCKET, "cluster_band_cap")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))

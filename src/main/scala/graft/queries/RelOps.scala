@@ -240,7 +240,7 @@ object RelOps {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(slice(array_sort(collect_list(col("c_name"))), 1, 5).as("names"))
         .select(col("segment"),
-          least(size(col("names")), lit(5)).cast("long").as("n_listed"),
+          size(col("names")).cast("long").as("n_listed"), // slice caps at 5
           concat_ws(",", col("names")).as("first_names"))
         .orderBy("segment")
     },

@@ -99,5 +99,14 @@ class CustomExprSpec extends SparkSpec {
          i -> substring(w, i, 2))) AS pair FROM words""")
       .as[(String, String)].collect().sorted.toSeq
     assert(gen === hof)
+    // …but ONLY above length 2: sequence(1, 0) is DESCENDING [1, 0] in
+    // Spark, so the unguarded HOF emits bogus rows on 1-char input where
+    // the generator (correctly) emits none — the divergence the
+    // CharPairs doc documents, pinned here
+    Seq("x").toDF("w").createOrReplaceTempView("one")
+    assert(s.sql("SELECT char_pairs(w) FROM one").count() === 0)
+    assert(s.sql(
+      """SELECT explode(transform(sequence(1, length(w)-1),
+         i -> substring(w, i, 2))) FROM one""").count() === 2)
   }
 }

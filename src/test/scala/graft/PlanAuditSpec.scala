@@ -276,8 +276,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = q("q109_set_ops")
     assert(p.contains("LeftSemi"), s"INTERSECT must be a semi join:\n$p")
     assert(p.contains("LeftAnti"), s"EXCEPT must be an anti join:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop") ||
-      p.contains("BroadcastNestedLoopJoin"), // tiny sides may broadcast-NL
+    // tiny sides may broadcast-NL, but a cartesian is never acceptable
+    assert(!p.contains("CartesianProduct") &&
+      (!p.contains("NestedLoop") || p.contains("BroadcastNestedLoopJoin")),
       s"no unbounded join strategies:\n$p")
   }
 
