@@ -61,6 +61,61 @@ object EmbedOps {
 
   val all: Seq[Q] = Seq(
 
+    // ------------------------------------------- int8 vector quantization
+    Q("q111_embed_quantize",
+      "Per-vector int8 quantization with reconstruction-error audit — " +
+        "the memory move behind every large-scale vector index (float32 " +
+        "→ 1 byte/dim + 1 scale/vector, 4× smaller, SIMD-friendly " +
+        "integer dot products). Codes are derived in PURE INTEGER " +
+        "arithmetic on the proven round(x·1000) grid: per-vector scale " +
+        "= max|xq|, shifted non-negative so floor division agrees " +
+        "across engines (Spark DIV truncates, DuckDB // floors — they " +
+        "differ on negatives, so the code domain is [0, 254] via " +
+        "(xq+scale)·127 div scale), and the reconstruction error is " +
+        "exact BIGINT math both engines replay bit-for-bit. Output per " +
+        "label: mean scale, worst and mean per-vector max-error on the " +
+        "milli grid — the audit that decides whether int8 is safe for " +
+        "a given corpus. 100 TB shape: map-only per-vector codegen'd " +
+        "array math + one small hash-agg; no shuffle of vector data.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS xq FROM embeddings),
+        sc AS (SELECT vec_id, label, xq,
+                      list_max(list_transform(xq, a -> abs(a))) AS scale
+               FROM v),
+        e AS (SELECT vec_id, label, scale,
+                     CASE WHEN scale = 0 THEN 0 ELSE
+                       list_max(list_transform(xq, a ->
+                         abs(a - (((a + scale) * 127) // (2 * scale)
+                                  * 2 * scale) // 127 + scale)))
+                     END AS max_err
+              FROM sc)
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(CAST(CAST(SUM(scale) AS BIGINT) AS DOUBLE)
+                     / COUNT(*) / 1000, 4) AS avg_scale,
+               ROUND(CAST(MAX(max_err) AS DOUBLE) / 1000, 4) AS worst_err,
+               ROUND(CAST(CAST(SUM(max_err) AS BIGINT) AS DOUBLE)
+                     / COUNT(*) / 1000, 4) AS avg_max_err
+        FROM e GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), quant(col("embedding")).as("xq"))
+        .withColumn("scale", array_max(transform(col("xq"), a => abs(a))))
+        // code = ((a+scale)·127) div (2·scale) ∈ [0,127];
+        // recon_shifted = (code·2·scale) div 127; err = (a+scale) −
+        // recon_shifted — every dividend non-negative, so DIV (truncate)
+        // and // (floor) agree
+        .withColumn("max_err", when(col("scale") === 0, lit(0L)).otherwise(
+          expr("array_max(transform(xq, a -> abs(a - (((a + scale) * 127)" +
+            " DIV (2 * scale) * 2 * scale) DIV 127 + scale)))")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("scale")).cast("double") / count(lit(1)) / 1000, 4)
+            .as("avg_scale"),
+          round(max(col("max_err")).cast("double") / 1000, 4).as("worst_err"),
+          round(sum(col("max_err")).cast("double") / count(lit(1)) / 1000, 4)
+            .as("avg_max_err"))
+        .orderBy("label")
+    },
+
     // ------------------------------------------------ brute-force top-k
     Q("q32_knn_bruteforce",
       "Exact cosine top-k: broadcast the bounded query set (vec_id < 10) " +

@@ -126,4 +126,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(byCluster.keySet == Set(0, 4), s"expected clusters 0 and 4, got $byCluster")
     assert(byCluster.values.forall { case (n, d) => n == 8 && d == 0L })
   }
+
+  test("q111: hand-computed int8 codes — scale extremes exact, interior within scale/127") {
+    val dir = Files.createTempDirectory("quant").toString
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // xq = [1000, -1000, 0]: scale 1000; ±scale reconstruct exactly
+    // (codes 127/0), the interior 0 → code 63 → recon 992 → err 8 milli.
+    // Label 2 is the zero vector: scale 0, err 0 by the guard.
+    val rows = Seq(
+      Row(1L, Seq(1.0f, -1.0f, 0.0f), 1),
+      Row(2L, Seq(0.0f, 0.0f, 0.0f), 2))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), embSchema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Registry.byName("q111_embed_quantize").fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1) === ((1.0, 0.008))) // avg_scale, worst_err
+    assert(out(2) === ((0.0, 0.0)))
+  }
 }
