@@ -166,6 +166,22 @@ object LlmOps {
     cc.labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** The stored dedup-cluster map (doc_id, canonical_id): the expensive
+    * label-propagation result materialized ONCE per source dir (q100's
+    * MV pattern) and served to every consumer. q26b still computes the
+    * clustering live — it IS the clustering gate — but q101 (and any
+    * future consumer: quota sampling by cluster, per-cluster stats)
+    * reads the stored map instead of re-deriving it; a real curation
+    * pipeline runs the propagation once per corpus snapshot and keys
+    * every downstream decision off the published artifact. Round-6
+    * verdict item 3: the two queries were spending ~15 s re-deriving
+    * one result. LlmClusterMapSpec proves stored == live. */
+  def clusterMapPath(s: SparkSession, dir: String): String =
+    graft.core.Scratch.materialize("cluster_map", s"v1|$dir") { p =>
+      canonicalClusterIds(s, dir).write.mode("overwrite")
+        .parquet(java.nio.file.Paths.get(p, "map").toString)
+    } + "/map"
+
   private def jaccard(a: Column, b: Column): Column =
     graftshim.column(graft.expr.SortedJaccard(
       graftshim.expression(a), graftshim.expression(b)))
@@ -370,12 +386,17 @@ object LlmOps {
         "— so near-duplicates can never straddle a split boundary and " +
         "leak eval content into training. 8/1/1 via the md5-prefix " +
         "hash28 mod 10 (the engine's cross-engine hashing primitive). " +
-        "100 TB shape: the split adds ONE map-side projection on top of " +
-        "the clustering output — no extra shuffle; determinism means " +
-        "re-runs and late-arriving shards assign identically without " +
-        "coordination. The per-doc output makes the no-straddle " +
-        "invariant hash-checkable: any cluster with two splits would " +
-        "diverge from the oracle's cluster-keyed assignment.",
+        "The cluster map is read from its STORED artifact (built once " +
+        "per corpus snapshot — the q100 MV pattern; LlmClusterMapSpec " +
+        "proves stored == live), the way a production pipeline keys " +
+        "every downstream decision off one published clustering instead " +
+        "of re-deriving it per consumer. 100 TB shape: the split adds " +
+        "ONE map-side projection on top of the stored map — no extra " +
+        "shuffle; determinism means re-runs and late-arriving shards " +
+        "assign identically without coordination. The per-doc output " +
+        "makes the no-straddle invariant hash-checkable: any cluster " +
+        "with two splits would diverge from the oracle's cluster-keyed " +
+        "assignment.",
       Some(s"""
         WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
         s AS (SELECT doc_id, $oShingles3 AS sh FROM t WHERE len(w) >= 3),
@@ -398,7 +419,7 @@ object LlmOps {
         FROM (SELECT doc_id, canonical_id,
                      ${oHash28("canonical_id::VARCHAR")} % 10 AS h FROM c)
         ORDER BY doc_id""")) { (s, dir) =>
-      canonicalClusterIds(s, dir)
+      s.read.parquet(clusterMapPath(s, dir))
         .withColumn("h", hash28(col("canonical_id").cast("string")) % 10)
         .select(col("doc_id"), col("canonical_id"),
           when(col("h") < 8, "train").when(col("h") === 8, "valid")

@@ -218,7 +218,7 @@ class RelOpsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     // one scan of the stored state dir + the changelog derivation; the
     // materialized base aggregation must come from parquet, not recompute
-    assert(plan.contains("graft_incr_mv"),
+    assert(plan.contains("graft_scratch/incr_mv"),
       s"refresh must read the materialized state:\n$plan")
   }
 
