@@ -145,10 +145,18 @@ object AsOf {
     if (spark.conf.get("spark.graft.asof.impl", "rewrite") == "exec") {
       // physical path: keep the raw node; ensure the planner strategy is
       // present (experimental.extraStrategies is the public per-session
-      // hook; GraftExtensions-built sessions already inject it)
-      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-        spark.experimental.extraStrategies =
-          AsOfJoinStrategy +: spark.experimental.extraStrategies
+      // hook; GraftExtensions-built sessions already inject it).
+      // NOTE: this registers a SESSION-LIFETIME planner strategy as a
+      // side effect — it persists on `spark` after this call (harmless:
+      // the strategy only matches graft's own AsOfJoin node). The
+      // check-then-prepend is serialized on the experimental-methods
+      // holder so two threads can't interleave and insert duplicates
+      // (r6 advice).
+      spark.experimental.synchronized {
+        if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+          spark.experimental.extraStrategies =
+            AsOfJoinStrategy +: spark.experimental.extraStrategies
+      }
       graftshim.ofRows(spark, node)
     } else
       // eager lowering: works on any session; sessions built with

@@ -70,8 +70,10 @@ object EmbedOps {
         "arithmetic on the proven round(x·1000) grid: per-vector scale " +
         "= max|xq|, shifted non-negative so floor division agrees " +
         "across engines (Spark DIV truncates, DuckDB // floors — they " +
-        "differ on negatives, so the code domain is [0, 254] via " +
-        "(xq+scale)·127 div scale), and the reconstruction error is " +
+        "differ on negatives, so codes live in [0, 127] via " +
+        "(xq+scale)·127 div (2·scale) — 7-bit resolution, max recon " +
+        "error scale/127 on the milli grid), and the reconstruction " +
+        "error is " +
         "exact BIGINT math both engines replay bit-for-bit. Output per " +
         "label: mean scale, worst and mean per-vector max-error on the " +
         "milli grid — the audit that decides whether int8 is safe for " +

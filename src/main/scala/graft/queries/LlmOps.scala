@@ -661,7 +661,10 @@ object LlmOps {
         "late-arriving shards — properties true reservoir sampling " +
         "(RNG + sequential state) cannot give a distributed engine. " +
         "100 TB shape: same O(k)-state single aggregate as q99 — no " +
-        "per-stratum sort, no window over the corpus.",
+        "per-stratum sort, no window over the corpus. Pack headroom " +
+        "(the q99 rule): requires 0 <= doc_id < 10^9 — h < 2^28 rides " +
+        "the high lane, doc_id the low 10^9 lane; a larger corpus " +
+        "widens to two packed lanes.",
       Some(s"""
         WITH d AS (SELECT lang, doc_id,
                           ${oHash28("doc_id::VARCHAR")} AS h FROM documents),

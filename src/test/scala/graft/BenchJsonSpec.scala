@@ -68,6 +68,29 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(real.values.forall(_.length <= 5), "a registry name fell back to its full form")
   }
 
+  test("overflow past the 1900-char floor drops the map LOUDLY and stays parseable") {
+    // enough synthetic colliding names to overflow the compact line: the
+    // prefix collision forces full names into the keys, blowing the width
+    val names = (1 to 200).map(i => f"q9_synthetic_overflow_case_$i%03d")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    val (compact, verbose) =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+        Bench.render(fakeTimings(names), "/root/testdata/sf0.1")
+      } finally System.setErr(prevErr)
+    // the fallback line is parseable, carries the total, and drops the map
+    val node = driverParse(compact + "\n").get
+    assert(node.get("metric").asText == "total")
+    assert(node.get("queries").size == 0)
+    // … and the drop is announced on stderr, not silent (r6 verdict item 7)
+    val warning = errBuf.toString("UTF-8")
+    assert(warning.contains("BENCH WARNING") && warning.contains("1900"),
+      s"expected a loud overflow warning, got: '$warning'")
+    // the verbose channel still has every query
+    assert(mapper.readTree(verbose).get("queries").size == names.size)
+  }
+
   test("error timings and pathological sf paths stay valid JSON") {
     val (compact, _) = Bench.render(
       Seq(("q1_x", 1.0, None), ("q2_y", -1.0, Some("msg with \"quote\" and \\slash"))),
