@@ -51,6 +51,90 @@ object CorpusOps {
       .filter(size(col("w")) >= NGRAM)
       .select(col("doc_id"), explode(ngramHashes(col("w"))).as("h"))
 
+  /** q112's symbol encoding: an array of space-free symbols rendered as
+    * ONE string with every symbol individually wrapped " sym ". Under
+    * this encoding the greedy left-to-right non-overlapping BPE merge of
+    * (a, b) is a plain string replace of " a  b " with " ab " — each
+    * occurrence owns its delimiters, so replacing one occurrence never
+    * consumes the boundary the next one needs (" a  a  a " merges to
+    * " aa  a ", exactly the sequential algorithm). Symbols are
+    * whitespace-split tokens' characters/merges, so they can never
+    * contain the space delimiter. */
+  private def wrapSymbols(syms: Column): Column =
+    concat(lit(" "), concat_ws("  ", syms), lit(" "))
+
+  /** Weighted adjacent-pair counts (left_sym, right_sym, cnt) over
+    * encoded words — one superstep's statistics. Shuffles only the
+    * vocabulary-bounded pair domain (map-side partial agg collapses
+    * per-word multiplicity first). Public for PlanAuditSpec. */
+  def bpePairStats(words: DataFrame): DataFrame =
+    words.select(transform(split(col("wr"), "  "), x => trim(x)).as("syms"),
+        col("freq"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
+        i => struct(element_at(col("syms"), i + 1).as("a"),
+          element_at(col("syms"), i + 2).as("b")))).as("p"), col("freq"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** N BPE merge supersteps over an encoded word-frequency frame:
+    * select argmax pair → apply merge → re-count (the q85 iteration
+    * shape: lineage truncated per step via localCheckpoint — reliable
+    * checkpoint on a real cluster, see ConnectedComponents — and the
+    * driver receives exactly ONE row per step, the argmax). Returns
+    * (step, left, right, cnt) per executed step; stops early if the
+    * vocabulary runs out of pairs. Public for the unit spec. */
+  def bpeMergeSteps(words0: DataFrame, steps: Int): Seq[(Int, String, String, Long)] = {
+    var words = words0.localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val top = bpePairStats(words)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((k, a, b, c))
+        if (k < steps)
+          words = words.withColumn("wr", replace(col("wr"),
+            lit(s" $a  $b "), lit(s" $a$b "))).localCheckpoint()
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** q112's oracle: the N-step loop unrolled into CTE supersteps —
+    * DuckDB replays select-merge/apply/re-count move-for-move. */
+  private def oBpeMergeLoop(steps: Int): String = {
+    val head = s"""
+        WITH f AS (SELECT word, COUNT(*) AS freq
+                   FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
+                         FROM documents)
+                   WHERE LENGTH(word) >= 2 GROUP BY 1),
+        w1 AS (SELECT ' ' || array_to_string(list_transform(range(LENGTH(word)),
+                        i -> substr(word, i + 1, 1)), '  ') || ' ' AS wr, freq
+               FROM f),"""
+    val per = (1 to steps).map { k =>
+      s"""
+        s$k AS (SELECT list_transform(string_split(wr, '  '), x -> trim(x)) AS syms,
+                      freq FROM w$k),
+        p$k AS (SELECT syms[i+1] AS a, syms[i+2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT syms, freq, UNNEST(range(len(syms) - 1)) AS i
+                      FROM s$k WHERE len(syms) >= 2)
+                GROUP BY 1, 2),
+        m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+        w${k + 1} AS (SELECT replace(wr, ' ' || a || '  ' || b || ' ',
+                              ' ' || a || b || ' ') AS wr, freq
+                FROM w$k CROSS JOIN m$k)"""
+    }.mkString(",")
+    val selects = (1 to steps).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym, cnt FROM m$k"
+    }.mkString("\n        UNION ALL ")
+    s"$head$per\n        $selects\n        ORDER BY step"
+  }
+
   /** Duplicated-substring windows (q61): fixed 60-char windows at stride
     * 30 — the Lee et al. "Deduplicating Training Data Makes Language
     * Models Better" shape, with strided hashing standing in for the
@@ -160,6 +244,39 @@ object CorpusOps {
           .over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
         .select(col("rnk"), col("pair"), col("cnt"))
         .orderBy("rnk")
+    },
+
+    // ------------------------------------------- iterated BPE merge loop
+    Q("q112_bpe_merge_loop",
+      "The full BPE training loop, N=3 supersteps (q102 computes ONE " +
+        "step's statistics; a tokenizer trainer iterates select-merge → " +
+        "apply → re-count): per step, weighted adjacent-symbol-pair " +
+        "counts over the distinct-word frequency table pick the argmax " +
+        "pair (deterministic (cnt, left, right) tie-break), the merge " +
+        "is applied to every word, and the next step counts the NEW " +
+        "symbol pairs. Words ride a space-delimited symbol encoding " +
+        "(each symbol wrapped ' sym ') so the greedy left-to-right " +
+        "non-overlapping merge is ONE codegen'd string replace — no " +
+        "per-row loops. Superstep dataflow is the q85 shape: lineage " +
+        "truncated per step, and the driver sees exactly one row per " +
+        "step (the argmax — metadata-sized, like k-means centroids); " +
+        "each step is one vocabulary-bounded pair agg + a TakeOrdered " +
+        "top-1, never a corpus-sized shuffle. The oracle replays all " +
+        "three merges move-for-move in unrolled CTEs, so the hash match " +
+        "proves the distributed loop IS the sequential algorithm.",
+      Some(oBpeMergeLoop(3))) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(wrapSymbols(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as("wr"), col("freq"))
+      import s.implicits._
+      bpeMergeSteps(words, steps = 3)
+        .toDF("step", "left_sym", "right_sym", "cnt")
+        .select(col("step").cast("long").as("step"),
+          col("left_sym"), col("right_sym"), col("cnt"))
+        .orderBy("step")
     },
 
     // -------------------------------------------- benchmark decontamination

@@ -225,6 +225,100 @@ object EmbedOps {
         .orderBy("query_id", "rnk")
     },
 
+    // ---------------------------------------- persisted IVF index + serve
+    Q("q113_ann_index_serve",
+      "The production ANN lifecycle: the IVF index is BUILT ONCE and " +
+        "PERSISTED — integer centroids to one tiny parquet, the " +
+        "quantized corpus (norms precomputed) partitioned BY CELL into " +
+        "the lake — and queries are SERVED from the stored index: read " +
+        "centroids, pick nprobe=3 cells per query, then scan ONLY those " +
+        "cell directories (partition pruning IS the IVF inverted-list " +
+        "seek; plan-audited). Build-to-serve separation is the point: " +
+        "q33 derives its index inside the query, this gate reads " +
+        "standing state the way a deployed system does — at 100 TB the " +
+        "index is written by a nightly job and served by thousands of " +
+        "probes that each touch nprobe/cells of the corpus. Probed cell " +
+        "ids reach the driver (nprobe × |queries| rows, metadata-sized " +
+        "— the q104 manifest move) to prune partitions; vector data " +
+        "never does.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM v CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM v GROUP BY 1),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
+               WHERE vec_id >= 5 AND vec_id < 10),
+        dist AS (SELECT qid, cent.label, qv, qn,
+                        list_sum(list_transform(range($DIM),
+                          i -> (c * qv[i+1] - sv[i+1]) * (c * qv[i+1] - sv[i+1]))) AS d
+                 FROM qs CROSS JOIN cent JOIN cnt ON cent.label = cnt.label),
+        probe AS (SELECT qid, label, qv, qn FROM (
+                    SELECT qid, label, qv, qn,
+                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, label) AS pr
+                    FROM dist) WHERE pr <= 3),
+        cand AS (SELECT qid, nz.vec_id AS neighbor_id, nz.label,
+                        ${oDot("qv", "q")}::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                 FROM probe JOIN nz ON nz.label = probe.label AND nz.vec_id <> probe.qid),
+        r AS (SELECT qid AS query_id, neighbor_id, label, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand)
+        SELECT query_id, rnk::INT AS rnk, neighbor_id, label AS cell,
+               ROUND(cos, 6) AS cosine
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      val idx = graft.core.Scratch.materialize("ivf_index", s"v1|$dir") { p =>
+        // build job: exact integer centroids (q33's derivation) + the
+        // corpus laid out as one directory per cell with norms baked in
+        val cellsum = Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(quant(col("embedding"))).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("x")).as("s"))
+        val cent = cellsum.groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+            e => e.getField("s")).as("sv"))
+        val cnt = Tables.embeddings(s, dir).groupBy(col("label"))
+          .agg(count(lit(1)).as("c"))
+        cent.join(cnt, "label").write.mode("overwrite")
+          .parquet(java.nio.file.Paths.get(p, "centroids").toString)
+        quantized(s, dir).write.mode("overwrite").partitionBy("label")
+          .parquet(java.nio.file.Paths.get(p, "vectors").toString)
+      }
+      // ---- serve path: everything below reads only standing state
+      val centroids = s.read.parquet(s"$idx/centroids")
+      val qs = quantized(s, dir)
+        .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"))
+      val dist = qs.crossJoin(broadcast(centroids))
+        .withColumn("d", aggregate(
+          zip_with(col("qv"), col("sv"),
+            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+          lit(0L), (acc, x) => acc + x))
+      val wp = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("label").asc)
+      val probe = dist.withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 3)
+        .select(col("qid"), col("label"), col("qv"), col("qn"))
+      // the inverted-list seek: probed cell ids → literal IN-filter →
+      // only those label= directories are scanned
+      val cells = probe.select("label").distinct().collect().map(_.get(0))
+      val stored = s.read.parquet(s"$idx/vectors")
+        .filter(col("label").isin(cells: _*))
+      val cand = stored.join(broadcast(probe),
+          stored("label") === probe("label") && col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      cand.withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 3)
+        .select(col("qid").as("query_id"), col("rnk"),
+          col("vec_id").as("neighbor_id"), stored("label").as("cell"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+
     // -------------------------------------- random-hyperplane LSH near-dup
     Q("q34b_embed_neardup_lsh",
       "Embedding near-dup via sign-random-projection LSH: 16 integer " +

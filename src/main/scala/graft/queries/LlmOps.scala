@@ -728,8 +728,17 @@ object LlmOps {
         "then each doc's mean and minimum corpus frequency over its own " +
         "bigrams — low typicality flags gibberish, high flags " +
         "boilerplate. Integer counts + one guarded division keep it " +
-        "bit-exact; at 100 TB the frequency table is the shuffle (or a " +
-        "broadcast top-K with a default, the CCNet trick).",
+        "bit-exact. Dataflow: the balanced doc scan is ONE round-robin " +
+        "exchange consumed by both the frequency agg and the join probe " +
+        "(ReusedExchange under AQE — machine-audited; an earlier " +
+        "repartition(bg) claimed sharing that column pruning silently " +
+        "broke: the agg branch pruned to bg-only, the probe carried " +
+        "(doc_id, bg), so the exchanges never canonicalized equal and " +
+        "the explode ran twice). The bigram frequency table is the only " +
+        "corpus-domain shuffle and joins back as a broadcast while it " +
+        "fits (AQE falls back to a bg shuffle join when it outgrows " +
+        "that); at 100 TB the real path is a broadcast top-K table " +
+        "with a default count, the CCNet trick.",
       Some("""
         WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
         g AS (SELECT doc_id,
@@ -751,8 +760,13 @@ object LlmOps {
           explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
             concat_ws(" ", element_at(col("w"), i + 1),
               element_at(col("w"), i + 2)))).as("bg"))
-        .repartition(col("bg")) // shared exchange: freq agg + join reuse it
-      val freq = g.groupBy("bg").agg(count(lit(1)).as("c"))
+      // count(doc_id), NOT count(1): doc_id is the non-null key, so the
+      // counts are identical — but referencing it keeps the frequency
+      // branch's column set equal to the probe's (doc_id, bg). With
+      // count(1), column pruning projected this branch to bg-only, the
+      // two exchange subtrees no longer canonicalized equal, and the
+      // scan + explode silently ran twice (caught by AqePlanAuditSpec).
+      val freq = g.groupBy("bg").agg(count(col("doc_id")).as("c"))
       g.join(freq, "bg")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),

@@ -296,6 +296,34 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus side must not sort-merge on 5-row dims:\n$p")
   }
 
+  test("q112 BPE superstep: pair selection is one vocabulary-bounded hash-agg + TakeOrdered top-1") {
+    import session.implicits._
+    // the words frame is already the distinct-vocabulary collapse; every
+    // superstep's pair statistics must stay on that bounded domain
+    val words = Seq((" a  b  c ", 3L), (" a  b ", 2L)).toDF("wr", "freq")
+    val step = graft.queries.CorpusOps.bpePairStats(words)
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    val p = planOf(step)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"argmax must be partial top-1 per partition, not a global sort:\n$p")
+    assert(p.contains("HashAggregate"), s"pair counts must hash-aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window in the superstep:\n$p")
+    assert(exchangeCount(p) <= 1,
+      s"one pair-domain exchange per superstep, got more:\n$p")
+  }
+
+  test("q113 ANN serve: the stored-vector scan is partition-pruned to the probed cells") {
+    val p = q("q113_ann_index_serve")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("vectors")).getOrElse(
+      fail(s"no scan of the stored vector index found:\n$p"))
+    // the probed-cell IN filter must land in PartitionFilters — directory
+    // pruning is the inverted-list seek; an empty filter reads every cell
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']').contains("label"),
+      s"probed cells must prune partitions:\n$scan")
+  }
+
   test("q99 top-k rides a partial+final ObjectHashAggregate — no Window, no per-group sort") {
     val p = q("q99_group_topk")
     assert(!p.contains("Window"), s"top-k must not window-sort the groups:\n$p")
