@@ -279,6 +279,62 @@ object CorpusOps {
         .orderBy("step")
     },
 
+    // --------------------------------------------- vocabulary coverage curve
+    Q("q114_vocab_coverage",
+      "Tokenizer vocabulary sizing: the coverage curve — what fraction " +
+        "of all corpus token OCCURRENCES the top-N vocabulary covers, " +
+        "evaluated at candidate vocab sizes (OOV rate = 100 − coverage). " +
+        "This is the audit that picks vocab_size before training a " +
+        "tokenizer (q112 trains the merges; this decides when to stop). " +
+        "Dataflow: one corpus-domain shuffle (the token hash-agg with " +
+        "map-side partial counts), then the curve runs entirely on the " +
+        "VOCABULARY domain — rank and running token mass share one " +
+        "window sort (bounded: 10^6-10^7 distinct tokens even at 100 TB, " +
+        "a single executor's work), cut points join in as a 5-row " +
+        "broadcast and the 1-row total as a broadcast cross join (the " +
+        "q23 scalar pattern). Integer token mass keeps every point " +
+        "bit-exact; cut points beyond the actual vocabulary are simply " +
+        "absent — identically in both engines.",
+      Some("""
+        WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+                     FROM documents),
+        c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        r AS (SELECT cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk,
+                     SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM c),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+        SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+               CAST(r.cum AS BIGINT) AS covered, t.total,
+               ROUND(CAST(r.cum AS DOUBLE) * 100 / t.total, 4) AS coverage_pct
+        FROM (VALUES (5), (10), (15), (20), (25), (100)) AS v(vocab_size)
+        JOIN r ON r.rnk = v.vocab_size
+        CROSS JOIN t
+        ORDER BY vocab_size""")) { (s, dir) =>
+      import s.implicits._
+      val c = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      val r = c.select(col("cnt"),
+        row_number().over(w).as("rnk"),
+        sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      val total = c.agg(sum(col("cnt")).as("total"))
+      // the synthetic corpus draws from a ~31-token lexicon, so the cut
+      // points sit inside it; the 100 cut is deliberately past the
+      // vocabulary and must be absent in both engines
+      Seq(5, 10, 15, 20, 25, 100).toDF("vocab_size")
+        .join(r, col("rnk") === col("vocab_size"))
+        .crossJoin(broadcast(total))
+        .select(col("vocab_size").cast("long").as("vocab_size"),
+          col("cum").as("covered"), col("total"),
+          round(col("cum").cast("double") * 100 / col("total"), 4)
+            .as("coverage_pct"))
+        .orderBy("vocab_size")
+    },
+
     // -------------------------------------------- benchmark decontamination
     Q("q60_decontaminate",
       "Benchmark decontamination: hash every training doc's token 8-grams " +
