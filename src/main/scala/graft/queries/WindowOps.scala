@@ -270,6 +270,45 @@ object WindowOps {
         .orderBy("event_type")
     },
 
+    // ------------------------------- streaming dedup, jittered duplicates
+    Q("q115_stream_dedup_jitter",
+      "Streaming dedup when duplicates arrive with DIFFERENT event " +
+        "times (producer retries re-stamping on send — the at-least-" +
+        "once reality q58 can't cover): dropDuplicatesWithinWatermark " +
+        "keys state on event_id ONLY and keeps the first arrival, " +
+        "dropping any duplicate landing within the watermark delay; " +
+        "q58's dropDuplicates(event_id, tss) would pass BOTH copies " +
+        "(different event time = different key). The source replays " +
+        "every event twice, the duplicate jittered +5 minutes; the sink " +
+        "must hold exactly one row per event_id. Which copy is kept " +
+        "depends on arrival order, so the gate aggregates only arrival-" +
+        "invariant columns. State still expires at the watermark " +
+        "horizon — bounded forever at 100 TB/day, same as q58.",
+      Some("""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+        FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("tss"),
+          col("event_type"))
+      streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
+        // the duplicates: same event_id, event time jittered +5 min
+        // (inside the 1 h delay, so the dedup state MUST still hold them)
+        ev.withColumn("tss", col("tss") + expr("INTERVAL 5 MINUTES"))
+          .coalesce(4).write.mode("append").parquet(srcDir)
+        val deduped = Streams.eventsStream(sc, srcDir, ev.schema)
+          .withWatermark("tss", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = deduped.writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------- stream-stream join
     Q("q73_stream_join",
       "Watermarked stream-stream interval join — the attribution shape: " +

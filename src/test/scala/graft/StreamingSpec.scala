@@ -214,4 +214,35 @@ class StreamingSpec extends SparkSpec {
         (9L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:00:00"))))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups jittered retries; plain dropDuplicates cannot") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sparkS.sqlContext
+
+    // the q115 scenario in miniature: event 1 arrives, then a retry of
+    // the same event re-stamped +5 minutes, then an unrelated event
+    def run(name: String)(dedup: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Long = {
+      val input = MemoryStream[(Long, Timestamp)]
+      val q = dedup(input.toDF().toDF("event_id", "tss")
+          .withWatermark("tss", "1 hour"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData((1L, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        input.addData((1L, ts("2024-01-01 10:05:00")), // jittered retry
+          (2L, ts("2024-01-01 10:06:00")))
+        q.processAllAvailable()
+        sparkS.table(name).count()
+      } finally q.stop()
+    }
+    // keyed on id only + watermark state: the retry is recognized
+    assert(run("dedup_within")(_.dropDuplicatesWithinWatermark("event_id")) === 2L,
+      "jittered retry must dedup against the first arrival")
+    // q58's key includes the event time: the re-stamped retry is a new key
+    assert(run("dedup_exact")(_.dropDuplicates("event_id", "tss")) === 3L,
+      "(id, ts)-keyed dedup cannot see a re-stamped retry as a duplicate")
+  }
 }
