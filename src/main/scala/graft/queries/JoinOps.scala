@@ -162,6 +162,55 @@ object JoinOps {
         .orderBy("event_id")
     },
 
+    // ------------------------------------------------------- join-key skew audit
+    Q("q117_skew_audit",
+      "The diagnosis that decides WHETHER q65's salting (or a bigger AQE " +
+        "skew threshold) is needed, run before the expensive join: " +
+        "per-key cardinality profile of the join key. Emits the top-5 " +
+        "heavy keys with their exact share of the table, plus the " +
+        "global picture every row carries: total rows, distinct keys, " +
+        "and the recommended salt factor = ceil(max_key_rows / ideal " +
+        "rows-per-partition at 32 partitions) — the integer formula " +
+        "that sizes q65's salt count (1 means no salting needed). " +
+        "Dataflow: one hash-agg onto the key domain, a TakeOrdered " +
+        "top-5, and the 1-row global aggregate broadcast back (the q23 " +
+        "scalar pattern). All shares derive from exact BIGINTs; at " +
+        "100 TB this replaces the failed-stage post-mortem with a " +
+        "10-second pre-flight.",
+      Some("""
+        WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+                     COUNT(*) AS n_keys,
+                     CAST(MAX(cnt) AS BIGINT) AS max_cnt
+              FROM c),
+        r AS (SELECT user_id, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+              FROM c)
+        SELECT r.rnk::BIGINT AS rnk, r.user_id, r.cnt,
+               ROUND(r.cnt::DOUBLE * 100 / g.total_rows, 4) AS pct_of_rows,
+               g.total_rows, g.n_keys,
+               CAST((g.max_cnt * 32 + g.total_rows - 1) // g.total_rows
+                    AS BIGINT) AS salt_factor
+        FROM r CROSS JOIN g
+        WHERE r.rnk <= 5 ORDER BY rnk""")) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val g = c.agg(sum(col("cnt")).as("total_rows"),
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+      val top = c.orderBy(col("cnt").desc, col("user_id")).limit(5)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+      top.crossJoin(broadcast(g))
+        .select(col("rnk"), col("user_id"), col("cnt"),
+          round(col("cnt").cast("double") * 100 / col("total_rows"), 4)
+            .as("pct_of_rows"),
+          col("total_rows"), col("n_keys"),
+          // ceil-div in exact integers: salt = ceil(max_cnt / (total/32))
+          expr("(max_cnt * 32 + total_rows - 1) DIV total_rows")
+            .as("salt_factor"))
+        .orderBy("rnk")
+    },
+
     // ------------------------------------------------ fuzzy (edit-distance) join
     Q("q81_fuzzy_join",
       "Fuzzy entity matching (edit-distance self-join, the record-linkage " +

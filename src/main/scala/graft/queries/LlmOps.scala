@@ -775,6 +775,56 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ----------------------------------- corpus-frequency scoring at scale
+    Q("q116_bigram_topk_score",
+      "q55's documented 100 TB path made real — the CCNet trick: instead " +
+        "of joining every doc bigram against the FULL frequency table " +
+        "(corpus-domain shuffle), keep only the top-K most frequent " +
+        "bigrams (TakeOrderedAndProject — partial top-K per partition, " +
+        "never a global sort) and score everything else with a default " +
+        "count of 1. The top-K table is fixed-size for ANY corpus, so it " +
+        "BROADCASTS and the scoring pass is map-only: scan, explode, " +
+        "broadcast-probe, per-doc agg — zero shuffle beyond the per-doc " +
+        "hash-agg (plan-audited: no sort-merge join). Rank truncation " +
+        "is deterministic ((cnt, bigram) tie-break) so the oracle " +
+        "replays the exact same K-set; scores differ from q55 only " +
+        "where a tail bigram hit the default — which is the accepted " +
+        "approximation the CCNet paper ships.",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(range(len(w) - 1),
+                                           i -> w[i+1] || ' ' || w[i+2])) AS bg
+              FROM t WHERE len(w) >= 2),
+        f AS (SELECT bg, COUNT(*) AS c FROM g GROUP BY 1),
+        k AS (SELECT bg, c FROM f ORDER BY c DESC, bg LIMIT 100)
+        SELECT g.doc_id,
+               COUNT(*) AS n_bigrams,
+               MIN(COALESCE(k.c, 1)) AS min_freq,
+               ROUND(SUM(COALESCE(k.c, 1))::DOUBLE / COUNT(*), 4) AS avg_freq
+        FROM g LEFT JOIN k USING (bg)
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+            concat_ws(" ", element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2)))).as("bg"))
+      // fixed-size top-K: partial top-K per partition via TakeOrdered;
+      // count(doc_id) keeps the branch reusable with the probe (q55 rule)
+      val topK = g.groupBy("bg").agg(count(col("doc_id")).as("c"))
+        .orderBy(col("c").desc, col("bg")).limit(100)
+      g.join(broadcast(topK), Seq("bg"), "left")
+        .withColumn("c", coalesce(col("c"), lit(1L)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          min(col("c")).as("min_freq"),
+          round(sum(col("c")).cast("double") / count(lit(1)), 4).as("avg_freq"))
+        .orderBy("doc_id")
+    },
+
     // --------------------------------------------------- sequence packing
     Q("q56_sequence_packing",
       "Training-sequence packing: contiguous greedy packing of docs into " +

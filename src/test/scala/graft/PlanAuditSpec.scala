@@ -324,6 +324,29 @@ class PlanAuditSpec extends SparkSpec {
       s"probed cells must prune partitions:\n$scan")
   }
 
+  test("q116 top-K scoring: fixed-size table broadcasts, probe is map-only — no sort-merge join") {
+    val p = q("q116_bigram_topk_score")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be partial top-K per partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the K-row table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus probe must never shuffle-join:\n$p")
+  }
+
+  test("q117 skew audit: key collapse + TakeOrdered top-5 + 1-row broadcast, no data sort") {
+    val p = q("q117_skew_audit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"heavy hitters must be partial top-5 per partition:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the global row must broadcast back:\n$p")
+    // the rank window runs over the taken 5 rows, never the key domain
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val takeIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      s"rank window must sit above the take:\n$p")
+  }
+
   test("q99 top-k rides a partial+final ObjectHashAggregate — no Window, no per-group sort") {
     val p = q("q99_group_topk")
     assert(!p.contains("Window"), s"top-k must not window-sort the groups:\n$p")
