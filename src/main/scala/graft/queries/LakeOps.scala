@@ -54,6 +54,36 @@ object LakeOps {
     (files, manifest.length, lake)
   }
 
+  /** q118's layout + 2-D stats + pruning: lineitem z-ordered on
+    * (a, b) = (partkey mod 256, suppkey mod 256) into 16 range files on
+    * the Morton key (built once per source dir via Scratch), then a
+    * per-file manifest of BOTH dimensions' (min, max) selects the files
+    * whose 2-D span intersects the box [aLo,aHi) × [bLo,bHi). Returns
+    * (pruned files, total files, lake path). Shared with LakeOpsSpec. */
+  def zorderPrunedFiles(s: org.apache.spark.sql.SparkSession, dir: String,
+      aLo: Int, aHi: Int, bLo: Int, bHi: Int): (Seq[String], Int, String) = {
+    val lake = graft.core.Scratch.materialize("zorder_lake", s"v1|$dir") { p =>
+      Tables.lineitem(s, dir)
+        .select((col("l_partkey") % 256).as("a"), (col("l_suppkey") % 256).as("b"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .withColumn("z", shim(graft.expr.InterleaveBits(ex(col("a")), ex(col("b")))))
+        .repartitionByRange(16, col("z"))
+        .write.mode("overwrite")
+        .parquet(java.nio.file.Paths.get(p, "lake").toString)
+    } + "/lake"
+    val manifest = s.read.parquet(lake)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("a").as("a_lo"), max("a").as("a_hi"),
+        min("b").as("b_lo"), max("b").as("b_hi"))
+      .withColumn("keep",
+        col("a_hi") >= aLo && col("a_lo") < aHi &&
+          col("b_hi") >= bLo && col("b_lo") < bHi)
+      .select("file", "keep").collect()
+    val files = manifest.toSeq.filter(_.getBoolean(1))
+      .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0))).toString)
+    (files, manifest.length, lake)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------ min/max file skipping
@@ -195,6 +225,44 @@ object LakeOps {
           moneySum(col("l_extendedprice")).as("revenue"),
           min(col("l_shipdate")).as("first_ship"),
           max(col("l_shipdate")).as("last_ship"))
+        .orderBy("l_returnflag")
+    },
+
+    // ----------------------------------- z-order + 2-D manifest pruned scan
+    Q("q118_zorder_pruned_scan",
+      "Why Z-order exists, end to end: q87 proves the per-bucket " +
+        "min/max spans are confined in BOTH dimensions; this gate turns " +
+        "those spans into actually skipped IO. The lake is lineitem " +
+        "laid out by the Morton key (native InterleaveBits expression), " +
+        "range-partitioned into 16 files; a per-file manifest records " +
+        "min/max of BOTH source dimensions (what Delta collects per " +
+        "add-file); a 2-D box predicate (a∈[32,64) ∧ b∈[4,8)) " +
+        "consults the manifest and reads ONLY files whose 2-D span " +
+        "intersects the box — a linear or hash layout confines neither " +
+        "dimension, so it would prune nothing on one of them. The gate " +
+        "hash-matches the pruned scan against the full-table oracle " +
+        "(skipping loses no rows); LakeOpsSpec asserts a strict-subset " +
+        "file read. Same driver-side manifest rules as q104: " +
+        "metadata-sized, never data-sized.",
+      Some(s"""
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+               ${oMoneySum("l_extendedprice")} AS revenue
+        FROM lineitem
+        WHERE l_partkey % 256 >= 32 AND l_partkey % 256 < 64
+          AND l_suppkey % 256 >= 4 AND l_suppkey % 256 < 8
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val (files, _, lake) = zorderPrunedFiles(s, dir, 32, 64, 4, 8)
+      val pruned =
+        if (files.isEmpty) s.read.parquet(lake).limit(0)
+        else s.read.parquet(files: _*)
+      pruned
+        .filter(col("a") >= 32 && col("a") < 64 &&
+          col("b") >= 4 && col("b") < 8)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
         .orderBy("l_returnflag")
     },
 

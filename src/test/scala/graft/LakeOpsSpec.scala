@@ -56,15 +56,37 @@ class LakeOpsSpec extends SparkSpec {
     assert(pruned === direct)
   }
 
+  test("q118: the 2-D manifest over the z-ordered lake skips files in BOTH dimensions") {
+    val (files, total, _) = graft.queries.LakeOps.zorderPrunedFiles(
+      spark, "/root/testdata/sf0.001", 32, 64, 4, 8)
+    // 16 z-range files confine each dimension to sub-windows: a 32×32
+    // box must hit a strict subset — the skipped IO q87's spans promise
+    assert(files.nonEmpty && files.size < total,
+      s"expected a strict subset: ${files.size} of $total files")
+    import org.apache.spark.sql.functions._
+    // no lost rows: pruned in-box count == full-table in-box count
+    val direct = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .filter(col("l_partkey") % 256 >= 32 && col("l_partkey") % 256 < 64 &&
+        col("l_suppkey") % 256 >= 4 && col("l_suppkey") % 256 < 8).count()
+    val pruned = spark.read.parquet(files: _*)
+      .filter(col("a") >= 32 && col("a") < 64 &&
+        col("b") >= 4 && col("b") < 8).count()
+    assert(pruned === direct)
+  }
+
   test("q106: as-of reads see exact history — update applied, delete absent, v0 untouched") {
     import org.apache.spark.sql.functions._
-    // run the operator (it materializes v0/v1 under graft_time_travel)
+    // run the operator (it materializes v0/v1 via the Scratch cache)
     graft.queries.Registry.byName("q106_time_travel")
       .fn(spark, "/root/testdata/sf0.001").collect()
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_time_travel")
-    val v0 = spark.read.parquet(tmp.resolve("v0").toString)
-    val v1 = spark.read.parquet(tmp.resolve("v1").toString)
+    // resolve the published artifact: same (name, key) as the query; the
+    // builder must never run here — the query above already built it
+    val snap = graft.core.Scratch.materialize(
+      "time_travel", "v1|/root/testdata/sf0.001") { _ =>
+      fail("q106 did not materialize its snapshots")
+    }
+    val v0 = spark.read.parquet(s"$snap/v0")
+    val v1 = spark.read.parquet(s"$snap/v1")
     // deletes: keys ≡0 mod 97 exist in v0, not v1
     val del0 = v0.filter(col("key") % 97 === 0).count()
     assert(del0 > 0 && v1.filter(col("key") % 97 === 0).count() === 0)
