@@ -175,7 +175,7 @@ object LlmOps {
     * pipeline runs the propagation once per corpus snapshot and keys
     * every downstream decision off the published artifact. Round-6
     * verdict item 3: the two queries were spending ~15 s re-deriving
-    * one result. LlmClusterMapSpec proves stored == live. */
+    * one result. ScratchSpec proves stored == live. */
   def clusterMapPath(s: SparkSession, dir: String): String =
     graft.core.Scratch.materialize("cluster_map", s"v1|$dir") { p =>
       canonicalClusterIds(s, dir).write.mode("overwrite")
@@ -387,7 +387,7 @@ object LlmOps {
         "leak eval content into training. 8/1/1 via the md5-prefix " +
         "hash28 mod 10 (the engine's cross-engine hashing primitive). " +
         "The cluster map is read from its STORED artifact (built once " +
-        "per corpus snapshot — the q100 MV pattern; LlmClusterMapSpec " +
+        "per corpus snapshot — the q100 MV pattern; ScratchSpec " +
         "proves stored == live), the way a production pipeline keys " +
         "every downstream decision off one published clustering instead " +
         "of re-deriving it per consumer. 100 TB shape: the split adds " +
