@@ -211,6 +211,61 @@ object JoinOps {
         .orderBy("rnk")
     },
 
+    // ------------------------------------------------------ six-table star join
+    Q("q119_star_join",
+      "The TPC-H Q5 shape — local-supplier revenue by nation: lineitem " +
+        "⋈ orders ⋈ supplier ⋈ customer ⋈ nation ⋈ region with the " +
+        "correlated c_nationkey = s_nationkey condition and a one-year " +
+        "date slice. This is the multi-way join-planning gate: the " +
+        "provably bounded dims (region 5 rows, nation 25, supplier " +
+        "SF-bounded) broadcast explicitly, customer/orders are left to " +
+        "AQE (broadcast at bench SF, shuffle at 100 TB), and the fact " +
+        "table is scanned ONCE with the date filter pushed into the " +
+        "orders scan before any join (plan-audited: no cartesian, dims " +
+        "never shuffle the fact side). Revenue = extendedprice·(1−" +
+        "discount) computed entirely in integers — cents × (100 − " +
+        "discount pct) — summed exactly, one double division at the " +
+        "end, so both engines agree bit-for-bit.",
+      Some("""
+        SELECT n_name AS nation, COUNT(*) AS n_items,
+               ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) *
+                     (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)
+                     / 10000, 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          (lit(100L) - round(col("l_discount") * 100).cast("long")).as("keep_pct"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("cents") * col("keep_pct")).cast("double") / 10000, 2)
+            .as("revenue"))
+        .orderBy("nation")
+    },
+
     // ------------------------------------------------ fuzzy (edit-distance) join
     Q("q81_fuzzy_join",
       "Fuzzy entity matching (edit-distance self-join, the record-linkage " +

@@ -333,6 +333,21 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus probe must never shuffle-join:\n$p")
   }
 
+  test("q119 star join: dims broadcast, fact scanned once, date filter reaches the orders scan") {
+    val p = q("q119_star_join")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"bounded dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a correlated-condition join degenerated:\n$p")
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) == 1,
+      s"the fact table must be scanned exactly once:\n$p")
+    // the year slice must prune the orders scan, not filter post-join
+    val ordersScan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("orders")).get
+    assert(ordersScan.contains("o_orderdate"),
+      s"date filter did not reach the orders scan:\n$ordersScan")
+  }
+
   test("q117 skew audit: key collapse + TakeOrdered top-5 + 1-row broadcast, no data sort") {
     val p = q("q117_skew_audit")
     assert(p.contains("TakeOrderedAndProject"),
