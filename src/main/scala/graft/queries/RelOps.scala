@@ -731,6 +731,90 @@ object RelOps {
           round(col("bal_cents").cast("double") / 100, 2).as("balance"),
           col("segment"))
         .orderBy("key")
+    },
+
+    // ------------------------------------ streaming MV maintenance
+    Q("q120_stream_mv_refresh",
+      "Streaming materialized-view maintenance — q100's refresh merge " +
+        "driven by a stream (the DLT/Flink-MV pattern, and the lake-" +
+        "state alternative to q48's state-store aggregation when the " +
+        "group domain is unbounded and carries no watermark): the MV " +
+        "bootstraps from an initial full refresh over one data slice, " +
+        "then each arriving micro-batch's partials merge with the " +
+        "STORED (sum, count) state in foreachBatch — read the current " +
+        "snapshot, one hash-agg over |MV| + |batch groups| rows, write " +
+        "the next (q84's ping-pong rule: never overwrite what a lazy " +
+        "plan may read). Batch partials are integer cents, so merge " +
+        "order cannot matter, and the final MV must hash-match the " +
+        "ONE-SHOT batch aggregate over everything — the stream==batch " +
+        "invariant, proven here for lake-resident state the way q48 " +
+        "proves it for state-store windows. 100 TB shape: per batch " +
+        "cost is O(batch) + O(groups), state survives restarts as " +
+        "ordinary parquet, and history never re-scans.",
+      Some("""
+        SELECT o_orderpriority AS priority,
+               CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+               ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100, 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      import graft.core.Fs
+      val grp = Seq(col("priority"), col("ym"))
+      def partials(df: DataFrame): DataFrame = df
+        .groupBy(grp: _*)
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("priority"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey").as("k"))
+      // fixed scratch root cleared at entry (the q84 rule + its caveats)
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_mv")
+      Fs.deleteRecursively(tmp)
+      val srcDir = tmp.resolve("src").toString
+      val mvA = tmp.resolve("mvA").toString
+      val mvB = tmp.resolve("mvB").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val cur = new java.util.concurrent.atomic.AtomicReference((mvA, mvB))
+      try {
+        // bootstrap: initial full refresh over slice 0
+        partials(orders.filter(pmod(col("k"), lit(3)) === 0))
+          .write.mode("overwrite").parquet(mvA)
+        // slices 1 and 2 arrive as two deterministic micro-batches
+        orders.filter(pmod(col("k"), lit(3)) === 1)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        orders.filter(pmod(col("k"), lit(3)) === 2)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val sc = graft.core.Sessions.scoped(s,
+          "spark.sql.shuffle.partitions" -> "8")
+        val stream = sc.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val (from, to) = cur.get()
+            val stored = batch.sparkSession.read.parquet(from)
+            stored.unionByName(partials(batch))
+              .groupBy(grp: _*)
+              .agg(sum(col("sum_cents")).as("sum_cents"), sum(col("n")).as("n"))
+              .write.mode("overwrite").parquet(to) // eager: completes before swap
+            cur.set((to, from))
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        Seq(srcDir, ckpt, cur.get()._2).foreach(Fs.deleteRecursively)
+      } catch {
+        case t: Throwable =>
+          try Fs.deleteRecursively(tmp)
+          catch { case c: Throwable => t.addSuppressed(c) }
+          throw t
+      }
+      s.read.parquet(cur.get()._1)
+        .select(col("priority"), col("ym"),
+          round(col("sum_cents").cast("double") / 100, 2).as("revenue"),
+          col("n").as("n_orders"))
+        .orderBy("priority", "ym")
     }
   )
 }
