@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => graft.plans.RewriteAsOfJoin)
     // physical path for the same node when spark.graft.asof.impl=exec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // physical interval join when spark.graft.range.impl=exec
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }
 

@@ -123,24 +123,18 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame,
            leftOn: Column, rightOn: Column,
            leftBy: Column, rightBy: Column): DataFrame = {
-    // self-join lineage dedup: re-alias the right side so its attribute
-    // ids never collide with the left's (what Dataset.join's analyzer
-    // dedup does for built-in joins)
-    import org.apache.spark.sql.functions.col
-    val r = right.select(right.columns.map(c => col(c).as(c)): _*)
-    val rCol = (c: Column) => {
-      // rebind the caller's right-side columns against the deduped frame
-      val name = graftshim.expression(c) match {
-        case a: AttributeReference => a.name
-        case other => throw new IllegalArgumentException(
-          s"right-side on/by must be plain columns of `right`, got $other")
-      }
-      graftshim.expression(r(name))
-    }
+    val (r, rCol) = PlanUtils.dedupRight(right)
     val node = AsOfJoin(
       graftshim.analyzed(left), graftshim.analyzed(r),
-      graftshim.expression(leftOn), rCol(rightOn),
-      graftshim.expression(leftBy), rCol(rightBy))
+      graftshim.expression(leftOn), graftshim.expression(rCol(rightOn)),
+      graftshim.expression(leftBy), graftshim.expression(rCol(rightBy)))
+    // the exec path's interpreted orderings are built from the LEFT
+    // types — a by/on type mismatch would class-cast mid-job on exec
+    // while the rewrite's union coerces, so reject it up front
+    require(node.leftBy.dataType == node.rightBy.dataType,
+      s"as-of `by` types differ: ${node.leftBy.dataType} vs ${node.rightBy.dataType}")
+    require(node.leftOn.dataType == node.rightOn.dataType,
+      s"as-of `on` types differ: ${node.leftOn.dataType} vs ${node.rightOn.dataType}")
     val spark = left.sparkSession
     if (spark.conf.get("spark.graft.asof.impl", "rewrite") == "exec") {
       // physical path: keep the raw node; ensure the planner strategy is
@@ -148,15 +142,8 @@ object AsOf {
       // hook; GraftExtensions-built sessions already inject it).
       // NOTE: this registers a SESSION-LIFETIME planner strategy as a
       // side effect — it persists on `spark` after this call (harmless:
-      // the strategy only matches graft's own AsOfJoin node). The
-      // check-then-prepend is serialized on the experimental-methods
-      // holder so two threads can't interleave and insert duplicates
-      // (r6 advice).
-      spark.experimental.synchronized {
-        if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-          spark.experimental.extraStrategies =
-            AsOfJoinStrategy +: spark.experimental.extraStrategies
-      }
+      // the strategy only matches graft's own AsOfJoin node).
+      PlanUtils.ensureStrategy(spark, AsOfJoinStrategy)
       graftshim.ofRows(spark, node)
     } else
       // eager lowering: works on any session; sessions built with

@@ -136,6 +136,48 @@ object JoinOps {
         .orderBy("event_id")
     },
 
+    // ------------------------------------- range join, physical operator
+    Q("q52b_range_exec",
+      "q52 through the PHYSICAL interval-join operator (plans/" +
+        "RangeJoinExec via spark.graft.range.impl=exec on a scoped " +
+        "session clone): both sides co-partition on the user key and " +
+        "sort by (by, on); one merge pass slides a window buffer over " +
+        "the right side — every right row is copied in once and evicted " +
+        "once (amortized O(n+m) + output), per-partition state bounded " +
+        "by one group's window span, and no 2× bucket blow-up shuffles. " +
+        "Same oracle as q52: the hash match certifies the custom " +
+        "SparkPlan against DuckDB's native inequality join, " +
+        "independently of the spec pinning exec ≡ bucket composition.",
+      Some("""
+        WITH e AS (SELECT event_id, user_id,
+                          date_trunc('second', ts::TIMESTAMP) AS tss, event_type
+                   FROM events),
+        p AS (SELECT event_id, user_id, tss FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, tss FROM e WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.tss AS p_tss,
+               COUNT(c.user_id) AS n_clicks_1h
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.tss > p.tss - INTERVAL 1 HOUR AND c.tss <= p.tss
+        GROUP BY 1, 2, 3 ORDER BY 1""")) { (s0, dir) =>
+      val s = s0.newSession() // scoped clone, the q51b rule
+      s.conf.set("spark.graft.range.impl", "exec")
+      val e = Tables.events(s, dir)
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .withColumn("sec", unix_timestamp(col("tss")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tss"), col("sec"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("sec").as("c_sec"))
+      graft.plans.RangeJoinOp.join(purchases, clicks,
+          leftOn = purchases("sec"), rightOn = clicks("c_sec"),
+          leftBy = purchases("user_id"), rightBy = clicks("c_user"),
+          window = 3600L)
+        .groupBy(col("event_id"), col("user_id"), col("tss").as("p_tss"))
+        .agg(count(col("c_user")).as("n_clicks_1h"))
+        .orderBy("event_id")
+    },
+
     // -------------------------------------------------------- salted join
     Q("q65_salted_join",
       "Skew-resistant fact-to-dim enrichment via operators/SaltedJoin: " +
