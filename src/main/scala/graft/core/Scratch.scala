@@ -44,13 +44,41 @@ object Scratch {
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
+  /** A cheap change-signature of a source directory: sorted
+    * (name, size, mtime) of every regular file under it. Call sites
+    * fold this into the key so a REGENERATED source at the same path
+    * (new seed, fresh driver round) auto-invalidates the artifact —
+    * without it, the cache would serve the previous corpus's state to
+    * gates reading the new one (r7 review finding). */
+  def sourceSignature(dir: String): String = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return "absent"
+    val stream = Files.walk(p)
+    val entries =
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => s"${p.relativize(f)}:${Files.size(f)}:" +
+            Files.getLastModifiedTime(f).toMillis)
+          .toVector.sorted
+      } finally stream.close()
+    keyHash(entries.mkString("\n"))
+  }
+
   /** Returns the artifact dir for (name, key), building it first if this
     * is the first invocation for that key. `build` receives the staging
     * dir to populate; it must write only under that path. */
   def materialize(name: String, key: String)(build: String => Unit): String = {
     val dest = root.resolve(s"${name}_${keyHash(key)}")
-    if (Files.exists(dest.resolve(MARKER))) return dest.toString
+    if (Files.exists(dest.resolve(MARKER))) {
+      // the marker carries the full key: a hash collision or a
+      // hand-altered dir must rebuild, never silently serve
+      if (Files.readString(dest.resolve(MARKER)) == key) return dest.toString
+      Fs.deleteRecursively(dest)
+    }
     Files.createDirectories(root)
+    sweepStaleStaging(name)
     val staging = Files.createTempDirectory(root, s".${name}_stg_")
     try {
       build(staging.toString)
@@ -64,6 +92,21 @@ object Scratch {
       }
       dest.toString
     } finally Fs.deleteRecursively(staging) // no-op when the move won
+  }
+
+  /** Drop staging dirs a crashed build left behind (r7 review finding:
+    * otherwise /tmp grows without bound across rounds). Only dirs older
+    * than an hour — a LIVE concurrent build's staging must survive. */
+  private def sweepStaleStaging(name: String): Unit = {
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val stream = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith(s".${name}_stg_") &&
+          Files.getLastModifiedTime(d).toMillis < cutoff)
+        .foreach(d => try Fs.deleteRecursively(d) catch { case _: Exception => () })
+    } finally stream.close()
   }
 
   /** Test hook: drop one artifact so a spec can observe a rebuild. */

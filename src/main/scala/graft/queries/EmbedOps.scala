@@ -269,7 +269,7 @@ object EmbedOps {
         SELECT query_id, rnk::INT AS rnk, neighbor_id, label AS cell,
                ROUND(cos, 6) AS cosine
         FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
-      val idx = graft.core.Scratch.materialize("ivf_index", s"v1|$dir") { p =>
+      val idx = graft.core.Scratch.materialize("ivf_index", s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
         // build job: exact integer centroids (q33's derivation) + the
         // corpus laid out as one directory per cell with norms baked in
         val cellsum = Tables.embeddings(s, dir)

@@ -28,7 +28,7 @@ object LakeOps {
     * pruned list is a strict subset. */
   def manifestPrunedFiles(s: org.apache.spark.sql.SparkSession, dir: String,
       lo: String, hi: String): (Seq[String], Int, String) = {
-    val lake = graft.core.Scratch.materialize("orders_lake", s"v1|$dir") { p =>
+    val lake = graft.core.Scratch.materialize("orders_lake", s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
       Tables.orders(s, dir)
         .repartitionByRange(8, col("o_orderdate"))
         .write.mode("overwrite")
@@ -62,7 +62,7 @@ object LakeOps {
     * (pruned files, total files, lake path). Shared with LakeOpsSpec. */
   def zorderPrunedFiles(s: org.apache.spark.sql.SparkSession, dir: String,
       aLo: Int, aHi: Int, bLo: Int, bHi: Int): (Seq[String], Int, String) = {
-    val lake = graft.core.Scratch.materialize("zorder_lake", s"v1|$dir") { p =>
+    val lake = graft.core.Scratch.materialize("zorder_lake", s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
       Tables.lineitem(s, dir)
         .select((col("l_partkey") % 256).as("a"), (col("l_suppkey") % 256).as("b"),
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
@@ -157,7 +157,7 @@ object LakeOps {
       // snapshots are immutable-once-published lakehouse state: built
       // ONCE per source dir (Scratch), so the timed region measures the
       // as-of resolve + two pruned scans, not the snapshot writes
-      val snap = graft.core.Scratch.materialize("time_travel", s"v1|$dir") { p =>
+      val snap = graft.core.Scratch.materialize("time_travel", s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
         val v0 = java.nio.file.Paths.get(p, "v0").toString
         Tables.customer(s, dir).select(col("c_custkey").as("key"),
             round(col("c_acctbal") * 100).cast("long").as("bal_cents"),

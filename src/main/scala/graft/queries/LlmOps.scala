@@ -177,7 +177,7 @@ object LlmOps {
     * verdict item 3: the two queries were spending ~15 s re-deriving
     * one result. ScratchSpec proves stored == live. */
   def clusterMapPath(s: SparkSession, dir: String): String =
-    graft.core.Scratch.materialize("cluster_map", s"v1|$dir") { p =>
+    graft.core.Scratch.materialize("cluster_map", s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
       canonicalClusterIds(s, dir).write.mode("overwrite")
         .parquet(java.nio.file.Paths.get(p, "map").toString)
     } + "/map"
@@ -185,6 +185,22 @@ object LlmOps {
   private def jaccard(a: Column, b: Column): Column =
     graftshim.column(graft.expr.SortedJaccard(
       graftshim.expression(a), graftshim.expression(b)))
+
+  /** (doc_id, bg): exploded adjacent-token bigrams over a balanced scan
+    * — ONE definition shared by q55 (exact scoring) and q116 (top-K
+    * scoring) so the two paths can never diverge on tokenization (r7
+    * review: the block was duplicated and carries load-bearing
+    * subtleties — the round-robin placement, and downstream the
+    * count(doc_id) column-set rule for exchange reuse). */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+          concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2)))).as("bg"))
 
   val all: Seq[Q] = Seq(
 
@@ -752,14 +768,7 @@ object LlmOps {
                ROUND(SUM(f.c)::DOUBLE / COUNT(*), 4) AS avg_freq
         FROM g JOIN f USING (bg)
         GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val g = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), toks(col("text")).as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
-            concat_ws(" ", element_at(col("w"), i + 1),
-              element_at(col("w"), i + 2)))).as("bg"))
+      val g = docBigrams(s, dir)
       // count(doc_id), NOT count(1): doc_id is the non-null key, so the
       // counts are identical — but referencing it keeps the frequency
       // branch's column set equal to the probe's (doc_id, bg). With
@@ -804,14 +813,7 @@ object LlmOps {
                ROUND(SUM(COALESCE(k.c, 1))::DOUBLE / COUNT(*), 4) AS avg_freq
         FROM g LEFT JOIN k USING (bg)
         GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val g = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), toks(col("text")).as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
-            concat_ws(" ", element_at(col("w"), i + 1),
-              element_at(col("w"), i + 2)))).as("bg"))
+      val g = docBigrams(s, dir)
       // fixed-size top-K: partial top-K per partition via TakeOrdered;
       // count(doc_id) keeps the branch reusable with the probe (q55 rule)
       val topK = g.groupBy("bg").agg(count(col("doc_id")).as("c"))

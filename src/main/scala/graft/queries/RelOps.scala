@@ -148,7 +148,7 @@ object RelOps {
       // built ONCE per source dir (Scratch) — the MV is standing state a
       // refresh consumes, so the timed region measures the refresh merge
       // (read MV + changelog, one hash-agg), never the v0 build
-      val mvDir = graft.core.Scratch.materialize("incr_mv", s"v1|$dir") { p =>
+      val mvDir = graft.core.Scratch.materialize("incr_mv", s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
         orders.filter(col("k") % 5 =!= 0)
           .groupBy(grp: _*)
           .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
@@ -768,10 +768,12 @@ object RelOps {
           .cast("long").as("ym"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         col("o_orderkey").as("k"))
-      // fixed scratch root cleared at entry (the q84 rule + its caveats)
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_stream_mv")
-      Fs.deleteRecursively(tmp)
+      // UNIQUE scratch root per invocation (the streamGate pattern, not
+      // the q84 fixed dir: a concurrent invocation must never delete a
+      // running stream's checkpoint or ping-pong snapshots — r7 review).
+      // Everything except the winning snapshot is deleted on exit; the
+      // winner must outlive the returned lazy frame (KB-sized MV).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_mv")
       val srcDir = tmp.resolve("src").toString
       val mvA = tmp.resolve("mvA").toString
       val mvB = tmp.resolve("mvB").toString

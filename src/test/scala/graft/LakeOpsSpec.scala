@@ -82,7 +82,8 @@ class LakeOpsSpec extends SparkSpec {
     // resolve the published artifact: same (name, key) as the query; the
     // builder must never run here — the query above already built it
     val snap = graft.core.Scratch.materialize(
-      "time_travel", "v1|/root/testdata/sf0.001") { _ =>
+      "time_travel", "v1|/root/testdata/sf0.001|" +
+        graft.core.Scratch.sourceSignature("/root/testdata/sf0.001")) { _ =>
       fail("q106 did not materialize its snapshots")
     }
     val v0 = spark.read.parquet(s"$snap/v0")
