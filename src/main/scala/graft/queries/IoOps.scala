@@ -219,6 +219,40 @@ object IoOps {
           moneySum(col("l_extendedprice")).as("revenue"),
           max(col("l_shipdate")).as("last_ship"))
         .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------- DSv2 connector
+    Q("q121_dsv2_source",
+      "The DataSourceV2 rung of the extension ladder: documents stored " +
+        "in the graft-docstore column-chunk format (8 doc_id-range " +
+        "segments + per-file min/max manifest, built once per source " +
+        "dir via Scratch) and read back through spark.read.format(" +
+        "\"graft-docstore\"). The doc_id slice is PUSHED into the " +
+        "connector — segment skipping off the manifest plus exact " +
+        "row-level residual, so at sf0.1 the scan opens 1 of 8 " +
+        "segments — and the projection prunes the text section unread " +
+        "(byte-skipped via the section header). The oracle aggregates " +
+        "the ORIGINAL parquet, so a hash match proves the format + " +
+        "connector round trip is lossless; DocStoreSpec audits " +
+        "pruning, pushdown, pruned-statistics, and COUNT(*) " +
+        "header-only reads on the executed plan.",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               MIN(doc_id) AS first_id,
+               MAX(doc_id) AS last_id
+        FROM documents WHERE doc_id BETWEEN 100 AND 350
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val lake = graft.sources.DocStore.ensureLake(s, dir)
+      s.read.format("graft-docstore").option("path", lake).load()
+        .where(col("doc_id") >= 100 && col("doc_id") <= 350)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+        .orderBy("lang")
     }
   )
 }
