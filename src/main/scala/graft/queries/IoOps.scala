@@ -253,6 +253,34 @@ object IoOps {
           min("doc_id").as("first_id"),
           max("doc_id").as("last_id"))
         .orderBy("lang")
+    },
+
+    Q("q122_stream_source",
+      "The connector's MICRO_BATCH_READ face: the same docstore lake " +
+        "replayed through readStream as bounded segment slices (2 per " +
+        "micro-batch -> 4 batches over 8 segments; offsets are indices " +
+        "into the manifest order, checkpointed as JSON), driving a " +
+        "complete-mode streaming aggregation whose final state must " +
+        "equal the one-shot batch aggregate over the original parquet " +
+        "— the stream==batch contract extended to a CUSTOM streaming " +
+        "source (the backfill-from-lake shape Delta's table readStream " +
+        "serves). DocStoreSpec additionally proves multi-batch " +
+        "execution and a checkpointed stop/restart with no re-reads.",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val lake = graft.sources.DocStore.ensureLake(s, dir)
+      s.catalog.dropTempView("q122_snapshot") // re-invocation safety
+      val stream = s.readStream.format("graft-docstore")
+        .option("path", lake).option("maxSegmentsPerBatch", "2").load()
+      val agg = stream.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      val q = agg.writeStream.format("memory").queryName("q122_snapshot")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q122_snapshot").orderBy("lang")
     }
   )
 }

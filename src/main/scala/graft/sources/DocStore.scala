@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -172,12 +173,15 @@ class DocStoreTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-docstore(`$path`)"
   override def schema(): StructType = DocStore.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreScanBuilder(path)
+    new DocStoreScanBuilder(path,
+      options.getInt("maxSegmentsPerBatch", Int.MaxValue))
 }
 
-class DocStoreScanBuilder(path: String) extends ScanBuilder
+class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -226,16 +230,30 @@ class DocStoreScanBuilder(path: String) extends ScanBuilder
     val segments = DocStore.readManifest(path)
     val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
     new DocStoreScan(path, required, lo, hi, limit,
-      surviving, segments.size)
+      surviving, segments.size, maxSegmentsPerBatch)
   }
 }
 
 class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,
-    limit: Int, surviving: Seq[DocStore.Segment], total: Int)
+    limit: Int, surviving: Seq[DocStore.Segment], total: Int,
+    maxSegmentsPerBatch: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read of the same (pruned, projected) segment view: the
+    * backfill-from-lake shape Delta's `readStream` on a table serves.
+    * An offset is an index into the surviving-segment list, so each
+    * micro-batch is a bounded slice of segments
+    * (`maxSegmentsPerBatch`), replayed in manifest order; pushdown and
+    * pruning apply to the streamed batches exactly as to the batch
+    * scan. Offsets checkpoint as `{"segment": N}` — restart resumes
+    * from the committed index with no re-reads (DocStoreSpec drives a
+    * Trigger.Once stop/restart through one checkpoint to prove it). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocStoreMicroBatchStream(path, surviving, required, lo, hi,
+      maxSegmentsPerBatch)
 
   /** Shown in EXPLAIN — the audit surface DocStoreSpec asserts on. */
   override def description(): String =
@@ -346,4 +364,65 @@ class DocStoreReader(file: String, required: StructType, lo: Long, hi: Long,
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Offset = number of surviving segments fully processed. */
+final case class DocStoreOffset(segment: Int) extends Offset {
+  override def json(): String = s"""{"segment":$segment}"""
+}
+
+/** Micro-batch replay of the segment list, paced through the
+  * admission-control API: `latestOffset(start, _)` admits at most
+  * `maxPerBatch` segments past the COMMITTED start offset the engine
+  * hands back, so the stream is stateless across restarts by
+  * construction — a resumed query continues from its checkpointed
+  * index with no re-reads (the plain no-arg `latestOffset()` cannot
+  * express this: it has no view of the committed position, and a
+  * restarted instance would re-admit from zero and report no new
+  * data). Segment indices are stable across runs because the lake is
+  * immutable-once-published. */
+class DocStoreMicroBatchStream(path: String,
+    surviving: Seq[DocStore.Segment], required: StructType,
+    lo: Long, hi: Long, maxPerBatch: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def parse(o: Offset): Int =
+    if (o == null) 0
+    else "\"segment\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(o.json())
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad docstore offset: ${o.json()}")).group(1).toInt
+
+  override def initialOffset(): Offset = DocStoreOffset(0)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    DocStoreOffset(math.min(
+      parse(start).toLong + math.max(maxPerBatch, 1),
+      surviving.size.toLong).toInt)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "docstore paces batches via latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = DocStoreOffset(surviving.size)
+
+  override def deserializeOffset(json: String): Offset =
+    DocStoreOffset(
+      "\"segment\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(
+          s"bad docstore offset: $json")).group(1).toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    surviving
+      .slice(start.asInstanceOf[DocStoreOffset].segment,
+        end.asInstanceOf[DocStoreOffset].segment)
+      .map(s => DocStorePartition(
+        Paths.get(path, s.name).toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocStoreReaderFactory(required, lo, hi, Int.MaxValue)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -73,6 +73,48 @@ class DocStoreSpec extends SparkSpec {
     assert(q.collect().length == 7)
   }
 
+  test("streaming read advances in bounded micro-batches to the batch result") {
+    lake // force build
+    spark.catalog.dropTempView("docstore_stream_test")
+    val q = spark.readStream.format("graft-docstore")
+      .option("path", lake).option("maxSegmentsPerBatch", "2").load()
+      .groupBy("lang").count()
+      .writeStream.format("memory").queryName("docstore_stream_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // 8 segments / 2 per batch → at least 4 data micro-batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      q.recentProgress.map(p => s"${p.batchId}:${p.numInputRows}").mkString(","))
+    val streamed = spark.table("docstore_stream_test")
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    val batch = docs.groupBy("lang").count()
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("checkpointed stop/restart resumes from the committed offset without re-reads") {
+    lake
+    val out = Files.createTempDirectory("docstore_restart_out").toString
+    val ckpt = Files.createTempDirectory("docstore_restart_ckpt").toString
+    def src = spark.readStream.format("graft-docstore")
+      .option("path", lake).option("maxSegmentsPerBatch", "2").load()
+      .select("doc_id")
+    // leg 1: exactly one micro-batch (2 of 8 segments), then stop
+    val q1 = src.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    val afterLeg1 = spark.read.parquet(out).count()
+    assert(afterLeg1 > 0 && afterLeg1 < 500, s"leg 1 read $afterLeg1 rows")
+    // leg 2: same checkpoint → drains the remaining segments only
+    val q2 = src.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out)
+    assert(ids.count() == 500, "restart must not duplicate or drop segments")
+    assert(ids.distinct().count() == 500)
+  }
+
   test("nulls and empty strings survive the segment format") {
     val tmp = Files.createTempDirectory("docstore_nulls").toString
     import spark.implicits._
