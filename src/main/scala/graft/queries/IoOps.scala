@@ -281,6 +281,31 @@ object IoOps {
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       s.table("q122_snapshot").orderBy("lang")
+    },
+
+    Q("q123_metadata_only_agg",
+      "The connector's deepest hook — SupportsPushDownAggregates: an " +
+        "unfiltered COUNT(*) / MIN / MAX over doc_id is answered " +
+        "ENTIRELY from the manifest (per-segment rows + doc_id spans " +
+        "recorded at write time), zero segment IO — the metadata-only " +
+        "optimization a lakehouse log serves for SELECT COUNT(*). " +
+        "Exactness guard: any pushed doc_id bound makes segment spans " +
+        "coarse, so filtered aggregates decline the pushdown and fall " +
+        "back to the reading scan (DocStoreSpec pins both paths on " +
+        "executed plans). The oracle computes the same three numbers " +
+        "from the original parquet — at 100 TB this is the difference " +
+        "between a catalog lookup and a full-table scan.",
+      Some("""
+        SELECT COUNT(*) AS n_docs,
+               MIN(doc_id) AS first_id,
+               MAX(doc_id) AS last_id
+        FROM documents""")) { (s, dir) =>
+      val lake = graft.sources.DocStore.ensureLake(s, dir)
+      s.read.format("graft-docstore").option("path", lake).load()
+        .groupBy()
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
     }
   )
 }

@@ -14,6 +14,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -183,7 +186,7 @@ class DocStoreTable(path: String) extends Table with SupportsRead {
 class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = DocStore.SCHEMA
   private var lo = Long.MinValue
@@ -226,12 +229,99 @@ class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true
 
+  private var pushedAgg: Option[Aggregation] = None
+
+  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+
+  /** COUNT(*) / MIN(doc_id) / MAX(doc_id) with no GROUP BY answer
+    * EXACTLY from the manifest (rows and doc_id spans are recorded
+    * per segment at write time) — zero segment IO, the metadata-only
+    * optimization a lakehouse log serves. Guard: only when NO doc_id
+    * bound was pushed — segment (min, max) are coarse under a residual
+    * filter, and an inexact "complete" pushdown would return wrong
+    * numbers, so a filtered aggregate falls back to the reading scan. */
+  private def aggSupported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      lo == Long.MinValue && hi == Long.MaxValue &&
+      limit == Int.MaxValue &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isDocId(m.column)
+        case m: Max => isDocId(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggSupported(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!aggSupported(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
+
   override def build(): Scan = {
     val segments = DocStore.readManifest(path)
-    val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
-    new DocStoreScan(path, required, lo, hi, limit,
-      surviving, segments.size, maxSegmentsPerBatch)
+    pushedAgg match {
+      case Some(agg) => new ManifestAggScan(segments, agg)
+      case None =>
+        val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
+        new DocStoreScan(path, required, lo, hi, limit,
+          surviving, segments.size, maxSegmentsPerBatch)
+    }
   }
+}
+
+/** The metadata-only scan a pushed-down aggregate builds: one synthetic
+  * partition carrying the answers precomputed from the manifest. No
+  * segment file is ever opened. */
+class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation)
+    extends Scan with Batch {
+
+  private val values: Array[java.lang.Long] =
+    agg.aggregateExpressions.map {
+      case _: CountStar => java.lang.Long.valueOf(segments.map(_.rows).sum)
+      case _: Min =>
+        if (segments.isEmpty) null
+        else java.lang.Long.valueOf(segments.map(_.minId).min)
+      case _: Max =>
+        if (segments.isEmpty) null
+        else java.lang.Long.valueOf(segments.map(_.maxId).max)
+      case f => throw new IllegalStateException(s"unsupported pushed agg $f")
+    }
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftDocStore manifest-only agg=[${agg.aggregateExpressions.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestAggReaderFactory
+}
+
+final case class ManifestAggPartition(values: Array[java.lang.Long])
+    extends InputPartition
+
+class ManifestAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private val vs = p.asInstanceOf[ManifestAggPartition].values
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(vs.map(v =>
+          if (v == null) null else v.longValue(): Any))
+      override def close(): Unit = ()
+    }
 }
 
 class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,

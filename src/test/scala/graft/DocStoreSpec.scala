@@ -50,11 +50,31 @@ class DocStoreSpec extends SparkSpec {
     assert(cols.split(",").toSet == Set("lang", "n_chars"), proj)
     assert(!cols.contains("text"), proj)
 
-    val cnt = store.groupBy().count()
+    // a FILTERED count defeats aggregate pushdown (bounds make the
+    // manifest inexact) and must hit the header-only reading path:
+    // every column pruned, doc_id section read only for the residual
+    val cnt = store.where(col("doc_id") <= 60).groupBy().count()
     val cntCols = "cols=\\[([^\\]]*)\\]".r
       .findFirstMatchIn(physical(cnt)).get.group(1)
-    assert(cntCols.isEmpty, s"count(*) must prune every column:\n${physical(cnt)}")
-    assert(cnt.collect()(0).getLong(0) == 500)
+    assert(cntCols.isEmpty, s"count must prune every column:\n${physical(cnt)}")
+    assert(cnt.collect()(0).getLong(0) == 61)
+  }
+
+  test("unfiltered COUNT/MIN/MAX answer from the manifest with zero segment IO") {
+    val agg = store.groupBy()
+      .agg(count(lit(1)), min("doc_id"), max("doc_id"))
+    val plan = physical(agg)
+    assert(plan.contains("manifest-only"), plan)
+    assert(!plan.contains("segments="), s"no segment may be planned:\n$plan")
+    assert(agg.collect()(0).toSeq == Seq(500L, 0L, 499L))
+    // exactness guard: a filtered aggregate must FALL BACK to reading
+    val filtered = store.where(col("doc_id") <= 60)
+      .groupBy().agg(min("doc_id"), max("doc_id"))
+    assert(physical(filtered).contains("segments="), physical(filtered))
+    assert(filtered.collect()(0).toSeq == Seq(0L, 60L))
+    // non-doc_id aggregates must also fall back, not mis-push
+    val other = store.groupBy().agg(sum("n_chars"))
+    assert(physical(other).contains("segments="), physical(other))
   }
 
   test("optimizer statistics shrink with the pruned segment set") {
