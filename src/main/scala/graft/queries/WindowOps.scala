@@ -560,6 +560,65 @@ object WindowOps {
             round(sum(col("cents") * col("dur_s")).cast("double") /
               sum(col("dur_s")) / 100, 4)).as("twa"))
         .orderBy("user_id")
+    },
+
+    // --------------------------------------- transformWithState (state API v2)
+    Q("q124_stream_transform_state",
+      "Spark 4's transformWithState (the arbitrary-state API that " +
+        "supersedes mapGroupsWithState, RocksDB-backed): per-user " +
+        "lifetime totals in TYPED state variables — two ValueState " +
+        "counters plus a MapState[event_type, count] whose per-key " +
+        "point updates avoid rewriting a whole state blob per event. " +
+        "The source is split on event_id parity into two micro-batches " +
+        "so most users accumulate state ACROSS batches; update mode " +
+        "emits a snapshot per key per batch and the latest emission " +
+        "(max n_events, strictly monotone per key) must equal the " +
+        "one-shot batch GROUP BY the oracle runs — stream == batch " +
+        "for the v2 state API.",
+      Some(s"""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ${oCentsSum("value")} AS cents,
+               ${oCnt("event_type='click'")} AS n_click,
+               ${oCnt("event_type='purchase'")} AS n_purchase
+        FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      import graft.streaming.Streams.{UserEvent, UserTotals, UserTotalsProcessor}
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val tmp = Files.createTempDirectory("q124")
+      val srcDir = tmp.resolve("src").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.shuffle.partitions" -> "8")
+      import sc.implicits._
+      def half(parity: Int): Unit = ev.where(col("event_id") % 2 === parity)
+        .write.mode("append").parquet(srcDir)
+      half(0)
+      sc.catalog.dropTempView("q124_snapshot") // re-invocation safety
+      val out = sc.readStream.schema(ev.schema).parquet(srcDir)
+        .select("user_id", "event_type", "cents").as[UserEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = out.writeStream.format("memory").queryName("q124_snapshot")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try {
+        q.processAllAvailable() // batch 1: even event_ids
+        half(1)
+        q.processAllAvailable() // batch 2: odd event_ids, state carries over
+      } finally q.stop()
+      Seq(srcDir, ckpt).foreach(graft.core.Fs.deleteRecursively)
+      sc.table("q124_snapshot")
+        .groupBy("user_id")
+        .agg(max(struct("n_events", "cents", "n_click", "n_purchase")).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.cents").as("cents"), col("m.n_click").as("n_click"),
+          col("m.n_purchase").as("n_purchase"))
+        .orderBy("user_id")
     }
   )
 }

@@ -158,6 +158,60 @@ object Streams {
     ds.writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Update())
 
+  /** Input/output rows of [[UserTotalsProcessor]]. */
+  case class UserEvent(user_id: Long, event_type: String, cents: Long)
+  case class UserTotals(user_id: Long, n_events: Long, cents: Long,
+      n_click: Long, n_purchase: Long)
+
+  /** `transformWithState` processor (the arbitrary-state API that
+    * supersedes mapGroupsWithState): per-user lifetime totals held in
+    * TYPED state variables — two `ValueState` counters plus a
+    * `MapState[event_type, count]`, a composite the single state object
+    * of `mapGroupsWithState` cannot update incrementally (every change
+    * there rewrites the whole blob; `MapState` point-updates one key,
+    * which is the difference between O(1) and O(|state|) per event once
+    * per-user state grows). Runs only on the RocksDB state store
+    * provider; emits the updated snapshot per key per batch, so the
+    * LATEST emission (max n_events — strictly monotone) is the lifetime
+    * total the batch oracle reproduces with one GROUP BY. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserTotals] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var cents: ValueState[Long] = _
+    @transient private var byType: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nEvents = getHandle.getValueState[Long](
+        "n_events", E.scalaLong, TTLConfig.NONE)
+      cents = getHandle.getValueState[Long](
+        "cents", E.scalaLong, TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long](
+        "by_type", E.STRING, E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        tv: TimerValues): Iterator[UserTotals] = {
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      var c = if (cents.exists()) cents.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        c += e.cents
+        val prev =
+          if (byType.containsKey(e.event_type)) byType.getValue(e.event_type)
+          else 0L
+        byType.updateValue(e.event_type, prev + 1)
+      }
+      nEvents.update(n)
+      cents.update(c)
+      def t(k: String) = if (byType.containsKey(k)) byType.getValue(k) else 0L
+      Iterator.single(UserTotals(key, n, c, t("click"), t("purchase")))
+    }
+  }
+
   /** Append-mode parquet sink with a checkpoint — the distributed
     * replacement for the reference's collect-to-driver single-file write
     * (/root/reference/src/Criptografia.py:175-183). */
