@@ -306,6 +306,44 @@ object IoOps {
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("first_id"),
           max("doc_id").as("last_id"))
+    },
+
+    Q("q125_dsv2_write",
+      "The connector's write face, timed end-to-end: the Portuguese " +
+        "slice of documents is written THROUGH the DSv2 commit " +
+        "protocol (tasks stage segment files and report manifest " +
+        "entries in commit messages; the job commit assigns final " +
+        "names, publishes the MANIFEST atomically, then drops replaced " +
+        "files — old-or-new visibility, never a mix) and read back for " +
+        "a per-source aggregate the oracle reproduces from the " +
+        "original parquet. Overwrite mode exercises truncate-and- " +
+        "replace on every invocation (fixed scratch dir, q38's " +
+        "footprint rule). ensureLake dogfoods the same writer, so " +
+        "q121-q123 certify it too; DocStoreSpec pins append/overwrite " +
+        "semantics, name resolution, and the null-doc_id reject.",
+      Some("""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               MIN(doc_id) AS first_id,
+               MAX(doc_id) AS last_id
+        FROM documents WHERE lang = 'pt'
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_docstore_w").toString
+      Tables.documents(s, dir)
+        .where(col("lang") === "pt")
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id"))
+        .write.format("graft-docstore").mode("overwrite")
+        .option("path", tmp).save()
+      s.read.format("graft-docstore").option("path", tmp).load()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+        .orderBy("source")
     }
   )
 }

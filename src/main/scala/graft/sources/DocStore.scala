@@ -1,16 +1,16 @@
 package graft.sources
 
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, FileOutputStream, BufferedInputStream, FileInputStream}
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.OptionalLong
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
@@ -85,69 +85,55 @@ object DocStore {
       maxId: Long, bytes: Long)
 
   /** Build (once per source dir, via Scratch) a docstore lake from
-    * `documents.parquet`: 8 doc_id-range segments + manifest. The
-    * foreachPartition write is the distributed shape — each task writes
-    * its own segment and a manifest FRAGMENT; only the fragment fold is
-    * driver-side. */
+    * `documents.parquet`: 8 doc_id-range segments + manifest, written
+    * through the connector's OWN DSv2 write path (each task stages one
+    * segment; the job commit publishes the manifest) — the gates that
+    * read the lake therefore also certify the writer. */
   def ensureLake(s: SparkSession, dir: String): String =
     graft.core.Scratch.materialize("docstore_lake",
-      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+      s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
       import org.apache.spark.sql.functions.col
       graft.core.Tables.documents(s, dir)
         .select("doc_id", "n_chars", "lang", "source", "text")
         .repartitionByRange(8, col("doc_id"))
         .sortWithinPartitions("doc_id")
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          writeSegment(stg, TaskContext.getPartitionId(), it)
-        }
-      // fold the per-task manifest fragments (metadata-sized) into the
-      // single MANIFEST, sorted for a deterministic file
-      val frags = Files.list(Paths.get(stg)).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".mfl")).toVector
-      val lines = frags.flatMap(f => Files.readAllLines(f).asScala).sorted
-      Files.write(Paths.get(stg, "MANIFEST"),
-        lines.mkString("\n").getBytes("UTF-8"))
-      frags.foreach(Files.delete)
+        .write.format("graft-docstore").mode("overwrite")
+        .option("path", stg).save()
     }
 
-  /** One task's segment write: buffers each column section, then emits
-    * header + sections + its manifest fragment line. */
-  private def writeSegment(lakeDir: String, pid: Int,
-      it: Iterator[org.apache.spark.sql.Row]): Unit = {
-    val rows = it.toArray
-    if (rows.isEmpty) return
-    val sections = Array.fill(5)(new ByteArrayOutputStream())
-    val outs = sections.map(new DataOutputStream(_))
-    var minId = Long.MaxValue
-    var maxId = Long.MinValue
-    rows.foreach { r =>
-      val id = r.getLong(0)
+  /** Streaming per-row section encoder shared by every segment writer:
+    * one buffer per column section, constant state per row. */
+  final class SegmentEncoder {
+    private val sections = Array.fill(5)(new ByteArrayOutputStream())
+    private val outs = sections.map(new DataOutputStream(_))
+    var rows = 0
+    var minId: Long = Long.MaxValue
+    var maxId: Long = Long.MinValue
+
+    def add(id: Long, nChars: java.lang.Long, lang: Array[Byte],
+        source: Array[Byte], text: Array[Byte]): Unit = {
+      rows += 1
       minId = math.min(minId, id); maxId = math.max(maxId, id)
       outs(0).writeLong(id)
-      outs(1).writeLong(if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
-      var i = 2
-      while (i < 5) {
-        if (r.isNullAt(i)) outs(i).writeInt(-1)
-        else {
-          val b = r.getString(i).getBytes("UTF-8")
-          outs(i).writeInt(b.length); outs(i).write(b)
-        }
-        i += 1
+      outs(1).writeLong(if (nChars == null) Long.MinValue else nChars.longValue())
+      Seq(lang, source, text).zipWithIndex.foreach { case (b, i) =>
+        if (b == null) outs(i + 2).writeInt(-1)
+        else { outs(i + 2).writeInt(b.length); outs(i + 2).write(b) }
       }
     }
-    outs.foreach(_.flush())
-    val name = f"part-$pid%05d.gds"
-    val file = Paths.get(lakeDir, name)
-    val out = new DataOutputStream(new FileOutputStream(file.toFile))
-    try {
-      out.writeInt(MAGIC)
-      out.writeInt(rows.length)
-      sections.foreach(s => out.writeLong(s.size().toLong))
-      sections.foreach(_.writeTo(out))
-    } finally out.close()
-    Files.write(Paths.get(lakeDir, f"part-$pid%05d.mfl"),
-      s"$name,${rows.length},$minId,$maxId,${Files.size(file)}"
-        .getBytes("UTF-8"))
+
+    /** Header + sections to `file`; returns the byte size. */
+    def writeTo(file: java.nio.file.Path): Long = {
+      outs.foreach(_.flush())
+      val out = new DataOutputStream(new FileOutputStream(file.toFile))
+      try {
+        out.writeInt(MAGIC)
+        out.writeInt(rows)
+        sections.foreach(s => out.writeLong(s.size().toLong))
+        sections.foreach(_.writeTo(out))
+      } finally out.close()
+      Files.size(file)
+    }
   }
 
   def readManifest(path: String): Seq[Segment] =
@@ -172,15 +158,136 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class DocStoreTable(path: String) extends Table with SupportsRead {
+class DocStoreTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-docstore(`$path`)"
   override def schema(): StructType = DocStore.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path,
       options.getInt("maxSegmentsPerBatch", Int.MaxValue))
+
+  /** Write path with the standard commit protocol: tasks stage
+    * `.stg-*` segment files and report manifest entries in their
+    * commit messages; the JOB commit assigns final names, publishes
+    * the new MANIFEST atomically, and only then (on truncate) deletes
+    * the replaced files — a reader concurrent with the write sees the
+    * old manifest or the new one, never a mix. Input columns may
+    * arrive in any order (resolved by name); doc_id must be non-null
+    * (it is the format's fixed-width zone-map column). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema()
+    val expect = DocStore.SCHEMA.fields.map(f => f.name -> f.dataType).toMap
+    require(in.fields.length == expect.size &&
+      in.fields.forall(f => expect.get(f.name).contains(f.dataType)),
+      s"graft-docstore write schema must be ${DocStore.SCHEMA.simpleString}, " +
+        s"got ${in.simpleString}")
+    val order = DocStore.FIELDS.map(f => in.fieldIndex(f.name)).toArray
+    new DocStoreWriteBuilder(path, order, info.queryId())
+  }
+}
+
+class DocStoreWriteBuilder(path: String, order: Array[Int], queryId: String,
+    truncate: Boolean = false) extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new DocStoreWriteBuilder(path, order, queryId, truncate = true)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new DocStoreBatchWrite(path, order, queryId, truncate)
+  }
+}
+
+final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
+    maxId: Long, bytes: Long) extends WriterCommitMessage
+
+class DocStoreBatchWrite(path: String, order: Array[Int], queryId: String,
+    truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new DocStoreWriterFactory(path, order, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    val old =
+      if (Files.exists(dir.resolve("MANIFEST"))) DocStore.readManifest(path)
+      else Seq.empty
+    val keep = if (truncate) Seq.empty else old
+    // deterministic final names: continue past every name in play
+    var next = (keep.map(_.name) ++ old.map(_.name)).map { n =>
+      "part-(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt + 1).getOrElse(0)
+    }.maxOption.getOrElse(0)
+    val fresh = messages.collect {
+      case m: DocStoreCommit if m.rows > 0 => m
+      case m: DocStoreCommit => // empty task: drop its staging file
+        Files.deleteIfExists(dir.resolve(m.tmpName)); null
+    }.filter(_ != null).sortBy(_.tmpName).map { m =>
+      val name = f"part-$next%05d.gds"; next += 1
+      Files.move(dir.resolve(m.tmpName), dir.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+      DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
+    }
+    // publish the manifest atomically, THEN drop replaced segments
+    val lines = (keep ++ fresh).map(s =>
+      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}").sorted
+    val tmpManifest = dir.resolve(s".MANIFEST-$queryId")
+    Files.createDirectories(dir)
+    Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmpManifest, dir.resolve("MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (truncate)
+      old.filterNot(s => fresh.exists(_.name == s.name))
+        .foreach(s => Files.deleteIfExists(dir.resolve(s.name)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: DocStoreCommit =>
+        Files.deleteIfExists(Paths.get(path).resolve(m.tmpName))
+      case _ => ()
+    }
+}
+
+class DocStoreWriterFactory(path: String, order: Array[Int], queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DocStoreDataWriter(path, order, queryId, partitionId, taskId)
+}
+
+/** One task's segment: rows stream into a [[DocStore.SegmentEncoder]];
+  * task commit flushes to a `.stg-*` file named with (queryId,
+  * partition, task attempt) so speculative or retried attempts never
+  * collide, and reports the manifest entry upward. */
+class DocStoreDataWriter(path: String, order: Array[Int], queryId: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val enc = new DocStore.SegmentEncoder
+  private val tmpName = f".stg-$queryId-$partitionId%05d-$taskId"
+
+  override def write(r: InternalRow): Unit = {
+    require(!r.isNullAt(order(0)),
+      "graft-docstore requires a non-null doc_id on every row")
+    def str(i: Int): Array[Byte] =
+      if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
+    enc.add(r.getLong(order(0)),
+      if (r.isNullAt(order(1))) null
+      else java.lang.Long.valueOf(r.getLong(order(1))),
+      str(2), str(3), str(4))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    Files.createDirectories(Paths.get(path))
+    val bytes =
+      if (enc.rows == 0) 0L
+      else enc.writeTo(Paths.get(path).resolve(tmpName))
+    DocStoreCommit(tmpName, enc.rows.toLong, enc.minId, enc.maxId, bytes)
+  }
+
+  override def abort(): Unit =
+    Files.deleteIfExists(Paths.get(path).resolve(tmpName))
+  override def close(): Unit = ()
 }
 
 class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue)

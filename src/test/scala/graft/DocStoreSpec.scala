@@ -135,6 +135,84 @@ class DocStoreSpec extends SparkSpec {
     assert(ids.distinct().count() == 500)
   }
 
+  test("DSv2 write: overwrite replaces content and drops old segments; append accumulates") {
+    val tmp = Files.createTempDirectory("docstore_write").toString
+    def slice(a: Long, b: Long) = docs.where(col("doc_id").between(a, b))
+    def readBack = spark.read.format("graft-docstore")
+      .option("path", tmp).load()
+
+    slice(0, 99).write.format("graft-docstore").mode("overwrite")
+      .option("path", tmp).save()
+    assert(readBack.count() == 100)
+
+    // append: new segments extend the manifest, nothing replaced
+    slice(100, 149).write.format("graft-docstore").mode("append")
+      .option("path", tmp).save()
+    assert(readBack.count() == 150)
+    assert(readBack.select("doc_id").distinct().count() == 150)
+
+    // overwrite: truncate-and-replace — content AND files
+    slice(200, 219).write.format("graft-docstore").mode("overwrite")
+      .option("path", tmp).save()
+    assert(readBack.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      (200L to 219L))
+    val names = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(java.nio.file.Paths.get(tmp))
+      try st.iterator().asScala.map(_.getFileName.toString).toVector
+      finally st.close()
+    }
+    val manifest = graft.sources.DocStore.readManifest(tmp).map(_.name).toSet
+    assert(names.filter(_.endsWith(".gds")).toSet == manifest,
+      s"files on disk $names must be exactly the manifest $manifest")
+    assert(!names.exists(_.startsWith(".stg-")), s"staging left behind: $names")
+  }
+
+  test("DSv2 write resolves columns by name and rejects bad inputs") {
+    val tmp = Files.createTempDirectory("docstore_write_cols").toString
+    // permuted column order must land correctly
+    docs.where(col("doc_id") < 10)
+      .select("text", "lang", "doc_id", "n_chars", "source")
+      .write.format("graft-docstore").mode("overwrite")
+      .option("path", tmp).save()
+    val back = spark.read.format("graft-docstore").option("path", tmp).load()
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val expect = docs.where(col("doc_id") < 10)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(back == expect)
+
+    // missing NULLABLE columns are null-padded by Spark's by-name
+    // output resolution (standard table-write semantics) …
+    val tmp2 = Files.createTempDirectory("docstore_write_pad").toString
+    docs.select("doc_id", "lang").where(col("doc_id") < 3)
+      .write.format("graft-docstore").mode("overwrite")
+      .option("path", tmp2).save()
+    val padded = spark.read.format("graft-docstore").option("path", tmp2)
+      .load().orderBy("doc_id").collect()
+    assert(padded.length == 3 && padded.forall(r =>
+      !r.isNullAt(0) && !r.isNullAt(2) && r.isNullAt(1) && r.isNullAt(4)))
+    // … but the non-nullable doc_id cannot be omitted
+    intercept[Exception] {
+      docs.select("lang", "text").write.format("graft-docstore")
+        .mode("overwrite").option("path", tmp2).save()
+    }
+    // and an unknown extra column is rejected
+    intercept[Exception] {
+      docs.withColumn("extra", lit(1)).write.format("graft-docstore")
+        .mode("overwrite").option("path", tmp2).save()
+    }
+    // null doc_id → task failure, job aborts, manifest unchanged
+    import spark.implicits._
+    intercept[Exception] {
+      Seq((Option.empty[Long], Option(1L), Option("x"), Option("y"), Option("z")))
+        .toDF("doc_id", "n_chars", "lang", "source", "text")
+        .write.format("graft-docstore").mode("append")
+        .option("path", tmp).save()
+    }
+    assert(spark.read.format("graft-docstore").option("path", tmp).load()
+      .count() == 10, "failed write must not change the table")
+  }
+
   test("nulls and empty strings survive the segment format") {
     val tmp = Files.createTempDirectory("docstore_nulls").toString
     import spark.implicits._
