@@ -48,39 +48,52 @@ object Bench {
     pref.map { case (n, p) => n -> (if (collisions(p)) n else p) }
   }
 
-  private def fmt(v: Double): String =
-    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def fmt(v: Double, scale: Int = 3): String =
+    if (v < 0) "-1"
+    else {
+      // toPlainString + zero-strip: "1.500" → "1.5", "12.000" → "12" —
+      // valid JSON, and the saved chars are what keep the full per-query
+      // map under the driver's tail-buffer floor as the registry grows
+      val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
 
   /** Renders (compactStdoutLine, verboseLine). Pure — unit-tested by
     * BenchJsonSpec against a replica of the driver's tail-buffer parse. */
   def render(timed: Seq[(String, Double, Option[String])], sfDir: String): (String, String) = {
     val short = shortKeys(timed.map(_._1))
     val total = timed.collect { case (_, v, _) if v >= 0 => v }.sum
-    def line(key: String => String, precise: Boolean): String = {
+    def line(key: String => String, scale: Int): String = {
       val qs = timed.map { case (k, v, _) =>
-        s"${jq(key(k))}:${if (precise) v.toString else fmt(v)}"
+        s"${jq(key(k))}:${if (scale < 0) v.toString else fmt(v, scale)}"
       }.mkString("{", ",", "}")
       val errs = timed.collect { case (k, _, Some(e)) => s"${jq(key(k))}:${jq(e)}" }
         .mkString("{", ",", "}")
-      val tot = if (precise) total.toString else fmt(total)
+      val tot = if (scale < 0) total.toString else fmt(total, 3)
       s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
     }
-    val compact = line(short, precise = false)
-    val verbose = line(identity, precise = true)
-    // Defensive floor: if the registry ever grows the compact line past the
-    // driver's window, drop the per-query map rather than emit an unparseable
-    // line (total + errors still land; the verbose channel keeps the detail).
-    // The drop is LOUD (r6 verdict item 7): silently losing per-query detail
-    // as the registry grows past ~170 queries would look like a harness bug.
-    val safe =
-      if (compact.length <= 1900) compact
-      else {
+    val verbose = line(identity, scale = -1) // full names, full precision
+    // Degrade gracefully as the registry grows: keep the FULL per-query map
+    // by stepping precision 3 → 2 → 1 decimals (10 ms / 100 ms resolution —
+    // the verbose channel keeps exact numbers) before ever dropping it.
+    // The final drop stays LOUD (r6 verdict item 7): silently losing
+    // per-query detail would look like a harness bug.
+    val candidates = Seq(3, 2, 1).map(sc => sc -> line(short, sc))
+    val safe = candidates.find(_._2.length <= 1900) match {
+      case Some((sc, l)) =>
+        if (sc < 3) System.err.println(s"BENCH NOTE: compact stdout line " +
+          s"reduced to $sc-decimal precision to stay under the 1900-char " +
+          "driver tail-buffer floor; exact timings on stderr and $BENCH_OUT.")
+        l
+      case None =>
         System.err.println(s"BENCH WARNING: compact stdout line is " +
-          s"${compact.length} chars (> 1900 driver tail-buffer floor); " +
-          "dropping the per-query map from stdout — full detail still on " +
-          "stderr and $BENCH_OUT. Shrink query keys or raise the floor.")
+          s"${candidates.last._2.length} chars at 1-decimal precision " +
+          "(> 1900 driver tail-buffer floor); dropping the per-query map " +
+          "from stdout — full detail still on stderr and $BENCH_OUT. " +
+          "Shrink query keys or raise the floor.")
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"errors":{},"sf":${jq(sfDir)}}"""
-      }
+    }
     (safe, verbose)
   }
 

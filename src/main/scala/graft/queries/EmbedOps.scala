@@ -513,6 +513,101 @@ object EmbedOps {
           H.cnt(col("cos") >= 0.3).as("n_ge_03"),
           H.cnt(col("cos") >= 0.2).as("n_ge_02"))
         .orderBy("cell")
+    },
+
+    // ------------------------------------------- product quantization
+    Q("q126_pq_codes",
+      "Product quantization — the third leg of the quantization story " +
+        "(q70 coarse IVF cells, q111 scalar int8, here PQ): the 64-dim " +
+        "milli-grid vector splits into M=2 subvectors, each subspace " +
+        "trains its OWN k=4 codebook (one Lloyd step from a " +
+        "deterministic init, the q70 machinery verbatim per subspace), " +
+        "and a vector's code is the PAIR of per-subspace argmins — 16 " +
+        "virtual cells from 8 stored centroids, the multiplicative " +
+        "compression that lets Faiss-style IVF-PQ hold billion-vector " +
+        "indexes in RAM. Per code cell: population, total quantization " +
+        "error (exact integer sum of both subspace residuals — the " +
+        "number an ADC distance table is built from), min vec_id. " +
+        "Training is 2 broadcast map-only assignments + 2 (k, dim) " +
+        "hash-aggs; encoding joins the two assignments on vec_id — " +
+        "at 100 TB both subspace passes run in the same corpus scan.",
+      Some {
+        val SUB = 32
+        // per-subspace Lloyd step + final assignment, q70's CTE shape
+        // parameterized by the subvector slice
+        def sub(tag: String, qcol: String): String = s"""
+        v$tag AS (SELECT vec_id, $qcol AS q FROM vs),
+        c${tag}0 AS (SELECT vec_id::INT AS k, q AS c FROM v$tag WHERE vec_id < 4),
+        d${tag}1 AS (SELECT v$tag.vec_id, v$tag.q, c${tag}0.k,
+                      list_sum(list_transform(range($SUB),
+                        i -> (v$tag.q[i+1] - c${tag}0.c[i+1]) * (v$tag.q[i+1] - c${tag}0.c[i+1])))::BIGINT AS d
+               FROM v$tag CROSS JOIN c${tag}0),
+        a${tag}1 AS (SELECT vec_id, q, k FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+                  FROM d${tag}1) WHERE rn = 1),
+        s$tag AS (SELECT k, i, SUM(q[i+1])::BIGINT AS sx, COUNT(*)::BIGINT AS cnt
+               FROM a${tag}1, (SELECT unnest(range($SUB)) AS i) idx GROUP BY 1, 2),
+        c${tag}1 AS (SELECT k, array_agg((sx - ((sx % cnt + cnt) % cnt)) // cnt ORDER BY i) AS c
+               FROM s$tag GROUP BY 1),
+        d${tag}2 AS (SELECT v$tag.vec_id, c${tag}1.k,
+                      list_sum(list_transform(range($SUB),
+                        i -> (v$tag.q[i+1] - c${tag}1.c[i+1]) * (v$tag.q[i+1] - c${tag}1.c[i+1])))::BIGINT AS d
+               FROM v$tag CROSS JOIN c${tag}1),
+        a${tag}2 AS (SELECT vec_id, k, d FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+                 FROM d${tag}2) WHERE rn = 1)"""
+        s"""
+        WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        vs AS (SELECT vec_id, q[1:32] AS qa, q[33:64] AS qb FROM v),
+        ${sub("a", "qa")},
+        ${sub("b", "qb")}
+        SELECT aa2.k AS c0, ab2.k AS c1,
+               COUNT(*)::BIGINT AS n_vecs,
+               SUM(aa2.d + ab2.d)::BIGINT AS total_err,
+               MIN(aa2.vec_id) AS min_vec
+        FROM aa2 JOIN ab2 ON aa2.vec_id = ab2.vec_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+      }) { (s, dir) =>
+      val SUB = 32
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), quant(col("embedding")).as("qf"))
+      // one Lloyd step + final assignment in one subspace (q70's assign/
+      // update, over the subvector slice)
+      def codes(off: Int) = {
+        val vj = v.select(col("vec_id"), slice(col("qf"), off, SUB).as("q"))
+          .withColumn("qn", norm2(col("q")))
+        def assign(cent: DataFrame) = {
+          val centArr = cent.withColumn("cn", norm2(col("c")))
+            .agg(collect_list(struct(col("k"), col("c"), col("cn"))).as("cs"))
+          vj.crossJoin(broadcast(centArr))
+            .withColumn("best", array_min(transform(col("cs"), e =>
+              struct((col("qn") - lit(2L) * dotL(col("q"), e.getField("c")) +
+                e.getField("cn")).as("d"),
+                e.getField("k").as("k")))))
+            .select(col("vec_id"), col("q"),
+              col("best").getField("k").as("k"), col("best").getField("d").as("d"))
+        }
+        def update(assigned: DataFrame) =
+          assigned.select(col("k"), posexplode(col("q")).as(Seq("i", "x")))
+            .groupBy(col("k"), col("i"))
+            .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+            .withColumn("ci", expr("(sx - pmod(sx, cnt)) div cnt"))
+            .groupBy(col("k"))
+            .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
+              e => e.getField("ci")).as("c"))
+        val init = vj.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("k"), col("q").as("c"))
+        assign(update(assign(init)))
+      }
+      codes(1).select(col("vec_id"), col("k").as("c0"), col("d").as("d0"))
+        .join(codes(33).select(col("vec_id").as("vb"),
+          col("k").as("c1"), col("d").as("d1")),
+          col("vec_id") === col("vb"))
+        .groupBy("c0", "c1")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("d0") + col("d1")).as("total_err"),
+          min("vec_id").as("min_vec"))
+        .orderBy("c0", "c1")
     }
   )
 }
