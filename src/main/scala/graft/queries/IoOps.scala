@@ -344,6 +344,63 @@ object IoOps {
           min("doc_id").as("first_id"),
           max("doc_id").as("last_id"))
         .orderBy("source")
+    },
+
+    // ----------------------------------------------- VARIANT shredding
+    Q("q127_variant_shred",
+      "Spark 4's VARIANT type — the schemaless semi-structured path " +
+        "next to q71's explicit-schema from_json: a nested JSON " +
+        "document (composed deterministically from events columns, " +
+        "props embedded as a sub-object, plus an array; every 13th " +
+        "event carries a JSON null sub-object) is parsed ONCE with " +
+        "parse_json and shredded with typed variant_get paths — " +
+        "nested field $.p.k, array element $.a[1], top-level string — " +
+        "with missing/null paths surfacing as SQL NULL, not errors. " +
+        "The variant binary encoding is what makes this the 100 TB " +
+        "shape: one parse, many O(log n) typed extractions, no " +
+        "re-parse per path (a JSON-string pipeline re-tokenizes the " +
+        "document for every field). The oracle replays the same " +
+        "construction + JSON-path extraction in DuckDB.",
+      Some("""
+        WITH j AS (SELECT event_type,
+                          '{"u":' || user_id::VARCHAR ||
+                          ',"t":"' || event_type ||
+                          '","p":' || (CASE WHEN event_id % 13 = 0
+                                            THEN 'null' ELSE props END) ||
+                          ',"a":[' || (event_id % 7)::VARCHAR || ',' ||
+                          (event_id % 3)::VARCHAR || ']}' AS js
+                   FROM events),
+        x AS (SELECT event_type,
+                     json_extract_string(js, '$.t') AS t,
+                     json_extract(js, '$.p.k')::BIGINT AS k,
+                     json_extract(js, '$.a[1]')::BIGINT AS a1
+              FROM j)
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(CASE WHEN t = event_type THEN 1 END) AS n_t_ok,
+               COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_null_k,
+               SUM(COALESCE(k, 0))::BIGINT AS sum_k,
+               SUM(a1)::BIGINT AS sum_a1
+        FROM x GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val js = concat(
+        lit("{\"u\":"), col("user_id").cast("string"),
+        lit(",\"t\":\""), col("event_type"),
+        lit("\",\"p\":"),
+        when(col("event_id") % 13 === 0, lit("null")).otherwise(col("props")),
+        lit(",\"a\":["), (col("event_id") % 7).cast("string"),
+        lit(","), (col("event_id") % 3).cast("string"), lit("]}"))
+      Tables.events(s, dir)
+        .select(col("event_type"), parse_json(js).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.t', 'string')").as("t"),
+          expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.a[1]', 'bigint')").as("a1"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          cnt(col("t") === col("event_type")).as("n_t_ok"),
+          cnt(col("k").isNull).as("n_null_k"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"),
+          sum(col("a1")).as("sum_a1"))
+        .orderBy("event_type")
     }
   )
 }
