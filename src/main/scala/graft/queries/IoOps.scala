@@ -401,6 +401,37 @@ object IoOps {
           sum(coalesce(col("k"), lit(0L))).as("sum_k"),
           sum(col("a1")).as("sum_a1"))
         .orderBy("event_type")
+    },
+
+    // -------------------------------------- DSv2 runtime (dynamic) pruning
+    Q("q128_dsv2_runtime_prune",
+      "Dynamic partition pruning through the connector " +
+        "(SupportsRuntimeFiltering): the docstore is the PROBE side of " +
+        "a broadcast join against a selectively filtered dimension; " +
+        "Spark executes the build side first and hands the observed " +
+        "doc_id set to the scan, which drops segments spanning none of " +
+        "the keys at RUNTIME — the fact scan shrinks to the joined " +
+        "slice with no user-written predicate on it. Runtime filters " +
+        "are best-effort by contract (the join still evaluates), so " +
+        "coarse segment-level pruning is exactly the right amount of " +
+        "work — contrast pushFilters, which must be row-exact. " +
+        "DocStoreSpec asserts the prune actually fires; this gate " +
+        "certifies the join's semantics against a DuckDB replay.",
+      Some("""
+        WITH dim AS (SELECT doc_id FROM documents WHERE doc_id % 251 = 3)
+        SELECT d.lang, COUNT(*) AS n, SUM(d.n_chars)::BIGINT AS chars,
+               MIN(d.doc_id) AS first_id
+        FROM documents d JOIN dim ON d.doc_id = dim.doc_id
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val lake = graft.sources.DocStore.ensureLake(s, dir)
+      val store = s.read.format("graft-docstore").option("path", lake).load()
+      val dim = Tables.documents(s, dir).select(col("doc_id").as("dim_id"))
+        .where(col("dim_id") % 251 === 3)
+      store.join(broadcast(dim), col("doc_id") === col("dim_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+          min("doc_id").as("first_id"))
+        .orderBy("lang")
     }
   )
 }

@@ -14,8 +14,8 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
-import org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{SupportsPushDownAggregates, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -434,10 +434,39 @@ class ManifestAggReaderFactory extends PartitionReaderFactory {
 class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,
     limit: Int, surviving: Seq[DocStore.Segment], total: Int,
     maxSegmentsPerBatch: Int = Int.MaxValue)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime (dynamic) filtering — the DSv2 face of dynamic partition
+    * pruning: when this scan is the probe side of a join on doc_id,
+    * Spark executes the build side first and hands the observed key set
+    * here BEFORE partitions are planned; segments whose (min, max) span
+    * contains none of the keys are dropped at RUNTIME. Unlike
+    * compile-time pushFilters (which must be row-exact because Spark
+    * removes the predicate), runtime filters are best-effort by
+    * contract — the join still evaluates its condition — so coarse
+    * segment-level pruning is the correct amount of work here. At
+    * 100 TB this is the fact-side scan shrinking to the dimension
+    * slice actually joined, without any user-written predicate. */
+  @volatile private var runtimeSurviving: Seq[DocStore.Segment] = surviving
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.In
+    filters.foreach {
+      case In("doc_id", vs) =>
+        val ids = vs.collect { case n: java.lang.Number => n.longValue() }
+        runtimeSurviving = runtimeSurviving.filter(s =>
+          ids.exists(id => id >= s.minId && id <= s.maxId))
+      case _ => () // unrecognized runtime filters are safely ignored
+    }
+    DocStoreScan.lastRuntimePlanned = runtimeSurviving.size
+  }
 
   /** Streaming read of the same (pruned, projected) segment view: the
     * backfill-from-lake shape Delta's `readStream` on a table serves.
@@ -461,7 +490,7 @@ class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,
       (if (limit != Int.MaxValue) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    surviving.map(s => DocStorePartition(
+    runtimeSurviving.map(s => DocStorePartition(
       Paths.get(path, s.name).toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -477,6 +506,13 @@ class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,
       OptionalLong.of(math.min(surviving.map(_.rows).sum,
         if (limit == Int.MaxValue) Long.MaxValue else limit.toLong))
   }
+}
+
+object DocStoreScan {
+  /** Test-observability hook: segment count planned after the last
+    * runtime-filter call (DocStoreSpec asserts dynamic pruning actually
+    * fired; production behavior never reads it). */
+  @volatile var lastRuntimePlanned: Int = -1
 }
 
 final case class DocStorePartition(file: String) extends InputPartition

@@ -135,6 +135,30 @@ class DocStoreSpec extends SparkSpec {
     assert(ids.distinct().count() == 500)
   }
 
+  test("runtime filtering prunes segments from a join's build-side keys") {
+    lake // force build
+    // dimension = a FILTERED scan confined to the lowest doc_id range —
+    // DPP requires a selective predicate on the build side (a bare
+    // local relation does not qualify); dynamic pruning should then cut
+    // the probe scan to the segment(s) spanning the surviving keys
+    def dim = docs.select(col("doc_id").as("dim_id"))
+      .where(col("dim_id").isin(5L, 17L, 23L))
+    graft.sources.DocStoreScan.lastRuntimePlanned = -1
+    val joined = store.join(broadcast(dim), col("doc_id") === col("dim_id"))
+      .agg(count(lit(1)), sum("n_chars"))
+    val row = joined.collect()(0)
+    assert(row.getLong(0) == 3)
+    val planned = graft.sources.DocStoreScan.lastRuntimePlanned
+    assert(planned >= 1 && planned < 8,
+      s"expected runtime segment pruning to fire and keep <8 segments, planned=$planned " +
+        s"(-1 means filter() was never called)\n" +
+        joined.queryExecution.executedPlan.toString)
+    // correctness unaffected: same result as the parquet-side join
+    val expect = docs.join(dim, col("doc_id") === col("dim_id"))
+      .agg(count(lit(1)), sum("n_chars")).collect()(0)
+    assert(row.toSeq == expect.toSeq)
+  }
+
   test("DSv2 write: overwrite replaces content and drops old segments; append accumulates") {
     val tmp = Files.createTempDirectory("docstore_write").toString
     def slice(a: Long, b: Long) = docs.where(col("doc_id").between(a, b))
