@@ -432,6 +432,49 @@ object IoOps {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
           min("doc_id").as("first_id"))
         .orderBy("lang")
+    },
+
+    // ------------------------------------- DSv2 streaming sink (full loop)
+    Q("q129_stream_sink",
+      "The connector's exactly-once streaming SINK, closing the loop: " +
+        "the docstore lake is replayed through the custom streaming " +
+        "source (2 segments per micro-batch) and lands in a SECOND " +
+        "docstore table through the custom streaming sink — each " +
+        "epoch's segments carry the epoch id in their final names, " +
+        "which doubles as the commit log: a replayed epoch (crash " +
+        "between sink commit and checkpoint write) finds its marker in " +
+        "the manifest and skips, so at-least-once delivery yields " +
+        "exactly-once table contents (DocStoreSpec replays an epoch " +
+        "commit directly to prove it). The gate aggregates the SINK " +
+        "table; the oracle aggregates the original parquet — equality " +
+        "proves no batch was lost or doubled across the " +
+        "source→sink hop.",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               MIN(doc_id) AS first_id,
+               MAX(doc_id) AS last_id
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val lake = graft.sources.DocStore.ensureLake(s, dir)
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_docstore_sink")
+      graft.core.Fs.deleteRecursively(base) // fresh epochs per invocation
+      val sink = base.resolve("table").toString
+      val ckpt = base.resolve("ckpt").toString
+      val q = s.readStream.format("graft-docstore")
+        .option("path", lake).option("maxSegmentsPerBatch", "2").load()
+        .writeStream.format("graft-docstore")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-docstore").option("path", sink).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+        .orderBy("lang")
     }
   )
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{streaming, BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
@@ -165,7 +165,8 @@ class DocStoreTable(path: String) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path,
       options.getInt("maxSegmentsPerBatch", Int.MaxValue))
@@ -197,11 +198,57 @@ class DocStoreWriteBuilder(path: String, order: Array[Int], queryId: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DocStoreBatchWrite(path, order, queryId, truncate)
+    override def toStreaming: streaming.StreamingWrite =
+      new DocStoreStreamingWrite(path, order, queryId, truncate)
   }
 }
 
 final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
     maxId: Long, bytes: Long) extends WriterCommitMessage
+
+/** Commit plumbing shared by the batch job commit and every streaming
+  * epoch commit: stage → final-name move → atomic manifest publish.
+  * Old-or-new visibility holds in both paths because the manifest
+  * rename is the single publication point. */
+object DocStoreCommitOps {
+  def stagedOf(messages: Array[WriterCommitMessage]): Seq[DocStoreCommit] =
+    messages.toSeq.collect { case m: DocStoreCommit => m }
+
+  def dropStaged(path: String, messages: Array[WriterCommitMessage]): Unit =
+    stagedOf(messages).foreach(m =>
+      Files.deleteIfExists(Paths.get(path).resolve(m.tmpName)))
+
+  /** Moves non-empty staged files to `nameFor(i)` (staging order sorted
+    * for determinism), publishes `keep ++ fresh` as the new MANIFEST by
+    * atomic rename, and returns the fresh segments. */
+  def publish(path: String, messages: Array[WriterCommitMessage],
+      keep: Seq[DocStore.Segment], manifestToken: String,
+      nameFor: Int => String): Seq[DocStore.Segment] = {
+    val dir = Paths.get(path)
+    val fresh = stagedOf(messages).filter { m =>
+      if (m.rows > 0) true
+      else { Files.deleteIfExists(dir.resolve(m.tmpName)); false }
+    }.sortBy(_.tmpName).zipWithIndex.map { case (m, i) =>
+      val name = nameFor(i)
+      Files.move(dir.resolve(m.tmpName), dir.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+      DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
+    }
+    val lines = (keep ++ fresh).map(s =>
+      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}").sorted
+    val tmpManifest = dir.resolve(s".MANIFEST-$manifestToken")
+    Files.createDirectories(dir)
+    Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmpManifest, dir.resolve("MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fresh
+  }
+
+  def existingManifest(path: String): Seq[DocStore.Segment] =
+    if (Files.exists(Paths.get(path).resolve("MANIFEST")))
+      DocStore.readManifest(path)
+    else Seq.empty
+}
 
 class DocStoreBatchWrite(path: String, order: Array[Int], queryId: String,
     truncate: Boolean) extends BatchWrite {
@@ -210,50 +257,77 @@ class DocStoreBatchWrite(path: String, order: Array[Int], queryId: String,
     new DocStoreWriterFactory(path, order, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(path)
-    val old =
-      if (Files.exists(dir.resolve("MANIFEST"))) DocStore.readManifest(path)
-      else Seq.empty
+    val old = DocStoreCommitOps.existingManifest(path)
     val keep = if (truncate) Seq.empty else old
-    // deterministic final names: continue past every name in play
-    var next = (keep.map(_.name) ++ old.map(_.name)).map { n =>
-      "part-(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt + 1).getOrElse(0)
+    // deterministic final names: continue past every batch-style name
+    val next = old.map { s =>
+      "part-(\\d+)".r.findFirstMatchIn(s.name)
+        .map(_.group(1).toInt + 1).getOrElse(0)
     }.maxOption.getOrElse(0)
-    val fresh = messages.collect {
-      case m: DocStoreCommit if m.rows > 0 => m
-      case m: DocStoreCommit => // empty task: drop its staging file
-        Files.deleteIfExists(dir.resolve(m.tmpName)); null
-    }.filter(_ != null).sortBy(_.tmpName).map { m =>
-      val name = f"part-$next%05d.gds"; next += 1
-      Files.move(dir.resolve(m.tmpName), dir.resolve(name),
-        StandardCopyOption.ATOMIC_MOVE)
-      DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
-    }
-    // publish the manifest atomically, THEN drop replaced segments
-    val lines = (keep ++ fresh).map(s =>
-      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}").sorted
-    val tmpManifest = dir.resolve(s".MANIFEST-$queryId")
-    Files.createDirectories(dir)
-    Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmpManifest, dir.resolve("MANIFEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val fresh = DocStoreCommitOps.publish(path, messages, keep, queryId,
+      i => f"part-${next + i}%05d.gds")
+    // manifest is live; now drop the replaced segments
     if (truncate)
       old.filterNot(s => fresh.exists(_.name == s.name))
-        .foreach(s => Files.deleteIfExists(dir.resolve(s.name)))
+        .foreach(s => Files.deleteIfExists(Paths.get(path).resolve(s.name)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: DocStoreCommit =>
-        Files.deleteIfExists(Paths.get(path).resolve(m.tmpName))
-      case _ => ()
+    DocStoreCommitOps.dropStaged(path, messages)
+}
+
+/** Exactly-once streaming sink: each epoch's segments carry the epoch
+  * id in their FINAL names (`part-e<epoch>-<i>.gds`), which doubles as
+  * the commit log — a replayed `commit(epoch, …)` (failure landed
+  * between sink commit and checkpoint write, so the engine re-runs the
+  * epoch) finds its marker already in the manifest, discards the
+  * re-staged files, and leaves the table untouched. Idempotent epoch
+  * commits + the engine's offset log = exactly-once table contents
+  * from an at-least-once delivery. */
+class DocStoreStreamingWrite(path: String, order: Array[Int],
+    queryId: String, truncate: Boolean)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new DocStoreStreamingWriterFactory(path, order, queryId)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val old = DocStoreCommitOps.existingManifest(path)
+    val prefix = s"part-e$epochId-"
+    if (old.exists(_.name.startsWith(prefix))) {
+      // replayed epoch — already applied; idempotent skip
+      DocStoreCommitOps.dropStaged(path, messages)
+      return
     }
+    val keep = if (truncate) Seq.empty else old
+    val fresh = DocStoreCommitOps.publish(path, messages, keep,
+      s"$queryId-e$epochId", i => f"$prefix$i%05d.gds")
+    if (truncate)
+      old.filterNot(s => fresh.exists(_.name == s.name))
+        .foreach(s => Files.deleteIfExists(Paths.get(path).resolve(s.name)))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    DocStoreCommitOps.dropStaged(path, messages)
 }
 
 class DocStoreWriterFactory(path: String, order: Array[Int], queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, order, queryId, partitionId, taskId)
+}
+
+/** Named (serializable) factory — an anonymous inner class here would
+  * capture the non-serializable StreamingWrite and fail task ship. */
+class DocStoreStreamingWriterFactory(path: String, order: Array[Int],
+    queryId: String) extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new DocStoreDataWriter(path, order, s"$queryId-e$epochId",
+      partitionId, taskId)
 }
 
 /** One task's segment: rows stream into a [[DocStore.SegmentEncoder]];

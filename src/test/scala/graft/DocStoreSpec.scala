@@ -237,6 +237,43 @@ class DocStoreSpec extends SparkSpec {
       .count() == 10, "failed write must not change the table")
   }
 
+  test("streaming sink: multi-epoch append and idempotent epoch replay") {
+    lake
+    val base = Files.createTempDirectory("docstore_sink_spec")
+    val sink = base.resolve("t").toString
+    val ckpt = base.resolve("c").toString
+    val q = spark.readStream.format("graft-docstore")
+      .option("path", lake).option("maxSegmentsPerBatch", "2").load()
+      .writeStream.format("graft-docstore")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val manifest = graft.sources.DocStore.readManifest(sink)
+    // 8 source segments / 2 per batch → segments from ≥4 distinct epochs
+    val epochs = manifest.map(_.name).flatMap(
+      "part-e(\\d+)-".r.findFirstMatchIn(_)).map(_.group(1).toInt).distinct
+    assert(epochs.size >= 4, s"expected ≥4 epochs, manifest: ${manifest.map(_.name)}")
+    val sunk = spark.read.format("graft-docstore").option("path", sink).load()
+    assert(sunk.count() == 500)
+    assert(sunk.select("doc_id").distinct().count() == 500)
+
+    // replay an already-committed epoch directly (the crash-between-
+    // commit-and-checkpoint case): the commit must skip, not duplicate
+    val epoch = epochs.head.toLong
+    val stg = java.nio.file.Paths.get(sink, ".stg-replay-test")
+    val enc = new graft.sources.DocStore.SegmentEncoder
+    enc.add(9999L, 1L, "xx".getBytes, "replay".getBytes, "dup".getBytes)
+    val bytes = enc.writeTo(stg)
+    new graft.sources.DocStoreStreamingWrite(sink, Array(0, 1, 2, 3, 4),
+      "replay-test", truncate = false)
+      .commit(epoch, Array(graft.sources.DocStoreCommit(
+        ".stg-replay-test", 1L, 9999L, 9999L, bytes)))
+    assert(spark.read.format("graft-docstore").option("path", sink).load()
+      .count() == 500, "replayed epoch must not re-apply")
+    assert(!Files.exists(stg), "replayed epoch's staging must be cleaned up")
+  }
+
   test("nulls and empty strings survive the segment format") {
     val tmp = Files.createTempDirectory("docstore_nulls").toString
     import spark.implicits._
