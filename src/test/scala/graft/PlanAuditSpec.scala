@@ -375,4 +375,24 @@ class PlanAuditSpec extends SparkSpec {
     // orderBy's range exchange over 15 rows — the DATA never globally sorts
     assert(exchangeCount(p) <= 2, s"unexpected extra shuffles:\n$p")
   }
+
+  test("q126 PQ: assignments are broadcast map-only; no window, no vector sort") {
+    val p = q("q126_pq_codes")
+    // every centroid table rides along as a broadcast (4 assignment
+    // passes = 2 subspaces × (init assign + post-update assign))
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 4,
+      s"centroid tables must broadcast to the corpus scan:\n$p")
+    assert(!p.contains("Window"), s"argmin must be in-row, not a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"vectors must never shuffle-join against centroids:\n$p")
+  }
+
+  test("q121/q125 docstore gates: the connector scan, not a fallback path") {
+    val p = q("q121_dsv2_source")
+    assert(p.contains("GraftDocStore"), s"q121 must read the connector:\n$p")
+    assert(p.contains("doc_id=[100,350]"),
+      s"q121's slice must be pushed into the scan:\n$p")
+    val w = q("q125_dsv2_write")
+    assert(w.contains("GraftDocStore"), s"q125's read-back must hit the connector:\n$w")
+  }
 }
