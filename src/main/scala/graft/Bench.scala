@@ -79,7 +79,7 @@ object Bench {
     // the verbose channel keeps exact numbers) before ever dropping it.
     // The final drop stays LOUD (r6 verdict item 7): silently losing
     // per-query detail would look like a harness bug.
-    val candidates = Seq(3, 2, 1).map(sc => sc -> line(short, sc))
+    val candidates = Seq(3, 2, 1).view.map(sc => sc -> line(short, sc))
     val safe = candidates.find(_._2.length <= 1900) match {
       case Some((sc, l)) =>
         if (sc < 3) System.err.println(s"BENCH NOTE: compact stdout line " +

@@ -611,7 +611,7 @@ object WindowOps {
         half(1)
         q.processAllAvailable() // batch 2: odd event_ids, state carries over
       } finally q.stop()
-      Seq(srcDir, ckpt).foreach(graft.core.Fs.deleteRecursively)
+      graft.core.Fs.deleteRecursively(tmp.toString) // srcDir+ckpt+the dir itself
       sc.table("q124_snapshot")
         .groupBy("user_id")
         .agg(max(struct("n_events", "cents", "n_click", "n_purchase")).as("m"))

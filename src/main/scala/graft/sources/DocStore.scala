@@ -110,16 +110,21 @@ object DocStore {
     var minId: Long = Long.MaxValue
     var maxId: Long = Long.MinValue
 
+    private def str(i: Int, b: Array[Byte]): Unit =
+      if (b == null) outs(i).writeInt(-1)
+      else { outs(i).writeInt(b.length); outs(i).write(b) }
+
     def add(id: Long, nChars: java.lang.Long, lang: Array[Byte],
         source: Array[Byte], text: Array[Byte]): Unit = {
+      // Long.MinValue is the format's null sentinel for n_chars — a real
+      // value there would silently round-trip as NULL, so reject loudly
+      require(nChars == null || nChars.longValue() != Long.MinValue,
+        "graft-docstore cannot store n_chars = Long.MinValue (null sentinel)")
       rows += 1
       minId = math.min(minId, id); maxId = math.max(maxId, id)
       outs(0).writeLong(id)
       outs(1).writeLong(if (nChars == null) Long.MinValue else nChars.longValue())
-      Seq(lang, source, text).zipWithIndex.foreach { case (b, i) =>
-        if (b == null) outs(i + 2).writeInt(-1)
-        else { outs(i + 2).writeInt(b.length); outs(i + 2).write(b) }
-      }
+      str(2, lang); str(3, source); str(4, text)
     }
 
     /** Header + sections to `file`; returns the byte size. */
@@ -220,7 +225,14 @@ object DocStoreCommitOps {
 
   /** Moves non-empty staged files to `nameFor(i)` (staging order sorted
     * for determinism), publishes `keep ++ fresh` as the new MANIFEST by
-    * atomic rename, and returns the fresh segments. */
+    * atomic rename, and returns the fresh segments.
+    *
+    * Manifest line order is APPEND order, deliberately not sorted: the
+    * streaming SOURCE's offsets are indices into manifest order, so an
+    * append must extend the list without shifting existing positions —
+    * a string sort would slot `part-e10-*` before `part-e2-*` and
+    * invalidate every checkpointed reader of the table. (Overwrite
+    * replaces the table; its readers' checkpoints are void regardless.) */
   def publish(path: String, messages: Array[WriterCommitMessage],
       keep: Seq[DocStore.Segment], manifestToken: String,
       nameFor: Int => String): Seq[DocStore.Segment] = {
@@ -235,7 +247,7 @@ object DocStoreCommitOps {
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
     }
     val lines = (keep ++ fresh).map(s =>
-      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}").sorted
+      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}")
     val tmpManifest = dir.resolve(s".MANIFEST-$manifestToken")
     Files.createDirectories(dir)
     Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
@@ -276,17 +288,26 @@ class DocStoreBatchWrite(path: String, order: Array[Int], queryId: String,
     DocStoreCommitOps.dropStaged(path, messages)
 }
 
-/** Exactly-once streaming sink: each epoch's segments carry the epoch
-  * id in their FINAL names (`part-e<epoch>-<i>.gds`), which doubles as
-  * the commit log — a replayed `commit(epoch, …)` (failure landed
-  * between sink commit and checkpoint write, so the engine re-runs the
-  * epoch) finds its marker already in the manifest, discards the
-  * re-staged files, and leaves the table untouched. Idempotent epoch
-  * commits + the engine's offset log = exactly-once table contents
-  * from an at-least-once delivery. */
+/** Exactly-once streaming sink: each epoch's segments carry the QUERY
+  * id and epoch id in their FINAL names
+  * (`part-q<qid8>-e<epoch>-<i>.gds`), which doubles as the commit
+  * log — a replayed `commit(epoch, …)` (failure landed between sink
+  * commit and checkpoint write, so the engine re-runs the epoch) finds
+  * its marker already in the manifest, discards the re-staged files,
+  * and leaves the table untouched. The marker MUST carry the query id:
+  * epoch numbering restarts at 0 for every new query, so an
+  * epoch-only marker would make a second query appending to the same
+  * table mistake its own first batches for replays and silently drop
+  * them. Idempotent epoch commits + the engine's offset log =
+  * exactly-once table contents from an at-least-once delivery. */
 class DocStoreStreamingWrite(path: String, order: Array[Int],
     queryId: String, truncate: Boolean)
     extends streaming.StreamingWrite {
+
+  private val qid8 = queryId.replaceAll("[^0-9a-fA-F]", "").take(8) match {
+    case "" => "anon"
+    case h => h
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
@@ -295,7 +316,7 @@ class DocStoreStreamingWrite(path: String, order: Array[Int],
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val old = DocStoreCommitOps.existingManifest(path)
-    val prefix = s"part-e$epochId-"
+    val prefix = s"part-q$qid8-e$epochId-"
     if (old.exists(_.name.startsWith(prefix))) {
       // replayed epoch — already applied; idempotent skip
       DocStoreCommitOps.dropStaged(path, messages)
@@ -380,6 +401,13 @@ class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue)
     case _ => None
   }
 
+  /** The window is provably empty (`> Long.MaxValue` / `< Long.MinValue`
+    * strict bounds, whose ±1 would otherwise WRAP and silently turn the
+    * predicate into all-rows). (1, 0) is an empty non-default range, so
+    * the reader filters everything and the metadata-only aggregate path
+    * correctly declines. */
+  private def markEmpty(): Unit = { lo = 1L; hi = 0L }
+
   /** Accept doc_id comparisons (they tighten [lo, hi] and are re-checked
     * exactly per row) and IsNotNull(doc_id) (vacuous: the format stores
     * doc_id as non-null fixed-64). Everything else is returned for Spark
@@ -389,11 +417,15 @@ class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue)
       case EqualTo("doc_id", v) if bound(v).isDefined =>
         val n = bound(v).get; lo = math.max(lo, n); hi = math.min(hi, n); false
       case GreaterThan("doc_id", v) if bound(v).isDefined =>
-        lo = math.max(lo, bound(v).get + 1); false
+        val n = bound(v).get
+        if (n == Long.MaxValue) markEmpty() else lo = math.max(lo, n + 1)
+        false
       case GreaterThanOrEqual("doc_id", v) if bound(v).isDefined =>
         lo = math.max(lo, bound(v).get); false
       case LessThan("doc_id", v) if bound(v).isDefined =>
-        hi = math.min(hi, bound(v).get - 1); false
+        val n = bound(v).get
+        if (n == Long.MinValue) markEmpty() else hi = math.min(hi, n - 1)
+        false
       case LessThanOrEqual("doc_id", v) if bound(v).isDefined =>
         hi = math.min(hi, bound(v).get); false
       case IsNotNull("doc_id") => false
@@ -695,9 +727,7 @@ class DocStoreMicroBatchStream(path: String,
 
   private def parse(o: Offset): Int =
     if (o == null) 0
-    else "\"segment\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(o.json())
-      .getOrElse(throw new IllegalArgumentException(
-        s"bad docstore offset: ${o.json()}")).group(1).toInt
+    else deserializeOffset(o.json()).asInstanceOf[DocStoreOffset].segment
 
   override def initialOffset(): Offset = DocStoreOffset(0)
 

@@ -250,28 +250,56 @@ class DocStoreSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
 
     val manifest = graft.sources.DocStore.readManifest(sink)
-    // 8 source segments / 2 per batch → segments from ≥4 distinct epochs
-    val epochs = manifest.map(_.name).flatMap(
-      "part-e(\\d+)-".r.findFirstMatchIn(_)).map(_.group(1).toInt).distinct
+    // 8 source segments / 2 per batch → segments from ≥4 distinct epochs,
+    // each marker carrying the writing query's id
+    val marks = manifest.map(_.name).flatMap(
+      "part-q([0-9a-f]+)-e(\\d+)-".r.findFirstMatchIn(_))
+    val epochs = marks.map(_.group(2).toInt).distinct
     assert(epochs.size >= 4, s"expected ≥4 epochs, manifest: ${manifest.map(_.name)}")
     val sunk = spark.read.format("graft-docstore").option("path", sink).load()
     assert(sunk.count() == 500)
     assert(sunk.select("doc_id").distinct().count() == 500)
 
-    // replay an already-committed epoch directly (the crash-between-
-    // commit-and-checkpoint case): the commit must skip, not duplicate
+    // replay an already-committed epoch OF THE SAME QUERY directly (the
+    // crash-between-commit-and-checkpoint case): must skip, not duplicate
+    val qid = marks.head.group(1)
     val epoch = epochs.head.toLong
     val stg = java.nio.file.Paths.get(sink, ".stg-replay-test")
     val enc = new graft.sources.DocStore.SegmentEncoder
     enc.add(9999L, 1L, "xx".getBytes, "replay".getBytes, "dup".getBytes)
     val bytes = enc.writeTo(stg)
     new graft.sources.DocStoreStreamingWrite(sink, Array(0, 1, 2, 3, 4),
-      "replay-test", truncate = false)
+      qid, truncate = false)
       .commit(epoch, Array(graft.sources.DocStoreCommit(
         ".stg-replay-test", 1L, 9999L, 9999L, bytes)))
     assert(spark.read.format("graft-docstore").option("path", sink).load()
       .count() == 500, "replayed epoch must not re-apply")
     assert(!Files.exists(stg), "replayed epoch's staging must be cleaned up")
+
+    // a DIFFERENT query appending to the same table re-numbers its epochs
+    // from 0 — its batches must LAND, not be mistaken for replays
+    val ckpt2 = base.resolve("c2").toString
+    val q2 = spark.readStream.format("graft-docstore")
+      .option("path", lake).option("maxSegmentsPerBatch", "4").load()
+      .writeStream.format("graft-docstore")
+      .option("path", sink).option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.format("graft-docstore").option("path", sink).load()
+      .count() == 1000,
+      "a second query's epoch 0 must not be dropped as a replay")
+  }
+
+  test("strict bounds at the Long extremes stay exact, never wrap") {
+    lake
+    assert(store.where(col("doc_id") > Long.MaxValue).count() == 0)
+    assert(store.where(col("doc_id") < Long.MinValue).count() == 0)
+    // the empty window must also decline the metadata-only aggregate
+    val agg = store.where(col("doc_id") > Long.MaxValue)
+      .groupBy().agg(count(lit(1)), min("doc_id"))
+    assert(!physical(agg).contains("manifest-only"), physical(agg))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 0 && r.isNullAt(1))
   }
 
   test("nulls and empty strings survive the segment format") {
