@@ -475,6 +475,55 @@ object IoOps {
           min("doc_id").as("first_id"),
           max("doc_id").as("last_id"))
         .orderBy("lang")
+    },
+
+    // -------------------------------------------- docstore OPTIMIZE
+    Q("q130_docstore_compaction",
+      "The OPTIMIZE half of the connector's lifecycle: streaming " +
+        "ingest (q129) accumulates many small epoch segments — the " +
+        "lakehouse small-files problem — so this gate first builds a " +
+        "FRAGMENTED table (three append commits, 12 tiny segments), " +
+        "then compacts it through the connector itself: read via the " +
+        "scan, range-repartition on doc_id, overwrite-write back to " +
+        "the SAME path. The commit protocol makes the rewrite safe " +
+        "in place: new segments stage alongside the old, the manifest " +
+        "swaps atomically, and only then are the replaced files " +
+        "deleted — a concurrent reader sees the fragmented table or " +
+        "the compacted one, never a mix, and content is bit-identical " +
+        "(this aggregate hash-matches the parquet oracle before and " +
+        "after; DocStoreSpec pins the segment-count drop and restored " +
+        "doc_id range-locality).",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               MIN(doc_id) AS first_id,
+               MAX(doc_id) AS last_id
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_docstore_opt").toString
+      graft.core.Fs.deleteRecursively(tmp) // fresh fragmented state per call
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+      // three append commits × 4 partitions each = 12 small segments
+      Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+        col("doc_id") % 3 === 2).foreach { slice =>
+        docs.where(slice).repartition(4)
+          .write.format("graft-docstore").mode("append")
+          .option("path", tmp).save()
+      }
+      // OPTIMIZE: connector read → range layout → in-place overwrite
+      s.read.format("graft-docstore").option("path", tmp).load()
+        .repartitionByRange(2, col("doc_id"))
+        .write.format("graft-docstore").mode("overwrite")
+        .option("path", tmp).save()
+      s.read.format("graft-docstore").option("path", tmp).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+        .orderBy("lang")
     }
   )
 }

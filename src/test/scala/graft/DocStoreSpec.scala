@@ -290,6 +290,32 @@ class DocStoreSpec extends SparkSpec {
       "a second query's epoch 0 must not be dropped as a replay")
   }
 
+  test("in-place compaction shrinks the segment count and restores range locality") {
+    val tmp = Files.createTempDirectory("docstore_opt").toString
+    Seq(0, 1, 2).foreach { r =>
+      docs.where(col("doc_id") % 3 === r).repartition(4)
+        .write.format("graft-docstore").mode("append")
+        .option("path", tmp).save()
+    }
+    val before = graft.sources.DocStore.readManifest(tmp)
+    assert(before.size == 12, s"expected 12 fragments, got ${before.map(_.name)}")
+    // fragmented layout: every segment spans nearly the whole id range
+    assert(before.forall(s => s.maxId - s.minId > 400))
+
+    spark.read.format("graft-docstore").option("path", tmp).load()
+      .repartitionByRange(2, col("doc_id"))
+      .write.format("graft-docstore").mode("overwrite")
+      .option("path", tmp).save()
+
+    val after = graft.sources.DocStore.readManifest(tmp)
+    assert(after.size == 2, s"expected 2 compacted segments: ${after.map(_.name)}")
+    val sorted = after.sortBy(_.minId)
+    assert(sorted(0).maxId < sorted(1).minId,
+      s"compacted segments must not overlap: $sorted")
+    val back = spark.read.format("graft-docstore").option("path", tmp).load()
+    assert(back.count() == 500 && back.select("doc_id").distinct().count() == 500)
+  }
+
   test("strict bounds at the Long extremes stay exact, never wrap") {
     lake
     assert(store.where(col("doc_id") > Long.MaxValue).count() == 0)
