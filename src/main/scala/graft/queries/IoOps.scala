@@ -524,6 +524,58 @@ object IoOps {
           min("doc_id").as("first_id"),
           max("doc_id").as("last_id"))
         .orderBy("lang")
+    },
+
+    // ------------------------------------------- docstore TableCatalog
+    Q("q131_catalog_sql",
+      "The connector made SQL-addressable through a custom " +
+        "TableCatalog (spark.sql.catalog.graft_cat = DocStoreCatalog): " +
+        "CREATE TABLE, four range-sliced INSERT INTO ... SELECTs, a " +
+        "DELETE FROM, and the final SELECT all run as plain SQL " +
+        "against graft_cat.default.docs — name->path resolution plus " +
+        "lifecycle is ALL a lakehouse catalog adds; every scan/write " +
+        "optimization rides along unchanged. The DELETE is the " +
+        "centerpiece: each INSERT's segments span only its doc_id " +
+        "slice, so DELETE WHERE doc_id >= 250 is segment-ALIGNED and " +
+        "executes as a METADATA operation — covered segments drop " +
+        "from the manifest, zero rows rewritten (the Delta/Iceberg " +
+        "partition-delete fast path); a misaligned window refuses " +
+        "rather than approximates (spec-pinned). Oracle replays the " +
+        "insert+delete arithmetic as a WHERE on the original parquet.",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               MAX(doc_id) AS last_id
+        FROM documents WHERE doc_id < 250
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_docstore_cat").toString
+      graft.core.Fs.deleteRecursively(root)
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat.root" -> root)
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("docs_src")
+      sc.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.default")
+      sc.sql("CREATE TABLE graft_cat.default.docs (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+      // each INSERT's segments span only its slice → the later DELETE
+      // window is segment-aligned by construction
+      Seq((0, 124), (125, 249), (250, 374), (375, 1L << 40)).foreach {
+        case (a, b) => sc.sql("INSERT INTO graft_cat.default.docs " +
+          s"SELECT * FROM docs_src WHERE doc_id BETWEEN $a AND $b")
+      }
+      sc.sql("DELETE FROM graft_cat.default.docs WHERE doc_id >= 250")
+      sc.sql("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars,
+               MAX(doc_id) AS last_id
+        FROM graft_cat.default.docs
+        GROUP BY lang ORDER BY lang""")
     }
   )
 }

@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSourceV2 `TableCatalog` over docstore tables — the surface
+  * that makes the connector SQL-addressable: register it as
+  * `spark.sql.catalog.<name> = graft.sources.DocStoreCatalog` (+
+  * `…<name>.root = <dir>`) and `CREATE TABLE` / `INSERT INTO` /
+  * `SELECT` / `DELETE FROM` / `DROP TABLE` on
+  * `<name>.<ns>.<table>` all resolve here, with every read/write
+  * optimization of [[DocStoreTable]] intact. A table IS a directory
+  * (`root/ns/table`) holding segments + MANIFEST — the catalog is pure
+  * name→path resolution plus lifecycle, exactly the thin layer a
+  * path-based lakehouse catalog is.
+  *
+  * Tables gain `SupportsDelete` through [[DocStoreSqlTable]]:
+  * DELETE WHERE over doc_id bounds is served as a METADATA operation
+  * when every segment falls fully inside or fully outside the window —
+  * covered segments drop from the manifest (then from disk), no row is
+  * rewritten. A misaligned window refuses (`canDeleteWhere` = false)
+  * rather than approximating — deletes must be exact. */
+class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.root")))
+  }
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def dirOf(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name()).foldLeft(root)(_.resolve(_))
+  private def isTable(p: Path): Boolean = Files.exists(p.resolve("MANIFEST"))
+
+  override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new DocStoreSqlTable(dirOf(ident).toString)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    val stream = Files.list(ns)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // the format has ONE physical schema; accept it modulo nullability
+    val expect = DocStore.SCHEMA.fields.map(f => f.name -> f.dataType).toMap
+    require(schema.fields.length == expect.size &&
+      schema.fields.forall(f => expect.get(f.name).contains(f.dataType)),
+      s"docstore tables have schema ${DocStore.SCHEMA.simpleString}, " +
+        s"got ${schema.simpleString}")
+    val dir = dirOf(ident)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("MANIFEST"), Array.empty[Byte])
+    new DocStoreSqlTable(dir.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "docstore tables have a fixed schema")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    graft.core.Fs.deleteRecursively(dirOf(ident).toString)
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    Files.createDirectories(dirOf(to).getParent)
+    Files.move(dirOf(from), dirOf(to), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ----- SupportsNamespaces: a namespace is a directory under root -----
+  override def listNamespaces(): Array[Array[String]] = {
+    val stream = Files.list(root)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally stream.close()
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(namespace.foldLeft(root)(_.resolve(_)))
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(root)(_.resolve(_)))
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("docstore namespaces carry no metadata")
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(p)) return false
+    if (!cascade && Files.list(p).findFirst().isPresent)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+    graft.core.Fs.deleteRecursively(p.toString)
+    true
+  }
+}
+
+/** Catalog-loaded docstore table: everything [[DocStoreTable]] does,
+  * plus metadata-only DELETE for segment-aligned doc_id windows. */
+class DocStoreSqlTable(path: String) extends DocStoreTable(path)
+    with SupportsDelete {
+
+  /** The delete window iff EVERY filter is expressible as doc_id
+    * bounds — all-or-nothing, unlike the scan's per-filter accept. */
+  private def windowOf(filters: Array[Filter]): Option[(Long, Long)] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    val ok = filters.forall {
+      case EqualTo("doc_id", n: java.lang.Number) =>
+        lo = math.max(lo, n.longValue()); hi = math.min(hi, n.longValue()); true
+      case GreaterThan("doc_id", n: java.lang.Number) =>
+        if (n.longValue() == Long.MaxValue) { lo = 1; hi = 0 }
+        else lo = math.max(lo, n.longValue() + 1)
+        true
+      case GreaterThanOrEqual("doc_id", n: java.lang.Number) =>
+        lo = math.max(lo, n.longValue()); true
+      case LessThan("doc_id", n: java.lang.Number) =>
+        if (n.longValue() == Long.MinValue) { lo = 1; hi = 0 }
+        else hi = math.min(hi, n.longValue() - 1)
+        true
+      case LessThanOrEqual("doc_id", n: java.lang.Number) =>
+        hi = math.min(hi, n.longValue()); true
+      case IsNotNull("doc_id") => true
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    windowOf(filters).exists { case (lo, hi) =>
+      DocStore.readManifest(path).forall(s =>
+        (s.minId >= lo && s.maxId <= hi) || // fully covered → droppable
+          (s.maxId < lo || s.minId > hi))   // fully outside → untouched
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (lo, hi) = windowOf(filters).getOrElse(
+      throw new IllegalStateException("deleteWhere without canDeleteWhere"))
+    val all = DocStore.readManifest(path)
+    val (dropped, keep) =
+      all.partition(s => s.minId >= lo && s.maxId <= hi)
+    require(keep.forall(s => s.maxId < lo || s.minId > hi),
+      "delete window not segment-aligned; canDeleteWhere should have refused")
+    val dir = Paths.get(path)
+    val lines = keep.map(s =>
+      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}")
+    val tmp = dir.resolve(".MANIFEST-delete")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    dropped.foreach(s => Files.deleteIfExists(dir.resolve(s.name)))
+  }
+}

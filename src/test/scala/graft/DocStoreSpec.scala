@@ -328,6 +328,43 @@ class DocStoreSpec extends SparkSpec {
     assert(r.getLong(0) == 0 && r.isNullAt(1))
   }
 
+  test("catalog: lifecycle SQL works; misaligned DELETE refuses instead of approximating") {
+    val root = Files.createTempDirectory("docstore_cat_spec").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.tcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.tcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("cat_src")
+    sc.sql("CREATE NAMESPACE tcat.ns1")
+    sc.sql("CREATE TABLE tcat.ns1.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO tcat.ns1.t SELECT * FROM cat_src WHERE doc_id < 100")
+    sc.sql("INSERT INTO tcat.ns1.t SELECT * FROM cat_src WHERE doc_id BETWEEN 100 AND 199")
+    assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t").collect()(0).getLong(0) == 200)
+    assert(sc.sql("SHOW TABLES IN tcat.ns1").collect().map(_.getString(1)).toSeq == Seq("t"))
+
+    // aligned delete: metadata-only, rows gone, files gone
+    sc.sql("DELETE FROM tcat.ns1.t WHERE doc_id >= 100")
+    assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM tcat.ns1.t")
+      .collect()(0).toSeq == Seq(100L, 99L))
+
+    // misaligned delete (cuts through a segment) must refuse, not drop
+    val e = intercept[Exception] {
+      sc.sql("DELETE FROM tcat.ns1.t WHERE doc_id >= 50")
+    }
+    assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t").collect()(0).getLong(0) == 100,
+      s"refused delete must not change the table (error was: ${e.getMessage.take(120)})")
+    // non-doc_id predicate also refuses
+    intercept[Exception] { sc.sql("DELETE FROM tcat.ns1.t WHERE lang = 'pt'") }
+
+    sc.sql("ALTER TABLE tcat.ns1.t RENAME TO ns1.t2")
+    assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 100)
+    sc.sql("DROP TABLE tcat.ns1.t2")
+    assert(sc.sql("SHOW TABLES IN tcat.ns1").collect().isEmpty)
+  }
+
   test("nulls and empty strings survive the segment format") {
     val tmp = Files.createTempDirectory("docstore_nulls").toString
     import spark.implicits._
