@@ -141,8 +141,8 @@ object DocStore {
     }
   }
 
-  def readManifest(path: String): Seq[Segment] =
-    Files.readAllLines(Paths.get(path, "MANIFEST")).asScala.toSeq
+  def readManifest(path: String, manifest: String = "MANIFEST"): Seq[Segment] =
+    Files.readAllLines(Paths.get(path, manifest)).asScala.toSeq
       .filter(_.nonEmpty).map { l =>
         val p = l.split(",")
         Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong)
@@ -163,9 +163,11 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class DocStoreTable(path: String) extends Table
-    with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft-docstore(`$path`)"
+class DocStoreTable(path: String, manifest: String = "MANIFEST")
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    s"graft-docstore(`$path`)" +
+      (if (manifest == "MANIFEST") "" else s"@$manifest")
   override def schema(): StructType = DocStore.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -174,7 +176,7 @@ class DocStoreTable(path: String) extends Table
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path,
-      options.getInt("maxSegmentsPerBatch", Int.MaxValue))
+      options.getInt("maxSegmentsPerBatch", Int.MaxValue), manifest)
 
   /** Write path with the standard commit protocol: tasks stage
     * `.stg-*` segment files and report manifest entries in their
@@ -192,6 +194,8 @@ class DocStoreTable(path: String) extends Table
       s"graft-docstore write schema must be ${DocStore.SCHEMA.simpleString}, " +
         s"got ${in.simpleString}")
     val order = DocStore.FIELDS.map(f => in.fieldIndex(f.name)).toArray
+    require(manifest == "MANIFEST",
+      "a time-travel (VERSION AS OF) docstore table is read-only")
     new DocStoreWriteBuilder(path, order, info.queryId())
   }
 }
@@ -246,14 +250,48 @@ object DocStoreCommitOps {
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
     }
-    val lines = (keep ++ fresh).map(s =>
+    writeManifest(path, keep ++ fresh, manifestToken)
+    fresh
+  }
+
+  /** Atomic manifest write + a retained `MANIFEST.v<n>` snapshot per
+    * publish — the version history `VERSION AS OF` time travel reads.
+    * Versions are metadata-sized; segment files referenced by old
+    * versions are retained by append/DELETE history (a truncate
+    * OVERWRITE deletes replaced files and resets the history — see
+    * [[DocStoreBatchWrite.commit]]). */
+  def writeManifest(path: String, segments: Seq[DocStore.Segment],
+      manifestToken: String): Long = {
+    val dir = Paths.get(path)
+    val lines = segments.map(s =>
       s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}")
     val tmpManifest = dir.resolve(s".MANIFEST-$manifestToken")
     Files.createDirectories(dir)
     Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
     Files.move(tmpManifest, dir.resolve("MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    fresh
+    val v = nextVersion(path)
+    Files.copy(dir.resolve("MANIFEST"), dir.resolve(s"MANIFEST.v$v"))
+    v
+  }
+
+  def nextVersion(path: String): Long = {
+    val stream = Files.list(Paths.get(path))
+    try stream.iterator().asScala
+      .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
+        .findFirstMatchIn(p.getFileName.toString))
+      .map(_.group(1).toLong).foldLeft(0L)(math.max) + 1
+    finally stream.close()
+  }
+
+  /** History reset for truncate overwrites: old versions reference the
+    * about-to-be-deleted segments, so dangling snapshots are dropped. */
+  def clearVersions(path: String): Unit = {
+    val stream = Files.list(Paths.get(path))
+    try stream.iterator().asScala
+      .filter(p => p.getFileName.toString.matches("^MANIFEST\\.v\\d+$"))
+      .toVector.foreach(Files.delete)
+    finally stream.close()
   }
 
   def existingManifest(path: String): Seq[DocStore.Segment] =
@@ -276,6 +314,9 @@ class DocStoreBatchWrite(path: String, order: Array[Int], queryId: String,
       "part-(\\d+)".r.findFirstMatchIn(s.name)
         .map(_.group(1).toInt + 1).getOrElse(0)
     }.maxOption.getOrElse(0)
+    // truncate rewrites the data old versions reference → history reset
+    if (truncate && Files.exists(Paths.get(path)))
+      DocStoreCommitOps.clearVersions(path)
     val fresh = DocStoreCommitOps.publish(path, messages, keep, queryId,
       i => f"part-${next + i}%05d.gds")
     // manifest is live; now drop the replaced segments
@@ -323,6 +364,8 @@ class DocStoreStreamingWrite(path: String, order: Array[Int],
       return
     }
     val keep = if (truncate) Seq.empty else old
+    if (truncate && Files.exists(Paths.get(path)))
+      DocStoreCommitOps.clearVersions(path) // history reset, as in batch
     val fresh = DocStoreCommitOps.publish(path, messages, keep,
       s"$queryId-e$epochId", i => f"$prefix$i%05d.gds")
     if (truncate)
@@ -385,7 +428,8 @@ class DocStoreDataWriter(path: String, order: Array[Int], queryId: String,
   override def close(): Unit = ()
 }
 
-class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue)
+class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue,
+    manifest: String = "MANIFEST")
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -478,7 +522,7 @@ class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue)
   }
 
   override def build(): Scan = {
-    val segments = DocStore.readManifest(path)
+    val segments = DocStore.readManifest(path, manifest)
     pushedAgg match {
       case Some(agg) => new ManifestAggScan(segments, agg)
       case None =>

@@ -54,6 +54,23 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
     new DocStoreSqlTable(dirOf(ident).toString)
   }
 
+  /** `VERSION AS OF v` time travel: every publish retains its manifest
+    * as `MANIFEST.v<n>`, so a versioned load is the same table pinned
+    * to that snapshot — read-only (the write builder refuses), zero
+    * data copied. Append/DELETE history keeps all referenced segments
+    * on disk; a truncate OVERWRITE rewrites data and resets history. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"docstore versions are integers, got '$version'"))
+    val dir = dirOf(ident)
+    if (!Files.exists(dir.resolve(s"MANIFEST.v$v")))
+      throw new IllegalArgumentException(
+        s"version $v of ${ident.name()} does not exist " +
+          "(or was dropped by a truncating overwrite)")
+    new DocStoreSqlTable(dir.toString, s"MANIFEST.v$v")
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = namespace.foldLeft(root)(_.resolve(_))
     if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
@@ -134,8 +151,10 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 /** Catalog-loaded docstore table: everything [[DocStoreTable]] does,
-  * plus metadata-only DELETE for segment-aligned doc_id windows. */
-class DocStoreSqlTable(path: String) extends DocStoreTable(path)
+  * plus metadata-only DELETE for segment-aligned doc_id windows.
+  * `manifest` pins a historical snapshot for VERSION AS OF reads. */
+class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
+    extends DocStoreTable(path, manifest)
     with SupportsDelete {
 
   /** The delete window iff EVERY filter is expressible as doc_id
@@ -172,21 +191,19 @@ class DocStoreSqlTable(path: String) extends DocStoreTable(path)
           (s.maxId < lo || s.minId > hi))   // fully outside → untouched
     }
 
+  /** Drops fully-covered segments from the manifest. The segment FILES
+    * are retained — prior versions still reference them (the Delta
+    * remove-then-VACUUM split); only a truncating overwrite physically
+    * reclaims space and resets history. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(manifest == "MANIFEST",
+      "cannot DELETE from a time-travel (VERSION AS OF) snapshot")
     val (lo, hi) = windowOf(filters).getOrElse(
       throw new IllegalStateException("deleteWhere without canDeleteWhere"))
-    val all = DocStore.readManifest(path)
-    val (dropped, keep) =
-      all.partition(s => s.minId >= lo && s.maxId <= hi)
+    val keep = DocStore.readManifest(path)
+      .filterNot(s => s.minId >= lo && s.maxId <= hi)
     require(keep.forall(s => s.maxId < lo || s.minId > hi),
       "delete window not segment-aligned; canDeleteWhere should have refused")
-    val dir = Paths.get(path)
-    val lines = keep.map(s =>
-      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}")
-    val tmp = dir.resolve(".MANIFEST-delete")
-    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve("MANIFEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    dropped.foreach(s => Files.deleteIfExists(dir.resolve(s.name)))
+    DocStoreCommitOps.writeManifest(path, keep, "delete")
   }
 }
