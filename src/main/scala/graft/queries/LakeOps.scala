@@ -209,9 +209,12 @@ object LakeOps {
                MIN(l_shipdate::TIMESTAMP) AS first_ship,
                MAX(l_shipdate::TIMESTAMP) AS last_ship
         FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_compaction")
-      Fs.deleteRecursively(tmp) // fixed scratch root, one copy ever (q38/q82 rule)
+      // per-invocation dir, reclaimed at JVM exit: a fixed shared path
+      // let a bench sweep overlapping a spec run interleave delete and
+      // overwrite (r7 verdict item 4); deleteOnExit still bounds /tmp
+      // growth at the JVM's lifetime
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compaction")
+      Fs.deleteOnExit(tmp)
       Tables.lineitem(s, dir)
         .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"),
           col("l_linenumber"))

@@ -673,14 +673,12 @@ object RelOps {
         WHERE c.op IS NULL OR c.op <> 'D'
         ORDER BY key""")) { (s, dir) =>
       import graft.core.Fs
-      // FIXED scratch root, cleared at entry: bounds /tmp growth at one
-      // surviving snapshot copy across any number of runs (the q38/q82
-      // rule). Contract: a new q84 invocation invalidates the lazy frame
-      // a PREVIOUS invocation returned — fine for the sequential
-      // Verify/Bench drivers this gate serves.
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_stream_merge")
-      Fs.deleteRecursively(tmp)
+      // Per-invocation temp root, reclaimed at JVM exit: the earlier
+      // fixed shared path meant a bench sweep overlapping a spec run
+      // interleaved delete/overwrite (r7 verdict item 4), and a new
+      // invocation invalidated the lazy frame a previous one returned.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+      Fs.deleteOnExit(tmp)
       val srcDir = tmp.resolve("src").toString
       val snapA = tmp.resolve("snapA").toString
       val snapB = tmp.resolve("snapB").toString

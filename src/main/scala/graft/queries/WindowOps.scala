@@ -569,12 +569,17 @@ object WindowOps {
         "lifetime totals in TYPED state variables — two ValueState " +
         "counters plus a MapState[event_type, count] whose per-key " +
         "point updates avoid rewriting a whole state blob per event. " +
-        "The source is split on event_id parity into two micro-batches " +
-        "so most users accumulate state ACROSS batches; update mode " +
-        "emits a snapshot per key per batch and the latest emission " +
-        "(max n_events, strictly monotone per key) must equal the " +
-        "one-shot batch GROUP BY the oracle runs — stream == batch " +
-        "for the v2 state API.",
+        "The source is split on event_id parity across two separate " +
+        "Trigger.AvailableNow executions sharing one checkpoint, so " +
+        "most users accumulate state ACROSS a genuine query RESTART " +
+        "(RocksDB state restored from the checkpoint); each run emits " +
+        "a snapshot per key per processed batch into a parquet sink " +
+        "and the latest emission (max n_events, strictly monotone per " +
+        "key) must equal the one-shot batch GROUP BY the oracle runs " +
+        "— stream == batch for the v2 state API. AvailableNow makes " +
+        "the batch boundary explicit and completion awaited by query " +
+        "termination (the earlier two-processAllAvailable memory-sink " +
+        "drive was scheduling-dependent under load: r7's one red row).",
       Some(s"""
         SELECT user_id,
                COUNT(*) AS n_events,
@@ -589,6 +594,7 @@ object WindowOps {
       val tmp = Files.createTempDirectory("q124")
       val srcDir = tmp.resolve("src").toString
       val ckpt = tmp.resolve("ckpt").toString
+      val outDir = tmp.resolve("out").toString
       val sc = graft.core.Sessions.scoped(s,
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -596,23 +602,28 @@ object WindowOps {
       import sc.implicits._
       def half(parity: Int): Unit = ev.where(col("event_id") % 2 === parity)
         .write.mode("append").parquet(srcDir)
-      half(0)
-      sc.catalog.dropTempView("q124_snapshot") // re-invocation safety
-      val out = sc.readStream.schema(ev.schema).parquet(srcDir)
-        .select("user_id", "event_type", "cents").as[UserEvent]
-        .groupByKey(_.user_id)
-        .transformWithState(new UserTotalsProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          org.apache.spark.sql.streaming.OutputMode.Update())
-      val q = out.writeStream.format("memory").queryName("q124_snapshot")
-        .option("checkpointLocation", ckpt).outputMode("update").start()
-      try {
-        q.processAllAvailable() // batch 1: even event_ids
-        half(1)
-        q.processAllAvailable() // batch 2: odd event_ids, state carries over
-      } finally q.stop()
-      graft.core.Fs.deleteRecursively(tmp.toString) // srcDir+ckpt+the dir itself
-      sc.table("q124_snapshot")
+      // One bounded execution: process every file currently in srcDir,
+      // then TERMINATE. awaitTermination (not processAllAvailable) is the
+      // completion signal, so correctness no longer depends on micro-batch
+      // scheduling being quiet — the batch boundary IS the run boundary.
+      def run(): Unit = {
+        val q = sc.readStream.schema(ev.schema).parquet(srcDir)
+          .select("user_id", "event_type", "cents").as[UserEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new UserTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      half(0); run() // run 1: even event_ids
+      half(1); run() // run 2: odd ids — state restored from the checkpoint
+      // The result plan reads the sink files lazily; reclaim at JVM exit.
+      graft.core.Fs.deleteOnExit(tmp)
+      sc.read.parquet(outDir)
         .groupBy("user_id")
         .agg(max(struct("n_events", "cents", "n_click", "n_purchase")).as("m"))
         .select(col("user_id"), col("m.n_events").as("n_events"),

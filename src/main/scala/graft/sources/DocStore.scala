@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.write.{streaming, BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{SupportsPushDownAggregates, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
@@ -232,11 +232,12 @@ object DocStoreCommitOps {
     * atomic rename, and returns the fresh segments.
     *
     * Manifest line order is APPEND order, deliberately not sorted: the
-    * streaming SOURCE's offsets are indices into manifest order, so an
-    * append must extend the list without shifting existing positions —
-    * a string sort would slot `part-e10-*` before `part-e2-*` and
-    * invalidate every checkpointed reader of the table. (Overwrite
-    * replaces the table; its readers' checkpoints are void regardless.) */
+    * streaming SOURCE replays segments in manifest order and resumes
+    * AFTER a checkpointed segment name, so an append must extend the
+    * list at the tail — a string sort would slot `part-e10-*` before
+    * `part-e2-*` and reorder a checkpointed reader's replay. (Overwrite
+    * replaces the table; its readers' checkpoints are void regardless —
+    * and fail loudly, see [[DocStoreMicroBatchStream]].) */
   def publish(path: String, messages: Array[WriterCommitMessage],
       keep: Seq[DocStore.Segment], manifestToken: String,
       nameFor: Int => String): Seq[DocStore.Segment] = {
@@ -246,12 +247,68 @@ object DocStoreCommitOps {
       else { Files.deleteIfExists(dir.resolve(m.tmpName)); false }
     }.sortBy(_.tmpName).zipWithIndex.map { case (m, i) =>
       val name = nameFor(i)
+      // rename(2) silently REPLACES an existing target — an overwrite
+      // here would corrupt a retained segment an old MANIFEST.v<n>
+      // still references. Name derivation makes collisions impossible
+      // (see nextPartNumber); this guard keeps any future slip loud.
+      require(!Files.exists(dir.resolve(name)),
+        s"refusing to overwrite existing segment $name in $path")
       Files.move(dir.resolve(m.tmpName), dir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
     }
     writeManifest(path, keep ++ fresh, manifestToken)
     fresh
+  }
+
+  /** Next free batch-style part number, derived from every `part-N.gds`
+    * ON DISK — not from the current manifest: a metadata DELETE drops
+    * segments from the manifest while RETAINING their files for
+    * `VERSION AS OF`, so a manifest-derived counter could reuse a
+    * retained file's name and the final-name move would overwrite a
+    * file that historical snapshots still reference (r7 advice,
+    * medium). Disk is the superset of every manifest version. */
+  def nextPartNumber(path: String): Int = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) return 0
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .flatMap(p => "^part-(\\d+)\\.gds$".r
+        .findFirstMatchIn(p.getFileName.toString))
+      .map(_.group(1).toInt).foldLeft(-1)(math.max) + 1
+    finally stream.close()
+  }
+
+  /** Serializes read-manifest → publish across concurrent writers.
+    * Without it, two concurrent appends (e.g. catalog INSERT INTO from
+    * two sessions) both read the same `old` manifest and the second
+    * publish clobbers the first — a lost update, not the old-or-new
+    * guarantee the manifest rename provides against READERS (r7
+    * advice). `Files.createDirectory` is the atomic put-if-absent;
+    * a lock older than 30 s is presumed crashed and stolen. */
+  def withCommitLock[T](path: String)(body: => T): T = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val lock = dir.resolve(".COMMIT_LOCK")
+    val deadline = System.currentTimeMillis() + 60000
+    var held = false
+    while (!held) {
+      try { Files.createDirectory(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: Exception => 0L } // holder just released it
+          if (age > 30000) {
+            try Files.deleteIfExists(lock)
+            catch { case _: Exception => () } // racing steal is fine
+          } else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"timed out waiting for docstore commit lock $lock")
+          else Thread.sleep(20)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 
   /** Atomic manifest write + a retained `MANIFEST.v<n>` snapshot per
@@ -306,24 +363,25 @@ class DocStoreBatchWrite(path: String, order: Array[Int], queryId: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new DocStoreWriterFactory(path, order, queryId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val old = DocStoreCommitOps.existingManifest(path)
-    val keep = if (truncate) Seq.empty else old
-    // deterministic final names: continue past every batch-style name
-    val next = old.map { s =>
-      "part-(\\d+)".r.findFirstMatchIn(s.name)
-        .map(_.group(1).toInt + 1).getOrElse(0)
-    }.maxOption.getOrElse(0)
-    // truncate rewrites the data old versions reference → history reset
-    if (truncate && Files.exists(Paths.get(path)))
-      DocStoreCommitOps.clearVersions(path)
-    val fresh = DocStoreCommitOps.publish(path, messages, keep, queryId,
-      i => f"part-${next + i}%05d.gds")
-    // manifest is live; now drop the replaced segments
-    if (truncate)
-      old.filterNot(s => fresh.exists(_.name == s.name))
-        .foreach(s => Files.deleteIfExists(Paths.get(path).resolve(s.name)))
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    DocStoreCommitOps.withCommitLock(path) {
+      // manifest is read INSIDE the lock: a concurrent append committed
+      // after our tasks ran is still in `keep` (no lost update)
+      val old = DocStoreCommitOps.existingManifest(path)
+      val keep = if (truncate) Seq.empty else old
+      // deterministic final names: continue past every part number ON
+      // DISK (a DELETE-retained file's name must never be reused)
+      val next = DocStoreCommitOps.nextPartNumber(path)
+      // truncate rewrites the data old versions reference → history reset
+      if (truncate && Files.exists(Paths.get(path)))
+        DocStoreCommitOps.clearVersions(path)
+      val fresh = DocStoreCommitOps.publish(path, messages, keep, queryId,
+        i => f"part-${next + i}%05d.gds")
+      // manifest is live; now drop the replaced segments
+      if (truncate)
+        old.filterNot(s => fresh.exists(_.name == s.name))
+          .foreach(s => Files.deleteIfExists(Paths.get(path).resolve(s.name)))
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.dropStaged(path, messages)
@@ -346,7 +404,14 @@ class DocStoreStreamingWrite(path: String, order: Array[Int],
     extends streaming.StreamingWrite {
 
   private val qid8 = queryId.replaceAll("[^0-9a-fA-F]", "").take(8) match {
-    case "" => "anon"
+    case "" =>
+      // hash, never a shared constant: two hex-free query ids sharing a
+      // marker prefix would make the second query's epoch 0 look like a
+      // replay and silently drop its batches (r7 advice; real runIds
+      // are UUIDs, so this is belt-and-braces for synthetic ids)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(queryId.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
     case h => h
   }
 
@@ -355,23 +420,24 @@ class DocStoreStreamingWrite(path: String, order: Array[Int],
     new DocStoreStreamingWriterFactory(path, order, queryId)
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val old = DocStoreCommitOps.existingManifest(path)
-    val prefix = s"part-q$qid8-e$epochId-"
-    if (old.exists(_.name.startsWith(prefix))) {
-      // replayed epoch — already applied; idempotent skip
-      DocStoreCommitOps.dropStaged(path, messages)
-      return
+      messages: Array[WriterCommitMessage]): Unit =
+    DocStoreCommitOps.withCommitLock(path) {
+      val old = DocStoreCommitOps.existingManifest(path)
+      val prefix = s"part-q$qid8-e$epochId-"
+      if (old.exists(_.name.startsWith(prefix))) {
+        // replayed epoch — already applied; idempotent skip
+        DocStoreCommitOps.dropStaged(path, messages)
+      } else {
+        val keep = if (truncate) Seq.empty else old
+        if (truncate && Files.exists(Paths.get(path)))
+          DocStoreCommitOps.clearVersions(path) // history reset, as in batch
+        val fresh = DocStoreCommitOps.publish(path, messages, keep,
+          s"$queryId-e$epochId", i => f"$prefix$i%05d.gds")
+        if (truncate)
+          old.filterNot(s => fresh.exists(_.name == s.name))
+            .foreach(s => Files.deleteIfExists(Paths.get(path).resolve(s.name)))
+      }
     }
-    val keep = if (truncate) Seq.empty else old
-    if (truncate && Files.exists(Paths.get(path)))
-      DocStoreCommitOps.clearVersions(path) // history reset, as in batch
-    val fresh = DocStoreCommitOps.publish(path, messages, keep,
-      s"$queryId-e$epochId", i => f"$prefix$i%05d.gds")
-    if (truncate)
-      old.filterNot(s => fresh.exists(_.name == s.name))
-        .foreach(s => Files.deleteIfExists(Paths.get(path).resolve(s.name)))
-  }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -624,9 +690,12 @@ class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,
     * micro-batch is a bounded slice of segments
     * (`maxSegmentsPerBatch`), replayed in manifest order; pushdown and
     * pruning apply to the streamed batches exactly as to the batch
-    * scan. Offsets checkpoint as `{"segment": N}` — restart resumes
-    * from the committed index with no re-reads (DocStoreSpec drives a
-    * Trigger.Once stop/restart through one checkpoint to prove it). */
+    * scan. Offsets checkpoint as `{"after": "<segment name>"}` —
+    * restart resumes after the committed segment with no re-reads
+    * (DocStoreSpec drives a Trigger.Once stop/restart through one
+    * checkpoint to prove it), and stays correct across metadata
+    * DELETEs of already-read segments because names, unlike list
+    * indices, don't shift. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new DocStoreMicroBatchStream(path, surviving, required, lo, hi,
       maxSegmentsPerBatch)
@@ -749,9 +818,17 @@ class DocStoreReader(file: String, required: StructType, lo: Long, hi: Long,
   override def close(): Unit = ()
 }
 
-/** Offset = number of surviving segments fully processed. */
-final case class DocStoreOffset(segment: Int) extends Offset {
-  override def json(): String = s"""{"segment":$segment}"""
+/** Offset = NAME of the last surviving segment fully processed ("" =
+  * none yet). Keyed by name, not list index (r7 advice): a metadata
+  * DELETE removes mid-list manifest entries and shifts every later
+  * index, so an index-keyed checkpoint would silently skip or re-read
+  * segments on restart. Names are stable across DELETEs — a restart
+  * resumes at the position AFTER the named segment in the current
+  * manifest; if the named segment itself was deleted, the stream fails
+  * LOUDLY (checkpoint voided) instead of guessing. */
+final case class DocStoreOffset(after: String) extends Offset {
+  override def json(): String =
+    s"""{"after":"${after.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
 }
 
 /** Micro-batch replay of the segment list, paced through the
@@ -767,37 +844,71 @@ final case class DocStoreOffset(segment: Int) extends Offset {
 class DocStoreMicroBatchStream(path: String,
     surviving: Seq[DocStore.Segment], required: StructType,
     lo: Long, hi: Long, maxPerBatch: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
-  private def parse(o: Offset): Int =
-    if (o == null) 0
-    else deserializeOffset(o.json()).asInstanceOf[DocStoreOffset].segment
+  /** Under Trigger.AvailableNow, Spark wraps sources that DON'T
+    * implement this in AvailableNowDataStreamWrapper, whose prepare
+    * step captures `latestOffset(initialOffset, allAvailable)` as the
+    * run's TERMINAL offset — for a paced source that is one admission
+    * step past the stream START, so an AvailableNow run would stop
+    * after a single micro-batch and silently under-drain (observed in
+    * DocStoreSpec before this override). Implementing the trait keeps
+    * the engine on OUR `latestOffset(start, limit)` pacing; no state
+    * to capture because the surviving-segment list is immutable for
+    * this stream's lifetime — everything now available IS the list. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
-  override def initialOffset(): Offset = DocStoreOffset(0)
+  /** Name → index-after: the position in THIS run's surviving list at
+    * which processing resumes. A checkpointed name missing from the
+    * current manifest means a DELETE or overwrite rewrote history under
+    * the checkpoint — fail loudly; resuming by stale index would
+    * silently skip or double-read segments. */
+  private def idx(o: Offset): Int = o match {
+    case null => 0
+    case DocStoreOffset("") => 0
+    case DocStoreOffset(name) =>
+      val i = surviving.indexWhere(_.name == name)
+      if (i < 0) throw new IllegalStateException(
+        s"docstore streaming checkpoint references segment '$name' which " +
+          s"is no longer in $path/MANIFEST — a DELETE or overwrite voided " +
+          "this checkpoint; restart with a fresh checkpointLocation")
+      i + 1
+    case other => idx(deserializeOffset(other.json()))
+  }
+
+  private def offsetAt(n: Int): Offset =
+    DocStoreOffset(if (n <= 0) "" else surviving(n - 1).name)
+
+  override def initialOffset(): Offset = DocStoreOffset("")
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    DocStoreOffset(math.min(
-      parse(start).toLong + math.max(maxPerBatch, 1),
+    offsetAt(math.min(
+      idx(start).toLong + math.max(maxPerBatch, 1),
       surviving.size.toLong).toInt)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "docstore paces batches via latestOffset(start, limit)")
 
-  override def reportLatestOffset(): Offset = DocStoreOffset(surviving.size)
+  override def reportLatestOffset(): Offset = offsetAt(surviving.size)
 
   override def deserializeOffset(json: String): Offset =
-    DocStoreOffset(
-      "\"segment\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalArgumentException(
-          s"bad docstore offset: $json")).group(1).toInt)
+    "\"after\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(json)
+      .map(m => DocStoreOffset(
+        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")))
+      .orElse( // legacy index-keyed checkpoints ({"segment":N}) still load
+        "\"segment\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+          .map(m => offsetAt(math.min(m.group(1).toInt, surviving.size))
+            .asInstanceOf[DocStoreOffset]))
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad docstore offset: $json"))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     surviving
-      .slice(start.asInstanceOf[DocStoreOffset].segment,
-        end.asInstanceOf[DocStoreOffset].segment)
+      .slice(idx(start), idx(end))
       .map(s => DocStorePartition(
         Paths.get(path, s.name).toString): InputPartition).toArray
 

@@ -143,8 +143,12 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     val p = namespace.foldLeft(root)(_.resolve(_))
     if (!Files.isDirectory(p)) return false
-    if (!cascade && Files.list(p).findFirst().isPresent)
-      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+    if (!cascade) {
+      val st = Files.list(p) // close deterministically, like the other list sites
+      val nonEmpty = try st.findFirst().isPresent finally st.close()
+      if (nonEmpty) throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} not empty")
+    }
     graft.core.Fs.deleteRecursively(p.toString)
     true
   }
@@ -194,16 +198,24 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
   /** Drops fully-covered segments from the manifest. The segment FILES
     * are retained — prior versions still reference them (the Delta
     * remove-then-VACUUM split); only a truncating overwrite physically
-    * reclaims space and resets history. */
+    * reclaims space and resets history. Streaming readers checkpoint
+    * the NAME of their last-read segment, so a DELETE of already-read
+    * segments leaves their resume position intact; deleting the
+    * checkpointed segment itself voids the checkpoint LOUDLY on
+    * restart (see [[DocStoreMicroBatchStream]]). The read-filter-write
+    * runs under the commit lock so a concurrent INSERT's append can't
+    * be lost between our manifest read and publish. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(manifest == "MANIFEST",
       "cannot DELETE from a time-travel (VERSION AS OF) snapshot")
     val (lo, hi) = windowOf(filters).getOrElse(
       throw new IllegalStateException("deleteWhere without canDeleteWhere"))
-    val keep = DocStore.readManifest(path)
-      .filterNot(s => s.minId >= lo && s.maxId <= hi)
-    require(keep.forall(s => s.maxId < lo || s.minId > hi),
-      "delete window not segment-aligned; canDeleteWhere should have refused")
-    DocStoreCommitOps.writeManifest(path, keep, "delete")
+    DocStoreCommitOps.withCommitLock(path) {
+      val keep = DocStore.readManifest(path)
+        .filterNot(s => s.minId >= lo && s.maxId <= hi)
+      require(keep.forall(s => s.maxId < lo || s.minId > hi),
+        "delete window not segment-aligned; canDeleteWhere should have refused")
+      DocStoreCommitOps.writeManifest(path, keep, "delete")
+    }
   }
 }

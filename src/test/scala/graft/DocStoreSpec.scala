@@ -365,6 +365,123 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SHOW TABLES IN tcat.ns1").collect().isEmpty)
   }
 
+  test("append after metadata DELETE never reuses a retained segment's name") {
+    // r7 advice (medium): DELETE drops manifest entries but RETAINS the
+    // files for time travel; a manifest-derived part counter would hand
+    // the next append a retained file's name and rename(2) would
+    // silently overwrite it, corrupting VERSION AS OF reads.
+    val root = Files.createTempDirectory("docstore_del_append").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.dcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.dcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("del_src")
+    sc.sql("CREATE NAMESPACE dcat.ns")
+    sc.sql("CREATE TABLE dcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO dcat.ns.t SELECT * FROM del_src WHERE doc_id < 100")
+    sc.sql("INSERT INTO dcat.ns.t SELECT * FROM del_src WHERE doc_id BETWEEN 100 AND 199")
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t")
+    val retained = DocStore.readManifest(tableDir.toString)
+      .filter(_.minId >= 100).map(_.name)
+    assert(retained.nonEmpty)
+    val sizesBefore = retained.map(n =>
+      n -> Files.size(tableDir.resolve(n))).toMap
+
+    sc.sql("DELETE FROM dcat.ns.t WHERE doc_id >= 100")
+    sc.sql("INSERT INTO dcat.ns.t SELECT * FROM del_src WHERE doc_id BETWEEN 200 AND 299")
+
+    // the new append chose fresh names and left the retained files alone
+    val nowNames = DocStore.readManifest(tableDir.toString).map(_.name)
+    assert(nowNames.intersect(retained).isEmpty,
+      s"append reused retained names: ${nowNames.intersect(retained)}")
+    retained.foreach { n =>
+      assert(Files.exists(tableDir.resolve(n)), s"retained $n was deleted")
+      assert(Files.size(tableDir.resolve(n)) == sizesBefore(n),
+        s"retained $n was overwritten")
+    }
+    // live table = slices A + C; the pre-DELETE snapshot still reads B
+    assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM dcat.ns.t")
+      .collect()(0).toSeq == Seq(200L, 299L))
+    assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM dcat.ns.t VERSION AS OF 2")
+      .collect()(0).toSeq == Seq(200L, 199L))
+  }
+
+  test("streaming offsets survive DELETE of read segments; deleting the resume segment fails loudly") {
+    // r7 advice: offsets are keyed by segment NAME, not manifest index,
+    // so dropping an already-read entry shifts nothing; dropping the
+    // checkpointed segment itself must void the checkpoint LOUDLY.
+    val tableDir = Files.createTempDirectory("docstore_offsets").toString
+    (0 until 4).foreach { i =>
+      docs.where(col("doc_id").between(i * 100L, i * 100L + 99L))
+        .coalesce(1).write.format("graft-docstore").mode("append")
+        .option("path", tableDir).save()
+    }
+    val names = DocStore.readManifest(tableDir).map(_.name)
+    assert(names.size == 4)
+    val out = Files.createTempDirectory("docstore_offsets_out").toString
+    val ckpt = Files.createTempDirectory("docstore_offsets_ckpt").toString
+    def leg(trigger: org.apache.spark.sql.streaming.Trigger): Unit = {
+      val q = spark.readStream.format("graft-docstore")
+        .option("path", tableDir).option("maxSegmentsPerBatch", "1").load()
+        .select("doc_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // legs 1+2: two Trigger.Once batches → segments 0 and 1 read
+    leg(org.apache.spark.sql.streaming.Trigger.Once())
+    leg(org.apache.spark.sql.streaming.Trigger.Once())
+    assert(spark.read.parquet(out).count() == 200)
+    // metadata-DELETE the FIRST (already-read) segment, then drain:
+    // resume position is after names(1) by NAME → reads exactly 2 and 3
+    graft.sources.DocStoreCommitOps.writeManifest(tableDir,
+      DocStore.readManifest(tableDir).filterNot(_.name == names(0)), "del0")
+    leg(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val got = spark.read.parquet(out)
+    assert(got.count() == 400, "DELETE of a read segment must not skip/re-read")
+    assert(got.distinct().count() == 400)
+
+    // now drop the checkpointed resume segment (names(3), the last one
+    // committed): restart must fail loudly, not guess an index
+    graft.sources.DocStoreCommitOps.writeManifest(tableDir,
+      DocStore.readManifest(tableDir).filterNot(_.name == names(3)), "del3")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      leg(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("no longer in")),
+      s"expected a voided-checkpoint error, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("concurrent appends both survive (commit lock serializes manifest updates)") {
+    // r7 advice: without the commit lock, two concurrent appends read
+    // the same `old` manifest and the loser's segments vanish (lost
+    // update). Race 8 thread-pairs; every slice must be present.
+    val tableDir = Files.createTempDirectory("docstore_concurrent").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 8).map { i =>
+      Future {
+        docs.where(col("doc_id").between(i * 50L, i * 50L + 49L))
+          .coalesce(1).write.format("graft-docstore").mode("append")
+          .option("path", tableDir).save()
+      }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    val back = spark.read.format("graft-docstore")
+      .option("path", tableDir).load()
+    assert(back.count() == 400, "a concurrent append was lost")
+    assert(back.select("doc_id").distinct().count() == 400)
+    assert(DocStore.readManifest(tableDir).size == 8)
+  }
+
   test("nulls and empty strings survive the segment format") {
     val tmp = Files.createTempDirectory("docstore_nulls").toString
     import spark.implicits._
