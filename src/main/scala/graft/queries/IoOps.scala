@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions._
@@ -553,9 +554,10 @@ object IoOps {
         "slice, so DELETE WHERE doc_id >= 250 is segment-ALIGNED and " +
         "executes as a METADATA operation — covered segments drop " +
         "from the manifest, zero rows rewritten (the Delta/Iceberg " +
-        "partition-delete fast path); a misaligned window refuses " +
-        "rather than approximates (spec-pinned). Oracle replays the " +
-        "insert+delete arithmetic as a WHERE on the original parquet.",
+        "partition-delete fast path); a misaligned window falls back " +
+        "to the exact copy-on-write rewrite of q132 (spec-pinned). " +
+        "Oracle replays the insert+delete arithmetic as a WHERE on " +
+        "the original parquet.",
       Some("""
         SELECT lang,
                COUNT(*) AS n_docs,
@@ -565,37 +567,11 @@ object IoOps {
         GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
       // CREATE + the four INSERT scans are FIXTURE (r7 bench charged
       // 18.4 s of them to this gate): build the catalog state once via
-      // Scratch, re-hydrate per invocation by file copy, and time what
-      // the gate actually proves — the metadata DELETE + catalog SELECT.
-      val pristine = graft.core.Scratch.materialize("docstore_cat",
-        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
-        val b = graft.core.Sessions.scoped(s,
-          "spark.sql.catalog.graft_cat_build" ->
-            classOf[graft.sources.DocStoreCatalog].getName,
-          "spark.sql.catalog.graft_cat_build.root" -> stg)
-        Tables.documents(b, dir)
-          .select("doc_id", "n_chars", "lang", "source", "text")
-          .createOrReplaceTempView("docs_src")
-        b.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat_build.default")
-        b.sql("CREATE TABLE graft_cat_build.default.docs " +
-          "(doc_id BIGINT NOT NULL, " +
-          "n_chars BIGINT, lang STRING, source STRING, text STRING)")
-        // each INSERT's segments span only its slice → the later DELETE
-        // window is segment-aligned by construction
-        Seq((0, 124), (125, 249), (250, 374), (375, 1L << 40)).foreach {
-          case (a, b2) => b.sql("INSERT INTO graft_cat_build.default.docs " +
-            s"SELECT * FROM docs_src WHERE doc_id BETWEEN $a AND $b2")
-        }
-      }
-      val base = java.nio.file.Files.createTempDirectory("graft_docstore_cat")
-      graft.core.Fs.deleteOnExit(base) // result plan reads the table lazily
-      val root = base.resolve("root").toString
-      graft.core.Fs.copyRecursively(
-        java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(root))
-      val sc = graft.core.Sessions.scoped(s,
-        "spark.sql.catalog.graft_cat" ->
-          classOf[graft.sources.DocStoreCatalog].getName,
-        "spark.sql.catalog.graft_cat.root" -> root)
+      // Scratch, re-hydrate per invocation by file copy (catalogCopy),
+      // and time what the gate actually proves — the metadata DELETE +
+      // catalog SELECT. Each INSERT's segments span only its slice, so
+      // the DELETE window is segment-aligned by construction.
+      val sc = catalogCopy(s, dir, "graft_cat")
       sc.sql("DELETE FROM graft_cat.default.docs WHERE doc_id >= 250")
       sc.sql("""
         SELECT lang,
@@ -604,6 +580,172 @@ object IoOps {
                MAX(doc_id) AS last_id
         FROM graft_cat.default.docs
         GROUP BY lang ORDER BY lang""")
+    },
+
+    // --------------------------------------- row-level UPDATE (copy-on-write)
+    Q("q132_catalog_update",
+      "SQL UPDATE on a docstore catalog table through " +
+        "SupportsRowLevelOperations — the copy-on-write path Delta and " +
+        "Iceberg serve UPDATE with: Spark scans the affected segment " +
+        "GROUPS in full (runtime group filtering first narrows them to " +
+        "the segments actually holding matches), rewrites matched rows, " +
+        "copies unmatched rows of those groups through, and the " +
+        "connector atomically swaps exactly the scanned segments in the " +
+        "manifest. Segments outside the doc_id window survive " +
+        "BY NAME — at 100 TB an UPDATE confined to one range rewrites " +
+        "only the segments intersecting it (spec-pinned in " +
+        "DocStoreSpec); replaced files are retained so VERSION AS OF " +
+        "still reads the pre-UPDATE table. Oracle replays the UPDATE " +
+        "arithmetic as CASE WHEN over the original parquet.",
+      Some("""
+        SELECT CASE WHEN doc_id BETWEEN 125 AND 249
+                    THEN lang || '+' ELSE lang END AS lang2,
+               COUNT(*) AS n_docs,
+               SUM(n_chars + CASE WHEN doc_id BETWEEN 125 AND 249
+                                  THEN 1 ELSE 0 END)::BIGINT AS chars,
+               MAX(doc_id) AS last_id
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_u")
+      sc.sql("UPDATE graft_cat_u.default.docs " +
+        "SET lang = concat(lang, '+'), n_chars = n_chars + 1 " +
+        "WHERE doc_id BETWEEN 125 AND 249")
+      sc.sql("""
+        SELECT lang AS lang2,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars,
+               MAX(doc_id) AS last_id
+        FROM graft_cat_u.default.docs
+        GROUP BY lang ORDER BY lang""")
+    },
+
+    // ------------------------------------------ row-level MERGE (upsert SQL)
+    Q("q133_catalog_merge",
+      "SQL MERGE INTO the docstore catalog table — the full upsert " +
+        "surface over the same copy-on-write machinery as q132: " +
+        "matched rows take the UPDATE branch (n_chars doubled for one " +
+        "doc_id slice), unmatched source rows take the INSERT branch " +
+        "(brand-new doc_ids appended), and untouched segments are " +
+        "metadata. This is q75's merge semantics executed by Spark's " +
+        "native MERGE planning against a DSv2 connector rather than " +
+        "composed from joins — proof the catalog table is a full " +
+        "read/write/upsert lakehouse citizen. Oracle replays the merge " +
+        "as a UNION of the updated base and the inserted slice.",
+      Some("""
+        WITH merged AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id BETWEEN 100 AND 199
+                      THEN n_chars * 2 ELSE n_chars END AS n_chars,
+                 lang
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, n_chars, 'new' AS lang
+          FROM documents WHERE doc_id < 50)
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               MAX(doc_id) AS last_id
+        FROM merged GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_m")
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("merge_src_base")
+      sc.sql("""
+        SELECT doc_id, n_chars * 2 AS n_chars, lang, source, text
+        FROM merge_src_base WHERE doc_id BETWEEN 100 AND 199
+        UNION ALL
+        SELECT doc_id + 100000, n_chars, 'new' AS lang, source, text
+        FROM merge_src_base WHERE doc_id < 50""")
+        .createOrReplaceTempView("merge_src")
+      sc.sql("""
+        MERGE INTO graft_cat_m.default.docs t
+        USING merge_src s ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+        WHEN NOT MATCHED THEN INSERT *""")
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars,
+               MAX(doc_id) AS last_id
+        FROM graft_cat_m.default.docs
+        GROUP BY lang ORDER BY lang""")
+    },
+
+    // ---------------------------------------- schema evolution (ADD COLUMN)
+    Q("q134_catalog_evolution",
+      "Schema evolution on the docstore catalog: ALTER TABLE ADD " +
+        "COLUMN appends a nullable column to the table's SCHEMA file " +
+        "as pure METADATA — zero segments rewritten (the manifest is " +
+        "untouched; spec-pinned in DocStoreSpec) — after which " +
+        "pre-evolution segments read the new column as null and new " +
+        "INSERTs persist real values (the segment format grows a " +
+        "section count: GDS1 files stay valid forever, GDS2 files " +
+        "carry the extra sections). This is the add-nullable-column " +
+        "contract Delta/Iceberg users exercise weekly: at 100 TB an " +
+        "ADD COLUMN must never touch data files. The aggregate mixes " +
+        "null-padded old rows with valued new rows; the oracle " +
+        "replays the evolution as a UNION over the original parquet.",
+      Some("""
+        WITH evolved AS (
+          SELECT lang, n_chars, NULL AS quality FROM documents
+          UNION ALL
+          SELECT lang, n_chars, n_chars * 3 AS quality
+          FROM documents WHERE doc_id < 100)
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(quality) AS n_q,
+               SUM(quality)::BIGINT AS sum_q,
+               SUM(n_chars)::BIGINT AS chars
+        FROM evolved GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_e")
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("evolve_src")
+      sc.sql("ALTER TABLE graft_cat_e.default.docs ADD COLUMN quality BIGINT")
+      sc.sql("""
+        INSERT INTO graft_cat_e.default.docs
+        SELECT doc_id + 1000000, n_chars, lang, source, text,
+               n_chars * 3 AS quality
+        FROM evolve_src WHERE doc_id < 100""")
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(quality) AS n_q,
+               SUM(quality) AS sum_q,
+               SUM(n_chars) AS chars
+        FROM graft_cat_e.default.docs
+        GROUP BY lang ORDER BY lang""")
     }
   )
+
+  /** Per-invocation private copy of the Scratch-built catalog fixture
+    * (CREATE + 4 segment-aligned INSERTs of `documents`), registered
+    * under `catName`: row-level gates consume their input state, so
+    * each invocation re-hydrates by file copy (milliseconds) instead of
+    * rebuilding inside the timed region. */
+  private def catalogCopy(s: SparkSession, dir: String,
+      catName: String): SparkSession = {
+    val pristine = graft.core.Scratch.materialize("docstore_cat",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+      val b = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_build" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_build.root" -> stg)
+      Tables.documents(b, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("docs_src")
+      b.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat_build.default")
+      b.sql("CREATE TABLE graft_cat_build.default.docs " +
+        "(doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+      Seq((0, 124), (125, 249), (250, 374), (375, 1L << 40)).foreach {
+        case (a, b2) => b.sql("INSERT INTO graft_cat_build.default.docs " +
+          s"SELECT * FROM docs_src WHERE doc_id BETWEEN $a AND $b2")
+      }
+    }
+    val base = java.nio.file.Files.createTempDirectory(catName)
+    graft.core.Fs.deleteOnExit(base)
+    val root = base.resolve("root").toString
+    graft.core.Fs.copyRecursively(
+      java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(root))
+    graft.core.Sessions.scoped(s,
+      s"spark.sql.catalog.$catName" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      s"spark.sql.catalog.$catName.root" -> root)
+  }
 }

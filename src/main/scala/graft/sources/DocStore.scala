@@ -69,9 +69,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DocStore {
 
-  val MAGIC = 0x47445331 // "GDS1"
+  val MAGIC = 0x47445331 // "GDS1": the fixed 5-column layout
+  val MAGIC2 = 0x47445332 // "GDS2": adds a section count (evolved schemas)
 
-  /** Fixed physical column order of the format. */
+  /** Fixed physical column order of the base format. */
   val FIELDS: Seq[StructField] = Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_chars", LongType, nullable = true),
@@ -80,6 +81,49 @@ object DocStore {
     StructField("text", StringType, nullable = true))
 
   val SCHEMA: StructType = StructType(FIELDS)
+
+  /** Schema evolution: a `SCHEMA` file beside the MANIFEST carries the
+    * evolved table schema (base 5 columns + appended nullable LONG /
+    * STRING columns — append-only, no drop/rename, so column identity
+    * is POSITION and no per-segment field-id mapping is needed).
+    * Segments written before an ADD COLUMN have fewer sections than
+    * the schema has fields; readers null-pad the missing trailing
+    * columns — exactly Delta/Iceberg's add-nullable-column contract
+    * (old files are never rewritten). Time-travel reads use the
+    * CURRENT schema (added columns read null in old snapshots) — a
+    * documented simplification vs per-version schema pinning. */
+  def tableSchema(path: String): StructType = {
+    val f = Paths.get(path, "SCHEMA")
+    if (Files.exists(f))
+      org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+        .asInstanceOf[StructType]
+    else SCHEMA
+  }
+
+  /** Validates an evolved schema: base prefix exact, extras appended
+    * nullable LONG/STRING. Returns the extra (post-base) fields. */
+  def validateEvolved(schema: StructType): Seq[StructField] = {
+    require(schema.fields.length >= FIELDS.size &&
+      schema.fields.take(FIELDS.size).zip(FIELDS).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType },
+      s"docstore schema must start with ${SCHEMA.simpleString}, " +
+        s"got ${schema.simpleString}")
+    val extra = schema.fields.drop(FIELDS.size).toSeq
+    extra.foreach(f => require(
+      f.nullable && (f.dataType == LongType || f.dataType == StringType),
+      s"added docstore columns must be nullable LONG or STRING, got $f"))
+    extra
+  }
+
+  def writeSchemaFile(path: String, schema: StructType): Unit = {
+    validateEvolved(schema)
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(".SCHEMA-tmp")
+    Files.writeString(tmp, schema.json)
+    Files.move(tmp, dir.resolve("SCHEMA"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   final case class Segment(name: String, rows: Long, minId: Long,
       maxId: Long, bytes: Long)
@@ -102,9 +146,14 @@ object DocStore {
     }
 
   /** Streaming per-row section encoder shared by every segment writer:
-    * one buffer per column section, constant state per row. */
-  final class SegmentEncoder {
-    private val sections = Array.fill(5)(new ByteArrayOutputStream())
+    * one buffer per column section, constant state per row. `nExtra`
+    * appended evolved columns write as length-prefixed payloads (-1 =
+    * null; LONG = 8-byte payload, STRING = UTF-8) — no sentinel value
+    * is stolen from the added column's domain. A 5-column table writes
+    * the GDS1 layout unchanged; extras switch the header to GDS2
+    * (which adds the section count). */
+  final class SegmentEncoder(nExtra: Int = 0) {
+    private val sections = Array.fill(5 + nExtra)(new ByteArrayOutputStream())
     private val outs = sections.map(new DataOutputStream(_))
     var rows = 0
     var minId: Long = Long.MaxValue
@@ -114,8 +163,10 @@ object DocStore {
       if (b == null) outs(i).writeInt(-1)
       else { outs(i).writeInt(b.length); outs(i).write(b) }
 
+    /** `extras(j)`: java.lang.Long, Array[Byte] (UTF-8), or null. */
     def add(id: Long, nChars: java.lang.Long, lang: Array[Byte],
-        source: Array[Byte], text: Array[Byte]): Unit = {
+        source: Array[Byte], text: Array[Byte],
+        extras: Array[AnyRef] = Array.empty): Unit = {
       // Long.MinValue is the format's null sentinel for n_chars — a real
       // value there would silently round-trip as NULL, so reject loudly
       require(nChars == null || nChars.longValue() != Long.MinValue,
@@ -125,6 +176,16 @@ object DocStore {
       outs(0).writeLong(id)
       outs(1).writeLong(if (nChars == null) Long.MinValue else nChars.longValue())
       str(2, lang); str(3, source); str(4, text)
+      var j = 0
+      while (j < nExtra) {
+        extras(j) match {
+          case null => outs(5 + j).writeInt(-1)
+          case v: java.lang.Long =>
+            outs(5 + j).writeInt(8); outs(5 + j).writeLong(v.longValue())
+          case b: Array[Byte] => str(5 + j, b)
+        }
+        j += 1
+      }
     }
 
     /** Header + sections to `file`; returns the byte size. */
@@ -132,8 +193,10 @@ object DocStore {
       outs.foreach(_.flush())
       val out = new DataOutputStream(new FileOutputStream(file.toFile))
       try {
-        out.writeInt(MAGIC)
+        if (nExtra == 0) out.writeInt(MAGIC)
+        else { out.writeInt(MAGIC2); /* section count follows rows */ }
         out.writeInt(rows)
+        if (nExtra > 0) out.writeInt(sections.length)
         sections.foreach(s => out.writeLong(s.size().toLong))
         sections.foreach(_.writeTo(out))
       } finally out.close()
@@ -153,7 +216,8 @@ object DocStore {
 class DocStoreSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docstore"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DocStore.SCHEMA
+    Option(options.get("path")).map(DocStore.tableSchema)
+      .getOrElse(DocStore.SCHEMA)
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
@@ -163,19 +227,41 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** The `_segment` metadata column: the source segment file name of
+  * each row (Delta's `_metadata.file_path` analogue). `SELECT
+  * _segment FROM t` works on any docstore read, and the row-level
+  * operations declare it as their required metadata attribute — which
+  * is also what routes Spark's ReplaceData through the PROJECTING
+  * write task (without a metadata projection Spark hands the writer
+  * the raw rewrite output, `__row_operation` marker included). */
+object SegmentMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val NAME = "_segment"
+  override def name(): String = NAME
+  override def dataType(): org.apache.spark.sql.types.DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String = "source segment file of this row"
+}
+
 class DocStoreTable(path: String, manifest: String = "MANIFEST")
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(SegmentMetadataColumn)
   override def name(): String =
     s"graft-docstore(`$path`)" +
       (if (manifest == "MANIFEST") "" else s"@$manifest")
-  override def schema(): StructType = DocStore.SCHEMA
+  /** Base 5 columns, or the evolved schema from the SCHEMA file. */
+  protected lazy val tblSchema: StructType = DocStore.tableSchema(path)
+  override def schema(): StructType = tblSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreScanBuilder(path,
+    new DocStoreScanBuilder(path, tblSchema,
       options.getInt("maxSegmentsPerBatch", Int.MaxValue), manifest)
 
   /** Write path with the standard commit protocol: tasks stage
@@ -188,27 +274,28 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
     * (it is the format's fixed-width zone-map column). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
-    val expect = DocStore.SCHEMA.fields.map(f => f.name -> f.dataType).toMap
+    val expect = tblSchema.fields.map(f => f.name -> f.dataType).toMap
     require(in.fields.length == expect.size &&
       in.fields.forall(f => expect.get(f.name).contains(f.dataType)),
-      s"graft-docstore write schema must be ${DocStore.SCHEMA.simpleString}, " +
+      s"graft-docstore write schema must be ${tblSchema.simpleString}, " +
         s"got ${in.simpleString}")
-    val order = DocStore.FIELDS.map(f => in.fieldIndex(f.name)).toArray
+    val order = tblSchema.fields.map(f => in.fieldIndex(f.name))
     require(manifest == "MANIFEST",
       "a time-travel (VERSION AS OF) docstore table is read-only")
-    new DocStoreWriteBuilder(path, order, info.queryId())
+    new DocStoreWriteBuilder(path, tblSchema, order, info.queryId())
   }
 }
 
-class DocStoreWriteBuilder(path: String, order: Array[Int], queryId: String,
+class DocStoreWriteBuilder(path: String, schema: StructType,
+    order: Array[Int], queryId: String,
     truncate: Boolean = false) extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new DocStoreWriteBuilder(path, order, queryId, truncate = true)
+    new DocStoreWriteBuilder(path, schema, order, queryId, truncate = true)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new DocStoreBatchWrite(path, order, queryId, truncate)
+      new DocStoreBatchWrite(path, schema, order, queryId, truncate)
     override def toStreaming: streaming.StreamingWrite =
-      new DocStoreStreamingWrite(path, order, queryId, truncate)
+      new DocStoreStreamingWrite(path, schema, order, queryId, truncate)
   }
 }
 
@@ -357,11 +444,12 @@ object DocStoreCommitOps {
     else Seq.empty
 }
 
-class DocStoreBatchWrite(path: String, order: Array[Int], queryId: String,
+class DocStoreBatchWrite(path: String, schema: StructType,
+    order: Array[Int], queryId: String,
     truncate: Boolean) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DocStoreWriterFactory(path, order, queryId)
+    new DocStoreWriterFactory(path, schema, order, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
@@ -399,8 +487,8 @@ class DocStoreBatchWrite(path: String, order: Array[Int], queryId: String,
   * table mistake its own first batches for replays and silently drop
   * them. Idempotent epoch commits + the engine's offset log =
   * exactly-once table contents from an at-least-once delivery. */
-class DocStoreStreamingWrite(path: String, order: Array[Int],
-    queryId: String, truncate: Boolean)
+class DocStoreStreamingWrite(path: String, schema: StructType,
+    order: Array[Int], queryId: String, truncate: Boolean)
     extends streaming.StreamingWrite {
 
   private val qid8 = queryId.replaceAll("[^0-9a-fA-F]", "").take(8) match {
@@ -417,7 +505,7 @@ class DocStoreStreamingWrite(path: String, order: Array[Int],
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    new DocStoreStreamingWriterFactory(path, order, queryId)
+    new DocStoreStreamingWriterFactory(path, schema, order, queryId)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -444,30 +532,36 @@ class DocStoreStreamingWrite(path: String, order: Array[Int],
     DocStoreCommitOps.dropStaged(path, messages)
 }
 
-class DocStoreWriterFactory(path: String, order: Array[Int], queryId: String)
+class DocStoreWriterFactory(path: String, schema: StructType,
+    order: Array[Int], queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocStoreDataWriter(path, order, queryId, partitionId, taskId)
+    new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId)
 }
 
 /** Named (serializable) factory — an anonymous inner class here would
   * capture the non-serializable StreamingWrite and fail task ship. */
-class DocStoreStreamingWriterFactory(path: String, order: Array[Int],
-    queryId: String) extends streaming.StreamingDataWriterFactory {
+class DocStoreStreamingWriterFactory(path: String, schema: StructType,
+    order: Array[Int], queryId: String)
+    extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new DocStoreDataWriter(path, order, s"$queryId-e$epochId",
+    new DocStoreDataWriter(path, schema, order, s"$queryId-e$epochId",
       partitionId, taskId)
 }
 
 /** One task's segment: rows stream into a [[DocStore.SegmentEncoder]];
   * task commit flushes to a `.stg-*` file named with (queryId,
   * partition, task attempt) so speculative or retried attempts never
-  * collide, and reports the manifest entry upward. */
-class DocStoreDataWriter(path: String, order: Array[Int], queryId: String,
+  * collide, and reports the manifest entry upward. `order(i)` is the
+  * input-row position of table field i; fields past the base 5 are
+  * evolved columns encoded by their schema type. */
+class DocStoreDataWriter(path: String, schema: StructType,
+    order: Array[Int], queryId: String,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val enc = new DocStore.SegmentEncoder
+  private val extraTypes = schema.fields.drop(5).map(_.dataType)
+  private val enc = new DocStore.SegmentEncoder(extraTypes.length)
   private val tmpName = f".stg-$queryId-$partitionId%05d-$taskId"
 
   override def write(r: InternalRow): Unit = {
@@ -475,10 +569,20 @@ class DocStoreDataWriter(path: String, order: Array[Int], queryId: String,
       "graft-docstore requires a non-null doc_id on every row")
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
+    val extras: Array[AnyRef] =
+      if (extraTypes.isEmpty) Array.empty
+      else extraTypes.zipWithIndex.map { case (dt, j) =>
+        val pos = order(5 + j)
+        if (r.isNullAt(pos)) null
+        else dt match {
+          case LongType => java.lang.Long.valueOf(r.getLong(pos)): AnyRef
+          case _ => r.getUTF8String(pos).getBytes: AnyRef
+        }
+      }
     enc.add(r.getLong(order(0)),
       if (r.isNullAt(order(1))) null
       else java.lang.Long.valueOf(r.getLong(order(1))),
-      str(2), str(3), str(4))
+      str(2), str(3), str(4), extras)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -494,13 +598,15 @@ class DocStoreDataWriter(path: String, order: Array[Int], queryId: String,
   override def close(): Unit = ()
 }
 
-class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue,
+class DocStoreScanBuilder(path: String,
+    schema: StructType = DocStore.SCHEMA,
+    maxSegmentsPerBatch: Int = Int.MaxValue,
     manifest: String = "MANIFEST")
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
-  private var required: StructType = DocStore.SCHEMA
+  private var required: StructType = schema
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var pushed = Array.empty[Filter]
@@ -593,7 +699,7 @@ class DocStoreScanBuilder(path: String, maxSegmentsPerBatch: Int = Int.MaxValue,
       case Some(agg) => new ManifestAggScan(segments, agg)
       case None =>
         val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
-        new DocStoreScan(path, required, lo, hi, limit,
+        new DocStoreScan(path, schema, required, lo, hi, limit,
           surviving, segments.size, maxSegmentsPerBatch)
     }
   }
@@ -647,7 +753,8 @@ class ManifestAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
-class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,
+class DocStoreScan(path: String, schema: StructType,
+    required: StructType, lo: Long, hi: Long,
     limit: Int, surviving: Seq[DocStore.Segment], total: Int,
     maxSegmentsPerBatch: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
@@ -697,7 +804,7 @@ class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,
     * DELETEs of already-read segments because names, unlike list
     * indices, don't shift. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new DocStoreMicroBatchStream(path, surviving, required, lo, hi,
+    new DocStoreMicroBatchStream(path, schema, surviving, required, lo, hi,
       maxSegmentsPerBatch)
 
   /** Shown in EXPLAIN — the audit surface DocStoreSpec asserts on. */
@@ -713,7 +820,7 @@ class DocStoreScan(path: String, required: StructType, lo: Long, hi: Long,
       Paths.get(path, s.name).toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocStoreReaderFactory(required, lo, hi, limit)
+    new DocStoreReaderFactory(schema, required, lo, hi, limit)
 
   /** Post-prune totals from the manifest: the optimizer sees the pruned
     * scan's size, not the raw table's. Rows are pre-residual-filter
@@ -736,21 +843,27 @@ object DocStoreScan {
 
 final case class DocStorePartition(file: String) extends InputPartition
 
-class DocStoreReaderFactory(required: StructType, lo: Long, hi: Long,
+class DocStoreReaderFactory(schema: StructType, required: StructType,
+    lo: Long, hi: Long,
     limit: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DocStoreReader(p.asInstanceOf[DocStorePartition].file, required,
-      lo, hi, limit)
+    new DocStoreReader(p.asInstanceOf[DocStorePartition].file, schema,
+      required, lo, hi, limit)
 }
 
 /** Reads one segment: required sections are parsed, unrequired sections
   * are skipped byte-exact via the header lengths. doc_id is additionally
   * read (but not emitted) when a pushed bound needs row-level
-  * re-checking. */
-class DocStoreReader(file: String, required: StructType, lo: Long, hi: Long,
+  * re-checking. The `_segment` metadata column (if required) costs no
+  * IO — it is this reader's own file name. Evolved columns (table
+  * schema fields past the base 5) decode length-prefixed; a segment
+  * written before an ADD COLUMN simply has fewer sections, and the
+  * missing trailing columns read as null. */
+class DocStoreReader(file: String, schema: StructType,
+    required: StructType, lo: Long, hi: Long,
     limit: Int) extends PartitionReader[InternalRow] {
 
-  private val fieldIdx = DocStore.FIELDS.map(_.name).zipWithIndex.toMap
+  private val fieldIdx = schema.fieldNames.zipWithIndex.toMap
   private val needFilter = lo != Long.MinValue || hi != Long.MaxValue
   private var rows: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -760,16 +873,22 @@ class DocStoreReader(file: String, required: StructType, lo: Long, hi: Long,
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(file), 1 << 16))
     try {
-      require(in.readInt() == DocStore.MAGIC, s"bad magic in $file")
+      val magic = in.readInt()
+      require(magic == DocStore.MAGIC || magic == DocStore.MAGIC2,
+        s"bad magic in $file")
       val n = in.readInt()
-      val sectionLen = Array.fill(5)(in.readLong())
-      val need = Array.fill(5)(false)
-      required.fieldNames.foreach(f => need(fieldIdx(f)) = true)
+      val nSect = if (magic == DocStore.MAGIC) 5 else in.readInt()
+      val sectionLen = Array.fill(nSect)(in.readLong())
+      val need = Array.fill(nSect)(false)
+      required.fieldNames.flatMap(fieldIdx.get)
+        .foreach(c => if (c < nSect) need(c) = true)
       val readId = need(0) || needFilter
       val longs = Array.ofDim[Array[Long]](2)
       val strs = Array.ofDim[Array[UTF8String]](3)
+      // evolved sections decode to boxed Long / UTF8String, -1 len = null
+      val extras = Array.ofDim[Array[AnyRef]](math.max(0, nSect - 5))
       var c = 0
-      while (c < 5) {
+      while (c < nSect) {
         val wanted = if (c == 0) readId else need(c)
         if (!wanted) in.skipNBytes(sectionLen(c))
         else if (c < 2) {
@@ -777,7 +896,7 @@ class DocStoreReader(file: String, required: StructType, lo: Long, hi: Long,
           var i = 0
           while (i < n) { a(i) = in.readLong(); i += 1 }
           longs(c) = a
-        } else {
+        } else if (c < 5) {
           val a = new Array[UTF8String](n)
           var i = 0
           while (i < n) {
@@ -790,19 +909,45 @@ class DocStoreReader(file: String, required: StructType, lo: Long, hi: Long,
             i += 1
           }
           strs(c - 2) = a
+        } else {
+          val isLong = schema.fields(c).dataType == LongType
+          val a = new Array[AnyRef](n)
+          var i = 0
+          while (i < n) {
+            val len = in.readInt()
+            if (len >= 0) {
+              if (isLong) a(i) = java.lang.Long.valueOf(in.readLong())
+              else {
+                val b = new Array[Byte](len)
+                in.readFully(b)
+                a(i) = UTF8String.fromBytes(b)
+              }
+            }
+            i += 1
+          }
+          extras(c - 5) = a
         }
         c += 1
       }
-      val outIdx = required.fieldNames.map(fieldIdx)
+      // -1 = the _segment metadata column (no section backs it)
+      val outIdx = required.fieldNames.map(f => fieldIdx.getOrElse(f, -1))
+      val segName = UTF8String.fromString(
+        Paths.get(file).getFileName.toString)
       rows = (0 until n).iterator
         .filter(i => !needFilter ||
           (longs(0)(i) >= lo && longs(0)(i) <= hi))
         .map { i =>
           val vals = outIdx.map { ci =>
-            if (ci < 2) {
+            if (ci < 0) segName
+            else if (ci >= nSect) null // pre-evolution segment: null-pad
+            else if (ci < 2) {
               val v = longs(ci)(i)
               if (ci == 1 && v == Long.MinValue) null else (v: Any)
-            } else strs(ci - 2)(i)
+            } else if (ci < 5) strs(ci - 2)(i)
+            else extras(ci - 5)(i) match {
+              case l: java.lang.Long => l.longValue(): Any
+              case other => other // UTF8String or null
+            }
           }
           new GenericInternalRow(vals.toArray[Any]): InternalRow
         }
@@ -841,7 +986,7 @@ final case class DocStoreOffset(after: String) extends Offset {
   * restarted instance would re-admit from zero and report no new
   * data). Segment indices are stable across runs because the lake is
   * immutable-once-published. */
-class DocStoreMicroBatchStream(path: String,
+class DocStoreMicroBatchStream(path: String, schema: StructType,
     surviving: Seq[DocStore.Segment], required: StructType,
     lo: Long, hi: Long, maxPerBatch: Int)
     extends MicroBatchStream with SupportsAdmissionControl
@@ -913,7 +1058,7 @@ class DocStoreMicroBatchStream(path: String,
         Paths.get(path, s.name).toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocStoreReaderFactory(required, lo, hi, Int.MaxValue)
+    new DocStoreReaderFactory(schema, required, lo, hi, Int.MaxValue)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DataSourceV2 `TableCatalog` over docstore tables — the surface
@@ -86,21 +86,42 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // the format has ONE physical schema; accept it modulo nullability
-    val expect = DocStore.SCHEMA.fields.map(f => f.name -> f.dataType).toMap
-    require(schema.fields.length == expect.size &&
-      schema.fields.forall(f => expect.get(f.name).contains(f.dataType)),
-      s"docstore tables have schema ${DocStore.SCHEMA.simpleString}, " +
-        s"got ${schema.simpleString}")
+    // base 5 columns required as a prefix; appended nullable LONG/STRING
+    // columns are allowed from birth (same rule ADD COLUMN enforces)
+    val extra = DocStore.validateEvolved(schema)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     Files.write(dir.resolve("MANIFEST"), Array.empty[Byte])
+    if (extra.nonEmpty) DocStore.writeSchemaFile(dir.toString, schema)
     new DocStoreSqlTable(dir.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "docstore tables have a fixed schema")
+  /** Schema evolution: `ALTER TABLE … ADD COLUMN c BIGINT|STRING` —
+    * append-only, nullable. The SCHEMA file updates atomically; no
+    * segment is rewritten (pre-evolution segments read null-padded,
+    * the Delta/Iceberg add-nullable-column contract). Everything else
+    * (drop, rename, type change) refuses: column identity is position,
+    * so destructive changes would reinterpret existing bytes. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident).toString
+    val cur = DocStore.tableSchema(dir)
+    val evolved = changes.foldLeft(cur) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "docstore columns cannot be nested")
+        require(add.position() == null,
+          "docstore ADD COLUMN appends at the end (no FIRST/AFTER)")
+        require(!s.fieldNames.contains(add.fieldNames()(0)),
+          s"column ${add.fieldNames()(0)} already exists")
+        s.add(StructField(add.fieldNames()(0), add.dataType(),
+          nullable = true))
+      case (_, ch) => throw new UnsupportedOperationException(
+        s"docstore tables support only ADD COLUMN, got $ch")
+    }
+    DocStore.writeSchemaFile(dir, evolved) // validates LONG/STRING+nullable
+    new DocStoreSqlTable(dir)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
@@ -155,11 +176,27 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 /** Catalog-loaded docstore table: everything [[DocStoreTable]] does,
-  * plus metadata-only DELETE for segment-aligned doc_id windows.
-  * `manifest` pins a historical snapshot for VERSION AS OF reads. */
+  * plus metadata-only DELETE for segment-aligned doc_id windows and
+  * copy-on-write UPDATE / MERGE / misaligned DELETE through
+  * [[DocStoreRowLevelOperation]]. The two DELETE paths compose the way
+  * Delta's do: Spark plans the row-level rewrite, then
+  * OptimizeMetadataOnlyDeleteFromTable collapses it to the
+  * `SupportsDelete` fast path when `canDeleteWhere` accepts — aligned
+  * windows stay zero-rewrite, misaligned ones rewrite exactly instead
+  * of refusing. `manifest` pins a historical snapshot for VERSION AS
+  * OF reads (read-only: row-level ops refuse on a snapshot). */
 class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     extends DocStoreTable(path, manifest)
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(manifest == "MANIFEST",
+      s"cannot ${info.command()} a time-travel (VERSION AS OF) snapshot")
+    () => new DocStoreRowLevelOperation(path, info.command())
+  }
 
   /** The delete window iff EVERY filter is expressible as doc_id
     * bounds — all-or-nothing, unlike the scan's per-filter accept. */

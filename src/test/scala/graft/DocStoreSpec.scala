@@ -268,8 +268,8 @@ class DocStoreSpec extends SparkSpec {
     val enc = new graft.sources.DocStore.SegmentEncoder
     enc.add(9999L, 1L, "xx".getBytes, "replay".getBytes, "dup".getBytes)
     val bytes = enc.writeTo(stg)
-    new graft.sources.DocStoreStreamingWrite(sink, Array(0, 1, 2, 3, 4),
-      qid, truncate = false)
+    new graft.sources.DocStoreStreamingWrite(sink, DocStore.SCHEMA,
+      Array(0, 1, 2, 3, 4), qid, truncate = false)
       .commit(epoch, Array(graft.sources.DocStoreCommit(
         ".stg-replay-test", 1L, 9999L, 9999L, bytes)))
     assert(spark.read.format("graft-docstore").option("path", sink).load()
@@ -350,19 +350,94 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM tcat.ns1.t")
       .collect()(0).toSeq == Seq(100L, 99L))
 
-    // misaligned delete (cuts through a segment) must refuse, not drop
-    val e = intercept[Exception] {
-      sc.sql("DELETE FROM tcat.ns1.t WHERE doc_id >= 50")
-    }
-    assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t").collect()(0).getLong(0) == 100,
-      s"refused delete must not change the table (error was: ${e.getMessage.take(120)})")
-    // non-doc_id predicate also refuses
-    intercept[Exception] { sc.sql("DELETE FROM tcat.ns1.t WHERE lang = 'pt'") }
+    // misaligned delete (cuts through a segment) falls back to the
+    // copy-on-write row-level path: exact rows gone, none approximated
+    sc.sql("DELETE FROM tcat.ns1.t WHERE doc_id >= 50")
+    assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM tcat.ns1.t")
+      .collect()(0).toSeq == Seq(50L, 49L))
 
     sc.sql("ALTER TABLE tcat.ns1.t RENAME TO ns1.t2")
-    assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 100)
+    assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 50)
     sc.sql("DROP TABLE tcat.ns1.t2")
     assert(sc.sql("SHOW TABLES IN tcat.ns1").collect().isEmpty)
+  }
+
+  test("row-level UPDATE/MERGE/misaligned-DELETE rewrite only the affected segments") {
+    val root = Files.createTempDirectory("docstore_rowlevel").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.rcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.rcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("rl_src")
+    sc.sql("CREATE NAMESPACE rcat.ns")
+    sc.sql("CREATE TABLE rcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    // 4 single-segment inserts: doc_id slices [0,99] [100,199] [200,299] [300,399]
+    (0 until 4).foreach(i => sc.sql("INSERT INTO rcat.ns.t " +
+      s"SELECT * FROM rl_src WHERE doc_id BETWEEN ${i * 100} AND ${i * 100 + 99}"))
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t").toString
+    def names = DocStore.readManifest(tableDir).map(_.name)
+    val before = names
+
+    // UPDATE confined to one slice: copy-on-write must replace ONLY the
+    // segment(s) intersecting the window — the other three are metadata
+    sc.sql("UPDATE rcat.ns.t SET lang = 'xx' WHERE doc_id BETWEEN 100 AND 149")
+    val afterUpdate = names
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE lang = 'xx'")
+      .collect()(0).getLong(0) == 50)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").collect()(0).getLong(0) == 400,
+      "unmatched rows of the rewritten segment must be copied through")
+    val untouched = before.filterNot(n =>
+      DocStore.readManifest(tableDir, "MANIFEST.v4").find(_.name == n)
+        .exists(s => s.maxId >= 100 && s.minId <= 149))
+    assert(untouched.size == 3 && untouched.forall(afterUpdate.contains),
+      s"segments outside the window must survive by name: $before -> $afterUpdate")
+    assert(afterUpdate.exists(n => !before.contains(n)), "a rewritten segment appears")
+    // pre-UPDATE snapshot still reads the original values (files retained)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t VERSION AS OF 4 WHERE lang = 'xx'")
+      .collect()(0).getLong(0) == 0)
+
+    // MERGE: update n_chars for one slice, insert brand-new doc_ids
+    sc.sql("SELECT doc_id, n_chars * 10 AS n_chars, lang, source, text " +
+      "FROM rl_src WHERE doc_id BETWEEN 200 AND 249 " +
+      "UNION ALL SELECT doc_id + 1000, n_chars, lang, source, text " +
+      "FROM rl_src WHERE doc_id BETWEEN 0 AND 9")
+      .createOrReplaceTempView("rl_merge_src")
+    sc.sql("""MERGE INTO rcat.ns.t t USING rl_merge_src s ON t.doc_id = s.doc_id
+              WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+              WHEN NOT MATCHED THEN INSERT *""")
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").collect()(0).getLong(0) == 410)
+    val merged = sc.sql("SELECT SUM(n_chars) FROM rcat.ns.t WHERE doc_id BETWEEN 200 AND 249")
+      .collect()(0).getLong(0)
+    val original = sc.sql("SELECT SUM(n_chars) * 10 FROM rl_src WHERE doc_id BETWEEN 200 AND 249")
+      .collect()(0).getLong(0)
+    assert(merged == original, "matched rows must carry the merged n_chars")
+
+    // misaligned DELETE: cuts through the [300,399] segment → rewrite,
+    // exact (the metadata fast path correctly declines)
+    sc.sql("DELETE FROM rcat.ns.t WHERE doc_id >= 350 AND doc_id <= 359")
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").collect()(0).getLong(0) == 400)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE doc_id BETWEEN 350 AND 359")
+      .collect()(0).getLong(0) == 0)
+
+    // aligned DELETE still takes the metadata-only fast path: on a
+    // fresh two-segment table (UPDATE/MERGE above leave segments whose
+    // spans no longer align with round windows), the manifest shrinks
+    // with NO new segment written
+    sc.sql("CREATE TABLE rcat.ns.t2 (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    (0 until 2).foreach(i => sc.sql("INSERT INTO rcat.ns.t2 " +
+      s"SELECT * FROM rl_src WHERE doc_id BETWEEN ${i * 100} AND ${i * 100 + 99}"))
+    val t2Dir = java.nio.file.Paths.get(root, "ns", "t2").toString
+    val preAligned = DocStore.readManifest(t2Dir).map(_.name)
+    sc.sql("DELETE FROM rcat.ns.t2 WHERE doc_id >= 100")
+    val postAligned = DocStore.readManifest(t2Dir).map(_.name)
+    assert(postAligned.forall(preAligned.contains) &&
+      postAligned.size < preAligned.size,
+      s"aligned DELETE must drop manifest entries only: $preAligned -> $postAligned")
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t2").collect()(0).getLong(0) == 100)
   }
 
   test("append after metadata DELETE never reuses a retained segment's name") {
@@ -480,6 +555,64 @@ class DocStoreSpec extends SparkSpec {
     assert(back.count() == 400, "a concurrent append was lost")
     assert(back.select("doc_id").distinct().count() == 400)
     assert(DocStore.readManifest(tableDir).size == 8)
+  }
+
+  test("schema evolution: ADD COLUMN null-pads old segments, new writes persist it") {
+    val root = Files.createTempDirectory("docstore_evolve").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.ecat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.ecat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("ev_src")
+    sc.sql("CREATE NAMESPACE ecat.ns")
+    sc.sql("CREATE TABLE ecat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO ecat.ns.t SELECT * FROM ev_src WHERE doc_id < 100")
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val oldSegments = DocStore.readManifest(tableDir).map(_.name)
+
+    sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN quality BIGINT")
+    sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN split STRING")
+    // no rewrite: the pre-evolution segment files are untouched
+    assert(DocStore.readManifest(tableDir).map(_.name) == oldSegments)
+    assert(sc.table("ecat.ns.t").schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_chars", "lang", "source", "text", "quality", "split"))
+
+    // old rows read null-padded; aggregation over the new column works
+    assert(sc.sql("SELECT COUNT(*), COUNT(quality) FROM ecat.ns.t")
+      .collect()(0).toSeq == Seq(100L, 0L))
+
+    // new writes persist the evolved columns (with nulls interleaved)
+    sc.sql("""INSERT INTO ecat.ns.t
+      SELECT doc_id + 1000, n_chars, lang, source, text,
+             CASE WHEN doc_id % 2 = 0 THEN doc_id * 7 END AS quality,
+             CASE WHEN doc_id % 3 = 0 THEN 'train' END AS split
+      FROM ev_src WHERE doc_id < 100""")
+    val got = sc.sql("""
+      SELECT COUNT(*) AS n, COUNT(quality) AS nq, SUM(quality) AS sq,
+             COUNT(CASE WHEN split = 'train' THEN 1 END) AS nt
+      FROM ecat.ns.t""").collect()(0)
+    assert(got.toSeq == Seq(200L, 50L,
+      (0L until 100L by 2).map(_ * 7).sum, 34L))
+
+    // evolved-column projection prunes: reading ONLY `quality` must not
+    // decode the text section (byte-skip still works across GDS1+GDS2)
+    val q = sc.sql("SELECT quality FROM ecat.ns.t")
+    val cols = "cols=\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString).get.group(1)
+    assert(cols == "quality", cols)
+
+    // evolved table round-trips through row-level UPDATE too
+    sc.sql("UPDATE ecat.ns.t SET quality = -1 WHERE doc_id < 100")
+    assert(sc.sql("SELECT COUNT(*) FROM ecat.ns.t WHERE quality = -1")
+      .collect()(0).getLong(0) == 100)
+
+    // guardrails: non-append evolution refuses
+    intercept[Exception] { sc.sql("ALTER TABLE ecat.ns.t DROP COLUMN split") }
+    intercept[Exception] {
+      sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN bad DOUBLE") }
   }
 
   test("nulls and empty strings survive the segment format") {
