@@ -710,6 +710,44 @@ object IoOps {
                SUM(n_chars) AS chars
         FROM graft_cat_e.default.docs
         GROUP BY lang ORDER BY lang""")
+    },
+
+    // ------------------------------------------------ VACUUM (CALL procedure)
+    Q("q135_catalog_vacuum",
+      "The destructive half of the retain-for-time-travel contract: " +
+        "row-level UPDATE (q132) keeps replaced segment files on disk " +
+        "so VERSION AS OF still reads them; CALL " +
+        "graft_cat.system.vacuum('ns.t') — Spark 4's ProcedureCatalog, " +
+        "the API Iceberg's expire_snapshots rides — deletes every " +
+        "segment file the CURRENT manifest doesn't reference and " +
+        "resets history, under the commit lock so a concurrent " +
+        "append's just-published segment can't be swept. The gate " +
+        "proves vacuum is PURE physical reclamation: the post-vacuum " +
+        "aggregate hash-matches the same oracle as the pre-vacuum " +
+        "table (q132's CASE WHEN replay); DocStoreSpec pins the " +
+        "file-count drop and the history reset. Driver-side work is " +
+        "metadata-sized (manifest lines + a directory listing).",
+      Some("""
+        SELECT CASE WHEN doc_id BETWEEN 125 AND 249
+                    THEN lang || '+' ELSE lang END AS lang2,
+               COUNT(*) AS n_docs,
+               SUM(n_chars + CASE WHEN doc_id BETWEEN 125 AND 249
+                                  THEN 1 ELSE 0 END)::BIGINT AS chars,
+               MAX(doc_id) AS last_id
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_v")
+      sc.sql("UPDATE graft_cat_v.default.docs " +
+        "SET lang = concat(lang, '+'), n_chars = n_chars + 1 " +
+        "WHERE doc_id BETWEEN 125 AND 249")
+      // reclaim the UPDATE's retained pre-image; 1-row stats result
+      sc.sql("CALL graft_cat_v.system.vacuum('default.docs')").count()
+      sc.sql("""
+        SELECT lang AS lang2,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars,
+               MAX(doc_id) AS last_id
+        FROM graft_cat_v.default.docs
+        GROUP BY lang ORDER BY lang""")
     }
   )
 

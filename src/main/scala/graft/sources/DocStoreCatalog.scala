@@ -28,10 +28,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * covered segments drop from the manifest (then from disk), no row is
   * rewritten. A misaligned window refuses (`canDeleteWhere` = false)
   * rather than approximating — deletes must be exact. */
-class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
+class DocStoreCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
+
+  /** Procedure implementations resolve table dirs through this. */
+  private[sources] def rootDir: Path = root
+
+  /** `CALL <cat>.system.vacuum('ns.t')` / `...history('ns.t')` — the
+    * ProcedureCatalog face (see [[DocStoreProcedure]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (ident.namespace().toSeq, ident.name().toLowerCase) match {
+      case (Seq("system"), "vacuum") => new VacuumProcedure(this)
+      case (Seq("system"), "history") => new HistoryProcedure(this)
+      case _ => throw new RuntimeException(
+        s"no such docstore procedure: $ident (try system.vacuum / system.history)")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "vacuum"),
+        Identifier.of(namespace, "history"))
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

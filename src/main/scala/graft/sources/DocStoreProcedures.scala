@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Stored procedures for the docstore catalog — the `CALL
+  * cat.system.<proc>(...)` lifecycle surface (Spark 4's
+  * ProcedureCatalog, the API Iceberg's `rewrite_data_files` /
+  * `expire_snapshots` plug into):
+  *
+  *  - `vacuum(table)` — physically reclaim segment files no version
+  *    needs. DELETE / UPDATE / MERGE retain replaced files so
+  *    `VERSION AS OF` keeps working (the Delta remove-then-VACUUM
+  *    split); vacuum is the explicit, destructive second half: drop
+  *    unreferenced files, reset history to the current state. Without
+  *    it a heavily-updated table's directory grows without bound.
+  *  - `history(table)` — the version log as a queryable result set
+  *    (version, segments, rows, bytes, current), the metadata view
+  *    `DESCRIBE HISTORY` serves on Delta.
+  *
+  * Both run driver-side over metadata (manifest lines, file listing) —
+  * at 100 TB the work is proportional to file COUNT, never data bytes,
+  * and vacuum's delete set is computed under the commit lock so a
+  * concurrent append can't lose a just-published segment. */
+abstract class DocStoreProcedure extends UnboundProcedure with BoundProcedure {
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  protected def result(schema: StructType,
+      resultRows: Seq[InternalRow]): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = resultRows.toArray
+      override def readSchema(): StructType = schema
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  /** `ns.table` (or `ns1.ns2.table`) under the catalog root. */
+  protected def tableDir(catalog: DocStoreCatalog, arg: String): Path = {
+    val parts = arg.split("\\.").toSeq
+    require(parts.size >= 2,
+      s"expected '<namespace>.<table>', got '$arg'")
+    val dir = catalog.rootDir.resolve(parts.mkString("/"))
+    require(Files.exists(dir.resolve("MANIFEST")),
+      s"no docstore table at '$arg'")
+    dir
+  }
+}
+
+class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "physically delete segment files unreferenced by the current " +
+      "manifest and reset version history to the current state"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("deleted_files", LongType, nullable = false),
+    StructField("reclaimed_bytes", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    var files = 0L
+    var bytes = 0L
+    DocStoreCommitOps.withCommitLock(dir.toString) {
+      val live = DocStore.readManifest(dir.toString).map(_.name).toSet
+      val stream = Files.list(dir)
+      val dead =
+        try stream.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".gds") &&
+            !live(p.getFileName.toString))
+          .toVector
+        finally stream.close()
+      dead.foreach { p =>
+        bytes += Files.size(p)
+        Files.delete(p)
+        files += 1
+      }
+      // old versions reference the deleted files → reset history to a
+      // single snapshot of the current state (same rule as truncate)
+      DocStoreCommitOps.clearVersions(dir.toString)
+      Files.copy(dir.resolve("MANIFEST"), dir.resolve("MANIFEST.v1"))
+    }
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](files, bytes))))
+  }
+}
+
+class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "history"
+  override def description(): String =
+    "the table's version log: one row per retained manifest snapshot"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("n_segments", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val stream = Files.list(dir)
+    val versions =
+      try stream.iterator().asScala
+        .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
+          .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+        .toVector.sorted
+      finally stream.close()
+    val latest = versions.lastOption.getOrElse(0L)
+    val rows = versions.map { v =>
+      val segs = DocStore.readManifest(dir.toString, s"MANIFEST.v$v")
+      new GenericInternalRow(Array[Any](
+        v, segs.size.toLong, segs.map(_.rows).sum,
+        segs.map(_.bytes).sum, v == latest)): InternalRow
+    }
+    result(SCHEMA, rows)
+  }
+}

@@ -615,6 +615,56 @@ class DocStoreSpec extends SparkSpec {
       sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN bad DOUBLE") }
   }
 
+  test("CALL system.vacuum reclaims unreferenced files; system.history lists versions") {
+    val root = Files.createTempDirectory("docstore_proc").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.pcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.pcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("proc_src")
+    sc.sql("CREATE NAMESPACE pcat.ns")
+    sc.sql("CREATE TABLE pcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    (0 until 3).foreach(i => sc.sql("INSERT INTO pcat.ns.t " +
+      s"SELECT * FROM proc_src WHERE doc_id BETWEEN ${i * 100} AND ${i * 100 + 99}"))
+    sc.sql("UPDATE pcat.ns.t SET lang = 'zz' WHERE doc_id BETWEEN 100 AND 149")
+
+    // history: 4 versions (3 inserts + the UPDATE), latest flagged current
+    val hist = sc.sql("CALL pcat.system.history('ns.t')")
+      .collect().map(_.toSeq)
+    assert(hist.length == 4, hist.mkString("\n"))
+    assert(hist.count(_.last == true) == 1)
+    assert(hist.maxBy(_.head.asInstanceOf[Long]).last == true)
+
+    // the UPDATE retained its replaced segment on disk → vacuum finds it
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t")
+    def gdsFiles = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(tableDir)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".gds")).toVector.sorted
+      finally st.close()
+    }
+    val live = DocStore.readManifest(tableDir.toString).map(_.name).sorted
+    val preVacuum = gdsFiles
+    assert(preVacuum.size > live.size, "expected a retained replaced segment")
+
+    val vac = sc.sql("CALL pcat.system.vacuum('ns.t')").collect()(0)
+    assert(vac.getLong(0) == (preVacuum.size - live.size).toLong)
+    assert(vac.getLong(1) > 0)
+    assert(gdsFiles == live, "vacuum must leave exactly the live segments")
+    // table content untouched; history reset to one current version
+    assert(sc.sql("SELECT COUNT(*), COUNT(CASE WHEN lang='zz' THEN 1 END) " +
+      "FROM pcat.ns.t").collect()(0).toSeq == Seq(300L, 50L))
+    val hist2 = sc.sql("CALL pcat.system.history('ns.t')").collect()
+    assert(hist2.length == 1 && hist2(0).getBoolean(4))
+    // and VERSION AS OF the reset snapshot still reads
+    assert(sc.sql("SELECT COUNT(*) FROM pcat.ns.t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 300)
+  }
+
   test("nulls and empty strings survive the segment format") {
     val tmp = Files.createTempDirectory("docstore_nulls").toString
     import spark.implicits._
