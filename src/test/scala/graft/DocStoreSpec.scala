@@ -665,6 +665,23 @@ class DocStoreSpec extends SparkSpec {
       .collect()(0).getLong(0) == 300)
   }
 
+  test("_segment metadata column is selectable on plain reads, zero extra IO") {
+    val seg = store.select(col("_segment"), col("doc_id"))
+    val byFile = seg.groupBy("_segment").count().collect()
+    assert(byFile.length == 8, byFile.mkString(","))
+    assert(byFile.map(_.getLong(1)).sum == 500)
+    assert(byFile.forall(_.getString(0).endsWith(".gds")))
+    // the metadata column must not defeat section skipping: a
+    // (_segment, lang) projection still reads no text bytes
+    val plan = physical(store.select("_segment", "lang"))
+    val cols = "cols=\\[([^\\]]*)\\]".r.findFirstMatchIn(plan).get.group(1)
+    assert(!cols.contains("text"), plan)
+    // and rows from one segment agree with a doc_id-bounded read
+    val one = byFile.minBy(_.getString(0))
+    val viaMeta = store.where(col("_segment") === one.getString(0)).count()
+    assert(viaMeta == one.getLong(1))
+  }
+
   test("nulls and empty strings survive the segment format") {
     val tmp = Files.createTempDirectory("docstore_nulls").toString
     import spark.implicits._
