@@ -748,6 +748,46 @@ object IoOps {
                MAX(doc_id) AS last_id
         FROM graft_cat_v.default.docs
         GROUP BY lang ORDER BY lang""")
+    },
+
+    // ----------------------------------------- atomic CTAS / RTAS (staging)
+    Q("q136_catalog_ctas",
+      "CREATE TABLE AS SELECT and REPLACE TABLE AS SELECT through the " +
+        "StagingTableCatalog surface: the AS-SELECT write lands in a " +
+        "hidden staging directory via the normal commit protocol, and " +
+        "commit publishes atomically — CTAS by one directory rename, " +
+        "RTAS by moving segments in and swapping the manifest under " +
+        "the commit lock, so the OLD table stays readable for the " +
+        "entire query and a mid-write failure leaves it untouched " +
+        "(spec-pinned with a raise_error RTAS; the default non-staging " +
+        "path drops the old table before the query even runs). The " +
+        "gate derives a transformed snapshot by CTAS, replaces it by " +
+        "RTAS with a different filter+transform, and aggregates the " +
+        "final table — the oracle replays the RTAS content, proving " +
+        "the swap won and nothing of the CTAS generation leaked.",
+      Some("""
+        SELECT lang || '!' AS lang2,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               MAX(doc_id) AS last_id
+        FROM documents WHERE doc_id % 14 = 0
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_c")
+      sc.sql("""
+        CREATE TABLE graft_cat_c.default.sample AS
+        SELECT doc_id, n_chars, lang, source, text
+        FROM graft_cat_c.default.docs WHERE doc_id % 7 = 0""")
+      sc.sql("""
+        REPLACE TABLE graft_cat_c.default.sample AS
+        SELECT doc_id, n_chars, concat(lang, '!') AS lang, source, text
+        FROM graft_cat_c.default.docs WHERE doc_id % 14 = 0""")
+      sc.sql("""
+        SELECT lang AS lang2,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars,
+               MAX(doc_id) AS last_id
+        FROM graft_cat_c.default.sample
+        GROUP BY lang ORDER BY lang""")
     }
   )
 

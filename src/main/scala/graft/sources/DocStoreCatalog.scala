@@ -29,7 +29,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rewritten. A misaligned window refuses (`canDeleteWhere` = false)
   * rather than approximating — deletes must be exact. */
 class DocStoreCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+
+  import org.apache.spark.sql.connector.catalog.{StagedTable, TableInfo}
+
+  /** Atomic CTAS / RTAS: without a staging catalog Spark's REPLACE
+    * TABLE AS SELECT drops the old table BEFORE running the query — a
+    * mid-write failure loses it. Staged tables write into a hidden
+    * sibling directory; commit publishes by directory rename (create)
+    * or by moving segments in and atomically swapping the manifest
+    * under the commit lock (replace) — readers see the OLD table until
+    * the swap, the NEW one after, never a mix and never an absence. */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = false, orCreate = false)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = false)
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, info: TableInfo,
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    if (!replace && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !tableExists(ident))
+      throw new NoSuchTableException(ident)
+    val schema = info.schema()
+    DocStore.validateEvolved(schema) // base-5 prefix + nullable extras
+    val finalDir = dirOf(ident)
+    Files.createDirectories(finalDir.getParent)
+    val staging = Files.createTempDirectory(finalDir.getParent,
+      s".stg-ctas-${ident.name()}-")
+    Files.write(staging.resolve("MANIFEST"), Array.empty[Byte])
+    if (schema.fields.length > DocStore.FIELDS.size)
+      DocStore.writeSchemaFile(staging.toString, schema)
+    new DocStoreStagedTable(staging, finalDir)
+  }
 
   private var catalogName: String = _
   private var root: Path = _
@@ -194,6 +230,58 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     graft.core.Fs.deleteRecursively(p.toString)
     true
   }
+}
+
+/** A CTAS/RTAS table mid-stage: a fully functional docstore table over
+  * a hidden staging directory (the AS-SELECT write lands there through
+  * the normal commit protocol), promoted on [[commitStagedChanges]]:
+  *
+  *  - CREATE: one atomic directory rename puts the finished table at
+  *    its final path — it either exists completely or not at all;
+  *  - REPLACE: under the target's commit lock, staged segments move in
+  *    under fresh collision-free names, then ONE manifest rename swaps
+  *    the content (old-or-new for every reader — the old table was
+  *    readable during the entire query); the replaced files and the
+  *    version history they anchor are then dropped, as with truncate.
+  *
+  * [[abortStagedChanges]] deletes the staging directory; the target is
+  * untouched on any failure. */
+class DocStoreStagedTable(staging: Path, finalDir: Path)
+    extends DocStoreSqlTable(staging.toString)
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+
+  override def commitStagedChanges(): Unit =
+    if (!Files.exists(finalDir.resolve("MANIFEST"))) {
+      Files.createDirectories(finalDir.getParent)
+      Files.move(staging, finalDir, StandardCopyOption.ATOMIC_MOVE)
+    } else DocStoreCommitOps.withCommitLock(finalDir.toString) {
+      val old = DocStore.readManifest(finalDir.toString)
+      val next = DocStoreCommitOps.nextPartNumber(finalDir.toString)
+      val renamed = DocStore.readManifest(staging.toString)
+        .zipWithIndex.map { case (s, i) =>
+          val name = f"part-${next + i}%05d.gds"
+          Files.move(staging.resolve(s.name), finalDir.resolve(name),
+            StandardCopyOption.ATOMIC_MOVE)
+          s.copy(name = name)
+        }
+      // replace may change the evolved schema; base-5 means NO file
+      val stagedSchema = staging.resolve("SCHEMA")
+      if (Files.exists(stagedSchema))
+        Files.move(stagedSchema, finalDir.resolve("SCHEMA"),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      else Files.deleteIfExists(finalDir.resolve("SCHEMA"))
+      // old versions reference the replaced content → history reset,
+      // then the single publication point: the manifest rename
+      DocStoreCommitOps.clearVersions(finalDir.toString)
+      DocStoreCommitOps.writeManifest(finalDir.toString, renamed, "rtas")
+      old.filterNot(s => renamed.exists(_.name == s.name)).foreach(s =>
+        Files.deleteIfExists(finalDir.resolve(s.name)))
+      graft.core.Fs.deleteRecursively(staging)
+    }
+
+  override def abortStagedChanges(): Unit =
+    graft.core.Fs.deleteRecursively(staging)
 }
 
 /** Catalog-loaded docstore table: everything [[DocStoreTable]] does,

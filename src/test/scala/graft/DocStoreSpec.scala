@@ -682,6 +682,60 @@ class DocStoreSpec extends SparkSpec {
     assert(viaMeta == one.getLong(1))
   }
 
+  test("staged CTAS/RTAS: atomic publish; a failed REPLACE leaves the old table intact") {
+    val root = Files.createTempDirectory("docstore_ctas").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.scat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.scat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("ctas_src")
+    sc.sql("CREATE NAMESPACE scat.ns")
+
+    // CTAS: table appears complete (directory rename is the publish)
+    sc.sql("CREATE TABLE scat.ns.t AS SELECT * FROM ctas_src WHERE doc_id < 200")
+    assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM scat.ns.t")
+      .collect()(0).toSeq == Seq(200L, 199L))
+    // no staging litter after commit
+    import scala.jdk.CollectionConverters._
+    def stgDirs = {
+      val st = Files.list(java.nio.file.Paths.get(root, "ns"))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".stg-ctas")).toVector
+      finally st.close()
+    }
+    assert(stgDirs.isEmpty, stgDirs.mkString(","))
+
+    // RTAS: content swap with old-or-new visibility
+    sc.sql("REPLACE TABLE scat.ns.t AS SELECT * FROM ctas_src WHERE doc_id < 100")
+    assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM scat.ns.t")
+      .collect()(0).toSeq == Seq(100L, 99L))
+
+    // a REPLACE whose query FAILS mid-write must leave the old table
+    // untouched (the non-staging path would have dropped it first)
+    intercept[Exception] {
+      sc.sql("REPLACE TABLE scat.ns.t AS " +
+        "SELECT doc_id, n_chars, lang, source, " +
+        "CASE WHEN doc_id > 50 THEN raise_error('boom') ELSE text END AS text " +
+        "FROM ctas_src")
+    }
+    assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM scat.ns.t")
+      .collect()(0).toSeq == Seq(100L, 99L),
+      "failed RTAS must not disturb the old table")
+    assert(stgDirs.isEmpty, "failed RTAS must clean its staging dir")
+
+    // CTAS can carry an evolved schema from birth
+    sc.sql("CREATE TABLE scat.ns.scored AS " +
+      "SELECT doc_id, n_chars, lang, source, text, n_chars * 2 AS quality " +
+      "FROM ctas_src WHERE doc_id < 50")
+    assert(sc.sql("SELECT COUNT(*), SUM(quality) FROM scat.ns.scored")
+      .collect()(0).getLong(0) == 50)
+    // and a non-docstore-shaped CTAS refuses loudly
+    intercept[Exception] {
+      sc.sql("CREATE TABLE scat.ns.bad AS SELECT 1 AS x") }
+  }
+
   test("nulls and empty strings survive the segment format") {
     val tmp = Files.createTempDirectory("docstore_nulls").toString
     import spark.implicits._
