@@ -115,14 +115,59 @@ object DocStore {
     extra
   }
 
+  /** Canonical persisted form of an evolved schema: base columns take
+    * the format's fixed nullability and extras are coerced nullable —
+    * a CTAS whose computed column infers non-nullable (`doc_id * 2 AS
+    * q`) is stored as the nullable column it becomes once pre-CTAS
+    * history or later null INSERTs exist, instead of being refused
+    * (and a non-null base claim from a query plan must never mask the
+    * format's null sentinel). */
+  def coerceEvolved(schema: StructType): StructType = {
+    validateEvolved(StructType(schema.fields.take(FIELDS.size) ++
+      schema.fields.drop(FIELDS.size).map(_.copy(nullable = true))))
+    StructType(FIELDS ++
+      schema.fields.drop(FIELDS.size).map(_.copy(nullable = true)))
+  }
+
   def writeSchemaFile(path: String, schema: StructType): Unit = {
-    validateEvolved(schema)
+    val canonical = coerceEvolved(schema)
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val tmp = dir.resolve(".SCHEMA-tmp")
-    Files.writeString(tmp, schema.json)
+    Files.writeString(tmp, canonical.json)
     Files.move(tmp, dir.resolve("SCHEMA"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** ONE implementation of doc_id-bound tightening from a pushed
+    * Filter — previously triplicated (read-path builder, catalog
+    * windowOf, row-level builder) including the Long-extreme wrap
+    * guards, where a divergent copy is a correctness bug waiting.
+    * Returns the tightened (lo, hi) for the five comparison shapes,
+    * None for anything else (caller decides what unknown means:
+    * residual, refuse, or ignore). A strict bound at a Long extreme
+    * yields the explicit empty window (1, 0) — the ±1 would WRAP and
+    * silently turn the predicate into all-rows. */
+  def tightenDocIdBound(f: Filter, lo: Long, hi: Long): Option[(Long, Long)] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    f match {
+      case EqualTo("doc_id", v) =>
+        num(v).map(n => (math.max(lo, n), math.min(hi, n)))
+      case GreaterThan("doc_id", v) => num(v).map { n =>
+        if (n == Long.MaxValue) (1L, 0L) else (math.max(lo, n + 1), hi)
+      }
+      case GreaterThanOrEqual("doc_id", v) =>
+        num(v).map(n => (math.max(lo, n), hi))
+      case LessThan("doc_id", v) => num(v).map { n =>
+        if (n == Long.MinValue) (1L, 0L) else (lo, math.min(hi, n - 1))
+      }
+      case LessThanOrEqual("doc_id", v) =>
+        num(v).map(n => (lo, math.min(hi, n)))
+      case _ => None
+    }
   }
 
   final case class Segment(name: String, rows: Long, minId: Long,
@@ -371,8 +416,19 @@ object DocStoreCommitOps {
     * two sessions) both read the same `old` manifest and the second
     * publish clobbers the first — a lost update, not the old-or-new
     * guarantee the manifest rename provides against READERS (r7
-    * advice). `Files.createDirectory` is the atomic put-if-absent;
-    * a lock older than 30 s is presumed crashed and stolen. */
+    * advice). `Files.createDirectory` is the atomic put-if-absent.
+    *
+    * A lock older than the steal TTL is presumed crashed. The steal is
+    * by atomic RENAME to a unique tombstone, never delete-in-place:
+    * with delete, two waiters could both observe staleness, waiter A
+    * delete + recreate, and waiter B then delete A's FRESH lock — both
+    * inside the critical section at once, which is the exact lost
+    * update the lock exists to prevent. Only one renamer can win
+    * (the second move throws NoSuchFile and re-loops), and the winner
+    * still contends normally on createDirectory afterward. The TTL
+    * bounds how long a live-but-paused holder is protected — commit
+    * bodies here are metadata-sized (manifest lines + a few renames),
+    * orders of magnitude under it. */
   def withCommitLock[T](path: String)(body: => T): T = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
@@ -386,9 +442,13 @@ object DocStoreCommitOps {
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis
           catch { case _: Exception => 0L } // holder just released it
-          if (age > 30000) {
-            try Files.deleteIfExists(lock)
-            catch { case _: Exception => () } // racing steal is fine
+          if (age > 120000) {
+            try {
+              val tomb = dir.resolve(
+                s".COMMIT_LOCK.stale-${System.nanoTime()}")
+              Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+              graft.core.Fs.deleteRecursively(tomb)
+            } catch { case _: Exception => () } // lost the steal race
           } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"timed out waiting for docstore commit lock $lock")
@@ -612,40 +672,21 @@ class DocStoreScanBuilder(path: String,
   private var pushed = Array.empty[Filter]
   private var limit = Int.MaxValue
 
-  private def bound(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue())
-    case _ => None
-  }
-
-  /** The window is provably empty (`> Long.MaxValue` / `< Long.MinValue`
-    * strict bounds, whose ±1 would otherwise WRAP and silently turn the
-    * predicate into all-rows). (1, 0) is an empty non-default range, so
-    * the reader filters everything and the metadata-only aggregate path
-    * correctly declines. */
-  private def markEmpty(): Unit = { lo = 1L; hi = 0L }
-
-  /** Accept doc_id comparisons (they tighten [lo, hi] and are re-checked
-    * exactly per row) and IsNotNull(doc_id) (vacuous: the format stores
-    * doc_id as non-null fixed-64). Everything else is returned for Spark
-    * to evaluate post-scan. */
+  /** Accept doc_id comparisons (they tighten [lo, hi] via
+    * [[DocStore.tightenDocIdBound]] — incl. the Long-extreme wrap
+    * guards — and are re-checked exactly per row) and
+    * IsNotNull(doc_id) (vacuous: the format stores doc_id as non-null
+    * fixed-64). Everything else is returned for Spark to evaluate
+    * post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val residual = filters.filter {
-      case EqualTo("doc_id", v) if bound(v).isDefined =>
-        val n = bound(v).get; lo = math.max(lo, n); hi = math.min(hi, n); false
-      case GreaterThan("doc_id", v) if bound(v).isDefined =>
-        val n = bound(v).get
-        if (n == Long.MaxValue) markEmpty() else lo = math.max(lo, n + 1)
-        false
-      case GreaterThanOrEqual("doc_id", v) if bound(v).isDefined =>
-        lo = math.max(lo, bound(v).get); false
-      case LessThan("doc_id", v) if bound(v).isDefined =>
-        val n = bound(v).get
-        if (n == Long.MinValue) markEmpty() else hi = math.min(hi, n - 1)
-        false
-      case LessThanOrEqual("doc_id", v) if bound(v).isDefined =>
-        hi = math.min(hi, bound(v).get); false
-      case IsNotNull("doc_id") => false
-      case _ => true
+    val residual = filters.filter { f =>
+      DocStore.tightenDocIdBound(f, lo, hi) match {
+        case Some((l, h)) => lo = l; hi = h; false
+        case None => f match {
+          case IsNotNull("doc_id") => false
+          case _ => true
+        }
+      }
     }
     pushed = filters.diff(residual)
     residual

@@ -55,16 +55,34 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !tableExists(ident))
       throw new NoSuchTableException(ident)
-    val schema = info.schema()
-    DocStore.validateEvolved(schema) // base-5 prefix + nullable extras
+    // base-5 prefix; computed extras coerced nullable (CTAS columns
+    // like `doc_id * 2 AS q` infer non-nullable but store nullable)
+    val schema = DocStore.coerceEvolved(info.schema())
     val finalDir = dirOf(ident)
     Files.createDirectories(finalDir.getParent)
+    sweepStaleStaging(finalDir.getParent)
     val staging = Files.createTempDirectory(finalDir.getParent,
       s".stg-ctas-${ident.name()}-")
     Files.write(staging.resolve("MANIFEST"), Array.empty[Byte])
     if (schema.fields.length > DocStore.FIELDS.size)
       DocStore.writeSchemaFile(staging.toString, schema)
-    new DocStoreStagedTable(staging, finalDir)
+    new DocStoreStagedTable(staging, finalDir, replace)
+  }
+
+  /** Reclaim staging dirs a crashed CTAS left behind (only ones older
+    * than an hour — a LIVE concurrent CTAS's staging must survive;
+    * same policy as core.Scratch). */
+  private def sweepStaleStaging(ns: Path): Unit = {
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val stream = Files.list(ns)
+    try stream.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".stg-ctas-") &&
+        (try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: Exception => false }))
+      .toVector
+      .foreach(p => try graft.core.Fs.deleteRecursively(p)
+      catch { case _: Exception => () })
+    finally stream.close()
   }
 
   private var catalogName: String = _
@@ -102,7 +120,13 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
 
   private def dirOf(ident: Identifier): Path =
     (ident.namespace() :+ ident.name()).foldLeft(root)(_.resolve(_))
-  private def isTable(p: Path): Boolean = Files.exists(p.resolve("MANIFEST"))
+  /** Dot-prefixed dirs are internal (in-flight CTAS staging, lock
+    * tombstones) — they carry a MANIFEST but must never surface as
+    * tables: SHOW TABLES listing a half-written `.stg-ctas-*` would
+    * let it be SELECTed mid-write or DROPped under the running CTAS. */
+  private def isTable(p: Path): Boolean =
+    !p.getFileName.toString.startsWith(".") &&
+      Files.exists(p.resolve("MANIFEST"))
 
   override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
 
@@ -197,7 +221,8 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(): Array[Array[String]] = {
     val stream = Files.list(root)
     try stream.iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .filter(p => Files.isDirectory(p) && !isTable(p) &&
+        !p.getFileName.toString.startsWith("."))
       .map(p => Array(p.getFileName.toString)).toArray
     finally stream.close()
   }
@@ -246,7 +271,8 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
   *
   * [[abortStagedChanges]] deletes the staging directory; the target is
   * untouched on any failure. */
-class DocStoreStagedTable(staging: Path, finalDir: Path)
+class DocStoreStagedTable(staging: Path, finalDir: Path,
+    replaceIntent: Boolean)
     extends DocStoreSqlTable(staging.toString)
     with org.apache.spark.sql.connector.catalog.StagedTable {
 
@@ -254,6 +280,14 @@ class DocStoreStagedTable(staging: Path, finalDir: Path)
     if (!Files.exists(finalDir.resolve("MANIFEST"))) {
       Files.createDirectories(finalDir.getParent)
       Files.move(staging, finalDir, StandardCopyOption.ATOMIC_MOVE)
+    } else if (!replaceIntent) {
+      // CREATE intent but the target appeared while the query ran: a
+      // concurrent CREATE committed first. Taking the replace branch
+      // here would silently destroy their table — fail instead.
+      graft.core.Fs.deleteRecursively(staging)
+      throw new IllegalStateException(
+        s"table at $finalDir was created concurrently while this " +
+          "CREATE TABLE AS SELECT ran; the staged result was discarded")
     } else DocStoreCommitOps.withCommitLock(finalDir.toString) {
       val old = DocStore.readManifest(finalDir.toString)
       val next = DocStoreCommitOps.nextPartNumber(finalDir.toString)
@@ -308,28 +342,20 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
   }
 
   /** The delete window iff EVERY filter is expressible as doc_id
-    * bounds — all-or-nothing, unlike the scan's per-filter accept. */
+    * bounds (via the shared [[DocStore.tightenDocIdBound]]) —
+    * all-or-nothing, unlike the scan's per-filter accept. */
   private def windowOf(filters: Array[Filter]): Option[(Long, Long)] = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    val ok = filters.forall {
-      case EqualTo("doc_id", n: java.lang.Number) =>
-        lo = math.max(lo, n.longValue()); hi = math.min(hi, n.longValue()); true
-      case GreaterThan("doc_id", n: java.lang.Number) =>
-        if (n.longValue() == Long.MaxValue) { lo = 1; hi = 0 }
-        else lo = math.max(lo, n.longValue() + 1)
-        true
-      case GreaterThanOrEqual("doc_id", n: java.lang.Number) =>
-        lo = math.max(lo, n.longValue()); true
-      case LessThan("doc_id", n: java.lang.Number) =>
-        if (n.longValue() == Long.MinValue) { lo = 1; hi = 0 }
-        else hi = math.min(hi, n.longValue() - 1)
-        true
-      case LessThanOrEqual("doc_id", n: java.lang.Number) =>
-        hi = math.min(hi, n.longValue()); true
-      case IsNotNull("doc_id") => true
-      case _: AlwaysTrue => true
-      case _ => false
+    val ok = filters.forall { f =>
+      DocStore.tightenDocIdBound(f, lo, hi) match {
+        case Some((l, h)) => lo = l; hi = h; true
+        case None => f match {
+          case IsNotNull("doc_id") => true
+          case _: AlwaysTrue => true
+          case _ => false
+        }
+      }
     }
     if (ok) Some((lo, hi)) else None
   }

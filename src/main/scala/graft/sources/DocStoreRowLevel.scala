@@ -52,8 +52,9 @@ class DocStoreRowLevelOperation(path: String, cmd: Command)
 
   /** Segment names the scan planned — i.e. the groups being replaced.
     * Written by [[DocStoreRowLevelScan.planInputPartitions]] (driver),
-    * read by [[DocStoreReplaceDataWrite.commit]] (driver). */
-  @volatile private[sources] var scannedSegments: Seq[String] = Seq.empty
+    * read by [[DocStoreReplaceDataWrite.commit]] (driver).
+    * graft-visible so the conflict-detection spec can stage one. */
+  @volatile private[graft] var scannedSegments: Seq[String] = Seq.empty
 
   override def command(): Command = cmd
 
@@ -105,30 +106,15 @@ class DocStoreRowLevelScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  private def bound(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue())
-    case _ => None
-  }
-
-  /** Conservative [lo, hi] from top-level doc_id conjuncts; a strict
-    * bound at a Long extreme marks the window provably empty (the ±1
-    * would wrap — same guard as the read-path builder). Unrecognized
-    * filters narrow nothing (they might match anywhere). */
+  /** Conservative [lo, hi] from top-level doc_id conjuncts via the
+    * shared [[DocStore.tightenDocIdBound]] (incl. the Long-extreme
+    * wrap guards). Unrecognized filters narrow nothing (they might
+    * match anywhere). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    filters.foreach {
-      case EqualTo("doc_id", v) if bound(v).isDefined =>
-        val n = bound(v).get; lo = math.max(lo, n); hi = math.min(hi, n)
-      case GreaterThan("doc_id", v) if bound(v).isDefined =>
-        val n = bound(v).get
-        if (n == Long.MaxValue) { lo = 1; hi = 0 } else lo = math.max(lo, n + 1)
-      case GreaterThanOrEqual("doc_id", v) if bound(v).isDefined =>
-        lo = math.max(lo, bound(v).get)
-      case LessThan("doc_id", v) if bound(v).isDefined =>
-        val n = bound(v).get
-        if (n == Long.MinValue) { lo = 1; hi = 0 } else hi = math.min(hi, n - 1)
-      case LessThanOrEqual("doc_id", v) if bound(v).isDefined =>
-        hi = math.min(hi, bound(v).get)
-      case _ => ()
+    filters.foreach { f =>
+      DocStore.tightenDocIdBound(f, lo, hi).foreach { case (l, h) =>
+        lo = l; hi = h
+      }
     }
     filters // ALL residual: the rewrite plan re-evaluates the condition
   }
@@ -168,10 +154,15 @@ class DocStoreRowLevelScan(path: String, schema: StructType,
           case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
           case _ => false
         }
-        val ids = p.children().drop(1).collect {
+        // flatMap, not a partial match on the value: a non-numeric or
+        // null literal must DECLINE narrowing (ids falls short of the
+        // child count), never throw MatchError at planning time
+        val ids = p.children().drop(1).flatMap {
           case l: Literal[_] => l.value() match {
-            case n: java.lang.Number => n.longValue()
+            case n: java.lang.Number => Some(n.longValue())
+            case _ => None
           }
+          case _ => None
         }
         if (isDocId && ids.length == p.children().length - 1)
           runtimeSurviving = runtimeSurviving.filter(s =>
@@ -207,8 +198,23 @@ class DocStoreReplaceDataWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
       val replaced = op.scannedSegments.toSet
-      val keep = DocStoreCommitOps.existingManifest(path)
-        .filterNot(s => replaced(s.name))
+      val current = DocStoreCommitOps.existingManifest(path)
+      // write-conflict detection: the rewrite was computed FROM the
+      // scanned segments, so every one must still be live at commit.
+      // If a concurrent writer replaced or deleted one, committing
+      // anyway would resurrect its pre-image rows alongside the other
+      // writer's version (half-undoing their commit, duplicating
+      // rows). Fail loudly — the serializable-conflict behavior Delta
+      // gives as ConcurrentModificationException.
+      val gone = replaced -- current.map(_.name).toSet
+      if (gone.nonEmpty) {
+        DocStoreCommitOps.dropStaged(path, messages)
+        throw new IllegalStateException(
+          s"concurrent write conflict on $path: segment(s) " +
+            s"${gone.mkString(", ")} were rewritten or deleted after this " +
+            "row-level operation scanned them; retry the operation")
+      }
+      val keep = current.filterNot(s => replaced(s.name))
       val next = DocStoreCommitOps.nextPartNumber(path)
       DocStoreCommitOps.publish(path, messages, keep, queryId,
         i => f"part-${next + i}%05d.gds")

@@ -725,15 +725,54 @@ class DocStoreSpec extends SparkSpec {
       "failed RTAS must not disturb the old table")
     assert(stgDirs.isEmpty, "failed RTAS must clean its staging dir")
 
-    // CTAS can carry an evolved schema from birth
+    // CTAS can carry an evolved schema from birth — including a
+    // computed column Spark infers NON-nullable (doc_id * 2), which
+    // the catalog coerces to the nullable stored form instead of
+    // refusing (post-review fix)
     sc.sql("CREATE TABLE scat.ns.scored AS " +
-      "SELECT doc_id, n_chars, lang, source, text, n_chars * 2 AS quality " +
+      "SELECT doc_id, n_chars, lang, source, text, doc_id * 2 AS quality " +
       "FROM ctas_src WHERE doc_id < 50")
     assert(sc.sql("SELECT COUNT(*), SUM(quality) FROM scat.ns.scored")
       .collect()(0).getLong(0) == 50)
     // and a non-docstore-shaped CTAS refuses loudly
     intercept[Exception] {
       sc.sql("CREATE TABLE scat.ns.bad AS SELECT 1 AS x") }
+
+    // an in-flight (or crashed) CTAS staging dir carries a MANIFEST
+    // but must never surface as a table (post-review fix)
+    val phantom = java.nio.file.Paths.get(root, "ns", ".stg-ctas-phantom-1")
+    Files.createDirectories(phantom)
+    Files.write(phantom.resolve("MANIFEST"), Array.empty[Byte])
+    val listed = sc.sql("SHOW TABLES IN scat.ns")
+      .collect().map(_.getString(1)).toSet
+    assert(!listed.exists(_.startsWith(".stg")), listed.mkString(","))
+  }
+
+  test("row-level commit detects a concurrent rewrite of a scanned segment") {
+    // the rewrite was computed FROM the scanned segments; if another
+    // writer replaced one before our commit, committing anyway would
+    // resurrect its pre-image rows — must fail loudly (post-review fix)
+    val tableDir = Files.createTempDirectory("docstore_conflict").toString
+    docs.where(col("doc_id") < 100).coalesce(1)
+      .write.format("graft-docstore").mode("append")
+      .option("path", tableDir).save()
+    val op = new graft.sources.DocStoreRowLevelOperation(tableDir,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    op.scannedSegments = DocStore.readManifest(tableDir).map(_.name)
+    // simulate the concurrent winner: replace the table content so the
+    // scanned segment name is no longer live
+    docs.where(col("doc_id") < 50).coalesce(1)
+      .write.format("graft-docstore").mode("overwrite")
+      .option("path", tableDir).save()
+    val write = new graft.sources.DocStoreReplaceDataWrite(
+      tableDir, DocStore.SCHEMA, Array(0, 1, 2, 3, 4), "conflict-test", op)
+    val e = intercept[IllegalStateException] {
+      write.commit(Array.empty)
+    }
+    assert(e.getMessage.contains("concurrent write conflict"), e.getMessage)
+    // the concurrent winner's table is intact
+    assert(spark.read.format("graft-docstore").option("path", tableDir)
+      .load().count() == 50)
   }
 
   test("nulls and empty strings survive the segment format") {
