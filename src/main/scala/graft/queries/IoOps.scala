@@ -788,6 +788,48 @@ object IoOps {
                MAX(doc_id) AS last_id
         FROM graft_cat_c.default.sample
         GROUP BY lang ORDER BY lang""")
+    },
+
+    // ------------------------------------- merge-on-read (deletion vectors)
+    Q("q137_catalog_mor",
+      "The merge-on-read half of row-level operations (TBLPROPERTIES " +
+        "graft.rowlevel.mode = 'merge-on-read' — the per-table choice " +
+        "Delta/Iceberg expose): DELETE and UPDATE write POSITION " +
+        "deletion vectors (`D,<segment>,<pos>` manifest lines, " +
+        "published in the same atomic manifest rename as everything " +
+        "else and versioned for time travel) instead of rewriting " +
+        "segments — a 10-row DELETE against a 10 GB segment is 10 " +
+        "lines of metadata, the write-amplification fix for " +
+        "frequently-updated 100 TB tables. UPDATEs split into DV + " +
+        "reinsert (representUpdateAsDeleteAndInsert); readers " +
+        "binary-search the shipped per-segment vector and skip; " +
+        "metadata-only aggregates decline (manifest counts are " +
+        "pre-delete); compaction applies and purges the vectors " +
+        "(all spec-pinned). Oracle replays the DELETE as a WHERE and " +
+        "the UPDATE as arithmetic over the original parquet.",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars + CASE WHEN doc_id % 10 = 4
+                                  THEN 100 ELSE 0 END)::BIGINT AS chars,
+               COUNT(DISTINCT doc_id) AS n_ids
+        FROM documents WHERE doc_id % 10 <> 3
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_r")
+      sc.sql("""
+        CREATE TABLE graft_cat_r.default.mor
+        TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')
+        AS SELECT * FROM graft_cat_r.default.docs""")
+      sc.sql("DELETE FROM graft_cat_r.default.mor WHERE doc_id % 10 = 3")
+      sc.sql("UPDATE graft_cat_r.default.mor SET n_chars = n_chars + 100 " +
+        "WHERE doc_id % 10 = 4")
+      sc.sql("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars,
+               COUNT(DISTINCT doc_id) AS n_ids
+        FROM graft_cat_r.default.mor
+        GROUP BY lang ORDER BY lang""")
     }
   )
 

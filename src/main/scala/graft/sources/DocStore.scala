@@ -249,12 +249,33 @@ object DocStore {
     }
   }
 
+  /** Deletion-vector lines live IN the manifest, tagged `D,<segment>,
+    * <pos>` (position = absolute row ordinal in the segment): one
+    * atomic manifest rename publishes segments AND deletes together —
+    * a reader never sees new deletion vectors against an old segment
+    * list or vice versa — and `MANIFEST.v<n>` snapshots version them
+    * for time travel with zero extra machinery. This is the
+    * merge-on-read half of row-level operations (Iceberg v2 position
+    * deletes / Delta deletion vectors): a DELETE touching 10 rows of
+    * a 10 GB segment writes 10 manifest lines, not 10 GB. */
+  val DV_TAG = "D,"
+
   def readManifest(path: String, manifest: String = "MANIFEST"): Seq[Segment] =
     Files.readAllLines(Paths.get(path, manifest)).asScala.toSeq
-      .filter(_.nonEmpty).map { l =>
+      .filter(l => l.nonEmpty && !l.startsWith(DV_TAG)).map { l =>
         val p = l.split(",")
         Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong)
       }
+
+  /** Deleted positions per segment, sorted (readers binary-search). */
+  def readDeletes(path: String,
+      manifest: String = "MANIFEST"): Map[String, Array[Long]] =
+    Files.readAllLines(Paths.get(path, manifest)).asScala
+      .filter(_.startsWith(DV_TAG))
+      .map { l => val p = l.split(","); (p(1), p(2).toLong) }
+      .groupBy(_._1)
+      .map { case (seg, ps) =>
+        seg -> ps.map(_._2).distinct.sorted.toArray }
 }
 
 /** `spark.read.format("graft-docstore").option("path", lake)` entry. */
@@ -288,12 +309,26 @@ object SegmentMetadataColumn
   override def comment(): String = "source segment file of this row"
 }
 
+/** `_pos`: the row's absolute ordinal within its segment (pre-filter,
+  * stable for the segment's lifetime — segments are immutable once
+  * published). (_segment, _pos) is the table's physical row id: what
+  * merge-on-read deletion vectors reference and what the delta
+  * row-level operation declares as `rowId()`. */
+object PosMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val NAME = "_pos"
+  override def name(): String = NAME
+  override def dataType(): org.apache.spark.sql.types.DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "row ordinal within its segment"
+}
+
 class DocStoreTable(path: String, manifest: String = "MANIFEST")
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def metadataColumns():
       Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(SegmentMetadataColumn)
+    Array(SegmentMetadataColumn, PosMetadataColumn)
   override def name(): String =
     s"graft-docstore(`$path`)" +
       (if (manifest == "MANIFEST") "" else s"@$manifest")
@@ -372,7 +407,8 @@ object DocStoreCommitOps {
     * and fail loudly, see [[DocStoreMicroBatchStream]].) */
   def publish(path: String, messages: Array[WriterCommitMessage],
       keep: Seq[DocStore.Segment], manifestToken: String,
-      nameFor: Int => String): Seq[DocStore.Segment] = {
+      nameFor: Int => String,
+      deletes: Map[String, Array[Long]] = Map.empty): Seq[DocStore.Segment] = {
     val dir = Paths.get(path)
     val fresh = stagedOf(messages).filter { m =>
       if (m.rows > 0) true
@@ -389,7 +425,7 @@ object DocStoreCommitOps {
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
     }
-    writeManifest(path, keep ++ fresh, manifestToken)
+    writeManifest(path, keep ++ fresh, manifestToken, deletes)
     fresh
   }
 
@@ -463,12 +499,20 @@ object DocStoreCommitOps {
     * Versions are metadata-sized; segment files referenced by old
     * versions are retained by append/DELETE history (a truncate
     * OVERWRITE deletes replaced files and resets the history — see
-    * [[DocStoreBatchWrite.commit]]). */
+    * [[DocStoreBatchWrite.commit]]). `deletes` are the table's
+    * merge-on-read deletion vectors, published in the same atomic
+    * rename (entries for segments not in `segments` are dropped —
+    * a removed/rewritten segment's DVs die with it). */
   def writeManifest(path: String, segments: Seq[DocStore.Segment],
-      manifestToken: String): Long = {
+      manifestToken: String,
+      deletes: Map[String, Array[Long]] = Map.empty): Long = {
     val dir = Paths.get(path)
+    val live = segments.map(_.name).toSet
     val lines = segments.map(s =>
-      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}")
+      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}") ++
+      deletes.toSeq.filter(d => live(d._1)).sortBy(_._1).flatMap {
+        case (seg, ps) => ps.sorted.map(p => s"${DocStore.DV_TAG}$seg,$p")
+      }
     val tmpManifest = dir.resolve(s".MANIFEST-$manifestToken")
     Files.createDirectories(dir)
     Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
@@ -478,6 +522,11 @@ object DocStoreCommitOps {
     Files.copy(dir.resolve("MANIFEST"), dir.resolve(s"MANIFEST.v$v"))
     v
   }
+
+  def existingDeletes(path: String): Map[String, Array[Long]] =
+    if (Files.exists(Paths.get(path).resolve("MANIFEST")))
+      DocStore.readDeletes(path)
+    else Map.empty
 
   def nextVersion(path: String): Long = {
     val stream = Files.list(Paths.get(path))
@@ -517,6 +566,8 @@ class DocStoreBatchWrite(path: String, schema: StructType,
       // after our tasks ran is still in `keep` (no lost update)
       val old = DocStoreCommitOps.existingManifest(path)
       val keep = if (truncate) Seq.empty else old
+      val keepDv = if (truncate) Map.empty[String, Array[Long]]
+        else DocStoreCommitOps.existingDeletes(path)
       // deterministic final names: continue past every part number ON
       // DISK (a DELETE-retained file's name must never be reused)
       val next = DocStoreCommitOps.nextPartNumber(path)
@@ -524,7 +575,7 @@ class DocStoreBatchWrite(path: String, schema: StructType,
       if (truncate && Files.exists(Paths.get(path)))
         DocStoreCommitOps.clearVersions(path)
       val fresh = DocStoreCommitOps.publish(path, messages, keep, queryId,
-        i => f"part-${next + i}%05d.gds")
+        i => f"part-${next + i}%05d.gds", keepDv)
       // manifest is live; now drop the replaced segments
       if (truncate)
         old.filterNot(s => fresh.exists(_.name == s.name))
@@ -577,10 +628,12 @@ class DocStoreStreamingWrite(path: String, schema: StructType,
         DocStoreCommitOps.dropStaged(path, messages)
       } else {
         val keep = if (truncate) Seq.empty else old
+        val keepDv = if (truncate) Map.empty[String, Array[Long]]
+          else DocStoreCommitOps.existingDeletes(path)
         if (truncate && Files.exists(Paths.get(path)))
           DocStoreCommitOps.clearVersions(path) // history reset, as in batch
         val fresh = DocStoreCommitOps.publish(path, messages, keep,
-          s"$queryId-e$epochId", i => f"$prefix$i%05d.gds")
+          s"$queryId-e$epochId", i => f"$prefix$i%05d.gds", keepDv)
         if (truncate)
           old.filterNot(s => fresh.exists(_.name == s.name))
             .foreach(s => Files.deleteIfExists(Paths.get(path).resolve(s.name)))
@@ -707,17 +760,23 @@ class DocStoreScanBuilder(path: String,
       case _ => false
     }
 
+  private lazy val hasDeletes =
+    DocStore.readDeletes(path, manifest).nonEmpty
+
   /** COUNT(*) / MIN(doc_id) / MAX(doc_id) with no GROUP BY answer
     * EXACTLY from the manifest (rows and doc_id spans are recorded
     * per segment at write time) — zero segment IO, the metadata-only
-    * optimization a lakehouse log serves. Guard: only when NO doc_id
+    * optimization a lakehouse log serves. Guards: only when NO doc_id
     * bound was pushed — segment (min, max) are coarse under a residual
     * filter, and an inexact "complete" pushdown would return wrong
-    * numbers, so a filtered aggregate falls back to the reading scan. */
+    * numbers — and only when the table carries NO deletion vectors
+    * (manifest row counts are pre-delete; min/max doc_id could BE a
+    * deleted row), so either case falls back to the reading scan. */
   private def aggSupported(agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty &&
       lo == Long.MinValue && hi == Long.MaxValue &&
       limit == Int.MaxValue &&
+      !hasDeletes &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -741,7 +800,8 @@ class DocStoreScanBuilder(path: String,
       case None =>
         val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
         new DocStoreScan(path, schema, required, lo, hi, limit,
-          surviving, segments.size, maxSegmentsPerBatch)
+          surviving, segments.size, maxSegmentsPerBatch,
+          DocStore.readDeletes(path, manifest))
     }
   }
 }
@@ -797,7 +857,8 @@ class ManifestAggReaderFactory extends PartitionReaderFactory {
 class DocStoreScan(path: String, schema: StructType,
     required: StructType, lo: Long, hi: Long,
     limit: Int, surviving: Seq[DocStore.Segment], total: Int,
-    maxSegmentsPerBatch: Int = Int.MaxValue)
+    maxSegmentsPerBatch: Int = Int.MaxValue,
+    dvs: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -846,7 +907,7 @@ class DocStoreScan(path: String, schema: StructType,
     * indices, don't shift. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new DocStoreMicroBatchStream(path, schema, surviving, required, lo, hi,
-      maxSegmentsPerBatch)
+      maxSegmentsPerBatch, dvs)
 
   /** Shown in EXPLAIN — the audit surface DocStoreSpec asserts on. */
   override def description(): String =
@@ -858,20 +919,26 @@ class DocStoreScan(path: String, schema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     runtimeSurviving.map(s => DocStorePartition(
-      Paths.get(path, s.name).toString): InputPartition).toArray
+      Paths.get(path, s.name).toString,
+      dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(schema, required, lo, hi, limit)
 
   /** Post-prune totals from the manifest: the optimizer sees the pruned
     * scan's size, not the raw table's. Rows are pre-residual-filter
-    * (an upper bound — the standard zone-map estimate). */
+    * (an upper bound — the standard zone-map estimate) minus the
+    * segments' deletion-vector counts (exact: DVs remove rows
+    * unconditionally). */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(surviving.map(_.bytes).sum)
-    override def numRows(): OptionalLong =
-      OptionalLong.of(math.min(surviving.map(_.rows).sum,
+    override def numRows(): OptionalLong = {
+      val dvCount = surviving.map(s =>
+        dvs.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
+      OptionalLong.of(math.min(surviving.map(_.rows).sum - dvCount,
         if (limit == Int.MaxValue) Long.MaxValue else limit.toLong))
+    }
   }
 }
 
@@ -882,14 +949,20 @@ object DocStoreScan {
   @volatile var lastRuntimePlanned: Int = -1
 }
 
-final case class DocStorePartition(file: String) extends InputPartition
+/** `deleted`: the segment's sorted merge-on-read deletion-vector
+  * positions (empty for most segments) — shipped with the partition so
+  * executors never read table metadata. */
+final case class DocStorePartition(file: String,
+    deleted: Array[Long] = Array.empty) extends InputPartition
 
 class DocStoreReaderFactory(schema: StructType, required: StructType,
     lo: Long, hi: Long,
     limit: Int) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DocStoreReader(p.asInstanceOf[DocStorePartition].file, schema,
-      required, lo, hi, limit)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocStorePartition]
+    new DocStoreReader(part.file, schema, required, lo, hi, limit,
+      part.deleted)
+  }
 }
 
 /** Reads one segment: required sections are parsed, unrequired sections
@@ -902,7 +975,8 @@ class DocStoreReaderFactory(schema: StructType, required: StructType,
   * missing trailing columns read as null. */
 class DocStoreReader(file: String, schema: StructType,
     required: StructType, lo: Long, hi: Long,
-    limit: Int) extends PartitionReader[InternalRow] {
+    limit: Int, deleted: Array[Long] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   private val fieldIdx = schema.fieldNames.zipWithIndex.toMap
   private val needFilter = lo != Long.MinValue || hi != Long.MaxValue
@@ -970,16 +1044,23 @@ class DocStoreReader(file: String, schema: StructType,
         }
         c += 1
       }
-      // -1 = the _segment metadata column (no section backs it)
-      val outIdx = required.fieldNames.map(f => fieldIdx.getOrElse(f, -1))
+      // metadata sentinels: -1 = _segment, -2 = _pos (no section backs
+      // either; _pos is the ABSOLUTE ordinal i, assigned before any
+      // filtering so it stays stable under pushed bounds)
+      val outIdx = required.fieldNames.map { f =>
+        fieldIdx.getOrElse(f, if (f == PosMetadataColumn.NAME) -2 else -1)
+      }
       val segName = UTF8String.fromString(
         Paths.get(file).getFileName.toString)
       rows = (0 until n).iterator
+        .filter(i => deleted.isEmpty ||
+          java.util.Arrays.binarySearch(deleted, i.toLong) < 0)
         .filter(i => !needFilter ||
           (longs(0)(i) >= lo && longs(0)(i) <= hi))
         .map { i =>
           val vals = outIdx.map { ci =>
-            if (ci < 0) segName
+            if (ci == -2) i.toLong: Any
+            else if (ci < 0) segName
             else if (ci >= nSect) null // pre-evolution segment: null-pad
             else if (ci < 2) {
               val v = longs(ci)(i)
@@ -1029,7 +1110,8 @@ final case class DocStoreOffset(after: String) extends Offset {
   * immutable-once-published. */
 class DocStoreMicroBatchStream(path: String, schema: StructType,
     surviving: Seq[DocStore.Segment], required: StructType,
-    lo: Long, hi: Long, maxPerBatch: Int)
+    lo: Long, hi: Long, maxPerBatch: Int,
+    dvs: Map[String, Array[Long]] = Map.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -1096,7 +1178,8 @@ class DocStoreMicroBatchStream(path: String, schema: StructType,
     surviving
       .slice(idx(start), idx(end))
       .map(s => DocStorePartition(
-        Paths.get(path, s.name).toString): InputPartition).toArray
+        Paths.get(path, s.name).toString,
+        dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(schema, required, lo, hi, Int.MaxValue)

@@ -66,6 +66,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     Files.write(staging.resolve("MANIFEST"), Array.empty[Byte])
     if (schema.fields.length > DocStore.FIELDS.size)
       DocStore.writeSchemaFile(staging.toString, schema)
+    DocStoreCatalog.writeModeProp(staging, info.properties())
     new DocStoreStagedTable(staging, finalDir, replace)
   }
 
@@ -174,6 +175,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     Files.createDirectories(dir)
     Files.write(dir.resolve("MANIFEST"), Array.empty[Byte])
     if (extra.nonEmpty) DocStore.writeSchemaFile(dir.toString, schema)
+    DocStoreCatalog.writeModeProp(dir, properties)
     new DocStoreSqlTable(dir.toString)
   }
 
@@ -257,6 +259,33 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+object DocStoreCatalog {
+  /** Per-table row-level strategy (TBLPROPERTIES
+    * `'graft.rowlevel.mode' = 'copy-on-write' | 'merge-on-read'`) —
+    * the write-amplification vs read-amplification trade Delta/Iceberg
+    * expose per table. Persisted as a one-line `PROPS` file. */
+  val MODE_KEY = "graft.rowlevel.mode"
+  val MODE_COW = "copy-on-write"
+  val MODE_MOR = "merge-on-read"
+
+  private[sources] def writeModeProp(dir: Path,
+      properties: java.util.Map[String, String]): Unit =
+    Option(properties.get(MODE_KEY)).foreach { m =>
+      require(m == MODE_COW || m == MODE_MOR,
+        s"$MODE_KEY must be '$MODE_COW' or '$MODE_MOR', got '$m'")
+      Files.writeString(dir.resolve("PROPS"), s"$MODE_KEY=$m")
+    }
+
+  private[sources] def rowLevelMode(path: String): String = {
+    val p = Paths.get(path, "PROPS")
+    if (!Files.exists(p)) MODE_COW
+    else Files.readAllLines(p).asScala.collectFirst {
+      case l if l.startsWith(s"$MODE_KEY=") =>
+        l.substring(MODE_KEY.length + 1)
+    }.getOrElse(MODE_COW)
+  }
+}
+
 /** A CTAS/RTAS table mid-stage: a fully functional docstore table over
   * a hidden staging directory (the AS-SELECT write lands there through
   * the normal commit protocol), promoted on [[commitStagedChanges]]:
@@ -298,13 +327,16 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
             StandardCopyOption.ATOMIC_MOVE)
           s.copy(name = name)
         }
-      // replace may change the evolved schema; base-5 means NO file
-      val stagedSchema = staging.resolve("SCHEMA")
-      if (Files.exists(stagedSchema))
-        Files.move(stagedSchema, finalDir.resolve("SCHEMA"),
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      else Files.deleteIfExists(finalDir.resolve("SCHEMA"))
+      // replace may change the evolved schema or props; absence in the
+      // staged table means ABSENT in the result, not carried over
+      Seq("SCHEMA", "PROPS").foreach { f =>
+        val staged = staging.resolve(f)
+        if (Files.exists(staged))
+          Files.move(staged, finalDir.resolve(f),
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        else Files.deleteIfExists(finalDir.resolve(f))
+      }
       // old versions reference the replaced content → history reset,
       // then the single publication point: the manifest rename
       DocStoreCommitOps.clearVersions(finalDir.toString)
@@ -338,8 +370,15 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(manifest == "MANIFEST",
       s"cannot ${info.command()} a time-travel (VERSION AS OF) snapshot")
-    () => new DocStoreRowLevelOperation(path, info.command())
+    if (DocStoreCatalog.rowLevelMode(path) == DocStoreCatalog.MODE_MOR)
+      () => new DocStoreDeltaOperation(path, info.command())
+    else
+      () => new DocStoreRowLevelOperation(path, info.command())
   }
+
+  override def properties(): java.util.Map[String, String] =
+    java.util.Map.of(DocStoreCatalog.MODE_KEY,
+      DocStoreCatalog.rowLevelMode(path))
 
   /** The delete window iff EVERY filter is expressible as doc_id
     * bounds (via the shared [[DocStore.tightenDocIdBound]]) —
@@ -387,7 +426,8 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
         .filterNot(s => s.minId >= lo && s.maxId <= hi)
       require(keep.forall(s => s.maxId < lo || s.minId > hi),
         "delete window not segment-aligned; canDeleteWhere should have refused")
-      DocStoreCommitOps.writeManifest(path, keep, "delete")
+      DocStoreCommitOps.writeManifest(path, keep, "delete",
+        DocStoreCommitOps.existingDeletes(path))
     }
   }
 }

@@ -124,14 +124,15 @@ class DocStoreRowLevelScanBuilder(path: String,
     val segments = DocStore.readManifest(path)
     new DocStoreRowLevelScan(path, schema, required,
       segments.filter(s => s.maxId >= lo && s.minId <= hi),
-      segments.size, op)
+      segments.size, op, DocStore.readDeletes(path))
   }
 }
 
 class DocStoreRowLevelScan(path: String, schema: StructType,
     required: StructType,
     surviving: Seq[DocStore.Segment], total: Int,
-    op: DocStoreRowLevelOperation)
+    op: DocStoreRowLevelOperation,
+    dvs: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   @volatile private var runtimeSurviving: Seq[DocStore.Segment] = surviving
@@ -174,7 +175,8 @@ class DocStoreRowLevelScan(path: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     op.scannedSegments = runtimeSurviving.map(_.name)
     runtimeSurviving.map(s => DocStorePartition(
-      Paths.get(path, s.name).toString): InputPartition).toArray
+      Paths.get(path, s.name).toString,
+      dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -183,6 +185,211 @@ class DocStoreRowLevelScan(path: String, schema: StructType,
 
   override def description(): String =
     s"GraftDocStore row-level segments=${surviving.size}/$total (full rows)"
+}
+
+/** Merge-on-read row-level operations — the `SupportsDelta` face, the
+  * Iceberg-v2-position-delete / Delta-deletion-vector cost model:
+  * instead of rewriting every segment that HOLDS a matched row
+  * (copy-on-write), only the matched rows themselves move. DELETEs
+  * become deletion-vector entries (`D,<segment>,<pos>` manifest
+  * lines — a 10-row DELETE against a 10 GB segment writes 10 lines of
+  * metadata); UPDATEs split into a DV entry plus a reinsert into a
+  * fresh segment (`representUpdateAsDeleteAndInsert`); MERGE inserts
+  * append normally. The scan side is unchanged (group pruning narrows
+  * to segments holding matches; Spark's rewrite plan selects the
+  * matched rows and hands each to [[DocStoreDeltaWriter]] with its
+  * (_segment, _pos) row id). Reads pay an O(log |dv|) skip per row of
+  * affected segments until a compaction or copy-on-write pass purges
+  * the vectors — exactly the read-amplification trade Delta/Iceberg
+  * users choose per table via `graft.rowlevel.mode=merge-on-read`. */
+class DocStoreDeltaOperation(path: String, cmd: Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = cmd
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(SegmentMetadataColumn.NAME),
+    Expressions.column(PosMetadataColumn.NAME))
+
+  /** Updates arrive as delete + reinsert — one writer path, and the
+    * reinserted row lands in a fresh segment like any insert. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocStoreDeltaScanBuilder(path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    val schema = DocStore.tableSchema(path)
+    val in = info.schema()
+    val expect = schema.fields.map(f => f.name -> f.dataType).toMap
+    // a pure DELETE carries NO data rows — only rowIds — so its write
+    // schema is legitimately empty; anything else must match exactly
+    require(in.fields.isEmpty || (in.fields.length == expect.size &&
+      in.fields.forall(f => expect.get(f.name).contains(f.dataType))),
+      s"delta write schema must be ${schema.simpleString} (or empty " +
+        s"for delete-only), got ${in.simpleString}")
+    val order =
+      if (in.fields.isEmpty) Array.empty[Int]
+      else schema.fields.map(f => in.fieldIndex(f.name))
+    // rowId rows project (_segment, _pos) in rowId() declaration order
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new DocStoreDeltaBatchWrite(path, schema, order, info.queryId())
+        }
+    }
+  }
+
+  override def description(): String = s"GraftDocStore $cmd (merge-on-read)"
+}
+
+/** The delta scan: same group pruning and full-row semantics as the
+  * copy-on-write scan, WITHOUT recording scanned segments — the write
+  * references rows by id, so unscanned rows are simply untouched and
+  * nothing is replaced wholesale. */
+class DocStoreDeltaScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private val schema = DocStore.tableSchema(path)
+  private var required: StructType = schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach { f =>
+      DocStore.tightenDocIdBound(f, lo, hi).foreach { case (l, h) =>
+        lo = l; hi = h
+      }
+    }
+    filters // ALL residual, as in the copy-on-write scan
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = {
+    val segments = DocStore.readManifest(path)
+    val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
+    val dvs = DocStore.readDeletes(path)
+    new Scan with Batch {
+      override def readSchema(): StructType = required
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        surviving.map(s => DocStorePartition(
+          Paths.get(path, s.name).toString,
+          dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new DocStoreReaderFactory(schema, required,
+          Long.MinValue, Long.MaxValue, Int.MaxValue)
+      override def description(): String =
+        s"GraftDocStore delta segments=${surviving.size}/${segments.size}"
+    }
+  }
+}
+
+final case class DocStoreDeltaCommit(tmpName: String, rows: Long,
+    minId: Long, maxId: Long, bytes: Long,
+    deletes: Seq[(String, Long)]) extends WriterCommitMessage
+
+class DocStoreDeltaBatchWrite(path: String, schema: StructType,
+    order: Array[Int], queryId: String)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new DocStoreDeltaWriterFactory(path, schema, order, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    DocStoreCommitOps.withCommitLock(path) {
+      val commits = messages.collect { case m: DocStoreDeltaCommit => m }
+      val current = DocStoreCommitOps.existingManifest(path)
+      val live = current.map(_.name).toSet
+      // conflict check: every DV target segment must still be live —
+      // a concurrent rewrite of one means our positions reference a
+      // file no longer in the table (committing would corrupt nothing
+      // but silently DROP the delete), so fail loudly
+      val targets = commits.flatMap(_.deletes.map(_._1)).toSet
+      val gone = targets -- live
+      if (gone.nonEmpty) {
+        commits.foreach(m =>
+          Files.deleteIfExists(Paths.get(path).resolve(m.tmpName)))
+        throw new IllegalStateException(
+          s"concurrent write conflict on $path: segment(s) " +
+            s"${gone.mkString(", ")} were rewritten or deleted after this " +
+            "merge-on-read operation scanned them; retry the operation")
+      }
+      val merged = {
+        val all = DocStoreCommitOps.existingDeletes(path).toSeq
+          .flatMap { case (s, ps) => ps.map(s -> _) } ++
+          commits.flatMap(_.deletes)
+        all.distinct.groupBy(_._1)
+          .map { case (s, ps) => s -> ps.map(_._2).sorted.toArray }
+      }
+      val next = DocStoreCommitOps.nextPartNumber(path)
+      // publish() moves the insert segments in and the single manifest
+      // rename lands inserts + deletion vectors together
+      DocStoreCommitOps.publish(path,
+        messages.collect { case m: DocStoreDeltaCommit =>
+          DocStoreCommit(m.tmpName, m.rows, m.minId, m.maxId, m.bytes)
+            : WriterCommitMessage
+        },
+        current, queryId, i => f"part-${next + i}%05d.gds", merged)
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: DocStoreDeltaCommit => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(path).resolve(m.tmpName)))
+}
+
+class DocStoreDeltaWriterFactory(path: String, schema: StructType,
+    order: Array[Int], queryId: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new DocStoreDeltaWriter(path, schema, order, queryId, partitionId, taskId)
+}
+
+/** One task's delta: deletes accumulate as (segment, pos) pairs from
+  * the rowId projection; inserts stream into a fresh segment through
+  * the ordinary encoder. The task's commit message carries both, so
+  * the job commit can land them in one manifest publish. */
+class DocStoreDeltaWriter(path: String, schema: StructType,
+    order: Array[Int], queryId: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val inner =
+    new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId)
+  private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+  /** rowId layout follows [[DocStoreDeltaOperation.rowId]]:
+    * (_segment string, _pos long). */
+  private def recordDelete(id: InternalRow): Unit =
+    deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    recordDelete(id)
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    // not reached with representUpdateAsDeleteAndInsert = true, but
+    // the decomposition is the semantics either way
+    recordDelete(id)
+    inner.write(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val c = inner.commit().asInstanceOf[DocStoreCommit]
+    DocStoreDeltaCommit(c.tmpName, c.rows, c.minId, c.maxId, c.bytes,
+      deletes.toSeq)
+  }
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** Commit = swap the scanned segments for the rewritten ones, under
@@ -216,8 +423,11 @@ class DocStoreReplaceDataWrite(path: String, schema: StructType,
       }
       val keep = current.filterNot(s => replaced(s.name))
       val next = DocStoreCommitOps.nextPartNumber(path)
+      // kept segments keep their deletion vectors; the replaced
+      // segments' DVs die with them (the rewrite scan applied them)
       DocStoreCommitOps.publish(path, messages, keep, queryId,
-        i => f"part-${next + i}%05d.gds")
+        i => f"part-${next + i}%05d.gds",
+        DocStoreCommitOps.existingDeletes(path))
     }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

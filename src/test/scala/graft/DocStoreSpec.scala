@@ -748,6 +748,105 @@ class DocStoreSpec extends SparkSpec {
     assert(!listed.exists(_.startsWith(".stg")), listed.mkString(","))
   }
 
+  test("merge-on-read: DELETE/UPDATE write deletion vectors, zero segments rewritten") {
+    val root = Files.createTempDirectory("docstore_mor").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.mcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.mcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("mor_src")
+    sc.sql("CREATE NAMESPACE mcat.ns")
+    sc.sql("CREATE TABLE mcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    (0 until 4).foreach(i => sc.sql("INSERT INTO mcat.ns.t " +
+      s"SELECT * FROM mor_src WHERE doc_id BETWEEN ${i * 100} AND ${i * 100 + 99}"))
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t").toString
+    def names = DocStore.readManifest(tableDir).map(_.name)
+    def dvCount = DocStore.readDeletes(tableDir).values.map(_.length).sum
+    val before = names
+
+    // misaligned DELETE: under merge-on-read this is METADATA — the
+    // manifest gains DV lines, no segment file is rewritten
+    sc.sql("DELETE FROM mcat.ns.t WHERE doc_id BETWEEN 150 AND 159")
+    assert(names == before, "MoR DELETE must not rewrite segments")
+    assert(dvCount == 10, s"expected 10 DV entries, got $dvCount")
+    assert(sc.sql("SELECT COUNT(*) FROM mcat.ns.t").collect()(0).getLong(0) == 390)
+    assert(sc.sql("SELECT COUNT(*) FROM mcat.ns.t WHERE doc_id BETWEEN 150 AND 159")
+      .collect()(0).getLong(0) == 0)
+    // the pre-DELETE snapshot still reads the rows (DVs are versioned
+    // with the manifest)
+    assert(sc.sql("SELECT COUNT(*) FROM mcat.ns.t VERSION AS OF 4")
+      .collect()(0).getLong(0) == 400)
+
+    // UPDATE: DV on the old row position + reinsert into a new segment
+    sc.sql("UPDATE mcat.ns.t SET lang = 'mm' WHERE doc_id BETWEEN 200 AND 219")
+    assert(before.forall(names.contains),
+      "MoR UPDATE must keep every original segment")
+    assert(names.size == before.size + 1, s"$before -> $names")
+    assert(dvCount == 30)
+    assert(sc.sql("SELECT COUNT(*) FROM mcat.ns.t").collect()(0).getLong(0) == 390)
+    assert(sc.sql("SELECT COUNT(*) FROM mcat.ns.t WHERE lang = 'mm'")
+      .collect()(0).getLong(0) == 20)
+    // no duplicates: each updated doc_id appears exactly once
+    assert(sc.sql("SELECT COUNT(DISTINCT doc_id) FROM mcat.ns.t")
+      .collect()(0).getLong(0) == 390)
+
+    // MERGE: matched rows delete+reinsert, unmatched insert
+    sc.sql("SELECT doc_id, n_chars * 5 AS n_chars, lang, source, text " +
+      "FROM mor_src WHERE doc_id BETWEEN 0 AND 9 " +
+      "UNION ALL SELECT doc_id + 5000, n_chars, lang, source, text " +
+      "FROM mor_src WHERE doc_id BETWEEN 10 AND 19")
+      .createOrReplaceTempView("mor_merge_src")
+    sc.sql("""MERGE INTO mcat.ns.t t USING mor_merge_src s ON t.doc_id = s.doc_id
+              WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+              WHEN NOT MATCHED THEN INSERT *""")
+    assert(sc.sql("SELECT COUNT(*) FROM mcat.ns.t").collect()(0).getLong(0) == 400)
+    val merged = sc.sql(
+      "SELECT SUM(n_chars) FROM mcat.ns.t WHERE doc_id BETWEEN 0 AND 9")
+      .collect()(0).getLong(0)
+    val expect5x = sc.sql(
+      "SELECT SUM(n_chars) * 5 FROM mor_src WHERE doc_id BETWEEN 0 AND 9")
+      .collect()(0).getLong(0)
+    assert(merged == expect5x)
+
+    // metadata-only aggregates must DECLINE on a DV'd table (manifest
+    // counts are pre-delete) and fall back to the reading scan
+    val agg = sc.sql("SELECT COUNT(*), MIN(doc_id), MAX(doc_id) FROM mcat.ns.t")
+    assert(!agg.queryExecution.executedPlan.toString.contains("manifest-only"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.collect()(0).getLong(0) == 400)
+
+    // compaction (connector overwrite) applies and purges the DVs
+    sc.read.format("graft-docstore").option("path", tableDir).load()
+      .repartitionByRange(2, col("doc_id"))
+      .write.format("graft-docstore").mode("overwrite")
+      .option("path", tableDir).save()
+    assert(dvCount == 0, "compaction must purge deletion vectors")
+    assert(sc.sql("SELECT COUNT(*) FROM mcat.ns.t").collect()(0).getLong(0) == 400)
+    assert(sc.sql("SELECT COUNT(*) FROM mcat.ns.t WHERE doc_id BETWEEN 150 AND 159")
+      .collect()(0).getLong(0) == 0, "deleted rows must stay deleted")
+  }
+
+  test("_pos metadata column: absolute ordinals, stable under pushed bounds") {
+    val seg = store.where(col("doc_id") >= 100 && col("doc_id") <= 120)
+      .select("_segment", "_pos", "doc_id").collect()
+    assert(seg.length == 21)
+    // the lake is range-partitioned and sorted by doc_id, so positions
+    // within one segment must be consecutive ABSOLUTE ordinals even
+    // under the pushed bound (not renumbered from zero post-filter)
+    val bySeg = seg.groupBy(_.getString(0))
+    bySeg.values.foreach { rows =>
+      val ps = rows.map(_.getLong(1)).sorted
+      assert(ps.zip(ps.tail).forall { case (a, b) => b == a + 1 }, ps.toSeq)
+    }
+    val ids = store.select("_segment", "_pos", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ids.size == 500, "(_segment,_pos) must be a unique row id")
+  }
+
   test("row-level commit detects a concurrent rewrite of a scanned segment") {
     // the rewrite was computed FROM the scanned segments; if another
     // writer replaced one before our commit, committing anyway would
