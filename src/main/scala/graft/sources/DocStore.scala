@@ -260,22 +260,32 @@ object DocStore {
     * a 10 GB segment writes 10 manifest lines, not 10 GB. */
   val DV_TAG = "D,"
 
-  def readManifest(path: String, manifest: String = "MANIFEST"): Seq[Segment] =
-    Files.readAllLines(Paths.get(path, manifest)).asScala.toSeq
-      .filter(l => l.nonEmpty && !l.startsWith(DV_TAG)).map { l =>
-        val p = l.split(",")
-        Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong)
-      }
-
-  /** Deleted positions per segment, sorted (readers binary-search). */
-  def readDeletes(path: String,
-      manifest: String = "MANIFEST"): Map[String, Array[Long]] =
-    Files.readAllLines(Paths.get(path, manifest)).asScala
-      .filter(_.startsWith(DV_TAG))
+  /** One manifest read serving both consumers — scan planning needs
+    * segments AND deletion vectors, and re-reading a thousands-of-lines
+    * manifest per consumer would triple the planning IO. */
+  def readManifestAndDeletes(path: String, manifest: String = "MANIFEST")
+      : (Seq[Segment], Map[String, Array[Long]]) = {
+    val lines = Files.readAllLines(Paths.get(path, manifest)).asScala
+      .filter(_.nonEmpty)
+    val segs = lines.filterNot(_.startsWith(DV_TAG)).map { l =>
+      val p = l.split(",")
+      Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong)
+    }.toSeq
+    val dvs = lines.filter(_.startsWith(DV_TAG))
       .map { l => val p = l.split(","); (p(1), p(2).toLong) }
       .groupBy(_._1)
       .map { case (seg, ps) =>
         seg -> ps.map(_._2).distinct.sorted.toArray }
+    (segs, dvs)
+  }
+
+  def readManifest(path: String, manifest: String = "MANIFEST"): Seq[Segment] =
+    readManifestAndDeletes(path, manifest)._1
+
+  /** Deleted positions per segment, sorted (readers binary-search). */
+  def readDeletes(path: String,
+      manifest: String = "MANIFEST"): Map[String, Array[Long]] =
+    readManifestAndDeletes(path, manifest)._2
 }
 
 /** `spark.read.format("graft-docstore").option("path", lake)` entry. */
@@ -760,8 +770,11 @@ class DocStoreScanBuilder(path: String,
       case _ => false
     }
 
-  private lazy val hasDeletes =
-    DocStore.readDeletes(path, manifest).nonEmpty
+  /** One manifest read per planned scan, shared by the aggregate
+    * guard and build(). */
+  private lazy val manifestData =
+    DocStore.readManifestAndDeletes(path, manifest)
+  private def hasDeletes = manifestData._2.nonEmpty
 
   /** COUNT(*) / MIN(doc_id) / MAX(doc_id) with no GROUP BY answer
     * EXACTLY from the manifest (rows and doc_id spans are recorded
@@ -794,14 +807,13 @@ class DocStoreScanBuilder(path: String,
   }
 
   override def build(): Scan = {
-    val segments = DocStore.readManifest(path, manifest)
+    val (segments, dvs) = manifestData
     pushedAgg match {
       case Some(agg) => new ManifestAggScan(segments, agg)
       case None =>
         val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
         new DocStoreScan(path, schema, required, lo, hi, limit,
-          surviving, segments.size, maxSegmentsPerBatch,
-          DocStore.readDeletes(path, manifest))
+          surviving, segments.size, maxSegmentsPerBatch, dvs)
     }
   }
 }

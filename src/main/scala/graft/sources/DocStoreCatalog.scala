@@ -263,27 +263,47 @@ object DocStoreCatalog {
   /** Per-table row-level strategy (TBLPROPERTIES
     * `'graft.rowlevel.mode' = 'copy-on-write' | 'merge-on-read'`) —
     * the write-amplification vs read-amplification trade Delta/Iceberg
-    * expose per table. Persisted as a one-line `PROPS` file. */
+    * expose per table. ALL user table properties persist to the
+    * `PROPS` file (key=value per line; silently dropping unrecognized
+    * keys would make SHOW TBLPROPERTIES lie), with Spark's reserved
+    * keys (provider, location, owner, comment, external) excluded —
+    * they describe catalog plumbing, not table state. */
   val MODE_KEY = "graft.rowlevel.mode"
   val MODE_COW = "copy-on-write"
   val MODE_MOR = "merge-on-read"
 
+  private val RESERVED =
+    Set("provider", "location", "owner", "comment", "external")
+
   private[sources] def writeModeProp(dir: Path,
-      properties: java.util.Map[String, String]): Unit =
+      properties: java.util.Map[String, String]): Unit = {
     Option(properties.get(MODE_KEY)).foreach { m =>
       require(m == MODE_COW || m == MODE_MOR,
         s"$MODE_KEY must be '$MODE_COW' or '$MODE_MOR', got '$m'")
-      Files.writeString(dir.resolve("PROPS"), s"$MODE_KEY=$m")
     }
-
-  private[sources] def rowLevelMode(path: String): String = {
-    val p = Paths.get(path, "PROPS")
-    if (!Files.exists(p)) MODE_COW
-    else Files.readAllLines(p).asScala.collectFirst {
-      case l if l.startsWith(s"$MODE_KEY=") =>
-        l.substring(MODE_KEY.length + 1)
-    }.getOrElse(MODE_COW)
+    val persisted = properties.asScala.toSeq
+      .filterNot { case (k, _) => RESERVED(k) }
+      .sortBy(_._1)
+    require(persisted.forall { case (k, v) =>
+      !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
+      "docstore table property keys must not contain '=' or newlines")
+    if (persisted.nonEmpty)
+      Files.writeString(dir.resolve("PROPS"),
+        persisted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
   }
+
+  private[sources] def readProps(path: String): Map[String, String] = {
+    val p = Paths.get(path, "PROPS")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.contains("="))
+      .map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  private[sources] def rowLevelMode(path: String): String =
+    readProps(path).getOrElse(MODE_KEY, MODE_COW)
 }
 
 /** A CTAS/RTAS table mid-stage: a fully functional docstore table over
@@ -370,15 +390,22 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(manifest == "MANIFEST",
       s"cannot ${info.command()} a time-travel (VERSION AS OF) snapshot")
-    if (DocStoreCatalog.rowLevelMode(path) == DocStoreCatalog.MODE_MOR)
+    if (tblProps.getOrElse(DocStoreCatalog.MODE_KEY,
+        DocStoreCatalog.MODE_COW) == DocStoreCatalog.MODE_MOR)
       () => new DocStoreDeltaOperation(path, info.command())
     else
       () => new DocStoreRowLevelOperation(path, info.command())
   }
 
-  override def properties(): java.util.Map[String, String] =
-    java.util.Map.of(DocStoreCatalog.MODE_KEY,
-      DocStoreCatalog.rowLevelMode(path))
+  /** Cached per table load — Spark calls properties() repeatedly
+    * during analysis, and the PROPS file is immutable after create. */
+  private lazy val tblProps: Map[String, String] =
+    DocStoreCatalog.readProps(path)
+
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    tblProps.asJava
+  }
 
   /** The delete window iff EVERY filter is expressible as doc_id
     * bounds (via the shared [[DocStore.tightenDocIdBound]]) —

@@ -119,9 +119,14 @@ class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       finally stream.close()
     val latest = versions.lastOption.getOrElse(0L)
     val rows = versions.map { v =>
-      val segs = DocStore.readManifest(dir.toString, s"MANIFEST.v$v")
+      val (segs, dvs) =
+        DocStore.readManifestAndDeletes(dir.toString, s"MANIFEST.v$v")
+      // DV'd rows are deleted IN that version — a read of the version
+      // never returns them, so the log must not count them either
+      val dvCount = segs.map(s =>
+        dvs.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
       new GenericInternalRow(Array[Any](
-        v, segs.size.toLong, segs.map(_.rows).sum,
+        v, segs.size.toLong, segs.map(_.rows).sum - dvCount,
         segs.map(_.bytes).sum, v == latest)): InternalRow
     }
     result(SCHEMA, rows)

@@ -67,7 +67,7 @@ class DocStoreRowLevelOperation(path: String, cmd: Command)
     Array(Expressions.column(SegmentMetadataColumn.NAME))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreRowLevelScanBuilder(path, this)
+    new DocStoreRowLevelScanBuilder(path, Some(this))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = DocStore.tableSchema(path)
@@ -91,9 +91,13 @@ class DocStoreRowLevelOperation(path: String, cmd: Command)
 }
 
 /** Filters prune SEGMENTS only — everything is residual, no row is
-  * dropped (see the class doc of [[DocStoreRowLevelOperation]]). */
+  * dropped (see the class doc of [[DocStoreRowLevelOperation]]).
+  * Shared by BOTH row-level modes: copy-on-write passes its operation
+  * so the scan can record the replaced-group set; merge-on-read
+  * passes None (deltas reference rows by id — nothing is replaced
+  * wholesale, so there is no group set to record). */
 class DocStoreRowLevelScanBuilder(path: String,
-    op: DocStoreRowLevelOperation)
+    op: Option[DocStoreRowLevelOperation])
     extends ScanBuilder with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -121,17 +125,17 @@ class DocStoreRowLevelScanBuilder(path: String,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan = {
-    val segments = DocStore.readManifest(path)
+    val (segments, dvs) = DocStore.readManifestAndDeletes(path)
     new DocStoreRowLevelScan(path, schema, required,
       segments.filter(s => s.maxId >= lo && s.minId <= hi),
-      segments.size, op, DocStore.readDeletes(path))
+      segments.size, op, dvs)
   }
 }
 
 class DocStoreRowLevelScan(path: String, schema: StructType,
     required: StructType,
     surviving: Seq[DocStore.Segment], total: Int,
-    op: DocStoreRowLevelOperation,
+    op: Option[DocStoreRowLevelOperation],
     dvs: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
@@ -173,7 +177,7 @@ class DocStoreRowLevelScan(path: String, schema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    op.scannedSegments = runtimeSurviving.map(_.name)
+    op.foreach(_.scannedSegments = runtimeSurviving.map(_.name))
     runtimeSurviving.map(s => DocStorePartition(
       Paths.get(path, s.name).toString,
       dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
@@ -216,7 +220,7 @@ class DocStoreDeltaOperation(path: String, cmd: Command)
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreDeltaScanBuilder(path)
+    new DocStoreRowLevelScanBuilder(path, None)
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
@@ -245,52 +249,6 @@ class DocStoreDeltaOperation(path: String, cmd: Command)
   override def description(): String = s"GraftDocStore $cmd (merge-on-read)"
 }
 
-/** The delta scan: same group pruning and full-row semantics as the
-  * copy-on-write scan, WITHOUT recording scanned segments — the write
-  * references rows by id, so unscanned rows are simply untouched and
-  * nothing is replaced wholesale. */
-class DocStoreDeltaScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-
-  private var lo = Long.MinValue
-  private var hi = Long.MaxValue
-  private val schema = DocStore.tableSchema(path)
-  private var required: StructType = schema
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    filters.foreach { f =>
-      DocStore.tightenDocIdBound(f, lo, hi).foreach { case (l, h) =>
-        lo = l; hi = h
-      }
-    }
-    filters // ALL residual, as in the copy-on-write scan
-  }
-  override def pushedFilters(): Array[Filter] = Array.empty
-
-  override def build(): Scan = {
-    val segments = DocStore.readManifest(path)
-    val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
-    val dvs = DocStore.readDeletes(path)
-    new Scan with Batch {
-      override def readSchema(): StructType = required
-      override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        surviving.map(s => DocStorePartition(
-          Paths.get(path, s.name).toString,
-          dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
-      override def createReaderFactory(): PartitionReaderFactory =
-        new DocStoreReaderFactory(schema, required,
-          Long.MinValue, Long.MaxValue, Int.MaxValue)
-      override def description(): String =
-        s"GraftDocStore delta segments=${surviving.size}/${segments.size}"
-    }
-  }
-}
-
 final case class DocStoreDeltaCommit(tmpName: String, rows: Long,
     minId: Long, maxId: Long, bytes: Long,
     deletes: Seq[(String, Long)]) extends WriterCommitMessage
@@ -308,26 +266,39 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
       val commits = messages.collect { case m: DocStoreDeltaCommit => m }
       val current = DocStoreCommitOps.existingManifest(path)
       val live = current.map(_.name).toSet
-      // conflict check: every DV target segment must still be live —
+      def fail(reason: String): Nothing = {
+        commits.foreach(m =>
+          Files.deleteIfExists(Paths.get(path).resolve(m.tmpName)))
+        throw new IllegalStateException(
+          s"concurrent write conflict on $path: $reason; retry the operation")
+      }
+      // conflict check 1: every DV target segment must still be live —
       // a concurrent rewrite of one means our positions reference a
       // file no longer in the table (committing would corrupt nothing
       // but silently DROP the delete), so fail loudly
       val targets = commits.flatMap(_.deletes.map(_._1)).toSet
       val gone = targets -- live
-      if (gone.nonEmpty) {
-        commits.foreach(m =>
-          Files.deleteIfExists(Paths.get(path).resolve(m.tmpName)))
-        throw new IllegalStateException(
-          s"concurrent write conflict on $path: segment(s) " +
-            s"${gone.mkString(", ")} were rewritten or deleted after this " +
-            "merge-on-read operation scanned them; retry the operation")
+      if (gone.nonEmpty) fail(s"segment(s) ${gone.mkString(", ")} were " +
+        "rewritten or deleted after this merge-on-read operation scanned them")
+      // conflict check 2: none of our DV positions may ALREADY be
+      // deleted — our scan skipped DV'd rows, so an overlap means a
+      // concurrent op touched the same row after we scanned it.
+      // Committing anyway would duplicate the row (both reinserts land)
+      // or silently undo their DELETE with our reinsert.
+      val existing = DocStoreCommitOps.existingDeletes(path)
+      val ours = commits.flatMap(_.deletes)
+      val overlap = ours.filter { case (s, p) =>
+        existing.get(s).exists(a =>
+          java.util.Arrays.binarySearch(a, p) >= 0)
       }
+      if (overlap.nonEmpty) fail(
+        s"row(s) ${overlap.take(5).mkString(", ")} were deleted or " +
+          "updated by a concurrent operation after this one scanned them")
       val merged = {
-        val all = DocStoreCommitOps.existingDeletes(path).toSeq
-          .flatMap { case (s, ps) => ps.map(s -> _) } ++
-          commits.flatMap(_.deletes)
-        all.distinct.groupBy(_._1)
-          .map { case (s, ps) => s -> ps.map(_._2).sorted.toArray }
+        val all = existing.toSeq
+          .flatMap { case (s, ps) => ps.map(s -> _) } ++ ours
+        all.groupBy(_._1)
+          .map { case (s, ps) => s -> ps.map(_._2).distinct.sorted.toArray }
       }
       val next = DocStoreCommitOps.nextPartNumber(path)
       // publish() moves the insert segments in and the single manifest
