@@ -847,6 +847,29 @@ class DocStoreSpec extends SparkSpec {
     assert(ids.size == 500, "(_segment,_pos) must be a unique row id")
   }
 
+  test("merge-on-read commit detects a concurrent delete of the same row") {
+    // both ops scanned the same pre-state and target the same (segment,
+    // pos): the second commit must conflict, not duplicate/resurrect
+    val tableDir = Files.createTempDirectory("docstore_mor_conflict").toString
+    docs.where(col("doc_id") < 100).coalesce(1)
+      .write.format("graft-docstore").mode("append")
+      .option("path", tableDir).save()
+    val seg = DocStore.readManifest(tableDir).head.name
+    def deltaCommit(qid: String): Unit =
+      new graft.sources.DocStoreDeltaBatchWrite(
+        tableDir, DocStore.SCHEMA, Array(0, 1, 2, 3, 4), qid)
+        .commit(Array(graft.sources.DocStoreDeltaCommit(
+          s".stg-$qid", 0L, Long.MaxValue, Long.MinValue, 0L,
+          Seq((seg, 7L)))))
+    deltaCommit("mor-a") // first wins
+    val e = intercept[IllegalStateException] { deltaCommit("mor-b") }
+    assert(e.getMessage.contains("concurrent write conflict"), e.getMessage)
+    // first delete applied exactly once
+    assert(DocStore.readDeletes(tableDir)(seg).toSeq == Seq(7L))
+    assert(spark.read.format("graft-docstore").option("path", tableDir)
+      .load().count() == 99)
+  }
+
   test("row-level commit detects a concurrent rewrite of a scanned segment") {
     // the rewrite was computed FROM the scanned segments; if another
     // writer replaced one before our commit, committing anyway would
