@@ -132,6 +132,117 @@ object MultimodalOps {
       withCounts.groupBy(col("format"))
         .agg(bins.head, bins.tail: _*)
         .orderBy("format")
+    },
+
+    // ------------------------------------ REAL image codec (JDK ImageIO)
+    Q("q138_image_decode",
+      "A REAL image decode, not a stub: one 16×16 RGB PNG per document " +
+        "is synthesized on executors (pixel (x,y) of image d is a " +
+        "closed-form function of (d,x,y)), ENCODED with the JDK's own " +
+        "javax.imageio PNG writer, then DECODED back and reduced to " +
+        "exact per-channel integer sums. PNG is lossless, so the " +
+        "decoded sums must equal the closed form — which the oracle " +
+        "replays with generate_series arithmetic; a channel-order, " +
+        "row-stride, or signedness mistake in the decode breaks the " +
+        "hash immediately. Per-partition codec init, streamed rows " +
+        "(the mapInPandas batch shape), zero external libraries.",
+      Some("""
+        WITH px AS (
+          SELECT gx.x, gy.y
+          FROM generate_series(0, 15) AS gx(x)
+          CROSS JOIN generate_series(0, 15) AS gy(y)),
+        img AS (
+          SELECT d.doc_id,
+                 SUM((d.doc_id*31 + px.x*7  + px.y*13) % 256) AS r_sum,
+                 SUM((d.doc_id*17 + px.x*11 + px.y*3)  % 256) AS g_sum,
+                 SUM((d.doc_id*29 + px.x*5  + px.y*19) % 256) AS b_sum
+          FROM documents d CROSS JOIN px GROUP BY 1)
+        SELECT doc_id % 10 AS grp,
+               COUNT(*) AS n_imgs,
+               (COUNT(*) * 16)::BIGINT AS w_total,
+               SUM(r_sum)::BIGINT AS r_total,
+               SUM(g_sum)::BIGINT AS g_total,
+               SUM(b_sum)::BIGINT AS b_total
+        FROM img GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Multimodal.decodePngFeatures(Multimodal.syntheticPngs(s, dir)).toDF()
+        .groupBy((col("media_id") % 10).as("grp"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(col("width")).as("w_total"),
+          sum(col("r_sum")).as("r_total"),
+          sum(col("g_sum")).as("g_total"),
+          sum(col("b_sum")).as("b_total"))
+        .orderBy("grp")
+    },
+
+    // --------------------------- REAL image resize (decode → NN → re-encode)
+    Q("q139_image_resize",
+      "A REAL image resize: decode the PNG, nearest-neighbor resample " +
+        "16×16 → 8×8 (stride 2 — bit-deterministic, unlike Graphics2D " +
+        "interpolation), RE-ENCODE to PNG, then decode the RESIZED " +
+        "image and sum channels. The oracle replays the resample as " +
+        "the closed form at even coordinates — proof the output is a " +
+        "decodable image whose pixels are exactly the strided " +
+        "originals, i.e. the full decode→transform→encode loop a " +
+        "vision-training preprocessor runs per batch.",
+      Some("""
+        WITH px AS (
+          SELECT gx.x, gy.y
+          FROM generate_series(0, 7) AS gx(x)
+          CROSS JOIN generate_series(0, 7) AS gy(y)),
+        img AS (
+          SELECT d.doc_id,
+                 SUM((d.doc_id*31 + (px.x*2)*7  + (px.y*2)*13) % 256) AS r_sum,
+                 SUM((d.doc_id*17 + (px.x*2)*11 + (px.y*2)*3)  % 256) AS g_sum,
+                 SUM((d.doc_id*29 + (px.x*2)*5  + (px.y*2)*19) % 256) AS b_sum
+          FROM documents d CROSS JOIN px GROUP BY 1)
+        SELECT doc_id % 10 AS grp,
+               COUNT(*) AS n_imgs,
+               (COUNT(*) * 8)::BIGINT AS w_total,
+               SUM(r_sum)::BIGINT AS r_total,
+               SUM(g_sum)::BIGINT AS g_total,
+               SUM(b_sum)::BIGINT AS b_total
+        FROM img GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Multimodal.decodePngFeatures(
+        Multimodal.resizePngs(Multimodal.syntheticPngs(s, dir), 2)).toDF()
+        .groupBy((col("media_id") % 10).as("grp"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(col("width")).as("w_total"),
+          sum(col("r_sum")).as("r_total"),
+          sum(col("g_sum")).as("g_total"),
+          sum(col("b_sum")).as("b_total"))
+        .orderBy("grp")
+    },
+
+    // ----------------------------- REAL audio codec (javax.sound WAV)
+    Q("q140_audio_decode",
+      "A REAL audio decode: one 64-sample 8-bit unsigned PCM mono clip " +
+        "per document, written into RIFF/WAVE framing by the JDK's own " +
+        "javax.sound writer, parsed back through " +
+        "AudioSystem.getAudioInputStream, and reduced to exact integer " +
+        "amplitude features. The WAV container is lossless PCM, so " +
+        "decoded sums equal the closed-form samples the oracle " +
+        "replays — a header-offset or signedness mistake in the decode " +
+        "shifts every sum. Audio twin of q138.",
+      Some("""
+        WITH s AS (SELECT gi.i FROM generate_series(0, 63) AS gi(i)),
+        clip AS (
+          SELECT d.doc_id,
+                 SUM((d.doc_id*7 + s.i*11) % 256) AS sum_amp,
+                 MAX((d.doc_id*7 + s.i*11) % 256) AS peak
+          FROM documents d CROSS JOIN s GROUP BY 1)
+        SELECT doc_id % 10 AS grp,
+               COUNT(*) AS n_clips,
+               (COUNT(*) * 64)::BIGINT AS samples_total,
+               SUM(sum_amp)::BIGINT AS amp_total,
+               MAX(peak) AS max_peak
+        FROM clip GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Multimodal.decodeWavFeatures(Multimodal.syntheticWavs(s, dir)).toDF()
+        .groupBy((col("media_id") % 10).as("grp"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples")).as("samples_total"),
+          sum(col("sum_amp")).as("amp_total"),
+          max(col("peak")).cast("long").as("max_peak"))
+        .orderBy("grp")
     }
   )
 }
