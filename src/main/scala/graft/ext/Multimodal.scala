@@ -45,7 +45,7 @@ object Multimodal {
     * pick. Column pruning still works — a query touching only metadata
     * never deserializes `content`. */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = graft.core.Tables.documents(spark, dir)
     val fmtIdx = conv(substring(md5(col("text")), 1, 7), 16, 10)
       .cast("long") % Formats.length
     docs.select(
@@ -156,7 +156,7 @@ object Multimodal {
     * partition, streamed rows, never a collect). */
   def syntheticPngs(spark: SparkSession, dir: String): Dataset[Png] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.core.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ensureHeadless()
@@ -241,7 +241,7 @@ object Multimodal {
     * unsigned PCM — the JDK's own writer emits the RIFF framing). */
   def syntheticWavs(spark: SparkSession, dir: String): Dataset[Wav] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.core.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         // constructed INSIDE the partition: AudioFormat is not

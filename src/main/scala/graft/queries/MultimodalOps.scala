@@ -3,15 +3,18 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.ext.Multimodal
 
-/** Gate queries for the multimodal plumbing (graft.ext.Multimodal): the
-  * metadata/binary path and the frame-sampling path. The decode stage
-  * itself is a documented stub (no codec libs in-container) exercised by
-  * MultimodalSpec; these queries verify what IS real — binary columns,
-  * pruned metadata, byte slicing — against DuckDB.
+/** Gate queries for the multimodal plumbing (graft.ext.Multimodal), in
+  * two tiers matching the ext module: q41–q43/q59 exercise the binary
+  * columns / pruned metadata / byte slicing around the model-feature
+  * STUB (a learned model genuinely isn't in-container), while
+  * q138–q140 run REAL JDK codecs — ImageIO PNG encode→decode→resample
+  * and javax.sound WAV framing — oracle-exact because the synthesized
+  * media is closed-form and the codecs are lossless.
   *
-  * Oracle note: Spark slices the binary content by BYTES, the oracle
-  * slices the source string by CHARS then encodes — identical because
-  * `documents.text` is ASCII (enforced by the fixture generator).
+  * Oracle note for the byte-slicing gates: Spark slices the binary
+  * content by BYTES, the oracle slices the source string by CHARS then
+  * encodes — identical because `documents.text` is ASCII (enforced by
+  * the fixture generator).
   */
 object MultimodalOps {
 

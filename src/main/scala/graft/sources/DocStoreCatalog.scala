@@ -383,7 +383,33 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
 class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     extends DocStoreTable(path, manifest)
     with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: empty manifest published atomically under
+    * the commit lock, then every segment file deleted and history
+    * reset — the same destroy-content semantics as a truncating
+    * overwrite, minus the new data. Schema and properties survive
+    * (TRUNCATE empties a table, it doesn't redefine it). The file
+    * sweep covers EVERY `.gds` in the directory, not just the current
+    * manifest's: DELETE/UPDATE-retained files were referenced only by
+    * the version history this truncate destroys, so leaving them
+    * would orphan them forever (there is no other reclaimer). */
+  override def truncateTable(): Boolean = {
+    require(manifest == "MANIFEST",
+      "cannot TRUNCATE a time-travel (VERSION AS OF) snapshot")
+    DocStoreCommitOps.withCommitLock(path) {
+      DocStoreCommitOps.clearVersions(path)
+      DocStoreCommitOps.writeManifest(path, Seq.empty, "truncate-sql")
+      import scala.jdk.CollectionConverters._
+      val stream = Files.list(Paths.get(path))
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".gds"))
+        .toVector.foreach(Files.deleteIfExists(_))
+      finally stream.close()
+    }
+    true
+  }
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)

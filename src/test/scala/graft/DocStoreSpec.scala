@@ -358,6 +358,11 @@ class DocStoreSpec extends SparkSpec {
 
     sc.sql("ALTER TABLE tcat.ns1.t RENAME TO ns1.t2")
     assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 50)
+    // SQL TRUNCATE: content gone, table (and its schema) remains
+    sc.sql("TRUNCATE TABLE tcat.ns1.t2")
+    assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 0)
+    sc.sql("INSERT INTO tcat.ns1.t2 SELECT * FROM cat_src WHERE doc_id < 10")
+    assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 10)
     sc.sql("DROP TABLE tcat.ns1.t2")
     assert(sc.sql("SHOW TABLES IN tcat.ns1").collect().isEmpty)
   }
