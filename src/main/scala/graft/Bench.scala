@@ -138,7 +138,6 @@ object Bench {
     val sorted = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val (light, heavy) = sorted.partition(!graft.queries.Registry.heavy(_))
-    val names = light ++ heavy
 
     // Per-query warm-up ON THE TARGET SF DIR (JMH steady-state): a
     // query's first execution pays Janino compilation of its
@@ -151,12 +150,6 @@ object Bench {
     // 2.6 s steady-state). Warming on sfDir itself compiles exactly
     // the measured plan; the cost is one extra full execution.
     // Warm-up failures are ignored — the measured run reports them.
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-
     // Min-of-2 timed runs (r7 verdict item 2): min is robust to the
     // transient contention (GC wake, page-cache writeback from a
     // neighboring gate) that dominated r7's driver sweep — a one-off
@@ -167,15 +160,28 @@ object Bench {
       val err = runNoop(name)
       (if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9, err)
     }
-    val timed = names.map { name =>
-      val (s1, e1) = time1(name)
-      if (e1.isDefined) (name, -1.0, e1)
-      else {
-        val (s2, e2) = time1(name)
-        if (e2.isDefined) (name, -1.0, e2)
-        else (name, math.min(s1, s2), None)
+    // Each group warms AND times before the next begins: a single
+    // shared warm-up pass would end with the heavy gates' IO wake
+    // draining right into the first timed light queries — the exact
+    // contamination the heavy-last order exists to avoid.
+    def sweep(group: Seq[String]): Seq[(String, Double, Option[String])] = {
+      group.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
       }
-    }.sortBy(_._1) // report in name order regardless of sweep order
+      group.map { name =>
+        val (s1, e1) = time1(name)
+        if (e1.isDefined) (name, -1.0, e1)
+        else {
+          val (s2, e2) = time1(name)
+          if (e2.isDefined) (name, -1.0, e2)
+          else (name, math.min(s1, s2), None)
+        }
+      }
+    }
+    val timed = (sweep(light) ++ sweep(heavy))
+      .sortBy(_._1) // report in name order regardless of sweep order
     val (compact, verbose) = render(timed, sfDir)
     println(compact)
     System.err.println(verbose)

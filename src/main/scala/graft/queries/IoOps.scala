@@ -833,6 +833,17 @@ object IoOps {
     }
   )
 
+  /** Last live copy per gate: a bench sweep invokes each catalog gate
+    * three times (warm-up + two timed), and deferring every copy's
+    * reclamation to JVM exit would hold ~3× gates full-table copies in
+    * /tmp simultaneously. Deleting the SAME gate's previous copy at
+    * its next invocation bounds this at one live + one current per
+    * gate per JVM, while per-invocation unique paths keep the original
+    * concurrent-JVM hazard closed; the final copy still goes via
+    * deleteOnExit. */
+  private val lastCopy =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** Per-invocation private copy of the Scratch-built catalog fixture
     * (CREATE + 4 segment-aligned INSERTs of `documents`), registered
     * under `catName`: row-level gates consume their input state, so
@@ -860,6 +871,12 @@ object IoOps {
     }
     val base = java.nio.file.Files.createTempDirectory(catName)
     graft.core.Fs.deleteOnExit(base)
+    // reclaim this gate's PREVIOUS copy now (its lazy result frame is
+    // invalidated by this new invocation anyway — same contract the
+    // old fixed-path scheme had, minus its concurrency hazard)
+    Option(lastCopy.put(catName, base)).foreach(prev =>
+      try graft.core.Fs.deleteRecursively(prev)
+      catch { case _: Exception => () })
     val root = base.resolve("root").toString
     graft.core.Fs.copyRecursively(
       java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(root))

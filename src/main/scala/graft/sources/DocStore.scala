@@ -471,15 +471,25 @@ object DocStoreCommitOps {
     * inside the critical section at once, which is the exact lost
     * update the lock exists to prevent. Only one renamer can win
     * (the second move throws NoSuchFile and re-loops), and the winner
-    * still contends normally on createDirectory afterward. The TTL
-    * bounds how long a live-but-paused holder is protected — commit
-    * bodies here are metadata-sized (manifest lines + a few renames),
-    * orders of magnitude under it. */
+    * still contends normally on createDirectory afterward.
+    *
+    * Timeout ordering is deliberate: the WAITER deadline exceeds the
+    * steal TTL, so a waiter always reaches the steal branch for a
+    * crashed holder instead of spuriously timing out first, and a
+    * merely-SLOW live holder (big vacuum, GC stall) is protected for
+    * the full TTL — ten minutes, orders of magnitude above any commit
+    * body here (metadata lines + file renames/deletes). A holder alive
+    * past the TTL would be stolen from (known limitation: the lock
+    * mtime is set once, not heartbeat-refreshed); the TTL is sized so
+    * that means a dead JVM in practice. */
+  val LOCK_STEAL_TTL_MS = 600000L // 10 min: presumed-crashed threshold
+  val LOCK_WAIT_MS = 660000L // waiter outlives the TTL by design
+
   def withCommitLock[T](path: String)(body: => T): T = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val lock = dir.resolve(".COMMIT_LOCK")
-    val deadline = System.currentTimeMillis() + 60000
+    val deadline = System.currentTimeMillis() + LOCK_WAIT_MS
     var held = false
     while (!held) {
       try { Files.createDirectory(lock); held = true }
@@ -488,7 +498,7 @@ object DocStoreCommitOps {
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis
           catch { case _: Exception => 0L } // holder just released it
-          if (age > 120000) {
+          if (age > LOCK_STEAL_TTL_MS) {
             try {
               val tomb = dir.resolve(
                 s".COMMIT_LOCK.stale-${System.nanoTime()}")
@@ -572,12 +582,15 @@ class DocStoreBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
-      // manifest is read INSIDE the lock: a concurrent append committed
-      // after our tasks ran is still in `keep` (no lost update)
-      val old = DocStoreCommitOps.existingManifest(path)
+      // manifest is read INSIDE the lock (one parse serves segments
+      // and deletes): a concurrent append committed after our tasks
+      // ran is still in `keep` (no lost update)
+      val (old, dvs) =
+        if (Files.exists(Paths.get(path).resolve("MANIFEST")))
+          DocStore.readManifestAndDeletes(path)
+        else (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
       val keep = if (truncate) Seq.empty else old
-      val keepDv = if (truncate) Map.empty[String, Array[Long]]
-        else DocStoreCommitOps.existingDeletes(path)
+      val keepDv = if (truncate) Map.empty[String, Array[Long]] else dvs
       // deterministic final names: continue past every part number ON
       // DISK (a DELETE-retained file's name must never be reused)
       val next = DocStoreCommitOps.nextPartNumber(path)
@@ -631,15 +644,30 @@ class DocStoreStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
-      val old = DocStoreCommitOps.existingManifest(path)
+      val (old, dvs) =
+        if (Files.exists(Paths.get(path).resolve("MANIFEST")))
+          DocStore.readManifestAndDeletes(path)
+        else (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
       val prefix = s"part-q$qid8-e$epochId-"
-      if (old.exists(_.name.startsWith(prefix))) {
+      // Replay detection consults the manifest AND the disk: a
+      // metadata DELETE can drop this epoch's manifest entries while
+      // retaining the files, and a replayed commit must still be
+      // recognized as already-applied — re-publishing would collide
+      // with the retained names and brick the stream on every restart.
+      // Final names carry (query, epoch), so a matching FILE proves
+      // the epoch committed once, wherever its manifest entries went.
+      def onDisk: Boolean = {
+        val stream = Files.list(Paths.get(path))
+        try stream.iterator().asScala
+          .exists(_.getFileName.toString.startsWith(prefix))
+        finally stream.close()
+      }
+      if (old.exists(_.name.startsWith(prefix)) || onDisk) {
         // replayed epoch — already applied; idempotent skip
         DocStoreCommitOps.dropStaged(path, messages)
       } else {
         val keep = if (truncate) Seq.empty else old
-        val keepDv = if (truncate) Map.empty[String, Array[Long]]
-          else DocStoreCommitOps.existingDeletes(path)
+        val keepDv = if (truncate) Map.empty[String, Array[Long]] else dvs
         if (truncate && Files.exists(Paths.get(path)))
           DocStoreCommitOps.clearVersions(path) // history reset, as in batch
         val fresh = DocStoreCommitOps.publish(path, messages, keep,

@@ -188,21 +188,28 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
-    val cur = DocStore.tableSchema(dir)
-    val evolved = changes.foldLeft(cur) {
-      case (s, add: TableChange.AddColumn) =>
-        require(add.fieldNames.length == 1,
-          "docstore columns cannot be nested")
-        require(add.position() == null,
-          "docstore ADD COLUMN appends at the end (no FIRST/AFTER)")
-        require(!s.fieldNames.contains(add.fieldNames()(0)),
-          s"column ${add.fieldNames()(0)} already exists")
-        s.add(StructField(add.fieldNames()(0), add.dataType(),
-          nullable = true))
-      case (_, ch) => throw new UnsupportedOperationException(
-        s"docstore tables support only ADD COLUMN, got $ch")
+    // read-modify-write of the SCHEMA file under the commit lock:
+    // two concurrent ADD COLUMNs would otherwise both read the same
+    // base and the loser's column would silently vanish — worse than
+    // lost DDL, because positional identity would then decode its
+    // already-written sections under the survivor's name
+    DocStoreCommitOps.withCommitLock(dir) {
+      val cur = DocStore.tableSchema(dir)
+      val evolved = changes.foldLeft(cur) {
+        case (s, add: TableChange.AddColumn) =>
+          require(add.fieldNames.length == 1,
+            "docstore columns cannot be nested")
+          require(add.position() == null,
+            "docstore ADD COLUMN appends at the end (no FIRST/AFTER)")
+          require(!s.fieldNames.contains(add.fieldNames()(0)),
+            s"column ${add.fieldNames()(0)} already exists")
+          s.add(StructField(add.fieldNames()(0), add.dataType(),
+            nullable = true))
+        case (_, ch) => throw new UnsupportedOperationException(
+          s"docstore tables support only ADD COLUMN, got $ch")
+      }
+      DocStore.writeSchemaFile(dir, evolved) // validates LONG/STRING+nullable
     }
-    DocStore.writeSchemaFile(dir, evolved) // validates LONG/STRING+nullable
     new DocStoreSqlTable(dir)
   }
 
@@ -475,12 +482,11 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     val (lo, hi) = windowOf(filters).getOrElse(
       throw new IllegalStateException("deleteWhere without canDeleteWhere"))
     DocStoreCommitOps.withCommitLock(path) {
-      val keep = DocStore.readManifest(path)
-        .filterNot(s => s.minId >= lo && s.maxId <= hi)
+      val (segments, dvs) = DocStore.readManifestAndDeletes(path)
+      val keep = segments.filterNot(s => s.minId >= lo && s.maxId <= hi)
       require(keep.forall(s => s.maxId < lo || s.minId > hi),
         "delete window not segment-aligned; canDeleteWhere should have refused")
-      DocStoreCommitOps.writeManifest(path, keep, "delete",
-        DocStoreCommitOps.existingDeletes(path))
+      DocStoreCommitOps.writeManifest(path, keep, "delete", dvs)
     }
   }
 }

@@ -264,7 +264,7 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
       val commits = messages.collect { case m: DocStoreDeltaCommit => m }
-      val current = DocStoreCommitOps.existingManifest(path)
+      val (current, existing) = DocStore.readManifestAndDeletes(path)
       val live = current.map(_.name).toSet
       def fail(reason: String): Nothing = {
         commits.foreach(m =>
@@ -285,7 +285,6 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
       // concurrent op touched the same row after we scanned it.
       // Committing anyway would duplicate the row (both reinserts land)
       // or silently undo their DELETE with our reinsert.
-      val existing = DocStoreCommitOps.existingDeletes(path)
       val ours = commits.flatMap(_.deletes)
       val overlap = ours.filter { case (s, p) =>
         existing.get(s).exists(a =>
@@ -376,7 +375,7 @@ class DocStoreReplaceDataWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
       val replaced = op.scannedSegments.toSet
-      val current = DocStoreCommitOps.existingManifest(path)
+      val (current, dvs) = DocStore.readManifestAndDeletes(path)
       // write-conflict detection: the rewrite was computed FROM the
       // scanned segments, so every one must still be live at commit.
       // If a concurrent writer replaced or deleted one, committing
@@ -397,8 +396,7 @@ class DocStoreReplaceDataWrite(path: String, schema: StructType,
       // kept segments keep their deletion vectors; the replaced
       // segments' DVs die with them (the rewrite scan applied them)
       DocStoreCommitOps.publish(path, messages, keep, queryId,
-        i => f"part-${next + i}%05d.gds",
-        DocStoreCommitOps.existingDeletes(path))
+        i => f"part-${next + i}%05d.gds", dvs)
     }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

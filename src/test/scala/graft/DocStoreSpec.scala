@@ -427,6 +427,18 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE doc_id BETWEEN 350 AND 359")
       .collect()(0).getLong(0) == 0)
 
+    // NON-doc_id predicate: no group pruning possible (every segment
+    // flows through the rewrite) — rows matching the predicate go,
+    // every unmatched row of every segment must be copied through
+    val preLang = sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE lang = 'xx'")
+      .collect()(0).getLong(0)
+    assert(preLang == 50) // from the UPDATE above
+    sc.sql("DELETE FROM rcat.ns.t WHERE lang = 'xx'")
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE lang = 'xx'")
+      .collect()(0).getLong(0) == 0)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").collect()(0).getLong(0) == 350,
+      "unmatched rows of fully-rewritten segments must survive")
+
     // aligned DELETE still takes the metadata-only fast path: on a
     // fresh two-segment table (UPDATE/MERGE above leave segments whose
     // spans no longer align with round windows), the manifest shrinks
