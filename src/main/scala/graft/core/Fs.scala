@@ -51,9 +51,17 @@ object Fs {
   /** Delete `dir` when the JVM exits — for scratch a gate's RESULT
     * DataFrame still lazily reads (deleting eagerly would break a later
     * action on the returned plan; File.deleteOnExit can't do recursive
-    * directories). Hooks accumulate per registration, so callers should
-    * register once per invocation-scoped temp dir, not in loops. */
-  def deleteOnExit(dir: Path): Unit =
+    * directories). ONE static shutdown hook drains a concurrent set of
+    * registered paths — per-call hooks would grow the JVM's hook table
+    * without bound in a long-lived session invoking gates repeatedly. */
+  private val exitPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private lazy val exitHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try deleteRecursively(dir) catch { case _: Exception => () }))
+      exitPaths.forEach(p =>
+        try deleteRecursively(p) catch { case _: Exception => () })))
+
+  def deleteOnExit(dir: Path): Unit = {
+    exitHook
+    exitPaths.add(dir)
+  }
 }

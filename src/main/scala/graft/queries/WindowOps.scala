@@ -578,8 +578,17 @@ object WindowOps {
         "key) must equal the one-shot batch GROUP BY the oracle runs " +
         "— stream == batch for the v2 state API. AvailableNow makes " +
         "the batch boundary explicit and completion awaited by query " +
-        "termination (the earlier two-processAllAvailable memory-sink " +
-        "drive was scheduling-dependent under load: r7's one red row).",
+        "termination; all state-store providers are force-unloaded " +
+        "between the runs so run 2 MUST restore RocksDB state from the " +
+        "checkpoint (a cached in-JVM provider would test less than a " +
+        "real restart). The gate is self-diagnosing: it re-aggregates " +
+        "the same input as a one-shot batch GROUP BY and, on ANY " +
+        "per-user disagreement with the streamed reduction, throws a " +
+        "bounded payload naming the divergent users, the direction " +
+        "(under-drain / double-count / max-of-partials) and each sink " +
+        "emission's run + per-batch delta — a silent hash mismatch in " +
+        "an environment this gate can't see becomes an actionable " +
+        "error instead.",
       Some(s"""
         SELECT user_id,
                COUNT(*) AS n_events,
@@ -606,11 +615,11 @@ object WindowOps {
       // then TERMINATE. awaitTermination (not processAllAvailable) is the
       // completion signal, so correctness no longer depends on micro-batch
       // scheduling being quiet — the batch boundary IS the run boundary.
-      def run(): Unit = {
+      def run(tag: String): Unit = {
         val q = sc.readStream.schema(ev.schema).parquet(srcDir)
           .select("user_id", "event_type", "cents").as[UserEvent]
           .groupByKey(_.user_id)
-          .transformWithState(new UserTotalsProcessor,
+          .transformWithState(new UserTotalsProcessor(tag),
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Append())
           .writeStream.format("parquet").option("path", outDir)
@@ -619,17 +628,73 @@ object WindowOps {
           .start()
         try q.awaitTermination() finally q.stop()
       }
-      half(0); run() // run 1: even event_ids
-      half(1); run() // run 2: odd ids — state restored from the checkpoint
+      // Unload every cached state-store provider (what Spark's own
+      // StreamTest does between tests): run 2 then CANNOT be served by
+      // run 1's still-loaded in-JVM provider or its local working dir —
+      // it must restore RocksDB state from the checkpoint, which is the
+      // restart semantics this gate claims to prove. Also removes the
+      // same-JVM race between run 1's async provider unload (which
+      // deletes the local RocksDB dir) and run 2's load of that dir.
+      def unloadStateStores(): Unit =
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      half(0); run("r1") // run 1: even event_ids
+      unloadStateStores()
+      half(1); run("r2") // run 2: odd ids — state restored from checkpoint
       // The result plan reads the sink files lazily; reclaim at JVM exit.
       graft.core.Fs.deleteOnExit(tmp)
-      sc.read.parquet(outDir)
+      val streamed = sc.read.parquet(outDir)
         .groupBy("user_id")
         .agg(max(struct("n_events", "cents", "n_click", "n_purchase")).as("m"))
         .select(col("user_id"), col("m.n_events").as("n_events"),
           col("m.cents").as("cents"), col("m.n_click").as("n_click"),
           col("m.n_purchase").as("n_purchase"))
-        .orderBy("user_id")
+      // Self-diagnosis: the one-shot batch aggregate of the SAME input,
+      // compared eagerly per user. Green ⇒ return the streamed plan
+      // (byte-identical semantics to before); any divergence ⇒ throw a
+      // bounded payload that names users, direction, and the per-run
+      // emission trail — the failure mode this gate showed twice in the
+      // official record (150/150 rows, hash mismatch, no error) becomes
+      // observable exactly where it occurs.
+      val expected = Tables.events(sc, dir).select(
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id").agg(
+        count(lit(1)).as("n_events"), sum("cents").as("cents"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      val joined = streamed.as("s").join(expected.as("b"), Seq("user_id"), "full_outer")
+        .where(!(col("s.n_events") <=> col("b.n_events")) ||
+          !(col("s.cents") <=> col("b.cents")) ||
+          !(col("s.n_click") <=> col("b.n_click")) ||
+          !(col("s.n_purchase") <=> col("b.n_purchase")))
+        .select(col("user_id"),
+          col("s.n_events").as("sn"), col("b.n_events").as("bn"),
+          col("s.cents").as("sc"), col("b.cents").as("bc"))
+      val bad = joined.limit(6).collect()
+      if (bad.nonEmpty) {
+        val nBad = joined.count()
+        def l(r: org.apache.spark.sql.Row, i: Int): String =
+          if (r.isNullAt(i)) "null" else r.getLong(i).toString
+        val under = bad.count(r => !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(1) < r.getLong(2))
+        val over = bad.count(r => !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(1) > r.getLong(2))
+        val ids = bad.map(_.getLong(0))
+        val trail = sc.read.parquet(outDir)
+          .where(col("user_id").isin(ids: _*))
+          .select("user_id", "run", "d_events", "n_events", "cents")
+          .orderBy("user_id", "run", "n_events").collect()
+          .map(r => s"u${r.getLong(0)}:${r.getString(1)} d=${r.getLong(2)} n=${r.getLong(3)} c=${r.getLong(4)}")
+          .mkString("[", "; ", "]")
+        val sample = bad.map(r =>
+          s"u${r.getLong(0)} stream(n=${l(r, 1)},c=${l(r, 3)}) batch(n=${l(r, 2)},c=${l(r, 4)})")
+          .mkString("[", "; ", "]")
+        throw new IllegalStateException(
+          s"q124 streamed transformWithState reduction != batch GROUP BY: " +
+            s"$nBad divergent users (sampled under-drain=$under double-count=$over; " +
+            s"a run-2 snapshot whose n equals its own d means RocksDB state was NOT " +
+            s"restored from the checkpoint and max(struct) picked a partial). " +
+            s"sample=$sample emissions=$trail")
+      }
+      streamed.orderBy("user_id")
     }
   )
 }

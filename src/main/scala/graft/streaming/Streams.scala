@@ -158,10 +158,15 @@ object Streams {
     ds.writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Update())
 
-  /** Input/output rows of [[UserTotalsProcessor]]. */
+  /** Input/output rows of [[UserTotalsProcessor]]. `run` and `d_events`
+    * are pure provenance (which execution emitted the snapshot and how
+    * many rows THAT batch contributed) — they make every sink emission
+    * attributable post-hoc when the streamed reduction is audited against
+    * the one-shot batch aggregate; the gate's result projection drops
+    * them, so they never reach the oracle compare. */
   case class UserEvent(user_id: Long, event_type: String, cents: Long)
   case class UserTotals(user_id: Long, n_events: Long, cents: Long,
-      n_click: Long, n_purchase: Long)
+      n_click: Long, n_purchase: Long, run: String, d_events: Long)
 
   /** `transformWithState` processor (the arbitrary-state API that
     * supersedes mapGroupsWithState): per-user lifetime totals held in
@@ -174,7 +179,7 @@ object Streams {
     * provider; emits the updated snapshot per key per batch, so the
     * LATEST emission (max n_events — strictly monotone) is the lifetime
     * total the batch oracle reproduces with one GROUP BY. */
-  class UserTotalsProcessor
+  class UserTotalsProcessor(runTag: String)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, UserEvent, UserTotals] {
     import org.apache.spark.sql.{Encoders => E}
@@ -195,7 +200,8 @@ object Streams {
 
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
         tv: TimerValues): Iterator[UserTotals] = {
-      var n = if (nEvents.exists()) nEvents.get() else 0L
+      val n0 = if (nEvents.exists()) nEvents.get() else 0L
+      var n = n0
       var c = if (cents.exists()) cents.get() else 0L
       rows.foreach { e =>
         n += 1
@@ -208,7 +214,8 @@ object Streams {
       nEvents.update(n)
       cents.update(c)
       def t(k: String) = if (byType.containsKey(k)) byType.getValue(k) else 0L
-      Iterator.single(UserTotals(key, n, c, t("click"), t("purchase")))
+      Iterator.single(
+        UserTotals(key, n, c, t("click"), t("purchase"), runTag, n - n0))
     }
   }
 
