@@ -445,16 +445,39 @@ object DocStoreCommitOps {
     * `VERSION AS OF`, so a manifest-derived counter could reuse a
     * retained file's name and the final-name move would overwrite a
     * file that historical snapshots still reference (r7 advice,
-    * medium). Disk is the superset of every manifest version. */
+    * medium). Disk is the superset of every manifest version — except
+    * after SQL TRUNCATE, which deletes every file; the COUNTER floor
+    * it persists keeps numbering monotone so a checkpointed segment
+    * name can never reappear with different contents (r8 advice).
+    * The walk is recursive: partitioned tables keep segments in
+    * per-partition subdirectories under one GLOBAL number sequence. */
   def nextPartNumber(path: String): Int = {
     val dir = Paths.get(path)
     if (!Files.exists(dir)) return 0
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
+    val floor = {
+      val f = dir.resolve("COUNTER")
+      if (Files.exists(f))
+        Files.readString(f).trim.toIntOption.getOrElse(0)
+      else 0
+    }
+    val stream = Files.walk(dir)
+    try math.max(floor, stream.iterator().asScala
       .flatMap(p => "^part-(\\d+)\\.gds$".r
         .findFirstMatchIn(p.getFileName.toString))
-      .map(_.group(1).toInt).foldLeft(-1)(math.max) + 1
+      .map(_.group(1).toInt).foldLeft(-1)(math.max) + 1)
     finally stream.close()
+  }
+
+  /** Persist the current next-free part number as a floor that
+    * survives file deletion — called by destructive operations
+    * (SQL TRUNCATE) BEFORE they sweep segment files, so part names
+    * are never reused across the wipe. */
+  def persistPartNumberFloor(path: String): Unit = {
+    val dir = Paths.get(path)
+    val tmp = dir.resolve(".COUNTER-tmp")
+    Files.writeString(tmp, nextPartNumber(path).toString)
+    Files.move(tmp, dir.resolve("COUNTER"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Serializes read-manifest → publish across concurrent writers.
@@ -1086,9 +1109,19 @@ class DocStoreReader(file: String, schema: StructType,
       }
       // metadata sentinels: -1 = _segment, -2 = _pos (no section backs
       // either; _pos is the ABSOLUTE ordinal i, assigned before any
-      // filtering so it stays stable under pushed bounds)
+      // filtering so it stays stable under pushed bounds). The
+      // sentinels are RESERVED for those exact names: any other
+      // unknown field is a planner/schema bug and must fail loudly,
+      // not silently emit the segment file name as column data
+      // (r8 advice).
       val outIdx = required.fieldNames.map { f =>
-        fieldIdx.getOrElse(f, if (f == PosMetadataColumn.NAME) -2 else -1)
+        fieldIdx.getOrElse(f, f match {
+          case PosMetadataColumn.NAME => -2
+          case SegmentMetadataColumn.NAME => -1
+          case other => throw new IllegalStateException(
+            s"docstore reader asked for unknown column '$other' " +
+              s"(table schema: ${schema.fieldNames.mkString(",")})")
+        })
       }
       val segName = UTF8String.fromString(
         Paths.get(file).getFileName.toString)
@@ -1209,8 +1242,21 @@ class DocStoreMicroBatchStream(path: String, schema: StructType,
         m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")))
       .orElse( // legacy index-keyed checkpoints ({"segment":N}) still load
         "\"segment\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
-          .map(m => offsetAt(math.min(m.group(1).toInt, surviving.size))
-            .asInstanceOf[DocStoreOffset]))
+          .map { m =>
+            // Migration maps the old INDEX against the CURRENT list,
+            // which is only sound if no metadata DELETE shrank the list
+            // since the checkpoint. An index beyond the list proves
+            // deletes happened — refuse loudly instead of clamping
+            // (r8 advice); a mid-list delete with the index still in
+            // range is undetectable and documented as migration's limit.
+            val i = m.group(1).toInt
+            if (i > surviving.size) throw new IllegalStateException(
+              s"legacy docstore checkpoint index $i exceeds the current " +
+                s"manifest's ${surviving.size} segments — a DELETE or " +
+                "overwrite rewrote the table under this checkpoint; " +
+                "restart with a fresh checkpointLocation")
+            offsetAt(i).asInstanceOf[DocStoreOffset]
+          })
       .getOrElse(throw new IllegalArgumentException(
         s"bad docstore offset: $json"))
 

@@ -320,10 +320,17 @@ object DocStoreCatalog {
   *  - CREATE: one atomic directory rename puts the finished table at
   *    its final path — it either exists completely or not at all;
   *  - REPLACE: under the target's commit lock, staged segments move in
-  *    under fresh collision-free names, then ONE manifest rename swaps
-  *    the content (old-or-new for every reader — the old table was
-  *    readable during the entire query); the replaced files and the
-  *    version history they anchor are then dropped, as with truncate.
+  *    under fresh collision-free names, then the manifest rename swaps
+  *    the content. The old table stays readable during the entire
+  *    query, and replaced segment FILES are retained for vacuum (as
+  *    row-level operations retain theirs) — a reader that planned
+  *    before the swap finishes its scan instead of crashing on deleted
+  *    files. The SCHEMA/PROPS move happens in the same logical step
+  *    immediately before the manifest rename; a reader that plans in
+  *    that hair's-breadth window can see the new schema over the old
+  *    manifest (old columns read through the evolved schema's base
+  *    prefix, added columns null-pad) — manifest content itself is
+  *    still strictly old-or-new.
   *
   * [[abortStagedChanges]] deletes the staging directory; the target is
   * untouched on any failure. */
@@ -345,7 +352,6 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
         s"table at $finalDir was created concurrently while this " +
           "CREATE TABLE AS SELECT ran; the staged result was discarded")
     } else DocStoreCommitOps.withCommitLock(finalDir.toString) {
-      val old = DocStore.readManifest(finalDir.toString)
       val next = DocStoreCommitOps.nextPartNumber(finalDir.toString)
       val renamed = DocStore.readManifest(staging.toString)
         .zipWithIndex.map { case (s, i) =>
@@ -354,8 +360,16 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
             StandardCopyOption.ATOMIC_MOVE)
           s.copy(name = name)
         }
+      // old versions reference the replaced content → history reset
+      // FIRST, so the metadata moves below sit directly against the
+      // publication point
+      DocStoreCommitOps.clearVersions(finalDir.toString)
       // replace may change the evolved schema or props; absence in the
-      // staged table means ABSENT in the result, not carried over
+      // staged table means ABSENT in the result, not carried over.
+      // Moved immediately before the manifest rename to minimize the
+      // new-schema-over-old-manifest window (r8 advice) — and old
+      // segments read correctly through an evolved schema regardless
+      // (base prefix fixed, added columns null-pad).
       Seq("SCHEMA", "PROPS").foreach { f =>
         val staged = staging.resolve(f)
         if (Files.exists(staged))
@@ -364,12 +378,11 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
             StandardCopyOption.REPLACE_EXISTING)
         else Files.deleteIfExists(finalDir.resolve(f))
       }
-      // old versions reference the replaced content → history reset,
-      // then the single publication point: the manifest rename
-      DocStoreCommitOps.clearVersions(finalDir.toString)
+      // the single publication point: the manifest rename. Replaced
+      // segment files are RETAINED (r8 advice): a reader that planned
+      // against the old manifest can still finish its scan; vacuum is
+      // the explicit reclaimer of now-unreferenced files.
       DocStoreCommitOps.writeManifest(finalDir.toString, renamed, "rtas")
-      old.filterNot(s => renamed.exists(_.name == s.name)).foreach(s =>
-        Files.deleteIfExists(finalDir.resolve(s.name)))
       graft.core.Fs.deleteRecursively(staging)
     }
 
@@ -401,15 +414,23 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     * sweep covers EVERY `.gds` in the directory, not just the current
     * manifest's: DELETE/UPDATE-retained files were referenced only by
     * the version history this truncate destroys, so leaving them
-    * would orphan them forever (there is no other reclaimer). */
+    * would orphan them forever (there is no other reclaimer).
+    *
+    * Before the sweep, the next free part number is persisted as a
+    * COUNTER floor (r8 advice): deleting every `.gds` would otherwise
+    * restart part numbering at 0, and the next INSERT would recreate
+    * `part-00000.gds` under a name a streaming reader may have
+    * checkpointed — the reader would then silently resume past
+    * brand-new data instead of failing loudly on a missing name. */
   override def truncateTable(): Boolean = {
     require(manifest == "MANIFEST",
       "cannot TRUNCATE a time-travel (VERSION AS OF) snapshot")
     DocStoreCommitOps.withCommitLock(path) {
+      DocStoreCommitOps.persistPartNumberFloor(path)
       DocStoreCommitOps.clearVersions(path)
       DocStoreCommitOps.writeManifest(path, Seq.empty, "truncate-sql")
       import scala.jdk.CollectionConverters._
-      val stream = Files.list(Paths.get(path))
+      val stream = Files.walk(Paths.get(path))
       try stream.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".gds"))
         .toVector.foreach(Files.deleteIfExists(_))

@@ -73,11 +73,15 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     var bytes = 0L
     DocStoreCommitOps.withCommitLock(dir.toString) {
       val live = DocStore.readManifest(dir.toString).map(_.name).toSet
-      val stream = Files.list(dir)
+      // recursive walk, keyed by manifest-relative name: partitioned
+      // tables keep segments in per-partition subdirectories, and the
+      // manifest records `p=<val>/part-N.gds` — a basename-keyed check
+      // would treat every partitioned segment as dead
+      val stream = Files.walk(dir)
       val dead =
         try stream.iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".gds") &&
-            !live(p.getFileName.toString))
+            !live(dir.relativize(p).toString.replace('\\', '/')))
           .toVector
         finally stream.close()
       dead.foreach { p =>

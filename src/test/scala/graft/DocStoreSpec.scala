@@ -359,10 +359,22 @@ class DocStoreSpec extends SparkSpec {
     sc.sql("ALTER TABLE tcat.ns1.t RENAME TO ns1.t2")
     assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 50)
     // SQL TRUNCATE: content gone, table (and its schema) remains
+    val preTruncFloor =
+      graft.sources.DocStoreCommitOps.nextPartNumber(s"$root/ns1/t2")
     sc.sql("TRUNCATE TABLE tcat.ns1.t2")
     assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 0)
     sc.sql("INSERT INTO tcat.ns1.t2 SELECT * FROM cat_src WHERE doc_id < 10")
     assert(sc.sql("SELECT COUNT(*) FROM tcat.ns1.t2").collect()(0).getLong(0) == 10)
+    // r8 advice: truncate persists a numbering floor, so the post-wipe
+    // INSERT must NOT recreate a low part number a streaming reader may
+    // have checkpointed (names are the resume keys — a reused name with
+    // different contents would be silently skipped on restart)
+    val postTruncNames =
+      graft.sources.DocStore.readManifest(s"$root/ns1/t2").map(_.name)
+    assert(postTruncNames.nonEmpty && postTruncNames.forall { n =>
+      "^part-(\\d+)\\.gds$".r.findFirstMatchIn(n)
+        .forall(_.group(1).toInt >= preTruncFloor)
+    }, s"post-truncate names must start at floor $preTruncFloor: $postTruncNames")
     sc.sql("DROP TABLE tcat.ns1.t2")
     assert(sc.sql("SHOW TABLES IN tcat.ns1").collect().isEmpty)
   }
@@ -551,6 +563,26 @@ class DocStoreSpec extends SparkSpec {
       s"expected a voided-checkpoint error, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("legacy index-keyed checkpoints migrate in range, refuse past the manifest") {
+    // r8 advice: the legacy {"segment":N} migration maps an INDEX
+    // against the CURRENT list; an index beyond the list proves a
+    // DELETE shrank it since the checkpoint — clamping would silently
+    // re-position the reader, so it must refuse loudly instead
+    import graft.sources.{DocStore, DocStoreMicroBatchStream, DocStoreOffset}
+    val segs = Seq(
+      DocStore.Segment("part-00000.gds", 10, 0, 9, 100),
+      DocStore.Segment("part-00001.gds", 10, 10, 19, 100))
+    val ms = new DocStoreMicroBatchStream("/nonexistent-table",
+      DocStore.SCHEMA, segs, DocStore.SCHEMA,
+      Long.MinValue, Long.MaxValue, 1)
+    assert(ms.deserializeOffset("""{"segment":1}""")
+      .asInstanceOf[DocStoreOffset].after == "part-00000.gds")
+    val e2 = intercept[IllegalStateException] {
+      ms.deserializeOffset("""{"segment":3}""")
+    }
+    assert(e2.getMessage.contains("exceeds"))
+  }
+
   test("concurrent appends both survive (commit lock serializes manifest updates)") {
     // r7 advice: without the commit lock, two concurrent appends read
     // the same `old` manifest and the loser's segments vanish (lost
@@ -724,10 +756,17 @@ class DocStoreSpec extends SparkSpec {
     }
     assert(stgDirs.isEmpty, stgDirs.mkString(","))
 
-    // RTAS: content swap with old-or-new visibility
+    // RTAS: content swap with old-or-new visibility; replaced segment
+    // files are RETAINED for vacuum (r8 advice) so a reader that
+    // planned against the old manifest can finish its scan
+    val gen1Names =
+      graft.sources.DocStore.readManifest(s"$root/ns/t").map(_.name)
     sc.sql("REPLACE TABLE scat.ns.t AS SELECT * FROM ctas_src WHERE doc_id < 100")
     assert(sc.sql("SELECT COUNT(*), MAX(doc_id) FROM scat.ns.t")
       .collect()(0).toSeq == Seq(100L, 99L))
+    assert(gen1Names.nonEmpty && gen1Names.forall(n =>
+      Files.exists(java.nio.file.Paths.get(root, "ns", "t", n))),
+      s"RTAS must retain replaced segment files for vacuum: $gen1Names")
 
     // a REPLACE whose query FAILS mid-write must leave the old table
     // untouched (the non-staging path would have dropped it first)
