@@ -830,6 +830,107 @@ object IoOps {
                COUNT(DISTINCT doc_id) AS n_ids
         FROM graft_cat_r.default.mor
         GROUP BY lang ORDER BY lang""")
+    },
+
+    // ------------------------------------ Transform-partitioned tables
+    Q("q141_partitioned_prune",
+      "Transform partitioning — the PARTITIONED BY half of the " +
+        "Delta/Iceberg CREATE TABLE contract: the table is created " +
+        "PARTITIONED BY (lang), segments land under lang=<val>/ " +
+        "directories (one segment per value per insert — the write " +
+        "REQUESTS a clustered distribution on the partition column " +
+        "via RequiresDistributionAndOrdering, the Iceberg " +
+        "write-distribution small-files discipline), and the manifest " +
+        "records partition-qualified names. A partition predicate " +
+        "then eliminates whole DIRECTORIES at plan time, ahead of the " +
+        "per-segment zone maps (spec-pinned: the executed plan keeps " +
+        "2 of 5 directories for this IN, and a copy-on-write UPDATE " +
+        "pinned on a partition value rewrites only that directory) — " +
+        "at 100 TB partition elimination is the difference between " +
+        "scanning a slice and listing the table. The predicate stays " +
+        "residual (Spark re-evaluates it row-level), so pruning only " +
+        "has to be sound, never complete. Oracle runs the same " +
+        "aggregate over the original parquet.",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               MAX(doc_id) AS last_id
+        FROM documents WHERE lang IN ('en', 'fr')
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val pristine = graft.core.Scratch.materialize("docstore_part",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+        val b = graft.core.Sessions.scoped(s,
+          "spark.sql.catalog.gp_build" ->
+            classOf[graft.sources.DocStoreCatalog].getName,
+          "spark.sql.catalog.gp_build.root" -> stg)
+        Tables.documents(b, dir)
+          .select("doc_id", "n_chars", "lang", "source", "text")
+          .createOrReplaceTempView("part_docs_src")
+        b.sql("CREATE NAMESPACE IF NOT EXISTS gp_build.default")
+        b.sql("CREATE TABLE gp_build.default.docs (doc_id BIGINT NOT NULL, " +
+          "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+          "PARTITIONED BY (lang)")
+        b.sql("INSERT INTO gp_build.default.docs SELECT * FROM part_docs_src")
+      }
+      // the gate itself is a read-only partition-pruned scan — the
+      // Scratch artifact is shared, never mutated here
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_p" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_p.root" -> pristine)
+      sc.sql("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars,
+               MAX(doc_id) AS last_id
+        FROM graft_cat_p.default.docs WHERE lang IN ('en', 'fr')
+        GROUP BY lang ORDER BY lang""")
+    },
+
+    // ---------------------------- RENAME COLUMN + INT -> BIGINT widening
+    Q("q142_catalog_rename_widen",
+      "Schema evolution beyond ADD COLUMN — the two weekly-frequency " +
+        "ALTERs Delta/Iceberg users lean on, both METADATA-ONLY here " +
+        "because column identity is position and INT extras store the " +
+        "same 8-byte payload as LONG: ADD COLUMN score INT, insert a " +
+        "generation, RENAME COLUMN score TO quality (the SCHEMA file " +
+        "re-declares the name over unchanged bytes), ALTER COLUMN " +
+        "quality TYPE BIGINT (widening re-declares the emit type — " +
+        "DocStoreSpec pins zero data-file rewrites by name AND size), " +
+        "then a second generation with values past the INT range. The " +
+        "final aggregate reads three generations through one declared " +
+        "schema: pre-evolution rows null-pad, gen-1 INT payloads read " +
+        "as BIGINT, gen-2 uses the widened range. Oracle replays the " +
+        "three generations as a UNION ALL over the original parquet.",
+      Some("""
+        WITH t AS (
+          SELECT lang, CAST(NULL AS BIGINT) AS quality FROM documents
+          UNION ALL SELECT lang, CAST(doc_id % 100 AS BIGINT) FROM documents
+          UNION ALL SELECT lang, doc_id + 3000000000 FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_rows, COUNT(quality) AS n_q,
+               SUM(quality)::BIGINT AS q_sum, MAX(quality) AS q_max
+        FROM t GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_w")
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("widen_src")
+      sc.sql("ALTER TABLE graft_cat_w.default.docs ADD COLUMN score INT")
+      sc.sql("INSERT INTO graft_cat_w.default.docs " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text, " +
+        "CAST(doc_id % 100 AS INT) FROM widen_src")
+      sc.sql("ALTER TABLE graft_cat_w.default.docs " +
+        "RENAME COLUMN score TO quality")
+      sc.sql("ALTER TABLE graft_cat_w.default.docs " +
+        "ALTER COLUMN quality TYPE BIGINT")
+      sc.sql("INSERT INTO graft_cat_w.default.docs " +
+        "SELECT doc_id + 2000000, n_chars, lang, source, text, " +
+        "doc_id + 3000000000 FROM widen_src")
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_rows, COUNT(quality) AS n_q,
+               SUM(quality) AS q_sum, MAX(quality) AS q_max
+        FROM graft_cat_w.default.docs GROUP BY lang ORDER BY lang""")
     }
   )
 

@@ -29,7 +29,8 @@ object Registry {
     "q122_stream_source", "q125_dsv2_write", "q129_stream_sink",
     "q130_docstore_compaction", "q131_catalog_sql",
     "q132_catalog_update", "q133_catalog_merge", "q134_catalog_evolution",
-    "q135_catalog_vacuum", "q136_catalog_ctas", "q137_catalog_mor")
+    "q135_catalog_vacuum", "q136_catalog_ctas", "q137_catalog_mor",
+    "q142_catalog_rename_widen")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.{SupportsPushDownAggregates, Supports
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -101,7 +101,11 @@ object DocStore {
   }
 
   /** Validates an evolved schema: base prefix exact, extras appended
-    * nullable LONG/STRING. Returns the extra (post-base) fields. */
+    * nullable INT/LONG/STRING. INT extras are STORED as 8-byte payloads
+    * (same physical form as LONG) and narrowed at read by the schema
+    * type — which is what makes `ALTER COLUMN ... TYPE BIGINT` widening
+    * a pure metadata operation: the bytes never change, only the
+    * declared type the reader emits. Returns the extra fields. */
   def validateEvolved(schema: StructType): Seq[StructField] = {
     require(schema.fields.length >= FIELDS.size &&
       schema.fields.take(FIELDS.size).zip(FIELDS).forall { case (a, b) =>
@@ -110,8 +114,9 @@ object DocStore {
         s"got ${schema.simpleString}")
     val extra = schema.fields.drop(FIELDS.size).toSeq
     extra.foreach(f => require(
-      f.nullable && (f.dataType == LongType || f.dataType == StringType),
-      s"added docstore columns must be nullable LONG or STRING, got $f"))
+      f.nullable && (f.dataType == LongType || f.dataType == StringType ||
+        f.dataType == IntegerType),
+      s"added docstore columns must be nullable INT, LONG or STRING, got $f"))
     extra
   }
 
@@ -345,6 +350,12 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
   /** Base 5 columns, or the evolved schema from the SCHEMA file. */
   protected lazy val tblSchema: StructType = DocStore.tableSchema(path)
   override def schema(): StructType = tblSchema
+  /** Transform-partition spec (empty = unpartitioned), surfaced to
+    * Spark for DESCRIBE/SHOW CREATE TABLE fidelity. */
+  protected lazy val partSpec: Seq[DocStorePartitioning.PTransform] =
+    DocStorePartitioning.read(path)
+  override def partitioning(): Array[Transform] =
+    DocStorePartitioning.toTransforms(partSpec)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -372,25 +383,69 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
     val order = tblSchema.fields.map(f => in.fieldIndex(f.name))
     require(manifest == "MANIFEST",
       "a time-travel (VERSION AS OF) docstore table is read-only")
-    new DocStoreWriteBuilder(path, tblSchema, order, info.queryId())
+    new DocStoreWriteBuilder(path, tblSchema, order, info.queryId(),
+      partSpec = partSpec)
   }
 }
 
 class DocStoreWriteBuilder(path: String, schema: StructType,
     order: Array[Int], queryId: String,
-    truncate: Boolean = false) extends WriteBuilder with SupportsTruncate {
+    truncate: Boolean = false,
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
+    extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new DocStoreWriteBuilder(path, schema, order, queryId, truncate = true)
-  override def build(): Write = new Write {
+    new DocStoreWriteBuilder(path, schema, order, queryId, truncate = true,
+      partSpec = partSpec)
+
+  private class BaseWrite extends Write {
     override def toBatch: BatchWrite =
-      new DocStoreBatchWrite(path, schema, order, queryId, truncate)
+      new DocStoreBatchWrite(path, schema, order, queryId, truncate, partSpec)
     override def toStreaming: streaming.StreamingWrite =
-      new DocStoreStreamingWrite(path, schema, order, queryId, truncate)
+      new DocStoreStreamingWrite(path, schema, order, queryId, truncate,
+        partSpec)
+  }
+
+  /** Partitioned writes additionally REQUEST a clustered distribution
+    * on the identity partition columns (the DSv2
+    * RequiresDistributionAndOrdering contract): Spark shuffles the
+    * input so one partition value lands in few tasks, which is the
+    * difference between `values × tasks` small segments and roughly
+    * one segment per partition value per write — the small-files
+    * discipline Iceberg's write distribution modes exist for. Bucket
+    * levels are excluded (resolving a bucket transform needs a V2
+    * function catalog); the multi-encoder writer stays correct for
+    * any distribution. Not strictly required: correctness never
+    * depends on the shuffle, so AQE remains free to coalesce. */
+  override def build(): Write = {
+    val identityCols = partSpec.collect {
+      case DocStorePartitioning.PIdentity(c) => c }
+    if (identityCols.isEmpty) new BaseWrite
+    else new BaseWrite
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          identityCols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+      override def distributionStrictlyRequired(): Boolean = false
+    }
   }
 }
 
+/** `partDir` is the manifest-relative partition subdirectory the
+  * segment belongs under ("" = unpartitioned root) — carried from the
+  * writer that computed it to the job commit that assigns the final
+  * `<partDir>/part-N.gds` name. */
 final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
-    maxId: Long, bytes: Long) extends WriterCommitMessage
+    maxId: Long, bytes: Long, partDir: String = "") extends WriterCommitMessage
+
+/** A partitioned write task stages one segment PER partition value it
+  * saw; its single commit message wraps them all. */
+final case class DocStoreMultiCommit(parts: Seq[DocStoreCommit])
+    extends WriterCommitMessage
 
 /** Commit plumbing shared by the batch job commit and every streaming
   * epoch commit: stage → final-name move → atomic manifest publish.
@@ -398,7 +453,11 @@ final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
   * rename is the single publication point. */
 object DocStoreCommitOps {
   def stagedOf(messages: Array[WriterCommitMessage]): Seq[DocStoreCommit] =
-    messages.toSeq.collect { case m: DocStoreCommit => m }
+    messages.toSeq.flatMap {
+      case m: DocStoreCommit => Seq(m)
+      case m: DocStoreMultiCommit => m.parts
+      case _ => Seq.empty
+    }
 
   def dropStaged(path: String, messages: Array[WriterCommitMessage]): Unit =
     stagedOf(messages).foreach(m =>
@@ -424,13 +483,19 @@ object DocStoreCommitOps {
       if (m.rows > 0) true
       else { Files.deleteIfExists(dir.resolve(m.tmpName)); false }
     }.sortBy(_.tmpName).zipWithIndex.map { case (m, i) =>
-      val name = nameFor(i)
+      // partitioned segments live under their partition subdirectory;
+      // the NUMBER sequence stays global across partitions, so names
+      // are collision-free table-wide and the manifest-relative name
+      // (`lang=pt/part-00007.gds`) is the stable streaming-offset key
+      val name =
+        if (m.partDir.isEmpty) nameFor(i) else s"${m.partDir}/${nameFor(i)}"
       // rename(2) silently REPLACES an existing target — an overwrite
       // here would corrupt a retained segment an old MANIFEST.v<n>
       // still references. Name derivation makes collisions impossible
       // (see nextPartNumber); this guard keeps any future slip loud.
       require(!Files.exists(dir.resolve(name)),
         s"refusing to overwrite existing segment $name in $path")
+      Files.createDirectories(dir.resolve(name).getParent)
       Files.move(dir.resolve(m.tmpName), dir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
@@ -598,10 +663,12 @@ object DocStoreCommitOps {
 
 class DocStoreBatchWrite(path: String, schema: StructType,
     order: Array[Int], queryId: String,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean,
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DocStoreWriterFactory(path, schema, order, queryId)
+    new DocStoreWriterFactory(path, schema, order, queryId, partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
@@ -645,7 +712,8 @@ class DocStoreBatchWrite(path: String, schema: StructType,
   * them. Idempotent epoch commits + the engine's offset log =
   * exactly-once table contents from an at-least-once delivery. */
 class DocStoreStreamingWrite(path: String, schema: StructType,
-    order: Array[Int], queryId: String, truncate: Boolean)
+    order: Array[Int], queryId: String, truncate: Boolean,
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends streaming.StreamingWrite {
 
   private val qid8 = queryId.replaceAll("[^0-9a-fA-F]", "").take(8) match {
@@ -662,7 +730,7 @@ class DocStoreStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    new DocStoreStreamingWriterFactory(path, schema, order, queryId)
+    new DocStoreStreamingWriterFactory(path, schema, order, queryId, partSpec)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -707,40 +775,56 @@ class DocStoreStreamingWrite(path: String, schema: StructType,
 }
 
 class DocStoreWriterFactory(path: String, schema: StructType,
-    order: Array[Int], queryId: String)
+    order: Array[Int], queryId: String,
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId)
+    new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId,
+      partSpec)
 }
 
 /** Named (serializable) factory — an anonymous inner class here would
   * capture the non-serializable StreamingWrite and fail task ship. */
 class DocStoreStreamingWriterFactory(path: String, schema: StructType,
-    order: Array[Int], queryId: String)
+    order: Array[Int], queryId: String,
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, schema, order, s"$queryId-e$epochId",
-      partitionId, taskId)
+      partitionId, taskId, partSpec)
 }
 
-/** One task's segment: rows stream into a [[DocStore.SegmentEncoder]];
-  * task commit flushes to a `.stg-*` file named with (queryId,
-  * partition, task attempt) so speculative or retried attempts never
-  * collide, and reports the manifest entry upward. `order(i)` is the
-  * input-row position of table field i; fields past the base 5 are
-  * evolved columns encoded by their schema type. */
+/** One task's segment(s): rows stream into a [[DocStore.SegmentEncoder]]
+  * — ONE for an unpartitioned table, one PER partition value seen for a
+  * partitioned one (each partition's rows must land in their own file;
+  * the requested clustered distribution keeps the per-task value count
+  * near 1, but correctness never depends on it). Task commit flushes
+  * each encoder to a `.stg-*` file named with (queryId, partition,
+  * task attempt, encoder ordinal) so speculative or retried attempts
+  * never collide, and reports the manifest entries upward. `order(i)`
+  * is the input-row position of table field i; fields past the base 5
+  * are evolved columns encoded by their schema type. */
 class DocStoreDataWriter(path: String, schema: StructType,
     order: Array[Int], queryId: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
+    extends DataWriter[InternalRow] {
 
   private val extraTypes = schema.fields.drop(5).map(_.dataType)
-  private val enc = new DocStore.SegmentEncoder(extraTypes.length)
-  private val tmpName = f".stg-$queryId-$partitionId%05d-$taskId"
+  // insertion-ordered: staged-file ordinals stay deterministic per task
+  private val encoders =
+    new java.util.LinkedHashMap[String, DocStore.SegmentEncoder]()
+  private val rowDir: InternalRow => String =
+    if (partSpec.isEmpty) _ => ""
+    else DocStorePartitioning.rowDirFn(partSpec, schema, order)
+  private def tmpName(k: Int) = f".stg-$queryId-$partitionId%05d-$taskId-$k"
 
   override def write(r: InternalRow): Unit = {
     require(!r.isNullAt(order(0)),
       "graft-docstore requires a non-null doc_id on every row")
+    val enc = encoders.computeIfAbsent(rowDir(r),
+      _ => new DocStore.SegmentEncoder(extraTypes.length))
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
     val extras: Array[AnyRef] =
@@ -750,6 +834,10 @@ class DocStoreDataWriter(path: String, schema: StructType,
         if (r.isNullAt(pos)) null
         else dt match {
           case LongType => java.lang.Long.valueOf(r.getLong(pos)): AnyRef
+          // INT stores the same 8-byte payload as LONG — the widening
+          // contract (see DocStore.validateEvolved)
+          case IntegerType =>
+            java.lang.Long.valueOf(r.getInt(pos).toLong): AnyRef
           case _ => r.getUTF8String(pos).getBytes: AnyRef
         }
       }
@@ -761,14 +849,30 @@ class DocStoreDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     Files.createDirectories(Paths.get(path))
-    val bytes =
-      if (enc.rows == 0) 0L
-      else enc.writeTo(Paths.get(path).resolve(tmpName))
-    DocStoreCommit(tmpName, enc.rows.toLong, enc.minId, enc.maxId, bytes)
+    import scala.jdk.CollectionConverters._
+    val parts = encoders.asScala.toSeq.zipWithIndex.map {
+      case ((dir, enc), k) =>
+        val bytes =
+          if (enc.rows == 0) 0L
+          else enc.writeTo(Paths.get(path).resolve(tmpName(k)))
+        DocStoreCommit(tmpName(k), enc.rows.toLong, enc.minId, enc.maxId,
+          bytes, dir)
+    }
+    parts match {
+      // empty task: report one empty commit (publish drops rows == 0)
+      case Seq() => DocStoreCommit(tmpName(0), 0L, Long.MaxValue,
+        Long.MinValue, 0L)
+      case Seq(one) if partSpec.isEmpty => one
+      case many => DocStoreMultiCommit(many)
+    }
   }
 
-  override def abort(): Unit =
-    Files.deleteIfExists(Paths.get(path).resolve(tmpName))
+  override def abort(): Unit = {
+    import scala.jdk.CollectionConverters._
+    encoders.asScala.keys.zipWithIndex.foreach { case (_, k) =>
+      Files.deleteIfExists(Paths.get(path).resolve(tmpName(k)))
+    }
+  }
   override def close(): Unit = ()
 }
 
@@ -784,6 +888,7 @@ class DocStoreScanBuilder(path: String,
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var pushed = Array.empty[Filter]
+  private var allFilters = Array.empty[Filter]
   private var limit = Int.MaxValue
 
   /** Accept doc_id comparisons (they tighten [lo, hi] via
@@ -793,6 +898,11 @@ class DocStoreScanBuilder(path: String,
     * fixed-64). Everything else is returned for Spark to evaluate
     * post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // the FULL conjunct set also feeds partition pruning in build():
+    // partition predicates stay residual (Spark re-evaluates them
+    // row-level, so pruning only has to be sound), but they eliminate
+    // whole partition directories before any zone-map consult
+    allFilters = filters
     val residual = filters.filter { f =>
       DocStore.tightenDocIdBound(f, lo, hi) match {
         case Some((l, h)) => lo = l; hi = h; false
@@ -862,7 +972,12 @@ class DocStoreScanBuilder(path: String,
     pushedAgg match {
       case Some(agg) => new ManifestAggScan(segments, agg)
       case None =>
-        val surviving = segments.filter(s => s.maxId >= lo && s.minId <= hi)
+        // partition pruning FIRST (directory-level elimination from
+        // the partition spec), then the per-segment zone maps
+        val partKeep = DocStorePartitioning.pruner(
+          DocStorePartitioning.read(path), schema, allFilters)
+        val surviving = segments.filter(partKeep)
+          .filter(s => s.maxId >= lo && s.minId <= hi)
         new DocStoreScan(path, schema, required, lo, hi, limit,
           surviving, segments.size, maxSegmentsPerBatch, dvs)
     }
@@ -983,7 +1098,7 @@ class DocStoreScan(path: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     runtimeSurviving.map(s => DocStorePartition(
       Paths.get(path, s.name).toString,
-      dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
+      dvs.getOrElse(s.name, Array.empty), s.name): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(schema, required, lo, hi, limit)
@@ -1014,9 +1129,16 @@ object DocStoreScan {
 
 /** `deleted`: the segment's sorted merge-on-read deletion-vector
   * positions (empty for most segments) — shipped with the partition so
-  * executors never read table metadata. */
+  * executors never read table metadata. `segName` is the segment's
+  * MANIFEST-relative name (with any partition subdirectories): the
+  * `_segment` metadata column must emit exactly this — row-level
+  * operations and deletion vectors key on manifest names, and a
+  * basename would break them the moment segments live in partition
+  * directories. "" falls back to the file's basename (legacy
+  * construction paths). */
 final case class DocStorePartition(file: String,
-    deleted: Array[Long] = Array.empty) extends InputPartition
+    deleted: Array[Long] = Array.empty,
+    segName: String = "") extends InputPartition
 
 class DocStoreReaderFactory(schema: StructType, required: StructType,
     lo: Long, hi: Long,
@@ -1024,7 +1146,7 @@ class DocStoreReaderFactory(schema: StructType, required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DocStorePartition]
     new DocStoreReader(part.file, schema, required, lo, hi, limit,
-      part.deleted)
+      part.deleted, part.segName)
   }
 }
 
@@ -1038,7 +1160,8 @@ class DocStoreReaderFactory(schema: StructType, required: StructType,
   * missing trailing columns read as null. */
 class DocStoreReader(file: String, schema: StructType,
     required: StructType, lo: Long, hi: Long,
-    limit: Int, deleted: Array[Long] = Array.empty)
+    limit: Int, deleted: Array[Long] = Array.empty,
+    segName: String = "")
     extends PartitionReader[InternalRow] {
 
   private val fieldIdx = schema.fieldNames.zipWithIndex.toMap
@@ -1088,14 +1211,22 @@ class DocStoreReader(file: String, schema: StructType,
           }
           strs(c - 2) = a
         } else {
-          val isLong = schema.fields(c).dataType == LongType
+          // integral extras share the 8-byte payload; the SCHEMA type
+          // decides what the reader emits (INT narrows, LONG after an
+          // INT→BIGINT widening reads the same bytes unchanged)
+          val dt = schema.fields(c).dataType
+          val isIntegral = dt == LongType || dt == IntegerType
           val a = new Array[AnyRef](n)
           var i = 0
           while (i < n) {
             val len = in.readInt()
             if (len >= 0) {
-              if (isLong) a(i) = java.lang.Long.valueOf(in.readLong())
-              else {
+              if (isIntegral) {
+                val v = in.readLong()
+                a(i) = if (dt == IntegerType)
+                  java.lang.Integer.valueOf(v.toInt): AnyRef
+                else java.lang.Long.valueOf(v)
+              } else {
                 val b = new Array[Byte](len)
                 in.readFully(b)
                 a(i) = UTF8String.fromBytes(b)
@@ -1123,8 +1254,9 @@ class DocStoreReader(file: String, schema: StructType,
               s"(table schema: ${schema.fieldNames.mkString(",")})")
         })
       }
-      val segName = UTF8String.fromString(
-        Paths.get(file).getFileName.toString)
+      val segNameUtf = UTF8String.fromString(
+        if (segName.nonEmpty) segName
+        else Paths.get(file).getFileName.toString)
       rows = (0 until n).iterator
         .filter(i => deleted.isEmpty ||
           java.util.Arrays.binarySearch(deleted, i.toLong) < 0)
@@ -1133,7 +1265,7 @@ class DocStoreReader(file: String, schema: StructType,
         .map { i =>
           val vals = outIdx.map { ci =>
             if (ci == -2) i.toLong: Any
-            else if (ci < 0) segName
+            else if (ci < 0) segNameUtf
             else if (ci >= nSect) null // pre-evolution segment: null-pad
             else if (ci < 2) {
               val v = longs(ci)(i)
@@ -1141,6 +1273,7 @@ class DocStoreReader(file: String, schema: StructType,
             } else if (ci < 5) strs(ci - 2)(i)
             else extras(ci - 5)(i) match {
               case l: java.lang.Long => l.longValue(): Any
+              case v: java.lang.Integer => v.intValue(): Any
               case other => other // UTF8String or null
             }
           }
@@ -1265,7 +1398,7 @@ class DocStoreMicroBatchStream(path: String, schema: StructType,
       .slice(idx(start), idx(end))
       .map(s => DocStorePartition(
         Paths.get(path, s.name).toString,
-        dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
+        dvs.getOrElse(s.name, Array.empty), s.name): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(schema, required, lo, hi, Int.MaxValue)

@@ -58,6 +58,12 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     // base-5 prefix; computed extras coerced nullable (CTAS columns
     // like `doc_id * 2 AS q` infer non-nullable but store nullable)
     val schema = DocStore.coerceEvolved(info.schema())
+    val spec = DocStorePartitioning.fromTransforms(info.partitions(), schema)
+    require(spec.isEmpty ||
+      Option(info.properties().get(DocStoreCatalog.MODE_KEY))
+        .forall(_ != DocStoreCatalog.MODE_MOR),
+      "partitioned docstore tables support copy-on-write row-level " +
+        "operations only (merge-on-read is unpartitioned-only)")
     val finalDir = dirOf(ident)
     Files.createDirectories(finalDir.getParent)
     sweepStaleStaging(finalDir.getParent)
@@ -66,6 +72,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     Files.write(staging.resolve("MANIFEST"), Array.empty[Byte])
     if (schema.fields.length > DocStore.FIELDS.size)
       DocStore.writeSchemaFile(staging.toString, schema)
+    if (spec.nonEmpty) DocStorePartitioning.write(staging.toString, spec)
     DocStoreCatalog.writeModeProp(staging, info.properties())
     new DocStoreStagedTable(staging, finalDir, replace)
   }
@@ -171,20 +178,42 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     // base 5 columns required as a prefix; appended nullable LONG/STRING
     // columns are allowed from birth (same rule ADD COLUMN enforces)
     val extra = DocStore.validateEvolved(schema)
+    // `PARTITIONED BY` validates at DDL time (identity / bucket only);
+    // merge-on-read is refused on partitioned tables — its reinsert
+    // writer stages one segment per task, not per partition value
+    val spec = DocStorePartitioning.fromTransforms(partitions, schema)
+    require(spec.isEmpty ||
+      Option(properties.get(DocStoreCatalog.MODE_KEY))
+        .forall(_ != DocStoreCatalog.MODE_MOR),
+      "partitioned docstore tables support copy-on-write row-level " +
+        "operations only (merge-on-read is unpartitioned-only)")
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     Files.write(dir.resolve("MANIFEST"), Array.empty[Byte])
     if (extra.nonEmpty) DocStore.writeSchemaFile(dir.toString, schema)
+    if (spec.nonEmpty) DocStorePartitioning.write(dir.toString, spec)
     DocStoreCatalog.writeModeProp(dir, properties)
     new DocStoreSqlTable(dir.toString)
   }
 
-  /** Schema evolution: `ALTER TABLE … ADD COLUMN c BIGINT|STRING` —
-    * append-only, nullable. The SCHEMA file updates atomically; no
-    * segment is rewritten (pre-evolution segments read null-padded,
-    * the Delta/Iceberg add-nullable-column contract). Everything else
-    * (drop, rename, type change) refuses: column identity is position,
-    * so destructive changes would reinterpret existing bytes. */
+  /** Schema evolution, all metadata-only (the SCHEMA file updates
+    * atomically; no segment is ever rewritten):
+    *
+    *  - `ADD COLUMN c INT|BIGINT|STRING` — append-only, nullable;
+    *    pre-evolution segments read null-padded (the Delta/Iceberg
+    *    add-nullable-column contract).
+    *  - `RENAME COLUMN` of an ADDED column — column identity is
+    *    POSITION, so a rename never reinterprets bytes. Base-5 names
+    *    are the format contract (pushdown and the write path key on
+    *    them) and refuse.
+    *  - `ALTER COLUMN c TYPE BIGINT` on an added INT column — INT
+    *    extras store the same 8-byte payload as LONG (see
+    *    [[DocStore.validateEvolved]]), so widening re-declares the
+    *    reader's emit type over unchanged bytes. Anything narrowing
+    *    or cross-kind refuses.
+    *
+    * DROP still refuses: positions after the dropped column would
+    * shift and reinterpret every later section. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
@@ -195,6 +224,17 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     // already-written sections under the survivor's name
     DocStoreCommitOps.withCommitLock(dir) {
       val cur = DocStore.tableSchema(dir)
+      def extraIndex(s: StructType, fieldNames: Array[String],
+          what: String): Int = {
+        require(fieldNames.length == 1, "docstore columns cannot be nested")
+        val name = fieldNames(0)
+        val i = s.fieldNames.indexOf(name)
+        require(i >= 0, s"no such column: $name")
+        require(i >= DocStore.FIELDS.size,
+          s"cannot $what base column $name — the base-5 names/types are " +
+            "the format contract (pushdown and the write path key on them)")
+        i
+      }
       val evolved = changes.foldLeft(cur) {
         case (s, add: TableChange.AddColumn) =>
           require(add.fieldNames.length == 1,
@@ -205,10 +245,28 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             s"column ${add.fieldNames()(0)} already exists")
           s.add(StructField(add.fieldNames()(0), add.dataType(),
             nullable = true))
+        case (s, ren: TableChange.RenameColumn) =>
+          val i = extraIndex(s, ren.fieldNames(), "rename")
+          require(!s.fieldNames.contains(ren.newName()),
+            s"column ${ren.newName()} already exists")
+          require(!DocStorePartitioning.read(dir).exists(
+            _.col == ren.fieldNames()(0)),
+            s"cannot rename partition column ${ren.fieldNames()(0)} — " +
+              "partition directories embed the name")
+          StructType(s.fields.updated(i, s.fields(i).copy(name = ren.newName())))
+        case (s, upd: TableChange.UpdateColumnType) =>
+          val i = extraIndex(s, upd.fieldNames(), "retype")
+          val (from, to) = (s.fields(i).dataType, upd.newDataType())
+          require(from == org.apache.spark.sql.types.IntegerType &&
+            to == org.apache.spark.sql.types.LongType,
+            s"only INT -> BIGINT widening is metadata-safe here, " +
+              s"got ${from.simpleString} -> ${to.simpleString}")
+          StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
         case (_, ch) => throw new UnsupportedOperationException(
-          s"docstore tables support only ADD COLUMN, got $ch")
+          "docstore tables support ADD COLUMN, RENAME COLUMN (added " +
+            s"columns), and INT -> BIGINT widening; got $ch")
       }
-      DocStore.writeSchemaFile(dir, evolved) // validates LONG/STRING+nullable
+      DocStore.writeSchemaFile(dir, evolved) // validates INT/LONG/STRING+nullable
     }
     new DocStoreSqlTable(dir)
   }
@@ -355,7 +413,14 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
       val next = DocStoreCommitOps.nextPartNumber(finalDir.toString)
       val renamed = DocStore.readManifest(staging.toString)
         .zipWithIndex.map { case (s, i) =>
-          val name = f"part-${next + i}%05d.gds"
+          // a partitioned staged segment keeps its partition
+          // subdirectory; only the numbered basename is re-assigned
+          val dirPrefix = s.name.lastIndexOf('/') match {
+            case -1 => ""
+            case cut => s.name.substring(0, cut + 1)
+          }
+          val name = dirPrefix + f"part-${next + i}%05d.gds"
+          Files.createDirectories(finalDir.resolve(name).getParent)
           Files.move(staging.resolve(s.name), finalDir.resolve(name),
             StandardCopyOption.ATOMIC_MOVE)
           s.copy(name = name)
@@ -364,13 +429,13 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
       // FIRST, so the metadata moves below sit directly against the
       // publication point
       DocStoreCommitOps.clearVersions(finalDir.toString)
-      // replace may change the evolved schema or props; absence in the
-      // staged table means ABSENT in the result, not carried over.
-      // Moved immediately before the manifest rename to minimize the
-      // new-schema-over-old-manifest window (r8 advice) — and old
-      // segments read correctly through an evolved schema regardless
-      // (base prefix fixed, added columns null-pad).
-      Seq("SCHEMA", "PROPS").foreach { f =>
+      // replace may change the evolved schema, props, or partition
+      // spec; absence in the staged table means ABSENT in the result,
+      // not carried over. Moved immediately before the manifest rename
+      // to minimize the new-schema-over-old-manifest window (r8
+      // advice) — and old segments read correctly through an evolved
+      // schema regardless (base prefix fixed, added columns null-pad).
+      Seq("SCHEMA", "PROPS", DocStorePartitioning.FILE).foreach { f =>
         val staged = staging.resolve(f)
         if (Files.exists(staged))
           Files.move(staged, finalDir.resolve(f),

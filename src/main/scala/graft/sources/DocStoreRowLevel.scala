@@ -103,6 +103,7 @@ class DocStoreRowLevelScanBuilder(path: String,
 
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
+  private var allFilters = Array.empty[Filter]
   private val schema = DocStore.tableSchema(path)
   // data columns + the _segment metadata column the operation requires
   private var required: StructType = schema
@@ -115,6 +116,7 @@ class DocStoreRowLevelScanBuilder(path: String,
     * wrap guards). Unrecognized filters narrow nothing (they might
     * match anywhere). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allFilters = filters
     filters.foreach { f =>
       DocStore.tightenDocIdBound(f, lo, hi).foreach { case (l, h) =>
         lo = l; hi = h
@@ -126,8 +128,16 @@ class DocStoreRowLevelScanBuilder(path: String,
 
   override def build(): Scan = {
     val (segments, dvs) = DocStore.readManifestAndDeletes(path)
+    // partition pruning narrows the GROUP (= segment) set exactly like
+    // the read path: an UPDATE whose condition pins a partition column
+    // rewrites only that partition's directories — at 100 TB the
+    // difference between rewriting one partition and the whole table.
+    // Sound because pruning only drops segments whose partition value
+    // PROVABLY fails a conjunct: no matched row can live there.
+    val partKeep = DocStorePartitioning.pruner(
+      DocStorePartitioning.read(path), schema, allFilters)
     new DocStoreRowLevelScan(path, schema, required,
-      segments.filter(s => s.maxId >= lo && s.minId <= hi),
+      segments.filter(partKeep).filter(s => s.maxId >= lo && s.minId <= hi),
       segments.size, op, dvs)
   }
 }
@@ -180,7 +190,7 @@ class DocStoreRowLevelScan(path: String, schema: StructType,
     op.foreach(_.scannedSegments = runtimeSurviving.map(_.name))
     runtimeSurviving.map(s => DocStorePartition(
       Paths.get(path, s.name).toString,
-      dvs.getOrElse(s.name, Array.empty)): InputPartition).toArray
+      dvs.getOrElse(s.name, Array.empty), s.name): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -370,7 +380,10 @@ class DocStoreReplaceDataWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new DocStoreWriterFactory(path, schema, order, queryId)
+    // partitioned tables: rewritten rows recompute their partition
+    // directories through the same partition-aware writer as inserts
+    new DocStoreWriterFactory(path, schema, order, queryId,
+      DocStorePartitioning.read(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {

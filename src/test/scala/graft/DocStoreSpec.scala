@@ -563,6 +563,121 @@ class DocStoreSpec extends SparkSpec {
       s"expected a voided-checkpoint error, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("partitioned tables: directory layout, partition pruning, CoW across partitions") {
+    val root = Files.createTempDirectory("docstore_part").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.pcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.pcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("part_src")
+    sc.sql("CREATE NAMESPACE pcat.ns")
+    sc.sql("CREATE TABLE pcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) PARTITIONED BY (lang)")
+    sc.sql("INSERT INTO pcat.ns.t SELECT * FROM part_src")
+
+    // layout: every manifest name carries its partition subdirectory,
+    // and the requested clustered distribution yields ONE segment per
+    // partition value for a single INSERT (small-files discipline)
+    val names = DocStore.readManifest(s"$root/ns/t").map(_.name)
+    assert(names.nonEmpty &&
+      names.forall(_.matches("^lang=[^/]+/part-\\d{5}\\.gds$")), names)
+    assert(names.size == docs.select("lang").distinct().count(), names)
+
+    // partition pruning on the EXECUTED plan: equality keeps 1 of 5
+    // directories, IN keeps 2; results stay row-exact (the predicate
+    // remains residual) against the source of truth
+    val q1 = sc.sql("SELECT COUNT(*) c, SUM(n_chars) s FROM pcat.ns.t WHERE lang = 'en'")
+    assert(physical(q1).contains(s"segments=1/${names.size}"), physical(q1))
+    val expect1 = docs.where(col("lang") === "en")
+      .agg(count(lit(1)), sum("n_chars")).collect()(0).toSeq
+    assert(q1.collect()(0).toSeq == expect1)
+    val q2 = sc.sql("SELECT COUNT(*) FROM pcat.ns.t WHERE lang IN ('en','de')")
+    assert(physical(q2).contains(s"segments=2/${names.size}"), physical(q2))
+
+    // a null partition value lands under the null marker and only
+    // IS NULL scans it; a value that COLLIDES with the marker text
+    // encodes differently, so the two never alias
+    sc.sql("INSERT INTO pcat.ns.t VALUES (9001, 1, NULL, 's', 't'), " +
+      "(9002, 1, '__null__', 's', 't')")
+    val withNull = DocStore.readManifest(s"$root/ns/t").map(_.name)
+    assert(withNull.exists(_.startsWith("lang=__null__/")), withNull)
+    assert(withNull.exists(_.startsWith("lang=%5F%5Fnull%5F%5F/")), withNull)
+    val qn = sc.sql("SELECT doc_id FROM pcat.ns.t WHERE lang IS NULL")
+    assert(physical(qn).contains(s"segments=1/${withNull.size}"), physical(qn))
+    assert(qn.collect().map(_.getLong(0)).toSeq == Seq(9001L))
+    assert(sc.sql("SELECT doc_id FROM pcat.ns.t WHERE lang = '__null__'")
+      .collect().map(_.getLong(0)).toSeq == Seq(9002L))
+
+    // copy-on-write UPDATE that changes the partition column moves the
+    // rows to their new directory; totals and the untouched partitions'
+    // files survive by name
+    val before = DocStore.readManifest(s"$root/ns/t").map(_.name).toSet
+    sc.sql("UPDATE pcat.ns.t SET lang = 'zz' WHERE lang = 'de'")
+    val after = DocStore.readManifest(s"$root/ns/t").map(_.name)
+    assert(after.exists(_.startsWith("lang=zz/")), after)
+    assert(!after.exists(_.startsWith("lang=de/")), after)
+    assert((before - after.find(_.startsWith("lang=de/")).getOrElse(""))
+      .filterNot(_.startsWith("lang=de/")).subsetOf(after.toSet),
+      "untouched partitions must survive by name")
+    assert(sc.sql("SELECT COUNT(*) FROM pcat.ns.t").collect()(0).getLong(0) ==
+      docs.count() + 2)
+
+    // bucket(n, doc_id): a point probe prunes to one bucket directory
+    sc.sql("CREATE TABLE pcat.ns.b (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (bucket(4, doc_id))")
+    sc.sql("INSERT INTO pcat.ns.b SELECT * FROM part_src")
+    val bNames = DocStore.readManifest(s"$root/ns/b").map(_.name)
+    assert(bNames.forall(_.matches("^doc_id_bucket=[0-3]/part-\\d{5}\\.gds$")),
+      bNames)
+    val qb = sc.sql("SELECT text FROM pcat.ns.b WHERE doc_id = 123")
+    assert(physical(qb).contains(s"segments=1/${bNames.size}"), physical(qb))
+    assert(qb.collect().length == 1)
+
+    // TRUNCATE sweeps partition subdirectories too
+    sc.sql("TRUNCATE TABLE pcat.ns.b")
+    assert(sc.sql("SELECT COUNT(*) FROM pcat.ns.b").collect()(0).getLong(0) == 0)
+    import scala.jdk.CollectionConverters._
+    val leftover = {
+      val st = Files.walk(java.nio.file.Paths.get(root, "ns", "b"))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".gds")).toVector
+      finally st.close()
+    }
+    assert(leftover.isEmpty, s"truncate must sweep partition dirs: $leftover")
+
+    // vacuum reclaims the UPDATE-replaced files under partition dirs
+    val reclaimed = sc.sql("CALL pcat.system.vacuum('ns.t')")
+      .collect()(0).getLong(0)
+    assert(reclaimed > 0, "vacuum must reclaim the replaced de-partition file")
+    assert(sc.sql("SELECT COUNT(*) FROM pcat.ns.t").collect()(0).getLong(0) ==
+      docs.count() + 2, "vacuum must not change table content")
+
+    // DDL validation is loud: time transforms have no column to apply
+    // to, bucket is doc_id-only, merge-on-read stays unpartitioned
+    intercept[Exception] { sc.sql("CREATE TABLE pcat.ns.x1 (doc_id BIGINT " +
+      "NOT NULL, n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (days(lang))") }
+    intercept[Exception] { sc.sql("CREATE TABLE pcat.ns.x2 (doc_id BIGINT " +
+      "NOT NULL, n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (bucket(4, n_chars))") }
+    intercept[Exception] { sc.sql("CREATE TABLE pcat.ns.x3 (doc_id BIGINT " +
+      "NOT NULL, n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')") }
+
+    // partitioned CTAS carries the spec; SHOW CREATE reports it
+    sc.sql("CREATE TABLE pcat.ns.c PARTITIONED BY (lang) AS " +
+      "SELECT * FROM part_src WHERE doc_id < 100")
+    assert(DocStore.readManifest(s"$root/ns/c").map(_.name)
+      .forall(_.startsWith("lang=")))
+    assert(sc.sql("SELECT COUNT(*) FROM pcat.ns.c").collect()(0).getLong(0) == 100)
+    assert(sc.sql("SHOW CREATE TABLE pcat.ns.c").collect()(0).getString(0)
+      .contains("PARTITIONED BY"))
+  }
+
   test("legacy index-keyed checkpoints migrate in range, refuse past the manifest") {
     // r8 advice: the legacy {"segment":N} migration maps an INDEX
     // against the CURRENT list; an index beyond the list proves a
@@ -658,10 +773,47 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT COUNT(*) FROM ecat.ns.t WHERE quality = -1")
       .collect()(0).getLong(0) == 100)
 
+    // RENAME COLUMN + INT -> BIGINT widening: both pure metadata under
+    // positional identity — ZERO data files rewritten (pinned by name
+    // AND size), values readable across both generations
+    sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN score INT")
+    sc.sql("""INSERT INTO ecat.ns.t
+      SELECT doc_id + 2000, n_chars, lang, source, text,
+             NULL, NULL, CAST(doc_id AS INT)
+      FROM ev_src WHERE doc_id < 50""")
+    val preAlter = DocStore.readManifest(tableDir)
+      .map(s => (s.name, s.bytes)).toSet
+    sc.sql("ALTER TABLE ecat.ns.t RENAME COLUMN score TO stars")
+    sc.sql("ALTER TABLE ecat.ns.t ALTER COLUMN stars TYPE BIGINT")
+    assert(DocStore.readManifest(tableDir)
+      .map(s => (s.name, s.bytes)).toSet == preAlter,
+      "rename/widen must rewrite zero data files")
+    assert(sc.table("ecat.ns.t").schema("stars").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // pre-widening values read unchanged through the widened type, and
+    // post-widening inserts take full BIGINT range
+    sc.sql("""INSERT INTO ecat.ns.t
+      SELECT doc_id + 3000, n_chars, lang, source, text,
+             NULL, NULL, doc_id + 3000000000
+      FROM ev_src WHERE doc_id < 50""")
+    val w = sc.sql("""SELECT COUNT(stars), SUM(stars), MAX(stars)
+      FROM ecat.ns.t""").collect()(0)
+    assert(w.getLong(0) == 100)
+    assert(w.getLong(1) == (0L until 50).sum * 2 + 50L * 3000000000L)
+    assert(w.getLong(2) == 3000000049L)
+
     // guardrails: non-append evolution refuses
     intercept[Exception] { sc.sql("ALTER TABLE ecat.ns.t DROP COLUMN split") }
     intercept[Exception] {
       sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN bad DOUBLE") }
+    // base columns are the format contract: no rename, no retype
+    intercept[Exception] {
+      sc.sql("ALTER TABLE ecat.ns.t RENAME COLUMN lang TO language") }
+    intercept[Exception] {
+      sc.sql("ALTER TABLE ecat.ns.t ALTER COLUMN n_chars TYPE INT") }
+    // narrowing an added column refuses too
+    intercept[Exception] {
+      sc.sql("ALTER TABLE ecat.ns.t ALTER COLUMN stars TYPE INT") }
   }
 
   test("CALL system.vacuum reclaims unreferenced files; system.history lists versions") {
