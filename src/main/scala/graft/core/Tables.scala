@@ -22,28 +22,52 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the raw nanos
-    * as long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
-    * a microsecond TIMESTAMP_NTZ — the same wall-clock instant DuckDB sees,
-    * truncated from ns to µs. The NTZ value is built by pure epoch
-    * arithmetic from the NTZ epoch literal, so it is independent of
-    * spark.sql.session.timeZone (timestamp_micros().cast(ntz) would route
-    * through LTZ and shift with the session zone).
+  /** `events.parquet` — footer-adaptive load, always yielding a µs
+    * TIMESTAMP_NTZ `ts`. Driver generations have shipped `ts` under two
+    * physical encodings, and the loader must serve both (the r9 testdata
+    * regeneration from INT64 TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ)
+    * broke every events query until this probe existed):
     *
-    * Conf scoping: the legacy flag is session-wide with no per-read option,
-    * and it is consulted when the scan EXECUTES (the relation's session
-    * state feeds the scan's hadoopConf), so set-restore around the read
-    * would break the returned lazy frame. Instead the read happens in a
-    * [[Sessions.scoped]] clone — the caller's runtime conf carried over,
-    * the flag set only on the clone, the caller's session never mutated
-    * (TablesConfScopeSpec proves all three).
+    *  - INT64 TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet
+    *    .nanosAsLong` reads the raw nanos as long; we then floor-convert to
+    *    µs NTZ by pure epoch arithmetic from the NTZ epoch literal, so the
+    *    value is independent of spark.sql.session.timeZone
+    *    (timestamp_micros().cast(ntz) would route through LTZ and shift
+    *    with the session zone). Same wall-clock DuckDB sees, ns→µs.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): native TimestampNTZType;
+    *    no flag, no conversion — the caller's own session reads it so the
+    *    plain scan stays shareable/cacheable.
+    *
+    * The probe reads the footer ONCE with the legacy flag on (harmless for
+    * µs data — the flag only affects NANOS columns) and branches on the
+    * inferred type of `ts`.
+    *
+    * Conf scoping (nanos branch): the legacy flag is session-wide with no
+    * per-read option, and it is consulted when the scan EXECUTES (the
+    * relation's session state feeds the scan's hadoopConf), so set-restore
+    * around the read would break the returned lazy frame. Instead the read
+    * happens in a [[Sessions.scoped]] clone — the caller's runtime conf
+    * carried over, the flag set only on the clone, the caller's session
+    * never mutated (TablesConfScopeSpec proves all three).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val scoped = Sessions.scoped(spark,
-      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
-    t(scoped, dir, "events")
-      .withColumn("ts",
-        expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    val probe = t(Sessions.scoped(spark,
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true"), dir, "events")
+    probe.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        probe.withColumn("ts",
+          expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        t(spark, dir, "events")
+      case org.apache.spark.sql.types.TimestampType =>
+        // µs adjusted-to-UTC: with the engine's UTC sessions the NTZ cast
+        // yields the UTC wall-clock — the same value DuckDB projects.
+        t(spark, dir, "events").withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected INT64 nanos, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 }

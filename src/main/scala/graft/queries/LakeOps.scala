@@ -84,6 +84,24 @@ object LakeOps {
     (files, manifest.length, lake)
   }
 
+  /** The q86 OPTIMIZE rewrite: range-partition lineitem by (shipdate,
+    * orderkey, linenumber), sort within partitions, cap records per file,
+    * write to `out`, and return the re-read frame. Shared by the gate
+    * (per-invocation temp dir) and LakeOpsSpec (its own dir, so the
+    * layout assertions inspect THIS run's files — the spec's old fixed
+    * `/tmp/graft_compaction` read went stale the moment the gate moved
+    * to per-invocation dirs and only kept passing on leftover files). */
+  def compactionRewrite(s: org.apache.spark.sql.SparkSession, dir: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    Tables.lineitem(s, dir)
+      .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+      .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+      .write.option("maxRecordsPerFile", 100000)
+      .mode("overwrite").parquet(out)
+    s.read.parquet(out)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------ min/max file skipping
@@ -215,13 +233,7 @@ object LakeOps {
       // growth at the JVM's lifetime
       val tmp = java.nio.file.Files.createTempDirectory("graft_compaction")
       Fs.deleteOnExit(tmp)
-      Tables.lineitem(s, dir)
-        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"),
-          col("l_linenumber"))
-        .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
-        .write.option("maxRecordsPerFile", 100000)
-        .mode("overwrite").parquet(tmp.toString)
-      s.read.parquet(tmp.toString)
+      compactionRewrite(s, dir, tmp.toString)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"),

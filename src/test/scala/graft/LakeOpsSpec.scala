@@ -12,10 +12,13 @@ class LakeOpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q86: rewritten files respect the record cap and have non-overlapping ship ranges") {
-    Registry.byName("q86_compaction").fn(spark, dir).collect() // runs the rewrite
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_compaction").toString
-    val files = spark.read.parquet(out)
+    // run the SAME rewrite the gate runs, into a dir this spec owns —
+    // reading the gate's per-invocation temp dir is impossible by design,
+    // and the old fixed /tmp path only kept passing on stale leftovers
+    val out = java.nio.file.Files.createTempDirectory("graft_compaction_spec")
+    graft.core.Fs.deleteOnExit(out)
+    graft.queries.LakeOps.compactionRewrite(spark, dir, out.toString)
+    val files = spark.read.parquet(out.toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"),
         // NTZ timestamps collect as LocalDateTime; epoch-second longs

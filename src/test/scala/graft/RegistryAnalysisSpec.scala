@@ -1,0 +1,40 @@
+package graft
+
+import graft.queries.Registry
+
+/** R9 bench-path regression (ADVICE r9): the driver regenerated
+  * `events.parquet` with a new physical encoding (INT64 TIMESTAMP(NANOS) →
+  * TIMESTAMP(MICROS, NTZ)) and every events-based query failed ANALYSIS
+  * with DATATYPE_MISMATCH on the loader's nanos→µs arithmetic — invisible
+  * to unit tests that build their own fixtures. This spec force-analyzes
+  * EVERY non-heavy registry query against the driver's real testdata, so
+  * any schema/type drift in the generated lake breaks the suite, not the
+  * official sweep. (Heavy gates execute streams/writes at build time and
+  * are exercised by their own specs.)
+  */
+class RegistryAnalysisSpec extends SparkSpec {
+
+  test("every non-heavy registry query analyzes against driver testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val light = Registry.all.map(_.name).filterNot(Registry.heavy).sorted
+    val failures = light.flatMap { n =>
+      try {
+        SparkEntry.queries(n)(spark, dir).schema // forces full analysis
+        None
+      } catch {
+        case e: Throwable =>
+          Some(s"$n: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).replace('\n', ' ').take(160))
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail analysis on $dir:\n${failures.mkString("\n")}")
+  }
+
+  test("events loader adapts to the on-disk ts encoding (µs NTZ today)") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType.typeName === "timestamp_ntz")
+    // the arithmetic the r9 regression broke: ts must support timestamp ops
+    assert(ev.selectExpr("max(ts)", "min(ts)").count() === 1)
+  }
+}
