@@ -931,6 +931,59 @@ object IoOps {
         SELECT lang, COUNT(*) AS n_rows, COUNT(quality) AS n_q,
                SUM(quality) AS q_sum, MAX(quality) AS q_max
         FROM graft_cat_w.default.docs GROUP BY lang ORDER BY lang""")
+    },
+
+    // ------------------------------------------------ change data feed
+    Q("q145_docstore_cdf",
+      "Change data feed (Delta's table_changes): the complete " +
+        "insert/delete row set between two committed versions, " +
+        "computed as a manifest snapshot diff that never scans an " +
+        "unchanged file — added segments stream out as inserts, " +
+        "removed segments (alive rows at `from`) as deletes, and the " +
+        "deletion-vector DELTA on common segments as MoR row deletes " +
+        "via a broadcast (_segment, _pos) join. The gate CTASes a " +
+        "merge-on-read table, runs a DELETE (-> deletion vectors) and " +
+        "an INSERT (-> new segments), then aggregates the change feed " +
+        "by (_change_type, lang); the oracle replays both commits " +
+        "over the original parquet. Layout-independence is the " +
+        "correctness core: the expected rows are derivable whatever " +
+        "segment boundaries the writes chose — and any over-rewrite " +
+        "(a segment replaced without matches) would surface as phantom " +
+        "delete+insert pairs and break the hash. At 100 TB this is " +
+        "the incremental-consumer primitive: downstream jobs read a " +
+        "commit range's touched files, not the table.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'delete' AS _change_type, lang,
+                 COUNT(*) AS n_rows, SUM(n_chars)::BIGINT AS chars,
+                 MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+          FROM documents WHERE lang = 'de' GROUP BY 2
+          UNION ALL
+          SELECT 'insert', lang, COUNT(*), SUM(n_chars)::BIGINT,
+                 MIN(doc_id) + 1000000, MAX(doc_id) + 1000000
+          FROM documents WHERE lang = 'zh' GROUP BY 2
+        ) ORDER BY _change_type, lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_f")
+      sc.sql("""
+        CREATE TABLE graft_cat_f.default.cdf
+        TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')
+        AS SELECT * FROM graft_cat_f.default.docs""")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_f.root"),
+        "default", "cdf").toString
+      val v1 = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      sc.sql("DELETE FROM graft_cat_f.default.cdf WHERE lang = 'de'")
+      sc.sql("INSERT INTO graft_cat_f.default.cdf " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text " +
+        "FROM graft_cat_f.default.docs WHERE lang = 'zh'")
+      val v2 = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      graft.sources.DocStoreCdf.changesBetween(sc, tablePath, v1, v2)
+        .groupBy(col("_change_type"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy("_change_type", "lang")
     }
   )
 

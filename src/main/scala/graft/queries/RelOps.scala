@@ -815,6 +815,95 @@ object RelOps {
           round(col("sum_cents").cast("double") / 100, 2).as("revenue"),
           col("n").as("n_orders"))
         .orderBy("priority", "ym")
+    },
+
+    // ------------------------------------------------ recursive CTE traversal
+    Q("q143_recursive_tree",
+      "Hierarchy traversal with Spark 4's WITH RECURSIVE — the org-" +
+        "chart / thread-tree / BOM-explosion operator that needed a " +
+        "driver-side loop before SPARK-24497. The fixture forest is " +
+        "derived, not stored: parent(d) = d DIV 2 (doc 0 and 1 are " +
+        "roots), so every doc reaches a root in <= log2(max id) steps " +
+        "and the per-depth rollup has a closed form the recursion must " +
+        "reproduce. The oracle runs DuckDB's own WITH RECURSIVE — the " +
+        "same iterative-union semantics from a second engine. Scale " +
+        "shape: Spark executes the recursion as iterated shuffle joins " +
+        "of the FRONTIER (previous iteration's rows) against the child " +
+        "scan, depth-bounded; at 100 TB you bound depth explicitly " +
+        "(cteRecursionLevelLimit) and for diameter-unbounded graphs " +
+        "switch to the checkpointed label-propagation loop " +
+        "(ConnectedComponents, q26b) — recursion depth, not data size, " +
+        "is the scaling axis here.",
+      Some("""
+        WITH RECURSIVE h(doc_id, depth) AS (
+          SELECT doc_id, 0 FROM documents WHERE doc_id <= 1
+          UNION ALL
+          SELECT d.doc_id, h.depth + 1
+          FROM documents d JOIN h ON d.doc_id // 2 = h.doc_id
+          WHERE d.doc_id >= 2
+        )
+        SELECT CAST(h.depth AS BIGINT) AS depth,
+               COUNT(*) AS n_docs,
+               SUM(d.n_chars)::BIGINT AS chars,
+               MIN(h.doc_id) AS first_doc,
+               MAX(h.doc_id) AS last_doc
+        FROM h JOIN documents d USING (doc_id)
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val p = s"$dir/documents.parquet"
+      s.sql(
+        s"""WITH RECURSIVE h(doc_id, depth) AS (
+           |  SELECT doc_id, 0 FROM parquet.`$p` WHERE doc_id <= 1
+           |  UNION ALL
+           |  SELECT d.doc_id, h.depth + 1
+           |  FROM parquet.`$p` d JOIN h ON d.doc_id DIV 2 = h.doc_id
+           |  WHERE d.doc_id >= 2
+           |)
+           |SELECT CAST(h.depth AS BIGINT) AS depth,
+           |       COUNT(*) AS n_docs,
+           |       SUM(d.n_chars) AS chars,
+           |       MIN(h.doc_id) AS first_doc,
+           |       MAX(h.doc_id) AS last_doc
+           |FROM h JOIN parquet.`$p` d USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // ------------------------------------------- in-flight observed metrics
+    Q("q144_observe_metrics",
+      "The Observation API (CollectMetrics): aggregate metrics computed " +
+        "IN-FLIGHT on a passing scan — zero extra pass, zero extra " +
+        "shuffle; the accumulator-style plumbing Delta uses for " +
+        "numOutputRows and data-quality expectations. The gate runs a " +
+        "noop-sink action over lineitem with four observed aggregates " +
+        "riding the scan, then surfaces the observed map as a 1-row " +
+        "frame (metadata-sized by definition — the ONLY driver-side " +
+        "collect is the metric row Spark already sends the driver). " +
+        "The oracle recomputes the same four aggregates with a real " +
+        "GROUP BY-less scan: equality proves the in-flight numbers are " +
+        "the true full-scan numbers, i.e. observation never sampled or " +
+        "dropped a partition. At 100 TB this is how a pipeline gets " +
+        "row counts + integrity sums for free on writes it was doing " +
+        "anyway, instead of paying a second full scan.",
+      Some(s"""
+        SELECT COUNT(*) AS n_rows,
+               SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+               ${oCentsSum("l_extendedprice")}::BIGINT AS revenue_cents,
+               ${oCnt("l_returnflag = 'R'")} AS n_returned
+        FROM lineitem""")) { (s, dir) =>
+      val obs = org.apache.spark.sql.Observation()
+      Tables.lineitem(s, dir)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("revenue_cents"),
+          cnt(col("l_returnflag") === "R").as("n_returned"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("sum_qty").asInstanceOf[Long],
+          m("revenue_cents").asInstanceOf[Long],
+          m("n_returned").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "revenue_cents", "n_returned")
     }
   )
 }

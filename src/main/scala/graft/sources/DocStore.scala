@@ -304,7 +304,13 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-docstore requires .option(\"path\", <lake dir>)"))
-    new DocStoreTable(path)
+    // `manifest` option: read a retained MANIFEST.v<n> snapshot instead
+    // of the live manifest — the format-level VERSION AS OF face
+    // (read-only; the writer refuses non-live manifests). DocStoreCdf
+    // composes this with `segments` to diff two versions reading only
+    // changed files.
+    new DocStoreTable(path,
+      Option(properties.get("manifest")).getOrElse("MANIFEST"))
   }
 }
 
@@ -363,7 +369,14 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, tblSchema,
-      options.getInt("maxSegmentsPerBatch", Int.MaxValue), manifest)
+      options.getInt("maxSegmentsPerBatch", Int.MaxValue), manifest,
+      // `segments` option: restrict the scan to an explicit set of
+      // manifest-relative segment names — plan-time file pruning by
+      // NAME (the input_file_name-predicate shape Delta serves with
+      // file pruning). Unknown names fail loudly at planning: a typo
+      // silently reading zero rows would poison every consumer.
+      Option(options.get("segments")).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 
   /** Write path with the standard commit protocol: tasks stage
     * `.stg-*` segment files and report manifest entries in their
@@ -879,7 +892,8 @@ class DocStoreDataWriter(path: String, schema: StructType,
 class DocStoreScanBuilder(path: String,
     schema: StructType = DocStore.SCHEMA,
     maxSegmentsPerBatch: Int = Int.MaxValue,
-    manifest: String = "MANIFEST")
+    manifest: String = "MANIFEST",
+    segmentSubset: Option[Set[String]] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -951,6 +965,7 @@ class DocStoreScanBuilder(path: String,
       lo == Long.MinValue && hi == Long.MaxValue &&
       limit == Int.MaxValue &&
       !hasDeletes &&
+      segmentSubset.isEmpty && // manifest totals are whole-table numbers
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -972,11 +987,22 @@ class DocStoreScanBuilder(path: String,
     pushedAgg match {
       case Some(agg) => new ManifestAggScan(segments, agg)
       case None =>
-        // partition pruning FIRST (directory-level elimination from
-        // the partition spec), then the per-segment zone maps
+        // explicit name subset first (scan scope), then partition
+        // pruning (directory-level elimination from the partition
+        // spec), then the per-segment zone maps
+        val scoped = segmentSubset match {
+          case Some(names) =>
+            val known = segments.map(_.name).toSet
+            val missing = names -- known
+            require(missing.isEmpty,
+              s"segments option names absent from $manifest of $path: " +
+                missing.toSeq.sorted.mkString(", "))
+            segments.filter(s => names(s.name))
+          case None => segments
+        }
         val partKeep = DocStorePartitioning.pruner(
           DocStorePartitioning.read(path), schema, allFilters)
-        val surviving = segments.filter(partKeep)
+        val surviving = scoped.filter(partKeep)
           .filter(s => s.maxId >= lo && s.minId <= hi)
         new DocStoreScan(path, schema, required, lo, hi, limit,
           surviving, segments.size, maxSegmentsPerBatch, dvs)

@@ -1121,4 +1121,66 @@ class DocStoreSpec extends SparkSpec {
     val expect = df.orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(back == expect) // null != "" must hold through the round trip
   }
+
+  test("segments read option prunes by name at plan time, fails loudly on unknowns") {
+    val pick = DocStore.readManifest(lake).map(_.name).take(2)
+    val sub = spark.read.format("graft-docstore").option("path", lake)
+      .option("segments", pick.mkString(",")).load()
+    val plan = physical(sub)
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(m.group(1).toInt == 2, s"subset must plan exactly 2 segments:\n$plan")
+    // row-identical to filtering the full scan on _segment post-hoc
+    val want = store.select(col("doc_id"), col("_segment"))
+      .filter(col("_segment").isin(pick: _*)).count()
+    assert(sub.count() == want && want > 0)
+    val bad = intercept[Exception] {
+      spark.read.format("graft-docstore").option("path", lake)
+        .option("segments", "no-such-segment.gds").load().count()
+    }
+    assert(bad.getMessage.contains("no-such-segment.gds"), bad.getMessage)
+  }
+
+  test("change data feed: snapshot diff yields inserts, deletes, and DV-delta rows") {
+    val root = Files.createTempDirectory("docstore_cdf").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.ccat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.ccat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("cdf_src")
+    sc.sql("CREATE NAMESPACE ccat.ns")
+    sc.sql("CREATE TABLE ccat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    (0 until 4).foreach(i => sc.sql("INSERT INTO ccat.ns.t " +
+      s"SELECT * FROM cdf_src WHERE doc_id BETWEEN ${i * 100} AND ${i * 100 + 99}"))
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val vBase = graft.sources.DocStoreCommitOps.nextVersion(tableDir) - 1
+
+    sc.sql("DELETE FROM ccat.ns.t WHERE doc_id BETWEEN 150 AND 159") // DVs
+    sc.sql("UPDATE ccat.ns.t SET lang = 'mm' " +
+      "WHERE doc_id BETWEEN 200 AND 204") // DV + reinsert
+    sc.sql("INSERT INTO ccat.ns.t " +
+      "SELECT * FROM cdf_src WHERE doc_id BETWEEN 400 AND 499")
+    val vHead = graft.sources.DocStoreCommitOps.nextVersion(tableDir) - 1
+
+    val ch = graft.sources.DocStoreCdf.changesBetween(sc, tableDir, vBase, vHead)
+    def ids(typ: String) = ch.filter(col("_change_type") === typ)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids("delete") == ((150L to 159L) ++ (200L to 204L)).sorted,
+      "deletes must be the DV'd rows (explicit DELETE + UPDATE's old rows)")
+    assert(ids("insert") == ((200L to 204L) ++ (400L to 499L)).sorted,
+      "inserts must be the UPDATE reinserts + the appended segment rows")
+    // the reinserted rows carry the POST-update values
+    val relangs = ch.filter(col("_change_type") === "insert" &&
+        col("doc_id").between(200, 204))
+      .select("lang").collect().map(_.getString(0)).toSet
+    assert(relangs == Set("mm"))
+    // a degenerate range is empty, with the CDF schema intact
+    val empty = graft.sources.DocStoreCdf.changesBetween(sc, tableDir, vHead, vHead)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("_change_type") &&
+      empty.columns.contains("_commit_version"))
+  }
 }
