@@ -984,6 +984,66 @@ object IoOps {
           min(col("doc_id")).as("first_id"),
           max(col("doc_id")).as("last_id"))
         .orderBy("_change_type", "lang")
+    },
+
+    // ----------------------------------- per-commit change-feed history
+    Q("q147_cdf_incremental",
+      "The incremental-consumer face of the change feed: walk the " +
+        "table's ENTIRE commit history version by version " +
+        "(changesBetween(v-1, v), v0 = the empty pre-publish table) " +
+        "and emit per-commit insert/delete row+char totals — what a " +
+        "downstream job reads to process exactly one commit's delta " +
+        "per run (the Delta startingVersion consumer loop). History " +
+        "here: CTAS (full insert), MoR DELETE (DV-only commit), MoR " +
+        "UPDATE (DV + reinsert in ONE commit — both sides land under " +
+        "the same version), append INSERT. The oracle replays the " +
+        "four commits arithmetically over the original parquet; " +
+        "layout-independence again rests on MoR discipline (no " +
+        "commit rewrites an untouched row). The version walk is a " +
+        "driver-side loop over the METADATA version list; each step " +
+        "scans only that commit's touched segments.",
+      Some("""
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+                 COUNT(*) AS n_rows, SUM(n_chars)::BIGINT AS chars
+          FROM documents
+          UNION ALL
+          SELECT 2, 'delete', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE source = 'src2'
+          UNION ALL
+          SELECT 3, 'delete', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE lang = 'es' AND source <> 'src2'
+          UNION ALL
+          SELECT 3, 'insert', COUNT(*), SUM(n_chars + 7)::BIGINT
+          FROM documents WHERE lang = 'es' AND source <> 'src2'
+          UNION ALL
+          SELECT 4, 'insert', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE lang = 'fr'
+        ) ORDER BY version, change_type""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_i")
+      sc.sql("""
+        CREATE TABLE graft_cat_i.default.hist
+        TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')
+        AS SELECT * FROM graft_cat_i.default.docs""")
+      sc.sql("DELETE FROM graft_cat_i.default.hist WHERE source = 'src2'")
+      sc.sql("UPDATE graft_cat_i.default.hist SET n_chars = n_chars + 7 " +
+        "WHERE lang = 'es'")
+      sc.sql("INSERT INTO graft_cat_i.default.hist " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text " +
+        "FROM graft_cat_i.default.docs WHERE lang = 'fr'")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_i.root"),
+        "default", "hist").toString
+      val head = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      (1L to head).map { v =>
+        graft.sources.DocStoreCdf.changesBetween(sc, tablePath, v - 1, v)
+          .groupBy(col("_commit_version"), col("_change_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars"))
+      }.reduce(_.unionByName(_))
+        .select(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"),
+          col("n_rows"), col("chars"))
+        .orderBy("version", "change_type")
     }
   )
 

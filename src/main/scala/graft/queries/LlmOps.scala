@@ -895,6 +895,53 @@ object LlmOps {
             .cast("long").as("n_phones"),
           sha2(graft.functions.redact_pii(col("raw")), 256).as("redacted_hash"))
         .orderBy("doc_id")
+    },
+
+    // --------------------------------------- contrastive pair mining
+    Q("q146_contrastive_pairs",
+      "Training-pair mining for contrastive embedding training (the " +
+        "SimCSE/CLIP-data shape): every doc anchors a positive — its " +
+        "(lang, source) successor, the weak-supervision same-origin " +
+        "heuristic — and a hard-ish negative: its successor in a " +
+        "deterministic hash shuffle WITHIN the language, accepted only " +
+        "when the source differs (same-lang negatives are harder than " +
+        "random corpus draws). Both neighbors come from lead() windows " +
+        "over BOUNDED partitions — (lang, source) and (lang, " +
+        "hash-bucket) — never a global sort: the bucket count is the " +
+        "parallelism knob at 100 TB, the hash order is a fixed uniform " +
+        "permutation (hash28, the engine-wide primitive), so pairing " +
+        "is reproducible across runs, partitions, and engines — " +
+        "RNG-free by the q105 rule. The oracle replays both windows " +
+        "verbatim in DuckDB.",
+      Some(s"""
+        WITH d AS (SELECT doc_id, lang, source,
+                          ${oHash28("doc_id::VARCHAR")} AS h FROM documents),
+        b AS (SELECT *, h % 16 AS bkt FROM d),
+        w AS (SELECT doc_id, lang, source,
+                     LEAD(doc_id) OVER (PARTITION BY lang, source
+                                        ORDER BY doc_id) AS pos_id,
+                     LEAD(doc_id) OVER (PARTITION BY lang, bkt
+                                        ORDER BY h, doc_id) AS cand_id,
+                     LEAD(source) OVER (PARTITION BY lang, bkt
+                                        ORDER BY h, doc_id) AS cand_src
+              FROM b)
+        SELECT doc_id AS anchor_id, lang, pos_id,
+               CASE WHEN cand_src <> source THEN cand_id END AS neg_id
+        FROM w WHERE pos_id IS NOT NULL ORDER BY anchor_id""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          hash28(col("doc_id").cast("string")).as("h"))
+        .withColumn("bkt", col("h") % 16)
+      val wPos = Window.partitionBy("lang", "source").orderBy("doc_id")
+      val wNeg = Window.partitionBy("lang", "bkt").orderBy("h", "doc_id")
+      d.withColumn("pos_id", lead("doc_id", 1).over(wPos))
+        .withColumn("cand_id", lead("doc_id", 1).over(wNeg))
+        .withColumn("cand_src", lead("source", 1).over(wNeg))
+        .filter(col("pos_id").isNotNull)
+        .select(col("doc_id").as("anchor_id"), col("lang"), col("pos_id"),
+          when(col("cand_src") =!= col("source"), col("cand_id")).as("neg_id"))
+        .orderBy("anchor_id")
     }
   )
 }

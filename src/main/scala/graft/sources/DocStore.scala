@@ -1082,8 +1082,16 @@ class DocStoreScan(path: String, schema: StructType,
     * slice actually joined, without any user-written predicate. */
   @volatile private var runtimeSurviving: Seq[DocStore.Segment] = surviving
 
+  /** Only advertised when doc_id survives column pruning: Spark's
+    * PartitionPruning resolves these refs against the scan OUTPUT, so
+    * an unconditional advert breaks ANY join whose docstore side does
+    * not project doc_id ("Unable to resolve doc_id given [...]") —
+    * first hit by the CDF's (_segment, _pos) broadcast join. Declining
+    * merely skips best-effort runtime pruning for that scan. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("doc_id"))
+    if (required.fieldNames.contains("doc_id"))
+      Array(Expressions.column("doc_id"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.sources.In

@@ -43,8 +43,15 @@ object DocStoreCdf {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
     val fromM = s"MANIFEST.v$fromV"
     val toM = s"MANIFEST.v$toV"
-    val (fromSegs, fromDv) = DocStore.readManifestAndDeletes(path, fromM)
-    val (toSegs, toDv) = DocStore.readManifestAndDeletes(path, toM)
+    // version 0 is the table before its first publish: empty by
+    // definition (no MANIFEST.v0 file exists), so a v0-anchored feed
+    // reports the first commit's full content as inserts
+    val (fromSegs, fromDv) =
+      if (fromV == 0L) (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
+      else DocStore.readManifestAndDeletes(path, fromM)
+    val (toSegs, toDv) =
+      if (toV == 0L) (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
+      else DocStore.readManifestAndDeletes(path, toM)
     val fromNames = fromSegs.map(_.name).toSet
     val toNames = toSegs.map(_.name).toSet
     val added = (toNames -- fromNames).toSeq.sorted
@@ -90,8 +97,9 @@ object DocStoreCdf {
     (inserts.toSeq ++ removals ++ dvRemovals)
       .reduceOption(_.unionByName(_))
       .getOrElse(tagged( // empty range: 0-row frame with the CDF schema
+        // (live-manifest face: a v0 anchor has no MANIFEST.v0 file)
         s.read.format("graft-docstore")
-          .option("path", path).option("manifest", toM).load().limit(0),
+          .option("path", path).load().limit(0),
         "insert"))
   }
 }

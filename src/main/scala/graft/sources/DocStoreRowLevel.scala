@@ -154,8 +154,18 @@ class DocStoreRowLevelScan(path: String, schema: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Runtime group filtering keys on doc_id — but it can only be
+    * advertised when doc_id is IN this scan's projection: Spark
+    * resolves the filter attributes against the scan OUTPUT, and a
+    * command whose condition + assignments never touch doc_id (e.g.
+    * `UPDATE t SET n_chars = … WHERE lang = …`) prunes it away, so an
+    * unconditional advert fails analysis with "Unable to resolve
+    * doc_id". Declining is sound: the rewrite set falls back to the
+    * compile-time pruning, it just narrows less. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("doc_id"))
+    if (required.fieldNames.contains("doc_id"))
+      Array(Expressions.column("doc_id"))
+    else Array.empty
 
   /** Best-effort group narrowing from the runtime matched-row doc_id
     * set (an IN predicate fed by the group-filter subquery). Parsing

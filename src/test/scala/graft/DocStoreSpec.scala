@@ -1183,4 +1183,36 @@ class DocStoreSpec extends SparkSpec {
     assert(empty.columns.contains("_change_type") &&
       empty.columns.contains("_commit_version"))
   }
+
+  test("runtime-filter attrs decline when doc_id is pruned from the projection") {
+    // regression: filterAttributes() unconditionally advertised doc_id,
+    // so ANY plan whose docstore scan did not project it — a DML whose
+    // condition+assignments never mention doc_id, or a join keyed on
+    // other columns — failed analysis in Spark's PartitionPruning with
+    // "Unable to resolve doc_id". Both shapes must plan and run.
+    val root = Files.createTempDirectory("docstore_nofid").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.fcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.fcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("nofid_src")
+    sc.sql("CREATE NAMESPACE fcat.ns")
+    sc.sql("CREATE TABLE fcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("INSERT INTO fcat.ns.t SELECT * FROM nofid_src")
+    sc.sql("UPDATE fcat.ns.t SET n_chars = n_chars + 7 WHERE lang = 'es'")
+    sc.sql("DELETE FROM fcat.ns.t WHERE source = 'src2'")
+    val got = sc.sql("SELECT SUM(n_chars) FROM fcat.ns.t").collect()(0).getLong(0)
+    val want = sc.sql("SELECT SUM(n_chars + CASE WHEN lang = 'es' THEN 7 ELSE 0 END) " +
+      "FROM nofid_src WHERE source <> 'src2'").collect()(0).getLong(0)
+    assert(got == want)
+    // join on a non-doc_id key with doc_id pruned away still plans
+    import spark.implicits._
+    val dim = Seq(("es", 1), ("fr", 2)).toDF("lang", "w")
+    val t = sc.table("fcat.ns.t").select("lang", "n_chars")
+    assert(t.join(dim, "lang").count() > 0)
+  }
 }
