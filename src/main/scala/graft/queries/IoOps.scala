@@ -1044,6 +1044,42 @@ object IoOps {
           col("_change_type").as("change_type"),
           col("n_rows"), col("chars"))
         .orderBy("version", "change_type")
+    },
+
+    // --------------------------------------------------- RESTORE TABLE
+    Q("q148_catalog_restore",
+      "RESTORE TABLE (CALL system.restore): roll the table back to a " +
+        "retained version by republishing that snapshot's manifest — " +
+        "segment list AND its deletion vectors — as a NEW version. " +
+        "Metadata-only whatever the table size (segments are " +
+        "immutable, replaced files are retained by DML history): " +
+        "undoing a bad UPDATE on a 100 TB table costs one manifest " +
+        "write, and the bad version stays readable via VERSION AS OF " +
+        "because the restore is itself a commit — Delta RESTORE " +
+        "semantics exactly. The gate damages the table with a " +
+        "copy-on-write UPDATE and a DELETE, restores the pre-damage " +
+        "version, and must read back the ORIGINAL content — so the " +
+        "oracle is the plain aggregate over the source parquet, the " +
+        "strongest possible restore proof.",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_s")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_s.root"),
+        "default", "docs").toString
+      val vBase = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      sc.sql("UPDATE graft_cat_s.default.docs SET n_chars = n_chars + 999 " +
+        "WHERE lang = 'en'") // copy-on-write rewrite
+      sc.sql("DELETE FROM graft_cat_s.default.docs WHERE lang = 'zh'")
+      sc.sql(s"CALL graft_cat_s.system.restore('default.docs', $vBase)")
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars,
+               COUNT(DISTINCT source) AS n_sources
+        FROM graft_cat_s.default.docs GROUP BY lang ORDER BY lang""")
     }
   )
 

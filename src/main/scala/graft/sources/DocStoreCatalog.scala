@@ -106,6 +106,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace().toSeq, ident.name().toLowerCase) match {
       case (Seq("system"), "vacuum") => new VacuumProcedure(this)
       case (Seq("system"), "history") => new HistoryProcedure(this)
+      case (Seq("system"), "restore") => new RestoreProcedure(this)
       case _ => throw new RuntimeException(
         s"no such docstore procedure: $ident (try system.vacuum / system.history)")
     }

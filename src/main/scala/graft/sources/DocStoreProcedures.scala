@@ -98,6 +98,50 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   }
 }
 
+/** `CALL cat.system.restore('ns.t', v)` — Delta's RESTORE TABLE:
+  * republish a retained version's manifest (segment list + its
+  * deletion vectors) as a NEW version. Metadata-only by construction —
+  * segments are immutable and replaced files are retained by
+  * append/DML history, so rolling back a bad UPDATE on a 100 TB table
+  * costs one manifest write. History stays append-only (the bad
+  * version remains readable via VERSION AS OF — the restore is itself
+  * a commit, Delta semantics exactly). Refuses loudly when the target
+  * snapshot is gone (vacuum/truncate reset history) or any referenced
+  * segment file was reclaimed. */
+class RestoreProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "restore"
+  override def description(): String =
+    "restore the table to a retained version by republishing its " +
+      "manifest as a new version (metadata-only)"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("restored_version", LongType, nullable = false),
+    StructField("new_version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val v = input.getLong(1)
+    var newV = 0L
+    DocStoreCommitOps.withCommitLock(dir.toString) {
+      require(Files.exists(dir.resolve(s"MANIFEST.v$v")),
+        s"no retained snapshot MANIFEST.v$v — vacuum or truncate " +
+          "reset the history past it")
+      val (segs, dvs) =
+        DocStore.readManifestAndDeletes(dir.toString, s"MANIFEST.v$v")
+      val missing = segs.filterNot(s => Files.exists(dir.resolve(s.name)))
+      require(missing.isEmpty,
+        s"version $v references vacuumed segment files: " +
+          missing.map(_.name).mkString(", "))
+      newV = DocStoreCommitOps.writeManifest(dir.toString, segs,
+        s"restore-v$v-${java.util.UUID.randomUUID()}", dvs)
+    }
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](v, newV))))
+  }
+}
+
 class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   override def name(): String = "history"
   override def description(): String =

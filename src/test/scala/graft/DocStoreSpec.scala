@@ -1215,4 +1215,46 @@ class DocStoreSpec extends SparkSpec {
     val t = sc.table("fcat.ns.t").select("lang", "n_chars")
     assert(t.join(dim, "lang").count() > 0)
   }
+
+  test("system.restore republishes a snapshot incl. DVs; refuses vacuumed history") {
+    val root = Files.createTempDirectory("docstore_restore").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.rcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.rcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("rst_src")
+    sc.sql("CREATE NAMESPACE rcat.ns")
+    sc.sql("CREATE TABLE rcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("INSERT INTO rcat.ns.t SELECT * FROM rst_src")
+    sc.sql("DELETE FROM rcat.ns.t WHERE doc_id < 100") // DVs in the snapshot
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val vDv = graft.sources.DocStoreCommitOps.nextVersion(tableDir) - 1
+    val wantRows = sc.sql("SELECT COUNT(*) FROM rcat.ns.t").collect()(0).getLong(0)
+
+    sc.sql("DELETE FROM rcat.ns.t WHERE doc_id < 300") // further damage
+    val restored = sc.sql(s"CALL rcat.system.restore('ns.t', $vDv)").collect()
+    assert(restored(0).getLong(0) == vDv && restored(0).getLong(1) > vDv,
+      "restore must publish a NEW version (history append-only)")
+    // the DV'd snapshot content is back exactly — deletes < 100 apply,
+    // deletes in [100, 300) are rolled back
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").collect()(0).getLong(0)
+      == wantRows)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE doc_id < 100")
+      .collect()(0).getLong(0) == 0, "restored snapshot must keep its DVs")
+    // the damaged version is STILL readable: the restore was a commit
+    assert(sc.sql(s"SELECT COUNT(*) FROM rcat.ns.t VERSION AS OF ${vDv + 1}")
+      .collect()(0).getLong(0) < wantRows)
+
+    // vacuum resets history → restoring a pre-vacuum version refuses
+    sc.sql("CALL rcat.system.vacuum('ns.t')")
+    val e = intercept[Exception] {
+      sc.sql(s"CALL rcat.system.restore('ns.t', $vDv)").collect()
+    }
+    assert(e.getMessage.contains("MANIFEST.v") ||
+      e.getMessage.contains("vacuum"), e.getMessage)
+  }
 }
