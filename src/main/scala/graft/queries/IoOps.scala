@@ -1080,6 +1080,72 @@ object IoOps {
         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars,
                COUNT(DISTINCT source) AS n_sources
         FROM graft_cat_s.default.docs GROUP BY lang ORDER BY lang""")
+    },
+
+    // ------------------------------------------------- streaming CDC
+    Q("q149_stream_cdf",
+      "The change data feed as a STREAM (Delta's readChangeFeed " +
+        "streaming read): readStream with readChangeFeed=true emits " +
+        "each commit's change rows as its own micro-batch — offsets " +
+        "are VERSION numbers (append-only, so no DELETE can shift a " +
+        "checkpoint), admission control paces one version per batch " +
+        "so _commit_version is exact, and each batch plans only that " +
+        "commit's touched segments off two metadata reads (the " +
+        "incremental consumer reads each commit's bytes, not the " +
+        "table). The gate replays the q147 history (CTAS, MoR " +
+        "DELETE, MoR UPDATE = DV + reinsert in one commit, INSERT) " +
+        "through an AvailableNow drive into a memory sink and " +
+        "aggregates per (version, change_type) — the SAME oracle as " +
+        "the batch walk, so stream == batch holds for the CDC face " +
+        "too. Vacuumed-away history fails the stream loudly instead " +
+        "of skipping versions.",
+      Some("""
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+                 COUNT(*) AS n_rows, SUM(n_chars)::BIGINT AS chars
+          FROM documents
+          UNION ALL
+          SELECT 2, 'delete', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE source = 'src2'
+          UNION ALL
+          SELECT 3, 'delete', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE lang = 'es' AND source <> 'src2'
+          UNION ALL
+          SELECT 3, 'insert', COUNT(*), SUM(n_chars + 7)::BIGINT
+          FROM documents WHERE lang = 'es' AND source <> 'src2'
+          UNION ALL
+          SELECT 4, 'insert', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE lang = 'fr'
+        ) ORDER BY version, change_type""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_cs")
+      sc.sql("""
+        CREATE TABLE graft_cat_cs.default.hist
+        TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')
+        AS SELECT * FROM graft_cat_cs.default.docs""")
+      sc.sql("DELETE FROM graft_cat_cs.default.hist WHERE source = 'src2'")
+      sc.sql("UPDATE graft_cat_cs.default.hist SET n_chars = n_chars + 7 " +
+        "WHERE lang = 'es'")
+      sc.sql("INSERT INTO graft_cat_cs.default.hist " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text " +
+        "FROM graft_cat_cs.default.docs WHERE lang = 'fr'")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_cs.root"),
+        "default", "hist").toString
+      sc.catalog.dropTempView("q149_cdc") // re-invocation safety
+      val q = sc.readStream.format("graft-docstore")
+        .option("path", tablePath).option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName("q149_cdc")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      sc.table("q149_cdc")
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars"))
+        .select(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"),
+          col("n_rows"), col("chars"))
+        .orderBy("version", "change_type")
     }
   )
 

@@ -31,7 +31,8 @@ object Registry {
     "q132_catalog_update", "q133_catalog_merge", "q134_catalog_evolution",
     "q135_catalog_vacuum", "q136_catalog_ctas", "q137_catalog_mor",
     "q142_catalog_rename_widen", "q145_docstore_cdf",
-    "q147_cdf_incremental", "q148_catalog_restore")
+    "q147_cdf_incremental", "q148_catalog_restore",
+    "q149_stream_cdf")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -296,21 +296,32 @@ object DocStore {
 /** `spark.read.format("graft-docstore").option("path", lake)` entry. */
 class DocStoreSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docstore"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Option(options.get("path")).map(DocStore.tableSchema)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = Option(options.get("path")).map(DocStore.tableSchema)
       .getOrElse(DocStore.SCHEMA)
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      DocStoreCdcStream.cdcSchema(base)
+    else base
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-docstore requires .option(\"path\", <lake dir>)"))
-    // `manifest` option: read a retained MANIFEST.v<n> snapshot instead
-    // of the live manifest — the format-level VERSION AS OF face
-    // (read-only; the writer refuses non-live manifests). DocStoreCdf
-    // composes this with `segments` to diff two versions reading only
-    // changed files.
-    new DocStoreTable(path,
-      Option(properties.get("manifest")).getOrElse("MANIFEST"))
+    // `readChangeFeed=true`: the CDC streaming face — per-commit
+    // change rows with _change_type/_commit_version columns, version-
+    // keyed offsets (see DocStoreCdcStream).
+    if (Option(properties.get("readChangeFeed")).exists(_.toBoolean))
+      new DocStoreCdcTable(path,
+        Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L))
+    else
+      // `manifest` option: read a retained MANIFEST.v<n> snapshot
+      // instead of the live manifest — the format-level VERSION AS OF
+      // face (read-only; the writer refuses non-live manifests).
+      // DocStoreCdf composes this with `segments` to diff two versions
+      // reading only changed files.
+      new DocStoreTable(path,
+        Option(properties.get("manifest")).getOrElse("MANIFEST"))
   }
 }
 

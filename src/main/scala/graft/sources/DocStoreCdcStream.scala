@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming change data feed — Delta's `readChangeFeed` streaming
+  * read: `spark.readStream.format("graft-docstore").option("path", p)
+  * .option("readChangeFeed", "true")[.option("startingVersion", n)]`
+  * emits each commit's change rows (the [[DocStoreCdf]] snapshot-diff
+  * semantics) as its own micro-batch, paced ONE VERSION PER BATCH
+  * through the admission-control API so `_commit_version` is exact
+  * per emitted row and a restart resumes from the checkpointed
+  * version with no re-reads. Offsets are version numbers — the
+  * natural name-stable key (versions are append-only; segments names
+  * inside them are immutable), so no DELETE can shift a checkpoint.
+  *
+  * Per batch the planner diffs two retained manifests driver-side
+  * (metadata) and ships only the touched segments: added segments as
+  * 'insert' partitions, removed segments (read with their
+  * predecessor's deletion vectors) as 'delete' partitions, and the
+  * DV delta on common segments as emit-only-these-positions 'delete'
+  * partitions. Unchanged files are never opened — the incremental
+  * consumer at 100 TB reads each commit's touched bytes, not the
+  * table. Restored-away history (vacuum) fails the stream LOUDLY
+  * rather than skipping versions. */
+object DocStoreCdcStream {
+  val CHANGE_TYPE = "_change_type"
+  val COMMIT_VERSION = "_commit_version"
+
+  def cdcSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq ++ Seq(
+      StructField(CHANGE_TYPE, StringType, nullable = false),
+      StructField(COMMIT_VERSION, LongType, nullable = false)))
+}
+
+final case class DocStoreVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** One CDC unit of work: one segment file read under one change role.
+  * `skip` = positions dead BEFORE this commit (never change rows);
+  * `emit` = when non-null, ONLY these positions are change rows (the
+  * deletion-vector delta of this commit). */
+final case class DocStoreCdcPartition(file: String, segName: String,
+    skip: Array[Long], emit: Array[Long],
+    changeType: String, version: Long) extends InputPartition
+
+class DocStoreCdcTable(path: String, startingVersion: Long)
+    extends Table with SupportsRead {
+  private lazy val base = DocStore.tableSchema(path)
+  override def name(): String = s"graft-docstore-cdc(`$path`)"
+  override def schema(): StructType = DocStoreCdcStream.cdcSchema(base)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema()
+        override def toMicroBatchStream(loc: String): MicroBatchStream =
+          new DocStoreCdcMicroBatchStream(path, base, startingVersion)
+        override def description(): String = name()
+      }
+    }
+}
+
+class DocStoreCdcMicroBatchStream(path: String, base: StructType,
+    startingVersion: Long)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def currentVersion: Long = DocStoreCommitOps.nextVersion(path) - 1
+
+  /** Same rationale as [[DocStoreMicroBatchStream]]: without this
+    * trait Spark's AvailableNow wrapper captures ONE pacing step as
+    * the terminal offset and under-drains the paced source. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = DocStoreVersionOffset(startingVersion)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def v(o: Offset): Long = o match {
+    case null => startingVersion
+    case DocStoreVersionOffset(n) => n
+    case other => v(deserializeOffset(other.json()))
+  }
+
+  // one committed version per micro-batch: _commit_version stays exact
+  // and each batch's cost is one commit's touched segments
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    DocStoreVersionOffset(math.min(currentVersion, v(start) + 1))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "docstore CDC paces batches via latestOffset(start, limit)")
+  override def reportLatestOffset(): Offset =
+    DocStoreVersionOffset(currentVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(m => DocStoreVersionOffset(m.group(1).toLong))
+      .getOrElse(throw new IllegalStateException(
+        s"unparseable docstore CDC offset: $json"))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val dir = java.nio.file.Paths.get(path)
+    (v(start) + 1 to v(end)).flatMap { ver =>
+      def read(at: Long) =
+        if (at == 0L) (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
+        else {
+          require(java.nio.file.Files.exists(dir.resolve(s"MANIFEST.v$at")),
+            s"docstore CDC needs MANIFEST.v$at of $path — vacuum or " +
+              "truncate reset the history past this stream's position; " +
+              "restart from a fresh startingVersion")
+          DocStore.readManifestAndDeletes(path, s"MANIFEST.v$at")
+        }
+      val (fromSegs, fromDv) = read(ver - 1)
+      val (toSegs, toDv) = read(ver)
+      val fromByName = fromSegs.map(s => s.name -> s).toMap
+      val toByName = toSegs.map(s => s.name -> s).toMap
+      val inserts = toSegs.filterNot(s => fromByName.contains(s.name)).map(s =>
+        DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
+          toDv.getOrElse(s.name, Array.empty), null, "insert", ver))
+      val removes = fromSegs.filterNot(s => toByName.contains(s.name)).map(s =>
+        DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
+          fromDv.getOrElse(s.name, Array.empty), null, "delete", ver))
+      val dvDeltas = fromSegs.filter(s => toByName.contains(s.name)).flatMap { s =>
+        val before = fromDv.getOrElse(s.name, Array.empty[Long]).toSet
+        val delta = toDv.getOrElse(s.name, Array.empty[Long]).filterNot(before)
+        if (delta.isEmpty) None
+        else Some(DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
+          Array.empty, delta, "delete", ver))
+      }
+      inserts ++ removes ++ dvDeltas
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocStoreCdcReaderFactory(base)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class DocStoreCdcReaderFactory(base: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DocStoreCdcReader(p.asInstanceOf[DocStoreCdcPartition], base)
+}
+
+/** Wraps the plain segment reader: reads base columns + `_pos`, filters
+  * to the emit set when present, and appends the constant change
+  * columns. */
+class DocStoreCdcReader(p: DocStoreCdcPartition, base: StructType)
+    extends PartitionReader[InternalRow] {
+  private val withPos = StructType(base.fields.toSeq :+
+    StructField(PosMetadataColumn.NAME, LongType, nullable = false))
+  private val inner = new DocStoreReader(p.file, base, withPos,
+    Long.MinValue, Long.MaxValue, Int.MaxValue, p.skip, p.segName)
+  private val emitSet: java.util.HashSet[Long] =
+    if (p.emit == null) null
+    else { val s = new java.util.HashSet[Long](); p.emit.foreach(s.add); s }
+  private val posIdx = base.length
+  private val typUtf = UTF8String.fromString(p.changeType)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      if (emitSet == null || emitSet.contains(r.getLong(posIdx))) {
+        val out = new Array[Any](base.length + 2)
+        var i = 0
+        while (i < base.length) {
+          out(i) = if (r.isNullAt(i)) null else r.get(i, base(i).dataType)
+          i += 1
+        }
+        out(base.length) = typUtf
+        out(base.length + 1) = p.version
+        row = new GenericInternalRow(out)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
+}

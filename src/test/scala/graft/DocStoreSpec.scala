@@ -1257,4 +1257,50 @@ class DocStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("MANIFEST.v") ||
       e.getMessage.contains("vacuum"), e.getMessage)
   }
+
+  test("CDC stream: per-version batches, checkpointed restart reads only new commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("docstore_cdc_stream").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.scat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.scat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("cdc_s_src")
+    sc.sql("CREATE NAMESPACE scat.ns")
+    sc.sql("CREATE TABLE scat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("INSERT INTO scat.ns.t SELECT * FROM cdc_s_src WHERE doc_id < 200")
+    sc.sql("DELETE FROM scat.ns.t WHERE doc_id < 50")
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val out = Files.createTempDirectory("cdc_sink")
+    graft.core.Fs.deleteOnExit(out)
+    val sink = out.resolve("data").toString
+    val ckpt = out.resolve("ckpt").toString
+    def drain(): Unit = {
+      val q = sc.readStream.format("graft-docstore")
+        .option("path", tableDir).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    val r1 = sc.read.parquet(sink)
+    // v1: 200 inserts; v2: 50 DV deletes — each tagged with its version
+    assert(r1.filter(col("_change_type") === "insert").count() == 200)
+    assert(r1.filter(col("_change_type") === "delete").count() == 50)
+    assert(r1.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // a new commit, same checkpoint: ONLY its rows are appended
+    sc.sql("INSERT INTO scat.ns.t SELECT * FROM cdc_s_src " +
+      "WHERE doc_id BETWEEN 200 AND 249")
+    drain()
+    val r2 = sc.read.parquet(sink)
+    assert(r2.count() == 300, "restart must emit exactly the new commit")
+    assert(r2.filter(col("_commit_version") === 3).count() == 50)
+  }
 }
