@@ -1146,6 +1146,48 @@ object IoOps {
           col("_change_type").as("change_type"),
           col("n_rows"), col("chars"))
         .orderBy("version", "change_type")
+    },
+
+    // ------------------------------------------------ SHOW PARTITIONS
+    Q("q150_show_partitions",
+      "SHOW PARTITIONS via SupportsPartitionManagement: partition " +
+        "identifiers listed from the MANIFEST — the source of truth; " +
+        "an empty directory is not a partition — typed per the " +
+        "partition schema (identity columns keep their table type, " +
+        "bucket levels are INT). The listing is a pure METADATA read " +
+        "at any table size: distinct directory prefixes of the " +
+        "manifest's segment names, never a file open. The oracle " +
+        "derives the same identifiers from the source parquet's " +
+        "distinct partition-column values — equality proves the " +
+        "write path created exactly one directory per live value, no " +
+        "phantom or missing partitions. (The Hive management verbs " +
+        "refuse: docstore partitions are derived from data — INSERT " +
+        "creates them, aligned DELETE removes them.)",
+      Some("""
+        SELECT DISTINCT 'lang=' || lang AS partition
+        FROM documents ORDER BY 1""")) { (s, dir) =>
+      // the same shared READ-ONLY Scratch fixture q141 scans
+      val pristine = graft.core.Scratch.materialize("docstore_part",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+        val b = graft.core.Sessions.scoped(s,
+          "spark.sql.catalog.gp_build" ->
+            classOf[graft.sources.DocStoreCatalog].getName,
+          "spark.sql.catalog.gp_build.root" -> stg)
+        Tables.documents(b, dir)
+          .select("doc_id", "n_chars", "lang", "source", "text")
+          .createOrReplaceTempView("part_docs_src")
+        b.sql("CREATE NAMESPACE IF NOT EXISTS gp_build.default")
+        b.sql("CREATE TABLE gp_build.default.docs (doc_id BIGINT NOT NULL, " +
+          "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+          "PARTITIONED BY (lang)")
+        b.sql("INSERT INTO gp_build.default.docs SELECT * FROM part_docs_src")
+      }
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_sp" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_sp.root" -> pristine)
+      sc.sql("SHOW PARTITIONS graft_cat_sp.default.docs")
+        .orderBy("partition")
     }
   )
 

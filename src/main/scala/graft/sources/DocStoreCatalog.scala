@@ -470,7 +470,85 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     extends DocStoreTable(path, manifest)
     with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  // ----- SupportsPartitionManagement: the SHOW PARTITIONS surface -----
+  // Docstore partitions are DERIVED from data (the write path routes
+  // rows into transform directories), so listing reads the MANIFEST —
+  // the source of truth; an empty directory is not a partition — and
+  // the Hive-style management verbs refuse with the operation that
+  // actually does the job.
+
+  override def partitionSchema(): StructType =
+    StructType(partSpec.map {
+      case DocStorePartitioning.PIdentity(c) => schema()(c)
+      case DocStorePartitioning.PBucket(c, _) =>
+        StructField(s"${c}_bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false)
+    })
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ps = partitionSchema()
+    require(names.length == ident.numFields,
+      s"partial spec names (${names.length}) != values (${ident.numFields})")
+    val nameIdx = names.map(ps.fieldIndex)
+    val rows = DocStore.readManifest(path, manifest)
+      .map(_.name.split("/").dropRight(1).toSeq)
+      .distinct.filter(_.nonEmpty)
+      .map { levels =>
+        require(levels.size == partSpec.size,
+          s"segment path depth ${levels.size} != partition spec ${partSpec.size}")
+        val values = levels.zip(partSpec).map { case (lvl, t) =>
+          val raw = lvl.substring(lvl.indexOf('=') + 1)
+          t match {
+            case DocStorePartitioning.PIdentity(c) =>
+              if (raw == DocStorePartitioning.NULL_MARKER) null
+              else schema()(c).dataType match {
+                case org.apache.spark.sql.types.LongType =>
+                  DocStorePartitioning.decode(raw).toLong: Any
+                case _ =>
+                  UTF8String.fromString(DocStorePartitioning.decode(raw)): Any
+              }
+            case DocStorePartitioning.PBucket(_, _) => raw.toInt: Any
+          }
+        }.toArray[Any]
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    rows.filter { row =>
+      nameIdx.zipWithIndex.forall { case (pi, ii) =>
+        val dt = ps(pi).dataType
+        val have = if (row.isNullAt(pi)) null else row.get(pi, dt)
+        val want = if (ident.isNullAt(ii)) null else ident.get(ii, dt)
+        have == want
+      }
+    }.toArray
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "docstore partitions are derived from data — INSERT rows and the " +
+        "write path creates the directory")
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "use DELETE WHERE <partition predicate> — metadata-only when the " +
+        "predicate is partition-aligned")
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "docstore partitions carry no mutable metadata")
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
 
   /** SQL `TRUNCATE TABLE`: empty manifest published atomically under
     * the commit lock, then every segment file deleted and history

@@ -1303,4 +1303,45 @@ class DocStoreSpec extends SparkSpec {
     assert(r2.count() == 300, "restart must emit exactly the new commit")
     assert(r2.filter(col("_commit_version") === 3).count() == 50)
   }
+
+  test("SHOW PARTITIONS lists manifest-derived identifiers; partial specs filter; verbs refuse") {
+    val root = Files.createTempDirectory("docstore_showpart").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.pcat2" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.pcat2.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("sp_src")
+    sc.sql("CREATE NAMESPACE pcat2.ns")
+    sc.sql("CREATE TABLE pcat2.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) PARTITIONED BY (lang)")
+    sc.sql("INSERT INTO pcat2.ns.t SELECT * FROM sp_src")
+    val all = sc.sql("SHOW PARTITIONS pcat2.ns.t")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val want = sc.sql("SELECT DISTINCT lang FROM sp_src")
+      .collect().map(r => s"lang=${r.getString(0)}").sorted.toSeq
+    assert(all == want, s"$all vs $want")
+    // partial spec narrows to one identifier
+    val one = sc.sql("SHOW PARTITIONS pcat2.ns.t PARTITION (lang='en')")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("lang=en"))
+    // aligned DELETE removes the partition from the listing (manifest
+    // is the source of truth, not the directory tree)
+    sc.sql("DELETE FROM pcat2.ns.t WHERE lang = 'de'")
+    assert(!sc.sql("SHOW PARTITIONS pcat2.ns.t")
+      .collect().map(_.getString(0)).contains("lang=de"))
+    // bucket transform lists typed INT identifiers
+    sc.sql("CREATE TABLE pcat2.ns.b (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) PARTITIONED BY (bucket(4, doc_id))")
+    sc.sql("INSERT INTO pcat2.ns.b SELECT * FROM sp_src")
+    val buckets = sc.sql("SHOW PARTITIONS pcat2.ns.b")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(buckets == (0 to 3).map(i => s"doc_id_bucket=$i"))
+    // Hive-style management verbs refuse with actionable messages
+    val e = intercept[Exception] {
+      sc.sql("ALTER TABLE pcat2.ns.t DROP PARTITION (lang='en')")
+    }
+    assert(e.getMessage.contains("DELETE WHERE"), e.getMessage)
+  }
 }
