@@ -67,4 +67,35 @@ class AqePlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"),
       s"edge-list reuse lost under AQE — each superstep would recompute the distinct:\n$p")
   }
+
+  test("runtime bloom filter injects on a fact-fact shuffle join when thresholds allow") {
+    // The 100 TB lever the engine inherits from Catalyst: a selective
+    // filter on one shuffle-join side injects might_contain(bloom) into
+    // the other side's scan (InjectRuntimeFilter). It is size-gated —
+    // the application side must exceed ~10 GB, so it can never fire at
+    // test SF and no registry plan can assert it directly. This audit
+    // drops the gates and proves the injection path is LIVE in the
+    // engine's Spark build and our plans don't break it; at the target
+    // scale the same plans get it with default thresholds.
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val li = graft.core.Tables.lineitem(sc, dir)
+    val od = graft.core.Tables.orders(sc, dir)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val j = li.join(od, li("l_orderkey") === od("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"runtime bloom filter not injected with gates open:\n$opt")
+    // and the filtered plan still computes the right answer: bloom
+    // filters are best-effort probabilistic PRUNING, never row drops
+    val bloom = j.collect()(0).getLong(1)
+    val li2 = graft.core.Tables.lineitem(spark, dir)
+    val od2 = graft.core.Tables.orders(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val plain = li2.join(od2, li2("l_orderkey") === od2("o_orderkey")).count()
+    assert(bloom == plain && bloom > 0, s"bloom=$bloom plain=$plain")
+  }
 }
