@@ -101,8 +101,9 @@ object Bench {
           "driver tail-buffer floor; exact timings on stderr and $BENCH_OUT.")
         l
       case None =>
+        val (coarsest, coarsestLine) = candidates.last
         System.err.println(s"BENCH WARNING: compact stdout line is " +
-          s"${candidates.last._2.length} chars at 1-decimal precision " +
+          s"${coarsestLine.length} chars even in $coarsest form " +
           "(> 1900 driver tail-buffer floor); dropping the per-query map " +
           "from stdout — full detail still on stderr and $BENCH_OUT. " +
           "Shrink query keys or raise the floor.")

@@ -51,13 +51,27 @@ object Tables {
     * carried over, the flag set only on the clone, the caller's session
     * never mutated (TablesConfScopeSpec proves all three).
     */
+  /** Detected on-disk ts encoding per lake dir. The file cannot change
+    * mid-process (driver testdata is immutable for a run), and ~25
+    * events queries each probe per invocation otherwise — the cache
+    * collapses that to one footer read + session clone per lake. */
+  private val eventsTsType =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.DataType]()
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val probe = t(Sessions.scoped(spark,
-      "spark.sql.legacy.parquet.nanosAsLong" -> "true"), dir, "events")
-    probe.schema("ts").dataType match {
+    val dt = eventsTsType.computeIfAbsent(dir, _ =>
+      t(Sessions.scoped(spark,
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true"), dir, "events")
+        .schema("ts").dataType)
+    dt match {
       case org.apache.spark.sql.types.LongType =>
-        probe.withColumn("ts",
-          expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+        // the nanos branch still needs the scoped clone per call: the
+        // legacy flag is consulted when the scan EXECUTES
+        t(Sessions.scoped(spark,
+          "spark.sql.legacy.parquet.nanosAsLong" -> "true"), dir, "events")
+          .withColumn("ts",
+            expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         t(spark, dir, "events")
       case org.apache.spark.sql.types.TimestampType =>

@@ -858,21 +858,7 @@ object IoOps {
                MAX(doc_id) AS last_id
         FROM documents WHERE lang IN ('en', 'fr')
         GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val pristine = graft.core.Scratch.materialize("docstore_part",
-        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
-        val b = graft.core.Sessions.scoped(s,
-          "spark.sql.catalog.gp_build" ->
-            classOf[graft.sources.DocStoreCatalog].getName,
-          "spark.sql.catalog.gp_build.root" -> stg)
-        Tables.documents(b, dir)
-          .select("doc_id", "n_chars", "lang", "source", "text")
-          .createOrReplaceTempView("part_docs_src")
-        b.sql("CREATE NAMESPACE IF NOT EXISTS gp_build.default")
-        b.sql("CREATE TABLE gp_build.default.docs (doc_id BIGINT NOT NULL, " +
-          "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
-          "PARTITIONED BY (lang)")
-        b.sql("INSERT INTO gp_build.default.docs SELECT * FROM part_docs_src")
-      }
+      val pristine = partitionedDocsFixture(s, dir)
       // the gate itself is a read-only partition-pruned scan — the
       // Scratch artifact is shared, never mutated here
       val sc = graft.core.Sessions.scoped(s,
@@ -1167,21 +1153,7 @@ object IoOps {
         SELECT DISTINCT 'lang=' || lang AS partition
         FROM documents ORDER BY 1""")) { (s, dir) =>
       // the same shared READ-ONLY Scratch fixture q141 scans
-      val pristine = graft.core.Scratch.materialize("docstore_part",
-        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
-        val b = graft.core.Sessions.scoped(s,
-          "spark.sql.catalog.gp_build" ->
-            classOf[graft.sources.DocStoreCatalog].getName,
-          "spark.sql.catalog.gp_build.root" -> stg)
-        Tables.documents(b, dir)
-          .select("doc_id", "n_chars", "lang", "source", "text")
-          .createOrReplaceTempView("part_docs_src")
-        b.sql("CREATE NAMESPACE IF NOT EXISTS gp_build.default")
-        b.sql("CREATE TABLE gp_build.default.docs (doc_id BIGINT NOT NULL, " +
-          "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
-          "PARTITIONED BY (lang)")
-        b.sql("INSERT INTO gp_build.default.docs SELECT * FROM part_docs_src")
-      }
+      val pristine = partitionedDocsFixture(s, dir)
       val sc = graft.core.Sessions.scoped(s,
         "spark.sql.catalog.graft_cat_sp" ->
           classOf[graft.sources.DocStoreCatalog].getName,
@@ -1190,6 +1162,29 @@ object IoOps {
         .orderBy("partition")
     }
   )
+
+  /** Shared READ-ONLY Scratch fixture for the partitioned-table gates
+    * (q141 pruning, q150 SHOW PARTITIONS): `documents` loaded into a
+    * lang-partitioned docstore table, built once per (dir, signature)
+    * and never mutated by its consumers. ONE builder on purpose: both
+    * gates share the Scratch cache key, so divergent builder copies
+    * would let whichever ran first define the fixture for both. */
+  private def partitionedDocsFixture(s: SparkSession, dir: String): String =
+    graft.core.Scratch.materialize("docstore_part",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+      val b = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.gp_build" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.gp_build.root" -> stg)
+      Tables.documents(b, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("part_docs_src")
+      b.sql("CREATE NAMESPACE IF NOT EXISTS gp_build.default")
+      b.sql("CREATE TABLE gp_build.default.docs (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (lang)")
+      b.sql("INSERT INTO gp_build.default.docs SELECT * FROM part_docs_src")
+    }
 
   /** Last live copy per gate: a bench sweep invokes each catalog gate
     * three times (warm-up + two timed), and deferring every copy's

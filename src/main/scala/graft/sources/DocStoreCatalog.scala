@@ -492,6 +492,8 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
       ident: org.apache.spark.sql.catalyst.InternalRow)
       : Array[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.unsafe.types.UTF8String
+    if (partSpec.isEmpty) throw new UnsupportedOperationException(
+      s"table at $path is not partitioned") // Hive/Delta raise, never []
     val ps = partitionSchema()
     require(names.length == ident.numFields,
       s"partial spec names (${names.length}) != values (${ident.numFields})")
@@ -508,8 +510,15 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
             case DocStorePartitioning.PIdentity(c) =>
               if (raw == DocStorePartitioning.NULL_MARKER) null
               else schema()(c).dataType match {
+                // cover every identity-partitionable column type: the 5
+                // base columns are LONG/STRING, evolved extras add INT —
+                // a value typed differently from partitionSchema() would
+                // ClassCastException in SHOW PARTITIONS and compare
+                // never-equal in partial specs
                 case org.apache.spark.sql.types.LongType =>
                   DocStorePartitioning.decode(raw).toLong: Any
+                case org.apache.spark.sql.types.IntegerType =>
+                  DocStorePartitioning.decode(raw).toInt: Any
                 case _ =>
                   UTF8String.fromString(DocStorePartitioning.decode(raw)): Any
               }

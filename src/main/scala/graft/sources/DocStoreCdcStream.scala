@@ -81,11 +81,15 @@ class DocStoreCdcMicroBatchStream(path: String, base: StructType,
     * the terminal offset and under-drains the paced source. */
   override def prepareForTriggerAvailableNow(): Unit = ()
 
-  override def initialOffset(): Offset = DocStoreVersionOffset(startingVersion)
+  /** Delta's `startingVersion` is INCLUSIVE — the first batch delivers
+    * that version's changes. Offsets store the last PROCESSED version;
+    * version 0 is the empty pre-publish table, so the floor is 1. */
+  override def initialOffset(): Offset =
+    DocStoreVersionOffset(math.max(1L, startingVersion) - 1)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   private def v(o: Offset): Long = o match {
-    case null => startingVersion
+    case null => math.max(1L, startingVersion) - 1
     case DocStoreVersionOffset(n) => n
     case other => v(deserializeOffset(other.json()))
   }
@@ -106,36 +110,25 @@ class DocStoreCdcMicroBatchStream(path: String, base: StructType,
       .getOrElse(throw new IllegalStateException(
         s"unparseable docstore CDC offset: $json"))
 
+  /** One commit's partitions come straight from the SHARED
+    * [[DocStoreCdf.snapshotDiff]] classification — stream == batch by
+    * construction, not by parallel implementations. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
     (v(start) + 1 to v(end)).flatMap { ver =>
-      def read(at: Long) =
-        if (at == 0L) (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
-        else {
-          require(java.nio.file.Files.exists(dir.resolve(s"MANIFEST.v$at")),
-            s"docstore CDC needs MANIFEST.v$at of $path — vacuum or " +
-              "truncate reset the history past this stream's position; " +
-              "restart from a fresh startingVersion")
-          DocStore.readManifestAndDeletes(path, s"MANIFEST.v$at")
-        }
-      val (fromSegs, fromDv) = read(ver - 1)
-      val (toSegs, toDv) = read(ver)
-      val fromByName = fromSegs.map(s => s.name -> s).toMap
-      val toByName = toSegs.map(s => s.name -> s).toMap
-      val inserts = toSegs.filterNot(s => fromByName.contains(s.name)).map(s =>
+      val (added, removed, fromDv, toDv, dvDelta) =
+        DocStoreCdf.snapshotDiff(path, ver - 1, ver)
+      val inserts = added.map(s =>
         DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
           toDv.getOrElse(s.name, Array.empty), null, "insert", ver))
-      val removes = fromSegs.filterNot(s => toByName.contains(s.name)).map(s =>
+      val removes = removed.map(s =>
         DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
           fromDv.getOrElse(s.name, Array.empty), null, "delete", ver))
-      val dvDeltas = fromSegs.filter(s => toByName.contains(s.name)).flatMap { s =>
-        val before = fromDv.getOrElse(s.name, Array.empty[Long]).toSet
-        val delta = toDv.getOrElse(s.name, Array.empty[Long]).filterNot(before)
-        if (delta.isEmpty) None
-        else Some(DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
-          Array.empty, delta, "delete", ver))
+      val dvDeletes = dvDelta.map { case (name, delta) =>
+        DocStoreCdcPartition(dir.resolve(name).toString, name,
+          Array.empty, delta, "delete", ver)
       }
-      inserts ++ removes ++ dvDeltas
+      inserts ++ removes ++ dvDeletes
     }.toArray
   }
 

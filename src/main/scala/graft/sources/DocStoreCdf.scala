@@ -38,31 +38,58 @@ import org.apache.spark.sql.functions._
   */
 object DocStoreCdf {
 
-  def changesBetween(s: SparkSession, path: String,
-      fromV: Long, toV: Long): DataFrame = {
-    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
-    val fromM = s"MANIFEST.v$fromV"
-    val toM = s"MANIFEST.v$toV"
-    // version 0 is the table before its first publish: empty by
-    // definition (no MANIFEST.v0 file exists), so a v0-anchored feed
-    // reports the first commit's full content as inserts
-    val (fromSegs, fromDv) =
-      if (fromV == 0L) (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
-      else DocStore.readManifestAndDeletes(path, fromM)
-    val (toSegs, toDv) =
-      if (toV == 0L) (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
-      else DocStore.readManifestAndDeletes(path, toM)
+  /** The snapshot-diff classification BOTH change-feed faces consume —
+    * batch [[changesBetween]] and the streaming CDC planner
+    * ([[DocStoreCdcMicroBatchStream.planInputPartitions]]) — so the
+    * q149 stream == batch invariant holds structurally, not by two
+    * parallel implementations staying in sync. Version 0 is the table
+    * before its first publish: empty by definition. A missing retained
+    * manifest fails LOUDLY (vacuum/truncate reset history past it).
+    *
+    * Known limitation (vs Delta's dataChange=false): the manifest
+    * carries no "pure rewrite" flag, so a compaction/OPTIMIZE commit —
+    * same rows, new segment names — classifies as full delete+insert
+    * churn. Delta CDF has the same behavior for dataChange=true
+    * rewrites; skipping them needs a writer-side commit flag. */
+  def snapshotDiff(path: String, fromV: Long, toV: Long)
+      : (Seq[DocStore.Segment], Seq[DocStore.Segment],
+         Map[String, Array[Long]], Map[String, Array[Long]],
+         Seq[(String, Array[Long])]) = {
+    require(fromV <= toV, s"snapshotDiff: fromV $fromV > toV $toV")
+    def read(at: Long) =
+      if (at == 0L) (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
+      else {
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path).resolve(s"MANIFEST.v$at")),
+          s"change feed needs MANIFEST.v$at of $path — vacuum or " +
+            "truncate reset the history past it")
+        DocStore.readManifestAndDeletes(path, s"MANIFEST.v$at")
+      }
+    val (fromSegs, fromDv) = read(fromV)
+    val (toSegs, toDv) = read(toV)
     val fromNames = fromSegs.map(_.name).toSet
     val toNames = toSegs.map(_.name).toSet
-    val added = (toNames -- fromNames).toSeq.sorted
-    val removed = (fromNames -- toNames).toSeq.sorted
+    val added = toSegs.filterNot(s => fromNames(s.name)).sortBy(_.name)
+    val removed = fromSegs.filterNot(s => toNames(s.name)).sortBy(_.name)
     // per common segment: positions dead in `to` but alive in `from`
+    val dvDelta = (fromNames & toNames).toSeq.sorted.flatMap { n =>
+      val before = fromDv.getOrElse(n, Array.empty[Long]).toSet
+      val delta = toDv.getOrElse(n, Array.empty[Long]).filterNot(before).sorted
+      if (delta.isEmpty) None else Some(n -> delta)
+    }
+    (added, removed, fromDv, toDv, dvDelta)
+  }
+
+  def changesBetween(s: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val fromM = s"MANIFEST.v$fromV"
+    val toM = s"MANIFEST.v$toV"
+    val (addedSegs, removedSegs, _, _, dvDeltaSegs) =
+      snapshotDiff(path, fromV, toV)
+    val added = addedSegs.map(_.name)
+    val removed = removedSegs.map(_.name)
     val dvDelta: Seq[(String, Long)] =
-      (fromNames & toNames).toSeq.sorted.flatMap { n =>
-        val before = fromDv.getOrElse(n, Array.empty[Long]).toSet
-        toDv.getOrElse(n, Array.empty[Long]).toSeq
-          .filterNot(before).sorted.map(n -> _)
-      }
+      dvDeltaSegs.flatMap { case (n, ps) => ps.map(n -> _) }
 
     val dataCols = DocStore.tableSchema(path).fieldNames.toSeq
     def face(manifest: String, names: Seq[String]): DataFrame =

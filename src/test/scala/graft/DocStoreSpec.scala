@@ -1302,6 +1302,25 @@ class DocStoreSpec extends SparkSpec {
     val r2 = sc.read.parquet(sink)
     assert(r2.count() == 300, "restart must emit exactly the new commit")
     assert(r2.filter(col("_commit_version") === 3).count() == 50)
+
+    // startingVersion is INCLUSIVE (Delta semantics): a fresh stream
+    // from version 3 delivers version 3's changes in its first batch
+    val out3 = Files.createTempDirectory("cdc_sink_sv")
+    graft.core.Fs.deleteOnExit(out3)
+    val q3 = sc.readStream.format("graft-docstore")
+      .option("path", tableDir).option("readChangeFeed", "true")
+      .option("startingVersion", "3").load()
+      .writeStream.format("parquet")
+      .option("path", out3.resolve("data").toString)
+      .option("checkpointLocation", out3.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q3.awaitTermination() finally q3.stop()
+    val r3 = sc.read.parquet(out3.resolve("data").toString)
+    assert(r3.count() == 50 &&
+      r3.select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(3L),
+      "startingVersion must deliver its own version first (inclusive)")
   }
 
   test("SHOW PARTITIONS lists manifest-derived identifiers; partial specs filter; verbs refuse") {
@@ -1343,5 +1362,14 @@ class DocStoreSpec extends SparkSpec {
       sc.sql("ALTER TABLE pcat2.ns.t DROP PARTITION (lang='en')")
     }
     assert(e.getMessage.contains("DELETE WHERE"), e.getMessage)
+    // SHOW PARTITIONS on an unpartitioned table raises (never an
+    // empty list a tool would read as "no live partitions")
+    sc.sql("CREATE TABLE pcat2.ns.u (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO pcat2.ns.u SELECT * FROM sp_src WHERE doc_id < 10")
+    val eu = intercept[Exception] {
+      sc.sql("SHOW PARTITIONS pcat2.ns.u").collect()
+    }
+    assert(eu.getMessage.toLowerCase.contains("not partitioned"), eu.getMessage)
   }
 }
