@@ -47,10 +47,15 @@ object DocStoreCdf {
     * manifest fails LOUDLY (vacuum/truncate reset history past it).
     *
     * Known limitation (vs Delta's dataChange=false): the manifest
-    * carries no "pure rewrite" flag, so a compaction/OPTIMIZE commit —
-    * same rows, new segment names — classifies as full delete+insert
-    * churn. Delta CDF has the same behavior for dataChange=true
-    * rewrites; skipping them needs a writer-side commit flag. */
+    * carries no "pure rewrite" flag, so a history-PRESERVING
+    * compaction commit — same rows, new segment names — would
+    * classify as full delete+insert churn. Unreachable today: the
+    * engine's only whole-table rewrite (truncating overwrite, the
+    * q130 compaction) resets version history, so a feed crossing it
+    * fails LOUDLY on the missing snapshot instead of emitting churn;
+    * row-level CoW rewrites replace only matched segments, which ARE
+    * data changes. The flag becomes necessary the day a
+    * history-preserving OPTIMIZE ships. */
   def snapshotDiff(path: String, fromV: Long, toV: Long)
       : (Seq[DocStore.Segment], Seq[DocStore.Segment],
          Map[String, Array[Long]], Map[String, Array[Long]],
