@@ -37,4 +37,27 @@ class RegistryAnalysisSpec extends SparkSpec {
     // the arithmetic the r9 regression broke: ts must support timestamp ops
     assert(ev.selectExpr("max(ts)", "min(ts)").count() === 1)
   }
+
+  test("events loader still converts the legacy raw-nanos long encoding") {
+    // the real testdata is µs NTZ since r9, so without this fixture the
+    // LongType branch (every earlier generation's encoding, and what a
+    // future regeneration could revert to) would be dead-untested
+    val tmp = java.nio.file.Files.createTempDirectory("events_nanos")
+    graft.core.Fs.deleteOnExit(tmp)
+    val baseNs = java.sql.Timestamp.valueOf("2024-03-01 10:15:30")
+      .getTime * 1000000L + 123456789L // + 0.123456789 s in raw nanos
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row(1L, baseNs, 7L, "click", 1.5, "{}"),
+      org.apache.spark.sql.Row(2L, baseNs + 210L, 7L, "view", 0.5, "{}"))
+      // +210 ns: .123456789 -> .123456999, same µs after flooring
+    spark.createDataFrame(rows, EventLake.schema)
+      .write.parquet(s"$tmp/events.parquet")
+    val ev = graft.core.Tables.events(spark, tmp.toString)
+    assert(ev.schema("ts").dataType.typeName === "timestamp_ntz")
+    val ts = ev.orderBy("event_id").collect()
+      .map(_.getAs[java.time.LocalDateTime]("ts"))
+    // ns -> µs floor truncation, independent of the session timezone
+    assert(ts(0) === java.time.LocalDateTime.parse("2024-03-01T10:15:30.123456"))
+    assert(ts(1) === ts(0), "sub-µs nanos must floor, not round")
+  }
 }
