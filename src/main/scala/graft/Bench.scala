@@ -193,6 +193,18 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+      // Settle before the first TIMED run (r10 verdict item 5): the
+      // warm-up pass leaves GC debt and async executor cleanup that
+      // otherwise lands on whichever queries run first — r10 recorded
+      // q01/q02 at 6-8x their steady state with unchanged code. An
+      // explicit GC plus one untimed throwaway re-run of the group's
+      // first query absorbs the ramp outside the timed region.
+      System.gc()
+      group.headOption.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
       group.map { name =>
         val (s1, e1) = time1(name)
         if (e1.isDefined) (name, -1.0, e1)

@@ -59,11 +59,50 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.DataType]()
 
+  /** The LongType probe result alone cannot distinguish INT64
+    * TIMESTAMP(NANOS) (the legacy encoding, reinterpret as raw nanos)
+    * from a plain/unannotated INT64 (reinterpreting THAT as nanos would
+    * silently floor-divide epoch-micros by 1000 — values ~1000× too
+    * old). Read the parquet footer's logical-type annotation directly
+    * and fail loudly on anything but TIMESTAMP(NANOS). */
+  private def requireNanosAnnotation(spark: SparkSession, dir: String): Unit = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).nextOption()
+        .getOrElse(throw new IllegalStateException(s"no parquet files in $p"))
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val ann = r.getFooter.getFileMetaData.getSchema
+        .getType(Array("ts"): _*)
+        .asPrimitiveType().getLogicalTypeAnnotation
+      ann match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => ()
+        case other => throw new IllegalStateException(
+          s"events.ts in $dir is INT64 with logical type " +
+            s"${Option(other).map(_.toString).getOrElse("<none>")} — only " +
+            "INT64 TIMESTAMP(NANOS) takes the legacy raw-nanos path; " +
+            "refusing to guess the epoch unit of an unannotated long")
+      }
+    } finally r.close()
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val dt = eventsTsType.computeIfAbsent(dir, _ =>
-      t(Sessions.scoped(spark,
+    val dt = eventsTsType.computeIfAbsent(dir, _ => {
+      val inferred = t(Sessions.scoped(spark,
         "spark.sql.legacy.parquet.nanosAsLong" -> "true"), dir, "events")
-        .schema("ts").dataType)
+        .schema("ts").dataType
+      if (inferred == org.apache.spark.sql.types.LongType)
+        requireNanosAnnotation(spark, dir)
+      inferred
+    })
     dt match {
       case org.apache.spark.sql.types.LongType =>
         // the nanos branch still needs the scoped clone per call: the

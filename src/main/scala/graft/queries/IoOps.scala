@@ -1160,6 +1160,130 @@ object IoOps {
         "spark.sql.catalog.graft_cat_sp.root" -> pristine)
       sc.sql("SHOW PARTITIONS graft_cat_sp.default.docs")
         .orderBy("partition")
+    },
+
+    // --------------------------------- history-preserving OPTIMIZE
+    Q("q151_optimize_history",
+      "History-preserving OPTIMIZE (CALL system.optimize): compact " +
+        "the table's segments into a range-laid-out few as a " +
+        "dataChange=false commit — the Delta/Iceberg compaction " +
+        "contract this engine previously lacked. Three properties " +
+        "in one gate: (1) a CDC walk CROSSING the compaction emits " +
+        "ZERO phantom changes (the flagged commit is skipped, like " +
+        "Delta's table_changes across OPTIMIZE) — the cdc row counts " +
+        "only the post-compaction INSERT; (2) the compacted snapshot " +
+        "and the post-insert head both read content-identical to the " +
+        "logical history (optimized/head rows); (3) version history " +
+        "SURVIVES: system.restore to the pre-compaction version still " +
+        "works because old segments are retained (restored row). " +
+        "DocStoreSpec pins the mechanics: segment count drops, the " +
+        "commit carries the F,rewrite flag, prior manifests remain.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'cdc_insert' AS phase, COUNT(*) AS n_rows,
+                 SUM(n_chars)::BIGINT AS chars
+          FROM documents WHERE lang = 'fr'
+          UNION ALL
+          SELECT 'head', (SELECT COUNT(*) FROM documents) + COUNT(*),
+                 ((SELECT SUM(n_chars) FROM documents) +
+                  SUM(n_chars))::BIGINT
+          FROM documents WHERE lang = 'fr'
+          UNION ALL
+          SELECT 'optimized', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents
+          UNION ALL
+          SELECT 'restored', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_o")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_o.root"),
+        "default", "docs").toString
+      val vPre = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      sc.sql("CALL graft_cat_o.system.optimize('default.docs', 2)")
+      val vOpt = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      sc.sql("INSERT INTO graft_cat_o.default.docs " +
+        s"SELECT doc_id + 2000000, n_chars, lang, source, text " +
+        s"FROM graft_cat_o.default.docs VERSION AS OF $vPre " +
+        "WHERE lang = 'fr'")
+      val head = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      // the CDC walk crosses the compaction commit: a phantom
+      // delete+insert churn would multiply these counts and break the
+      // hash — correct behavior is exactly the fr-insert commit
+      val cdc = graft.sources.DocStoreCdf
+        .changesBetween(sc, tablePath, vPre, head)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars"))
+        .select(lit("cdc_insert").as("phase"), col("n_rows"), col("chars"))
+      def content(tag: String, rel: String) = sc.sql(
+        s"SELECT '$tag' AS phase, COUNT(*) AS n_rows, " +
+          s"SUM(n_chars) AS chars FROM $rel")
+      val optimized =
+        content("optimized", s"graft_cat_o.default.docs VERSION AS OF $vOpt")
+      val headC =
+        content("head", s"graft_cat_o.default.docs VERSION AS OF $head")
+      // restore ACROSS the compaction: old segments are retained, so
+      // the pre-compaction snapshot republishes fine
+      sc.sql(s"CALL graft_cat_o.system.restore('default.docs', $vPre)")
+      val restored = content("restored", "graft_cat_o.default.docs")
+      cdc.unionByName(optimized).unionByName(headC).unionByName(restored)
+        .orderBy("phase")
+    },
+
+    // ----------------------------------- DROP COLUMN (column mapping)
+    Q("q152_drop_column",
+      "DROP COLUMN via column mapping (Delta column-mapping style): " +
+        "each added column's physical SECTION id is pinned in the " +
+        "schema metadata, so a drop is metadata-only — no segment " +
+        "rewritten, the section retired forever (SECTIONS floor " +
+        "file) — and a re-ADD of the SAME name is a brand-new " +
+        "identity over a fresh section. The gate runs four " +
+        "generations through one table: base rows, rows with score " +
+        "(old identity), rows after DROP, rows after re-ADD with new " +
+        "values. Correctness core: the re-added column must read " +
+        "NULL for every pre-re-add generation — INCLUDING gen1, " +
+        "whose on-disk bytes still hold the old identity's values; " +
+        "any non-null leak from the retired section breaks the " +
+        "hash. DocStoreSpec pins zero data-file rewrites across the " +
+        "ALTERs and the distinct section ids.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'gen0' AS gen, COUNT(*) AS n_rows,
+                 0::BIGINT AS n_score, CAST(NULL AS BIGINT) AS score_sum
+          FROM documents
+          UNION ALL
+          SELECT 'gen1', COUNT(*), 0::BIGINT, CAST(NULL AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'gen2', COUNT(*), 0::BIGINT, CAST(NULL AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'gen3', COUNT(*), COUNT(*)::BIGINT,
+                 SUM(doc_id % 31)::BIGINT
+          FROM documents
+        ) ORDER BY gen""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_dc")
+      sc.sql("CREATE TABLE graft_cat_dc.default.dc AS " +
+        "SELECT * FROM graft_cat_dc.default.docs") // gen0: base columns
+      sc.sql("ALTER TABLE graft_cat_dc.default.dc ADD COLUMN score BIGINT")
+      sc.sql("INSERT INTO graft_cat_dc.default.dc " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text, " +
+        "doc_id % 97 FROM graft_cat_dc.default.docs") // gen1: OLD identity
+      sc.sql("ALTER TABLE graft_cat_dc.default.dc DROP COLUMN score")
+      sc.sql("INSERT INTO graft_cat_dc.default.dc " +
+        "SELECT doc_id + 2000000, n_chars, lang, source, text " +
+        "FROM graft_cat_dc.default.docs") // gen2: no score in schema
+      sc.sql("ALTER TABLE graft_cat_dc.default.dc ADD COLUMN score BIGINT")
+      sc.sql("INSERT INTO graft_cat_dc.default.dc " +
+        "SELECT doc_id + 3000000, n_chars, lang, source, text, " +
+        "doc_id % 31 FROM graft_cat_dc.default.docs") // gen3: NEW identity
+      sc.sql("""
+        SELECT CASE WHEN doc_id < 1000000 THEN 'gen0'
+                    WHEN doc_id < 2000000 THEN 'gen1'
+                    WHEN doc_id < 3000000 THEN 'gen2'
+                    ELSE 'gen3' END AS gen,
+               COUNT(*) AS n_rows, COUNT(score) AS n_score,
+               SUM(score) AS score_sum
+        FROM graft_cat_dc.default.dc GROUP BY 1 ORDER BY 1""")
     }
   )
 

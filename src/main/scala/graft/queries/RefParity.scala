@@ -405,8 +405,8 @@ object RefParity {
       "F7 day-first timestamp parse (src/etl_pipeline.py:183-194): format to " +
         "dd/MM/yyyy then parse back, proving the parse path end-to-end.",
       Some("""
-        SELECT year(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')) AS ano,
-               month(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')) AS mes,
+        SELECT CAST(year(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')) AS INTEGER) AS ano,
+               CAST(month(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')) AS INTEGER) AS mes,
                COUNT(*) AS n
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
       val parsed = to_timestamp(

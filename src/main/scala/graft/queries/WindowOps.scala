@@ -592,7 +592,7 @@ object WindowOps {
       Some(s"""
         SELECT user_id,
                COUNT(*) AS n_events,
-               ${oCentsSum("value")} AS cents,
+               CAST(${oCentsSum("value")} AS BIGINT) AS cents,
                ${oCnt("event_type='click'")} AS n_click,
                ${oCnt("event_type='purchase'")} AS n_purchase
         FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>

@@ -100,6 +100,45 @@ object DocStore {
     else SCHEMA
   }
 
+  /** Column mapping (Delta column-mapping style, keyed by physical
+    * SECTION id): a schema field's metadata may carry `graft.section` —
+    * the absolute section index its bytes occupy in every segment file
+    * written while it is live. Fields without the key default to their
+    * schema position, so every pre-mapping table reads unchanged.
+    * DROP COLUMN removes the field but RETIRES its section id forever
+    * (the `SECTIONS` floor file survives even a drop of every extra):
+    * a re-added same-named column gets a fresh id — a brand-new
+    * identity whose reads can never reach the dropped column's bytes. */
+  val SECTION_KEY = "graft.section"
+  val SECTION_FLOOR_FILE = "SECTIONS"
+
+  def sectionOf(f: StructField, schemaIdx: Int): Int =
+    if (f.metadata.contains(SECTION_KEY))
+      f.metadata.getLong(SECTION_KEY).toInt
+    else schemaIdx
+
+  /** schema index → physical section id, every field. */
+  def sectionIds(schema: StructType): Array[Int] =
+    schema.fields.zipWithIndex.map { case (f, i) => sectionOf(f, i) }
+
+  /** Next free section id for an ADD COLUMN: past every live field's
+    * section AND past every retired one. */
+  def nextSectionId(path: String, schema: StructType): Int =
+    math.max(sectionIds(schema).max + 1, readSectionFloor(path))
+
+  def readSectionFloor(path: String): Int = {
+    val p = Paths.get(path, SECTION_FLOOR_FILE)
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 0
+  }
+
+  def writeSectionFloor(path: String, n: Int): Unit = {
+    val dir = Paths.get(path)
+    val tmp = dir.resolve(s".$SECTION_FLOOR_FILE-tmp")
+    Files.writeString(tmp, n.toString)
+    Files.move(tmp, dir.resolve(SECTION_FLOOR_FILE),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Validates an evolved schema: base prefix exact, extras appended
     * nullable INT/LONG/STRING. INT extras are STORED as 8-byte payloads
     * (same physical form as LONG) and narrowed at read by the schema
@@ -117,6 +156,15 @@ object DocStore {
       f.nullable && (f.dataType == LongType || f.dataType == StringType ||
         f.dataType == IntegerType),
       s"added docstore columns must be nullable INT, LONG or STRING, got $f"))
+    // section ids must be unique, ascending, and past the base columns —
+    // a violation means corrupted mapping metadata, fail before any read
+    // or write trusts it
+    val secs = schema.fields.zipWithIndex.drop(FIELDS.size)
+      .map { case (f, i) => sectionOf(f, i) }
+    require(secs.forall(_ >= FIELDS.size) &&
+      secs.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"corrupt docstore column mapping: extra-column section ids " +
+        s"${secs.mkString(",")} must be ascending and >= ${FIELDS.size}")
     extra
   }
 
@@ -132,6 +180,24 @@ object DocStore {
       schema.fields.drop(FIELDS.size).map(_.copy(nullable = true))))
     StructType(FIELDS ++
       schema.fields.drop(FIELDS.size).map(_.copy(nullable = true)))
+  }
+
+  /** `SCHEMA_SINCE`: the table-head version at the time of the LAST
+    * ALTER TABLE — the guard [[RestoreProcedure]] uses to refuse a
+    * restore across a schema change (docstore restore republishes
+    * segments+DVs only; it cannot roll table metadata back). 0 = never
+    * altered. */
+  def readSchemaSince(path: String): Long = {
+    val p = Paths.get(path, "SCHEMA_SINCE")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  def writeSchemaSince(path: String, headVersion: Long): Unit = {
+    val dir = Paths.get(path)
+    val tmp = dir.resolve(".SCHEMA_SINCE-tmp")
+    Files.writeString(tmp, headVersion.toString)
+    Files.move(tmp, dir.resolve("SCHEMA_SINCE"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   def writeSchemaFile(path: String, schema: StructType): Unit = {
@@ -265,6 +331,13 @@ object DocStore {
     * a 10 GB segment writes 10 manifest lines, not 10 GB. */
   val DV_TAG = "D,"
 
+  /** First-line flag of a `dataChange=false` commit (history-preserving
+    * OPTIMIZE: identical row set, new segment layout). Change-feed
+    * consumers — batch [[DocStoreCdf]] and the streaming CDC planner —
+    * skip flagged commits entirely, exactly as Delta's `table_changes`
+    * emits nothing across an OPTIMIZE commit. */
+  val FLAG_REWRITE = "F,rewrite"
+
   /** One manifest read serving both consumers — scan planning needs
     * segments AND deletion vectors, and re-reading a thousands-of-lines
     * manifest per consumer would triple the planning IO. */
@@ -272,7 +345,8 @@ object DocStore {
       : (Seq[Segment], Map[String, Array[Long]]) = {
     val lines = Files.readAllLines(Paths.get(path, manifest)).asScala
       .filter(_.nonEmpty)
-    val segs = lines.filterNot(_.startsWith(DV_TAG)).map { l =>
+    val segs = lines.filterNot(l =>
+      l.startsWith(DV_TAG) || l.startsWith("F,")).map { l =>
       val p = l.split(",")
       Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong)
     }.toSeq
@@ -305,15 +379,19 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
+    // inferSchema receives a CaseInsensitiveStringMap; read the SAME
+    // options case-insensitively here so .option("readchangefeed",…)
+    // can never pair a CDC schema with a plain table (or vice versa)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-docstore requires .option(\"path\", <lake dir>)"))
     // `readChangeFeed=true`: the CDC streaming face — per-commit
     // change rows with _change_type/_commit_version columns, version-
     // keyed offsets (see DocStoreCdcStream).
-    if (Option(properties.get("readChangeFeed")).exists(_.toBoolean))
+    if (Option(opts.get("readChangeFeed")).exists(_.toBoolean))
       new DocStoreCdcTable(path,
-        Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L))
+        Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L))
     else
       // `manifest` option: read a retained MANIFEST.v<n> snapshot
       // instead of the live manifest — the format-level VERSION AS OF
@@ -321,7 +399,7 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
       // DocStoreCdf composes this with `segments` to diff two versions
       // reading only changed files.
       new DocStoreTable(path,
-        Option(properties.get("manifest")).getOrElse("MANIFEST"))
+        Option(opts.get("manifest")).getOrElse("MANIFEST"))
   }
 }
 
@@ -637,11 +715,13 @@ object DocStoreCommitOps {
     * a removed/rewritten segment's DVs die with it). */
   def writeManifest(path: String, segments: Seq[DocStore.Segment],
       manifestToken: String,
-      deletes: Map[String, Array[Long]] = Map.empty): Long = {
+      deletes: Map[String, Array[Long]] = Map.empty,
+      rewrite: Boolean = false): Long = {
     val dir = Paths.get(path)
     val live = segments.map(_.name).toSet
-    val lines = segments.map(s =>
-      s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}") ++
+    val lines = (if (rewrite) Seq(DocStore.FLAG_REWRITE) else Seq.empty) ++
+      segments.map(s =>
+        s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}") ++
       deletes.toSeq.filter(d => live(d._1)).sortBy(_._1).flatMap {
         case (seg, ps) => ps.sorted.map(p => s"${DocStore.DV_TAG}$seg,$p")
       }
@@ -653,6 +733,16 @@ object DocStoreCommitOps {
     val v = nextVersion(path)
     Files.copy(dir.resolve("MANIFEST"), dir.resolve(s"MANIFEST.v$v"))
     v
+  }
+
+  /** True iff commit `v` was published `dataChange=false` (a pure
+    * rewrite). O(1): the flag is the manifest's first line. */
+  def isRewriteCommit(path: String, v: Long): Boolean = {
+    val p = Paths.get(path, s"MANIFEST.v$v")
+    if (!Files.exists(p)) return false
+    val r = Files.newBufferedReader(p)
+    try Option(r.readLine()).exists(_.startsWith(DocStore.FLAG_REWRITE))
+    finally r.close()
   }
 
   def existingDeletes(path: String): Map[String, Array[Long]] =
@@ -835,7 +925,16 @@ class DocStoreDataWriter(path: String, schema: StructType,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends DataWriter[InternalRow] {
 
-  private val extraTypes = schema.fields.drop(5).map(_.dataType)
+  // (type, section offset) per extra field. A DROPped column's section
+  // is retired but stays physically addressed: new segments carry a
+  // null filler section in each gap so section index == section id
+  // remains the format invariant; gaps past the LAST live section need
+  // no slot (readers null-pad past the segment's section count).
+  private val extraFields: Array[(org.apache.spark.sql.types.DataType, Int)] =
+    schema.fields.zipWithIndex.drop(5).map { case (f, i) =>
+      (f.dataType, DocStore.sectionOf(f, i) - 5) }
+  private val nExtraSections =
+    if (extraFields.isEmpty) 0 else extraFields.map(_._2).max + 1
   // insertion-ordered: staged-file ordinals stay deterministic per task
   private val encoders =
     new java.util.LinkedHashMap[String, DocStore.SegmentEncoder]()
@@ -848,22 +947,28 @@ class DocStoreDataWriter(path: String, schema: StructType,
     require(!r.isNullAt(order(0)),
       "graft-docstore requires a non-null doc_id on every row")
     val enc = encoders.computeIfAbsent(rowDir(r),
-      _ => new DocStore.SegmentEncoder(extraTypes.length))
+      _ => new DocStore.SegmentEncoder(nExtraSections))
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
     val extras: Array[AnyRef] =
-      if (extraTypes.isEmpty) Array.empty
-      else extraTypes.zipWithIndex.map { case (dt, j) =>
-        val pos = order(5 + j)
-        if (r.isNullAt(pos)) null
-        else dt match {
-          case LongType => java.lang.Long.valueOf(r.getLong(pos)): AnyRef
-          // INT stores the same 8-byte payload as LONG — the widening
-          // contract (see DocStore.validateEvolved)
-          case IntegerType =>
-            java.lang.Long.valueOf(r.getInt(pos).toLong): AnyRef
-          case _ => r.getUTF8String(pos).getBytes: AnyRef
+      if (nExtraSections == 0) Array.empty
+      else {
+        val a = new Array[AnyRef](nExtraSections) // retired gaps stay null
+        var j = 0
+        while (j < extraFields.length) {
+          val (dt, off) = extraFields(j)
+          val pos = order(5 + j)
+          if (!r.isNullAt(pos)) a(off) = dt match {
+            case LongType => java.lang.Long.valueOf(r.getLong(pos)): AnyRef
+            // INT stores the same 8-byte payload as LONG — the widening
+            // contract (see DocStore.validateEvolved)
+            case IntegerType =>
+              java.lang.Long.valueOf(r.getInt(pos).toLong): AnyRef
+            case _ => r.getUTF8String(pos).getBytes: AnyRef
+          }
+          j += 1
         }
+        a
       }
     enc.add(r.getLong(order(0)),
       if (r.isNullAt(order(1))) null
@@ -1210,6 +1315,12 @@ class DocStoreReader(file: String, schema: StructType,
     extends PartitionReader[InternalRow] {
 
   private val fieldIdx = schema.fieldNames.zipWithIndex.toMap
+  // column mapping: schema index → physical section id, and back. A
+  // section with no live field (a DROPped column's retired bytes) is
+  // absent from fieldAtSection and never decoded.
+  private val secOf = DocStore.sectionIds(schema)
+  private val fieldAtSection: Map[Int, Int] =
+    secOf.zipWithIndex.map { case (s, i) => s -> i }.toMap
   private val needFilter = lo != Long.MinValue || hi != Long.MaxValue
   private var rows: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -1226,8 +1337,8 @@ class DocStoreReader(file: String, schema: StructType,
       val nSect = if (magic == DocStore.MAGIC) 5 else in.readInt()
       val sectionLen = Array.fill(nSect)(in.readLong())
       val need = Array.fill(nSect)(false)
-      required.fieldNames.flatMap(fieldIdx.get)
-        .foreach(c => if (c < nSect) need(c) = true)
+      required.fieldNames.flatMap(fieldIdx.get).map(secOf)
+        .foreach(sid => if (sid < nSect) need(sid) = true)
       val readId = need(0) || needFilter
       val longs = Array.ofDim[Array[Long]](2)
       val strs = Array.ofDim[Array[UTF8String]](3)
@@ -1259,7 +1370,7 @@ class DocStoreReader(file: String, schema: StructType,
           // integral extras share the 8-byte payload; the SCHEMA type
           // decides what the reader emits (INT narrows, LONG after an
           // INT→BIGINT widening reads the same bytes unchanged)
-          val dt = schema.fields(c).dataType
+          val dt = schema.fields(fieldAtSection(c)).dataType
           val isIntegral = dt == LongType || dt == IntegerType
           val a = new Array[AnyRef](n)
           var i = 0
@@ -1291,7 +1402,7 @@ class DocStoreReader(file: String, schema: StructType,
       // not silently emit the segment file name as column data
       // (r8 advice).
       val outIdx = required.fieldNames.map { f =>
-        fieldIdx.getOrElse(f, f match {
+        fieldIdx.get(f).map(secOf).getOrElse(f match {
           case PosMetadataColumn.NAME => -2
           case SegmentMetadataColumn.NAME => -1
           case other => throw new IllegalStateException(

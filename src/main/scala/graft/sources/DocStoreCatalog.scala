@@ -107,14 +107,18 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "vacuum") => new VacuumProcedure(this)
       case (Seq("system"), "history") => new HistoryProcedure(this)
       case (Seq("system"), "restore") => new RestoreProcedure(this)
+      case (Seq("system"), "optimize") => new OptimizeProcedure(this)
       case _ => throw new RuntimeException(
-        s"no such docstore procedure: $ident (try system.vacuum / system.history)")
+        s"no such docstore procedure: $ident (try system.vacuum / " +
+          "system.history / system.restore / system.optimize)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(namespace, "vacuum"),
-        Identifier.of(namespace, "history"))
+        Identifier.of(namespace, "history"),
+        Identifier.of(namespace, "restore"),
+        Identifier.of(namespace, "optimize"))
     else Array.empty
 
   override def initialize(name: String,
@@ -213,8 +217,17 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     *    reader's emit type over unchanged bytes. Anything narrowing
     *    or cross-kind refuses.
     *
-    * DROP still refuses: positions after the dropped column would
-    * shift and reinterpret every later section. */
+    *  - `DROP COLUMN c` (added columns) — column mapping (Delta
+    *    column-mapping style): each extra field's metadata pins the
+    *    physical SECTION its bytes occupy, so a drop removes the field
+    *    and RETIRES its section (recorded in the `SECTIONS` floor
+    *    file, forever). No segment is rewritten; a later re-ADD of the
+    *    same name is a brand-new identity over a fresh section — the
+    *    dropped column's bytes are unreachable through it.
+    *
+    * Every ALTER also stamps `SCHEMA_SINCE` with the current table
+    * head, the guard `system.restore` uses to refuse restoring across
+    * a schema change. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
@@ -244,8 +257,28 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             "docstore ADD COLUMN appends at the end (no FIRST/AFTER)")
           require(!s.fieldNames.contains(add.fieldNames()(0)),
             s"column ${add.fieldNames()(0)} already exists")
+          // pin the physical section explicitly: past every live field
+          // AND past every retired (dropped) one, so the new column can
+          // never read a dropped predecessor's bytes
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(DocStore.SECTION_KEY,
+              DocStore.nextSectionId(dir, s).toLong)
+            .build()
           s.add(StructField(add.fieldNames()(0), add.dataType(),
-            nullable = true))
+            nullable = true, metadata = meta))
+        case (s, del: TableChange.DeleteColumn) =>
+          val i = extraIndex(s, del.fieldNames(), "drop")
+          require(!DocStorePartitioning.read(dir).exists(
+            _.col == del.fieldNames()(0)),
+            s"cannot drop partition column ${del.fieldNames()(0)} — " +
+              "partition directories embed the name")
+          // retire the section forever — even if this drop leaves no
+          // extras (and the SCHEMA file reverts to base-only), the
+          // floor file keeps a re-ADD from reusing the old bytes
+          DocStore.writeSectionFloor(dir, math.max(
+            DocStore.readSectionFloor(dir),
+            DocStore.sectionOf(s.fields(i), i) + 1))
+          StructType(s.fields.patch(i, Nil, 1))
         case (s, ren: TableChange.RenameColumn) =>
           val i = extraIndex(s, ren.fieldNames(), "rename")
           require(!s.fieldNames.contains(ren.newName()),
@@ -264,10 +297,14 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
               s"got ${from.simpleString} -> ${to.simpleString}")
           StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
         case (_, ch) => throw new UnsupportedOperationException(
-          "docstore tables support ADD COLUMN, RENAME COLUMN (added " +
-            s"columns), and INT -> BIGINT widening; got $ch")
+          "docstore tables support ADD COLUMN, DROP COLUMN (added " +
+            "columns), RENAME COLUMN (added columns), and INT -> " +
+            s"BIGINT widening; got $ch")
       }
       DocStore.writeSchemaFile(dir, evolved) // validates INT/LONG/STRING+nullable
+      // restore-guard stamp: the head version at this schema change
+      DocStore.writeSchemaSince(dir,
+        DocStoreCommitOps.nextVersion(dir) - 1)
     }
     new DocStoreSqlTable(dir)
   }

@@ -83,9 +83,17 @@ class DocStoreCdcMicroBatchStream(path: String, base: StructType,
 
   /** Delta's `startingVersion` is INCLUSIVE — the first batch delivers
     * that version's changes. Offsets store the last PROCESSED version;
-    * version 0 is the empty pre-publish table, so the floor is 1. */
-  override def initialOffset(): Offset =
+    * version 0 is the empty pre-publish table, so the floor is 1.
+    * A startingVersion beyond the table head fails LOUDLY here (as
+    * Delta does) instead of silently streaming versions below it. */
+  override def initialOffset(): Offset = {
+    val head = currentVersion
+    require(startingVersion <= head + 1,
+      s"startingVersion $startingVersion is beyond table head $head " +
+        s"(+1): refusing to start a CDC stream that could only ever " +
+        s"deliver versions below the one requested")
     DocStoreVersionOffset(math.max(1L, startingVersion) - 1)
+  }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   private def v(o: Offset): Long = o match {
@@ -95,9 +103,13 @@ class DocStoreCdcMicroBatchStream(path: String, base: StructType,
   }
 
   // one committed version per micro-batch: _commit_version stays exact
-  // and each batch's cost is one commit's touched segments
+  // and each batch's cost is one commit's touched segments; never
+  // regress below start even if start somehow exceeds the head (a
+  // regressed offset would commit and later stream versions BELOW the
+  // requested startingVersion)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    DocStoreVersionOffset(math.min(currentVersion, v(start) + 1))
+    DocStoreVersionOffset(
+      math.max(v(start), math.min(currentVersion, v(start) + 1)))
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "docstore CDC paces batches via latestOffset(start, limit)")
@@ -116,6 +128,12 @@ class DocStoreCdcMicroBatchStream(path: String, base: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
     (v(start) + 1 to v(end)).flatMap { ver =>
+      // dataChange=false (history-preserving OPTIMIZE): same rows, new
+      // layout — the stream advances past it emitting nothing, exactly
+      // like Delta CDC crossing an OPTIMIZE commit
+      if (DocStoreCommitOps.isRewriteCommit(path, ver))
+        Seq.empty[InputPartition]
+      else {
       val (added, removed, fromDv, toDv, dvDelta) =
         DocStoreCdf.snapshotDiff(path, ver - 1, ver)
       val inserts = added.map(s =>
@@ -129,6 +147,7 @@ class DocStoreCdcMicroBatchStream(path: String, base: StructType,
           Array.empty, delta, "delete", ver)
       }
       inserts ++ removes ++ dvDeletes
+      }
     }.toArray
   }
 

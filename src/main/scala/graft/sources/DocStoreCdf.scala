@@ -32,9 +32,15 @@ import org.apache.spark.sql.functions._
   * themselves carry, metadata-class by the MoR write discipline.
   *
   * Output schema: table columns + `_change_type` ('insert'|'delete') +
-  * `_commit_version` (= `toV`). Snapshot semantics: rows inserted AND
-  * deleted strictly inside the range net out, like Delta CDF reading
-  * a compacted history.
+  * `_commit_version` — the commit at which the change ACTUALLY
+  * happened. A multi-commit range is the UNION of its per-commit
+  * diffs (Delta's `table_changes` semantics exactly): every
+  * intermediate change is emitted with exact attribution — a row
+  * inserted and deleted inside the range appears as an insert AND a
+  * delete, it does not net out — and a `dataChange=false` rewrite
+  * commit (history-preserving OPTIMIZE) contributes NOTHING, same as
+  * Delta CDF crossing a compaction. The per-commit walk is driver-side
+  * metadata; each commit's scan touches only that commit's segments.
   */
 object DocStoreCdf {
 
@@ -46,16 +52,13 @@ object DocStoreCdf {
     * before its first publish: empty by definition. A missing retained
     * manifest fails LOUDLY (vacuum/truncate reset history past it).
     *
-    * Known limitation (vs Delta's dataChange=false): the manifest
-    * carries no "pure rewrite" flag, so a history-PRESERVING
-    * compaction commit — same rows, new segment names — would
-    * classify as full delete+insert churn. Unreachable today: the
-    * engine's only whole-table rewrite (truncating overwrite, the
-    * q130 compaction) resets version history, so a feed crossing it
-    * fails LOUDLY on the missing snapshot instead of emitting churn;
-    * row-level CoW rewrites replace only matched segments, which ARE
-    * data changes. The flag becomes necessary the day a
-    * history-preserving OPTIMIZE ships. */
+    * snapshotDiff is the raw layout diff: it reports a
+    * `dataChange=false` rewrite commit's segment churn as-is. The
+    * change-feed consumers above it — [[commitChanges]] and the
+    * streaming planner — check [[DocStoreCommitOps.isRewriteCommit]]
+    * FIRST and skip flagged commits entirely, so a history-preserving
+    * `CALL system.optimize` emits zero phantom changes (Delta's
+    * `table_changes` behavior across OPTIMIZE). */
   def snapshotDiff(path: String, fromV: Long, toV: Long)
       : (Seq[DocStore.Segment], Seq[DocStore.Segment],
          Map[String, Array[Long]], Map[String, Array[Long]],
@@ -85,12 +88,17 @@ object DocStoreCdf {
     (added, removed, fromDv, toDv, dvDelta)
   }
 
-  def changesBetween(s: SparkSession, path: String,
-      fromV: Long, toV: Long): DataFrame = {
-    val fromM = s"MANIFEST.v$fromV"
-    val toM = s"MANIFEST.v$toV"
+  /** One commit's change faces, from the SHARED [[snapshotDiff]]
+    * classification — the same unit the streaming CDC planner ships as
+    * partitions, so stream == batch structurally. A `dataChange=false`
+    * rewrite commit (history-preserving OPTIMIZE: same rows, new
+    * segment layout) contributes nothing, exactly like Delta CDF
+    * crossing an OPTIMIZE commit. */
+  private def commitChanges(s: SparkSession, path: String,
+      v: Long): Seq[DataFrame] = {
+    if (DocStoreCommitOps.isRewriteCommit(path, v)) return Seq.empty
     val (addedSegs, removedSegs, _, _, dvDeltaSegs) =
-      snapshotDiff(path, fromV, toV)
+      snapshotDiff(path, v - 1, v)
     val added = addedSegs.map(_.name)
     val removed = removedSegs.map(_.name)
     val dvDelta: Seq[(String, Long)] =
@@ -104,20 +112,20 @@ object DocStoreCdf {
     def tagged(df: DataFrame, typ: String): DataFrame =
       df.select(dataCols.map(col): _*)
         .withColumn("_change_type", lit(typ))
-        .withColumn("_commit_version", lit(toV))
+        .withColumn("_commit_version", lit(v))
 
     val inserts =
       if (added.isEmpty) None
-      else Some(tagged(face(toM, added), "insert"))
+      else Some(tagged(face(s"MANIFEST.v$v", added), "insert"))
     val removals =
       if (removed.isEmpty) None
-      else Some(tagged(face(fromM, removed), "delete"))
+      else Some(tagged(face(s"MANIFEST.v${v - 1}", removed), "delete"))
     val dvRemovals =
       if (dvDelta.isEmpty) None
       else {
         import s.implicits._
         val delta = dvDelta.toDF("_seg_d", "_pos_d")
-        val alive = face(fromM, dvDelta.map(_._1).distinct)
+        val alive = face(s"MANIFEST.v${v - 1}", dvDelta.map(_._1).distinct)
           .select((dataCols.map(col) :+ col("_segment") :+ col("_pos")): _*)
         Some(tagged(
           alive.join(broadcast(delta),
@@ -125,13 +133,22 @@ object DocStoreCdf {
               alive("_pos") === delta("_pos_d")),
           "delete"))
       }
-
     (inserts.toSeq ++ removals ++ dvRemovals)
+  }
+
+  def changesBetween(s: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    (fromV + 1 to toV).flatMap(commitChanges(s, path, _))
       .reduceOption(_.unionByName(_))
-      .getOrElse(tagged( // empty range: 0-row frame with the CDF schema
+      .getOrElse { // empty range: 0-row frame with the CDF schema
         // (live-manifest face: a v0 anchor has no MANIFEST.v0 file)
+        val dataCols = DocStore.tableSchema(path).fieldNames.toSeq
         s.read.format("graft-docstore")
-          .option("path", path).load().limit(0),
-        "insert"))
+          .option("path", path).load().limit(0)
+          .select(dataCols.map(col): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(toV))
+      }
   }
 }

@@ -129,6 +129,17 @@ class RestoreProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       require(Files.exists(dir.resolve(s"MANIFEST.v$v")),
         s"no retained snapshot MANIFEST.v$v — vacuum or truncate " +
           "reset the history past it")
+      // Delta RESTORE also rolls back table METADATA; docstore restore
+      // republishes segments+DVs only, so restoring ACROSS a schema
+      // change would silently pair the post-change schema with
+      // pre-change segments — refuse loudly instead (r10 advice). The
+      // SCHEMA_SINCE stamp records the table head at the last ALTER.
+      val since = DocStore.readSchemaSince(dir.toString)
+      require(v > since || since == 0L,
+        s"cannot RESTORE to version $v: the table schema was ALTERed " +
+          s"while at version $since — docstore restore republishes " +
+          "segments and deletion vectors only and cannot roll back " +
+          "table metadata")
       val (segs, dvs) =
         DocStore.readManifestAndDeletes(dir.toString, s"MANIFEST.v$v")
       val missing = segs.filterNot(s => Files.exists(dir.resolve(s.name)))
@@ -139,6 +150,100 @@ class RestoreProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         s"restore-v$v-${java.util.UUID.randomUUID()}", dvs)
     }
     result(SCHEMA, Seq(new GenericInternalRow(Array[Any](v, newV))))
+  }
+}
+
+/** `CALL cat.system.optimize('ns.t', target)` — Delta's OPTIMIZE /
+  * Iceberg's `rewrite_data_files` as a HISTORY-PRESERVING,
+  * `dataChange=false` commit: compact the current snapshot's segments
+  * into `target` range-laid-out segments (doc_id locality restored,
+  * deletion vectors folded in) and publish the new layout as a flagged
+  * commit that (a) keeps every prior version readable — old segments
+  * are retained on disk, `VERSION AS OF` and `system.restore` still
+  * work across it — and (b) contributes NOTHING to the change feed:
+  * batch CDF and the streaming CDC face both skip `F,rewrite` commits,
+  * exactly as Delta's `table_changes` emits nothing across an
+  * OPTIMIZE. (Contrast q130's truncating overwrite, which resets
+  * history — the right tool only when history is disposable.)
+  *
+  * The distributed rewrite runs OUTSIDE the commit lock against the
+  * pinned immutable `MANIFEST.v<head>` snapshot; the lock is taken
+  * only to (1) verify no concurrent commit moved the head — refusing
+  * loudly instead of silently dropping that commit's rows — and (2)
+  * move staged segments in + publish the manifest. At 100 TB the
+  * critical section is metadata-sized. */
+class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "optimize"
+  override def description(): String =
+    "compact the table into <target> range-laid-out segments as a " +
+      "history-preserving dataChange=false commit (skipped by CDC)"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_segments", LongType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("compacted_segments", LongType, nullable = false),
+    StructField("new_segments", LongType, nullable = false),
+    StructField("new_version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val target = input.getLong(1).toInt
+    require(target >= 1, s"target_segments must be >= 1, got $target")
+    val path = dir.toString
+    val s = org.apache.spark.sql.SparkSession.active
+    val v0 = DocStoreCommitOps.nextVersion(path) - 1
+    require(v0 >= 1, "nothing to optimize: table has no committed version")
+    val segs = DocStore.readManifest(path, s"MANIFEST.v$v0")
+    if (segs.size <= target) // already compact: no commit, no churn
+      return result(SCHEMA, Seq(new GenericInternalRow(
+        Array[Any](segs.size.toLong, segs.size.toLong, v0))))
+    val staging = Files.createTempDirectory(dir.getParent,
+      s".stg-opt-${dir.getFileName}-")
+    try {
+      // the staging dir impersonates the table for the write path:
+      // SCHEMA (evolved columns), PARTITIONING (per-partition segment
+      // routing + clustered distribution), PROPS carry over
+      Seq("SCHEMA", "PROPS", DocStorePartitioning.FILE).foreach { f =>
+        if (Files.exists(dir.resolve(f)))
+          Files.copy(dir.resolve(f), staging.resolve(f))
+      }
+      Files.write(staging.resolve("MANIFEST"), Array.empty[Byte])
+      import org.apache.spark.sql.functions.col
+      s.read.format("graft-docstore").option("path", path)
+        .option("manifest", s"MANIFEST.v$v0").load()
+        .repartitionByRange(target, col("doc_id"))
+        .write.format("graft-docstore").mode("append")
+        .option("path", staging.toString).save()
+      var newV = 0L
+      var nNew = 0L
+      DocStoreCommitOps.withCommitLock(path) {
+        require(DocStoreCommitOps.nextVersion(path) - 1 == v0,
+          s"concurrent commit during OPTIMIZE of $dir (head moved past " +
+            s"v$v0); re-run optimize")
+        val next = DocStoreCommitOps.nextPartNumber(path)
+        val renamed = DocStore.readManifest(staging.toString)
+          .zipWithIndex.map { case (seg, i) =>
+            val dirPrefix = seg.name.lastIndexOf('/') match {
+              case -1 => ""
+              case cut => seg.name.substring(0, cut + 1)
+            }
+            val name = dirPrefix + f"part-${next + i}%05d.gds"
+            Files.createDirectories(dir.resolve(name).getParent)
+            Files.move(staging.resolve(seg.name), dir.resolve(name),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            seg.copy(name = name)
+          }
+        nNew = renamed.size.toLong
+        // dataChange=false: identical row set, new layout. NO
+        // clearVersions — history is the point; vacuum is the explicit
+        // reclaimer of the replaced files.
+        newV = DocStoreCommitOps.writeManifest(path, renamed, "optimize",
+          rewrite = true)
+      }
+      result(SCHEMA, Seq(new GenericInternalRow(
+        Array[Any](segs.size.toLong, nNew, newV))))
+    } finally graft.core.Fs.deleteRecursively(staging)
   }
 }
 

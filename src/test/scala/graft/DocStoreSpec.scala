@@ -802,8 +802,9 @@ class DocStoreSpec extends SparkSpec {
     assert(w.getLong(1) == (0L until 50).sum * 2 + 50L * 3000000000L)
     assert(w.getLong(2) == 3000000049L)
 
-    // guardrails: non-append evolution refuses
-    intercept[Exception] { sc.sql("ALTER TABLE ecat.ns.t DROP COLUMN split") }
+    // guardrails: unsupported evolution refuses (DROP COLUMN of added
+    // columns is SUPPORTED since r11 via column mapping — covered by
+    // its own test below; dropping a BASE column still refuses there)
     intercept[Exception] {
       sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN bad DOUBLE") }
     // base columns are the format contract: no rename, no retype
@@ -1371,5 +1372,118 @@ class DocStoreSpec extends SparkSpec {
       sc.sql("SHOW PARTITIONS pcat2.ns.u").collect()
     }
     assert(eu.getMessage.toLowerCase.contains("not partitioned"), eu.getMessage)
+  }
+
+  test("optimize: dataChange=false commit preserves history, compacts, and CDC skips it") {
+    val root = Files.createTempDirectory("docstore_opt").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.ocat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.ocat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("opt_src")
+    sc.sql("CREATE NAMESPACE ocat.ns")
+    sc.sql("CREATE TABLE ocat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    // fragment: 4 commits, 2 segments each
+    (0 until 4).foreach(i => sc.sql("INSERT INTO ocat.ns.t " +
+      s"SELECT /*+ REPARTITION(2) */ * FROM opt_src " +
+      s"WHERE doc_id % 4 = $i"))
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val nSegsBefore = DocStore.readManifest(tdir).size
+    assert(nSegsBefore >= 8, s"fixture must be fragmented, got $nSegsBefore")
+    val vPre = graft.sources.DocStoreCommitOps.nextVersion(tdir) - 1
+
+    val res = sc.sql("CALL ocat.system.optimize('ns.t', 3)").collect()
+    assert(res.head.getLong(0) == nSegsBefore)
+    val vOpt = res.head.getLong(2)
+    assert(vOpt == vPre + 1, "optimize must be ONE new commit")
+    val after = DocStore.readManifest(tdir)
+    assert(after.size == 3, s"target 3, got ${after.size}")
+    // the commit is flagged dataChange=false in the manifest itself
+    assert(graft.sources.DocStoreCommitOps.isRewriteCommit(tdir, vOpt))
+    assert(!graft.sources.DocStoreCommitOps.isRewriteCommit(tdir, vPre))
+    // range layout: segments partition the doc_id space (no overlap)
+    val sorted = after.sortBy(_.minId)
+    sorted.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).maxId < w(1).minId,
+        s"range-compacted segments must not overlap: $sorted")
+    }
+    // history preserved: every prior manifest still on disk + readable
+    (1L to vPre).foreach { v =>
+      assert(Files.exists(java.nio.file.Paths.get(tdir, s"MANIFEST.v$v")))
+    }
+    assert(sc.sql(s"SELECT COUNT(*) FROM ocat.ns.t VERSION AS OF $vPre")
+      .head.getLong(0) == 500)
+    // content identical across the rewrite
+    assert(sc.sql(s"SELECT COUNT(*), SUM(n_chars) FROM ocat.ns.t").head() ==
+      sc.sql(s"SELECT COUNT(*), SUM(n_chars) FROM ocat.ns.t VERSION AS OF $vPre").head())
+    // CDC: batch walk and stream face BOTH emit nothing for the commit
+    assert(graft.sources.DocStoreCdf.changesBetween(sc, tdir, vPre, vOpt)
+      .count() == 0, "CDF across a dataChange=false commit must be empty")
+    // restore to a pre-compaction version still works (old segments kept)
+    sc.sql(s"CALL ocat.system.restore('ns.t', 2)")
+    assert(sc.sql("SELECT COUNT(*) FROM ocat.ns.t").head.getLong(0) ==
+      sc.sql("SELECT COUNT(*) FROM ocat.ns.t VERSION AS OF 2").head.getLong(0))
+    // no-op path: already at/below target → no new commit
+    val head0 = graft.sources.DocStoreCommitOps.nextVersion(tdir) - 1
+    sc.sql(s"CALL ocat.system.optimize('ns.t', 64)").collect()
+    assert(graft.sources.DocStoreCommitOps.nextVersion(tdir) - 1 == head0,
+      "optimize at/below target must not commit")
+  }
+
+  test("drop column: metadata-only, section retired, re-add is a new identity") {
+    val root = Files.createTempDirectory("docstore_drop").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.dcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.dcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("drop_src")
+    sc.sql("CREATE NAMESPACE dcat.ns")
+    sc.sql("CREATE TABLE dcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO dcat.ns.t SELECT * FROM drop_src WHERE doc_id < 100")
+    sc.sql("ALTER TABLE dcat.ns.t ADD COLUMN score BIGINT")
+    sc.sql("INSERT INTO dcat.ns.t SELECT doc_id + 1000, n_chars, lang, " +
+      "source, text, doc_id * 10 FROM drop_src WHERE doc_id < 100")
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val filesBefore = DocStore.readManifest(tdir).map(_.name).sorted
+    val sec1 = DocStore.sectionIds(DocStore.tableSchema(tdir)).last
+    assert(sec1 == 5)
+
+    sc.sql("ALTER TABLE dcat.ns.t DROP COLUMN score")
+    // metadata-only: zero data files rewritten, schema back to base
+    assert(DocStore.readManifest(tdir).map(_.name).sorted == filesBefore)
+    assert(DocStore.tableSchema(tdir).fieldNames.toSeq ==
+      Seq("doc_id", "n_chars", "lang", "source", "text"))
+    assert(!sc.table("dcat.ns.t").columns.contains("score"))
+
+    // re-ADD the same name: a NEW identity on a FRESH section — the old
+    // bytes (doc_id*10) must be unreachable through it
+    sc.sql("ALTER TABLE dcat.ns.t ADD COLUMN score BIGINT")
+    val sec2 = DocStore.sectionIds(DocStore.tableSchema(tdir)).last
+    assert(sec2 == 6, s"re-added column must get a fresh section, got $sec2")
+    assert(DocStore.readManifest(tdir).map(_.name).sorted == filesBefore)
+    val nulls = sc.sql("SELECT COUNT(*), COUNT(score) FROM dcat.ns.t").head()
+    assert(nulls.getLong(0) == 200 && nulls.getLong(1) == 0,
+      s"pre-re-add rows must read NULL score (old bytes retired): $nulls")
+    // new writes land in the new section and read back
+    sc.sql("INSERT INTO dcat.ns.t SELECT doc_id + 2000, n_chars, lang, " +
+      "source, text, doc_id + 7 FROM drop_src WHERE doc_id < 50")
+    val gen3 = sc.sql("SELECT COUNT(score), SUM(score) FROM dcat.ns.t").head()
+    assert(gen3.getLong(0) == 50 &&
+      gen3.getLong(1) == (0 until 50).map(_ + 7).sum)
+    // base columns and partition columns refuse to drop
+    val eb = intercept[Exception] {
+      sc.sql("ALTER TABLE dcat.ns.t DROP COLUMN text") }
+    assert(eb.getMessage.contains("base column"), eb.getMessage)
+    // restore guard: the ALTERs stamped SCHEMA_SINCE at the current
+    // head — restoring to or before it refuses loudly
+    val er = intercept[Exception] {
+      sc.sql("CALL dcat.system.restore('ns.t', 1)").collect() }
+    assert(er.getMessage.contains("schema"), er.getMessage)
   }
 }

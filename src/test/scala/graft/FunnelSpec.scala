@@ -34,8 +34,7 @@ class FunnelSpec extends SparkSpec {
       ev(5, "2024-01-01 12:00:00", "view"),
       ev(5, "2024-01-01 12:00:00", "click"),
       ev(5, "2024-01-01 12:00:00", "purchase"))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), EventLake.schema)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    EventLake.write(dir, rows)
     val out = Registry.byName("q83_funnel").fn(spark, dir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
     assert(out(0) == ((1L, None)))          // u4

@@ -38,20 +38,21 @@ class RegistryAnalysisSpec extends SparkSpec {
     assert(ev.selectExpr("max(ts)", "min(ts)").count() === 1)
   }
 
+
   test("events loader still converts the legacy raw-nanos long encoding") {
     // the real testdata is µs NTZ since r9, so without this fixture the
     // LongType branch (every earlier generation's encoding, and what a
-    // future regeneration could revert to) would be dead-untested
+    // future regeneration could revert to) would be dead-untested —
+    // written with a REAL INT64 TIMESTAMP(NANOS) annotation, the only
+    // footer the probe accepts for the nanosAsLong path
     val tmp = java.nio.file.Files.createTempDirectory("events_nanos")
     graft.core.Fs.deleteOnExit(tmp)
     val baseNs = java.sql.Timestamp.valueOf("2024-03-01 10:15:30")
       .getTime * 1000000L + 123456789L // + 0.123456789 s in raw nanos
-    val rows = java.util.List.of(
+    EventLake.write(tmp.toString, Seq(
       org.apache.spark.sql.Row(1L, baseNs, 7L, "click", 1.5, "{}"),
-      org.apache.spark.sql.Row(2L, baseNs + 210L, 7L, "view", 0.5, "{}"))
       // +210 ns: .123456789 -> .123456999, same µs after flooring
-    spark.createDataFrame(rows, EventLake.schema)
-      .write.parquet(s"$tmp/events.parquet")
+      org.apache.spark.sql.Row(2L, baseNs + 210L, 7L, "view", 0.5, "{}")))
     val ev = graft.core.Tables.events(spark, tmp.toString)
     assert(ev.schema("ts").dataType.typeName === "timestamp_ntz")
     val ts = ev.orderBy("event_id").collect()
@@ -59,5 +60,19 @@ class RegistryAnalysisSpec extends SparkSpec {
     // ns -> µs floor truncation, independent of the session timezone
     assert(ts(0) === java.time.LocalDateTime.parse("2024-03-01T10:15:30.123456"))
     assert(ts(1) === ts(0), "sub-µs nanos must floor, not round")
+  }
+
+  test("events loader refuses an UNANNOTATED int64 ts instead of guessing") {
+    // a regeneration shipping plain epoch-micros INT64 must fail loudly,
+    // not get silently floor-divided by 1000 into ~1000×-too-old values
+    val tmp = java.nio.file.Files.createTempDirectory("events_plain_i64")
+    graft.core.Fs.deleteOnExit(tmp)
+    EventLake.write(tmp.toString, Seq(
+      org.apache.spark.sql.Row(1L, 1709288130123456L, 7L, "click", 1.5, "{}")),
+      annotated = false)
+    val e = intercept[IllegalStateException] {
+      graft.core.Tables.events(spark, tmp.toString)
+    }
+    assert(e.getMessage.contains("TIMESTAMP(NANOS)"), e.getMessage)
   }
 }

@@ -63,7 +63,7 @@ class RelOpsSpec extends SparkSpec {
   test("q76: consecutive duplicate states compress; same-second tie breaks on event_id") {
     val dir = lake()
     import EventLake.ns
-    write(dir, "events", EventLake.schema, Seq(
+    EventLake.write(dir, Seq(
       Row(1L, ns("2024-01-01 10:00:00"), 7L, "A", 0.0, "{}"),
       Row(2L, ns("2024-01-01 10:01:00"), 7L, "A", 0.0, "{}"), // dup state -> compressed
       Row(3L, ns("2024-01-01 10:02:00"), 7L, "B", 0.0, "{}"),
@@ -127,7 +127,7 @@ class RelOpsSpec extends SparkSpec {
   test("q90: zero-duration users yield NULL twa; interval weighting is exact") {
     val dir = lake()
     import EventLake.ns
-    write(dir, "events", EventLake.schema, Seq(
+    EventLake.write(dir, Seq(
       // u1: 2.00 for 10s, then 4.00 for 30s -> twa = (200*10+400*30)/40/100 = 3.50
       Row(1L, ns("2024-01-01 10:00:00"), 1L, "view", 2.00, "{}"),
       Row(2L, ns("2024-01-01 10:00:10"), 1L, "view", 4.00, "{}"),
@@ -147,7 +147,7 @@ class RelOpsSpec extends SparkSpec {
   test("q89: cohort offsets stay integral across a year boundary") {
     val dir = lake()
     import EventLake.ns
-    write(dir, "events", EventLake.schema, Seq(
+    EventLake.write(dir, Seq(
       // first seen Mon 2023-12-25 week; active again week of Mon 2024-01-08 -> offset 2
       Row(1L, ns("2023-12-27 10:00:00"), 1L, "view", 0.0, "{}"),
       Row(2L, ns("2024-01-10 10:00:00"), 1L, "view", 0.0, "{}")))

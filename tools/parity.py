@@ -39,10 +39,14 @@ def main(sfdir, outdir):
             ns = con.execute("SELECT COUNT(*) FROM _spark").fetchone()[0]
             d1 = con.execute(f"SELECT COUNT(*) FROM (SELECT {cols} FROM _spark EXCEPT ALL SELECT {cols} FROM _oracle)").fetchone()[0]
             d2 = con.execute(f"SELECT COUNT(*) FROM (SELECT {cols} FROM _oracle EXCEPT ALL SELECT {cols} FROM _spark)").fetchone()[0]
-            if no == ns and d1 == 0 and d2 == 0:
-                msg = f"PASS {name}: {no} rows"
-                if tmism: msg += f"  [type mismatch: {tmism}]"
-                print(msg); n_pass += 1
+            if no == ns and d1 == 0 and d2 == 0 and tmism:
+                # Values agree but top-level types differ (e.g. HUGEINT vs
+                # BIGINT): the driver's hash recipe normalizes widths <=64-bit
+                # inconsistently, so type skew is a latent red row. FAIL hard.
+                print(f"FAIL {name}: values match but types differ: {tmism}")
+                n_fail += 1
+            elif no == ns and d1 == 0 and d2 == 0:
+                print(f"PASS {name}: {no} rows"); n_pass += 1
             else:
                 print(f"FAIL {name}: rows oracle={no} spark={ns} spark-only={d1} oracle-only={d2} typemism={tmism}")
                 if d1 or d2:
