@@ -1322,6 +1322,37 @@ class DocStoreSpec extends SparkSpec {
       r3.select("_commit_version").distinct().collect()
         .map(_.getLong(0)).toSeq == Seq(3L),
       "startingVersion must deliver its own version first (inclusive)")
+
+    // startingVersion beyond the table head fails LOUDLY at stream
+    // start (Delta behavior) — previously the paced offset could
+    // regress below the request and silently stream earlier versions
+    val out9 = Files.createTempDirectory("cdc_sink_hi")
+    graft.core.Fs.deleteOnExit(out9)
+    val e9 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q9 = sc.readStream.format("graft-docstore")
+        .option("path", tableDir).option("readChangeFeed", "true")
+        .option("startingVersion", "99").load()
+        .writeStream.format("parquet")
+        .option("path", out9.resolve("data").toString)
+        .option("checkpointLocation", out9.resolve("ckpt").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q9.awaitTermination() finally q9.stop()
+    }
+    assert(e9.getMessage.contains("beyond table head"), e9.getMessage)
+
+    // option casing must not split schema/table resolution: lowercase
+    // readchangefeed must resolve the CDC TABLE, not just the CDC
+    // schema. The CDC table is streaming-only (no BATCH_READ), so a
+    // batch load refuses with Spark's not-a-valid-source error — the
+    // pre-fix bug paired a CDC schema with a PLAIN table, whose batch
+    // load would have succeeded into a schema/table mismatch.
+    val lcErr = intercept[Exception] {
+      sc.read.format("graft-docstore")
+        .option("path", tableDir).option("readchangefeed", "true")
+        .load().collect()
+    }
+    assert(lcErr.getMessage.toLowerCase.contains("not a valid"),
+      lcErr.getMessage)
   }
 
   test("SHOW PARTITIONS lists manifest-derived identifiers; partial specs filter; verbs refuse") {
