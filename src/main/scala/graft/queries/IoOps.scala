@@ -1284,6 +1284,106 @@ object IoOps {
                COUNT(*) AS n_rows, COUNT(score) AS n_score,
                SUM(score) AS score_sum
         FROM graft_cat_dc.default.dc GROUP BY 1 ORDER BY 1""")
+    },
+
+    // ------------------------------------------------- batch CDF read
+    Q("q153_cdf_batch_read",
+      "Batch change-data-feed READ (Delta's batch table_changes " +
+        "through the DataFrame reader): `spark.read.format(...)" +
+        ".option(\"readChangeFeed\", true).option(\"startingVersion\", " +
+        "a).option(\"endingVersion\", b)` plans the SAME per-commit " +
+        "partitions the streaming CDC face paces one version at a " +
+        "time (one shared DocStoreCdcPlanner — batch == stream " +
+        "structurally), shipping only each commit's touched segments. " +
+        "The gate replays the q145 history (MoR DELETE -> deletion " +
+        "vectors, INSERT -> new segments) and aggregates the windowed " +
+        "change rows by (_change_type, lang); the oracle replays both " +
+        "commits arithmetically over the original parquet. Window " +
+        "bounds are validated loudly (an endingVersion beyond the " +
+        "head refuses, spec-pinned) and _commit_version is exact per " +
+        "row, so an incremental consumer can group a wide window by " +
+        "commit without a driver-side walk.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'delete' AS _change_type, lang,
+                 COUNT(*) AS n_rows, SUM(n_chars)::BIGINT AS chars,
+                 MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+          FROM documents WHERE lang = 'de' GROUP BY 2
+          UNION ALL
+          SELECT 'insert', lang, COUNT(*), SUM(n_chars)::BIGINT,
+                 MIN(doc_id) + 1000000, MAX(doc_id) + 1000000
+          FROM documents WHERE lang = 'zh' GROUP BY 2
+        ) ORDER BY _change_type, lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_bc")
+      sc.sql("""
+        CREATE TABLE graft_cat_bc.default.cdfb
+        TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')
+        AS SELECT * FROM graft_cat_bc.default.docs""")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_bc.root"),
+        "default", "cdfb").toString
+      val v1 = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      sc.sql("DELETE FROM graft_cat_bc.default.cdfb WHERE lang = 'de'")
+      sc.sql("INSERT INTO graft_cat_bc.default.cdfb " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text " +
+        "FROM graft_cat_bc.default.docs WHERE lang = 'zh'")
+      val head = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      sc.read.format("graft-docstore")
+        .option("path", tablePath).option("readChangeFeed", "true")
+        .option("startingVersion", (v1 + 1).toString)
+        .option("endingVersion", head.toString).load()
+        .groupBy(col("_change_type"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy("_change_type", "lang")
+    },
+
+    // --------------------------------------------- snapshot retention
+    Q("q154_expire_snapshots",
+      "Retention-bounded snapshot expiry (CALL " +
+        "system.expire_snapshots — Iceberg's verb): drop all but the " +
+        "newest keep_last retained versions and physically reclaim " +
+        "the segment files ONLY those versions referenced — the " +
+        "middle ground between keeping history forever and vacuum's " +
+        "full reset. The gate builds five commits (4 appends + a " +
+        "copy-on-write DELETE whose replaced segments are after it " +
+        "referenced only by old versions), expires to a 2-version " +
+        "window, and proves: live content unchanged (content rows), " +
+        "time travel INSIDE the window still works (preserved rows = " +
+        "the pre-delete snapshot), and exactly the out-of-window " +
+        "versions were expired (expired row). Work is metadata-" +
+        "proportional — manifest reads and file deletes, never a " +
+        "segment open — so a 100 TB table's weekly expiry costs " +
+        "seconds. DocStoreSpec pins the file-level reclamation and " +
+        "the loud CDC/time-travel refusals past the window edge.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'content' AS phase, COUNT(*) AS n_rows,
+                 SUM(n_chars)::BIGINT AS chars
+          FROM documents WHERE lang <> 'de'
+          UNION ALL
+          SELECT 'expired', 3, CAST(NULL AS BIGINT)
+          UNION ALL
+          SELECT 'preserved', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_xs")
+      sc.sql("DELETE FROM graft_cat_xs.default.docs WHERE lang = 'de'") // v5 CoW
+      val expired = sc.sql(
+        "CALL graft_cat_xs.system.expire_snapshots('default.docs', 2)")
+        .head.getLong(0)
+      val content = sc.sql(
+        "SELECT 'content' AS phase, COUNT(*) AS n_rows, " +
+          "SUM(n_chars) AS chars FROM graft_cat_xs.default.docs")
+      val exp = sc.sql(s"SELECT 'expired' AS phase, " +
+        s"CAST($expired AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS chars")
+      val preserved = sc.sql(
+        "SELECT 'preserved' AS phase, COUNT(*) AS n_rows, " +
+          "SUM(n_chars) AS chars " +
+          "FROM graft_cat_xs.default.docs VERSION AS OF 4")
+      content.unionByName(exp).unionByName(preserved).orderBy("phase")
     }
   )
 

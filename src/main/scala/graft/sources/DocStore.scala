@@ -386,12 +386,15 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
     val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-docstore requires .option(\"path\", <lake dir>)"))
-    // `readChangeFeed=true`: the CDC streaming face — per-commit
-    // change rows with _change_type/_commit_version columns, version-
+    // `readChangeFeed=true`: the CDC face — per-commit change rows
+    // with _change_type/_commit_version columns. Batch reads serve
+    // table_changes(startingVersion, endingVersion) directly;
+    // streaming reads pace one version per micro-batch off version-
     // keyed offsets (see DocStoreCdcStream).
     if (Option(opts.get("readChangeFeed")).exists(_.toBoolean))
       new DocStoreCdcTable(path,
-        Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L))
+        Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L),
+        Option(opts.get("endingVersion")).map(_.toLong))
     else
       // `manifest` option: read a retained MANIFEST.v<n> snapshot
       // instead of the live manifest — the format-level VERSION AS OF

@@ -108,9 +108,12 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "history") => new HistoryProcedure(this)
       case (Seq("system"), "restore") => new RestoreProcedure(this)
       case (Seq("system"), "optimize") => new OptimizeProcedure(this)
+      case (Seq("system"), "expire_snapshots") =>
+        new ExpireSnapshotsProcedure(this)
       case _ => throw new RuntimeException(
         s"no such docstore procedure: $ident (try system.vacuum / " +
-          "system.history / system.restore / system.optimize)")
+          "system.history / system.restore / system.optimize / " +
+          "system.expire_snapshots)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -118,7 +121,8 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       Array(Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "history"),
         Identifier.of(namespace, "restore"),
-        Identifier.of(namespace, "optimize"))
+        Identifier.of(namespace, "optimize"),
+        Identifier.of(namespace, "expire_snapshots"))
     else Array.empty
 
   override def initialize(name: String,

@@ -51,17 +51,71 @@ final case class DocStoreCdcPartition(file: String, segName: String,
     skip: Array[Long], emit: Array[Long],
     changeType: String, version: Long) extends InputPartition
 
-class DocStoreCdcTable(path: String, startingVersion: Long)
+/** Shared per-version partition planning — the ONE classification both
+  * CDC faces ship to executors, so batch == stream structurally. A
+  * `dataChange=false` rewrite commit (history-preserving OPTIMIZE)
+  * plans nothing, exactly like Delta CDC crossing an OPTIMIZE. */
+object DocStoreCdcPlanner {
+  def planVersions(path: String, fromV: Long,
+      toV: Long): Array[InputPartition] = {
+    val dir = java.nio.file.Paths.get(path)
+    (fromV + 1 to toV).flatMap { ver =>
+      if (DocStoreCommitOps.isRewriteCommit(path, ver))
+        Seq.empty[InputPartition]
+      else {
+        val (added, removed, fromDv, toDv, dvDelta) =
+          DocStoreCdf.snapshotDiff(path, ver - 1, ver)
+        val inserts = added.map(s =>
+          DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
+            toDv.getOrElse(s.name, Array.empty), null, "insert", ver))
+        val removes = removed.map(s =>
+          DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
+            fromDv.getOrElse(s.name, Array.empty), null, "delete", ver))
+        val dvDeletes = dvDelta.map { case (name, delta) =>
+          DocStoreCdcPartition(dir.resolve(name).toString, name,
+            Array.empty, delta, "delete", ver)
+        }
+        inserts ++ removes ++ dvDeletes
+      }
+    }.toArray
+  }
+}
+
+/** The CDC face of the connector, batch AND streaming (Delta's
+  * `readChangeFeed`): batch reads serve `table_changes(from, to)`
+  * directly through the DataFrame reader — `startingVersion` inclusive
+  * (default: the full history) to `endingVersion` (default: the
+  * current head) — planning the same per-commit partitions the stream
+  * paces one version at a time. */
+class DocStoreCdcTable(path: String, startingVersion: Long,
+    endingVersion: Option[Long] = None)
     extends Table with SupportsRead {
   private lazy val base = DocStore.tableSchema(path)
   override def name(): String = s"graft-docstore-cdc(`$path`)"
   override def schema(): StructType = DocStoreCdcStream.cdcSchema(base)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema()
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] = {
+              val head = DocStoreCommitOps.nextVersion(path) - 1
+              val to = endingVersion.getOrElse(head)
+              val from = math.max(1L, startingVersion) - 1
+              require(to <= head,
+                s"endingVersion $to is beyond table head $head")
+              require(startingVersion <= head + 1,
+                s"startingVersion $startingVersion is beyond table " +
+                  s"head $head (+1)")
+              DocStoreCdcPlanner.planVersions(path, from, to)
+            }
+            override def createReaderFactory(): PartitionReaderFactory =
+              new DocStoreCdcReaderFactory(base)
+          }
         override def toMicroBatchStream(loc: String): MicroBatchStream =
           new DocStoreCdcMicroBatchStream(path, base, startingVersion)
         override def description(): String = name()
@@ -123,33 +177,11 @@ class DocStoreCdcMicroBatchStream(path: String, base: StructType,
         s"unparseable docstore CDC offset: $json"))
 
   /** One commit's partitions come straight from the SHARED
-    * [[DocStoreCdf.snapshotDiff]] classification — stream == batch by
-    * construction, not by parallel implementations. */
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val dir = java.nio.file.Paths.get(path)
-    (v(start) + 1 to v(end)).flatMap { ver =>
-      // dataChange=false (history-preserving OPTIMIZE): same rows, new
-      // layout — the stream advances past it emitting nothing, exactly
-      // like Delta CDC crossing an OPTIMIZE commit
-      if (DocStoreCommitOps.isRewriteCommit(path, ver))
-        Seq.empty[InputPartition]
-      else {
-      val (added, removed, fromDv, toDv, dvDelta) =
-        DocStoreCdf.snapshotDiff(path, ver - 1, ver)
-      val inserts = added.map(s =>
-        DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
-          toDv.getOrElse(s.name, Array.empty), null, "insert", ver))
-      val removes = removed.map(s =>
-        DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
-          fromDv.getOrElse(s.name, Array.empty), null, "delete", ver))
-      val dvDeletes = dvDelta.map { case (name, delta) =>
-        DocStoreCdcPartition(dir.resolve(name).toString, name,
-          Array.empty, delta, "delete", ver)
-      }
-      inserts ++ removes ++ dvDeletes
-      }
-    }.toArray
-  }
+    * [[DocStoreCdcPlanner]] / [[DocStoreCdf.snapshotDiff]]
+    * classification — stream == batch by construction, not by
+    * parallel implementations. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    DocStoreCdcPlanner.planVersions(path, v(start), v(end))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreCdcReaderFactory(base)

@@ -247,6 +247,80 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   }
 }
 
+/** `CALL cat.system.expire_snapshots('ns.t', keep_last)` — Iceberg's
+  * `expire_snapshots` / Delta's retention-bounded VACUUM: drop all but
+  * the newest `keep_last` retained versions and physically reclaim the
+  * segment files ONLY those dropped versions referenced. The
+  * retention-aware middle ground the lifecycle lacked: `vacuum` resets
+  * history entirely, this keeps a working time-travel window — after a
+  * compaction-heavy week, expire everything older than the window and
+  * the table directory stops growing while RESTORE / VERSION AS OF /
+  * CDC keep working across the kept versions (a CDC consumer
+  * checkpointed BEFORE the window fails loudly on the missing
+  * manifest, never silently skips). Metadata-proportional work: reads
+  * manifests, deletes files; never opens a segment. The part-number
+  * floor persists first so a deleted file's name can never be reborn
+  * with different contents under a checkpointed reader. */
+class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "drop all but the newest <keep_last> retained versions and delete " +
+      "the segment files only they referenced"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", LongType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("expired_versions", LongType, nullable = false),
+    StructField("deleted_files", LongType, nullable = false),
+    StructField("reclaimed_bytes", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val keep = input.getLong(1)
+    require(keep >= 1, s"keep_last must be >= 1, got $keep")
+    var expired = 0L
+    var files = 0L
+    var bytes = 0L
+    DocStoreCommitOps.withCommitLock(dir.toString) {
+      val stream = Files.list(dir)
+      val versions =
+        try stream.iterator().asScala
+          .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
+            .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+          .toVector.sorted
+        finally stream.close()
+      if (versions.size > keep) {
+        val (drop, kept) = versions.splitAt(versions.size - keep.toInt)
+        // a file survives if ANY kept version or the live manifest
+        // references it
+        val keptRefs = (kept.map(v =>
+          DocStore.readManifest(dir.toString, s"MANIFEST.v$v")) :+
+          DocStore.readManifest(dir.toString)).flatten.map(_.name).toSet
+        val dead = drop.flatMap(v =>
+          DocStore.readManifest(dir.toString, s"MANIFEST.v$v"))
+          .map(_.name).distinct.filterNot(keptRefs)
+        // deleted names must never be reborn with different contents
+        // (same rule TRUNCATE follows): floor the part counter FIRST
+        DocStoreCommitOps.persistPartNumberFloor(dir.toString)
+        drop.foreach { v =>
+          Files.delete(dir.resolve(s"MANIFEST.v$v")); expired += 1
+        }
+        dead.foreach { n =>
+          val p = dir.resolve(n)
+          if (Files.exists(p)) {
+            bytes += Files.size(p)
+            Files.delete(p)
+            files += 1
+          }
+        }
+      }
+    }
+    result(SCHEMA, Seq(new GenericInternalRow(
+      Array[Any](expired, files, bytes))))
+  }
+}
+
 class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   override def name(): String = "history"
   override def description(): String =

@@ -1340,19 +1340,29 @@ class DocStoreSpec extends SparkSpec {
     }
     assert(e9.getMessage.contains("beyond table head"), e9.getMessage)
 
-    // option casing must not split schema/table resolution: lowercase
-    // readchangefeed must resolve the CDC TABLE, not just the CDC
-    // schema. The CDC table is streaming-only (no BATCH_READ), so a
-    // batch load refuses with Spark's not-a-valid-source error — the
-    // pre-fix bug paired a CDC schema with a PLAIN table, whose batch
-    // load would have succeeded into a schema/table mismatch.
-    val lcErr = intercept[Exception] {
+    // BATCH CDF read (Delta's batch table_changes through the reader):
+    // full history by default, windowed by startingVersion (inclusive)
+    // / endingVersion — and option casing must not split schema/table
+    // resolution (lowercase readchangefeed resolves the CDC table; the
+    // pre-fix bug paired a CDC schema with a PLAIN table).
+    val batchAll = sc.read.format("graft-docstore")
+      .option("path", tableDir).option("readchangefeed", "true").load()
+    assert(batchAll.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+    assert(batchAll.count() == 300, "full-history batch CDF = every change")
+    val batchWin = sc.read.format("graft-docstore")
+      .option("path", tableDir).option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load()
+    assert(batchWin.count() == 50 &&
+      batchWin.agg(max("_commit_version"), min("_commit_version"))
+        .head.toSeq == Seq(2L, 2L),
+      "versioned batch CDF window must cover exactly its commits")
+    val eEnd = intercept[Exception] {
       sc.read.format("graft-docstore")
-        .option("path", tableDir).option("readchangefeed", "true")
-        .load().collect()
+        .option("path", tableDir).option("readChangeFeed", "true")
+        .option("endingVersion", "99").load().collect()
     }
-    assert(lcErr.getMessage.toLowerCase.contains("not a valid"),
-      lcErr.getMessage)
+    assert(eEnd.getMessage.contains("beyond table head"), eEnd.getMessage)
   }
 
   test("SHOW PARTITIONS lists manifest-derived identifiers; partial specs filter; verbs refuse") {
@@ -1462,6 +1472,64 @@ class DocStoreSpec extends SparkSpec {
     sc.sql(s"CALL ocat.system.optimize('ns.t', 64)").collect()
     assert(graft.sources.DocStoreCommitOps.nextVersion(tdir) - 1 == head0,
       "optimize at/below target must not commit")
+  }
+
+  test("expire_snapshots: retention window kept, old versions and their files reclaimed") {
+    val root = Files.createTempDirectory("docstore_expire").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.xcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.xcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("exp_src")
+    sc.sql("CREATE NAMESPACE xcat.ns")
+    sc.sql("CREATE TABLE xcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO xcat.ns.t SELECT * FROM exp_src WHERE doc_id < 100") // v1
+    sc.sql("INSERT INTO xcat.ns.t SELECT * FROM exp_src " +
+      "WHERE doc_id BETWEEN 100 AND 199")                                    // v2
+    // CoW UPDATE rewrites every touched segment: the replaced files are
+    // after this referenced ONLY by v1/v2 — the expire target
+    sc.sql("UPDATE xcat.ns.t SET n_chars = n_chars + 1 WHERE doc_id >= 0")   // v3
+    sc.sql("INSERT INTO xcat.ns.t SELECT * FROM exp_src " +
+      "WHERE doc_id BETWEEN 200 AND 249")                                    // v4
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val preCount = sc.sql("SELECT COUNT(*) FROM xcat.ns.t").head.getLong(0)
+    def gdsOnDisk() = {
+      val s = Files.walk(java.nio.file.Paths.get(tdir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.endsWith(".gds"))
+      } finally s.close()
+    }
+    val filesBefore = gdsOnDisk()
+    val res = sc.sql("CALL xcat.system.expire_snapshots('ns.t', 2)").collect()
+    assert(res.head.getLong(0) == 2, s"2 versions expired: ${res.toSeq}")
+    assert(res.head.getLong(1) > 0 && res.head.getLong(2) > 0,
+      "the CoW-replaced segments were referenced only by v1/v2 and must " +
+        s"be reclaimed: ${res.toSeq}")
+    assert(gdsOnDisk() < filesBefore)
+    // the kept window still works end-to-end
+    assert(!Files.exists(java.nio.file.Paths.get(tdir, "MANIFEST.v1")))
+    assert(!Files.exists(java.nio.file.Paths.get(tdir, "MANIFEST.v2")))
+    assert(Files.exists(java.nio.file.Paths.get(tdir, "MANIFEST.v3")))
+    assert(sc.sql("SELECT COUNT(*) FROM xcat.ns.t").head.getLong(0) == preCount)
+    assert(sc.sql("SELECT COUNT(*) FROM xcat.ns.t VERSION AS OF 4")
+      .head.getLong(0) == preCount)
+    // CDC inside the kept window works; crossing the expired edge
+    // fails LOUDLY instead of skipping versions
+    assert(graft.sources.DocStoreCdf.changesBetween(sc, tdir, 3, 4)
+      .count() == 50)
+    val eOld = intercept[Exception] { sc.sql(
+      "SELECT COUNT(*) FROM xcat.ns.t VERSION AS OF 1").collect() }
+    assert(eOld.getMessage.contains("does not exist"), eOld.getMessage)
+    val eCdc = intercept[Exception] {
+      graft.sources.DocStoreCdf.changesBetween(sc, tdir, 1, 4).count() }
+    assert(eCdc.getMessage.contains("MANIFEST.v"), eCdc.getMessage)
+    // at/below the window: no-op
+    val res2 = sc.sql("CALL xcat.system.expire_snapshots('ns.t', 5)").collect()
+    assert(res2.head.toSeq == Seq(0L, 0L, 0L))
   }
 
   test("drop column: metadata-only, section retired, re-add is a new identity") {
