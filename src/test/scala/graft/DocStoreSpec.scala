@@ -1474,6 +1474,71 @@ class DocStoreSpec extends SparkSpec {
       "optimize at/below target must not commit")
   }
 
+  test("optimize on a partitioned table keeps partition directories and pruning") {
+    val root = Files.createTempDirectory("docstore_opt_part").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.opcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.opcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("optp_src")
+    sc.sql("CREATE NAMESPACE opcat.ns")
+    sc.sql("CREATE TABLE opcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) PARTITIONED BY (lang)")
+    // fragment within partitions: 3 commits
+    (0 until 3).foreach(i => sc.sql("INSERT INTO opcat.ns.t " +
+      s"SELECT /*+ REPARTITION(2) */ * FROM optp_src WHERE doc_id % 3 = $i"))
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val before = sc.sql("SELECT lang, COUNT(*) AS n FROM opcat.ns.t " +
+      "GROUP BY lang ORDER BY lang").collect().toSeq
+    sc.sql("CALL opcat.system.optimize('ns.t', 1)").collect()
+    // every segment still lives under its lang=<v> directory — the
+    // write path re-routed rows per partition during the rewrite
+    val segs = DocStore.readManifest(tdir)
+    assert(segs.forall(_.name.startsWith("lang=")),
+      s"compacted segments must keep partition dirs: ${segs.map(_.name)}")
+    // content identical, and SHOW PARTITIONS still manifest-derived
+    assert(sc.sql("SELECT lang, COUNT(*) AS n FROM opcat.ns.t " +
+      "GROUP BY lang ORDER BY lang").collect().toSeq == before)
+    // directory pruning still fires on the compacted layout
+    val plan = sc.sql("SELECT COUNT(*) FROM opcat.ns.t WHERE lang = 'en'")
+      .queryExecution.executedPlan.toString
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.exists(x => x.group(1).toInt < x.group(2).toInt),
+      s"partition pruning must skip non-en segments:\n$plan")
+  }
+
+  test("CDC across schema evolution: old commits read through the evolved schema") {
+    val root = Files.createTempDirectory("docstore_cdc_evo").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.cecat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.cecat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("cevo_src")
+    sc.sql("CREATE NAMESPACE cecat.ns")
+    sc.sql("CREATE TABLE cecat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO cecat.ns.t SELECT * FROM cevo_src WHERE doc_id < 100") // v1
+    sc.sql("ALTER TABLE cecat.ns.t ADD COLUMN score BIGINT")
+    sc.sql("INSERT INTO cecat.ns.t SELECT doc_id + 1000, n_chars, lang, " +
+      "source, text, doc_id FROM cevo_src WHERE doc_id < 100")                 // v2
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    // batch CDF over the whole history reads v1's pre-evolution
+    // segments through the CURRENT schema: score null-pads
+    val ch = sc.read.format("graft-docstore")
+      .option("path", tdir).option("readChangeFeed", "true").load()
+    assert(ch.count() == 200)
+    val v1s = ch.filter(col("_commit_version") === 1)
+    assert(v1s.count() == 100 &&
+      v1s.filter(col("score").isNotNull).count() == 0,
+      "pre-evolution commits must null-pad the added column")
+    val v2s = ch.filter(col("_commit_version") === 2)
+    assert(v2s.filter(col("score").isNotNull).count() == 100)
+  }
+
   test("expire_snapshots: retention window kept, old versions and their files reclaimed") {
     val root = Files.createTempDirectory("docstore_expire").toString
     val sc = graft.core.Sessions.scoped(spark,
