@@ -1384,8 +1384,107 @@ object IoOps {
           "SUM(n_chars) AS chars " +
           "FROM graft_cat_xs.default.docs VERSION AS OF 4")
       content.unionByName(exp).unionByName(preserved).orderBy("phase")
+    },
+
+    // ------------------------------------- storage-partitioned join
+    Q("q155_spj_join",
+      "Storage-partitioned join (Iceberg's SPJ, Spark's " +
+        "KeyGroupedPartitioning): two docstore tables co-partitioned " +
+        "by bucket(8, doc_id) join on doc_id with ZERO shuffle — the " +
+        "scans report their partition transforms " +
+        "(SupportsReportPartitioning), every planned split carries its " +
+        "decoded partition key (HasPartitionKey), and Catalyst " +
+        "resolves the bucket transform through the catalog's V2 " +
+        "function registry, matching the bound function's canonical " +
+        "name across both sides. At 100 TB this is the fact-fact join " +
+        "that moves NOTHING across the network where a hash join " +
+        "would shuffle both tables. SpjSpec pins the executed plan " +
+        "(no Exchange under the join) for identity and bucket specs; " +
+        "this gate pins the VALUES through the full SQL path.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars % 97)::BIGINT AS score_sum,
+               SUM(n_chars)::BIGINT AS chars
+        FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val root = spjFixture(s, dir)
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_spj" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_spj.root" -> root,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      sc.sql("""
+        SELECT a.lang, COUNT(*) AS n_docs,
+               SUM(b.n_chars) AS score_sum,
+               SUM(a.n_chars) AS chars
+        FROM graft_spj.default.docs a
+        JOIN graft_spj.default.scores b ON a.doc_id = b.doc_id
+        GROUP BY a.lang ORDER BY a.lang""")
+    },
+
+    // ------------------------------------------ catalog V2 functions
+    Q("q156_catalog_functions",
+      "Catalog V2 functions (FunctionCatalog): engine primitives " +
+        "addressable from SQL as <cat>.system.fn(...) — bucket(n, id) " +
+        "is the write path's partition hash byte-for-byte " +
+        "(floorMod(Long.hashCode(id), n); for the non-negative " +
+        "sub-2^31 doc_ids of the testdata that equals doc_id % n, " +
+        "which is what the oracle computes), normalize_key is the " +
+        "engine's join-key canonicalizer. Both carry ScalarFunction " +
+        "MAGIC invoke methods, so the calls compile into whole-stage " +
+        "codegen rather than the interpreted row path. The same " +
+        "registry is what resolves bucket transforms for q155's " +
+        "storage-partitioned join.",
+      Some(s"""
+        SELECT (doc_id % 8)::INTEGER AS bucket,
+               ${oNormKey("source")} AS src,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS chars
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val root = spjFixture(s, dir) // any docstore root serves the catalog
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_fn" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_fn.root" -> root)
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("fn_docs")
+      sc.sql("""
+        SELECT graft_fn.system.bucket(8, doc_id) AS bucket,
+               graft_fn.system.normalize_key(source) AS src,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars
+        FROM fn_docs GROUP BY 1, 2 ORDER BY 1, 2""")
     }
   )
+
+  /** Shared READ-ONLY Scratch fixture for the SPJ gates: `documents`
+    * loaded into TWO bucket(8, doc_id)-partitioned docstore tables
+    * (`docs` verbatim; `scores` with n_chars % 97 standing in for a
+    * per-doc score), built once per (dir, signature) and never mutated
+    * by consumers. */
+  private def spjFixture(s: SparkSession, dir: String): String =
+    graft.core.Scratch.materialize("docstore_spj",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+      val b = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.spj_build" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.spj_build.root" -> stg)
+      Tables.documents(b, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("spj_docs_src")
+      b.sql("CREATE NAMESPACE IF NOT EXISTS spj_build.default")
+      Seq("docs" -> "n_chars", "scores" -> "n_chars % 97").foreach {
+        case (t, expr) =>
+          b.sql(s"CREATE TABLE spj_build.default.$t (doc_id BIGINT NOT " +
+            "NULL, n_chars BIGINT, lang STRING, source STRING, " +
+            "text STRING) PARTITIONED BY (bucket(8, doc_id))")
+          b.sql(s"INSERT INTO spj_build.default.$t " +
+            s"SELECT doc_id, $expr, lang, source, text FROM spj_docs_src")
+      }
+    }
 
   /** Shared READ-ONLY Scratch fixture for the partitioned-table gates
     * (q141 pruning, q150 SHOW PARTITIONS): `documents` loaded into a

@@ -14,7 +14,8 @@ import org.apache.spark.sql.connector.write.{streaming, BatchWrite, DataWriter, 
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.read.{SupportsPushDownAggregates, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsPushDownAggregates, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -486,28 +487,41 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
       s"graft-docstore write schema must be ${tblSchema.simpleString}, " +
         s"got ${in.simpleString}")
     val order = tblSchema.fields.map(f => in.fieldIndex(f.name))
-    require(manifest == "MANIFEST",
+    // a BRANCH face writes to its own manifest (the WAP staging
+    // surface); a pinned VERSION AS OF snapshot stays read-only
+    require(manifest == "MANIFEST" ||
+      manifest.startsWith("MANIFEST.branch."),
       "a time-travel (VERSION AS OF) docstore table is read-only")
     new DocStoreWriteBuilder(path, tblSchema, order, info.queryId(),
-      partSpec = partSpec)
+      partSpec = partSpec, manifestName = manifest)
   }
 }
 
 class DocStoreWriteBuilder(path: String, schema: StructType,
     order: Array[Int], queryId: String,
     truncate: Boolean = false,
-    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
+    manifestName: String = "MANIFEST")
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder =
+  override def truncate(): WriteBuilder = {
+    require(manifestName == "MANIFEST",
+      "INSERT OVERWRITE on a docstore BRANCH is not supported — " +
+        "branches stage appends; publish or drop the branch instead")
     new DocStoreWriteBuilder(path, schema, order, queryId, truncate = true,
       partSpec = partSpec)
+  }
 
   private class BaseWrite extends Write {
     override def toBatch: BatchWrite =
-      new DocStoreBatchWrite(path, schema, order, queryId, truncate, partSpec)
-    override def toStreaming: streaming.StreamingWrite =
+      new DocStoreBatchWrite(path, schema, order, queryId, truncate, partSpec,
+        manifestName)
+    override def toStreaming: streaming.StreamingWrite = {
+      require(manifestName == "MANIFEST",
+        "streaming writes to a docstore BRANCH are not supported — " +
+          "WAP staging is a batch surface")
       new DocStoreStreamingWrite(path, schema, order, queryId, truncate,
         partSpec)
+    }
   }
 
   /** Partitioned writes additionally REQUEST a clustered distribution
@@ -582,7 +596,8 @@ object DocStoreCommitOps {
   def publish(path: String, messages: Array[WriterCommitMessage],
       keep: Seq[DocStore.Segment], manifestToken: String,
       nameFor: Int => String,
-      deletes: Map[String, Array[Long]] = Map.empty): Seq[DocStore.Segment] = {
+      deletes: Map[String, Array[Long]] = Map.empty,
+      manifestName: String = "MANIFEST"): Seq[DocStore.Segment] = {
     val dir = Paths.get(path)
     val fresh = stagedOf(messages).filter { m =>
       if (m.rows > 0) true
@@ -605,7 +620,8 @@ object DocStoreCommitOps {
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
     }
-    writeManifest(path, keep ++ fresh, manifestToken, deletes)
+    writeManifest(path, keep ++ fresh, manifestToken, deletes,
+      manifestName = manifestName)
     fresh
   }
 
@@ -719,7 +735,8 @@ object DocStoreCommitOps {
   def writeManifest(path: String, segments: Seq[DocStore.Segment],
       manifestToken: String,
       deletes: Map[String, Array[Long]] = Map.empty,
-      rewrite: Boolean = false): Long = {
+      rewrite: Boolean = false,
+      manifestName: String = "MANIFEST"): Long = {
     val dir = Paths.get(path)
     val live = segments.map(_.name).toSet
     val lines = (if (rewrite) Seq(DocStore.FLAG_REWRITE) else Seq.empty) ++
@@ -731,8 +748,11 @@ object DocStoreCommitOps {
     val tmpManifest = dir.resolve(s".MANIFEST-$manifestToken")
     Files.createDirectories(dir)
     Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmpManifest, dir.resolve("MANIFEST"),
+    Files.move(tmpManifest, dir.resolve(manifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // branch manifests version NOTHING: branch work stays invisible to
+    // time travel and CDC until published (the WAP contract)
+    if (manifestName != "MANIFEST") return 0L
     val v = nextVersion(path)
     Files.copy(dir.resolve("MANIFEST"), dir.resolve(s"MANIFEST.v$v"))
     v
@@ -781,7 +801,8 @@ object DocStoreCommitOps {
 class DocStoreBatchWrite(path: String, schema: StructType,
     order: Array[Int], queryId: String,
     truncate: Boolean,
-    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
+    manifestName: String = "MANIFEST")
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -791,21 +812,24 @@ class DocStoreBatchWrite(path: String, schema: StructType,
     DocStoreCommitOps.withCommitLock(path) {
       // manifest is read INSIDE the lock (one parse serves segments
       // and deletes): a concurrent append committed after our tasks
-      // ran is still in `keep` (no lost update)
+      // ran is still in `keep` (no lost update). A branch write reads
+      // and republishes the BRANCH manifest; main is untouched.
       val (old, dvs) =
-        if (Files.exists(Paths.get(path).resolve("MANIFEST")))
-          DocStore.readManifestAndDeletes(path)
+        if (Files.exists(Paths.get(path).resolve(manifestName)))
+          DocStore.readManifestAndDeletes(path, manifestName)
         else (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
       val keep = if (truncate) Seq.empty else old
       val keepDv = if (truncate) Map.empty[String, Array[Long]] else dvs
       // deterministic final names: continue past every part number ON
-      // DISK (a DELETE-retained file's name must never be reused)
+      // DISK (a DELETE-retained file's name must never be reused; the
+      // walk also covers branch segments, so branch and main writes
+      // never collide on a name)
       val next = DocStoreCommitOps.nextPartNumber(path)
       // truncate rewrites the data old versions reference → history reset
       if (truncate && Files.exists(Paths.get(path)))
         DocStoreCommitOps.clearVersions(path)
       val fresh = DocStoreCommitOps.publish(path, messages, keep, queryId,
-        i => f"part-${next + i}%05d.gds", keepDv)
+        i => f"part-${next + i}%05d.gds", keepDv, manifestName)
       // manifest is live; now drop the replaced segments
       if (truncate)
         old.filterNot(s => fresh.exists(_.name == s.name))
@@ -1119,12 +1143,12 @@ class DocStoreScanBuilder(path: String,
             segments.filter(s => names(s.name))
           case None => segments
         }
-        val partKeep = DocStorePartitioning.pruner(
-          DocStorePartitioning.read(path), schema, allFilters)
+        val partSpec = DocStorePartitioning.read(path)
+        val partKeep = DocStorePartitioning.pruner(partSpec, schema, allFilters)
         val surviving = scoped.filter(partKeep)
           .filter(s => s.maxId >= lo && s.minId <= hi)
         new DocStoreScan(path, schema, required, lo, hi, limit,
-          surviving, segments.size, maxSegmentsPerBatch, dvs)
+          surviving, segments.size, maxSegmentsPerBatch, dvs, partSpec)
     }
   }
 }
@@ -1181,12 +1205,73 @@ class DocStoreScan(path: String, schema: StructType,
     required: StructType, lo: Long, hi: Long,
     limit: Int, surviving: Seq[DocStore.Segment], total: Int,
     maxSegmentsPerBatch: Int = Int.MaxValue,
-    dvs: Map[String, Array[Long]] = Map.empty)
+    dvs: Map[String, Array[Long]] = Map.empty,
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Storage-partitioned-join face: a partitioned table's scan reports
+    * `KeyGroupedPartitioning` over its transforms, and every planned
+    * partition carries its decoded partition key ([[HasPartitionKey]]),
+    * so two docstore tables co-partitioned on the same spec join with
+    * ZERO shuffle under `spark.sql.sources.v2.bucketing.enabled` —
+    * Iceberg's SPJ contract, and at 100 TB the difference between a
+    * fact-fact join that moves both tables and one that moves nothing.
+    * Identity transforms resolve to plain column references; `bucket`
+    * resolves through the catalog's [[DocStoreFunctions]] registry
+    * (both sides bind the one canonical bucket function, which is what
+    * Spark's compatibility check compares). The conf defaults to ON in
+    * Spark 4; switched off, Spark never consults this partitioning and
+    * never groups — scans keep one task per segment. (Grouped scans
+    * trade per-segment task parallelism for exchange-free joins and
+    * aggregations on the partition key — the same trade Iceberg's SPJ
+    * makes, and the right one whenever a shuffle of the 100 TB fact
+    * side is the alternative.)
+    *
+    * All-or-nothing by construction: keys are advertised only when
+    * EVERY surviving segment's name parses against the spec (a layout
+    * written before partitioning, or a foreign file, would otherwise
+    * poison group planning). */
+  private lazy val keyedSurviving: Option[Map[String, InternalRow]] =
+    if (partSpec.isEmpty) None
+    else {
+      val ks = surviving.map(s => s.name -> keyRowOf(s.name))
+      if (ks.nonEmpty && ks.forall(_._2.isDefined))
+        Some(ks.map { case (n, k) => n -> k.get }.toMap)
+      else None
+    }
+
+  /** Decoded partition-directory values → a key row in spec order,
+    * typed as Spark expects them: identity columns carry the COLUMN's
+    * type (string → UTF8String, long → long; the null marker → null),
+    * bucket levels carry the bucket ordinal as int — the result type
+    * of the bucket function both sides of an SPJ resolve. */
+  private def keyRowOf(name: String): Option[InternalRow] =
+    DocStorePartitioning.valuesOf(name, partSpec).map { vs =>
+      val datums: Array[Any] = partSpec.zip(vs).map {
+        case (DocStorePartitioning.PBucket(_, _), v) =>
+          v.map(b => Integer.valueOf(b.toInt)).orNull: Any
+        case (DocStorePartitioning.PIdentity(c), v) =>
+          (schema.fields(schema.fieldIndex(c)).dataType match {
+            case LongType => v.map(x => java.lang.Long.valueOf(x.toLong)).orNull
+            case _ => v.map(UTF8String.fromString).orNull
+          }): Any
+      }.toArray
+      new GenericInternalRow(datums)
+    }
+
+  override def outputPartitioning(): Partitioning = keyedSurviving match {
+    case Some(keys) =>
+      val exprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        DocStorePartitioning.toTransforms(partSpec)
+          .map(t => t: org.apache.spark.sql.connector.expressions.Expression)
+      new KeyGroupedPartitioning(exprs,
+        math.max(keys.values.toSeq.distinct.size, 1))
+    case None => new UnknownPartitioning(surviving.size)
+  }
 
   /** Runtime (dynamic) filtering — the DSv2 face of dynamic partition
     * pruning: when this scan is the probe side of a join on doc_id,
@@ -1214,13 +1299,29 @@ class DocStoreScan(path: String, schema: StructType,
 
   override def filter(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.sources.In
+    var kept = runtimeSurviving
     filters.foreach {
       case In("doc_id", vs) =>
         val ids = vs.collect { case n: java.lang.Number => n.longValue() }
-        runtimeSurviving = runtimeSurviving.filter(s =>
+        kept = kept.filter(s =>
           ids.exists(id => id >= s.minId && id <= s.maxId))
       case _ => () // unrecognized runtime filters are safely ignored
     }
+    // Under active key-grouped reporting, Spark REFUSES a scan whose
+    // partition-value set changed across runtime filtering (the join's
+    // group layout is already fixed). Pruning may shrink groups but
+    // never erase one: a fully-eliminated group keeps its smallest
+    // segment (sound — rows are still filtered exactly downstream).
+    keyedSurviving.filter(_ =>
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
+      .foreach { keys =>
+        val present = kept.map(s => keys(s.name)).toSet
+        val refill = runtimeSurviving
+          .filterNot(s => present.contains(keys(s.name)))
+          .groupBy(s => keys(s.name)).values.map(_.minBy(_.bytes))
+        kept = kept ++ refill
+      }
+    runtimeSurviving = kept
     DocStoreScan.lastRuntimePlanned = runtimeSurviving.size
   }
 
@@ -1249,9 +1350,14 @@ class DocStoreScan(path: String, schema: StructType,
       (if (limit != Int.MaxValue) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    runtimeSurviving.map(s => DocStorePartition(
-      Paths.get(path, s.name).toString,
-      dvs.getOrElse(s.name, Array.empty), s.name): InputPartition).toArray
+    runtimeSurviving.map { s =>
+      val file = Paths.get(path, s.name).toString
+      val dv = dvs.getOrElse(s.name, Array.empty[Long])
+      keyedSurviving.flatMap(_.get(s.name)) match {
+        case Some(k) => DocStoreKeyedPartition(file, dv, s.name, k): InputPartition
+        case None => DocStorePartition(file, dv, s.name): InputPartition
+      }
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(schema, required, lo, hi, limit)
@@ -1289,15 +1395,32 @@ object DocStoreScan {
   * basename would break them the moment segments live in partition
   * directories. "" falls back to the file's basename (legacy
   * construction paths). */
+sealed trait DocStoreSegmentPartition extends InputPartition {
+  def file: String
+  def deleted: Array[Long]
+  def segName: String
+}
+
 final case class DocStorePartition(file: String,
     deleted: Array[Long] = Array.empty,
-    segName: String = "") extends InputPartition
+    segName: String = "") extends DocStoreSegmentPartition
+
+/** [[DocStorePartition]] plus the segment's decoded partition key —
+  * planned instead of the plain shape whenever the scan advertises
+  * key-grouped partitioning (every row in a segment shares its
+  * directory's key, which is exactly the [[HasPartitionKey]]
+  * contract). */
+final case class DocStoreKeyedPartition(file: String,
+    deleted: Array[Long], segName: String, key: InternalRow)
+    extends DocStoreSegmentPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 class DocStoreReaderFactory(schema: StructType, required: StructType,
     lo: Long, hi: Long,
     limit: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[DocStorePartition]
+    val part = p.asInstanceOf[DocStoreSegmentPartition]
     new DocStoreReader(part.file, schema, required, lo, hi, limit,
       part.deleted, part.segName)
   }

@@ -30,9 +30,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rather than approximating — deletes must be exact. */
 class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   import org.apache.spark.sql.connector.catalog.{StagedTable, TableInfo}
+
+  /** V2 functions ([[DocStoreFunctions]]): `bucket` / `normalize_key`,
+    * addressable as `<cat>.system.fn(...)` from SQL and resolved with
+    * an EMPTY namespace by Catalyst's storage-partitioned-join
+    * transform resolution — both namespaces serve the same registry. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (!DocStoreFunctions.knownNamespace(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+    DocStoreFunctions.names.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val fn =
+      if (DocStoreFunctions.knownNamespace(ident.namespace()))
+        DocStoreFunctions.load(ident.name())
+      else None
+    fn.getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident))
+  }
 
   /** Atomic CTAS / RTAS: without a staging catalog Spark's REPLACE
     * TABLE AS SELECT drops the old table BEFORE running the query — a
