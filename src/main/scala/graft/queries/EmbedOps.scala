@@ -608,6 +608,79 @@ object EmbedOps {
           sum(col("d0") + col("d1")).as("total_err"),
           min("vec_id").as("min_vec"))
         .orderBy("c0", "c1")
+    },
+
+    // ----------------------------------------------- semantic dedup
+    Q("q158_semdedup",
+      "SemDeDup (cluster-scoped semantic dedup, Abbas et al. 2023): " +
+        "assign every embedding to its nearest of k=8 fixed seed " +
+        "centroids (exact integer squared distance, ties to the " +
+        "lowest cluster id — the q70 coarse-quantizer step), then " +
+        "deduplicate WITHIN each cluster only: drop a vector when an " +
+        "earlier (lower vec_id) cluster-mate has cosine >= 0.4 with " +
+        "it. The clustering is the scale lever — pairwise comparison " +
+        "runs inside clusters (quadratic in cluster size, never in " +
+        "corpus size), and each cluster's pairs co-locate under one " +
+        "shuffle key, so a 100 TB corpus shards its quadratic across " +
+        "executors by cluster (real runs pick k ~ sqrt(n) to bound " +
+        "cluster sizes; k=8 here keeps the DuckDB oracle exact). " +
+        "Output per cluster: size, drops, and the kept-id checksum " +
+        "that pins the exact surviving set.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        seeds AS (SELECT vec_id::INT AS k, q AS c,
+                         list_sum(list_transform(q, a -> a * a)) AS cn
+                  FROM nz WHERE vec_id < 8),
+        d AS (SELECT nz.vec_id, nz.q, nz.nn, seeds.k,
+                     nz.nn - 2 * ${oDot("nz.q", "seeds.c")} + seeds.cn AS d
+              FROM nz CROSS JOIN seeds),
+        a AS (SELECT vec_id, q, nn, k FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d, k) AS rn
+                FROM d) WHERE rn = 1),
+        drops AS (SELECT DISTINCT y.vec_id
+                  FROM a x JOIN a y ON x.k = y.k AND x.vec_id < y.vec_id
+                  WHERE ${oDot("x.q", "y.q")}::DOUBLE /
+                        (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) >= 0.4)
+        SELECT a.k AS cluster, COUNT(*)::BIGINT AS n_vecs,
+               COUNT(dr.vec_id)::BIGINT AS n_dropped,
+               SUM(CASE WHEN dr.vec_id IS NULL THEN a.vec_id
+                   END)::BIGINT AS kept_id_sum
+        FROM a LEFT JOIN drops dr ON a.vec_id = dr.vec_id
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val nz = quantized(s, dir).drop("label")
+      val seedArr = nz.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("k"), col("q").as("c"),
+          col("nn").as("cn"))
+        .agg(collect_list(struct(col("k"), col("c"), col("cn"))).as("cs"))
+      // map-only assignment: 8 seed centroids broadcast as one array
+      // row, per-vector argmin with ties to the lowest k — no shuffle
+      val a = nz.crossJoin(broadcast(seedArr))
+        .withColumn("best", array_min(transform(col("cs"), e =>
+          struct((col("nn") - lit(2L) * dotL(col("q"), e.getField("c")) +
+            e.getField("cn")).as("d"), e.getField("k").as("k")))))
+        .select(col("vec_id"), col("q"), col("nn"),
+          col("best").getField("k").as("k"))
+        // one shuffle on the cluster id; both join sides and the final
+        // aggregate reuse this clustering
+        .repartition(col("k"))
+      val xa = a.select(col("k"), col("vec_id").as("ia"),
+        col("q").as("qa"), col("nn").as("na"))
+      val xb = a.select(col("k"), col("vec_id").as("ib"),
+        col("q").as("qb"), col("nn").as("nb"))
+      val drops = xa.join(xb, "k").filter(col("ia") < col("ib"))
+        .filter(cosine(dotL(col("qa"), col("qb")),
+          col("na"), col("nb")) >= 0.4)
+        .select(col("ib").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1))
+      a.join(drops, Seq("vec_id"), "left")
+        .groupBy(col("k").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(col("dropped")).as("n_dropped"),
+          sum(when(col("dropped").isNull, col("vec_id"))).as("kept_id_sum"))
+        .orderBy("cluster")
     }
   )
 }

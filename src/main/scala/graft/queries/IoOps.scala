@@ -1457,6 +1457,78 @@ object IoOps {
                COUNT(*) AS n_docs,
                SUM(n_chars) AS chars
         FROM fn_docs GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+
+    // --------------------------------------- branches / WAP lifecycle
+    Q("q157_wap_branch",
+      "Write-audit-publish via branch refs (Iceberg's spark.wap.branch " +
+        "pattern): CALL system.create_branch cuts 'audit' at the " +
+        "current state; INSERTs in a spark.graft.wap.branch session " +
+        "stage on the branch's own manifest — ZERO main versions, so " +
+        "main readers, time travel, and the change feed cannot see " +
+        "unaudited rows (main_during); audit reads see them via " +
+        "VERSION AS OF 'audit' (branch_audit); publish_branch " +
+        "fast-forwards main in ONE commit (content-hash-checked " +
+        "against concurrent movement) whose CDC walk carries exactly " +
+        "the staged rows (cdc_publish, main_after). BranchSpec pins " +
+        "the guards: refused publish after main moves, refused " +
+        "TRUNCATE/OVERWRITE/DML on branch faces, vacuum treating " +
+        "branch manifests as liveness roots, drop_branch reclamation.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'branch_audit' AS phase,
+                 (SELECT COUNT(*) FROM documents) + COUNT(*) AS n_rows,
+                 ((SELECT SUM(n_chars) FROM documents) +
+                  SUM(n_chars))::BIGINT AS chars
+          FROM documents WHERE lang = 'fr'
+          UNION ALL
+          SELECT 'cdc_publish', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE lang = 'fr'
+          UNION ALL
+          SELECT 'main_after',
+                 (SELECT COUNT(*) FROM documents) + COUNT(*),
+                 ((SELECT SUM(n_chars) FROM documents) +
+                  SUM(n_chars))::BIGINT
+          FROM documents WHERE lang = 'fr'
+          UNION ALL
+          SELECT 'main_during', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_wap")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_wap.root"),
+        "default", "docs").toString
+      sc.sql("CALL graft_cat_wap.system.create_branch('default.docs', 'audit')")
+      val vBase = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      val w = graft.core.Sessions.scoped(sc,
+        "spark.graft.wap.branch" -> "audit")
+      w.sql("INSERT INTO graft_cat_wap.default.docs " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text " +
+        "FROM graft_cat_wap.default.docs VERSION AS OF " +
+        s"$vBase WHERE lang = 'fr'")
+      def phase(tag: String, se: org.apache.spark.sql.SparkSession,
+          rel: String) = se.sql(
+        s"SELECT '$tag' AS phase, COUNT(*) AS n_rows, " +
+          s"SUM(n_chars) AS chars FROM $rel")
+      // while staged: main face blind, audit face sees the rows —
+      // values must be captured BEFORE publish drops the branch refs
+      // and fast-forwards main (a post-publish re-execution would see
+      // the published table and invalidate both phases)
+      val during = phase("main_during", sc, "graft_cat_wap.default.docs")
+        .unionByName(phase("branch_audit", sc,
+          "graft_cat_wap.default.docs VERSION AS OF 'audit'"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      sc.sql("CALL graft_cat_wap.system.publish_branch('default.docs', 'audit')")
+      val head = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      val cdc = graft.sources.DocStoreCdf
+        .changesBetween(sc, tablePath, vBase, head)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars"))
+        .select(lit("cdc_publish").as("phase"), col("n_rows"), col("chars"))
+      import sc.implicits._
+      val pinned = during.toSeq.toDF("phase", "n_rows", "chars")
+      pinned.unionByName(cdc)
+        .unionByName(phase("main_after", sc, "graft_cat_wap.default.docs"))
+        .orderBy("phase")
     }
   )
 

@@ -132,10 +132,15 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "optimize") => new OptimizeProcedure(this)
       case (Seq("system"), "expire_snapshots") =>
         new ExpireSnapshotsProcedure(this)
+      case (Seq("system"), "create_branch") => new CreateBranchProcedure(this)
+      case (Seq("system"), "publish_branch") =>
+        new PublishBranchProcedure(this)
+      case (Seq("system"), "drop_branch") => new DropBranchProcedure(this)
       case _ => throw new RuntimeException(
         s"no such docstore procedure: $ident (try system.vacuum / " +
           "system.history / system.restore / system.optimize / " +
-          "system.expire_snapshots)")
+          "system.expire_snapshots / system.create_branch / " +
+          "system.publish_branch / system.drop_branch)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -144,7 +149,10 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "history"),
         Identifier.of(namespace, "restore"),
         Identifier.of(namespace, "optimize"),
-        Identifier.of(namespace, "expire_snapshots"))
+        Identifier.of(namespace, "expire_snapshots"),
+        Identifier.of(namespace, "create_branch"),
+        Identifier.of(namespace, "publish_branch"),
+        Identifier.of(namespace, "drop_branch"))
     else Array.empty
 
   override def initialize(name: String,
@@ -171,8 +179,28 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new DocStoreSqlTable(dirOf(ident).toString)
+    val dir = dirOf(ident).toString
+    // write-audit-publish: with spark.graft.wap.branch set, every load
+    // of a docstore table resolves to that branch's face — writes stage
+    // on the branch, audit reads see the branch — until the session
+    // unsets it (Iceberg's spark.wap.branch contract). A set conf with
+    // no such branch refuses loudly: silently writing to main is the
+    // one outcome WAP exists to prevent.
+    wapBranch() match {
+      case Some(b) =>
+        require(DocStoreBranches.exists(dir, b),
+          s"spark.graft.wap.branch='$b' is set but table " +
+            s"${ident.name()} has no such branch — CALL " +
+            s"$catalogName.system.create_branch('<ns.table>', '$b') first")
+        new DocStoreSqlTable(dir, DocStoreBranches.manifestName(b))
+      case None => new DocStoreSqlTable(dir)
+    }
   }
+
+  private def wapBranch(): Option[String] =
+    try Option(org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.wap.branch", null)).map(_.trim).filter(_.nonEmpty)
+    catch { case _: Exception => None } // no active session (tests, tools)
 
   /** `VERSION AS OF v` time travel: every publish retains its manifest
     * as `MANIFEST.v<n>`, so a versioned load is the same table pinned
@@ -181,9 +209,17 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     * on disk; a truncate OVERWRITE rewrites data and resets history. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"docstore versions are integers, got '$version'"))
     val dir = dirOf(ident)
+    // `VERSION AS OF '<branch>'` reads a branch face by name — the
+    // Iceberg branch-read surface (audit queries use this without
+    // setting the session-wide WAP conf)
+    if (version.toLongOption.isEmpty &&
+        DocStoreBranches.exists(dir.toString, version))
+      return new DocStoreSqlTable(dir.toString,
+        DocStoreBranches.manifestName(version))
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"docstore versions are integers or branch names, got '$version' " +
+        s"(no branch of that name on ${ident.name()})"))
     if (!Files.exists(dir.resolve(s"MANIFEST.v$v")))
       throw new IllegalArgumentException(
         s"version $v of ${ident.name()} does not exist " +
@@ -640,7 +676,13 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     * brand-new data instead of failing loudly on a missing name. */
   override def truncateTable(): Boolean = {
     require(manifest == "MANIFEST",
-      "cannot TRUNCATE a time-travel (VERSION AS OF) snapshot")
+      "cannot TRUNCATE a time-travel (VERSION AS OF) snapshot or a branch")
+    // the sweep below deletes EVERY .gds including unpublished branch
+    // segments — losing staged WAP work silently is unacceptable
+    require(DocStoreBranches.list(path).isEmpty,
+      s"cannot TRUNCATE: table has unpublished branches " +
+        s"(${DocStoreBranches.list(path).mkString(", ")}) — publish or " +
+        "drop them first")
     DocStoreCommitOps.withCommitLock(path) {
       DocStoreCommitOps.persistPartNumberFloor(path)
       DocStoreCommitOps.clearVersions(path)
@@ -659,7 +701,8 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(manifest == "MANIFEST",
-      s"cannot ${info.command()} a time-travel (VERSION AS OF) snapshot")
+      s"cannot ${info.command()} a time-travel (VERSION AS OF) snapshot " +
+        "or a branch face (branches stage appends only)")
     if (tblProps.getOrElse(DocStoreCatalog.MODE_KEY,
         DocStoreCatalog.MODE_COW) == DocStoreCatalog.MODE_MOR)
       () => new DocStoreDeltaOperation(path, info.command())

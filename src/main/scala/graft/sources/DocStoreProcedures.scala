@@ -72,7 +72,10 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     var files = 0L
     var bytes = 0L
     DocStoreCommitOps.withCommitLock(dir.toString) {
-      val live = DocStore.readManifest(dir.toString).map(_.name).toSet
+      // unpublished branch segments are NOT dead: their manifests are
+      // additional liveness roots until published or dropped
+      val live = DocStore.readManifest(dir.toString).map(_.name).toSet ++
+        DocStoreBranches.branchReferencedNames(dir.toString)
       // recursive walk, keyed by manifest-relative name: partitioned
       // tables keep segments in per-partition subdirectories, and the
       // manifest records `p=<val>/part-N.gds` — a basename-keyed check
@@ -296,7 +299,8 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
         // references it
         val keptRefs = (kept.map(v =>
           DocStore.readManifest(dir.toString, s"MANIFEST.v$v")) :+
-          DocStore.readManifest(dir.toString)).flatten.map(_.name).toSet
+          DocStore.readManifest(dir.toString)).flatten.map(_.name).toSet ++
+          DocStoreBranches.branchReferencedNames(dir.toString)
         val dead = drop.flatMap(v =>
           DocStore.readManifest(dir.toString, s"MANIFEST.v$v"))
           .map(_.name).distinct.filterNot(keptRefs)
@@ -318,6 +322,78 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
     }
     result(SCHEMA, Seq(new GenericInternalRow(
       Array[Any](expired, files, bytes))))
+  }
+}
+
+/** `CALL cat.system.create_branch('ns.t', 'b')` — cut a branch at the
+  * current main state for write-audit-publish (see
+  * [[DocStoreBranches]]): writes staged on the branch (via
+  * `spark.graft.wap.branch`) are invisible to main readers, time
+  * travel, and CDC until `publish_branch` fast-forwards main in ONE
+  * commit; `drop_branch` abandons them and reclaims their files. */
+class CreateBranchProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "create_branch"
+  override def description(): String =
+    "cut a branch at the current main state (write-audit-publish staging)"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("base_version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val b = input.getUTF8String(1).toString
+    val base = DocStoreBranches.create(dir.toString, b)
+    result(SCHEMA, Seq(new GenericInternalRow(
+      Array[Any](UTF8String.fromString(b), base))))
+  }
+}
+
+/** Fast-forward-only publish: refuses loudly if main's manifest bytes
+  * changed since the branch was cut (concurrent commit, overwrite,
+  * restore) — see [[DocStoreBranches.publish]]. */
+class PublishBranchProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "publish_branch"
+  override def description(): String =
+    "fast-forward main to the branch as one commit and drop the ref"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("published_version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val b = input.getUTF8String(1).toString
+    val v = DocStoreBranches.publish(dir.toString, b)
+    result(SCHEMA, Seq(new GenericInternalRow(
+      Array[Any](UTF8String.fromString(b), v))))
+  }
+}
+
+class DropBranchProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "abandon a branch: delete the segment files only it referenced, " +
+      "then the refs"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("deleted_files", LongType, nullable = false),
+    StructField("reclaimed_bytes", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val b = input.getUTF8String(1).toString
+    val (files, bytes) = DocStoreBranches.drop(dir.toString, b)
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](files, bytes))))
   }
 }
 

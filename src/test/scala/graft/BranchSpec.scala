@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{DocStoreBranches, DocStoreCommitOps}
+
+/** Branch refs + write-audit-publish on the docstore catalog: branch
+  * writes are invisible to main (no version, no CDC) until a
+  * fast-forward publish lands them as ONE commit; publish refuses when
+  * main moved (content-hash check); drop reclaims branch-only files;
+  * the reclaimers treat branch manifests as liveness roots. */
+class BranchSpec extends SparkSpec {
+
+  private def freshCat(name: String): (SparkSession, String) = {
+    val root = Files.createTempDirectory(s"branch-$name").toString
+    val s = graft.core.Sessions.scoped(spark,
+      s"spark.sql.catalog.$name" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      s"spark.sql.catalog.$name.root" -> root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.default")
+    s.sql(s"CREATE TABLE $name.default.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    s.sql(s"INSERT INTO $name.default.t VALUES " +
+      "(1, 10, 'pt', 'web', 'a'), (2, 20, 'en', 'web', 'b')")
+    (s, Paths.get(root, "default", "t").toString)
+  }
+
+  private def wapSession(s: SparkSession, branch: String): SparkSession =
+    graft.core.Sessions.scoped(s, "spark.graft.wap.branch" -> branch)
+
+  test("write-audit-publish: branch writes invisible until one-commit publish") {
+    val (s, path) = freshCat("bwap")
+    s.sql("CALL bwap.system.create_branch('default.t', 'audit')")
+    val vBefore = DocStoreCommitOps.nextVersion(path) - 1
+
+    val w = wapSession(s, "audit")
+    w.sql("INSERT INTO bwap.default.t VALUES (3, 30, 'de', 'web', 'c')")
+    w.sql("INSERT INTO bwap.default.t VALUES (4, 40, 'fr', 'web', 'd')")
+
+    // main face: unchanged rows, unchanged version history, CDC-silent
+    assert(s.sql("SELECT COUNT(*) FROM bwap.default.t").head.getLong(0) == 2)
+    assert(DocStoreCommitOps.nextVersion(path) - 1 == vBefore,
+      "branch commits must create no main versions")
+    // audit reads: the WAP session sees staged rows; so does a plain
+    // session via VERSION AS OF '<branch>'
+    assert(w.sql("SELECT COUNT(*) FROM bwap.default.t").head.getLong(0) == 4)
+    assert(s.sql(
+      "SELECT COUNT(*) FROM bwap.default.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 4)
+
+    val pub = s.sql(
+      "CALL bwap.system.publish_branch('default.t', 'audit')").head
+    assert(pub.getLong(1) == vBefore + 1, "publish is ONE commit")
+    assert(s.sql("SELECT COUNT(*) FROM bwap.default.t").head.getLong(0) == 4)
+    assert(!DocStoreBranches.exists(path, "audit"), "refs dropped")
+    // the published commit carries BOTH staged inserts
+    val prev = s.sql(
+      s"SELECT COUNT(*) FROM bwap.default.t VERSION AS OF $vBefore")
+      .head.getLong(0)
+    assert(prev == 2, "pre-publish snapshot unchanged")
+  }
+
+  test("publish refuses after main moved; re-cut branch publishes") {
+    val (s, path) = freshCat("bff")
+    s.sql("CALL bff.system.create_branch('default.t', 'b')")
+    wapSession(s, "b").sql(
+      "INSERT INTO bff.default.t VALUES (3, 30, 'de', 'web', 'c')")
+    // main moves AFTER the branch was cut
+    s.sql("INSERT INTO bff.default.t VALUES (9, 90, 'it', 'web', 'z')")
+    val e = intercept[Exception] {
+      s.sql("CALL bff.system.publish_branch('default.t', 'b')")
+    }
+    assert(e.getMessage.contains("fast-forward"), e.getMessage)
+    assert(DocStoreBranches.exists(path, "b"), "refused publish keeps refs")
+    // drop reclaims the branch-only segment; main rows intact
+    val d = s.sql("CALL bff.system.drop_branch('default.t', 'b')").head
+    assert(d.getLong(0) == 1, "exactly the branch-only segment deleted")
+    assert(s.sql("SELECT COUNT(*) FROM bff.default.t").head.getLong(0) == 3)
+  }
+
+  test("wap conf with a missing branch refuses loudly") {
+    val (s, _) = freshCat("bmiss")
+    val w = wapSession(s, "nope")
+    val e = intercept[Exception] {
+      w.sql("SELECT COUNT(*) FROM bmiss.default.t").collect()
+    }
+    assert(e.getMessage.contains("create_branch"), e.getMessage)
+  }
+
+  test("TRUNCATE and branch-face row-level ops refuse; vacuum keeps branch segments") {
+    val (s, path) = freshCat("bguard")
+    s.sql("CALL bguard.system.create_branch('default.t', 'stage')")
+    val w = wapSession(s, "stage")
+    w.sql("INSERT INTO bguard.default.t VALUES (3, 30, 'de', 'web', 'c')")
+
+    val t = intercept[Exception] { s.sql("TRUNCATE TABLE bguard.default.t") }
+    assert(t.getMessage.contains("unpublished branches"), t.getMessage)
+    val del = intercept[Exception] {
+      w.sql("DELETE FROM bguard.default.t WHERE lang = 'de'")
+    }
+    assert(del.getMessage.toLowerCase.contains("branch"), del.getMessage)
+    val ow = intercept[Exception] {
+      w.sql("INSERT OVERWRITE bguard.default.t " +
+        "VALUES (7, 70, 'pt', 'web', 'x')")
+    }
+    assert(ow.getMessage.contains("branch"), ow.getMessage)
+
+    // vacuum with a live branch must treat its segments as live
+    s.sql("CALL bguard.system.vacuum('default.t')")
+    assert(w.sql("SELECT COUNT(*) FROM bguard.default.t").head.getLong(0) == 3,
+      "vacuum must not reclaim unpublished branch segments")
+    s.sql("CALL bguard.system.publish_branch('default.t', 'stage')")
+    assert(s.sql("SELECT COUNT(*) FROM bguard.default.t").head.getLong(0) == 3)
+  }
+}
