@@ -1529,6 +1529,63 @@ object IoOps {
       pinned.unionByName(cdc)
         .unionByName(phase("main_after", sc, "graft_cat_wap.default.docs"))
         .orderBy("phase")
+    },
+
+    // --------------------------------------- timestamp-based time travel
+    Q("q159_timestamp_travel",
+      "`TIMESTAMP AS OF` time travel (Delta/Iceberg's timestamp " +
+        "face): the catalog resolves a timestamp to the LATEST " +
+        "retained version whose commit time is <= t — commit time " +
+        "being the retained snapshot's mtime, which the publish path " +
+        "keeps strictly monotone per table (Delta applies the same " +
+        "forward adjustment to its commit files), and which `CALL " +
+        "system.history` now exposes as committed_at. The gate takes " +
+        "a 4-commit table, DELETEs a language (v5), INSERTs shifted " +
+        "copies (v6), then reads three instants: 1 ms before v5's " +
+        "commit (the strictly-less rule -> v4, the full table), " +
+        "exactly AT v5's commit (boundary inclusive -> the post-" +
+        "delete table), and the current head. Resolution is one " +
+        "directory list — metadata-sized at any table size; a " +
+        "timestamp before the first retained commit refuses loudly " +
+        "(DocStoreSpec pins the refusal and the boundary rule).",
+      Some("""
+        SELECT * FROM (
+          SELECT 'a_before_delete' AS phase, COUNT(*) AS n_rows,
+                 SUM(n_chars)::BIGINT AS chars
+          FROM documents
+          UNION ALL
+          SELECT 'b_at_delete', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE lang <> 'de'
+          UNION ALL
+          SELECT 'c_head',
+                 (SELECT COUNT(*) FROM documents WHERE lang <> 'de')
+                   + COUNT(*),
+                 ((SELECT SUM(n_chars) FROM documents WHERE lang <> 'de')
+                   + SUM(n_chars))::BIGINT
+          FROM documents WHERE lang = 'zh'
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_tt")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_tt.root"),
+        "default", "docs").toString
+      sc.sql("DELETE FROM graft_cat_tt.default.docs WHERE lang = 'de'")
+      val t5 = graft.sources.DocStoreCommitOps
+        .versionTimes(tablePath).last._2
+      sc.sql("INSERT INTO graft_cat_tt.default.docs " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text " +
+        "FROM graft_cat_tt.default.docs WHERE lang = 'zh'")
+      // t5-1 lands between the copied fixture's commits and the DELETE
+      // (a SQL round trip apart — far more than 1 ms), so the
+      // strictly-less rule must resolve it to v4, the full table
+      def phase(tag: String, rel: String) = sc.sql(
+        s"SELECT '$tag' AS phase, COUNT(*) AS n_rows, " +
+          s"SUM(n_chars) AS chars FROM $rel")
+      phase("a_before_delete",
+          s"graft_cat_tt.default.docs TIMESTAMP AS OF timestamp_millis(${t5 - 1})")
+        .unionByName(phase("b_at_delete",
+          s"graft_cat_tt.default.docs TIMESTAMP AS OF timestamp_millis($t5)"))
+        .unionByName(phase("c_head", "graft_cat_tt.default.docs"))
+        .orderBy("phase")
     }
   )
 

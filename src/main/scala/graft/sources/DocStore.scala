@@ -754,8 +754,35 @@ object DocStoreCommitOps {
     // time travel and CDC until published (the WAP contract)
     if (manifestName != "MANIFEST") return 0L
     val v = nextVersion(path)
-    Files.copy(dir.resolve("MANIFEST"), dir.resolve(s"MANIFEST.v$v"))
+    val snap = dir.resolve(s"MANIFEST.v$v")
+    Files.copy(dir.resolve("MANIFEST"), snap)
+    // A snapshot's mtime IS its commit timestamp (`TIMESTAMP AS OF`
+    // resolves against it), so commit times must be strictly monotone
+    // per table even under clock ties/regressions — Delta applies the
+    // same forward adjustment to its commit-file timestamps.
+    val prev = dir.resolve(s"MANIFEST.v${v - 1}")
+    if (Files.exists(prev)) {
+      val pt = Files.getLastModifiedTime(prev).toMillis
+      if (Files.getLastModifiedTime(snap).toMillis <= pt)
+        Files.setLastModifiedTime(snap,
+          java.nio.file.attribute.FileTime.fromMillis(pt + 1))
+    }
     v
+  }
+
+  /** Published `(version, commitTimeMillis)` pairs, ascending version.
+    * Commit time = the retained snapshot's mtime (strictly monotone —
+    * see [[writeManifest]]); metadata-sized (one directory list). */
+  def versionTimes(path: String): Seq[(Long, Long)] = {
+    val dir = Paths.get(path)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
+        .findFirstMatchIn(p.getFileName.toString))
+      .map(_.group(1).toLong).toVector.sorted
+      .map(v => v -> Files.getLastModifiedTime(
+        dir.resolve(s"MANIFEST.v$v")).toMillis)
+    finally stream.close()
   }
 
   /** True iff commit `v` was published `dataChange=false` (a pure

@@ -227,6 +227,31 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     new DocStoreSqlTable(dir.toString, s"MANIFEST.v$v")
   }
 
+  /** `TIMESTAMP AS OF t` time travel: resolve to the LATEST retained
+    * version whose commit time is <= t (Delta's rule; commit time =
+    * the `MANIFEST.v<n>` snapshot's mtime, kept strictly monotone by
+    * the publish path). Spark hands `t` in MICROseconds since epoch —
+    * timezone conversion already applied by the analyzer, so the
+    * comparison here is instant-vs-instant. A timestamp before the
+    * first retained commit refuses loudly (nothing existed to read;
+    * Delta raises the same error), as does one on a table whose
+    * history a truncating OVERWRITE reset. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val tsMillis = Math.floorDiv(timestamp, 1000L)
+    val times = DocStoreCommitOps.versionTimes(dir.toString)
+    val at = times.filter(_._2 <= tsMillis)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)}: " +
+        s"before the first retained commit of ${ident.name()} " +
+        times.headOption.map(t =>
+          s"(earliest: v${t._1} at ${java.time.Instant.ofEpochMilli(t._2)})")
+          .getOrElse("(no retained versions — history was reset)"))
+    val v = at.map(_._1).max
+    new DocStoreSqlTable(dir.toString, s"MANIFEST.v$v")
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = namespace.foldLeft(root)(_.resolve(_))
     if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Stored procedures for the docstore catalog — the `CALL
@@ -409,7 +409,10 @@ class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     StructField("n_segments", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("is_current", BooleanType, nullable = false)))
+    StructField("is_current", BooleanType, nullable = false),
+    // the commit instant `TIMESTAMP AS OF` resolves against (the
+    // retained snapshot's mtime, strictly monotone per table)
+    StructField("committed_at", TimestampType, nullable = false)))
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = tableDir(catalog, input.getUTF8String(0).toString)
@@ -421,6 +424,8 @@ class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         .toVector.sorted
       finally stream.close()
     val latest = versions.lastOption.getOrElse(0L)
+    val commitTimes =
+      DocStoreCommitOps.versionTimes(dir.toString).toMap
     val rows = versions.map { v =>
       val (segs, dvs) =
         DocStore.readManifestAndDeletes(dir.toString, s"MANIFEST.v$v")
@@ -430,7 +435,8 @@ class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         dvs.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
       new GenericInternalRow(Array[Any](
         v, segs.size.toLong, segs.map(_.rows).sum - dvCount,
-        segs.map(_.bytes).sum, v == latest)): InternalRow
+        segs.map(_.bytes).sum, v == latest,
+        commitTimes(v) * 1000L)): InternalRow
     }
     result(SCHEMA, rows)
   }

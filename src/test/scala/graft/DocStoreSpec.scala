@@ -837,8 +837,14 @@ class DocStoreSpec extends SparkSpec {
     val hist = sc.sql("CALL pcat.system.history('ns.t')")
       .collect().map(_.toSeq)
     assert(hist.length == 4, hist.mkString("\n"))
-    assert(hist.count(_.last == true) == 1)
-    assert(hist.maxBy(_.head.asInstanceOf[Long]).last == true)
+    assert(hist.count(_(4) == true) == 1)
+    assert(hist.maxBy(_.head.asInstanceOf[Long]).apply(4) == true)
+    // committed_at is strictly monotone in version order (the publish
+    // path bumps clock ties forward — TIMESTAMP AS OF depends on it)
+    val commitTimes = hist.sortBy(_.head.asInstanceOf[Long])
+      .map(_(5).asInstanceOf[java.sql.Timestamp].getTime)
+    assert(commitTimes.zip(commitTimes.tail).forall(p => p._1 < p._2),
+      commitTimes.mkString(","))
 
     // the UPDATE retained its replaced segment on disk → vacuum finds it
     val tableDir = java.nio.file.Paths.get(root, "ns", "t")
@@ -1649,5 +1655,45 @@ class DocStoreSpec extends SparkSpec {
     val er = intercept[Exception] {
       sc.sql("CALL dcat.system.restore('ns.t', 1)").collect() }
     assert(er.getMessage.contains("schema"), er.getMessage)
+  }
+
+  test("TIMESTAMP AS OF: boundary-inclusive latest-commit rule; pre-history refuses") {
+    val root = Files.createTempDirectory("docstore_tt").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.tcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.tcat.root" -> root)
+    sc.sql("CREATE NAMESPACE tcat.ns")
+    sc.sql("CREATE TABLE tcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    // three rapid-fire commits: the publish path must keep commit times
+    // strictly monotone even when the wall clock ties within 1 ms
+    (1 to 3).foreach(i => sc.sql(
+      s"INSERT INTO tcat.ns.t VALUES ($i, ${i * 10}, 'en', 's', 'x')"))
+    val times = graft.sources.DocStoreCommitOps.versionTimes(
+      java.nio.file.Paths.get(root, "ns", "t").toString)
+    assert(times.map(_._1) == Seq(1L, 2L, 3L))
+    assert(times.map(_._2).sliding(2).forall(w => w(0) < w(1)),
+      times.mkString(","))
+    def rowsAt(ms: Long): Long = sc.sql(
+      s"SELECT COUNT(*) FROM tcat.ns.t TIMESTAMP AS OF timestamp_millis($ms)")
+      .head.getLong(0)
+    // exactly AT a commit time reads that commit (boundary inclusive);
+    // between commits reads the older one (latest <= t)
+    assert(rowsAt(times(0)._2) == 1)
+    assert(rowsAt(times(1)._2) == 2)
+    assert(rowsAt(times(2)._2) == 3)
+    assert(rowsAt(times(1)._2 - 1) == 1)
+    // after the head: still the head
+    assert(rowsAt(times(2)._2 + 60000) == 3)
+    // before the first retained commit: loud refusal, names the earliest
+    val e = intercept[Exception] { rowsAt(times(0)._2 - 1) }
+    assert(e.getMessage.contains("before the first retained commit"),
+      e.getMessage)
+    // history exposes the same instants as committed_at
+    val hist = sc.sql("CALL tcat.system.history('ns.t')").collect()
+      .map(r => r.getLong(0) ->
+        r.getTimestamp(5).getTime).toMap
+    assert(hist == times.toMap, s"$hist vs $times")
   }
 }
