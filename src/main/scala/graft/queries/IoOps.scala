@@ -511,7 +511,7 @@ object IoOps {
       // gate; the copy is milliseconds, so the timed region is now the
       // operator: connector read → range layout → atomic overwrite.
       val pristine = graft.core.Scratch.materialize("docstore_frag",
-        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+        s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
         val docs = Tables.documents(s, dir)
           .select("doc_id", "n_chars", "lang", "source", "text")
         // three append commits × 4 partitions each = 12 small segments
@@ -1586,6 +1586,143 @@ object IoOps {
           s"graft_cat_tt.default.docs TIMESTAMP AS OF timestamp_millis($t5)"))
         .unionByName(phase("c_head", "graft_cat_tt.default.docs"))
         .orderBy("phase")
+    },
+
+    // ------------------------------- data skipping + clustered OPTIMIZE
+    Q("q160_cluster_skipping",
+      "Clustered compaction + column-stats data skipping (Delta's " +
+        "OPTIMIZE ZORDER BY + per-file stats, Iceberg's sort-strategy " +
+        "rewrite_data_files + manifest column bounds): every segment " +
+        "write records a per-SECTION null count and [min,max] " +
+        "envelope in the manifest (longs numeric; strings only while " +
+        "ASCII <= 64 bytes, so the envelope is sound under Spark's " +
+        "binary string order), and the scan prunes segments whose " +
+        "envelope provably excludes a pushed conjunct — the third " +
+        "pruning tier after partition directories and the doc_id " +
+        "zone map, all from the one manifest read. Stats are keyed " +
+        "by physical section id, not name, so a DROPped-then-re-" +
+        "ADDed column (a new identity whose old-segment reads are " +
+        "all-null) can never be pruned by the dead column's bounds. " +
+        "`CALL system.optimize(t, n, cluster_by)` is what makes the " +
+        "envelopes selective: a history-preserving dataChange=false " +
+        "rewrite laid out by one column's range or two BIGINT " +
+        "columns' Morton-interleaved width-bucket surrogates. The " +
+        "gate clusters the catalog table on n_chars and runs a " +
+        "selective n_chars scan; DocStoreSpec pins envelope " +
+        "recording, each pruning rule incl. the null-count pair, " +
+        "the planned-segment drop after clustering, and the 2-D " +
+        "z-order case. At 100 TB this is the difference between " +
+        "reading 3 segments and 3000 for a quality-score slice.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS chars
+        FROM documents WHERE n_chars <= 400
+        GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_cl")
+      sc.sql(
+        "CALL graft_cat_cl.system.optimize('default.docs', 6, 'n_chars')")
+        .collect()
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        FROM graft_cat_cl.default.docs WHERE n_chars <= 400
+        GROUP BY lang ORDER BY lang""")
+    },
+
+    // ------------------------------------------------ CHECK constraints
+    Q("q161_check_constraints",
+      "Table CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT " +
+        "surface, as TBLPROPERTIES `graft.check.<name> = <predicate>`" +
+        "): validated by the analyzer at DDL time (a typo'd column " +
+        "refuses at SET, not at the first write) and enforced on " +
+        "EVERY row of every write path — INSERT, streaming epochs, " +
+        "MERGE, and copy-on-write UPDATE rewrites all flow through " +
+        "the writer factories, which compile the constraints once on " +
+        "the driver and evaluate codegen'd predicates per row in the " +
+        "tasks (no UDF, no extra pass over the data). SQL semantics " +
+        "exactly: a row violates only when the predicate is FALSE — " +
+        "NULL passes — and a violation fails the job loudly naming " +
+        "the constraint while the staged segments abort, leaving the " +
+        "table untouched. The gate sets a sign constraint, proves a " +
+        "violating INSERT changes nothing, then lands a passing " +
+        "INSERT; DocStoreSpec pins create-time constraints, the " +
+        "UPDATE path, UNSET, null-passes, and both DDL refusals.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'a_rejected' AS phase, COUNT(*) AS n_rows,
+                 SUM(n_chars)::BIGINT AS chars
+          FROM documents
+          UNION ALL
+          SELECT 'b_accepted',
+                 (SELECT COUNT(*) FROM documents) + COUNT(*),
+                 ((SELECT SUM(n_chars) FROM documents)
+                   + SUM(n_chars))::BIGINT
+          FROM documents WHERE lang = 'zh'
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_ck")
+      sc.sql("ALTER TABLE graft_cat_ck.default.docs SET TBLPROPERTIES " +
+        "('graft.check.chars_nonneg' = 'n_chars >= 0')")
+      // a violating INSERT must fail the job and leave the table as-is
+      try {
+        sc.sql("INSERT INTO graft_cat_ck.default.docs " +
+          "VALUES (99999999, -1, 'xx', 'bad', 'row')")
+        throw new IllegalStateException(
+          "q161: the violating INSERT was not rejected")
+      } catch {
+        case e: IllegalStateException if e.getMessage.startsWith("q161") =>
+          throw e
+        case _: Exception => () // expected: constraint violation
+      }
+      def phase(tag: String) = sc.sql(
+        s"SELECT '$tag' AS phase, COUNT(*) AS n_rows, " +
+          "SUM(n_chars) AS chars FROM graft_cat_ck.default.docs")
+      // captured EAGERLY: the a-phase must reflect the table before
+      // the accepted insert lands (a lazy frame would re-read after)
+      val rejected = phase("a_rejected").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // a passing INSERT lands normally under the same constraint
+      sc.sql("INSERT INTO graft_cat_ck.default.docs " +
+        "SELECT doc_id + 2000000, n_chars, lang, source, text " +
+        "FROM graft_cat_ck.default.docs WHERE lang = 'zh'")
+      import sc.implicits._
+      rejected.toSeq.toDF("phase", "n_rows", "chars")
+        .unionByName(phase("b_accepted")).orderBy("phase")
+    },
+
+    // ------------------------------------------------ idempotent writes
+    Q("q162_idempotent_writes",
+      "Idempotent batch writes (Delta's txnAppId/txnVersion options): " +
+        "the manifest records the latest committed application " +
+        "transaction per writer identity, carried forward across " +
+        "every commit, and a write whose (appId, version) is at or " +
+        "below the recorded version is a silent no-op — its staged " +
+        "segments drop inside the commit lock, so two racing retries " +
+        "cannot both land. This is how an at-least-once driver (a " +
+        "retried foreachBatch epoch with version = batchId, a re-run " +
+        "orchestrator step) gets exactly-once table contents. The " +
+        "gate writes two language slices under versions 1 and 2 with " +
+        "a retry of each interleaved — including a LOWER-than-" +
+        "recorded replay after version 2 — and proves the table " +
+        "holds exactly one copy of each slice; DocStoreSpec " +
+        "additionally pins identity independence, txn survival " +
+        "across unrelated commits, the no-staged-litter guarantee, " +
+        "and the both-options-or-neither refusal.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS chars
+        FROM documents WHERE lang IN ('fr', 'zh')
+        GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("q162").toString
+      graft.core.Fs.deleteOnExit(java.nio.file.Paths.get(tmp))
+      val src = Tables.documents(s, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+      def put(v: Long, lang: String): Unit =
+        src.where(col("lang") === lang).write.format("graft-docstore")
+          .option("path", tmp).option("txnAppId", "q162-etl")
+          .option("txnVersion", v.toString).mode("append").save()
+      put(1, "fr"); put(1, "fr") // retry of the same version: no-op
+      put(2, "zh"); put(1, "fr") // stale replay after v2: no-op
+      s.read.format("graft-docstore").option("path", tmp).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .orderBy("lang")
     }
   )
 
@@ -1596,7 +1733,7 @@ object IoOps {
     * by consumers. */
   private def spjFixture(s: SparkSession, dir: String): String =
     graft.core.Scratch.materialize("docstore_spj",
-      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+      s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
       val b = graft.core.Sessions.scoped(s,
         "spark.sql.catalog.spj_build" ->
           classOf[graft.sources.DocStoreCatalog].getName,
@@ -1623,7 +1760,7 @@ object IoOps {
     * would let whichever ran first define the fixture for both. */
   private def partitionedDocsFixture(s: SparkSession, dir: String): String =
     graft.core.Scratch.materialize("docstore_part",
-      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+      s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
       val b = graft.core.Sessions.scoped(s,
         "spark.sql.catalog.gp_build" ->
           classOf[graft.sources.DocStoreCatalog].getName,
@@ -1657,7 +1794,7 @@ object IoOps {
   private def catalogCopy(s: SparkSession, dir: String,
       catName: String): SparkSession = {
     val pristine = graft.core.Scratch.materialize("docstore_cat",
-      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+      s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
       val b = graft.core.Sessions.scoped(s,
         "spark.sql.catalog.graft_cat_build" ->
           classOf[graft.sources.DocStoreCatalog].getName,

@@ -34,7 +34,8 @@ object Registry {
     "q147_cdf_incremental", "q148_catalog_restore",
     "q149_stream_cdf", "q151_optimize_history", "q152_drop_column",
     "q153_cdf_batch_read", "q154_expire_snapshots", "q157_wap_branch",
-    "q159_timestamp_travel")
+    "q159_timestamp_travel", "q160_cluster_skipping",
+    "q161_check_constraints", "q162_idempotent_writes")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

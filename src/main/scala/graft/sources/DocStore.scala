@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsPushDownAgg
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringStartsWith}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -242,8 +242,25 @@ object DocStore {
     }
   }
 
+  /** Per-segment, per-SECTION column statistics (Delta-style data
+    * skipping): null count plus an optional [min,max] envelope. Keyed
+    * by physical section id, NOT column name — a DROPped-then-re-ADDed
+    * column is a new section identity, so its reads of old segments
+    * are all-null and must never be pruned by the dead column's
+    * envelope (name-keyed stats would do exactly that). Longs carry a
+    * numeric envelope; strings carry one only while every observed
+    * value is ASCII <= 64 bytes (on ASCII, String.compareTo equals
+    * UTF-8 byte order, so the envelope stays sound under Spark's
+    * string comparisons; a longer/non-ASCII value drops the envelope
+    * for that segment, never widens it unsoundly). */
+  sealed trait StatBound
+  final case class LongBound(lo: Long, hi: Long) extends StatBound
+  final case class StrBound(lo: String, hi: String) extends StatBound
+  final case class ColStat(nulls: Long, bound: Option[StatBound])
+
   final case class Segment(name: String, rows: Long, minId: Long,
-      maxId: Long, bytes: Long)
+      maxId: Long, bytes: Long,
+      stats: Map[Int, ColStat] = Map.empty)
 
   /** Build (once per source dir, via Scratch) a docstore lake from
     * `documents.parquet`: 8 doc_id-range segments + manifest, written
@@ -252,7 +269,7 @@ object DocStore {
     * read the lake therefore also certify the writer. */
   def ensureLake(s: SparkSession, dir: String): String =
     graft.core.Scratch.materialize("docstore_lake",
-      s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
+      s"v3|$dir|${graft.core.Scratch.sourceSignature(dir)}") { stg =>
       import org.apache.spark.sql.functions.col
       graft.core.Tables.documents(s, dir)
         .select("doc_id", "n_chars", "lang", "source", "text")
@@ -276,9 +293,51 @@ object DocStore {
     var minId: Long = Long.MaxValue
     var maxId: Long = Long.MinValue
 
-    private def str(i: Int, b: Array[Byte]): Unit =
+    /** Streaming stat accumulator per non-id section — constant state,
+      * no per-row allocation on the long path. String envelopes stay
+      * sound by construction: any value that is non-ASCII or > 64
+      * bytes poisons the envelope (dropped, never widened). */
+    private final class StatAcc {
+      var nulls = 0L
+      var seen = false
+      var loL = Long.MaxValue; var hiL = Long.MinValue
+      var loS: String = null; var hiS: String = null
+      var poisoned = false
+      def addNull(): Unit = nulls += 1
+      def addLong(v: Long): Unit = {
+        seen = true
+        if (v < loL) loL = v
+        if (v > hiL) hiL = v
+      }
+      def addBytes(b: Array[Byte]): Unit = {
+        seen = true
+        if (poisoned) return
+        if (b.length > 64) { poisoned = true; return }
+        var i = 0
+        while (i < b.length) {
+          if (b(i) < 0) { poisoned = true; return }
+          i += 1
+        }
+        val s = new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+        if (loS == null || s.compareTo(loS) < 0) loS = s
+        if (hiS == null || s.compareTo(hiS) > 0) hiS = s
+      }
+      def result: ColStat = ColStat(nulls,
+        if (!seen || poisoned) None
+        else if (loS != null) Some(StrBound(loS, hiS))
+        else Some(LongBound(loL, hiL)))
+    }
+    private val accs = Array.fill(4 + nExtra)(new StatAcc) // sections 1..
+
+    /** Section id -> stats for every non-id section of this segment. */
+    def stats: Map[Int, ColStat] =
+      accs.zipWithIndex.map { case (a, i) => (i + 1) -> a.result }.toMap
+
+    private def str(i: Int, b: Array[Byte]): Unit = {
       if (b == null) outs(i).writeInt(-1)
       else { outs(i).writeInt(b.length); outs(i).write(b) }
+      if (i >= 1) { if (b == null) accs(i - 1).addNull() else accs(i - 1).addBytes(b) }
+    }
 
     /** `extras(j)`: java.lang.Long, Array[Byte] (UTF-8), or null. */
     def add(id: Long, nChars: java.lang.Long, lang: Array[Byte],
@@ -292,13 +351,15 @@ object DocStore {
       minId = math.min(minId, id); maxId = math.max(maxId, id)
       outs(0).writeLong(id)
       outs(1).writeLong(if (nChars == null) Long.MinValue else nChars.longValue())
+      if (nChars == null) accs(0).addNull() else accs(0).addLong(nChars.longValue())
       str(2, lang); str(3, source); str(4, text)
       var j = 0
       while (j < nExtra) {
         extras(j) match {
-          case null => outs(5 + j).writeInt(-1)
+          case null => outs(5 + j).writeInt(-1); accs(4 + j).addNull()
           case v: java.lang.Long =>
             outs(5 + j).writeInt(8); outs(5 + j).writeLong(v.longValue())
+            accs(4 + j).addLong(v.longValue())
           case b: Array[Byte] => str(5 + j, b)
         }
         j += 1
@@ -339,6 +400,168 @@ object DocStore {
     * emits nothing across an OPTIMIZE commit. */
   val FLAG_REWRITE = "F,rewrite"
 
+  /** Stat lines: `S,<segment>,<sectionId>,<nulls>,i,<lo>,<hi>` (long),
+    * `...,s,<loEnc>,<hiEnc>` (URL-encoded ASCII string), or `...,-`
+    * (nulls only, no envelope). Written after the segment lines;
+    * readers that predate stats skipped unknown `S,` prefixes, and
+    * stats-aware readers tolerate their absence (no envelope = no
+    * pruning — always sound). */
+  val STAT_TAG = "S,"
+
+  /** Transaction-version lines `T,<appId>,<version>`: the latest
+    * committed application transaction per writer identity — Delta's
+    * idempotent-write surface (`txnAppId`/`txnVersion` options). The
+    * lines carry forward across every commit; a batch write whose
+    * (appId, version) is <= the recorded version is a silent no-op
+    * (its staged files drop), so an at-least-once driver — a retried
+    * foreachBatch epoch, a re-run orchestrator step — lands exactly
+    * once. */
+  val TXN_TAG = "T,"
+
+  /** Latest recorded transaction version per appId (appIds are
+    * URL-encoded in the line, so any identity string is safe). */
+  def readTxns(path: String, manifest: String = "MANIFEST")
+      : Map[String, Long] = {
+    val p = Paths.get(path, manifest)
+    if (!Files.exists(p)) return Map.empty
+    Files.readAllLines(p).asScala.filter(_.startsWith(TXN_TAG))
+      .map { l =>
+        val q = l.split(",", -1)
+        java.net.URLDecoder.decode(q(1), "UTF-8") -> q(2).toLong
+      }.toMap
+  }
+
+  private[sources] def statLines(segName: String,
+      stats: Map[Int, ColStat]): Seq[String] =
+    stats.toSeq.sortBy(_._1).map { case (sec, st) =>
+      val bound = st.bound match {
+        case Some(LongBound(lo, hi)) => s"i,$lo,$hi"
+        case Some(StrBound(lo, hi)) =>
+          val enc = (v: String) =>
+            java.net.URLEncoder.encode(v, "UTF-8")
+          s"s,${enc(lo)},${enc(hi)}"
+        case None => "-"
+      }
+      s"$STAT_TAG$segName,$sec,${st.nulls},$bound"
+    }
+
+  /** Sound per-segment data-skipping predicate (keep = true) from the
+    * scan's full pushed-filter conjunct set + each segment's per-
+    * section stats. A segment is dropped only when a conjunct is
+    * PROVABLY false on its envelope; unknown filters, untracked
+    * sections, and absent envelopes always keep — and every one of
+    * these filters stays residual, so Spark re-checks row-level and a
+    * pruning bug can cost IO, never correctness... except the drop
+    * itself, which is why each rule below is a proof:
+    *  - comparisons/IN prove emptiness against [lo, hi] (null rows
+    *    never satisfy them, so nulls need no care);
+    *  - IsNull prunes on nulls == 0, IsNotNull on nulls == rows
+    *    (rows is the pre-delete count, like the stats — DVs only
+    *    shrink the true set, so both stay sound);
+    *  - string envelopes are ASCII by construction, and any Java
+    *    String compares identically under UTF-16 code-unit order and
+    *    UTF-8 byte order when the OTHER side is ASCII (the deciding
+    *    position is either two ASCII chars or ASCII-vs->=0x80, and
+    *    both orders agree on each), so String.compareTo here matches
+    *    Spark's UTF8String.binaryCompare semantics. */
+  def statsPruner(schema: StructType, filters: Array[Filter])
+      : Segment => Boolean = {
+    if (filters.isEmpty) return _ => true
+    val secOf: Map[String, Int] = schema.fields.zipWithIndex.map {
+      case (f, i) => f.name -> sectionOf(f, i) }.toMap
+    def longOf(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n.longValue())
+      case n: java.lang.Integer => Some(n.longValue())
+      case n: java.lang.Short => Some(n.longValue())
+      case n: java.lang.Byte => Some(n.longValue())
+      case _ => None
+    }
+    // per-leaf emptiness proofs; Option(st) is the section's stats
+    def outside(st: ColStat, v: Any): Boolean = st.bound.exists {
+      case LongBound(lo, hi) => longOf(v).exists(x => x < lo || x > hi)
+      case StrBound(lo, hi) => v match {
+        case s: String => s.compareTo(lo) < 0 || s.compareTo(hi) > 0
+        case _ => false
+      }
+    }
+    def keeps(f: Filter, s: Segment): Boolean = {
+      def st(c: String): Option[ColStat] =
+        secOf.get(c).flatMap(s.stats.get)
+      f match {
+        case And(a, b) => keeps(a, s) && keeps(b, s)
+        case Or(a, b) => keeps(a, s) || keeps(b, s)
+        case EqualTo(c, v) => st(c).forall(t =>
+          t.nulls < s.rows && !outside(t, v))
+        case EqualNullSafe(c, null) => st(c).forall(_.nulls > 0)
+        case EqualNullSafe(c, v) => st(c).forall(t =>
+          t.nulls < s.rows && !outside(t, v))
+        case In(c, vs) => st(c).forall { t =>
+          val nonNull = vs.filter(_ != null)
+          t.nulls < s.rows && nonNull.exists(v => !outside(t, v))
+        }
+        case GreaterThan(c, v) => st(c).forall(_.bound match {
+          case Some(LongBound(_, hi)) => longOf(v).forall(hi > _)
+          case Some(StrBound(_, hi)) => v match {
+            case x: String => hi.compareTo(x) > 0
+            case _ => true
+          }
+          case None => true
+        })
+        case GreaterThanOrEqual(c, v) => st(c).forall(_.bound match {
+          case Some(LongBound(_, hi)) => longOf(v).forall(hi >= _)
+          case Some(StrBound(_, hi)) => v match {
+            case x: String => hi.compareTo(x) >= 0
+            case _ => true
+          }
+          case None => true
+        })
+        case LessThan(c, v) => st(c).forall(_.bound match {
+          case Some(LongBound(lo, _)) => longOf(v).forall(lo < _)
+          case Some(StrBound(lo, _)) => v match {
+            case x: String => lo.compareTo(x) < 0
+            case _ => true
+          }
+          case None => true
+        })
+        case LessThanOrEqual(c, v) => st(c).forall(_.bound match {
+          case Some(LongBound(lo, _)) => longOf(v).forall(lo <= _)
+          case Some(StrBound(lo, _)) => v match {
+            case x: String => lo.compareTo(x) <= 0
+            case _ => true
+          }
+          case None => true
+        })
+        case IsNull(c) => st(c).forall(_.nulls > 0)
+        case IsNotNull(c) => st(c).forall(_.nulls < s.rows)
+        case StringStartsWith(c, p) => st(c).forall(_.bound match {
+          case Some(StrBound(lo, hi)) =>
+            // values starting with p all sort in [p, next-prefix(p));
+            // hi < p puts the whole envelope below that band, and
+            // lo > p with lo not extending p puts it above
+            !(hi.compareTo(p) < 0 ||
+              (lo.compareTo(p) > 0 && !lo.startsWith(p)))
+          case _ => true
+        })
+        case _ => true
+      }
+    }
+    s => filters.forall(f => keeps(f, s))
+  }
+
+  private def parseStatLine(l: String): (String, Int, ColStat) = {
+    // segment names never contain ',' (part numbering + partition
+    // dirs), so a fixed-arity split is unambiguous
+    val p = l.split(",", -1)
+    val bound = p(4) match {
+      case "i" => Some(LongBound(p(5).toLong, p(6).toLong))
+      case "s" =>
+        val dec = (v: String) => java.net.URLDecoder.decode(v, "UTF-8")
+        Some(StrBound(dec(p(5)), dec(p(6))))
+      case _ => None
+    }
+    (p(1), p(2).toInt, ColStat(p(3).toLong, bound))
+  }
+
   /** One manifest read serving both consumers — scan planning needs
     * segments AND deletion vectors, and re-reading a thousands-of-lines
     * manifest per consumer would triple the planning IO. */
@@ -346,10 +569,17 @@ object DocStore {
       : (Seq[Segment], Map[String, Array[Long]]) = {
     val lines = Files.readAllLines(Paths.get(path, manifest)).asScala
       .filter(_.nonEmpty)
+    val statsBySeg = lines.filter(_.startsWith(STAT_TAG))
+      .map(parseStatLine)
+      .groupBy(_._1)
+      .map { case (seg, sts) =>
+        seg -> sts.map(s => s._2 -> s._3).toMap }
     val segs = lines.filterNot(l =>
-      l.startsWith(DV_TAG) || l.startsWith("F,")).map { l =>
+      l.startsWith(DV_TAG) || l.startsWith("F,") ||
+        l.startsWith(STAT_TAG) || l.startsWith(TXN_TAG)).map { l =>
       val p = l.split(",")
-      Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong)
+      Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
+        statsBySeg.getOrElse(p(0), Map.empty))
     }.toSeq
     val dvs = lines.filter(_.startsWith(DV_TAG))
       .map { l => val p = l.split(","); (p(1), p(2).toLong) }
@@ -492,8 +722,22 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
     require(manifest == "MANIFEST" ||
       manifest.startsWith("MANIFEST.branch."),
       "a time-travel (VERSION AS OF) docstore table is read-only")
+    // Delta's idempotent-write options: both or neither, versions as
+    // longs. The pair rides the WRITE options (`df.write.option(...)`)
+    val txn = (Option(info.options.get("txnAppId")),
+        Option(info.options.get("txnVersion"))) match {
+      case (Some(a), Some(v)) =>
+        require(a.nonEmpty, "txnAppId must be non-empty")
+        Some((a, v.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"txnVersion must be a long, got '$v'"))))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together (idempotent " +
+          "writes need both the identity and the version)")
+    }
     new DocStoreWriteBuilder(path, tblSchema, order, info.queryId(),
-      partSpec = partSpec, manifestName = manifest)
+      partSpec = partSpec, manifestName = manifest, txn = txn)
   }
 }
 
@@ -501,24 +745,28 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
     order: Array[Int], queryId: String,
     truncate: Boolean = false,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
-    manifestName: String = "MANIFEST")
+    manifestName: String = "MANIFEST",
+    txn: Option[(String, Long)] = None)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder = {
     require(manifestName == "MANIFEST",
       "INSERT OVERWRITE on a docstore BRANCH is not supported — " +
         "branches stage appends; publish or drop the branch instead")
     new DocStoreWriteBuilder(path, schema, order, queryId, truncate = true,
-      partSpec = partSpec)
+      partSpec = partSpec, txn = txn)
   }
 
   private class BaseWrite extends Write {
     override def toBatch: BatchWrite =
       new DocStoreBatchWrite(path, schema, order, queryId, truncate, partSpec,
-        manifestName)
+        manifestName, txn)
     override def toStreaming: streaming.StreamingWrite = {
       require(manifestName == "MANIFEST",
         "streaming writes to a docstore BRANCH are not supported — " +
           "WAP staging is a batch surface")
+      require(txn.isEmpty,
+        "txnAppId/txnVersion are batch-write options — the streaming " +
+          "sink is already exactly-once via its epoch markers")
       new DocStoreStreamingWrite(path, schema, order, queryId, truncate,
         partSpec)
     }
@@ -559,7 +807,9 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
   * writer that computed it to the job commit that assigns the final
   * `<partDir>/part-N.gds` name. */
 final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
-    maxId: Long, bytes: Long, partDir: String = "") extends WriterCommitMessage
+    maxId: Long, bytes: Long, partDir: String = "",
+    stats: Map[Int, DocStore.ColStat] = Map.empty)
+    extends WriterCommitMessage
 
 /** A partitioned write task stages one segment PER partition value it
   * saw; its single commit message wraps them all. */
@@ -597,7 +847,8 @@ object DocStoreCommitOps {
       keep: Seq[DocStore.Segment], manifestToken: String,
       nameFor: Int => String,
       deletes: Map[String, Array[Long]] = Map.empty,
-      manifestName: String = "MANIFEST"): Seq[DocStore.Segment] = {
+      manifestName: String = "MANIFEST",
+      newTxns: Map[String, Long] = Map.empty): Seq[DocStore.Segment] = {
     val dir = Paths.get(path)
     val fresh = stagedOf(messages).filter { m =>
       if (m.rows > 0) true
@@ -618,10 +869,11 @@ object DocStoreCommitOps {
       Files.createDirectories(dir.resolve(name).getParent)
       Files.move(dir.resolve(m.tmpName), dir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
-      DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes)
+      DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes,
+        stats = m.stats)
     }
     writeManifest(path, keep ++ fresh, manifestToken, deletes,
-      manifestName = manifestName)
+      manifestName = manifestName, newTxns = newTxns)
     fresh
   }
 
@@ -736,12 +988,24 @@ object DocStoreCommitOps {
       manifestToken: String,
       deletes: Map[String, Array[Long]] = Map.empty,
       rewrite: Boolean = false,
-      manifestName: String = "MANIFEST"): Long = {
+      manifestName: String = "MANIFEST",
+      newTxns: Map[String, Long] = Map.empty): Long = {
     val dir = Paths.get(path)
     val live = segments.map(_.name).toSet
+    // application transaction versions carry forward across EVERY
+    // commit (compaction, DELETE, even truncate — Delta's setTxn
+    // survives overwrites too); a commit's own txn takes max with any
+    // recorded one, so versions never regress
+    val recorded = DocStore.readTxns(path, manifestName)
+    val txns = recorded ++ newTxns.map { case (a, v) =>
+      a -> math.max(v, recorded.getOrElse(a, Long.MinValue)) }
     val lines = (if (rewrite) Seq(DocStore.FLAG_REWRITE) else Seq.empty) ++
       segments.map(s =>
         s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}") ++
+      segments.flatMap(s => DocStore.statLines(s.name, s.stats)) ++
+      txns.toSeq.sortBy(_._1).map { case (a, v) =>
+        s"${DocStore.TXN_TAG}${java.net.URLEncoder.encode(a, "UTF-8")},$v"
+      } ++
       deletes.toSeq.filter(d => live(d._1)).sortBy(_._1).flatMap {
         case (seg, ps) => ps.sorted.map(p => s"${DocStore.DV_TAG}$seg,$p")
       }
@@ -829,7 +1093,8 @@ class DocStoreBatchWrite(path: String, schema: StructType,
     order: Array[Int], queryId: String,
     truncate: Boolean,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
-    manifestName: String = "MANIFEST")
+    manifestName: String = "MANIFEST",
+    txn: Option[(String, Long)] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -837,6 +1102,16 @@ class DocStoreBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
+      // idempotent writes: a (txnAppId, txnVersion) at or below the
+      // recorded version for that appId is a RETRY — drop the staged
+      // files, publish nothing (Delta's txn semantics). Checked
+      // inside the lock, so two racing retries can't both land.
+      txn.foreach { case (app, v) =>
+        if (DocStore.readTxns(path, manifestName).get(app).exists(_ >= v)) {
+          DocStoreCommitOps.dropStaged(path, messages)
+          return
+        }
+      }
       // manifest is read INSIDE the lock (one parse serves segments
       // and deletes): a concurrent append committed after our tasks
       // ran is still in `keep` (no lost update). A branch write reads
@@ -856,7 +1131,8 @@ class DocStoreBatchWrite(path: String, schema: StructType,
       if (truncate && Files.exists(Paths.get(path)))
         DocStoreCommitOps.clearVersions(path)
       val fresh = DocStoreCommitOps.publish(path, messages, keep, queryId,
-        i => f"part-${next + i}%05d.gds", keepDv, manifestName)
+        i => f"part-${next + i}%05d.gds", keepDv, manifestName,
+        newTxns = txn.toMap)
       // manifest is live; now drop the replaced segments
       if (truncate)
         old.filterNot(s => fresh.exists(_.name == s.name))
@@ -946,9 +1222,12 @@ class DocStoreWriterFactory(path: String, schema: StructType,
     order: Array[Int], queryId: String,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends DataWriterFactory {
+  // compiled on the DRIVER (factory construction; needs the analyzer),
+  // serialized to tasks as bound expressions
+  private val checks = DocStoreChecks.compile(path, schema, order)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId,
-      partSpec)
+      partSpec, checks)
 }
 
 /** Named (serializable) factory — an anonymous inner class here would
@@ -957,10 +1236,11 @@ class DocStoreStreamingWriterFactory(path: String, schema: StructType,
     order: Array[Int], queryId: String,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends streaming.StreamingDataWriterFactory {
+  private val checks = DocStoreChecks.compile(path, schema, order)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, schema, order, s"$queryId-e$epochId",
-      partitionId, taskId, partSpec)
+      partitionId, taskId, partSpec, checks)
 }
 
 /** One task's segment(s): rows stream into a [[DocStore.SegmentEncoder]]
@@ -976,8 +1256,18 @@ class DocStoreStreamingWriterFactory(path: String, schema: StructType,
 class DocStoreDataWriter(path: String, schema: StructType,
     order: Array[Int], queryId: String,
     partitionId: Int, taskId: Long,
-    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends DataWriter[InternalRow] {
+
+  // codegen'd per-row violation predicates (constraints are rare and
+  // cheap; a no-check table pays one empty-array test per row)
+  private val violations = checks.map { case (name, e) =>
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+    p.initialize(partitionId)
+    (name, p)
+  }.toArray
 
   // (type, section offset) per extra field. A DROPped column's section
   // is retired but stays physically addressed: new segments carry a
@@ -1000,6 +1290,15 @@ class DocStoreDataWriter(path: String, schema: StructType,
   override def write(r: InternalRow): Unit = {
     require(!r.isNullAt(order(0)),
       "graft-docstore requires a non-null doc_id on every row")
+    var ci = 0
+    while (ci < violations.length) {
+      if (violations(ci)._2.eval(r)) throw new IllegalStateException(
+        s"CHECK constraint '${violations(ci)._1}' violated by a row " +
+          s"written to $path (property " +
+          s"${DocStoreChecks.PREFIX}${violations(ci)._1}); the write " +
+          "job fails and its staged segments are aborted")
+      ci += 1
+    }
     val enc = encoders.computeIfAbsent(rowDir(r),
       _ => new DocStore.SegmentEncoder(nExtraSections))
     def str(i: Int): Array[Byte] =
@@ -1039,7 +1338,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
           if (enc.rows == 0) 0L
           else enc.writeTo(Paths.get(path).resolve(tmpName(k)))
         DocStoreCommit(tmpName(k), enc.rows.toLong, enc.minId, enc.maxId,
-          bytes, dir)
+          bytes, dir, enc.stats)
     }
     parts match {
       // empty task: report one empty commit (publish drops rows == 0)
@@ -1172,8 +1471,14 @@ class DocStoreScanBuilder(path: String,
         }
         val partSpec = DocStorePartitioning.read(path)
         val partKeep = DocStorePartitioning.pruner(partSpec, schema, allFilters)
+        // three pruning tiers, cheapest first: partition directories,
+        // the doc_id zone map, then per-section stats envelopes (data
+        // skipping on NON-id columns — what OPTIMIZE cluster_by makes
+        // selective). All from the one manifest read; zero file IO.
+        val statKeep = DocStore.statsPruner(schema, allFilters)
         val surviving = scoped.filter(partKeep)
           .filter(s => s.maxId >= lo && s.minId <= hi)
+          .filter(statKeep)
         new DocStoreScan(path, schema, required, lo, hi, limit,
           surviving, segments.size, maxSegmentsPerBatch, dvs, partSpec)
     }
@@ -1325,7 +1630,6 @@ class DocStoreScan(path: String, schema: StructType,
     else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
-    import org.apache.spark.sql.sources.In
     var kept = runtimeSurviving
     filters.foreach {
       case In("doc_id", vs) =>

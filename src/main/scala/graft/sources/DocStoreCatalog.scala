@@ -95,6 +95,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     if (schema.fields.length > DocStore.FIELDS.size)
       DocStore.writeSchemaFile(staging.toString, schema)
     if (spec.nonEmpty) DocStorePartitioning.write(staging.toString, spec)
+    DocStoreChecks.validate(schema, info.properties().asScala.toMap)
     DocStoreCatalog.writeModeProp(staging, info.properties())
     new DocStoreStagedTable(staging, finalDir, replace)
   }
@@ -284,6 +285,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     Files.write(dir.resolve("MANIFEST"), Array.empty[Byte])
     if (extra.nonEmpty) DocStore.writeSchemaFile(dir.toString, schema)
     if (spec.nonEmpty) DocStorePartitioning.write(dir.toString, spec)
+    DocStoreChecks.validate(schema, properties.asScala.toMap)
     DocStoreCatalog.writeModeProp(dir, properties)
     new DocStoreSqlTable(dir.toString)
   }
@@ -325,6 +327,24 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     // already-written sections under the survivor's name
     DocStoreCommitOps.withCommitLock(dir) {
       val cur = DocStore.tableSchema(dir)
+      // property verbs first (SET/UNSET TBLPROPERTIES): persisted to
+      // PROPS under the same lock; check constraints analysis-validate
+      // against the CURRENT schema so a typo refuses at DDL time. A
+      // property change must NOT stamp SCHEMA_SINCE (it would trip the
+      // RESTORE schema guard for a change RESTORE doesn't care about).
+      val setProps = changes.collect {
+        case p: TableChange.SetProperty => p.property() -> p.value() }.toMap
+      val unsetProps = changes.collect {
+        case p: TableChange.RemoveProperty => p.property() }.toSet
+      if (setProps.nonEmpty || unsetProps.nonEmpty) {
+        DocStoreChecks.validate(cur, setProps)
+        DocStoreCatalog.updateProps(dirOf(ident), setProps, unsetProps)
+      }
+      val schemaChanges = changes.filter {
+        case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+          false
+        case _ => true
+      }
       def extraIndex(s: StructType, fieldNames: Array[String],
           what: String): Int = {
         require(fieldNames.length == 1, "docstore columns cannot be nested")
@@ -336,7 +356,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             "the format contract (pushdown and the write path key on them)")
         i
       }
-      val evolved = changes.foldLeft(cur) {
+      val evolved = schemaChanges.foldLeft(cur) {
         case (s, add: TableChange.AddColumn) =>
           require(add.fieldNames.length == 1,
             "docstore columns cannot be nested")
@@ -388,10 +408,12 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             "columns), RENAME COLUMN (added columns), and INT -> " +
             s"BIGINT widening; got $ch")
       }
-      DocStore.writeSchemaFile(dir, evolved) // validates INT/LONG/STRING+nullable
-      // restore-guard stamp: the head version at this schema change
-      DocStore.writeSchemaSince(dir,
-        DocStoreCommitOps.nextVersion(dir) - 1)
+      if (schemaChanges.nonEmpty) {
+        DocStore.writeSchemaFile(dir, evolved) // validates INT/LONG/STRING+nullable
+        // restore-guard stamp: the head version at this schema change
+        DocStore.writeSchemaSince(dir,
+          DocStoreCommitOps.nextVersion(dir) - 1)
+      }
     }
     new DocStoreSqlTable(dir)
   }
@@ -480,6 +502,26 @@ object DocStoreCatalog {
     if (persisted.nonEmpty)
       Files.writeString(dir.resolve("PROPS"),
         persisted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+
+  /** Read-modify-write of PROPS for ALTER ... SET/UNSET TBLPROPERTIES
+    * (callers hold the table's commit lock). An empty result deletes
+    * the file — absence and emptiness must stay indistinguishable. */
+  private[sources] def updateProps(dir: Path, set: Map[String, String],
+      unset: Set[String]): Unit = {
+    Option(set.get(MODE_KEY).orNull).foreach { m =>
+      require(m == MODE_COW || m == MODE_MOR,
+        s"$MODE_KEY must be '$MODE_COW' or '$MODE_MOR', got '$m'")
+    }
+    val next = (readProps(dir.toString) -- unset) ++
+      set.filterNot { case (k, _) => RESERVED(k) }
+    require(next.forall { case (k, v) =>
+      !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
+      "docstore table property keys must not contain '=' or newlines")
+    if (next.isEmpty) java.nio.file.Files.deleteIfExists(dir.resolve("PROPS"))
+    else java.nio.file.Files.writeString(dir.resolve("PROPS"),
+      next.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n"))
   }
 
   private[sources] def readProps(path: String): Map[String, String] = {

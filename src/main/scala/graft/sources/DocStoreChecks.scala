@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences, EqualNullSafe, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Table CHECK constraints (Delta's `ALTER TABLE ... ADD CONSTRAINT`
+  * surface, expressed as TBLPROPERTIES): every property
+  * `graft.check.<name> = '<sql predicate>'` is enforced on EVERY row
+  * any write path produces — INSERT, streaming epochs, MERGE, and
+  * copy-on-write UPDATE rewrites all flow through the two writer
+  * factories, which compile the constraints once on the driver and
+  * evaluate them per row in the tasks (codegen'd predicates, no UDF).
+  * SQL CHECK semantics: a row violates only when the predicate is
+  * FALSE — NULL passes, exactly as the standard (and Delta) define it.
+  * A violation fails the write job loudly, naming the constraint; the
+  * staged segments are aborted, so the table is untouched. */
+object DocStoreChecks {
+  val PREFIX = "graft.check."
+
+  /** Analysis-validate every check property against the table schema —
+    * called at CREATE TABLE and ALTER ... SET TBLPROPERTIES time so a
+    * typo'd column or unparseable predicate refuses at DDL, not at the
+    * first write. */
+  def validate(schema: StructType, props: Map[String, String]): Unit =
+    props.filter(_._1.startsWith(PREFIX)).foreach { case (k, sql) =>
+      try analyzedCondition(schema, sql)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"check constraint ${k.stripPrefix(PREFIX)} does not analyze " +
+            s"against ${schema.simpleString}: $sql (${e.getMessage})", e)
+      }
+    }
+
+  /** Compile the table's check properties into (name, bound violation
+    * predicate) against the INPUT row layout (`order(i)` = input
+    * position of table field i). Driver-side only (needs the active
+    * session's analyzer); the bound expressions are serializable and
+    * ship to tasks inside the writer factory. */
+  def compile(path: String, schema: StructType,
+      order: Array[Int]): Seq[(String, Expression)] = {
+    val props = DocStoreCatalog.readProps(path)
+      .filter(_._1.startsWith(PREFIX))
+    if (props.isEmpty) return Seq.empty
+    val inputFields = new Array[StructField](schema.length)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      inputFields(order(i)) = f }
+    val inputSchema = StructType(inputFields.toSeq)
+    props.toSeq.sortBy(_._1).map { case (k, sql) =>
+      val (cond, out) = analyzedCondition(inputSchema, sql)
+      // violated iff the analyzed condition is exactly FALSE
+      val violation = EqualNullSafe(cond, Literal(false))
+      k.stripPrefix(PREFIX) ->
+        BindReferences.bindReference(violation, AttributeSeq(out))
+    }
+  }
+
+  /** Parse + analyze `sql` as a filter over an empty relation of
+    * `schema`, returning the resolved, type-coerced condition and the
+    * relation's output attributes (the binding order). */
+  private def analyzedCondition(schema: StructType, sql: String)
+      : (Expression, Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val df = s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .where(org.apache.spark.sql.functions.expr(sql))
+    df.queryExecution.analyzed.collectFirst {
+      case f: Filter => (f.condition, f.child.output)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"constraint did not analyze to a filter condition: $sql"))
+  }
+}

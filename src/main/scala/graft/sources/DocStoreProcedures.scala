@@ -182,7 +182,15 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       "history-preserving dataChange=false commit (skipped by CDC)"
   override def parameters(): Array[ProcedureParameter] =
     Array(ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("target_segments", LongType).build())
+      ProcedureParameter.in("target_segments", LongType).build(),
+      // Delta's OPTIMIZE ZORDER BY / Iceberg's sort-strategy
+      // rewrite_data_files: '' (default) keeps the doc_id range
+      // layout; 'c' re-lays out by column c; 'a,b' z-orders on the
+      // Morton interleave of width-bucket surrogates of two BIGINT
+      // columns. Clustering is what makes the per-segment stats
+      // envelopes (data skipping) selective on non-id columns.
+      ProcedureParameter.in("cluster_by", StringType)
+        .defaultValue("''").build())
 
   private val SCHEMA = StructType(Seq(
     StructField("compacted_segments", LongType, nullable = false),
@@ -193,12 +201,18 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     val dir = tableDir(catalog, input.getUTF8String(0).toString)
     val target = input.getLong(1).toInt
     require(target >= 1, s"target_segments must be >= 1, got $target")
+    val clusterBy = Option(input.getUTF8String(2)).map(_.toString.trim)
+      .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(clusterBy.size <= 2,
+      s"cluster_by supports at most 2 columns, got $clusterBy")
     val path = dir.toString
     val s = org.apache.spark.sql.SparkSession.active
     val v0 = DocStoreCommitOps.nextVersion(path) - 1
     require(v0 >= 1, "nothing to optimize: table has no committed version")
     val segs = DocStore.readManifest(path, s"MANIFEST.v$v0")
-    if (segs.size <= target) // already compact: no commit, no churn
+    // already compact: no commit, no churn — unless a re-clustering
+    // was explicitly requested, which rewrites regardless of count
+    if (segs.size <= target && clusterBy.isEmpty)
       return result(SCHEMA, Seq(new GenericInternalRow(
         Array[Any](segs.size.toLong, segs.size.toLong, v0))))
     val staging = Files.createTempDirectory(dir.getParent,
@@ -212,10 +226,54 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
           Files.copy(dir.resolve(f), staging.resolve(f))
       }
       Files.write(staging.resolve("MANIFEST"), Array.empty[Byte])
-      import org.apache.spark.sql.functions.col
-      s.read.format("graft-docstore").option("path", path)
+      import org.apache.spark.sql.functions.{col, expr}
+      val df = s.read.format("graft-docstore").option("path", path)
         .option("manifest", s"MANIFEST.v$v0").load()
-        .repartitionByRange(target, col("doc_id"))
+      val clustered = clusterBy match {
+        case Seq() => df.repartitionByRange(target, col("doc_id"))
+        case cols =>
+          val missing = cols.filterNot(df.columns.contains)
+          require(missing.isEmpty,
+            s"cluster_by names absent columns: ${missing.mkString(",")}")
+          cols match {
+            case Seq(c) =>
+              // single column: a plain range layout IS the tightest
+              // clustering (every segment owns one value interval)
+              df.repartitionByRange(target, col(c))
+                .sortWithinPartitions(col(c), col("doc_id"))
+            case Seq(a, b) =>
+              Seq(a, b).foreach(c => require(
+                df.schema(c).dataType ==
+                  org.apache.spark.sql.types.LongType,
+                s"2-column cluster_by needs BIGINT columns, $c is " +
+                  df.schema(c).dataType.simpleString))
+              // Morton interleave of order-preserving width-bucket
+              // surrogates (Delta's range_partition_id idea with
+              // equal-width buckets): one tiny min/max agg job, then
+              // a fully parallel range layout on the z key
+              val mm = df.agg(
+                org.apache.spark.sql.functions.min(a),
+                org.apache.spark.sql.functions.max(a),
+                org.apache.spark.sql.functions.min(b),
+                org.apache.spark.sql.functions.max(b)).head
+              require(!mm.anyNull,
+                s"cluster_by columns $a/$b are all-null; nothing to cluster")
+              def bucket(c: String, lo: Long, hi: Long) =
+                expr(s"CAST(width_bucket(`$c`, ${lo}L, ${hi}L + 1, " +
+                  s"65536) AS BIGINT) - 1")
+              val z = org.apache.spark.sql.graftshim.column(
+                graft.expr.InterleaveBits(
+                  org.apache.spark.sql.graftshim.expression(
+                    bucket(a, mm.getLong(0), mm.getLong(1))),
+                  org.apache.spark.sql.graftshim.expression(
+                    bucket(b, mm.getLong(2), mm.getLong(3)))))
+              df.withColumn("__z", z)
+                .repartitionByRange(target, col("__z"))
+                .sortWithinPartitions(col("__z"))
+                .drop("__z")
+          }
+      }
+      clustered
         .write.format("graft-docstore").mode("append")
         .option("path", staging.toString).save()
       var newV = 0L

@@ -1657,6 +1657,205 @@ class DocStoreSpec extends SparkSpec {
     assert(er.getMessage.contains("schema"), er.getMessage)
   }
 
+  private def plannedOf(df: DataFrame): (Int, Int) = {
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(physical(df)).get
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  test("per-segment column stats: recorded at write, prune scans soundly") {
+    val tmp = Files.createTempDirectory("docstore_stats").toString
+    def slice(l: String) = docs.where(col("lang") === l).coalesce(1)
+    Seq("fr", "en", "de").foreach(l => slice(l).write
+      .format("graft-docstore").mode("append").option("path", tmp).save())
+    val segs = DocStore.readManifest(tmp)
+    assert(segs.size == 3)
+    segs.foreach { s =>
+      s.stats(2).bound match { // lang (section 2): one value per segment
+        case Some(DocStore.StrBound(lo, hi)) => assert(lo == hi)
+        case b => fail(s"expected a string envelope on lang, got $b")
+      }
+      assert(s.stats(2).nulls == 0)
+      s.stats(1).bound match { // n_chars (section 1): long envelope
+        case Some(DocStore.LongBound(lo, hi)) => assert(lo <= hi)
+        case b => fail(s"expected a long envelope on n_chars, got $b")
+      }
+    }
+    def readBack = spark.read.format("graft-docstore")
+      .option("path", tmp).load()
+    // string equality prunes to the single owning segment, row-exact
+    val en = readBack.where(col("lang") === "en")
+    assert(plannedOf(en) == ((1, 3)), physical(en))
+    assert(en.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      docs.where(col("lang") === "en").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq)
+    // long envelope: a bound past the global max plans zero segments
+    val mx = docs.agg(org.apache.spark.sql.functions.max("n_chars"))
+      .head.getLong(0)
+    assert(plannedOf(readBack.where(col("n_chars") > mx))._1 == 0)
+    // null-count rules: IsNull prunes all (no nulls anywhere),
+    // IsNotNull keeps all
+    assert(plannedOf(readBack.where(col("lang").isNull))._1 == 0)
+    assert(plannedOf(readBack.where(col("lang").isNotNull))._1 == 3)
+    // disjunction keeps the union of its branches
+    val or2 = readBack.where(col("lang") === "en" || col("lang") === "de")
+    assert(plannedOf(or2)._1 == 2, physical(or2))
+    // IN prunes to the named members' segments
+    assert(plannedOf(readBack.where(col("lang").isin("de", "xx")))._1 == 1)
+    // prefix pruning on the sorted envelope
+    assert(plannedOf(readBack.where(col("lang").startsWith("e")))._1 == 1)
+  }
+
+  test("optimize cluster_by: stats envelopes become selective; z-order prunes both dims") {
+    val root = Files.createTempDirectory("docstore_cluster").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.ccat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.ccat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("cluster_src")
+    sc.sql("CREATE NAMESPACE ccat.ns")
+    sc.sql("CREATE TABLE ccat.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    // interleaved inserts: every segment spans ~the full n_chars range,
+    // so a selective n_chars filter cannot prune anything yet
+    (0 until 4).foreach(i => sc.sql(
+      s"INSERT INTO ccat.ns.t SELECT * FROM cluster_src WHERE doc_id % 4 = $i"))
+    val cut = docs.stat.approxQuantile("n_chars", Array(0.25), 0.0)(0).toLong
+    def q = sc.sql(s"SELECT * FROM ccat.ns.t WHERE n_chars <= $cut")
+    val before = q.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(plannedOf(q) == ((4, 4)), physical(q))
+    val tablePath = java.nio.file.Paths.get(root, "ns", "t").toString
+    val v0 = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+    sc.sql("CALL ccat.system.optimize('ns.t', 4, 'n_chars')").collect()
+    // a dataChange=false rewrite: history preserved, one new version
+    val v1 = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+    assert(v1 == v0 + 1)
+    assert(graft.sources.DocStoreCommitOps.isRewriteCommit(tablePath, v1))
+    // clustered layout: the quartile filter now keeps ~1 of 4 segments
+    assert(plannedOf(q)._1 < 4, physical(q))
+    assert(q.orderBy("doc_id").collect().map(_.toSeq).toSeq == before)
+    // 2-column z-order: a filter on EITHER dimension prunes
+    sc.sql("CALL ccat.system.optimize('ns.t', 4, 'doc_id,n_chars')").collect()
+    assert(plannedOf(q)._1 < 4, physical(q))
+    assert(q.orderBy("doc_id").collect().map(_.toSeq).toSeq == before)
+    // refusals: unknown column, arity, non-BIGINT pair members
+    assert(intercept[Exception] {
+      sc.sql("CALL ccat.system.optimize('ns.t', 4, 'nope')").collect()
+    }.getMessage.contains("cluster_by"))
+    assert(intercept[Exception] {
+      sc.sql("CALL ccat.system.optimize('ns.t', 4, 'a,b,c')").collect()
+    }.getMessage.contains("at most 2"))
+    assert(intercept[Exception] {
+      sc.sql("CALL ccat.system.optimize('ns.t', 4, 'lang,source')").collect()
+    }.getMessage.contains("BIGINT"))
+  }
+
+  test("CHECK constraints: every write path enforces, DDL validates, null passes") {
+    val root = Files.createTempDirectory("docstore_check").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.kcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.kcat.root" -> root)
+    sc.sql("CREATE NAMESPACE kcat.ns")
+    // create-time constraint
+    sc.sql("CREATE TABLE kcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.check.pos' = 'n_chars >= 0')")
+    sc.sql("INSERT INTO kcat.ns.t VALUES (1, 10, 'en', 's', 'x')")
+    def count() = sc.sql("SELECT COUNT(*) FROM kcat.ns.t").head.getLong(0)
+    assert(count() == 1)
+    // violation: job fails naming the constraint; table untouched
+    val e1 = intercept[Exception] {
+      sc.sql("INSERT INTO kcat.ns.t VALUES (2, -1, 'en', 's', 'x')") }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("|")
+    assert(messages(e1).contains("CHECK constraint 'pos'"), messages(e1))
+    assert(count() == 1)
+    // SQL CHECK semantics: NULL passes
+    sc.sql("INSERT INTO kcat.ns.t VALUES (3, NULL, 'en', 's', 'x')")
+    assert(count() == 2)
+    // ALTER SET adds a second constraint, enforced immediately
+    sc.sql("ALTER TABLE kcat.ns.t SET TBLPROPERTIES " +
+      "('graft.check.short' = 'n_chars < 1000')")
+    val e2 = intercept[Exception] {
+      sc.sql("INSERT INTO kcat.ns.t VALUES (4, 5000, 'en', 's', 'x')") }
+    assert(messages(e2).contains("CHECK constraint 'short'"), messages(e2))
+    // copy-on-write UPDATE rewrites flow through the same writer
+    val e3 = intercept[Exception] {
+      sc.sql("UPDATE kcat.ns.t SET n_chars = -7 WHERE doc_id = 1") }
+    assert(messages(e3).contains("CHECK constraint 'pos'"), messages(e3))
+    assert(sc.sql("SELECT n_chars FROM kcat.ns.t WHERE doc_id = 1")
+      .head.getLong(0) == 10)
+    // UNSET lifts it
+    sc.sql("ALTER TABLE kcat.ns.t UNSET TBLPROPERTIES ('graft.check.short')")
+    sc.sql("INSERT INTO kcat.ns.t VALUES (4, 5000, 'en', 's', 'x')")
+    assert(count() == 3)
+    // DDL-time validation: unknown column and unparseable SQL refuse
+    assert(intercept[Exception] {
+      sc.sql("ALTER TABLE kcat.ns.t SET TBLPROPERTIES " +
+        "('graft.check.bad' = 'no_such_col > 0')")
+    }.getMessage.contains("does not analyze"))
+    assert(intercept[Exception] {
+      sc.sql("CREATE TABLE kcat.ns.t2 (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+        "TBLPROPERTIES ('graft.check.bad' = 'NOT A ( PREDICATE')")
+    }.getMessage.contains("does not analyze"))
+    // the constraints surface through SHOW TBLPROPERTIES
+    val props = sc.sql("SHOW TBLPROPERTIES kcat.ns.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.check.pos").contains("n_chars >= 0"), props)
+    assert(!props.contains("graft.check.short"), props)
+  }
+
+  test("idempotent writes: txnAppId/txnVersion dedupe retried batch commits") {
+    val tmp = Files.createTempDirectory("docstore_txn").toString
+    def put(app: String, v: Long, lang: String): Unit =
+      docs.where(col("lang") === lang).write.format("graft-docstore")
+        .option("path", tmp).option("txnAppId", app)
+        .option("txnVersion", v.toString).mode("append").save()
+    def readBack = spark.read.format("graft-docstore")
+      .option("path", tmp).load()
+    def count() = readBack.count()
+    val nFr = docs.where(col("lang") === "fr").count()
+    val nEn = docs.where(col("lang") === "en").count()
+    put("etl", 1, "fr")
+    assert(count() == nFr)
+    // an exact retry of the same (app, version) is a silent no-op
+    put("etl", 1, "fr")
+    assert(count() == nFr)
+    // ...and leaves no staged litter behind
+    import scala.jdk.CollectionConverters._
+    val st = Files.list(java.nio.file.Paths.get(tmp))
+    val staged = try st.iterator().asScala
+      .count(_.getFileName.toString.startsWith(".stg-")) finally st.close()
+    assert(staged == 0)
+    // a LOWER version than recorded is also a retry
+    put("etl", 2, "en")
+    put("etl", 1, "fr")
+    assert(count() == nFr + nEn)
+    // identities are independent
+    put("other", 1, "fr")
+    assert(count() == 2 * nFr + nEn)
+    // the recorded versions survive unrelated commits and compaction
+    docs.where(col("lang") === "de").write.format("graft-docstore")
+      .option("path", tmp).mode("append").save()
+    put("etl", 2, "en") // still a retry after the plain append
+    assert(readBack.where(col("lang") === "en").count() == nEn)
+    assert(DocStore.readTxns(tmp) == Map("etl" -> 2L, "other" -> 1L))
+    // half a pair refuses loudly; so does a non-long version
+    assert(intercept[Exception] {
+      docs.limit(1).write.format("graft-docstore").option("path", tmp)
+        .option("txnAppId", "x").mode("append").save()
+    }.getMessage.contains("set together"))
+    assert(intercept[Exception] {
+      docs.limit(1).write.format("graft-docstore").option("path", tmp)
+        .option("txnAppId", "x").option("txnVersion", "nope")
+        .mode("append").save()
+    }.getMessage.contains("must be a long"))
+  }
+
   test("TIMESTAMP AS OF: boundary-inclusive latest-commit rule; pre-history refuses") {
     val root = Files.createTempDirectory("docstore_tt").toString
     val sc = graft.core.Sessions.scoped(spark,
