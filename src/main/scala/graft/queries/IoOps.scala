@@ -1723,6 +1723,98 @@ object IoOps {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
         .orderBy("lang")
+    },
+
+    // ---------------------------------------------- bin-pack compaction
+    Q("q163_binpack_optimize",
+      "Incremental bin-pack compaction (Iceberg's binpack " +
+        "rewrite_data_files strategy, Delta's OPTIMIZE file-size " +
+        "targeting): `CALL system.optimize(t, n, '', small_bytes)` " +
+        "rewrites ONLY segments under the byte threshold (plus any " +
+        "carrying deletion vectors, which the pack absorbs), packs " +
+        "them into ~small_bytes outputs, and leaves every compact " +
+        "segment untouched by NAME in its original manifest " +
+        "position. This is the steady-state maintenance shape a " +
+        "100 TB table needs: cost scales with the small tail, not " +
+        "the table — the full-rewrite form (q130/q151/q160) is for " +
+        "re-layout, not upkeep. Still a history-preserving " +
+        "dataChange=false commit the CDC feed skips. The gate packs " +
+        "the three small segments of the 4-commit fixture around its " +
+        "big one, pins the big segment's survival-by-name and the " +
+        "segment-count drop in-line, and returns the per-language " +
+        "aggregate (identical rows before and after — the oracle " +
+        "never sees the layout). DocStoreSpec pins DV absorption, " +
+        "the steady-state no-op re-run, and the cluster_by refusal.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS chars
+        FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_bp")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_bp.root"),
+        "default", "docs").toString
+      val before = graft.sources.DocStore.readManifest(tablePath)
+      val big = before.maxBy(_.bytes)
+      sc.sql("CALL graft_cat_bp.system.optimize('default.docs', 8, '', " +
+        s"${big.bytes})").collect()
+      val after = graft.sources.DocStore.readManifest(tablePath)
+      require(after.map(_.name).contains(big.name),
+        s"q163: the compact segment ${big.name} must survive untouched")
+      require(after.size < before.size,
+        s"q163: bin-pack must shrink the segment count, " +
+          s"${before.size} -> ${after.size}")
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        FROM graft_cat_bp.default.docs GROUP BY lang ORDER BY lang""")
+    },
+
+    // ----------------------------------------- CDC by timestamp window
+    Q("q164_cdf_timestamp",
+      "Change-data-feed reads windowed by TIME instead of version " +
+        "number (Delta's startingTimestamp/endingTimestamp): the " +
+        "bounds resolve through the same strictly-monotone commit-" +
+        "time record TIMESTAMP AS OF uses — start picks the earliest " +
+        "version committed at or after the instant, end the latest " +
+        "at or before — then the read plans the identical per-commit " +
+        "partitions the version-numbered window (q153) and streaming " +
+        "face pace. Epoch-millis and ISO-8601 instants are accepted " +
+        "(both timezone-unambiguous); a version bound and a " +
+        "timestamp bound on the same end refuse together, and out-" +
+        "of-history instants refuse loudly. The gate replays the " +
+        "q153 history (DELETE then INSERT) but windows the feed by " +
+        "the DELETE's commit instant; DocStoreSpec pins both " +
+        "resolution rules, the one-commit window, the ISO form, and " +
+        "all three refusals. At scale this is the operational form — " +
+        "consumers know WHEN they last ran, not which version.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'delete' AS _change_type, lang,
+                 COUNT(*) AS n_rows, SUM(n_chars)::BIGINT AS chars
+          FROM documents WHERE lang = 'de' GROUP BY 2
+          UNION ALL
+          SELECT 'insert', lang, COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents WHERE lang = 'zh' GROUP BY 2
+        ) ORDER BY _change_type, lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_ct")
+      sc.sql("""
+        CREATE TABLE graft_cat_ct.default.cdft
+        TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')
+        AS SELECT * FROM graft_cat_ct.default.docs""")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_ct.root"),
+        "default", "cdft").toString
+      sc.sql("DELETE FROM graft_cat_ct.default.cdft WHERE lang = 'de'")
+      val tDelete = graft.sources.DocStoreCommitOps
+        .versionTimes(tablePath).last._2
+      sc.sql("INSERT INTO graft_cat_ct.default.cdft " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text " +
+        "FROM graft_cat_ct.default.docs WHERE lang = 'zh'")
+      sc.read.format("graft-docstore")
+        .option("path", tablePath).option("readChangeFeed", "true")
+        .option("startingTimestamp", tDelete.toString).load()
+        .groupBy(col("_change_type"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("_change_type", "lang")
     }
   )
 

@@ -35,7 +35,8 @@ object Registry {
     "q149_stream_cdf", "q151_optimize_history", "q152_drop_column",
     "q153_cdf_batch_read", "q154_expire_snapshots", "q157_wap_branch",
     "q159_timestamp_travel", "q160_cluster_skipping",
-    "q161_check_constraints", "q162_idempotent_writes")
+    "q161_check_constraints", "q162_idempotent_writes",
+    "q163_binpack_optimize", "q164_cdf_timestamp")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -622,10 +622,30 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
     // table_changes(startingVersion, endingVersion) directly;
     // streaming reads pace one version per micro-batch off version-
     // keyed offsets (see DocStoreCdcStream).
-    if (Option(opts.get("readChangeFeed")).exists(_.toBoolean))
-      new DocStoreCdcTable(path,
-        Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L),
-        Option(opts.get("endingVersion")).map(_.toLong))
+    if (Option(opts.get("readChangeFeed")).exists(_.toBoolean)) {
+      // version-numbered and timestamp window bounds are mutually
+      // exclusive per end (Delta's rule); timestamps resolve through
+      // the same commit-time record TIMESTAMP AS OF reads
+      val startV = (Option(opts.get("startingVersion")),
+          Option(opts.get("startingTimestamp"))) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "set either startingVersion or startingTimestamp, not both")
+        case (Some(v), None) => v.toLong
+        case (None, Some(ts)) => DocStoreCommitOps.versionAtOrAfter(
+          path, DocStoreCommitOps.parseCdcInstant(ts))
+        case (None, None) => 0L
+      }
+      val endV = (Option(opts.get("endingVersion")),
+          Option(opts.get("endingTimestamp"))) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "set either endingVersion or endingTimestamp, not both")
+        case (Some(v), None) => Some(v.toLong)
+        case (None, Some(ts)) => Some(DocStoreCommitOps.versionAtOrBefore(
+          path, DocStoreCommitOps.parseCdcInstant(ts)))
+        case (None, None) => None
+      }
+      new DocStoreCdcTable(path, startV, endV)
+    }
     else
       // `manifest` option: read a retained MANIFEST.v<n> snapshot
       // instead of the live manifest — the format-level VERSION AS OF
@@ -1047,6 +1067,40 @@ object DocStoreCommitOps {
       .map(v => v -> Files.getLastModifiedTime(
         dir.resolve(s"MANIFEST.v$v")).toMillis)
     finally stream.close()
+  }
+
+  /** CDC timestamp window resolution (Delta's startingTimestamp /
+    * endingTimestamp): start = the EARLIEST version committed at or
+    * after the instant; end = the LATEST at or before. Accepts epoch
+    * milliseconds (all digits) or an ISO-8601 instant
+    * (`2026-08-14T06:00:00Z`); both are timezone-unambiguous, which a
+    * bare local-datetime string is not. Out-of-history bounds refuse
+    * loudly, like the version-numbered window. */
+  def parseCdcInstant(raw: String): Long =
+    if (raw.forall(_.isDigit)) raw.toLong
+    else java.time.Instant.parse(raw).toEpochMilli
+
+  def versionAtOrAfter(path: String, ms: Long): Long = {
+    val times = versionTimes(path)
+    times.find(_._2 >= ms).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"startingTimestamp ${java.time.Instant.ofEpochMilli(ms)} is " +
+          s"after the last commit" +
+          times.lastOption.map(t =>
+            s" (head: v${t._1} at ${java.time.Instant.ofEpochMilli(t._2)})")
+            .getOrElse(" (table has no retained versions)")))
+  }
+
+  def versionAtOrBefore(path: String, ms: Long): Long = {
+    val times = versionTimes(path)
+    times.reverse.find(_._2 <= ms).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"endingTimestamp ${java.time.Instant.ofEpochMilli(ms)} is " +
+          s"before the first retained commit" +
+          times.headOption.map(t =>
+            s" (earliest: v${t._1} at " +
+              s"${java.time.Instant.ofEpochMilli(t._2)})")
+            .getOrElse(" (table has no retained versions)")))
   }
 
   /** True iff commit `v` was published `dataChange=false` (a pure

@@ -190,7 +190,16 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       // columns. Clustering is what makes the per-segment stats
       // envelopes (data skipping) selective on non-id columns.
       ProcedureParameter.in("cluster_by", StringType)
-        .defaultValue("''").build())
+        .defaultValue("''").build(),
+      // Iceberg's bin-pack strategy: > 0 switches to INCREMENTAL
+      // compaction — only segments under this byte size (plus any
+      // carrying deletion vectors, which compaction absorbs) are
+      // rewritten, packed together; compact segments are untouched.
+      // At 100 TB the full-table rewrite is the wrong default shape:
+      // steady-state maintenance is "pack the small tail", and its
+      // cost must scale with the tail, not the table.
+      ProcedureParameter.in("small_bytes", LongType)
+        .defaultValue("0").build())
 
   private val SCHEMA = StructType(Seq(
     StructField("compacted_segments", LongType, nullable = false),
@@ -205,16 +214,36 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(clusterBy.size <= 2,
       s"cluster_by supports at most 2 columns, got $clusterBy")
+    val smallBytes = input.getLong(3)
+    require(smallBytes >= 0, s"small_bytes must be >= 0, got $smallBytes")
+    val binpack = smallBytes > 0
+    require(!binpack || clusterBy.isEmpty,
+      "cluster_by implies a full rewrite — it cannot combine with " +
+        "small_bytes bin-packing (cluster first, then bin-pack later " +
+        "commits)")
     val path = dir.toString
     val s = org.apache.spark.sql.SparkSession.active
     val v0 = DocStoreCommitOps.nextVersion(path) - 1
     require(v0 >= 1, "nothing to optimize: table has no committed version")
-    val segs = DocStore.readManifest(path, s"MANIFEST.v$v0")
+    val (segs, dvs) =
+      DocStore.readManifestAndDeletes(path, s"MANIFEST.v$v0")
+    // bin-pack candidates: the small tail plus every DV'd segment
+    // (compaction absorbs merge-on-read deletes); everything else is
+    // untouched — the whole point of the incremental form
+    val candidates =
+      if (!binpack) segs
+      else segs.filter(seg =>
+        seg.bytes < smallBytes || dvs.contains(seg.name))
+    val untouched = segs.filterNot(candidates.contains)
     // already compact: no commit, no churn — unless a re-clustering
     // was explicitly requested, which rewrites regardless of count
-    if (segs.size <= target && clusterBy.isEmpty)
+    val noop =
+      if (binpack)
+        candidates.size < 2 && candidates.forall(c => !dvs.contains(c.name))
+      else segs.size <= target && clusterBy.isEmpty
+    if (noop)
       return result(SCHEMA, Seq(new GenericInternalRow(
-        Array[Any](segs.size.toLong, segs.size.toLong, v0))))
+        Array[Any](candidates.size.toLong, candidates.size.toLong, v0))))
     val staging = Files.createTempDirectory(dir.getParent,
       s".stg-opt-${dir.getFileName}-")
     try {
@@ -227,10 +256,23 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       }
       Files.write(staging.resolve("MANIFEST"), Array.empty[Byte])
       import org.apache.spark.sql.functions.{col, expr}
-      val df = s.read.format("graft-docstore").option("path", path)
-        .option("manifest", s"MANIFEST.v$v0").load()
+      val reader = s.read.format("graft-docstore").option("path", path)
+        .option("manifest", s"MANIFEST.v$v0")
+      val df =
+        if (!binpack) reader.load()
+        // scan ONLY the candidate files (plan-time name pruning); DVs
+        // apply during the read, so packed output materializes the
+        // deletes and the new segments carry no DV entries
+        else reader.option("segments",
+          candidates.map(_.name).mkString(",")).load()
+      // packed layout sized to the tail: ~small_bytes per output,
+      // capped by target — never one-file-per-input
+      val nOut =
+        if (!binpack) target
+        else math.min(target.toLong, math.max(1L,
+          candidates.map(_.bytes).sum / smallBytes)).toInt
       val clustered = clusterBy match {
-        case Seq() => df.repartitionByRange(target, col("doc_id"))
+        case Seq() => df.repartitionByRange(nOut, col("doc_id"))
         case cols =>
           val missing = cols.filterNot(df.columns.contains)
           require(missing.isEmpty,
@@ -298,12 +340,17 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         nNew = renamed.size.toLong
         // dataChange=false: identical row set, new layout. NO
         // clearVersions — history is the point; vacuum is the explicit
-        // reclaimer of the replaced files.
-        newV = DocStoreCommitOps.writeManifest(path, renamed, "optimize",
-          rewrite = true)
+        // reclaimer of the replaced files. Bin-pack keeps the
+        // untouched segments in their original manifest order (the
+        // streaming source's replay contract) with the packed tail
+        // appended; their DVs carry over, while the rewritten
+        // segments' DVs die with them (materialized by the read).
+        newV = DocStoreCommitOps.writeManifest(path,
+          untouched ++ renamed, "optimize",
+          deletes = dvs, rewrite = true)
       }
       result(SCHEMA, Seq(new GenericInternalRow(
-        Array[Any](segs.size.toLong, nNew, newV))))
+        Array[Any](candidates.size.toLong, nNew, newV))))
     } finally graft.core.Fs.deleteRecursively(staging)
   }
 }

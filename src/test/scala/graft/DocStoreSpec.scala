@@ -1809,6 +1809,99 @@ class DocStoreSpec extends SparkSpec {
     assert(!props.contains("graft.check.short"), props)
   }
 
+  test("optimize small_bytes: bin-pack rewrites only the small tail, absorbs DVs") {
+    val root = Files.createTempDirectory("docstore_binpack").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.bpcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.bpcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("bp_src")
+    sc.sql("CREATE NAMESPACE bpcat.ns")
+    sc.sql("CREATE TABLE bpcat.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    // three small segments + one big one
+    Seq((0, 39), (40, 79), (80, 119), (120, 100000)).foreach { case (a, b) =>
+      sc.sql("INSERT INTO bpcat.ns.t SELECT * FROM bp_src " +
+        s"WHERE doc_id BETWEEN $a AND $b") }
+    val tablePath = java.nio.file.Paths.get(root, "ns", "t").toString
+    val seg0 = DocStore.readManifestAndDeletes(tablePath)
+    assert(seg0._1.size == 4)
+    val big = seg0._1.maxBy(_.bytes)
+    val threshold = big.bytes // small tail = everything under the big one
+    // a MoR DELETE inside one SMALL segment: its DV must be absorbed
+    sc.sql("DELETE FROM bpcat.ns.t WHERE doc_id BETWEEN 0 AND 5")
+    assert(DocStore.readDeletes(tablePath).nonEmpty)
+    val expect = sc.sql("SELECT COUNT(*), SUM(n_chars) FROM bpcat.ns.t")
+      .head.toSeq
+    val r = sc.sql("CALL bpcat.system.optimize('ns.t', 8, '', " +
+      s"$threshold)").head
+    assert(r.getLong(0) == 3, r.toString) // the 3 small ones rewritten
+    assert(r.getLong(1) == 1, r.toString) // packed into one
+    val after = DocStore.readManifestAndDeletes(tablePath)
+    // the big segment survives untouched, by name; DVs are gone
+    assert(after._1.map(_.name).contains(big.name), after._1.map(_.name))
+    assert(after._1.size == 2, after._1.map(_.name))
+    assert(after._2.isEmpty)
+    assert(graft.sources.DocStoreCommitOps.isRewriteCommit(tablePath,
+      r.getLong(2)))
+    assert(sc.sql("SELECT COUNT(*), SUM(n_chars) FROM bpcat.ns.t")
+      .head.toSeq == expect)
+    // steady state: a re-run finds nothing small enough to pack
+    val r2 = sc.sql("CALL bpcat.system.optimize('ns.t', 8, '', " +
+      s"$threshold)").head
+    assert(r2.getLong(2) == r.getLong(2), r2.toString) // no new version
+    // cluster_by + small_bytes refuse together
+    assert(intercept[Exception] {
+      sc.sql("CALL bpcat.system.optimize('ns.t', 8, 'n_chars', 1000)")
+        .collect()
+    }.getMessage.contains("full rewrite"))
+  }
+
+  test("CDC timestamp windows resolve through commit times; bounds refuse loudly") {
+    val root = Files.createTempDirectory("docstore_cdcts").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.tscat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.tscat.root" -> root)
+    sc.sql("CREATE NAMESPACE tscat.ns")
+    sc.sql("CREATE TABLE tscat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    (1 to 3).foreach(i => sc.sql(
+      s"INSERT INTO tscat.ns.t VALUES ($i, ${i * 10}, 'en', 's', 'x')"))
+    val tablePath = java.nio.file.Paths.get(root, "ns", "t").toString
+    val times = graft.sources.DocStoreCommitOps.versionTimes(tablePath).toMap
+    def cdf(opts: (String, String)*): Set[Long] = {
+      val r = opts.foldLeft(sc.read.format("graft-docstore")
+        .option("path", tablePath).option("readChangeFeed", "true")) {
+        case (b, (k, v)) => b.option(k, v) }
+      r.load().select("_commit_version").collect()
+        .map(_.getLong(0)).toSet
+    }
+    // start = earliest version at or after the instant (Delta's rule)
+    assert(cdf("startingTimestamp" -> times(2L).toString) == Set(2L, 3L))
+    assert(cdf("startingTimestamp" -> (times(2L) - 1).toString) == Set(2L, 3L))
+    // end = latest version at or before
+    assert(cdf("endingTimestamp" -> times(2L).toString) == Set(1L, 2L))
+    // a one-commit window, and the ISO-8601 form
+    assert(cdf("startingTimestamp" -> times(2L).toString,
+      "endingTimestamp" -> times(2L).toString) == Set(2L))
+    assert(cdf("startingTimestamp" ->
+      java.time.Instant.ofEpochMilli(times(3L)).toString) == Set(3L))
+    // refusals: both bounds of one end; out-of-history instants
+    assert(intercept[Exception] {
+      cdf("startingVersion" -> "1", "startingTimestamp" -> "0")
+    }.getMessage.contains("not both"))
+    assert(intercept[Exception] {
+      cdf("startingTimestamp" -> (times(3L) + 60000).toString)
+    }.getMessage.contains("after the last commit"))
+    assert(intercept[Exception] {
+      cdf("endingTimestamp" -> (times(1L) - 1).toString)
+    }.getMessage.contains("before the first retained commit"))
+  }
+
   test("idempotent writes: txnAppId/txnVersion dedupe retried batch commits") {
     val tmp = Files.createTempDirectory("docstore_txn").toString
     def put(app: String, v: Long, lang: String): Unit =
