@@ -286,27 +286,37 @@ object IoOps {
 
     Q("q123_metadata_only_agg",
       "The connector's deepest hook — SupportsPushDownAggregates: an " +
-        "unfiltered COUNT(*) / MIN / MAX over doc_id is answered " +
-        "ENTIRELY from the manifest (per-segment rows + doc_id spans " +
-        "recorded at write time), zero segment IO — the metadata-only " +
-        "optimization a lakehouse log serves for SELECT COUNT(*). " +
-        "Exactness guard: any pushed doc_id bound makes segment spans " +
-        "coarse, so filtered aggregates decline the pushdown and fall " +
-        "back to the reading scan (DocStoreSpec pins both paths on " +
-        "executed plans). The oracle computes the same three numbers " +
-        "from the original parquet — at 100 TB this is the difference " +
-        "between a catalog lookup and a full-table scan.",
+        "unfiltered COUNT(*) / COUNT(col) / MIN / MAX is answered " +
+        "ENTIRELY from the manifest, zero segment IO — doc_id reads " +
+        "the zone map (rows + spans, recorded since v1), and other " +
+        "LONG columns read the per-segment stats envelopes, which are " +
+        "exact streamed min/max of the written values plus exact null " +
+        "counts (so COUNT(col) = sum(rows - nulls)). Exactness " +
+        "guards: a pushed doc_id bound, a deletion vector, a string " +
+        "column (envelopes can be poisoned), COUNT DISTINCT, or any " +
+        "segment missing the section's stat entry declines the " +
+        "pushdown and falls back to the reading scan (DocStoreSpec " +
+        "pins every path on executed plans). The oracle computes the " +
+        "same six numbers from the original parquet — at 100 TB this " +
+        "is the difference between a catalog lookup and a full-table " +
+        "scan.",
       Some("""
         SELECT COUNT(*) AS n_docs,
                MIN(doc_id) AS first_id,
-               MAX(doc_id) AS last_id
+               MAX(doc_id) AS last_id,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               COUNT(n_chars) AS n_chars_nonnull
         FROM documents""")) { (s, dir) =>
       val lake = graft.sources.DocStore.ensureLake(s, dir)
       s.read.format("graft-docstore").option("path", lake).load()
         .groupBy()
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("first_id"),
-          max("doc_id").as("last_id"))
+          max("doc_id").as("last_id"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          count("n_chars").as("n_chars_nonnull"))
     },
 
     Q("q125_dsv2_write",

@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsPushDownAggregates, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringStartsWith}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -1462,27 +1462,60 @@ class DocStoreScanBuilder(path: String,
 
   private var pushedAgg: Option[Aggregation] = None
 
-  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
-    e match {
-      case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
-      case _ => false
-    }
-
   /** One manifest read per planned scan, shared by the aggregate
     * guard and build(). */
   private lazy val manifestData =
     DocStore.readManifestAndDeletes(path, manifest)
   private def hasDeletes = manifestData._2.nonEmpty
 
-  /** COUNT(*) / MIN(doc_id) / MAX(doc_id) with no GROUP BY answer
-    * EXACTLY from the manifest (rows and doc_id spans are recorded
-    * per segment at write time) — zero segment IO, the metadata-only
-    * optimization a lakehouse log serves. Guards: only when NO doc_id
-    * bound was pushed — segment (min, max) are coarse under a residual
-    * filter, and an inexact "complete" pushdown would return wrong
-    * numbers — and only when the table carries NO deletion vectors
-    * (manifest row counts are pre-delete; min/max doc_id could BE a
-    * deleted row), so either case falls back to the reading scan. */
+  /** COUNT(*) / COUNT(col) / MIN / MAX with no GROUP BY answer
+    * EXACTLY from the manifest — zero segment IO, the metadata-only
+    * optimization a lakehouse log serves. doc_id aggregates read the
+    * zone map (rows + spans, recorded since v1); other columns read
+    * the per-section stats envelopes, which are EXACT for long
+    * columns (streamed min/max of written values, never sampled) and
+    * carry exact null counts, so COUNT(col) = sum(rows - nulls) and
+    * MIN/MAX fold the per-segment bounds. Guards: only when NO
+    * doc_id bound was pushed (per-segment numbers are coarse under a
+    * residual filter), NO deletion vectors (all recorded numbers are
+    * pre-delete), no segment-name subset, and — for stats-backed
+    * aggregates — every non-empty segment actually carries the
+    * section's stat entry (a pre-stats segment or a column added
+    * after a segment was written falls back to the reading scan). */
+  private def fieldOf(c: String): Option[(StructField, Int)] =
+    schema.fields.zipWithIndex.find(_._1.name == c)
+
+  private def statOf(s: DocStore.Segment, c: String): Option[DocStore.ColStat] =
+    fieldOf(c).flatMap { case (f, i) =>
+      s.stats.get(DocStore.sectionOf(f, i)) }
+
+  private def nameOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Every non-empty segment records exact nulls for the column. */
+  private def countServable(c: String): Boolean =
+    c == "doc_id" || manifestData._1.forall(s =>
+      s.rows == 0 || statOf(s, c).isDefined)
+
+  /** LongType column whose every non-empty segment is either exactly
+    * bounded or provably all-null — MIN/MAX fold is then exact. */
+  private def minMaxServable(c: String): Boolean =
+    isDocIdName(c) || fieldOf(c).exists { case (f, _) =>
+      f.dataType == LongType && manifestData._1.forall(s =>
+        s.rows == 0 || statOf(s, c).exists {
+          case DocStore.ColStat(_, Some(_: DocStore.LongBound)) => true
+          case DocStore.ColStat(n, None) => n == s.rows // all-null
+          case _ => false
+        })
+    }
+
+  private def isDocIdName(c: String) = c == "doc_id"
+
   private def aggSupported(agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty &&
       lo == Long.MinValue && hi == Long.MaxValue &&
@@ -1492,8 +1525,10 @@ class DocStoreScanBuilder(path: String,
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
-        case m: Min => isDocId(m.column)
-        case m: Max => isDocId(m.column)
+        case c: Count => !c.isDistinct &&
+          nameOf(c.column).exists(countServable)
+        case m: Min => nameOf(m.column).exists(minMaxServable)
+        case m: Max => nameOf(m.column).exists(minMaxServable)
         case _ => false
       }
 
@@ -1508,7 +1543,7 @@ class DocStoreScanBuilder(path: String,
   override def build(): Scan = {
     val (segments, dvs) = manifestData
     pushedAgg match {
-      case Some(agg) => new ManifestAggScan(segments, agg)
+      case Some(agg) => new ManifestAggScan(segments, agg, schema)
       case None =>
         // explicit name subset first (scan scope), then partition
         // pruning (directory-level elimination from the partition
@@ -1540,20 +1575,53 @@ class DocStoreScanBuilder(path: String,
 }
 
 /** The metadata-only scan a pushed-down aggregate builds: one synthetic
-  * partition carrying the answers precomputed from the manifest. No
-  * segment file is ever opened. */
-class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation)
+  * partition carrying the answers precomputed from the manifest (zone
+  * map for doc_id, per-section stats envelopes for other columns — the
+  * builder's guards already proved full, exact coverage). No segment
+  * file is ever opened. */
+class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
+    schema: StructType = DocStore.SCHEMA)
     extends Scan with Batch {
+
+  private def colOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames()(0)
+
+  private def statOf(s: DocStore.Segment, c: String): DocStore.ColStat = {
+    val (f, i) = schema.fields.zipWithIndex.find(_._1.name == c).get
+    s.stats(DocStore.sectionOf(f, i))
+  }
+
+  private def live = segments.filter(_.rows > 0)
 
   private val values: Array[java.lang.Long] =
     agg.aggregateExpressions.map {
       case _: CountStar => java.lang.Long.valueOf(segments.map(_.rows).sum)
-      case _: Min =>
-        if (segments.isEmpty) null
-        else java.lang.Long.valueOf(segments.map(_.minId).min)
-      case _: Max =>
-        if (segments.isEmpty) null
-        else java.lang.Long.valueOf(segments.map(_.maxId).max)
+      case c: Count =>
+        val col = colOf(c.column)
+        java.lang.Long.valueOf(
+          if (col == "doc_id") segments.map(_.rows).sum
+          else live.map(s => s.rows - statOf(s, col).nulls).sum)
+      case m: Min =>
+        val col = colOf(m.column)
+        if (col == "doc_id")
+          if (segments.isEmpty) null
+          else java.lang.Long.valueOf(segments.map(_.minId).min)
+        else {
+          val los = live.flatMap(s => statOf(s, col).bound.collect {
+            case DocStore.LongBound(lo, _) => lo })
+          if (los.isEmpty) null else java.lang.Long.valueOf(los.min)
+        }
+      case m: Max =>
+        val col = colOf(m.column)
+        if (col == "doc_id")
+          if (segments.isEmpty) null
+          else java.lang.Long.valueOf(segments.map(_.maxId).max)
+        else {
+          val his = live.flatMap(s => statOf(s, col).bound.collect {
+            case DocStore.LongBound(_, hi) => hi })
+          if (his.isEmpty) null else java.lang.Long.valueOf(his.max)
+        }
       case f => throw new IllegalStateException(s"unsupported pushed agg $f")
     }
 

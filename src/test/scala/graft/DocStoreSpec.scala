@@ -1860,6 +1860,44 @@ class DocStoreSpec extends SparkSpec {
     }.getMessage.contains("full rewrite"))
   }
 
+  test("metadata-only aggregates extend to stats-backed columns; gaps fall back") {
+    lake
+    // MIN/MAX/COUNT over n_chars answer EXACTLY from the per-segment
+    // stats envelopes — zero segment IO, same as the doc_id zone map
+    val agg = store.groupBy().agg(min("n_chars"), max("n_chars"),
+      count("n_chars"), count(lit(1)))
+    assert(physical(agg).contains("manifest-only"), physical(agg))
+    val expect = docs.groupBy().agg(min("n_chars"), max("n_chars"),
+      count("n_chars"), count(lit(1))).collect()(0).toSeq
+    assert(agg.collect()(0).toSeq == expect)
+    // string columns decline (envelopes can be poisoned by long or
+    // non-ASCII values, so a fold is not guaranteed exact)
+    val sAgg = store.groupBy().agg(min("lang"))
+    assert(!physical(sAgg).contains("manifest-only"), physical(sAgg))
+    assert(sAgg.collect()(0).getString(0) ==
+      docs.groupBy().agg(min("lang")).collect()(0).getString(0))
+    // a table with a stats-free segment (pre-stats writer) falls back
+    // to the reading scan and stays correct
+    val tmp = Files.createTempDirectory("docstore_agg_gap").toString
+    docs.coalesce(1).write.format("graft-docstore")
+      .option("path", tmp).mode("append").save()
+    val mf = java.nio.file.Paths.get(tmp, "MANIFEST")
+    import scala.jdk.CollectionConverters._
+    val stripped = Files.readAllLines(mf).asScala
+      .filterNot(_.startsWith("S,"))
+    Files.write(mf, stripped.mkString("\n").getBytes("UTF-8"))
+    val gap = spark.read.format("graft-docstore").option("path", tmp).load()
+      .groupBy().agg(min("n_chars"), count("n_chars"))
+    assert(!physical(gap).contains("manifest-only"), physical(gap))
+    assert(gap.collect()(0).toSeq ==
+      docs.groupBy().agg(min("n_chars"), count("n_chars"))
+        .collect()(0).toSeq)
+    // ...while COUNT(*) and the doc_id span still serve metadata-only
+    val idAgg = spark.read.format("graft-docstore").option("path", tmp)
+      .load().groupBy().agg(count(lit(1)), min("doc_id"))
+    assert(physical(idAgg).contains("manifest-only"), physical(idAgg))
+  }
+
   test("CDC timestamp windows resolve through commit times; bounds refuse loudly") {
     val root = Files.createTempDirectory("docstore_cdcts").toString
     val sc = graft.core.Sessions.scoped(spark,
