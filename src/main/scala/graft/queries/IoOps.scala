@@ -1825,6 +1825,48 @@ object IoOps {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("n_chars")).as("chars"))
         .orderBy("_change_type", "lang")
+    },
+
+    // --------------------------------------- stream backfill skipping
+    Q("q165_stream_start_version",
+      "startingVersion/startingTimestamp on the PLAIN table stream " +
+        "(Delta's table-stream options): a fresh stream begins at the " +
+        "segments version v appended — resuming AFTER the last " +
+        "segment of the v-1 snapshot, the same by-name offset shape " +
+        "checkpoints use, so the loud history-rewritten failure " +
+        "applies identically — instead of replaying the whole table. " +
+        "At 100 TB this is the operational difference between " +
+        "attaching a consumer in seconds and re-reading the corpus. " +
+        "The gate appends two language slices as two commits and " +
+        "streams from version 2 under Trigger.AvailableNow: exactly " +
+        "the second slice arrives. A checkpointed restart overrides " +
+        "the option, head+1 subscribes to future commits only, batch " +
+        "reads refuse the streaming-only options, and out-of-history " +
+        "versions refuse loudly (all spec-pinned).",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS chars
+        FROM documents WHERE lang = 'zh' GROUP BY lang""")) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("q165")
+      graft.core.Fs.deleteOnExit(tmp)
+      val lake = tmp.resolve("lake").toString
+      val src = Tables.documents(s, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+      def put(lang: String): Unit =
+        src.where(col("lang") === lang).write.format("graft-docstore")
+          .option("path", lake).mode("append").save()
+      put("fr"); put("zh") // v1 (skipped), v2 (streamed)
+      val q = s.readStream.format("graft-docstore")
+        .option("path", lake).option("startingVersion", "2").load()
+        .writeStream.format("parquet")
+        .option("path", tmp.resolve("sink").toString)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(tmp.resolve("sink").toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
     }
   )
 

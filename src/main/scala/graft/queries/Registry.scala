@@ -36,7 +36,8 @@ object Registry {
     "q153_cdf_batch_read", "q154_expire_snapshots", "q157_wap_branch",
     "q159_timestamp_travel", "q160_cluster_skipping",
     "q161_check_constraints", "q162_idempotent_writes",
-    "q163_binpack_optimize", "q164_cdf_timestamp")
+    "q163_binpack_optimize", "q164_cdf_timestamp",
+    "q165_stream_start_version")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

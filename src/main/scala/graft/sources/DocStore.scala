@@ -719,7 +719,49 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
       // file pruning). Unknown names fail loudly at planning: a typo
       // silently reading zero rows would poison every consumer.
       Option(options.get("segments")).map(
-        _.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      streamStartAfter = streamStart(options))
+
+  /** `startingVersion` / `startingTimestamp` on the PLAIN streaming
+    * face (Delta's table-stream options): start the stream at the
+    * segments version v appended — i.e. resume AFTER the last segment
+    * of MANIFEST.v(v-1) — instead of replaying the whole table. A
+    * timestamp resolves like CDC's startingTimestamp (earliest
+    * version committed at or after). Returns the start-after segment
+    * name; None = full replay. Only the live manifest streams, and a
+    * checkpointed restart overrides this initial position, exactly
+    * like Delta. */
+  private def streamStart(options: CaseInsensitiveStringMap)
+      : Option[String] = {
+    val v = (Option(options.get("startingVersion")),
+        Option(options.get("startingTimestamp"))) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "set either startingVersion or startingTimestamp, not both")
+      case (Some(sv), None) => Some(sv.toLong)
+      case (None, Some(ts)) => Some(DocStoreCommitOps.versionAtOrAfter(
+        path, DocStoreCommitOps.parseCdcInstant(ts)))
+      case (None, None) => None
+    }
+    v.map { ver =>
+      require(manifest == "MANIFEST",
+        "startingVersion/startingTimestamp stream the LIVE table — " +
+          "a pinned VERSION AS OF face cannot combine with them")
+      val head = DocStoreCommitOps.nextVersion(path) - 1
+      require(ver >= 1 && ver <= head + 1,
+        s"startingVersion $ver is outside the table history " +
+          s"(versions 1..$head; ${head + 1} = only future commits)")
+      if (ver == 1) ""
+      else {
+        val prevSnap = s"MANIFEST.v${ver - 1}"
+        require(Files.exists(Paths.get(path, prevSnap)),
+          s"startingVersion $ver needs the retained snapshot " +
+            s"$prevSnap, which was expired/vacuumed — choose a " +
+            "version inside the retention window")
+        DocStore.readManifest(path, prevSnap)
+          .lastOption.map(_.name).getOrElse("")
+      }
+    }
+  }
 
   /** Write path with the standard commit protocol: tasks stage
     * `.stg-*` segment files and report manifest entries in their
@@ -1416,7 +1458,8 @@ class DocStoreScanBuilder(path: String,
     schema: StructType = DocStore.SCHEMA,
     maxSegmentsPerBatch: Int = Int.MaxValue,
     manifest: String = "MANIFEST",
-    segmentSubset: Option[Set[String]] = None)
+    segmentSubset: Option[Set[String]] = None,
+    streamStartAfter: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -1522,6 +1565,9 @@ class DocStoreScanBuilder(path: String,
       limit == Int.MaxValue &&
       !hasDeletes &&
       segmentSubset.isEmpty && // manifest totals are whole-table numbers
+      // a streaming-only start option must reach the plain scan's
+      // toBatch refusal, never be silently absorbed by the agg path
+      streamStartAfter.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -1569,7 +1615,8 @@ class DocStoreScanBuilder(path: String,
           .filter(s => s.maxId >= lo && s.minId <= hi)
           .filter(statKeep)
         new DocStoreScan(path, schema, required, lo, hi, limit,
-          surviving, segments.size, maxSegmentsPerBatch, dvs, partSpec)
+          surviving, segments.size, maxSegmentsPerBatch, dvs, partSpec,
+          streamStartAfter)
     }
   }
 }
@@ -1660,12 +1707,19 @@ class DocStoreScan(path: String, schema: StructType,
     limit: Int, surviving: Seq[DocStore.Segment], total: Int,
     maxSegmentsPerBatch: Int = Int.MaxValue,
     dvs: Map[String, Array[Long]] = Map.empty,
-    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
+    streamStartAfter: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(streamStartAfter.isEmpty,
+      "startingVersion/startingTimestamp are STREAMING options on a " +
+        "plain docstore read — batch time travel is VERSION AS OF / " +
+        "TIMESTAMP AS OF (or the readChangeFeed window)")
+    this
+  }
 
   /** Storage-partitioned-join face: a partitioned table's scan reports
     * `KeyGroupedPartitioning` over its transforms, and every planned
@@ -1792,7 +1846,7 @@ class DocStoreScan(path: String, schema: StructType,
     * indices, don't shift. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new DocStoreMicroBatchStream(path, schema, surviving, required, lo, hi,
-      maxSegmentsPerBatch, dvs)
+      maxSegmentsPerBatch, dvs, streamStartAfter.getOrElse(""))
 
   /** Shown in EXPLAIN — the audit surface DocStoreSpec asserts on. */
   override def description(): String =
@@ -2052,7 +2106,8 @@ final case class DocStoreOffset(after: String) extends Offset {
 class DocStoreMicroBatchStream(path: String, schema: StructType,
     surviving: Seq[DocStore.Segment], required: StructType,
     lo: Long, hi: Long, maxPerBatch: Int,
-    dvs: Map[String, Array[Long]] = Map.empty)
+    dvs: Map[String, Array[Long]] = Map.empty,
+    startAfter: String = "")
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -2089,7 +2144,12 @@ class DocStoreMicroBatchStream(path: String, schema: StructType,
   private def offsetAt(n: Int): Offset =
     DocStoreOffset(if (n <= 0) "" else surviving(n - 1).name)
 
-  override def initialOffset(): Offset = DocStoreOffset("")
+  /** The startingVersion/startingTimestamp entry point: a fresh
+    * stream (no checkpoint) resumes AFTER the configured segment —
+    * the same "after name" shape checkpoints use, so the idx()
+    * resolution (including the loud missing-name failure when
+    * history was rewritten underneath) applies identically. */
+  override def initialOffset(): Offset = DocStoreOffset(startAfter)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

@@ -1898,6 +1898,59 @@ class DocStoreSpec extends SparkSpec {
     assert(physical(idAgg).contains("manifest-only"), physical(idAgg))
   }
 
+  test("plain stream startingVersion/startingTimestamp skip the backfill") {
+    val tmp = Files.createTempDirectory("docstore_sv").toString
+    def put(lang: String): Unit =
+      docs.where(col("lang") === lang).coalesce(1).write
+        .format("graft-docstore").option("path", tmp)
+        .mode("append").save()
+    put("fr"); put("en"); put("de") // v1, v2, v3
+    val times = graft.sources.DocStoreCommitOps.versionTimes(tmp).toMap
+    def streamed(opts: (String, String)*): Set[String] = {
+      val out = Files.createTempDirectory("docstore_sv_out")
+      graft.core.Fs.deleteOnExit(out)
+      val r = opts.foldLeft(spark.readStream.format("graft-docstore")
+        .option("path", tmp)) { case (b, (k, v)) => b.option(k, v) }
+      val q = r.load().writeStream.format("parquet")
+        .option("path", out.resolve("data").toString)
+        .option("checkpointLocation", out.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(out.resolve("data").toString)
+        .select("lang").distinct().collect().map(_.getString(0)).toSet
+    }
+    // inclusive: version 2 delivers v2's and v3's segments, no v1
+    assert(streamed("startingVersion" -> "2") == Set("en", "de"))
+    // timestamp form: v3's commit instant resolves to v3
+    assert(streamed("startingTimestamp" -> times(3L).toString) == Set("de"))
+    // head+1 = only future commits: drains empty (sink dir may not
+    // even materialize), then a later append would stream
+    val out4 = Files.createTempDirectory("docstore_sv4")
+    graft.core.Fs.deleteOnExit(out4)
+    val q4 = spark.readStream.format("graft-docstore")
+      .option("path", tmp).option("startingVersion", "4").load()
+      .writeStream.format("parquet")
+      .option("path", out4.resolve("data").toString)
+      .option("checkpointLocation", out4.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q4.awaitTermination() finally q4.stop()
+    val dataDir = out4.resolve("data")
+    assert(!Files.exists(dataDir) ||
+      spark.read.parquet(dataDir.toString).isEmpty)
+    // a BATCH read refuses the streaming-only options
+    assert(intercept[Exception] {
+      spark.read.format("graft-docstore").option("path", tmp)
+        .option("startingVersion", "2").load().count()
+    }.getMessage.contains("STREAMING options"))
+    // out-of-history bounds refuse loudly
+    assert(intercept[Exception] { streamed("startingVersion" -> "9") }
+      .getMessage.contains("outside the table history"))
+  }
+
   test("CDC timestamp windows resolve through commit times; bounds refuse loudly") {
     val root = Files.createTempDirectory("docstore_cdcts").toString
     val sc = graft.core.Sessions.scoped(spark,
