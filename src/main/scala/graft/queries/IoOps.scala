@@ -1867,6 +1867,34 @@ object IoOps {
       s.read.parquet(tmp.resolve("sink").toString)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+    },
+
+    // --------------------------------------------------- DESCRIBE DETAIL
+    Q("q166_table_detail",
+      "`CALL system.detail` (Delta's DESCRIBE DETAIL): one row of " +
+        "table-level facts straight from metadata — format, segment/" +
+        "row/byte totals, version head, retained-version count, " +
+        "partition transforms, properties — with zero segment IO, and " +
+        "with live numbers DV-adjusted exactly like reads (detail can " +
+        "never disagree with SELECT COUNT(*), spec-pinned on a " +
+        "merge-on-read table carrying deletion vectors). The gate " +
+        "compares the row-count and version facts of the 4-commit " +
+        "fixture against the oracle's arithmetic; byte totals are " +
+        "environment-shaped, so the gate pins them positive in-line " +
+        "rather than hashing them.",
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               4 AS head_version,
+               4 AS n_retained
+        FROM documents""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_dt")
+      val d = sc.sql("CALL graft_cat_dt.system.detail('default.docs')").head
+      require(d.getString(0) == "graft-docstore" &&
+        d.getLong(1) > 0 && d.getLong(3) > 0,
+        s"q166: implausible detail row $d")
+      import sc.implicits._
+      Seq((d.getLong(2), d.getLong(4).toInt, d.getLong(5).toInt))
+        .toDF("n_rows", "head_version", "n_retained")
     }
   )
 

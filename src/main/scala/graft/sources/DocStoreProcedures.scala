@@ -502,6 +502,53 @@ class DropBranchProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   }
 }
 
+/** `CALL cat.system.detail('ns.t')` — Delta's DESCRIBE DETAIL: one row
+  * of table-level facts straight from metadata (manifest + PROPS +
+  * PARTITIONING + version listing; zero segment IO). Live numbers are
+  * DV-adjusted the same way reads are: n_rows excludes deleted
+  * positions, so detail never disagrees with SELECT COUNT(*). */
+class DetailProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "detail"
+  override def description(): String =
+    "one row of table metadata: format, segment/row/byte totals, " +
+      "version head, partition columns, properties"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n_segments", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("head_version", LongType, nullable = false),
+    StructField("n_retained_versions", LongType, nullable = false),
+    StructField("partition_columns", StringType, nullable = false),
+    StructField("properties", StringType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val (segs, dvs) = DocStore.readManifestAndDeletes(dir.toString)
+    val dvCount = segs.map(s =>
+      dvs.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
+    val times = DocStoreCommitOps.versionTimes(dir.toString)
+    val parts = DocStorePartitioning.read(dir.toString).map {
+      case DocStorePartitioning.PIdentity(c) => c
+      case DocStorePartitioning.PBucket(c, n) => s"bucket($n, $c)"
+    }.mkString(",")
+    val props = DocStoreCatalog.readProps(dir.toString).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(";")
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](
+      UTF8String.fromString("graft-docstore"),
+      segs.size.toLong,
+      segs.map(_.rows).sum - dvCount,
+      segs.map(_.bytes).sum,
+      times.lastOption.map(_._1).getOrElse(0L),
+      times.size.toLong,
+      UTF8String.fromString(parts),
+      UTF8String.fromString(props)))))
+  }
+}
+
 class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   override def name(): String = "history"
   override def description(): String =

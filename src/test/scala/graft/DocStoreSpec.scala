@@ -1951,6 +1951,39 @@ class DocStoreSpec extends SparkSpec {
       .getMessage.contains("outside the table history"))
   }
 
+  test("system.detail reports DV-adjusted metadata that matches SELECT") {
+    val root = Files.createTempDirectory("docstore_detail").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.dtcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.dtcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("dt_src")
+    sc.sql("CREATE NAMESPACE dtcat.ns")
+    sc.sql("CREATE TABLE dtcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("INSERT INTO dtcat.ns.t SELECT * FROM dt_src")
+    sc.sql("DELETE FROM dtcat.ns.t WHERE doc_id < 25") // MoR: DVs, rows stay
+    val d = sc.sql("CALL dtcat.system.detail('ns.t')").head
+    assert(d.getString(0) == "graft-docstore")
+    val live = sc.sql("SELECT COUNT(*) FROM dtcat.ns.t").head.getLong(0)
+    assert(d.getLong(2) == live, s"detail n_rows ${d.getLong(2)} != $live")
+    assert(d.getLong(1) > 0 && d.getLong(3) > 0)
+    assert(d.getLong(4) == 2 && d.getLong(5) == 2) // head v2, 2 retained
+    assert(d.getString(6) == "") // unpartitioned
+    assert(d.getString(7).contains("graft.rowlevel.mode=merge-on-read"))
+    // a partitioned table reports its transform spec
+    sc.sql("CREATE TABLE dtcat.ns.p (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (lang, bucket(4, doc_id))")
+    sc.sql("INSERT INTO dtcat.ns.p SELECT * FROM dt_src")
+    val dp = sc.sql("CALL dtcat.system.detail('ns.p')").head
+    assert(dp.getString(6) == "lang,bucket(4, doc_id)", dp.getString(6))
+    assert(dp.getLong(2) == 500)
+  }
+
   test("CDC timestamp windows resolve through commit times; bounds refuse loudly") {
     val root = Files.createTempDirectory("docstore_cdcts").toString
     val sc = graft.core.Sessions.scoped(spark,
