@@ -201,6 +201,39 @@ object DocStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Archive the OUTGOING schema before a change: `SCHEMA.upto-v<head>`
+    * records the schema that served the table through version `head`.
+    * First writer wins — two ALTERs between commits share a head, and
+    * only the schema that actually served version `head` belongs in
+    * the archive. These archives are what lets RESTORE roll table
+    * metadata back (Delta RESTORE semantics) instead of refusing. */
+  def archiveSchema(path: String, head: Long): Unit = {
+    val dir = Paths.get(path)
+    val dst = dir.resolve(s"SCHEMA.upto-v$head")
+    if (Files.exists(dst)) return
+    val tmp = dir.resolve(".SCHEMA-arch-tmp")
+    Files.writeString(tmp, tableSchema(path).json)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The archived schema in effect AT version `v`: the smallest
+    * `upto-v<k>` with k >= v. None = no archive covers it — either the
+    * live schema still serves `v` (no change since), or the table was
+    * ALTERed before archiving existed (caller must refuse, not guess). */
+  def schemaArchiveAt(path: String, v: Long): Option[StructType] = {
+    val stream = Files.list(Paths.get(path))
+    val ks =
+      try stream.iterator().asScala
+        .flatMap(p => "^SCHEMA\\.upto-v(\\d+)$".r
+          .findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toLong).toVector.sorted
+      finally stream.close()
+    ks.find(_ >= v).map(k =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        Files.readString(Paths.get(path, s"SCHEMA.upto-v$k")))
+        .asInstanceOf[StructType])
+  }
+
   def writeSchemaFile(path: String, schema: StructType): Unit = {
     val canonical = coerceEvolved(schema)
     val dir = Paths.get(path)
@@ -1170,11 +1203,15 @@ object DocStoreCommitOps {
   }
 
   /** History reset for truncate overwrites: old versions reference the
-    * about-to-be-deleted segments, so dangling snapshots are dropped. */
+    * about-to-be-deleted segments, so dangling snapshots are dropped —
+    * and so are the schema archives, whose `upto-v<k>` keys refer to
+    * the numbering this reset restarts (a stale archive would hand a
+    * later RESTORE a previous era's schema). */
   def clearVersions(path: String): Unit = {
     val stream = Files.list(Paths.get(path))
     try stream.iterator().asScala
-      .filter(p => p.getFileName.toString.matches("^MANIFEST\\.v\\d+$"))
+      .filter(p => p.getFileName.toString.matches(
+        "^(MANIFEST\\.v|SCHEMA\\.upto-v)\\d+$"))
       .toVector.foreach(Files.delete)
     finally stream.close()
   }

@@ -410,8 +410,13 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             s"BIGINT widening; got $ch")
       }
       if (schemaChanges.nonEmpty) {
+        // archive the outgoing schema first: RESTORE's metadata
+        // rollback finds the schema that served any earlier version
+        // through these snapshots
+        DocStore.archiveSchema(dir,
+          DocStoreCommitOps.nextVersion(dir) - 1)
         DocStore.writeSchemaFile(dir, evolved) // validates INT/LONG/STRING+nullable
-        // restore-guard stamp: the head version at this schema change
+        // restore/stream stamp: the head version at this schema change
         DocStore.writeSchemaSince(dir,
           DocStoreCommitOps.nextVersion(dir) - 1)
       }

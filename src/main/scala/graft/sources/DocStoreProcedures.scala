@@ -132,17 +132,35 @@ class RestoreProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       require(Files.exists(dir.resolve(s"MANIFEST.v$v")),
         s"no retained snapshot MANIFEST.v$v — vacuum or truncate " +
           "reset the history past it")
-      // Delta RESTORE also rolls back table METADATA; docstore restore
-      // republishes segments+DVs only, so restoring ACROSS a schema
-      // change would silently pair the post-change schema with
-      // pre-change segments — refuse loudly instead (r10 advice). The
-      // SCHEMA_SINCE stamp records the table head at the last ALTER.
+      // Delta RESTORE also rolls back table METADATA: when the target
+      // version predates a schema change, republish the schema that
+      // served it (from the `SCHEMA.upto-v<k>` archives every ALTER
+      // writes) alongside the segments+DVs. The current schema is
+      // archived first, which makes restore REVERSIBLE: a later
+      // restore forward to a rolled-over version finds that archive
+      // and republishes the evolved schema. (Reads always go through
+      // the live schema — VERSION AS OF a rolled-over version after
+      // the rollback sees the older columns only, the same
+      // read-through-live-schema contract evolution already has.) A
+      // table ALTERed before archiving existed has no archive for the
+      // target — refuse loudly rather than pair old segments with a
+      // newer schema (the r10 silent-mismatch hazard).
       val since = DocStore.readSchemaSince(dir.toString)
-      require(v > since || since == 0L,
-        s"cannot RESTORE to version $v: the table schema was ALTERed " +
-          s"while at version $since — docstore restore republishes " +
-          "segments and deletion vectors only and cannot roll back " +
-          "table metadata")
+      val head = DocStoreCommitOps.nextVersion(dir.toString) - 1
+      if (since > 0L && v <= since) {
+        val target = DocStore.schemaArchiveAt(dir.toString, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot RESTORE to version $v: the table schema was " +
+              s"ALTERed while at version $since and no schema archive " +
+              "covers the target (table predates schema archiving) — " +
+              "restore would pair old segments with a newer schema"))
+        DocStore.archiveSchema(dir.toString, head)
+        if (target == DocStore.SCHEMA)
+          Files.deleteIfExists(dir.resolve("SCHEMA"))
+        else DocStore.writeSchemaFile(dir.toString, target)
+        // the restore IS a schema change at the new head
+        DocStore.writeSchemaSince(dir.toString, head)
+      }
       val (segs, dvs) =
         DocStore.readManifestAndDeletes(dir.toString, s"MANIFEST.v$v")
       val missing = segs.filterNot(s => Files.exists(dir.resolve(s.name)))

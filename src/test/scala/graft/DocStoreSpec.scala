@@ -1650,11 +1650,13 @@ class DocStoreSpec extends SparkSpec {
     val eb = intercept[Exception] {
       sc.sql("ALTER TABLE dcat.ns.t DROP COLUMN text") }
     assert(eb.getMessage.contains("base column"), eb.getMessage)
-    // restore guard: the ALTERs stamped SCHEMA_SINCE at the current
-    // head — restoring to or before it refuses loudly
-    val er = intercept[Exception] {
-      sc.sql("CALL dcat.system.restore('ns.t', 1)").collect() }
-    assert(er.getMessage.contains("schema"), er.getMessage)
+    // RESTORE across the ALTERs rolls the schema back with the data
+    // (Delta metadata-restore semantics): version 1 was base-5
+    sc.sql("CALL dcat.system.restore('ns.t', 1)").collect()
+    assert(DocStore.tableSchema(tdir).fieldNames.toSeq ==
+      Seq("doc_id", "n_chars", "lang", "source", "text"))
+    assert(sc.sql("SELECT COUNT(*) FROM dcat.ns.t").head.getLong(0) == 100)
+    assert(!sc.table("dcat.ns.t").columns.contains("score"))
   }
 
   private def plannedOf(df: DataFrame): (Int, Int) = {
@@ -1949,6 +1951,34 @@ class DocStoreSpec extends SparkSpec {
     // out-of-history bounds refuse loudly
     assert(intercept[Exception] { streamed("startingVersion" -> "9") }
       .getMessage.contains("outside the table history"))
+  }
+
+  test("restore across schema evolution rolls metadata back and is reversible") {
+    val root = Files.createTempDirectory("docstore_rse").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.rscat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.rscat.root" -> root)
+    sc.sql("CREATE NAMESPACE rscat.ns")
+    sc.sql("CREATE TABLE rscat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO rscat.ns.t VALUES (1, 10, 'en', 's', 'x')") // v1
+    sc.sql("ALTER TABLE rscat.ns.t ADD COLUMN stars BIGINT") // since = 1
+    sc.sql("INSERT INTO rscat.ns.t VALUES (2, 20, 'de', 's', 'y', 5)") // v2
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    def cols() = DocStore.tableSchema(tdir).fieldNames.toSeq
+    assert(cols().contains("stars"))
+    // back to v1: schema rolls back with the data
+    sc.sql("CALL rscat.system.restore('ns.t', 1)").collect() // -> v3
+    assert(!cols().contains("stars"))
+    assert(sc.sql("SELECT * FROM rscat.ns.t").columns.length == 5)
+    assert(sc.sql("SELECT COUNT(*) FROM rscat.ns.t").head.getLong(0) == 1)
+    // reversible: restoring forward to v2 republishes the evolved
+    // schema from the archive the first restore wrote
+    sc.sql("CALL rscat.system.restore('ns.t', 2)").collect() // -> v4
+    assert(cols().contains("stars"))
+    assert(sc.sql("SELECT SUM(stars) FROM rscat.ns.t").head.getLong(0) == 5)
+    assert(sc.sql("SELECT COUNT(*) FROM rscat.ns.t").head.getLong(0) == 2)
   }
 
   test("system.detail reports DV-adjusted metadata that matches SELECT") {
