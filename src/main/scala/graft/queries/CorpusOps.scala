@@ -636,6 +636,68 @@ object CorpusOps {
           size(col("c.chunk")).cast("long").as("n_tokens"),
           md5(array_join(col("c.chunk"), " ")).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ------------------------------------------------ sequence packing
+    Q("q167_sequence_packing",
+      "GPT-style sequence packing (concat-and-chunk): the corpus is " +
+        "laid out in doc_id order, token counts are prefix-summed, " +
+        "and every 512-token window of the concatenation is one " +
+        "training sequence — a document occupies packs floor(start/" +
+        "512) .. floor((end-1)/512), so n_chunks is how many " +
+        "sequences it straddles. The prefix sum is the 100 TB part: " +
+        "a GLOBAL running total computed WITHOUT a global sort — " +
+        "docs bucket by doc_id range into ~1024 deterministic " +
+        "buckets, per-bucket token totals (1024 longs, metadata-" +
+        "sized) come to the driver once and scanLeft into bucket " +
+        "offsets, and each bucket's within-window cumsum adds its " +
+        "broadcast offset. The classic two-phase distributed prefix " +
+        "sum: one small aggregate + one partitioned window, no " +
+        "single-partition stage anywhere. The gate groups documents " +
+        "by straddle count (zero-token docs excluded — they occupy " +
+        "no window); the oracle replays the same arithmetic with one " +
+        "window cumsum.",
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split_regex(text, '\s+'))::BIGINT AS t
+          FROM documents
+        ), c AS (
+          SELECT doc_id, t,
+                 SUM(t) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS e
+          FROM t WHERE t > 0
+        )
+        SELECT ((e - 1) // 512 - (e - t) // 512 + 1)::BIGINT AS n_chunks,
+               COUNT(*) AS n_docs, SUM(t)::BIGINT AS tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val B = 512
+      val toksOf = Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("t"))
+        .where(col("t") > 0)
+      // ~1024 deterministic doc_id-range buckets: the bucket width
+      // derives from max(doc_id), so the offsets stay 1024 longs at
+      // any corpus size (the driver-side piece is metadata-sized)
+      val maxId = toksOf.agg(max("doc_id")).head.getLong(0)
+      val w = maxId / 1024L + 1L
+      val bucketed = toksOf.withColumn("b", expr(s"doc_id DIV $w"))
+      val totals = bucketed.groupBy("b").agg(sum("t").as("bt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals.map(_._1)
+        .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("b", "off")
+      val win = Window.partitionBy("b").orderBy("doc_id")
+      bucketed
+        .join(broadcast(offDf), Seq("b"))
+        .withColumn("e", sum("t").over(win) + col("off"))
+        .withColumn("n_chunks",
+          expr(s"(e - 1) DIV $B - (e - t) DIV $B + 1"))
+        .groupBy("n_chunks")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("n_chunks")
     }
   )
 }

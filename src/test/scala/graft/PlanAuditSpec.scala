@@ -395,4 +395,18 @@ class PlanAuditSpec extends SparkSpec {
     val w = q("q125_dsv2_write")
     assert(w.contains("GraftDocStore"), s"q125's read-back must hit the connector:\n$w")
   }
+
+  test("q167 sequence packing: the prefix sum never collapses to one partition") {
+    val p = q("q167_sequence_packing")
+    // the cumsum window is PARTITIONED by the doc_id bucket — a global
+    // (unpartitioned) running-total window would serialize the corpus
+    // through one task, the exact shape the two-phase prefix sum avoids
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, s"expected a window operator:\n$p")
+    assert(windowLines.forall(_.contains("partitionspec")) ||
+      windowLines.forall(l => l.contains("[b#") || l.contains("b#")),
+      s"cumsum window must be partitioned by the bucket:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no stage may plan SinglePartition:\n$p")
+  }
 }
