@@ -1895,6 +1895,88 @@ object IoOps {
       import sc.implicits._
       Seq((d.getLong(2), d.getLong(4).toInt, d.getLong(5).toInt))
         .toDF("n_rows", "head_version", "n_retained")
+    },
+
+    // ------------------------------------------- MERGE full-table sync
+    Q("q168_merge_sync",
+      "MERGE as full-table synchronization — all three directions in " +
+        "one statement: WHEN MATCHED updates drifted rows, WHEN NOT " +
+        "MATCHED inserts new ones, and WHEN NOT MATCHED BY SOURCE " +
+        "deletes rows the source no longer carries (the clause that " +
+        "turns upsert into sync; Spark 4 SQL + the connector's " +
+        "row-level machinery). After the statement the table IS the " +
+        "source: the 'de' slice (absent from the source) is deleted, " +
+        "every surviving row carries the source's shifted n_chars, " +
+        "and the shifted-id copies are inserted. Same copy-on-write " +
+        "group-rewrite as q132/q133 — untouched segments are " +
+        "metadata, only groups containing affected rows rewrite.",
+      Some("""
+        WITH src AS (
+          SELECT doc_id, n_chars + 1 AS n_chars, lang
+          FROM documents WHERE lang <> 'de'
+          UNION ALL
+          SELECT doc_id + 3000000, n_chars, lang
+          FROM documents WHERE lang = 'zh')
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS chars,
+               MAX(doc_id) AS last_id
+        FROM src GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_ms")
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("sync_base")
+      sc.sql("""
+        SELECT doc_id, n_chars + 1 AS n_chars, lang, source, text
+        FROM sync_base WHERE lang <> 'de'
+        UNION ALL
+        SELECT doc_id + 3000000, n_chars, lang, source, text
+        FROM sync_base WHERE lang = 'zh'""")
+        .createOrReplaceTempView("sync_src")
+      sc.sql("""
+        MERGE INTO graft_cat_ms.default.docs t
+        USING sync_src s ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars,
+               MAX(doc_id) AS last_id
+        FROM graft_cat_ms.default.docs GROUP BY 1 ORDER BY 1""")
+    },
+
+    // ----------------------------------- grouped metadata-only aggregate
+    Q("q169_partition_agg",
+      "GROUP BY a partition column served ENTIRELY from the manifest: " +
+        "on an identity-partitioned table, the partition value IS the " +
+        "directory name, so `SELECT lang, COUNT(*), MIN(doc_id), " +
+        "MAX(n_chars), COUNT(n_chars) GROUP BY lang` folds per-" +
+        "directory from segment rows, the doc_id zone map, and the " +
+        "per-section stats envelopes — one manifest read, zero " +
+        "segment IO, complete pushdown (Spark plans no re-aggregate). " +
+        "At 100 TB this is the partition-dashboard query answering " +
+        "from the catalog instead of scanning the corpus. Same " +
+        "exactness guards as q123 per group; grouping by a non-" +
+        "partition column or a bucket level falls back to the reading " +
+        "scan (spec-pinned on executed plans). The gate pins the " +
+        "manifest-only plan in-line and compares values per language.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_id,
+               MAX(n_chars) AS max_chars, COUNT(n_chars) AS n_nonnull
+        FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val root = partitionedDocsFixture(s, dir)
+      val df = s.read.format("graft-docstore")
+        .option("path", java.nio.file.Paths.get(root, "default", "docs")
+          .toString).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_id"),
+          max("n_chars").as("max_chars"),
+          count("n_chars").as("n_nonnull"))
+        .orderBy("lang")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("manifest-only") &&
+        plan.contains("groupBy=[lang]"),
+        s"q169 must plan the grouped metadata-only aggregate:\n$plan")
+      df
     }
   )
 

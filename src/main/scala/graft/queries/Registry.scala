@@ -37,7 +37,8 @@ object Registry {
     "q159_timestamp_travel", "q160_cluster_skipping",
     "q161_check_constraints", "q162_idempotent_writes",
     "q163_binpack_optimize", "q164_cdf_timestamp",
-    "q165_stream_start_version", "q166_table_detail")
+    "q165_stream_start_version", "q166_table_detail",
+    "q168_merge_sync")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -1596,8 +1596,33 @@ class DocStoreScanBuilder(path: String,
 
   private def isDocIdName(c: String) = c == "doc_id"
 
+  private lazy val aggPartSpec = DocStorePartitioning.read(path)
+
+  /** GROUP BY columns servable from metadata: every group expression
+    * is a plain reference to an IDENTITY partition column (the value
+    * IS the directory name), and every segment exposes full partition
+    * values. Returns (column, partition-level) pairs; None = not
+    * servable as a grouped metadata aggregate. */
+  private def groupColsOf(agg: Aggregation): Option[Seq[(String, Int)]] = {
+    val cols = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        val c = r.fieldNames()(0)
+        val lvl = aggPartSpec.indexWhere {
+          case DocStorePartitioning.PIdentity(pc) => pc == c
+          case _ => false
+        }
+        if (lvl < 0) return None
+        (c, lvl)
+      case _ => return None
+    }
+    if (manifestData._1.forall(s =>
+      DocStorePartitioning.valuesOf(s.name, aggPartSpec).isDefined))
+      Some(cols)
+    else None
+  }
+
   private def aggSupported(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
+    (agg.groupByExpressions.isEmpty || groupColsOf(agg).isDefined) &&
       lo == Long.MinValue && hi == Long.MaxValue &&
       limit == Int.MaxValue &&
       !hasDeletes &&
@@ -1626,7 +1651,8 @@ class DocStoreScanBuilder(path: String,
   override def build(): Scan = {
     val (segments, dvs) = manifestData
     pushedAgg match {
-      case Some(agg) => new ManifestAggScan(segments, agg, schema)
+      case Some(agg) => new ManifestAggScan(segments, agg, schema,
+        groupColsOf(agg).getOrElse(Seq.empty), aggPartSpec)
       case None =>
         // explicit name subset first (scan scope), then partition
         // pruning (directory-level elimination from the partition
@@ -1658,13 +1684,18 @@ class DocStoreScanBuilder(path: String,
   }
 }
 
-/** The metadata-only scan a pushed-down aggregate builds: one synthetic
-  * partition carrying the answers precomputed from the manifest (zone
+/** The metadata-only scan a pushed-down aggregate builds: synthetic
+  * partitions carrying the answers precomputed from the manifest (zone
   * map for doc_id, per-section stats envelopes for other columns — the
-  * builder's guards already proved full, exact coverage). No segment
-  * file is ever opened. */
+  * builder's guards already proved full, exact coverage). With
+  * `groupCols` set (GROUP BY identity partition columns), one output
+  * row per partition value, folded from that directory's segments —
+  * `SELECT lang, COUNT(*) ... GROUP BY lang` on a lang-partitioned
+  * table is a manifest read. No segment file is ever opened. */
 class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
-    schema: StructType = DocStore.SCHEMA)
+    schema: StructType = DocStore.SCHEMA,
+    groupCols: Seq[(String, Int)] = Seq.empty,
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends Scan with Batch {
 
   private def colOf(
@@ -1676,21 +1707,32 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
     s.stats(DocStore.sectionOf(f, i))
   }
 
-  private def live = segments.filter(_.rows > 0)
+  /** (group key values, that group's segments); one all-segments group
+    * when ungrouped. SQL GROUP BY semantics fall out naturally: the
+    * null partition marker groups under a null key. */
+  private val groups: Seq[(Seq[Option[String]], Seq[DocStore.Segment])] =
+    if (groupCols.isEmpty) Seq((Seq.empty, segments))
+    else segments.groupBy { s =>
+      val vs = DocStorePartitioning.valuesOf(s.name, partSpec)
+        .getOrElse(throw new IllegalStateException(
+          s"segment ${s.name} carries no partition values for $partSpec"))
+      groupCols.map { case (_, lvl) => vs(lvl) }
+    }.toSeq.sortBy(_._1.map(_.getOrElse("")).mkString(" "))
 
-  private val values: Array[java.lang.Long] =
+  private def valuesOf(group: Seq[DocStore.Segment]): Array[java.lang.Long] = {
+    val live = group.filter(_.rows > 0)
     agg.aggregateExpressions.map {
-      case _: CountStar => java.lang.Long.valueOf(segments.map(_.rows).sum)
+      case _: CountStar => java.lang.Long.valueOf(group.map(_.rows).sum)
       case c: Count =>
         val col = colOf(c.column)
         java.lang.Long.valueOf(
-          if (col == "doc_id") segments.map(_.rows).sum
+          if (col == "doc_id") group.map(_.rows).sum
           else live.map(s => s.rows - statOf(s, col).nulls).sum)
       case m: Min =>
         val col = colOf(m.column)
         if (col == "doc_id")
-          if (segments.isEmpty) null
-          else java.lang.Long.valueOf(segments.map(_.minId).min)
+          if (group.isEmpty) null
+          else java.lang.Long.valueOf(group.map(_.minId).min)
         else {
           val los = live.flatMap(s => statOf(s, col).bound.collect {
             case DocStore.LongBound(lo, _) => lo })
@@ -1699,8 +1741,8 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
       case m: Max =>
         val col = colOf(m.column)
         if (col == "doc_id")
-          if (segments.isEmpty) null
-          else java.lang.Long.valueOf(segments.map(_.maxId).max)
+          if (group.isEmpty) null
+          else java.lang.Long.valueOf(group.map(_.maxId).max)
         else {
           val his = live.flatMap(s => statOf(s, col).bound.collect {
             case DocStore.LongBound(_, hi) => hi })
@@ -1708,33 +1750,67 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
         }
       case f => throw new IllegalStateException(s"unsupported pushed agg $f")
     }
+  }
+
+  /** Group-key strings stay raw here; the reader converts to the
+    * column's type (the pushdown contract: group columns first, then
+    * aggregate columns). */
+  private val rows: Array[ManifestAggRow] = groups.map { case (key, segs) =>
+    ManifestAggRow(key.map(_.orNull).toArray, valuesOf(segs))
+  }.toArray
+
+  private def groupField(c: String): StructField = schema(c)
 
   override def readSchema(): StructType = StructType(
-    agg.aggregateExpressions.zipWithIndex.map {
-      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
-      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
-    })
+    groupCols.map { case (c, _) =>
+      groupField(c).copy(nullable = true) } ++
+      agg.aggregateExpressions.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (_: Count, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+      })
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftDocStore manifest-only agg=[${agg.aggregateExpressions.mkString(",")}]"
+    s"GraftDocStore manifest-only agg=[${agg.aggregateExpressions.mkString(",")}]" +
+      (if (groupCols.isEmpty) ""
+      else s" groupBy=[${groupCols.map(_._1).mkString(",")}]")
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestAggPartition(values))
+    Array(ManifestAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestAggReaderFactory
+    new ManifestAggReaderFactory(
+      groupCols.map { case (c, _) => groupField(c).dataType })
 }
 
-final case class ManifestAggPartition(values: Array[java.lang.Long])
+/** One pre-folded output row: raw group-key strings (null = the null
+  * partition) + the aggregate values. */
+final case class ManifestAggRow(key: Array[String],
+    values: Array[java.lang.Long])
+
+final case class ManifestAggPartition(rows: Array[ManifestAggRow])
     extends InputPartition
 
-class ManifestAggReaderFactory extends PartitionReaderFactory {
+class ManifestAggReaderFactory(
+    keyTypes: Seq[org.apache.spark.sql.types.DataType] = Seq.empty)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var done = false
-      private val vs = p.asInstanceOf[ManifestAggPartition].values
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow =
-        new GenericInternalRow(vs.map(v =>
-          if (v == null) null else v.longValue(): Any))
+      private val rows = p.asInstanceOf[ManifestAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        val key: Array[Any] = r.key.zip(keyTypes).map {
+          case (null, _) => null
+          case (v, LongType) => v.toLong: Any
+          case (v, org.apache.spark.sql.types.IntegerType) => v.toInt: Any
+          case (v, _) => org.apache.spark.unsafe.types.UTF8String.fromString(v): Any
+        }
+        val vals: Array[Any] = r.values.map(v =>
+          if (v == null) null else v.longValue(): Any)
+        new GenericInternalRow(key ++ vals)
+      }
       override def close(): Unit = ()
     }
 }

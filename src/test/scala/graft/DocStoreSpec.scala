@@ -2014,6 +2014,44 @@ class DocStoreSpec extends SparkSpec {
     assert(dp.getLong(2) == 500)
   }
 
+  test("GROUP BY a partition column serves from the manifest; non-partition keys fall back") {
+    val root = Files.createTempDirectory("docstore_gagg").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.gacat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.gacat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("ga_src")
+    sc.sql("CREATE NAMESPACE gacat.ns")
+    sc.sql("CREATE TABLE gacat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) PARTITIONED BY (lang)")
+    sc.sql("INSERT INTO gacat.ns.t SELECT * FROM ga_src")
+    def plan(df: DataFrame) = df.queryExecution.executedPlan.toString
+    val grouped = sc.sql("SELECT lang, COUNT(*) AS n, MIN(doc_id) AS lo, " +
+      "MAX(n_chars) AS hi, COUNT(n_chars) AS nn " +
+      "FROM gacat.ns.t GROUP BY lang ORDER BY lang")
+    assert(plan(grouped).contains("manifest-only"), plan(grouped))
+    assert(plan(grouped).contains("groupBy=[lang]"), plan(grouped))
+    val expect = docs.groupBy("lang")
+      .agg(count(lit(1)), min("doc_id"), max("n_chars"), count("n_chars"))
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(grouped.collect().map(_.toSeq).toSeq == expect)
+    // grouping by a NON-partition column cannot serve from metadata
+    val bySource = sc.sql(
+      "SELECT source, COUNT(*) FROM gacat.ns.t GROUP BY source")
+    assert(!plan(bySource).contains("manifest-only"), plan(bySource))
+    assert(bySource.count() == docs.select("source").distinct().count())
+    // ...nor can grouping by a bucket-transform partition level
+    sc.sql("CREATE TABLE gacat.ns.b (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (bucket(4, doc_id))")
+    sc.sql("INSERT INTO gacat.ns.b SELECT * FROM ga_src")
+    val byId = sc.sql(
+      "SELECT doc_id, COUNT(*) FROM gacat.ns.b GROUP BY doc_id")
+    assert(!plan(byId).contains("manifest-only"), plan(byId))
+  }
+
   test("CDC timestamp windows resolve through commit times; bounds refuse loudly") {
     val root = Files.createTempDirectory("docstore_cdcts").toString
     val sc = graft.core.Sessions.scoped(spark,
