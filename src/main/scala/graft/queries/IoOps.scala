@@ -1977,6 +1977,62 @@ object IoOps {
         plan.contains("groupBy=[lang]"),
         s"q169 must plan the grouped metadata-only aggregate:\n$plan")
       df
+    },
+
+    // ---------------------------------------------------- ANALYZE TABLE
+    Q("q170_analyze_stats",
+      "`CALL system.analyze` (Delta's ANALYZE ... COMPUTE DELTA " +
+        "STATISTICS): backfill per-segment stats envelopes on a table " +
+        "whose segments predate statistics, so data skipping and the " +
+        "metadata-aggregate path start working without rewriting a " +
+        "byte of data. One distributed scan computes per-segment " +
+        "min/max/null counts grouped by the `_segment` metadata " +
+        "column (the numbers travel, never the rows), then one " +
+        "metadata-only dataChange=false commit republishes the " +
+        "manifest with the stat lines — CDC consumers skip it. The " +
+        "gate builds a language-sliced table, strips its stat lines " +
+        "(a faithful pre-stats manifest), proves the filtered scan " +
+        "plans ALL segments, analyzes, proves it now plans ONE, and " +
+        "returns the per-language aggregate of the filtered read; " +
+        "DocStoreSpec additionally pins the rewrite flag and the " +
+        "revived metadata aggregate.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS chars
+        FROM documents WHERE lang IN ('fr', 'en', 'de') AND lang = 'en'
+        GROUP BY lang""")) { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("q170")
+      graft.core.Fs.deleteOnExit(base)
+      val root = base.resolve("root").toString
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_an" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_an.root" -> root)
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("q170_src")
+      sc.sql("CREATE NAMESPACE graft_cat_an.ns")
+      sc.sql("CREATE TABLE graft_cat_an.ns.t (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+      Seq("fr", "en", "de").foreach(l => sc.sql(
+        s"INSERT INTO graft_cat_an.ns.t SELECT * FROM q170_src " +
+          s"WHERE lang = '$l'"))
+      val tdir = java.nio.file.Paths.get(root, "ns", "t")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.write(tdir.resolve("MANIFEST"),
+        java.nio.file.Files.readAllLines(tdir.resolve("MANIFEST")).asScala
+          .filterNot(_.startsWith("S,")).mkString("\n").getBytes("UTF-8"))
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        "segments=(\\d+)/".r.findFirstMatchIn(
+          df.queryExecution.executedPlan.toString).get.group(1).toInt
+      def en = sc.sql("SELECT lang, COUNT(*) AS n_docs, " +
+        "SUM(n_chars) AS chars FROM graft_cat_an.ns.t " +
+        "WHERE lang = 'en' GROUP BY lang")
+      require(planned(en) == 3,
+        "q170: the stripped table must have nothing to prune with")
+      sc.sql("CALL graft_cat_an.system.analyze('ns.t')").collect()
+      require(planned(en) == 1,
+        "q170: analyze must revive lang data skipping")
+      en
     }
   )
 

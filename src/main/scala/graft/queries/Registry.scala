@@ -38,7 +38,7 @@ object Registry {
     "q161_check_constraints", "q162_idempotent_writes",
     "q163_binpack_optimize", "q164_cdf_timestamp",
     "q165_stream_start_version", "q166_table_detail",
-    "q168_merge_sync")
+    "q168_merge_sync", "q170_analyze_stats")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -1351,6 +1351,26 @@ class DocStoreStreamingWrite(path: String, schema: StructType,
     DocStoreCommitOps.dropStaged(path, messages)
 }
 
+object DocStoreWriterFactory {
+  /** Iceberg-style file sizing knob (`write.target-file-size-bytes`
+    * analogue): TBLPROPERTY `graft.write.max-rows-per-segment` rolls a
+    * task's segment at N rows — operational control over segment
+    * granularity (giant segments defeat zone-map/stats pruning and
+    * make single-file retries expensive; the default, one segment per
+    * task per partition value, is right until proven otherwise). */
+  val MAX_ROWS_KEY = "graft.write.max-rows-per-segment"
+
+  private[sources] def maxRowsOf(path: String): Int =
+    DocStoreCatalog.readProps(path).get(MAX_ROWS_KEY) match {
+      case Some(v) =>
+        val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"$MAX_ROWS_KEY must be a positive int, got '$v'"))
+        require(n > 0, s"$MAX_ROWS_KEY must be positive, got $n")
+        n
+      case None => Int.MaxValue
+    }
+}
+
 class DocStoreWriterFactory(path: String, schema: StructType,
     order: Array[Int], queryId: String,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
@@ -1358,9 +1378,10 @@ class DocStoreWriterFactory(path: String, schema: StructType,
   // compiled on the DRIVER (factory construction; needs the analyzer),
   // serialized to tasks as bound expressions
   private val checks = DocStoreChecks.compile(path, schema, order)
+  private val maxRows = DocStoreWriterFactory.maxRowsOf(path)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId,
-      partSpec, checks)
+      partSpec, checks, maxRows)
 }
 
 /** Named (serializable) factory — an anonymous inner class here would
@@ -1370,10 +1391,11 @@ class DocStoreStreamingWriterFactory(path: String, schema: StructType,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
     extends streaming.StreamingDataWriterFactory {
   private val checks = DocStoreChecks.compile(path, schema, order)
+  private val maxRows = DocStoreWriterFactory.maxRowsOf(path)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, schema, order, s"$queryId-e$epochId",
-      partitionId, taskId, partSpec, checks)
+      partitionId, taskId, partSpec, checks, maxRows)
 }
 
 /** One task's segment(s): rows stream into a [[DocStore.SegmentEncoder]]
@@ -1391,8 +1413,14 @@ class DocStoreDataWriter(path: String, schema: StructType,
     partitionId: Int, taskId: Long,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
-      Seq.empty)
+      Seq.empty,
+    maxRowsPerSegment: Int = Int.MaxValue)
     extends DataWriter[InternalRow] {
+
+  // segment roll-over counter per partition directory: when a segment
+  // reaches the configured row cap, subsequent rows open a fresh
+  // encoder under a bumped map key (same partition dir, new ordinal)
+  private val rollOrdinal = new java.util.HashMap[String, Integer]()
 
   // codegen'd per-row violation predicates (constraints are rare and
   // cheap; a no-check table pays one empty-array test per row)
@@ -1412,9 +1440,11 @@ class DocStoreDataWriter(path: String, schema: StructType,
       (f.dataType, DocStore.sectionOf(f, i) - 5) }
   private val nExtraSections =
     if (extraFields.isEmpty) 0 else extraFields.map(_._2).max + 1
-  // insertion-ordered: staged-file ordinals stay deterministic per task
+  // insertion-ordered: staged-file ordinals stay deterministic per
+  // task. Key = partition dir + roll ordinal; value keeps the bare
+  // partition dir for the commit message.
   private val encoders =
-    new java.util.LinkedHashMap[String, DocStore.SegmentEncoder]()
+    new java.util.LinkedHashMap[String, (String, DocStore.SegmentEncoder)]()
   private val rowDir: InternalRow => String =
     if (partSpec.isEmpty) _ => ""
     else DocStorePartitioning.rowDirFn(partSpec, schema, order)
@@ -1432,8 +1462,16 @@ class DocStoreDataWriter(path: String, schema: StructType,
           "job fails and its staged segments are aborted")
       ci += 1
     }
-    val enc = encoders.computeIfAbsent(rowDir(r),
-      _ => new DocStore.SegmentEncoder(nExtraSections))
+    val dirKey = rowDir(r)
+    val ord = rollOrdinal.getOrDefault(dirKey, 0)
+    var enc = encoders.computeIfAbsent(s"$dirKey\u0000$ord",
+      _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections)))._2
+    if (enc.rows >= maxRowsPerSegment) { // roll to a fresh segment
+      val next = ord + 1
+      rollOrdinal.put(dirKey, next)
+      enc = encoders.computeIfAbsent(s"$dirKey\u0000$next",
+        _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections)))._2
+    }
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
     val extras: Array[AnyRef] =
@@ -1466,7 +1504,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
     Files.createDirectories(Paths.get(path))
     import scala.jdk.CollectionConverters._
     val parts = encoders.asScala.toSeq.zipWithIndex.map {
-      case ((dir, enc), k) =>
+      case ((_, (dir, enc)), k) =>
         val bytes =
           if (enc.rows == 0) 0L
           else enc.writeTo(Paths.get(path).resolve(tmpName(k)))
@@ -1717,7 +1755,7 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
         .getOrElse(throw new IllegalStateException(
           s"segment ${s.name} carries no partition values for $partSpec"))
       groupCols.map { case (_, lvl) => vs(lvl) }
-    }.toSeq.sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+    }.toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
 
   private def valuesOf(group: Seq[DocStore.Segment]): Array[java.lang.Long] = {
     val live = group.filter(_.rows > 0)

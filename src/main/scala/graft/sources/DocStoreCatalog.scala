@@ -128,6 +128,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     (ident.namespace().toSeq, ident.name().toLowerCase) match {
       case (Seq("system"), "vacuum") => new VacuumProcedure(this)
+      case (Seq("system"), "analyze") => new AnalyzeProcedure(this)
       case (Seq("system"), "detail") => new DetailProcedure(this)
       case (Seq("system"), "history") => new HistoryProcedure(this)
       case (Seq("system"), "restore") => new RestoreProcedure(this)

@@ -61,7 +61,11 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     "physically delete segment files unreferenced by the current " +
       "manifest and reset version history to the current state"
   override def parameters(): Array[ProcedureParameter] =
-    Array(ProcedureParameter.in("table", StringType).build())
+    Array(ProcedureParameter.in("table", StringType).build(),
+      // Delta's VACUUM DRY RUN: report what WOULD be reclaimed —
+      // same walk, no delete, no history reset
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())
 
   private val SCHEMA = StructType(Seq(
     StructField("deleted_files", LongType, nullable = false),
@@ -69,6 +73,7 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val dryRun = input.getBoolean(1)
     var files = 0L
     var bytes = 0L
     DocStoreCommitOps.withCommitLock(dir.toString) {
@@ -89,13 +94,15 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         finally stream.close()
       dead.foreach { p =>
         bytes += Files.size(p)
-        Files.delete(p)
+        if (!dryRun) Files.delete(p)
         files += 1
       }
-      // old versions reference the deleted files → reset history to a
-      // single snapshot of the current state (same rule as truncate)
-      DocStoreCommitOps.clearVersions(dir.toString)
-      Files.copy(dir.resolve("MANIFEST"), dir.resolve("MANIFEST.v1"))
+      if (!dryRun) {
+        // old versions reference the deleted files → reset history to a
+        // single snapshot of the current state (same rule as truncate)
+        DocStoreCommitOps.clearVersions(dir.toString)
+        Files.copy(dir.resolve("MANIFEST"), dir.resolve("MANIFEST.v1"))
+      }
     }
     result(SCHEMA, Seq(new GenericInternalRow(Array[Any](files, bytes))))
   }
@@ -564,6 +571,100 @@ class DetailProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       times.size.toLong,
       UTF8String.fromString(parts),
       UTF8String.fromString(props)))))
+  }
+}
+
+/** `CALL cat.system.analyze('ns.t')` — Delta's ANALYZE ... COMPUTE
+  * DELTA STATISTICS: backfill the per-segment stats envelopes on
+  * segments written before stats existed (or whose stats were lost),
+  * so data skipping and the metadata-aggregate path work on old
+  * tables. One distributed scan groups by the `_segment` metadata
+  * column (per-segment min/max/null counts computed where the data
+  * lives; only segments × columns numbers reach the driver), then one
+  * metadata-only `dataChange=false` commit republishes the manifest
+  * with the stat lines — CDC consumers skip it, history is preserved.
+  * The same envelope rules as the write path: longs exact; strings
+  * only when every value is ASCII <= 64 bytes. Stats are computed
+  * through the READ (deletion vectors applied), which only narrows
+  * envelopes toward the surviving rows — always sound. */
+class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "analyze"
+  override def description(): String =
+    "backfill per-segment column statistics (data skipping) via one " +
+      "distributed scan and a metadata-only commit"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("n_segments", LongType, nullable = false),
+    StructField("n_columns", LongType, nullable = false),
+    StructField("new_version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions._
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val path = dir.toString
+    val s = org.apache.spark.sql.SparkSession.active
+    val tbl = DocStore.tableSchema(path)
+    // every non-id column, with its physical section id
+    val statCols = tbl.fields.zipWithIndex.drop(1).map { case (f, i) =>
+      (f, DocStore.sectionOf(f, i)) }
+    val df = s.read.format("graft-docstore").option("path", path).load()
+      .select(col("_segment") +: tbl.fieldNames.map(col).toSeq: _*)
+    val aggs = statCols.flatMap { case (f, sec) =>
+      val c = col(f.name)
+      val isLong = f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType
+      Seq(count(when(c.isNull, 1)).as(s"nulls_$sec")) ++
+        (if (isLong) Seq(
+          min(c.cast("long")).as(s"lo_$sec"),
+          max(c.cast("long")).as(s"hi_$sec"))
+        else Seq(
+          min(c).as(s"lo_$sec"), max(c).as(s"hi_$sec"),
+          // envelope poison flags, same rules as the write path
+          max(length(c)).as(s"len_$sec"),
+          max(when(c.rlike("[^\\x00-\\x7F]"), 1).otherwise(0))
+            .as(s"na_$sec")))
+    }
+    val computed = df.groupBy(col("_segment"))
+      .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+      val stats = statCols.map { case (f, sec) =>
+        val nulls = r.getLong(r.fieldIndex(s"nulls_$sec"))
+        val isLong = f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType
+        val bound: Option[DocStore.StatBound] =
+          if (isLong) {
+            if (r.isNullAt(r.fieldIndex(s"lo_$sec"))) None
+            else Some(DocStore.LongBound(
+              r.getLong(r.fieldIndex(s"lo_$sec")),
+              r.getLong(r.fieldIndex(s"hi_$sec"))))
+          } else {
+            if (r.isNullAt(r.fieldIndex(s"lo_$sec"))) None
+            else if (r.getInt(r.fieldIndex(s"len_$sec")) > 64 ||
+              r.getInt(r.fieldIndex(s"na_$sec")) == 1) None
+            else Some(DocStore.StrBound(
+              r.getString(r.fieldIndex(s"lo_$sec")),
+              r.getString(r.fieldIndex(s"hi_$sec"))))
+          }
+        sec -> DocStore.ColStat(nulls, bound)
+      }.toMap
+      r.getString(0) -> stats
+    }.toMap
+    var newV = 0L
+    var nSegs = 0L
+    DocStoreCommitOps.withCommitLock(path) {
+      // attach to the CURRENT manifest's segments by name: anything
+      // rewritten since the scan keeps its own (fresher) stats
+      val (segs, dvs) = DocStore.readManifestAndDeletes(path)
+      val updated = segs.map(seg => computed.get(seg.name) match {
+        case Some(st) => nSegs += 1; seg.copy(stats = st)
+        case None => seg
+      })
+      newV = DocStoreCommitOps.writeManifest(path, updated, "analyze",
+        deletes = dvs, rewrite = true)
+    }
+    result(SCHEMA, Seq(new GenericInternalRow(
+      Array[Any](nSegs, statCols.length.toLong, newV))))
   }
 }
 

@@ -2014,6 +2014,110 @@ class DocStoreSpec extends SparkSpec {
     assert(dp.getLong(2) == 500)
   }
 
+  test("system.analyze backfills stats on a pre-stats table; pruning and agg serve after") {
+    val root = Files.createTempDirectory("docstore_analyze").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.ancat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.ancat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("an_src")
+    sc.sql("CREATE NAMESPACE ancat.ns")
+    sc.sql("CREATE TABLE ancat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    Seq("fr", "en", "de").foreach(l => sc.sql(
+      s"INSERT INTO ancat.ns.t SELECT * FROM an_src WHERE lang = '$l'"))
+    // simulate a pre-stats table: strip the S, lines from the manifest
+    val tdir = java.nio.file.Paths.get(root, "ns", "t")
+    import scala.jdk.CollectionConverters._
+    Files.write(tdir.resolve("MANIFEST"),
+      Files.readAllLines(tdir.resolve("MANIFEST")).asScala
+        .filterNot(_.startsWith("S,")).mkString("\n").getBytes("UTF-8"))
+    def en = sc.sql("SELECT * FROM ancat.ns.t WHERE lang = 'en'")
+    assert(plannedOf(en) == ((3, 3)), physical(en)) // nothing to prune with
+    val expect = en.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val r = sc.sql("CALL ancat.system.analyze('ns.t')").head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4, r.toString)
+    assert(graft.sources.DocStoreCommitOps.isRewriteCommit(
+      tdir.toString, r.getLong(2))) // metadata-only, CDC skips it
+    // data skipping works now, values identical
+    assert(plannedOf(en) == ((1, 3)), physical(en))
+    assert(en.orderBy("doc_id").collect().map(_.toSeq).toSeq == expect)
+    // ...and the stats-backed metadata aggregate serves again
+    val agg = sc.sql(
+      "SELECT MIN(n_chars), MAX(n_chars), COUNT(n_chars) FROM ancat.ns.t")
+    assert(agg.queryExecution.executedPlan.toString.contains("manifest-only"))
+    assert(agg.head.toSeq == docs.where(col("lang").isin("fr", "en", "de"))
+      .agg(min("n_chars"), max("n_chars"), count("n_chars")).head.toSeq)
+  }
+
+  test("vacuum dry_run reports reclaimable files without touching them") {
+    val root = Files.createTempDirectory("docstore_dryrun").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.drcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.drcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("dr_src")
+    sc.sql("CREATE NAMESPACE drcat.ns")
+    sc.sql("CREATE TABLE drcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO drcat.ns.t SELECT * FROM dr_src")
+    sc.sql("UPDATE drcat.ns.t SET lang = 'zz' WHERE doc_id < 50") // CoW: retained file
+    val tdir = java.nio.file.Paths.get(root, "ns", "t")
+    def gds = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(tdir)
+      try st.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".gds")) finally st.close()
+    }
+    val before = gds
+    val dry = sc.sql("CALL drcat.system.vacuum('ns.t', true)").head
+    assert(dry.getLong(0) > 0 && dry.getLong(1) > 0, dry.toString)
+    // nothing deleted, history intact (time travel still works)
+    assert(gds == before)
+    assert(sc.sql("SELECT COUNT(*) FROM drcat.ns.t VERSION AS OF 1")
+      .head.getLong(0) == 500)
+    // the real vacuum reclaims exactly what the dry run promised
+    val real = sc.sql("CALL drcat.system.vacuum('ns.t')").head
+    assert(real.getLong(0) == dry.getLong(0) &&
+      real.getLong(1) == dry.getLong(1))
+    assert(gds == before - dry.getLong(0))
+  }
+
+  test("graft.write.max-rows-per-segment rolls segments at the cap") {
+    val root = Files.createTempDirectory("docstore_maxrows").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.mrcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.mrcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("mr_src")
+    sc.sql("CREATE NAMESPACE mrcat.ns")
+    sc.sql("CREATE TABLE mrcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.write.max-rows-per-segment' = '100')")
+    sc.sql("INSERT INTO mrcat.ns.t SELECT * FROM mr_src") // 500 rows, 1 task
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val segs = DocStore.readManifest(tdir)
+    assert(segs.size == 5, segs.map(s => s.name -> s.rows))
+    assert(segs.forall(_.rows <= 100), segs.map(_.rows))
+    // content unharmed, and each rolled segment carries its own stats
+    assert(sc.sql("SELECT COUNT(*), SUM(n_chars) FROM mrcat.ns.t")
+      .head.toSeq == docs.agg(count(lit(1)), sum("n_chars")).head.toSeq)
+    assert(segs.forall(_.stats.nonEmpty))
+    // a bad value refuses at write time
+    sc.sql("CREATE TABLE mrcat.ns.bad (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.write.max-rows-per-segment' = '0')")
+    assert(intercept[Exception] {
+      sc.sql("INSERT INTO mrcat.ns.bad SELECT * FROM mr_src LIMIT 1")
+    }.getMessage.contains("positive"))
+  }
+
   test("GROUP BY a partition column serves from the manifest; non-partition keys fall back") {
     val root = Files.createTempDirectory("docstore_gagg").toString
     val sc = graft.core.Sessions.scoped(spark,
