@@ -1952,9 +1952,12 @@ class DocStoreScan(path: String, schema: StructType,
     * first hit by the CDF's (_segment, _pos) broadcast join. Declining
     * merely skips best-effort runtime pruning for that scan. */
   override def filterAttributes(): Array[NamedReference] =
-    if (required.fieldNames.contains("doc_id"))
-      Array(Expressions.column("doc_id"))
-    else Array.empty
+    // every PROJECTED table column: doc_id prunes via the zone map,
+    // the rest via their stats envelopes (a join keyed on lang prunes
+    // whole segments at runtime once the build side's key set is
+    // known). Projected-only, per the resolve caveat above.
+    required.fieldNames.filter(schema.fieldNames.contains)
+      .map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
     var kept = runtimeSurviving
@@ -1963,8 +1966,12 @@ class DocStoreScan(path: String, schema: StructType,
         val ids = vs.collect { case n: java.lang.Number => n.longValue() }
         kept = kept.filter(s =>
           ids.exists(id => id >= s.minId && id <= s.maxId))
-      case _ => () // unrecognized runtime filters are safely ignored
+      case _ => () // non-id filters prune via the stats envelopes below
     }
+    // sound best-effort stats pruning for runtime IN/equality filters
+    // on non-id columns — the same three-tier proofs the plan-time
+    // path uses (unknown filters and absent envelopes keep)
+    kept = kept.filter(DocStore.statsPruner(schema, filters))
     // Under active key-grouped reporting, Spark REFUSES a scan whose
     // partition-value set changed across runtime filtering (the join's
     // group layout is already fixed). Pruning may shrink groups but

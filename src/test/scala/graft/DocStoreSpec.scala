@@ -2014,6 +2014,29 @@ class DocStoreSpec extends SparkSpec {
     assert(dp.getLong(2) == 500)
   }
 
+  test("runtime filtering prunes segments via stats envelopes on non-id join keys") {
+    val tmp = Files.createTempDirectory("docstore_rtstats").toString
+    Seq("fr", "en", "de", "zh").foreach(l =>
+      docs.where(col("lang") === l).coalesce(1).write
+        .format("graft-docstore").option("path", tmp)
+        .mode("append").save())
+    def store = spark.read.format("graft-docstore").option("path", tmp).load()
+    def dim = docs.select(col("lang").as("dim_lang")).distinct()
+      .where(col("dim_lang").isin("en", "zh"))
+    graft.sources.DocStoreScan.lastRuntimePlanned = -1
+    val joined = store.join(broadcast(dim), col("lang") === col("dim_lang"))
+      .agg(count(lit(1)), sum("n_chars"))
+    val row = joined.collect()(0)
+    val planned = graft.sources.DocStoreScan.lastRuntimePlanned
+    assert(planned == 2,
+      s"expected the lang stats envelopes to keep exactly the en/zh " +
+        s"segments, planned=$planned\n" +
+        joined.queryExecution.executedPlan.toString)
+    val expect = docs.where(col("lang").isin("en", "zh"))
+      .agg(count(lit(1)), sum("n_chars")).collect()(0)
+    assert(row.toSeq == expect.toSeq)
+  }
+
   test("system.analyze backfills stats on a pre-stats table; pruning and agg serve after") {
     val root = Files.createTempDirectory("docstore_analyze").toString
     val sc = graft.core.Sessions.scoped(spark,
