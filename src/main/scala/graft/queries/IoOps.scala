@@ -2033,6 +2033,66 @@ object IoOps {
       require(planned(en) == 1,
         "q170: analyze must revive lang data skipping")
       en
+    },
+
+    // --------------------------------------------- metadata tables
+    Q("q171_meta_tables",
+      "Iceberg-style metadata tables: `SELECT ... FROM cat.ns.t." +
+        "files/.history/.partitions` serve the table's own metadata " +
+        "as read-only RELATIONS — the SQL face of system.history/" +
+        "detail, composable with WHERE, joins, and aggregation like " +
+        "any table. Everything is manifest-derived (one read plus the " +
+        "version listing): zero segment IO at any table size — the " +
+        "operational dashboards a 100 TB lake lives on (file-size " +
+        "histograms, per-partition rollups, commit timelines) cost " +
+        "a catalog lookup, not a scan. The gate reads the partition " +
+        "rollup of the lang-partitioned fixture and re-derives " +
+        "per-language row counts from the `lang=<v>` identifiers; " +
+        "the oracle aggregates the raw documents. DocStoreSpec pins " +
+        "files/history parity with the procedures, the unknown-" +
+        "suffix refusal, and the unpartitioned-table refusal.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_rows
+        FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val root = partitionedDocsFixture(s, dir)
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_mt" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_mt.root" -> root)
+      sc.sql("""
+        SELECT substring(partition, 6) AS lang, n_rows
+        FROM graft_cat_mt.default.docs.partitions
+        ORDER BY lang""")
+    },
+
+    // ------------------------------------------------------ row lineage
+    Q("q172_row_lineage",
+      "Row lineage via the `_commit_version` metadata column (Delta " +
+        "row tracking's provenance face): every row reports the " +
+        "earliest retained version whose manifest carries its " +
+        "segment — the ingest commit that produced it. Resolution is " +
+        "a one-time ascending walk over the retained snapshots, done " +
+        "ONLY when the column is selected, and costs no row IO (the " +
+        "value is constant per segment, stamped by the reader). " +
+        "'Which ingest batch produced these rows' — the provenance " +
+        "question behind every data-quality incident — becomes a " +
+        "GROUP BY instead of a log archaeology session. The gate " +
+        "groups the 4-commit fixture by lineage and checks each " +
+        "commit's doc_id slice arithmetically; DocStoreSpec " +
+        "additionally pins lineage rewrite under compaction and the " +
+        "null lineage of branch-staged rows.",
+      Some("""
+        SELECT CASE WHEN doc_id <= 124 THEN 1 WHEN doc_id <= 249 THEN 2
+                    WHEN doc_id <= 374 THEN 3 ELSE 4 END::BIGINT
+                 AS commit_version,
+               COUNT(*) AS n_rows, SUM(n_chars)::BIGINT AS chars
+        FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_ln")
+      sc.sql("""
+        SELECT _commit_version AS commit_version,
+               COUNT(*) AS n_rows, SUM(n_chars) AS chars
+        FROM graft_cat_ln.default.docs
+        GROUP BY 1 ORDER BY 1""")
     }
   )
 

@@ -720,12 +720,29 @@ object PosMetadataColumn
   override def comment(): String = "row ordinal within its segment"
 }
 
+/** `_commit_version`: row lineage — the earliest RETAINED version
+  * whose manifest carries the row's segment, i.e. the ingest commit
+  * that produced it (as far back as retention can see; expiry can only
+  * raise it). Null on a branch face (staged segments precede any
+  * published version). Resolution is a one-time metadata walk over the
+  * retained snapshots, done only when the column is selected. */
+object CommitVersionMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val NAME = "_commit_version"
+  override def name(): String = NAME
+  override def dataType(): org.apache.spark.sql.types.DataType = LongType
+  override def isNullable: Boolean = true
+  override def comment(): String =
+    "earliest retained version containing this row's segment"
+}
+
 class DocStoreTable(path: String, manifest: String = "MANIFEST")
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def metadataColumns():
       Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(SegmentMetadataColumn, PosMetadataColumn)
+    Array(SegmentMetadataColumn, PosMetadataColumn,
+      CommitVersionMetadataColumn)
   override def name(): String =
     s"graft-docstore(`$path`)" +
       (if (manifest == "MANIFEST") "" else s"@$manifest")
@@ -2025,7 +2042,8 @@ class DocStoreScan(path: String, schema: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocStoreReaderFactory(schema, required, lo, hi, limit)
+    new DocStoreReaderFactory(schema, required, lo, hi, limit,
+      DocStoreScan.birthVersions(path, required))
 
   /** Post-prune totals from the manifest: the optimizer sees the pruned
     * scan's size, not the raw table's. Rows are pre-residual-filter
@@ -2049,6 +2067,24 @@ object DocStoreScan {
     * runtime-filter call (DocStoreSpec asserts dynamic pruning actually
     * fired; production behavior never reads it). */
   @volatile var lastRuntimePlanned: Int = -1
+
+  /** segment name -> earliest retained version containing it, for the
+    * `_commit_version` lineage column. Computed ONLY when the column
+    * is actually selected: one ascending walk over the retained
+    * snapshots (metadata-sized — V manifest reads, no segment IO).
+    * Branch-staged segments appear in no snapshot and read null. */
+  private[sources] def birthVersions(path: String,
+      required: StructType): Map[String, Long] = {
+    if (!required.fieldNames.contains(CommitVersionMetadataColumn.NAME))
+      return Map.empty
+    val m = scala.collection.mutable.HashMap[String, Long]()
+    DocStoreCommitOps.versionTimes(path).map(_._1).foreach { v =>
+      DocStore.readManifest(path, s"MANIFEST.v$v").foreach { s =>
+        if (!m.contains(s.name)) m(s.name) = v
+      }
+    }
+    m.toMap
+  }
 }
 
 /** `deleted`: the segment's sorted merge-on-read deletion-vector
@@ -2083,11 +2119,17 @@ final case class DocStoreKeyedPartition(file: String,
 
 class DocStoreReaderFactory(schema: StructType, required: StructType,
     lo: Long, hi: Long,
-    limit: Int) extends PartitionReaderFactory {
+    limit: Int,
+    birthVersions: Map[String, Long] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DocStoreSegmentPartition]
+    val key =
+      if (part.segName.nonEmpty) part.segName
+      else Paths.get(part.file).getFileName.toString
     new DocStoreReader(part.file, schema, required, lo, hi, limit,
-      part.deleted, part.segName)
+      part.deleted, part.segName,
+      birthVersions.get(key).map(java.lang.Long.valueOf).orNull)
   }
 }
 
@@ -2102,7 +2144,8 @@ class DocStoreReaderFactory(schema: StructType, required: StructType,
 class DocStoreReader(file: String, schema: StructType,
     required: StructType, lo: Long, hi: Long,
     limit: Int, deleted: Array[Long] = Array.empty,
-    segName: String = "")
+    segName: String = "",
+    birthVersion: java.lang.Long = null)
     extends PartitionReader[InternalRow] {
 
   private val fieldIdx = schema.fieldNames.zipWithIndex.toMap
@@ -2196,6 +2239,7 @@ class DocStoreReader(file: String, schema: StructType,
         fieldIdx.get(f).map(secOf).getOrElse(f match {
           case PosMetadataColumn.NAME => -2
           case SegmentMetadataColumn.NAME => -1
+          case CommitVersionMetadataColumn.NAME => -3
           case other => throw new IllegalStateException(
             s"docstore reader asked for unknown column '$other' " +
               s"(table schema: ${schema.fieldNames.mkString(",")})")
@@ -2211,7 +2255,9 @@ class DocStoreReader(file: String, schema: StructType,
           (longs(0)(i) >= lo && longs(0)(i) <= hi))
         .map { i =>
           val vals = outIdx.map { ci =>
-            if (ci == -2) i.toLong: Any
+            if (ci == -3) (if (birthVersion == null) null
+              else birthVersion.longValue()): Any
+            else if (ci == -2) i.toLong: Any
             else if (ci < 0) segNameUtf
             else if (ci >= nSect) null // pre-evolution segment: null-pad
             else if (ci < 2) {

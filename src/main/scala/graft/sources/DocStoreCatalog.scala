@@ -181,7 +181,19 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // Iceberg-style metadata tables: `SELECT * FROM cat.ns.t.files`
+      // parses as identifier [ns, t].files — serve the parent table's
+      // metadata as a read-only relation when the suffix names one
+      if (ident.namespace().nonEmpty &&
+          DocStoreMetaTables.KINDS(ident.name())) {
+        val parent = Identifier.of(ident.namespace().init,
+          ident.namespace().last)
+        if (tableExists(parent))
+          return new DocStoreMetaTable(dirOf(parent).toString, ident.name())
+      }
+      throw new NoSuchTableException(ident)
+    }
     val dir = dirOf(ident).toString
     // write-audit-publish: with spark.graft.wap.branch set, every load
     // of a docstore table resolves to that branch's face — writes stage

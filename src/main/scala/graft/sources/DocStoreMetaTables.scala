@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style metadata tables: `SELECT * FROM cat.ns.t.files` /
+  * `.history` / `.partitions` serve the table's own metadata as
+  * read-only relations — the SQL face of what `CALL system.history` /
+  * `system.detail` expose procedurally, composable with joins, WHERE,
+  * and aggregation like any other table. Everything is manifest-
+  * derived (one read, plus the version listing for history): zero
+  * segment IO at any table size.
+  *
+  *  - `files`: one row per LIVE segment — name, rows (DV-adjusted),
+  *    doc_id span, bytes, deletion-vector count, partition values.
+  *  - `history`: the retained version log with commit instants (the
+  *    same rows as CALL system.history).
+  *  - `partitions`: per-partition-directory rollup — identifier,
+  *    segment/row/byte totals (DV-adjusted).
+  */
+object DocStoreMetaTables {
+  val KINDS: Set[String] = Set("files", "history", "partitions")
+}
+
+class DocStoreMetaTable(path: String, kind: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-docstore(`$path`).$kind"
+
+  override def schema(): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("min_doc_id", LongType, nullable = false),
+      StructField("max_doc_id", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("n_deleted", LongType, nullable = false),
+      StructField("partition", StringType, nullable = true)))
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false)))
+    case _ => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  private def rows(): Array[InternalRow] = {
+    val (segs, dvs) = DocStore.readManifestAndDeletes(path)
+    def dvCount(name: String): Long =
+      dvs.get(name).map(_.length.toLong).getOrElse(0L)
+    kind match {
+      case "files" =>
+        val spec = DocStorePartitioning.read(path)
+        segs.map { s =>
+          val part = s.name.lastIndexOf('/') match {
+            case -1 => null
+            case cut => UTF8String.fromString(s.name.substring(0, cut))
+          }
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(s.name), s.rows - dvCount(s.name),
+            s.minId, s.maxId, s.bytes, dvCount(s.name),
+            part)): InternalRow
+        }.toArray
+      case "history" =>
+        val times = DocStoreCommitOps.versionTimes(path).toMap
+        val versions = times.keys.toVector.sorted
+        val latest = versions.lastOption.getOrElse(0L)
+        versions.map { v =>
+          val (vs, vd) = DocStore.readManifestAndDeletes(path, s"MANIFEST.v$v")
+          val del = vs.map(s =>
+            vd.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
+          new GenericInternalRow(Array[Any](
+            v, vs.size.toLong, vs.map(_.rows).sum - del,
+            vs.map(_.bytes).sum, v == latest,
+            times(v) * 1000L)): InternalRow
+        }.toArray
+      case _ => // partitions
+        require(DocStorePartitioning.read(path).nonEmpty,
+          s"table at $path is not partitioned — " +
+            "the partitions metadata table has nothing to list")
+        segs.groupBy { s =>
+          s.name.lastIndexOf('/') match {
+            case -1 => ""
+            case cut => s.name.substring(0, cut)
+          }
+        }.toSeq.sortBy(_._1).map { case (part, ps) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(part), ps.size.toLong,
+            ps.map(s => s.rows - dvCount(s.name)).sum,
+            ps.map(_.bytes).sum)): InternalRow
+        }.toArray
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = DocStoreMetaTable.this.rows()
+        override def readSchema(): StructType = DocStoreMetaTable.this.schema()
+        override def description(): String = name()
+      }
+    }
+}

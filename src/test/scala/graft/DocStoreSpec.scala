@@ -2014,6 +2014,94 @@ class DocStoreSpec extends SparkSpec {
     assert(dp.getLong(2) == 500)
   }
 
+  test("_commit_version lineage column maps rows to their ingest commit") {
+    val root = Files.createTempDirectory("docstore_lineage").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.lncat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.lncat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("ln_src")
+    sc.sql("CREATE NAMESPACE lncat.ns")
+    sc.sql("CREATE TABLE lncat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    Seq((0, 99), (100, 199), (200, 100000)).foreach { case (a, b) =>
+      sc.sql(s"INSERT INTO lncat.ns.t SELECT * FROM ln_src " +
+        s"WHERE doc_id BETWEEN $a AND $b") }
+    // each insert slice carries its commit's version
+    val byV = sc.sql("SELECT _commit_version, COUNT(*), MIN(doc_id), " +
+      "MAX(doc_id) FROM lncat.ns.t GROUP BY 1 ORDER BY 1").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(byV.map(_._1).toSeq == Seq(1L, 2L, 3L), byV.toSeq)
+    assert(byV(0)._3 <= 99 && byV(1)._2 >= 100 && byV(1)._3 <= 199)
+    // a dataChange=false compaction REWRITES lineage to its own
+    // version (the segments are new files born at the optimize commit)
+    sc.sql("CALL lncat.system.optimize('ns.t', 1)").collect()
+    val after = sc.sql("SELECT DISTINCT _commit_version FROM lncat.ns.t")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(4L), after)
+    // branch-staged rows read null lineage (no published version yet)
+    sc.sql("CALL lncat.system.create_branch('ns.t', 'wip')")
+    val w = graft.core.Sessions.scoped(sc, "spark.graft.wap.branch" -> "wip")
+    w.sql("INSERT INTO lncat.ns.t SELECT doc_id + 500000, n_chars, lang, " +
+      "source, text FROM lncat.ns.t VERSION AS OF 4 WHERE doc_id < 10")
+    val nulls = w.sql("SELECT COUNT(*) FROM lncat.ns.t " +
+      "WHERE _commit_version IS NULL").head.getLong(0)
+    assert(nulls == 10, s"branch-staged rows must read null lineage: $nulls")
+    sc.sql("CALL lncat.system.drop_branch('ns.t', 'wip')")
+  }
+
+  test("metadata tables: t.files / t.history / t.partitions read as relations") {
+    val root = Files.createTempDirectory("docstore_meta").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.mtcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.mtcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("mt_src")
+    sc.sql("CREATE NAMESPACE mtcat.ns")
+    sc.sql("CREATE TABLE mtcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'copy-on-write')")
+    sc.sql("INSERT INTO mtcat.ns.t SELECT * FROM mt_src")
+    sc.sql("INSERT INTO mtcat.ns.t SELECT doc_id + 10000, n_chars, lang, " +
+      "source, text FROM mt_src WHERE lang = 'en'")
+    // files: one row per live segment, composable SQL (aggregation)
+    val files = sc.sql("SELECT SUM(n_rows), COUNT(*) FROM mtcat.ns.t.files")
+      .head
+    assert(files.getLong(0) ==
+      sc.sql("SELECT COUNT(*) FROM mtcat.ns.t").head.getLong(0))
+    assert(files.getLong(1) >= 5) // at least one segment per language
+    // partition rollup matches a real GROUP BY on the data
+    val parts = sc.sql("SELECT partition, n_rows FROM mtcat.ns.t.partitions " +
+      "ORDER BY partition").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = sc.sql("SELECT lang, COUNT(*) FROM mtcat.ns.t GROUP BY lang")
+      .collect().map(r => s"lang=${r.getString(0)}" -> r.getLong(1)).toMap
+    assert(parts == byLang, s"$parts vs $byLang")
+    // history: same facts as CALL system.history, as a relation
+    val hist = sc.sql(
+      "SELECT version, n_rows, is_current FROM mtcat.ns.t.history " +
+        "ORDER BY version").collect().map(_.toSeq)
+    val proc = sc.sql("CALL mtcat.system.history('ns.t')")
+      .select("version", "n_rows", "is_current")
+      .orderBy("version").collect().map(_.toSeq)
+    assert(hist.toSeq == proc.toSeq)
+    // an unknown suffix is still a missing table, not a meta table
+    assert(intercept[Exception] {
+      sc.sql("SELECT * FROM mtcat.ns.t.nope").collect()
+    }.getMessage.toLowerCase.contains("cannot be found"))
+    // partitions on an unpartitioned table refuses with a clear message
+    sc.sql("CREATE TABLE mtcat.ns.u (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO mtcat.ns.u SELECT * FROM mt_src LIMIT 10")
+    assert(intercept[Exception] {
+      sc.sql("SELECT * FROM mtcat.ns.u.partitions").collect()
+    }.getMessage.contains("not partitioned"))
+  }
+
   test("runtime filtering prunes segments via stats envelopes on non-id join keys") {
     val tmp = Files.createTempDirectory("docstore_rtstats").toString
     Seq("fr", "en", "de", "zh").foreach(l =>
