@@ -401,7 +401,13 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
       "the segment files only they referenced"
   override def parameters(): Array[ProcedureParameter] =
     Array(ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("keep_last", LongType).build())
+      ProcedureParameter.in("keep_last", LongType).build(),
+      // Iceberg's primary retention form: expire versions committed
+      // BEFORE this instant (epoch millis or ISO-8601), with
+      // keep_last as the floor — the newest keep_last versions
+      // survive regardless of age. '' = count-only retention.
+      ProcedureParameter.in("older_than", StringType)
+        .defaultValue("''").build())
 
   private val SCHEMA = StructType(Seq(
     StructField("expired_versions", LongType, nullable = false),
@@ -412,19 +418,25 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
     val dir = tableDir(catalog, input.getUTF8String(0).toString)
     val keep = input.getLong(1)
     require(keep >= 1, s"keep_last must be >= 1, got $keep")
+    val olderThan = Option(input.getUTF8String(2)).map(_.toString.trim)
+      .filter(_.nonEmpty).map(DocStoreCommitOps.parseCdcInstant)
     var expired = 0L
     var files = 0L
     var bytes = 0L
     DocStoreCommitOps.withCommitLock(dir.toString) {
-      val stream = Files.list(dir)
-      val versions =
-        try stream.iterator().asScala
-          .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
-            .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
-          .toVector.sorted
-        finally stream.close()
-      if (versions.size > keep) {
-        val (drop, kept) = versions.splitAt(versions.size - keep.toInt)
+      val times = DocStoreCommitOps.versionTimes(dir.toString)
+      val versions = times.map(_._1).toVector
+      val timeOf = times.toMap
+      val drop = olderThan match {
+        case Some(cut) =>
+          val floor = versions.takeRight(keep.toInt).toSet
+          versions.filter(v => timeOf(v) < cut && !floor(v))
+        case None =>
+          if (versions.size > keep) versions.dropRight(keep.toInt)
+          else Vector.empty
+      }
+      if (drop.nonEmpty) {
+        val kept = versions.filterNot(drop.toSet)
         // a file survives if ANY kept version or the live manifest
         // references it
         val keptRefs = (kept.map(v =>

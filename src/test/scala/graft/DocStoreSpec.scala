@@ -2014,6 +2014,35 @@ class DocStoreSpec extends SparkSpec {
     assert(dp.getLong(2) == 500)
   }
 
+  test("expire_snapshots older_than: time-based retention with a keep_last floor") {
+    val root = Files.createTempDirectory("docstore_older").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.otcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.otcat.root" -> root)
+    sc.sql("CREATE NAMESPACE otcat.ns")
+    sc.sql("CREATE TABLE otcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    (1 to 5).foreach(i => sc.sql(
+      s"INSERT INTO otcat.ns.t VALUES ($i, ${i * 10}, 'en', 's', 'x')"))
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val times = graft.sources.DocStoreCommitOps.versionTimes(tdir).toMap
+    // cut between v3 and v4: v1-v3 are older, but keep_last=3 floors
+    // the newest three, so only v1 and v2 actually expire
+    val cut = times(4L)
+    val r = sc.sql("CALL otcat.system.expire_snapshots('ns.t', 3, " +
+      s"'$cut')").head
+    assert(r.getLong(0) == 2, r.toString)
+    assert(graft.sources.DocStoreCommitOps.versionTimes(tdir)
+      .map(_._1) == Seq(3L, 4L, 5L))
+    // the ISO form resolves identically (everything older than cut is
+    // already gone, so this expires nothing)
+    val r2 = sc.sql("CALL otcat.system.expire_snapshots('ns.t', 1, " +
+      s"'${java.time.Instant.ofEpochMilli(cut)}')").head
+    assert(r2.getLong(0) == 1, r2.toString) // v3 (< cut, above the floor now)
+    assert(sc.sql("SELECT COUNT(*) FROM otcat.ns.t").head.getLong(0) == 5)
+  }
+
   test("_commit_version lineage column maps rows to their ingest commit") {
     val root = Files.createTempDirectory("docstore_lineage").toString
     val sc = graft.core.Sessions.scoped(spark,
