@@ -237,8 +237,8 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     require(target >= 1, s"target_segments must be >= 1, got $target")
     val clusterBy = Option(input.getUTF8String(2)).map(_.toString.trim)
       .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    require(clusterBy.size <= 2,
-      s"cluster_by supports at most 2 columns, got $clusterBy")
+    require(clusterBy.size <= 4,
+      s"cluster_by supports at most 4 columns, got $clusterBy")
     val smallBytes = input.getLong(3)
     require(smallBytes >= 0, s"small_bytes must be >= 0, got $smallBytes")
     val binpack = smallBytes > 0
@@ -308,32 +308,55 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
               // clustering (every segment owns one value interval)
               df.repartitionByRange(target, col(c))
                 .sortWithinPartitions(col(c), col("doc_id"))
-            case Seq(a, b) =>
-              Seq(a, b).foreach(c => require(
+            case cs =>
+              cs.foreach(c => require(
                 df.schema(c).dataType ==
                   org.apache.spark.sql.types.LongType,
-                s"2-column cluster_by needs BIGINT columns, $c is " +
+                s"multi-column cluster_by needs BIGINT columns, $c is " +
                   df.schema(c).dataType.simpleString))
               // Morton interleave of order-preserving width-bucket
               // surrogates (Delta's range_partition_id idea with
               // equal-width buckets): one tiny min/max agg job, then
-              // a fully parallel range layout on the z key
-              val mm = df.agg(
-                org.apache.spark.sql.functions.min(a),
-                org.apache.spark.sql.functions.max(a),
-                org.apache.spark.sql.functions.min(b),
-                org.apache.spark.sql.functions.max(b)).head
-              require(!mm.anyNull,
-                s"cluster_by columns $a/$b are all-null; nothing to cluster")
-              def bucket(c: String, lo: Long, hi: Long) =
+              // a fully parallel range layout on the z key. k columns
+              // share 63 key bits — 16 each for 2, 21 for 3, 15 for 4.
+              // 2 columns ride the native InterleaveBits expression,
+              // whose contract is the low 16 bits of each side; wider
+              // keys divide the 63 bits (21 for 3 columns, 15 for 4)
+              val bits = if (cs.size == 2) 16 else 63 / cs.size
+              val mmAggs = cs.flatMap(c => Seq(
+                org.apache.spark.sql.functions.min(c),
+                org.apache.spark.sql.functions.max(c)))
+              val r = df.agg(mmAggs.head, mmAggs.tail: _*).head
+              val bounds = cs.indices.map { i =>
+                require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+                  s"cluster_by column ${cs(i)} is all-null; " +
+                    "nothing to cluster")
+                (r.getLong(2 * i), r.getLong(2 * i + 1))
+              }
+              val buckets = cs.zip(bounds).map { case (c, (lo, hi)) =>
                 expr(s"CAST(width_bucket(`$c`, ${lo}L, ${hi}L + 1, " +
-                  s"65536) AS BIGINT) - 1")
-              val z = org.apache.spark.sql.graftshim.column(
-                graft.expr.InterleaveBits(
-                  org.apache.spark.sql.graftshim.expression(
-                    bucket(a, mm.getLong(0), mm.getLong(1))),
-                  org.apache.spark.sql.graftshim.expression(
-                    bucket(b, mm.getLong(2), mm.getLong(3)))))
+                  s"${1L << bits}) AS BIGINT) - 1")
+              }
+              // the 2-column key keeps the native codegen expression;
+              // wider keys compose order-preserving bit arithmetic
+              // (still whole-stage-codegen'd Column ops)
+              val z =
+                if (cs.size == 2)
+                  org.apache.spark.sql.graftshim.column(
+                    graft.expr.InterleaveBits(
+                      org.apache.spark.sql.graftshim.expression(buckets(0)),
+                      org.apache.spark.sql.graftshim.expression(buckets(1))))
+                else {
+                  import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+                  val k = cs.size
+                  (0 until bits).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+                    (acc, i) =>
+                      buckets.zipWithIndex.foldLeft(acc) { case (a2, (b, j)) =>
+                        a2.bitwiseOR(shiftleft(
+                          shiftright(b, i).bitwiseAND(lit(1L)), i * k + j))
+                      }
+                  }
+                }
               df.withColumn("__z", z)
                 .repartitionByRange(target, col("__z"))
                 .sortWithinPartitions(col("__z"))

@@ -1741,13 +1741,33 @@ class DocStoreSpec extends SparkSpec {
     sc.sql("CALL ccat.system.optimize('ns.t', 4, 'doc_id,n_chars')").collect()
     assert(plannedOf(q)._1 < 4, physical(q))
     assert(q.orderBy("doc_id").collect().map(_.toSeq).toSeq == before)
+    // 3-column z-order (composed bit-arithmetic key): values intact,
+    // and the n_chars envelopes visibly narrow vs the full range —
+    // with only 4 output segments across 3 interleaved dimensions a
+    // SPECIFIC filter's pruning is layout-dependent, but clustering
+    // quality (sub-full-range envelopes) is what the key guarantees
+    sc.sql("ALTER TABLE ccat.ns.t ADD COLUMN third BIGINT")
+    sc.sql("UPDATE ccat.ns.t SET third = doc_id % 7")
+    sc.sql("CALL ccat.system.optimize('ns.t', 4, 'doc_id,n_chars,third')")
+      .collect()
+    assert(q.orderBy("doc_id").collect().map(_.toSeq)
+      .map(_.init).toSeq == before) // third appended at the end
+    val tdir3 = java.nio.file.Paths.get(root, "ns", "t").toString
+    val segs3 = DocStore.readManifest(tdir3)
+    val widths = segs3.flatMap(_.stats.get(1)).flatMap(_.bound).collect {
+      case DocStore.LongBound(lo, hi) => hi - lo }
+    val global = docs.agg(max("n_chars").cast("long") -
+      min("n_chars").cast("long")).head.getLong(0)
+    assert(widths.nonEmpty && widths.min < (global * 9) / 10,
+      s"3-col z-order must narrow some n_chars envelope: " +
+        s"widths=$widths global=$global")
     // refusals: unknown column, arity, non-BIGINT pair members
     assert(intercept[Exception] {
       sc.sql("CALL ccat.system.optimize('ns.t', 4, 'nope')").collect()
     }.getMessage.contains("cluster_by"))
     assert(intercept[Exception] {
-      sc.sql("CALL ccat.system.optimize('ns.t', 4, 'a,b,c')").collect()
-    }.getMessage.contains("at most 2"))
+      sc.sql("CALL ccat.system.optimize('ns.t', 4, 'a,b,c,d,e')").collect()
+    }.getMessage.contains("at most 4"))
     assert(intercept[Exception] {
       sc.sql("CALL ccat.system.optimize('ns.t', 4, 'lang,source')").collect()
     }.getMessage.contains("BIGINT"))
