@@ -359,6 +359,78 @@ object WindowOps {
         .orderBy("click_id", "view_id")
     },
 
+    // -------------------------------------- stream-stream LEFT OUTER join
+    Q("q173_stream_left_join",
+      "Watermarked stream-stream LEFT OUTER interval join — q73's " +
+        "attribution shape with the unmatched clicks KEPT: a click " +
+        "with no preceding-hour view emits once the joint watermark " +
+        "proves no matching view can still arrive (Spark buffers the " +
+        "left row until then; the null-padded result is a watermark-" +
+        "driven emission, not a scan-time decision). Bounded inputs " +
+        "expose the classic trap — the final rows' null matches " +
+        "never flush because the watermark dies with the stream — so " +
+        "the gate appends a far-future sentinel pair on BOTH sides " +
+        "after the first drain (the joint watermark is the MIN across " +
+        "inputs) and drains again; sentinels are excluded from the " +
+        "compare. The sink must equal the batch LEFT interval join " +
+        "exactly — unified-model proof for outer joins, completing " +
+        "q73's inner case. view_id nulls are coalesced to -1 on both " +
+        "engines (null sort order differs).",
+      Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          date_trunc('second', ts::TIMESTAMP) AS tss
+                   FROM events)
+        SELECT c.event_id AS click_id,
+               COALESCE(v.event_id, -1) AS view_id, c.user_id
+        FROM (SELECT * FROM e WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+         AND v.tss <= c.tss AND v.tss >= c.tss - INTERVAL '1 hour'
+        ORDER BY 1, 2""")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).cast("timestamp").as("tss"))
+      val maxTs = ev.agg(max("tss")).head.getTimestamp(0)
+      streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
+        val stream = Streams.eventsStream(sc, srcDir, ev.schema)
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+            col("tss").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+            col("tss").as("view_ts"))
+          .withWatermark("view_ts", "2 hours")
+        val joined = clicks.join(views,
+          col("cu") === col("vu") &&
+            col("view_ts") <= col("click_ts") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+          .select(col("click_id"), col("view_id"),
+            col("cu").as("user_id"))
+        val q = Streams.parquetSink(joined, outDir, ckptDir).start()
+        try {
+          q.processAllAvailable()
+          // watermark-flush sentinels: one row per side, far future
+          // and 100 days apart so they can't join each other
+          import sc.implicits._
+          Seq(
+            (-1L, -1L, "click",
+              new java.sql.Timestamp(maxTs.getTime + 200L * 86400_000L)),
+            (-2L, -1L, "view",
+              new java.sql.Timestamp(maxTs.getTime + 100L * 86400_000L)))
+            .toDF("event_id", "user_id", "event_type", "tss")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+        .where(col("user_id") >= 0)
+        .select(col("click_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          col("user_id"))
+        .orderBy("click_id", "view_id")
+    },
+
     // ------------------------------------------------- conversion funnel
     Q("q83_funnel",
       "Ordered conversion funnel (view → click → purchase) per (user, " +
