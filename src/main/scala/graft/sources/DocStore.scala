@@ -770,19 +770,23 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
       // silently reading zero rows would poison every consumer.
       Option(options.get("segments")).map(
         _.split(",").map(_.trim).filter(_.nonEmpty).toSet),
-      streamStartAfter = streamStart(options))
+      streamStartSkip = streamStart(options))
 
   /** `startingVersion` / `startingTimestamp` on the PLAIN streaming
     * face (Delta's table-stream options): start the stream at the
-    * segments version v appended — i.e. resume AFTER the last segment
-    * of MANIFEST.v(v-1) — instead of replaying the whole table. A
-    * timestamp resolves like CDC's startingTimestamp (earliest
-    * version committed at or after). Returns the start-after segment
-    * name; None = full replay. Only the live manifest streams, and a
-    * checkpointed restart overrides this initial position, exactly
-    * like Delta. */
+    * segments version v appended — i.e. skip every segment already
+    * present in MANIFEST.v(v-1) — instead of replaying the whole
+    * table. A timestamp resolves like CDC's startingTimestamp
+    * (earliest version committed at or after). Returns the SKIP SET
+    * of segment names (None = full replay): a name set, not a
+    * resume-after name, because the stream's surviving list is also
+    * filter/partition/stats-pruned and the v-1 tail segment may have
+    * been pruned from it — a by-name offset would then read as a
+    * rewritten-history checkpoint and fail a perfectly valid stream.
+    * Only the live manifest streams, and a checkpointed restart
+    * overrides this initial position, exactly like Delta. */
   private def streamStart(options: CaseInsensitiveStringMap)
-      : Option[String] = {
+      : Option[Set[String]] = {
     val v = (Option(options.get("startingVersion")),
         Option(options.get("startingTimestamp"))) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
@@ -800,15 +804,14 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
       require(ver >= 1 && ver <= head + 1,
         s"startingVersion $ver is outside the table history " +
           s"(versions 1..$head; ${head + 1} = only future commits)")
-      if (ver == 1) ""
+      if (ver == 1) Set.empty[String]
       else {
         val prevSnap = s"MANIFEST.v${ver - 1}"
         require(Files.exists(Paths.get(path, prevSnap)),
           s"startingVersion $ver needs the retained snapshot " +
             s"$prevSnap, which was expired/vacuumed — choose a " +
             "version inside the retention window")
-        DocStore.readManifest(path, prevSnap)
-          .lastOption.map(_.name).getOrElse("")
+        DocStore.readManifest(path, prevSnap).map(_.name).toSet
       }
     }
   }
@@ -1231,6 +1234,10 @@ object DocStoreCommitOps {
         "^(MANIFEST\\.v|SCHEMA\\.upto-v)\\d+$"))
       .toVector.foreach(Files.delete)
     finally stream.close()
+    // the restore guard's stamp refers to the numbering this reset
+    // restarts — a stale stamp would block every restore in the new
+    // era ("version 1 <= since 5" with no archive to serve it)
+    Files.deleteIfExists(Paths.get(path, "SCHEMA_SINCE"))
   }
 
   def existingManifest(path: String): Seq[DocStore.Segment] =
@@ -1551,7 +1558,7 @@ class DocStoreScanBuilder(path: String,
     maxSegmentsPerBatch: Int = Int.MaxValue,
     manifest: String = "MANIFEST",
     segmentSubset: Option[Set[String]] = None,
-    streamStartAfter: Option[String] = None)
+    streamStartSkip: Option[Set[String]] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -1684,7 +1691,7 @@ class DocStoreScanBuilder(path: String,
       segmentSubset.isEmpty && // manifest totals are whole-table numbers
       // a streaming-only start option must reach the plain scan's
       // toBatch refusal, never be silently absorbed by the agg path
-      streamStartAfter.isEmpty &&
+      streamStartSkip.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -1734,7 +1741,7 @@ class DocStoreScanBuilder(path: String,
           .filter(statKeep)
         new DocStoreScan(path, schema, required, lo, hi, limit,
           surviving, segments.size, maxSegmentsPerBatch, dvs, partSpec,
-          streamStartAfter)
+          streamStartSkip)
     }
   }
 }
@@ -1876,13 +1883,13 @@ class DocStoreScan(path: String, schema: StructType,
     maxSegmentsPerBatch: Int = Int.MaxValue,
     dvs: Map[String, Array[Long]] = Map.empty,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
-    streamStartAfter: Option[String] = None)
+    streamStartSkip: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
-    require(streamStartAfter.isEmpty,
+    require(streamStartSkip.isEmpty,
       "startingVersion/startingTimestamp are STREAMING options on a " +
         "plain docstore read — batch time travel is VERSION AS OF / " +
         "TIMESTAMP AS OF (or the readChangeFeed window)")
@@ -2021,7 +2028,7 @@ class DocStoreScan(path: String, schema: StructType,
     * indices, don't shift. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new DocStoreMicroBatchStream(path, schema, surviving, required, lo, hi,
-      maxSegmentsPerBatch, dvs, streamStartAfter.getOrElse(""))
+      maxSegmentsPerBatch, dvs, streamStartSkip.getOrElse(Set.empty))
 
   /** Shown in EXPLAIN — the audit surface DocStoreSpec asserts on. */
   override def description(): String =
@@ -2311,7 +2318,7 @@ class DocStoreMicroBatchStream(path: String, schema: StructType,
     surviving: Seq[DocStore.Segment], required: StructType,
     lo: Long, hi: Long, maxPerBatch: Int,
     dvs: Map[String, Array[Long]] = Map.empty,
-    startAfter: String = "")
+    startSkip: Set[String] = Set.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -2349,11 +2356,15 @@ class DocStoreMicroBatchStream(path: String, schema: StructType,
     DocStoreOffset(if (n <= 0) "" else surviving(n - 1).name)
 
   /** The startingVersion/startingTimestamp entry point: a fresh
-    * stream (no checkpoint) resumes AFTER the configured segment —
-    * the same "after name" shape checkpoints use, so the idx()
-    * resolution (including the loud missing-name failure when
-    * history was rewritten underneath) applies identically. */
-  override def initialOffset(): Offset = DocStoreOffset(startAfter)
+    * stream (no checkpoint) starts after the leading run of surviving
+    * segments that were already present at the requested version.
+    * Skip-by-NAME-SET, not resume-after-name: the surviving list is
+    * pruned by filters/partitions/stats, so the v-1 tail segment may
+    * legitimately be absent — which a by-name offset would misread as
+    * a rewritten-history checkpoint. The skip names form a manifest-
+    * order PREFIX (appends extend the tail), so takeWhile is exact. */
+  override def initialOffset(): Offset =
+    offsetAt(surviving.takeWhile(s => startSkip(s.name)).size)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

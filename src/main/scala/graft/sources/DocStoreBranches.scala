@@ -109,8 +109,14 @@ object DocStoreBranches {
           "Re-create the branch from the current state and replay.")
       val (segs, dvs) =
         DocStore.readManifestAndDeletes(path, manifestName(name))
+      // transaction versions recorded by idempotent writes STAGED ON
+      // THE BRANCH must survive the fast-forward — dropping them would
+      // let a post-publish retry of the same (appId, version) land its
+      // rows a second time, the exact duplicate txns exist to prevent
+      val branchTxns = DocStore.readTxns(path, manifestName(name))
       val v = DocStoreCommitOps.writeManifest(path, segs,
-        s"publish-$name-${java.util.UUID.randomUUID()}", dvs)
+        s"publish-$name-${java.util.UUID.randomUUID()}", dvs,
+        newTxns = branchTxns)
       Files.delete(dir.resolve(refFile(name)))
       Files.delete(dir.resolve(manifestName(name)))
       v

@@ -352,6 +352,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         case p: TableChange.RemoveProperty => p.property() }.toSet
       if (setProps.nonEmpty || unsetProps.nonEmpty) {
         DocStoreChecks.validate(cur, setProps)
+        DocStoreChecks.verifyExisting(dir, setProps)
         DocStoreCatalog.updateProps(dirOf(ident), setProps, unsetProps)
       }
       val schemaChanges = changes.filter {

@@ -111,13 +111,26 @@ class DocStoreCdcTable(path: String, startingVersion: Long,
               require(startingVersion <= head + 1,
                 s"startingVersion $startingVersion is beyond table " +
                   s"head $head (+1)")
+              // an inverted window is a consumer bug, never an empty
+              // feed — a typo'd window reading zero rows would be
+              // mistaken for "no changes" (Delta refuses too)
+              require(startingVersion <= to,
+                s"startingVersion $startingVersion is greater than " +
+                  s"endingVersion $to — inverted CDF window")
               DocStoreCdcPlanner.planVersions(path, from, to)
             }
             override def createReaderFactory(): PartitionReaderFactory =
               new DocStoreCdcReaderFactory(base)
           }
-        override def toMicroBatchStream(loc: String): MicroBatchStream =
+        override def toMicroBatchStream(loc: String): MicroBatchStream = {
+          // a stream has no end: silently ignoring a requested upper
+          // bound would deliver out-of-window changes forever
+          require(endingVersion.isEmpty,
+            "endingVersion/endingTimestamp are BATCH change-feed " +
+              "options — a CDC stream has no end; bound the consumer " +
+              "or stop the query instead")
           new DocStoreCdcMicroBatchStream(path, base, startingVersion)
+        }
         override def description(): String = name()
       }
     }

@@ -32,6 +32,28 @@ object DocStoreChecks {
       }
     }
 
+  /** Existing rows must already satisfy a newly-SET constraint —
+    * Delta scans and refuses at ADD CONSTRAINT time. Enforcing only
+    * future writes would brick every later rewrite (OPTIMIZE,
+    * copy-on-write DELETE/UPDATE/MERGE re-evaluate checks on re-read
+    * rows) the moment a legacy row violates. One distributed scan per
+    * new constraint, stopped at the first violation. */
+  def verifyExisting(path: String, newProps: Map[String, String]): Unit = {
+    val checks = newProps.filter(_._1.startsWith(PREFIX))
+    if (checks.isEmpty) return
+    val df = org.apache.spark.sql.SparkSession.active.read
+      .format("graft-docstore").option("path", path).load()
+    checks.foreach { case (k, sql) =>
+      val name = k.stripPrefix(PREFIX)
+      val bad = df.where(org.apache.spark.sql.functions.expr(sql)
+        .eqNullSafe(org.apache.spark.sql.functions.lit(false)))
+        .limit(1).count()
+      require(bad == 0,
+        s"cannot add CHECK constraint '$name': existing rows violate " +
+          s"'$sql' — fix or delete them first (Delta refuses here too)")
+    }
+  }
+
   /** Compile the table's check properties into (name, bound violation
     * predicate) against the INPUT row layout (`order(i)` = input
     * position of table field i). Driver-side only (needs the active

@@ -28,6 +28,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DocStoreMetaTables {
   val KINDS: Set[String] = Set("files", "history", "partitions")
+
+  /** ONE implementation of the version-log rows — shared by `CALL
+    * system.history` and the `.history` metadata table, so the two
+    * faces can never drift. Row shape: (version, n_segments, n_rows
+    * DV-adjusted, bytes, is_current, committed_at micros). */
+  def historyRows(path: String): Array[InternalRow] = {
+    val times = DocStoreCommitOps.versionTimes(path).toMap
+    val versions = times.keys.toVector.sorted
+    val latest = versions.lastOption.getOrElse(0L)
+    versions.map { v =>
+      val (vs, vd) = DocStore.readManifestAndDeletes(path, s"MANIFEST.v$v")
+      val del = vs.map(s =>
+        vd.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
+      new GenericInternalRow(Array[Any](
+        v, vs.size.toLong, vs.map(_.rows).sum - del,
+        vs.map(_.bytes).sum, v == latest,
+        times(v) * 1000L)): InternalRow
+    }.toArray
+  }
 }
 
 class DocStoreMetaTable(path: String, kind: String)
@@ -80,19 +99,7 @@ class DocStoreMetaTable(path: String, kind: String)
             s.minId, s.maxId, s.bytes, dvCount(s.name),
             part)): InternalRow
         }.toArray
-      case "history" =>
-        val times = DocStoreCommitOps.versionTimes(path).toMap
-        val versions = times.keys.toVector.sorted
-        val latest = versions.lastOption.getOrElse(0L)
-        versions.map { v =>
-          val (vs, vd) = DocStore.readManifestAndDeletes(path, s"MANIFEST.v$v")
-          val del = vs.map(s =>
-            vd.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
-          new GenericInternalRow(Array[Any](
-            v, vs.size.toLong, vs.map(_.rows).sum - del,
-            vs.map(_.bytes).sum, v == latest,
-            times(v) * 1000L)): InternalRow
-        }.toArray
+      case "history" => DocStoreMetaTables.historyRows(path)
       case _ => // partitions
         require(DocStorePartitioning.read(path).nonEmpty,
           s"table at $path is not partitioned — " +

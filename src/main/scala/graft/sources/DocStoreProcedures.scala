@@ -259,7 +259,10 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       if (!binpack) segs
       else segs.filter(seg =>
         seg.bytes < smallBytes || dvs.contains(seg.name))
-    val untouched = segs.filterNot(candidates.contains)
+    // by NAME: deep Segment equality (stats maps included) per pair
+    // would be O(n*m) driver CPU on a 100k-segment table
+    val candidateNames = candidates.map(_.name).toSet
+    val untouched = segs.filterNot(s => candidateNames(s.name))
     // already compact: no commit, no churn — unless a re-clustering
     // was explicitly requested, which rewrites regardless of count
     val noop =
@@ -439,8 +442,10 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = tableDir(catalog, input.getUTF8String(0).toString)
-    val keep = input.getLong(1)
-    require(keep >= 1, s"keep_last must be >= 1, got $keep")
+    // clamp before .toInt: a keep_last beyond Int range must mean
+    // "keep everything", never wrap negative and empty the floor
+    val keep = math.min(input.getLong(1), Int.MaxValue.toLong)
+    require(keep >= 1, s"keep_last must be >= 1, got ${input.getLong(1)}")
     val olderThan = Option(input.getUTF8String(2)).map(_.toString.trim)
       .filter(_.nonEmpty).map(DocStoreCommitOps.parseCdcInstant)
     var expired = 0L
@@ -722,28 +727,10 @@ class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = tableDir(catalog, input.getUTF8String(0).toString)
-    val stream = Files.list(dir)
-    val versions =
-      try stream.iterator().asScala
-        .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
-          .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
-        .toVector.sorted
-      finally stream.close()
-    val latest = versions.lastOption.getOrElse(0L)
-    val commitTimes =
-      DocStoreCommitOps.versionTimes(dir.toString).toMap
-    val rows = versions.map { v =>
-      val (segs, dvs) =
-        DocStore.readManifestAndDeletes(dir.toString, s"MANIFEST.v$v")
-      // DV'd rows are deleted IN that version — a read of the version
-      // never returns them, so the log must not count them either
-      val dvCount = segs.map(s =>
-        dvs.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
-      new GenericInternalRow(Array[Any](
-        v, segs.size.toLong, segs.map(_.rows).sum - dvCount,
-        segs.map(_.bytes).sum, v == latest,
-        commitTimes(v) * 1000L)): InternalRow
-    }
-    result(SCHEMA, rows)
+    // one shared implementation with the `.history` metadata table —
+    // the two faces can never drift (DV'd rows are deleted IN their
+    // version, so the log counts them out, exactly like reads)
+    result(SCHEMA,
+      DocStoreMetaTables.historyRows(dir.toString).toSeq)
   }
 }

@@ -1963,6 +1963,26 @@ class DocStoreSpec extends SparkSpec {
     val dataDir = out4.resolve("data")
     assert(!Files.exists(dataDir) ||
       spark.read.parquet(dataDir.toString).isEmpty)
+    // a query-side filter that PRUNES the v-1 tail segment must not
+    // break the start position (skip-by-name-set, not resume-after):
+    // startingVersion=2 + a 'de' filter prunes the fr and en segments
+    // entirely — the stream still starts cleanly and emits v3's slice
+    assert(streamed("startingVersion" -> "2") == Set("en", "de")) // sanity
+    val outF = Files.createTempDirectory("docstore_svf")
+    graft.core.Fs.deleteOnExit(outF)
+    val qf = spark.readStream.format("graft-docstore")
+      .option("path", tmp).option("startingVersion", "2").load()
+      .where(col("lang") === "de")
+      .writeStream.format("parquet")
+      .option("path", outF.resolve("data").toString)
+      .option("checkpointLocation", outF.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try qf.awaitTermination() finally qf.stop()
+    assert(spark.read.parquet(outF.resolve("data").toString)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet ==
+      Set("de"))
     // a BATCH read refuses the streaming-only options
     assert(intercept[Exception] {
       spark.read.format("graft-docstore").option("path", tmp)
@@ -2032,6 +2052,78 @@ class DocStoreSpec extends SparkSpec {
     val dp = sc.sql("CALL dtcat.system.detail('ns.p')").head
     assert(dp.getString(6) == "lang,bucket(4, doc_id)", dp.getString(6))
     assert(dp.getLong(2) == 500)
+  }
+
+  test("branch publish carries idempotent txn versions to main") {
+    val root = Files.createTempDirectory("docstore_btxn").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.btcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.btcat.root" -> root)
+    sc.sql("CREATE NAMESPACE btcat.ns")
+    sc.sql("CREATE TABLE btcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("CALL btcat.system.create_branch('ns.t', 'stage')")
+    val w = graft.core.Sessions.scoped(sc, "spark.graft.wap.branch" -> "stage")
+    def data(s: org.apache.spark.sql.SparkSession) =
+      s.range(1, 4).select(col("id").as("doc_id"),
+        (col("id") * 10).as("n_chars"), lit("en").as("lang"),
+        lit("s").as("source"), lit("x").as("text"))
+    data(w).writeTo("btcat.ns.t")
+      .option("txnAppId", "etl").option("txnVersion", "7").append()
+    sc.sql("CALL btcat.system.publish_branch('ns.t', 'stage')")
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    // the branch-staged txn survives the fast-forward...
+    assert(DocStore.readTxns(tdir) == Map("etl" -> 7L))
+    // ...so a post-publish retry of the same (app, version) is a no-op
+    data(sc).writeTo("btcat.ns.t")
+      .option("txnAppId", "etl").option("txnVersion", "7").append()
+    assert(sc.sql("SELECT COUNT(*) FROM btcat.ns.t").head.getLong(0) == 3)
+  }
+
+  test("history reset clears the restore schema stamp; new-era restores work") {
+    val root = Files.createTempDirectory("docstore_stamp").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.stcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.stcat.root" -> root)
+    sc.sql("CREATE NAMESPACE stcat.ns")
+    sc.sql("CREATE TABLE stcat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO stcat.ns.t VALUES (1, 10, 'en', 's', 'x')")
+    sc.sql("ALTER TABLE stcat.ns.t ADD COLUMN stars BIGINT") // stamps since=1
+    sc.sql("INSERT INTO stcat.ns.t VALUES (2, 20, 'de', 's', 'y', 5)")
+    sc.sql("CALL stcat.system.vacuum('ns.t')") // history reset -> v1 only
+    sc.sql("INSERT INTO stcat.ns.t VALUES (3, 30, 'fr', 's', 'z', 6)") // v2
+    // the new era contains no schema change: restore must not be
+    // blocked by the pre-reset stamp (whose numbering no longer exists)
+    sc.sql("CALL stcat.system.restore('ns.t', 1)").collect()
+    assert(sc.sql("SELECT COUNT(*) FROM stcat.ns.t").head.getLong(0) == 2)
+  }
+
+  test("existing rows must satisfy a newly added CHECK constraint") {
+    val root = Files.createTempDirectory("docstore_precheck").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.pccat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.pccat.root" -> root)
+    sc.sql("CREATE NAMESPACE pccat.ns")
+    sc.sql("CREATE TABLE pccat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO pccat.ns.t VALUES (1, -5, 'en', 's', 'x')")
+    // the legacy row violates: ADD CONSTRAINT scans and refuses —
+    // accepting it would brick every later rewrite (Delta refuses too)
+    val e = intercept[Exception] {
+      sc.sql("ALTER TABLE pccat.ns.t SET TBLPROPERTIES " +
+        "('graft.check.nonneg' = 'n_chars >= 0')") }
+    assert(e.getMessage.contains("existing rows violate"), e.getMessage)
+    // nothing was persisted; after fixing the row the constraint lands
+    sc.sql("UPDATE pccat.ns.t SET n_chars = 5 WHERE doc_id = 1")
+    sc.sql("ALTER TABLE pccat.ns.t SET TBLPROPERTIES " +
+      "('graft.check.nonneg' = 'n_chars >= 0')")
+    assert(intercept[Exception] {
+      sc.sql("INSERT INTO pccat.ns.t VALUES (2, -1, 'en', 's', 'x')")
+    } != null)
   }
 
   test("expire_snapshots older_than: time-based retention with a keep_last floor") {
@@ -2356,6 +2448,23 @@ class DocStoreSpec extends SparkSpec {
     assert(intercept[Exception] {
       cdf("endingTimestamp" -> (times(1L) - 1).toString)
     }.getMessage.contains("before the first retained commit"))
+    // an inverted window refuses — never a silent empty feed
+    assert(intercept[Exception] {
+      cdf("startingVersion" -> "3", "endingVersion" -> "2")
+    }.getMessage.contains("inverted"))
+    // a STREAM refuses an upper bound instead of silently ignoring it
+    // (the refusal surfaces on the stream thread, not at start())
+    val qx = sc.readStream.format("graft-docstore").option("path", tablePath)
+      .option("readChangeFeed", "true").option("endingVersion", "2")
+      .load().writeStream.format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_noop").toString)
+      .start()
+    val ex = intercept[Exception] {
+      try qx.processAllAvailable() finally qx.stop() }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("|")
+    assert(chain.contains("BATCH change-feed"), chain)
   }
 
   test("idempotent writes: txnAppId/txnVersion dedupe retried batch commits") {
