@@ -2093,6 +2093,58 @@ object IoOps {
                COUNT(*) AS n_rows, SUM(n_chars) AS chars
         FROM graft_cat_ln.default.docs
         GROUP BY 1 ORDER BY 1""")
+    },
+
+    // ------------------------------------------- partition evolution
+    Q("q174_partition_evolution",
+      "Partition evolution (Iceberg's signature move): `CALL system." +
+        "set_partitioning(t, 'lang')` changes the partition spec " +
+        "METADATA-ONLY — not a byte of data moves. Existing segments " +
+        "keep their old layout (the scan keeps any segment whose name " +
+        "doesn't parse against the current spec, and key-grouped/SPJ " +
+        "reporting disables itself on mixed layouts — both sound by " +
+        "construction); new writes route by the new spec; a later " +
+        "full-rewrite OPTIMIZE migrates the whole table, re-enabling " +
+        "directory pruning everywhere (the gate pins the all-" +
+        "migrated layout and the post-migration pruning in-line). At " +
+        "100 TB this is how a table adopts partitioning YEARS into " +
+        "its life without a stop-the-world rewrite — evolve now, " +
+        "migrate incrementally. The oracle replays the insert " +
+        "arithmetic over the raw documents; DocStoreSpec pins the " +
+        "mixed-state reads, the unpartition round trip, and the " +
+        "merge-on-read and unknown-column refusals.",
+      Some("""
+        SELECT lang,
+               COUNT(*) + COUNT(CASE WHEN lang = 'zh' THEN 1 END)
+                 AS n_docs,
+               (SUM(n_chars) +
+                COALESCE(SUM(CASE WHEN lang = 'zh' THEN n_chars END), 0)
+               )::BIGINT AS chars
+        FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_pe")
+      sc.sql("CALL graft_cat_pe.system.set_partitioning(" +
+        "'default.docs', 'lang')").collect()
+      sc.sql("INSERT INTO graft_cat_pe.default.docs " +
+        "SELECT doc_id + 5000000, n_chars, lang, source, text " +
+        "FROM graft_cat_pe.default.docs WHERE lang = 'zh'")
+      sc.sql("CALL graft_cat_pe.system.optimize('default.docs', 2)")
+        .collect()
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_pe.root"),
+        "default", "docs").toString
+      require(graft.sources.DocStore.readManifest(tablePath)
+        .forall(_.name.startsWith("lang=")),
+        "q174: the full-rewrite OPTIMIZE must migrate every segment " +
+          "to the evolved layout")
+      val de = sc.sql(
+        "SELECT * FROM graft_cat_pe.default.docs WHERE lang = 'de'")
+      val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        de.queryExecution.executedPlan.toString).get
+      require(m.group(1).toInt < m.group(2).toInt,
+        "q174: directory pruning must fire on the migrated layout")
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        FROM graft_cat_pe.default.docs GROUP BY lang ORDER BY lang""")
     }
   )
 

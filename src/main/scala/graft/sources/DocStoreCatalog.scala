@@ -129,6 +129,8 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace().toSeq, ident.name().toLowerCase) match {
       case (Seq("system"), "vacuum") => new VacuumProcedure(this)
       case (Seq("system"), "analyze") => new AnalyzeProcedure(this)
+      case (Seq("system"), "set_partitioning") =>
+        new SetPartitioningProcedure(this)
       case (Seq("system"), "detail") => new DetailProcedure(this)
       case (Seq("system"), "history") => new HistoryProcedure(this)
       case (Seq("system"), "restore") => new RestoreProcedure(this)

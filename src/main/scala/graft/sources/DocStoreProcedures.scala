@@ -708,6 +708,82 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   }
 }
 
+/** `CALL cat.system.set_partitioning('ns.t', 'lang')` — Iceberg's
+  * partition evolution: change the table's partition spec METADATA-
+  * ONLY. Existing segments keep their old directory layout (the scan
+  * keeps any segment whose name doesn't parse against the current
+  * spec — sound by construction — and key-grouped/SPJ reporting
+  * disables itself on mixed layouts); new writes route by the new
+  * spec; a later full-rewrite OPTIMIZE migrates the whole table to
+  * the current layout, re-enabling directory pruning and SPJ
+  * everywhere. Spec forms: '' (unpartition), 'col[,col2]' (identity
+  * levels), 'bucket(n, doc_id)'. */
+class SetPartitioningProcedure(catalog: DocStoreCatalog)
+    extends DocStoreProcedure {
+  override def name(): String = "set_partitioning"
+  override def description(): String =
+    "change the partition spec metadata-only (Iceberg partition " +
+      "evolution); existing segments keep their layout"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("spec", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("old_spec", StringType, nullable = false),
+    StructField("new_spec", StringType, nullable = false)))
+
+  private def parseSpec(raw: String, schema: StructType)
+      : Seq[DocStorePartitioning.PTransform] =
+    raw.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case s if s.startsWith("bucket(") =>
+        val m = "bucket\\(\\s*(\\d+)\\s*,\\s*([A-Za-z0-9_]+)\\s*\\)".r
+          .findFirstMatchIn(s).getOrElse(
+            throw new IllegalArgumentException(
+              s"bad bucket transform '$s' — expected bucket(n, doc_id)"))
+        require(m.group(2) == "doc_id",
+          "docstore bucket partitioning is supported on doc_id only")
+        DocStorePartitioning.PBucket(m.group(2), m.group(1).toInt)
+      case c =>
+        require(schema.fieldNames.contains(c),
+          s"partition column '$c' is not in the table schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        DocStorePartitioning.PIdentity(c)
+    }
+
+  private def render(spec: Seq[DocStorePartitioning.PTransform]): String =
+    spec.map {
+      case DocStorePartitioning.PIdentity(c) => c
+      case DocStorePartitioning.PBucket(c, n) => s"bucket($n, $c)"
+    }.mkString(",")
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val raw = input.getUTF8String(1).toString.trim
+    val path = dir.toString
+    var oldS = ""
+    var newS = ""
+    DocStoreCommitOps.withCommitLock(path) {
+      val schema = DocStore.tableSchema(path)
+      val next = parseSpec(raw, schema)
+      // merge-on-read stays unpartitioned-only (its reinsert path has
+      // no partition routing) — same rule CREATE TABLE enforces
+      require(next.isEmpty ||
+        DocStoreCatalog.readProps(path).get(DocStoreCatalog.MODE_KEY)
+          .forall(_ != DocStoreCatalog.MODE_MOR),
+        "partitioned docstore tables support copy-on-write row-level " +
+          "operations only (merge-on-read is unpartitioned-only)")
+      val cur = DocStorePartitioning.read(path)
+      oldS = render(cur)
+      newS = render(next)
+      if (next.isEmpty) Files.deleteIfExists(
+        dir.resolve(DocStorePartitioning.FILE))
+      else DocStorePartitioning.write(path, next)
+    }
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](
+      UTF8String.fromString(oldS), UTF8String.fromString(newS)))))
+  }
+}
+
 class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   override def name(): String = "history"
   override def description(): String =

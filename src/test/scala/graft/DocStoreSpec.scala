@@ -2054,6 +2054,62 @@ class DocStoreSpec extends SparkSpec {
     assert(dp.getLong(2) == 500)
   }
 
+  test("partition evolution: metadata-only spec change; OPTIMIZE migrates the layout") {
+    val root = Files.createTempDirectory("docstore_pevo").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.pecat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.pecat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("pe_src")
+    sc.sql("CREATE NAMESPACE pecat.ns")
+    sc.sql("CREATE TABLE pecat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO pecat.ns.t SELECT /*+ REPARTITION(2) */ * FROM pe_src")
+    val tdir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val before = DocStore.readManifest(tdir).map(_.name).sorted
+    val r = sc.sql(
+      "CALL pecat.system.set_partitioning('ns.t', 'lang')").head
+    assert(r.getString(0) == "" && r.getString(1) == "lang")
+    // metadata-only: not a byte of data moved
+    assert(DocStore.readManifest(tdir).map(_.name).sorted == before)
+    // new writes route by the NEW spec; old segments stay put (mixed)
+    sc.sql("INSERT INTO pecat.ns.t SELECT doc_id + 100000, n_chars, lang, " +
+      "source, text FROM pe_src WHERE lang = 'zh'")
+    val mixed = DocStore.readManifest(tdir).map(_.name)
+    assert(mixed.exists(_.startsWith("lang=")) &&
+      mixed.exists(!_.contains("/")), mixed)
+    // reads stay exact across the mixed layout
+    val nZh = sc.sql("SELECT COUNT(*) FROM pecat.ns.t WHERE lang = 'zh'")
+      .head.getLong(0)
+    assert(nZh == 2 * docs.where(col("lang") === "zh").count())
+    assert(sc.sql("SELECT COUNT(*) FROM pecat.ns.t").head.getLong(0) ==
+      500 + docs.where(col("lang") === "zh").count())
+    // a full-rewrite OPTIMIZE migrates everything to the current spec
+    sc.sql("CALL pecat.system.optimize('ns.t', 2)").collect()
+    val migrated = DocStore.readManifest(tdir).map(_.name)
+    assert(migrated.forall(_.startsWith("lang=")), migrated)
+    // ...and directory pruning now fires on the whole table
+    val de = sc.sql("SELECT * FROM pecat.ns.t WHERE lang = 'de'")
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(physical(de)).get
+    assert(m.group(1).toInt < m.group(2).toInt, physical(de))
+    // unpartition again: metadata-only, reads intact
+    sc.sql("CALL pecat.system.set_partitioning('ns.t', '')").collect()
+    assert(sc.sql("SELECT COUNT(*) FROM pecat.ns.t").head.getLong(0) ==
+      500 + docs.where(col("lang") === "zh").count())
+    // refusals: merge-on-read tables stay unpartitioned; unknown column
+    sc.sql("CREATE TABLE pecat.ns.m (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    assert(intercept[Exception] {
+      sc.sql("CALL pecat.system.set_partitioning('ns.m', 'lang')").collect()
+    }.getMessage.contains("merge-on-read"))
+    assert(intercept[Exception] {
+      sc.sql("CALL pecat.system.set_partitioning('ns.t', 'nope')").collect()
+    }.getMessage.contains("not in the table schema"))
+  }
+
   test("branch publish carries idempotent txn versions to main") {
     val root = Files.createTempDirectory("docstore_btxn").toString
     val sc = graft.core.Sessions.scoped(spark,
