@@ -2145,6 +2145,42 @@ object IoOps {
       sc.sql("""
         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
         FROM graft_cat_pe.default.docs GROUP BY lang ORDER BY lang""")
+    },
+
+    // ----------------------------------------------------- table clone
+    Q("q175_table_clone",
+      "Shallow CLONE (Delta's CLONE TABLE): `CALL system.clone(src, " +
+        "dst)` creates a new table over the source's current snapshot " +
+        "without copying data — segments hard-link where the " +
+        "filesystem allows (immutable once published, so shared bytes " +
+        "are safe; each table's vacuum only unlinks its own directory " +
+        "entries), metadata copies, and the clone starts its OWN " +
+        "version history and transaction record. Cloning a 100 TB " +
+        "table for a dev/test sandbox or a migration dry-run costs " +
+        "metadata, not a second 100 TB. The gate clones the fixture, " +
+        "DELETEs a language on the CLONE only, and returns both " +
+        "tables' aggregates — divergence isolated in both directions " +
+        "(the source keeps its de rows); DocStoreSpec additionally " +
+        "pins DV ride-along, the own-history/no-txn start, vacuum " +
+        "isolation under hard links, and the existing-target refusal.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'a_clone' AS side, COUNT(*) AS n_rows,
+                 SUM(n_chars)::BIGINT AS chars
+          FROM documents WHERE lang <> 'de'
+          UNION ALL
+          SELECT 'b_source', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents
+        ) ORDER BY side""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_cp")
+      sc.sql("CALL graft_cat_cp.system.clone(" +
+        "'default.docs', 'default.sandbox')").collect()
+      sc.sql("DELETE FROM graft_cat_cp.default.sandbox WHERE lang = 'de'")
+      def side(tag: String, t: String) = sc.sql(
+        s"SELECT '$tag' AS side, COUNT(*) AS n_rows, " +
+          s"SUM(n_chars) AS chars FROM graft_cat_cp.default.$t")
+      side("a_clone", "sandbox").unionByName(side("b_source", "docs"))
+        .orderBy("side")
     }
   )
 

@@ -131,6 +131,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "analyze") => new AnalyzeProcedure(this)
       case (Seq("system"), "set_partitioning") =>
         new SetPartitioningProcedure(this)
+      case (Seq("system"), "clone") => new CloneProcedure(this)
       case (Seq("system"), "detail") => new DetailProcedure(this)
       case (Seq("system"), "history") => new HistoryProcedure(this)
       case (Seq("system"), "restore") => new RestoreProcedure(this)

@@ -784,6 +784,68 @@ class SetPartitioningProcedure(catalog: DocStoreCatalog)
   }
 }
 
+/** `CALL cat.system.clone('ns.src', 'ns.dst')` — Delta's CLONE: a new
+  * table over the source's CURRENT snapshot without copying data.
+  * Segments hard-link where the filesystem allows (immutable once
+  * published, so shared bytes are safe; each table's vacuum only
+  * unlinks its own directory entry) and fall back to copies;
+  * SCHEMA / PROPS / PARTITIONING / SECTIONS metadata copies; the
+  * clone starts its OWN version history and transaction record at v1
+  * (Delta clones likewise do not inherit the source log). Deletion
+  * vectors and stats ride the manifest lines unchanged. */
+class CloneProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "clone"
+  override def description(): String =
+    "shallow-clone the source's current snapshot into a new table " +
+      "(hard-linked segments, own history)"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("target", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("n_segments", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("linked", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = tableDir(catalog, input.getUTF8String(0).toString)
+    val tgtName = input.getUTF8String(1).toString
+    val tgtParts = tgtName.split("\\.").toSeq
+    require(tgtParts.size >= 2,
+      s"expected '<namespace>.<table>' clone target, got '$tgtName'")
+    val tgt = catalog.rootDir.resolve(tgtParts.mkString("/"))
+    require(!Files.exists(tgt.resolve("MANIFEST")),
+      s"clone target $tgtName already exists")
+    var n = 0L
+    var bytes = 0L
+    var linked = true
+    DocStoreCommitOps.withCommitLock(src.toString) {
+      Files.createDirectories(tgt)
+      val (segs, dvs) = DocStore.readManifestAndDeletes(src.toString)
+      segs.foreach { seg =>
+        val from = src.resolve(seg.name)
+        val to = tgt.resolve(seg.name)
+        Files.createDirectories(to.getParent)
+        try Files.createLink(to, from)
+        catch { // cross-device or unsupported: fall back to a copy
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            linked = false
+            Files.copy(from, to)
+        }
+        n += 1; bytes += seg.bytes
+      }
+      Seq("SCHEMA", "PROPS", DocStorePartitioning.FILE,
+        DocStore.SECTION_FLOOR_FILE).foreach { f =>
+        if (Files.exists(src.resolve(f)))
+          Files.copy(src.resolve(f), tgt.resolve(f))
+      }
+      DocStoreCommitOps.writeManifest(tgt.toString, segs, "clone", dvs)
+    }
+    result(SCHEMA, Seq(new GenericInternalRow(
+      Array[Any](n, bytes, linked))))
+  }
+}
+
 class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   override def name(): String = "history"
   override def description(): String =

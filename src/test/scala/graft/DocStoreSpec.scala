@@ -2054,6 +2054,50 @@ class DocStoreSpec extends SparkSpec {
     assert(dp.getLong(2) == 500)
   }
 
+  test("clone: zero-copy snapshot with its own history; divergence stays isolated") {
+    val root = Files.createTempDirectory("docstore_clone").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.clcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.clcat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("cl_src")
+    sc.sql("CREATE NAMESPACE clcat.ns")
+    sc.sql("CREATE TABLE clcat.ns.src (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("INSERT INTO clcat.ns.src SELECT * FROM cl_src")
+    sc.sql("DELETE FROM clcat.ns.src WHERE doc_id < 20") // DVs ride along
+    val r = sc.sql("CALL clcat.system.clone('ns.src', 'ns.dst')").head
+    assert(r.getLong(0) > 0 && r.getBoolean(2), r.toString) // hard-linked
+    // identical content, DVs included
+    assert(sc.sql("SELECT COUNT(*), SUM(n_chars) FROM clcat.ns.dst")
+      .head.toSeq ==
+      sc.sql("SELECT COUNT(*), SUM(n_chars) FROM clcat.ns.src").head.toSeq)
+    // divergence is isolated in BOTH directions
+    sc.sql("DELETE FROM clcat.ns.dst WHERE lang = 'de'")
+    sc.sql("INSERT INTO clcat.ns.src SELECT doc_id + 90000, n_chars, lang, " +
+      "source, text FROM cl_src WHERE doc_id < 10")
+    val srcN = sc.sql("SELECT COUNT(*) FROM clcat.ns.src").head.getLong(0)
+    val dstN = sc.sql("SELECT COUNT(*) FROM clcat.ns.dst").head.getLong(0)
+    assert(srcN == 480 + 10 && dstN == 480 - docs
+      .where(col("lang") === "de" && col("doc_id") >= 20).count())
+    // the clone has its OWN history (v1) and no inherited txns
+    val dstDir = java.nio.file.Paths.get(root, "ns", "dst").toString
+    assert(graft.sources.DocStoreCommitOps.versionTimes(dstDir)
+      .map(_._1).headOption.contains(1L))
+    assert(DocStore.readTxns(dstDir).isEmpty)
+    // vacuum on the clone unlinks only its own entries: source intact
+    sc.sql("CALL clcat.system.vacuum('ns.dst')")
+    assert(sc.sql("SELECT COUNT(*) FROM clcat.ns.src").head.getLong(0)
+      == srcN)
+    // an existing target refuses
+    assert(intercept[Exception] {
+      sc.sql("CALL clcat.system.clone('ns.src', 'ns.dst')").collect()
+    }.getMessage.contains("already exists"))
+  }
+
   test("partition evolution: metadata-only spec change; OPTIMIZE migrates the layout") {
     val root = Files.createTempDirectory("docstore_pevo").toString
     val sc = graft.core.Sessions.scoped(spark,
