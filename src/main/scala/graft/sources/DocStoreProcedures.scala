@@ -800,7 +800,11 @@ class CloneProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       "(hard-linked segments, own history)"
   override def parameters(): Array[ProcedureParameter] =
     Array(ProcedureParameter.in("source", StringType).build(),
-      ProcedureParameter.in("target", StringType).build())
+      ProcedureParameter.in("target", StringType).build(),
+      // 0 = the current snapshot; > 0 clones a retained version
+      // (Delta's CLONE ... VERSION AS OF)
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("0").build())
 
   private val SCHEMA = StructType(Seq(
     StructField("n_segments", LongType, nullable = false),
@@ -819,9 +823,19 @@ class CloneProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     var n = 0L
     var bytes = 0L
     var linked = true
+    val atVersion = input.getLong(2)
     DocStoreCommitOps.withCommitLock(src.toString) {
       Files.createDirectories(tgt)
-      val (segs, dvs) = DocStore.readManifestAndDeletes(src.toString)
+      val manifest =
+        if (atVersion == 0L) "MANIFEST"
+        else {
+          require(Files.exists(src.resolve(s"MANIFEST.v$atVersion")),
+            s"no retained snapshot MANIFEST.v$atVersion to clone " +
+              "(vacuumed/expired or never existed)")
+          s"MANIFEST.v$atVersion"
+        }
+      val (segs, dvs) =
+        DocStore.readManifestAndDeletes(src.toString, manifest)
       segs.foreach { seg =>
         val from = src.resolve(seg.name)
         val to = tgt.resolve(seg.name)

@@ -2096,6 +2096,13 @@ class DocStoreSpec extends SparkSpec {
     assert(intercept[Exception] {
       sc.sql("CALL clcat.system.clone('ns.src', 'ns.dst')").collect()
     }.getMessage.contains("already exists"))
+    // CLONE ... VERSION AS OF: v1 predates the DELETE and the insert
+    sc.sql("CALL clcat.system.clone('ns.src', 'ns.v1', 1)").collect()
+    assert(sc.sql("SELECT COUNT(*) FROM clcat.ns.v1").head.getLong(0) == 500)
+    // a missing snapshot refuses
+    assert(intercept[Exception] {
+      sc.sql("CALL clcat.system.clone('ns.src', 'ns.v9', 99)").collect()
+    }.getMessage.contains("no retained snapshot"))
   }
 
   test("partition evolution: metadata-only spec change; OPTIMIZE migrates the layout") {
