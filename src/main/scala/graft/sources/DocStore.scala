@@ -2346,8 +2346,13 @@ class DocStoreMicroBatchStream(path: String, schema: StructType,
       val i = surviving.indexWhere(_.name == name)
       if (i < 0) throw new IllegalStateException(
         s"docstore streaming checkpoint references segment '$name' which " +
-          s"is no longer in $path/MANIFEST — a DELETE or overwrite voided " +
-          "this checkpoint; restart with a fresh checkpointLocation")
+          s"is no longer in $path/MANIFEST — a DELETE, overwrite, or " +
+          "compaction voided this checkpoint (the plain table stream " +
+          "replays the live segment list; an OPTIMIZE rewrites it). " +
+          "Restart with a fresh checkpointLocation, or tail with " +
+          ".option(\"readChangeFeed\", true) — the CDC stream is paced " +
+          "per COMMIT and skips dataChange=false compactions, so it " +
+          "survives them")
       i + 1
     case other => idx(deserializeOffset(other.json()))
   }

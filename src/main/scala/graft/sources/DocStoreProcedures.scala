@@ -732,23 +732,28 @@ class SetPartitioningProcedure(catalog: DocStoreCatalog)
     StructField("old_spec", StringType, nullable = false),
     StructField("new_spec", StringType, nullable = false)))
 
+  /** Parse the spec string into connector Transforms and route through
+    * the SAME validator CREATE TABLE uses (fromTransforms: n > 0,
+    * bucket-on-doc_id-only, column-in-schema, loud on time
+    * transforms) — one rule set, no drift between the two faces. */
   private def parseSpec(raw: String, schema: StructType)
-      : Seq[DocStorePartitioning.PTransform] =
-    raw.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq.map {
-      case s if s.startsWith("bucket(") =>
-        val m = "bucket\\(\\s*(\\d+)\\s*,\\s*([A-Za-z0-9_]+)\\s*\\)".r
-          .findFirstMatchIn(s).getOrElse(
-            throw new IllegalArgumentException(
-              s"bad bucket transform '$s' — expected bucket(n, doc_id)"))
-        require(m.group(2) == "doc_id",
-          "docstore bucket partitioning is supported on doc_id only")
-        DocStorePartitioning.PBucket(m.group(2), m.group(1).toInt)
-      case c =>
-        require(schema.fieldNames.contains(c),
-          s"partition column '$c' is not in the table schema " +
-            s"(${schema.fieldNames.mkString(", ")})")
-        DocStorePartitioning.PIdentity(c)
-    }
+      : Seq[DocStorePartitioning.PTransform] = {
+    val transforms = raw.split(",(?![^(]*\\))").map(_.trim)
+      .filter(_.nonEmpty).map {
+        case s if s.startsWith("bucket(") =>
+          val m = "bucket\\(\\s*(-?\\d+)\\s*,\\s*([A-Za-z0-9_]+)\\s*\\)".r
+            .findFirstMatchIn(s).getOrElse(
+              throw new IllegalArgumentException(
+                s"bad bucket transform '$s' — expected bucket(n, doc_id)"))
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(m.group(1).toInt, m.group(2))
+            : org.apache.spark.sql.connector.expressions.Transform
+        case c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Transform
+      }
+    DocStorePartitioning.fromTransforms(transforms, schema)
+  }
 
   private def render(spec: Seq[DocStorePartitioning.PTransform]): String =
     spec.map {
@@ -773,6 +778,26 @@ class SetPartitioningProcedure(catalog: DocStoreCatalog)
         "partitioned docstore tables support copy-on-write row-level " +
           "operations only (merge-on-read is unpartitioned-only)")
       val cur = DocStorePartitioning.read(path)
+      // a bucket level is only safe when no existing segment's name
+      // would PARSE against it with keys computed under a different
+      // modulus: `doc_id_bucket=<b>` dirs do not encode n, so a count
+      // change would silently mis-prune and poison SPJ key grouping
+      // (identity levels are safe — unparseable names are kept).
+      next.zipWithIndex.foreach {
+        case (b @ DocStorePartitioning.PBucket(c, _), lvl)
+            if !cur.lift(lvl).contains(b) =>
+          val poisoned = DocStore.readManifest(path).exists { s =>
+            val comps = s.name.split("/").dropRight(1)
+            comps.length > lvl && comps(lvl).startsWith(s"${c}_bucket=")
+          }
+          require(!poisoned,
+            s"cannot change the bucket transform at level $lvl: " +
+              s"existing segments live under ${c}_bucket= directories " +
+              "whose keys were computed with a different bucket count " +
+              "— OPTIMIZE (full rewrite) under the old spec first, " +
+              "unpartition, or evolve after a truncating overwrite")
+        case _ => ()
+      }
       oldS = render(cur)
       newS = render(next)
       if (next.isEmpty) Files.deleteIfExists(
@@ -818,27 +843,58 @@ class CloneProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     require(tgtParts.size >= 2,
       s"expected '<namespace>.<table>' clone target, got '$tgtName'")
     val tgt = catalog.rootDir.resolve(tgtParts.mkString("/"))
-    require(!Files.exists(tgt.resolve("MANIFEST")),
+    require(Files.isDirectory(tgt.getParent),
+      s"namespace ${tgtParts.init.mkString(".")} does not exist")
+    require(!Files.exists(tgt),
       s"clone target $tgtName already exists")
+    val atVersion = input.getLong(2)
+    // Resolve against an IMMUTABLE retained snapshot — never the live
+    // MANIFEST — and hold NO lock during the (possibly slow, cross-
+    // device copy fallback) build: the optimize pattern. A concurrent
+    // vacuum/expire deleting a referenced file mid-build fails the
+    // clone loudly and the staging cleanup below leaves nothing behind.
+    val head = DocStoreCommitOps.nextVersion(src.toString) - 1
+    val v = if (atVersion == 0L) head else atVersion
+    val manifest =
+      if (v == 0L) "MANIFEST" // brand-new empty table: nothing to pin
+      else {
+        require(Files.exists(src.resolve(s"MANIFEST.v$v")),
+          s"no retained snapshot MANIFEST.v$v to clone " +
+            "(vacuumed/expired or never existed)")
+        s"MANIFEST.v$v"
+      }
+    // Delta CLONE ... VERSION AS OF pairs the snapshot with the schema
+    // that served it: behind a schema change, republish the archive
+    // (same machinery as RESTORE) — or refuse rather than silently
+    // pair old segments with a newer schema.
+    val since = DocStore.readSchemaSince(src.toString)
+    val cloneSchema: Option[StructType] =
+      if (atVersion > 0L && since > 0L && v <= since)
+        Some(DocStore.schemaArchiveAt(src.toString, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot clone version $v: the table schema was ALTERed " +
+              s"while at version $since and no schema archive covers " +
+              "the target (table predates schema archiving)")))
+      else None
+    val (segs, dvs) =
+      DocStore.readManifestAndDeletes(src.toString, manifest)
+    val missing = segs.filterNot(s => Files.exists(src.resolve(s.name)))
+    require(missing.isEmpty,
+      s"version $v references vacuumed segment files: " +
+        missing.map(_.name).mkString(", "))
     var n = 0L
     var bytes = 0L
     var linked = true
-    val atVersion = input.getLong(2)
-    DocStoreCommitOps.withCommitLock(src.toString) {
-      Files.createDirectories(tgt)
-      val manifest =
-        if (atVersion == 0L) "MANIFEST"
-        else {
-          require(Files.exists(src.resolve(s"MANIFEST.v$atVersion")),
-            s"no retained snapshot MANIFEST.v$atVersion to clone " +
-              "(vacuumed/expired or never existed)")
-          s"MANIFEST.v$atVersion"
-        }
-      val (segs, dvs) =
-        DocStore.readManifestAndDeletes(src.toString, manifest)
+    // build in a hidden staging dir, publish by ONE atomic directory
+    // move: a crash leaves only removable staging, never a partial
+    // target; two racing clones — both builds succeed, the move
+    // decides, the loser cleans up (no target lock needed)
+    val staging = Files.createTempDirectory(tgt.getParent,
+      s".stg-clone-${tgt.getFileName}-")
+    try {
       segs.foreach { seg =>
         val from = src.resolve(seg.name)
-        val to = tgt.resolve(seg.name)
+        val to = staging.resolve(seg.name)
         Files.createDirectories(to.getParent)
         try Files.createLink(to, from)
         catch { // cross-device or unsupported: fall back to a copy
@@ -848,12 +904,36 @@ class CloneProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         }
         n += 1; bytes += seg.bytes
       }
-      Seq("SCHEMA", "PROPS", DocStorePartitioning.FILE,
+      Seq("PROPS", DocStorePartitioning.FILE,
         DocStore.SECTION_FLOOR_FILE).foreach { f =>
         if (Files.exists(src.resolve(f)))
-          Files.copy(src.resolve(f), tgt.resolve(f))
+          Files.copy(src.resolve(f), staging.resolve(f))
       }
-      DocStoreCommitOps.writeManifest(tgt.toString, segs, "clone", dvs)
+      cloneSchema match {
+        case Some(s) if s != DocStore.SCHEMA =>
+          DocStore.writeSchemaFile(staging.toString, s)
+        case Some(_) => () // archived schema was base-5: no SCHEMA file
+        case None =>
+          if (Files.exists(src.resolve("SCHEMA")))
+            Files.copy(src.resolve("SCHEMA"), staging.resolve("SCHEMA"))
+      }
+      DocStoreCommitOps.writeManifest(staging.toString, segs, "clone", dvs)
+      try Files.move(staging, tgt,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"clone target $tgtName already exists (a concurrent " +
+              "clone won the publish)", e)
+        case e: java.nio.file.DirectoryNotEmptyException =>
+          throw new IllegalStateException(
+            s"clone target $tgtName already exists (a concurrent " +
+              "clone won the publish)", e)
+      }
+    } catch {
+      case e: Throwable =>
+        graft.core.Fs.deleteRecursively(staging)
+        throw e
     }
     result(SCHEMA, Seq(new GenericInternalRow(
       Array[Any](n, bytes, linked))))

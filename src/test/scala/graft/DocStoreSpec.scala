@@ -2103,6 +2103,18 @@ class DocStoreSpec extends SparkSpec {
     assert(intercept[Exception] {
       sc.sql("CALL clcat.system.clone('ns.src', 'ns.v9', 99)").collect()
     }.getMessage.contains("no retained snapshot"))
+    // a versioned clone BEHIND a schema change republishes the schema
+    // that served the version (restore's archive machinery) — never
+    // old segments under the newer schema
+    val preAlterHead = graft.sources.DocStoreCommitOps.nextVersion(
+      java.nio.file.Paths.get(root, "ns", "src").toString) - 1
+    sc.sql("ALTER TABLE clcat.ns.src ADD COLUMN stars BIGINT")
+    sc.sql("CALL clcat.system.clone('ns.src', 'ns.old', " +
+      s"$preAlterHead)").collect()
+    assert(!sc.table("clcat.ns.old").columns.contains("stars"))
+    // ...while a current-snapshot clone carries the evolved schema
+    sc.sql("CALL clcat.system.clone('ns.src', 'ns.cur')").collect()
+    assert(sc.table("clcat.ns.cur").columns.contains("stars"))
   }
 
   test("partition evolution: metadata-only spec change; OPTIMIZE migrates the layout") {
@@ -2159,6 +2171,27 @@ class DocStoreSpec extends SparkSpec {
     assert(intercept[Exception] {
       sc.sql("CALL pecat.system.set_partitioning('ns.t', 'nope')").collect()
     }.getMessage.contains("not in the table schema"))
+    // bucket(0) refuses through the SAME validator as CREATE TABLE
+    assert(intercept[Exception] {
+      sc.sql("CALL pecat.system.set_partitioning('ns.t', " +
+        "'bucket(0, doc_id)')").collect()
+    }.getMessage.contains("positive"))
+    // changing the bucket COUNT over bucket-laid-out segments refuses:
+    // `doc_id_bucket=<b>` dirs do not encode the modulus, so the new
+    // spec would silently mis-prune and poison SPJ key grouping
+    sc.sql("CREATE TABLE pecat.ns.b (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (bucket(4, doc_id))")
+    sc.sql("INSERT INTO pecat.ns.b SELECT * FROM pe_src WHERE doc_id < 50")
+    assert(intercept[Exception] {
+      sc.sql("CALL pecat.system.set_partitioning('ns.b', " +
+        "'bucket(8, doc_id)')").collect()
+    }.getMessage.contains("bucket count"))
+    // ...but the SAME bucket spec is a no-op-safe re-set
+    sc.sql("CALL pecat.system.set_partitioning('ns.b', " +
+      "'bucket(4, doc_id)')").collect()
+    assert(sc.sql("SELECT COUNT(*) FROM pecat.ns.b WHERE doc_id = 7")
+      .head.getLong(0) == 1)
   }
 
   test("branch publish carries idempotent txn versions to main") {
