@@ -698,6 +698,89 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("n_chunks")
+    },
+
+    // --------------------------------------- best-fit packing (no splits)
+    Q("q176_bestfit_packing",
+      "Best-fit sequence packing WITHOUT document splitting (the SFT/" +
+        "instruction-tuning shape, where an example must not straddle " +
+        "sequences — q167's concat-and-chunk is the pretraining " +
+        "shape): first-fit-decreasing solved over the LENGTH HISTOGRAM " +
+        "(NVIDIA's packing trick) — token counts histogram per length " +
+        "(<= 2048 buckets at ANY corpus size), the bounded histogram " +
+        "comes to the driver once, and FFD runs over counts with " +
+        "identical pack SHAPES batched by multiplicity, so driver work " +
+        "is O(maxLen^2) regardless of corpus scale; no per-doc " +
+        "driver loop ever. Bin packing is not SQL-expressible, so the " +
+        "oracle verifies the CONSERVED quantities through the packing " +
+        "(docs packed, tokens packed, oversize count) while the gate " +
+        "machine-checks the structural invariants in-line: every " +
+        "shape fits the 2048 budget, every doc is packed exactly " +
+        "once (conservation through the oracle), and the pack count " +
+        "stays within 1.5x + 1 of the capacity lower bound (the " +
+        "largest-first bin-at-a-time greedy's safe envelope).",
+      Some("""
+        WITH t AS (SELECT len(string_split_regex(text, '\s+'))::BIGINT
+                     AS t FROM documents)
+        SELECT COUNT(CASE WHEN t > 0 AND t <= 2048 THEN 1 END) AS n_docs,
+               COALESCE(SUM(CASE WHEN t > 0 AND t <= 2048 THEN t END),
+                        0)::BIGINT AS tokens,
+               COUNT(CASE WHEN t > 2048 THEN 1 END) AS n_oversize
+        FROM t""")) { (s, dir) =>
+      val B = 2048L
+      val toksOf = Tables.documents(s, dir)
+        .select(size(toks(col("text"))).cast("long").as("t"))
+      val nOversize = toksOf.where(col("t") > B).count()
+      // the bounded histogram: <= B distinct lengths at any scale
+      val hist = toksOf.where(col("t") > 0 && col("t") <= B)
+        .groupBy("t").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val counts = scala.collection.mutable.TreeMap.from(hist)(
+        Ordering[Long].reverse)
+      var nPacks = 0L
+      var packedDocs = 0L
+      var packedTokens = 0L
+      var rounds = 0
+      while (counts.nonEmpty) {
+        rounds += 1
+        require(rounds <= 100000,
+          "q176: shape-batching failed to converge (driver loop guard)")
+        // form ONE pack shape greedily (largest-first), then apply it
+        // as many times as the consumed counts allow in one step —
+        // identical shapes batch, keeping the loop histogram-bounded
+        val shape = scala.collection.mutable.Map[Long, Long]()
+        var cap = B
+        var fits = counts.iterator.find(_._1 <= cap)
+        while (fits.isDefined) {
+          val len = fits.get._1
+          val avail = counts(len) - shape.getOrElse(len, 0L)
+          val take = math.min(cap / len, avail)
+          if (take > 0) { shape(len) = shape.getOrElse(len, 0L) + take
+            cap -= take * len }
+          fits = counts.iterator.find(p =>
+            p._1 <= cap && counts(p._1) > shape.getOrElse(p._1, 0L))
+        }
+        require(shape.nonEmpty, "q176: FFD formed an empty pack shape")
+        val shapeTokens = shape.map { case (l, k) => l * k }.sum
+        require(shapeTokens <= B,
+          s"q176: pack shape exceeds the budget: $shape")
+        val mult = shape.map { case (l, k) => counts(l) / k }.min
+        shape.foreach { case (l, k) =>
+          val left = counts(l) - k * mult
+          if (left == 0) counts.remove(l) else counts(l) = left
+        }
+        nPacks += mult
+        packedDocs += mult * shape.valuesIterator.sum
+        packedTokens += mult * shapeTokens
+      }
+      // structural invariants the oracle cannot see: exact-once
+      // packing and the FFD optimality bound vs the capacity floor
+      val lb = math.max(1L, (packedTokens + B - 1) / B)
+      require(nPacks <= (3L * lb) / 2L + 1L,
+        s"q176: $nPacks packs exceeds the 1.5x+1 envelope of lb=$lb")
+      import s.implicits._
+      Seq((packedDocs, packedTokens, nOversize))
+        .toDF("n_docs", "tokens", "n_oversize")
     }
   )
 }
