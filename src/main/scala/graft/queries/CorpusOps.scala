@@ -105,9 +105,12 @@ object CorpusOps {
     out.result()
   }
 
-  /** q112's oracle: the N-step loop unrolled into CTE supersteps —
-    * DuckDB replays select-merge/apply/re-count move-for-move. */
-  private def oBpeMergeLoop(steps: Int): String = {
+  /** Training-replay CTE chain shared by the q112 and q177 oracles:
+    * the distinct-word frequency table, the wrapped-symbol encoding,
+    * and `steps` unrolled supersteps — each selecting the argmax pair
+    * m$k and applying it. Callers append their own consumers of the
+    * m$k merge rows (q112 reports them; q177 encodes with them). */
+  private def oBpeTrainCtes(steps: Int): String = {
     val head = s"""
         WITH f AS (SELECT word, COUNT(*) AS freq
                    FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
@@ -129,10 +132,45 @@ object CorpusOps {
                               ' ' || a || b || ' ') AS wr, freq
                 FROM w$k CROSS JOIN m$k)"""
     }.mkString(",")
+    s"$head$per"
+  }
+
+  /** q112's oracle: the N-step loop unrolled into CTE supersteps —
+    * DuckDB replays select-merge/apply/re-count move-for-move. */
+  private def oBpeMergeLoop(steps: Int): String = {
     val selects = (1 to steps).map { k =>
       s"SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym, cnt FROM m$k"
     }.mkString("\n        UNION ALL ")
-    s"$head$per\n        $selects\n        ORDER BY step"
+    s"${oBpeTrainCtes(steps)}\n        $selects\n        ORDER BY step"
+  }
+
+  /** q177's oracle: replay the SAME training supersteps, then encode
+    * the per-language word table by applying the learned merges in
+    * training order (each one greedy left-to-right via the wrapped-
+    * symbol replace) and aggregate token counts per language. */
+  private def oBpeEncode(steps: Int): String = {
+    val enc = (1 to steps).map { k =>
+      s"""
+        e$k AS (SELECT lang, word, freq,
+                      replace(wr, ' ' || a || '  ' || b || ' ',
+                              ' ' || a || b || ' ') AS wr
+               FROM e${k - 1} CROSS JOIN m$k)"""
+    }.mkString(",")
+    s"""${oBpeTrainCtes(steps)},
+        lf AS (SELECT lang, word, COUNT(*) AS freq
+               FROM (SELECT lang, UNNEST(string_split_regex(text, '\\s+')) AS word
+                     FROM documents)
+               WHERE LENGTH(word) >= 1 GROUP BY 1, 2),
+        e0 AS (SELECT lang, word, freq,
+                      ' ' || array_to_string(list_transform(range(LENGTH(word)),
+                        i -> substr(word, i + 1, 1)), '  ') || ' ' AS wr
+               FROM lf),$enc
+        SELECT lang, COUNT(*) AS n_words,
+               CAST(SUM(freq * LENGTH(word)) AS BIGINT) AS char_tokens,
+               CAST(SUM(freq * len(string_split(wr, '  '))) AS BIGINT) AS bpe_tokens,
+               ROUND(CAST(SUM(freq * LENGTH(word)) AS DOUBLE)
+                     / SUM(freq * len(string_split(wr, '  '))), 4) AS compression
+        FROM e$steps GROUP BY 1 ORDER BY 1"""
   }
 
   /** Duplicated-substring windows (q61): fixed 60-char windows at stride
@@ -781,6 +819,62 @@ object CorpusOps {
       import s.implicits._
       Seq((packedDocs, packedTokens, nOversize))
         .toDF("n_docs", "tokens", "n_oversize")
+    },
+
+    // ----------------------------------------------- BPE encode pass
+    Q("q177_bpe_encode",
+      "Applying a TRAINED tokenizer corpus-wide — the missing link " +
+        "between q112 (train merges) and q167/q176 (pack sequences): " +
+        "every pretraining pipeline runs exactly this encode pass. " +
+        "Training re-runs q112's 3 supersteps (vocabulary-bounded " +
+        "pair aggs, one argmax row to the driver per step); the " +
+        "learned merge list — driver-held metadata, N rows — is then " +
+        "burned into the encode plan as literal replaces applied in " +
+        "training order, each one the greedy left-to-right non-" +
+        "overlapping merge via the wrapped-symbol encoding (' a  b ' " +
+        "-> ' ab '), i.e. the sequential BPE encoder, executed as a " +
+        "codegen'd expression chain with no per-row loops. Encoding " +
+        "runs over the per-(lang, word) frequency table — the same " +
+        "collapse every real tokenizer uses, so the corpus-domain " +
+        "work is ONE hash-agg onto a vocabulary-bounded domain and " +
+        "the merge chain touches distinct words, not occurrences. " +
+        "Per-language output: distinct words, character symbols " +
+        "before merging, BPE tokens after, and the compression " +
+        "ratio. The oracle replays training AND encoding move-for-" +
+        "move in unrolled CTEs, so the hash match proves the " +
+        "distributed encode IS the sequential algorithm. 100 TB " +
+        "shape: one corpus shuffle (the (lang, word) agg with map-" +
+        "side partials), a map-only literal-replace chain, and a " +
+        "languages-sized final agg.",
+      Some(oBpeEncode(3))) { (s, dir) =>
+      // train exactly as q112 (same word table, same 3 supersteps)
+      val trainWords = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(wrapSymbols(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as("wr"), col("freq"))
+      val merges = bpeMergeSteps(trainWords, steps = 3)
+      // encode the per-(lang, word) frequency table with the merge
+      // list applied in training order as literal string replaces
+      val lf = Tables.documents(s, dir)
+        .select(col("lang"), explode(toks(col("text"))).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      val enc0 = wrapSymbols(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+      val encoded = merges.foldLeft(enc0) { case (c, (_, a, b, _)) =>
+        replace(c, lit(s" $a  $b "), lit(s" $a$b ")) }
+      lf.select(col("lang"), col("freq"),
+          length(col("word")).cast("long").as("chars"),
+          size(split(encoded, "  ")).cast("long").as("tks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("freq") * col("chars")).as("char_tokens"),
+          sum(col("freq") * col("tks")).as("bpe_tokens"),
+          round(sum(col("freq") * col("chars")).cast("double") /
+            sum(col("freq") * col("tks")), 4).as("compression"))
+        .orderBy("lang")
     }
   )
 }

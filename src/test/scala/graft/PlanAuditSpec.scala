@@ -312,6 +312,23 @@ class PlanAuditSpec extends SparkSpec {
       s"one pair-domain exchange per superstep, got more:\n$p")
   }
 
+  test("q177 BPE encode: merge chain is literal map-only work on vocabulary-bounded aggs") {
+    // building the frame runs training (3 argmax collects, each
+    // metadata-sized); the ENCODE plan it returns must be: one
+    // (lang, word)-domain hash-agg exchange, the literal replace
+    // chain as codegen'd projection work, one languages-sized final
+    // agg, one presentation sort — and never a window or a join
+    val p = q("q177_bpe_encode")
+    // (the literal replace chain itself is fused into the partial
+    // agg's input projection — simple-mode explain shows only its
+    // aliased outputs, so there is no textual assertion for it)
+    assert(p.contains("HashAggregate"), s"encode must hash-aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window in the encode pass:\n$p")
+    assert(!p.contains("Join"), s"no join in the encode pass:\n$p")
+    assert(exchangeCount(p) <= 3,
+      s"encode is two agg exchanges + the presentation sort, got more:\n$p")
+  }
+
   test("q113 ANN serve: the stored-vector scan is partition-pruned to the probed cells") {
     val p = q("q113_ann_index_serve")
     val scan = p.linesIterator.find(l =>
