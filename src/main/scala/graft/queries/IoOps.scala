@@ -2181,6 +2181,40 @@ object IoOps {
           s"SUM(n_chars) AS chars FROM graft_cat_cp.default.$t")
       side("a_clone", "sandbox").unionByName(side("b_source", "docs"))
         .orderBy("side")
+    },
+
+    // --------------------------- string clustering + truncated envelopes
+    Q("q178_string_cluster_skipping",
+      "Data skipping on STRING columns (r12): every string envelope " +
+        "is now the Iceberg truncate(16) shape — a code-point-aligned " +
+        "<= 16-byte UTF-8 prefix as the lower bound and the prefix " +
+        "with its last code point incremented as the upper — so " +
+        "arbitrarily long and non-ASCII values keep SOUND bounds " +
+        "where the old writer dropped the envelope past 64 ASCII " +
+        "bytes, and every pruning comparison runs in UTF-8 byte " +
+        "order (exactly Spark's binary string order). STRING columns " +
+        "also enter multi-column `cluster_by` z-ordering through an " +
+        "order-preserving 7-byte-prefix BIGINT surrogate. The gate " +
+        "re-clusters the catalog table on (source, n_chars) — a " +
+        "string dim and a numeric dim sharing one Morton key — and " +
+        "runs a source-equality slice that the clustered string " +
+        "envelopes prune; DocStoreSpec pins boundary alignment on " +
+        "multi-byte UTF-8, the surrogate-block skip in the " +
+        "increment, phantom-value keeps staying sound, and the " +
+        "narrowed lang envelopes under a pure-string z-order. At " +
+        "100 TB tables cluster on lang/source/URL-like strings " +
+        "constantly; this is what makes those scans segment-pruned.",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS chars
+        FROM documents WHERE source IN ('src3', 'src17')
+        GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_sc")
+      sc.sql("CALL graft_cat_sc.system.optimize(" +
+        "'default.docs', 6, 'source,n_chars')").collect()
+      sc.sql("""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        FROM graft_cat_sc.default.docs WHERE source IN ('src3', 'src17')
+        GROUP BY lang ORDER BY lang""")
     }
   )
 

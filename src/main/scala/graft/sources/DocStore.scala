@@ -281,15 +281,79 @@ object DocStore {
     * column is a new section identity, so its reads of old segments
     * are all-null and must never be pruned by the dead column's
     * envelope (name-keyed stats would do exactly that). Longs carry a
-    * numeric envelope; strings carry one only while every observed
-    * value is ASCII <= 64 bytes (on ASCII, String.compareTo equals
-    * UTF-8 byte order, so the envelope stays sound under Spark's
-    * string comparisons; a longer/non-ASCII value drops the envelope
-    * for that segment, never widens it unsoundly). */
+    * numeric envelope. Strings carry BOUNDED bounds, the Iceberg
+    * `truncate(16)` shape: `lo` is a code-point-aligned <= 16-byte
+    * UTF-8 prefix of the segment minimum (a prefix sorts <= its
+    * string in byte order, so lo <= every value), and `hi` is the
+    * aligned prefix of the maximum with its last code point
+    * incremented when the value extends past the prefix (so hi >=
+    * every value) — inexact but SOUND envelopes for arbitrarily long
+    * and non-ASCII strings, where the pre-r12 writer dropped the
+    * envelope entirely past 64 ASCII bytes. All string comparisons
+    * against these bounds use UTF-8 byte order ([[utf8Compare]]),
+    * which is exactly Spark's UTF8String binary comparison, so the
+    * pruner's proofs hold for every value Spark can compare. */
   sealed trait StatBound
   final case class LongBound(lo: Long, hi: Long) extends StatBound
   final case class StrBound(lo: String, hi: String) extends StatBound
   final case class ColStat(nulls: Long, bound: Option[StatBound])
+
+  /** Max stored bytes of a string envelope bound (Iceberg truncate[16]). */
+  val STR_BOUND_MAX = 16
+
+  /** Unsigned lexicographic UTF-8 byte order — identical to Spark's
+    * UTF8String.binaryCompare, the order every string filter uses. */
+  def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** [[utf8Compare]] over Java strings (planning-time only). */
+  def utf8Compare(a: String, b: String): Int = utf8Compare(
+    a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Longest prefix of `b` that is <= STR_BOUND_MAX bytes and ends on
+    * a UTF-8 code-point boundary (only called when b is longer). */
+  private def alignedPrefix(b: Array[Byte]): Array[Byte] = {
+    var k = STR_BOUND_MAX
+    while (k > 0 && (b(k) & 0xc0) == 0x80) k -= 1
+    java.util.Arrays.copyOf(b, k)
+  }
+
+  /** Sound lower bound <= the value, at most STR_BOUND_MAX bytes: the
+    * value itself when short enough, else its aligned prefix (a strict
+    * prefix sorts strictly below its string in byte order). */
+  def truncLowerBytes(b: Array[Byte]): Array[Byte] =
+    if (b.length <= STR_BOUND_MAX) b else alignedPrefix(b)
+
+  /** Sound upper bound >= the value, at most STR_BOUND_MAX + 3 bytes:
+    * the value itself when short enough, else the aligned prefix with
+    * its last code point incremented (skipping the surrogate block) —
+    * greater than EVERY string extending the prefix. None only if
+    * every prefix code point is already U+10FFFF (unreachable in real
+    * text; the caller drops the envelope, which is always sound). */
+  def truncUpperBytes(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length <= STR_BOUND_MAX) return Some(b)
+    var s = new String(alignedPrefix(b), java.nio.charset.StandardCharsets.UTF_8)
+    while (s.nonEmpty) {
+      val cp = s.codePointBefore(s.length)
+      val head = s.substring(0, s.length - Character.charCount(cp))
+      if (cp < 0x10ffff) {
+        val next = if (cp + 1 >= 0xd800 && cp + 1 <= 0xdfff) 0xe000 else cp + 1
+        return Some((head + new String(Character.toChars(next)))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s = head
+    }
+    None
+  }
 
   final case class Segment(name: String, rows: Long, minId: Long,
       maxId: Long, bytes: Long,
@@ -327,15 +391,20 @@ object DocStore {
     var maxId: Long = Long.MinValue
 
     /** Streaming stat accumulator per non-id section — constant state,
-      * no per-row allocation on the long path. String envelopes stay
-      * sound by construction: any value that is non-ASCII or > 64
-      * bytes poisons the envelope (dropped, never widened). */
+      * no per-row allocation on the long path, and on the string path
+      * an allocation only when a value IMPROVES a bound (and then at
+      * most STR_BOUND_MAX + 3 bytes). String envelopes are the
+      * truncated bounds of [[truncLowerBytes]]/[[truncUpperBytes]]:
+      * folding min over per-value lower bounds and max over per-value
+      * upper bounds yields a sound [lo, hi] for the whole segment at
+      * any value length or encoding — long and non-ASCII strings no
+      * longer drop the envelope. */
     private final class StatAcc {
       var nulls = 0L
       var seen = false
       var loL = Long.MaxValue; var hiL = Long.MinValue
-      var loS: String = null; var hiS: String = null
-      var poisoned = false
+      var loB: Array[Byte] = null; var hiB: Array[Byte] = null
+      var poisoned = false // un-incrementable upper prefix (see truncUpperBytes)
       def addNull(): Unit = nulls += 1
       def addLong(v: Long): Unit = {
         seen = true
@@ -345,19 +414,20 @@ object DocStore {
       def addBytes(b: Array[Byte]): Unit = {
         seen = true
         if (poisoned) return
-        if (b.length > 64) { poisoned = true; return }
-        var i = 0
-        while (i < b.length) {
-          if (b(i) < 0) { poisoned = true; return }
-          i += 1
-        }
-        val s = new String(b, java.nio.charset.StandardCharsets.US_ASCII)
-        if (loS == null || s.compareTo(loS) < 0) loS = s
-        if (hiS == null || s.compareTo(hiS) > 0) hiS = s
+        // b <= current hi keeps hi sound; b >= current lo keeps lo —
+        // truncation only runs on the improving value
+        if (loB == null || utf8Compare(b, loB) < 0) loB = truncLowerBytes(b)
+        if (hiB == null || utf8Compare(b, hiB) > 0)
+          truncUpperBytes(b) match {
+            case Some(u) => hiB = u
+            case None => poisoned = true
+          }
       }
       def result: ColStat = ColStat(nulls,
         if (!seen || poisoned) None
-        else if (loS != null) Some(StrBound(loS, hiS))
+        else if (loB != null) Some(StrBound(
+          new String(loB, java.nio.charset.StandardCharsets.UTF_8),
+          new String(hiB, java.nio.charset.StandardCharsets.UTF_8)))
         else Some(LongBound(loL, hiL)))
     }
     private val accs = Array.fill(4 + nExtra)(new StatAcc) // sections 1..
@@ -434,7 +504,8 @@ object DocStore {
   val FLAG_REWRITE = "F,rewrite"
 
   /** Stat lines: `S,<segment>,<sectionId>,<nulls>,i,<lo>,<hi>` (long),
-    * `...,s,<loEnc>,<hiEnc>` (URL-encoded ASCII string), or `...,-`
+    * `...,s,<loEnc>,<hiEnc>` (URL-encoded UTF-8 truncated bound, see
+    * [[StatBound]]), or `...,-`
     * (nulls only, no envelope). Written after the segment lines;
     * readers that predate stats skipped unknown `S,` prefixes, and
     * stats-aware readers tolerate their absence (no envelope = no
@@ -491,12 +562,11 @@ object DocStore {
     *  - IsNull prunes on nulls == 0, IsNotNull on nulls == rows
     *    (rows is the pre-delete count, like the stats — DVs only
     *    shrink the true set, so both stay sound);
-    *  - string envelopes are ASCII by construction, and any Java
-    *    String compares identically under UTF-16 code-unit order and
-    *    UTF-8 byte order when the OTHER side is ASCII (the deciding
-    *    position is either two ASCII chars or ASCII-vs->=0x80, and
-    *    both orders agree on each), so String.compareTo here matches
-    *    Spark's UTF8String.binaryCompare semantics. */
+    *  - string envelopes are the TRUNCATED bounds (lo <= min, hi >=
+    *    max — see [[StatBound]]), so every rule uses them only as
+    *    one-sided bounds, and every comparison runs in UTF-8 byte
+    *    order ([[utf8Compare]]) — exactly Spark's
+    *    UTF8String.binaryCompare semantics for any value. */
   def statsPruner(schema: StructType, filters: Array[Filter])
       : Segment => Boolean = {
     if (filters.isEmpty) return _ => true
@@ -513,7 +583,7 @@ object DocStore {
     def outside(st: ColStat, v: Any): Boolean = st.bound.exists {
       case LongBound(lo, hi) => longOf(v).exists(x => x < lo || x > hi)
       case StrBound(lo, hi) => v match {
-        case s: String => s.compareTo(lo) < 0 || s.compareTo(hi) > 0
+        case s: String => utf8Compare(s, lo) < 0 || utf8Compare(s, hi) > 0
         case _ => false
       }
     }
@@ -535,7 +605,7 @@ object DocStore {
         case GreaterThan(c, v) => st(c).forall(_.bound match {
           case Some(LongBound(_, hi)) => longOf(v).forall(hi > _)
           case Some(StrBound(_, hi)) => v match {
-            case x: String => hi.compareTo(x) > 0
+            case x: String => utf8Compare(hi, x) > 0
             case _ => true
           }
           case None => true
@@ -543,7 +613,7 @@ object DocStore {
         case GreaterThanOrEqual(c, v) => st(c).forall(_.bound match {
           case Some(LongBound(_, hi)) => longOf(v).forall(hi >= _)
           case Some(StrBound(_, hi)) => v match {
-            case x: String => hi.compareTo(x) >= 0
+            case x: String => utf8Compare(hi, x) >= 0
             case _ => true
           }
           case None => true
@@ -551,7 +621,7 @@ object DocStore {
         case LessThan(c, v) => st(c).forall(_.bound match {
           case Some(LongBound(lo, _)) => longOf(v).forall(lo < _)
           case Some(StrBound(lo, _)) => v match {
-            case x: String => lo.compareTo(x) < 0
+            case x: String => utf8Compare(lo, x) < 0
             case _ => true
           }
           case None => true
@@ -559,7 +629,7 @@ object DocStore {
         case LessThanOrEqual(c, v) => st(c).forall(_.bound match {
           case Some(LongBound(lo, _)) => longOf(v).forall(lo <= _)
           case Some(StrBound(lo, _)) => v match {
-            case x: String => lo.compareTo(x) <= 0
+            case x: String => utf8Compare(lo, x) <= 0
             case _ => true
           }
           case None => true
@@ -571,8 +641,8 @@ object DocStore {
             // values starting with p all sort in [p, next-prefix(p));
             // hi < p puts the whole envelope below that band, and
             // lo > p with lo not extending p puts it above
-            !(hi.compareTo(p) < 0 ||
-              (lo.compareTo(p) > 0 && !lo.startsWith(p)))
+            !(utf8Compare(hi, p) < 0 ||
+              (utf8Compare(lo, p) > 0 && !lo.startsWith(p)))
           case _ => true
         })
         case _ => true

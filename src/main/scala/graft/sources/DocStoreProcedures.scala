@@ -211,9 +211,10 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       // Delta's OPTIMIZE ZORDER BY / Iceberg's sort-strategy
       // rewrite_data_files: '' (default) keeps the doc_id range
       // layout; 'c' re-lays out by column c; 'a,b' z-orders on the
-      // Morton interleave of width-bucket surrogates of two BIGINT
-      // columns. Clustering is what makes the per-segment stats
-      // envelopes (data skipping) selective on non-id columns.
+      // Morton interleave of width-bucket surrogates of BIGINT or
+      // STRING columns (strings via an order-preserving 7-byte-
+      // prefix surrogate). Clustering is what makes the per-segment
+      // stats envelopes (data skipping) selective on non-id columns.
       ProcedureParameter.in("cluster_by", StringType)
         .defaultValue("''").build(),
       // Iceberg's bin-pack strategy: > 0 switches to INCREMENTAL
@@ -314,9 +315,11 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
             case cs =>
               cs.foreach(c => require(
                 df.schema(c).dataType ==
-                  org.apache.spark.sql.types.LongType,
-                s"multi-column cluster_by needs BIGINT columns, $c is " +
-                  df.schema(c).dataType.simpleString))
+                  org.apache.spark.sql.types.LongType ||
+                  df.schema(c).dataType ==
+                  org.apache.spark.sql.types.StringType,
+                s"multi-column cluster_by needs BIGINT or STRING " +
+                  s"columns, $c is " + df.schema(c).dataType.simpleString))
               // Morton interleave of order-preserving width-bucket
               // surrogates (Delta's range_partition_id idea with
               // equal-width buckets): one tiny min/max agg job, then
@@ -324,19 +327,36 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
               // share 63 key bits — 16 each for 2, 21 for 3, 15 for 4.
               // 2 columns ride the native InterleaveBits expression,
               // whose contract is the low 16 bits of each side; wider
-              // keys divide the 63 bits (21 for 3 columns, 15 for 4)
+              // keys divide the 63 bits (21 for 3 columns, 15 for 4).
+              // STRING columns enter through an order-preserving
+              // BIGINT surrogate: the first 7 UTF-8 bytes, right-
+              // padded with 0x00 and read big-endian — byte order on
+              // the prefix IS Spark's binary string order, values
+              // sharing a 7-byte prefix tie (a width_bucket needs
+              // nothing finer), and nulls take surrogate 0, the low
+              // end of the layout. All built-in codegen'd functions;
+              // 7 bytes = 56 bits < the long's positive range.
+              def zin(c: String): org.apache.spark.sql.Column =
+                if (df.schema(c).dataType ==
+                  org.apache.spark.sql.types.StringType)
+                  expr(s"coalesce(CAST(conv(hex(rpad(CAST(`$c` AS " +
+                    "BINARY), 7, x'00')), 16, 10) AS BIGINT), 0L)")
+                else col(c)
               val bits = if (cs.size == 2) 16 else 63 / cs.size
-              val mmAggs = cs.flatMap(c => Seq(
+              val zdf = cs.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+                d.withColumn(s"__zc$i", zin(c)) }
+              val zcs = cs.indices.map(i => s"__zc$i")
+              val mmAggs = zcs.flatMap(c => Seq(
                 org.apache.spark.sql.functions.min(c),
                 org.apache.spark.sql.functions.max(c)))
-              val r = df.agg(mmAggs.head, mmAggs.tail: _*).head
+              val r = zdf.agg(mmAggs.head, mmAggs.tail: _*).head
               val bounds = cs.indices.map { i =>
                 require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
                   s"cluster_by column ${cs(i)} is all-null; " +
                     "nothing to cluster")
                 (r.getLong(2 * i), r.getLong(2 * i + 1))
               }
-              val buckets = cs.zip(bounds).map { case (c, (lo, hi)) =>
+              val buckets = zcs.zip(bounds).map { case (c, (lo, hi)) =>
                 expr(s"CAST(width_bucket(`$c`, ${lo}L, ${hi}L + 1, " +
                   s"${1L << bits}) AS BIGINT) - 1")
               }
@@ -360,10 +380,10 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
                       }
                   }
                 }
-              df.withColumn("__z", z)
+              zdf.withColumn("__z", z)
                 .repartitionByRange(target, col("__z"))
                 .sortWithinPartitions(col("__z"))
-                .drop("__z")
+                .drop("__z" +: zcs: _*)
           }
       }
       clustered
@@ -624,7 +644,12 @@ class DetailProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   * metadata-only `dataChange=false` commit republishes the manifest
   * with the stat lines — CDC consumers skip it, history is preserved.
   * The same envelope rules as the write path: longs exact; strings
-  * only when every value is ASCII <= 64 bytes. Stats are computed
+  * as truncated bounds (DocStore.truncLowerBytes/truncUpperBytes —
+  * sound for any length or encoding; the per-segment MIN/MAX compute
+  * distributed under Spark's binary string order, a 17-CODE-POINT
+  * prefix of each travels to the driver — always >= the full 16-byte
+  * bound prefix plus the does-it-extend byte — and the shared
+  * truncation helpers produce the stored bound). Stats are computed
   * through the READ (deletion vectors applied), which only narrows
   * envelopes toward the surviving rows — always sound. */
 class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
@@ -660,11 +685,13 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
           min(c.cast("long")).as(s"lo_$sec"),
           max(c.cast("long")).as(s"hi_$sec"))
         else Seq(
-          min(c).as(s"lo_$sec"), max(c).as(s"hi_$sec"),
-          // envelope poison flags, same rules as the write path
-          max(length(c)).as(s"len_$sec"),
-          max(when(c.rlike("[^\\x00-\\x7F]"), 1).otherwise(0))
-            .as(s"na_$sec")))
+          // 17 code points >= 17 bytes: always covers the full 16-byte
+          // aligned bound prefix AND at least one byte past it, which
+          // is all truncUpperBytes needs to know the value extends
+          // (a value that fits 16 bytes arrives whole). Keeps the
+          // driver transfer bound-sized even for document-long strings.
+          substring(min(c), 1, DocStore.STR_BOUND_MAX + 1).as(s"lo_$sec"),
+          substring(max(c), 1, DocStore.STR_BOUND_MAX + 1).as(s"hi_$sec")))
     }
     val computed = df.groupBy(col("_segment"))
       .agg(aggs.head, aggs.tail: _*).collect().map { r =>
@@ -680,11 +707,18 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
               r.getLong(r.fieldIndex(s"hi_$sec"))))
           } else {
             if (r.isNullAt(r.fieldIndex(s"lo_$sec"))) None
-            else if (r.getInt(r.fieldIndex(s"len_$sec")) > 64 ||
-              r.getInt(r.fieldIndex(s"na_$sec")) == 1) None
-            else Some(DocStore.StrBound(
-              r.getString(r.fieldIndex(s"lo_$sec")),
-              r.getString(r.fieldIndex(s"hi_$sec"))))
+            else {
+              // prefix-of-min truncates to a sound lower bound; the
+              // hi prefix is >16 bytes exactly when the max extends,
+              // so truncUpperBytes increments in exactly those cases
+              val utf8 = java.nio.charset.StandardCharsets.UTF_8
+              val lo = DocStore.truncLowerBytes(
+                r.getString(r.fieldIndex(s"lo_$sec")).getBytes(utf8))
+              DocStore.truncUpperBytes(
+                r.getString(r.fieldIndex(s"hi_$sec")).getBytes(utf8))
+                .map(hi => DocStore.StrBound(
+                  new String(lo, utf8), new String(hi, utf8)))
+            }
           }
         sec -> DocStore.ColStat(nulls, bound)
       }.toMap

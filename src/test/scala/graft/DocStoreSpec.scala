@@ -1707,6 +1707,61 @@ class DocStoreSpec extends SparkSpec {
     assert(plannedOf(readBack.where(col("lang").startsWith("e")))._1 == 1)
   }
 
+  test("truncated string envelopes: long and non-ASCII values keep sound bounds") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // helper level: the prefix cut lands on a code-point boundary even
+    // when byte 16 falls inside a multi-byte character
+    val straddle = "a" * 15 + "日本語" // 15 + 3x3 bytes
+    assert(new String(DocStore.truncLowerBytes(straddle.getBytes(UTF_8)),
+      UTF_8) == "a" * 15)
+    val hiS = new String(
+      DocStore.truncUpperBytes(straddle.getBytes(UTF_8)).get, UTF_8)
+    assert(DocStore.utf8Compare(hiS, straddle) > 0,
+      s"upper bound '$hiS' must exceed the value")
+    assert(hiS.getBytes(UTF_8).length <= DocStore.STR_BOUND_MAX + 3)
+    // short values round-trip exactly
+    assert(new String(DocStore.truncUpperBytes("short".getBytes(UTF_8)).get,
+      UTF_8) == "short")
+    // incrementing U+D7FF skips the surrogate block to U+E000
+    val surr = "0123456789012\uD7FFxx" // 13 + 3 bytes = aligned 16
+    assert(new String(DocStore.truncUpperBytes(surr.getBytes(UTF_8)).get,
+      UTF_8) == "0123456789012\uE000")
+
+    // write path: >64-byte partly non-ASCII values — the pre-r12
+    // writer dropped these envelopes entirely; now they prune
+    val tmp = Files.createTempDirectory("docstore_strstats").toString
+    import spark.implicits._
+    val aTxt = "alpha-日本語文書-" + ("x" * 80)
+    val bTxt = "bravo-テキスト-" + ("y" * 80)
+    Seq((1L, 5L, "xx", "s", aTxt), (2L, 6L, "xx", "s", bTxt)).foreach {
+      case (id, n, l, src, t) =>
+        Seq((id, n, l, src, t))
+          .toDF("doc_id", "n_chars", "lang", "source", "text")
+          .coalesce(1).write.format("graft-docstore").mode("append")
+          .option("path", tmp).save()
+    }
+    val segs = DocStore.readManifest(tmp)
+    assert(segs.size == 2 && segs.forall(
+      _.stats(4).bound.exists(_.isInstanceOf[DocStore.StrBound])),
+      s"text envelopes must survive long non-ASCII values: $segs")
+    def rb = spark.read.format("graft-docstore").option("path", tmp).load()
+    // equality prunes to the owning segment and stays row-exact
+    val eq = rb.where(col("text") === bTxt)
+    assert(plannedOf(eq) == ((1, 2)) && eq.count() == 1)
+    // probes outside every envelope plan zero segments
+    assert(plannedOf(rb.where(col("text") > "\uFFFF"))._1 == 0)
+    assert(plannedOf(rb.where(col("text") < "a"))._1 == 0)
+    // prefix pruning through the truncated bounds
+    val pre = rb.where(col("text").startsWith("bravo"))
+    assert(plannedOf(pre) == ((1, 2)) && pre.count() == 1)
+    // a phantom value INSIDE segment A's inexact envelope (it shares
+    // the full 16-byte prefix) is kept by planning — sound, never
+    // wrong — and the residual row filter zeroes it
+    val phantom = "alpha-日本語ZZZ"
+    val pf = rb.where(col("text") === phantom)
+    assert(plannedOf(pf)._1 == 1 && pf.count() == 0)
+  }
+
   test("optimize cluster_by: stats envelopes become selective; z-order prunes both dims") {
     val root = Files.createTempDirectory("docstore_cluster").toString
     val sc = graft.core.Sessions.scoped(spark,
@@ -1761,16 +1816,27 @@ class DocStoreSpec extends SparkSpec {
     assert(widths.nonEmpty && widths.min < (global * 9) / 10,
       s"3-col z-order must narrow some n_chars envelope: " +
         s"widths=$widths global=$global")
-    // refusals: unknown column, arity, non-BIGINT pair members
+    // refusals: unknown column, arity
     assert(intercept[Exception] {
       sc.sql("CALL ccat.system.optimize('ns.t', 4, 'nope')").collect()
     }.getMessage.contains("cluster_by"))
     assert(intercept[Exception] {
       sc.sql("CALL ccat.system.optimize('ns.t', 4, 'a,b,c,d,e')").collect()
     }.getMessage.contains("at most 4"))
-    assert(intercept[Exception] {
-      sc.sql("CALL ccat.system.optimize('ns.t', 4, 'lang,source')").collect()
-    }.getMessage.contains("BIGINT"))
+    // STRING members enter the z-order through the 7-byte-prefix
+    // surrogate (r12): a (lang, source) layout must land and make the
+    // lang envelopes selective — segments cover a sub-range of the
+    // languages instead of all of them
+    sc.sql("CALL ccat.system.optimize('ns.t', 6, 'lang,source')")
+      .collect()
+    val segsS = DocStore.readManifest(tdir3)
+    val langBounds = segsS.flatMap(_.stats.get(2)).flatMap(_.bound)
+      .collect { case DocStore.StrBound(lo, hi) => (lo, hi) }
+    val globalLang = (docs.agg(min("lang")).head.getString(0),
+      docs.agg(max("lang")).head.getString(0))
+    assert(langBounds.nonEmpty && langBounds.exists(_ != globalLang),
+      s"string z-order must narrow some lang envelope below the " +
+        s"global $globalLang: $langBounds")
   }
 
   test("CHECK constraints: every write path enforces, DDL validates, null passes") {
