@@ -2215,6 +2215,82 @@ object IoOps {
         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
         FROM graft_cat_sc.default.docs WHERE source IN ('src3', 'src17')
         GROUP BY lang ORDER BY lang""")
+    },
+
+    // ------------------------------------ column DEFAULT + NOT NULL
+    Q("q179_column_defaults",
+      "Column DEFAULT values and NOT NULL contracts — Delta's other " +
+        "column DDL (q161 covered CHECK): the catalog declares " +
+        "SUPPORT_COLUMN_DEFAULT_VALUE, so CREATE/ADD COLUMN/ALTER " +
+        "COLUMN SET DEFAULT are first-class SQL and Spark's analyzer " +
+        "fills INSERTs that omit a defaulted column (CURRENT_DEFAULT " +
+        "field metadata, persisted verbatim in the SCHEMA file). ADD " +
+        "COLUMN ... DEFAULT back-fills METADATA-ONLY: pre-ADD " +
+        "segments read the constant-folded EXISTS_DEFAULT instead of " +
+        "null (resolved once per reader; post-ADD explicit nulls stay " +
+        "null — the exists/current split, exactly Delta). NOT NULL " +
+        "(CREATE-time, ADD COLUMN NOT NULL DEFAULT, or programmatic " +
+        "SET NOT NULL with a verify-existing scan) enforces through " +
+        "the SAME writer-factory path as CHECK constraints — codegen'd " +
+        "per-row predicates on INSERT, streaming epochs, MERGE, and " +
+        "CoW rewrites; a violating job aborts its staged segments and " +
+        "the table is untouched. The gate adds a quality column with " +
+        "DEFAULT 7, inserts a zh slice omitting it, re-points the " +
+        "default to 9 for an es slice, adds flag BIGINT NOT NULL " +
+        "DEFAULT 1, proves a NULL-flag INSERT changes nothing, and " +
+        "checks the per-default sums; DocStoreSpec pins the full DDL " +
+        "matrix (DROP DEFAULT, explicit-null survival, refusals, SET/" +
+        "DROP NOT NULL, no-rewrite backfill). At 100 TB the backfill " +
+        "IS the point: adding a defaulted column to a petabyte table " +
+        "costs one SCHEMA write.",
+      Some("""
+        WITH base AS (SELECT COUNT(*) AS n FROM documents),
+        zh AS (SELECT COUNT(*) AS n FROM documents WHERE lang = 'zh'),
+        es AS (SELECT COUNT(*) AS n FROM documents WHERE lang = 'es')
+        SELECT * FROM (
+          SELECT 'a_defaults' AS phase,
+                 (base.n + zh.n + es.n)::BIGINT AS n_rows,
+                 (7 * (base.n + zh.n) + 9 * es.n)::BIGINT AS quality_sum,
+                 (base.n + zh.n + es.n)::BIGINT AS flag_sum
+          FROM base, zh, es
+          UNION ALL
+          SELECT 'b_rejected', (base.n + zh.n + es.n)::BIGINT,
+                 (7 * (base.n + zh.n) + 9 * es.n)::BIGINT,
+                 (base.n + zh.n + es.n)::BIGINT
+          FROM base, zh, es
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_df")
+      val t = "graft_cat_df.default.docs"
+      sc.sql(s"ALTER TABLE $t ADD COLUMN quality BIGINT DEFAULT 7")
+      sc.sql(s"INSERT INTO $t (doc_id, n_chars, lang, source, text) " +
+        s"SELECT doc_id + 3000000, n_chars, lang, source, text FROM $t " +
+        "WHERE lang = 'zh'")
+      sc.sql(s"ALTER TABLE $t ALTER COLUMN quality SET DEFAULT 9")
+      sc.sql(s"INSERT INTO $t (doc_id, n_chars, lang, source, text) " +
+        s"SELECT doc_id + 4000000, n_chars, lang, source, text FROM $t " +
+        "WHERE lang = 'es' AND doc_id < 3000000")
+      sc.sql(s"ALTER TABLE $t ADD COLUMN flag BIGINT NOT NULL DEFAULT 1")
+      def phase(tag: String) = sc.sql(
+        s"SELECT '$tag' AS phase, COUNT(*) AS n_rows, " +
+          s"SUM(quality) AS quality_sum, SUM(flag) AS flag_sum FROM $t")
+      // captured EAGERLY: the a-phase must reflect the table before
+      // the rejected insert is attempted
+      val a = phase("a_defaults").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // NULL into the NOT NULL flag must fail the job and change nothing
+      try {
+        sc.sql(s"INSERT INTO $t VALUES " +
+          "(99999999, 1, 'xx', 'bad', 'row', 5, NULL)")
+        throw new IllegalStateException(
+          "q179: the NULL-flag INSERT was not rejected")
+      } catch {
+        case e: IllegalStateException if e.getMessage.startsWith("q179") =>
+          throw e
+        case _: Exception => () // expected: NOT NULL violation
+      }
+      import sc.implicits._
+      a.toSeq.toDF("phase", "n_rows", "quality_sum", "flag_sum")
+        .unionByName(phase("b_rejected")).orderBy("phase")
     }
   )
 

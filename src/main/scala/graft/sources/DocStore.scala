@@ -113,6 +113,15 @@ object DocStore {
   val SECTION_KEY = "graft.section"
   val SECTION_FLOOR_FILE = "SECTIONS"
 
+  /** Field-metadata flag for an enforced NOT NULL column contract.
+    * The PHYSICAL schema stays nullable (old segments null-pad missing
+    * sections, and the n_chars null sentinel must survive), so NOT
+    * NULL is a WRITE-TIME constraint enforced through the same writer
+    * factories as CHECK constraints — Delta's ALTER COLUMN SET NOT
+    * NULL surface with Delta's semantics (existing rows are verified
+    * at DDL time; every later write path rejects nulls loudly). */
+  val NOTNULL_KEY = "graft.notnull"
+
   def sectionOf(f: StructField, schemaIdx: Int): Int =
     if (f.metadata.contains(SECTION_KEY))
       f.metadata.getLong(SECTION_KEY).toInt
@@ -179,7 +188,12 @@ object DocStore {
   def coerceEvolved(schema: StructType): StructType = {
     validateEvolved(StructType(schema.fields.take(FIELDS.size) ++
       schema.fields.drop(FIELDS.size).map(_.copy(nullable = true))))
-    StructType(FIELDS ++
+    // base columns take the canonical name/type/nullability but KEEP
+    // the incoming field metadata — column DEFAULTs (CURRENT_DEFAULT)
+    // and the NOT NULL flag ride the metadata and must survive the
+    // canonicalization (pre-r12 this dropped base metadata entirely)
+    StructType(schema.fields.take(FIELDS.size).zip(FIELDS).map {
+      case (in, base) => base.copy(metadata = in.metadata) } ++
       schema.fields.drop(FIELDS.size).map(_.copy(nullable = true)))
   }
 
@@ -1550,10 +1564,8 @@ class DocStoreDataWriter(path: String, schema: StructType,
     var ci = 0
     while (ci < violations.length) {
       if (violations(ci)._2.eval(r)) throw new IllegalStateException(
-        s"CHECK constraint '${violations(ci)._1}' violated by a row " +
-          s"written to $path (property " +
-          s"${DocStoreChecks.PREFIX}${violations(ci)._1}); the write " +
-          "job fails and its staged segments are aborted")
+        s"${violations(ci)._1} violated by a row written to $path; " +
+          "the write job fails and its staged segments are aborted")
       ci += 1
     }
     val dirKey = rowDir(r)
@@ -2230,6 +2242,16 @@ class DocStoreReader(file: String, schema: StructType,
   // section with no live field (a DROPped column's retired bytes) is
   // absent from fieldAtSection and never decoded.
   private val secOf = DocStore.sectionIds(schema)
+  // Exists-defaults (ADD COLUMN ... DEFAULT v): a segment written
+  // before the column existed reads the DEFAULT instead of null —
+  // Delta's metadata-only backfill. Resolved once per reader from the
+  // field's EXISTS_DEFAULT metadata (catalyst-only parsing, executor-
+  // safe — the same utility Spark's parquet readers use); rows the
+  // column's section DOES cover keep their stored values, explicit
+  // nulls included, exactly the Delta/Iceberg contract.
+  private val existsDefault: Array[Any] = schema.fields.map(f =>
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .getExistenceDefaultValue(f): Any)
   private val fieldAtSection: Map[Int, Int] =
     secOf.zipWithIndex.map { case (s, i) => s -> i }.toMap
   private val needFilter = lo != Long.MinValue || hi != Long.MaxValue
@@ -2336,7 +2358,9 @@ class DocStoreReader(file: String, schema: StructType,
               else birthVersion.longValue()): Any
             else if (ci == -2) i.toLong: Any
             else if (ci < 0) segNameUtf
-            else if (ci >= nSect) null // pre-evolution segment: null-pad
+            // pre-evolution segment: the column's exists-default, or
+            // null when none was declared
+            else if (ci >= nSect) existsDefault(fieldAtSection(ci))
             else if (ci < 2) {
               val v = longs(ci)(i)
               if (ci == 1 && v == Long.MinValue) null else (v: Any)

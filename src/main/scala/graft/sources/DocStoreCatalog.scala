@@ -281,10 +281,37 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     finally stream.close()
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  /** Column DEFAULT values are first-class DDL (CREATE ... DEFAULT,
+    * ALTER COLUMN SET/DROP DEFAULT, ADD COLUMN ... DEFAULT): Spark
+    * encodes them into field metadata (CURRENT_DEFAULT / the analyzer
+    * fill for INSERTs that omit the column; EXISTS_DEFAULT / the read
+    * backfill for pre-ADD segments) and the SCHEMA file round-trips
+    * that metadata verbatim. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** A `NOT NULL` claim on any column but doc_id (whose non-nullness
+    * is the format contract) becomes the enforced write-time flag:
+    * the PHYSICAL schema stays nullable (old segments null-pad), and
+    * the writer factories reject null writes loudly — Delta's column
+    * contract semantics. */
+  private def withNotNullFlags(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      if (!f.nullable && i != 0)
+        f.copy(nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putBoolean(DocStore.NOTNULL_KEY, true).build())
+      else f
+    })
+
+  override def createTable(ident: Identifier, schema0: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val schema = withNotNullFlags(schema0)
     // base 5 columns required as a prefix; appended nullable LONG/STRING
     // columns are allowed from birth (same rule ADD COLUMN enforces)
     val extra = DocStore.validateEvolved(schema)
@@ -300,7 +327,9 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     Files.write(dir.resolve("MANIFEST"), Array.empty[Byte])
-    if (extra.nonEmpty) DocStore.writeSchemaFile(dir.toString, schema)
+    if (extra.nonEmpty || schema.fields.exists(
+        _.metadata != org.apache.spark.sql.types.Metadata.empty))
+      DocStore.writeSchemaFile(dir.toString, schema)
     if (spec.nonEmpty) DocStorePartitioning.write(dir.toString, spec)
     DocStoreChecks.validate(schema, properties.asScala.toMap)
     DocStoreCatalog.writeModeProp(dir, properties)
@@ -385,12 +414,34 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
           // pin the physical section explicitly: past every live field
           // AND past every retired (dropped) one, so the new column can
           // never read a dropped predecessor's bytes
-          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
             .putLong(DocStore.SECTION_KEY,
               DocStore.nextSectionId(dir, s).toLong)
-            .build()
+          // ADD COLUMN ... DEFAULT v: CURRENT_DEFAULT fills later
+          // INSERTs that omit the column; EXISTS_DEFAULT (the
+          // constant-folded literal) is what pre-ADD segments read
+          // instead of null — the metadata-only backfill, no segment
+          // rewritten. A NOT NULL claim on the added column is only
+          // satisfiable WITH a default (old rows must read something).
+          Option(add.defaultValue()).foreach { dv =>
+            val folded = org.apache.spark.sql.catalyst.expressions
+              .Literal(dv.getValue.value, dv.getValue.dataType)
+            mb.putString(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              dv.getSql)
+            mb.putString(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+              folded.sql)
+          }
+          if (!add.isNullable) {
+            require(add.defaultValue() != null,
+              s"cannot ADD COLUMN ${add.fieldNames()(0)} NOT NULL " +
+                "without a DEFAULT — existing rows would have nothing " +
+                "to read (Delta refuses here too)")
+            mb.putBoolean(DocStore.NOTNULL_KEY, true)
+          }
           s.add(StructField(add.fieldNames()(0), add.dataType(),
-            nullable = true, metadata = meta))
+            nullable = true, metadata = mb.build()))
         case (s, del: TableChange.DeleteColumn) =>
           val i = extraIndex(s, del.fieldNames(), "drop")
           require(!DocStorePartitioning.read(dir).exists(
@@ -421,10 +472,65 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             s"only INT -> BIGINT widening is metadata-safe here, " +
               s"got ${from.simpleString} -> ${to.simpleString}")
           StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
+        case (s, d: TableChange.UpdateColumnDefaultValue) =>
+          // ALTER COLUMN SET/DROP DEFAULT — pure metadata, any column:
+          // CURRENT_DEFAULT governs FUTURE inserts only (SQL/Delta
+          // semantics; the exists-default of pre-ADD rows is pinned at
+          // ADD COLUMN time and deliberately untouched here)
+          require(d.fieldNames().length == 1,
+            "docstore columns cannot be nested")
+          val i = s.fieldNames.indexOf(d.fieldNames()(0))
+          require(i >= 0, s"no such column: ${d.fieldNames()(0)}")
+          val sql = Option(d.newCurrentDefault()).map(_.getSql)
+            .orElse(Option(d.newDefaultValue())).filter(_.nonEmpty)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(s.fields(i).metadata)
+          sql match {
+            case Some(x) =>
+              // refuse un-analyzable / non-constant defaults at DDL
+              org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                .analyze(d.fieldNames()(0), s.fields(i).dataType, x,
+                  "ALTER TABLE ALTER COLUMN")
+              mb.putString(org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, x)
+            case None =>
+              mb.remove(org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+          }
+          StructType(s.fields.updated(i,
+            s.fields(i).copy(metadata = mb.build())))
+        case (s, un: TableChange.UpdateColumnNullability) =>
+          // ALTER COLUMN SET/DROP NOT NULL — the write-time contract
+          // flag (physical nullability never changes; see NOTNULL_KEY)
+          require(un.fieldNames().length == 1,
+            "docstore columns cannot be nested")
+          val i = s.fieldNames.indexOf(un.fieldNames()(0))
+          require(i >= 0, s"no such column: ${un.fieldNames()(0)}")
+          require(i != 0, "doc_id is non-null by format contract")
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(s.fields(i).metadata)
+          if (!un.nullable()) {
+            // existing rows must already satisfy — one distributed
+            // scan through the normal read path, which applies
+            // exists-defaults, so a defaulted backfill column passes
+            // (Delta scans and refuses at this point too)
+            val bad = org.apache.spark.sql.SparkSession.active.read
+              .format("graft-docstore").option("path", dir).load()
+              .where(org.apache.spark.sql.functions
+                .col(un.fieldNames()(0)).isNull)
+              .limit(1).count()
+            require(bad == 0,
+              s"cannot SET NOT NULL on ${un.fieldNames()(0)}: existing " +
+                "rows hold nulls — fix or delete them first")
+            mb.putBoolean(DocStore.NOTNULL_KEY, true)
+          } else mb.remove(DocStore.NOTNULL_KEY)
+          StructType(s.fields.updated(i,
+            s.fields(i).copy(metadata = mb.build())))
         case (_, ch) => throw new UnsupportedOperationException(
           "docstore tables support ADD COLUMN, DROP COLUMN (added " +
-            "columns), RENAME COLUMN (added columns), and INT -> " +
-            s"BIGINT widening; got $ch")
+            "columns), RENAME COLUMN (added columns), INT -> BIGINT " +
+            "widening, ALTER COLUMN SET/DROP DEFAULT, and ALTER " +
+            s"COLUMN SET/DROP NOT NULL; got $ch")
       }
       if (schemaChanges.nonEmpty) {
         // archive the outgoing schema first: RESTORE's metadata

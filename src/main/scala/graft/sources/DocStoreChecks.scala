@@ -54,25 +54,37 @@ object DocStoreChecks {
     }
   }
 
-  /** Compile the table's check properties into (name, bound violation
-    * predicate) against the INPUT row layout (`order(i)` = input
-    * position of table field i). Driver-side only (needs the active
-    * session's analyzer); the bound expressions are serializable and
-    * ship to tasks inside the writer factory. */
+  /** Compile the table's row contracts into (description, bound
+    * violation predicate) pairs against the INPUT row layout
+    * (`order(i)` = input position of table field i): every
+    * `graft.check.*` property, plus a null-rejection predicate per
+    * NOT NULL-flagged column (DocStore.NOTNULL_KEY — same enforcement
+    * path, Delta's column contract). Driver-side only (needs the
+    * active session's analyzer); the bound expressions are
+    * serializable and ship to tasks inside the writer factory. */
   def compile(path: String, schema: StructType,
       order: Array[Int]): Seq[(String, Expression)] = {
+    val notNulls = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.metadata.contains(DocStore.NOTNULL_KEY) &&
+          f.metadata.getBoolean(DocStore.NOTNULL_KEY) =>
+        s"NOT NULL constraint on column '${f.name}'" ->
+          (org.apache.spark.sql.catalyst.expressions.IsNull(
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              order(i), f.dataType, nullable = true)): Expression)
+    }.toSeq
     val props = DocStoreCatalog.readProps(path)
       .filter(_._1.startsWith(PREFIX))
-    if (props.isEmpty) return Seq.empty
+    if (props.isEmpty) return notNulls
     val inputFields = new Array[StructField](schema.length)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       inputFields(order(i)) = f }
     val inputSchema = StructType(inputFields.toSeq)
-    props.toSeq.sortBy(_._1).map { case (k, sql) =>
+    notNulls ++ props.toSeq.sortBy(_._1).map { case (k, sql) =>
       val (cond, out) = analyzedCondition(inputSchema, sql)
       // violated iff the analyzed condition is exactly FALSE
       val violation = EqualNullSafe(cond, Literal(false))
-      k.stripPrefix(PREFIX) ->
+      val name = k.stripPrefix(PREFIX)
+      s"CHECK constraint '$name' (property $PREFIX$name)" ->
         BindReferences.bindReference(violation, AttributeSeq(out))
     }
   }

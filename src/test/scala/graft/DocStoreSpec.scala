@@ -1839,6 +1839,83 @@ class DocStoreSpec extends SparkSpec {
         s"global $globalLang: $langBounds")
   }
 
+  test("column DEFAULT + NOT NULL: analyzer fill, metadata-only backfill, write-time contract") {
+    val root = Files.createTempDirectory("docstore_default").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.dcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.dcat.root" -> root)
+    sc.sql("CREATE NAMESPACE dcat.ns")
+    sc.sql("CREATE TABLE dcat.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT NOT NULL, lang STRING DEFAULT 'und', " +
+      "source STRING, text STRING)")
+    // INSERT omitting a defaulted base column: the analyzer fills it
+    sc.sql("INSERT INTO dcat.ns.t (doc_id, n_chars, source, text) " +
+      "VALUES (1, 10, 's1', 'a')")
+    assert(sc.sql("SELECT lang FROM dcat.ns.t").head.getString(0) == "und")
+    // ADD COLUMN ... DEFAULT: pre-ADD segments read the default via
+    // EXISTS_DEFAULT — metadata-only, no segment rewritten
+    val segsBefore = DocStore.readManifest(
+      java.nio.file.Paths.get(root, "ns", "t").toString).map(_.name)
+    sc.sql("ALTER TABLE dcat.ns.t ADD COLUMN quality BIGINT DEFAULT 7")
+    assert(DocStore.readManifest(java.nio.file.Paths.get(root, "ns", "t")
+      .toString).map(_.name) == segsBefore, "backfill must not rewrite")
+    assert(sc.sql("SELECT quality FROM dcat.ns.t").head.getLong(0) == 7)
+    // CURRENT_DEFAULT governs later inserts; SET DEFAULT re-points it;
+    // explicit NULL after the ADD stays null (exists vs current split)
+    sc.sql("INSERT INTO dcat.ns.t (doc_id, n_chars, source, text) " +
+      "VALUES (2, 20, 's2', 'b')")
+    sc.sql("ALTER TABLE dcat.ns.t ALTER COLUMN quality SET DEFAULT 9")
+    sc.sql("INSERT INTO dcat.ns.t (doc_id, n_chars, source, text) " +
+      "VALUES (3, 30, 's3', 'c')")
+    sc.sql("INSERT INTO dcat.ns.t VALUES (4, 40, 'xx', 's4', 'd', NULL)")
+    sc.sql("ALTER TABLE dcat.ns.t ALTER COLUMN quality DROP DEFAULT")
+    sc.sql("INSERT INTO dcat.ns.t (doc_id, n_chars, source, text) " +
+      "VALUES (5, 50, 's5', 'e')")
+    assert(sc.sql("SELECT doc_id, quality FROM dcat.ns.t ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, -1L), (5L, -1L)))
+    // NOT NULL from CREATE enforces on every write; the table is
+    // untouched by the failed job
+    intercept[Exception] {
+      sc.sql("INSERT INTO dcat.ns.t VALUES (6, NULL, 'xx', 's', 't', 1)")
+    }
+    assert(sc.sql("SELECT COUNT(*) FROM dcat.ns.t").head.getLong(0) == 5)
+    // ADD COLUMN NOT NULL needs a DEFAULT (old rows must read it)
+    assert(intercept[Exception] {
+      sc.sql("ALTER TABLE dcat.ns.t ADD COLUMN bad BIGINT NOT NULL")
+    }.getMessage.contains("without a DEFAULT"))
+    sc.sql("ALTER TABLE dcat.ns.t ADD COLUMN flag BIGINT NOT NULL DEFAULT 1")
+    assert(sc.sql("SELECT SUM(flag) FROM dcat.ns.t").head.getLong(0) == 5)
+    intercept[Exception] {
+      sc.sql("INSERT INTO dcat.ns.t VALUES (7, 1, 'xx', 's', 't', 1, NULL)")
+    }
+    // SET NOT NULL programmatically (Spark's analyzer vetoes the SQL
+    // form on v2 tables): refuse while nulls exist, land after
+    // cleanup, then enforce on writes
+    val cat = sc.sessionState.catalogManager.catalog("dcat")
+      .asInstanceOf[graft.sources.DocStoreCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("ns"), "t")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    assert(intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.updateColumnNullability(Array("quality"), false))
+    }.getMessage.contains("existing rows hold nulls"))
+    sc.sql("DELETE FROM dcat.ns.t WHERE quality IS NULL")
+    cat.alterTable(ident,
+      TableChange.updateColumnNullability(Array("quality"), false))
+    intercept[Exception] {
+      sc.sql("INSERT INTO dcat.ns.t VALUES (8, 1, 'xx', 's', 't', NULL, 1)")
+    }
+    // DROP NOT NULL re-admits nulls
+    cat.alterTable(ident,
+      TableChange.updateColumnNullability(Array("quality"), true))
+    sc.sql("INSERT INTO dcat.ns.t VALUES (9, 1, 'xx', 's', 't', NULL, 1)")
+    assert(sc.sql("SELECT COUNT(*) FROM dcat.ns.t").head.getLong(0) == 4)
+  }
+
   test("CHECK constraints: every write path enforces, DDL validates, null passes") {
     val root = Files.createTempDirectory("docstore_check").toString
     val sc = graft.core.Sessions.scoped(spark,
