@@ -2291,6 +2291,88 @@ object IoOps {
       import sc.implicits._
       a.toSeq.toDF("phase", "n_rows", "quality_sum", "flag_sum")
         .unionByName(phase("b_rejected")).orderBy("phase")
+    },
+
+    // ------------------------------------ branch-scoped streaming read
+    Q("q180_branch_stream",
+      "Branch-scoped STREAMING reads — the natural WAP companion " +
+        "(q157 writes and batch-audits a branch; an audit consumer " +
+        "wants to STREAM it): `.readStream.option(\"branch\", name)` " +
+        "paces the branch's own manifest through the same name-keyed " +
+        "offsets as the main stream, and the face is fast-forward-" +
+        "aware on publish — publish_branch leaves a PUBLISHED " +
+        "tombstone, the branch face resolves to MAIN (whose manifest " +
+        "IS the branch manifest it was reading, verbatim), and a " +
+        "checkpointed restart resumes exactly: no re-reads, no " +
+        "duplicates, post-publish main commits stream next. A name " +
+        "that never existed or was DROPPED fails loudly instead of " +
+        "silently reading main, and create_branch clears a stale " +
+        "tombstone so a re-created branch starts a fresh lifecycle. " +
+        "The gate drains the audit branch AvailableNow (== the batch " +
+        "branch read: base + staged rows), publishes, lands one more " +
+        "main commit, and re-drains THE SAME CHECKPOINT — the sink " +
+        "must grow by exactly the new commit. BranchSpec pins the " +
+        "dropped-branch refusal and the tombstone lifecycle. At " +
+        "100 TB this is metadata-paced like every docstore stream: " +
+        "offsets are manifest positions, never data scans.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'a_branch_stream' AS phase,
+                 (SELECT COUNT(*) FROM documents) + COUNT(*) AS n_rows,
+                 ((SELECT SUM(n_chars) FROM documents) +
+                  SUM(n_chars))::BIGINT AS chars
+          FROM documents WHERE lang = 'fr'
+          UNION ALL
+          SELECT 'b_resumed_on_main',
+                 (SELECT COUNT(*) FROM documents) + COUNT(*) +
+                 (SELECT COUNT(*) FROM documents WHERE lang = 'es'),
+                 ((SELECT SUM(n_chars) FROM documents) + SUM(n_chars) +
+                  (SELECT SUM(n_chars) FROM documents
+                   WHERE lang = 'es'))::BIGINT
+          FROM documents WHERE lang = 'fr'
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_bs")
+      val tablePath = java.nio.file.Paths.get(
+        sc.conf.get("spark.sql.catalog.graft_cat_bs.root"),
+        "default", "docs").toString
+      sc.sql("CALL graft_cat_bs.system.create_branch('default.docs', 'audit')")
+      val vBase = graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      val w = graft.core.Sessions.scoped(sc,
+        "spark.graft.wap.branch" -> "audit")
+      w.sql("INSERT INTO graft_cat_bs.default.docs " +
+        "SELECT doc_id + 1000000, n_chars, lang, source, text " +
+        s"FROM graft_cat_bs.default.docs VERSION AS OF $vBase " +
+        "WHERE lang = 'fr'")
+      val tmp = java.nio.file.Files.createTempDirectory("q180")
+      graft.core.Fs.deleteOnExit(tmp)
+      def drain(): Unit = {
+        val q = sc.readStream.format("graft-docstore")
+          .option("path", tablePath).option("branch", "audit").load()
+          .writeStream.format("parquet")
+          .option("path", tmp.resolve("sink").toString)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      def sinkAgg(tag: String) = sc.read
+        .parquet(tmp.resolve("sink").toString)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars"))
+        .select(lit(tag).as("phase"), col("n_rows"), col("chars"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      drain() // the full branch face: base rows + staged fr slice
+      val a = sinkAgg("a_branch_stream")
+      sc.sql("CALL graft_cat_bs.system.publish_branch('default.docs', 'audit')")
+      // one post-publish MAIN commit: the resumed checkpoint must pick
+      // up exactly this — any branch re-read would double-count
+      sc.sql("INSERT INTO graft_cat_bs.default.docs " +
+        "SELECT doc_id + 2000000, n_chars, lang, source, text " +
+        "FROM graft_cat_bs.default.docs WHERE lang = 'es'")
+      drain() // branch face now resolves to main via the tombstone
+      val b = sinkAgg("b_resumed_on_main")
+      import sc.implicits._
+      (a ++ b).toSeq.toDF("phase", "n_rows", "chars").orderBy("phase")
     }
   )
 

@@ -40,7 +40,8 @@ object Registry {
     "q165_stream_start_version", "q166_table_detail",
     "q168_merge_sync", "q170_analyze_stats", "q173_stream_left_join",
     "q172_row_lineage", "q174_partition_evolution", "q175_table_clone",
-    "q178_string_cluster_skipping", "q179_column_defaults")
+    "q178_string_cluster_skipping", "q179_column_defaults",
+    "q180_branch_stream")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

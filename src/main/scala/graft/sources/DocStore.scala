@@ -740,6 +740,10 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
     // streaming reads pace one version per micro-batch off version-
     // keyed offsets (see DocStoreCdcStream).
     if (Option(opts.get("readChangeFeed")).exists(_.toBoolean)) {
+      require(opts.get("branch") == null,
+        "the change feed tracks MAIN commits only — branch work is " +
+          "invisible to CDC until published (the WAP contract); " +
+          "stream the branch face without readChangeFeed instead")
       // version-numbered and timestamp window bounds are mutually
       // exclusive per end (Delta's rule); timestamps resolve through
       // the same commit-time record TIMESTAMP AS OF reads
@@ -763,14 +767,40 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
       }
       new DocStoreCdcTable(path, startV, endV)
     }
-    else
+    else {
       // `manifest` option: read a retained MANIFEST.v<n> snapshot
       // instead of the live manifest — the format-level VERSION AS OF
       // face (read-only; the writer refuses non-live manifests).
       // DocStoreCdf composes this with `segments` to diff two versions
       // reading only changed files.
-      new DocStoreTable(path,
-        Option(opts.get("manifest")).getOrElse("MANIFEST"))
+      //
+      // `branch` option: the branch face by NAME — batch AND streaming
+      // reads (and WAP writes) against MANIFEST.branch.<name>. Fast-
+      // forward-aware: after publish_branch the refs are gone but a
+      // PUBLISHED tombstone remains, and the face resolves to MAIN —
+      // the branch's manifest became main's verbatim, so a streaming
+      // checkpoint's name-keyed offsets resume exactly (no re-reads,
+      // no duplicates, new main commits stream next). A name that
+      // never existed — or whose branch was DROPPED — fails loudly
+      // instead of silently reading main.
+      val manifest = (Option(opts.get("branch")),
+          Option(opts.get("manifest"))) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "set either branch or manifest, not both")
+        case (Some(b), None) =>
+          if (DocStoreBranches.exists(path, b))
+            DocStoreBranches.manifestName(b)
+          else if (Files.exists(Paths.get(path,
+            DocStoreBranches.publishedMarker(b)))) "MANIFEST"
+          else throw new IllegalArgumentException(
+            s"no branch '$b' on $path (existing: " +
+              s"${DocStoreBranches.list(path).mkString(",")}) — a " +
+              "dropped branch's data is gone and its checkpoints are " +
+              "void; a published branch resumes on main")
+        case (None, m) => m.getOrElse("MANIFEST")
+      }
+      new DocStoreTable(path, manifest)
+    }
   }
 }
 

@@ -43,6 +43,12 @@ object DocStoreBranches {
 
   def refFile(name: String): String = s"BRANCH.$name"
   def manifestName(name: String): String = s"MANIFEST.branch.$name"
+  /** Tombstone a publish leaves behind (content: the published main
+    * version): how a `branch=<name>` STREAM distinguishes "published
+    * — resume on main, the branch's content IS main's prefix now"
+    * from "never existed / dropped — fail loudly". create() clears a
+    * stale marker so a re-created branch starts a fresh lifecycle. */
+  def publishedMarker(name: String): String = s"PUBLISHED.$name"
 
   def validName(name: String): Boolean = NAME.matches(name)
 
@@ -74,6 +80,7 @@ object DocStoreBranches {
       require(!exists(path, name),
         s"branch '$name' already exists on $path")
       val dir = Paths.get(path)
+      Files.deleteIfExists(dir.resolve(publishedMarker(name)))
       val base = DocStoreCommitOps.nextVersion(path) - 1
       Files.copy(dir.resolve("MANIFEST"), dir.resolve(manifestName(name)),
         StandardCopyOption.REPLACE_EXISTING)
@@ -119,6 +126,13 @@ object DocStoreBranches {
         newTxns = branchTxns)
       Files.delete(dir.resolve(refFile(name)))
       Files.delete(dir.resolve(manifestName(name)))
+      // fast-forward tombstone: branch streams resume on main (their
+      // name-keyed offsets stay valid — main's manifest IS the branch
+      // manifest they were reading, plus whatever lands after)
+      val mtmp = dir.resolve(s".PUBLISHED-$name-tmp")
+      Files.writeString(mtmp, v.toString)
+      Files.move(mtmp, dir.resolve(publishedMarker(name)),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       v
     }
 
@@ -148,6 +162,7 @@ object DocStoreBranches {
       }
       Files.delete(dir.resolve(refFile(name)))
       Files.delete(dir.resolve(manifestName(name)))
+      Files.deleteIfExists(dir.resolve(publishedMarker(name)))
       (files, bytes)
     }
 

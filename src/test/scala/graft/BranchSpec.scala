@@ -62,6 +62,47 @@ class BranchSpec extends SparkSpec {
     assert(prev == 2, "pre-publish snapshot unchanged")
   }
 
+  test("branch streams: tombstone lifecycle — publish resumes on main, drop/unknown refuse") {
+    val (s, path) = freshCat("bstr")
+    // unknown branch fails loudly on both faces
+    assert(intercept[Exception] {
+      s.read.format("graft-docstore").option("path", path)
+        .option("branch", "nope").load().count()
+    }.getMessage.contains("no branch 'nope'"))
+    // branch + manifest are mutually exclusive
+    assert(intercept[Exception] {
+      s.read.format("graft-docstore").option("path", path)
+        .option("branch", "x").option("manifest", "MANIFEST.v1").load()
+    }.getMessage.contains("not both"))
+    // CDC never sees a branch
+    assert(intercept[Exception] {
+      s.read.format("graft-docstore").option("path", path)
+        .option("readChangeFeed", "true").option("branch", "x").load()
+    }.getMessage.contains("MAIN commits only"))
+    s.sql("CALL bstr.system.create_branch('default.t', 'audit')")
+    wapSession(s, "audit").sql(
+      "INSERT INTO bstr.default.t VALUES (3, 30, 'de', 'web', 'c')")
+    // batch read of the branch face sees base + staged
+    assert(s.read.format("graft-docstore").option("path", path)
+      .option("branch", "audit").load().count() == 3)
+    s.sql("CALL bstr.system.publish_branch('default.t', 'audit')")
+    // published: the face resolves to main (tombstone), counts agree
+    assert(Files.exists(Paths.get(path,
+      DocStoreBranches.publishedMarker("audit"))))
+    assert(s.read.format("graft-docstore").option("path", path)
+      .option("branch", "audit").load().count() == 3)
+    // re-create clears the stale tombstone; a later DROP then refuses
+    // the face (dropped data is gone — silent main reads would lie)
+    s.sql("CALL bstr.system.create_branch('default.t', 'audit')")
+    assert(!Files.exists(Paths.get(path,
+      DocStoreBranches.publishedMarker("audit"))))
+    s.sql("CALL bstr.system.drop_branch('default.t', 'audit')")
+    assert(intercept[Exception] {
+      s.read.format("graft-docstore").option("path", path)
+        .option("branch", "audit").load().count()
+    }.getMessage.contains("no branch 'audit'"))
+  }
+
   test("publish refuses after main moved; re-cut branch publishes") {
     val (s, path) = freshCat("bff")
     s.sql("CALL bff.system.create_branch('default.t', 'b')")
