@@ -18,7 +18,15 @@ object Registry {
     * the alphabetically-next scan-bound block (q12–q23c went 24 → 159 s
     * on untouched code). Scratch-materialized fixtures (q104, q106,
     * q100, q113, q101, q87…) are NOT here — they build once in warm-up
-    * and serve reads thereafter. */
+    * and serve reads thereafter.
+    *
+    * Known ceiling (r12, profiled): q173's ~4 s solo is the stream-
+    * stream OUTER join's intrinsic floor — two processAllAvailable
+    * drains (data, then the sentinel watermark flush) over two join
+    * state stores, ~3.4 s of which is the drains themselves at the
+    * r12-tuned 4 shuffle partitions (8 partitions cost ~5 s, 32 ~11 s;
+    * the state-store commit overhead is per-partition-per-batch). The
+    * other streaming gates share the same 3-4 s micro-batch floor. */
   lazy val heavy: Set[String] = Set(
     "q38_csv_roundtrip", "q82_orc_roundtrip", "q93_schema_evolution",
     "q86_compaction",

@@ -696,7 +696,7 @@ object RelOps {
           chg.filter(pmod(col("c_key"), lit(2)) === 1)
             .coalesce(1).write.mode("append").parquet(srcDir)
           val sc = graft.core.Sessions.scoped(s,
-            "spark.sql.shuffle.partitions" -> "8")
+            "spark.sql.shuffle.partitions" -> "4")
           val stream = sc.readStream.schema(chg.schema)
             .option("maxFilesPerTrigger", "1").parquet(srcDir)
           val q = stream.writeStream
@@ -787,7 +787,7 @@ object RelOps {
         orders.filter(pmod(col("k"), lit(3)) === 2)
           .coalesce(1).write.mode("append").parquet(srcDir)
         val sc = graft.core.Sessions.scoped(s,
-          "spark.sql.shuffle.partitions" -> "8")
+          "spark.sql.shuffle.partitions" -> "4")
         val stream = sc.readStream.schema(orders.schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir)
         val q = stream.writeStream

@@ -29,7 +29,7 @@ object WindowOps {
   /** Streaming-gate scaffolding shared by q48/q57/q58: materialize the
     * source table into a temp dir (streaming scans need a directory +
     * explicit schema), run the caller's streaming query to completion on
-    * a conf-scoped clone (8 shuffle partitions: stateful stages pay
+    * a conf-scoped clone (4 shuffle partitions: stateful stages pay
     * per-partition state-store overhead per micro-batch), then read the
     * sink back on the caller's session and delete the source/checkpoint
     * trees — the sink dir must outlive the returned lazy frame. */
@@ -42,7 +42,13 @@ object WindowOps {
     val outDir = tmp.resolve("out").toString
     val ckptDir = tmp.resolve("ckpt").toString
     source.coalesce(4).write.mode("overwrite").parquet(srcDir)
-    val sc = graft.core.Sessions.scoped(s, "spark.sql.shuffle.partitions" -> "8")
+    // 4 shuffle partitions, not the session's 32 (or the earlier 8):
+    // per-partition state-store commit cost dominates these bounded
+    // drains — the r12 sweep measured drain1+drain2 on the q173 join
+    // at ~3.4 s with 4 partitions, ~5 s with 8, ~11 s with 32. On a
+    // real cluster with unbounded sources this knob is throughput-
+    // sized instead; results are partition-count-invariant either way.
+    val sc = graft.core.Sessions.scoped(s, "spark.sql.shuffle.partitions" -> "4")
     try drive(sc, srcDir, outDir, ckptDir)
     finally Seq(srcDir, ckptDir).foreach(graft.core.Fs.deleteRecursively)
     s.read.parquet(outDir)
@@ -679,7 +685,7 @@ object WindowOps {
       val sc = graft.core.Sessions.scoped(s,
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        "spark.sql.shuffle.partitions" -> "8")
+        "spark.sql.shuffle.partitions" -> "4")
       import sc.implicits._
       def half(parity: Int): Unit = ev.where(col("event_id") % 2 === parity)
         .write.mode("append").parquet(srcDir)
