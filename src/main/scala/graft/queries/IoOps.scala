@@ -2373,6 +2373,63 @@ object IoOps {
       val b = sinkAgg("b_resumed_on_main")
       import sc.implicits._
       (a ++ b).toSeq.toDF("phase", "n_rows", "chars").orderBy("phase")
+    },
+
+    // --------------------------------------------- generated columns
+    Q("q181_generated_columns",
+      "Generated columns (GENERATED ALWAYS AS expr) — the last of " +
+        "Delta's column contracts after CHECK (q161) and DEFAULT/NOT " +
+        "NULL (q179): the catalog declares SUPPORTS_CREATE_TABLE_" +
+        "WITH_GENERATED_COLUMNS, re-attaches the expression Spark's " +
+        "default Column[]->StructType conversion drops, persists it " +
+        "in SCHEMA field metadata, and every write path VALIDATES " +
+        "`value <=> (expr)` per row through the same writer-factory " +
+        "predicate machinery as CHECK constraints — INSERT, MERGE, " +
+        "CoW UPDATE rewrites, streaming epochs. A mismatch fails the " +
+        "job loudly (staged segments abort, table untouched); a " +
+        "typo'd expression refuses at CREATE. The invariant a reader " +
+        "relies on — here `n_chars IS LENGTH(text)` — can thus never " +
+        "be broken by any writer, which is the contract's whole value " +
+        "at 100 TB (a derived column that silently drifts poisons " +
+        "every downstream consumer). The gate creates the generated " +
+        "table, loads the corpus through the validation, and proves " +
+        "a mismatched INSERT changes nothing; DocStoreSpec pins the " +
+        "UPDATE path, the DDL refusal, and gen-referencing-gen.",
+      Some("""
+        SELECT * FROM (
+          SELECT 'a_loaded' AS phase, COUNT(*) AS n_rows,
+                 SUM(n_chars)::BIGINT AS chars
+          FROM documents
+          UNION ALL
+          SELECT 'b_rejected', COUNT(*), SUM(n_chars)::BIGINT
+          FROM documents
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_gc")
+      sc.sql("CREATE TABLE graft_cat_gc.default.gdocs " +
+        "(doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT GENERATED ALWAYS AS (LENGTH(text)), " +
+        "lang STRING, source STRING, text STRING)")
+      sc.sql("INSERT INTO graft_cat_gc.default.gdocs " +
+        "SELECT doc_id, n_chars, lang, source, text " +
+        "FROM graft_cat_gc.default.docs")
+      def phase(tag: String) = sc.sql(
+        s"SELECT '$tag' AS phase, COUNT(*) AS n_rows, " +
+          "SUM(n_chars) AS chars FROM graft_cat_gc.default.gdocs")
+      val a = phase("a_loaded").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      try {
+        sc.sql("INSERT INTO graft_cat_gc.default.gdocs " +
+          "VALUES (99999999, 12345, 'xx', 'bad', 'row')")
+        throw new IllegalStateException(
+          "q181: the mismatched INSERT was not rejected")
+      } catch {
+        case e: IllegalStateException if e.getMessage.startsWith("q181") =>
+          throw e
+        case _: Exception => () // expected: generation-constraint violation
+      }
+      import sc.implicits._
+      a.toSeq.toDF("phase", "n_rows", "chars")
+        .unionByName(phase("b_rejected")).orderBy("phase")
     }
   )
 

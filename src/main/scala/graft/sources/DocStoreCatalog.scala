@@ -289,8 +289,11 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     * that metadata verbatim. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** A `NOT NULL` claim on any column but doc_id (whose non-nullness
     * is the format contract) becomes the enforced write-time flag:
@@ -306,6 +309,28 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             .putBoolean(DocStore.NOTNULL_KEY, true).build())
       else f
     })
+
+  /** The Column[] face: Spark's default StructType conversion DROPS
+    * the generation expression (the API expects catalogs to read it
+    * off the Column objects), so re-attach it as field metadata
+    * before delegating — the SCHEMA file then persists it and the
+    * writer factories compile the validation predicate from it. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val base = org.apache.spark.sql.graftshim.v2ColumnsToStructType(columns)
+    val withGen = StructType(base.fields.zip(columns).map {
+      case (f, c) =>
+        if (c.generationExpression() == null) f
+        else f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(DocStoreChecks.GEN_KEY, c.generationExpression())
+            .build())
+    })
+    createTable(ident, withGen, partitions, properties)
+  }
 
   override def createTable(ident: Identifier, schema0: StructType,
       partitions: Array[Transform],
@@ -332,6 +357,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       DocStore.writeSchemaFile(dir.toString, schema)
     if (spec.nonEmpty) DocStorePartitioning.write(dir.toString, spec)
     DocStoreChecks.validate(schema, properties.asScala.toMap)
+    DocStoreChecks.validateGenerated(schema)
     DocStoreCatalog.writeModeProp(dir, properties)
     new DocStoreSqlTable(dir.toString)
   }

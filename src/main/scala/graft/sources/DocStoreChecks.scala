@@ -18,6 +18,48 @@ import org.apache.spark.sql.types.{StructField, StructType}
 object DocStoreChecks {
   val PREFIX = "graft.check."
 
+  /** Spark's metadata key for `GENERATED ALWAYS AS (expr)` columns —
+    * the catalog declares SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS
+    * and the expression rides field metadata into the SCHEMA file.
+    * Docstore semantics are WRITE-VALIDATED (Delta's validation half):
+    * every write path must supply values satisfying
+    * `value <=> (expr)` per row — enforced through the same compiled-
+    * predicate machinery as CHECK constraints — so the invariant a
+    * reader relies on ("n_chars IS the length of text") can never be
+    * broken by any writer. (Compute-when-omitted is an analyzer
+    * feature Spark only gives its v1 paths; a v2 INSERT must provide
+    * the column.) */
+  val GEN_KEY: String =
+    org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+
+  /** DDL-time validation of generated columns: the expression must
+    * analyze against the table schema as a null-safe equality with
+    * its column, and may not reference another generated column
+    * (enforcement order would become circular). */
+  def validateGenerated(schema: StructType): Unit = {
+    val genCols = schema.fields.filter(_.metadata.contains(GEN_KEY))
+    genCols.foreach { f =>
+      val expr = f.metadata.getString(GEN_KEY)
+      val cond = s"`${f.name}` <=> ($expr)"
+      try analyzedCondition(schema, cond)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"generated column ${f.name} does not analyze against " +
+            s"${schema.simpleString}: $expr (${e.getMessage})", e)
+      }
+      val others = genCols.map(_.name).toSet - f.name
+      val refs = org.apache.spark.sql.SparkSession.active.sessionState
+        .sqlParser.parseExpression(expr).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      require(!refs.exists(others.contains),
+        s"generated column ${f.name} references another generated " +
+          s"column — not supported")
+    }
+  }
+
   /** Analysis-validate every check property against the table schema —
     * called at CREATE TABLE and ALTER ... SET TBLPROPERTIES time so a
     * typo'd column or unparseable predicate refuses at DDL, not at the
@@ -74,12 +116,24 @@ object DocStoreChecks {
     }.toSeq
     val props = DocStoreCatalog.readProps(path)
       .filter(_._1.startsWith(PREFIX))
-    if (props.isEmpty) return notNulls
+    val genFields = schema.fields.filter(_.metadata.contains(GEN_KEY))
+    if (props.isEmpty && genFields.isEmpty) return notNulls
     val inputFields = new Array[StructField](schema.length)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       inputFields(order(i)) = f }
     val inputSchema = StructType(inputFields.toSeq)
-    notNulls ++ props.toSeq.sortBy(_._1).map { case (k, sql) =>
+    val gens = genFields.toSeq.map { f =>
+      val expr = f.metadata.getString(GEN_KEY)
+      val (cond, out) = analyzedCondition(inputSchema,
+        s"`${f.name}` <=> ($expr)")
+      // <=> never evaluates null, so "violated iff exactly FALSE"
+      // rejects every mismatch, null-vs-value rows included
+      s"GENERATED ALWAYS AS constraint on column '${f.name}' " +
+        s"(expression: $expr)" ->
+        (BindReferences.bindReference(EqualNullSafe(cond, Literal(false)),
+          AttributeSeq(out)): Expression)
+    }
+    notNulls ++ gens ++ props.toSeq.sortBy(_._1).map { case (k, sql) =>
       val (cond, out) = analyzedCondition(inputSchema, sql)
       // violated iff the analyzed condition is exactly FALSE
       val violation = EqualNullSafe(cond, Literal(false))

@@ -21,6 +21,14 @@ package object graftshim {
   def analyzed(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Column[] -> StructType (CatalogV2Util is private[sql]) — the
+    * DSv2 catalog's bridge for the Column-object createTable face. */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+
   /** Register a custom expression as a temp SQL function on a live session
     * (FunctionRegistry is private[sql] — same bridge pattern as above). */
   def registerFunction(spark: SparkSession, name: String,

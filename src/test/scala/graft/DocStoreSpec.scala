@@ -1916,6 +1916,47 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT COUNT(*) FROM dcat.ns.t").head.getLong(0) == 4)
   }
 
+  test("generated columns: write-validated on every path, DDL refusals") {
+    val root = Files.createTempDirectory("docstore_gen").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.gcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.gcat.root" -> root)
+    sc.sql("CREATE NAMESPACE gcat.ns")
+    sc.sql("CREATE TABLE gcat.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT GENERATED ALWAYS AS (LENGTH(text)), lang STRING, " +
+      "source STRING, text STRING)")
+    sc.sql("INSERT INTO gcat.ns.t VALUES (1, 5, 'en', 's', 'hello')")
+    // mismatched INSERT rejected (named constraint), table untouched
+    def messages(t: Throwable): String =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("|")
+    assert(messages(intercept[Exception] {
+      sc.sql("INSERT INTO gcat.ns.t VALUES (2, 99, 'en', 's', 'x')")
+    }).contains("GENERATED ALWAYS AS constraint on column 'n_chars'"))
+    assert(sc.sql("SELECT COUNT(*) FROM gcat.ns.t").head.getLong(0) == 1)
+    // UPDATE rewriting text without fixing the derived value rejects;
+    // a consistent pair lands (CoW re-validates through the factory)
+    intercept[Exception] {
+      sc.sql("UPDATE gcat.ns.t SET text = 'longer' WHERE doc_id = 1")
+    }
+    sc.sql("UPDATE gcat.ns.t SET text = 'bye', n_chars = 3 WHERE doc_id = 1")
+    assert(sc.sql("SELECT n_chars, text FROM gcat.ns.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((3L, "bye")))
+    // DDL refusals: unresolvable expression; gen referencing gen
+    intercept[Exception] {
+      sc.sql("CREATE TABLE gcat.ns.bad (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT GENERATED ALWAYS AS (LENGTH(nope)), lang STRING, " +
+        "source STRING, text STRING)")
+    }
+    intercept[Exception] {
+      sc.sql("CREATE TABLE gcat.ns.bad2 (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT GENERATED ALWAYS AS (LENGTH(text)), lang STRING, " +
+        "source STRING GENERATED ALWAYS AS (CAST(n_chars AS STRING)), " +
+        "text STRING)")
+    }
+  }
+
   test("CHECK constraints: every write path enforces, DDL validates, null passes") {
     val root = Files.createTempDirectory("docstore_check").toString
     val sc = graft.core.Sessions.scoped(spark,
