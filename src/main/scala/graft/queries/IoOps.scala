@@ -2430,6 +2430,82 @@ object IoOps {
       import sc.implicits._
       a.toSeq.toDF("phase", "n_rows", "chars")
         .unionByName(phase("b_rejected")).orderBy("phase")
+    },
+
+    // ----------------------------------------------- identity columns
+    Q("q182_identity_columns",
+      "Identity columns (GENERATED ALWAYS/BY DEFAULT AS IDENTITY on " +
+        "doc_id, the row-identity column) — auto-assigned row ids " +
+        "with NO distributed coordination: a batch write reads the " +
+        "table's high-water mark once at planning, tasks stripe " +
+        "values hw + step*(1 + partition + k*numPartitions) — " +
+        "disjoint by construction, gaps allowed, exactly the SQL " +
+        "identity contract — and the job commit advances the " +
+        "watermark inside the commit lock after verifying no " +
+        "concurrent identity write moved it (overlapping stripes " +
+        "fail loudly and retry; Delta's conflict semantics). The " +
+        "watermark is MONOTONE forever: truncate, restore, and " +
+        "OPTIMIZE (which writes identityPreserve to keep existing " +
+        "ids) can never cause reuse. GENERATED ALWAYS refuses " +
+        "explicit values; BY DEFAULT accepts them and advances the " +
+        "watermark past them. The gate loads two corpus slices " +
+        "through assignment and proves every id unique across " +
+        "batches (the oracle pins distinct == count — a striping " +
+        "collision reads red), then proves an explicit INSERT " +
+        "changes nothing; DocStoreSpec pins BY DEFAULT, START/" +
+        "INCREMENT, watermark survival across TRUNCATE, and the " +
+        "non-doc_id refusal. At 100 TB assignment is the point: " +
+        "zero shuffles, zero driver round-trips, one metadata file.",
+      Some("""
+        WITH zh AS (SELECT COUNT(*) AS n, SUM(n_chars)::BIGINT AS c
+                    FROM documents WHERE lang = 'zh'),
+        es AS (SELECT COUNT(*) AS n, SUM(n_chars)::BIGINT AS c
+               FROM documents WHERE lang = 'es')
+        SELECT * FROM (
+          SELECT 'a_assigned' AS phase, zh.n AS n_rows,
+                 zh.n AS distinct_ids, zh.c AS chars FROM zh
+          UNION ALL
+          SELECT 'b_across_batches', zh.n + es.n, zh.n + es.n,
+                 (zh.c + es.c)::BIGINT FROM zh, es
+          UNION ALL
+          SELECT 'c_rejected', zh.n + es.n, zh.n + es.n,
+                 (zh.c + es.c)::BIGINT FROM zh, es
+        ) ORDER BY phase""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_id")
+      sc.sql("CREATE TABLE graft_cat_id.default.idocs (doc_id BIGINT " +
+        "GENERATED ALWAYS AS IDENTITY, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING)")
+      def load(lang: String): Unit = sc.sql(
+        "INSERT INTO graft_cat_id.default.idocs " +
+          "(n_chars, lang, source, text) " +
+          "SELECT n_chars, lang, source, text " +
+          s"FROM graft_cat_id.default.docs WHERE lang = '$lang'")
+      def phase(tag: String) = sc.sql(
+        s"SELECT '$tag' AS phase, COUNT(*) AS n_rows, " +
+          "COUNT(DISTINCT doc_id) AS distinct_ids, " +
+          "SUM(n_chars) AS chars FROM graft_cat_id.default.idocs")
+      def snap(tag: String) = phase(tag).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      load("zh")
+      val a = snap("a_assigned")
+      load("es")
+      val b = snap("b_across_batches")
+      // GENERATED ALWAYS: an explicit doc_id must fail the job and
+      // leave the table untouched
+      try {
+        sc.sql("INSERT INTO graft_cat_id.default.idocs " +
+          "VALUES (424242, 1, 'xx', 'bad', 'row')")
+        throw new IllegalStateException(
+          "q182: the explicit-id INSERT was not rejected")
+      } catch {
+        case e: IllegalStateException if e.getMessage.startsWith("q182") =>
+          throw e
+        case _: Exception => () // expected: GENERATED ALWAYS refusal
+      }
+      import sc.implicits._
+      (a ++ b).toSeq
+        .toDF("phase", "n_rows", "distinct_ids", "chars")
+        .unionByName(phase("c_rejected")).orderBy("phase")
     }
   )
 

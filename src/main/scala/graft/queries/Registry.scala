@@ -49,7 +49,8 @@ object Registry {
     "q168_merge_sync", "q170_analyze_stats", "q173_stream_left_join",
     "q172_row_lineage", "q174_partition_evolution", "q175_table_clone",
     "q178_string_cluster_skipping", "q179_column_defaults",
-    "q180_branch_stream", "q181_generated_columns")
+    "q180_branch_stream", "q181_generated_columns",
+    "q182_identity_columns")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

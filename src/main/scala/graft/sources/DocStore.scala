@@ -122,6 +122,54 @@ object DocStore {
     * at DDL time; every later write path rejects nulls loudly). */
   val NOTNULL_KEY = "graft.notnull"
 
+  /** Identity columns (`GENERATED ALWAYS|BY DEFAULT AS IDENTITY`) —
+    * supported on doc_id, the table's row-identity column. The spec
+    * rides doc_id's field metadata; the last value ever handed out
+    * lives in the `IDENTITY` file, updated ONLY inside the commit
+    * lock and MONOTONE forever (truncate and restore keep it — Delta
+    * identity high watermarks never roll back, so reused ids are
+    * impossible across any history operation). Assignment is
+    * coordination-free: a batch write reads the high water once at
+    * planning, tasks stripe values `hw + step*(1 + partition +
+    * k*numPartitions)` (disjoint by construction, gaps allowed —
+    * the SQL identity contract), and the job commit verifies the
+    * high water did not move before publishing (two concurrent
+    * identity writes would have overlapping stripes — the loser
+    * retries, Delta's conflict-detection semantics). */
+  val IDENTITY_START_KEY = "graft.identity.start"
+  val IDENTITY_STEP_KEY = "graft.identity.step"
+  val IDENTITY_EXPLICIT_KEY = "graft.identity.explicit"
+  val IDENTITY_HW_FILE = "IDENTITY"
+
+  final case class IdentitySpec(start: Long, step: Long,
+      allowExplicit: Boolean)
+
+  def identityOf(schema: StructType): Option[IdentitySpec] = {
+    val f = schema.fields(0)
+    if (!f.metadata.contains(IDENTITY_START_KEY)) None
+    else Some(IdentitySpec(
+      f.metadata.getLong(IDENTITY_START_KEY),
+      f.metadata.getLong(IDENTITY_STEP_KEY),
+      f.metadata.getBoolean(IDENTITY_EXPLICIT_KEY)))
+  }
+
+  /** Last value handed out (assigned OR explicit — explicit inserts
+    * advance the watermark so later assignments can never collide);
+    * `start - step` when none yet. */
+  def readIdentityHw(path: String, spec: IdentitySpec): Long = {
+    val p = Paths.get(path, IDENTITY_HW_FILE)
+    if (Files.exists(p)) Files.readString(p).trim.toLong
+    else spec.start - spec.step
+  }
+
+  def writeIdentityHw(path: String, v: Long): Unit = {
+    val dir = Paths.get(path)
+    val tmp = dir.resolve(s".$IDENTITY_HW_FILE-tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, dir.resolve(IDENTITY_HW_FILE),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def sectionOf(f: StructField, schemaIdx: Int): Int =
     if (f.metadata.contains(SECTION_KEY))
       f.metadata.getLong(SECTION_KEY).toInt
@@ -193,7 +241,13 @@ object DocStore {
     // and the NOT NULL flag ride the metadata and must survive the
     // canonicalization (pre-r12 this dropped base metadata entirely)
     StructType(schema.fields.take(FIELDS.size).zip(FIELDS).map {
-      case (in, base) => base.copy(metadata = in.metadata) } ++
+      case (in, base) =>
+        // an identity doc_id is DECLARED nullable so the analyzer's
+        // NULL placeholder (CURRENT_DEFAULT) reaches the writer for
+        // assignment; stored values are still never null
+        val nullable = base.nullable ||
+          (base.name == "doc_id" && in.metadata.contains(IDENTITY_START_KEY))
+        base.copy(nullable = nullable, metadata = in.metadata) } ++
       schema.fields.drop(FIELDS.size).map(_.copy(nullable = true)))
   }
 
@@ -965,8 +1019,22 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
         "txnAppId and txnVersion must be set together (idempotent " +
           "writes need both the identity and the version)")
     }
+    // identity assignment (doc_id GENERATED ... AS IDENTITY): active on
+    // every user-facing write unless the caller is an internal rewrite
+    // of EXISTING rows (OPTIMIZE staging, restore-shaped copies), which
+    // must keep the ids it read — those pass identityPreserve=true
+    val identity =
+      if (Option(info.options.get("identityPreserve")).exists(_.toBoolean))
+        None
+      else DocStore.identityOf(tblSchema)
+    identity.foreach { _ =>
+      require(!partSpec.exists(_.col == "doc_id"),
+        "identity assignment cannot combine with partitioning on doc_id" +
+          " (partition routing would read the not-yet-assigned column)")
+    }
     new DocStoreWriteBuilder(path, tblSchema, order, info.queryId(),
-      partSpec = partSpec, manifestName = manifest, txn = txn)
+      partSpec = partSpec, manifestName = manifest, txn = txn,
+      identity = identity)
   }
 }
 
@@ -975,20 +1043,21 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
     truncate: Boolean = false,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
     manifestName: String = "MANIFEST",
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    identity: Option[DocStore.IdentitySpec] = None)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder = {
     require(manifestName == "MANIFEST",
       "INSERT OVERWRITE on a docstore BRANCH is not supported — " +
         "branches stage appends; publish or drop the branch instead")
     new DocStoreWriteBuilder(path, schema, order, queryId, truncate = true,
-      partSpec = partSpec, txn = txn)
+      partSpec = partSpec, txn = txn, identity = identity)
   }
 
   private class BaseWrite extends Write {
     override def toBatch: BatchWrite =
       new DocStoreBatchWrite(path, schema, order, queryId, truncate, partSpec,
-        manifestName, txn)
+        manifestName, txn, identity)
     override def toStreaming: streaming.StreamingWrite = {
       require(manifestName == "MANIFEST",
         "streaming writes to a docstore BRANCH are not supported — " +
@@ -996,6 +1065,10 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
       require(txn.isEmpty,
         "txnAppId/txnVersion are batch-write options — the streaming " +
           "sink is already exactly-once via its epoch markers")
+      require(identity.isEmpty,
+        "identity ASSIGNMENT is a batch-write feature — a streaming " +
+          "sink should carry its own ids (or set identityPreserve=true " +
+          "to write explicit doc_ids through the epoch path)")
       new DocStoreStreamingWrite(path, schema, order, queryId, truncate,
         partSpec)
     }
@@ -1037,7 +1110,8 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
   * `<partDir>/part-N.gds` name. */
 final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
     maxId: Long, bytes: Long, partDir: String = "",
-    stats: Map[Int, DocStore.ColStat] = Map.empty)
+    stats: Map[Int, DocStore.ColStat] = Map.empty,
+    maxIdentity: Long = Long.MinValue)
     extends WriterCommitMessage
 
 /** A partitioned write task stages one segment PER partition value it
@@ -1365,14 +1439,40 @@ class DocStoreBatchWrite(path: String, schema: StructType,
     truncate: Boolean,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
     manifestName: String = "MANIFEST",
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    identity: Option[DocStore.IdentitySpec] = None)
     extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DocStoreWriterFactory(path, schema, order, queryId, partSpec)
+  // the job's identity base: read ONCE at factory creation (plan time);
+  // tasks stripe disjoint values above it and the commit verifies no
+  // concurrent identity write moved it (see DocStore.IDENTITY_HW_FILE)
+  @volatile private var identityBase: Long = Long.MinValue
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val idAssign = identity.map { spec =>
+      identityBase = DocStore.readIdentityHw(path, spec)
+      (spec, identityBase, info.numPartitions)
+    }
+    new DocStoreWriterFactory(path, schema, order, queryId, partSpec,
+      idAssign)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
+      // identity conflict detection BEFORE anything publishes: if the
+      // high water moved since this job's base was read, another
+      // identity write landed concurrently and the stripes may overlap
+      // — drop the staged files and fail loudly (retry re-plans on the
+      // new base; Delta's identity conflict semantics)
+      identity.foreach { spec =>
+        val now = DocStore.readIdentityHw(path, spec)
+        if (now != identityBase) {
+          DocStoreCommitOps.dropStaged(path, messages)
+          throw new IllegalStateException(
+            s"concurrent identity write on $path (high water moved " +
+              s"$identityBase -> $now since this job planned); retry")
+        }
+      }
       // idempotent writes: a (txnAppId, txnVersion) at or below the
       // recorded version for that appId is a RETRY — drop the staged
       // files, publish nothing (Delta's txn semantics). Checked
@@ -1382,6 +1482,15 @@ class DocStoreBatchWrite(path: String, schema: StructType,
           DocStoreCommitOps.dropStaged(path, messages)
           return
         }
+      }
+      // advance the identity high water to the max value any task
+      // handed out or accepted — monotone, inside the same lock as
+      // the publish below so readers of the file can never observe a
+      // published table ahead of its watermark
+      identity.foreach { _ =>
+        val jobMax = DocStoreCommitOps.stagedOf(messages)
+          .map(_.maxIdentity).foldLeft(Long.MinValue)(math.max)
+        if (jobMax > identityBase) DocStore.writeIdentityHw(path, jobMax)
       }
       // manifest is read INSIDE the lock (one parse serves segments
       // and deletes): a concurrent append committed after our tasks
@@ -1511,7 +1620,8 @@ object DocStoreWriterFactory {
 
 class DocStoreWriterFactory(path: String, schema: StructType,
     order: Array[Int], queryId: String,
-    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty)
+    partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
+    identity: Option[(DocStore.IdentitySpec, Long, Int)] = None)
     extends DataWriterFactory {
   // compiled on the DRIVER (factory construction; needs the analyzer),
   // serialized to tasks as bound expressions
@@ -1519,7 +1629,7 @@ class DocStoreWriterFactory(path: String, schema: StructType,
   private val maxRows = DocStoreWriterFactory.maxRowsOf(path)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId,
-      partSpec, checks, maxRows)
+      partSpec, checks, maxRows, identity)
 }
 
 /** Named (serializable) factory — an anonymous inner class here would
@@ -1552,8 +1662,16 @@ class DocStoreDataWriter(path: String, schema: StructType,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
       Seq.empty,
-    maxRowsPerSegment: Int = Int.MaxValue)
+    maxRowsPerSegment: Int = Int.MaxValue,
+    identity: Option[(DocStore.IdentitySpec, Long, Int)] = None)
     extends DataWriter[InternalRow] {
+
+  // identity assignment state: k-th assigned row of this task takes
+  // hw + step*(1 + partitionId + k*numPartitions) — disjoint across
+  // tasks with no coordination; maxIdentity (assigned OR explicit)
+  // rides the commit message to advance the table's high water
+  private var identityK = 0L
+  private var maxIdentity = Long.MinValue
 
   // segment roll-over counter per partition directory: when a segment
   // reaches the configured row cap, subsequent rows open a fresh
@@ -1589,8 +1707,27 @@ class DocStoreDataWriter(path: String, schema: StructType,
   private def tmpName(k: Int) = f".stg-$queryId-$partitionId%05d-$taskId-$k"
 
   override def write(r: InternalRow): Unit = {
-    require(!r.isNullAt(order(0)),
-      "graft-docstore requires a non-null doc_id on every row")
+    val idVal: Long = identity match {
+      case None =>
+        require(!r.isNullAt(order(0)),
+          "graft-docstore requires a non-null doc_id on every row")
+        r.getLong(order(0))
+      case Some((spec, base, nParts)) =>
+        val v =
+          if (r.isNullAt(order(0))) {
+            val a = base + spec.step * (1L + partitionId + identityK * nParts)
+            identityK += 1
+            a
+          } else {
+            require(spec.allowExplicit,
+              "doc_id is GENERATED ALWAYS AS IDENTITY — explicit values " +
+                "are refused (declare GENERATED BY DEFAULT to allow them, " +
+                "or omit the column and let the writer assign)")
+            r.getLong(order(0))
+          }
+        if (v > maxIdentity) maxIdentity = v
+        v
+    }
     var ci = 0
     while (ci < violations.length) {
       if (violations(ci)._2.eval(r)) throw new IllegalStateException(
@@ -1630,7 +1767,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
         }
         a
       }
-    enc.add(r.getLong(order(0)),
+    enc.add(idVal,
       if (r.isNullAt(order(1))) null
       else java.lang.Long.valueOf(r.getLong(order(1))),
       str(2), str(3), str(4), extras)
@@ -1645,7 +1782,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
           if (enc.rows == 0) 0L
           else enc.writeTo(Paths.get(path).resolve(tmpName(k)))
         DocStoreCommit(tmpName(k), enc.rows.toLong, enc.minId, enc.maxId,
-          bytes, dir, enc.stats)
+          bytes, dir, enc.stats, maxIdentity)
     }
     parts match {
       // empty task: report one empty commit (publish drops rows == 0)

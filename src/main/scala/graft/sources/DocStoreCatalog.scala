@@ -293,7 +293,9 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** A `NOT NULL` claim on any column but doc_id (whose non-nullness
     * is the format contract) becomes the enforced write-time flag:
@@ -322,12 +324,33 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     val base = org.apache.spark.sql.graftshim.v2ColumnsToStructType(columns)
     val withGen = StructType(base.fields.zip(columns).map {
       case (f, c) =>
-        if (c.generationExpression() == null) f
-        else f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
+        val gen = Option(c.generationExpression())
+        val id = Option(c.identityColumnSpec())
+        if (gen.isEmpty && id.isEmpty) f
+        else {
+          id.foreach { spec =>
+            require(f.name == "doc_id",
+              s"identity columns are supported on doc_id (the table's " +
+                s"row-identity column), not ${f.name}")
+            require(spec.getStep != 0, "identity STEP must be non-zero")
+          }
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
-            .putString(DocStoreChecks.GEN_KEY, c.generationExpression())
-            .build())
+          gen.foreach(g => mb.putString(DocStoreChecks.GEN_KEY, g))
+          id.foreach { spec =>
+            mb.putLong(DocStore.IDENTITY_START_KEY, spec.getStart)
+            mb.putLong(DocStore.IDENTITY_STEP_KEY, spec.getStep)
+            mb.putBoolean(DocStore.IDENTITY_EXPLICIT_KEY,
+              spec.isAllowExplicitInsert)
+            // the analyzer fills an OMITTED identity column with this
+            // NULL placeholder; the writer replaces it with the
+            // assigned value (the placeholder never reaches storage)
+            mb.putString(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              "CAST(NULL AS BIGINT)")
+          }
+          f.copy(metadata = mb.build())
+        }
     })
     createTable(ident, withGen, partitions, properties)
   }

@@ -388,6 +388,10 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       }
       clustered
         .write.format("graft-docstore").mode("append")
+        // a compaction rewrites EXISTING rows — their ids must survive
+        // verbatim even on an identity table (assignment is for new
+        // rows; Delta's OPTIMIZE keeps identity values too)
+        .option("identityPreserve", "true")
         .option("path", staging.toString).save()
       var newV = 0L
       var nNew = 0L

@@ -1957,6 +1957,58 @@ class DocStoreSpec extends SparkSpec {
     }
   }
 
+  test("identity columns: striped assignment, watermark monotone, refusals") {
+    val root = Files.createTempDirectory("docstore_ident").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.icat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.icat.root" -> root)
+    sc.sql("CREATE NAMESPACE icat.ns")
+    // BY DEFAULT + START/INCREMENT: assigned ids respect the spec,
+    // explicit values are accepted and advance the watermark
+    sc.sql("CREATE TABLE icat.ns.t (doc_id BIGINT GENERATED BY DEFAULT " +
+      "AS IDENTITY (START WITH 100 INCREMENT BY 10), n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO icat.ns.t (n_chars, lang, source, text) " +
+      "VALUES (1, 'a', 's', 'x')")
+    sc.sql("INSERT INTO icat.ns.t VALUES (500, 1, 'b', 's', 'y')")
+    sc.sql("INSERT INTO icat.ns.t (n_chars, lang, source, text) " +
+      "VALUES (1, 'c', 's', 'z')")
+    assert(sc.sql("SELECT doc_id FROM icat.ns.t ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(100L, 500L, 510L))
+    // multi-row assignment: all unique, all past the watermark
+    sc.sql("INSERT INTO icat.ns.t (n_chars, lang, source, text) " +
+      "SELECT n_chars, lang, source, text FROM icat.ns.t")
+    val ids = sc.sql("SELECT doc_id FROM icat.ns.t").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"identity collision: $ids")
+    assert(ids.count(_ > 510) == 3, s"new ids must exceed the watermark: $ids")
+    // watermark survives TRUNCATE — ids are never reused
+    val before = ids.max
+    sc.sql("TRUNCATE TABLE icat.ns.t")
+    sc.sql("INSERT INTO icat.ns.t (n_chars, lang, source, text) " +
+      "VALUES (1, 'd', 's', 'w')")
+    val after = sc.sql("SELECT doc_id FROM icat.ns.t").head.getLong(0)
+    assert(after > before,
+      s"post-truncate id $after must exceed the pre-truncate max $before")
+    // GENERATED ALWAYS refuses explicit; streaming sink refuses assignment
+    sc.sql("CREATE TABLE icat.ns.strict (doc_id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("|")
+    assert(messages(intercept[Exception] {
+      sc.sql("INSERT INTO icat.ns.strict VALUES (1, 1, 'xx', 's', 't')")
+    }).contains("GENERATED ALWAYS AS IDENTITY"))
+    assert(sc.sql("SELECT COUNT(*) FROM icat.ns.strict").head.getLong(0) == 0)
+    // identity is doc_id-only
+    assert(intercept[Exception] {
+      sc.sql("CREATE TABLE icat.ns.bad (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT GENERATED ALWAYS AS IDENTITY, lang STRING, " +
+        "source STRING, text STRING)")
+    }.getMessage.contains("doc_id"))
+  }
+
   test("CHECK constraints: every write path enforces, DDL validates, null passes") {
     val root = Files.createTempDirectory("docstore_check").toString
     val sc = graft.core.Sessions.scoped(spark,
