@@ -369,6 +369,45 @@ object DocStore {
   /** Max stored bytes of a string envelope bound (Iceberg truncate[16]). */
   val STR_BOUND_MAX = 16
 
+  /** Well-formedness scan: Spark's UTF8String may carry INVALID UTF-8
+    * (malformed ingest, CAST from BINARY). Such bytes cannot round-trip
+    * through java.lang.String (decode mangles them to U+FFFD, which can
+    * move a bound in either direction — an UNSOUND envelope), so the
+    * stat accumulator poisons the envelope on any invalid value, the
+    * one case where dropping the bound is the only sound answer
+    * (r12 review finding). */
+  def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      val n =
+        if (c < 0x80) 0
+        else if (c >= 0xc2 && c <= 0xdf) 1
+        else if (c >= 0xe0 && c <= 0xef) 2
+        else if (c >= 0xf0 && c <= 0xf4) 3
+        else return false
+      var j = 1
+      while (j <= n) {
+        if (i + j >= b.length || (b(i + j) & 0xc0) != 0x80) return false
+        j += 1
+      }
+      // reject the overlong / surrogate / out-of-range forms the
+      // String decoder would also reject
+      if (n == 2) {
+        val c1 = b(i + 1) & 0xff
+        if (c == 0xe0 && c1 < 0xa0) return false
+        if (c == 0xed && c1 > 0x9f) return false
+      }
+      if (n == 3) {
+        val c1 = b(i + 1) & 0xff
+        if (c == 0xf0 && c1 < 0x90) return false
+        if (c == 0xf4 && c1 > 0x8f) return false
+      }
+      i += n + 1
+    }
+    true
+  }
+
   /** Unsigned lexicographic UTF-8 byte order — identical to Spark's
     * UTF8String.binaryCompare, the order every string filter uses. */
   def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
@@ -482,6 +521,9 @@ object DocStore {
       def addBytes(b: Array[Byte]): Unit = {
         seen = true
         if (poisoned) return
+        // an INVALID UTF-8 value poisons the envelope: its bytes can't
+        // round-trip through the String-typed bound (see isValidUtf8)
+        if (!isValidUtf8(b)) { poisoned = true; return }
         // b <= current hi keeps hi sound; b >= current lo keeps lo —
         // truncation only runs on the improving value
         if (loB == null || utf8Compare(b, loB) < 0) loB = truncLowerBytes(b)
@@ -1065,10 +1107,11 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
       require(txn.isEmpty,
         "txnAppId/txnVersion are batch-write options — the streaming " +
           "sink is already exactly-once via its epoch markers")
-      require(identity.isEmpty,
-        "identity ASSIGNMENT is a batch-write feature — a streaming " +
-          "sink should carry its own ids (or set identityPreserve=true " +
-          "to write explicit doc_ids through the epoch path)")
+      require(identity.forall(_.allowExplicit),
+        "identity ASSIGNMENT is a batch-write feature — a GENERATED " +
+          "ALWAYS AS IDENTITY table cannot take streaming appends " +
+          "(a BY DEFAULT table can: it streams explicit doc_ids, and " +
+          "the watermark advances past them at every epoch commit)")
       new DocStoreStreamingWrite(path, schema, order, queryId, truncate,
         partSpec)
     }
@@ -1110,8 +1153,7 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
   * `<partDir>/part-N.gds` name. */
 final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
     maxId: Long, bytes: Long, partDir: String = "",
-    stats: Map[Int, DocStore.ColStat] = Map.empty,
-    maxIdentity: Long = Long.MinValue)
+    stats: Map[Int, DocStore.ColStat] = Map.empty)
     extends WriterCommitMessage
 
 /** A partitioned write task stages one segment PER partition value it
@@ -1175,6 +1217,25 @@ object DocStoreCommitOps {
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes,
         stats = m.stats)
     }
+    // identity watermark advance — centralized HERE because every
+    // write path (batch append, streaming epoch, row-level rewrite,
+    // identityPreserve rewrites, branch staging) publishes through
+    // this function: the most-advanced doc_id any fresh segment
+    // carries (direction-aware: max for a positive step, min for a
+    // negative one — r12 review finding: a max-only advance never
+    // moved for INCREMENT BY < 0 and re-assigned the same ids)
+    // pushes the high water, so a later assignment can never collide
+    // with ANY landed row, explicit ones included. Monotone by
+    // construction; runs inside the caller's commit lock.
+    if (fresh.nonEmpty)
+      DocStore.identityOf(DocStore.tableSchema(path)).foreach { spec =>
+        val hw = DocStore.readIdentityHw(path, spec)
+        val ext =
+          if (spec.step > 0) fresh.map(_.maxId).max
+          else fresh.map(_.minId).min
+        val beyond = if (spec.step > 0) ext > hw else ext < hw
+        if (beyond) DocStore.writeIdentityHw(path, ext)
+      }
     writeManifest(path, keep ++ fresh, manifestToken, deletes,
       manifestName = manifestName, newTxns = newTxns)
     fresh
@@ -1483,15 +1544,10 @@ class DocStoreBatchWrite(path: String, schema: StructType,
           return
         }
       }
-      // advance the identity high water to the max value any task
-      // handed out or accepted — monotone, inside the same lock as
-      // the publish below so readers of the file can never observe a
-      // published table ahead of its watermark
-      identity.foreach { _ =>
-        val jobMax = DocStoreCommitOps.stagedOf(messages)
-          .map(_.maxIdentity).foldLeft(Long.MinValue)(math.max)
-        if (jobMax > identityBase) DocStore.writeIdentityHw(path, jobMax)
-      }
+      // (the watermark advance itself happens inside
+      // DocStoreCommitOps.publish, the single point every write path
+      // funnels through — direction-aware over the fresh segments'
+      // doc_id zone bounds)
       // manifest is read INSIDE the lock (one parse serves segments
       // and deletes): a concurrent append committed after our tasks
       // ran is still in `keep` (no lost update). A branch write reads
@@ -1668,10 +1724,9 @@ class DocStoreDataWriter(path: String, schema: StructType,
 
   // identity assignment state: k-th assigned row of this task takes
   // hw + step*(1 + partitionId + k*numPartitions) — disjoint across
-  // tasks with no coordination; maxIdentity (assigned OR explicit)
-  // rides the commit message to advance the table's high water
+  // tasks with no coordination (the watermark advance reads the zone
+  // bounds the encoder already tracks; see DocStoreCommitOps.publish)
   private var identityK = 0L
-  private var maxIdentity = Long.MinValue
 
   // segment roll-over counter per partition directory: when a segment
   // reaches the configured row cap, subsequent rows open a fresh
@@ -1725,7 +1780,6 @@ class DocStoreDataWriter(path: String, schema: StructType,
                 "or omit the column and let the writer assign)")
             r.getLong(order(0))
           }
-        if (v > maxIdentity) maxIdentity = v
         v
     }
     var ci = 0
@@ -1782,7 +1836,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
           if (enc.rows == 0) 0L
           else enc.writeTo(Paths.get(path).resolve(tmpName(k)))
         DocStoreCommit(tmpName(k), enc.rows.toLong, enc.minId, enc.maxId,
-          bytes, dir, enc.stats, maxIdentity)
+          bytes, dir, enc.stats)
     }
     parts match {
       // empty task: report one empty commit (publish drops rows == 0)

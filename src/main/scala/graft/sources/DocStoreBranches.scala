@@ -124,15 +124,21 @@ object DocStoreBranches {
       val v = DocStoreCommitOps.writeManifest(path, segs,
         s"publish-$name-${java.util.UUID.randomUUID()}", dvs,
         newTxns = branchTxns)
-      Files.delete(dir.resolve(refFile(name)))
-      Files.delete(dir.resolve(manifestName(name)))
       // fast-forward tombstone: branch streams resume on main (their
       // name-keyed offsets stay valid — main's manifest IS the branch
-      // manifest they were reading, plus whatever lands after)
+      // manifest they were reading, plus whatever lands after).
+      // Written BEFORE the ref deletes (r12 review finding): a crash
+      // between them would otherwise void every branch-face
+      // checkpoint forever; with marker-first, a crash leaves branch
+      // AND marker, and the branch face simply still resolves to the
+      // branch manifest (== main's content after the fast-forward) —
+      // re-running publish completes the cleanup
       val mtmp = dir.resolve(s".PUBLISHED-$name-tmp")
       Files.writeString(mtmp, v.toString)
       Files.move(mtmp, dir.resolve(publishedMarker(name)),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Files.delete(dir.resolve(refFile(name)))
+      Files.delete(dir.resolve(manifestName(name)))
       v
     }
 

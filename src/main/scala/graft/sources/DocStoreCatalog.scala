@@ -372,6 +372,12 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         .forall(_ != DocStoreCatalog.MODE_MOR),
       "partitioned docstore tables support copy-on-write row-level " +
         "operations only (merge-on-read is unpartitioned-only)")
+    // EVERY validation runs before the first filesystem write (r12
+    // review finding): a refused CREATE must be side-effect-free —
+    // the old ordering left a half-created table directory that
+    // blocked the fixed-up re-CREATE with TableAlreadyExists
+    DocStoreChecks.validate(schema, properties.asScala.toMap)
+    DocStoreChecks.validateGenerated(schema)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     Files.write(dir.resolve("MANIFEST"), Array.empty[Byte])
@@ -379,8 +385,6 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         _.metadata != org.apache.spark.sql.types.Metadata.empty))
       DocStore.writeSchemaFile(dir.toString, schema)
     if (spec.nonEmpty) DocStorePartitioning.write(dir.toString, spec)
-    DocStoreChecks.validate(schema, properties.asScala.toMap)
-    DocStoreChecks.validateGenerated(schema)
     DocStoreCatalog.writeModeProp(dir, properties)
     new DocStoreSqlTable(dir.toString)
   }

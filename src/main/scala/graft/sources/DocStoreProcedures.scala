@@ -695,7 +695,12 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
           // (a value that fits 16 bytes arrives whole). Keeps the
           // driver transfer bound-sized even for document-long strings.
           substring(min(c), 1, DocStore.STR_BOUND_MAX + 1).as(s"lo_$sec"),
-          substring(max(c), 1, DocStore.STR_BOUND_MAX + 1).as(s"hi_$sec")))
+          substring(max(c), 1, DocStore.STR_BOUND_MAX + 1).as(s"hi_$sec"),
+          // invalid UTF-8 poisons, same rule as the write path: the
+          // collected Row already decoded the bytes, so detection must
+          // run where they still exist — on the executors
+          max(when(expr(s"is_valid_utf8(`${f.name}`)"), 0).otherwise(1))
+            .as(s"nv_$sec")))
     }
     val computed = df.groupBy(col("_segment"))
       .agg(aggs.head, aggs.tail: _*).collect().map { r =>
@@ -710,7 +715,8 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
               r.getLong(r.fieldIndex(s"lo_$sec")),
               r.getLong(r.fieldIndex(s"hi_$sec"))))
           } else {
-            if (r.isNullAt(r.fieldIndex(s"lo_$sec"))) None
+            if (r.isNullAt(r.fieldIndex(s"lo_$sec")) ||
+              r.getInt(r.fieldIndex(s"nv_$sec")) == 1) None
             else {
               // prefix-of-min truncates to a sound lower bound; the
               // hi prefix is >16 bytes exactly when the max extends,

@@ -2009,6 +2009,76 @@ class DocStoreSpec extends SparkSpec {
     }.getMessage.contains("doc_id"))
   }
 
+  test("r12 review pins: negative-step identity, invalid-UTF-8 poison, MERGE watermark, clean CREATE refusal") {
+    val root = Files.createTempDirectory("docstore_r12rev").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.rcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.rcat.root" -> root)
+    sc.sql("CREATE NAMESPACE rcat.ns")
+    // negative INCREMENT BY: values descend, the watermark moves DOWN,
+    // and a second batch can never re-assign (the review found a
+    // max-only advance that never moved for step < 0)
+    sc.sql("CREATE TABLE rcat.ns.down (doc_id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY (START WITH 0 INCREMENT BY -1), n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO rcat.ns.down (n_chars, lang, source, text) " +
+      "VALUES (1, 'a', 's', 'x'), (2, 'b', 's', 'y')")
+    sc.sql("INSERT INTO rcat.ns.down (n_chars, lang, source, text) " +
+      "VALUES (3, 'c', 's', 'z')")
+    val downIds = sc.sql("SELECT doc_id FROM rcat.ns.down").collect()
+      .map(_.getLong(0)).toSeq
+    assert(downIds.distinct.size == 3 && downIds.forall(_ <= 0),
+      s"negative-step identity must descend without reuse: $downIds")
+
+    // invalid UTF-8 (CAST from BINARY) poisons the envelope — never a
+    // mangled bound — and the segment stays un-prunable (sound)
+    val tmp = Files.createTempDirectory("docstore_badutf8").toString
+    sc.sql("SELECT CAST(1 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS " +
+      "n_chars, 'xx' AS lang, 's' AS source, " +
+      "CAST(X'F5414243' AS STRING) AS text")
+      .write.format("graft-docstore").mode("append")
+      .option("path", tmp).save()
+    val seg = DocStore.readManifest(tmp).head
+    assert(seg.stats(4).bound.isEmpty,
+      s"invalid UTF-8 must poison the text envelope: ${seg.stats(4)}")
+    val probe = sc.read.format("graft-docstore").option("path", tmp)
+      .load().where(col("text") > "�")
+    assert(probe.count() == 1,
+      "the 0xF5-leading value sorts above U+FFFD in binary order and " +
+        "must survive planning (a mangled envelope would prune it)")
+
+    // MERGE's explicit ids advance the identity watermark: later
+    // assignment can never collide with merged rows
+    sc.sql("CREATE TABLE rcat.ns.m (doc_id BIGINT GENERATED BY DEFAULT " +
+      "AS IDENTITY, n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO rcat.ns.m (n_chars, lang, source, text) " +
+      "VALUES (1, 'a', 's', 'x')")
+    sc.sql("SELECT CAST(10000 AS BIGINT) AS doc_id, CAST(9 AS BIGINT) AS " +
+      "n_chars, 'mm' AS lang, 's' AS source, 't' AS text")
+      .createOrReplaceTempView("m_src")
+    sc.sql("MERGE INTO rcat.ns.m t USING m_src s ON t.doc_id = s.doc_id " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    sc.sql("INSERT INTO rcat.ns.m (n_chars, lang, source, text) " +
+      "VALUES (2, 'b', 's', 'y')")
+    val mIds = sc.sql("SELECT doc_id FROM rcat.ns.m").collect()
+      .map(_.getLong(0)).toSeq
+    assert(mIds.distinct.size == 3 && mIds.exists(_ > 10000),
+      s"post-MERGE assignment must land past the merged id: $mIds")
+
+    // a refused CREATE is side-effect-free: the fixed-up retry lands
+    intercept[Exception] {
+      sc.sql("CREATE TABLE rcat.ns.g (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT GENERATED ALWAYS AS (LENGTH(nope)), lang STRING, " +
+        "source STRING, text STRING)")
+    }
+    sc.sql("CREATE TABLE rcat.ns.g (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT GENERATED ALWAYS AS (LENGTH(text)), lang STRING, " +
+      "source STRING, text STRING)")
+    sc.sql("INSERT INTO rcat.ns.g VALUES (1, 2, 'a', 's', 'hi')")
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.g").head.getLong(0) == 1)
+  }
+
   test("CHECK constraints: every write path enforces, DDL validates, null passes") {
     val root = Files.createTempDirectory("docstore_check").toString
     val sc = graft.core.Sessions.scoped(spark,
