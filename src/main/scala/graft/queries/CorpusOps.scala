@@ -144,6 +144,40 @@ object CorpusOps {
     s"${oBpeTrainCtes(steps)}\n        $selects\n        ORDER BY step"
   }
 
+  /** q183's oracle: replay training, encode the DISTINCT-WORD table,
+    * join per-doc words to their token counts, and run q167's
+    * concat-and-chunk packing arithmetic over the BPE token totals. */
+  private def oBpeTokenizedPacking(steps: Int, budget: Int): String = {
+    val enc = (1 to steps).map { k =>
+      s"""
+        v$k AS (SELECT word,
+                      replace(wr, ' ' || a || '  ' || b || ' ',
+                              ' ' || a || b || ' ') AS wr
+               FROM v${k - 1} CROSS JOIN m$k)"""
+    }.mkString(",")
+    s"""${oBpeTrainCtes(steps)},
+        dw AS (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS word
+               FROM documents),
+        vw AS (SELECT DISTINCT word FROM dw WHERE LENGTH(word) >= 1),
+        v0 AS (SELECT word,
+                      ' ' || array_to_string(list_transform(range(LENGTH(word)),
+                        i -> substr(word, i + 1, 1)), '  ') || ' ' AS wr
+               FROM vw),$enc,
+        vt AS (SELECT word, len(string_split(wr, '  '))::BIGINT AS wtk
+               FROM v$steps),
+        t AS (SELECT doc_id, SUM(wtk)::BIGINT AS t
+              FROM dw JOIN vt USING (word) GROUP BY 1),
+        c AS (SELECT doc_id, t,
+                     SUM(t) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS e
+              FROM t WHERE t > 0)
+        SELECT ((e - 1) // $budget - (e - t) // $budget + 1)::BIGINT
+                 AS n_chunks,
+               COUNT(*) AS n_docs, SUM(t)::BIGINT AS tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1 ORDER BY 1"""
+  }
+
   /** q177's oracle: replay the SAME training supersteps, then encode
     * the per-language word table by applying the learned merges in
     * training order (each one greedy left-to-right via the wrapped-
@@ -875,6 +909,69 @@ object CorpusOps {
           round(sum(col("freq") * col("chars")).cast("double") /
             sum(col("freq") * col("tks")), 4).as("compression"))
         .orderBy("lang")
+    },
+
+    // ------------------------------------ tokenizer-aware packing
+    Q("q183_tokenized_packing",
+      "The full pretraining front-end, end-to-end: TRAIN the " +
+        "tokenizer (q112's supersteps), ENCODE the corpus with the " +
+        "learned merges (q177's literal-replace chain — applied ONCE " +
+        "to the distinct-word vocabulary, never per occurrence), and " +
+        "PACK by real token counts (q167's concat-and-chunk over " +
+        "512-token windows) — q167 packed whitespace counts; this is " +
+        "the count the training loader actually sees. Dataflow: the " +
+        "vocabulary encode table joins back to the per-doc word list " +
+        "(a vocab-bounded build side — broadcastable at any corpus " +
+        "scale), one hash-agg yields per-doc BPE token totals, and " +
+        "the global prefix sum stays the q167 two-phase shape: ~1024 " +
+        "bucket totals to the driver, partitioned window + broadcast " +
+        "offsets, no single-partition stage. The oracle replays " +
+        "train -> encode -> pack move-for-move in unrolled CTEs, so " +
+        "the hash match proves the chain end-to-end.",
+      Some(oBpeTokenizedPacking(3, 512))) { (s, dir) =>
+      val B = 512
+      // train exactly as q112/q177
+      val trainWords = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(wrapSymbols(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as("wr"), col("freq"))
+      val merges = bpeMergeSteps(trainWords, steps = 3)
+      // encode the distinct vocabulary once
+      val dw = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      val enc0 = wrapSymbols(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+      val encoded = merges.foldLeft(enc0) { case (c, (_, a, b, _)) =>
+        replace(c, lit(s" $a  $b "), lit(s" $a$b ")) }
+      val vt = dw.select(col("word")).filter(length(col("word")) >= 1)
+        .distinct()
+        .select(col("word"), size(split(encoded, "  ")).cast("long").as("wtk"))
+      // per-doc BPE token totals (vocab-bounded build side)
+      val toksOf = dw.join(vt, "word")
+        .groupBy("doc_id").agg(sum("wtk").as("t"))
+        .where(col("t") > 0)
+      // q167's two-phase distributed prefix sum over doc_id order
+      val maxId = toksOf.agg(max("doc_id")).head.getLong(0)
+      val w = maxId / 1024L + 1L
+      val bucketed = toksOf.withColumn("b", expr(s"doc_id DIV $w"))
+      val totals = bucketed.groupBy("b").agg(sum("t").as("bt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals.map(_._1)
+        .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("b", "off")
+      val win = Window.partitionBy("b").orderBy("doc_id")
+      bucketed
+        .join(broadcast(offDf), Seq("b"))
+        .withColumn("e", sum("t").over(win) + col("off"))
+        .withColumn("n_chunks",
+          expr(s"(e - 1) DIV $B - (e - t) DIV $B + 1"))
+        .groupBy("n_chunks")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("n_chunks")
     }
   )
 }
