@@ -144,6 +144,34 @@ object CorpusOps {
     s"${oBpeTrainCtes(steps)}\n        $selects\n        ORDER BY step"
   }
 
+  /** Shared by q177/q183: train the 3-superstep merge list on the
+    * q112 word-frequency table and return it with the encode-chain
+    * builder (the learned merges applied in training order as literal
+    * replaces over a wrapped-symbol word column). One definition —
+    * the wrapped encoding and merge application must never diverge
+    * between the encode pass and the packing pass. NOTE (oracle
+    * contract): the unrolled-CTE oracles replay exactly `steps`
+    * merges, so the corpus must support that many (every driver
+    * fixture does); a short merge list on a degenerate corpus would
+    * hash-mismatch rather than mis-compute.  */
+  private def trainAndEncode(s: SparkSession, dir: String, steps: Int)
+      : (Seq[(Int, String, String, Long)], Column => Column) = {
+    val trainWords = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(wrapSymbols(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as("wr"), col("freq"))
+    val merges = bpeMergeSteps(trainWords, steps)
+    val encode = (wordCol: Column) => {
+      val enc0 = wrapSymbols(transform(sequence(lit(1), length(wordCol)),
+        i => wordCol.substr(i, lit(1))))
+      merges.foldLeft(enc0) { case (c, (_, a, b, _)) =>
+        replace(c, lit(s" $a  $b "), lit(s" $a$b ")) }
+    }
+    (merges, encode)
+  }
+
   /** q183's oracle: replay training, encode the DISTINCT-WORD table,
     * join per-doc words to their token counts, and run q167's
     * concat-and-chunk packing arithmetic over the BPE token totals. */
@@ -881,24 +909,14 @@ object CorpusOps {
         "side partials), a map-only literal-replace chain, and a " +
         "languages-sized final agg.",
       Some(oBpeEncode(3))) { (s, dir) =>
-      // train exactly as q112 (same word table, same 3 supersteps)
-      val trainWords = Tables.documents(s, dir)
-        .select(explode(toks(col("text"))).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(wrapSymbols(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1)))).as("wr"), col("freq"))
-      val merges = bpeMergeSteps(trainWords, steps = 3)
-      // encode the per-(lang, word) frequency table with the merge
+      // train exactly as q112, encode per-(lang, word) with the merge
       // list applied in training order as literal string replaces
+      val (_, encode) = trainAndEncode(s, dir, steps = 3)
       val lf = Tables.documents(s, dir)
         .select(col("lang"), explode(toks(col("text"))).as("word"))
         .filter(length(col("word")) >= 1)
         .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
-      val enc0 = wrapSymbols(transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))))
-      val encoded = merges.foldLeft(enc0) { case (c, (_, a, b, _)) =>
-        replace(c, lit(s" $a  $b "), lit(s" $a$b ")) }
+      val encoded = encode(col("word"))
       lf.select(col("lang"), col("freq"),
           length(col("word")).cast("long").as("chars"),
           size(split(encoded, "  ")).cast("long").as("tks"))
@@ -930,30 +948,25 @@ object CorpusOps {
         "the hash match proves the chain end-to-end.",
       Some(oBpeTokenizedPacking(3, 512))) { (s, dir) =>
       val B = 512
-      // train exactly as q112/q177
-      val trainWords = Tables.documents(s, dir)
-        .select(explode(toks(col("text"))).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(wrapSymbols(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1)))).as("wr"), col("freq"))
-      val merges = bpeMergeSteps(trainWords, steps = 3)
-      // encode the distinct vocabulary once
+      // train exactly as q112/q177, encode the distinct vocabulary once
+      val (_, encode) = trainAndEncode(s, dir, steps = 3)
       val dw = Tables.documents(s, dir)
         .select(col("doc_id"), explode(toks(col("text"))).as("word"))
-      val enc0 = wrapSymbols(transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))))
-      val encoded = merges.foldLeft(enc0) { case (c, (_, a, b, _)) =>
-        replace(c, lit(s" $a  $b "), lit(s" $a$b ")) }
       val vt = dw.select(col("word")).filter(length(col("word")) >= 1)
         .distinct()
-        .select(col("word"), size(split(encoded, "  ")).cast("long").as("wtk"))
+        .select(col("word"),
+          size(split(encode(col("word")), "  ")).cast("long").as("wtk"))
       // per-doc BPE token totals (vocab-bounded build side)
       val toksOf = dw.join(vt, "word")
         .groupBy("doc_id").agg(sum("wtk").as("t"))
         .where(col("t") > 0)
-      // q167's two-phase distributed prefix sum over doc_id order
-      val maxId = toksOf.agg(max("doc_id")).head.getLong(0)
+      // q167's two-phase distributed prefix sum over doc_id order.
+      // The bucket width derives from the RAW documents scan — an
+      // upper bound on toksOf's max, from one cheap column read
+      // instead of re-executing the whole encode+join pipeline
+      // (r12 review finding)
+      val maxId = Tables.documents(s, dir)
+        .agg(max("doc_id")).head.getLong(0)
       val w = maxId / 1024L + 1L
       val bucketed = toksOf.withColumn("b", expr(s"doc_id DIV $w"))
       val totals = bucketed.groupBy("b").agg(sum("t").as("bt"))

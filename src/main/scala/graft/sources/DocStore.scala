@@ -521,17 +521,29 @@ object DocStore {
       def addBytes(b: Array[Byte]): Unit = {
         seen = true
         if (poisoned) return
-        // an INVALID UTF-8 value poisons the envelope: its bytes can't
-        // round-trip through the String-typed bound (see isValidUtf8)
-        if (!isValidUtf8(b)) { poisoned = true; return }
         // b <= current hi keeps hi sound; b >= current lo keeps lo —
-        // truncation only runs on the improving value
-        if (loB == null || utf8Compare(b, loB) < 0) loB = truncLowerBytes(b)
-        if (hiB == null || utf8Compare(b, hiB) > 0)
+        // validation AND truncation only run on the improving value.
+        // An invalid-UTF-8 value (see isValidUtf8) poisons only when
+        // it would BECOME a bound: interior invalid values stay
+        // bracketed by the valid bounds in the binary order the
+        // pruner uses, so the envelope remains sound — and the hot
+        // path never re-scans non-improving document bodies.
+        var checked = false
+        def invalid: Boolean = {
+          if (!checked) { checked = true; if (!isValidUtf8(b)) poisoned = true }
+          poisoned
+        }
+        if (loB == null || utf8Compare(b, loB) < 0) {
+          if (invalid) return
+          loB = truncLowerBytes(b)
+        }
+        if (hiB == null || utf8Compare(b, hiB) > 0) {
+          if (invalid) return
           truncUpperBytes(b) match {
             case Some(u) => hiB = u
             case None => poisoned = true
           }
+        }
       }
       def result: ColStat = ColStat(nulls,
         if (!seen || poisoned) None

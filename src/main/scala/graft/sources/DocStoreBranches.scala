@@ -108,6 +108,19 @@ object DocStoreBranches {
     DocStoreCommitOps.withCommitLock(path) {
       require(exists(path, name), s"no branch '$name' on $path")
       val dir = Paths.get(path)
+      // crash residue: marker AND refs together can only mean a
+      // previous publish died between the marker move and the ref
+      // deletes (create() clears stale markers) — main already holds
+      // the branch content, so just finish the cleanup and return the
+      // recorded version (re-running the hash check would refuse:
+      // main legitimately moved AT the earlier publish; r12 review)
+      val marker = dir.resolve(publishedMarker(name))
+      if (Files.exists(marker)) {
+        val v = Files.readString(marker).trim.toLong
+        Files.deleteIfExists(dir.resolve(refFile(name)))
+        Files.deleteIfExists(dir.resolve(manifestName(name)))
+        return v
+      }
       val (base, sha) = baseOf(path, name)
       require(sha256(dir.resolve("MANIFEST")) == sha,
         s"cannot publish branch '$name': main moved since the branch " +

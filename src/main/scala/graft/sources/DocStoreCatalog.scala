@@ -378,6 +378,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     // blocked the fixed-up re-CREATE with TableAlreadyExists
     DocStoreChecks.validate(schema, properties.asScala.toMap)
     DocStoreChecks.validateGenerated(schema)
+    DocStoreCatalog.validateProps(properties)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     Files.write(dir.resolve("MANIFEST"), Array.empty[Byte])
@@ -669,7 +670,11 @@ object DocStoreCatalog {
   private val RESERVED =
     Set("provider", "location", "owner", "comment", "external")
 
-  private[sources] def writeModeProp(dir: Path,
+  /** Validation half of [[writeModeProp]], callable BEFORE any
+    * filesystem write so a refused CREATE stays side-effect-free
+    * (r12 review: the mode/key checks used to run after the MANIFEST
+    * write and could strand a half-created table). */
+  private[sources] def validateProps(
       properties: java.util.Map[String, String]): Unit = {
     Option(properties.get(MODE_KEY)).foreach { m =>
       require(m == MODE_COW || m == MODE_MOR,
@@ -677,10 +682,17 @@ object DocStoreCatalog {
     }
     val persisted = properties.asScala.toSeq
       .filterNot { case (k, _) => RESERVED(k) }
-      .sortBy(_._1)
     require(persisted.forall { case (k, v) =>
       !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
       "docstore table property keys must not contain '=' or newlines")
+  }
+
+  private[sources] def writeModeProp(dir: Path,
+      properties: java.util.Map[String, String]): Unit = {
+    validateProps(properties)
+    val persisted = properties.asScala.toSeq
+      .filterNot { case (k, _) => RESERVED(k) }
+      .sortBy(_._1)
     if (persisted.nonEmpty)
       Files.writeString(dir.resolve("PROPS"),
         persisted.map { case (k, v) => s"$k=$v" }.mkString("\n"))

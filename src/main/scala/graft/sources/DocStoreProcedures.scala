@@ -696,11 +696,14 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
           // driver transfer bound-sized even for document-long strings.
           substring(min(c), 1, DocStore.STR_BOUND_MAX + 1).as(s"lo_$sec"),
           substring(max(c), 1, DocStore.STR_BOUND_MAX + 1).as(s"hi_$sec"),
-          // invalid UTF-8 poisons, same rule as the write path: the
-          // collected Row already decoded the bytes, so detection must
-          // run where they still exist — on the executors
-          max(when(expr(s"is_valid_utf8(`${f.name}`)"), 0).otherwise(1))
-            .as(s"nv_$sec")))
+          // invalid UTF-8 poisons (detection must run on the
+          // executors, where the raw bytes still exist — the collected
+          // Row has already decoded them). NULL is NOT invalid:
+          // is_valid_utf8(NULL) is NULL, and counting it as a poison
+          // would drop the envelope of every segment holding one null
+          // (r12 review finding)
+          max(when(c.isNull.or(expr(s"is_valid_utf8(`${f.name}`)")), 0)
+            .otherwise(1)).as(s"nv_$sec")))
     }
     val computed = df.groupBy(col("_segment"))
       .agg(aggs.head, aggs.tail: _*).collect().map { r =>
