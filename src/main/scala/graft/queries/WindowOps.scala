@@ -103,6 +103,71 @@ object WindowOps {
         .orderBy("ws")
     },
 
+    // ---------------------------------- chained multi-stateful streaming
+    Q("q184_stream_chained_agg",
+      "CHAINED stateful streaming operators (Spark's multiple-stateful-" +
+        "operator support): a watermarked hourly tumbling aggregation " +
+        "feeds a SECOND windowed aggregation — daily rollups of " +
+        "event counts and distinct active hours — inside one streaming " +
+        "query, the time_window-over-window_time chaining the engine " +
+        "resolves event time through. Append semantics compose: an " +
+        "hourly window only reaches stage 2 once the watermark closes " +
+        "it, and a daily window only emits once the watermark passes " +
+        "its end — yet q48's two-sentinel ladder still suffices: the batch " +
+        "that applies sentinel 1's watermark evicts the tail hourly " +
+        "windows into stage 2 AND closes the dailies in the same batch " +
+        "(in-batch state is evaluated against the incoming watermark, " +
+        "already far ahead). Hash-compared to the batch double-grouping " +
+        "oracle: the unified-model proof for stateful CHAINS, where " +
+        "q48 proved the single-stage case. At 100 TB each stage is " +
+        "one (window)-keyed state store partitioned by the same " +
+        "shuffle as its batch twin; nothing is driver-sided.",
+      Some("""
+        WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS hs,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1)
+        SELECT time_bucket(INTERVAL '1 day', hs) AS ds,
+               CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_hours
+        FROM h GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts_ltz"))
+      val maxTs = ev.agg(max(col("ts_ltz"))).head().getTimestamp(0).toInstant
+      streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
+        def sentinel(hoursAhead: Int): Unit =
+          sc.range(1)
+            .select(lit(java.sql.Timestamp.from(maxTs.plusSeconds(hoursAhead * 3600L)))
+              .as("ts_ltz"))
+            .write.mode("append").parquet(srcDir)
+        val stream = Streams.eventsStream(sc, srcDir, ev.schema)
+        val hourly = stream.withWatermark("ts_ltz", "1 hour")
+          .groupBy(window(col("ts_ltz"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+        val daily = hourly
+          .groupBy(window(window_time(col("window")), "1 day"))
+          .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"))
+          .select(col("window.start").as("ds"),
+            col("n_events"), col("n_hours"))
+        val q = Streams.parquetSink(daily, outDir, ckptDir).start()
+        try {
+          q.processAllAvailable() // all real data into stage-1 state
+          sentinel(1000)
+          q.processAllAvailable() // flushes hourly rows -> stage-2 state
+          sentinel(2000)
+          q.processAllAvailable() // the batch that applies sentinel 1's
+          // watermark evicts the remaining hourly windows into stage 2
+          // AND closes every real daily window in the same batch (state
+          // added in a batch is evaluated against the batch's incoming
+          // watermark, already 1000h ahead here) — verified: a 4th
+          // drain adds nothing
+        } finally q.stop()
+      }
+        .filter(col("ds") < lit(java.sql.Timestamp.from(
+          maxTs.plusSeconds(500 * 3600L))))
+        .select(col("ds").cast("timestamp_ntz").as("ds"),
+          col("n_events"), col("n_hours"))
+        .orderBy("ds")
+    },
+
     // --------------------------------------------------- session window
     Q("q37_window_session",
       "Gap-based sessionization: per-user sessions with a 4-hour " +
