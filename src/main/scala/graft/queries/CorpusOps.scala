@@ -985,6 +985,144 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("n_chunks")
+    },
+
+    // -------------------------------- contamination span localization
+    Q("q185_contamination_spans",
+      "Contamination LOCALIZATION — q60 flags contaminated docs; a " +
+        "real decontamination pipeline then needs WHERE the matches " +
+        "sit to excise them rather than drop whole documents: per " +
+        "contaminated doc, the matched-8-gram count (with " +
+        "multiplicity — every position is a row), the distinct " +
+        "matched hashes, and the first/last matching token position " +
+        "(1-based n-gram start index). Dataflow is q60's exactly: " +
+        "the eval suite's distinct n-gram hashes broadcast, the " +
+        "corpus side explodes positioned 8-gram hashes map-side, and " +
+        "the probe is a broadcast semi-join — zero shuffle over the " +
+        "100 TB side beyond the scan; positions ride the exploded " +
+        "rows for free.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                   FROM documents),
+        g AS (SELECT doc_id, i + 1 AS p,
+                     ('0x' || substr(md5(${(0 until NGRAM).map(j => s"w[i+${j + 1}]").mkString(" || ' ' || ")}), 1, 7))::BIGINT AS h
+              FROM (SELECT doc_id, w, UNNEST(range(len(w) - ${NGRAM - 1})) AS i
+                    FROM t WHERE len(w) >= $NGRAM)),
+        b AS (SELECT DISTINCT h FROM g WHERE doc_id % $BENCH_MOD = $BENCH_REM),
+        m AS (SELECT g.doc_id, g.p, g.h FROM g JOIN b USING (h)
+              WHERE g.doc_id % $BENCH_MOD <> $BENCH_REM)
+        SELECT doc_id, COUNT(*) AS n_hits,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+               CAST(MIN(p) AS BIGINT) AS first_pos,
+               CAST(MAX(p) AS BIGINT) AS last_pos
+        FROM m GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .filter(size(col("w")) >= NGRAM)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - NGRAM), i =>
+            struct((i + 1).as("p"),
+              hash28(concat_ws(" ",
+                (0 until NGRAM).map(j => element_at(col("w"), i + j + 1)): _*))
+                .as("h")))).as("ph"))
+        .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
+      val isBench = col("doc_id") % BENCH_MOD === BENCH_REM
+      val bench = broadcast(g.filter(isBench).select("h").distinct())
+      g.filter(!isBench)
+        .join(bench, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("h")).as("n_distinct"),
+          min(col("p")).cast("long").as("first_pos"),
+          max(col("p")).cast("long").as("last_pos"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------ duplicate-span removal plan
+    Q("q186_dup_span_removal",
+      "Duplicated-span REMOVAL arithmetic (the Lee et al. 'dedup the " +
+        "substring, keep the doc' surgery q61 only detects): spans " +
+        "whose 60-char window hash appears in >= 2 distinct docs " +
+        "merge into excision islands per doc — two windows merge iff " +
+        "their stride offsets differ by <= 1 (exactly the overlap " +
+        "condition at stride 30 / width 60; touching-but-disjoint " +
+        "windows stay separate islands, identically in both engines) " +
+        "— and each doc reports its duplicated-window count, island " +
+        "count, removed chars (islands clipped at doc end; disjoint " +
+        "by construction, so no double count), and kept chars. All " +
+        "integer arithmetic. 100 TB shape: one shuffle on the span " +
+        "hash (the q61 exchange, reused for count + join), then ONE " +
+        "per-doc window pass (lag + running sum on the doc key) over " +
+        "only the duplicated spans — the surgical metadata a rewrite " +
+        "pass would apply map-side with no further shuffles.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, length(text) AS l FROM documents),
+        sh AS (SELECT doc_id, l, k,
+                      md5(substr(text, (k*$SPAN_STRIDE + 1)::INT, $SPAN_W)) AS h
+               FROM (SELECT doc_id, text, l,
+                            unnest(range((l - $SPAN_W) // $SPAN_STRIDE + 1)) AS k
+                     FROM t WHERE l >= $SPAN_W)),
+        c AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY 1),
+        d AS (SELECT doc_id, l, k FROM sh JOIN c USING (h) WHERE nd >= 2),
+        w1 AS (SELECT doc_id, l, k,
+                      CASE WHEN k - lag(k) OVER (PARTITION BY doc_id
+                                                 ORDER BY k) <= 1
+                           THEN 0 ELSE 1 END AS brk
+               FROM d),
+        w2 AS (SELECT doc_id, l, k,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY k
+                                     ROWS UNBOUNDED PRECEDING) AS isl
+               FROM w1),
+        i AS (SELECT doc_id, isl, MIN(l) AS l,
+                     MIN(k)*$SPAN_STRIDE + 1 AS st,
+                     LEAST(MAX(k)*$SPAN_STRIDE + $SPAN_W, MIN(l)) AS en
+              FROM w2 GROUP BY 1, 2)
+        SELECT doc_id,
+               (SELECT COUNT(*) FROM d d2
+                WHERE d2.doc_id = i.doc_id) AS n_dup_spans,
+               COUNT(*) AS n_islands,
+               CAST(SUM(en - st + 1) AS BIGINT) AS removed_chars,
+               CAST(MIN(l) - SUM(en - st + 1) AS BIGINT) AS kept_chars
+        FROM i GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val spans = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(length(col("text")) >= SPAN_W)
+        .select(col("doc_id"), length(col("text")).cast("long").as("l"),
+          explode(transform(
+            sequence(lit(0),
+              floor((length(col("text")) - SPAN_W) / SPAN_STRIDE).cast("int")),
+            k => struct(k.as("k"),
+              md5(col("text").substr(k * SPAN_STRIDE + 1, lit(SPAN_W)))
+                .as("h")))).as("kh"))
+        .select(col("doc_id"), col("l"), col("kh.k").as("k"),
+          col("kh.h").as("h"))
+        .repartition(col("h"))
+      val counts = spans.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val d = spans.join(counts, "h").where(col("nd") >= 2)
+        .select(col("doc_id"), col("l"), col("k"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("k")
+      val islands = d
+        .withColumn("brk", when(col("k") - lag(col("k"), 1).over(byDoc) <= 1,
+          0).otherwise(1))
+        .withColumn("isl", sum(col("brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "isl")
+        .agg(min("l").as("l"),
+          (min(col("k")) * SPAN_STRIDE + 1).as("st"),
+          least(max(col("k")) * SPAN_STRIDE + SPAN_W, min(col("l"))).as("en"))
+      val dupCounts = d.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"))
+      islands.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("en") - col("st") + 1).cast("long").as("removed_chars"),
+          (min(col("l")) - sum(col("en") - col("st") + 1)).cast("long")
+            .as("kept_chars"))
+        .join(dupCounts, "doc_id")
+        .select(col("doc_id"), col("n_dup_spans"), col("n_islands"),
+          col("removed_chars"), col("kept_chars"))
+        .orderBy("doc_id")
     }
   )
 }
