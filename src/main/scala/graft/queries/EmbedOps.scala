@@ -58,6 +58,8 @@ object EmbedOps {
   private val oNorm2 = "list_sum(list_transform(q, a -> a * a))"
   private def oDot(a: String, b: String): String =
     s"list_sum(list_transform(range($DIM), i -> $a[i+1] * $b[i+1]))"
+  private def oDotHalf(a: String, b: String): String =
+    s"list_sum(list_transform(range(${DIM / 2}), i -> $a[i+1] * $b[i+1]))"
 
   val all: Seq[Q] = Seq(
 
@@ -681,6 +683,80 @@ object EmbedOps {
           count(col("dropped")).as("n_dropped"),
           sum(when(col("dropped").isNull, col("vec_id"))).as("kept_id_sum"))
         .orderBy("cluster")
+    },
+
+    // ------------------------------------- Matryoshka truncation audit
+    Q("q187_matryoshka_recall",
+      "Matryoshka-truncation recall audit (MRL: serve with the first " +
+        "D/2 dimensions, re-rank or accept the quality loss — the " +
+        "standard embedding-cost lever): for each query, exact cosine " +
+        "top-5 under the FULL 64 dims vs the top-5 under the first 32 " +
+        "dims only, and the per-query overlap count — recall@5 of the " +
+        "truncated index against the exact baseline, the number that " +
+        "decides whether the half-dimension serving tier is usable. " +
+        "Same machinery as q32 (integer-quantized vectors, native " +
+        "dot-product expression, deterministic (cos, id) tie-break), " +
+        "run twice with the truncated side re-normed over its own 32 " +
+        "dims; vectors whose truncated norm is zero drop from the " +
+        "truncated candidate set only, identically in both engines. " +
+        "100 TB shape: both passes are the broadcast-queries linear " +
+        "scan — one corpus read feeds both dot products; nothing " +
+        "quadratic, nothing driver-side.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        hv AS (SELECT vec_id, q[1:${DIM / 2}] AS q FROM v),
+        hn AS (SELECT vec_id, q, $oNorm2 AS nn FROM hv),
+        hz AS (SELECT * FROM hn WHERE nn > 0),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz WHERE vec_id < 10),
+        hqs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM hz WHERE vec_id < 10),
+        fp AS (SELECT qid, vec_id AS neighbor_id,
+                      ${oDot("qv", "q")}::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+               FROM qs JOIN nz ON vec_id <> qid),
+        fr AS (SELECT qid, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM fp),
+        hp AS (SELECT qid, vec_id AS neighbor_id,
+                      ${oDotHalf("qv", "q")}::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+               FROM hqs JOIN hz ON vec_id <> qid),
+        hr AS (SELECT qid, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM hp)
+        SELECT f.qid AS query_id, COUNT(h.neighbor_id) AS n_overlap
+        FROM (SELECT * FROM fr WHERE rnk <= 5) f
+        LEFT JOIN (SELECT * FROM hr WHERE rnk <= 5) h
+          ON f.qid = h.qid AND f.neighbor_id = h.neighbor_id
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val half = DIM / 2
+      def topk(corpus: DataFrame): DataFrame = {
+        val qs = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qv"),
+            col("nn").as("qn"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        corpus.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id").as("neighbor_id"))
+      }
+      val full = quantized(s, dir)
+      val truncated = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          quant(slice(col("embedding"), 1, half)).as("q"))
+        .withColumn("nn", norm2(col("q")))
+        .filter(col("nn") > 0)
+      topk(full).as("f")
+        .join(topk(truncated).as("h"),
+          col("f.qid") === col("h.qid") &&
+            col("f.neighbor_id") === col("h.neighbor_id"), "left")
+        .groupBy(col("f.qid").as("query_id"))
+        .agg(count(col("h.neighbor_id")).as("n_overlap"))
+        .orderBy("query_id")
     }
   )
 }
