@@ -50,7 +50,8 @@ object Registry {
     "q172_row_lineage", "q174_partition_evolution", "q175_table_clone",
     "q178_string_cluster_skipping", "q179_column_defaults",
     "q180_branch_stream", "q181_generated_columns",
-    "q182_identity_columns", "q184_stream_chained_agg")
+    "q182_identity_columns", "q184_stream_chained_agg",
+    "q188_stream_static_join")
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

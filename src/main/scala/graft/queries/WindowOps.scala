@@ -168,6 +168,44 @@ object WindowOps {
         .orderBy("ds")
     },
 
+    // -------------------------------------------- stream-static join
+    Q("q188_stream_static_join",
+      "Stream-STATIC join — the enrichment shape every streaming " +
+        "pipeline runs (q73/q173 cover stream-stream): the event " +
+        "stream joins a static dimension table (customers) inside the " +
+        "streaming query, STATELESS — no watermark, no state store, " +
+        "rows flush with their micro-batch — and the static side " +
+        "plans as a broadcast under the stream's incremental plan, " +
+        "re-resolved per micro-batch (how dimension updates become " +
+        "visible mid-stream on a real feed). One drain, no sentinel " +
+        "ladder; the enriched sink aggregates per market segment and " +
+        "must equal the batch join exactly. At 100 TB the dimension " +
+        "broadcast is the whole point: zero shuffle of the stream " +
+        "side, per-batch cost linear in batch size.",
+      Some(s"""
+        SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+               ${oCnt("e.event_type = 'purchase'")} AS n_purchase,
+               ${oMoneySum("e.value")} AS receita
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
+        val stream = sc.readStream.schema(ev.schema).parquet(srcDir)
+          .join(broadcast(Tables.customer(sc, dir)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("user_id") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("event_type"), col("value"))
+        val q = Streams.parquetSink(stream, outDir, ckptDir).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          cnt(col("event_type") === "purchase").as("n_purchase"),
+          moneySum(col("value")).as("receita"))
+        .orderBy("segment")
+    },
+
     // --------------------------------------------------- session window
     Q("q37_window_session",
       "Gap-based sessionization: per-user sessions with a 4-hour " +
