@@ -62,6 +62,21 @@ class AqePlanAuditSpec extends SparkSpec {
       s"common-subplan reuse lost under AQE:\n$p")
   }
 
+  test("q185 contamination spans: bench probe broadcasts; corpus side never sort-merges") {
+    val p = finalPlan("q185_contamination_spans")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval-suite hash set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not sort-merge on the bounded bench set:\n$p")
+  }
+
+  test("q186 dup-span removal: the span-hash exchange is shared by count and probe") {
+    val p = finalPlan("q186_dup_span_removal")
+    assert(p.contains("ReusedExchange"),
+      s"the repartition(h) exchange must serve both the distinct-doc " +
+        s"count and the join probe:\n$p")
+  }
+
   test("q85 graph rank: the distinct edge list is reused across supersteps under AQE") {
     val p = finalPlan("q85_graph_rank")
     assert(p.contains("ReusedExchange"),
