@@ -40,6 +40,14 @@ object CorpusOps {
     s"list_transform(range(len(w) - ${NGRAM - 1}), i -> ('0x' || substr(md5($parts), 1, 7))::BIGINT)"
   }
 
+  /** Positioned variant of [[ngramHashes]]: struct(p, h) per window,
+    * p = 1-based n-gram start index — q185's excision metadata. */
+  private def posNgramHashes(w: Column): Column =
+    transform(sequence(lit(0), size(w) - NGRAM), i =>
+      struct((i + 1).as("p"),
+        hash28(concat_ws(" ",
+          (0 until NGRAM).map(j => element_at(w, i + j + 1)): _*)).as("h")))
+
   /** (doc_id, h) n-gram hash pairs for every doc with ≥ NGRAM tokens.
     * Token array bound as a real column before the lambda (see the
     * LlmOps.shingleSets note: unbound HOF subtrees re-evaluate split()
@@ -243,6 +251,32 @@ object CorpusOps {
     * on the hash). */
   private val SPAN_W = 60
   private val SPAN_STRIDE = 30
+
+  /** ONE definition of the strided span-hash generation shared by q61
+    * (detection) and q186 (removal arithmetic): (doc_id[, l, k], h)
+    * rows for every 60-char window at stride 30, repartitioned on the
+    * hash so the distinct-doc count and the join probe share the
+    * exchange. Parity-critical — both oracles replay this hashing
+    * bit-for-bit, so the two consumers must never drift. */
+  private def spanHashes(s: SparkSession, dir: String,
+      withOffsets: Boolean): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(length(col("text")) >= SPAN_W)
+    val kh = explode(transform(
+      sequence(lit(0),
+        floor((length(col("text")) - SPAN_W) / SPAN_STRIDE).cast("int")),
+      k => struct(k.as("k"),
+        md5(col("text").substr(k * SPAN_STRIDE + 1, lit(SPAN_W))).as("h"))))
+      .as("kh")
+    (if (withOffsets)
+      base.select(col("doc_id"), length(col("text")).cast("long").as("l"), kh)
+        .select(col("doc_id"), col("l"), col("kh.k").as("k"),
+          col("kh.h").as("h"))
+    else
+      base.select(col("doc_id"), kh).select(col("doc_id"), col("kh.h").as("h"))
+    ).repartition(col("h"))
+  }
 
   /** Count-min sketch geometry (q64): depth 4, width 8192, probing the
     * exact top-K so the gate compares sketch vs truth. */
@@ -565,14 +599,8 @@ object CorpusOps {
                ${oCnt("nd >= 2")} AS n_dup_spans
         FROM sh JOIN c USING (h)
         GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val spans = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .filter(length(col("text")) >= SPAN_W)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(0), floor((length(col("text")) - SPAN_W) / SPAN_STRIDE).cast("int")),
-            k => md5(col("text").substr(k * SPAN_STRIDE + 1, lit(SPAN_W))))).as("h"))
-        .repartition(col("h")) // shared exchange: span-count agg + join reuse it
+      val spans = spanHashes(s, dir, withOffsets = false)
+      // shared exchange: the span-count agg and the join reuse it
       val counts = spans.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       spans.join(counts, "h")
@@ -1005,7 +1033,7 @@ object CorpusOps {
         WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
                    FROM documents),
         g AS (SELECT doc_id, i + 1 AS p,
-                     ('0x' || substr(md5(${(0 until NGRAM).map(j => s"w[i+${j + 1}]").mkString(" || ' ' || ")}), 1, 7))::BIGINT AS h
+                     ${oHash28((0 until NGRAM).map(j => s"w[i+${j + 1}]").mkString(" || ' ' || "))} AS h
               FROM (SELECT doc_id, w, UNNEST(range(len(w) - ${NGRAM - 1})) AS i
                     FROM t WHERE len(w) >= $NGRAM)),
         b AS (SELECT DISTINCT h FROM g WHERE doc_id % $BENCH_MOD = $BENCH_REM),
@@ -1020,12 +1048,7 @@ object CorpusOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), toks(col("text")).as("w"))
         .filter(size(col("w")) >= NGRAM)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("w")) - NGRAM), i =>
-            struct((i + 1).as("p"),
-              hash28(concat_ws(" ",
-                (0 until NGRAM).map(j => element_at(col("w"), i + j + 1)): _*))
-                .as("h")))).as("ph"))
+        .select(col("doc_id"), explode(posNgramHashes(col("w"))).as("ph"))
         .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
       val isBench = col("doc_id") % BENCH_MOD === BENCH_REM
       val bench = broadcast(g.filter(isBench).select("h").distinct())
@@ -1085,19 +1108,7 @@ object CorpusOps {
                CAST(SUM(en - st + 1) AS BIGINT) AS removed_chars,
                CAST(MIN(l) - SUM(en - st + 1) AS BIGINT) AS kept_chars
         FROM i GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val spans = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .filter(length(col("text")) >= SPAN_W)
-        .select(col("doc_id"), length(col("text")).cast("long").as("l"),
-          explode(transform(
-            sequence(lit(0),
-              floor((length(col("text")) - SPAN_W) / SPAN_STRIDE).cast("int")),
-            k => struct(k.as("k"),
-              md5(col("text").substr(k * SPAN_STRIDE + 1, lit(SPAN_W)))
-                .as("h")))).as("kh"))
-        .select(col("doc_id"), col("l"), col("kh.k").as("k"),
-          col("kh.h").as("h"))
-        .repartition(col("h"))
+      val spans = spanHashes(s, dir, withOffsets = true)
       val counts = spans.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       val d = spans.join(counts, "h").where(col("nd") >= 2)

@@ -699,8 +699,8 @@ object EmbedOps {
         "run twice with the truncated side re-normed over its own 32 " +
         "dims; vectors whose truncated norm is zero drop from the " +
         "truncated candidate set only, identically in both engines. " +
-        "100 TB shape: both passes are the broadcast-queries linear " +
-        "scan — one corpus read feeds both dot products; nothing " +
+        "100 TB shape: both passes are broadcast-queries linear " +
+        "scans over one shared quantized subtree; nothing " +
         "quadratic, nothing driver-side.",
       Some(s"""
         WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
@@ -745,9 +745,12 @@ object EmbedOps {
           .select(col("qid"), col("vec_id").as("neighbor_id"))
       }
       val full = quantized(s, dir)
-      val truncated = Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          quant(slice(col("embedding"), 1, half)).as("q"))
+      // derived from the SAME quantized frame (quant is element-wise,
+      // so slice-then-quant == quant-then-slice): one common subtree
+      // serves both passes, and the full-norm>0 prefilter is exact —
+      // a vector with zero FULL norm has zero half norm too
+      val truncated = full
+        .select(col("vec_id"), slice(col("q"), 1, half).as("q"))
         .withColumn("nn", norm2(col("q")))
         .filter(col("nn") > 0)
       topk(full).as("f")

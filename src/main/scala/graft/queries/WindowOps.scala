@@ -191,7 +191,7 @@ object WindowOps {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("value"))
       streamGate(s, ev) { (sc, srcDir, outDir, ckptDir) =>
-        val stream = sc.readStream.schema(ev.schema).parquet(srcDir)
+        val stream = Streams.eventsStream(sc, srcDir, ev.schema)
           .join(broadcast(Tables.customer(sc, dir)
             .select(col("c_custkey"), col("c_mktsegment"))),
             col("user_id") === col("c_custkey"))

