@@ -103,6 +103,40 @@ class BranchSpec extends SparkSpec {
     }.getMessage.contains("no branch 'audit'"))
   }
 
+  test("identity assignment on a branch shares the table watermark with main") {
+    val root = Files.createTempDirectory("branch-ident").toString
+    val s = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.bid" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.bid.root" -> root)
+    s.sql("CREATE NAMESPACE bid.default")
+    s.sql("CREATE TABLE bid.default.t (doc_id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    s.sql("INSERT INTO bid.default.t (n_chars, lang, source, text) " +
+      "VALUES (1, 'a', 'w', 'x')")
+    s.sql("CALL bid.system.create_branch('default.t', 'audit')")
+    // branch staging assigns THROUGH the shared watermark (the commit
+    // hook runs for branch manifests too), so a concurrent main write
+    // can never collide with branch-staged ids — and vice versa
+    wapSession(s, "audit").sql(
+      "INSERT INTO bid.default.t (n_chars, lang, source, text) " +
+        "VALUES (2, 'b', 'w', 'y')")
+    s.sql("INSERT INTO bid.default.t (n_chars, lang, source, text) " +
+      "VALUES (3, 'c', 'w', 'z')")
+    // (publishing now would rightly refuse — main moved — but the ids
+    // handed out on the two faces must STILL be disjoint: that is the
+    // shared watermark's guarantee)
+    val mainIds = s.sql("SELECT doc_id FROM bid.default.t").collect()
+      .map(_.getLong(0)).toSet
+    val branchIds = s.sql(
+      "SELECT doc_id FROM bid.default.t VERSION AS OF 'audit'").collect()
+      .map(_.getLong(0)).toSet
+    assert(mainIds.size == 2 && branchIds.size == 2 &&
+      (mainIds ++ branchIds).size == 3,
+      s"branch and main identity assignments must never collide: " +
+        s"main=$mainIds branch=$branchIds")
+  }
+
   test("publish refuses after main moved; re-cut branch publishes") {
     val (s, path) = freshCat("bff")
     s.sql("CALL bff.system.create_branch('default.t', 'b')")
