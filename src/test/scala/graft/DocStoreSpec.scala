@@ -2079,6 +2079,29 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.g").head.getLong(0) == 1)
   }
 
+  test("change feed reads pre-ADD commits through exists-defaults") {
+    val root = Files.createTempDirectory("docstore_cdf_def").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.fcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.fcat.root" -> root)
+    sc.sql("CREATE NAMESPACE fcat.ns")
+    sc.sql("CREATE TABLE fcat.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO fcat.ns.t VALUES (1, 10, 'aa', 's', 'x')")
+    sc.sql("ALTER TABLE fcat.ns.t ADD COLUMN quality BIGINT DEFAULT 7")
+    sc.sql("INSERT INTO fcat.ns.t VALUES (2, 20, 'bb', 's', 'y', 9)")
+    val path = java.nio.file.Paths.get(root, "ns", "t").toString
+    // the v1 insert's change rows read through the CURRENT schema, so
+    // the added column surfaces its exists-default, not null — the
+    // same contract batch reads have (reader-level backfill)
+    val changes = graft.sources.DocStoreCdf.changesBetween(sc, path, 0, 2)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(changes == Map(1L -> 7L, 2L -> 9L),
+      s"CDF must apply exists-defaults to pre-ADD commits: $changes")
+  }
+
   test("CHECK constraints: every write path enforces, DDL validates, null passes") {
     val root = Files.createTempDirectory("docstore_check").toString
     val sc = graft.core.Sessions.scoped(spark,
