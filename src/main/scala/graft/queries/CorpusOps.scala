@@ -421,12 +421,20 @@ object CorpusOps {
         "This is the audit that picks vocab_size before training a " +
         "tokenizer (q112 trains the merges; this decides when to stop). " +
         "Dataflow: one corpus-domain shuffle (the token hash-agg with " +
-        "map-side partial counts), then the curve runs entirely on the " +
-        "VOCABULARY domain — rank and running token mass share one " +
-        "window sort (bounded: 10^6-10^7 distinct tokens even at 100 TB, " +
-        "a single executor's work), cut points join in as a 5-row " +
-        "broadcast and the 1-row total as a broadcast cross join (the " +
-        "q23 scalar pattern). Integer token mass keeps every point " +
+        "map-side partial counts), then the key insight that makes the " +
+        "curve scale-safe (r12 verdict item 2): the curve only needs " +
+        "ranks up to the LARGEST CUT POINT, never the whole vocabulary. " +
+        "Heaps-law growth puts web-corpus whitespace vocab at 10^8-10^9 " +
+        "tokens — a global ORDER BY over it is tens of GB in one task — " +
+        "so the top-maxCut set is extracted distributed-top-k style: " +
+        "hash-bucket the vocab, per-bucket window keeps each bucket's " +
+        "top maxCut, and the exact global rank + running token mass run " +
+        "over the surviving <= buckets x maxCut rows (6,400 here; " +
+        "cut-point-bounded, independent of corpus AND vocab size — the " +
+        "union of per-bucket top-k provably contains the global top-k " +
+        "in order). Cut points join in as a broadcast and the 1-row " +
+        "total (a plain scalar agg, no ordering) as a broadcast cross " +
+        "join (the q23 pattern). Integer token mass keeps every point " +
         "bit-exact; cut points beyond the actual vocabulary are simply " +
         "absent — identically in both engines.",
       Some("""
@@ -447,11 +455,25 @@ object CorpusOps {
         CROSS JOIN t
         ORDER BY vocab_size""")) { (s, dir) =>
       import s.implicits._
+      val cuts = Seq(5, 10, 15, 20, 25, 100)
+      val maxCut = cuts.max
+      val nBuckets = 64
       val c = Tables.documents(s, dir)
         .select(explode(toks(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
+      // Distributed top-k: per-bucket windows are vocab/nBuckets-sized
+      // (a partitioned sort, never one task), and only each bucket's top
+      // maxCut survive to the exact global window below.
+      val wLocal = Window
+        .partitionBy(pmod(hash(col("token")), lit(nBuckets)))
+        .orderBy(col("cnt").desc, col("token"))
+      val top = c
+        .withColumn("lr", row_number().over(wLocal))
+        .filter(col("lr") <= maxCut).drop("lr")
+      // Exact rank + running mass over <= nBuckets x maxCut rows —
+      // bounded by the cut points, not by the vocabulary.
       val w = Window.orderBy(col("cnt").desc, col("token"))
-      val r = c.select(col("cnt"),
+      val r = top.select(col("cnt"),
         row_number().over(w).as("rnk"),
         sum(col("cnt")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
@@ -459,7 +481,7 @@ object CorpusOps {
       // the synthetic corpus draws from a ~31-token lexicon, so the cut
       // points sit inside it; the 100 cut is deliberately past the
       // vocabulary and must be absent in both engines
-      Seq(5, 10, 15, 20, 25, 100).toDF("vocab_size")
+      cuts.toDF("vocab_size")
         .join(r, col("rnk") === col("vocab_size"))
         .crossJoin(broadcast(total))
         .select(col("vocab_size").cast("long").as("vocab_size"),

@@ -1773,7 +1773,18 @@ class DocStoreDataWriter(path: String, schema: StructType,
     else DocStorePartitioning.rowDirFn(partSpec, schema, order)
   private def tmpName(k: Int) = f".stg-$queryId-$partitionId%05d-$taskId-$k"
 
-  override def write(r: InternalRow): Unit = {
+  override def write(r: InternalRow): Unit =
+    writeRow(r, preserveIdentity = false)
+
+  /** Row-level UPDATE reinserts carry the row's EXISTING doc_id — a
+    * preserved value, not a user-supplied one — so the GENERATED
+    * ALWAYS explicit-value refusal must not fire (Delta: an UPDATE of
+    * the other columns keeps the identity value; publish() still
+    * advances the watermark past it). ADVICE r12. */
+  def writePreservingIdentity(r: InternalRow): Unit =
+    writeRow(r, preserveIdentity = true)
+
+  private def writeRow(r: InternalRow, preserveIdentity: Boolean): Unit = {
     val idVal: Long = identity match {
       case None =>
         require(!r.isNullAt(order(0)),
@@ -1786,7 +1797,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
             identityK += 1
             a
           } else {
-            require(spec.allowExplicit,
+            require(preserveIdentity || spec.allowExplicit,
               "doc_id is GENERATED ALWAYS AS IDENTITY — explicit values " +
                 "are refused (declare GENERATED BY DEFAULT to allow them, " +
                 "or omit the column and let the writer assign)")

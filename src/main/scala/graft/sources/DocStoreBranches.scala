@@ -121,8 +121,45 @@ object DocStoreBranches {
         Files.deleteIfExists(dir.resolve(manifestName(name)))
         return v
       }
+      // r13 (ADVICE r12): a crash BETWEEN writeManifest (main already
+      // fast-forwarded) and the marker move leaves refs with NO marker;
+      // the fast-forward check below would then refuse forever ("main
+      // moved" — it moved TO the branch content) and the only way out
+      // was drop_branch, voiding every branch-face checkpoint. Content
+      // recovery: if main's manifest bytes ARE the branch's manifest
+      // bytes, the earlier publish landed — finish it (snapshot if the
+      // crash hit inside writeManifest, then marker + ref cleanup)
+      // instead of refusing.
+      val mainSha = sha256(dir.resolve("MANIFEST"))
+      if (mainSha == sha256(dir.resolve(manifestName(name)))) {
+        val v: Long = DocStoreCommitOps.versionTimes(path).lastOption match {
+          case Some((last, _))
+              if sha256(dir.resolve(s"MANIFEST.v$last")) == mainSha => last
+          case _ =>
+            // died before the retained snapshot copy: complete it with
+            // writeManifest's commit-time monotonicity contract
+            val nv = DocStoreCommitOps.nextVersion(path)
+            val snap = dir.resolve(s"MANIFEST.v$nv")
+            Files.copy(dir.resolve("MANIFEST"), snap)
+            val prev = dir.resolve(s"MANIFEST.v${nv - 1}")
+            if (Files.exists(prev)) {
+              val pt = Files.getLastModifiedTime(prev).toMillis
+              if (Files.getLastModifiedTime(snap).toMillis <= pt)
+                Files.setLastModifiedTime(snap,
+                  java.nio.file.attribute.FileTime.fromMillis(pt + 1))
+            }
+            nv
+        }
+        val mtmp2 = dir.resolve(s".PUBLISHED-$name-tmp")
+        Files.writeString(mtmp2, v.toString)
+        Files.move(mtmp2, marker,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        Files.deleteIfExists(dir.resolve(refFile(name)))
+        Files.deleteIfExists(dir.resolve(manifestName(name)))
+        return v
+      }
       val (base, sha) = baseOf(path, name)
-      require(sha256(dir.resolve("MANIFEST")) == sha,
+      require(mainSha == sha,
         s"cannot publish branch '$name': main moved since the branch " +
           s"was cut at version $base (concurrent commit, overwrite, or " +
           "restore) — docstore branches publish fast-forward only. " +

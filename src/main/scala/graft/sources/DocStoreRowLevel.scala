@@ -235,9 +235,15 @@ class DocStoreDeltaOperation(path: String, cmd: Command)
     Expressions.column(SegmentMetadataColumn.NAME),
     Expressions.column(PosMetadataColumn.NAME))
 
-  /** Updates arrive as delete + reinsert — one writer path, and the
-    * reinserted row lands in a fresh segment like any insert. */
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** Updates arrive as update(meta, id, row) — semantically the same
+    * delete + reinsert (the writer decomposes them exactly so), but
+    * keeping the operation distinct lets the writer tell an UPDATE's
+    * reinsert (doc_id PRESERVED — the GENERATED ALWAYS refusal must
+    * not fire on a row keeping its own id) from a genuine MERGE
+    * INSERT (explicit ids refused, omitted ids assigned). ADVICE r12:
+    * with `= true` both arrive through insert() and the two cases are
+    * indistinguishable. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreRowLevelScanBuilder(path, None)
@@ -277,9 +283,23 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
     order: Array[Int], queryId: String)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
+  // ADVICE r12: identity rides the row-level write path too — a MERGE
+  // WHEN NOT MATCHED INSERT on a GENERATED ALWAYS table must refuse
+  // explicit doc_ids and assign omitted ones, exactly like a batch
+  // append (Delta's identity-through-MERGE semantics). A delete-only
+  // delta (empty order) never inserts, so it skips the spec.
+  private val identity =
+    if (order.isEmpty) None else DocStore.identityOf(schema)
+  @volatile private var identityBase: Long = Long.MinValue
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new DocStoreDeltaWriterFactory(path, schema, order, queryId)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val idAssign = identity.map { spec =>
+      identityBase = DocStore.readIdentityHw(path, spec)
+      (spec, identityBase, info.numPartitions)
+    }
+    new DocStoreDeltaWriterFactory(path, schema, order, queryId, idAssign)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DocStoreCommitOps.withCommitLock(path) {
@@ -291,6 +311,16 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
           Files.deleteIfExists(Paths.get(path).resolve(m.tmpName)))
         throw new IllegalStateException(
           s"concurrent write conflict on $path: $reason; retry the operation")
+      }
+      // identity conflict check (mirrors DocStoreBatchWrite.commit): if
+      // the high water moved since this job's base was read, a
+      // concurrent identity write landed and the assigned stripes may
+      // overlap — fail loudly, retry re-plans on the new base
+      identity.foreach { spec =>
+        val now = DocStore.readIdentityHw(path, spec)
+        if (now != identityBase) fail(s"concurrent identity write " +
+          s"(high water moved $identityBase -> $now since this " +
+          "operation planned)")
       }
       // conflict check 1: every DV target segment must still be live —
       // a concurrent rewrite of one means our positions reference a
@@ -336,11 +366,23 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
 }
 
 class DocStoreDeltaWriterFactory(path: String, schema: StructType,
-    order: Array[Int], queryId: String)
+    order: Array[Int], queryId: String,
+    identity: Option[(DocStore.IdentitySpec, Long, Int)] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  // ADVICE r12 (medium): the table's row contracts (NOT NULL, GENERATED
+  // ALWAYS AS, CHECK constraints) are compiled on the DRIVER exactly as
+  // DocStoreWriterFactory does and enforced on every MoR MERGE/UPDATE
+  // insert — previously the delta path silently skipped them (Delta
+  // enforces on all writes). A delete-only delta carries no data
+  // columns (empty order), so there is nothing to compile or enforce.
+  private val checks =
+    if (order.isEmpty) Seq.empty
+    else DocStoreChecks.compile(path, schema, order)
+  private val maxRows = DocStoreWriterFactory.maxRowsOf(path)
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new DocStoreDeltaWriter(path, schema, order, queryId, partitionId, taskId)
+    new DocStoreDeltaWriter(path, schema, order, queryId, partitionId,
+      taskId, checks, maxRows, identity)
 }
 
 /** One task's delta: deletes accumulate as (segment, pos) pairs from
@@ -348,11 +390,16 @@ class DocStoreDeltaWriterFactory(path: String, schema: StructType,
   * the ordinary encoder. The task's commit message carries both, so
   * the job commit can land them in one manifest publish. */
 class DocStoreDeltaWriter(path: String, schema: StructType,
-    order: Array[Int], queryId: String, partitionId: Int, taskId: Long)
+    order: Array[Int], queryId: String, partitionId: Int, taskId: Long,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    maxRows: Int = Int.MaxValue,
+    identity: Option[(DocStore.IdentitySpec, Long, Int)] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val inner =
-    new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId)
+    new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId,
+      checks = checks, maxRowsPerSegment = maxRows, identity = identity)
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
   /** rowId layout follows [[DocStoreDeltaOperation.rowId]]:
@@ -365,10 +412,10 @@ class DocStoreDeltaWriter(path: String, schema: StructType,
 
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
-    // not reached with representUpdateAsDeleteAndInsert = true, but
-    // the decomposition is the semantics either way
+    // an UPDATE decomposes into DV-delete + reinsert; the reinsert
+    // PRESERVES the row's existing doc_id (see writePreservingIdentity)
     recordDelete(id)
-    inner.write(row)
+    inner.writePreservingIdentity(row)
   }
 
   override def insert(row: InternalRow): Unit = inner.write(row)
@@ -391,7 +438,13 @@ class DocStoreReplaceDataWrite(path: String, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     // partitioned tables: rewritten rows recompute their partition
-    // directories through the same partition-aware writer as inserts
+    // directories through the same partition-aware writer as inserts.
+    // Identity is deliberately NOT threaded here: group-based
+    // copy-on-write streams retained rows and merge-inserts through
+    // ONE writer with no per-row provenance, so a GENERATED ALWAYS
+    // refusal would reject every preserved id. The delta (MoR) path
+    // enforces the full identity contract; CoW stays collision-safe
+    // because publish() advances the watermark past every landed id.
     new DocStoreWriterFactory(path, schema, order, queryId,
       DocStorePartitioning.read(path))
 

@@ -189,4 +189,50 @@ class BranchSpec extends SparkSpec {
     s.sql("CALL bguard.system.publish_branch('default.t', 'stage')")
     assert(s.sql("SELECT COUNT(*) FROM bguard.default.t").head.getLong(0) == 3)
   }
+
+  test("ADVICE r13: publish crash between fast-forward and marker recovers, not refuses") {
+    val (s, path) = freshCat("bcrash")
+    s.sql("CALL bcrash.system.create_branch('default.t', 'stage')")
+    val w = wapSession(s, "stage")
+    w.sql("INSERT INTO bcrash.default.t VALUES (3, 30, 'de', 'web', 'c')")
+    val vBefore = DocStoreCommitOps.nextVersion(path) - 1
+    // simulate the crash: the fast-forward manifest write landed (main
+    // holds the branch content, snapshot included) but the process died
+    // before the PUBLISHED marker move — refs present, no marker
+    val bm = DocStoreBranches.manifestName("stage")
+    val (segs, dvs) = graft.sources.DocStore.readManifestAndDeletes(path, bm)
+    val txns = graft.sources.DocStore.readTxns(path, bm)
+    DocStoreCommitOps.writeManifest(path, segs, "crash-sim", dvs,
+      newTxns = txns)
+    assert(!Files.exists(
+      Paths.get(path, DocStoreBranches.publishedMarker("stage"))))
+    // re-running publish must complete the interrupted one (cleanup +
+    // marker + the SAME version), not refuse with "main moved"
+    val pub = s.sql(
+      "CALL bcrash.system.publish_branch('default.t', 'stage')").head
+    assert(pub.getLong(1) == vBefore + 1, pub.toString)
+    assert(s.sql("SELECT COUNT(*) FROM bcrash.default.t")
+      .head.getLong(0) == 3)
+    assert(!DocStoreBranches.exists(path, "stage"), "refs cleaned up")
+    assert(Files.readString(Paths.get(path,
+      DocStoreBranches.publishedMarker("stage"))).trim.toLong == vBefore + 1,
+      "marker records the published version for branch-face streams")
+
+    // deeper crash: died INSIDE writeManifest after the MANIFEST move
+    // but before the retained snapshot copy — recovery completes the
+    // snapshot so time travel serves the published commit
+    s.sql("CALL bcrash.system.create_branch('default.t', 'stage2')")
+    val w2 = wapSession(s, "stage2")
+    w2.sql("INSERT INTO bcrash.default.t VALUES (4, 40, 'fr', 'web', 'd')")
+    Files.copy(Paths.get(path, DocStoreBranches.manifestName("stage2")),
+      Paths.get(path, "MANIFEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val pub2 = s.sql(
+      "CALL bcrash.system.publish_branch('default.t', 'stage2')").head
+    assert(pub2.getLong(1) == vBefore + 2, pub2.toString)
+    assert(s.sql("SELECT COUNT(*) FROM bcrash.default.t")
+      .head.getLong(0) == 4)
+    assert(s.sql("SELECT COUNT(*) FROM bcrash.default.t VERSION AS OF " +
+      (vBefore + 2)).head.getLong(0) == 4)
+  }
 }

@@ -3022,4 +3022,80 @@ class DocStoreSpec extends SparkSpec {
         r.getTimestamp(5).getTime).toMap
     assert(hist == times.toMap, s"$hist vs $times")
   }
+
+  test("ADVICE r13: merge-on-read inserts enforce contracts; identity rides MERGE/UPDATE") {
+    val root = Files.createTempDirectory("docstore_mor_checks").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.mrc" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.mrc.root" -> root)
+    sc.sql("CREATE NAMESPACE mrc.ns")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("|")
+    // CHECK constraints reach merge-on-read MERGE inserts (the r12
+    // advisor found the delta writer skipped DocStoreChecks entirely)
+    sc.sql("CREATE TABLE mrc.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read', " +
+      "'graft.check.pos' = 'n_chars >= 0')")
+    sc.sql("INSERT INTO mrc.ns.t VALUES (1, 10, 'en', 's', 'x'), " +
+      "(2, 20, 'pt', 's', 'y')")
+    val e1 = intercept[Exception] {
+      sc.sql("MERGE INTO mrc.ns.t t USING (SELECT 3L AS doc_id, " +
+        "-5L AS n_chars, 'en' AS lang, 's' AS source, 'z' AS text) s " +
+        "ON t.doc_id = s.doc_id WHEN NOT MATCHED THEN INSERT *") }
+    assert(messages(e1).contains("CHECK constraint 'pos'"), messages(e1))
+    assert(sc.sql("SELECT COUNT(*) FROM mrc.ns.t").head.getLong(0) == 2)
+    // ... and MoR UPDATE reinserts (DV-delete + fresh-segment insert)
+    val e2 = intercept[Exception] {
+      sc.sql("UPDATE mrc.ns.t SET n_chars = -7 WHERE doc_id = 1") }
+    assert(messages(e2).contains("CHECK constraint 'pos'"), messages(e2))
+    assert(sc.sql("SELECT n_chars FROM mrc.ns.t WHERE doc_id = 1")
+      .head.getLong(0) == 10)
+    // generated-column contract on a MoR table: a MERGE insert with a
+    // mismatched derived value refuses through the same compiled path
+    sc.sql("CREATE TABLE mrc.ns.g (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT GENERATED ALWAYS AS (LENGTH(text)), lang STRING, " +
+      "source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("INSERT INTO mrc.ns.g VALUES (1, 5, 'en', 's', 'hello')")
+    val e3 = intercept[Exception] {
+      sc.sql("MERGE INTO mrc.ns.g t USING (SELECT 2L AS doc_id, " +
+        "99L AS n_chars, 'en' AS lang, 's' AS source, 'x' AS text) s " +
+        "ON t.doc_id = s.doc_id WHEN NOT MATCHED THEN INSERT *") }
+    assert(messages(e3)
+      .contains("GENERATED ALWAYS AS constraint on column 'n_chars'"),
+      messages(e3))
+    assert(sc.sql("SELECT COUNT(*) FROM mrc.ns.g").head.getLong(0) == 1)
+    // identity through the row-level path: explicit ids refuse on a
+    // GENERATED ALWAYS table, omitted (NULL) ids are assigned past the
+    // watermark, and an UPDATE PRESERVES the row's existing id
+    sc.sql("CREATE TABLE mrc.ns.i (doc_id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY (START WITH 100 INCREMENT BY 10), n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("INSERT INTO mrc.ns.i (n_chars, lang, source, text) " +
+      "VALUES (1, 'a', 's', 'x')")
+    val e4 = intercept[Exception] {
+      sc.sql("MERGE INTO mrc.ns.i t USING (SELECT 999L AS doc_id, " +
+        "2L AS n_chars, 'b' AS lang, 's' AS source, 'y' AS text) s " +
+        "ON t.doc_id = s.doc_id WHEN NOT MATCHED THEN INSERT *") }
+    assert(messages(e4).contains("GENERATED ALWAYS AS IDENTITY"),
+      messages(e4))
+    sc.sql("MERGE INTO mrc.ns.i t USING (SELECT 2L AS n_chars, " +
+      "'b' AS lang, 's' AS source, 'y' AS text) s " +
+      "ON t.text = s.text WHEN NOT MATCHED THEN " +
+      "INSERT (n_chars, lang, source, text) " +
+      "VALUES (s.n_chars, s.lang, s.source, s.text)")
+    val ids = sc.sql("SELECT doc_id FROM mrc.ns.i ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 2 && ids.head == 100L && ids(1) > 100L, s"$ids")
+    // UPDATE keeps the identity value (Delta: updating other columns
+    // never reassigns) — the preserve path skips the ALWAYS refusal
+    sc.sql("UPDATE mrc.ns.i SET lang = 'zz' WHERE doc_id = 100")
+    assert(sc.sql("SELECT doc_id, lang FROM mrc.ns.i WHERE lang = 'zz'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((100L, "zz")))
+  }
 }
