@@ -2506,6 +2506,60 @@ object IoOps {
       (a ++ b).toSeq
         .toDF("phase", "n_rows", "distinct_ids", "chars")
         .unionByName(phase("c_rejected")).orderBy("phase")
+    },
+
+    // ------------------------------- full evolved-column type surface
+    Q("q189_evolved_types",
+      "Schema evolution across the FULL primitive type surface " +
+        "(r12 verdict gap 1 — the first wall a real lakehouse user " +
+        "hits is `ADD COLUMN price DOUBLE`): the docstore accepts " +
+        "ADD COLUMN of DOUBLE, FLOAT, DATE, TIMESTAMP[_NTZ], BOOLEAN " +
+        "and DECIMAL(p<=18,s) alongside the original INT/BIGINT/" +
+        "STRING. ONE design carries them all: every non-string type " +
+        "stores the segment format's existing 8-byte payload under an " +
+        "ORDER-PRESERVING long encoding (doubles: IEEE bits, lower 63 " +
+        "flipped for negatives; dates: days; timestamps: micros; " +
+        "decimals: the unscaled long — precision >18 refuses at DDL), " +
+        "so per-segment min/max stats, the stats pruner, and the " +
+        "metadata-only widenings (INT->BIGINT, FLOAT->DOUBLE, decimal " +
+        "precision) all work over encoded payloads with ZERO new " +
+        "physical forms — at 100 TB the evolution is still one SCHEMA " +
+        "file write, no segment rewritten, and typed predicates still " +
+        "skip segments. The gate ADDs four typed columns, inserts a " +
+        "typed slice derived bit-exactly from integers (n_chars/4.0 " +
+        "is an exact binary quarter; dates/decimals from doc_id and " +
+        "n_chars), and aggregates through a typed filter; DocStoreSpec " +
+        "pins pruning plans, widenings, negative-double ordering and " +
+        "the refusal matrix.",
+      Some("""
+        SELECT lang, COUNT(*)::BIGINT AS n_rows,
+               SUM(CAST(n_chars AS DOUBLE) / 4) AS score_sum,
+               MIN(DATE '2024-01-01' + CAST(doc_id % 100 AS INT))
+                 AS first_added,
+               MAX(DATE '2024-01-01' + CAST(doc_id % 100 AS INT))
+                 AS last_added,
+               MAX(CAST(n_chars AS DECIMAL(12,2))) AS max_amt,
+               SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_even
+        FROM documents
+        WHERE CAST(n_chars AS DOUBLE) / 4 > 10
+        GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_types")
+      val t = "graft_cat_types.default.docs"
+      sc.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE, added DATE, " +
+        "ok BOOLEAN, amt DECIMAL(12,2))")
+      // typed slice above the base ids; original rows keep NULL extras
+      // and fall out of the typed filter below
+      sc.sql(s"INSERT INTO $t SELECT doc_id + 5000000, n_chars, lang, " +
+        "source, text, n_chars / 4.0D, " +
+        "DATE_ADD(DATE'2024-01-01', CAST(doc_id % 100 AS INT)), " +
+        "doc_id % 2 = 0, CAST(n_chars AS DECIMAL(12,2)) " +
+        s"FROM $t WHERE doc_id < 5000000")
+      sc.sql(s"SELECT lang, COUNT(*) AS n_rows, SUM(score) AS score_sum, " +
+        "MIN(added) AS first_added, MAX(added) AS last_added, " +
+        "MAX(amt) AS max_amt, " +
+        "SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_even " +
+        s"FROM $t WHERE score > 10.0D GROUP BY lang ORDER BY lang")
     }
   )
 

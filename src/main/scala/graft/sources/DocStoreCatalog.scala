@@ -360,8 +360,9 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val schema = withNotNullFlags(schema0)
-    // base 5 columns required as a prefix; appended nullable LONG/STRING
-    // columns are allowed from birth (same rule ADD COLUMN enforces)
+    // base 5 columns required as a prefix; appended nullable columns of
+    // the full evolved-type surface (see DocStore.evolvedTypeOk) are
+    // allowed from birth (same rule ADD COLUMN enforces)
     val extra = DocStore.validateEvolved(schema)
     // `PARTITIONED BY` validates at DDL time (identity / bucket only);
     // merge-on-read is refused on partitioned tables — its reinsert
@@ -393,15 +394,18 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
   /** Schema evolution, all metadata-only (the SCHEMA file updates
     * atomically; no segment is ever rewritten):
     *
-    *  - `ADD COLUMN c INT|BIGINT|STRING` — append-only, nullable;
-    *    pre-evolution segments read null-padded (the Delta/Iceberg
-    *    add-nullable-column contract).
+    *  - `ADD COLUMN c <type>` — append-only, nullable; the full
+    *    primitive surface: INT, BIGINT, STRING, DOUBLE, FLOAT, DATE,
+    *    TIMESTAMP[_NTZ], BOOLEAN, DECIMAL(p<=18, s) (see
+    *    [[DocStore.evolvedTypeOk]]); pre-evolution segments read
+    *    null-padded (the Delta/Iceberg add-nullable-column contract).
     *  - `RENAME COLUMN` of an ADDED column — column identity is
     *    POSITION, so a rename never reinterprets bytes. Base-5 names
     *    are the format contract (pushdown and the write path key on
     *    them) and refuse.
-    *  - `ALTER COLUMN c TYPE BIGINT` on an added INT column — INT
-    *    extras store the same 8-byte payload as LONG (see
+    *  - `ALTER COLUMN c TYPE <wider>` on an added column — INT→BIGINT,
+    *    FLOAT→DOUBLE and same-scale DECIMAL precision widening: the
+    *    8-byte payloads are identical under the wider type (see
     *    [[DocStore.validateEvolved]]), so widening re-declares the
     *    reader's emit type over unchanged bytes. Anything narrowing
     *    or cross-kind refuses.
@@ -521,10 +525,24 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         case (s, upd: TableChange.UpdateColumnType) =>
           val i = extraIndex(s, upd.fieldNames(), "retype")
           val (from, to) = (s.fields(i).dataType, upd.newDataType())
-          require(from == org.apache.spark.sql.types.IntegerType &&
-            to == org.apache.spark.sql.types.LongType,
-            s"only INT -> BIGINT widening is metadata-safe here, " +
-              s"got ${from.simpleString} -> ${to.simpleString}")
+          // metadata-safe widenings: the stored 8-byte payload decodes
+          // identically under the wider type (INT extras store long
+          // payloads; FLOAT extras store double bits; a decimal's
+          // unscaled long is precision-independent at fixed scale —
+          // see DocStore.validateEvolved)
+          import org.apache.spark.sql.types.{DecimalType => Dec, _}
+          val ok = (from, to) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case (f: Dec, t: Dec) =>
+              f.scale == t.scale && t.precision >= f.precision &&
+                t.precision <= 18
+            case _ => false
+          }
+          require(ok,
+            s"only INT -> BIGINT, FLOAT -> DOUBLE and same-scale " +
+              s"DECIMAL precision widening (<= 18) are metadata-safe " +
+              s"here, got ${from.simpleString} -> ${to.simpleString}")
           StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
         case (s, d: TableChange.UpdateColumnDefaultValue) =>
           // ALTER COLUMN SET/DROP DEFAULT — pure metadata, any column:
@@ -592,7 +610,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         // through these snapshots
         DocStore.archiveSchema(dir,
           DocStoreCommitOps.nextVersion(dir) - 1)
-        DocStore.writeSchemaFile(dir, evolved) // validates INT/LONG/STRING+nullable
+        DocStore.writeSchemaFile(dir, evolved) // validates type+nullable
         // restore/stream stamp: the head version at this schema change
         DocStore.writeSchemaSince(dir,
           DocStoreCommitOps.nextVersion(dir) - 1)

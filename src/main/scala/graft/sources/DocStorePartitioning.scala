@@ -98,7 +98,20 @@ object DocStorePartitioning {
       }
     transforms.toSeq.map { t =>
       t.name() match {
-        case "identity" => PIdentity(colOf(t.arguments()(0)))
+        case "identity" =>
+          val c = colOf(t.arguments()(0))
+          // directory-encodable types only: the partition value IS the
+          // dir name and must round-trip text-exact (the r13 evolved
+          // types — DOUBLE, DATE, TIMESTAMP, DECIMAL — would need a
+          // canonical text form the reader re-parses; refuse at DDL
+          // rather than mis-decode later)
+          val dt = schema(schema.fieldIndex(c)).dataType
+          require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType ||
+            dt == org.apache.spark.sql.types.StringType,
+            s"identity partition column '$c' must be INT, BIGINT or " +
+              s"STRING, got ${dt.simpleString}")
+          PIdentity(c)
         case "bucket" =>
           val n = t.arguments().collectFirst {
             case l: Literal[_] => l.value() match {

@@ -682,12 +682,14 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       .select(col("_segment") +: tbl.fieldNames.map(col).toSeq: _*)
     val aggs = statCols.flatMap { case (f, sec) =>
       val c = col(f.name)
-      val isLong = f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType
+      // every non-string type stores an order-preserving 8-byte
+      // payload: min/max fold in the NATIVE type (same order) and the
+      // driver encodes the collected bounds via DocStore.encodedStatOf
+      val is8 = f.dataType != org.apache.spark.sql.types.StringType
       Seq(count(when(c.isNull, 1)).as(s"nulls_$sec")) ++
-        (if (isLong) Seq(
-          min(c.cast("long")).as(s"lo_$sec"),
-          max(c.cast("long")).as(s"hi_$sec"))
+        (if (is8) Seq(
+          min(c).as(s"lo_$sec"),
+          max(c).as(s"hi_$sec"))
         else Seq(
           // 17 code points >= 17 bytes: always covers the full 16-byte
           // aligned bound prefix AND at least one byte past it, which
@@ -709,14 +711,15 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       .agg(aggs.head, aggs.tail: _*).collect().map { r =>
       val stats = statCols.map { case (f, sec) =>
         val nulls = r.getLong(r.fieldIndex(s"nulls_$sec"))
-        val isLong = f.dataType == org.apache.spark.sql.types.LongType ||
-          f.dataType == org.apache.spark.sql.types.IntegerType
+        val is8 = f.dataType != org.apache.spark.sql.types.StringType
         val bound: Option[DocStore.StatBound] =
-          if (isLong) {
+          if (is8) {
             if (r.isNullAt(r.fieldIndex(s"lo_$sec"))) None
             else Some(DocStore.LongBound(
-              r.getLong(r.fieldIndex(s"lo_$sec")),
-              r.getLong(r.fieldIndex(s"hi_$sec"))))
+              DocStore.encodedStatOf(f.dataType,
+                r.get(r.fieldIndex(s"lo_$sec"))),
+              DocStore.encodedStatOf(f.dataType,
+                r.get(r.fieldIndex(s"hi_$sec")))))
           } else {
             if (r.isNullAt(r.fieldIndex(s"lo_$sec")) ||
               r.getInt(r.fieldIndex(s"nv_$sec")) == 1) None

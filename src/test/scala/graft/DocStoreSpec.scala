@@ -803,10 +803,11 @@ class DocStoreSpec extends SparkSpec {
     assert(w.getLong(2) == 3000000049L)
 
     // guardrails: unsupported evolution refuses (DROP COLUMN of added
-    // columns is SUPPORTED since r11 via column mapping — covered by
-    // its own test below; dropping a BASE column still refuses there)
+    // columns is SUPPORTED since r11 via column mapping, and r13 opened
+    // the full primitive surface — DOUBLE/DATE/TIMESTAMP/DECIMAL are
+    // covered by their own test below; complex types still refuse)
     intercept[Exception] {
-      sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN bad DOUBLE") }
+      sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN bad ARRAY<BIGINT>") }
     // base columns are the format contract: no rename, no retype
     intercept[Exception] {
       sc.sql("ALTER TABLE ecat.ns.t RENAME COLUMN lang TO language") }
@@ -3097,5 +3098,97 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT doc_id, lang FROM mrc.ns.i WHERE lang = 'zz'")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((100L, "zz")))
+  }
+
+  test("r13: evolved columns take the full primitive type surface") {
+    val root = Files.createTempDirectory("docstore_types").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.tcat13" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.tcat13.root" -> root)
+    sc.sql("CREATE NAMESPACE tcat13.ns")
+    sc.sql("CREATE TABLE tcat13.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO tcat13.ns.t VALUES (1, 1, 'en', 's', 'pre')")
+    sc.sql("ALTER TABLE tcat13.ns.t ADD COLUMNS (price DOUBLE, " +
+      "ratio FLOAT, born DATE, seen TIMESTAMP, ok BOOLEAN, " +
+      "amt DECIMAL(10,2))")
+    sc.sql("INSERT INTO tcat13.ns.t VALUES " +
+      "(2, 2, 'en', 's', 'a', -12.75D, CAST(0.5 AS FLOAT), " +
+      "DATE'2024-01-02', TIMESTAMP'2024-01-02 03:04:05.123456', " +
+      "true, 12.34)")
+    sc.sql("INSERT INTO tcat13.ns.t VALUES " +
+      "(3, 3, 'en', 's', 'b', NULL, NULL, NULL, NULL, NULL, NULL)")
+    // pre-evolution row null-pads; typed values round-trip exactly
+    // (negative double included — the sortable-bits encoding)
+    val rows = sc.sql("SELECT price, ratio, born, seen, ok, amt " +
+      "FROM tcat13.ns.t ORDER BY doc_id").collect()
+    assert(rows(0).toSeq.forall(_ == null), rows(0).toString)
+    assert(rows(1).getDouble(0) == -12.75 && rows(1).getFloat(1) == 0.5f)
+    assert(rows(1).getDate(2).toString == "2024-01-02")
+    assert(rows(1).getTimestamp(3).toString == "2024-01-02 03:04:05.123456")
+    assert(rows(1).getBoolean(4))
+    assert(rows(1).getDecimal(5).toString == "12.34")
+    assert(rows(2).toSeq.forall(_ == null), rows(2).toString)
+    // ordering over the encoded payload == double order
+    assert(sc.sql("SELECT doc_id FROM tcat13.ns.t ORDER BY price NULLS LAST")
+      .collect().map(_.getLong(0)).take(1).toSeq == Seq(2L))
+    // stats prune on the encoded envelope: a fresh positive-price
+    // segment is skipped by price < 0 (negatives order BELOW under
+    // the sortable-bits encoding), kept by price > 90
+    sc.sql("INSERT INTO tcat13.ns.t VALUES " +
+      "(4, 4, 'en', 's', 'c', 99.5D, CAST(1.5 AS FLOAT), " +
+      "DATE'2025-06-30', TIMESTAMP'2025-06-30 12:00:00', false, 1.00)")
+    val path = java.nio.file.Paths.get(root, "ns", "t").toString
+    def readBack = sc.read.format("graft-docstore").option("path", path).load()
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    // 4 segments: pre-evolution (no price section, hence no stats —
+    // conservatively KEPT under any price predicate), the negative-
+    // price row, the all-null row (prunable: nulls == rows), the
+    // positive-price row. Typed predicates prune on the encoded
+    // envelopes, keeping only the pre-evolution + in-envelope segments.
+    assert(planned(readBack.where(col("price") < 0.0)) == ((2, 4)))
+    assert(planned(readBack.where(col("price") > 90.0)) == ((2, 4)))
+    assert(planned(readBack.where(
+      col("born") === lit("2025-06-30").cast("date"))) == ((2, 4)))
+    assert(planned(readBack.where(col("ok") === false)) == ((2, 4)))
+    assert(readBack.where(col("price") < 0.0).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // metadata-only widenings over unchanged bytes
+    sc.sql("ALTER TABLE tcat13.ns.t ALTER COLUMN ratio TYPE DOUBLE")
+    sc.sql("ALTER TABLE tcat13.ns.t ALTER COLUMN amt TYPE DECIMAL(14,2)")
+    val widened = sc.sql("SELECT ratio, amt FROM tcat13.ns.t " +
+      "WHERE doc_id = 2").head
+    assert(widened.getDouble(0) == 0.5 && widened.getDecimal(1).toString == "12.34")
+    // CoW UPDATE re-encodes through the same writer
+    sc.sql("UPDATE tcat13.ns.t SET price = -1.25D WHERE doc_id = 3")
+    assert(sc.sql("SELECT price FROM tcat13.ns.t WHERE doc_id = 3")
+      .head.getDouble(0) == -1.25)
+    // refusals: precision past the 8-byte payload; narrowing;
+    // cross-scale decimal; identity partitioning on a DOUBLE column
+    def msg(t: Throwable): String =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => String.valueOf(m.getMessage)).mkString("|")
+    assert(msg(intercept[Exception] { sc.sql(
+      "ALTER TABLE tcat13.ns.t ADD COLUMNS (big DECIMAL(20,2))") })
+      .contains("DECIMAL"))
+    // narrowing / cross-scale refusals (Spark's own analyzer rejects
+    // DOUBLE->FLOAT before the catalog; the catalog's metadata-safe
+    // gate backstops whatever reaches it)
+    intercept[Exception] { sc.sql(
+      "ALTER TABLE tcat13.ns.t ALTER COLUMN price TYPE FLOAT") }
+    intercept[Exception] { sc.sql(
+      "ALTER TABLE tcat13.ns.t ALTER COLUMN amt TYPE DECIMAL(16,3)") }
+    assert(sc.sql("SELECT price FROM tcat13.ns.t WHERE doc_id = 2")
+      .head.getDouble(0) == -12.75, "refused ALTERs must not change reads")
+    assert(msg(intercept[Exception] { sc.sql(
+      "CREATE TABLE tcat13.ns.p (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT, lang STRING, source STRING, text STRING, " +
+        "price DOUBLE) PARTITIONED BY (price)") })
+      .contains("identity partition column"))
   }
 }
