@@ -2560,6 +2560,56 @@ object IoOps {
         "MAX(amt) AS max_amt, " +
         "SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_even " +
         s"FROM $t WHERE score > 10.0D GROUP BY lang ORDER BY lang")
+    },
+
+    // ---------------------------------------- segment compression (GDS3)
+    Q("q190_segment_compression",
+      "Segment compression (r12 verdict gap 2): TBLPROPERTY " +
+        "`graft.write.compression = deflate` makes new segments GDS3 — " +
+        "each SECTION deflated independently (JDK Deflater BEST_SPEED, " +
+        "zero new dependencies), with on-disk lengths in the header so " +
+        "column pruning keeps its exact skip-IO win (an unrequired " +
+        "column is one skipNBytes, never inflated) and per-segment " +
+        "stats/pruning unchanged (they live in the manifest, not the " +
+        "payload). Write-time-only: readers dispatch per segment magic, " +
+        "so mixed tables read seamlessly and flipping the property " +
+        "rewrites nothing. The gate takes an uncompressed table copy, " +
+        "flips the property, CALLs system.optimize — whose rewrite " +
+        "MIGRATES every segment to GDS3 as a side effect, the Delta/" +
+        "Iceberg codec-migration idiom — asserts the on-disk bytes " +
+        "shrank and every magic flipped, then aggregates THROUGH the " +
+        "compressed table against the parquet oracle. At 100 TB of raw " +
+        "text this is the 3-5x storage + scan-IO lever; decompression " +
+        "is per-task, embarrassingly parallel, and only for sections a " +
+        "query actually reads.",
+      Some("""
+        SELECT lang, COUNT(*)::BIGINT AS n_rows,
+               SUM(n_chars)::BIGINT AS chars,
+               SUM(LENGTH(text))::BIGINT AS text_chars
+        FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_zip")
+      val t = "graft_cat_zip.default.docs"
+      val root = sc.conf.get("spark.sql.catalog.graft_cat_zip.root")
+      val path = java.nio.file.Paths.get(root, "default", "docs").toString
+      val rawBytes = graft.sources.DocStore.readManifest(path)
+        .map(_.bytes).sum
+      sc.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('graft.write.compression' = 'deflate')")
+      sc.sql(s"CALL graft_cat_zip.system.optimize('default.docs', 2)")
+      val segs = graft.sources.DocStore.readManifest(path)
+      val zipBytes = segs.map(_.bytes).sum
+      require(zipBytes < rawBytes,
+        s"q190: compressed $zipBytes must undercut raw $rawBytes")
+      segs.foreach { g =>
+        val head = java.util.Arrays.copyOf(java.nio.file.Files
+          .readAllBytes(java.nio.file.Paths.get(path, g.name)), 4)
+        require(java.nio.ByteBuffer.wrap(head).getInt ==
+          graft.sources.DocStore.MAGIC3,
+          s"q190: ${g.name} not migrated to GDS3")
+      }
+      sc.sql(s"SELECT lang, COUNT(*) AS n_rows, SUM(n_chars) AS chars, " +
+        s"SUM(LENGTH(text)) AS text_chars FROM $t " +
+        "GROUP BY lang ORDER BY lang")
     }
   )
 

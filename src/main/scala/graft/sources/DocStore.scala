@@ -72,6 +72,51 @@ object DocStore {
 
   val MAGIC = 0x47445331 // "GDS1": the fixed 5-column layout
   val MAGIC2 = 0x47445332 // "GDS2": adds a section count (evolved schemas)
+  // "GDS3": per-SECTION DEFLATE compression (r12 verdict gap 2 — raw
+  // text at 100 TB pays a 3-5x storage and scan-IO tax uncompressed).
+  // Compressing each section independently keeps the format's core
+  // skippability: the header stores on-disk (compressed) lengths, so
+  // an unrequired column is still one skipNBytes — never inflated,
+  // never parsed — and column pruning keeps its exact IO win. Readers
+  // handle all three magics forever; the TBLPROPERTY
+  // `graft.write.compression` chooses per table what NEW segments use,
+  // so mixed-magic tables read seamlessly (Delta's codec-per-file).
+  val MAGIC3 = 0x47445333
+
+  /** DEFLATE at BEST_SPEED: the segment write path is throughput-
+    * critical (one encoder per task), and level 1 keeps ~an order of
+    * magnitude of zlib's text ratio at several-hundred-MB/s. */
+  def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    try {
+      d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream(math.max(64, b.length / 4))
+      val buf = new Array[Byte](1 << 16)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  def inflate(b: Array[Byte], rawLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b)
+      val out = new Array[Byte](rawLen)
+      var off = 0
+      var n = -1
+      while (off < rawLen && !inf.finished() && n != 0) {
+        n = inf.inflate(out, off, rawLen - off)
+        off += n
+      }
+      require(off == rawLen,
+        s"corrupt compressed section: inflated $off of $rawLen bytes")
+      out
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalStateException(
+          s"corrupt compressed section: ${e.getMessage}", e)
+    } finally inf.end()
+  }
 
   /** Fixed physical column order of the base format. */
   val FIELDS: Seq[StructField] = Seq(
@@ -560,7 +605,7 @@ object DocStore {
     * is stolen from the added column's domain. A 5-column table writes
     * the GDS1 layout unchanged; extras switch the header to GDS2
     * (which adds the section count). */
-  final class SegmentEncoder(nExtra: Int = 0) {
+  final class SegmentEncoder(nExtra: Int = 0, compress: Boolean = false) {
     private val sections = Array.fill(5 + nExtra)(new ByteArrayOutputStream())
     private val outs = sections.map(new DataOutputStream(_))
     var rows = 0
@@ -661,17 +706,32 @@ object DocStore {
       }
     }
 
-    /** Header + sections to `file`; returns the byte size. */
+    /** Header + sections to `file`; returns the byte size. GDS3
+      * (compress = true) stores per-section ON-DISK lengths first
+      * (column skipping stays one skipNBytes) then RAW lengths (the
+      * reader's exact inflate-buffer sizes — no guessing, no
+      * reallocation), then the deflated payloads. */
     def writeTo(file: java.nio.file.Path): Long = {
       outs.foreach(_.flush())
       val out = new DataOutputStream(new FileOutputStream(file.toFile))
       try {
-        if (nExtra == 0) out.writeInt(MAGIC)
-        else { out.writeInt(MAGIC2); /* section count follows rows */ }
-        out.writeInt(rows)
-        if (nExtra > 0) out.writeInt(sections.length)
-        sections.foreach(s => out.writeLong(s.size().toLong))
-        sections.foreach(_.writeTo(out))
+        if (compress) {
+          out.writeInt(MAGIC3)
+          out.writeInt(rows)
+          out.writeInt(sections.length)
+          val raw = sections.map(_.toByteArray)
+          val comp = raw.map(DocStore.deflate)
+          comp.foreach(c => out.writeLong(c.length.toLong))
+          raw.foreach(r => out.writeLong(r.length.toLong))
+          comp.foreach(out.write)
+        } else {
+          if (nExtra == 0) out.writeInt(MAGIC)
+          else { out.writeInt(MAGIC2); /* section count follows rows */ }
+          out.writeInt(rows)
+          if (nExtra > 0) out.writeInt(sections.length)
+          sections.foreach(s => out.writeLong(s.size().toLong))
+          sections.foreach(_.writeTo(out))
+        }
       } finally out.close()
       Files.size(file)
     }
@@ -1466,6 +1526,79 @@ object DocStoreCommitOps {
     * merge-on-read deletion vectors, published in the same atomic
     * rename (entries for segments not in `segments` are dropped —
     * a removed/rewritten segment's DVs die with it). */
+  /** Version-log checkpoint (r12 verdict gap 3 — Delta's
+    * `_last_checkpoint` roll-up, adapted to full-snapshot manifests):
+    * ONE `CHECKPOINT` file holding a per-version summary line
+    * `<v>,<commitMillis>,<nSegs>,<liveRows>,<bytes>,<new-segment
+    * names>` (names URL-encoded, `;`-joined; "new" = not in the
+    * immediately preceding manifest). history / system.detail /
+    * `_commit_version` birth resolution and commit-time lookup then
+    * cost ONE file read instead of O(versions) per-version
+    * `MANIFEST.v<n>` reads + mtime stats — on a streaming-ingest
+    * table with 10^5 commits, the difference between a metadata read
+    * and 10^5 driver file reads. Maintained incrementally at every
+    * main commit (inside the commit lock), rebuilt exactly on
+    * expire_snapshots from the kept manifests that pass already
+    * reads, and deleted by history resets. Consumers RECONCILE: a
+    * retained version missing from the checkpoint (pre-checkpoint
+    * history, or a crash between manifest move and append) falls back
+    * to its own manifest/mtime — correctness never depends on the
+    * checkpoint, only speed does. */
+  val CHECKPOINT_FILE = "CHECKPOINT"
+
+  final case class CkptLine(version: Long, millis: Long, nSegs: Long,
+      liveRows: Long, bytes: Long, newNames: Seq[String])
+
+  def readCheckpoint(path: String): Map[Long, CkptLine] = {
+    val p = Paths.get(path, CHECKPOINT_FILE)
+    if (!Files.exists(p)) return Map.empty
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val a = l.split(",", -1)
+      val names =
+        if (a(5).isEmpty) Seq.empty[String]
+        else a(5).split(";", -1).toSeq
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      a(0).toLong -> CkptLine(a(0).toLong, a(1).toLong, a(2).toLong,
+        a(3).toLong, a(4).toLong, names)
+    }.toMap
+  }
+
+  private def writeCheckpoint(path: String, lines: Seq[CkptLine]): Unit = {
+    val dir = Paths.get(path)
+    val body = lines.sortBy(_.version).map { l =>
+      val names = l.newNames
+        .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(";")
+      s"${l.version},${l.millis},${l.nSegs},${l.liveRows},${l.bytes},$names"
+    }.mkString("\n")
+    val tmp = dir.resolve(s".$CHECKPOINT_FILE-tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, dir.resolve(CHECKPOINT_FILE),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Callers hold the commit lock (writeManifest's contract). */
+  private def appendCheckpointLine(path: String, line: CkptLine): Unit =
+    writeCheckpoint(path,
+      (readCheckpoint(path) + (line.version -> line)).values.toSeq)
+
+  /** Exact rebuild from retained versions — used by expire_snapshots,
+    * whose liveness pass reads the kept manifests anyway, so the
+    * rebuild costs no extra IO. `perVersion` ascending. */
+  def rebuildCheckpoint(path: String,
+      perVersion: Seq[(Long, Long, Seq[DocStore.Segment],
+        Map[String, Array[Long]])]): Unit = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val lines = perVersion.sortBy(_._1).map { case (v, millis, segs, dvs) =>
+      val fresh = segs.map(_.name).filterNot(seen)
+      seen ++= segs.map(_.name)
+      val del = segs.map(s =>
+        dvs.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
+      CkptLine(v, millis, segs.size.toLong,
+        segs.map(_.rows).sum - del, segs.map(_.bytes).sum, fresh)
+    }
+    writeCheckpoint(path, lines)
+  }
+
   def writeManifest(path: String, segments: Seq[DocStore.Segment],
       manifestToken: String,
       deletes: Map[String, Array[Long]] = Map.empty,
@@ -1491,6 +1624,13 @@ object DocStoreCommitOps {
       deletes.toSeq.filter(d => live(d._1)).sortBy(_._1).flatMap {
         case (seg, ps) => ps.sorted.map(p => s"${DocStore.DV_TAG}$seg,$p")
       }
+    // checkpoint input: the segment names of the version being
+    // REPLACED, read before the move below makes the new manifest live
+    val prevNames: Set[String] =
+      if (manifestName == "MANIFEST" &&
+        Files.exists(dir.resolve("MANIFEST")))
+        DocStore.readManifest(path).map(_.name).toSet
+      else Set.empty
     val tmpManifest = dir.resolve(s".MANIFEST-$manifestToken")
     Files.createDirectories(dir)
     Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
@@ -1513,6 +1653,16 @@ object DocStoreCommitOps {
         Files.setLastModifiedTime(snap,
           java.nio.file.attribute.FileTime.fromMillis(pt + 1))
     }
+    // version-log checkpoint line (see CHECKPOINT_FILE): the adjusted
+    // snapshot mtime IS the commit time the checkpoint records. A
+    // crash landing between the snapshot and this append only costs
+    // the fallback read for this one version.
+    val dvCount = deletes.toSeq.filter(d => live(d._1))
+      .map(_._2.distinct.length.toLong).sum
+    appendCheckpointLine(path, CkptLine(v,
+      Files.getLastModifiedTime(snap).toMillis, segments.size.toLong,
+      segments.map(_.rows).sum - dvCount, segments.map(_.bytes).sum,
+      segments.map(_.name).filterNot(prevNames).sorted))
     v
   }
 
@@ -1521,13 +1671,20 @@ object DocStoreCommitOps {
     * see [[writeManifest]]); metadata-sized (one directory list). */
   def versionTimes(path: String): Seq[(Long, Long)] = {
     val dir = Paths.get(path)
+    // the retained LISTING is authoritative for which versions exist
+    // (a checkpoint can trail a crash); the checkpoint is authoritative
+    // for their commit TIMES when it covers them — that keeps commit
+    // instants stable across clones (file copies reset mtimes, the
+    // checkpoint travels verbatim) and costs zero per-file stats on
+    // covered versions
+    val ck = readCheckpoint(path)
     val stream = Files.list(dir)
     try stream.iterator().asScala
       .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
         .findFirstMatchIn(p.getFileName.toString))
       .map(_.group(1).toLong).toVector.sorted
-      .map(v => v -> Files.getLastModifiedTime(
-        dir.resolve(s"MANIFEST.v$v")).toMillis)
+      .map(v => v -> ck.get(v).map(_.millis).getOrElse(
+        Files.getLastModifiedTime(dir.resolve(s"MANIFEST.v$v")).toMillis))
     finally stream.close()
   }
 
@@ -1601,6 +1758,9 @@ object DocStoreCommitOps {
         "^(MANIFEST\\.v|SCHEMA\\.upto-v)\\d+$"))
       .toVector.foreach(Files.delete)
     finally stream.close()
+    // the checkpoint summarizes exactly the versions just deleted —
+    // the new era re-seeds it at its first commit
+    Files.deleteIfExists(Paths.get(path, CHECKPOINT_FILE))
     // the restore guard's stamp refers to the numbering this reset
     // restarts — a stale stamp would block every restore in the new
     // era ("version 1 <= since 5" with no archive to serve it)
@@ -1781,6 +1941,24 @@ object DocStoreWriterFactory {
     * task per partition value, is right until proven otherwise). */
   val MAX_ROWS_KEY = "graft.write.max-rows-per-segment"
 
+  /** `graft.write.compression = none | deflate`: what NEW segments of
+    * the table use (GDS3 per-section DEFLATE vs the raw GDS1/GDS2
+    * layouts). Per-table and write-time-only — readers dispatch on
+    * each segment's magic, so flipping the property never rewrites
+    * anything and mixed tables read seamlessly. Default none: raw
+    * scans stay memory-map-cheap; turn it on for text-heavy tables
+    * where the 3-5x size win dominates (OPTIMIZE rewrites then
+    * migrate old segments as a side effect). */
+  val COMPRESSION_KEY = "graft.write.compression"
+
+  private[sources] def compressionOf(path: String): Boolean =
+    DocStoreCatalog.readProps(path).get(COMPRESSION_KEY) match {
+      case Some("deflate") => true
+      case Some("none") | None => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"$COMPRESSION_KEY must be 'none' or 'deflate', got '$v'")
+    }
+
   private[sources] def maxRowsOf(path: String): Int =
     DocStoreCatalog.readProps(path).get(MAX_ROWS_KEY) match {
       case Some(v) =>
@@ -1801,9 +1979,10 @@ class DocStoreWriterFactory(path: String, schema: StructType,
   // serialized to tasks as bound expressions
   private val checks = DocStoreChecks.compile(path, schema, order)
   private val maxRows = DocStoreWriterFactory.maxRowsOf(path)
+  private val compress = DocStoreWriterFactory.compressionOf(path)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId,
-      partSpec, checks, maxRows, identity)
+      partSpec, checks, maxRows, identity, compress)
 }
 
 /** Named (serializable) factory — an anonymous inner class here would
@@ -1814,10 +1993,12 @@ class DocStoreStreamingWriterFactory(path: String, schema: StructType,
     extends streaming.StreamingDataWriterFactory {
   private val checks = DocStoreChecks.compile(path, schema, order)
   private val maxRows = DocStoreWriterFactory.maxRowsOf(path)
+  private val compress = DocStoreWriterFactory.compressionOf(path)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(path, schema, order, s"$queryId-e$epochId",
-      partitionId, taskId, partSpec, checks, maxRows)
+      partitionId, taskId, partSpec, checks, maxRows,
+      compress = compress)
 }
 
 /** One task's segment(s): rows stream into a [[DocStore.SegmentEncoder]]
@@ -1837,7 +2018,8 @@ class DocStoreDataWriter(path: String, schema: StructType,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
       Seq.empty,
     maxRowsPerSegment: Int = Int.MaxValue,
-    identity: Option[(DocStore.IdentitySpec, Long, Int)] = None)
+    identity: Option[(DocStore.IdentitySpec, Long, Int)] = None,
+    compress: Boolean = false)
     extends DataWriter[InternalRow] {
 
   // identity assignment state: k-th assigned row of this task takes
@@ -1921,12 +2103,12 @@ class DocStoreDataWriter(path: String, schema: StructType,
     val dirKey = rowDir(r)
     val ord = rollOrdinal.getOrDefault(dirKey, 0)
     var enc = encoders.computeIfAbsent(s"$dirKey\u0000$ord",
-      _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections)))._2
+      _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress)))._2
     if (enc.rows >= maxRowsPerSegment) { // roll to a fresh segment
       val next = ord + 1
       rollOrdinal.put(dirKey, next)
       enc = encoders.computeIfAbsent(s"$dirKey\u0000$next",
-        _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections)))._2
+        _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress)))._2
     }
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
@@ -2532,9 +2714,19 @@ object DocStoreScan {
     if (!required.fieldNames.contains(CommitVersionMetadataColumn.NAME))
       return Map.empty
     val m = scala.collection.mutable.HashMap[String, Long]()
+    // checkpoint-covered versions contribute their (already diffed)
+    // new-name lists — no manifest read; uncovered ones (pre-checkpoint
+    // history, crash tails) fall back to their own manifest. Ascending
+    // order + first-mention-wins reproduces the full walk exactly.
+    val ck = DocStoreCommitOps.readCheckpoint(path)
     DocStoreCommitOps.versionTimes(path).map(_._1).foreach { v =>
-      DocStore.readManifest(path, s"MANIFEST.v$v").foreach { s =>
-        if (!m.contains(s.name)) m(s.name) = v
+      ck.get(v) match {
+        case Some(l) =>
+          l.newNames.foreach(n => if (!m.contains(n)) m(n) = v)
+        case None =>
+          DocStore.readManifest(path, s"MANIFEST.v$v").foreach { s =>
+            if (!m.contains(s.name)) m(s.name) = v
+          }
       }
     }
     m.toMap
@@ -2629,11 +2821,28 @@ class DocStoreReader(file: String, schema: StructType,
       new BufferedInputStream(new FileInputStream(file), 1 << 16))
     try {
       val magic = in.readInt()
-      require(magic == DocStore.MAGIC || magic == DocStore.MAGIC2,
-        s"bad magic in $file")
+      require(magic == DocStore.MAGIC || magic == DocStore.MAGIC2 ||
+        magic == DocStore.MAGIC3, s"bad magic in $file")
       val n = in.readInt()
       val nSect = if (magic == DocStore.MAGIC) 5 else in.readInt()
+      // GDS3: sectionLen holds ON-DISK (compressed) lengths — skipping
+      // an unrequired section is one skipNBytes under every magic —
+      // and rawLen the exact inflate-buffer sizes
       val sectionLen = Array.fill(nSect)(in.readLong())
+      val rawLen =
+        if (magic == DocStore.MAGIC3) Array.fill(nSect)(in.readLong())
+        else null
+      // a wanted section of a compressed segment parses from its own
+      // inflated buffer; uncompressed segments parse from the file
+      // stream directly (zero extra copies, as before)
+      def sectionIn(c: Int): DataInputStream =
+        if (rawLen == null) in
+        else {
+          val b = new Array[Byte](sectionLen(c).toInt)
+          in.readFully(b)
+          new DataInputStream(new java.io.ByteArrayInputStream(
+            DocStore.inflate(b, rawLen(c).toInt)))
+        }
       val need = Array.fill(nSect)(false)
       required.fieldNames.flatMap(fieldIdx.get).map(secOf)
         .foreach(sid => if (sid < nSect) need(sid) = true)
@@ -2647,18 +2856,20 @@ class DocStoreReader(file: String, schema: StructType,
         val wanted = if (c == 0) readId else need(c)
         if (!wanted) in.skipNBytes(sectionLen(c))
         else if (c < 2) {
+          val sin = sectionIn(c)
           val a = new Array[Long](n)
           var i = 0
-          while (i < n) { a(i) = in.readLong(); i += 1 }
+          while (i < n) { a(i) = sin.readLong(); i += 1 }
           longs(c) = a
         } else if (c < 5) {
+          val sin = sectionIn(c)
           val a = new Array[UTF8String](n)
           var i = 0
           while (i < n) {
-            val len = in.readInt()
+            val len = sin.readInt()
             if (len >= 0) {
               val b = new Array[Byte](len)
-              in.readFully(b)
+              sin.readFully(b)
               a(i) = UTF8String.fromBytes(b)
             }
             i += 1
@@ -2688,15 +2899,16 @@ class DocStoreReader(file: String, schema: StructType,
               v => org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
             case _ => v => java.lang.Long.valueOf(v)
           }
+          val sin = sectionIn(c)
           val a = new Array[AnyRef](n)
           var i = 0
           while (i < n) {
-            val len = in.readInt()
+            val len = sin.readInt()
             if (len >= 0) {
-              if (is8Byte) a(i) = dec(in.readLong())
+              if (is8Byte) a(i) = dec(sin.readLong())
               else {
                 val b = new Array[Byte](len)
-                in.readFully(b)
+                sin.readFully(b)
                 a(i) = UTF8String.fromBytes(b)
               }
             }

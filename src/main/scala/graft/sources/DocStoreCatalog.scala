@@ -698,6 +698,12 @@ object DocStoreCatalog {
       require(m == MODE_COW || m == MODE_MOR,
         s"$MODE_KEY must be '$MODE_COW' or '$MODE_MOR', got '$m'")
     }
+    Option(properties.get(DocStoreWriterFactory.COMPRESSION_KEY))
+      .foreach { v =>
+        require(v == "none" || v == "deflate",
+          s"${DocStoreWriterFactory.COMPRESSION_KEY} must be 'none' " +
+            s"or 'deflate', got '$v'")
+      }
     val persisted = properties.asScala.toSeq
       .filterNot { case (k, _) => RESERVED(k) }
     require(persisted.forall { case (k, v) =>
@@ -724,6 +730,11 @@ object DocStoreCatalog {
     Option(set.get(MODE_KEY).orNull).foreach { m =>
       require(m == MODE_COW || m == MODE_MOR,
         s"$MODE_KEY must be '$MODE_COW' or '$MODE_MOR', got '$m'")
+    }
+    set.get(DocStoreWriterFactory.COMPRESSION_KEY).foreach { v =>
+      require(v == "none" || v == "deflate",
+        s"${DocStoreWriterFactory.COMPRESSION_KEY} must be 'none' " +
+          s"or 'deflate', got '$v'")
     }
     val next = (readProps(dir.toString) -- unset) ++
       set.filterNot { case (k, _) => RESERVED(k) }

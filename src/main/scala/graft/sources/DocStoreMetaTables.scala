@@ -37,13 +37,23 @@ object DocStoreMetaTables {
     val times = DocStoreCommitOps.versionTimes(path).toMap
     val versions = times.keys.toVector.sorted
     val latest = versions.lastOption.getOrElse(0L)
+    // checkpoint-covered versions serve from their summary line — ONE
+    // file read for the whole log instead of O(versions) manifest
+    // reads (the r12 verdict's 10^5-commit streaming-table case);
+    // uncovered versions reconcile against their own manifest
+    val ck = DocStoreCommitOps.readCheckpoint(path)
     versions.map { v =>
-      val (vs, vd) = DocStore.readManifestAndDeletes(path, s"MANIFEST.v$v")
-      val del = vs.map(s =>
-        vd.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
+      val (nSegs, liveRows, bytes) = ck.get(v) match {
+        case Some(l) => (l.nSegs, l.liveRows, l.bytes)
+        case None =>
+          val (vs, vd) =
+            DocStore.readManifestAndDeletes(path, s"MANIFEST.v$v")
+          val del = vs.map(s =>
+            vd.get(s.name).map(_.length.toLong).getOrElse(0L)).sum
+          (vs.size.toLong, vs.map(_.rows).sum - del, vs.map(_.bytes).sum)
+      }
       new GenericInternalRow(Array[Any](
-        v, vs.size.toLong, vs.map(_.rows).sum - del,
-        vs.map(_.bytes).sum, v == latest,
+        v, nSegs, liveRows, bytes, v == latest,
         times(v) * 1000L)): InternalRow
     }.toArray
   }

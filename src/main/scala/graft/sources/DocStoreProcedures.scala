@@ -490,9 +490,12 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
       if (drop.nonEmpty) {
         val kept = versions.filterNot(drop.toSet)
         // a file survives if ANY kept version or the live manifest
-        // references it
-        val keptRefs = (kept.map(v =>
-          DocStore.readManifest(dir.toString, s"MANIFEST.v$v")) :+
+        // references it. Kept manifests are read WITH their deletion
+        // vectors: the same pass feeds the exact checkpoint rebuild
+        // below, so the roll-up costs no extra IO.
+        val keptFull = kept.map(v => v ->
+          DocStore.readManifestAndDeletes(dir.toString, s"MANIFEST.v$v"))
+        val keptRefs = (keptFull.map(_._2._1) :+
           DocStore.readManifest(dir.toString)).flatten.map(_.name).toSet ++
           DocStoreBranches.branchReferencedNames(dir.toString)
         val dead = drop.flatMap(v =>
@@ -504,6 +507,13 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
         drop.foreach { v =>
           Files.delete(dir.resolve(s"MANIFEST.v$v")); expired += 1
         }
+        // the checkpoint must summarize exactly the RETAINED versions
+        // ("birth" = earliest retained version containing a segment —
+        // expiry shifts it forward); rebuild from the manifests read
+        // above, preserving each version's recorded commit time
+        DocStoreCommitOps.rebuildCheckpoint(dir.toString,
+          keptFull.map { case (v, (segs, dvs)) =>
+            (v, timeOf(v), segs, dvs) })
         dead.foreach { n =>
           val p = dir.resolve(n)
           if (Files.exists(p)) {

@@ -379,10 +379,11 @@ class DocStoreDeltaWriterFactory(path: String, schema: StructType,
     if (order.isEmpty) Seq.empty
     else DocStoreChecks.compile(path, schema, order)
   private val maxRows = DocStoreWriterFactory.maxRowsOf(path)
+  private val compress = DocStoreWriterFactory.compressionOf(path)
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new DocStoreDeltaWriter(path, schema, order, queryId, partitionId,
-      taskId, checks, maxRows, identity)
+      taskId, checks, maxRows, identity, compress)
 }
 
 /** One task's delta: deletes accumulate as (segment, pos) pairs from
@@ -394,12 +395,14 @@ class DocStoreDeltaWriter(path: String, schema: StructType,
     checks: Seq[(String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
     maxRows: Int = Int.MaxValue,
-    identity: Option[(DocStore.IdentitySpec, Long, Int)] = None)
+    identity: Option[(DocStore.IdentitySpec, Long, Int)] = None,
+    compress: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val inner =
     new DocStoreDataWriter(path, schema, order, queryId, partitionId, taskId,
-      checks = checks, maxRowsPerSegment = maxRows, identity = identity)
+      checks = checks, maxRowsPerSegment = maxRows, identity = identity,
+      compress = compress)
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
   /** rowId layout follows [[DocStoreDeltaOperation.rowId]]:

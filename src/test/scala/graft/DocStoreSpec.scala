@@ -3191,4 +3191,134 @@ class DocStoreSpec extends SparkSpec {
         "price DOUBLE) PARTITIONED BY (price)") })
       .contains("identity partition column"))
   }
+
+  test("r13: GDS3 segment compression — property-gated, mixed magics, pruning intact") {
+    val root = Files.createTempDirectory("docstore_zip").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.zcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.zcat.root" -> root)
+    sc.sql("CREATE NAMESPACE zcat.ns")
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("zip_src")
+    // twin tables, same data: compression on vs off
+    sc.sql("CREATE TABLE zcat.ns.z (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.write.compression' = 'deflate')")
+    sc.sql("CREATE TABLE zcat.ns.raw (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    Seq("z", "raw").foreach(t =>
+      sc.sql(s"INSERT INTO zcat.ns.$t SELECT * FROM zip_src"))
+    def bytesOf(t: String): Long = DocStore.readManifest(
+      java.nio.file.Paths.get(root, "ns", t).toString).map(_.bytes).sum
+    val (zb, rb) = (bytesOf("z"), bytesOf("raw"))
+    assert(zb < rb, s"compressed $zb must be smaller than raw $rb")
+    // the on-disk magic IS GDS3
+    val zPath = java.nio.file.Paths.get(root, "ns", "z")
+    val seg = DocStore.readManifest(zPath.toString).head.name
+    val head = java.util.Arrays.copyOf(
+      Files.readAllBytes(zPath.resolve(seg)), 4)
+    assert(java.nio.ByteBuffer.wrap(head).getInt == DocStore.MAGIC3)
+    // content round-trips exactly
+    assert(sc.sql("SELECT * FROM zcat.ns.z").orderBy("doc_id").collect()
+      .map(_.toSeq).toSeq ==
+      docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    // doc_id pushdown still prunes compressed segments off the manifest
+    val plan = sc.sql("SELECT text FROM zcat.ns.z WHERE doc_id < 0")
+      .queryExecution.executedPlan.toString
+    assert("segments=0/".r.findFirstIn(plan).isDefined, plan)
+    // property is write-time only: flipping to none mixes magics in one
+    // table and reads stay seamless
+    sc.sql("ALTER TABLE zcat.ns.z SET TBLPROPERTIES " +
+      "('graft.write.compression' = 'none')")
+    sc.sql("INSERT INTO zcat.ns.z SELECT doc_id + 1000000, n_chars, " +
+      "lang, source, text FROM zip_src")
+    assert(sc.sql("SELECT COUNT(*) FROM zcat.ns.z").head.getLong(0) ==
+      2 * docs.count())
+    assert(sc.sql("SELECT SUM(n_chars) FROM zcat.ns.z").head.getLong(0) ==
+      2 * docs.agg(sum("n_chars")).head.getLong(0))
+    // evolved columns ride GDS3 too (nSect > 5 under compression)
+    sc.sql("ALTER TABLE zcat.ns.z SET TBLPROPERTIES " +
+      "('graft.write.compression' = 'deflate')")
+    sc.sql("ALTER TABLE zcat.ns.z ADD COLUMNS (price DOUBLE)")
+    sc.sql("INSERT INTO zcat.ns.z VALUES " +
+      "(9000000, 4, 'en', 's', 'zzz', -2.5D)")
+    assert(sc.sql("SELECT price FROM zcat.ns.z WHERE doc_id = 9000000")
+      .head.getDouble(0) == -2.5)
+    // merge-on-read reinserts honor the property as well
+    sc.sql("ALTER TABLE zcat.ns.z SET TBLPROPERTIES " +
+      "('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("UPDATE zcat.ns.z SET price = 7.25D WHERE doc_id = 9000000")
+    assert(sc.sql("SELECT price FROM zcat.ns.z WHERE doc_id = 9000000")
+      .head.getDouble(0) == 7.25)
+    // DDL validation refuses unknown codecs
+    assert(intercept[Exception] {
+      sc.sql("ALTER TABLE zcat.ns.z SET TBLPROPERTIES " +
+        "('graft.write.compression' = 'zstd-banana')")
+    }.getMessage.contains("graft.write.compression"))
+  }
+
+  test("r13: version-log checkpoint serves history/birth/times exactly, reconciles gaps") {
+    val root = Files.createTempDirectory("docstore_ckpt").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.kp" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.kp.root" -> root)
+    sc.sql("CREATE NAMESPACE kp.ns")
+    sc.sql("CREATE TABLE kp.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    (1 to 5).foreach(i => sc.sql(
+      s"INSERT INTO kp.ns.t VALUES ($i, ${i * 10}, 'en', 's', 'd$i')"))
+    sc.sql("DELETE FROM kp.ns.t WHERE doc_id = 3") // a DV/misaligned op
+    val path = java.nio.file.Paths.get(root, "ns", "t")
+    val ckptFile = path.resolve(graft.sources.DocStoreCommitOps.CHECKPOINT_FILE)
+    assert(Files.exists(ckptFile), "every commit maintains the checkpoint")
+    val ck = graft.sources.DocStoreCommitOps.readCheckpoint(path.toString)
+    val vts = graft.sources.DocStoreCommitOps.versionTimes(path.toString)
+    assert(ck.keySet == vts.map(_._1).toSet,
+      s"checkpoint must cover every retained version: ${ck.keySet} vs $vts")
+    // equivalence: history + _commit_version + times with the
+    // checkpoint present == with it REMOVED (the pure fallback walk)
+    def faces() = (
+      sc.sql("CALL kp.system.history('ns.t')").collect()
+        .map(_.toSeq).toSeq,
+      sc.sql("SELECT doc_id, _commit_version FROM kp.ns.t")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString),
+      graft.sources.DocStoreCommitOps.versionTimes(path.toString))
+    val withCkpt = faces()
+    val saved = Files.readAllBytes(ckptFile)
+    Files.delete(ckptFile)
+    assert(faces() == withCkpt,
+      "checkpoint-served faces must equal the full per-version walk")
+    // crash tail: a checkpoint missing its NEWEST line (append died
+    // after the manifest move) reconciles per-version, same answers
+    Files.write(ckptFile, saved)
+    val lines = new String(saved, "UTF-8").split("\n")
+    Files.writeString(ckptFile, lines.init.mkString("\n"))
+    assert(faces() == withCkpt, "a trailing gap must reconcile exactly")
+    Files.write(ckptFile, saved)
+    // expiry rebuilds the roll-up over the RETAINED set only
+    sc.sql("CALL kp.system.expire_snapshots('ns.t', 3)")
+    val ck2 = graft.sources.DocStoreCommitOps.readCheckpoint(path.toString)
+    val vts2 = graft.sources.DocStoreCommitOps.versionTimes(path.toString)
+    assert(ck2.keySet == vts2.map(_._1).toSet && ck2.size == 3,
+      s"expire must rebuild the checkpoint: ${ck2.keySet}")
+    val withCkpt2 = faces()
+    Files.delete(ckptFile)
+    assert(faces() == withCkpt2,
+      "post-expiry roll-up must equal the direct walk")
+    graft.sources.DocStoreCommitOps.rebuildCheckpoint(path.toString,
+      vts2.map { case (v, t) =>
+        val (segs, dvs) = DocStore.readManifestAndDeletes(
+          path.toString, s"MANIFEST.v$v")
+        (v, t, segs, dvs)
+      })
+    // vacuum resets history AND its summary
+    sc.sql("CALL kp.system.vacuum('ns.t')")
+    assert(!Files.exists(ckptFile),
+      "history resets must drop the checkpoint")
+    sc.sql("INSERT INTO kp.ns.t VALUES (9, 90, 'en', 's', 'd9')")
+    assert(Files.exists(ckptFile), "the new era re-seeds the checkpoint")
+  }
 }
