@@ -1156,6 +1156,56 @@ object CorpusOps {
         .select(col("doc_id"), col("n_dup_spans"), col("n_islands"),
           col("removed_chars"), col("kept_chars"))
         .orderBy("doc_id")
+    },
+
+    // --------------------------------------- incremental dedup vs an index
+    Q("q194_incremental_dedup",
+      "INCREMENTAL exact dedup — the steady-state production shape the " +
+        "batch dedup family (q24/q25/q61) doesn't cover: a corpus that " +
+        "ingests daily cannot re-scan 100 TB per batch, so the " +
+        "historical corpus is distilled ONCE into a fingerprint INDEX " +
+        "(16-byte md5 per doc, ~0.01% of corpus bytes — built here as " +
+        "a Scratch fixture, the q113 build-once/serve-many idiom) and " +
+        "each new batch joins only against that: batch-sized shuffle " +
+        "on the fingerprint, the corpus itself never re-read. The gate " +
+        "manufactures a batch where every 3rd doc is an exact dup of a " +
+        "historical text, probes the index, and reports per-language " +
+        "new/duplicate/kept counts. At 100 TB the index table is " +
+        "bucketed by fingerprint so the per-batch probe is co-located " +
+        "(zero index shuffle), a Bloom filter of the index (q72's " +
+        "one-broadcast-row build) prefilters map-side, and surviving " +
+        "docs' fingerprints APPEND to the index as the batch commits — " +
+        "the index stays exactly the corpus's fingerprint set.",
+      Some("""
+        WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+        nb AS (SELECT doc_id + 7000000 AS doc_id, lang,
+                      CASE WHEN doc_id % 3 = 0 THEN text
+                           ELSE text || ' v2' END AS text
+               FROM documents)
+        SELECT nb.lang, COUNT(*)::BIGINT AS n_new,
+               COUNT(idx.fp)::BIGINT AS n_dup,
+               (COUNT(*) - COUNT(idx.fp))::BIGINT AS n_kept
+        FROM nb LEFT JOIN idx ON md5(nb.text) = idx.fp
+        GROUP BY nb.lang ORDER BY nb.lang""")) { (s, dir) =>
+      val idxPath = graft.core.Scratch.materialize("dedup_fp_index",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+        Tables.documents(s, dir).select(md5(col("text")).as("fp"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$p/fp")
+      }
+      val idx = s.read.parquet(s"$idxPath/fp")
+        .withColumnRenamed("fp", "ifp")
+      val nb = Tables.documents(s, dir).select(
+        (col("doc_id") + 7000000).as("doc_id"), col("lang"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      nb.withColumn("fp", md5(col("text")))
+        .join(idx, col("fp") === col("ifp"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"),
+          count(col("ifp")).as("n_dup"),
+          (count(lit(1)) - count(col("ifp"))).as("n_kept"))
+        .orderBy("lang")
     }
   )
 }

@@ -942,6 +942,147 @@ object LlmOps {
         .select(col("doc_id").as("anchor_id"), col("lang"), col("pos_id"),
           when(col("cand_src") =!= col("source"), col("cand_id")).as("neg_id"))
         .orderBy("anchor_id")
+    },
+
+    // --------------------------------------- filter-cascade attrition audit
+    Q("q191_filter_attrition",
+      "Quality-filter CASCADE with per-rule attrition — the FineWeb/" +
+        "RefinedWeb observability report every curation run ships with: " +
+        "rules apply IN ORDER and each one is charged only the docs " +
+        "that survived every earlier rule (so the numbers sum to " +
+        "input = removed_1..n + survivors, and re-ordering rules " +
+        "visibly re-prices them). Four deterministic integer rules: " +
+        "min/max length, minimum whitespace word count, maximum " +
+        "single-word length (the URL/base64-blob catcher). Dataflow: " +
+        "ONE map-only pass evaluates all predicates per row (no rule-" +
+        "per-pass rescans — at 100 TB, 4 rules must not cost 4 scans) " +
+        "into a first-failing-rule label, then a label-domain hash-agg " +
+        "(<= 5 groups). Bit-exact: every rule is integer arithmetic on " +
+        "counts and lengths.",
+      Some("""
+        WITH lab AS (
+          SELECT CASE
+            WHEN NOT (LENGTH(text) >= 100) THEN '1_minlen'
+            WHEN NOT (LENGTH(text) <= 450) THEN '2_maxlen'
+            WHEN NOT (len(string_split_regex(trim(text), '\s+')) >= 25)
+              THEN '3_minwords'
+            WHEN NOT (list_max(list_transform(
+                string_split_regex(trim(text), '\s+'),
+                w -> LENGTH(w))) <= 7) THEN '4_maxword'
+            ELSE '5_kept' END AS rule,
+            n_chars
+          FROM documents)
+        SELECT rule, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS n_chars
+        FROM lab GROUP BY rule ORDER BY rule""")) { (s, dir) =>
+      val words = split(trim(col("text")), "\\s+")
+      val rule = when(!(length(col("text")) >= 100), "1_minlen")
+        .when(!(length(col("text")) <= 450), "2_maxlen")
+        .when(!(size(words) >= 25), "3_minwords")
+        .when(!(array_max(transform(words, w => length(w))) <= 7),
+          "4_maxword")
+        .otherwise("5_kept")
+      Tables.documents(s, dir)
+        .select(rule.as("rule"), col("n_chars"))
+        .groupBy("rule")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("rule")
+    },
+
+    // ------------------------------------------ deterministic epoch shuffle
+    Q("q192_epoch_shuffle",
+      "Deterministic multi-epoch GLOBAL shuffle — the training-order " +
+        "primitive: epoch e's order is rank by hash('ep<e>_' || " +
+        "doc_id), so every epoch is a different but perfectly " +
+        "REPRODUCIBLE permutation (rerun, resume, or re-shard and the " +
+        "order is identical — rand() can promise none of that), and " +
+        "the shuffle needs no coordination: any worker computes any " +
+        "doc's position. The gate emits each epoch's first 5 docs via " +
+        "the engine's distributed top-k shape (per-bucket windows keep " +
+        "each sort partition vocab/nBuckets-sized, then an exact " +
+        "global rank over <= buckets x k survivors — q114's plan; a " +
+        "naive per-epoch global ORDER BY would be one task sorting " +
+        "the corpus, PER EPOCH, at 100 TB). Epoch count x corpus is " +
+        "embarrassingly parallel map work.",
+      Some(s"""
+        WITH keyed AS (
+          SELECT e.epoch, doc_id,
+                 ${oHash28("'ep' || e.epoch || '_' || doc_id")} AS skey
+          FROM documents,
+               (SELECT UNNEST(ARRAY[0, 1, 2]) AS epoch) e),
+        r AS (
+          SELECT epoch, doc_id, skey,
+                 ROW_NUMBER() OVER (PARTITION BY epoch
+                                    ORDER BY skey, doc_id) AS rnk
+          FROM keyed)
+        SELECT epoch::BIGINT AS epoch, rnk::BIGINT AS rnk, doc_id, skey
+        FROM r WHERE rnk <= 5 ORDER BY epoch, rnk""")) { (s, dir) =>
+      import s.implicits._
+      val k = 5
+      val nBuckets = 32
+      val keyed = Tables.documents(s, dir).select(col("doc_id"))
+        .crossJoin(broadcast(Seq(0, 1, 2).toDF("epoch")))
+        .select(col("epoch"), col("doc_id"),
+          hash28(concat(lit("ep"), col("epoch"), lit("_"), col("doc_id")))
+            .as("skey"))
+      val wLocal = Window
+        .partitionBy(col("epoch"), pmod(hash(col("doc_id")), lit(nBuckets)))
+        .orderBy(col("skey"), col("doc_id"))
+      val top = keyed.withColumn("lr", row_number().over(wLocal))
+        .filter(col("lr") <= k).drop("lr")
+      val wExact = Window.partitionBy(col("epoch"))
+        .orderBy(col("skey"), col("doc_id"))
+      top.withColumn("rnk", row_number().over(wExact))
+        .filter(col("rnk") <= k)
+        .select(col("epoch").cast("long").as("epoch"),
+          col("rnk").cast("long").as("rnk"), col("doc_id"), col("skey"))
+        .orderBy("epoch", "rnk")
+    },
+
+    // -------------------------------------------- fill-in-the-middle split
+    Q("q193_fim_split",
+      "Fill-in-the-middle (FIM) transformation — the infilling " +
+        "data prep behind code models (Bavarian et al.): each eligible " +
+        "doc (>= 30 chars) splits into prefix | middle | suffix at " +
+        "DETERMINISTIC char offsets (start = 1 + (doc_id * 31) mod " +
+        "(len/3), middle length = len/3 — reproducible across runs " +
+        "and engines, no rand()), and the emitted lengths must " +
+        "reassemble to the original length exactly — the row-level " +
+        "invariant the gate's length columns prove. Pure projection: " +
+        "zero shuffles beyond the output sort, trivially 100 TB-" +
+        "parallel. PSM re-ordering and sentinel insertion are " +
+        "downstream string concat on these spans.",
+      Some("""
+        WITH f AS (
+          SELECT doc_id, lang, LENGTH(text) AS len,
+                 1 + (doc_id * 31) % (LENGTH(text) // 3) AS mstart,
+                 LENGTH(text) // 3 AS mlen, text
+          FROM documents WHERE LENGTH(text) >= 30)
+        SELECT doc_id, lang,
+               LENGTH(substr(text, 1, mstart::INT - 1))::BIGINT
+                 AS prefix_len,
+               LENGTH(substr(text, mstart::INT, mlen::INT))::BIGINT
+                 AS middle_len,
+               LENGTH(substr(text, (mstart + mlen)::INT,
+                 len::INT))::BIGINT AS suffix_len,
+               len::BIGINT AS total_len
+        FROM f ORDER BY doc_id""")) { (s, dir) =>
+      val len = length(col("text"))
+      // Spark's `/` on integers is DOUBLE division — the offsets must
+      // be integer arithmetic (floor-div), or the modulo drifts
+      val mlen = floor(len / 3).cast("int")
+      val mstart = (lit(1) + (col("doc_id") * 31) % mlen).cast("int")
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 30)
+        .select(col("doc_id"), col("lang"),
+          length(substring(col("text"), lit(1), mstart - 1))
+            .cast("long").as("prefix_len"),
+          length(col("text").substr(mstart, mlen))
+            .cast("long").as("middle_len"),
+          length(col("text").substr(mstart + mlen, len))
+            .cast("long").as("suffix_len"),
+          len.cast("long").as("total_len"))
+        .orderBy("doc_id")
     }
   )
 }
