@@ -255,7 +255,11 @@ object Bench {
         else if (s3 <= thresh) n -> ((math.min(v, s3), Option.empty[String]))
         else {
           val (s4, e4) = time1(n)
-          if (e4.isDefined) n -> ((math.min(v, s3), Option.empty[String]))
+          if (e4.isDefined) {
+            System.err.println(s"BENCH RECHECK: $n second re-timing " +
+              s"errored (${e4.getOrElse("?")}); keeping min of prior runs.")
+            n -> ((math.min(v, s3), Option.empty[String]))
+          }
           else n -> ((math.min(v, math.min(s3, s4)), Option.empty[String]))
         }
       }.toMap

@@ -272,7 +272,11 @@ object DocStore {
     *    float widens to double bit-exactly);
     *  - decimal(p<=18, s): the unscaled long — same-scale order. */
   def sortableDoubleBits(d: Double): Long = {
-    val b = java.lang.Double.doubleToLongBits(d)
+    // -0.0 == 0.0 in SQL comparison but their IEEE bits differ — a
+    // -0.0 filter literal probing a 0.0-valued envelope (or vice
+    // versa) would prune unsoundly, so both canonicalize to +0.0
+    // (r13 review finding)
+    val b = java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d)
     if (b >= 0) b else b ^ Long.MaxValue
   }
   def doubleFromSortableBits(l: Long): Double =
@@ -719,10 +723,13 @@ object DocStore {
           out.writeInt(MAGIC3)
           out.writeInt(rows)
           out.writeInt(sections.length)
-          val raw = sections.map(_.toByteArray)
-          val comp = raw.map(DocStore.deflate)
+          // one section at a time: each raw copy is transient, so the
+          // peak is buffers + ONE section copy + the (small) deflated
+          // outputs, not a second full copy of the segment
+          // (r13 review finding)
+          val comp = sections.map(sec => DocStore.deflate(sec.toByteArray))
           comp.foreach(c => out.writeLong(c.length.toLong))
-          raw.foreach(r => out.writeLong(r.length.toLong))
+          sections.foreach(sec => out.writeLong(sec.size().toLong))
           comp.foreach(out.write)
         } else {
           if (nExtra == 0) out.writeInt(MAGIC)
@@ -1124,13 +1131,29 @@ object CommitVersionMetadataColumn
     "earliest retained version containing this row's segment"
 }
 
+/** `_row_doc_id`: the row's doc_id as a NON-NULLABLE metadata face —
+  * what lets the delta row-level operation carry the ORIGINAL id in
+  * its rowId: the data column itself is declared nullable on identity
+  * tables (the analyzer's NULL placeholder must reach the writer for
+  * assignment) and Spark refuses nullable rowId attributes. Stored
+  * values are never null, and the id section is read by every
+  * row-level scan anyway — zero extra IO. */
+object RowDocIdMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val NAME = "_row_doc_id"
+  override def name(): String = NAME
+  override def dataType(): org.apache.spark.sql.types.DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "this row's doc_id (non-null face)"
+}
+
 class DocStoreTable(path: String, manifest: String = "MANIFEST")
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def metadataColumns():
       Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(SegmentMetadataColumn, PosMetadataColumn,
-      CommitVersionMetadataColumn)
+      CommitVersionMetadataColumn, RowDocIdMetadataColumn)
   override def name(): String =
     s"graft-docstore(`$path`)" +
       (if (manifest == "MANIFEST") "" else s"@$manifest")
@@ -1552,34 +1575,55 @@ object DocStoreCommitOps {
   def readCheckpoint(path: String): Map[Long, CkptLine] = {
     val p = Paths.get(path, CHECKPOINT_FILE)
     if (!Files.exists(p)) return Map.empty
-    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
-      val a = l.split(",", -1)
-      val names =
-        if (a(5).isEmpty) Seq.empty[String]
-        else a(5).split(";", -1).toSeq
-          .map(java.net.URLDecoder.decode(_, "UTF-8"))
-      a(0).toLong -> CkptLine(a(0).toLong, a(1).toLong, a(2).toLong,
-        a(3).toLong, a(4).toLong, names)
+    // malformed lines (a torn append after a crash, or a line the
+    // append concatenated onto a torn tail) are SKIPPED — their
+    // versions reconcile through their own manifests; last-wins on a
+    // duplicate version (an append racing a rebuild)
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { l =>
+      try {
+        val a = l.split(",", -1)
+        if (a.length != 6) None
+        else {
+          val names =
+            if (a(5).isEmpty) Seq.empty[String]
+            else a(5).split(";", -1).toSeq
+              .map(java.net.URLDecoder.decode(_, "UTF-8"))
+          Some(a(0).toLong -> CkptLine(a(0).toLong, a(1).toLong,
+            a(2).toLong, a(3).toLong, a(4).toLong, names))
+        }
+      } catch { case _: Exception => None }
     }.toMap
+  }
+
+  private def renderCkptLine(l: CkptLine): String = {
+    val names = l.newNames
+      .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(";")
+    s"${l.version},${l.millis},${l.nSegs},${l.liveRows},${l.bytes},$names"
   }
 
   private def writeCheckpoint(path: String, lines: Seq[CkptLine]): Unit = {
     val dir = Paths.get(path)
-    val body = lines.sortBy(_.version).map { l =>
-      val names = l.newNames
-        .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(";")
-      s"${l.version},${l.millis},${l.nSegs},${l.liveRows},${l.bytes},$names"
-    }.mkString("\n")
+    // trailing newline: later appendCheckpointLine calls are raw
+    // appends and must start on a fresh line
+    val body = lines.sortBy(_.version).map(renderCkptLine)
+      .map(_ + "\n").mkString
     val tmp = dir.resolve(s".$CHECKPOINT_FILE-tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, dir.resolve(CHECKPOINT_FILE),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Callers hold the commit lock (writeManifest's contract). */
+  /** O(1) per commit — a TRUE file append (r13 review finding: the
+    * first cut re-read and rewrote the whole roll-up per commit,
+    * quadratic over exactly the long logs it exists to serve). A crash
+    * can tear the last line; readCheckpoint skips malformed lines and
+    * the torn version reconciles through its own manifest, the same
+    * fallback every gap uses. Callers hold the commit lock. */
   private def appendCheckpointLine(path: String, line: CkptLine): Unit =
-    writeCheckpoint(path,
-      (readCheckpoint(path) + (line.version -> line)).values.toSeq)
+    Files.write(Paths.get(path, CHECKPOINT_FILE),
+      (renderCkptLine(line) + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
 
   /** Exact rebuild from retained versions — used by expire_snapshots,
     * whose liveness pass reads the kept manifests anyway, so the
@@ -2846,7 +2890,8 @@ class DocStoreReader(file: String, schema: StructType,
       val need = Array.fill(nSect)(false)
       required.fieldNames.flatMap(fieldIdx.get).map(secOf)
         .foreach(sid => if (sid < nSect) need(sid) = true)
-      val readId = need(0) || needFilter
+      val readId = need(0) || needFilter ||
+        required.fieldNames.contains(RowDocIdMetadataColumn.NAME)
       val longs = Array.ofDim[Array[Long]](2)
       val strs = Array.ofDim[Array[UTF8String]](3)
       // evolved sections decode to boxed Long / UTF8String, -1 len = null
@@ -2930,6 +2975,7 @@ class DocStoreReader(file: String, schema: StructType,
           case PosMetadataColumn.NAME => -2
           case SegmentMetadataColumn.NAME => -1
           case CommitVersionMetadataColumn.NAME => -3
+          case RowDocIdMetadataColumn.NAME => -4
           case other => throw new IllegalStateException(
             s"docstore reader asked for unknown column '$other' " +
               s"(table schema: ${schema.fieldNames.mkString(",")})")
@@ -2945,7 +2991,8 @@ class DocStoreReader(file: String, schema: StructType,
           (longs(0)(i) >= lo && longs(0)(i) <= hi))
         .map { i =>
           val vals = outIdx.map { ci =>
-            if (ci == -3) (if (birthVersion == null) null
+            if (ci == -4) longs(0)(i): Any
+            else if (ci == -3) (if (birthVersion == null) null
               else birthVersion.longValue()): Any
             else if (ci == -2) i.toLong: Any
             else if (ci < 0) segNameUtf

@@ -131,7 +131,14 @@ object DocStoreBranches {
       // crash hit inside writeManifest, then marker + ref cleanup)
       // instead of refusing.
       val mainSha = sha256(dir.resolve("MANIFEST"))
-      if (mainSha == sha256(dir.resolve(manifestName(name)))) {
+      val (base0, baseSha) = baseOf(path, name)
+      // recovery ONLY when main is the branch content AND moved off its
+      // cut point — a no-commit branch publish (main sha == cut sha ==
+      // branch sha) must fall through and create its normal, auditable
+      // fast-forward commit (r13 review finding: the first condition
+      // alone made it a silent no-op returning a pre-existing version)
+      if (mainSha == sha256(dir.resolve(manifestName(name))) &&
+          mainSha != baseSha) {
         val v: Long = DocStoreCommitOps.versionTimes(path).lastOption match {
           case Some((last, _))
               if sha256(dir.resolve(s"MANIFEST.v$last")) == mainSha => last
@@ -158,10 +165,9 @@ object DocStoreBranches {
         Files.deleteIfExists(dir.resolve(manifestName(name)))
         return v
       }
-      val (base, sha) = baseOf(path, name)
-      require(mainSha == sha,
+      require(mainSha == baseSha,
         s"cannot publish branch '$name': main moved since the branch " +
-          s"was cut at version $base (concurrent commit, overwrite, or " +
+          s"was cut at version $base0 (concurrent commit, overwrite, or " +
           "restore) — docstore branches publish fast-forward only. " +
           "Re-create the branch from the current state and replay.")
       val (segs, dvs) =

@@ -504,16 +504,20 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
         // deleted names must never be reborn with different contents
         // (same rule TRUNCATE follows): floor the part counter FIRST
         DocStoreCommitOps.persistPartNumberFloor(dir.toString)
-        drop.foreach { v =>
-          Files.delete(dir.resolve(s"MANIFEST.v$v")); expired += 1
-        }
         // the checkpoint must summarize exactly the RETAINED versions
         // ("birth" = earliest retained version containing a segment —
-        // expiry shifts it forward); rebuild from the manifests read
-        // above, preserving each version's recorded commit time
+        // expiry shifts it forward); rebuild BEFORE the deletes: a
+        // crash in between leaves still-listed dropped versions that
+        // reconcile via their own manifests, whereas delete-first left
+        // a permanently stale roll-up with no fallback (r13 review
+        // finding). Built from the manifests the liveness pass already
+        // read, preserving each version's recorded commit time.
         DocStoreCommitOps.rebuildCheckpoint(dir.toString,
           keptFull.map { case (v, (segs, dvs)) =>
             (v, timeOf(v), segs, dvs) })
+        drop.foreach { v =>
+          Files.delete(dir.resolve(s"MANIFEST.v$v")); expired += 1
+        }
         dead.foreach { n =>
           val p = dir.resolve(n)
           if (Files.exists(p)) {

@@ -231,9 +231,15 @@ class DocStoreDeltaOperation(path: String, cmd: Command)
 
   override def command(): Command = cmd
 
+  /** (_segment, _pos) locate the row; doc_id rides along so update()
+    * can tell a PRESERVED id from a reassignment — an UPDATE that SETs
+    * doc_id on a GENERATED ALWAYS table must refuse (Delta refuses
+    * identity-column updates), and without the original id the two
+    * cases are indistinguishable (r13 review finding). */
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(SegmentMetadataColumn.NAME),
-    Expressions.column(PosMetadataColumn.NAME))
+    Expressions.column(PosMetadataColumn.NAME),
+    Expressions.column(RowDocIdMetadataColumn.NAME))
 
   /** Updates arrive as update(meta, id, row) — semantically the same
     * delete + reinsert (the writer decomposes them exactly so), but
@@ -416,8 +422,17 @@ class DocStoreDeltaWriter(path: String, schema: StructType,
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
     // an UPDATE decomposes into DV-delete + reinsert; the reinsert
-    // PRESERVES the row's existing doc_id (see writePreservingIdentity)
+    // PRESERVES the row's existing doc_id (see writePreservingIdentity).
+    // On GENERATED ALWAYS, "preserve" means EXACTLY the original id —
+    // id(2) carries it (see rowId) — so SET doc_id = <other> refuses.
     recordDelete(id)
+    identity.foreach { case (spec, _, _) =>
+      if (!spec.allowExplicit)
+        require(!row.isNullAt(order(0)) &&
+          row.getLong(order(0)) == id.getLong(2),
+          "doc_id is GENERATED ALWAYS AS IDENTITY — an UPDATE may not " +
+            "assign it (the row keeps its own id)")
+    }
     inner.writePreservingIdentity(row)
   }
 

@@ -234,5 +234,13 @@ class BranchSpec extends SparkSpec {
       .head.getLong(0) == 4)
     assert(s.sql("SELECT COUNT(*) FROM bcrash.default.t VERSION AS OF " +
       (vBefore + 2)).head.getLong(0) == 4)
+
+    // recovery must NOT swallow a legitimate no-commit publish: a
+    // branch with no staged writes still publishes as a NEW, auditable
+    // fast-forward commit (r13 review finding)
+    s.sql("CALL bcrash.system.create_branch('default.t', 'empty')")
+    val pub3 = s.sql(
+      "CALL bcrash.system.publish_branch('default.t', 'empty')").head
+    assert(pub3.getLong(1) == vBefore + 3, pub3.toString)
   }
 }

@@ -3098,6 +3098,14 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT doc_id, lang FROM mrc.ns.i WHERE lang = 'zz'")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((100L, "zz")))
+    // ...but an UPDATE that ASSIGNS the identity column refuses — the
+    // rowId carries the original id, so a reassignment is
+    // distinguishable from the preserve case (r13 review finding)
+    val e5 = intercept[Exception] {
+      sc.sql("UPDATE mrc.ns.i SET doc_id = 999 WHERE doc_id = 100") }
+    assert(messages(e5).contains("may not assign"), messages(e5))
+    assert(sc.sql("SELECT COUNT(*) FROM mrc.ns.i WHERE doc_id = 100")
+      .head.getLong(0) == 1)
   }
 
   test("r13: evolved columns take the full primitive type surface") {
