@@ -1083,6 +1083,48 @@ object LlmOps {
             .cast("long").as("suffix_len"),
           len.cast("long").as("total_len"))
         .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- conversation assembly
+    Q("q195_conversation_assembly",
+      "Conversation/session assembly — the SFT-data-prep shape: an " +
+        "event stream groups per user into an ORDERED turn sequence " +
+        "(deterministic (ts, event_id) tie-break, no rand() and no " +
+        "engine-dependent collect order — the list is sorted inside " +
+        "the aggregate), with the assembly sanity metrics every chat-" +
+        "data pipeline reports: turn count, role-switch count " +
+        "(consecutive turns of the same type collapse in most chat " +
+        "templates — switches is what matters), and wall-clock span. " +
+        "Dataflow: ONE user-keyed shuffle serves both the lag window " +
+        "and the assembly agg; per-user state is session-bounded, so " +
+        "at 100 TB this partitions by the natural key with no global " +
+        "sort — the canonical groupBy-key + in-group order shape.",
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT user_id, COUNT(*)::BIGINT AS n_turns,
+               COUNT(CASE WHEN prev IS NOT NULL AND prev <> event_type
+                          THEN 1 END)::BIGINT AS n_switches,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS convo,
+               date_diff('second', MIN(ts), MAX(ts))::BIGINT
+                 AS span_seconds
+        FROM o GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_turns"),
+          count(when(col("prev").isNotNull &&
+            col("prev") =!= col("event_type"), 1)).as("n_switches"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("convo"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts")))
+            .as("span_seconds"))
+        .orderBy("user_id")
     }
   )
 }

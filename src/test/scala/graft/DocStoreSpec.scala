@@ -3198,6 +3198,14 @@ class DocStoreSpec extends SparkSpec {
         "n_chars BIGINT, lang STRING, source STRING, text STRING, " +
         "price DOUBLE) PARTITIONED BY (price)") })
       .contains("identity partition column"))
+    // OPTIMIZE cluster_by composes with the new types: single-column
+    // clustering is type-generic range partitioning, and the rewritten
+    // segments' encoded envelopes prune typed predicates exactly
+    sc.sql("CALL tcat13.system.optimize('ns.t', 2, 'price')")
+    val afterOpt = planned(readBack.where(col("price") > 90.0))
+    assert(afterOpt._1 < afterOpt._2 && afterOpt._1 >= 1, afterOpt.toString)
+    assert(readBack.where(col("price") > 90.0).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
   test("r13: GDS3 segment compression — property-gated, mixed magics, pruning intact") {
