@@ -1206,6 +1206,44 @@ object CorpusOps {
           count(col("ifp")).as("n_dup"),
           (count(lit(1)) - count(col("ifp"))).as("n_kept"))
         .orderBy("lang")
+    },
+
+    // ---------------------------------------- cross-source overlap matrix
+    Q("q197_source_overlap",
+      "Cross-SOURCE contamination matrix — the corpus-composition audit " +
+        "run before mixing crawls/dumps (how much of source A is " +
+        "already in source B decides dedup order and mixture weights): " +
+        "for every source pair, the count of DISTINCT token 8-gram " +
+        "fingerprints they share (q60's n-gram machinery, aggregated to " +
+        "the source level instead of the doc level). Dataflow: one " +
+        "(source, hash)-distinct pass, then a self-join keyed on the " +
+        "hash — each hash's source set is bounded by the source COUNT " +
+        "(not the corpus), so the join's per-key fan-out is at most " +
+        "|sources| choose 2 and the output is one row per pair. At " +
+        "100 TB a boilerplate hash shared by all sources costs " +
+        "|sources|^2 pairs, not corpus^2 — the matrix stays " +
+        "metadata-sized by construction.",
+      Some(s"""
+        WITH t AS (SELECT source, string_split_regex(text, '\\s+') AS w
+                   FROM documents),
+        g AS (SELECT source, unnest($oNgramHashes) AS h
+              FROM t WHERE len(w) >= $NGRAM),
+        gd AS (SELECT DISTINCT source, h FROM g)
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*)::BIGINT AS shared_ngrams
+        FROM gd a JOIN gd b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), toks(col("text")).as("w"))
+        .filter(size(col("w")) >= NGRAM)
+        .select(col("source"), explode(ngramHashes(col("w"))).as("h"))
+        .distinct()
+      g.as("a").join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .orderBy("src_a", "src_b")
     }
   )
 }

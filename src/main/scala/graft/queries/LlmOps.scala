@@ -1125,6 +1125,64 @@ object LlmOps {
           (unix_timestamp(max("ts")) - unix_timestamp(min("ts")))
             .as("span_seconds"))
         .orderBy("user_id")
+    },
+
+    // --------------------------------------- token-budget data selection
+    Q("q196_budget_selection",
+      "Quality-ranked corpus selection under a TOKEN BUDGET — the " +
+        "data-selection shape (take the best documents until the " +
+        "training budget is spent): docs order by (score desc, doc_id) " +
+        "and are admitted while the running token total stays within " +
+        "60% of the corpus. The running sum over a GLOBAL order is the " +
+        "scale hazard, so it runs two-phase (the q167 prefix-sum " +
+        "shape): per-(score, doc_id-range-bucket) windows are bounded " +
+        "by the bucket width, and their offsets come from ONE window " +
+        "over the (score x bucket) TOTALS — metadata-sized, not " +
+        "corpus-sized. The stand-in score n_chars % 97 and whitespace " +
+        "token counts keep every number integer-exact cross-engine.",
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars % 97 AS score,
+                 len(string_split_regex(text, '\s+')) AS toks
+          FROM documents),
+        t AS (SELECT (SUM(toks) * 6) // 10 AS budget FROM d),
+        c AS (SELECT *, SUM(toks) OVER (ORDER BY score DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(toks)::BIGINT AS toks_total,
+               COUNT(CASE WHEN cum <= budget THEN 1 END)::BIGINT
+                 AS n_selected,
+               COALESCE(SUM(CASE WHEN cum <= budget THEN toks END),
+                 0)::BIGINT AS toks_selected,
+               MIN(CASE WHEN cum <= budget THEN score END) AS min_score
+        FROM c, t GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val bucketW = 500
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        (col("n_chars") % 97).as("score"),
+        size(toks(col("text"))).as("toks"),
+        floor(col("doc_id") / bucketW).as("b"))
+      val budget = d.agg(
+        expr("(sum(toks) * 6) div 10").as("budget"))
+      // phase 1: (score, bucket) totals; phase 2: exclusive offsets via
+      // one window over the totals (bounded: |score domain| x buckets)
+      val st = d.groupBy("score", "b").agg(sum("toks").as("stoks"))
+      val wSB = Window.orderBy(col("score").desc, col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = st.select(col("score"), col("b"),
+        coalesce(sum("stoks").over(wSB), lit(0L)).as("before"))
+      val wD = Window.partitionBy("score", "b").orderBy("doc_id")
+      d.join(broadcast(off), Seq("score", "b"))
+        .withColumn("cum", col("before") + sum("toks").over(wD))
+        .crossJoin(broadcast(budget))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("toks_total"),
+          count(when(col("cum") <= col("budget"), 1)).as("n_selected"),
+          coalesce(sum(when(col("cum") <= col("budget"), col("toks"))),
+            lit(0L)).as("toks_selected"),
+          min(when(col("cum") <= col("budget"), col("score")))
+            .as("min_score"))
+        .orderBy("lang")
     }
   )
 }
