@@ -282,6 +282,21 @@ object DocStore {
   def doubleFromSortableBits(l: Long): Double =
     java.lang.Double.longBitsToDouble(if (l >= 0) l else l ^ Long.MaxValue)
 
+  /** Decode a stored/encoded 8-byte payload back to the CATALYST value
+    * the column type carries in an InternalRow — shared by the segment
+    * reader and the metadata-aggregate emit (min/max fold in ENCODED
+    * space, which the order-preserving encodings make exact). */
+  def catalystOfEncoded(dt: DataType, v: Long): AnyRef = dt match {
+    case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
+    case DoubleType => java.lang.Double.valueOf(doubleFromSortableBits(v))
+    case FloatType =>
+      java.lang.Float.valueOf(doubleFromSortableBits(v).toFloat)
+    case BooleanType => java.lang.Boolean.valueOf(v != 0L)
+    case d: DecimalType =>
+      org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
+    case _ => java.lang.Long.valueOf(v) // LONG / TIMESTAMP[_NTZ]
+  }
+
   /** Encode an EXTERNAL (collected-Row) value of an 8-byte-payload
     * column type to its stored order-preserving long — the driver-side
     * twin of the writer's InternalRow dispatch, used by the ANALYZE
@@ -2317,11 +2332,14 @@ class DocStoreScanBuilder(path: String,
     c == "doc_id" || manifestData._1.forall(s =>
       s.rows == 0 || statOf(s, c).isDefined)
 
-  /** LongType column whose every non-empty segment is either exactly
-    * bounded or provably all-null — MIN/MAX fold is then exact. */
+  /** 8-byte-encoded column (every non-string type — the encodings are
+    * order-preserving, so a fold over encoded bounds decodes to the
+    * exact typed MIN/MAX) whose every non-empty segment is either
+    * exactly bounded or provably all-null. */
   private def minMaxServable(c: String): Boolean =
     isDocIdName(c) || fieldOf(c).exists { case (f, _) =>
-      f.dataType == LongType && manifestData._1.forall(s =>
+      f.dataType != StringType && DocStore.evolvedTypeOk(f.dataType) &&
+        manifestData._1.forall(s =>
         s.rows == 0 || statOf(s, c).exists {
           case DocStore.ColStat(_, Some(_: DocStore.LongBound)) => true
           case DocStore.ColStat(n, None) => n == s.rows // all-null
@@ -2496,6 +2514,16 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
 
   private def groupField(c: String): StructField = schema(c)
 
+  /** MIN/MAX emit the COLUMN's type (the folded encoded long decodes
+    * through DocStore.catalystOfEncoded); counts are LONG. */
+  private def aggOutType(
+      e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : org.apache.spark.sql.types.DataType = e match {
+    case m: Min => schema(colOf(m.column)).dataType
+    case m: Max => schema(colOf(m.column)).dataType
+    case _ => LongType
+  }
+
   override def readSchema(): StructType = StructType(
     groupCols.map { case (c, _) =>
       groupField(c).copy(nullable = true) } ++
@@ -2504,7 +2532,8 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
           StructField(s"agg_$i", LongType, nullable = false)
         case (_: Count, i) =>
           StructField(s"agg_$i", LongType, nullable = false)
-        case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+        case (e, i) =>
+          StructField(s"agg_$i", aggOutType(e), nullable = true)
       })
   override def toBatch: Batch = this
   override def description(): String =
@@ -2515,7 +2544,8 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
     Array(ManifestAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestAggReaderFactory(
-      groupCols.map { case (c, _) => groupField(c).dataType })
+      groupCols.map { case (c, _) => groupField(c).dataType },
+      agg.aggregateExpressions.toSeq.map(aggOutType))
 }
 
 /** One pre-folded output row: raw group-key strings (null = the null
@@ -2527,7 +2557,8 @@ final case class ManifestAggPartition(rows: Array[ManifestAggRow])
     extends InputPartition
 
 class ManifestAggReaderFactory(
-    keyTypes: Seq[org.apache.spark.sql.types.DataType] = Seq.empty)
+    keyTypes: Seq[org.apache.spark.sql.types.DataType] = Seq.empty,
+    valTypes: Seq[org.apache.spark.sql.types.DataType] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -2542,8 +2573,15 @@ class ManifestAggReaderFactory(
           case (v, org.apache.spark.sql.types.IntegerType) => v.toInt: Any
           case (v, _) => org.apache.spark.unsafe.types.UTF8String.fromString(v): Any
         }
-        val vals: Array[Any] = r.values.map(v =>
-          if (v == null) null else v.longValue(): Any)
+        // MIN/MAX carry the ENCODED long; decode to the column type
+        // (counts pass through as LONG — identity under the decode)
+        val vals: Array[Any] = r.values.zipWithIndex.map { case (v, j) =>
+          if (v == null) null
+          else DocStore.catalystOfEncoded(
+            valTypes.applyOrElse(j,
+              (_: Int) => LongType: org.apache.spark.sql.types.DataType),
+            v.longValue()): Any
+        }
         new GenericInternalRow(key ++ vals)
       }
       override def close(): Unit = ()
@@ -2930,20 +2968,7 @@ class DocStoreReader(file: String, schema: StructType,
           val is8Byte = dt != StringType
           // decode an 8-byte payload straight to the CATALYST value
           // the InternalRow carries for this type
-          val dec: Long => AnyRef = dt match {
-            case IntegerType => v => java.lang.Integer.valueOf(v.toInt)
-            case LongType | TimestampType | TimestampNTZType =>
-              v => java.lang.Long.valueOf(v)
-            case DateType => v => java.lang.Integer.valueOf(v.toInt)
-            case DoubleType => v => java.lang.Double.valueOf(
-              DocStore.doubleFromSortableBits(v))
-            case FloatType => v => java.lang.Float.valueOf(
-              DocStore.doubleFromSortableBits(v).toFloat)
-            case BooleanType => v => java.lang.Boolean.valueOf(v != 0L)
-            case d: DecimalType =>
-              v => org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
-            case _ => v => java.lang.Long.valueOf(v)
-          }
+          val dec: Long => AnyRef = DocStore.catalystOfEncoded(dt, _)
           val sin = sectionIn(c)
           val a = new Array[AnyRef](n)
           var i = 0

@@ -2248,6 +2248,32 @@ class DocStoreSpec extends SparkSpec {
     val idAgg = spark.read.format("graft-docstore").option("path", tmp)
       .load().groupBy().agg(count(lit(1)), min("doc_id"))
     assert(physical(idAgg).contains("manifest-only"), physical(idAgg))
+    // r13: the encoded 8-byte types serve typed MIN/MAX from the same
+    // envelopes — the fold runs in encoded space (order-preserving) and
+    // decodes at emit, negative doubles and DATE/BOOLEAN included
+    val troot = Files.createTempDirectory("docstore_agg_typed").toString
+    val tc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.aggt" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.aggt.root" -> troot)
+    tc.sql("CREATE NAMESPACE aggt.ns")
+    tc.sql("CREATE TABLE aggt.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING, " +
+      "price DOUBLE, born DATE, ok BOOLEAN, amt DECIMAL(10,2))")
+    tc.sql("INSERT INTO aggt.ns.t VALUES " +
+      "(1, 1, 'en', 's', 'a', -12.5D, DATE'2024-01-02', true, 3.50), " +
+      "(2, 2, 'en', 's', 'b', 99.25D, DATE'2023-06-30', false, -1.25)")
+    val typedAgg = tc.sql("SELECT MIN(price), MAX(price), MIN(born), " +
+      "MAX(born), MIN(ok), MAX(ok), MIN(amt), MAX(amt) FROM aggt.ns.t")
+    assert(physical(typedAgg).contains("manifest-only"),
+      physical(typedAgg))
+    val row = typedAgg.collect()(0)
+    assert(row.getDouble(0) == -12.5 && row.getDouble(1) == 99.25)
+    assert(row.getDate(2).toString == "2023-06-30" &&
+      row.getDate(3).toString == "2024-01-02")
+    assert(!row.getBoolean(4) && row.getBoolean(5))
+    assert(row.getDecimal(6).toString == "-1.25" &&
+      row.getDecimal(7).toString == "3.50")
   }
 
   test("plain stream startingVersion/startingTimestamp skip the backfill") {
