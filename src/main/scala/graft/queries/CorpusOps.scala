@@ -1216,7 +1216,9 @@ object CorpusOps {
         "for every source pair, the count of DISTINCT token 8-gram " +
         "fingerprints they share (q60's n-gram machinery, aggregated to " +
         "the source level instead of the doc level). Dataflow: ONE " +
-        "corpus scan and ONE hash-keyed shuffle — each hash aggregates " +
+        "corpus scan (with the explode-balancing round-robin exchange " +
+        "the n-gram family shares) and ONE hash-keyed shuffle — each " +
+        "hash aggregates " +
         "its source SET (bounded by the source count, not the corpus) " +
         "and ordered pairs explode from the sorted set in-task, so a " +
         "boilerplate hash shared by all sources costs |sources| choose " +

@@ -1142,7 +1142,7 @@ object LlmOps {
         "token counts keep every number integer-exact cross-engine.",
       Some("""
         WITH d AS (
-          SELECT doc_id, lang, n_chars % 97 AS score,
+          SELECT doc_id, lang, COALESCE(n_chars % 97, -1) AS score,
                  len(string_split_regex(text, '\s+')) AS toks
           FROM documents),
         t AS (SELECT (SUM(toks) * 6) // 10 AS budget FROM d),
@@ -1157,15 +1157,21 @@ object LlmOps {
                MIN(CASE WHEN cum <= budget THEN score END) AS min_score
         FROM c, t GROUP BY lang ORDER BY lang""")) { (s, dir) =>
       val bucketW = 500
+      // score is null-safe (COALESCE to -1, both engines): an inner
+      // join on a NULL key would silently drop NULL-n_chars rows the
+      // oracle keeps (r13 review finding)
       val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        (col("n_chars") % 97).as("score"),
+        coalesce(col("n_chars") % 97, lit(-1L)).as("score"),
         size(toks(col("text"))).as("toks"),
         floor(col("doc_id") / bucketW).as("b"))
-      val budget = d.agg(
-        expr("(sum(toks) * 6) div 10").as("budget"))
       // phase 1: (score, bucket) totals; phase 2: exclusive offsets via
-      // one window over the totals (bounded: |score domain| x buckets)
+      // one window over the totals (bounded: |score domain| x buckets).
+      // The budget derives from the SAME totals — no third corpus
+      // tokenization pass (r13 review finding); the remaining two
+      // passes (totals, probe) are the two-phase shape's intrinsic cost
       val st = d.groupBy("score", "b").agg(sum("toks").as("stoks"))
+      val budget = st.agg(
+        expr("(sum(stoks) * 6) div 10").as("budget"))
       val wSB = Window.orderBy(col("score").desc, col("b"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val off = st.select(col("score"), col("b"),

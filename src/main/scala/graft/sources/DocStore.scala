@@ -286,15 +286,22 @@ object DocStore {
     * the column type carries in an InternalRow — shared by the segment
     * reader and the metadata-aggregate emit (min/max fold in ENCODED
     * space, which the order-preserving encodings make exact). */
-  def catalystOfEncoded(dt: DataType, v: Long): AnyRef = dt match {
-    case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
-    case DoubleType => java.lang.Double.valueOf(doubleFromSortableBits(v))
+  def catalystOfEncoded(dt: DataType, v: Long): AnyRef = decoderOf(dt)(v)
+
+  /** The type dispatch resolved ONCE — hot loops (the segment reader
+    * decodes one value per row) must not re-run the match per value
+    * (r13 review finding). */
+  def decoderOf(dt: DataType): Long => AnyRef = dt match {
+    case IntegerType | DateType =>
+      v => java.lang.Integer.valueOf(v.toInt)
+    case DoubleType =>
+      v => java.lang.Double.valueOf(doubleFromSortableBits(v))
     case FloatType =>
-      java.lang.Float.valueOf(doubleFromSortableBits(v).toFloat)
-    case BooleanType => java.lang.Boolean.valueOf(v != 0L)
+      v => java.lang.Float.valueOf(doubleFromSortableBits(v).toFloat)
+    case BooleanType => v => java.lang.Boolean.valueOf(v != 0L)
     case d: DecimalType =>
-      org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
-    case _ => java.lang.Long.valueOf(v) // LONG / TIMESTAMP[_NTZ]
+      v => org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
+    case _ => v => java.lang.Long.valueOf(v) // LONG / TIMESTAMP[_NTZ]
   }
 
   /** Encode an EXTERNAL (collected-Row) value of an 8-byte-payload
@@ -2968,7 +2975,7 @@ class DocStoreReader(file: String, schema: StructType,
           val is8Byte = dt != StringType
           // decode an 8-byte payload straight to the CATALYST value
           // the InternalRow carries for this type
-          val dec: Long => AnyRef = DocStore.catalystOfEncoded(dt, _)
+          val dec: Long => AnyRef = DocStore.decoderOf(dt)
           val sin = sectionIn(c)
           val a = new Array[AnyRef](n)
           var i = 0
