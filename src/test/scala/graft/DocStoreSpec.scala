@@ -3294,6 +3294,19 @@ class DocStoreSpec extends SparkSpec {
     sc.sql("UPDATE zcat.ns.z SET price = 7.25D WHERE doc_id = 9000000")
     assert(sc.sql("SELECT price FROM zcat.ns.z WHERE doc_id = 9000000")
       .head.getDouble(0) == 7.25)
+    // streaming reads pace the mixed-magic table through the same
+    // per-segment decoder: an exhaustive drain equals the batch face
+    sc.catalog.dropTempView("zip_stream_test")
+    val sq = sc.readStream.format("graft-docstore")
+      .option("path", zPath.toString).load()
+      .groupBy("lang").count()
+      .writeStream.format("memory").queryName("zip_stream_test")
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    assert(sc.table("zip_stream_test").orderBy("lang").collect()
+      .map(_.toSeq).toSeq ==
+      sc.sql("SELECT lang, COUNT(*) FROM zcat.ns.z GROUP BY lang")
+        .orderBy("lang").collect().map(_.toSeq).toSeq)
     // DDL validation refuses unknown codecs
     assert(intercept[Exception] {
       sc.sql("ALTER TABLE zcat.ns.z SET TBLPROPERTIES " +
