@@ -1189,6 +1189,56 @@ object LlmOps {
           min(when(col("cum") <= col("budget"), col("score")))
             .as("min_score"))
         .orderBy("lang")
+    },
+
+    // ------------------------------------------------ text normalization
+    Q("q198_text_normalize",
+      "Whitespace/control-character normalization — the C4-style " +
+        "cleanup pass that runs before tokenization (tabs, carriage " +
+        "returns and newline litter become spaces; runs of spaces " +
+        "collapse; edges trim). The corpus text is already clean, so " +
+        "the gate INJECTS deterministic dirt first (doc_id-keyed: a " +
+        "tab+space prefix and CR suffix, or every space tripled) and " +
+        "proves the normalizer RECOVERS the original byte-for-byte — " +
+        "n_recovered == n_docs is the self-proving invariant, checked " +
+        "identically by both engines. All codegen'd built-ins " +
+        "(regexp_replace chains), map-only, trivially 100 TB-parallel.",
+      Some("""
+        WITH dirty AS (
+          SELECT doc_id, lang, text,
+                 CASE WHEN doc_id % 3 = 0
+                        THEN chr(9) || '  ' || text || chr(13)
+                      WHEN doc_id % 3 = 1
+                        THEN REPLACE(text, ' ', '   ')
+                      ELSE text END AS d
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, text, d,
+                 TRIM(REGEXP_REPLACE(REGEXP_REPLACE(d,
+                   '[\t\r\n]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM dirty)
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(LENGTH(d))::BIGINT AS dirty_chars,
+               SUM(LENGTH(clean))::BIGINT AS clean_chars,
+               COUNT(CASE WHEN clean = text THEN 1 END)::BIGINT
+                 AS n_recovered
+        FROM c GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val d = when(col("doc_id") % 3 === 0,
+          concat(lit("\t  "), col("text"), lit("\r")))
+        .when(col("doc_id") % 3 === 1,
+          regexp_replace(col("text"), " ", "   "))
+        .otherwise(col("text"))
+      val clean = trim(regexp_replace(
+        regexp_replace(col("d"), "[\t\r\n]", " "), " +", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), d.as("d"))
+        .withColumn("clean", clean)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("d"))).as("dirty_chars"),
+          sum(length(col("clean"))).as("clean_chars"),
+          count(when(col("clean") === col("text"), 1)).as("n_recovered"))
+        .orderBy("lang")
     }
   )
 }

@@ -719,6 +719,23 @@ class DocStoreSpec extends SparkSpec {
     assert(back.count() == 400, "a concurrent append was lost")
     assert(back.select("doc_id").distinct().count() == 400)
     assert(DocStore.readManifest(tableDir).size == 8)
+    // r13: the version-log checkpoint is maintained INSIDE the same
+    // commit lock, so racing appends must leave it covering every
+    // retained version with the exact per-version summaries the
+    // fallback walk computes
+    val vts = graft.sources.DocStoreCommitOps.versionTimes(tableDir)
+    val ck = graft.sources.DocStoreCommitOps.readCheckpoint(tableDir)
+    assert(ck.keySet == vts.map(_._1).toSet, s"${ck.keySet} vs $vts")
+    import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
+    val histTypes = Seq(LongType, LongType, LongType, LongType,
+      BooleanType, TimestampType)
+    def hist() = graft.sources.DocStoreMetaTables.historyRows(tableDir)
+      .map(_.toSeq(histTypes).toList).toSeq
+    val served = hist()
+    Files.delete(java.nio.file.Paths.get(tableDir,
+      graft.sources.DocStoreCommitOps.CHECKPOINT_FILE))
+    assert(hist() == served,
+      "checkpoint-served history must equal the per-version walk")
   }
 
   test("schema evolution: ADD COLUMN null-pads old segments, new writes persist it") {
