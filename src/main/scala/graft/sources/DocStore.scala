@@ -1647,6 +1647,14 @@ object DocStoreCommitOps {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
 
+  /** Test hook for the line format: the append path with explicit
+    * numbers (production derives them from the write; EncodingSpec
+    * round-trips exotic segment names through the persisted form). */
+  private[graft] def appendCheckpointLineForTest(path: String, v: Long,
+      millis: Long, nSegs: Long, rows: Long, bytes: Long,
+      names: Seq[String]): Unit =
+    appendCheckpointLine(path, CkptLine(v, millis, nSegs, rows, bytes, names))
+
   /** Exact rebuild from retained versions — used by expire_snapshots,
     * whose liveness pass reads the kept manifests anyway, so the
     * rebuild costs no extra IO. `perVersion` ascending. */
