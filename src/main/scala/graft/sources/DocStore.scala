@@ -484,6 +484,26 @@ object DocStore {
     }
   }
 
+  /** The filters as ONE doc_id window iff EVERY filter is expressible
+    * as doc_id bounds (via [[tightenDocIdBound]]) — all-or-nothing,
+    * unlike the scan's per-filter accept. Shared by the metadata
+    * DELETE fast path and REPLACE WHERE. */
+  def docIdWindowOf(filters: Array[Filter]): Option[(Long, Long)] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    val ok = filters.forall { f =>
+      tightenDocIdBound(f, lo, hi) match {
+        case Some((l, h)) => lo = l; hi = h; true
+        case None => f match {
+          case IsNotNull("doc_id") => true
+          case _: org.apache.spark.sql.sources.AlwaysTrue => true
+          case _ => false
+        }
+      }
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
   /** Per-segment, per-SECTION column statistics (Delta-style data
     * skipping): null count plus an optional [min,max] envelope. Keyed
     * by physical section id, NOT column name — a DROPped-then-re-ADDed
@@ -1192,6 +1212,7 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, // REPLACE WHERE (r13)
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, tblSchema,
@@ -1309,8 +1330,10 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
     manifestName: String = "MANIFEST",
     txn: Option[(String, Long)] = None,
-    identity: Option[DocStore.IdentitySpec] = None)
-    extends WriteBuilder with SupportsTruncate {
+    identity: Option[DocStore.IdentitySpec] = None,
+    replaceWindow: Option[(Long, Long)] = None)
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   override def truncate(): WriteBuilder = {
     require(manifestName == "MANIFEST",
       "INSERT OVERWRITE on a docstore BRANCH is not supported — " +
@@ -1319,10 +1342,36 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
       partSpec = partSpec, txn = txn, identity = identity)
   }
 
+  /** Delta's replaceWhere: atomically swap the rows a predicate covers
+    * for the written data — `df.writeTo(t).overwrite(cond)` / `INSERT
+    * INTO t REPLACE WHERE cond`. Docstore policy mirrors the metadata
+    * DELETE: the predicate must resolve to doc_id BOUNDS and cover
+    * segments exactly (checked at commit, under the lock) — replaced
+    * files are retained for time travel, nothing is rewritten, and the
+    * commit additionally validates every WRITTEN row falls INSIDE the
+    * window (Delta's replaceWhere constraint check). An AlwaysTrue
+    * predicate is a plain truncating overwrite, as before. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+      filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      return truncate()
+    require(manifestName == "MANIFEST",
+      "REPLACE WHERE on a docstore BRANCH is not supported — " +
+        "branches stage appends; publish or drop the branch instead")
+    val win = DocStore.docIdWindowOf(filters).getOrElse(
+      throw new IllegalArgumentException(
+        "docstore REPLACE WHERE supports doc_id-bound predicates only " +
+          "(segment-aligned replacement; use UPDATE/MERGE for row-level " +
+          s"conditions), got: ${filters.mkString(", ")}"))
+    new DocStoreWriteBuilder(path, schema, order, queryId,
+      partSpec = partSpec, txn = txn, identity = identity,
+      replaceWindow = Some(win))
+  }
+
   private class BaseWrite extends Write {
     override def toBatch: BatchWrite =
       new DocStoreBatchWrite(path, schema, order, queryId, truncate, partSpec,
-        manifestName, txn, identity)
+        manifestName, txn, identity, replaceWindow)
     override def toStreaming: streaming.StreamingWrite = {
       require(manifestName == "MANIFEST",
         "streaming writes to a docstore BRANCH are not supported — " +
@@ -1853,7 +1902,8 @@ class DocStoreBatchWrite(path: String, schema: StructType,
     partSpec: Seq[DocStorePartitioning.PTransform] = Seq.empty,
     manifestName: String = "MANIFEST",
     txn: Option[(String, Long)] = None,
-    identity: Option[DocStore.IdentitySpec] = None)
+    identity: Option[DocStore.IdentitySpec] = None,
+    replaceWindow: Option[(Long, Long)] = None)
     extends BatchWrite {
 
   // the job's identity base: read ONCE at factory creation (plan time);
@@ -1908,8 +1958,43 @@ class DocStoreBatchWrite(path: String, schema: StructType,
         if (Files.exists(Paths.get(path).resolve(manifestName)))
           DocStore.readManifestAndDeletes(path, manifestName)
         else (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
-      val keep = if (truncate) Seq.empty else old
-      val keepDv = if (truncate) Map.empty[String, Array[Long]] else dvs
+      // REPLACE WHERE: drop the fully-covered segments (their FILES are
+      // retained for time travel — the Delta remove-then-VACUUM split,
+      // same as the metadata DELETE); a partially-covered segment
+      // refuses — replacement must be exact, never approximate. The
+      // WRITTEN data must also fall inside the window (Delta's
+      // replaceWhere constraint check), verified on the staged
+      // segments' doc_id zone bounds before anything publishes.
+      def fail(reason: String): Nothing = {
+        DocStoreCommitOps.dropStaged(path, messages)
+        throw new IllegalStateException(reason)
+      }
+      replaceWindow.foreach { case (lo, hi) =>
+        val misaligned = old.filter(s =>
+          !(s.minId >= lo && s.maxId <= hi) && !(s.maxId < lo || s.minId > hi))
+        if (misaligned.nonEmpty) fail(
+          s"REPLACE WHERE window [$lo, $hi] is not segment-aligned on " +
+            s"$path (${misaligned.map(_.name).mkString(", ")} partially " +
+            "covered) — replacement must be exact; UPDATE/MERGE handle " +
+            "row-level conditions")
+        val outOfWindow = DocStoreCommitOps.stagedOf(messages)
+          .filter(m => m.rows > 0 && (m.minId < lo || m.maxId > hi))
+        if (outOfWindow.nonEmpty) fail(
+          s"REPLACE WHERE window [$lo, $hi] does not contain every " +
+            "written row (Delta's replaceWhere constraint): staged " +
+            outOfWindow.map(m => s"[${m.minId}, ${m.maxId}]").mkString(", "))
+      }
+      val keep = if (truncate) Seq.empty else replaceWindow match {
+        case Some((lo, hi)) => old.filter(s => s.maxId < lo || s.minId > hi)
+        case None => old
+      }
+      val keepDv =
+        if (truncate) Map.empty[String, Array[Long]]
+        else {
+          val keepNames = keep.map(_.name).toSet
+          if (replaceWindow.isEmpty) dvs
+          else dvs.filter { case (n, _) => keepNames(n) }
+        }
       // deterministic final names: continue past every part number ON
       // DISK (a DELETE-retained file's name must never be reused; the
       // walk also covers branch segments, so branch and main writes

@@ -3393,4 +3393,73 @@ class DocStoreSpec extends SparkSpec {
     sc.sql("INSERT INTO kp.ns.t VALUES (9, 90, 'en', 's', 'd9')")
     assert(Files.exists(ckptFile), "the new era re-seeds the checkpoint")
   }
+
+  test("r13: REPLACE WHERE swaps aligned doc_id windows atomically") {
+    val root = Files.createTempDirectory("docstore_rw").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.rcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.rcat.root" -> root)
+    sc.sql("CREATE NAMESPACE rcat.ns")
+    sc.sql("CREATE TABLE rcat.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    Seq((0, 10), (10, 20), (20, 30)).foreach { case (a, b) =>
+      sc.sql(s"INSERT INTO rcat.ns.t SELECT id, id, 'en', 's', " +
+        s"concat('d', id) FROM range($a, $b, 1, 1)") }
+    val path = java.nio.file.Paths.get(root, "ns", "t").toString
+    val headBefore = graft.sources.DocStoreCommitOps.nextVersion(path) - 1
+    val replacedSegs = DocStore.readManifest(path)
+      .filter(s => s.minId >= 10 && s.maxId <= 19).map(_.name)
+    assert(replacedSegs.nonEmpty)
+    // aligned window: covered segments swap for the written data in
+    // ONE commit; everything else is untouched metadata
+    sc.range(10, 15).selectExpr("id AS doc_id", "id AS n_chars",
+      "'xx' AS lang", "'s' AS source", "concat('r', id) AS text")
+      .coalesce(1)
+      .writeTo("rcat.ns.t")
+      .overwrite(col("doc_id") >= 10 && col("doc_id") <= 19)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").head.getLong(0) == 25)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE lang = 'xx'")
+      .head.getLong(0) == 5)
+    // time travel still serves the pre-replace snapshot (files retained)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t VERSION AS OF " +
+      headBefore).head.getLong(0) == 30)
+    replacedSegs.foreach(n => assert(
+      Files.exists(java.nio.file.Paths.get(path, n)),
+      s"replaced segment $n must stay on disk for time travel"))
+    def msg(t: Throwable): String =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => String.valueOf(m.getMessage)).mkString("|")
+    // misaligned window refuses (replacement must be exact) and the
+    // table is untouched
+    val e1 = intercept[Exception] {
+      sc.range(5, 8).selectExpr("id AS doc_id", "id AS n_chars",
+        "'zz' AS lang", "'s' AS source", "'m' AS text").coalesce(1)
+        .writeTo("rcat.ns.t")
+        .overwrite(col("doc_id") >= 5 && col("doc_id") <= 12) }
+    assert(msg(e1).contains("not segment-aligned"), msg(e1))
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").head.getLong(0) == 25)
+    // written rows outside the window refuse (Delta's replaceWhere
+    // constraint check)
+    val e2 = intercept[Exception] {
+      sc.range(50, 52).selectExpr("id AS doc_id", "id AS n_chars",
+        "'zz' AS lang", "'s' AS source", "'m' AS text").coalesce(1)
+        .writeTo("rcat.ns.t")
+        .overwrite(col("doc_id") >= 20 && col("doc_id") <= 29) }
+    assert(msg(e2).contains("does not contain every written row"), msg(e2))
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").head.getLong(0) == 25)
+    // non-doc_id predicates refuse loudly at plan time
+    val e3 = intercept[Exception] {
+      sc.range(0, 1).selectExpr("id AS doc_id", "id AS n_chars",
+        "'zz' AS lang", "'s' AS source", "'m' AS text")
+        .writeTo("rcat.ns.t").overwrite(col("lang") === "en") }
+    assert(msg(e3).contains("doc_id-bound"), msg(e3))
+    // the SQL face: INSERT INTO ... REPLACE WHERE
+    sc.sql("INSERT INTO rcat.ns.t REPLACE WHERE doc_id >= 20 AND " +
+      "doc_id <= 29 SELECT id, id, 'yy', 's', concat('q', id) " +
+      "FROM range(20, 23, 1, 1)")
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").head.getLong(0) == 18)
+    assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE lang = 'yy'")
+      .head.getLong(0) == 3)
+  }
 }
