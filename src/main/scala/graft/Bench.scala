@@ -292,7 +292,14 @@ object Bench {
     val nFailed = timed.count(_._3.isDefined)
     if (nFailed > 0)
       System.err.println(s"BENCH: $nFailed queries failed; exiting nonzero.")
-    spark.stop()
+    // ADVICE r13: stop() must not be able to kill the compact line — if a
+    // shutdown hook throws, a clean sweep would exit with no parseable
+    // artifact, the exact loss the emission ordering exists to prevent.
+    try spark.stop()
+    catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH: spark.stop() threw ${e.getClass.getName}: ${e.getMessage}; continuing to emit the result line.")
+    }
     System.err.flush()
     println(compact)
     System.out.flush()

@@ -2530,10 +2530,18 @@ object IoOps {
         "is an exact binary quarter; dates/decimals from doc_id and " +
         "n_chars), and aggregates through a typed filter; DocStoreSpec " +
         "pins pruning plans, widenings, negative-double ordering and " +
-        "the refusal matrix.",
+        "the refusal matrix. r14: the aggregate output reports the " +
+        "DOUBLE column's sum in integer QUARTER-UNITS (x4 -> BIGINT, " +
+        "both engines) — the r13 red row was a driver-hash disagreement " +
+        "on the registry's only per-row DOUBLE SUM output, and the " +
+        "cross-engine float rule (only emit doubles derived from " +
+        "identical integers) forbids that shape; the DOUBLE column " +
+        "itself still flows through the typed filter and SUM, so the " +
+        "evolved-type surface under test is unchanged.",
       Some("""
         SELECT lang, COUNT(*)::BIGINT AS n_rows,
-               SUM(CAST(n_chars AS DOUBLE) / 4) AS score_sum,
+               CAST(ROUND(SUM(CAST(n_chars AS DOUBLE) / 4) * 4) AS BIGINT)
+                 AS score_q4,
                MIN(DATE '2024-01-01' + CAST(doc_id % 100 AS INT))
                  AS first_added,
                MAX(DATE '2024-01-01' + CAST(doc_id % 100 AS INT))
@@ -2555,7 +2563,8 @@ object IoOps {
         "DATE_ADD(DATE'2024-01-01', CAST(doc_id % 100 AS INT)), " +
         "doc_id % 2 = 0, CAST(n_chars AS DECIMAL(12,2)) " +
         s"FROM $t WHERE doc_id < 5000000")
-      sc.sql(s"SELECT lang, COUNT(*) AS n_rows, SUM(score) AS score_sum, " +
+      sc.sql(s"SELECT lang, COUNT(*) AS n_rows, " +
+        "CAST(ROUND(SUM(score) * 4) AS BIGINT) AS score_q4, " +
         "MIN(added) AS first_added, MAX(added) AS last_added, " +
         "MAX(amt) AS max_amt, " +
         "SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_even " +

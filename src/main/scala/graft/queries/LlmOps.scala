@@ -1135,11 +1135,19 @@ object LlmOps {
         "and are admitted while the running token total stays within " +
         "60% of the corpus. The running sum over a GLOBAL order is the " +
         "scale hazard, so it runs two-phase (the q167 prefix-sum " +
-        "shape): per-(score, doc_id-range-bucket) windows are bounded " +
-        "by the bucket width, and their offsets come from ONE window " +
-        "over the (score x bucket) TOTALS — metadata-sized, not " +
-        "corpus-sized. The stand-in score n_chars % 97 and whitespace " +
-        "token counts keep every number integer-exact cross-engine.",
+        "shape) over a FIXED COUNT of doc_id range buckets (r14, r13 " +
+        "verdict item 2 — the earlier fixed WIDTH of 500 made the " +
+        "(score x bucket) totals grow linearly with the corpus, " +
+        "re-creating the very unpartitioned-window hazard the shape " +
+        "exists to remove): bucket = ((doc_id - min) * NB) div (range), " +
+        "NB constant, so the offsets window input is |score domain| x " +
+        "NB rows — INDEPENDENT of corpus size — and each per-(score, " +
+        "bucket) window handles ~corpus/NB rows in its own task (pick " +
+        "NB ~ cluster parallelism at 100 TB). Range buckets are " +
+        "monotone in doc_id, so (score desc, b, doc_id) reproduces the " +
+        "global order exactly. The stand-in score n_chars % 97 and " +
+        "whitespace token counts keep every number integer-exact " +
+        "cross-engine.",
       Some("""
         WITH d AS (
           SELECT doc_id, lang, COALESCE(n_chars % 97, -1) AS score,
@@ -1156,14 +1164,22 @@ object LlmOps {
                  0)::BIGINT AS toks_selected,
                MIN(CASE WHEN cum <= budget THEN score END) AS min_score
         FROM c, t GROUP BY lang ORDER BY lang""")) { (s, dir) =>
-      val bucketW = 500
+      val nBuckets = 1024
       // score is null-safe (COALESCE to -1, both engines): an inner
       // join on a NULL key would silently drop NULL-n_chars rows the
       // oracle keeps (r13 review finding)
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         coalesce(col("n_chars") % 97, lit(-1L)).as("score"),
-        size(toks(col("text"))).as("toks"),
-        floor(col("doc_id") / bucketW).as("b"))
+        size(toks(col("text"))).as("toks"))
+      // doc_id bounds: a column-pruned scan of one BIGINT column (at
+      // 100 TB this is parquet-footer work); integer `div` keeps the
+      // bucket id exact at any id magnitude (no double rounding)
+      val bounds = Tables.documents(s, dir)
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val d = d0.crossJoin(broadcast(bounds))
+        .withColumn("b",
+          expr(s"((doc_id - lo) * $nBuckets) div (hi - lo + 1)"))
+        .drop("lo", "hi")
       // phase 1: (score, bucket) totals; phase 2: exclusive offsets via
       // one window over the totals (bounded: |score domain| x buckets).
       // The budget derives from the SAME totals — no third corpus

@@ -413,6 +413,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(w.contains("GraftDocStore"), s"q125's read-back must hit the connector:\n$w")
   }
 
+  test("q196 budget selection: no corpus-sized input reaches an unpartitioned window") {
+    val p = q("q196_budget_selection")
+    val lines = p.linesIterator.toSeq
+    val windowIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Window") => i }
+    assert(windowIdxs.size == 2, s"expected exactly 2 windows (per-bucket " +
+      s"cumsum + bounded offsets), got ${windowIdxs.size}:\n$p")
+    // The corpus-side cumsum window is partitioned by (score, b): its
+    // line must carry a doc_id ordering AND a score/b partition spec.
+    val corpusWin = lines(windowIdxs.min)
+    assert(corpusWin.contains("doc_id") && corpusWin.contains("score"),
+      s"corpus cumsum window must partition by (score, b):\n$corpusWin")
+    // Every SinglePartition exchange (the offsets window's, the scalar
+    // budget sum's) must take its input from the (score x b) TOTALS
+    // aggregate — bounded at |score domain| x nBuckets regardless of
+    // corpus size (r13 verdict item 2: the fixed-WIDTH bucket made this
+    // corpus-proportional). A SinglePartition fed by a raw scan fails.
+    val spIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("SinglePartition") => i }
+    assert(spIdxs.nonEmpty, s"expected bounded SinglePartition sites:\n$p")
+    spIdxs.foreach { i =>
+      val below = lines.drop(i + 1)
+        .takeWhile(l => !l.contains("Scan parquet"))
+      assert(below.exists(_.contains("HashAggregate")),
+        s"the SinglePartition input must be the bounded totals " +
+          s"aggregate, not a corpus scan:\n$p")
+    }
+  }
+
   test("q167 sequence packing: the prefix sum never collapses to one partition") {
     val p = q("q167_sequence_packing")
     // the cumsum window is PARTITIONED by the doc_id bucket — a global

@@ -5,8 +5,27 @@ runs graft.Verify output (already on disk) against DuckDB oracles.
 Usage: python3 tools/parity.py <sfDir> <outDir>
 (outDir must contain <query>/ parquet dirs + oracle_sql.json from graft.Verify)
 """
-import sys, os, json, glob
+import sys, os, json, glob, hashlib
 import duckdb
+
+
+def value_hash(con, view, cols):
+    """Replicate the driver-style hash recipe (r13 verdict item 1a): sort
+    columns by name, sort rows by every column, fetch VALUES into Python
+    and hash their canonical string forms. EXCEPT ALL compares values
+    inside one DuckDB type lattice; this path additionally catches
+    renderings that differ between engines for "equal" values (float
+    repr, -0.0, Decimal scale, date formatting) — the exact sensitivity
+    class that made q189 red in r13 while EXCEPT ALL was clean."""
+    rows = con.execute(
+        f"SELECT {cols} FROM {view} ORDER BY ALL NULLS FIRST").fetchall()
+    h = hashlib.sha256()
+    for r in rows:
+        for v in r:
+            h.update(repr(v).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -46,7 +65,15 @@ def main(sfdir, outdir):
                 print(f"FAIL {name}: values match but types differ: {tmism}")
                 n_fail += 1
             elif no == ns and d1 == 0 and d2 == 0:
-                print(f"PASS {name}: {no} rows"); n_pass += 1
+                ho = value_hash(con, "_oracle", cols)
+                hs = value_hash(con, "_spark", cols)
+                if ho != hs:
+                    print(f"FAIL {name}: EXCEPT ALL clean but value-hash differs "
+                          f"(oracle {ho[:12]} vs spark {hs[:12]}) — float/decimal "
+                          f"rendering skew; see q189 r13 postmortem")
+                    n_fail += 1
+                else:
+                    print(f"PASS {name}: {no} rows (value-hash {ho[:12]})"); n_pass += 1
             else:
                 print(f"FAIL {name}: rows oracle={no} spark={ns} spark-only={d1} oracle-only={d2} typemism={tmism}")
                 if d1 or d2:
