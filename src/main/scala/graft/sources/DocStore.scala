@@ -272,13 +272,26 @@ object DocStore {
     *    float widens to double bit-exactly);
     *  - decimal(p<=18, s): the unscaled long — same-scale order. */
   def sortableDoubleBits(d: Double): Long = {
-    // -0.0 == 0.0 in SQL comparison but their IEEE bits differ — a
-    // -0.0 filter literal probing a 0.0-valued envelope (or vice
-    // versa) would prune unsoundly, so both canonicalize to +0.0
-    // (r13 review finding)
-    val b = java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d)
+    // STORED values keep the raw sign bit: -0.0 round-trips as -0.0
+    // (r13 ADVICE — parquet/Delta/Iceberg preserve the zero sign in
+    // data and canonicalize only in stats). NaN stays canonical via
+    // doubleToLongBits, matching Spark's own NaN normalization.
+    val b = java.lang.Double.doubleToLongBits(d)
     if (b >= 0) b else b ^ Long.MaxValue
   }
+  /** The STATS/PRUNING-boundary twin of [[sortableDoubleBits]]:
+    * canonicalizes -0.0 to +0.0 first. -0.0 == 0.0 in SQL comparison
+    * but their encodings differ (-0.0 encodes to -1L, +0.0 to 0L), so
+    * a -0.0 filter literal probing a 0.0-valued envelope (or vice
+    * versa) would prune unsoundly — every value that reaches a
+    * min/max bound or a filter literal goes through THIS function;
+    * only the stored payload keeps the raw sign. */
+  def sortableDoubleStatBits(d: Double): Long =
+    sortableDoubleBits(if (d == 0.0d) 0.0d else d)
+  /** Encoded -0.0 is exactly -1L (the encoding is a bijection) — the
+    * stat fold uses this to canonicalize already-encoded float/double
+    * payloads without decoding. */
+  final val EncodedNegZero: Long = -1L
   def doubleFromSortableBits(l: Long): Double =
     java.lang.Double.longBitsToDouble(if (l >= 0) l else l ^ Long.MaxValue)
 
@@ -312,9 +325,10 @@ object DocStore {
   def encodedStatOf(dt: DataType, v: Any): Long = (dt, v) match {
     case (_, n: java.lang.Long) => n.longValue()
     case (_, n: java.lang.Integer) => n.longValue()
-    case (DoubleType, d: java.lang.Double) => sortableDoubleBits(d)
+    case (DoubleType, d: java.lang.Double) =>
+      sortableDoubleStatBits(d) // stats boundary: -0.0 -> +0.0
     case (FloatType, f: java.lang.Float) =>
-      sortableDoubleBits(f.floatValue().toDouble)
+      sortableDoubleStatBits(f.floatValue().toDouble)
     case (BooleanType, b: java.lang.Boolean) =>
       if (b.booleanValue()) 1L else 0L
     case (DateType, d: java.sql.Date) =>
@@ -651,7 +665,15 @@ object DocStore {
     * is stolen from the added column's domain. A 5-column table writes
     * the GDS1 layout unchanged; extras switch the header to GDS2
     * (which adds the section count). */
-  final class SegmentEncoder(nExtra: Int = 0, compress: Boolean = false) {
+  /** `floatExtras`: offsets (0-based within the extras) of DOUBLE/FLOAT
+    * typed sections. Their stored payloads keep the raw -0.0 sign bit,
+    * so the STAT fold canonicalizes encoded -0.0 (exactly
+    * [[EncodedNegZero]]) to +0.0's encoding — bounds and filter
+    * literals must meet at the same point (see sortableDoubleStatBits).
+    * Other typed sections must NOT be listed: for them -1L is the real
+    * value -1 and rewriting it would corrupt the envelope. */
+  final class SegmentEncoder(nExtra: Int = 0, compress: Boolean = false,
+      floatExtras: Set[Int] = Set.empty) {
     private val sections = Array.fill(5 + nExtra)(new ByteArrayOutputStream())
     private val outs = sections.map(new DataOutputStream(_))
     var rows = 0
@@ -745,7 +767,9 @@ object DocStore {
           case null => outs(5 + j).writeInt(-1); accs(4 + j).addNull()
           case v: java.lang.Long =>
             outs(5 + j).writeInt(8); outs(5 + j).writeLong(v.longValue())
-            accs(4 + j).addLong(v.longValue())
+            accs(4 + j).addLong(
+              if (v.longValue() == EncodedNegZero && floatExtras(j)) 0L
+              else v.longValue())
           case b: Array[Byte] => str(5 + j, b)
         }
         j += 1
@@ -887,9 +911,12 @@ object DocStore {
       case n: java.lang.Integer => Some(n.longValue())
       case n: java.lang.Short => Some(n.longValue())
       case n: java.lang.Byte => Some(n.longValue())
-      case d: java.lang.Double => Some(sortableDoubleBits(d.doubleValue()))
+      case d: java.lang.Double =>
+        // stat variant: -0.0 canonicalizes so the literal probes the
+        // same encoded point the envelope was folded with
+        Some(sortableDoubleStatBits(d.doubleValue()))
       case f: java.lang.Float =>
-        Some(sortableDoubleBits(f.floatValue().toDouble))
+        Some(sortableDoubleStatBits(f.floatValue().toDouble))
       case b: java.lang.Boolean => Some(if (b.booleanValue()) 1L else 0L)
       case d: java.sql.Date =>
         Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -2210,6 +2237,9 @@ class DocStoreDataWriter(path: String, schema: StructType,
       (f.dataType, DocStore.sectionOf(f, i) - 5) }
   private val nExtraSections =
     if (extraFields.isEmpty) 0 else extraFields.map(_._2).max + 1
+  // DOUBLE/FLOAT sections: the stat fold canonicalizes encoded -0.0
+  private val floatExtraOffsets: Set[Int] = extraFields.collect {
+    case (DoubleType | FloatType, off) => off }.toSet
   // insertion-ordered: staged-file ordinals stay deterministic per
   // task. Key = partition dir + roll ordinal; value keeps the bare
   // partition dir for the commit message.
@@ -2262,12 +2292,14 @@ class DocStoreDataWriter(path: String, schema: StructType,
     val dirKey = rowDir(r)
     val ord = rollOrdinal.getOrDefault(dirKey, 0)
     var enc = encoders.computeIfAbsent(s"$dirKey\u0000$ord",
-      _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress)))._2
+      _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
+        floatExtraOffsets)))._2
     if (enc.rows >= maxRowsPerSegment) { // roll to a fresh segment
       val next = ord + 1
       rollOrdinal.put(dirKey, next)
       enc = encoders.computeIfAbsent(s"$dirKey\u0000$next",
-        _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress)))._2
+        _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
+          floatExtraOffsets)))._2
     }
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes

@@ -3251,6 +3251,48 @@ class DocStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("r14: -0.0 survives an evolved DOUBLE round-trip; zero filters stay sound") {
+    // r13 ADVICE: the stored payload keeps the raw IEEE sign bit
+    // (parquet/Delta/Iceberg fidelity); ONLY stats and filter literals
+    // canonicalize ±0.0 so pruning and SQL's -0.0 == 0.0 agree.
+    val root = Files.createTempDirectory("docstore_negzero").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.nzcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.nzcat.root" -> root)
+    sc.sql("CREATE NAMESPACE nzcat.ns")
+    sc.sql("CREATE TABLE nzcat.ns.z (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("ALTER TABLE nzcat.ns.z ADD COLUMNS (price DOUBLE)")
+    // four single-row segments: -0.0, +0.0, negative, positive
+    sc.sql("INSERT INTO nzcat.ns.z VALUES " +
+      "(1, 1, 'en', 's', 'a', CAST('-0.0' AS DOUBLE))")
+    sc.sql("INSERT INTO nzcat.ns.z VALUES (2, 2, 'en', 's', 'b', 0.0D)")
+    sc.sql("INSERT INTO nzcat.ns.z VALUES (3, 3, 'en', 's', 'c', -1.5D)")
+    sc.sql("INSERT INTO nzcat.ns.z VALUES (4, 4, 'en', 's', 'd', 2.5D)")
+    // data fidelity: the sign is visible via CAST AS STRING and in the
+    // collected IEEE bits (1/x would show ±Inf, but ANSI mode refuses
+    // zero division, so read the sign bit directly)
+    val reprs = sc.sql("SELECT doc_id, CAST(price AS STRING) AS r, " +
+      "price FROM nzcat.ns.z ORDER BY doc_id").collect()
+    assert(reprs(0).getString(1) == "-0.0", reprs(0).toString)
+    assert(java.lang.Double.doubleToRawLongBits(reprs(0).getDouble(2)) < 0)
+    assert(reprs(1).getString(1) == "0.0", reprs(1).toString)
+    assert(java.lang.Double.doubleToRawLongBits(reprs(1).getDouble(2)) == 0L)
+    // SQL equality: BOTH zero rows answer = 0.0 AND = -0.0 — the -0.0
+    // segment's envelope must not be pruned by the +0.0 literal (and
+    // vice versa), which is exactly what stat-boundary
+    // canonicalization guarantees
+    def ids(pred: String): Seq[Long] =
+      sc.sql(s"SELECT doc_id FROM nzcat.ns.z WHERE $pred ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    assert(ids("price = 0.0D") == Seq(1L, 2L))
+    assert(ids("price = CAST('-0.0' AS DOUBLE)") == Seq(1L, 2L))
+    assert(ids("price >= 0.0D") == Seq(1L, 2L, 4L))
+    assert(ids("price < 0.0D") == Seq(3L))
+    assert(ids("price <= 0.0D") == Seq(1L, 2L, 3L))
+  }
+
   test("r13: GDS3 segment compression — property-gated, mixed magics, pruning intact") {
     val root = Files.createTempDirectory("docstore_zip").toString
     val sc = graft.core.Sessions.scoped(spark,

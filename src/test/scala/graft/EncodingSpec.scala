@@ -29,27 +29,42 @@ class EncodingSpec extends AnyFunSuite {
     Gen.chooseNum(Long.MinValue, Long.MaxValue)
       .map(java.lang.Double.longBitsToDouble)) // uniform over BIT patterns
 
-  test("sortableDoubleBits: encoded signed-long order == Spark's double order") {
-    // Spark/java.lang.Double.compare order: -Inf < ... < -0.0 == 0.0
-    // (SQL equality; our encoding canonicalizes) < ... < +Inf < NaN
+  test("sortableDoubleBits: encoded signed-long order == Double.compare order") {
+    // java.lang.Double.compare's TOTAL order: -Inf < ... < -0.0 < 0.0
+    // < ... < +Inf < NaN. The stored encoding preserves this exactly
+    // (r13 ADVICE: raw sign bit kept in DATA; SQL's -0.0 == 0.0 is
+    // handled at the STATS boundary by sortableDoubleStatBits below).
     val prop = Prop.forAll(genDouble, genDouble) { (a, b) =>
       val (ea, eb) = (DocStore.sortableDoubleBits(a),
         DocStore.sortableDoubleBits(b))
-      // compare like SQL: -0.0 == 0.0, NaN largest (Double.compare
-      // does exactly this EXCEPT it splits ±0.0 — canonicalize first)
-      def canon(d: Double) = if (d == 0.0d) 0.0d else d
-      val cmp = java.lang.Double.compare(canon(a), canon(b))
+      val cmp = java.lang.Double.compare(a, b)
       java.lang.Long.compare(ea, eb).sign == cmp.sign
     }
     check(prop)
   }
 
-  test("sortableDoubleBits: decode(encode(d)) is d (canonical NaN / +0.0)") {
+  test("sortableDoubleBits: decode(encode(d)) is d bit-for-bit incl -0.0 (canonical NaN)") {
     val prop = Prop.forAll(genDouble) { d =>
       val back = DocStore.doubleFromSortableBits(DocStore.sortableDoubleBits(d))
       if (d.isNaN) back.isNaN
-      else if (d == 0.0d) back == 0.0d // ±0.0 canonicalize to +0.0
-      else back == d
+      else java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(d) // -0.0 stays -0.0
+    }
+    check(prop)
+  }
+
+  test("sortableDoubleStatBits: SQL-equal values meet at one encoded point") {
+    // the stats/pruning twin: ±0.0 collapse, everything else matches
+    // the stored encoding — so a bound folded from stat bits and a
+    // literal encoded with stat bits agree for every SQL comparison
+    assert(DocStore.sortableDoubleStatBits(-0.0d) ==
+      DocStore.sortableDoubleStatBits(0.0d))
+    assert(DocStore.sortableDoubleBits(-0.0d) == DocStore.EncodedNegZero)
+    val prop = Prop.forAll(genDouble) { d =>
+      if (d == 0.0d) DocStore.sortableDoubleStatBits(d) ==
+        DocStore.sortableDoubleBits(0.0d)
+      else DocStore.sortableDoubleStatBits(d) ==
+        DocStore.sortableDoubleBits(d)
     }
     check(prop)
   }
