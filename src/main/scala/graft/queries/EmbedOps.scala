@@ -760,6 +760,114 @@ object EmbedOps {
         .groupBy(col("f.qid").as("query_id"))
         .agg(count(col("h.neighbor_id")).as("n_overlap"))
         .orderBy("query_id")
+    },
+
+    // ------------------------------------- 1-bit binary quantization tier
+    Q("q199_binary_quantize",
+      "1-bit binary quantization + Hamming top-k recall audit (r12/r13 " +
+        "verdict gap — the tier the scalar-int8 q111 / PQ q126 ladder " +
+        "stopped before, and the tier modern ANN serving defaults to, " +
+        "RaBitQ/BQ-style): each 64-dim vector collapses to its SIGN " +
+        "CODE, packed into two 32-bit words carried as BIGINTs — 8 " +
+        "bytes/vector, a 32x memory cut vs float32, which at 100 TB of " +
+        "embeddings is the difference between a RAM-resident and a " +
+        "disk-bound serving tier. Candidate search is integer-only: " +
+        "Hamming distance = popcount(xor) per word (hardware POPCNT in " +
+        "codegen), top-5 per query by (distance, vec_id). The gate " +
+        "reports recall@5 of the Hamming tier against the exact-cosine " +
+        "baseline plus the rank-5 Hamming radius — the two numbers " +
+        "that size a re-rank stage (fetch radius-bounded candidates, " +
+        "re-score exactly, like q187's truncation audit). Packing is a " +
+        "deterministic integer fold (acc*2 + signbit) both engines " +
+        "replay bit-for-bit; 100 TB shape: map-only encode, broadcast " +
+        "query codes, linear scan of 8-byte codes, per-query bounded " +
+        "top-k — no shuffle of vector data at all.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        c AS (SELECT vec_id, q, nn,
+                list_sum(list_transform(range(32), i -> CASE WHEN q[i+1] > 0
+                  THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END)) AS clo,
+                list_sum(list_transform(range(32), i -> CASE WHEN q[i+33] > 0
+                  THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END)) AS chi
+              FROM nz),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn, clo AS qlo,
+                      chi AS qhi
+               FROM c WHERE vec_id < 10),
+        fp AS (SELECT qid, vec_id AS neighbor_id,
+                      ${oDot("qv", "q")}::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+               FROM qs JOIN nz ON vec_id <> qid),
+        fr AS (SELECT qid, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM fp),
+        hp AS (SELECT qid, c.vec_id AS neighbor_id,
+                      bit_count(xor(qlo, clo))::BIGINT
+                        + bit_count(xor(qhi, chi))::BIGINT AS ham
+               FROM qs JOIN c ON c.vec_id <> qid),
+        hr AS (SELECT qid, neighbor_id, ham,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY ham, neighbor_id) AS rnk
+               FROM hp)
+        SELECT f.qid AS query_id,
+               COUNT(h.neighbor_id)::BIGINT AS n_overlap,
+               r.ham_radius
+        FROM (SELECT * FROM fr WHERE rnk <= 5) f
+        LEFT JOIN (SELECT * FROM hr WHERE rnk <= 5) h
+          ON f.qid = h.qid AND f.neighbor_id = h.neighbor_id
+        JOIN (SELECT qid, MAX(ham)::BIGINT AS ham_radius
+              FROM hr WHERE rnk <= 5 GROUP BY qid) r ON f.qid = r.qid
+        GROUP BY 1, 3 ORDER BY 1""")) { (s, dir) =>
+      val full = quantized(s, dir)
+      // sign code per 32-dim half: a fold acc*2 + (x>0) — the first
+      // element lands on the word's high bit, identical to the
+      // oracle's shift sum; two BIGINT words keep every value positive
+      // (no 64-bit sign games in either engine)
+      def packHalf(off: Int): Column = expr(
+        s"aggregate(slice(q, ${off + 1}, 32), 0L, " +
+          "(acc, x) -> acc * 2L + IF(x > 0, 1L, 0L))")
+      val coded = full
+        .withColumn("clo", packHalf(0)).withColumn("chi", packHalf(32))
+      val qs = coded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"), col("clo").as("qlo"), col("chi").as("qhi"))
+      // exact-cosine baseline (the q32/q187 machinery)
+      val wCos = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = full
+        .join(broadcast(qs.drop("qlo", "qhi")), col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        .withColumn("rnk", row_number().over(wCos))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor_id"))
+      // Hamming tier: two POPCNT(xor) per candidate, integer order
+      val wHam = Window.partitionBy(col("qid"))
+        .orderBy(col("ham").asc, col("vec_id").asc)
+      val hammed = coded.drop("q", "nn")
+        .join(broadcast(qs.drop("qv", "qn")), col("vec_id") =!= col("qid"))
+        .withColumn("ham", expr(
+          "CAST(bit_count(qlo ^ clo) AS BIGINT) + " +
+            "CAST(bit_count(qhi ^ chi) AS BIGINT)"))
+        .withColumn("rnk", row_number().over(wHam))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("ham"))
+      // rank-5 radius is tie-break-independent: the 5th smallest value
+      // of the per-query Hamming multiset
+      // rqid: a fresh name — radius shares hammed's lineage, so joining
+      // it back by `qid` would be ambiguous against the h-side alias
+      val radius = hammed.groupBy(col("qid").as("rqid"))
+        .agg(max("ham").as("ham_radius"))
+      exact.as("f")
+        .join(hammed.as("h"),
+          col("f.qid") === col("h.qid") &&
+            col("f.neighbor_id") === col("h.neighbor_id"), "left")
+        .join(radius, col("f.qid") === col("rqid"))
+        .groupBy(col("f.qid").as("query_id"), col("ham_radius"))
+        .agg(count(col("h.neighbor_id")).as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"), col("ham_radius"))
+        .orderBy("query_id")
     }
   )
 }
