@@ -2619,6 +2619,76 @@ object IoOps {
       sc.sql(s"SELECT lang, COUNT(*) AS n_rows, SUM(n_chars) AS chars, " +
         s"SUM(LENGTH(text)) AS text_chars FROM $t " +
         "GROUP BY lang ORDER BY lang")
+    },
+
+    // ------------------------------------ wide decimals (p > 18, dec128)
+    Q("q200_decimal38",
+      "DECIMAL(p>18) evolved columns (r13 verdict gap 2 — the one " +
+        "refusal left in the evolved-type matrix; Delta/Iceberg store " +
+        "DECIMAL(38) natively): wide decimals store the unscaled value " +
+        "as a FIXED 16-byte two's-complement section payload " +
+        "(DocStore.dec128Bytes), with exact per-segment DecBound " +
+        "[min,max] envelopes in the manifest and scale-aware pruning " +
+        "(filter literals rescale to the COLUMN's scale and probe " +
+        "DecBound AND pre-widening LongBound under one BigInt " +
+        "comparison — declining only when the literal's fraction " +
+        "doesn't fit the scale exactly). Because sections are " +
+        "length-prefixed, the reader dispatches per VALUE by payload " +
+        "length (8 = unscaled long, 16 = dec128), which makes " +
+        "same-scale precision widening ACROSS the 18 boundary a pure " +
+        "metadata operation — this gate widens DECIMAL(12,2) -> " +
+        "DECIMAL(24,2) and then aggregates one column spanning 8-byte " +
+        "AND 16-byte segments. Metadata-only MIN/MAX serves wide " +
+        "columns too (exact 128-bit fold over DecBound envelopes, " +
+        "pre-widening LongBounds lifted) once every segment carries " +
+        "an envelope or is provably all-null — ANALYZE backfills; " +
+        "stat-less pre-evolution segments decline conservatively " +
+        "(DocStoreSpec pins both faces). Values exceed Long.MaxValue by construction " +
+        "(n_chars x 10^18) yet derive from integers, so both engines " +
+        "agree digit-for-digit. At 100 TB: evolution is still one " +
+        "SCHEMA write, no segment rewritten; 16-byte payloads read " +
+        "sequentially per section, and wide-decimal filters still " +
+        "skip segments via DecBound.",
+      Some("""
+        WITH base AS (SELECT lang, n_chars FROM documents)
+        SELECT lang, (COUNT(*) * 2)::BIGINT AS n_rows,
+               CAST(SUM(CAST(n_chars::VARCHAR || '000000000000000000'
+                 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS wide_sum,
+               CAST(MAX(CAST(n_chars::VARCHAR || '000000000000000000'
+                 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS wide_max,
+               CAST(SUM(CAST(n_chars AS DECIMAL(24,2)))
+                 + SUM(CAST(n_chars::VARCHAR || '0000000000000000'
+                     AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS amt_sum,
+               CAST(MIN(CAST(n_chars AS DECIMAL(24,2)))
+                 AS DECIMAL(24,2)) AS amt_min
+        FROM base GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_dec")
+      val t = "graft_cat_dec.default.docs"
+      sc.sql(s"ALTER TABLE $t ADD COLUMNS (wide DECIMAL(38,6), " +
+        "amt DECIMAL(12,2))")
+      // slice 1: wide = n_chars x 10^18 (past Long range; 16-byte
+      // payloads) and amt = n_chars at the NARROW type (8-byte
+      // unscaled-long payloads + LongBound stats)
+      sc.sql(s"INSERT INTO $t SELECT doc_id + 5000000, n_chars, lang, " +
+        "source, text, " +
+        "CAST(CONCAT(CAST(n_chars AS STRING), '000000000000000000') " +
+        "AS DECIMAL(38,6)), CAST(n_chars AS DECIMAL(12,2)) " +
+        s"FROM $t WHERE doc_id < 5000000")
+      // cross-18 widening: pure metadata — 8-byte history stays put
+      sc.sql(s"ALTER TABLE $t ALTER COLUMN amt TYPE DECIMAL(24,2)")
+      // slice 2: amt values needing > 18 digits land 16-byte payloads
+      // in the SAME column the 8-byte history serves
+      sc.sql(s"INSERT INTO $t SELECT doc_id + 10000000, n_chars, lang, " +
+        "source, text, NULL, " +
+        "CAST(CONCAT(CAST(n_chars AS STRING), '0000000000000000') " +
+        "AS DECIMAL(24,2)) " +
+        s"FROM $t WHERE doc_id < 5000000")
+      sc.sql(s"SELECT lang, COUNT(*) AS n_rows, " +
+        "CAST(SUM(wide) AS DECIMAL(38,6)) AS wide_sum, " +
+        "CAST(MAX(wide) AS DECIMAL(38,6)) AS wide_max, " +
+        "CAST(SUM(amt) AS DECIMAL(38,2)) AS amt_sum, " +
+        "CAST(MIN(amt) AS DECIMAL(24,2)) AS amt_min " +
+        s"FROM $t WHERE doc_id >= 5000000 GROUP BY lang ORDER BY lang")
     }
   )
 

@@ -250,14 +250,66 @@ object DocStore {
     * ORDER-PRESERVING long encoding (see [[encodedLongOf]]), so the
     * per-segment LongBound stats, the stats pruner, and the
     * INT→BIGINT-style metadata-only widenings all keep working
-    * unchanged over the encoded payloads. DECIMAL is capped at
-    * precision 18 (the unscaled value must fit the 8-byte payload —
-    * Delta's own long-decimal fast path; wider refuses at DDL). */
+    * unchanged over the encoded payloads. DECIMAL splits by physical
+    * class: p <= 18 stores the unscaled long in the 8-byte payload
+    * (Delta's own long-decimal fast path); p > 18 (up to Spark's cap
+    * of 38) stores the unscaled value as a FIXED 16-byte
+    * two's-complement big-endian payload ([[dec128Bytes]]) — and
+    * because sections are length-prefixed, a reader dispatches per
+    * VALUE by payload length (8 vs 16), which is what makes same-scale
+    * precision widening ACROSS the 18 boundary a pure metadata
+    * operation too (old 8-byte values keep decoding as unscaled
+    * longs). Wide-decimal sections carry [[DecBound]] envelopes;
+    * metadata-only MIN/MAX pushdown declines for them (the manifest
+    * agg serves 8-byte payloads only — provably sound: minMaxServable
+    * requires LongBound stats on every segment).
+    *
+    * NESTED types (ARRAY / MAP / STRUCT) are REFUSED at DDL by design:
+    * the format's section payloads are scalar (one length-prefixed
+    * value per row) and its stat/pruning algebra is total-ordered,
+    * which no nested type is. The supported pattern is the one
+    * Delta/Iceberg users reach for under the same constraint: store
+    * the nested value as a STRING column holding JSON and query it
+    * with the variant path (from_json / get_json_object — the q127
+    * shredding gate shows the full pipeline). See
+    * [[nestedRefusalReason]], pinned by EncodingSpec. */
   def evolvedTypeOk(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | DoubleType | FloatType |
         DateType | TimestampType | TimestampNTZType | BooleanType => true
-    case d: DecimalType => d.precision <= 18
+    case d: DecimalType => d.precision <= 38
     case _ => false
+  }
+
+  /** True for DECIMAL(p > 18): the 16-byte-payload physical class. */
+  def isWideDecimal(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision > 18
+    case _ => false
+  }
+
+  /** The documented refusal matrix for non-[[evolvedTypeOk]] ADD
+    * COLUMN types — one actionable message per family, so the DDL
+    * error TELLS the user the supported workaround instead of a bare
+    * "unsupported type". */
+  def nestedRefusalReason(dt: DataType): Option[String] = dt match {
+    case _ if evolvedTypeOk(dt) => None
+    case _: org.apache.spark.sql.types.ArrayType |
+        _: org.apache.spark.sql.types.MapType |
+        _: org.apache.spark.sql.types.StructType => Some(
+      s"nested type ${dt.simpleString} cannot be an evolved docstore " +
+        "column: section payloads are scalar and the stats/pruning " +
+        "algebra needs a total order. Store the value as a STRING " +
+        "column holding JSON and query it with from_json / " +
+        "get_json_object (the variant-shredding path; see " +
+        "q127_json_shred)")
+    case _: org.apache.spark.sql.types.BinaryType => Some(
+      "BINARY cannot be an evolved docstore column: string sections " +
+        "are UTF-8 and stat envelopes would be unsound on raw bytes. " +
+        "Base64-encode into a STRING column (order-preserving per " +
+        "byte, reversible with unbase64)")
+    case _ => Some(
+      s"type ${dt.simpleString} cannot be an evolved docstore column " +
+        "(supported: INT, BIGINT, STRING, DOUBLE, FLOAT, DATE, " +
+        "TIMESTAMP, TIMESTAMP_NTZ, BOOLEAN, DECIMAL(<=38, s))")
   }
 
   /** Order-preserving 8-byte encodings (signed-long comparison order
@@ -294,6 +346,30 @@ object DocStore {
   final val EncodedNegZero: Long = -1L
   def doubleFromSortableBits(l: Long): Double =
     java.lang.Double.longBitsToDouble(if (l >= 0) l else l ^ Long.MaxValue)
+
+  /** Fixed 16-byte two's-complement big-endian form of a wide
+    * decimal's unscaled value (sign-extended; DECIMAL(38) maxes at
+    * 10^38 - 1 < 2^127, so 16 bytes always fit). Fixed width keeps the
+    * reader's per-value dispatch unambiguous: payload length 8 = the
+    * pre-widening unscaled-long class, 16 = this class. */
+  def dec128Bytes(unscaled: java.math.BigInteger): Array[Byte] = {
+    val raw = unscaled.toByteArray // minimal two's-complement, big-endian
+    require(raw.length <= 16,
+      s"decimal unscaled value $unscaled exceeds 16 bytes")
+    if (raw.length == 16) raw
+    else {
+      val out = new Array[Byte](16)
+      // sign-extend: negative values pad with 0xff, others with 0x00
+      if (raw(0) < 0) java.util.Arrays.fill(out, 0, 16 - raw.length,
+        0xff.toByte)
+      System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+      out
+    }
+  }
+
+  /** Unscaled value back from the fixed 16-byte payload. */
+  def dec128Of(b: Array[Byte]): java.math.BigInteger =
+    new java.math.BigInteger(b)
 
   /** Decode a stored/encoded 8-byte payload back to the CATALYST value
     * the column type carries in an InternalRow — shared by the segment
@@ -364,11 +440,13 @@ object DocStore {
       s"docstore schema must start with ${SCHEMA.simpleString}, " +
         s"got ${schema.simpleString}")
     val extra = schema.fields.drop(FIELDS.size).toSeq
-    extra.foreach(f => require(
-      f.nullable && evolvedTypeOk(f.dataType),
-      s"added docstore columns must be nullable INT, BIGINT, STRING, " +
-        s"DOUBLE, FLOAT, DATE, TIMESTAMP, TIMESTAMP_NTZ, BOOLEAN or " +
-        s"DECIMAL(<=18, s), got $f"))
+    extra.foreach { f =>
+      nestedRefusalReason(f.dataType).foreach(reason =>
+        throw new IllegalArgumentException(
+          s"column ${f.name}: $reason"))
+      require(f.nullable,
+        s"added docstore columns must be nullable, got $f")
+    }
     // section ids must be unique, ascending, and past the base columns —
     // a violation means corrupted mapping metadata, fail before any read
     // or write trusts it
@@ -539,6 +617,14 @@ object DocStore {
   sealed trait StatBound
   final case class LongBound(lo: Long, hi: Long) extends StatBound
   final case class StrBound(lo: String, hi: String) extends StatBound
+  /** Wide-decimal (p > 18) envelope: exact [min, max] of the UNSCALED
+    * values at the column scale — the 128-bit twin of the unscaled
+    * longs a p <= 18 decimal section folds into [[LongBound]]. One
+    * wide-decimal column can carry BOTH bound kinds across segments
+    * (segments written before a cross-18 precision widening have
+    * LongBound); the pruner lifts LongBound to BigInt when a decimal
+    * literal probes it, so both prune under one comparison. */
+  final case class DecBound(lo: BigInt, hi: BigInt) extends StatBound
   final case class ColStat(nulls: Long, bound: Option[StatBound])
 
   /** Max stored bytes of a string envelope bound (Iceberg truncate[16]). */
@@ -672,8 +758,15 @@ object DocStore {
     * literals must meet at the same point (see sortableDoubleStatBits).
     * Other typed sections must NOT be listed: for them -1L is the real
     * value -1 and rewriting it would corrupt the envelope. */
+  /** `dec128Extras`: offsets (0-based within the extras) of
+    * DECIMAL(p > 18) sections. Their byte payloads are the FIXED
+    * 16-byte unscaled encodings of [[dec128Bytes]] — routed to the
+    * decimal stat accumulator ([[DecBound]]), never the string one
+    * (random 16-byte payloads are not UTF-8 and byte order is not
+    * numeric order for negatives). */
   final class SegmentEncoder(nExtra: Int = 0, compress: Boolean = false,
-      floatExtras: Set[Int] = Set.empty) {
+      floatExtras: Set[Int] = Set.empty,
+      dec128Extras: Set[Int] = Set.empty) {
     private val sections = Array.fill(5 + nExtra)(new ByteArrayOutputStream())
     private val outs = sections.map(new DataOutputStream(_))
     var rows = 0
@@ -694,12 +787,24 @@ object DocStore {
       var seen = false
       var loL = Long.MaxValue; var hiL = Long.MinValue
       var loB: Array[Byte] = null; var hiB: Array[Byte] = null
+      var loD: java.math.BigInteger = null
+      var hiD: java.math.BigInteger = null
       var poisoned = false // un-incrementable upper prefix (see truncUpperBytes)
       def addNull(): Unit = nulls += 1
       def addLong(v: Long): Unit = {
         seen = true
         if (v < loL) loL = v
         if (v > hiL) hiL = v
+      }
+      /** Wide-decimal path: fold exact unscaled [min, max]. Two
+        * BigInteger compares per value — the payloads are already
+        * 16-byte arrays, so the decode is one allocation per value
+        * that the section write needed anyway. */
+      def addDec(b: Array[Byte]): Unit = {
+        seen = true
+        val v = dec128Of(b)
+        if (loD == null || v.compareTo(loD) < 0) loD = v
+        if (hiD == null || v.compareTo(hiD) > 0) hiD = v
       }
       def addBytes(b: Array[Byte]): Unit = {
         seen = true
@@ -730,6 +835,7 @@ object DocStore {
       }
       def result: ColStat = ColStat(nulls,
         if (!seen || poisoned) None
+        else if (loD != null) Some(DecBound(BigInt(loD), BigInt(hiD)))
         else if (loB != null) Some(StrBound(
           new String(loB, java.nio.charset.StandardCharsets.UTF_8),
           new String(hiB, java.nio.charset.StandardCharsets.UTF_8)))
@@ -770,6 +876,9 @@ object DocStore {
             accs(4 + j).addLong(
               if (v.longValue() == EncodedNegZero && floatExtras(j)) 0L
               else v.longValue())
+          case b: Array[Byte] if dec128Extras(j) =>
+            outs(5 + j).writeInt(b.length); outs(5 + j).write(b)
+            accs(4 + j).addDec(b)
           case b: Array[Byte] => str(5 + j, b)
         }
         j += 1
@@ -865,6 +974,7 @@ object DocStore {
     stats.toSeq.sortBy(_._1).map { case (sec, st) =>
       val bound = st.bound match {
         case Some(LongBound(lo, hi)) => s"i,$lo,$hi"
+        case Some(DecBound(lo, hi)) => s"d,$lo,$hi"
         case Some(StrBound(lo, hi)) =>
           val enc = (v: String) =>
             java.net.URLEncoder.encode(v, "UTF-8")
@@ -903,9 +1013,10 @@ object DocStore {
     // soundly). The dispatch is by VALUE class — safe because Spark
     // casts literals to the column type before a v2 pushdown, so a
     // double value only ever probes a double/float column's bounds.
-    // DECIMAL literals are skipped (their encoding needs the column's
-    // scale, which the value alone doesn't carry) — no prune, still
-    // correct.
+    // DECIMAL literals go through decOf below (their unscaled encoding
+    // needs the COLUMN's scale, which the pruner resolves from the
+    // schema) — both LongBound (p <= 18 segments) and DecBound
+    // (p > 18) envelopes prune under one BigInt comparison.
     def longOf(v: Any): Option[Long] = v match {
       case n: java.lang.Long => Some(n.longValue())
       case n: java.lang.Integer => Some(n.longValue())
@@ -933,9 +1044,37 @@ object DocStore {
           .localDateTimeToMicros(t))
       case _ => None
     }
-    // per-leaf emptiness proofs; Option(st) is the section's stats
-    def outside(st: ColStat, v: Any): Boolean = st.bound.exists {
-      case LongBound(lo, hi) => longOf(v).exists(x => x < lo || x > hi)
+    // decimal literal → unscaled BigInt at the COLUMN's scale. None
+    // when the literal's fraction doesn't fit the column scale exactly
+    // (setScale would round — the rescaled point is not the literal,
+    // so comparing it could prune a segment the true value intersects;
+    // declining is always sound) or the column isn't decimal-typed.
+    val decScale: Map[String, Int] = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] =>
+        f.name -> f.dataType.asInstanceOf[DecimalType].scale
+    }.toMap
+    def decOf(c: String, v: Any): Option[BigInt] = decScale.get(c).flatMap {
+      sc =>
+        val bd = v match {
+          case b: java.math.BigDecimal => Some(b)
+          case b: scala.math.BigDecimal => Some(b.bigDecimal)
+          case d: org.apache.spark.sql.types.Decimal =>
+            Some(d.toJavaBigDecimal)
+          case _ => None
+        }
+        bd.flatMap(b =>
+          try Some(BigInt(b.setScale(sc).unscaledValue()))
+          catch { case _: ArithmeticException => None })
+    }
+    // per-leaf emptiness proofs; Option(st) is the section's stats.
+    // A wide-decimal column can hold BOTH bound kinds across segments
+    // (pre-widening segments carry LongBound over unscaled longs), so
+    // the LongBound arm also probes the decimal literal, lifted.
+    def outside(c: String, st: ColStat, v: Any): Boolean = st.bound.exists {
+      case LongBound(lo, hi) =>
+        longOf(v).exists(x => x < lo || x > hi) ||
+          decOf(c, v).exists(x => x < BigInt(lo) || x > BigInt(hi))
+      case DecBound(lo, hi) => decOf(c, v).exists(x => x < lo || x > hi)
       case StrBound(lo, hi) => v match {
         case s: String => utf8Compare(s, lo) < 0 || utf8Compare(s, hi) > 0
         case _ => false
@@ -948,17 +1087,19 @@ object DocStore {
         case And(a, b) => keeps(a, s) && keeps(b, s)
         case Or(a, b) => keeps(a, s) || keeps(b, s)
         case EqualTo(c, v) => st(c).forall(t =>
-          t.nulls < s.rows && !outside(t, v))
+          t.nulls < s.rows && !outside(c, t, v))
         case EqualNullSafe(c, null) => st(c).forall(_.nulls > 0)
         case EqualNullSafe(c, v) => st(c).forall(t =>
-          t.nulls < s.rows && !outside(t, v))
+          t.nulls < s.rows && !outside(c, t, v))
         case In(c, vs) => st(c).forall { t =>
           val nonNull = vs.filter(_ != null)
-          t.nulls < s.rows && nonNull.exists(v => !outside(t, v))
+          t.nulls < s.rows && nonNull.exists(v => !outside(c, t, v))
         }
         case GreaterThan(c, v) => st(c).forall(t =>
           t.nulls < s.rows && (t.bound match {
-          case Some(LongBound(_, hi)) => longOf(v).forall(hi > _)
+          case Some(LongBound(_, hi)) => longOf(v).forall(hi > _) &&
+            decOf(c, v).forall(BigInt(hi) > _)
+          case Some(DecBound(_, hi)) => decOf(c, v).forall(hi > _)
           case Some(StrBound(_, hi)) => v match {
             case x: String => utf8Compare(hi, x) > 0
             case _ => true
@@ -967,7 +1108,9 @@ object DocStore {
         }))
         case GreaterThanOrEqual(c, v) => st(c).forall(t =>
           t.nulls < s.rows && (t.bound match {
-          case Some(LongBound(_, hi)) => longOf(v).forall(hi >= _)
+          case Some(LongBound(_, hi)) => longOf(v).forall(hi >= _) &&
+            decOf(c, v).forall(BigInt(hi) >= _)
+          case Some(DecBound(_, hi)) => decOf(c, v).forall(hi >= _)
           case Some(StrBound(_, hi)) => v match {
             case x: String => utf8Compare(hi, x) >= 0
             case _ => true
@@ -976,7 +1119,9 @@ object DocStore {
         }))
         case LessThan(c, v) => st(c).forall(t =>
           t.nulls < s.rows && (t.bound match {
-          case Some(LongBound(lo, _)) => longOf(v).forall(lo < _)
+          case Some(LongBound(lo, _)) => longOf(v).forall(lo < _) &&
+            decOf(c, v).forall(BigInt(lo) < _)
+          case Some(DecBound(lo, _)) => decOf(c, v).forall(lo < _)
           case Some(StrBound(lo, _)) => v match {
             case x: String => utf8Compare(lo, x) < 0
             case _ => true
@@ -985,7 +1130,9 @@ object DocStore {
         }))
         case LessThanOrEqual(c, v) => st(c).forall(t =>
           t.nulls < s.rows && (t.bound match {
-          case Some(LongBound(lo, _)) => longOf(v).forall(lo <= _)
+          case Some(LongBound(lo, _)) => longOf(v).forall(lo <= _) &&
+            decOf(c, v).forall(BigInt(lo) <= _)
+          case Some(DecBound(lo, _)) => decOf(c, v).forall(lo <= _)
           case Some(StrBound(lo, _)) => v match {
             case x: String => utf8Compare(lo, x) <= 0
             case _ => true
@@ -1021,6 +1168,7 @@ object DocStore {
     val p = l.split(",", -1)
     val bound = p(4) match {
       case "i" => Some(LongBound(p(5).toLong, p(6).toLong))
+      case "d" => Some(DecBound(BigInt(p(5)), BigInt(p(6))))
       case "s" =>
         val dec = (v: String) => java.net.URLDecoder.decode(v, "UTF-8")
         Some(StrBound(dec(p(5)), dec(p(6))))
@@ -1556,10 +1704,16 @@ object DocStoreCommitOps {
     val dir = Paths.get(path)
     if (!Files.exists(dir)) return 0
     val floor = {
-      val f = dir.resolve("COUNTER")
-      if (Files.exists(f))
-        Files.readString(f).trim.toIntOption.getOrElse(0)
-      else 0
+      def intOf(name: String): Int = {
+        val f = dir.resolve(name)
+        if (Files.exists(f))
+          Files.readString(f).trim.toIntOption.getOrElse(0)
+        else 0
+      }
+      // PART_SEQ (see claimPartNumbers) is also a floor here, so the
+      // walk-based fallback can never step below the maintained
+      // sequence even when called directly (persistPartNumberFloor)
+      math.max(intOf("COUNTER"), intOf(PART_SEQ_FILE))
     }
     val stream = Files.walk(dir)
     try math.max(floor, stream.iterator().asScala
@@ -1581,12 +1735,68 @@ object DocStoreCommitOps {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Monotone part-number sequence: `PART_SEQ` holds the next free
+    * number and is maintained at EVERY commit by [[claimPartNumbers]].
+    * Present => authoritative (>= every number ever handed out, by
+    * induction: seeded from the disk walk, advanced under the commit
+    * lock BEFORE any rename uses the claimed range — a crash mid-
+    * commit burns numbers, never reuses one). Absent (legacy table) =>
+    * one walk seeds it, then commits are O(1) forever.
+    *
+    * This is the 100 TB lever for commit THROUGHPUT: nextPartNumber's
+    * recursive walk is O(table file count) and used to run inside the
+    * commit lock on every append — at 10^5 segments that is 10^5
+    * dirent stats per commit, serialized across all writers. With the
+    * claim, the lock-held window is O(staged segments + manifest
+    * lines), independent of table size. */
+  val PART_SEQ_FILE = "PART_SEQ"
+
+  /** Claim `k` consecutive part numbers (>= 1 claimed even for k = 0,
+    * keeping the sequence strictly advancing). MUST run inside the
+    * commit lock — the read-modify-write below is what the lock makes
+    * atomic across writers. */
+  def claimPartNumbers(path: String, k: Int): Int = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val seq = dir.resolve(PART_SEQ_FILE)
+    val base =
+      if (Files.exists(seq))
+        Files.readString(seq).trim.toIntOption
+          .getOrElse(nextPartNumber(path))
+      else nextPartNumber(path) // legacy/first commit: one walk, then O(1)
+    val tmp = dir.resolve(s".$PART_SEQ_FILE-tmp")
+    Files.writeString(tmp, (base + math.max(k, 1)).toString)
+    Files.move(tmp, seq, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    base
+  }
+
   /** Serializes read-manifest → publish across concurrent writers.
     * Without it, two concurrent appends (e.g. catalog INSERT INTO from
     * two sessions) both read the same `old` manifest and the second
     * publish clobbers the first — a lost update, not the old-or-new
     * guarantee the manifest rename provides against READERS (r7
     * advice). `Files.createDirectory` is the atomic put-if-absent.
+    *
+    * CONCURRENCY MODEL (r13 verdict item 5 — Delta's OCC shape, with
+    * the log-append arbitration played by this lock): writers do ALL
+    * data work optimistically OUTSIDE the lock — tasks encode and
+    * stage segment files with collision-free temp names while other
+    * writers commit freely. The lock guards only the metadata
+    * arbitration: re-read the manifest (so a concurrent append's
+    * segments land in `keep` — disjoint appends MERGE, they never
+    * conflict or retry), run the true-conflict checks (identity
+    * high-water moved → refuse; txn version replayed → idempotent
+    * no-op; REPLACE WHERE window misaligned with concurrent state →
+    * refuse; row-level scanned segments rewritten → refuse), claim
+    * part numbers from PART_SEQ, rename staged files, swap the
+    * manifest. Every piece of that window is O(staged segments +
+    * manifest lines) — independent of table file count (PART_SEQ) and
+    * of version history depth (checkpointed nextVersion) — so N
+    * writers serialize only on metadata-sized sections, the same
+    * throughput shape as N Delta writers serializing on the
+    * _delta_log append. OccSpec pins both faces: racing disjoint
+    * appends all commit, true conflicts refuse loudly.
     *
     * A lock older than the steal TTL is presumed crashed. The steal is
     * by atomic RENAME to a unique tombstone, never delete-in-place:
@@ -1888,12 +2098,26 @@ object DocStoreCommitOps {
     else Map.empty
 
   def nextVersion(path: String): Long = {
-    val stream = Files.list(Paths.get(path))
-    try stream.iterator().asScala
-      .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
-        .findFirstMatchIn(p.getFileName.toString))
-      .map(_.group(1).toLong).foldLeft(0L)(math.max) + 1
-    finally stream.close()
+    // checkpoint-accelerated (the commit-path twin of PART_SEQ): the
+    // version log's max covered version is a floor; probe FORWARD past
+    // any trailing commits the checkpoint hasn't covered yet (a crash
+    // between manifest move and checkpoint append leaves a gap of at
+    // most one per crashed writer — each probe is one Files.exists).
+    // The full directory list — O(retained versions), 10^5 dirents on
+    // a streaming-ingest table — runs only when no checkpoint exists.
+    val ck = readCheckpoint(path)
+    if (ck.nonEmpty) {
+      var v = ck.keys.max
+      while (Files.exists(Paths.get(path, s"MANIFEST.v${v + 1}"))) v += 1
+      v + 1
+    } else {
+      val stream = Files.list(Paths.get(path))
+      try stream.iterator().asScala
+        .flatMap(p => "^MANIFEST\\.v(\\d+)$".r
+          .findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toLong).foldLeft(0L)(math.max) + 1
+      finally stream.close()
+    }
   }
 
   /** History reset for truncate overwrites: old versions reference the
@@ -2022,11 +2246,12 @@ class DocStoreBatchWrite(path: String, schema: StructType,
           if (replaceWindow.isEmpty) dvs
           else dvs.filter { case (n, _) => keepNames(n) }
         }
-      // deterministic final names: continue past every part number ON
-      // DISK (a DELETE-retained file's name must never be reused; the
-      // walk also covers branch segments, so branch and main writes
-      // never collide on a name)
-      val next = DocStoreCommitOps.nextPartNumber(path)
+      // deterministic final names from the claimed range (O(1) via
+      // PART_SEQ — see claimPartNumbers; a DELETE-retained file's name
+      // is never reused, and branch/main writes never collide because
+      // the sequence is global to the table directory)
+      val next = DocStoreCommitOps.claimPartNumbers(path,
+        DocStoreCommitOps.stagedOf(messages).count(_.rows > 0))
       // truncate rewrites the data old versions reference → history reset
       if (truncate && Files.exists(Paths.get(path)))
         DocStoreCommitOps.clearVersions(path)
@@ -2240,6 +2465,9 @@ class DocStoreDataWriter(path: String, schema: StructType,
   // DOUBLE/FLOAT sections: the stat fold canonicalizes encoded -0.0
   private val floatExtraOffsets: Set[Int] = extraFields.collect {
     case (DoubleType | FloatType, off) => off }.toSet
+  // DECIMAL(p > 18) sections: 16-byte dec128 payloads + DecBound stats
+  private val dec128ExtraOffsets: Set[Int] = extraFields.collect {
+    case (dt, off) if DocStore.isWideDecimal(dt) => off }.toSet
   // insertion-ordered: staged-file ordinals stay deterministic per
   // task. Key = partition dir + roll ordinal; value keeps the bare
   // partition dir for the commit message.
@@ -2293,13 +2521,13 @@ class DocStoreDataWriter(path: String, schema: StructType,
     val ord = rollOrdinal.getOrDefault(dirKey, 0)
     var enc = encoders.computeIfAbsent(s"$dirKey\u0000$ord",
       _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
-        floatExtraOffsets)))._2
+        floatExtraOffsets, dec128ExtraOffsets)))._2
     if (enc.rows >= maxRowsPerSegment) { // roll to a fresh segment
       val next = ord + 1
       rollOrdinal.put(dirKey, next)
       enc = encoders.computeIfAbsent(s"$dirKey\u0000$next",
         _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
-          floatExtraOffsets)))._2
+          floatExtraOffsets, dec128ExtraOffsets)))._2
     }
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
@@ -2330,8 +2558,13 @@ class DocStoreDataWriter(path: String, schema: StructType,
               java.lang.Long.valueOf(r.getLong(pos)): AnyRef
             case BooleanType => java.lang.Long.valueOf(
               if (r.getBoolean(pos)) 1L else 0L): AnyRef
-            case d: DecimalType => java.lang.Long.valueOf(
-              r.getDecimal(pos, d.precision, d.scale).toUnscaledLong): AnyRef
+            case d: DecimalType if d.precision <= 18 =>
+              java.lang.Long.valueOf(
+                r.getDecimal(pos, d.precision, d.scale).toUnscaledLong): AnyRef
+            // p > 18: fixed 16-byte unscaled payload (see dec128Bytes)
+            case d: DecimalType => DocStore.dec128Bytes(
+              r.getDecimal(pos, d.precision, d.scale)
+                .toJavaBigDecimal.unscaledValue()): AnyRef
             case _ => r.getUTF8String(pos).getBytes: AnyRef
           }
           j += 1
@@ -2474,6 +2707,9 @@ class DocStoreScanBuilder(path: String,
         manifestData._1.forall(s =>
         s.rows == 0 || statOf(s, c).exists {
           case DocStore.ColStat(_, Some(_: DocStore.LongBound)) => true
+          // wide decimals: DecBound envelopes are exact 128-bit folds
+          case DocStore.ColStat(_, Some(_: DocStore.DecBound)) =>
+            DocStore.isWideDecimal(f.dataType)
           case DocStore.ColStat(n, None) => n == s.rows // all-null
           case _ => false
         })
@@ -2604,35 +2840,47 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
       groupCols.map { case (_, lvl) => vs(lvl) }
     }.toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
 
-  private def valuesOf(group: Seq[DocStore.Segment]): Array[java.lang.Long] = {
+  /** MIN/MAX payload per output cell: java.lang.Long (ENCODED value,
+    * decoded by the reader through catalystOfEncoded) — or, for a
+    * wide-decimal column, java.math.BigInteger carrying the exact
+    * unscaled fold over DecBound envelopes, with pre-widening
+    * LongBound envelopes lifted into the same 128-bit order. */
+  private def foldBound(col: String, live: Seq[DocStore.Segment],
+      isMin: Boolean): AnyRef =
+    if (DocStore.isWideDecimal(schema(col).dataType)) {
+      val bs = live.flatMap(s => statOf(s, col).bound.collect {
+        case DocStore.LongBound(lo, hi) => BigInt(if (isMin) lo else hi)
+        case DocStore.DecBound(lo, hi) => if (isMin) lo else hi })
+      if (bs.isEmpty) null else (if (isMin) bs.min else bs.max).bigInteger
+    } else {
+      val bs = live.flatMap(s => statOf(s, col).bound.collect {
+        case DocStore.LongBound(lo, hi) => if (isMin) lo else hi })
+      if (bs.isEmpty) null
+      else java.lang.Long.valueOf(if (isMin) bs.min else bs.max)
+    }
+
+  private def valuesOf(group: Seq[DocStore.Segment]): Array[AnyRef] = {
     val live = group.filter(_.rows > 0)
     agg.aggregateExpressions.map {
-      case _: CountStar => java.lang.Long.valueOf(group.map(_.rows).sum)
+      case _: CountStar =>
+        java.lang.Long.valueOf(group.map(_.rows).sum): AnyRef
       case c: Count =>
         val col = colOf(c.column)
         java.lang.Long.valueOf(
           if (col == "doc_id") group.map(_.rows).sum
-          else live.map(s => s.rows - statOf(s, col).nulls).sum)
+          else live.map(s => s.rows - statOf(s, col).nulls).sum): AnyRef
       case m: Min =>
         val col = colOf(m.column)
-        if (col == "doc_id")
+        if (col == "doc_id") {
           if (group.isEmpty) null
-          else java.lang.Long.valueOf(group.map(_.minId).min)
-        else {
-          val los = live.flatMap(s => statOf(s, col).bound.collect {
-            case DocStore.LongBound(lo, _) => lo })
-          if (los.isEmpty) null else java.lang.Long.valueOf(los.min)
-        }
+          else java.lang.Long.valueOf(group.map(_.minId).min): AnyRef
+        } else foldBound(col, live, isMin = true)
       case m: Max =>
         val col = colOf(m.column)
-        if (col == "doc_id")
+        if (col == "doc_id") {
           if (group.isEmpty) null
-          else java.lang.Long.valueOf(group.map(_.maxId).max)
-        else {
-          val his = live.flatMap(s => statOf(s, col).bound.collect {
-            case DocStore.LongBound(_, hi) => hi })
-          if (his.isEmpty) null else java.lang.Long.valueOf(his.max)
-        }
+          else java.lang.Long.valueOf(group.map(_.maxId).max): AnyRef
+        } else foldBound(col, live, isMin = false)
       case f => throw new IllegalStateException(s"unsupported pushed agg $f")
     }
   }
@@ -2683,7 +2931,7 @@ class ManifestAggScan(segments: Seq[DocStore.Segment], agg: Aggregation,
 /** One pre-folded output row: raw group-key strings (null = the null
   * partition) + the aggregate values. */
 final case class ManifestAggRow(key: Array[String],
-    values: Array[java.lang.Long])
+    values: Array[AnyRef]) // Long (encoded) | BigInteger (wide decimal)
 
 final case class ManifestAggPartition(rows: Array[ManifestAggRow])
     extends InputPartition
@@ -2705,14 +2953,23 @@ class ManifestAggReaderFactory(
           case (v, org.apache.spark.sql.types.IntegerType) => v.toInt: Any
           case (v, _) => org.apache.spark.unsafe.types.UTF8String.fromString(v): Any
         }
-        // MIN/MAX carry the ENCODED long; decode to the column type
-        // (counts pass through as LONG — identity under the decode)
+        // MIN/MAX carry the ENCODED long (decoded to the column type)
+        // or, for wide decimals, the exact unscaled BigInteger; counts
+        // pass through as LONG — identity under the decode
         val vals: Array[Any] = r.values.zipWithIndex.map { case (v, j) =>
-          if (v == null) null
-          else DocStore.catalystOfEncoded(
-            valTypes.applyOrElse(j,
-              (_: Int) => LongType: org.apache.spark.sql.types.DataType),
-            v.longValue()): Any
+          v match {
+            case null => null
+            case b: java.math.BigInteger =>
+              val d = valTypes(j)
+                .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+              org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(b, d.scale),
+                d.precision, d.scale): Any
+            case l: java.lang.Long => DocStore.catalystOfEncoded(
+              valTypes.applyOrElse(j,
+                (_: Int) => LongType: org.apache.spark.sql.types.DataType),
+              l.longValue()): Any
+          }
         }
         new GenericInternalRow(key ++ vals)
       }
@@ -3097,10 +3354,16 @@ class DocStoreReader(file: String, schema: StructType,
           // after FLOAT→DOUBLE decodes the same sortable bits — see
           // DocStore.validateEvolved)
           val dt = schema.fields(fieldAtSection(c)).dataType
-          val is8Byte = dt != StringType
+          val wideDec = DocStore.isWideDecimal(dt)
+          val is8Byte = dt != StringType && !wideDec
           // decode an 8-byte payload straight to the CATALYST value
           // the InternalRow carries for this type
           val dec: Long => AnyRef = DocStore.decoderOf(dt)
+          val (decP, decS) = dt match {
+            case d: org.apache.spark.sql.types.DecimalType =>
+              (d.precision, d.scale)
+            case _ => (0, 0)
+          }
           val sin = sectionIn(c)
           val a = new Array[AnyRef](n)
           var i = 0
@@ -3108,7 +3371,20 @@ class DocStoreReader(file: String, schema: StructType,
             val len = sin.readInt()
             if (len >= 0) {
               if (is8Byte) a(i) = dec(sin.readLong())
-              else {
+              else if (wideDec) {
+                // per-VALUE dispatch by payload length: 8 = an
+                // unscaled long written while the column was p <= 18
+                // (cross-18 precision widening is metadata-only),
+                // 16 = the fixed dec128 payload
+                if (len == 8) a(i) = dec(sin.readLong())
+                else {
+                  val b = new Array[Byte](len)
+                  sin.readFully(b)
+                  a(i) = org.apache.spark.sql.types.Decimal(
+                    new java.math.BigDecimal(DocStore.dec128Of(b), decS),
+                    decP, decS)
+                }
+              } else {
                 val b = new Array[Byte](len)
                 sin.readFully(b)
                 a(i) = UTF8String.fromBytes(b)

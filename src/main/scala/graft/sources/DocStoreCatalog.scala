@@ -534,14 +534,19 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
           val ok = (from, to) match {
             case (IntegerType, LongType) => true
             case (FloatType, DoubleType) => true
+            // same-scale precision widening is metadata-only at ANY
+            // precision, INCLUDING across the 18 boundary: the reader
+            // dispatches per VALUE by payload length (8 = unscaled
+            // long written pre-widening, 16 = dec128), so old
+            // segments keep decoding bit-exactly under the wider type
             case (f: Dec, t: Dec) =>
               f.scale == t.scale && t.precision >= f.precision &&
-                t.precision <= 18
+                t.precision <= 38
             case _ => false
           }
           require(ok,
             s"only INT -> BIGINT, FLOAT -> DOUBLE and same-scale " +
-              s"DECIMAL precision widening (<= 18) are metadata-safe " +
+              s"DECIMAL precision widening (<= 38) are metadata-safe " +
               s"here, got ${from.simpleString} -> ${to.simpleString}")
           StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
         case (s, d: TableChange.UpdateColumnDefaultValue) =>
@@ -800,8 +805,10 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
         s"table at $finalDir was created concurrently while this " +
           "CREATE TABLE AS SELECT ran; the staged result was discarded")
     } else DocStoreCommitOps.withCommitLock(finalDir.toString) {
-      val next = DocStoreCommitOps.nextPartNumber(finalDir.toString)
-      val renamed = DocStore.readManifest(staging.toString)
+      val stagedSegs = DocStore.readManifest(staging.toString)
+      val next = DocStoreCommitOps.claimPartNumbers(finalDir.toString,
+        stagedSegs.size)
+      val renamed = stagedSegs
         .zipWithIndex.map { case (s, i) =>
           // a partitioned staged segment keeps its partition
           // subdirectory; only the numbered basename is re-assigned

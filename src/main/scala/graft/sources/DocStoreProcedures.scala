@@ -399,8 +399,9 @@ class OptimizeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         require(DocStoreCommitOps.nextVersion(path) - 1 == v0,
           s"concurrent commit during OPTIMIZE of $dir (head moved past " +
             s"v$v0); re-run optimize")
-        val next = DocStoreCommitOps.nextPartNumber(path)
-        val renamed = DocStore.readManifest(staging.toString)
+        val stagedSegs = DocStore.readManifest(staging.toString)
+        val next = DocStoreCommitOps.claimPartNumbers(path, stagedSegs.size)
+        val renamed = stagedSegs
           .zipWithIndex.map { case (seg, i) =>
             val dirPrefix = seg.name.lastIndexOf('/') match {
               case -1 => ""
@@ -727,7 +728,20 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         val nulls = r.getLong(r.fieldIndex(s"nulls_$sec"))
         val is8 = f.dataType != org.apache.spark.sql.types.StringType
         val bound: Option[DocStore.StatBound] =
-          if (is8) {
+          if (DocStore.isWideDecimal(f.dataType)) {
+            // p > 18: DecBound over exact unscaled values at the
+            // column scale (the 128-bit twin of the encoded-long fold)
+            if (r.isNullAt(r.fieldIndex(s"lo_$sec"))) None
+            else {
+              val sc = f.dataType
+                .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
+              def unscaled(i: String): BigInt = BigInt(
+                r.getAs[java.math.BigDecimal](r.fieldIndex(i))
+                  .setScale(sc).unscaledValue())
+              Some(DocStore.DecBound(
+                unscaled(s"lo_$sec"), unscaled(s"hi_$sec")))
+            }
+          } else if (is8) {
             if (r.isNullAt(r.fieldIndex(s"lo_$sec"))) None
             else Some(DocStore.LongBound(
               DocStore.encodedStatOf(f.dataType,

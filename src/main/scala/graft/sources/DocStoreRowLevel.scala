@@ -355,7 +355,13 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
         all.groupBy(_._1)
           .map { case (s, ps) => s -> ps.map(_._2).distinct.sorted.toArray }
       }
-      val next = DocStoreCommitOps.nextPartNumber(path)
+      // claim count: the MoR path stages DocStoreDeltaCommit messages,
+      // which stagedOf (DocStoreCommit-shaped) does NOT collect
+      val next = DocStoreCommitOps.claimPartNumbers(path,
+        messages.count {
+          case m: DocStoreDeltaCommit => m.rows > 0
+          case _ => false
+        })
       // publish() moves the insert segments in and the single manifest
       // rename lands inserts + deletion vectors together
       DocStoreCommitOps.publish(path,
@@ -486,7 +492,8 @@ class DocStoreReplaceDataWrite(path: String, schema: StructType,
             "row-level operation scanned them; retry the operation")
       }
       val keep = current.filterNot(s => replaced(s.name))
-      val next = DocStoreCommitOps.nextPartNumber(path)
+      val next = DocStoreCommitOps.claimPartNumbers(path,
+        DocStoreCommitOps.stagedOf(messages).count(_.rows > 0))
       // kept segments keep their deletion vectors; the replaced
       // segments' DVs die with them (the rewrite scan applied them)
       DocStoreCommitOps.publish(path, messages, keep, queryId,

@@ -3219,14 +3219,15 @@ class DocStoreSpec extends SparkSpec {
     sc.sql("UPDATE tcat13.ns.t SET price = -1.25D WHERE doc_id = 3")
     assert(sc.sql("SELECT price FROM tcat13.ns.t WHERE doc_id = 3")
       .head.getDouble(0) == -1.25)
-    // refusals: precision past the 8-byte payload; narrowing;
-    // cross-scale decimal; identity partitioning on a DOUBLE column
+    // refusals: nested types (r14: DECIMAL(20,2) now lands in the
+    // 16-byte class instead of refusing — see the wide-decimal test);
+    // narrowing; cross-scale decimal; identity partitioning on DOUBLE
     def msg(t: Throwable): String =
       Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
         .map(m => String.valueOf(m.getMessage)).mkString("|")
     assert(msg(intercept[Exception] { sc.sql(
-      "ALTER TABLE tcat13.ns.t ADD COLUMNS (big DECIMAL(20,2))") })
-      .contains("DECIMAL"))
+      "ALTER TABLE tcat13.ns.t ADD COLUMNS (tags ARRAY<STRING>)") })
+      .contains("q127_json_shred"))
     // narrowing / cross-scale refusals (Spark's own analyzer rejects
     // DOUBLE->FLOAT before the catalog; the catalog's metadata-safe
     // gate backstops whatever reaches it)
@@ -3503,5 +3504,99 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t").head.getLong(0) == 18)
     assert(sc.sql("SELECT COUNT(*) FROM rcat.ns.t WHERE lang = 'yy'")
       .head.getLong(0) == 3)
+  }
+
+  test("r14: DECIMAL(38,6) evolved columns — dec128 payloads, DecBound pruning, cross-18 widening") {
+    val root = Files.createTempDirectory("docstore_dec38").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.dcat14" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.dcat14.root" -> root)
+    sc.sql("CREATE NAMESPACE dcat14.ns")
+    sc.sql("CREATE TABLE dcat14.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("INSERT INTO dcat14.ns.t VALUES (1, 1, 'en', 's', 'pre')")
+    sc.sql("ALTER TABLE dcat14.ns.t ADD COLUMNS (wide DECIMAL(38,6))")
+    // one segment per insert: huge positive, huge negative, null
+    val big = "99999999999999999999999999999999.999999" // 38 digits
+    sc.sql(s"INSERT INTO dcat14.ns.t VALUES (2, 2, 'en', 's', 'a', $big)")
+    sc.sql(s"INSERT INTO dcat14.ns.t VALUES (3, 3, 'en', 's', 'b', -$big)")
+    sc.sql("INSERT INTO dcat14.ns.t VALUES (4, 4, 'en', 's', 'c', NULL)")
+    sc.sql("INSERT INTO dcat14.ns.t VALUES (5, 5, 'en', 's', 'd', 1.000001)")
+    val vals = sc.sql("SELECT wide FROM dcat14.ns.t ORDER BY doc_id")
+      .collect().map(r => Option(r.getDecimal(0)).map(_.toString).orNull)
+    assert(vals.toSeq == Seq(null, big, s"-$big", null, "1.000001"),
+      vals.mkString(","))
+    // ORDER BY over mixed sign magnitudes
+    assert(sc.sql("SELECT doc_id FROM dcat14.ns.t " +
+      "WHERE wide IS NOT NULL ORDER BY wide").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 5L, 2L))
+    // DecBound segment pruning on executed plans: equality at the huge
+    // positive keeps only its segment (+ the stat-less pre-evolution
+    // segment, conservatively kept)
+    val path = java.nio.file.Paths.get(root, "ns", "t").toString
+    def readBack = sc.read.format("graft-docstore").option("path", path).load()
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val eqBig = readBack.where(col("wide") === lit(new java.math.BigDecimal(big)))
+    assert(planned(eqBig) == ((2, 5)), planned(eqBig).toString)
+    assert(eqBig.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val gtZero = readBack.where(col("wide") > lit(java.math.BigDecimal.ZERO))
+    assert(planned(gtZero) == ((3, 5)), planned(gtZero).toString)
+    // MIN/MAX pushdown DECLINES while the pre-evolution segment has no
+    // stats for the wide section (conservative, like every evolved
+    // column) yet computes exactly through the data path; after
+    // ANALYZE below it SERVES from the manifest
+    val agg = readBack.agg(min("wide"), max("wide"))
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("manifest-only agg"),
+      agg.queryExecution.executedPlan.toString)
+    val mm = agg.head
+    assert(mm.getDecimal(0).toString == s"-$big" &&
+      mm.getDecimal(1).toString == big)
+    // cross-18 widening: 8-byte history + 16-byte new values in ONE
+    // column; aggregates span both payload classes
+    sc.sql("CREATE TABLE dcat14.ns.w (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("ALTER TABLE dcat14.ns.w ADD COLUMNS (amt DECIMAL(12,2))")
+    sc.sql("INSERT INTO dcat14.ns.w VALUES (1, 1, 'en', 's', 'x', 12.50)")
+    sc.sql("ALTER TABLE dcat14.ns.w ALTER COLUMN amt TYPE DECIMAL(38,2)")
+    sc.sql("INSERT INTO dcat14.ns.w VALUES " +
+      "(2, 2, 'en', 's', 'y', 100000000000000000000.25)")
+    val wvals = sc.sql("SELECT CAST(SUM(amt) AS DECIMAL(38,2)) AS s, " +
+      "MIN(amt) AS lo, MAX(amt) AS hi FROM dcat14.ns.w").head
+    assert(wvals.getDecimal(0).toString == "100000000000000000012.75")
+    assert(wvals.getDecimal(1).toString == "12.50")
+    assert(wvals.getDecimal(2).toString == "100000000000000000000.25")
+    // the widened column's PRE-widening LongBound still prunes a
+    // decimal literal (lifted comparison): amt = 12.50 keeps only the
+    // 8-byte segment
+    val wpath = java.nio.file.Paths.get(root, "ns", "w").toString
+    val wBack = sc.read.format("graft-docstore").option("path", wpath).load()
+    val eqSmall = wBack.where(col("amt") === lit(new java.math.BigDecimal("12.50")))
+    assert(planned(eqSmall) == ((1, 2)), planned(eqSmall).toString)
+    assert(eqSmall.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // CoW UPDATE re-encodes dec128 through the same writer
+    sc.sql("UPDATE dcat14.ns.t SET wide = 2.000002 WHERE doc_id = 4")
+    assert(sc.sql("SELECT wide FROM dcat14.ns.t WHERE doc_id = 4")
+      .head.getDecimal(0).toString == "2.000002")
+    // ANALYZE backfills DecBound on a stats-less wide column — and
+    // marks the pre-evolution segment provably all-null, which makes
+    // manifest-only MIN/MAX servable: the agg now folds DecBound
+    // envelopes in exact 128-bit space, no segment opened
+    sc.sql("CALL dcat14.system.analyze('ns.t')")
+    val stats = DocStore.readManifest(path).flatMap(_.stats.get(5))
+    assert(stats.exists(_.bound.exists(_.isInstanceOf[DocStore.DecBound])),
+      stats.mkString(";"))
+    val agg2 = readBack.agg(min("wide"), max("wide"))
+    assert(agg2.queryExecution.executedPlan.toString
+      .contains("manifest-only agg"),
+      agg2.queryExecution.executedPlan.toString)
+    val mm2 = agg2.head
+    assert(mm2.getDecimal(0).toString == s"-$big" &&
+      mm2.getDecimal(1).toString == big)
   }
 }

@@ -129,4 +129,123 @@ class EncodingSpec extends AnyFunSuite {
     }
     check(prop, n = 60)
   }
+
+  // ---------------------------------------------------------------- dec128
+
+  private val decEdges: Seq[BigInt] = {
+    val max38 = BigInt(10).pow(38) - 1
+    Seq(BigInt(0), BigInt(1), BigInt(-1), BigInt(Long.MaxValue),
+      BigInt(Long.MinValue), BigInt(Long.MaxValue) + 1,
+      BigInt(Long.MinValue) - 1, max38, -max38)
+  }
+  private val genUnscaled: Gen[BigInt] = Gen.oneOf(
+    Gen.oneOf(decEdges),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(BigInt(_)),
+    for { // wide: beyond the 8-byte class, inside DECIMAL(38)
+      hi <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      lo <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield {
+      val v = (BigInt(hi) << 64) + (BigInt(lo) - BigInt(Long.MinValue))
+      val max38 = BigInt(10).pow(38) - 1
+      ((v.abs mod (max38 + 1)) * v.signum.max(-1)).min(max38).max(-max38)
+    })
+
+  test("dec128Bytes: fixed 16 bytes, exact roundtrip, incl. negatives") {
+    val prop = Prop.forAll(genUnscaled) { v =>
+      val b = DocStore.dec128Bytes(v.bigInteger)
+      b.length == 16 && BigInt(DocStore.dec128Of(b)) == v
+    }
+    check(prop)
+  }
+
+  test("dec128 segment stats: DecBound is the exact unscaled [min,max] and survives the manifest roundtrip") {
+    val prop = Prop.forAll(Gen.nonEmptyListOf(genUnscaled)) { vs =>
+      val enc = new DocStore.SegmentEncoder(nExtra = 1,
+        dec128Extras = Set(0))
+      vs.zipWithIndex.foreach { case (v, i) =>
+        enc.add(i.toLong, 1L, "xx".getBytes, "s".getBytes, "t".getBytes,
+          Array(DocStore.dec128Bytes(v.bigInteger): AnyRef))
+      }
+      // null values count, never move the bound
+      enc.add(vs.length.toLong, 1L, "xx".getBytes, "s".getBytes,
+        "t".getBytes, Array[AnyRef](null))
+      val st = enc.stats(5)
+      val ok = st.nulls == 1 && (st.bound match {
+        case Some(DocStore.DecBound(lo, hi)) => lo == vs.min && hi == vs.max
+        case _ => false
+      })
+      // manifest line render + parse preserves the envelope exactly
+      val dir = java.nio.file.Files.createTempDirectory("dec_stats")
+      try {
+        DocStoreCommitOps.writeManifest(dir.toString,
+          Seq(DocStore.Segment("part-00000.gds", vs.length + 1L, 0L,
+            vs.length.toLong, 1L, stats = enc.stats)), "tok")
+        val back = DocStore.readManifest(dir.toString).head.stats(5)
+        ok && back == st
+      } finally graft.core.Fs.deleteRecursively(dir)
+    }
+    check(prop, n = 200)
+  }
+
+  test("statsPruner: DecBound prunes scale-aware decimal literals; inexact scale and pre-widening LongBound stay sound") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_chars", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("amt", DecimalType(38, 2))))
+    // segment A: wide payloads, unscaled in [10^20, 2*10^20] (= values
+    // 10^18.00 .. 2*10^18.00); segment B: pre-widening 8-byte history,
+    // unscaled longs in [100, 200] (= values 1.00 .. 2.00)
+    val segA = DocStore.Segment("a", 10, 0, 9, 1, stats = Map(5 ->
+      DocStore.ColStat(0, Some(DocStore.DecBound(
+        BigInt(10).pow(20), BigInt(2) * BigInt(10).pow(20))))))
+    val segB = DocStore.Segment("b", 10, 10, 19, 1, stats = Map(5 ->
+      DocStore.ColStat(0, Some(DocStore.LongBound(100L, 200L)))))
+    def bd(s: String) = new java.math.BigDecimal(s)
+    def prune(f: Filter) =
+      DocStore.statsPruner(schema, Array(f))
+    // equality inside A's envelope keeps A, drops B — and vice versa
+    val eqWide = prune(EqualTo("amt", bd("1500000000000000000.00")))
+    assert(eqWide(segA) && !eqWide(segB))
+    val eqSmall = prune(EqualTo("amt", bd("1.50")))
+    assert(!eqSmall(segA) && eqSmall(segB))
+    // ranges: amt > 3*10^18 drops both; amt > 0.50 keeps both
+    val gtAll = prune(GreaterThan("amt", bd("3000000000000000000.00")))
+    assert(!gtAll(segA) && !gtAll(segB))
+    val gtNone = prune(GreaterThan("amt", bd("0.50")))
+    assert(gtNone(segA) && gtNone(segB))
+    // a literal whose fraction does not fit scale 2 exactly DECLINES
+    // (keeps everything) — rescaling would move the probe point
+    val inexact = prune(EqualTo("amt", bd("1.505")))
+    assert(inexact(segA) && inexact(segB))
+    // LessThan against the wide envelope
+    val ltWide = prune(LessThan("amt", bd("1.00")))
+    assert(!ltWide(segA) && !ltWide(segB))
+    val ltKeepB = prune(LessThan("amt", bd("1.75")))
+    assert(!ltKeepB(segA) && ltKeepB(segB))
+  }
+
+  test("nested/binary ADD COLUMN refusal matrix points at the variant path") {
+    import org.apache.spark.sql.types._
+    val arr = DocStore.nestedRefusalReason(ArrayType(LongType))
+    assert(arr.exists(m => m.contains("from_json") &&
+      m.contains("q127_json_shred")))
+    assert(DocStore.nestedRefusalReason(
+      StructType(Seq(StructField("a", LongType)))).isDefined)
+    assert(DocStore.nestedRefusalReason(
+      MapType(StringType, LongType)).isDefined)
+    assert(DocStore.nestedRefusalReason(BinaryType)
+      .exists(_.contains("unbase64")))
+    assert(DocStore.nestedRefusalReason(DecimalType(38, 6)).isEmpty)
+    assert(DocStore.nestedRefusalReason(DecimalType(12, 2)).isEmpty)
+    assert(DocStore.nestedRefusalReason(DoubleType).isEmpty)
+    // a nested evolved schema refuses at validation with the reason
+    val bad = StructType(DocStore.SCHEMA.fields.toSeq :+
+      StructField("tags", ArrayType(StringType)))
+    val e = intercept[IllegalArgumentException](
+      DocStore.validateEvolved(bad))
+    assert(e.getMessage.contains("q127_json_shred"))
+  }
 }
