@@ -868,6 +868,74 @@ object EmbedOps {
         .agg(count(col("h.neighbor_id")).as("n_overlap"))
         .select(col("query_id"), col("n_overlap"), col("ham_radius"))
         .orderBy("query_id")
+    },
+
+    // ----------------------------------- contrastive hard-negative mining
+    Q("q202_hard_negatives",
+      "Hard-negative mining for contrastive training (the retrieval/" +
+        "embedding-model data-prep step: for each anchor, find the " +
+        "most-similar vectors of a DIFFERENT class — the negatives " +
+        "that actually move the loss; random negatives are too easy " +
+        "and same-class neighbors are false negatives). For 8 anchor " +
+        "vectors: candidates = every other-label vector, ranked by " +
+        "exact cosine over the int-quantized embeddings (ties by " +
+        "vec_id — the integer-derived double ordering every ANN gate " +
+        "here uses), top-3 per anchor emitted with their INTEGER dot " +
+        "products, plus the anchor's weakest same-label dot " +
+        "(pos_floor) — the number a margin/temperature choice needs: " +
+        "negatives harder than the weakest positive are the " +
+        "label-noise candidates curriculum schedules postpone. 100 TB " +
+        "shape: broadcast the 8 anchors, one map-only linear scan " +
+        "scoring both faces (negative top-k + positive min) in a " +
+        "single pass, per-anchor bounded top-k windows over " +
+        "anchor-partitioned data — no vector shuffle, no all-pairs.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        qs AS (SELECT vec_id AS qid, label AS qlab, q AS qv, nn AS qn
+               FROM nz WHERE vec_id < 8),
+        scored AS (SELECT qid, qlab, vec_id, label,
+                          ${oDot("qv", "q")}::BIGINT AS dot,
+                          ${oDot("qv", "q")}::DOUBLE /
+                            (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                   FROM qs JOIN nz ON vec_id <> qid),
+        neg AS (SELECT qid, vec_id, dot,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored WHERE label <> qlab),
+        pos AS (SELECT qid, MIN(dot)::BIGINT AS pos_floor
+                FROM scored WHERE label = qlab GROUP BY qid)
+        SELECT n.qid AS query_id, n.rnk::INTEGER AS rnk,
+               n.vec_id AS neighbor_id,
+               n.dot AS neg_dot, p.pos_floor
+        FROM neg n JOIN pos p ON n.qid = p.qid
+        WHERE n.rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      val full = quantized(s, dir)
+      val qs = full.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("q").as("qv"), col("nn").as("qn"))
+      // ONE scan scores every (anchor, candidate) pair; both faces
+      // (other-label ranking, same-label floor) read from it
+      val scored = full
+        .join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("dot", dotL(col("qv"), col("q")))
+        .withColumn("cos", cosine(col("dot"), col("qn"), col("nn")))
+        .select("qid", "qlab", "vec_id", "label", "dot", "cos")
+      val wNeg = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val neg = scored.filter(col("label") =!= col("qlab"))
+        .withColumn("rnk", row_number().over(wNeg))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("dot").as("neg_dot"))
+      val pos = scored.filter(col("label") === col("qlab"))
+        .groupBy(col("qid").as("pqid"))
+        .agg(min(col("dot")).as("pos_floor"))
+      neg.join(pos, col("qid") === col("pqid"))
+        .select(col("qid").as("query_id"), col("rnk"),
+          col("neighbor_id"), col("neg_dot"), col("pos_floor"))
+        .orderBy("query_id", "rnk")
     }
   )
 }

@@ -1255,6 +1255,100 @@ object LlmOps {
           sum(length(col("clean"))).as("clean_chars"),
           count(when(col("clean") === col("text"), 1)).as("n_recovered"))
         .orderBy("lang")
+    },
+
+    // --------------------- DSIR-style importance-weighted data selection
+    Q("q201_dsir_selection",
+      "Data Selection via Importance Resampling (the DSIR recipe: " +
+        "score raw documents by how target-domain-like their hashed " +
+        "n-gram profile is, then select the best under a quota). " +
+        "Features are hashed word unigrams + bigrams in 256 buckets " +
+        "(hash28 % 256 — the cross-engine integer hash); the corpus " +
+        "scan folds BOTH distributions at once (raw = every doc, " +
+        "target = the src0 'curated' domain), add-one smoothed. " +
+        "Per-bucket affinity is the likelihood ratio scaled to " +
+        "integers — ((t_b+1)*R*10^4) div ((r_b+1)*T) — and a doc's " +
+        "importance is the SUM of its grams' affinities: an " +
+        "integer-exact surrogate for DSIR's log-ratio sum (monotone " +
+        "per gram; the ranking changes only where log-vs-linear " +
+        "weighting disagrees, and the decision stays bit-reproducible " +
+        "across engines, which a float log-sum is not — the same " +
+        "trade q79's integer alpha-sampling makes). Selection = " +
+        "top-(N div 10) by (importance, doc_id) — deterministic, " +
+        "rerun-stable. 100 TB shape: one gram-explode agg into a " +
+        "256-row bucket table broadcast back over a second map-only " +
+        "pass, then distributed top-k (TakeOrdered, never a global " +
+        "window); intermediates bound long headroom to ~10^14 grams, " +
+        "beyond which the same plan runs the ratio in DECIMAL(38). " +
+        "The output audits the selection per language: how many docs, " +
+        "their importance mass, the cut line, and how many came from " +
+        "the target domain itself (DSIR should up-select src0-like " +
+        "text, not only src0).",
+      Some(s"""
+        WITH w AS (SELECT doc_id, lang, source,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS wd
+                   FROM documents),
+        g AS (SELECT doc_id, lang, source, gram
+              FROM w, UNNEST(list_concat(wd,
+                list_transform(range(CASE WHEN len(wd) >= 2
+                                          THEN len(wd) - 1 ELSE 0 END),
+                  i -> wd[i+1] || '_' || wd[i+2]))) AS t(gram)),
+        b AS (SELECT doc_id, lang, source,
+                     ${oHash28("gram")} % 256 AS b FROM g),
+        agg AS (SELECT b, COUNT(*)::BIGINT AS r,
+                       COUNT(CASE WHEN source = 'src0' THEN 1 END)::BIGINT
+                         AS tb
+                FROM b GROUP BY 1),
+        tot AS (SELECT SUM(r)::BIGINT AS rt, SUM(tb)::BIGINT AS tt
+                FROM agg),
+        ratio AS (SELECT b, ((tb + 1) * rt * 10000) // ((r + 1) * tt)
+                         AS sc
+                  FROM agg, tot),
+        imp AS (SELECT doc_id, ANY_VALUE(lang) AS lang,
+                       ANY_VALUE(source) AS source,
+                       SUM(sc)::BIGINT AS imp
+                FROM b JOIN ratio USING (b) GROUP BY doc_id),
+        quota AS (SELECT (COUNT(*) // 10)::BIGINT AS k FROM documents),
+        sel AS (SELECT * FROM imp, quota
+                QUALIFY ROW_NUMBER() OVER (ORDER BY imp DESC, doc_id) <= k)
+        SELECT lang, COUNT(*)::BIGINT AS n_selected,
+               SUM(imp)::BIGINT AS imp_sum,
+               MIN(imp)::BIGINT AS imp_cut,
+               COUNT(CASE WHEN source = 'src0' THEN 1 END)::BIGINT
+                 AS n_from_target
+        FROM sel GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val grams = docs
+        .withColumn("wd", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(expr("concat(wd, IF(size(wd) < 2, " +
+            "CAST(array() AS ARRAY<STRING>), " +
+            "transform(sequence(1, size(wd) - 1), " +
+            "i -> concat(element_at(wd, i), '_', element_at(wd, i + 1)))))"))
+            .as("gram"))
+        .withColumn("b", hash28(col("gram")) % 256)
+      // ONE aggregation folds raw and target bucket counts together
+      val agg = grams.groupBy(col("b"))
+        .agg(count(lit(1)).as("r"),
+          cnt(col("source") === "src0").as("tb"))
+      val tot = agg.agg(sum("r").as("rt"), sum("tb").as("tt"))
+      val ratio = agg.crossJoin(broadcast(tot)) // 256 rows x 1 row
+        .withColumn("sc", expr("((tb + 1) * rt * 10000) div ((r + 1) * tt)"))
+        .select("b", "sc")
+      val imp = grams.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang")).as("lang"), first(col("source")).as("source"),
+          sum(col("sc")).as("imp"))
+      // bounded scalar collect: the quota is one number
+      val k = (docs.count() / 10L).toInt
+      imp.orderBy(col("imp").desc, col("doc_id").asc).limit(k)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("imp")).as("imp_sum"),
+          min(col("imp")).as("imp_cut"),
+          cnt(col("source") === "src0").as("n_from_target"))
+        .orderBy("lang")
     }
   )
 }

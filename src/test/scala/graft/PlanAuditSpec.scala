@@ -455,4 +455,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"no stage may plan SinglePartition:\n$p")
   }
+
+  test("q201 DSIR: bucket ratios broadcast back; selection is TakeOrdered, never a global window") {
+    val p = q("q201_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-row ratio table must join back as broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"quota selection must be the distributed top-k:\n$p")
+    assert(!p.contains("Window"),
+      s"no global window may rank the corpus:\n$p")
+  }
+
+  test("q202 hard negatives: anchors broadcast, ranking windows stay anchor-partitioned") {
+    val p = q("q202_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 8 anchors must broadcast:\n$p")
+    // every Window must be preceded by a hashpartitioning on qid — the
+    // single-partition degenerate form never appears
+    assert(!p.contains("SinglePartition"),
+      s"per-anchor windows must not collapse to one partition:\n$p")
+  }
 }
