@@ -1349,6 +1349,193 @@ object LlmOps {
           min(col("imp")).as("imp_cut"),
           cnt(col("source") === "src0").as("n_from_target"))
         .orderBy("lang")
+    },
+
+    // ------------------------- DPO/RLHF preference-pair assembly
+    Q("q203_preference_pairs",
+      "Preference-pair assembly for DPO/RLHF training: candidate " +
+        "completions group under a prompt (prompt_id = doc_id div 8 — " +
+        "the generation layout where n candidates are written " +
+        "contiguously per prompt) and each group yields ONE " +
+        "(chosen, rejected) pair: chosen = highest-reward candidate, " +
+        "rejected = lowest, pairs with margin < 1000 dropped (ambiguous " +
+        "preferences teach nothing and amplify reward noise). The " +
+        "reward is a deterministic reward-model stand-in " +
+        "(hash28(text||'|rm') % 10000, null text -> -1), same policy as " +
+        "q196's stand-in score — the operator under test is the pair " +
+        "assembly, not the scorer. Tie-breaks are exact on both " +
+        "engines via a single packed BIGINT rank (reward*2^33 +/- " +
+        "doc_id — ids stay far below 2^33; the q92 packed-rank trick), " +
+        "so chosen/rejected are bit-deterministic even with duplicate " +
+        "rewards. 100 TB shape: ONE keyed aggregation with map-side " +
+        "partial max_by/min_by — no window, no self-join; prompt " +
+        "groups are generation-batch-sized (n candidates), so no key " +
+        "can skew.",
+      Some(s"""
+        WITH c AS (SELECT doc_id, doc_id // 8 AS prompt_id,
+                     COALESCE(${oHash28("text || '|rm'")} % 10000, -1)
+                       AS reward
+                   FROM documents),
+        p AS (SELECT prompt_id, COUNT(*)::BIGINT AS n_cands,
+                     MAX(reward) AS chosen_reward,
+                     MIN(reward) AS rejected_reward,
+                     arg_max(doc_id,
+                       reward * 8589934592 + (8589934591 - doc_id))
+                       AS chosen_id,
+                     arg_min(doc_id, reward * 8589934592 + doc_id)
+                       AS rejected_id
+              FROM c GROUP BY 1)
+        SELECT prompt_id, n_cands, chosen_id, rejected_id,
+               chosen_reward, rejected_reward,
+               chosen_reward - rejected_reward AS margin
+        FROM p WHERE chosen_reward - rejected_reward >= 1000
+        ORDER BY prompt_id""")) { (s, dir) =>
+      val c = Tables.documents(s, dir).select(col("doc_id"),
+        expr("doc_id div 8").as("prompt_id"),
+        coalesce(hash28(concat(col("text"), lit("|rm"))) % 10000,
+          lit(-1L)).as("reward"))
+      c.groupBy("prompt_id")
+        .agg(count(lit(1)).as("n_cands"),
+          max("reward").as("chosen_reward"),
+          min("reward").as("rejected_reward"),
+          expr("max_by(doc_id, reward * 8589934592 + (8589934591 - doc_id))")
+            .as("chosen_id"),
+          expr("min_by(doc_id, reward * 8589934592 + doc_id)")
+            .as("rejected_id"))
+        .filter(col("chosen_reward") - col("rejected_reward") >= 1000)
+        .select(col("prompt_id"), col("n_cands"), col("chosen_id"),
+          col("rejected_id"), col("chosen_reward"), col("rejected_reward"),
+          (col("chosen_reward") - col("rejected_reward")).as("margin"))
+        .orderBy("prompt_id")
+    },
+
+    // ------------------------------ RAG sliding-window chunking
+    Q("q204_rag_chunking",
+      "Retrieval-corpus chunking: every document splits into " +
+        "overlapping 64-token windows with stride 48 (16-token " +
+        "overlap — the RAG indexing default shape: overlap so no " +
+        "answer span straddles a chunk boundary unseen). Emits one " +
+        "row per chunk with its 1-based token offset, token count, " +
+        "char length, and a 28-bit chunk fingerprint (the dedup/" +
+        "index key downstream chunk-level dedup and ANN upsert both " +
+        "consume). Empty documents chunk to nothing; the final " +
+        "partial window is kept (>= W-S+1 = 17 tokens by " +
+        "construction). All arithmetic is integer (chunk count = " +
+        "1 + ceil((n-W)/S) in integer div), the fingerprint is the " +
+        "cross-engine hash28, so every row is bit-exact vs the " +
+        "oracle. 100 TB shape: pure map-only explode — tokenize, " +
+        "per-doc bounded sequence, slice — no shuffle at all before " +
+        "the sink sort; chunk fan-out is corpus-linear with a " +
+        "per-doc bound, the same posture as q177's corpus encode.",
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split_regex(COALESCE(text, ''),
+                                                    '\\s+'),
+                                 x -> x <> '') AS wd
+                   FROM documents),
+        n AS (SELECT doc_id, wd, len(wd) AS n FROM d),
+        c AS (SELECT doc_id, wd, n,
+                     CASE WHEN n = 0 THEN 0 WHEN n <= 64 THEN 1
+                          ELSE 1 + (n - 64 + 47) // 48 END AS nc
+              FROM n),
+        x AS (SELECT doc_id, wd, n, i
+              FROM c, UNNEST(range(nc)) AS t(i)),
+        ch AS (SELECT doc_id, i AS chunk_idx, 1 + i * 48 AS start_tok, n,
+                      array_to_string(
+                        list_slice(wd, 1 + i * 48, i * 48 + 64), ' ')
+                        AS cht
+               FROM x)
+        SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+               start_tok::BIGINT AS start_tok,
+               LEAST(64, n - start_tok + 1)::BIGINT AS n_tok,
+               ${oHash28("cht")} AS fp,
+               length(cht)::BIGINT AS n_chars_chunk
+        FROM ch ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+      val W = 64; val S = 48
+      Tables.documents(s, dir)
+        .withColumn("wd",
+          expr("filter(split(coalesce(text, ''), '\\\\s+'), x -> x <> '')"))
+        .withColumn("n", size(col("wd")))
+        .withColumn("nc",
+          expr(s"CASE WHEN n = 0 THEN 0 WHEN n <= $W THEN 1 " +
+            s"ELSE 1 + (n - $W + ${S - 1}) div $S END"))
+        // sequence(0, -1) would DESCEND in Spark — guard the empty case
+        .withColumn("i", explode(when(col("nc") > 0,
+          sequence(lit(0), col("nc") - 1))
+          .otherwise(array().cast("array<int>"))))
+        .withColumn("start_tok", lit(1) + col("i") * S)
+        .withColumn("cht",
+          concat_ws(" ", slice(col("wd"), col("start_tok"), lit(W))))
+        .select(col("doc_id"),
+          col("i").cast("long").as("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          least(lit(W), col("n") - col("start_tok") + 1).cast("long")
+            .as("n_tok"),
+          hash28(col("cht")).as("fp"),
+          length(col("cht")).cast("long").as("n_chars_chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ------------------------------- curriculum phase schedule
+    Q("q205_curriculum_phases",
+      "Curriculum schedule audit: rank the corpus by a difficulty " +
+        "proxy (chars-per-token x100 — longer average words correlate " +
+        "with rarer vocabulary; integer-exact, deterministic) and cut " +
+        "it into 8 equal-width RANGE phases from easy to hard, " +
+        "reporting per phase: doc count, token mass, running " +
+        "token total (the number a curriculum scheduler feeds its " +
+        "phase boundaries from), and the difficulty envelope. The " +
+        "range bucketing is the q196 shape: bounds come from ONE " +
+        "metadata-sized min/max aggregate broadcast back (never a " +
+        "collect of data), phase = ((d - lo) * 8) div (hi - lo + 1) " +
+        "— right-open bins, degenerate lo == hi domain collapses to " +
+        "phase 0 on both engines. 100 TB shape: two scans (bounds + " +
+        "phase agg) and one 8-row window for the running total — the " +
+        "only window input is the PHASE table, constant-sized by " +
+        "construction, never the corpus.",
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     COALESCE(n_chars, 0) AS nch,
+                     GREATEST(len(list_filter(
+                       string_split_regex(COALESCE(text, ''), '\s+'),
+                       x -> x <> '')), 1) AS ntok
+                   FROM documents),
+        s AS (SELECT doc_id, ntok, (nch * 100) // ntok AS diff FROM d),
+        b AS (SELECT MIN(diff) AS lo, MAX(diff) AS hi FROM s),
+        p AS (SELECT ((diff - lo) * 8) // (hi - lo + 1) AS phase,
+                     ntok, diff
+              FROM s, b),
+        g AS (SELECT phase, COUNT(*)::BIGINT AS n_docs,
+                     SUM(ntok)::BIGINT AS tok_sum,
+                     MIN(diff) AS diff_lo, MAX(diff) AS diff_hi
+              FROM p GROUP BY 1)
+        SELECT phase, n_docs, tok_sum,
+               SUM(tok_sum) OVER (ORDER BY phase
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok,
+               diff_lo, diff_hi
+        FROM g ORDER BY phase""")) { (s, dir) =>
+      val sc = Tables.documents(s, dir).select(col("doc_id"),
+        expr("(coalesce(n_chars, 0) * 100) div greatest(size(filter(" +
+          "split(coalesce(text, ''), '\\\\s+'), x -> x <> '')), 1)")
+          .as("diff"),
+        greatest(size(expr(
+          "filter(split(coalesce(text, ''), '\\\\s+'), x -> x <> '')")),
+          lit(1)).as("ntok"))
+      val bounds = sc.agg(min("diff").as("lo"), max("diff").as("hi"))
+      val g = sc.crossJoin(broadcast(bounds))
+        .withColumn("phase", expr("((diff - lo) * 8) div (hi - lo + 1)"))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("tok_sum"),
+          min("diff").as("diff_lo"),
+          max("diff").as("diff_hi"))
+      // 8-row window: input is the phase table, constant-sized
+      val w = Window.orderBy("phase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_tok", sum("tok_sum").over(w))
+        .select(col("phase"), col("n_docs"), col("tok_sum"),
+          col("cum_tok"), col("diff_lo"), col("diff_hi"))
+        .orderBy("phase")
     }
   )
 }

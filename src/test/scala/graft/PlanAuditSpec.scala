@@ -475,4 +475,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"per-anchor windows must not collapse to one partition:\n$p")
   }
+
+  test("q203 preference pairs: one keyed aggregation, no window, no join") {
+    val p = q("q203_preference_pairs")
+    assert(!p.contains("Window"),
+      s"pair assembly must be max_by/min_by aggregation, not a window:\n$p")
+    assert(!p.contains("Join"),
+      s"pair assembly must not self-join the candidate table:\n$p")
+    // map-side partial aggregation must exist (max_by is object-hash)
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"the aggregation must have a map-side partial phase:\n$p")
+  }
+
+  test("q204 RAG chunking: map-only explode — no shuffle before the sink sort") {
+    val p = q("q204_rag_chunking")
+    assert(p.contains("Generate"), s"expected an explode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle — it is a pure per-doc map:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"chunking needs no window or join:\n$p")
+  }
+
+  test("q205 curriculum: bounds broadcast back; the only window reads the 8-row phase table") {
+    val p = q("q205_curriculum_phases")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the min/max bounds must broadcast, never collect:\n$p")
+    // the running-total window sits ABOVE the phase aggregation: the
+    // corpus-sized rows are reduced to <= 8 before any ordered window
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("phase"))
+    assert(wIdx >= 0 && aggIdx > wIdx,
+      s"the window must consume the phase aggregate (agg deeper than window):\n$p")
+  }
 }
