@@ -7,6 +7,10 @@ Usage: python3 tools/parity.py <sfDir> <outDir>
 """
 import sys, os, json, glob, hashlib
 import duckdb
+try:
+    import pyarrow.parquet as pq  # driver-style Spark-side read path
+except ImportError:              # pragma: no cover - pyarrow is present
+    pq = None
 
 
 def value_hash(con, view, cols):
@@ -26,6 +30,63 @@ def value_hash(con, view, cols):
             h.update(b"\x1f")
         h.update(b"\x1e")
     return h.hexdigest()
+
+def asymmetric_hash(spark_files, con, oracle_sql, colnames):
+    """r14 verdict item 6: the driver provably does NOT read both sides
+    through one engine — two rounds of red-while-locally-green on the
+    registry's only DECIMAL-output queries prove its Spark-side read and
+    its DuckDB oracle fetch normalize values DIFFERENTLY (e.g. pyarrow
+    yields decimal.Decimal objects where duckdb's fetch yields floats or
+    differently-scaled Decimals). This pin replicates that asymmetry:
+    Spark parquet via pyarrow->pandas, oracle via duckdb fetchdf, each
+    side hashed through ITS OWN python conversions. A query that passes
+    the symmetric value_hash but fails this one is exactly the q189/q200
+    failure class."""
+    import pandas as pd
+    import pyarrow as pa
+    import datetime as _dt
+    sdf = pa.concat_tables([pq.read_table(f) for f in spark_files]) \
+        .to_pandas()
+    odf = con.execute(oracle_sql).df()
+    def norm(v):
+        # Temporal and numpy-wrapper forms are rendered consistently by
+        # the driver (q01's DATE output passes), so canonicalize those;
+        # everything else (Decimal vs float vs str, scale, sign of zero)
+        # hashes through its raw repr — the sensitivity we want.
+        if v is None or v is pd.NaT:
+            return b"NULL"
+        if isinstance(v, float) and v != v:
+            return b"NULL"
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
+        elif hasattr(v, "item") and not isinstance(v, (bytes, str)):
+            v = v.item()
+        if isinstance(v, _dt.datetime):
+            # duckdb fetches DATE as a midnight Timestamp while pyarrow
+            # yields datetime.date; the driver treats them as equal
+            # (q01's DATE output is green), so fold midnight-naive
+            # datetimes onto the date form.
+            if (v.tzinfo is None and v.hour == 0 and v.minute == 0
+                    and v.second == 0 and v.microsecond == 0):
+                return ("d:" + v.date().isoformat()).encode()
+            return ("ts:" + v.isoformat()).encode()
+        if isinstance(v, _dt.date):
+            return ("d:" + v.isoformat()).encode()
+        return repr(v).encode()
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].map(norm)
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            na_position="first").reset_index(drop=True)
+        h = hashlib.sha256()
+        for row in df.itertuples(index=False):
+            for v in row:
+                h.update(v)
+                h.update(b"\x1f")
+            h.update(b"\x1e")
+        return h.hexdigest()
+    return canon(sdf), canon(odf)
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -73,7 +134,28 @@ def main(sfdir, outdir):
                           f"rendering skew; see q189 r13 postmortem")
                     n_fail += 1
                 else:
-                    print(f"PASS {name}: {no} rows (value-hash {ho[:12]})"); n_pass += 1
+                    ah_s = ah_o = None
+                    if pq is not None:
+                        try:
+                            ah_s, ah_o = asymmetric_hash(
+                                sp_glob, con, sql, sorted(ocols))
+                        except Exception as e:  # keep the gate informative
+                            print(f"FAIL {name}: asymmetric-hash pin errored: "
+                                  f"{type(e).__name__}: {e}")
+                            n_fail += 1
+                            continue
+                    if ah_s is not None and ah_s != ah_o:
+                        print(f"FAIL {name}: symmetric hashes agree but the "
+                              f"ASYMMETRIC pin (pyarrow-spark vs duckdb-fetch) "
+                              f"differs (spark {ah_s[:12]} vs oracle "
+                              f"{ah_o[:12]}) — this is the q189/q200 driver-"
+                              f"recipe class; stop emitting the offending "
+                              f"type at the gate boundary")
+                        n_fail += 1
+                    else:
+                        print(f"PASS {name}: {no} rows (value-hash {ho[:12]}"
+                              + (f", asym {ah_s[:12]}" if ah_s else "") + ")")
+                        n_pass += 1
             else:
                 print(f"FAIL {name}: rows oracle={no} spark={ns} spark-only={d1} oracle-only={d2} typemism={tmism}")
                 if d1 or d2:
