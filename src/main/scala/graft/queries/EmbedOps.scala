@@ -888,7 +888,13 @@ object EmbedOps {
         "shape: broadcast the 8 anchors, one map-only linear scan " +
         "scoring both faces (negative top-k + positive min) in a " +
         "single pass, per-anchor bounded top-k windows over " +
-        "anchor-partitioned data — no vector shuffle, no all-pairs.",
+        "anchor-partitioned data — no vector shuffle, no all-pairs. " +
+        "Contract: the negative top-k inner-joins the positive floor, " +
+        "so an anchor with NO same-label non-self peer is excluded " +
+        "from the output entirely (deliberate — without a pos_floor " +
+        "the margin filter downstream has no reference; surface such " +
+        "anchors by LEFT JOIN + null pos_floor if a pipeline wants " +
+        "them).",
       Some(s"""
         WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
         n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),

@@ -1278,8 +1278,14 @@ object LlmOps {
         "rerun-stable. 100 TB shape: one gram-explode agg into a " +
         "256-row bucket table broadcast back over a second map-only " +
         "pass, then distributed top-k (TakeOrdered, never a global " +
-        "window); intermediates bound long headroom to ~10^14 grams, " +
-        "beyond which the same plan runs the ratio in DECIMAL(38). " +
+        "window). Long headroom: the widest intermediate is " +
+        "(t_b+1)*R*10^4, so the integer path is exact while " +
+        "(max per-bucket target grams + 1) x (total raw grams R) " +
+        "stays under ~9x10^14 — e.g. R ~ 10^9 grams with <= ~10^5 " +
+        "target grams per bucket, or R ~ 10^11 with a ~10^3-gram " +
+        "target profile; beyond that, the SAME two-scan plan runs the " +
+        "256 ratio divisions in DECIMAL(38) (a 256-row change, not a " +
+        "replan). " +
         "The output audits the selection per language: how many docs, " +
         "their importance mass, the cut line, and how many came from " +
         "the target domain itself (DSIR should up-select src0-like " +

@@ -26,7 +26,22 @@ object Registry {
     * state stores, ~3.4 s of which is the drains themselves at the
     * r12-tuned 4 shuffle partitions (8 partitions cost ~5 s, 32 ~11 s;
     * the state-store commit overhead is per-partition-per-batch). The
-    * other streaming gates share the same 3-4 s micro-batch floor. */
+    * other streaming gates share the same 3-4 s micro-batch floor.
+    *
+    * r15 re-audit of the tier: flipping every pinned gate 4 -> 2
+    * partitions moved the 15-gate streaming sweep 33.5 s -> 34.2 s
+    * (noise) — at 4 partitions the cost is the drains themselves
+    * (no-data micro-batches + state commit + sink commit per drain),
+    * not partition count, so 4 stays the tier default. q122 was the
+    * exception: it ran UNPINNED at the session's 32 partitions and
+    * pinning it (32 -> 4 -> 2: 4.0 -> 2.6 -> 1.9 s solo at sf0.1)
+    * recovered its r13 number; its r14 "2 s -> 4 s regression" A/B'd
+    * clean — the r13 build times identically to HEAD on today's
+    * hardware (both ~4.0-4.3 s unpinned), i.e. environment drift, not
+    * a code regression. The sentinel double-drains (q173/q184) are
+    * semantically required: eviction uses the watermark computed from
+    * the PREVIOUS batch, so a successor batch must exist to flush —
+    * collapsing them would break the stream==batch proof. */
   lazy val heavy: Set[String] = Set(
     "q38_csv_roundtrip", "q82_orc_roundtrip", "q93_schema_evolution",
     "q86_compaction",

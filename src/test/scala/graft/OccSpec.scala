@@ -46,8 +46,13 @@ class OccSpec extends SparkSpec {
       }
     }
     // every append must succeed — disjoint appends MERGE under the
-    // commit arbitration, they never conflict, retry, or time out
-    Await.result(Future.sequence(futures), 120.seconds)
+    // commit arbitration, they never conflict or refuse. The bound is
+    // deliberately generous (r14 advice): under a loaded CI box the 8
+    // INSERTs share one local scheduler and can serialize; a timeout
+    // here would be a scheduling flake, not an arbitration failure —
+    // every assertion below is order-independent and exact once all
+    // futures complete.
+    Await.result(Future.sequence(futures), 600.seconds)
     val total = sc.sql(s"SELECT COUNT(*), COUNT(DISTINCT doc_id) " +
       s"FROM $cat.ns.t").head
     assert(total.getLong(0) == n * 50L && total.getLong(1) == n * 50L)
