@@ -264,19 +264,57 @@ object DocStore {
     * agg serves 8-byte payloads only — provably sound: minMaxServable
     * requires LongBound stats on every segment).
     *
-    * NESTED types (ARRAY / MAP / STRUCT) are REFUSED at DDL by design:
-    * the format's section payloads are scalar (one length-prefixed
-    * value per row) and its stat/pruning algebra is total-ordered,
-    * which no nested type is. The supported pattern is the one
-    * Delta/Iceberg users reach for under the same constraint: store
-    * the nested value as a STRING column holding JSON and query it
-    * with the variant path (from_json / get_json_object — the q127
-    * shredding gate shows the full pipeline). See
-    * [[nestedRefusalReason]], pinned by EncodingSpec. */
+    * NESTED types (ARRAY / MAP / STRUCT, r14 verdict gap 1 — the
+    * Delta/Iceberg nested-evolution surface): accepted whenever every
+    * LEAF type is in the scalar surface above. The physical form is a
+    * third payload class next to 8-byte and byte-string: ONE
+    * length-prefixed value per row whose bytes are the type-directed
+    * recursive encoding of [[nestedBytes]] (counts + null tags +
+    * scalar leaf encodings — see that scaladoc for the exact layout).
+    * The trade the scalar classes never make: nested sections carry
+    * NULL COUNTS but no [lo, hi] envelope (no total order exists), so
+    * IsNull/IsNotNull pruning stays exact while comparison pruning and
+    * metadata-only MIN/MAX decline — the same posture Delta/Iceberg
+    * take for nested stats. Type WIDENING inside a nested column is
+    * refused (the per-value payload carries no per-leaf tags to
+    * re-dispatch on); evolve a sibling column instead. */
   def evolvedTypeOk(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | DoubleType | FloatType |
         DateType | TimestampType | TimestampNTZType | BooleanType => true
     case d: DecimalType => d.precision <= 38
+    case a: org.apache.spark.sql.types.ArrayType =>
+      evolvedTypeOk(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      evolvedTypeOk(m.keyType) && evolvedTypeOk(m.valueType)
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.forall(f => evolvedTypeOk(f.dataType))
+    case _ => false
+  }
+
+  /** Deep nullability-normalized form — the comparison key for write
+    * schemas: a literal-derived input (array('a','b') infers
+    * containsNull = false) must write into the table's
+    * nullable-element column; leaf TYPES still compare exactly. */
+  def deepNullable(dt: DataType): DataType = dt match {
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(
+        deepNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        deepNullable(m.keyType), deepNullable(m.valueType),
+        valueContainsNull = true)
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case other => other
+  }
+
+  /** The opaque-payload physical class: nested types (no stat
+    * envelope, no pruning, no widening — see [[evolvedTypeOk]]). */
+  def isNestedType(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType |
+        _: org.apache.spark.sql.types.MapType |
+        _: org.apache.spark.sql.types.StructType => true
     case _ => false
   }
 
@@ -296,11 +334,13 @@ object DocStore {
         _: org.apache.spark.sql.types.MapType |
         _: org.apache.spark.sql.types.StructType => Some(
       s"nested type ${dt.simpleString} cannot be an evolved docstore " +
-        "column: section payloads are scalar and the stats/pruning " +
-        "algebra needs a total order. Store the value as a STRING " +
-        "column holding JSON and query it with from_json / " +
-        "get_json_object (the variant-shredding path; see " +
-        "q127_json_shred)")
+        "column: a LEAF type inside it is outside the scalar surface " +
+        "(supported leaves: INT, BIGINT, STRING, DOUBLE, FLOAT, DATE, " +
+        "TIMESTAMP, TIMESTAMP_NTZ, BOOLEAN, DECIMAL(<=38, s)). " +
+        "Restructure the offending leaf (e.g. BINARY -> base64 " +
+        "STRING), or store the value as a STRING column holding JSON " +
+        "and query it with from_json / get_json_object (the " +
+        "variant-shredding path; see q127_json_shred)")
     case _: org.apache.spark.sql.types.BinaryType => Some(
       "BINARY cannot be an evolved docstore column: string sections " +
         "are UTF-8 and stat envelopes would be unsound on raw bytes. " +
@@ -370,6 +410,155 @@ object DocStore {
   /** Unscaled value back from the fixed 16-byte payload. */
   def dec128Of(b: Array[Byte]): java.math.BigInteger =
     new java.math.BigInteger(b)
+
+  /** Type-directed recursive encoding of a NESTED (ARRAY/MAP/STRUCT)
+    * value — the third payload class (next to 8-byte scalars and
+    * byte-strings). Layout, per value:
+    *  - scalar leaves: the natural fixed form (8-byte long family
+    *    incl. micros timestamps; 4-byte int/date; RAW IEEE bits for
+    *    double(8)/float(4) — data fidelity incl. -0.0, there is no
+    *    stats boundary to canonicalize for; 1-byte boolean; 4-byte
+    *    length + UTF-8 for strings; 8-byte unscaled long for
+    *    DECIMAL(p<=18), fixed 16-byte dec128 for p>18);
+    *  - ARRAY: 4-byte count, then per element a 1-byte null tag (0 =
+    *    null, 1 = present) + the element encoding;
+    *  - MAP: 4-byte count, then per entry the key encoding (Spark map
+    *    keys are never null) + a tagged value encoding;
+    *  - STRUCT: per field (schema order) a tagged field encoding.
+    * Deterministic given the value, self-delimiting given the TYPE —
+    * the reader decodes with the schema type in hand, which is the
+    * same contract the 8-byte class uses (schema decides the decode).
+    * No per-leaf type tags ride the payload, which is why nested
+    * widening is refused at DDL ([[evolvedTypeOk]]). */
+  def nestedBytes(dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ord: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    writeNestedValue(dt, row, ord, out)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def writeNestedValue(dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ord: Int, out: DataOutputStream): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      out.writeLong(row.getLong(ord))
+    case IntegerType | DateType => out.writeInt(row.getInt(ord))
+    case DoubleType => out.writeLong(
+      java.lang.Double.doubleToRawLongBits(row.getDouble(ord)))
+    case FloatType => out.writeInt(
+      java.lang.Float.floatToRawIntBits(row.getFloat(ord)))
+    case BooleanType => out.writeBoolean(row.getBoolean(ord))
+    case StringType =>
+      val b = row.getUTF8String(ord).getBytes
+      out.writeInt(b.length); out.write(b)
+    case d: DecimalType if d.precision <= 18 =>
+      out.writeLong(row.getDecimal(ord, d.precision, d.scale).toUnscaledLong)
+    case d: DecimalType =>
+      out.write(dec128Bytes(row.getDecimal(ord, d.precision, d.scale)
+        .toJavaBigDecimal.unscaledValue()))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      val arr = row.getArray(ord)
+      val n = arr.numElements()
+      out.writeInt(n)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) out.writeByte(0)
+        else { out.writeByte(1); writeNestedValue(a.elementType, arr, i, out) }
+        i += 1
+      }
+    case m: org.apache.spark.sql.types.MapType =>
+      val mp = row.getMap(ord)
+      val n = mp.numElements()
+      val ks = mp.keyArray(); val vs = mp.valueArray()
+      out.writeInt(n)
+      var i = 0
+      while (i < n) {
+        writeNestedValue(m.keyType, ks, i, out) // map keys are non-null
+        if (vs.isNullAt(i)) out.writeByte(0)
+        else { out.writeByte(1); writeNestedValue(m.valueType, vs, i, out) }
+        i += 1
+      }
+    case st: org.apache.spark.sql.types.StructType =>
+      val r2 = row.getStruct(ord, st.fields.length)
+      var i = 0
+      while (i < st.fields.length) {
+        if (r2.isNullAt(i)) out.writeByte(0)
+        else {
+          out.writeByte(1)
+          writeNestedValue(st.fields(i).dataType, r2, i, out)
+        }
+        i += 1
+      }
+    case other => throw new IllegalStateException(
+      s"unencodable nested leaf type ${other.simpleString} — " +
+        "evolvedTypeOk must refuse this at DDL")
+  }
+
+  /** Decode one nested payload back to the CATALYST value the schema
+    * type carries in an InternalRow (GenericArrayData /
+    * ArrayBasedMapData / GenericInternalRow). Inverse of
+    * [[nestedBytes]]. */
+  def nestedOf(dt: DataType, payload: Array[Byte]): AnyRef =
+    readNestedValue(dt, new DataInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+
+  private def readNestedValue(dt: DataType, in: DataInputStream): AnyRef =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        java.lang.Long.valueOf(in.readLong())
+      case IntegerType | DateType => java.lang.Integer.valueOf(in.readInt())
+      case DoubleType => java.lang.Double.valueOf(
+        java.lang.Double.longBitsToDouble(in.readLong()))
+      case FloatType => java.lang.Float.valueOf(
+        java.lang.Float.intBitsToFloat(in.readInt()))
+      case BooleanType => java.lang.Boolean.valueOf(in.readBoolean())
+      case StringType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        UTF8String.fromBytes(b)
+      case d: DecimalType if d.precision <= 18 =>
+        org.apache.spark.sql.types.Decimal(in.readLong(),
+          d.precision, d.scale)
+      case d: DecimalType =>
+        val b = new Array[Byte](16); in.readFully(b)
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(dec128Of(b), d.scale),
+          d.precision, d.scale)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        val n = in.readInt()
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          if (in.readByte() != 0) vals(i) = readNestedValue(a.elementType, in)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+      case m: org.apache.spark.sql.types.MapType =>
+        val n = in.readInt()
+        val ks = new Array[Any](n); val vs = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          ks(i) = readNestedValue(m.keyType, in)
+          if (in.readByte() != 0) vs(i) = readNestedValue(m.valueType, in)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+      case st: org.apache.spark.sql.types.StructType =>
+        val vals = new Array[Any](st.fields.length)
+        var i = 0
+        while (i < st.fields.length) {
+          if (in.readByte() != 0)
+            vals(i) = readNestedValue(st.fields(i).dataType, in)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      case other => throw new IllegalStateException(
+        s"undecodable nested leaf type ${other.simpleString}")
+    }
 
   /** Decode a stored/encoded 8-byte payload back to the CATALYST value
     * the column type carries in an InternalRow — shared by the segment
@@ -764,9 +953,16 @@ object DocStore {
     * decimal stat accumulator ([[DecBound]]), never the string one
     * (random 16-byte payloads are not UTF-8 and byte order is not
     * numeric order for negatives). */
+  /** `nestedExtras`: offsets of ARRAY/MAP/STRUCT typed sections. Their
+    * byte payloads are the recursive encodings of [[nestedBytes]] —
+    * stored length-prefixed like strings but OPAQUE to stats: the
+    * accumulator records null counts only (no total order exists for
+    * an envelope), so IsNull/IsNotNull pruning stays exact and every
+    * comparison keeps the segment. */
   final class SegmentEncoder(nExtra: Int = 0, compress: Boolean = false,
       floatExtras: Set[Int] = Set.empty,
-      dec128Extras: Set[Int] = Set.empty) {
+      dec128Extras: Set[Int] = Set.empty,
+      nestedExtras: Set[Int] = Set.empty) {
     private val sections = Array.fill(5 + nExtra)(new ByteArrayOutputStream())
     private val outs = sections.map(new DataOutputStream(_))
     var rows = 0
@@ -791,6 +987,8 @@ object DocStore {
       var hiD: java.math.BigInteger = null
       var poisoned = false // un-incrementable upper prefix (see truncUpperBytes)
       def addNull(): Unit = nulls += 1
+      /** Opaque (nested) value: null count stays exact, no envelope. */
+      def addOpaque(): Unit = { seen = true; poisoned = true }
       def addLong(v: Long): Unit = {
         seen = true
         if (v < loL) loL = v
@@ -879,6 +1077,9 @@ object DocStore {
           case b: Array[Byte] if dec128Extras(j) =>
             outs(5 + j).writeInt(b.length); outs(5 + j).write(b)
             accs(4 + j).addDec(b)
+          case b: Array[Byte] if nestedExtras(j) =>
+            outs(5 + j).writeInt(b.length); outs(5 + j).write(b)
+            accs(4 + j).addOpaque()
           case b: Array[Byte] => str(5 + j, b)
         }
         j += 1
@@ -1455,9 +1656,15 @@ class DocStoreTable(path: String, manifest: String = "MANIFEST")
     * (it is the format's fixed-width zone-map column). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
-    val expect = tblSchema.fields.map(f => f.name -> f.dataType).toMap
+    // nested types compare under asNullable: a literal-derived input
+    // (array('a','b') infers containsNull = false) writes fine into
+    // the table's nullable-element column — same leaf types, and the
+    // stored payload tags nullability per value anyway
+    val expect = tblSchema.fields
+      .map(f => f.name -> DocStore.deepNullable(f.dataType)).toMap
     require(in.fields.length == expect.size &&
-      in.fields.forall(f => expect.get(f.name).contains(f.dataType)),
+      in.fields.forall(f =>
+        expect.get(f.name).contains(DocStore.deepNullable(f.dataType))),
       s"graft-docstore write schema must be ${tblSchema.simpleString}, " +
         s"got ${in.simpleString}")
     val order = tblSchema.fields.map(f => in.fieldIndex(f.name))
@@ -1813,11 +2020,48 @@ object DocStoreCommitOps {
     * merely-SLOW live holder (big vacuum, GC stall) is protected for
     * the full TTL — ten minutes, orders of magnitude above any commit
     * body here (metadata lines + file renames/deletes). A holder alive
-    * past the TTL would be stolen from (known limitation: the lock
-    * mtime is set once, not heartbeat-refreshed); the TTL is sized so
-    * that means a dead JVM in practice. */
+    * past the TTL can be stolen FROM — and the fencing token below is
+    * what keeps that from corrupting the table: each acquisition
+    * writes a unique token INSIDE the lock directory, the manifest
+    * swap re-reads it immediately before publishing, and a mismatch
+    * (the steal replaced the token) refuses the publish loudly. A
+    * stalled-then-woken holder can therefore lose its commit but can
+    * never double-publish over the stealer's. The residual window is
+    * the microseconds between the fence read and the rename — reachable
+    * only if the TTL expires EXACTLY there after a 10-minute stall,
+    * vs. the unbounded stale-publish window without the fence. */
   val LOCK_STEAL_TTL_MS = 600000L // 10 min: presumed-crashed threshold
   val LOCK_WAIT_MS = 660000L // waiter outlives the TTL by design
+  val LOCK_TOKEN_FILE = "TOKEN"
+
+  /** (table path -> fencing token) for locks THIS thread holds; the
+    * manifest swap consults it so unlocked writers (staging-dir CTAS /
+    * clone builds, first-commit table creation) are unaffected. */
+  private val fenceTokens =
+    new ThreadLocal[Map[String, String]] {
+      override def initialValue(): Map[String, String] = Map.empty
+    }
+
+  private def fenceKey(path: String): String =
+    Paths.get(path).toAbsolutePath.normalize.toString
+
+  /** Refuses the publish if this thread's lock on `path` was stolen
+    * (TTL expiry during a stall): the token it wrote at acquisition is
+    * gone or replaced. No-op for threads not holding a tracked lock. */
+  def assertLockFence(path: String): Unit =
+    fenceTokens.get.get(fenceKey(path)).foreach { token =>
+      val cur =
+        try Files.readString(
+          Paths.get(path, ".COMMIT_LOCK", LOCK_TOKEN_FILE))
+        catch { case _: Exception => null }
+      if (cur != token) throw new IllegalStateException(
+        s"docstore commit fencing violation for $path: this writer's " +
+          "commit lock was stolen (it held the lock past the " +
+          s"${LOCK_STEAL_TTL_MS / 1000}s steal TTL — a GC pause or " +
+          "stall — and another writer arbitrated in the meantime). " +
+          "Refusing to publish over the newer commit; retry the " +
+          "operation.")
+    }
 
   def withCommitLock[T](path: String)(body: => T): T = {
     val dir = Paths.get(path)
@@ -1845,7 +2089,37 @@ object DocStoreCommitOps {
           else Thread.sleep(20)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    // Token write failure (exotic FS) degrades to the pre-fence
+    // behavior: no fence registered (publishes aren't refused) and
+    // release is unconditional — never weaker than before the fence.
+    val token = java.util.UUID.randomUUID().toString
+    val fenced =
+      try { Files.writeString(lock.resolve(LOCK_TOKEN_FILE), token); true }
+      catch { case _: Exception => false }
+    val outer = fenceTokens.get
+    if (fenced) fenceTokens.set(outer + (fenceKey(path) -> token))
+    try body finally {
+      fenceTokens.set(outer)
+      if (fenced) releaseIfOwned(lock, token)
+      else graft.core.Fs.deleteRecursively(lock.toString)
+    }
+  }
+
+  /** Release ONLY a lock we still own: if the token changed, a waiter
+    * stole this lock (we stalled past the TTL) and now owns it —
+    * deleting it here would put two writers inside the critical
+    * section, the exact hazard the tombstone steal avoids. */
+  private def releaseIfOwned(lock: java.nio.file.Path,
+      token: String): Unit = {
+    val owned =
+      try Files.readString(lock.resolve(LOCK_TOKEN_FILE)) == token
+      catch { case _: Exception => false } // stolen + renamed away
+    if (owned) {
+      try {
+        Files.deleteIfExists(lock.resolve(LOCK_TOKEN_FILE))
+        Files.deleteIfExists(lock)
+      } catch { case _: Exception => () } // lost a concurrent steal race
+    }
   }
 
   /** Atomic manifest write + a retained `MANIFEST.v<n>` snapshot per
@@ -1994,6 +2268,10 @@ object DocStoreCommitOps {
     val tmpManifest = dir.resolve(s".MANIFEST-$manifestToken")
     Files.createDirectories(dir)
     Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
+    // fencing: if this thread's commit lock was stolen while it
+    // stalled, refuse HERE — before the swap makes the stale state
+    // live over the stealer's commit (no-op for unlocked callers)
+    assertLockFence(path)
     Files.move(tmpManifest, dir.resolve(manifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // branch manifests version NOTHING: branch work stays invisible to
@@ -2468,6 +2746,9 @@ class DocStoreDataWriter(path: String, schema: StructType,
   // DECIMAL(p > 18) sections: 16-byte dec128 payloads + DecBound stats
   private val dec128ExtraOffsets: Set[Int] = extraFields.collect {
     case (dt, off) if DocStore.isWideDecimal(dt) => off }.toSet
+  // ARRAY/MAP/STRUCT sections: opaque recursive payloads, nulls-only stats
+  private val nestedExtraOffsets: Set[Int] = extraFields.collect {
+    case (dt, off) if DocStore.isNestedType(dt) => off }.toSet
   // insertion-ordered: staged-file ordinals stay deterministic per
   // task. Key = partition dir + roll ordinal; value keeps the bare
   // partition dir for the commit message.
@@ -2521,13 +2802,13 @@ class DocStoreDataWriter(path: String, schema: StructType,
     val ord = rollOrdinal.getOrDefault(dirKey, 0)
     var enc = encoders.computeIfAbsent(s"$dirKey\u0000$ord",
       _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
-        floatExtraOffsets, dec128ExtraOffsets)))._2
+        floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets)))._2
     if (enc.rows >= maxRowsPerSegment) { // roll to a fresh segment
       val next = ord + 1
       rollOrdinal.put(dirKey, next)
       enc = encoders.computeIfAbsent(s"$dirKey\u0000$next",
         _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
-          floatExtraOffsets, dec128ExtraOffsets)))._2
+          floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets)))._2
     }
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
@@ -2565,6 +2846,9 @@ class DocStoreDataWriter(path: String, schema: StructType,
             case d: DecimalType => DocStore.dec128Bytes(
               r.getDecimal(pos, d.precision, d.scale)
                 .toJavaBigDecimal.unscaledValue()): AnyRef
+            // ARRAY/MAP/STRUCT: opaque recursive payload (nestedBytes)
+            case dt if DocStore.isNestedType(dt) =>
+              DocStore.nestedBytes(dt, r, pos): AnyRef
             case _ => r.getUTF8String(pos).getBytes: AnyRef
           }
           j += 1
@@ -2704,6 +2988,7 @@ class DocStoreScanBuilder(path: String,
   private def minMaxServable(c: String): Boolean =
     isDocIdName(c) || fieldOf(c).exists { case (f, _) =>
       f.dataType != StringType && DocStore.evolvedTypeOk(f.dataType) &&
+        !DocStore.isNestedType(f.dataType) && // opaque: no envelopes
         manifestData._1.forall(s =>
         s.rows == 0 || statOf(s, c).exists {
           case DocStore.ColStat(_, Some(_: DocStore.LongBound)) => true
@@ -3355,7 +3640,8 @@ class DocStoreReader(file: String, schema: StructType,
           // DocStore.validateEvolved)
           val dt = schema.fields(fieldAtSection(c)).dataType
           val wideDec = DocStore.isWideDecimal(dt)
-          val is8Byte = dt != StringType && !wideDec
+          val nested = DocStore.isNestedType(dt)
+          val is8Byte = dt != StringType && !wideDec && !nested
           // decode an 8-byte payload straight to the CATALYST value
           // the InternalRow carries for this type
           val dec: Long => AnyRef = DocStore.decoderOf(dt)
@@ -3384,6 +3670,11 @@ class DocStoreReader(file: String, schema: StructType,
                     new java.math.BigDecimal(DocStore.dec128Of(b), decS),
                     decP, decS)
                 }
+              } else if (nested) {
+                // opaque recursive payload -> Catalyst nested value
+                val b = new Array[Byte](len)
+                sin.readFully(b)
+                a(i) = DocStore.nestedOf(dt, b)
               } else {
                 val b = new Array[Byte](len)
                 sin.readFully(b)

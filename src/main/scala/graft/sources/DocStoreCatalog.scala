@@ -452,7 +452,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       }
       def extraIndex(s: StructType, fieldNames: Array[String],
           what: String): Int = {
-        require(fieldNames.length == 1, "docstore columns cannot be nested")
+        require(fieldNames.length == 1, "docstore DDL addresses top-level columns only (adding or altering a field INSIDE a nested column is not supported; nested-TYPED top-level columns are)")
         val name = fieldNames(0)
         val i = s.fieldNames.indexOf(name)
         require(i >= 0, s"no such column: $name")
@@ -464,7 +464,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       val evolved = schemaChanges.foldLeft(cur) {
         case (s, add: TableChange.AddColumn) =>
           require(add.fieldNames.length == 1,
-            "docstore columns cannot be nested")
+            "docstore DDL addresses top-level columns only (adding or altering a field INSIDE a nested column is not supported; nested-TYPED top-level columns are)")
           require(add.position() == null,
             "docstore ADD COLUMN appends at the end (no FIRST/AFTER)")
           require(!s.fieldNames.contains(add.fieldNames()(0)),
@@ -555,7 +555,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
           // semantics; the exists-default of pre-ADD rows is pinned at
           // ADD COLUMN time and deliberately untouched here)
           require(d.fieldNames().length == 1,
-            "docstore columns cannot be nested")
+            "docstore DDL addresses top-level columns only (adding or altering a field INSIDE a nested column is not supported; nested-TYPED top-level columns are)")
           val i = s.fieldNames.indexOf(d.fieldNames()(0))
           require(i >= 0, s"no such column: ${d.fieldNames()(0)}")
           val sql = Option(d.newCurrentDefault()).map(_.getSql)
@@ -580,7 +580,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
           // ALTER COLUMN SET/DROP NOT NULL — the write-time contract
           // flag (physical nullability never changes; see NOTNULL_KEY)
           require(un.fieldNames().length == 1,
-            "docstore columns cannot be nested")
+            "docstore DDL addresses top-level columns only (adding or altering a field INSIDE a nested column is not supported; nested-TYPED top-level columns are)")
           val i = s.fieldNames.indexOf(un.fieldNames()(0))
           require(i >= 0, s"no such column: ${un.fieldNames()(0)}")
           require(i != 0, "doc_id is non-null by format contract")

@@ -690,9 +690,12 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     val path = dir.toString
     val s = org.apache.spark.sql.SparkSession.active
     val tbl = DocStore.tableSchema(path)
-    // every non-id column, with its physical section id
-    val statCols = tbl.fields.zipWithIndex.drop(1).map { case (f, i) =>
-      (f, DocStore.sectionOf(f, i)) }
+    // every non-id column, with its physical section id; NESTED columns
+    // are skipped — no total order exists for an envelope, and their
+    // write-path stats (exact null counts) already serve IsNull pruning
+    val statCols = tbl.fields.zipWithIndex.drop(1)
+      .filterNot { case (f, _) => DocStore.isNestedType(f.dataType) }
+      .map { case (f, i) => (f, DocStore.sectionOf(f, i)) }
     val df = s.read.format("graft-docstore").option("path", path).load()
       .select(col("_segment") +: tbl.fieldNames.map(col).toSeq: _*)
     val aggs = statCols.flatMap { case (f, sec) =>

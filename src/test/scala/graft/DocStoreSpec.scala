@@ -820,11 +820,11 @@ class DocStoreSpec extends SparkSpec {
     assert(w.getLong(2) == 3000000049L)
 
     // guardrails: unsupported evolution refuses (DROP COLUMN of added
-    // columns is SUPPORTED since r11 via column mapping, and r13 opened
-    // the full primitive surface — DOUBLE/DATE/TIMESTAMP/DECIMAL are
-    // covered by their own test below; complex types still refuse)
+    // columns is SUPPORTED since r11 via column mapping, r13 opened
+    // the full primitive surface, and r15 opened nested TYPES with
+    // scalar leaves — only a bad LEAF refuses now)
     intercept[Exception] {
-      sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN bad ARRAY<BIGINT>") }
+      sc.sql("ALTER TABLE ecat.ns.t ADD COLUMN bad ARRAY<BINARY>") }
     // base columns are the format contract: no rename, no retype
     intercept[Exception] {
       sc.sql("ALTER TABLE ecat.ns.t RENAME COLUMN lang TO language") }
@@ -3225,9 +3225,18 @@ class DocStoreSpec extends SparkSpec {
     def msg(t: Throwable): String =
       Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
         .map(m => String.valueOf(m.getMessage)).mkString("|")
+    // r15: clean nested types ACCEPT (opaque payload class); only a
+    // bad LEAF refuses toward the variant path
     assert(msg(intercept[Exception] { sc.sql(
-      "ALTER TABLE tcat13.ns.t ADD COLUMNS (tags ARRAY<STRING>)") })
+      "ALTER TABLE tcat13.ns.t ADD COLUMNS (blobs ARRAY<BINARY>)") })
       .contains("q127_json_shred"))
+    sc.sql("ALTER TABLE tcat13.ns.t ADD COLUMNS (tags ARRAY<STRING>)")
+    sc.sql("INSERT INTO tcat13.ns.t VALUES (100, 1, 'en', 's', 'x', " +
+      "NULL, NULL, NULL, NULL, NULL, NULL, array('a', 'b'))")
+    assert(sc.sql("SELECT tags[1] FROM tcat13.ns.t WHERE doc_id = 100")
+      .head.getString(0) == "b")
+    assert(sc.sql("SELECT COUNT(*) FROM tcat13.ns.t WHERE tags IS NULL")
+      .head.getLong(0) >= 1, "pre-ADD rows read NULL tags")
     // narrowing / cross-scale refusals (Spark's own analyzer rejects
     // DOUBLE->FLOAT before the catalog; the catalog's metadata-safe
     // gate backstops whatever reaches it)
@@ -3250,6 +3259,83 @@ class DocStoreSpec extends SparkSpec {
     assert(afterOpt._1 < afterOpt._2 && afterOpt._1 >= 1, afterOpt.toString)
     assert(readBack.where(col("price") > 90.0).select("doc_id")
       .collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("r15: nested evolved columns — payloads, null-count pruning, lifecycle") {
+    val root = Files.createTempDirectory("docstore_nested").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.tcat15" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.tcat15.root" -> root)
+    sc.sql("CREATE NAMESPACE tcat15.ns")
+    sc.sql("CREATE TABLE tcat15.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    // segment 1: pre-evolution (no nested sections on disk)
+    sc.sql("INSERT INTO tcat15.ns.t VALUES (1, 1, 'en', 's', 'pre')")
+    sc.sql("ALTER TABLE tcat15.ns.t ADD COLUMNS (tags ARRAY<STRING>, " +
+      "meta STRUCT<a: BIGINT, b: STRING>, kv MAP<STRING, BIGINT>, " +
+      "deep ARRAY<STRUCT<k: STRING, w: DECIMAL(24,2)>>)")
+    // segment 2: every nested kind populated, incl. interior nulls and
+    // a wide-decimal leaf
+    sc.sql("INSERT INTO tcat15.ns.t VALUES (2, 2, 'en', 's', 'full', " +
+      "array('x', NULL, 'z'), named_struct('a', 7L, 'b', 'bee'), " +
+      "map('n', 42L, 'm', NULL), " +
+      "array(named_struct('k', 'big', " +
+      "'w', CAST('123456789012345678901.25' AS DECIMAL(24,2)))))")
+    // segment 3: nested columns all-null (prunable by null counts)
+    sc.sql("INSERT INTO tcat15.ns.t VALUES (3, 3, 'en', 's', 'nulls', " +
+      "NULL, NULL, NULL, NULL)")
+    // values round-trip exactly, pre-ADD rows null-pad
+    val r = sc.sql("SELECT tags, meta.a, meta.b, element_at(kv, 'n'), " +
+      "kv['m'], deep[0].k, deep[0].w FROM tcat15.ns.t WHERE doc_id = 2")
+      .head
+    assert(r.getSeq[String](0) == Seq("x", null, "z"), r.toString)
+    assert(r.getLong(1) == 7L && r.getString(2) == "bee")
+    assert(r.getLong(3) == 42L && r.isNullAt(4))
+    assert(r.getString(5) == "big")
+    assert(r.getDecimal(6).toString == "123456789012345678901.25")
+    assert(sc.sql("SELECT tags, meta, kv, deep FROM tcat15.ns.t " +
+      "WHERE doc_id = 1").head.toSeq.forall(_ == null))
+    // null-count pruning is exact: IS NULL prunes the fully-populated
+    // segment (nulls = 0), IS NOT NULL prunes the all-null one
+    // (nulls = rows); the stat-less pre-ADD segment is conservatively
+    // KEPT both ways and resolved row-level
+    val path = java.nio.file.Paths.get(root, "ns", "t").toString
+    def readBack = sc.read.format("graft-docstore")
+      .option("path", path).load()
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    assert(planned(readBack.where(col("tags").isNull)) == ((2, 3)))
+    assert(planned(readBack.where(col("tags").isNotNull)) == ((2, 3)))
+    assert(readBack.where(col("tags").isNotNull).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(readBack.where(col("meta").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // widening INSIDE a nested column refuses (no per-leaf dispatch
+    // tags in the payload); the DDL error is the metadata-safe gate's
+    intercept[Exception] { sc.sql(
+      "ALTER TABLE tcat15.ns.t ALTER COLUMN tags TYPE ARRAY<BIGINT>") }
+    // DROP of a nested column is the same column-mapping retirement as
+    // scalars; remaining nested columns keep their sections
+    sc.sql("ALTER TABLE tcat15.ns.t DROP COLUMN meta")
+    assert(sc.sql("SELECT element_at(kv, 'n') FROM tcat15.ns.t " +
+      "WHERE doc_id = 2").head.getLong(0) == 42L)
+    // GDS3 compression wraps nested payloads like any section
+    sc.sql("ALTER TABLE tcat15.ns.t SET TBLPROPERTIES " +
+      "('graft.write.compression' = 'deflate')")
+    sc.sql("INSERT INTO tcat15.ns.t VALUES (4, 4, 'en', 's', 'zip', " +
+      "array('c'), map('n', 9L), " +
+      "array(named_struct('k', 'w', 'w', CAST(1.25 AS DECIMAL(24,2)))))")
+    assert(sc.sql("SELECT tags[0], kv['n'] FROM tcat15.ns.t " +
+      "WHERE doc_id = 4").head.toSeq == Seq("c", 9L))
+    // CoW row-level ops rewrite nested payloads through the writer
+    sc.sql("DELETE FROM tcat15.ns.t WHERE doc_id = 3")
+    assert(sc.sql("SELECT COUNT(*) FROM tcat15.ns.t").head.getLong(0) == 3L)
+    assert(sc.sql("SELECT SUM(size(tags)) FROM tcat15.ns.t")
+      .head.getLong(0) == 4L) // 3 + 1 surviving elements
   }
 
   test("r14: -0.0 survives an evolved DOUBLE round-trip; zero filters stay sound") {

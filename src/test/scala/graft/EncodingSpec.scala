@@ -227,25 +227,77 @@ class EncodingSpec extends AnyFunSuite {
     assert(!ltKeepB(segA) && ltKeepB(segB))
   }
 
-  test("nested/binary ADD COLUMN refusal matrix points at the variant path") {
+  test("ADD COLUMN type matrix: clean nested accepts, bad leaves refuse with the variant path") {
     import org.apache.spark.sql.types._
-    val arr = DocStore.nestedRefusalReason(ArrayType(LongType))
-    assert(arr.exists(m => m.contains("from_json") &&
+    // r15: nested types with scalar-surface leaves are ACCEPTED (the
+    // opaque payload class); only a bad LEAF refuses, and the message
+    // still points at the variant-path workaround
+    assert(DocStore.nestedRefusalReason(ArrayType(LongType)).isEmpty)
+    assert(DocStore.nestedRefusalReason(
+      StructType(Seq(StructField("a", LongType)))).isEmpty)
+    assert(DocStore.nestedRefusalReason(
+      MapType(StringType, LongType)).isEmpty)
+    assert(DocStore.nestedRefusalReason( // nested-of-nested too
+      ArrayType(StructType(Seq(StructField("s", StringType),
+        StructField("w", DecimalType(24, 2)))))).isEmpty)
+    val badLeaf = DocStore.nestedRefusalReason(ArrayType(BinaryType))
+    assert(badLeaf.exists(m => m.contains("from_json") &&
       m.contains("q127_json_shred")))
-    assert(DocStore.nestedRefusalReason(
-      StructType(Seq(StructField("a", LongType)))).isDefined)
-    assert(DocStore.nestedRefusalReason(
-      MapType(StringType, LongType)).isDefined)
     assert(DocStore.nestedRefusalReason(BinaryType)
       .exists(_.contains("unbase64")))
     assert(DocStore.nestedRefusalReason(DecimalType(38, 6)).isEmpty)
     assert(DocStore.nestedRefusalReason(DecimalType(12, 2)).isEmpty)
     assert(DocStore.nestedRefusalReason(DoubleType).isEmpty)
-    // a nested evolved schema refuses at validation with the reason
+    // a bad-leaf nested evolved schema refuses at validation
     val bad = StructType(DocStore.SCHEMA.fields.toSeq :+
-      StructField("tags", ArrayType(StringType)))
+      StructField("tags", ArrayType(BinaryType)))
     val e = intercept[IllegalArgumentException](
       DocStore.validateEvolved(bad))
     assert(e.getMessage.contains("q127_json_shred"))
+    // a clean nested evolved schema validates
+    val good = StructType(DocStore.SCHEMA.fields.toSeq :+
+      StructField("tags", ArrayType(StringType)))
+    assert(DocStore.validateEvolved(good).map(_.name) == Seq("tags"))
+  }
+
+  test("nested payload codec round-trips arrays, maps, structs and nesting") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.{GenericArrayData, ArrayBasedMapData}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def roundtrip(dt: DataType, v: Any): Any = {
+      val holder = new GenericInternalRow(Array[Any](v))
+      DocStore.nestedOf(dt, DocStore.nestedBytes(dt, holder, 0))
+    }
+    // array of long with interior null
+    val at = ArrayType(LongType)
+    val a = roundtrip(at, new GenericArrayData(Array[Any](1L, null, -3L)))
+      .asInstanceOf[GenericArrayData]
+    assert(a.numElements() == 3 && a.getLong(0) == 1L &&
+      a.isNullAt(1) && a.getLong(2) == -3L)
+    // struct with string + wide decimal + null field
+    val st = StructType(Seq(StructField("s", StringType),
+      StructField("w", DecimalType(24, 2)), StructField("b", BooleanType)))
+    val wide = org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal("123456789012345678901.25"), 24, 2)
+    val r = roundtrip(st, new GenericInternalRow(Array[Any](
+      UTF8String.fromString("héllo"), wide, null)))
+      .asInstanceOf[GenericInternalRow]
+    assert(r.getUTF8String(0).toString == "héllo")
+    assert(r.getDecimal(1, 24, 2).toJavaBigDecimal
+      .compareTo(new java.math.BigDecimal("123456789012345678901.25")) == 0)
+    assert(r.isNullAt(2))
+    // map string -> array<double> (nested-of-nested), -0.0 preserved raw
+    val mt = MapType(StringType, ArrayType(DoubleType))
+    val m = roundtrip(mt, new ArrayBasedMapData(
+      new GenericArrayData(Array[Any](UTF8String.fromString("k"))),
+      new GenericArrayData(Array[Any](
+        new GenericArrayData(Array[Any](-0.0d, 2.5d))))))
+      .asInstanceOf[ArrayBasedMapData]
+    assert(m.numElements() == 1)
+    val inner = m.valueArray.getArray(0)
+    assert(java.lang.Double.doubleToRawLongBits(inner.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0d), "-0.0 sign preserved")
+    assert(inner.getDouble(1) == 2.5d)
   }
 }
