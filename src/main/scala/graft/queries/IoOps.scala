@@ -2714,6 +2714,57 @@ object IoOps {
         "CAST(CAST(SUM(amt) AS DECIMAL(38,2)) AS STRING) AS amt_sum, " +
         "CAST(CAST(MIN(amt) AS DECIMAL(24,2)) AS STRING) AS amt_min " +
         s"FROM $t WHERE doc_id >= 5000000 GROUP BY lang ORDER BY lang")
+    },
+
+    // --------------------------- nested evolved columns (ARRAY/MAP/STRUCT)
+    Q("q206_nested_evolution",
+      "NESTED evolved columns (r14 verdict gap 1 — the last refusal in " +
+        "the evolution matrix; Delta/Iceberg users evolve nested " +
+        "schemas routinely): ADD COLUMN now accepts ARRAY / STRUCT / " +
+        "MAP whose LEAF types are in the scalar surface. Physical " +
+        "form: a third payload class — one length-prefixed value per " +
+        "row holding the type-directed recursive encoding of " +
+        "DocStore.nestedBytes (counts + null tags + the scalar leaf " +
+        "encodings; dispatch is by SCHEMA type, the same contract the " +
+        "8-byte class uses). Stats honesty: nested sections carry " +
+        "exact NULL COUNTS but no [lo,hi] envelope (no total order), " +
+        "so IsNull/IsNotNull pruning stays exact while comparison " +
+        "pruning and metadata-only MIN/MAX decline — Delta/Iceberg's " +
+        "own nested-stats posture. Nested WIDENING refuses at DDL " +
+        "(payloads carry no per-leaf tags to re-dispatch on). The " +
+        "gate ADDs all three kinds, inserts a derived slice " +
+        "(tags/struct/map all computed from the base columns), and " +
+        "aggregates THROUGH the nested values — element_at, struct " +
+        "field access, map lookup, size() — while the pre-ADD rows " +
+        "prove the null-pad face. At 100 TB: evolution is still one " +
+        "schema write, payload decode is per-row sequential, and the " +
+        "columns prune by null counts exactly like Delta.",
+      Some("""
+        SELECT lang, (COUNT(*) * 2)::BIGINT AS n_rows,
+               COUNT(*)::BIGINT AS n_prenested,
+               (COUNT(*) * 3)::BIGINT AS n_tags,
+               SUM(n_chars)::BIGINT AS w_sum,
+               SUM(doc_id % 7)::BIGINT AS m_sum,
+               COUNT(*)::BIGINT AS tag_match
+        FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val sc = catalogCopy(s, dir, "graft_cat_nest")
+      val t = "graft_cat_nest.default.docs"
+      sc.sql(s"ALTER TABLE $t ADD COLUMNS (tags ARRAY<STRING>, " +
+        "meta STRUCT<w: BIGINT, src: STRING>, kv MAP<STRING, BIGINT>)")
+      sc.sql(s"INSERT INTO $t SELECT doc_id + 5000000, n_chars, lang, " +
+        "source, text, " +
+        "array(lang, source, CAST(n_chars % 10 AS STRING)), " +
+        "named_struct('w', n_chars, 'src', source), " +
+        "map('n', n_chars, 'm', doc_id % 7) " +
+        s"FROM $t WHERE doc_id < 5000000")
+      sc.sql(s"SELECT lang, COUNT(*) AS n_rows, " +
+        "SUM(CASE WHEN tags IS NULL THEN 1 ELSE 0 END) AS n_prenested, " +
+        "SUM(size(tags)) AS n_tags, " +
+        "SUM(meta.w) AS w_sum, " +
+        "SUM(element_at(kv, 'm')) AS m_sum, " +
+        "SUM(CASE WHEN element_at(tags, 1) = lang " +
+        "AND meta.src = source THEN 1 ELSE 0 END) AS tag_match " +
+        s"FROM $t GROUP BY lang ORDER BY lang")
     }
   )
 

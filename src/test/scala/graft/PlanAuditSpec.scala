@@ -341,6 +341,25 @@ class PlanAuditSpec extends SparkSpec {
       s"probed cells must prune partitions:\n$scan")
   }
 
+  test("q207 ANN upsert: both index layers prune to probed cells; no corpus-sized shuffle join") {
+    val p = q("q207_ann_index_upsert")
+    // base AND delta pool scans must both carry the probed-cell
+    // partition filter — the incremental overlay prunes exactly like
+    // the base (the query-set scan, filtered on vec_id, is exempt)
+    val pruned = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "")
+          .takeWhile(_ != ']').contains("label"))
+    assert(pruned >= 2,
+      s"expected base + delta scans pruned to probed cells, got $pruned:\n$p")
+    // centroids and probes broadcast; the pool join must never
+    // shuffle the vector data
+    assert(!p.contains("SortMergeJoin"),
+      s"serve must broadcast-join the probe set:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q116 top-K scoring: fixed-size table broadcasts, probe is map-only — no sort-merge join") {
     val p = q("q116_bigram_topk_score")
     assert(p.contains("TakeOrderedAndProject"),
