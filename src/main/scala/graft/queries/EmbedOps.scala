@@ -870,6 +870,126 @@ object EmbedOps {
         .orderBy("query_id")
     },
 
+    // ------------------------------------ two-stage Hamming -> exact rerank
+    Q("q208_hamming_rerank",
+      "The RERANK serving stage q199's recall audit sizes (r14 verdict " +
+        "item 7): stage 1 scans only the 8-byte sign codes — " +
+        "popcount(xor) Hamming, broadcast query codes, bounded top-20 " +
+        "per query; stage 2 FETCHES just those candidates' full " +
+        "vectors (a broadcast semi-join on vec_id — the point-lookup " +
+        "tier at scale; 20 x |queries| ids, never the corpus) and " +
+        "re-scores them with the exact integer cosine, emitting the " +
+        "reranked top-5. The audit joins the full exact-scan baseline " +
+        "to report recall@5 of the two-stage pipeline — the number " +
+        "that says whether 20 Hamming candidates are enough or the " +
+        "radius must widen (q199's ham_radius is the dial). At 100 TB " +
+        "the float vectors stay on disk and only the 32x-smaller code " +
+        "tier is scanned: stage-2 IO is candidates x 256 bytes per " +
+        "query, independent of corpus size.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        c AS (SELECT vec_id, q, nn,
+                list_sum(list_transform(range(32), i -> CASE WHEN q[i+1] > 0
+                  THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END)) AS clo,
+                list_sum(list_transform(range(32), i -> CASE WHEN q[i+33] > 0
+                  THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END)) AS chi
+              FROM nz),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn, clo AS qlo,
+                      chi AS qhi
+               FROM c WHERE vec_id < 10),
+        hp AS (SELECT qid, c.vec_id AS neighbor_id,
+                      bit_count(xor(qlo, clo))::BIGINT
+                        + bit_count(xor(qhi, chi))::BIGINT AS ham
+               FROM qs JOIN c ON c.vec_id <> qid),
+        cand AS (SELECT qid, neighbor_id FROM (
+                   SELECT qid, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ham, neighbor_id) AS hrnk
+                   FROM hp) WHERE hrnk <= 20),
+        rr AS (SELECT cand.qid, cand.neighbor_id,
+                      ${oDot("qv", "q")}::DOUBLE /
+                        (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+               FROM cand JOIN nz ON nz.vec_id = cand.neighbor_id
+                         JOIN qs ON qs.qid = cand.qid),
+        rtop AS (SELECT qid, neighbor_id, cos,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, neighbor_id) AS rnk
+                 FROM rr),
+        fp AS (SELECT qid, nz.vec_id AS neighbor_id,
+                      ${oDot("qv", "q")}::DOUBLE /
+                        (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+               FROM qs JOIN nz ON nz.vec_id <> qid),
+        fr AS (SELECT qid, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM fp)
+        SELECT f.qid AS query_id,
+               t.top1 AS reranked_top1,
+               COUNT(r5.neighbor_id)::BIGINT AS n_overlap
+        FROM (SELECT * FROM fr WHERE rnk <= 5) f
+        LEFT JOIN (SELECT * FROM rtop WHERE rnk <= 5) r5
+          ON f.qid = r5.qid AND f.neighbor_id = r5.neighbor_id
+        JOIN (SELECT qid, neighbor_id AS top1 FROM rtop WHERE rnk = 1) t
+          ON f.qid = t.qid
+        GROUP BY 1, 2 ORDER BY 1""")) { (s, dir) =>
+      val full = quantized(s, dir)
+      def packHalf(off: Int): Column = expr(
+        s"aggregate(slice(q, ${off + 1}, 32), 0L, " +
+          "(acc, x) -> acc * 2L + IF(x > 0, 1L, 0L))")
+      val coded = full
+        .withColumn("clo", packHalf(0)).withColumn("chi", packHalf(32))
+      val qs = coded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"), col("clo").as("qlo"), col("chi").as("qhi"))
+      // stage 1: code-only scan, bounded top-20 per query
+      val wHam = Window.partitionBy(col("qid"))
+        .orderBy(col("ham").asc, col("vec_id").asc)
+      val cand = coded.drop("q", "nn")
+        .join(broadcast(qs.drop("qv", "qn")), col("vec_id") =!= col("qid"))
+        .withColumn("ham", expr(
+          "CAST(bit_count(qlo ^ clo) AS BIGINT) + " +
+            "CAST(bit_count(qhi ^ chi) AS BIGINT)"))
+        .withColumn("hrnk", row_number().over(wHam))
+        .filter(col("hrnk") <= 20)
+        .select(col("qid"), col("vec_id").as("neighbor_id"))
+      // stage 2: fetch ONLY the candidates' vectors (broadcast the
+      // bounded id set — the point-lookup tier) and re-score exactly
+      val wRe = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val rtop = full.join(broadcast(cand),
+          full("vec_id") === cand("neighbor_id"))
+        .join(broadcast(qs.drop("qlo", "qhi")), Seq("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        .withColumn("rnk", row_number().over(wRe))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("neighbor_id"), col("rnk"))
+      val top1 = rtop.filter(col("rnk") === 1)
+        .select(col("qid").as("tqid"), col("neighbor_id").as("reranked_top1"))
+      // audit tier: the full exact scan is the BASELINE being compared
+      // against, not the serving path
+      val wCos = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = full
+        .join(broadcast(qs.drop("qlo", "qhi")), col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        .withColumn("rnk", row_number().over(wCos))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor_id"))
+      exact.as("f")
+        .join(broadcast(rtop.as("r5")), // 5 x |queries| rows — tiny
+          col("f.qid") === col("r5.qid") &&
+            col("f.neighbor_id") === col("r5.neighbor_id"), "left")
+        .join(broadcast(top1), col("f.qid") === col("tqid"))
+        .groupBy(col("f.qid").as("query_id"), col("reranked_top1"))
+        .agg(count(col("r5.neighbor_id")).as("n_overlap"))
+        .select(col("query_id"), col("reranked_top1"), col("n_overlap"))
+        .orderBy("query_id")
+    },
+
     // ----------------------------------- contrastive hard-negative mining
     Q("q202_hard_negatives",
       "Hard-negative mining for contrastive training (the retrieval/" +

@@ -360,6 +360,19 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q208 rerank: code scan + bounded candidate fetch broadcast; windows stay per-query") {
+    val p = q("q208_hamming_rerank")
+    // stage 2's candidate-id fetch and every query-code attach must
+    // broadcast — the corpus is never shuffle-joined
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"candidate fetch must broadcast the bounded id set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the rerank pipeline:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query top-k windows must stay qid-partitioned:\n$p")
+  }
+
   test("q116 top-K scoring: fixed-size table broadcasts, probe is map-only — no sort-merge join") {
     val p = q("q116_bigram_topk_score")
     assert(p.contains("TakeOrderedAndProject"),
