@@ -1542,6 +1542,100 @@ object LlmOps {
         .select(col("phase"), col("n_docs"), col("tok_sum"),
           col("cum_tok"), col("diff_lo"), col("diff_hi"))
         .orderBy("phase")
+    },
+
+    // ---------------------- interleaved image-text sequence assembly
+    Q("q209_interleaved_assembly",
+      "VLM training-sequence assembly (the MMC4/OBELICS interleaved " +
+        "shape): each document becomes one SEQUENCE of text chunks " +
+        "and image placeholders under a token budget. Deterministic " +
+        "recipe both engines replay bit-for-bit: text splits into " +
+        "32-token chunks (cost = actual tokens); the document owns " +
+        "doc_id % 3 images at 64 tokens each; one image interleaves " +
+        "after every 2nd chunk while images remain, leftovers append " +
+        "at the tail; the sequence truncates at the first segment " +
+        "whose RUNNING cost would exceed 256. Output per doc: the " +
+        "layout string ('TTITTI...' — the interleaving proof), kept " +
+        "text/image counts, and the packed cost. The running cut is " +
+        "a per-doc array fold — NO window, NO shuffle: at 100 TB " +
+        "sequence assembly is a pure map over documents (the q204 " +
+        "posture), and the per-doc segment list is budget-bounded, " +
+        "so the fold is O(chunks^2) on a <=20-element array, not a " +
+        "corpus-sized anything.",
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     len(list_filter(string_split_regex(
+                       COALESCE(text, ''), '\s+'), x -> x <> '')) AS n,
+                     doc_id % 3 AS k
+                   FROM documents),
+        c AS (SELECT doc_id, n, k,
+                     CASE WHEN n = 0 THEN 0 ELSE (n + 31) // 32 END AS nc
+              FROM d),
+        s1 AS (SELECT doc_id, n, k, nc,
+                      flatten(list_transform(range(nc), i ->
+                        CASE WHEN ((i+1) % 2 = 0 AND (i+1) // 2 <= k)
+                          THEN [least(32, n - 32*i), -64]
+                          ELSE [least(32, n - 32*i)] END)) AS body
+               FROM c),
+        s2 AS (SELECT doc_id,
+                      list_concat(body, list_transform(
+                        range(greatest(k - least(k, nc // 2), 0)),
+                        x -> -64)) AS segs
+               FROM s1),
+        kp AS (SELECT doc_id, segs,
+                      list_filter(range(len(segs)), j ->
+                        list_sum(list_transform(
+                          list_slice(segs, 1, j + 1),
+                          s -> abs(s))) <= 256) AS kept
+               FROM s2)
+        SELECT doc_id,
+               array_to_string(list_transform(kept, j ->
+                 CASE WHEN segs[j+1] > 0 THEN 'T' ELSE 'I' END), '')
+                 AS layout,
+               len(list_filter(kept, j -> segs[j+1] > 0))::BIGINT
+                 AS n_text,
+               len(list_filter(kept, j -> segs[j+1] < 0))::BIGINT
+                 AS n_img,
+               COALESCE(list_sum(list_transform(kept,
+                 j -> abs(segs[j+1]))), 0)::BIGINT AS cost
+        FROM kp ORDER BY doc_id""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n", expr("size(filter(split(coalesce(text, ''), " +
+          "'\\\\s+'), x -> x <> ''))"))
+        .withColumn("k", col("doc_id") % 3)
+        .withColumn("nc",
+          expr("CASE WHEN n = 0 THEN 0 ELSE (n + 31) div 32 END"))
+        .withColumn("body", expr(
+          "flatten(transform(" +
+            "CASE WHEN nc > 0 THEN sequence(0, nc - 1) " +
+            "ELSE CAST(array() AS array<int>) END, i -> " +
+            "CASE WHEN ((i+1) % 2 = 0 AND (i+1) div 2 <= k) " +
+            "THEN array(least(32L, n - 32L*i), -64L) " +
+            "ELSE array(least(32L, n - 32L*i)) END))"))
+        .withColumn("segs", expr(
+          "concat(body, CASE WHEN k - least(k, nc div 2) > 0 " +
+            "THEN transform(sequence(1, " +
+            "cast(k - least(k, nc div 2) AS INT)), x -> -64L) " +
+            "ELSE CAST(array() AS array<bigint>) END)"))
+        .withColumn("kept", expr(
+          // sequence(0, -1) descends in Spark — guard the empty case
+          "filter(CASE WHEN size(segs) > 0 " +
+            "THEN sequence(0, size(segs) - 1) " +
+            "ELSE CAST(array() AS array<int>) END, j -> " +
+            "aggregate(slice(segs, 1, j + 1), 0L, " +
+            "(a, s) -> a + abs(s)) <= 256L)"))
+        .select(col("doc_id"),
+          expr("concat_ws('', transform(kept, j -> " +
+            "CASE WHEN element_at(segs, j+1) > 0 " +
+            "THEN 'T' ELSE 'I' END))").as("layout"),
+          expr("cast(size(filter(kept, j -> " +
+            "element_at(segs, j+1) > 0)) AS BIGINT)").as("n_text"),
+          expr("cast(size(filter(kept, j -> " +
+            "element_at(segs, j+1) < 0)) AS BIGINT)").as("n_img"),
+          expr("cast(coalesce(aggregate(kept, 0L, (a, j) -> " +
+            "a + abs(element_at(segs, j+1))), 0L) AS BIGINT)")
+            .as("cost"))
+        .orderBy("doc_id")
     }
   )
 }
