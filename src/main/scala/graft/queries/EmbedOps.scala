@@ -46,6 +46,20 @@ object EmbedOps {
   private def cosine(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
+  /** Sign code for one 32-dim half of a quantized vector `q`: a fold
+    * acc*2 + (x>0) — the first element lands on the word's high bit,
+    * identical to the oracle's shift sum; two BIGINT words keep every
+    * value positive (no 64-bit sign games in either engine). Shared by
+    * the 1-bit tier (q199) and the rerank stage built on it (q208). */
+  private def packHalf(off: Int): Column = expr(
+    s"aggregate(slice(q, ${off + 1}, 32), 0L, " +
+      "(acc, x) -> acc * 2L + IF(x > 0, 1L, 0L))")
+
+  /** The oracle twin of [[packHalf]] — the shift-sum CTE fragment. */
+  private def oPackHalf(off: Int): String =
+    s"list_sum(list_transform(range(32), i -> CASE WHEN q[i+${off + 1}] > 0" +
+      s" THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END))"
+
   /** (vec_id, label, q: array<long>, nn: long) with nonzero norm. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -787,10 +801,8 @@ object EmbedOps {
         n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
         nz AS (SELECT * FROM n WHERE nn > 0),
         c AS (SELECT vec_id, q, nn,
-                list_sum(list_transform(range(32), i -> CASE WHEN q[i+1] > 0
-                  THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END)) AS clo,
-                list_sum(list_transform(range(32), i -> CASE WHEN q[i+33] > 0
-                  THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END)) AS chi
+                ${oPackHalf(0)} AS clo,
+                ${oPackHalf(32)} AS chi
               FROM nz),
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn, clo AS qlo,
                       chi AS qhi
@@ -820,13 +832,6 @@ object EmbedOps {
               FROM hr WHERE rnk <= 5 GROUP BY qid) r ON f.qid = r.qid
         GROUP BY 1, 3 ORDER BY 1""")) { (s, dir) =>
       val full = quantized(s, dir)
-      // sign code per 32-dim half: a fold acc*2 + (x>0) — the first
-      // element lands on the word's high bit, identical to the
-      // oracle's shift sum; two BIGINT words keep every value positive
-      // (no 64-bit sign games in either engine)
-      def packHalf(off: Int): Column = expr(
-        s"aggregate(slice(q, ${off + 1}, 32), 0L, " +
-          "(acc, x) -> acc * 2L + IF(x > 0, 1L, 0L))")
       val coded = full
         .withColumn("clo", packHalf(0)).withColumn("chi", packHalf(32))
       val qs = coded.filter(col("vec_id") < 10)
@@ -891,10 +896,8 @@ object EmbedOps {
         n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
         nz AS (SELECT * FROM n WHERE nn > 0),
         c AS (SELECT vec_id, q, nn,
-                list_sum(list_transform(range(32), i -> CASE WHEN q[i+1] > 0
-                  THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END)) AS clo,
-                list_sum(list_transform(range(32), i -> CASE WHEN q[i+33] > 0
-                  THEN (1::BIGINT << (31 - i)) ELSE 0::BIGINT END)) AS chi
+                ${oPackHalf(0)} AS clo,
+                ${oPackHalf(32)} AS chi
               FROM nz),
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn, clo AS qlo,
                       chi AS qhi
@@ -935,9 +938,6 @@ object EmbedOps {
           ON f.qid = t.qid
         GROUP BY 1, 2 ORDER BY 1""")) { (s, dir) =>
       val full = quantized(s, dir)
-      def packHalf(off: Int): Column = expr(
-        s"aggregate(slice(q, ${off + 1}, 32), 0L, " +
-          "(acc, x) -> acc * 2L + IF(x > 0, 1L, 0L))")
       val coded = full
         .withColumn("clo", packHalf(0)).withColumn("chi", packHalf(32))
       val qs = coded.filter(col("vec_id") < 10)

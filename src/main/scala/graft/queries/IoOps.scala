@@ -279,9 +279,10 @@ object IoOps {
       // 128 state commits for 5 result rows; measured solo at sf0.1:
       // 32 -> 4.0 s, 4 -> 2.6 s, 2 -> 1.9 s). Cluster deployments size
       // this for throughput instead; the result is partition-invariant.
+      // no dropTempView needed: scoped() returns a FRESH newSession()
+      // whose temp-view namespace is empty on every invocation
       val sc = graft.core.Sessions.scoped(s,
         "spark.sql.shuffle.partitions" -> "2")
-      sc.catalog.dropTempView("q122_snapshot") // re-invocation safety
       val stream = sc.readStream.format("graft-docstore")
         .option("path", lake).option("maxSegmentsPerBatch", "2").load()
       val agg = stream.groupBy("lang")

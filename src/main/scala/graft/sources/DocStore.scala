@@ -2101,7 +2101,15 @@ object DocStoreCommitOps {
     try body finally {
       fenceTokens.set(outer)
       if (fenced) releaseIfOwned(lock, token)
-      else graft.core.Fs.deleteRecursively(lock.toString)
+      else {
+        // Token-less release must not destroy a lock a TTL-stealer
+        // now owns (the stealer's TOKEN lives inside it): a
+        // NON-recursive delete succeeds only on our own empty lock
+        // dir and fails harmlessly (DirectoryNotEmpty) on a stolen,
+        // re-owned one — which then self-heals via the TTL.
+        try Files.deleteIfExists(lock)
+        catch { case _: Exception => () }
+      }
     }
   }
 
@@ -2265,13 +2273,15 @@ object DocStoreCommitOps {
         Files.exists(dir.resolve("MANIFEST")))
         DocStore.readManifest(path).map(_.name).toSet
       else Set.empty
+    // fencing: if this thread's commit lock was stolen while it
+    // stalled, refuse HERE — before the swap makes the stale state
+    // live over the stealer's commit (no-op for unlocked callers).
+    // Checked BEFORE the temp file is written so a refusal leaves no
+    // stray `.MANIFEST-*` dotfile behind (r15 review finding).
+    assertLockFence(path)
     val tmpManifest = dir.resolve(s".MANIFEST-$manifestToken")
     Files.createDirectories(dir)
     Files.write(tmpManifest, lines.mkString("\n").getBytes("UTF-8"))
-    // fencing: if this thread's commit lock was stolen while it
-    // stalled, refuse HERE — before the swap makes the stale state
-    // live over the stealer's commit (no-op for unlocked callers)
-    assertLockFence(path)
     Files.move(tmpManifest, dir.resolve(manifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // branch manifests version NOTHING: branch work stays invisible to

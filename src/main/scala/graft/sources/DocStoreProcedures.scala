@@ -775,10 +775,19 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     var nSegs = 0L
     DocStoreCommitOps.withCommitLock(path) {
       // attach to the CURRENT manifest's segments by name: anything
-      // rewritten since the scan keeps its own (fresher) stats
+      // rewritten since the scan keeps its own (fresher) stats.
+      // NESTED sections are absent from `computed` (no sound bound
+      // exists) but their WRITE-PATH stats — exact null counts that
+      // serve IsNull/IsNotNull pruning — must carry forward, not be
+      // erased by the whole-map replace (r15 review finding: an
+      // ANALYZE used to silently kill nested null-count pruning).
+      val statSecs = statCols.map(_._2).toSet
       val (segs, dvs) = DocStore.readManifestAndDeletes(path)
       val updated = segs.map(seg => computed.get(seg.name) match {
-        case Some(st) => nSegs += 1; seg.copy(stats = st)
+        case Some(st) =>
+          nSegs += 1
+          seg.copy(stats = seg.stats.filterNot {
+            case (sec, _) => statSecs(sec) } ++ st)
         case None => seg
       })
       newV = DocStoreCommitOps.writeManifest(path, updated, "analyze",

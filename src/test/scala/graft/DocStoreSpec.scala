@@ -3312,6 +3312,14 @@ class DocStoreSpec extends SparkSpec {
     assert(planned(readBack.where(col("tags").isNotNull)) == ((2, 3)))
     assert(readBack.where(col("tags").isNotNull).select("doc_id")
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // ANALYZE must CARRY FORWARD nested null-count stats, not erase
+    // them with its scalar-column rewrite (r15 review finding: the
+    // whole-map stats replace silently killed nested IsNull pruning)
+    sc.sql("CALL tcat15.system.analyze('ns.t')")
+    assert(planned(readBack.where(col("tags").isNull)) == ((2, 3)),
+      "ANALYZE erased nested null-count stats (IS NULL prune lost)")
+    assert(planned(readBack.where(col("tags").isNotNull)) == ((2, 3)),
+      "ANALYZE erased nested null-count stats (IS NOT NULL prune lost)")
     assert(readBack.where(col("meta").isNull).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
     // widening INSIDE a nested column refuses (no per-leaf dispatch

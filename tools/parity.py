@@ -31,7 +31,7 @@ def value_hash(con, view, cols):
         h.update(b"\x1e")
     return h.hexdigest()
 
-def asymmetric_hash(spark_files, con, oracle_sql, colnames):
+def asymmetric_hash(spark_files, con, oracle_sql):
     """r14 verdict item 6: the driver provably does NOT read both sides
     through one engine — two rounds of red-while-locally-green on the
     registry's only DECIMAL-output queries prove its Spark-side read and
@@ -138,7 +138,7 @@ def main(sfdir, outdir):
                     if pq is not None:
                         try:
                             ah_s, ah_o = asymmetric_hash(
-                                sp_glob, con, sql, sorted(ocols))
+                                sp_glob, con, sql)
                         except Exception as e:  # keep the gate informative
                             print(f"FAIL {name}: asymmetric-hash pin errored: "
                                   f"{type(e).__name__}: {e}")
