@@ -3344,6 +3344,44 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT COUNT(*) FROM tcat15.ns.t").head.getLong(0) == 3L)
     assert(sc.sql("SELECT SUM(size(tags)) FROM tcat15.ns.t")
       .head.getLong(0) == 4L) // 3 + 1 surviving elements
+    // the STREAMING read decodes nested payloads through the same
+    // segment reader — drain the table and compare to the batch face
+    val snap = s"nested_stream_${System.nanoTime()}"
+    val q = sc.readStream.format("graft-docstore")
+      .option("path", path).option("maxSegmentsPerBatch", "1").load()
+      .selectExpr("doc_id", "size(tags) AS nt", "element_at(kv, 'n') AS kn")
+      .writeStream.format("memory").queryName(snap)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = sc.table(snap).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = readBack
+      .selectExpr("doc_id", "size(tags) AS nt", "element_at(kv, 'n') AS kn")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream != batch over nested columns:\n" +
+      s"stream $streamed\nbatch $batch")
+    // MoR deletion vectors compose with nested payloads (DV positions
+    // are section-agnostic; the reader skips rows before decode)
+    sc.sql("CREATE TABLE tcat15.ns.m (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING, " +
+      "tags ARRAY<STRING>) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    // ONE 3-row segment (coalesced), so the mid-segment delete is
+    // misaligned and must take the deletion-vector path
+    sc.sql("SELECT * FROM VALUES " +
+      "(1L, 1L, 'en', 's', 'a', array('x')), " +
+      "(2L, 2L, 'en', 's', 'b', array('y', 'z')), " +
+      "(3L, 3L, 'en', 's', 'c', CAST(NULL AS ARRAY<STRING>)) " +
+      "AS v(doc_id, n_chars, lang, source, text, tags)")
+      .coalesce(1).createOrReplaceTempView("nested_mor_src")
+    sc.sql("INSERT INTO tcat15.ns.m SELECT * FROM nested_mor_src")
+    sc.sql("DELETE FROM tcat15.ns.m WHERE doc_id = 2")
+    val mpath = java.nio.file.Paths.get(root, "ns", "m").toString
+    assert(DocStore.readDeletes(mpath).values.map(_.length).sum == 1,
+      "expected a merge-on-read deletion vector, not a rewrite")
+    assert(sc.sql("SELECT doc_id, coalesce(size(tags), -1) " +
+      "FROM tcat15.ns.m ORDER BY doc_id").collect().map(r =>
+      (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 1), (3L, -1)))
   }
 
   test("r14: -0.0 survives an evolved DOUBLE round-trip; zero filters stay sound") {
