@@ -56,6 +56,19 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("queries").size == names.size)
     assert(node.get("errors").size == 1)
     assert(node.get("sf").asText == "/root/testdata/sf0.1")
+    // r15: past the uniform-1-decimal width the ladder lands on the
+    // ADAPTIVE rung — every entry present, and the SLOWEST queries
+    // (the ones perf analysis reads) keep sub-second resolution
+    // instead of the old uniform integer collapse that rendered most
+    // of the registry as 0 in the official artifact
+    val slowest = fakeTimings(names).filter(_._2 > 0).maxBy(_._2)._1
+    val slowKey = {
+      val s = Bench.shortKeys(names)(slowest)
+      if (s.length > 1 && s.head == 'q') s.tail else s
+    }
+    assert(node.get("queries").get(slowKey).asText.contains("."),
+      s"slowest query $slowKey lost sub-second resolution: " +
+        node.get("queries").get(slowKey))
 
     // verbose channel (stderr / $BENCH_OUT) keeps full names and full precision
     val v = mapper.readTree(verbose)
