@@ -1188,10 +1188,15 @@ object EmbedOps {
           lit(0L), (acc, x) => acc + x))
       val wa = Window.partitionBy(col("vec_id"))
         .orderBy(col("d").asc, col("label").asc)
+      // persist the assigned batch: three consumers (delta write, sum
+      // fold, count fold) would otherwise re-run the scan+assignment —
+      // the batch is daily-arrival-sized, exactly what a production
+      // upsert job caches
       val assign = ad.withColumn("ar", row_number().over(wa))
         .filter(col("ar") === 1)
         .select(col("vec_id"), col("q"), col("nn"),
           col("label").as("cell"))
+        .persist()
       // the delta fragment: per-invocation temp overlay, cell-partitioned
       val tmp = java.nio.file.Files.createTempDirectory("q207_delta")
       graft.core.Fs.deleteOnExit(tmp)

@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringStartsWith}
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -282,11 +282,11 @@ object DocStore {
     case LongType | IntegerType | StringType | DoubleType | FloatType |
         DateType | TimestampType | TimestampNTZType | BooleanType => true
     case d: DecimalType => d.precision <= 38
-    case a: org.apache.spark.sql.types.ArrayType =>
+    case a: ArrayType =>
       evolvedTypeOk(a.elementType)
-    case m: org.apache.spark.sql.types.MapType =>
+    case m: MapType =>
       evolvedTypeOk(m.keyType) && evolvedTypeOk(m.valueType)
-    case s: org.apache.spark.sql.types.StructType =>
+    case s: StructType =>
       s.fields.forall(f => evolvedTypeOk(f.dataType))
     case _ => false
   }
@@ -296,15 +296,15 @@ object DocStore {
     * containsNull = false) must write into the table's
     * nullable-element column; leaf TYPES still compare exactly. */
   def deepNullable(dt: DataType): DataType = dt match {
-    case a: org.apache.spark.sql.types.ArrayType =>
-      org.apache.spark.sql.types.ArrayType(
+    case a: ArrayType =>
+      ArrayType(
         deepNullable(a.elementType), containsNull = true)
-    case m: org.apache.spark.sql.types.MapType =>
-      org.apache.spark.sql.types.MapType(
+    case m: MapType =>
+      MapType(
         deepNullable(m.keyType), deepNullable(m.valueType),
         valueContainsNull = true)
-    case s: org.apache.spark.sql.types.StructType =>
-      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+    case s: StructType =>
+      StructType(s.fields.map(f =>
         f.copy(dataType = deepNullable(f.dataType), nullable = true)))
     case other => other
   }
@@ -312,9 +312,7 @@ object DocStore {
   /** The opaque-payload physical class: nested types (no stat
     * envelope, no pruning, no widening — see [[evolvedTypeOk]]). */
   def isNestedType(dt: DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.ArrayType |
-        _: org.apache.spark.sql.types.MapType |
-        _: org.apache.spark.sql.types.StructType => true
+    case _: ArrayType | _: MapType | _: StructType => true
     case _ => false
   }
 
@@ -328,15 +326,15 @@ object DocStore {
     * COLUMN types — one actionable message per family, so the DDL
     * error TELLS the user the supported workaround instead of a bare
     * "unsupported type". */
+  private val SCALAR_SURFACE = "INT, BIGINT, STRING, DOUBLE, FLOAT, " +
+    "DATE, TIMESTAMP, TIMESTAMP_NTZ, BOOLEAN, DECIMAL(<=38, s)"
+
   def nestedRefusalReason(dt: DataType): Option[String] = dt match {
     case _ if evolvedTypeOk(dt) => None
-    case _: org.apache.spark.sql.types.ArrayType |
-        _: org.apache.spark.sql.types.MapType |
-        _: org.apache.spark.sql.types.StructType => Some(
+    case _: ArrayType | _: MapType | _: StructType => Some(
       s"nested type ${dt.simpleString} cannot be an evolved docstore " +
         "column: a LEAF type inside it is outside the scalar surface " +
-        "(supported leaves: INT, BIGINT, STRING, DOUBLE, FLOAT, DATE, " +
-        "TIMESTAMP, TIMESTAMP_NTZ, BOOLEAN, DECIMAL(<=38, s)). " +
+        s"(supported leaves: $SCALAR_SURFACE). " +
         "Restructure the offending leaf (e.g. BINARY -> base64 " +
         "STRING), or store the value as a STRING column holding JSON " +
         "and query it with from_json / get_json_object (the " +
@@ -348,8 +346,7 @@ object DocStore {
         "byte, reversible with unbase64)")
     case _ => Some(
       s"type ${dt.simpleString} cannot be an evolved docstore column " +
-        "(supported: INT, BIGINT, STRING, DOUBLE, FLOAT, DATE, " +
-        "TIMESTAMP, TIMESTAMP_NTZ, BOOLEAN, DECIMAL(<=38, s))")
+        s"(supported: $SCALAR_SURFACE)")
   }
 
   /** Order-preserving 8-byte encodings (signed-long comparison order
@@ -459,7 +456,7 @@ object DocStore {
     case d: DecimalType =>
       out.write(dec128Bytes(row.getDecimal(ord, d.precision, d.scale)
         .toJavaBigDecimal.unscaledValue()))
-    case a: org.apache.spark.sql.types.ArrayType =>
+    case a: ArrayType =>
       val arr = row.getArray(ord)
       val n = arr.numElements()
       out.writeInt(n)
@@ -469,7 +466,7 @@ object DocStore {
         else { out.writeByte(1); writeNestedValue(a.elementType, arr, i, out) }
         i += 1
       }
-    case m: org.apache.spark.sql.types.MapType =>
+    case m: MapType =>
       val mp = row.getMap(ord)
       val n = mp.numElements()
       val ks = mp.keyArray(); val vs = mp.valueArray()
@@ -481,7 +478,7 @@ object DocStore {
         else { out.writeByte(1); writeNestedValue(m.valueType, vs, i, out) }
         i += 1
       }
-    case st: org.apache.spark.sql.types.StructType =>
+    case st: StructType =>
       val r2 = row.getStruct(ord, st.fields.length)
       var i = 0
       while (i < st.fields.length) {
@@ -526,7 +523,7 @@ object DocStore {
         org.apache.spark.sql.types.Decimal(
           new java.math.BigDecimal(dec128Of(b), d.scale),
           d.precision, d.scale)
-      case a: org.apache.spark.sql.types.ArrayType =>
+      case a: ArrayType =>
         val n = in.readInt()
         val vals = new Array[Any](n)
         var i = 0
@@ -535,7 +532,7 @@ object DocStore {
           i += 1
         }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
-      case m: org.apache.spark.sql.types.MapType =>
+      case m: MapType =>
         val n = in.readInt()
         val ks = new Array[Any](n); val vs = new Array[Any](n)
         var i = 0
@@ -547,7 +544,7 @@ object DocStore {
         new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
           new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
           new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
-      case st: org.apache.spark.sql.types.StructType =>
+      case st: StructType =>
         val vals = new Array[Any](st.fields.length)
         var i = 0
         while (i < st.fields.length) {
