@@ -3382,6 +3382,19 @@ class DocStoreSpec extends SparkSpec {
     assert(sc.sql("SELECT doc_id, coalesce(size(tags), -1) " +
       "FROM tcat15.ns.m ORDER BY doc_id").collect().map(r =>
       (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 1), (3L, -1)))
+    // CDF change rows carry nested values: the insert commit's rows
+    // surface tags through the change feed intact
+    val cdf = sc.read.format("graft-docstore").option("path", mpath)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load()
+    val ins = cdf.where(col("_change_type") === "insert")
+      .selectExpr("doc_id", "coalesce(size(tags), -1) AS nt")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(ins.toSeq == Seq((1L, 1), (2L, 2), (3L, -1)), ins.mkString(","))
+    assert(cdf.where(col("_change_type") === "delete")
+      .selectExpr("doc_id", "size(tags)").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((2L, 2)),
+      "the DV delete's change row must replay the nested payload")
   }
 
   test("r14: -0.0 survives an evolved DOUBLE round-trip; zero filters stay sound") {
