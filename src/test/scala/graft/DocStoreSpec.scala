@@ -3395,6 +3395,18 @@ class DocStoreSpec extends SparkSpec {
       .selectExpr("doc_id", "size(tags)").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((2L, 2)),
       "the DV delete's change row must replay the nested payload")
+    // time travel ACROSS the nested evolution follows the engine's
+    // Delta-style contract — the LIVE schema over the old data, nested
+    // columns null-padded (schema archives serve RESTORE/CLONE)
+    val v1 = sc.sql("SELECT * FROM tcat15.ns.t VERSION AS OF 1")
+    assert(v1.schema.fieldNames.contains("tags") &&
+      !v1.schema.fieldNames.contains("meta"), // dropped from live schema
+      s"time travel reads the LIVE schema, got " +
+        s"${v1.schema.fieldNames.mkString(",")}")
+    val v1row = v1.collect()
+    assert(v1row.length == 1 &&
+      v1row(0).isNullAt(v1.schema.fieldIndex("tags")),
+      "pre-nested data must null-pad the nested columns under travel")
   }
 
   test("r14: -0.0 survives an evolved DOUBLE round-trip; zero filters stay sound") {
