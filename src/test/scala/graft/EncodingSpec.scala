@@ -260,6 +260,97 @@ class EncodingSpec extends AnyFunSuite {
     assert(DocStore.validateEvolved(good).map(_.name) == Seq("tags"))
   }
 
+  test("nested payload codec: randomized round-trips over representative shapes") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.{GenericArrayData, ArrayBasedMapData}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // generators build CATALYST values; equality is checked leaf-wise
+    // after a codec round-trip (raw double bits, exact decimal
+    // unscaled values, string bytes)
+    val genStr: Gen[AnyRef] = Gen.oneOf(
+      Gen.const(null),
+      Gen.asciiPrintableStr.map(UTF8String.fromString),
+      Gen.const(UTF8String.fromString("héllo wörld é中")))
+    val genD: Gen[AnyRef] = Gen.oneOf(
+      Gen.const(null),
+      genDouble.map(java.lang.Double.valueOf(_): AnyRef))
+    val genWide: Gen[AnyRef] = Gen.oneOf(
+      Gen.const(null),
+      Gen.chooseNum(-999999999L, 999999999L).map { u =>
+        Decimal(new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(u)
+            .multiply(java.math.BigInteger.TEN.pow(13)), 2), 24, 2): AnyRef
+      })
+    val genLongArr: Gen[AnyRef] = Gen.oneOf(
+      Gen.const(null),
+      Gen.listOfN(5, Gen.oneOf(
+        Gen.const(null),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue)
+          .map(java.lang.Long.valueOf(_): AnyRef)))
+        .map(l => new GenericArrayData(l.toArray[Any]): AnyRef))
+    val st = StructType(Seq(StructField("d", DoubleType),
+      StructField("s", StringType), StructField("w", DecimalType(24, 2)),
+      StructField("a", ArrayType(LongType))))
+    val mt = MapType(StringType, st)
+    def leafEq(dt: DataType, x: Any, y: Any): Boolean = (x, y) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case _ => dt match {
+        case DoubleType =>
+          val (a, b) = (x.asInstanceOf[java.lang.Double],
+            y.asInstanceOf[java.lang.Double])
+          if (a.isNaN) b.isNaN
+          else java.lang.Double.doubleToLongBits(a) ==
+            java.lang.Double.doubleToLongBits(b)
+        case _: DecimalType =>
+          x.asInstanceOf[Decimal].toJavaBigDecimal
+            .compareTo(y.asInstanceOf[Decimal].toJavaBigDecimal) == 0
+        case StringType => x.toString == y.toString
+        case ArrayType(et, _) =>
+          val (a, b) = (x.asInstanceOf[GenericArrayData],
+            y.asInstanceOf[GenericArrayData])
+          a.numElements() == b.numElements() &&
+            (0 until a.numElements()).forall(i =>
+              leafEq(et, a.array(i), b.array(i)))
+        case s: StructType =>
+          val (a, b) = (x.asInstanceOf[GenericInternalRow],
+            y.asInstanceOf[GenericInternalRow])
+          s.fields.indices.forall(i => leafEq(s.fields(i).dataType,
+            if (a.isNullAt(i)) null else a.values(i),
+            if (b.isNullAt(i)) null else b.values(i)))
+        case m: MapType =>
+          val (a, b) = (x.asInstanceOf[ArrayBasedMapData],
+            y.asInstanceOf[ArrayBasedMapData])
+          a.numElements() == b.numElements() &&
+            (0 until a.numElements()).forall { i =>
+              leafEq(m.keyType, a.keyArray.asInstanceOf[GenericArrayData].array(i),
+                b.keyArray.asInstanceOf[GenericArrayData].array(i)) &&
+                leafEq(m.valueType,
+                  a.valueArray.asInstanceOf[GenericArrayData].array(i),
+                  b.valueArray.asInstanceOf[GenericArrayData].array(i))
+            }
+        case _ => x == y
+      }
+    }
+    val genStruct: Gen[AnyRef] = for {
+      d <- genD; s <- genStr; w <- genWide; a <- genLongArr
+    } yield new GenericInternalRow(Array[Any](d, s, w, a)): AnyRef
+    val genMap: Gen[AnyRef] = for {
+      n <- Gen.chooseNum(0, 4)
+      keys <- Gen.listOfN(n, Gen.asciiPrintableStr) // keys non-null
+      vals <- Gen.listOfN(n, Gen.oneOf(Gen.const(null), genStruct))
+    } yield new ArrayBasedMapData(
+      new GenericArrayData(keys.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(vals.toArray[Any])): AnyRef
+    val prop = Prop.forAll(genMap) { v =>
+      val holder = new GenericInternalRow(Array[Any](v))
+      val back = DocStore.nestedOf(mt, DocStore.nestedBytes(mt, holder, 0))
+      leafEq(mt, v, back)
+    }
+    check(prop, n = 500)
+  }
+
   test("nested payload codec round-trips arrays, maps, structs and nesting") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.util.{GenericArrayData, ArrayBasedMapData}
