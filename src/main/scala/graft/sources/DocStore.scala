@@ -2116,14 +2116,34 @@ object DocStoreCommitOps {
     * section, the exact hazard the tombstone steal avoids. */
   private def releaseIfOwned(lock: java.nio.file.Path,
       token: String): Unit = {
-    val owned =
-      try Files.readString(lock.resolve(LOCK_TOKEN_FILE)) == token
-      catch { case _: Exception => false } // stolen + renamed away
-    if (owned) {
-      try {
-        Files.deleteIfExists(lock.resolve(LOCK_TOKEN_FILE))
-        Files.deleteIfExists(lock)
-      } catch { case _: Exception => () } // lost a concurrent steal race
+    // Ownership must be verified and revoked in ONE atomic step — a
+    // read-then-delete has a TOCTOU hole: a TTL steal landing between
+    // the token read and the deletes would have this stale holder
+    // destroy the STEALER's fresh lock (letting a third writer in
+    // concurrently, and spuriously tripping the stealer's own fence).
+    // So release by the same atomic-rename the steal path uses: move
+    // the lock dir aside to a unique tombstone (only one mover can
+    // win), THEN inspect the token at leisure inside the tombstone we
+    // now exclusively own.
+    try {
+      val tomb = lock.resolveSibling(
+        s".COMMIT_LOCK.rel-${System.nanoTime()}")
+      Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+      val owned =
+        try Files.readString(tomb.resolve(LOCK_TOKEN_FILE)) == token
+        catch { case _: Exception => false }
+      if (owned) graft.core.Fs.deleteRecursively(tomb)
+      else {
+        // we just renamed a STEALER's live lock aside — put it back.
+        // If a third writer grabbed the vacated name in the window,
+        // the restore fails and the orphaned tombstone is dropped:
+        // the stealer's fence (its TOKEN no longer at the lock path)
+        // refuses its publish, so at most one writer still commits.
+        try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Exception => graft.core.Fs.deleteRecursively(tomb) }
+      }
+    } catch {
+      case _: Exception => () // lock already stolen + renamed away
     }
   }
 

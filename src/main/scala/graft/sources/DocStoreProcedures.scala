@@ -86,12 +86,27 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       // manifest records `p=<val>/part-N.gds` — a basename-keyed check
       // would treat every partitioned segment as dead
       val stream = Files.walk(dir)
-      val dead =
+      val deadWalk =
         try stream.iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".gds") &&
             !live(dir.relativize(p).toString.replace('\\', '/')))
           .toVector
         finally stream.close()
+      // The walk is the one vacuum step whose duration scales with
+      // table size — a holder stalled in it past the steal TTL could
+      // wake to a STOLEN lock and a stealer's already-published
+      // manifest, and deleting against the pre-stall liveness set
+      // would reclaim files that manifest references (silent data
+      // loss). So immediately before the destructive loop: prove the
+      // lock is still ours (fencing token unchanged), then re-read
+      // the liveness roots so any manifest published during the walk
+      // re-protects its files even where fencing degraded (exotic FS
+      // with no token — there the re-read is the only guard).
+      if (!dryRun) DocStoreCommitOps.assertLockFence(dir.toString)
+      val live2 = DocStore.readManifest(dir.toString).map(_.name).toSet ++
+        DocStoreBranches.branchReferencedNames(dir.toString)
+      val dead = deadWalk.filterNot(p =>
+        live2(dir.relativize(p).toString.replace('\\', '/')))
       dead.foreach { p =>
         bytes += Files.size(p)
         if (!dryRun) Files.delete(p)
@@ -100,6 +115,7 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       if (!dryRun) {
         // old versions reference the deleted files → reset history to a
         // single snapshot of the current state (same rule as truncate)
+        DocStoreCommitOps.assertLockFence(dir.toString)
         DocStoreCommitOps.clearVersions(dir.toString)
         Files.copy(dir.resolve("MANIFEST"), dir.resolve("MANIFEST.v1"))
       }
@@ -503,7 +519,11 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
           DocStore.readManifest(dir.toString, s"MANIFEST.v$v"))
           .map(_.name).distinct.filterNot(keptRefs)
         // deleted names must never be reborn with different contents
-        // (same rule TRUNCATE follows): floor the part counter FIRST
+        // (same rule TRUNCATE follows): floor the part counter FIRST.
+        // Reading every kept manifest above is the step that scales
+        // with history depth — same stolen-lock hazard as vacuum's
+        // walk, so fence before the first mutation.
+        DocStoreCommitOps.assertLockFence(dir.toString)
         DocStoreCommitOps.persistPartNumberFloor(dir.toString)
         // the checkpoint must summarize exactly the RETAINED versions
         // ("birth" = earliest retained version containing a segment —
@@ -519,7 +539,12 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
         drop.foreach { v =>
           Files.delete(dir.resolve(s"MANIFEST.v$v")); expired += 1
         }
-        dead.foreach { n =>
+        // belt-and-braces where fencing degraded: a manifest published
+        // mid-stall re-protects its files via this re-read even
+        // without a token to trip on
+        val liveNow =
+          DocStore.readManifest(dir.toString).map(_.name).toSet
+        dead.filterNot(liveNow).foreach { n =>
           val p = dir.resolve(n)
           if (Files.exists(p)) {
             bytes += Files.size(p)

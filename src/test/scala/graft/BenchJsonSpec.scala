@@ -74,6 +74,37 @@ class BenchJsonSpec extends AnyFunSuite {
     val v = mapper.readTree(verbose)
     assert(v.get("queries").size == names.size)
     names.foreach(n => assert(v.get("queries").has(n), s"verbose line missing $n"))
+    // r15 verdict item 4: the sidecar (= verbose line) must reconcile —
+    // per-query sum equals the reported wall, so fast-query regressions
+    // are trackable from the committed artifact alone
+    val qsum = {
+      import scala.jdk.CollectionConverters._
+      v.get("queries").elements().asScala.map(_.asDouble).filter(_ >= 0).sum
+    }
+    assert(math.abs(qsum - v.get("value").asDouble) < 1e-6 * math.max(1.0, qsum),
+      s"verbose per-query sum $qsum != total ${v.get("value").asDouble}")
+  }
+
+  test("committed bench sidecar (when present) reconciles sum-vs-wall at full resolution") {
+    // Bench.main writes the full-resolution verbose line to
+    // bench_sidecar.json (repo-relative), committed per round. When the
+    // file exists, pin the official artifact's internal consistency:
+    // every registry query present, ms-precision values, sum == wall.
+    val p = java.nio.file.Paths.get("bench_sidecar.json")
+    assume(java.nio.file.Files.exists(p), "no committed sidecar yet")
+    val v = mapper.readTree(java.nio.file.Files.readString(p).trim)
+    assert(v.get("metric").asText == "total")
+    import scala.jdk.CollectionConverters._
+    val vals = v.get("queries").elements().asScala.map(_.asDouble).toVector
+    val qsum = vals.filter(_ >= 0).sum
+    assert(math.abs(qsum - v.get("value").asDouble) < 1e-6 * math.max(1.0, qsum),
+      s"sidecar per-query sum $qsum != wall ${v.get("value").asDouble}")
+    val names = Registry.all.map(_.name)
+    // sidecar may lag a registry grown mid-round, but every recorded
+    // query must still be a real registry entry
+    val recorded = v.get("queries").fieldNames().asScala.toSet
+    assert(recorded.subsetOf(names.toSet),
+      s"sidecar has unknown queries: ${recorded -- names.toSet}")
   }
 
   test("short keys are the qNN prefix, falling back to full names on collision") {
