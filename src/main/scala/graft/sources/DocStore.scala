@@ -271,13 +271,23 @@ object DocStore {
     * length-prefixed value per row whose bytes are the type-directed
     * recursive encoding of [[nestedBytes]] (counts + null tags +
     * scalar leaf encodings — see that scaladoc for the exact layout).
-    * The trade the scalar classes never make: nested sections carry
-    * NULL COUNTS but no [lo, hi] envelope (no total order exists), so
-    * IsNull/IsNotNull pruning stays exact while comparison pruning and
-    * metadata-only MIN/MAX decline — the same posture Delta/Iceberg
-    * take for nested stats. Type WIDENING inside a nested column is
-    * refused (the per-value payload carries no per-leaf tags to
-    * re-dispatch on); evolve a sibling column instead. */
+    * The whole-value section carries NULL COUNTS but no [lo, hi]
+    * envelope (no total order exists over a nested value), so
+    * IsNull/IsNotNull on the column stays exact. STRUCT LEAVES,
+    * though, have a fixed path and a scalar type with a total order —
+    * so each leaf reachable through struct nesting only
+    * ([[structLeafSpecs]]) carries its OWN per-segment envelope
+    * (LongBound over the 8-byte encodings, truncated StrBound for
+    * string leaves) plus an exact leaf null count, and a pushed
+    * `meta.w > x` predicate skips segments exactly like a scalar
+    * column's — the Delta nested-minValues / Iceberg
+    * per-field-id-bounds posture. Leaves under ARRAY/MAP (and
+    * wide-decimal leaves) keep declining: no fixed per-row position /
+    * no 8-byte envelope, and declining is always sound. Metadata-only
+    * MIN/MAX still declines for nested sections. Type WIDENING inside
+    * a nested column is refused (the per-value payload carries no
+    * per-leaf tags to re-dispatch on); evolve a sibling column
+    * instead. */
   def evolvedTypeOk(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | DoubleType | FloatType |
         DateType | TimestampType | TimestampNTZType | BooleanType => true
@@ -314,6 +324,101 @@ object DocStore {
   def isNestedType(dt: DataType): Boolean = dt match {
     case _: ArrayType | _: MapType | _: StructType => true
     case _ => false
+  }
+
+  /** One stat-tracked leaf inside a nested (struct) column: `path` is
+    * the dotted field path below the column name (`w`, `inner.w`),
+    * `chain` the field ordinals down the struct nesting, `widths` the
+    * field count of the struct at each level (getStruct needs it). */
+  final case class LeafSpec(path: String, dt: DataType,
+      chain: Array[Int], widths: Array[Int])
+
+  /** STRUCT-leaf stat surface of a nested evolved column (r15 verdict
+    * item 1 — the Delta nested minValues/maxValues / Iceberg
+    * per-field-id-bounds posture): every leaf reachable through STRUCT
+    * nesting ONLY, with a scalar type that has a sound envelope — the
+    * 8-byte order-preserving family folds [[LongBound]], strings fold
+    * the truncated [[StrBound]]. ARRAY/MAP anywhere on the path
+    * contribute nothing (per-row cardinality varies — no fixed leaf
+    * position, and an envelope over a set is a different, unsound
+    * object), and wide-decimal leaves decline like before — exactly
+    * the lines Delta/Iceberg draw. A leaf whose field name contains
+    * '.' or '`' is skipped: its pushed-filter dotted name would be
+    * ambiguous against sibling paths, and declining stats is always
+    * sound. */
+  def structLeafSpecs(dt: DataType): Seq[LeafSpec] = {
+    def leafBoundOk(t: DataType): Boolean = t match {
+      case LongType | IntegerType | StringType | DoubleType | FloatType |
+          DateType | TimestampType | TimestampNTZType | BooleanType => true
+      case d: DecimalType => d.precision <= 18
+      case _ => false
+    }
+    def walk(st: StructType, prefix: String,
+        chain: List[Int], widths: List[Int]): Seq[LeafSpec] =
+      st.fields.zipWithIndex.flatMap { case (f, i) =>
+        if (f.name.contains(".") || f.name.contains("`")) Seq.empty
+        else f.dataType match {
+          case s2: StructType =>
+            walk(s2, s"$prefix${f.name}.", chain :+ i,
+              widths :+ st.fields.length)
+          case lt if leafBoundOk(lt) =>
+            Seq(LeafSpec(s"$prefix${f.name}", lt,
+              (chain :+ i).toArray, (widths :+ st.fields.length).toArray))
+          case _ => Seq.empty
+        }
+      }.toSeq
+    dt match {
+      case st: StructType => walk(st, "", Nil, Nil)
+      case _ => Seq.empty // top-level ARRAY/MAP: no fixed leaves
+    }
+  }
+
+  /** Writer-side carrier for one nested value: the opaque recursive
+    * payload plus the pre-encoded stat values of its tracked struct
+    * leaves (aligned with the column's [[structLeafSpecs]] order;
+    * entries are java.lang.Long for the 8-byte family, Array[Byte]
+    * UTF-8 for string leaves, null when the leaf or any ancestor
+    * struct is null — which is exactly when `col.leaf` evaluates to
+    * NULL in SQL, so the per-leaf null counts serve IsNull/IsNotNull
+    * pruning on leaf paths too). */
+  final class NestedPayload(val bytes: Array[Byte],
+      val leaves: Array[AnyRef])
+
+  /** Extract + stat-encode one struct leaf of the nested column at
+    * `ord`. Returns null when the leaf or any ancestor is null. The
+    * encodings are the STAT-boundary forms ([[sortableDoubleStatBits]]
+    * canonicalizes -0.0), matching what the pruner's literal encoding
+    * probes. */
+  def leafStatValue(row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ord: Int, spec: LeafSpec): AnyRef = {
+    var cur: org.apache.spark.sql.catalyst.expressions.SpecializedGetters = row
+    var pos = ord
+    var i = 0
+    while (i < spec.chain.length) {
+      if (cur.isNullAt(pos)) return null
+      cur = cur.getStruct(pos, spec.widths(i))
+      pos = spec.chain(i)
+      i += 1
+    }
+    if (cur.isNullAt(pos)) return null
+    spec.dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        java.lang.Long.valueOf(cur.getLong(pos))
+      case IntegerType | DateType =>
+        java.lang.Long.valueOf(cur.getInt(pos).toLong)
+      case DoubleType => java.lang.Long.valueOf(
+        sortableDoubleStatBits(cur.getDouble(pos)))
+      case FloatType => java.lang.Long.valueOf(
+        sortableDoubleStatBits(cur.getFloat(pos).toDouble))
+      case BooleanType =>
+        java.lang.Long.valueOf(if (cur.getBoolean(pos)) 1L else 0L)
+      case d: DecimalType =>
+        java.lang.Long.valueOf(
+          cur.getDecimal(pos, d.precision, d.scale).toUnscaledLong)
+      case StringType => cur.getUTF8String(pos).getBytes
+      case other => throw new IllegalStateException(
+        s"untracked leaf type ${other.simpleString}")
+    }
   }
 
   /** True for DECIMAL(p > 18): the 16-byte-payload physical class. */
@@ -501,6 +606,106 @@ object DocStore {
   def nestedOf(dt: DataType, payload: Array[Byte]): AnyRef =
     readNestedValue(dt, new DataInputStream(
       new java.io.ByteArrayInputStream(payload)))
+
+  /** Projected decode: the payload bytes follow the TABLE type
+    * (`full`), the emitted value follows the REQUIRED type (`req`) —
+    * Spark's nested schema pruning hands the scan a struct with a
+    * SUBSET of fields (`meta STRUCT<tag>` for a query touching only
+    * `meta.tag`), and the emitted rows must match that pruned shape
+    * exactly (codegen indexes fields positionally — emitting the full
+    * struct misaligns every non-prefix projection). Unrequested
+    * subtrees are SKIPPED, not materialized: at 100 TB a query
+    * touching one leaf of a 40-field struct allocates one field, not
+    * forty. Fields match by NAME (pruning preserves order, but the
+    * match doesn't rely on it); `full == req` short-circuits to the
+    * plain decoder. */
+  def nestedOfProjected(full: DataType, req: DataType,
+      payload: Array[Byte]): AnyRef =
+    if (full == req) nestedOf(full, payload)
+    else readProjectedValue(full, req, new DataInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+
+  private def readProjectedValue(full: DataType, req: DataType,
+      in: DataInputStream): AnyRef = (full, req) match {
+    case (f, r) if f == r => readNestedValue(f, in)
+    case (fs: StructType, rs: StructType) =>
+      val reqIdx = fs.fields.map(f =>
+        rs.fields.indexWhere(_.name == f.name))
+      val vals = new Array[Any](rs.fields.length)
+      var i = 0
+      while (i < fs.fields.length) {
+        val present = in.readByte() != 0
+        val ri = reqIdx(i)
+        if (ri >= 0) {
+          if (present) vals(ri) = readProjectedValue(
+            fs.fields(i).dataType, rs.fields(ri).dataType, in)
+        } else if (present) skipNestedValue(fs.fields(i).dataType, in)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    case (fa: ArrayType, ra: ArrayType) =>
+      val n = in.readInt()
+      val vals = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (in.readByte() != 0)
+          vals(i) = readProjectedValue(fa.elementType, ra.elementType, in)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+    case (fm: MapType, rm: MapType) =>
+      val n = in.readInt()
+      val ks = new Array[Any](n); val vs = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        ks(i) = readProjectedValue(fm.keyType, rm.keyType, in)
+        if (in.readByte() != 0)
+          vs(i) = readProjectedValue(fm.valueType, rm.valueType, in)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+    // same leaf class, differing only in nullability metadata —
+    // pruning never changes a LEAF type, so decode by the stored form
+    case (f, _) => readNestedValue(f, in)
+  }
+
+  /** Advance past one encoded value of type `dt` without
+    * materializing it — the projected decoder's discard path. */
+  private def skipNestedValue(dt: DataType, in: DataInputStream): Unit =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType | DoubleType =>
+        in.skipBytes(8); ()
+      case IntegerType | DateType | FloatType => in.skipBytes(4); ()
+      case BooleanType => in.skipBytes(1); ()
+      case StringType => val len = in.readInt(); in.skipBytes(len); ()
+      case d: DecimalType if d.precision <= 18 => in.skipBytes(8); ()
+      case _: DecimalType => in.skipBytes(16); ()
+      case a: ArrayType =>
+        val n = in.readInt()
+        var i = 0
+        while (i < n) {
+          if (in.readByte() != 0) skipNestedValue(a.elementType, in)
+          i += 1
+        }
+      case m: MapType =>
+        val n = in.readInt()
+        var i = 0
+        while (i < n) {
+          skipNestedValue(m.keyType, in)
+          if (in.readByte() != 0) skipNestedValue(m.valueType, in)
+          i += 1
+        }
+      case st: StructType =>
+        var i = 0
+        while (i < st.fields.length) {
+          if (in.readByte() != 0) skipNestedValue(st.fields(i).dataType, in)
+          i += 1
+        }
+      case other => throw new IllegalStateException(
+        s"unskippable nested leaf type ${other.simpleString}")
+    }
 
   private def readNestedValue(dt: DataType, in: DataInputStream): AnyRef =
     dt match {
@@ -911,7 +1116,8 @@ object DocStore {
 
   final case class Segment(name: String, rows: Long, minId: Long,
       maxId: Long, bytes: Long,
-      stats: Map[Int, ColStat] = Map.empty)
+      stats: Map[Int, ColStat] = Map.empty,
+      leafStats: Map[Int, Map[String, ColStat]] = Map.empty)
 
   /** Build (once per source dir, via Scratch) a docstore lake from
     * `documents.parquet`: 8 doc_id-range segments + manifest, written
@@ -952,14 +1158,20 @@ object DocStore {
     * numeric order for negatives). */
   /** `nestedExtras`: offsets of ARRAY/MAP/STRUCT typed sections. Their
     * byte payloads are the recursive encodings of [[nestedBytes]] —
-    * stored length-prefixed like strings but OPAQUE to stats: the
-    * accumulator records null counts only (no total order exists for
-    * an envelope), so IsNull/IsNotNull pruning stays exact and every
-    * comparison keeps the segment. */
+    * stored length-prefixed like strings but OPAQUE to whole-value
+    * stats (null counts only; no total order exists for an envelope).
+    * Tracked STRUCT LEAVES ride beside the payload in a
+    * [[NestedPayload]] and fold per-leaf envelopes — see
+    * [[structLeafSpecs]]. */
+  /** `nestedLeafPaths`: per nested extra offset, the ordered struct-
+    * leaf paths tracked for stats ([[structLeafSpecs]] order) — the
+    * writer passes each row's leaf values pre-encoded inside a
+    * [[NestedPayload]], aligned with this order. */
   final class SegmentEncoder(nExtra: Int = 0, compress: Boolean = false,
       floatExtras: Set[Int] = Set.empty,
       dec128Extras: Set[Int] = Set.empty,
-      nestedExtras: Set[Int] = Set.empty) {
+      nestedExtras: Set[Int] = Set.empty,
+      nestedLeafPaths: Map[Int, Array[String]] = Map.empty) {
     private val sections = Array.fill(5 + nExtra)(new ByteArrayOutputStream())
     private val outs = sections.map(new DataOutputStream(_))
     var rows = 0
@@ -1037,10 +1249,27 @@ object DocStore {
         else Some(LongBound(loL, hiL)))
     }
     private val accs = Array.fill(4 + nExtra)(new StatAcc) // sections 1..
+    // one accumulator per tracked struct leaf of each nested section
+    private val leafAccs: Map[Int, Array[StatAcc]] =
+      nestedLeafPaths.map { case (off, paths) =>
+        off -> Array.fill(paths.length)(new StatAcc) }
 
     /** Section id -> stats for every non-id section of this segment. */
     def stats: Map[Int, ColStat] =
       accs.zipWithIndex.map { case (a, i) => (i + 1) -> a.result }.toMap
+
+    // offsets whose leaf stats must not be emitted: a caller handed a
+    // raw pre-encoded payload with no leaf values, so the per-leaf
+    // null counts would under-count — and a wrong null count makes
+    // IsNull pruning UNSOUND, unlike a missing envelope. Dropping the
+    // whole per-leaf entry is the only sound answer.
+    private var leafDropped = Set.empty[Int]
+
+    /** Section id -> (leaf path -> stats) for nested sections with
+      * tracked struct leaves. */
+    def leafStats: Map[Int, Map[String, ColStat]] =
+      leafAccs.collect { case (off, as) if !leafDropped(off) =>
+        (5 + off) -> nestedLeafPaths(off).zip(as.map(_.result)).toMap }
 
     private def str(i: Int, b: Array[Byte]): Unit = {
       if (b == null) outs(i).writeInt(-1)
@@ -1065,7 +1294,10 @@ object DocStore {
       var j = 0
       while (j < nExtra) {
         extras(j) match {
-          case null => outs(5 + j).writeInt(-1); accs(4 + j).addNull()
+          case null =>
+            outs(5 + j).writeInt(-1); accs(4 + j).addNull()
+            // a null nested value nulls every leaf path under it
+            leafAccs.get(j).foreach(_.foreach(_.addNull()))
           case v: java.lang.Long =>
             outs(5 + j).writeInt(8); outs(5 + j).writeLong(v.longValue())
             accs(4 + j).addLong(
@@ -1074,9 +1306,26 @@ object DocStore {
           case b: Array[Byte] if dec128Extras(j) =>
             outs(5 + j).writeInt(b.length); outs(5 + j).write(b)
             accs(4 + j).addDec(b)
+          case p: NestedPayload =>
+            outs(5 + j).writeInt(p.bytes.length); outs(5 + j).write(p.bytes)
+            accs(4 + j).addOpaque()
+            leafAccs.get(j).foreach { as =>
+              var k = 0
+              while (k < as.length) {
+                p.leaves(k) match {
+                  case null => as(k).addNull()
+                  case l: java.lang.Long => as(k).addLong(l.longValue())
+                  case b: Array[Byte] => as(k).addBytes(b)
+                  case other => throw new IllegalStateException(
+                    s"bad leaf stat value class ${other.getClass.getName}")
+                }
+                k += 1
+              }
+            }
           case b: Array[Byte] if nestedExtras(j) =>
             outs(5 + j).writeInt(b.length); outs(5 + j).write(b)
             accs(4 + j).addOpaque()
+            if (leafAccs.contains(j)) leafDropped += j
           case b: Array[Byte] => str(5 + j, b)
         }
         j += 1
@@ -1144,6 +1393,9 @@ object DocStore {
     * pruning — always sound). */
   val STAT_TAG = "S,"
 
+  /** Struct-leaf stat lines (see [[leafStatLines]]). */
+  val LEAF_STAT_TAG = "L,"
+
   /** Transaction-version lines `T,<appId>,<version>`: the latest
     * committed application transaction per writer identity — Delta's
     * idempotent-write surface (`txnAppId`/`txnVersion` options). The
@@ -1167,19 +1419,34 @@ object DocStore {
       }.toMap
   }
 
+  private def boundStr(st: ColStat): String = st.bound match {
+    case Some(LongBound(lo, hi)) => s"i,$lo,$hi"
+    case Some(DecBound(lo, hi)) => s"d,$lo,$hi"
+    case Some(StrBound(lo, hi)) =>
+      val enc = (v: String) =>
+        java.net.URLEncoder.encode(v, "UTF-8")
+      s"s,${enc(lo)},${enc(hi)}"
+    case None => "-"
+  }
+
   private[sources] def statLines(segName: String,
       stats: Map[Int, ColStat]): Seq[String] =
     stats.toSeq.sortBy(_._1).map { case (sec, st) =>
-      val bound = st.bound match {
-        case Some(LongBound(lo, hi)) => s"i,$lo,$hi"
-        case Some(DecBound(lo, hi)) => s"d,$lo,$hi"
-        case Some(StrBound(lo, hi)) =>
-          val enc = (v: String) =>
-            java.net.URLEncoder.encode(v, "UTF-8")
-          s"s,${enc(lo)},${enc(hi)}"
-        case None => "-"
+      s"$STAT_TAG$segName,$sec,${st.nulls},${boundStr(st)}"
+    }
+
+  /** Struct-leaf stat lines: `L,<segment>,<sectionId>,<encodedPath>,
+    * <nulls>,<bound>` — bound grammar shared with `S,` lines. Paths
+    * are URL-encoded (a field name may hold a comma); readers that
+    * predate leaf stats skip the unknown `L,` prefix, same forward
+    * contract the `S,` lines shipped under. */
+  private[sources] def leafStatLines(segName: String,
+      leafStats: Map[Int, Map[String, ColStat]]): Seq[String] =
+    leafStats.toSeq.sortBy(_._1).flatMap { case (sec, byPath) =>
+      byPath.toSeq.sortBy(_._1).map { case (path, st) =>
+        val ep = java.net.URLEncoder.encode(path, "UTF-8")
+        s"$LEAF_STAT_TAG$segName,$sec,$ep,${st.nulls},${boundStr(st)}"
       }
-      s"$STAT_TAG$segName,$sec,${st.nulls},$bound"
     }
 
   /** Sound per-segment data-skipping predicate (keep = true) from the
@@ -1205,6 +1472,19 @@ object DocStore {
     if (filters.isEmpty) return _ => true
     val secOf: Map[String, Int] = schema.fields.zipWithIndex.map {
       case (f, i) => f.name -> sectionOf(f, i) }.toMap
+    // struct-leaf resolution (r15 verdict item 1): Spark pushes nested
+    // predicates with DOTTED names (`meta.w` — translateFilter builds
+    // them nested-enabled for DSv2), which resolve through the
+    // segment's per-leaf stats. A top-level column whose literal name
+    // matches wins the lookup — shadowed leaf entries are removed, so
+    // an ambiguous name can only under-prune, never mis-prune.
+    val leafOf: Map[String, (Int, String)] =
+      schema.fields.zipWithIndex
+        .filter { case (f, _) => isNestedType(f.dataType) }
+        .flatMap { case (f, i) =>
+          structLeafSpecs(f.dataType).map(ls =>
+            s"${f.name}.${ls.path}" -> ((sectionOf(f, i), ls.path))) }
+        .toMap -- secOf.keySet
     // filter-literal → the column's ENCODED 8-byte payload (see
     // sortableDoubleBits: all encodings are order-preserving, so
     // comparing encoded literals against LongBound stats prunes
@@ -1247,10 +1527,17 @@ object DocStore {
     // (setScale would round — the rescaled point is not the literal,
     // so comparing it could prune a segment the true value intersects;
     // declining is always sound) or the column isn't decimal-typed.
-    val decScale: Map[String, Int] = schema.fields.collect {
+    val decScale: Map[String, Int] = (schema.fields.collect {
       case f if f.dataType.isInstanceOf[DecimalType] =>
         f.name -> f.dataType.asInstanceOf[DecimalType].scale
-    }.toMap
+    } ++ schema.fields.flatMap(f => structLeafSpecs(f.dataType).collect {
+      // decimal struct leaves (p <= 18): unscaled-long LongBound, the
+      // same lift the pre-widening top-level arm already takes
+      case ls if ls.dt.isInstanceOf[DecimalType] &&
+          leafOf.contains(s"${f.name}.${ls.path}") =>
+        s"${f.name}.${ls.path}" ->
+          ls.dt.asInstanceOf[DecimalType].scale
+    })).toMap
     def decOf(c: String, v: Any): Option[BigInt] = decScale.get(c).flatMap {
       sc =>
         val bd = v match {
@@ -1280,7 +1567,9 @@ object DocStore {
     }
     def keeps(f: Filter, s: Segment): Boolean = {
       def st(c: String): Option[ColStat] =
-        secOf.get(c).flatMap(s.stats.get)
+        secOf.get(c).flatMap(s.stats.get).orElse(
+          leafOf.get(c).flatMap { case (sec, p) =>
+            s.leafStats.get(sec).flatMap(_.get(p)) })
       f match {
         case And(a, b) => keeps(a, s) && keeps(b, s)
         case Or(a, b) => keeps(a, s) || keeps(b, s)
@@ -1375,6 +1664,20 @@ object DocStore {
     (p(1), p(2).toInt, ColStat(p(3).toLong, bound))
   }
 
+  private def parseLeafStatLine(l: String)
+      : (String, Int, String, ColStat) = {
+    val p = l.split(",", -1)
+    val bound = p(5) match {
+      case "i" => Some(LongBound(p(6).toLong, p(7).toLong))
+      case "s" =>
+        val dec = (v: String) => java.net.URLDecoder.decode(v, "UTF-8")
+        Some(StrBound(dec(p(6)), dec(p(7))))
+      case _ => None
+    }
+    (p(1), p(2).toInt, java.net.URLDecoder.decode(p(3), "UTF-8"),
+      ColStat(p(4).toLong, bound))
+  }
+
   /** One manifest read serving both consumers — scan planning needs
     * segments AND deletion vectors, and re-reading a thousands-of-lines
     * manifest per consumer would triple the planning IO. */
@@ -1387,12 +1690,20 @@ object DocStore {
       .groupBy(_._1)
       .map { case (seg, sts) =>
         seg -> sts.map(s => s._2 -> s._3).toMap }
+    val leafStatsBySeg = lines.filter(_.startsWith(LEAF_STAT_TAG))
+      .map(parseLeafStatLine)
+      .groupBy(_._1)
+      .map { case (seg, ls) =>
+        seg -> ls.groupBy(_._2).map { case (sec, rows) =>
+          sec -> rows.map(r => r._3 -> r._4).toMap } }
     val segs = lines.filterNot(l =>
       l.startsWith(DV_TAG) || l.startsWith("F,") ||
-        l.startsWith(STAT_TAG) || l.startsWith(TXN_TAG)).map { l =>
+        l.startsWith(STAT_TAG) || l.startsWith(LEAF_STAT_TAG) ||
+        l.startsWith(TXN_TAG)).map { l =>
       val p = l.split(",")
       Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
-        statsBySeg.getOrElse(p(0), Map.empty))
+        statsBySeg.getOrElse(p(0), Map.empty),
+        leafStatsBySeg.getOrElse(p(0), Map.empty))
     }.toSeq
     val dvs = lines.filter(_.startsWith(DV_TAG))
       .map { l => val p = l.split(","); (p(1), p(2).toLong) }
@@ -1804,7 +2115,8 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
   * `<partDir>/part-N.gds` name. */
 final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
     maxId: Long, bytes: Long, partDir: String = "",
-    stats: Map[Int, DocStore.ColStat] = Map.empty)
+    stats: Map[Int, DocStore.ColStat] = Map.empty,
+    leafStats: Map[Int, Map[String, DocStore.ColStat]] = Map.empty)
     extends WriterCommitMessage
 
 /** A partitioned write task stages one segment PER partition value it
@@ -1866,7 +2178,7 @@ object DocStoreCommitOps {
       Files.move(dir.resolve(m.tmpName), dir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes,
-        stats = m.stats)
+        stats = m.stats, leafStats = m.leafStats)
     }
     // identity watermark advance — centralized HERE because every
     // write path (batch append, streaming epoch, row-level rewrite,
@@ -2277,6 +2589,7 @@ object DocStoreCommitOps {
       segments.map(s =>
         s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}") ++
       segments.flatMap(s => DocStore.statLines(s.name, s.stats)) ++
+      segments.flatMap(s => DocStore.leafStatLines(s.name, s.leafStats)) ++
       txns.toSeq.sortBy(_._1).map { case (a, v) =>
         s"${DocStore.TXN_TAG}${java.net.URLEncoder.encode(a, "UTF-8")},$v"
       } ++
@@ -2776,6 +3089,16 @@ class DocStoreDataWriter(path: String, schema: StructType,
   // ARRAY/MAP/STRUCT sections: opaque recursive payloads, nulls-only stats
   private val nestedExtraOffsets: Set[Int] = extraFields.collect {
     case (dt, off) if DocStore.isNestedType(dt) => off }.toSet
+  // struct-leaf stat surface per nested section (r15 verdict item 1):
+  // leaf values ride the NestedPayload next to the opaque bytes, so
+  // WHERE meta.w > x can skip whole segments like a scalar predicate
+  private val nestedLeafSpecs: Map[Int, Array[DocStore.LeafSpec]] =
+    extraFields.collect {
+      case (dt, off) if DocStore.isNestedType(dt) =>
+        off -> DocStore.structLeafSpecs(dt).toArray
+    }.filter(_._2.nonEmpty).toMap
+  private val nestedLeafPaths: Map[Int, Array[String]] =
+    nestedLeafSpecs.map { case (off, specs) => off -> specs.map(_.path) }
   // insertion-ordered: staged-file ordinals stay deterministic per
   // task. Key = partition dir + roll ordinal; value keeps the bare
   // partition dir for the commit message.
@@ -2829,13 +3152,15 @@ class DocStoreDataWriter(path: String, schema: StructType,
     val ord = rollOrdinal.getOrDefault(dirKey, 0)
     var enc = encoders.computeIfAbsent(s"$dirKey\u0000$ord",
       _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
-        floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets)))._2
+        floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets,
+        nestedLeafPaths)))._2
     if (enc.rows >= maxRowsPerSegment) { // roll to a fresh segment
       val next = ord + 1
       rollOrdinal.put(dirKey, next)
       enc = encoders.computeIfAbsent(s"$dirKey\u0000$next",
         _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
-          floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets)))._2
+          floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets,
+        nestedLeafPaths)))._2
     }
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
@@ -2874,8 +3199,20 @@ class DocStoreDataWriter(path: String, schema: StructType,
               r.getDecimal(pos, d.precision, d.scale)
                 .toJavaBigDecimal.unscaledValue()): AnyRef
             // ARRAY/MAP/STRUCT: opaque recursive payload (nestedBytes)
+            // + the tracked struct-leaf stat values riding alongside
             case dt if DocStore.isNestedType(dt) =>
-              DocStore.nestedBytes(dt, r, pos): AnyRef
+              val bytes = DocStore.nestedBytes(dt, r, pos)
+              nestedLeafSpecs.get(off) match {
+                case Some(specs) =>
+                  val leaves = new Array[AnyRef](specs.length)
+                  var k = 0
+                  while (k < specs.length) {
+                    leaves(k) = DocStore.leafStatValue(r, pos, specs(k))
+                    k += 1
+                  }
+                  new DocStore.NestedPayload(bytes, leaves): AnyRef
+                case None => bytes: AnyRef
+              }
             case _ => r.getUTF8String(pos).getBytes: AnyRef
           }
           j += 1
@@ -2897,7 +3234,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
           if (enc.rows == 0) 0L
           else enc.writeTo(Paths.get(path).resolve(tmpName(k)))
         DocStoreCommit(tmpName(k), enc.rows.toLong, enc.minId, enc.maxId,
-          bytes, dir, enc.stats)
+          bytes, dir, enc.stats, enc.leafStats)
     }
     parts match {
       // empty task: report one empty commit (publish drops rows == 0)
@@ -3668,6 +4005,14 @@ class DocStoreReader(file: String, schema: StructType,
           val dt = schema.fields(fieldAtSection(c)).dataType
           val wideDec = DocStore.isWideDecimal(dt)
           val nested = DocStore.isNestedType(dt)
+          // nested schema pruning: the REQUIRED field may carry a
+          // pruned subtree of the table type — the projected decoder
+          // emits exactly that shape and skips the rest
+          val reqDt =
+            if (!nested) dt
+            else required.fields
+              .find(_.name == schema.fields(fieldAtSection(c)).name)
+              .map(_.dataType).getOrElse(dt)
           val is8Byte = dt != StringType && !wideDec && !nested
           // decode an 8-byte payload straight to the CATALYST value
           // the InternalRow carries for this type
@@ -3698,10 +4043,11 @@ class DocStoreReader(file: String, schema: StructType,
                     decP, decS)
                 }
               } else if (nested) {
-                // opaque recursive payload -> Catalyst nested value
+                // opaque recursive payload -> Catalyst nested value,
+                // projected to the (possibly pruned) required shape
                 val b = new Array[Byte](len)
                 sin.readFully(b)
-                a(i) = DocStore.nestedOf(dt, b)
+                a(i) = DocStore.nestedOfProjected(dt, reqDt, b)
               } else {
                 val b = new Array[Byte](len)
                 sin.readFully(b)

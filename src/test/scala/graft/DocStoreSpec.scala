@@ -3409,6 +3409,93 @@ class DocStoreSpec extends SparkSpec {
       "pre-nested data must null-pad the nested columns under travel")
   }
 
+  test("r16: struct-leaf stats — leaf range/equality/null predicates skip segments") {
+    // r15 verdict item 1: struct leaves have a fixed path and scalar
+    // type, so they carry the same per-segment envelopes scalar
+    // sections do (Delta nested minValues / Iceberg field-id bounds);
+    // a pushed `meta.w > x` must SKIP segments, not just filter rows.
+    val root = Files.createTempDirectory("docstore_leafstats").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.tcat16" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.tcat16.root" -> root)
+    sc.sql("CREATE NAMESPACE tcat16.ns")
+    sc.sql("CREATE TABLE tcat16.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    // segment 1: pre-evolution — no meta section, no leaf stats →
+    // conservatively KEPT under any meta.* predicate
+    sc.sql("INSERT INTO tcat16.ns.t VALUES (1, 1, 'en', 's', 'pre')")
+    sc.sql("ALTER TABLE tcat16.ns.t ADD COLUMNS (" +
+      "meta STRUCT<w: BIGINT, tag: STRING, inner: STRUCT<d: DOUBLE>>, " +
+      "arr ARRAY<BIGINT>)")
+    // segments 2-5: one single-row segment per insert, w in
+    // {10, 20, 100, 110} (deterministic segment layout)
+    sc.sql("INSERT INTO tcat16.ns.t VALUES " +
+      "(2, 2, 'en', 's', 'lo1', named_struct('w', 10L, 'tag', 'alpha', " +
+      "'inner', named_struct('d', 0.5D)), array(1L))")
+    sc.sql("INSERT INTO tcat16.ns.t VALUES " +
+      "(3, 3, 'en', 's', 'lo2', named_struct('w', 20L, 'tag', 'beta', " +
+      "'inner', named_struct('d', 0.75D)), array(2L))")
+    sc.sql("INSERT INTO tcat16.ns.t VALUES " +
+      "(4, 4, 'en', 's', 'hi1', named_struct('w', 100L, 'tag', 'omega', " +
+      "'inner', named_struct('d', 9.5D)), array(3L))")
+    sc.sql("INSERT INTO tcat16.ns.t VALUES " +
+      "(5, 5, 'en', 's', 'hi2', named_struct('w', 110L, 'tag', 'zeta', " +
+      "'inner', CAST(NULL AS STRUCT<d: DOUBLE>)), array(4L))")
+    // segment 6: meta entirely null → leaf nulls == rows
+    sc.sql("INSERT INTO tcat16.ns.t VALUES (6, 6, 'en', 's', 'nul', " +
+      "NULL, NULL)")
+    val path = java.nio.file.Paths.get(root, "ns", "t").toString
+    def readBack = sc.read.format("graft-docstore")
+      .option("path", path).load()
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    // BIGINT leaf comparison: keeps pre-evolution (stat-less) + the
+    // in-envelope segments only
+    assert(planned(readBack.where(col("meta.w") > 50L)) == ((3, 6)),
+      "meta.w > 50 must skip the low-range and all-null segments")
+    assert(planned(readBack.where(col("meta.w") <= 20L)) == ((3, 6)))
+    assert(planned(readBack.where(col("meta.w") === 15L)) == ((1, 6)),
+      "an equality between the single-value envelopes keeps only the " +
+        "stat-less pre-evolution segment")
+    // results stay row-exact (residual re-applied)
+    assert(readBack.where(col("meta.w") > 50L).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+    // STRING leaf: truncated StrBound envelopes prune equality
+    assert(planned(readBack.where(col("meta.tag") === "omega")) == ((2, 6)))
+    assert(readBack.where(col("meta.tag") === "omega").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // DOUBLE leaf two levels down (struct-in-struct); the segment
+    // whose INNER struct is null prunes too (nulls == rows)
+    assert(planned(readBack.where(col("meta.inner.d") > 5.0)) == ((2, 6)))
+    assert(readBack.where(col("meta.inner.d") > 5.0).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // leaf IS NULL / IS NOT NULL: per-leaf null counts are exact
+    // (ancestor-null counts as leaf-null — SQL's meta.w semantics);
+    // fully-populated segments prune under IS NULL
+    assert(planned(readBack.where(col("meta.w").isNull)) == ((2, 6)),
+      "meta.w IS NULL must skip the fully-populated segments")
+    assert(readBack.where(col("meta.inner.d").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 6L))
+    // ARRAY column: no leaf surface — the comparison itself keeps
+    // everything; only the inferred isnotnull(arr) prunes (the
+    // all-null segment, via the existing whole-value null counts)
+    assert(planned(readBack.where(
+      org.apache.spark.sql.functions.element_at(col("arr"), 1) > 2L))
+      ._1 == 5)
+    // OPTIMIZE rewrites through the writer: leaf stats re-fold on the
+    // compacted segments and pruning survives the rewrite
+    sc.sql("CALL tcat16.system.optimize('ns.t', 2)")
+    val afterOpt = planned(readBack.where(col("meta.w") > 50L))
+    assert(afterOpt._1 < afterOpt._2,
+      s"leaf pruning lost after OPTIMIZE: $afterOpt")
+    assert(readBack.where(col("meta.w") > 50L).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+  }
+
   test("r14: -0.0 survives an evolved DOUBLE round-trip; zero filters stay sound") {
     // r13 ADVICE: the stored payload keeps the raw IEEE sign bit
     // (parquet/Delta/Iceberg fidelity); ONLY stats and filter literals

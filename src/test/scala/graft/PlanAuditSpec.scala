@@ -360,6 +360,21 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q210 struct-leaf pruning: the executed plan reads a strict subset of segments") {
+    val p = q("q210_nested_leaf_pruning")
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(p).getOrElse(
+      fail(s"no docstore scan with a segment count found:\n$p"))
+    val (kept, total) = (m.group(1).toInt, m.group(2).toInt)
+    // 4 pre-ADD segments (stat-less, conservatively kept) + >= 3
+    // banded commits; the w >= 400 predicate must PROVE the low bands
+    // empty from their leaf envelopes — reading everything means the
+    // `L,` stats or the dotted-name pushdown broke
+    assert(kept < total,
+      s"meta.w >= 400 must skip the low-band segments, read $kept/$total:\n$p")
+    assert(total >= 7 && kept <= total - 2,
+      s"expected >= 2 banded segments skipped, got $kept/$total:\n$p")
+  }
+
   test("q208 rerank: code scan + bounded candidate fetch broadcast; windows stay per-query") {
     val p = q("q208_hamming_rerank")
     // stage 2's candidate-id fetch and every query-code attach must
