@@ -373,6 +373,89 @@ object DocStore {
     }
   }
 
+  /** Nested-codec GENERATION (r15 verdict item 3 — leaf widening
+    * INSIDE ARRAY/STRUCT/MAP, Iceberg's int→long-under-field-ids
+    * surface): nested payloads carry no per-leaf type tags, so a
+    * widened leaf changes the BYTE LAYOUT of future writes (INT
+    * leaves write 4 bytes, BIGINT 8). Decode therefore dispatches on
+    * the schema generation the segment was WRITTEN under:
+    *  - each nested field's metadata may carry `graft.nestedgen`, the
+    *    global widening counter value when that field last widened;
+    *    the TABLE's generation is the max over fields (0 = never
+    *    widened). The generation rides INSIDE the SCHEMA file, so the
+    *    writer derives encode-types AND generation from one atomic
+    *    read — they can never disagree;
+    *  - a widening ALTER archives the outgoing schema as
+    *    `SCHEMA.gen-<oldGen>` (the full schema in effect while the
+    *    table was at that generation) before publishing the new one;
+    *  - every segment is stamped with its writer's generation (6th
+    *    manifest field, omitted at 0 — pre-widening manifests parse
+    *    unchanged), and the scan resolves old-generation segments'
+    *    nested WRITE types from the archives at planning, shipping
+    *    them to executors with the partition (executors never read
+    *    table metadata);
+    *  - the projected decoder reads bytes per the write-time type and
+    *    emits the live (wider) type — int→long / float→double /
+    *    decimal-precision leaf pairs are value-exact.
+    * Rewrites (OPTIMIZE, CoW row-level) re-encode under the live
+    * schema, so generations converge forward; DDL still refuses every
+    * non-widening nested change loudly. */
+  val NESTED_GEN_KEY = "graft.nestedgen"
+
+  /** The table's nested-codec generation under `schema`. */
+  def nestedGenOf(schema: StructType): Long =
+    schema.fields.map(f =>
+      if (f.metadata.contains(NESTED_GEN_KEY))
+        f.metadata.getLong(NESTED_GEN_KEY)
+      else 0L).foldLeft(0L)(math.max)
+
+  /** Archive `schema` (the OUTGOING schema of a widening ALTER) under
+    * its own generation; first writer wins, like [[archiveSchema]]. */
+  def archiveSchemaGen(path: String, schema: StructType): Unit = {
+    val dir = Paths.get(path)
+    val dst = dir.resolve(s"SCHEMA.gen-${nestedGenOf(schema)}")
+    if (Files.exists(dst)) return
+    val tmp = dir.resolve(".SCHEMA-gen-tmp")
+    Files.writeString(tmp, schema.json)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The full schema in effect while the table's generation was `g`
+    * (None for the live generation — no archive exists yet). */
+  def schemaAtGen(path: String, g: Long): Option[StructType] = {
+    val p = Paths.get(path, s"SCHEMA.gen-$g")
+    if (!Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(p)).asInstanceOf[StructType])
+  }
+
+  /** True when `to` is `from` with zero or more LEAF WIDENINGS at
+    * matching positions — the exact nested mirror of the top-level
+    * metadata-safe matrix (INT→BIGINT, FLOAT→DOUBLE, same-scale
+    * DECIMAL precision increase <= 38). Everything else (reorder,
+    * rename, add/drop a struct field, key/value restructure, any
+    * non-widening leaf change) is false. */
+  def nestedWideningOk(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        f.scale == t.scale && t.precision >= f.precision &&
+          t.precision <= 38
+      case (f: ArrayType, t: ArrayType) =>
+        nestedWideningOk(f.elementType, t.elementType)
+      case (f: MapType, t: MapType) =>
+        nestedWideningOk(f.keyType, t.keyType) &&
+          nestedWideningOk(f.valueType, t.valueType)
+      case (f: StructType, t: StructType) =>
+        f.fields.length == t.fields.length &&
+          f.fields.zip(t.fields).forall { case (a, b) =>
+            a.name == b.name && nestedWideningOk(a.dataType, b.dataType)
+          }
+      case _ => false
+    }
+
   /** Writer-side carrier for one nested value: the opaque recursive
     * payload plus the pre-encoded stat values of its tracked struct
     * leaves (aligned with the column's [[structLeafSpecs]] order;
@@ -666,9 +749,29 @@ object DocStore {
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
         new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
-    // same leaf class, differing only in nullability metadata —
-    // pruning never changes a LEAF type, so decode by the stored form
-    case (f, _) => readNestedValue(f, in)
+    // WIDENED leaf pairs (nested-codec generations — see
+    // NESTED_GEN_KEY): bytes follow the write-time type, the emitted
+    // value the live wider one; each conversion is value-exact
+    case (IntegerType, LongType) =>
+      java.lang.Long.valueOf(in.readInt().toLong)
+    case (FloatType, DoubleType) => java.lang.Double.valueOf(
+      java.lang.Float.intBitsToFloat(in.readInt()).toDouble)
+    case (f: DecimalType, t: DecimalType) if f.precision <= 18 =>
+      val u = in.readLong()
+      if (t.precision <= 18)
+        org.apache.spark.sql.types.Decimal(u, t.precision, t.scale)
+      else org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(u), t.scale),
+        t.precision, t.scale)
+    case (f: DecimalType, t: DecimalType) =>
+      val b = new Array[Byte](16); in.readFully(b)
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(dec128Of(b), t.scale),
+        t.precision, t.scale)
+    case (f, r) => throw new IllegalStateException(
+      s"cannot project nested payload bytes of ${f.simpleString} " +
+        s"into ${r.simpleString} — not a pruning or widening pair")
   }
 
   /** Advance past one encoded value of type `dt` without
@@ -1114,10 +1217,13 @@ object DocStore {
     None
   }
 
+  /** `schemaGen`: the nested-codec generation the segment was written
+    * under (see [[NESTED_GEN_KEY]]); 0 = pre-widening layout. */
   final case class Segment(name: String, rows: Long, minId: Long,
       maxId: Long, bytes: Long,
       stats: Map[Int, ColStat] = Map.empty,
-      leafStats: Map[Int, Map[String, ColStat]] = Map.empty)
+      leafStats: Map[Int, Map[String, ColStat]] = Map.empty,
+      schemaGen: Long = 0L)
 
   /** Build (once per source dir, via Scratch) a docstore lake from
     * `documents.parquet`: 8 doc_id-range segments + manifest, written
@@ -1703,7 +1809,8 @@ object DocStore {
       val p = l.split(",")
       Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
         statsBySeg.getOrElse(p(0), Map.empty),
-        leafStatsBySeg.getOrElse(p(0), Map.empty))
+        leafStatsBySeg.getOrElse(p(0), Map.empty),
+        if (p.length > 5) p(5).toLong else 0L)
     }.toSeq
     val dvs = lines.filter(_.startsWith(DV_TAG))
       .map { l => val p = l.split(","); (p(1), p(2).toLong) }
@@ -2116,7 +2223,8 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
 final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
     maxId: Long, bytes: Long, partDir: String = "",
     stats: Map[Int, DocStore.ColStat] = Map.empty,
-    leafStats: Map[Int, Map[String, DocStore.ColStat]] = Map.empty)
+    leafStats: Map[Int, Map[String, DocStore.ColStat]] = Map.empty,
+    schemaGen: Long = 0L)
     extends WriterCommitMessage
 
 /** A partitioned write task stages one segment PER partition value it
@@ -2178,7 +2286,8 @@ object DocStoreCommitOps {
       Files.move(dir.resolve(m.tmpName), dir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes,
-        stats = m.stats, leafStats = m.leafStats)
+        stats = m.stats, leafStats = m.leafStats,
+        schemaGen = m.schemaGen)
     }
     // identity watermark advance — centralized HERE because every
     // write path (batch append, streaming epoch, row-level rewrite,
@@ -2587,7 +2696,10 @@ object DocStoreCommitOps {
       a -> math.max(v, recorded.getOrElse(a, Long.MinValue)) }
     val lines = (if (rewrite) Seq(DocStore.FLAG_REWRITE) else Seq.empty) ++
       segments.map(s =>
-        s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}") ++
+        s"${s.name},${s.rows},${s.minId},${s.maxId},${s.bytes}" +
+          // generation stamp only when nonzero: pre-widening manifests
+          // stay byte-identical to the historical 5-field form
+          (if (s.schemaGen != 0L) s",${s.schemaGen}" else "")) ++
       segments.flatMap(s => DocStore.statLines(s.name, s.stats)) ++
       segments.flatMap(s => DocStore.leafStatLines(s.name, s.leafStats)) ++
       txns.toSeq.sortBy(_._1).map { case (a, v) =>
@@ -3234,7 +3346,10 @@ class DocStoreDataWriter(path: String, schema: StructType,
           if (enc.rows == 0) 0L
           else enc.writeTo(Paths.get(path).resolve(tmpName(k)))
         DocStoreCommit(tmpName(k), enc.rows.toLong, enc.minId, enc.maxId,
-          bytes, dir, enc.stats, enc.leafStats)
+          bytes, dir, enc.stats, enc.leafStats,
+          // the generation and the encode types come from the SAME
+          // schema instance — they can never disagree
+          DocStore.nestedGenOf(schema))
     }
     parts match {
       // empty task: report one empty commit (publish drops rows == 0)
@@ -3792,14 +3907,19 @@ class DocStoreScan(path: String, schema: StructType,
       val file = Paths.get(path, s.name).toString
       val dv = dvs.getOrElse(s.name, Array.empty[Long])
       keyedSurviving.flatMap(_.get(s.name)) match {
-        case Some(k) => DocStoreKeyedPartition(file, dv, s.name, k): InputPartition
-        case None => DocStorePartition(file, dv, s.name): InputPartition
+        case Some(k) =>
+          DocStoreKeyedPartition(file, dv, s.name, k,
+            s.schemaGen): InputPartition
+        case None => DocStorePartition(file, dv, s.name,
+          s.schemaGen): InputPartition
       }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(schema, required, lo, hi, limit,
-      DocStoreScan.birthVersions(path, required))
+      DocStoreScan.birthVersions(path, required),
+      DocStoreScan.genWriteTypes(path, schema,
+        surviving.map(_.schemaGen)))
 
   /** Post-prune totals from the manifest: the optimizer sees the pruned
     * scan's size, not the raw table's. Rows are pre-residual-filter
@@ -3829,6 +3949,56 @@ object DocStoreScan {
     * is actually selected: one ascending walk over the retained
     * snapshots (metadata-sized — V manifest reads, no segment IO).
     * Branch-staged segments appear in no snapshot and read null. */
+  /** Per-GENERATION nested write-type maps for the old-generation
+    * segments of a scan, resolved from the `SCHEMA.gen-<g>` archives
+    * at PLANNING (driver) so executors never read table metadata:
+    * generation -> (physical section id -> the nested type the
+    * segment's payloads were ENCODED under). Empty for the common
+    * all-current-generation table. A segment stamped NEWER than the
+    * scan's schema means a widening landed between the schema read
+    * and the manifest read — refuse loudly (re-plan) rather than
+    * misparse 8-byte leaves as 4. */
+  private[sources] def genWriteTypes(path: String, schema: StructType,
+      segGens: Seq[Long]): Map[Long, Map[Int, DataType]] = {
+    val liveGen = DocStore.nestedGenOf(schema)
+    segGens.distinct.filter(_ != liveGen).map { g =>
+      require(g < liveGen,
+        s"segment written under nested-codec generation $g, newer " +
+          s"than this scan's schema (generation $liveGen) — a " +
+          "concurrent nested widening landed; re-run the query")
+      val old = DocStore.schemaAtGen(path, g).getOrElse(
+        throw new IllegalStateException(
+          s"missing SCHEMA.gen-$g under $path — cannot decode " +
+            s"generation-$g nested payloads"))
+      g -> old.fields.zipWithIndex.collect {
+        case (f, i) if DocStore.isNestedType(f.dataType) =>
+          DocStore.sectionOf(f, i) -> f.dataType
+      }.toMap
+    }.toMap
+  }
+
+  /** [[genWriteTypes]] over EVERY archived generation on disk — for
+    * planners that ship partitions from many historical manifests
+    * (the CDC faces) where the per-scan gen set isn't known up front.
+    * Bounded by the number of widening ALTERs ever applied. */
+  private[sources] def allGenWriteTypes(path: String)
+      : Map[Long, Map[Int, DataType]] = {
+    val stream = Files.list(Paths.get(path))
+    val gens =
+      try stream.iterator().asScala
+        .flatMap(p => "^SCHEMA\\.gen-(\\d+)$".r
+          .findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toLong).toVector
+      finally stream.close()
+    gens.map { g =>
+      val old = DocStore.schemaAtGen(path, g).get
+      g -> old.fields.zipWithIndex.collect {
+        case (f, i) if DocStore.isNestedType(f.dataType) =>
+          DocStore.sectionOf(f, i) -> f.dataType
+      }.toMap
+    }.toMap
+  }
+
   private[sources] def birthVersions(path: String,
       required: StructType): Map[String, Long] = {
     if (!required.fieldNames.contains(CommitVersionMetadataColumn.NAME))
@@ -3866,11 +4036,14 @@ sealed trait DocStoreSegmentPartition extends InputPartition {
   def file: String
   def deleted: Array[Long]
   def segName: String
+  /** Nested-codec generation the segment was written under. */
+  def schemaGen: Long
 }
 
 final case class DocStorePartition(file: String,
     deleted: Array[Long] = Array.empty,
-    segName: String = "") extends DocStoreSegmentPartition
+    segName: String = "",
+    schemaGen: Long = 0L) extends DocStoreSegmentPartition
 
 /** [[DocStorePartition]] plus the segment's decoded partition key —
   * planned instead of the plain shape whenever the scan advertises
@@ -3878,7 +4051,8 @@ final case class DocStorePartition(file: String,
   * directory's key, which is exactly the [[HasPartitionKey]]
   * contract). */
 final case class DocStoreKeyedPartition(file: String,
-    deleted: Array[Long], segName: String, key: InternalRow)
+    deleted: Array[Long], segName: String, key: InternalRow,
+    schemaGen: Long = 0L)
     extends DocStoreSegmentPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -3886,7 +4060,8 @@ final case class DocStoreKeyedPartition(file: String,
 class DocStoreReaderFactory(schema: StructType, required: StructType,
     lo: Long, hi: Long,
     limit: Int,
-    birthVersions: Map[String, Long] = Map.empty)
+    birthVersions: Map[String, Long] = Map.empty,
+    genWriteTypes: Map[Long, Map[Int, DataType]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DocStoreSegmentPartition]
@@ -3895,7 +4070,8 @@ class DocStoreReaderFactory(schema: StructType, required: StructType,
       else Paths.get(part.file).getFileName.toString
     new DocStoreReader(part.file, schema, required, lo, hi, limit,
       part.deleted, part.segName,
-      birthVersions.get(key).map(java.lang.Long.valueOf).orNull)
+      birthVersions.get(key).map(java.lang.Long.valueOf).orNull,
+      genWriteTypes.getOrElse(part.schemaGen, Map.empty))
   }
 }
 
@@ -3911,7 +4087,9 @@ class DocStoreReader(file: String, schema: StructType,
     required: StructType, lo: Long, hi: Long,
     limit: Int, deleted: Array[Long] = Array.empty,
     segName: String = "",
-    birthVersion: java.lang.Long = null)
+    birthVersion: java.lang.Long = null,
+    nestedWriteTypes: Map[Int, org.apache.spark.sql.types.DataType] =
+      Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val fieldIdx = schema.fieldNames.zipWithIndex.toMap
@@ -4007,7 +4185,12 @@ class DocStoreReader(file: String, schema: StructType,
           val nested = DocStore.isNestedType(dt)
           // nested schema pruning: the REQUIRED field may carry a
           // pruned subtree of the table type — the projected decoder
-          // emits exactly that shape and skips the rest
+          // emits exactly that shape and skips the rest. Old-
+          // generation segments decode their BYTES per the write-time
+          // type (nested-codec generations: a widened leaf changed
+          // the layout of newer writes, never of this segment's).
+          val writeDt =
+            if (!nested) dt else nestedWriteTypes.getOrElse(c, dt)
           val reqDt =
             if (!nested) dt
             else required.fields
@@ -4047,7 +4230,7 @@ class DocStoreReader(file: String, schema: StructType,
                 // projected to the (possibly pruned) required shape
                 val b = new Array[Byte](len)
                 sin.readFully(b)
-                a(i) = DocStore.nestedOfProjected(dt, reqDt, b)
+                a(i) = DocStore.nestedOfProjected(writeDt, reqDt, b)
               } else {
                 val b = new Array[Byte](len)
                 sin.readFully(b)
@@ -4242,10 +4425,13 @@ class DocStoreMicroBatchStream(path: String, schema: StructType,
       .slice(idx(start), idx(end))
       .map(s => DocStorePartition(
         Paths.get(path, s.name).toString,
-        dvs.getOrElse(s.name, Array.empty), s.name): InputPartition).toArray
+        dvs.getOrElse(s.name, Array.empty), s.name,
+        s.schemaGen): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocStoreReaderFactory(schema, required, lo, hi, Int.MaxValue)
+    new DocStoreReaderFactory(schema, required, lo, hi, Int.MaxValue,
+      genWriteTypes = DocStoreScan.genWriteTypes(path, schema,
+        surviving.map(_.schemaGen)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -523,8 +523,37 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
               "partition directories embed the name")
           StructType(s.fields.updated(i, s.fields(i).copy(name = ren.newName())))
         case (s, upd: TableChange.UpdateColumnType) =>
-          val i = extraIndex(s, upd.fieldNames(), "retype")
-          val (from, to) = (s.fields(i).dataType, upd.newDataType())
+          // Spark addresses nested leaves directly (CANNOT_UPDATE_FIELD
+          // guides users to `ALTER COLUMN meta.w TYPE BIGINT`,
+          // `arr.element`, `kv.key` / `kv.value`), so fieldNames may be
+          // a PATH into a nested extra column: rebuild the column's
+          // full type with the addressed leaf retyped, then validate
+          // the whole pair like any nested widening.
+          val i = extraIndex(s, Array(upd.fieldNames()(0)), "retype")
+          def rebuilt(dt: org.apache.spark.sql.types.DataType,
+              path: Seq[String]): org.apache.spark.sql.types.DataType = {
+            import org.apache.spark.sql.types.{ArrayType, MapType}
+            if (path.isEmpty) upd.newDataType()
+            else dt match {
+              case a: ArrayType if path.head == "element" =>
+                a.copy(elementType = rebuilt(a.elementType, path.tail))
+              case m: MapType if path.head == "key" =>
+                m.copy(keyType = rebuilt(m.keyType, path.tail))
+              case m: MapType if path.head == "value" =>
+                m.copy(valueType = rebuilt(m.valueType, path.tail))
+              case st: StructType =>
+                val fi = st.fieldNames.indexOf(path.head)
+                require(fi >= 0, s"no such nested field: ${path.head} " +
+                  s"in ${st.simpleString}")
+                StructType(st.fields.updated(fi, st.fields(fi).copy(
+                  dataType = rebuilt(st.fields(fi).dataType, path.tail))))
+              case other => throw new IllegalArgumentException(
+                s"cannot address ${path.mkString(".")} inside " +
+                  s"${other.simpleString}")
+            }
+          }
+          val from = s.fields(i).dataType
+          val to = rebuilt(from, upd.fieldNames().toSeq.tail)
           // metadata-safe widenings: the stored 8-byte payload decodes
           // identically under the wider type (INT extras store long
           // payloads; FLOAT extras store double bits; a decimal's
@@ -544,11 +573,32 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
                 t.precision <= 38
             case _ => false
           }
-          require(ok,
-            s"only INT -> BIGINT, FLOAT -> DOUBLE and same-scale " +
-              s"DECIMAL precision widening (<= 38) are metadata-safe " +
+          // NESTED leaf widening (the Iceberg int→long-under-field-ids
+          // surface) is NOT metadata-only — widened leaves change the
+          // payload byte layout of FUTURE writes — so it rides the
+          // nested-codec GENERATION machinery instead: archive the
+          // outgoing schema under its generation (old segments keep
+          // decoding by it), bump the field's generation in the new
+          // schema, and the scan dispatches decode per segment stamp.
+          // See DocStore.NESTED_GEN_KEY.
+          val nestedWiden = !ok && from != to &&
+            DocStore.isNestedType(from) &&
+            DocStore.nestedWideningOk(from, to)
+          require(ok || nestedWiden,
+            s"only INT -> BIGINT, FLOAT -> DOUBLE, same-scale " +
+              s"DECIMAL precision widening (<= 38), and the same leaf " +
+              s"widenings INSIDE a nested column are supported " +
               s"here, got ${from.simpleString} -> ${to.simpleString}")
-          StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
+          if (nestedWiden) {
+            DocStore.archiveSchemaGen(dir, s)
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(s.fields(i).metadata)
+              .putLong(DocStore.NESTED_GEN_KEY,
+                DocStore.nestedGenOf(s) + 1L)
+            StructType(s.fields.updated(i,
+              s.fields(i).copy(dataType = to, metadata = mb.build())))
+          } else
+            StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
         case (s, d: TableChange.UpdateColumnDefaultValue) =>
           // ALTER COLUMN SET/DROP DEFAULT — pure metadata, any column:
           // CURRENT_DEFAULT governs FUTURE inserts only (SQL/Delta

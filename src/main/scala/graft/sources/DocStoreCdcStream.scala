@@ -49,7 +49,8 @@ final case class DocStoreVersionOffset(version: Long) extends Offset {
   * deletion-vector delta of this commit). */
 final case class DocStoreCdcPartition(file: String, segName: String,
     skip: Array[Long], emit: Array[Long],
-    changeType: String, version: Long) extends InputPartition
+    changeType: String, version: Long,
+    schemaGen: Long = 0L) extends InputPartition
 
 /** Shared per-version partition planning — the ONE classification both
   * CDC faces ship to executors, so batch == stream structurally. A
@@ -67,13 +68,15 @@ object DocStoreCdcPlanner {
           DocStoreCdf.snapshotDiff(path, ver - 1, ver)
         val inserts = added.map(s =>
           DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
-            toDv.getOrElse(s.name, Array.empty), null, "insert", ver))
+            toDv.getOrElse(s.name, Array.empty), null, "insert", ver,
+            s.schemaGen))
         val removes = removed.map(s =>
           DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
-            fromDv.getOrElse(s.name, Array.empty), null, "delete", ver))
-        val dvDeletes = dvDelta.map { case (name, delta) =>
-          DocStoreCdcPartition(dir.resolve(name).toString, name,
-            Array.empty, delta, "delete", ver)
+            fromDv.getOrElse(s.name, Array.empty), null, "delete", ver,
+            s.schemaGen))
+        val dvDeletes = dvDelta.map { case (seg, delta) =>
+          DocStoreCdcPartition(dir.resolve(seg.name).toString, seg.name,
+            Array.empty, delta, "delete", ver, seg.schemaGen)
         }
         inserts ++ removes ++ dvDeletes
       }
@@ -120,7 +123,8 @@ class DocStoreCdcTable(path: String, startingVersion: Long,
               DocStoreCdcPlanner.planVersions(path, from, to)
             }
             override def createReaderFactory(): PartitionReaderFactory =
-              new DocStoreCdcReaderFactory(base)
+              new DocStoreCdcReaderFactory(base,
+                DocStoreScan.allGenWriteTypes(path))
           }
         override def toMicroBatchStream(loc: String): MicroBatchStream = {
           // a stream has no end: silently ignoring a requested upper
@@ -197,25 +201,35 @@ class DocStoreCdcMicroBatchStream(path: String, base: StructType,
     DocStoreCdcPlanner.planVersions(path, v(start), v(end))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocStoreCdcReaderFactory(base)
+    new DocStoreCdcReaderFactory(base,
+      DocStoreScan.allGenWriteTypes(path))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class DocStoreCdcReaderFactory(base: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DocStoreCdcReader(p.asInstanceOf[DocStoreCdcPartition], base)
+class DocStoreCdcReaderFactory(base: StructType,
+    genWriteTypes: Map[Long, Map[Int,
+      org.apache.spark.sql.types.DataType]] = Map.empty)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocStoreCdcPartition]
+    new DocStoreCdcReader(part, base,
+      genWriteTypes.getOrElse(part.schemaGen, Map.empty))
+  }
 }
 
 /** Wraps the plain segment reader: reads base columns + `_pos`, filters
   * to the emit set when present, and appends the constant change
   * columns. */
-class DocStoreCdcReader(p: DocStoreCdcPartition, base: StructType)
+class DocStoreCdcReader(p: DocStoreCdcPartition, base: StructType,
+    nestedWriteTypes: Map[Int,
+      org.apache.spark.sql.types.DataType] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val withPos = StructType(base.fields.toSeq :+
     StructField(PosMetadataColumn.NAME, LongType, nullable = false))
   private val inner = new DocStoreReader(p.file, base, withPos,
-    Long.MinValue, Long.MaxValue, Int.MaxValue, p.skip, p.segName)
+    Long.MinValue, Long.MaxValue, Int.MaxValue, p.skip, p.segName,
+    null, nestedWriteTypes)
   private val emitSet: java.util.HashSet[Long] =
     if (p.emit == null) null
     else { val s = new java.util.HashSet[Long](); p.emit.foreach(s.add); s }

@@ -62,7 +62,7 @@ object DocStoreCdf {
   def snapshotDiff(path: String, fromV: Long, toV: Long)
       : (Seq[DocStore.Segment], Seq[DocStore.Segment],
          Map[String, Array[Long]], Map[String, Array[Long]],
-         Seq[(String, Array[Long])]) = {
+         Seq[(DocStore.Segment, Array[Long])]) = {
     require(fromV <= toV, s"snapshotDiff: fromV $fromV > toV $toV")
     def read(at: Long) =
       if (at == 0L) (Seq.empty[DocStore.Segment], Map.empty[String, Array[Long]])
@@ -80,10 +80,13 @@ object DocStoreCdf {
     val added = toSegs.filterNot(s => fromNames(s.name)).sortBy(_.name)
     val removed = fromSegs.filterNot(s => toNames(s.name)).sortBy(_.name)
     // per common segment: positions dead in `to` but alive in `from`
+    // (carried as the full Segment so the CDC planner can ship its
+    // nested-codec generation with the partition)
+    val toByName = toSegs.map(s => s.name -> s).toMap
     val dvDelta = (fromNames & toNames).toSeq.sorted.flatMap { n =>
       val before = fromDv.getOrElse(n, Array.empty[Long]).toSet
       val delta = toDv.getOrElse(n, Array.empty[Long]).filterNot(before).sorted
-      if (delta.isEmpty) None else Some(n -> delta)
+      if (delta.isEmpty) None else Some(toByName(n) -> delta)
     }
     (added, removed, fromDv, toDv, dvDelta)
   }
@@ -102,7 +105,7 @@ object DocStoreCdf {
     val added = addedSegs.map(_.name)
     val removed = removedSegs.map(_.name)
     val dvDelta: Seq[(String, Long)] =
-      dvDeltaSegs.flatMap { case (n, ps) => ps.map(n -> _) }
+      dvDeltaSegs.flatMap { case (seg, ps) => ps.map(seg.name -> _) }
 
     val dataCols = DocStore.tableSchema(path).fieldNames.toSeq
     def face(manifest: String, names: Seq[String]): DataFrame =

@@ -1024,6 +1024,14 @@ class CloneProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         if (Files.exists(src.resolve(f)))
           Files.copy(src.resolve(f), staging.resolve(f))
       }
+      // nested-codec generation archives: cloned old-generation
+      // segments keep decoding by their write-time schemas
+      val genFiles = Files.list(src)
+      try genFiles.iterator().asScala
+        .filter(_.getFileName.toString.matches("^SCHEMA\\.gen-\\d+$"))
+        .foreach(p => Files.copy(p,
+          staging.resolve(p.getFileName.toString)))
+      finally genFiles.close()
       cloneSchema match {
         case Some(s) if s != DocStore.SCHEMA =>
           DocStore.writeSchemaFile(staging.toString, s)

@@ -200,12 +200,18 @@ class DocStoreRowLevelScan(path: String, schema: StructType,
     op.foreach(_.scannedSegments = runtimeSurviving.map(_.name))
     runtimeSurviving.map(s => DocStorePartition(
       Paths.get(path, s.name).toString,
-      dvs.getOrElse(s.name, Array.empty), s.name): InputPartition).toArray
+      dvs.getOrElse(s.name, Array.empty), s.name,
+      s.schemaGen): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // old-generation nested payloads decode per their write-time types
+    // here too — the rewrite re-encodes them under the LIVE schema, so
+    // every CoW/MERGE touch heals a segment forward to generation-now
     new DocStoreReaderFactory(schema, required,
-      Long.MinValue, Long.MaxValue, Int.MaxValue)
+      Long.MinValue, Long.MaxValue, Int.MaxValue,
+      genWriteTypes = DocStoreScan.genWriteTypes(path, schema,
+        surviving.map(_.schemaGen)))
 
   override def description(): String =
     s"GraftDocStore row-level segments=${surviving.size}/$total (full rows)"
@@ -283,7 +289,10 @@ class DocStoreDeltaOperation(path: String, cmd: Command)
 
 final case class DocStoreDeltaCommit(tmpName: String, rows: Long,
     minId: Long, maxId: Long, bytes: Long,
-    deletes: Seq[(String, Long)]) extends WriterCommitMessage
+    deletes: Seq[(String, Long)],
+    stats: Map[Int, DocStore.ColStat] = Map.empty,
+    leafStats: Map[Int, Map[String, DocStore.ColStat]] = Map.empty,
+    schemaGen: Long = 0L) extends WriterCommitMessage
 
 class DocStoreDeltaBatchWrite(path: String, schema: StructType,
     order: Array[Int], queryId: String)
@@ -366,8 +375,9 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
       // rename lands inserts + deletion vectors together
       DocStoreCommitOps.publish(path,
         messages.collect { case m: DocStoreDeltaCommit =>
-          DocStoreCommit(m.tmpName, m.rows, m.minId, m.maxId, m.bytes)
-            : WriterCommitMessage
+          DocStoreCommit(m.tmpName, m.rows, m.minId, m.maxId, m.bytes,
+            stats = m.stats, leafStats = m.leafStats,
+            schemaGen = m.schemaGen): WriterCommitMessage
         },
         current, queryId, i => f"part-${next + i}%05d.gds", merged)
     }
@@ -446,8 +456,11 @@ class DocStoreDeltaWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     val c = inner.commit().asInstanceOf[DocStoreCommit]
+    // stats, leaf stats and the nested-codec generation stamp all
+    // carry through — a MoR insert segment prunes and decodes exactly
+    // like a batch-appended one
     DocStoreDeltaCommit(c.tmpName, c.rows, c.minId, c.maxId, c.bytes,
-      deletes.toSeq)
+      deletes.toSeq, c.stats, c.leafStats, c.schemaGen)
   }
   override def abort(): Unit = inner.abort()
   override def close(): Unit = inner.close()

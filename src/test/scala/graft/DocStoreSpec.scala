@@ -3322,10 +3322,13 @@ class DocStoreSpec extends SparkSpec {
       "ANALYZE erased nested null-count stats (IS NOT NULL prune lost)")
     assert(readBack.where(col("meta").isNull).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
-    // widening INSIDE a nested column refuses (no per-leaf dispatch
-    // tags in the payload); the DDL error is the metadata-safe gate's
+    // NON-widening changes inside a nested column still refuse loudly
+    // (r16: leaf WIDENING is now legal via nested-codec generations —
+    // covered by its own test below)
     intercept[Exception] { sc.sql(
-      "ALTER TABLE tcat15.ns.t ALTER COLUMN tags TYPE ARRAY<BIGINT>") }
+      // STRING -> BINARY passes Spark's own upcast check, so this
+      // exercises OUR refusal, not the analyzer's
+      "ALTER TABLE tcat15.ns.t ALTER COLUMN tags TYPE ARRAY<BINARY>") }
     // DROP of a nested column is the same column-mapping retirement as
     // scalars; remaining nested columns keep their sections
     sc.sql("ALTER TABLE tcat15.ns.t DROP COLUMN meta")
@@ -3494,6 +3497,98 @@ class DocStoreSpec extends SparkSpec {
       s"leaf pruning lost after OPTIMIZE: $afterOpt")
     assert(readBack.where(col("meta.w") > 50L).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+  }
+
+  test("r16: nested leaf widening — three generations read through one declared schema") {
+    // r15 verdict item 3 (Iceberg's int→long-inside-structs surface):
+    // a widened leaf changes the payload byte layout of FUTURE writes,
+    // so decode dispatches on the nested-codec GENERATION each segment
+    // was written under (SCHEMA.gen-<g> archives + per-segment stamp).
+    val root = Files.createTempDirectory("docstore_nwiden").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.tcat17" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.tcat17.root" -> root)
+    sc.sql("CREATE NAMESPACE tcat17.ns")
+    sc.sql("CREATE TABLE tcat17.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    // generation: pre-ADD (null-pad)
+    sc.sql("INSERT INTO tcat17.ns.t VALUES (1, 1, 'en', 's', 'pre')")
+    sc.sql("ALTER TABLE tcat17.ns.t ADD COLUMNS (" +
+      "meta STRUCT<w: INT, f: FLOAT, amt: DECIMAL(10,2)>, " +
+      "arr ARRAY<INT>, kv MAP<STRING, INT>)")
+    // generation 0: INT/FLOAT/DECIMAL(10,2) leaf layouts
+    sc.sql("INSERT INTO tcat17.ns.t VALUES (2, 2, 'en', 's', 'g0', " +
+      "named_struct('w', 7, 'f', CAST(1.5 AS FLOAT), " +
+      "'amt', CAST(12.34 AS DECIMAL(10,2))), " +
+      "array(1, NULL, 3), map('a', 4))")
+    // widen all three families + the array element + the map value —
+    // Spark's DDL addresses nested leaves directly (meta.w,
+    // arr.element, kv.value), one generation bump each
+    sc.sql("ALTER TABLE tcat17.ns.t ALTER COLUMN meta.w TYPE BIGINT")
+    sc.sql("ALTER TABLE tcat17.ns.t ALTER COLUMN meta.f TYPE DOUBLE")
+    sc.sql("ALTER TABLE tcat17.ns.t ALTER COLUMN meta.amt TYPE DECIMAL(14,2)")
+    sc.sql("ALTER TABLE tcat17.ns.t ALTER COLUMN arr.element TYPE BIGINT")
+    sc.sql("ALTER TABLE tcat17.ns.t ALTER COLUMN kv.value TYPE BIGINT")
+    // generation 5: 8-byte leaf layouts
+    sc.sql("INSERT INTO tcat17.ns.t VALUES (3, 3, 'en', 's', 'g5', " +
+      "named_struct('w', 5000000000L, 'f', 2.25D, " +
+      "'amt', CAST(999999999999.99 AS DECIMAL(14,2))), " +
+      "array(6000000000L), map('b', 7000000000L))")
+    // one declared schema serves all three generations, values exact
+    val rows = sc.sql("SELECT doc_id, meta.w, meta.f, meta.amt, arr, " +
+      "kv FROM tcat17.ns.t ORDER BY doc_id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(4), rows(0).toString)
+    assert(rows(1).getLong(1) == 7L && rows(1).getDouble(2) == 1.5 &&
+      rows(1).getDecimal(3).toString == "12.34", rows(1).toString)
+    assert(rows(1).getSeq[Any](4) == Seq(1L, null, 3L), rows(1).toString)
+    assert(rows(2).getLong(1) == 5000000000L &&
+      rows(2).getDouble(2) == 2.25 &&
+      rows(2).getDecimal(3).toString == "999999999999.99", rows(2).toString)
+    assert(rows(2).getSeq[Any](4) == Seq(6000000000L), rows(2).toString)
+    assert(sc.sql("SELECT element_at(kv, 'a'), element_at(kv, 'b') " +
+      "FROM tcat17.ns.t WHERE doc_id IN (2, 3) ORDER BY doc_id")
+      .collect().map(_.toSeq).toSeq ==
+      Seq(Seq(4L, null), Seq(null, 7000000000L)))
+    // leaf-stat pruning still fires ACROSS generations: the old
+    // segment's int-era envelope and the new segment's long-era one
+    // prune under the same BIGINT literal space
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val path = java.nio.file.Paths.get(root, "ns", "t").toString
+    def readBack = sc.read.format("graft-docstore")
+      .option("path", path).load()
+    assert(planned(readBack.where(col("meta.w") > 1000000L)) == ((2, 3)),
+      "the int-era segment's leaf envelope must prune under the " +
+        "widened BIGINT literal") // pre-ADD kept (stat-less) + g3
+    // non-widening nested changes still refuse loudly (narrowing is
+    // caught by Spark's own upcast check; a scale change reaches OUR
+    // gate and refuses there)
+    intercept[Exception] { sc.sql(
+      "ALTER TABLE tcat17.ns.t ALTER COLUMN arr.element TYPE INT") }
+    intercept[Exception] { sc.sql(
+      "ALTER TABLE tcat17.ns.t ALTER COLUMN meta.amt TYPE DECIMAL(16,3)") }
+    // OPTIMIZE heals old generations forward: the rewrite decodes per
+    // write-time types and re-encodes under the live schema
+    sc.sql("CALL tcat17.system.optimize('ns.t', 1)")
+    val after = sc.sql("SELECT doc_id, meta.w, arr FROM tcat17.ns.t " +
+      "ORDER BY doc_id").collect()
+    assert(after(1).getLong(1) == 7L &&
+      after(1).getSeq[Any](2) == Seq(1L, null, 3L), after(1).toString)
+    assert(after(2).getLong(1) == 5000000000L, after(2).toString)
+    assert(DocStore.readManifest(path).forall(_.schemaGen == 5L),
+      "OPTIMIZE must re-stamp rewritten segments at the live generation")
+    // CDF replays old-generation commits through the archived types
+    val cdf = sc.read.format("graft-docstore").option("path", path)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "3").load()
+    assert(cdf.where(col("_change_type") === "insert" &&
+        col("doc_id") === 2)
+      .selectExpr("meta.w").head.getLong(0) == 7L,
+      "CDF must decode the int-era payload by its write-time type")
   }
 
   test("r14: -0.0 survives an evolved DOUBLE round-trip; zero filters stay sound") {
