@@ -256,7 +256,14 @@ object EmbedOps {
         "probes that each touch nprobe/cells of the corpus. Probed cell " +
         "ids reach the driver (nprobe × |queries| rows, metadata-sized " +
         "— the q104 manifest move) to prune partitions; vector data " +
-        "never does.",
+        "never does. Cell ranking note (r15 advice): cells are scored " +
+        "by c^2 * ||q - sv/c||^2 (the cross-multiplied integer form of " +
+        "distance-to-mean, c = cell count) rather than the unscaled " +
+        "distance — a DELIBERATE trade: both engines compare exact " +
+        "integers with zero float drift, at the cost of a small bias " +
+        "toward low-count cells on skewed cell sizes (recall, not " +
+        "correctness: the exact rerank inside probed cells is " +
+        "unaffected).",
       Some(s"""
         WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
         n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
@@ -1071,23 +1078,119 @@ object EmbedOps {
         "vectors (vec_id % 10 = 0 stands in for today's arrivals) is " +
         "folded into q113's persisted index WITHOUT rebuilding it and " +
         "WITHOUT scanning the stored corpus. Three incremental steps, " +
-        "all new-batch-sized: (1) ASSIGN each new vector to its " +
-        "nearest existing cell by exact scaled-integer centroid " +
-        "distance (broadcast the tiny centroid table, map-only over " +
-        "the batch); (2) persist the batch as a DELTA FRAGMENT " +
-        "partitioned by assigned cell next to the immutable base — " +
-        "the LSM/Lance add-fragment shape; a nightly OPTIMIZE folds " +
-        "fragments back (q113's build); (3) update centroids by " +
-        "ADDING the batch's per-cell integer sums/counts to the " +
-        "stored ones (exact — integer centroid state is associative, " +
-        "which float means are not). Serving probes the UPDATED " +
-        "centroids and scans only the probed cells of base + delta " +
-        "(partition pruning on both layers); is_new in the output " +
-        "proves upserted vectors are immediately searchable. At " +
-        "100 TB: the upsert touches batch + metadata, never the " +
-        "corpus — the difference between a nightly full rebuild and " +
-        "a continuously-fresh index.",
-      Some(s"""
+        "all new-batch-sized: (1) ASSIGN each new vector to a cell by " +
+        "exact scaled-integer centroid score (broadcast the tiny " +
+        "centroid table, map-only over the batch; the score is " +
+        "c^2 * ||q - sv/c||^2 — the cross-multiplied integer form, " +
+        "the same deliberate exactness-over-skew trade q113 " +
+        "documents); (2) PERSIST the batch as a cell-partitioned " +
+        "DELTA FRAGMENT beside the immutable base (r15 verdict item " +
+        "2: a managed Scratch artifact now, not a temp overlay — " +
+        "q212 is the nightly fold that merges it back); (3) update " +
+        "centroids by ADDING the fragment's per-cell integer " +
+        "sums/counts to the stored ones (exact — integer centroid " +
+        "state is associative, which float means are not). Serving " +
+        "probes the UPDATED centroids and scans only the probed " +
+        "cells of base + delta (partition pruning on both layers); " +
+        "is_new in the output proves upserted vectors are " +
+        "immediately searchable. At 100 TB: the upsert touches " +
+        "batch + metadata, never the corpus — the difference between " +
+        "a nightly full rebuild and a continuously-fresh index.",
+      Some(annIncOracle)) { (s, dir) =>
+      val idx = ivfIncBase(s, dir)
+      val delta = annIncDelta(s, dir)
+      // updated centroids = stored + the fragment's per-cell integer
+      // sums (tiny on both sides; broadcast the delta aggregates)
+      val upd = foldedCentroids(s, idx, delta)
+      // ---- serve path: probe UPDATED centroids, scan only probed
+      // cells of base + delta (partition pruning on both layers)
+      val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      val dist = qs.crossJoin(broadcast(upd))
+        .withColumn("d", aggregate(
+          zip_with(col("qv"), col("sv"),
+            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+          lit(0L), (acc, x) => acc + x))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("label").asc)
+      val probe = dist.withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("label"), col("qv"), col("qn"))
+      val cells = probe.select("label").distinct().collect().map(_.get(0))
+      val pool = s.read.parquet(s"$idx/vectors")
+        .filter(col("label").isin(cells: _*))
+        .withColumn("is_new", lit(false))
+        .unionByName(s.read.parquet(s"$delta/vectors")
+          .filter(col("label").isin(cells: _*))
+          .withColumn("is_new", lit(true)))
+      annIncServe(pool, probe)
+    },
+
+    Q("q212_ann_delta_fold",
+      "The NIGHTLY FOLD that completes q207's LSM story (r15 verdict " +
+        "item 2 — the documented-but-unimplemented half): delta " +
+        "fragments accumulate per upsert batch, and the fold merges " +
+        "them back into the base index by rewriting ONLY the " +
+        "AFFECTED cells (cells holding delta rows — partition " +
+        "pruning on the base; untouched cells are never read or " +
+        "rewritten, PlanAuditSpec pins the fold input's plan) and " +
+        "publishing centroids with the delta sums folded in (the " +
+        "same associative integer update serving used). The gate " +
+        "then SERVES from the folded layout — probed affected cells " +
+        "read the folded overlay, probed untouched cells read the " +
+        "immutable base — and its output equals q207's pre-fold " +
+        "serve EXACTLY (same oracle, same top-k): " +
+        "serve-after-fold == serve-before-fold is the fold's " +
+        "correctness contract. At 100 TB: fold cost scales with " +
+        "fragment size + affected cells, not corpus size — the " +
+        "compaction half of an LSM index, scheduled off-peak.",
+      Some(annIncOracle)) { (s, dir) =>
+      val idx = ivfIncBase(s, dir)
+      val delta = annIncDelta(s, dir)
+      val folded = graft.core.Scratch.materialize("ivf_inc_folded",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+        annFoldInput(s, idx, delta).write.partitionBy("label")
+          .parquet(java.nio.file.Paths.get(p, "cells").toString)
+        foldedCentroids(s, idx, delta).write
+          .parquet(java.nio.file.Paths.get(p, "centroids").toString)
+      }
+      // ---- serve AFTER the fold: folded centroids; probed cells
+      // route to the folded overlay when affected, else the base
+      val cents = s.read.parquet(s"$folded/centroids")
+      val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      val dist = qs.crossJoin(broadcast(cents))
+        .withColumn("d", aggregate(
+          zip_with(col("qv"), col("sv"),
+            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+          lit(0L), (acc, x) => acc + x))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("label").asc)
+      val probe = dist.withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("label"), col("qv"), col("qn"))
+      val probed = probe.select("label").distinct().collect().map(_.get(0))
+      // affected set = the fold overlay's cell list (partition values,
+      // metadata-sized)
+      val affected = s.read.parquet(s"$folded/cells")
+        .select("label").distinct().collect().map(_.get(0)).toSet
+      val (hot, cold) = probed.partition(affected.contains)
+      val pool = s.read.parquet(s"$folded/cells")
+        .filter(col("label").isin(hot: _*))
+        .unionByName(s.read.parquet(s"$idx/vectors")
+          .filter(col("label").isin(cold: _*))
+          .withColumn("is_new", lit(false)))
+      annIncServe(pool, probe)
+    }
+  )
+
+  /** Shared DuckDB oracle of the incremental-index pair: q207 serves
+    * base + delta fragment, q212 serves the folded layout — the SAME
+    * result by the fold's correctness contract, so one oracle pins
+    * both (serve-after-fold == serve-before-fold). */
+  private lazy val annIncOracle: String = s"""
         WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
         n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
         nz AS (SELECT * FROM n WHERE nn > 0),
@@ -1157,25 +1260,39 @@ object EmbedOps {
         SELECT query_id, rnk::INT AS rnk, neighbor_id, cell, is_new,
                ROUND(cos, 6) AS cosine
         FROM r WHERE rnk <= 3 OR nrnk = 1
-        ORDER BY query_id, rnk""")) { (s, dir) =>
-      val idx = graft.core.Scratch.materialize("ivf_index_inc",
-        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
-        val base = quantized(s, dir).filter(col("vec_id") % 10 =!= 0)
-        val cellsum = base
-          .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-          .groupBy(col("label"), col("i"))
-          .agg(sum(col("x")).as("s"))
-        val cent = cellsum.groupBy(col("label"))
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
-            e => e.getField("s")).as("sv"))
-        val cnt = base.groupBy(col("label")).agg(count(lit(1)).as("c"))
-        cent.join(cnt, "label").write.mode("overwrite")
-          .parquet(java.nio.file.Paths.get(p, "centroids").toString)
-        base.write.mode("overwrite").partitionBy("label")
-          .parquet(java.nio.file.Paths.get(p, "vectors").toString)
-      }
-      // ---- incremental path: reads ONLY the new batch + the tiny
-      // centroid table — never the stored vectors
+        ORDER BY query_id, rnk"""
+
+  /** The incremental index's BASE layer (q113's build over the
+    * vec_id % 10 <> 0 slice), materialized once per source dir. */
+  private def ivfIncBase(s: SparkSession, dir: String): String =
+    graft.core.Scratch.materialize("ivf_index_inc",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+      val base = quantized(s, dir).filter(col("vec_id") % 10 =!= 0)
+      val cellsum = base
+        .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("x")).as("s"))
+      val cent = cellsum.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          e => e.getField("s")).as("sv"))
+      val cnt = base.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      cent.join(cnt, "label").write.mode("overwrite")
+        .parquet(java.nio.file.Paths.get(p, "centroids").toString)
+      base.write.mode("overwrite").partitionBy("label")
+        .parquet(java.nio.file.Paths.get(p, "vectors").toString)
+    }
+
+  /** The upsert batch as a MANAGED delta fragment (r15 verdict item
+    * 2): assignment runs against the broadcast stored centroids, the
+    * assigned batch persists cell-partitioned under `vectors/`, and
+    * the per-cell integer sums/counts the centroid update needs
+    * persist under `dcent/` — computed by READING THE FRAGMENT BACK
+    * (not by re-running or caching the assignment; the r15 advice's
+    * unpersist shape). Everything here is new-batch-sized. */
+  private def annIncDelta(s: SparkSession, dir: String): String = {
+    val idx = ivfIncBase(s, dir)
+    graft.core.Scratch.materialize("ivf_inc_delta",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
       val centroids = s.read.parquet(s"$idx/centroids")
       // arrivals are UNLABELED as far as the index is concerned — the
       // cell is the assignment's output, not an input
@@ -1188,80 +1305,79 @@ object EmbedOps {
           lit(0L), (acc, x) => acc + x))
       val wa = Window.partitionBy(col("vec_id"))
         .orderBy(col("d").asc, col("label").asc)
-      // persist the assigned batch: three consumers (delta write, sum
-      // fold, count fold) would otherwise re-run the scan+assignment —
-      // the batch is daily-arrival-sized, exactly what a production
-      // upsert job caches
-      val assign = ad.withColumn("ar", row_number().over(wa))
+      ad.withColumn("ar", row_number().over(wa))
         .filter(col("ar") === 1)
-        .select(col("vec_id"), col("q"), col("nn"),
-          col("label").as("cell"))
-        .persist()
-      // the delta fragment: per-invocation temp overlay, cell-partitioned
-      val tmp = java.nio.file.Files.createTempDirectory("q207_delta")
-      graft.core.Fs.deleteOnExit(tmp)
-      val deltaDir = tmp.resolve("delta").toString
-      assign.withColumnRenamed("cell", "label").write
-        .partitionBy("label").parquet(deltaDir)
-      // updated centroids = stored + the batch's per-cell integer sums
-      val dsum = assign
-        .select(col("cell").as("label"), posexplode(col("q")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("q"), col("nn"), col("label"))
+        .write.partitionBy("label")
+        .parquet(java.nio.file.Paths.get(p, "vectors").toString)
+      val back = s.read.parquet(
+        java.nio.file.Paths.get(p, "vectors").toString)
+      val dsum = back
+        .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
         .groupBy(col("label"), col("i"))
         .agg(sum(col("x")).as("ds"))
       val dvec = dsum.groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("ds")))),
           e => e.getField("ds")).as("dv"))
-      val dcnt = assign.groupBy(col("cell"))
-        .agg(count(lit(1)).as("dc")).withColumnRenamed("cell", "label")
-      // per-cell delta aggregates are cell-count-sized — broadcast both
-      val upd = centroids.join(broadcast(dvec), Seq("label"), "left")
-        .join(broadcast(dcnt), Seq("label"), "left")
-        .select(col("label"),
-          when(col("dv").isNull, col("sv"))
-            .otherwise(zip_with(col("sv"), col("dv"), (a, b) => a + b))
-            .as("sv"),
-          (col("c") + coalesce(col("dc"), lit(0L))).as("c"))
-      // ---- serve path: probe UPDATED centroids, scan only probed
-      // cells of base + delta (partition pruning on both layers)
-      val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("q").as("qv"),
-          col("nn").as("qn"))
-      val dist = qs.crossJoin(broadcast(upd))
-        .withColumn("d", aggregate(
-          zip_with(col("qv"), col("sv"),
-            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-          lit(0L), (acc, x) => acc + x))
-      val wp = Window.partitionBy(col("qid"))
-        .orderBy(col("d").asc, col("label").asc)
-      val probe = dist.withColumn("pr", row_number().over(wp))
-        .filter(col("pr") <= 2)
-        .select(col("qid"), col("label"), col("qv"), col("qn"))
-      val cells = probe.select("label").distinct().collect().map(_.get(0))
-      val pool = s.read.parquet(s"$idx/vectors")
-        .filter(col("label").isin(cells: _*))
-        .withColumn("is_new", lit(false))
-        .unionByName(s.read.parquet(deltaDir)
-          .filter(col("label").isin(cells: _*))
-          .withColumn("is_new", lit(true)))
-      val cand = pool.join(broadcast(probe),
-          pool("label") === probe("label") && col("vec_id") =!= col("qid"))
-        .withColumn("cos",
-          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
-      val wr = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      // emit top-3 overall PLUS each query's best NEW neighbor (at its
-      // overall rank) — the upserted-vectors-are-searchable proof even
-      // when today's arrivals don't crack the global top-3
-      val wn = Window.partitionBy(col("qid"), col("is_new"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      cand.withColumn("rnk", row_number().over(wr))
-        .withColumn("nrnk",
-          when(col("is_new"), row_number().over(wn)).otherwise(lit(null)))
-        .filter(col("rnk") <= 3 || col("nrnk") === 1)
-        .select(col("qid").as("query_id"), col("rnk"),
-          col("vec_id").as("neighbor_id"), pool("label").as("cell"),
-          col("is_new"), round(col("cos"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
+      val dcnt = back.groupBy(col("label")).agg(count(lit(1)).as("dc"))
+      dvec.join(dcnt, "label").write
+        .parquet(java.nio.file.Paths.get(p, "dcent").toString)
     }
-  )
+  }
+
+  /** Stored centroids + the fragment's per-cell integer sums/counts —
+    * the associative fold both serving (q207) and the nightly fold
+    * (q212) publish. */
+  private def foldedCentroids(s: SparkSession, idx: String,
+      delta: String): DataFrame = {
+    val dcent = s.read.parquet(s"$delta/dcent")
+    s.read.parquet(s"$idx/centroids")
+      .join(broadcast(dcent), Seq("label"), "left")
+      .select(col("label"),
+        when(col("dv").isNull, col("sv"))
+          .otherwise(zip_with(col("sv"), col("dv"), (a, b) => a + b))
+          .as("sv"),
+        (col("c") + coalesce(col("dc"), lit(0L))).as("c"))
+  }
+
+  /** The fold's INPUT frame — base rows of AFFECTED cells only
+    * (partition pruning; untouched cells are never read) unioned with
+    * the delta fragment, is_new preserved. graft-visible so
+    * PlanAuditSpec can pin the pruned plan directly. */
+  private[graft] def annFoldInput(s: SparkSession, idx: String,
+      delta: String): DataFrame = {
+    val dl = s.read.parquet(s"$delta/vectors")
+    val affected = dl.select("label").distinct().collect().map(_.get(0))
+    s.read.parquet(s"$idx/vectors")
+      .filter(col("label").isin(affected: _*))
+      .withColumn("is_new", lit(false))
+      .unionByName(dl.withColumn("is_new", lit(true)))
+  }
+
+  /** graft-visible fixture accessors for the fold plan audit. */
+  private[graft] def annIncPaths(s: SparkSession, dir: String)
+      : (String, String) = (ivfIncBase(s, dir), annIncDelta(s, dir))
+
+  /** Shared serve tail of the incremental pair: exact cosine rerank
+    * inside the probed pool, top-3 overall PLUS each query's best NEW
+    * neighbor (at its overall rank) — the upserted-vectors-are-
+    * searchable proof even when arrivals don't crack the top-3. */
+  private def annIncServe(pool: DataFrame, probe: DataFrame): DataFrame = {
+    val cand = pool.join(broadcast(probe),
+        pool("label") === probe("label") && col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wn = Window.partitionBy(col("qid"), col("is_new"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(wr))
+      .withColumn("nrnk",
+        when(col("is_new"), row_number().over(wn)).otherwise(lit(null)))
+      .filter(col("rnk") <= 3 || col("nrnk") === 1)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), pool("label").as("cell"),
+        col("is_new"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
 }

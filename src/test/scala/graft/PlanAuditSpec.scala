@@ -375,6 +375,35 @@ class PlanAuditSpec extends SparkSpec {
       s"expected >= 2 banded segments skipped, got $kept/$total:\n$p")
   }
 
+  test("q212 fold: input reads only affected base cells; serve prunes both layers") {
+    // the nightly fold's INPUT frame: the base scan must carry the
+    // affected-cell partition filter — untouched cells never read
+    val (idx, delta) = graft.queries.EmbedOps.annIncPaths(session, dir)
+    val foldPlan = planOf(
+      graft.queries.EmbedOps.annFoldInput(session, idx, delta))
+    val baseScan = foldPlan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("vectors") &&
+        !l.contains("delta")).getOrElse(
+      fail(s"no base vector scan in the fold input plan:\n$foldPlan"))
+    assert(baseScan.contains("PartitionFilters: [") &&
+      baseScan.replaceAll(".*PartitionFilters: \\[", "")
+        .takeWhile(_ != ']').contains("label"),
+      s"the fold must prune base cells to the affected set:\n$baseScan")
+    // the post-fold serve: every vector scan pruned to probed cells,
+    // probe set broadcast, no corpus-sized shuffle join
+    val p = q("q212_ann_delta_fold")
+    val pruned = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "")
+          .takeWhile(_ != ']').contains("label"))
+    assert(pruned >= 1,
+      s"post-fold serve must prune probed cells, got $pruned:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"post-fold serve must broadcast-join the probe set:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q208 rerank: code scan + bounded candidate fetch broadcast; windows stay per-query") {
     val p = q("q208_hamming_rerank")
     // stage 2's candidate-id fetch and every query-code attach must
