@@ -1183,6 +1183,164 @@ object EmbedOps {
           .filter(col("label").isin(cold: _*))
           .withColumn("is_new", lit(false)))
       annIncServe(pool, probe)
+    },
+
+    // -------------------------------- hybrid filtered vector search
+    Q("q213_filtered_ann",
+      "FILTERED vector search (r15 verdict item 6 — real retrieval " +
+        "stacks filter by metadata before searching; the serving " +
+        "ladder q113/q199/q208 always searched the whole corpus): " +
+        "the index layout bakes the filter key in as the LEADING " +
+        "partition column — vectors live under src=<k>/label=<cell>/ " +
+        "(the Milvus partition-key / Lance scalar-index shape) — so " +
+        "a query's metadata predicate prunes DIRECTORIES before the " +
+        "probe ever touches vector data: PRE-filter, not post-filter " +
+        "(post-filtering the unfiltered top-k silently breaks " +
+        "recall@k when matches rank past k). Each query carries its " +
+        "own filter (src = (qid+1) % 3, decoupled from the query " +
+        "vector's origin); candidates come only from the filtered " +
+        "slice of probed cells, and a RECALL AUDIT joins the ANN " +
+        "top-3 against the exact brute-force top-3 over the same " +
+        "filtered slice — the number a production stack monitors, " +
+        "since global centroids can under-recall a skewed filter. " +
+        "At 100 TB: the filter prunes src partitions, the probe " +
+        "prunes cells within them, and the exact audit runs on " +
+        "sampled queries off-path.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, vec_id % 3 AS src,
+                          $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, src, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM nz CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                 FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM nz GROUP BY 1),
+        cc AS (SELECT cent.label, sv, c
+               FROM cent JOIN cnt ON cent.label = cnt.label),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn,
+                      (vec_id + 1) % 3 AS filt
+               FROM nz WHERE vec_id >= 5 AND vec_id < 10),
+        dist AS (SELECT qid, cc.label, qv, qn, filt,
+                        list_sum(list_transform(range($DIM),
+                          i -> (c * qv[i+1] - sv[i+1])
+                             * (c * qv[i+1] - sv[i+1]))) AS d
+                 FROM qs CROSS JOIN cc),
+        probe AS (SELECT qid, label, qv, qn, filt FROM (
+                    SELECT qid, label, qv, qn, filt,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY d, label) AS pr
+                    FROM dist) WHERE pr <= 3),
+        cand AS (SELECT qid, nz.vec_id AS neighbor_id, nz.label,
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                 FROM probe JOIN nz ON nz.label = probe.label
+                                   AND nz.src = probe.filt
+                                   AND nz.vec_id <> probe.qid),
+        ann AS (SELECT qid AS query_id, neighbor_id, label AS cell, cos,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM cand),
+        ex AS (SELECT qid AS query_id, nz.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) DESC,
+                        nz.vec_id) AS ernk
+               FROM qs JOIN nz ON nz.src = qs.filt
+                              AND nz.vec_id <> qs.qid),
+        rec AS (SELECT a.query_id,
+                       ROUND(COUNT(e.neighbor_id) / 3.0, 6) AS recall
+                FROM ann a LEFT JOIN (SELECT * FROM ex WHERE ernk <= 3) e
+                  ON a.query_id = e.query_id
+                 AND a.neighbor_id = e.neighbor_id
+                WHERE a.rnk <= 3 GROUP BY 1)
+        SELECT a.query_id, a.rnk::INT AS rnk, a.neighbor_id, a.cell,
+               ROUND(a.cos, 6) AS cosine, rec.recall
+        FROM ann a JOIN rec ON a.query_id = rec.query_id
+        WHERE a.rnk <= 3 ORDER BY a.query_id, a.rnk""")) { (s, dir) =>
+      val idx = graft.core.Scratch.materialize("ivf_filtered",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+        val v = quantized(s, dir)
+          .withColumn("src", pmod(col("vec_id"), lit(3)))
+        val cellsum = v
+          .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("x")).as("s"))
+        val cent = cellsum.groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+            e => e.getField("s")).as("sv"))
+        val cnt = v.groupBy(col("label")).agg(count(lit(1)).as("c"))
+        cent.join(cnt, "label").write
+          .parquet(java.nio.file.Paths.get(p, "centroids").toString)
+        // FILTER KEY FIRST: src prunes before label — the whole point
+        v.write.partitionBy("src", "label")
+          .parquet(java.nio.file.Paths.get(p, "vectors").toString)
+      }
+      val cents = s.read.parquet(s"$idx/centroids")
+      val qs = s.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"),
+          pmod(col("vec_id") + 1, lit(3)).as("filt"))
+      val dist = qs.crossJoin(broadcast(cents))
+        .withColumn("d", aggregate(
+          zip_with(col("qv"), col("sv"),
+            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+          lit(0L), (acc, x) => acc + x))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("label").asc)
+      val probe = dist.withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 3)
+        .select(col("qid"), col("label"), col("qv"), col("qn"),
+          col("filt"))
+      // bounded driver move: nprobe x |queries| cell ids + <= 3 srcs
+      val pd = probe.select("filt", "label").distinct().collect()
+      val srcs = pd.map(_.get(0)).distinct.toSeq
+      val cells = pd.map(_.get(1)).distinct.toSeq
+      // PRE-filter: src prunes partitions BEFORE label — candidates
+      // never include out-of-filter vectors, so top-k is computed on
+      // the filtered slice (post-filtering would silently lose
+      // matches ranked past k in the unfiltered order)
+      val pool = s.read.parquet(s"$idx/vectors")
+        .filter(col("src").isin(srcs: _*) &&
+          col("label").isin(cells: _*))
+      val cand = pool.join(broadcast(probe),
+          pool("label") === probe("label") &&
+            pool("src") === probe("filt") &&
+            col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val ann = cand.withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 3)
+        .select(col("qid").as("query_id"), col("rnk"),
+          col("vec_id").as("neighbor_id"), pool("label").as("cell"),
+          round(col("cos"), 6).as("cosine"))
+      // exact brute-force over the SAME filtered slice (src-pruned
+      // scan, no label filter) — the recall audit's ground truth
+      val exPool = s.read.parquet(s"$idx/vectors")
+        .filter(col("src").isin(srcs: _*))
+      val ex = exPool.join(broadcast(qs),
+          exPool("src") === qs("filt") && col("vec_id") =!= col("qid"))
+        .withColumn("ecos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        .withColumn("ernk", row_number().over(Window
+          .partitionBy(col("qid"))
+          .orderBy(col("ecos").desc, col("vec_id").asc)))
+        .filter(col("ernk") <= 3)
+        .select(col("qid").as("equery_id"),
+          col("vec_id").as("eneighbor_id"))
+      val rec = ann.join(broadcast(ex),
+          ann("query_id") === ex("equery_id") &&
+            ann("neighbor_id") === ex("eneighbor_id"), "left")
+        .groupBy(ann("query_id").as("rquery_id"))
+        .agg(round(count(col("eneighbor_id")) / 3.0, 6).as("recall"))
+      ann.join(broadcast(rec), ann("query_id") === col("rquery_id"))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("cell"), col("cosine"), col("recall"))
+        .orderBy("query_id", "rnk")
     }
   )
 

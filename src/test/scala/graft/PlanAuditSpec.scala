@@ -404,6 +404,29 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q213 filtered ANN: the metadata predicate lands in PartitionFilters before the probe") {
+    val p = q("q213_filtered_ann")
+    // the candidate pool scan must prune on BOTH partition levels:
+    // src (the metadata PRE-filter) and label (the probed cells) —
+    // a src filter that only appears post-scan is the broken
+    // post-filter shape
+    val pre = p.linesIterator.find { l =>
+      l.contains("FileScan parquet") && {
+        val pf = l.replaceAll(".*PartitionFilters: \\[", "")
+          .takeWhile(_ != ']')
+        pf.contains("src") && pf.contains("label")
+      }
+    }
+    assert(pre.isDefined,
+      s"no scan pruned on src AND label (pre-filter missing):\n$p")
+    // the exact-audit scan prunes on src at least; nothing in the
+    // pipeline shuffles the vector data
+    assert(!p.contains("SortMergeJoin"),
+      s"probe/audit joins must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q208 rerank: code scan + bounded candidate fetch broadcast; windows stay per-query") {
     val p = q("q208_hamming_rerank")
     // stage 2's candidate-id fetch and every query-code attach must
