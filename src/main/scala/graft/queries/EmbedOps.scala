@@ -1341,8 +1341,220 @@ object EmbedOps {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("cell"), col("cosine"), col("recall"))
         .orderBy("query_id", "rnk")
+    },
+
+    // ------------------------- CDC -> ANN end-to-end freshness
+    Q("q214_cdc_ann_freshness",
+      "The steady-state 100 TB story told ONCE, end-to-end (r15 " +
+        "verdict item 5): vectors live in a docstore table (arrays " +
+        "ride the nested evolved-column codec), a nightly build lays " +
+        "the VERSION-1 slice out as the cell-partitioned base index, " +
+        "and then the table's CHANGE DATA FEED STREAM " +
+        "(readChangeFeed, startingVersion=base+1) drives index " +
+        "maintenance through foreachBatch: each commit's insert rows " +
+        "arrive as ONE micro-batch (version-paced offsets), the " +
+        "batch appends a cell-partitioned delta fragment, and the " +
+        "associative integer centroid state (per-cell sums+counts, " +
+        "cells x dim — metadata-sized) folds the batch's aggregates " +
+        "in. NO step rescans the corpus: every batch touches its own " +
+        "rows plus metadata. After draining three commits, serving " +
+        "probes the maintained centroids over base + fragments " +
+        "(partition-pruned), and the `fresh` column is the in-query " +
+        "AUDIT: the incrementally-maintained serve is joined against " +
+        "a from-scratch batch rebuild over the table's CURRENT " +
+        "snapshot — serve-freshness == batch-rebuild, row by row " +
+        "(the oracle IS the rebuild, so the hash match proves it " +
+        "independently too). Composes q149's CDF stream, q194's " +
+        "incremental shape, and q207's associative centroid fold " +
+        "into the continuously-fresh-index pipeline a production " +
+        "stack runs.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM nz CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                 FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM nz GROUP BY 1),
+        cc AS (SELECT cent.label, sv, c
+               FROM cent JOIN cnt ON cent.label = cnt.label),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
+               WHERE vec_id < 5 AND vec_id % 10 <> 0),
+        dist AS (SELECT qid, cc.label, qv, qn,
+                        list_sum(list_transform(range($DIM),
+                          i -> (c * qv[i+1] - sv[i+1])
+                             * (c * qv[i+1] - sv[i+1]))) AS d
+                 FROM qs CROSS JOIN cc),
+        probe AS (SELECT qid, label, qv, qn FROM (
+                    SELECT qid, label, qv, qn,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY d, label) AS pr
+                    FROM dist) WHERE pr <= 2),
+        cand AS (SELECT qid, nz.vec_id AS neighbor_id, nz.label,
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                 FROM probe JOIN nz ON nz.label = probe.label
+                                   AND nz.vec_id <> probe.qid),
+        r AS (SELECT qid AS query_id, neighbor_id, label AS cell, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand)
+        SELECT query_id, rnk::INT AS rnk, neighbor_id, cell,
+               ROUND(cos, 6) AS cosine, TRUE AS fresh
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      import s.implicits._
+      // per-invocation scratch root; the previous invocation's copy is
+      // reclaimed (its lazy result frame is invalidated anyway)
+      val root = java.nio.file.Files.createTempDirectory("q214_vx")
+      graft.core.Fs.deleteOnExit(root)
+      Option(q214Last.getAndSet(root)).foreach(prev =>
+        try graft.core.Fs.deleteRecursively(prev)
+        catch { case _: Exception => () })
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_vx" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_vx.root" ->
+          root.resolve("cat").toString)
+      sc.sql("CREATE NAMESPACE graft_cat_vx.default")
+      sc.sql("CREATE TABLE graft_cat_vx.default.vecs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING)")
+      sc.sql("ALTER TABLE graft_cat_vx.default.vecs ADD COLUMNS " +
+        "(vlabel INT, q ARRAY<BIGINT>)")
+      quantized(sc, dir).createOrReplaceTempView("q214_src")
+      def ins(where: String): Unit =
+        sc.sql("INSERT INTO graft_cat_vx.default.vecs " +
+          "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
+          s"FROM q214_src WHERE $where")
+      val tablePath = root.resolve("cat").resolve("default")
+        .resolve("vecs").toString
+      // commit 1: the nightly slice the base index is built from
+      // (CREATE/ALTER consumed versions of their own — capture the
+      // actual head so the nightly snapshot and the CDF stream's
+      // starting offset track the table's real history)
+      ins("vec_id % 10 <> 0")
+      val baseV =
+        graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      // commits 2-4: three arrival batches
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 0")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 1")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 2")
+      // ---- nightly build: base-version rows -> cell-partitioned
+      // base + integer centroid state (sums + counts per cell)
+      def vecsOf(df: DataFrame): DataFrame = df.select(
+        col("doc_id").as("vec_id"), col("q"),
+        col("n_chars").as("nn"), col("vlabel").as("label"))
+      val v1 = vecsOf(sc.sql(
+        s"SELECT * FROM graft_cat_vx.default.vecs VERSION AS OF $baseV"))
+      val baseDir = root.resolve("base").toString
+      v1.write.partitionBy("label").parquet(baseDir)
+      def cellAgg(df: DataFrame): Array[(Int, Seq[Long], Long)] =
+        df.select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("x")).as("s"))
+          .groupBy(col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("s")))),
+            e => e.getField("s")).as("sv"))
+          .join(df.groupBy(col("label")).agg(count(lit(1)).as("c")),
+            "label")
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+      // associative centroid state, driver-held: cells x (dim + 1)
+      // integers — the metastore-sized piece of a production index
+      val state = scala.collection.mutable.HashMap[Int, (Array[Long], Long)]()
+      cellAgg(s.read.parquet(baseDir)).foreach { case (l, sv, c) =>
+        state(l) = (sv.toArray, c) }
+      // ---- streaming maintenance: one micro-batch per commit
+      val fragDir = root.resolve("frags").toString
+      val stream = sc.readStream.format("graft-docstore")
+        .option("path", tablePath)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", (baseV + 1).toString)
+        .load()
+      val q = stream.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = vecsOf(batch
+            .filter(col("_change_type") === "insert"))
+          // fragment append: BATCH-sized, cell-partitioned
+          rows.write.mode("append").partitionBy("label").parquet(fragDir)
+          // centroid fold: batch aggregates only, integer-exact
+          cellAgg(rows).foreach { case (l, sv, c) =>
+            val (os, oc) = state.getOrElse(l, (new Array[Long](DIM), 0L))
+            var i = 0
+            while (i < DIM) { os(i) += sv(i); i += 1 }
+            state(l) = (os, oc + c)
+          }
+          () : Unit
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // ---- serve from the MAINTAINED state (base + fragments)
+      val cents = state.toSeq
+        .map { case (l, (sv, c)) => (l, sv.toSeq, c) }
+        .toDF("label", "sv", "c")
+      val qs = s.read.parquet(baseDir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      def serve(pool: DataFrame): DataFrame = {
+        val dist = qs.crossJoin(broadcast(cents))
+          .withColumn("d", aggregate(
+            zip_with(col("qv"), col("sv"),
+              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+            lit(0L), (acc, x) => acc + x))
+        val wp = Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("label").asc)
+        val probe = dist.withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= 2)
+          .select(col("qid"), col("label"), col("qv"), col("qn"))
+        val cells = probe.select("label").distinct()
+          .collect().map(_.get(0))
+        val pruned = pool.filter(col("label").isin(cells: _*))
+        val cand = pruned.join(broadcast(probe),
+            pruned("label") === probe("label") &&
+              col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        val wr = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cand.withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .select(col("qid").as("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"),
+            pruned("label").as("cell"),
+            round(col("cos"), 6).as("cosine"))
+      }
+      val incr = serve(s.read.parquet(baseDir)
+        .unionByName(s.read.parquet(fragDir)))
+      // ---- the freshness AUDIT: a from-scratch rebuild over the
+      // table's current snapshot must serve identically (one audit
+      // scan, off the maintenance path)
+      val cur = vecsOf(sc.read.format("graft-docstore")
+        .option("path", tablePath).load())
+      val rebuilt = serve(cur)
+        .withColumnRenamed("neighbor_id", "r_neighbor_id")
+        .withColumnRenamed("cell", "r_cell")
+        .withColumnRenamed("cosine", "r_cosine")
+        .withColumnRenamed("query_id", "r_query_id")
+        .withColumnRenamed("rnk", "r_rnk")
+      incr.join(broadcast(rebuilt),
+          incr("query_id") === col("r_query_id") &&
+            incr("rnk") === col("r_rnk"), "left")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("cell"), col("cosine"),
+          (col("neighbor_id") === col("r_neighbor_id") &&
+            col("cell") === col("r_cell") &&
+            col("cosine") === col("r_cosine")).as("fresh"))
+        .orderBy("query_id", "rnk")
     }
   )
+
+  private val q214Last =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
 
   /** Shared DuckDB oracle of the incremental-index pair: q207 serves
     * base + delta fragment, q212 serves the folded layout — the SAME

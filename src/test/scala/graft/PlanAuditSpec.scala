@@ -427,6 +427,25 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q214 CDC freshness: serve prunes probed cells; audit joins broadcast") {
+    val p = q("q214_cdc_ann_freshness")
+    // the maintained-index serve must scan base + fragments with the
+    // probed cell ids as PartitionFilters — a serve that reads every
+    // cell is the full-rescan shape the gate exists to forbid
+    val pruned = p.linesIterator.exists { l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+          .contains("label")
+    }
+    assert(pruned, s"serve must prune probed cells via label:\n$p")
+    // the freshness audit (incremental vs rebuild) and the probe
+    // attach are bounded — never a corpus-sized shuffle join
+    assert(!p.contains("SortMergeJoin"),
+      s"probe/audit joins must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q208 rerank: code scan + bounded candidate fetch broadcast; windows stay per-query") {
     val p = q("q208_hamming_rerank")
     // stage 2's candidate-id fetch and every query-code attach must
