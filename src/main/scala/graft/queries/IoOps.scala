@@ -2863,8 +2863,84 @@ object IoOps {
         "SUM(meta.w) AS w_sum, MAX(meta.w) AS w_max, " +
         "SUM(CASE WHEN meta.tag = lang THEN 1 ELSE 0 END) AS tag_match " +
         s"FROM $t GROUP BY lang ORDER BY lang")
+    },
+
+    Q("q215_bloom_skipping",
+      "BLOOM-FILTER data skipping (Delta's delta.bloomFilter.* / " +
+        "Parquet column blooms): point predicates on HIGH-CARDINALITY " +
+        "columns whose per-segment value ranges OVERLAP — content " +
+        "hashes, ids striped across writers — defeat min/max " +
+        "envelopes (every segment's [lo, hi] spans ~the whole " +
+        "domain), so lookup-by-fingerprint scans the corpus. Opt-in " +
+        "per column via TBLPROPERTIES graft.bloom.columns, the " +
+        "writer folds ~10 bits/value (k=5, ~1% FPR, power-of-two " +
+        "fold-down so small segments pay small manifest lines) into " +
+        "a per-segment filter published as `B,` manifest lines; " +
+        "EqualTo/IN literals hash through the SAME canonical " +
+        "encoding and a definite miss PROVES the segment empty (no " +
+        "false negatives — the drop can never lose a row; the " +
+        "filter stays residual, so a bug could cost IO, never " +
+        "correctness). The gate stripes documents by doc_id % 4 — " +
+        "each segment's md5-fingerprint envelope spans the hex " +
+        "domain — then fetches 8 one-stripe documents by fingerprint " +
+        "IN-list (plus one absent key): the PlanAuditSpec pin proves the " +
+        "executed plan reads a strict subset of segments, and " +
+        "DocStoreSpec pins string + doc_id probes, IN disjunction, " +
+        "definite-absence full skips, OPTIMIZE regeneration, and " +
+        "the loud ineligible-type refusal. At 100 TB: a training-" +
+        "data stack's decontamination / exact-lookup probes (find " +
+        "THIS document by content hash) touch ~1 segment each " +
+        "instead of the corpus — the same move Delta ships for " +
+        "needle-in-haystack ids.",
+      Some("""
+        SELECT doc_id, n_chars, lang, md5(text) AS fp
+        FROM documents
+        WHERE md5(text) IN (SELECT md5(text) FROM documents
+                            WHERE doc_id % 4 = 0 AND doc_id < 32)
+        ORDER BY doc_id""")) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("q215_bloom")
+      graft.core.Fs.deleteOnExit(root)
+      Option(q215Last.getAndSet(root)).foreach(prev =>
+        try graft.core.Fs.deleteRecursively(prev)
+        catch { case _: Exception => () })
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_bloom" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_bloom.root" -> root.toString)
+      sc.sql("CREATE NAMESPACE graft_cat_bloom.default")
+      sc.sql("CREATE TABLE graft_cat_bloom.default.docs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING) TBLPROPERTIES " +
+        "('graft.bloom.columns' = 'doc_id,source')")
+      Tables.documents(sc, dir)
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          md5(col("text")).as("source"), col("text"))
+        .createOrReplaceTempView("q215_src")
+      // id-striped commits: every segment spans ~the full id range
+      // and the full fingerprint domain — only the Bloom can skip
+      (0 to 3).foreach(k => sc.sql(
+        "INSERT INTO graft_cat_bloom.default.docs " +
+          s"SELECT * FROM q215_src WHERE doc_id % 4 = $k"))
+      // the lookup keys: fingerprints of 8 documents that all landed
+      // in ONE stripe (doc_id % 4 = 0) — the bounded, user-supplied
+      // side of a point-lookup (collect is keys-sized, never corpus-
+      // sized) — plus one absent key the blooms prove into zero
+      // extra IO. Duplicate texts in other stripes (the corpus ships
+      // them for the dedup gates) keep their segments honestly: both
+      // engines return those rows too
+      val keys = Tables.documents(sc, dir)
+        .filter(col("doc_id") % 4 === 0 && col("doc_id") < 32)
+        .select(md5(col("text"))).collect().map(_.getString(0))
+      val inList = (keys :+ "0000-absent-key-0000")
+        .map(k => s"'$k'").mkString(", ")
+      sc.sql("SELECT doc_id, n_chars, lang, source AS fp " +
+        "FROM graft_cat_bloom.default.docs " +
+        s"WHERE source IN ($inList) ORDER BY doc_id")
     }
   )
+
+  private val q215Last =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
 
   /** Shared READ-ONLY Scratch fixture for the SPJ gates: `documents`
     * loaded into TWO bucket(8, doc_id)-partitioned docstore tables

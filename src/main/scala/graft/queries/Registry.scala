@@ -69,7 +69,7 @@ object Registry {
     "q206_nested_evolution", "q207_ann_index_upsert",
     "q210_nested_leaf_pruning", "q211_nested_leaf_widening",
     "q212_ann_delta_fold", "q213_filtered_ann",
-    "q214_cdc_ann_freshness",
+    "q214_cdc_ann_freshness", "q215_bloom_skipping",
     "q182_identity_columns", "q184_stream_chained_agg",
     "q188_stream_static_join")
 

@@ -1121,6 +1121,110 @@ object DocStore {
   final case class DecBound(lo: BigInt, hi: BigInt) extends StatBound
   final case class ColStat(nulls: Long, bound: Option[StatBound])
 
+  /** Per-segment per-section Bloom filter — the point-predicate twin
+    * of the [lo, hi] envelopes, for columns whose values are high-
+    * cardinality with OVERLAPPING per-segment ranges (content hashes,
+    * ids striped across writers): a min/max envelope of such a column
+    * spans nearly the whole domain in every segment, so `WHERE fp =
+    * '…'` scans everything; the Bloom proves definite absence and
+    * skips the segment. Opt-in per column via TBLPROPERTIES
+    * `graft.bloom.columns` (Delta's `delta.bloomFilter.*` / Parquet
+    * column bloom counterpart) because each filter costs manifest
+    * bytes per segment — ~`10 bits/row` (k = 5, ~1% false-positive
+    * rate), folded down to the smallest power of two that keeps that
+    * density, so small segments pay small lines.
+    *
+    * Soundness: a Bloom filter has NO false negatives — `mightContain
+    * == false` is a proof the probed value was never folded, so the
+    * drop can never lose a row; a false positive or a saturated
+    * filter only keeps a segment the envelope check would also keep.
+    * Equality filters stay residual either way, so (as with every
+    * rule in [[statsPruner]]) a bug here could cost IO, never
+    * correctness — except the drop itself, which the no-false-
+    * negative property covers. `m` is always a power of two and the
+    * probe masks with `m - 1`; the writer folds with the SAME masking
+    * against [[BLOOM_MAX_BITS]], and because every smaller mask is a
+    * submask, OR-folding the bit array down (see the accumulator)
+    * preserves every set bit's folded position — no re-hashing. */
+  final case class Bloom(k: Int, bits: Array[Long]) {
+    def mightContain(h: Long): Boolean = {
+      val mask = (bits.length.toLong << 6) - 1
+      val h2 = (h >>> 32) | 1L // odd stride: full-period double hashing
+      var i = 0
+      while (i < k) {
+        val idx = ((h + i.toLong * h2) & mask).toInt
+        if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** TBLPROPERTIES key: comma-separated column names to Bloom-index
+    * on NEW segments (existing segments are unchanged until
+    * rewritten — Delta's semantics). The writer validates names and
+    * types loudly; see [[bloomSectionsOf]]. */
+  val BLOOM_KEY = "graft.bloom.columns"
+  private[sources] val BLOOM_K = 5
+  private[sources] val BLOOM_MAX_BITS = 1 << 20 // fold ceiling (128 KiB)
+  private[sources] val BLOOM_MIN_BITS = 1 << 9
+  private[sources] val BLOOM_BITS_PER_KEY = 10 // ~1% FPR at k = 5
+
+  /** 64-bit finalizer (splitmix64): the per-value hash whose high and
+    * low halves drive the double-hashed probe sequence. */
+  private[sources] def bloomMix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Canonical hash of an 8-byte-encoded value. Writer and pruner
+    * MUST meet at the same encoding: integer-family columns fold the
+    * raw value, DATE folds epoch days, TIMESTAMP folds micros — all
+    * exactly what the task writer encodes and what the probe-side
+    * literal conversion produces. Float/double (the -0.0 stat
+    * canonicalization point), decimals, and booleans are not Bloom-
+    * eligible, so no asymmetric encoding can reach this hash. */
+  private[sources] def bloomHashLong(v: Long): Long = bloomMix(v)
+
+  /** Canonical hash of a string value's UTF-8 bytes (FNV-1a 64 into
+    * the splitmix finalizer). */
+  private[sources] def bloomHashBytes(b: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xFFL); h *= 0x100000001B3L; i += 1 }
+    bloomMix(h)
+  }
+
+  private[sources] def bloomEligible(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | TimestampType |
+        TimestampNTZType | StringType => true
+    case _ => false
+  }
+
+  /** Resolve `graft.bloom.columns` to section ids for a write. Loud
+    * on unknown names and ineligible types — a silently dropped
+    * filter would look enabled in SHOW TBLPROPERTIES while skipping
+    * nothing. INT columns fold values as longs, so an INT→BIGINT
+    * widening keeps old segments' filters probeable unchanged. */
+  private[sources] def bloomSectionsOf(path: String,
+      schema: StructType): Set[Int] =
+    DocStoreCatalog.readProps(path).get(BLOOM_KEY) match {
+      case None => Set.empty
+      case Some(spec) =>
+        spec.split(",").map(_.trim).filter(_.nonEmpty).map { n =>
+          val i = schema.fieldIndex(n) // throws on an unknown column
+          val f = schema.fields(i)
+          require(bloomEligible(f.dataType),
+            s"$BLOOM_KEY: column '$n' is ${f.dataType.simpleString}; " +
+              "Bloom skipping supports BIGINT/INT/DATE/TIMESTAMP/" +
+              "STRING columns (float, decimal, boolean, and nested " +
+              "types decline)")
+          sectionOf(f, i)
+        }.toSet
+    }
+
   /** Max stored bytes of a string envelope bound (Iceberg truncate[16]). */
   val STR_BOUND_MAX = 16
 
@@ -1223,7 +1327,8 @@ object DocStore {
       maxId: Long, bytes: Long,
       stats: Map[Int, ColStat] = Map.empty,
       leafStats: Map[Int, Map[String, ColStat]] = Map.empty,
-      schemaGen: Long = 0L)
+      schemaGen: Long = 0L,
+      blooms: Map[Int, Bloom] = Map.empty)
 
   /** Build (once per source dir, via Scratch) a docstore lake from
     * `documents.parquet`: 8 doc_id-range segments + manifest, written
@@ -1277,7 +1382,8 @@ object DocStore {
       floatExtras: Set[Int] = Set.empty,
       dec128Extras: Set[Int] = Set.empty,
       nestedExtras: Set[Int] = Set.empty,
-      nestedLeafPaths: Map[Int, Array[String]] = Map.empty) {
+      nestedLeafPaths: Map[Int, Array[String]] = Map.empty,
+      bloomSections: Set[Int] = Set.empty) {
     private val sections = Array.fill(5 + nExtra)(new ByteArrayOutputStream())
     private val outs = sections.map(new DataOutputStream(_))
     var rows = 0
@@ -1360,6 +1466,44 @@ object DocStore {
       nestedLeafPaths.map { case (off, paths) =>
         off -> Array.fill(paths.length)(new StatAcc) }
 
+    /** Bloom fold at the write ceiling ([[BLOOM_MAX_BITS]]); the seal
+      * OR-folds down to ~[[BLOOM_BITS_PER_KEY]] bits per value seen —
+      * power-of-two masks make the fold a pure submask projection, so
+      * no set bit ever moves off its probe position. */
+    private final class BloomAcc {
+      private val bits = new Array[Long](BLOOM_MAX_BITS >> 6)
+      var n = 0L
+      def addHash(h: Long): Unit = {
+        n += 1
+        val mask = (BLOOM_MAX_BITS - 1).toLong
+        val h2 = (h >>> 32) | 1L
+        var i = 0
+        while (i < BLOOM_K) {
+          val idx = ((h + i.toLong * h2) & mask).toInt
+          bits(idx >>> 6) |= (1L << (idx & 63))
+          i += 1
+        }
+      }
+      def result: Bloom = {
+        var m = BLOOM_MIN_BITS
+        while (m < BLOOM_MAX_BITS && m.toLong < n * BLOOM_BITS_PER_KEY)
+          m <<= 1
+        val words = m >> 6
+        val out = new Array[Long](words)
+        var i = 0
+        while (i < bits.length) { out(i & (words - 1)) |= bits(i); i += 1 }
+        Bloom(BLOOM_K, out)
+      }
+    }
+    private val bloomAccs: Map[Int, BloomAcc] =
+      bloomSections.iterator.map(_ -> new BloomAcc).toMap
+
+    /** Section id -> Bloom filter for every tracked section that saw
+      * at least one non-null value (an all-null section's filter
+      * would skip nothing the null count doesn't already). */
+    def blooms: Map[Int, Bloom] =
+      bloomAccs.collect { case (sec, a) if a.n > 0 => sec -> a.result }
+
     /** Section id -> stats for every non-id section of this segment. */
     def stats: Map[Int, ColStat] =
       accs.zipWithIndex.map { case (a, i) => (i + 1) -> a.result }.toMap
@@ -1381,6 +1525,7 @@ object DocStore {
       if (b == null) outs(i).writeInt(-1)
       else { outs(i).writeInt(b.length); outs(i).write(b) }
       if (i >= 1) { if (b == null) accs(i - 1).addNull() else accs(i - 1).addBytes(b) }
+      if (b != null) bloomAccs.get(i).foreach(_.addHash(bloomHashBytes(b)))
     }
 
     /** `extras(j)`: java.lang.Long, Array[Byte] (UTF-8), or null. */
@@ -1394,8 +1539,11 @@ object DocStore {
       rows += 1
       minId = math.min(minId, id); maxId = math.max(maxId, id)
       outs(0).writeLong(id)
+      bloomAccs.get(0).foreach(_.addHash(bloomHashLong(id)))
       outs(1).writeLong(if (nChars == null) Long.MinValue else nChars.longValue())
       if (nChars == null) accs(0).addNull() else accs(0).addLong(nChars.longValue())
+      if (nChars != null)
+        bloomAccs.get(1).foreach(_.addHash(bloomHashLong(nChars.longValue())))
       str(2, lang); str(3, source); str(4, text)
       var j = 0
       while (j < nExtra) {
@@ -1409,6 +1557,9 @@ object DocStore {
             accs(4 + j).addLong(
               if (v.longValue() == EncodedNegZero && floatExtras(j)) 0L
               else v.longValue())
+            // only Bloom-ELIGIBLE sections are ever in the set, so a
+            // float section's encoded bits can't reach the hash
+            bloomAccs.get(5 + j).foreach(_.addHash(bloomHashLong(v.longValue())))
           case b: Array[Byte] if dec128Extras(j) =>
             outs(5 + j).writeInt(b.length); outs(5 + j).write(b)
             accs(4 + j).addDec(b)
@@ -1541,6 +1692,32 @@ object DocStore {
       s"$STAT_TAG$segName,$sec,${st.nulls},${boundStr(st)}"
     }
 
+  /** Bloom-filter lines: `B,<segment>,<sectionId>,<k>,<base64 bits>`
+    * — base64 of the big-endian long words (no commas, so the fixed-
+    * arity split stays unambiguous). Same forward contract as `L,`:
+    * readers that predate blooms skip the unknown prefix and only
+    * lose the skipping. */
+  val BLOOM_TAG = "B,"
+
+  private[sources] def bloomLines(segName: String,
+      blooms: Map[Int, Bloom]): Seq[String] =
+    blooms.toSeq.sortBy(_._1).map { case (sec, bf) =>
+      val bb = java.nio.ByteBuffer.allocate(bf.bits.length * 8)
+      bf.bits.foreach(bb.putLong)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+      s"$BLOOM_TAG$segName,$sec,${bf.k},$b64"
+    }
+
+  private def parseBloomLine(l: String): (String, Int, Bloom) = {
+    val p = l.split(",", -1)
+    val bytes = java.util.Base64.getDecoder.decode(p(4))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bits = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < bits.length) { bits(i) = bb.getLong; i += 1 }
+    (p(1), p(2).toInt, Bloom(p(3).toInt, bits))
+  }
+
   /** Struct-leaf stat lines: `L,<segment>,<sectionId>,<encodedPath>,
     * <nulls>,<bound>` — bound grammar shared with `S,` lines. Paths
     * are URL-encoded (a field name may hold a comma); readers that
@@ -1671,6 +1848,38 @@ object DocStore {
         case _ => false
       }
     }
+    // Bloom probe of an equality literal (see [[Bloom]]): keep unless
+    // the segment carries a filter for the column's section AND the
+    // literal's canonical hash is definitely absent. The literal
+    // conversions mirror the task writer's encodings EXACTLY (raw
+    // integer value, epoch days, micros, UTF-8 bytes); any class this
+    // match doesn't name keeps — declining is always sound.
+    def bloomProbeHash(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(bloomHashLong(n.longValue()))
+      case n: java.lang.Integer => Some(bloomHashLong(n.longValue()))
+      case s: String => Some(bloomHashBytes(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case d: java.sql.Date => Some(bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaDate(d).toLong))
+      case d: java.time.LocalDate => Some(bloomHashLong(d.toEpochDay))
+      case t: java.sql.Timestamp => Some(bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t)))
+      case t: java.time.Instant => Some(bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(t)))
+      case t: java.time.LocalDateTime => Some(bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(t)))
+      case _ => None
+    }
+    def bloomKeeps(s: Segment, c: String, v: Any): Boolean =
+      secOf.get(c).flatMap(s.blooms.get) match {
+        case None => true
+        case Some(bf) =>
+          bloomProbeHash(v).map(bf.mightContain).getOrElse(true)
+      }
     def keeps(f: Filter, s: Segment): Boolean = {
       def st(c: String): Option[ColStat] =
         secOf.get(c).flatMap(s.stats.get).orElse(
@@ -1680,14 +1889,20 @@ object DocStore {
         case And(a, b) => keeps(a, s) && keeps(b, s)
         case Or(a, b) => keeps(a, s) || keeps(b, s)
         case EqualTo(c, v) => st(c).forall(t =>
-          t.nulls < s.rows && !outside(c, t, v))
+          t.nulls < s.rows && !outside(c, t, v)) && bloomKeeps(s, c, v)
         case EqualNullSafe(c, null) => st(c).forall(_.nulls > 0)
         case EqualNullSafe(c, v) => st(c).forall(t =>
-          t.nulls < s.rows && !outside(c, t, v))
+          t.nulls < s.rows && !outside(c, t, v)) && bloomKeeps(s, c, v)
         case In(c, vs) => st(c).forall { t =>
           val nonNull = vs.filter(_ != null)
           t.nulls < s.rows && nonNull.exists(v => !outside(c, t, v))
-        }
+        } && (secOf.get(c).flatMap(s.blooms.get) match {
+          // value-level disjunction: the segment survives only if SOME
+          // non-null literal might be present (no filter -> keep)
+          case None => true
+          case Some(bf) => vs.exists(v => v != null &&
+            bloomProbeHash(v).map(bf.mightContain).getOrElse(true))
+        })
         case GreaterThan(c, v) => st(c).forall(t =>
           t.nulls < s.rows && (t.bound match {
           case Some(LongBound(_, hi)) => longOf(v).forall(hi > _) &&
@@ -1802,15 +2017,21 @@ object DocStore {
       .map { case (seg, ls) =>
         seg -> ls.groupBy(_._2).map { case (sec, rows) =>
           sec -> rows.map(r => r._3 -> r._4).toMap } }
+    val bloomsBySeg = lines.filter(_.startsWith(BLOOM_TAG))
+      .map(parseBloomLine)
+      .groupBy(_._1)
+      .map { case (seg, bs) =>
+        seg -> bs.map(b => b._2 -> b._3).toMap }
     val segs = lines.filterNot(l =>
       l.startsWith(DV_TAG) || l.startsWith("F,") ||
         l.startsWith(STAT_TAG) || l.startsWith(LEAF_STAT_TAG) ||
-        l.startsWith(TXN_TAG)).map { l =>
+        l.startsWith(BLOOM_TAG) || l.startsWith(TXN_TAG)).map { l =>
       val p = l.split(",")
       Segment(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
         statsBySeg.getOrElse(p(0), Map.empty),
         leafStatsBySeg.getOrElse(p(0), Map.empty),
-        if (p.length > 5) p(5).toLong else 0L)
+        if (p.length > 5) p(5).toLong else 0L,
+        bloomsBySeg.getOrElse(p(0), Map.empty))
     }.toSeq
     val dvs = lines.filter(_.startsWith(DV_TAG))
       .map { l => val p = l.split(","); (p(1), p(2).toLong) }
@@ -2224,7 +2445,8 @@ final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
     maxId: Long, bytes: Long, partDir: String = "",
     stats: Map[Int, DocStore.ColStat] = Map.empty,
     leafStats: Map[Int, Map[String, DocStore.ColStat]] = Map.empty,
-    schemaGen: Long = 0L)
+    schemaGen: Long = 0L,
+    blooms: Map[Int, DocStore.Bloom] = Map.empty)
     extends WriterCommitMessage
 
 /** A partitioned write task stages one segment PER partition value it
@@ -2287,7 +2509,7 @@ object DocStoreCommitOps {
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes,
         stats = m.stats, leafStats = m.leafStats,
-        schemaGen = m.schemaGen)
+        schemaGen = m.schemaGen, blooms = m.blooms)
     }
     // identity watermark advance — centralized HERE because every
     // write path (batch append, streaming epoch, row-level rewrite,
@@ -2702,6 +2924,7 @@ object DocStoreCommitOps {
           (if (s.schemaGen != 0L) s",${s.schemaGen}" else "")) ++
       segments.flatMap(s => DocStore.statLines(s.name, s.stats)) ++
       segments.flatMap(s => DocStore.leafStatLines(s.name, s.leafStats)) ++
+      segments.flatMap(s => DocStore.bloomLines(s.name, s.blooms)) ++
       txns.toSeq.sortBy(_._1).map { case (a, v) =>
         s"${DocStore.TXN_TAG}${java.net.URLEncoder.encode(a, "UTF-8")},$v"
       } ++
@@ -3211,6 +3434,12 @@ class DocStoreDataWriter(path: String, schema: StructType,
     }.filter(_._2.nonEmpty).toMap
   private val nestedLeafPaths: Map[Int, Array[String]] =
     nestedLeafSpecs.map { case (off, specs) => off -> specs.map(_.path) }
+  // Bloom-indexed sections (TBLPROPERTIES graft.bloom.columns):
+  // resolved + type-validated here so EVERY write path — batch,
+  // streaming epoch, row-level rewrite, OPTIMIZE (which copies PROPS
+  // into its staging table) — regenerates filters consistently
+  private val bloomSections: Set[Int] =
+    DocStore.bloomSectionsOf(path, schema)
   // insertion-ordered: staged-file ordinals stay deterministic per
   // task. Key = partition dir + roll ordinal; value keeps the bare
   // partition dir for the commit message.
@@ -3265,14 +3494,14 @@ class DocStoreDataWriter(path: String, schema: StructType,
     var enc = encoders.computeIfAbsent(s"$dirKey\u0000$ord",
       _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
         floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets,
-        nestedLeafPaths)))._2
+        nestedLeafPaths, bloomSections)))._2
     if (enc.rows >= maxRowsPerSegment) { // roll to a fresh segment
       val next = ord + 1
       rollOrdinal.put(dirKey, next)
       enc = encoders.computeIfAbsent(s"$dirKey\u0000$next",
         _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
           floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets,
-        nestedLeafPaths)))._2
+        nestedLeafPaths, bloomSections)))._2
     }
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
@@ -3349,7 +3578,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
           bytes, dir, enc.stats, enc.leafStats,
           // the generation and the encode types come from the SAME
           // schema instance — they can never disagree
-          DocStore.nestedGenOf(schema))
+          DocStore.nestedGenOf(schema), enc.blooms)
     }
     parts match {
       // empty task: report one empty commit (publish drops rows == 0)

@@ -2756,6 +2756,86 @@ class DocStoreSpec extends SparkSpec {
     }.getMessage.contains("not partitioned"))
   }
 
+  test("Bloom skipping: point predicates skip segments whose min/max envelopes cannot") {
+    val root = Files.createTempDirectory("docstore_bloom").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.blcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.blcat.root" -> root)
+    sc.sql("CREATE NAMESPACE blcat.ns")
+    sc.sql("CREATE TABLE blcat.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.bloom.columns' = 'doc_id,source')")
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        md5(col("text")).as("source"), col("text"))
+      .createOrReplaceTempView("bloom_src")
+    // id-striped commits: every segment spans ~the full doc_id range
+    // and its md5 'source' envelope spans ~the whole hex domain, so
+    // the [lo, hi] stats keep everything — only the Bloom can skip
+    (0 to 3).foreach(k => sc.sql("INSERT INTO blcat.ns.t " +
+      s"SELECT * FROM bloom_src WHERE doc_id % 4 = $k"))
+    def kept(df: DataFrame): (Int, Int) = {
+      val m = "segments=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(physical(df)).getOrElse(
+          fail(s"no segment count in plan:\n${physical(df)}"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    // string probe: the md5 of one known document
+    val fp = docs.where(col("doc_id") === 42)
+      .select(md5(col("text"))).head().getString(0)
+    val q1 = sc.sql(s"SELECT doc_id FROM blcat.ns.t WHERE source = '$fp'")
+    val (k1, n1) = kept(q1)
+    assert(n1 == 4 && k1 < n1,
+      s"string bloom must skip segments, read $k1/$n1:\n${physical(q1)}")
+    assert(q1.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // long probe on the id itself: striping defeats the [minId, maxId]
+    // zone map, the doc_id bloom carries the skip
+    val q2 = sc.sql("SELECT source FROM blcat.ns.t WHERE doc_id = 123")
+    val (k2, n2) = kept(q2)
+    assert(k2 < n2, s"doc_id bloom must skip, read $k2/$n2")
+    assert(q2.count() == 1)
+    // definite absence: a value no segment folded — with fixed data the
+    // kept count is deterministic; expect a full (or near-full) skip
+    val q3 = sc.sql(
+      "SELECT doc_id FROM blcat.ns.t WHERE source = 'not-a-real-hash'")
+    val (k3, _) = kept(q3)
+    assert(k3 <= 1, s"absent value should skip ~all segments, read $k3/4")
+    assert(q3.count() == 0)
+    // IN list across stripes: value-level disjunction keeps a segment
+    // only when SOME listed value might be present
+    val fp2 = docs.where(col("doc_id") === 43)
+      .select(md5(col("text"))).head().getString(0)
+    val q4 = sc.sql("SELECT doc_id FROM blcat.ns.t " +
+      s"WHERE source IN ('$fp', '$fp2')")
+    val (k4, n4) = kept(q4)
+    assert(k4 < n4, s"IN bloom must skip, read $k4/$n4")
+    assert(q4.collect().map(_.getLong(0)).sorted.toSeq == Seq(42L, 43L))
+    // blooms survive a manifest round trip + carry forward across
+    // commits (q1 above already proves parse; prove OPTIMIZE rewrite
+    // regenerates them for the packed segments)
+    sc.sql("CALL blcat.system.optimize('ns.t', 2)")
+    val q5 = sc.sql(s"SELECT doc_id FROM blcat.ns.t WHERE source = '$fp'")
+    val (k5, n5) = kept(q5)
+    assert(n5 == 2 && k5 == 1,
+      s"post-OPTIMIZE bloom must prune to the one id-range segment, " +
+        s"read $k5/$n5:\n${physical(q5)}")
+    assert(q5.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // ineligible type refuses loudly at write, not silently no-ops
+    sc.sql("CREATE TABLE blcat.ns.bad (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("ALTER TABLE blcat.ns.bad ADD COLUMNS (score DOUBLE)")
+    sc.sql("ALTER TABLE blcat.ns.bad SET TBLPROPERTIES " +
+      "('graft.bloom.columns' = 'score')")
+    val e = intercept[Exception] {
+      sc.sql("INSERT INTO blcat.ns.bad SELECT *, 1.0 FROM bloom_src " +
+        "WHERE doc_id < 10")
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("Bloom") ||
+      Option(e.getCause).exists(_.getMessage.contains("Bloom"))),
+      s"expected a loud Bloom eligibility refusal, got: $e")
+  }
+
   test("runtime filtering prunes segments via stats envelopes on non-id join keys") {
     val tmp = Files.createTempDirectory("docstore_rtstats").toString
     Seq("fr", "en", "de", "zh").foreach(l =>

@@ -427,6 +427,20 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q215 bloom skipping: the fingerprint IN-list reads a strict subset of segments") {
+    val p = q("q215_bloom_skipping")
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(p).getOrElse(
+      fail(s"no docstore scan with a segment count found:\n$p"))
+    val (kept, total) = (m.group(1).toInt, m.group(2).toInt)
+    // 4 id-striped segments whose fingerprint envelopes all span the
+    // hex domain — only the Bloom lines can prove any of them empty.
+    // 8 keys + 1 absent key over 4 stripes: at least the absent key's
+    // contribution must not force a keep, and with ~1% FPR the kept
+    // set is deterministic on fixed test data
+    assert(total == 4 && kept < total,
+      s"bloom must skip at least one striped segment, read $kept/$total:\n$p")
+  }
+
   test("q214 CDC freshness: serve prunes probed cells; audit joins broadcast") {
     val p = q("q214_cdc_ann_freshness")
     // the maintained-index serve must scan base + fragments with the
