@@ -136,8 +136,16 @@ class DocStoreRowLevelScanBuilder(path: String,
     // PROVABLY fails a conjunct: no matched row can live there.
     val partKeep = DocStorePartitioning.pruner(
       DocStorePartitioning.read(path), schema, allFilters)
+    // stats + Bloom group pruning — the same envelopes the READ path
+    // consults (`S,`/`L,`/`B,` manifest lines), applied to writes: a
+    // segment a conjunct PROVABLY rules out can hold no matched row,
+    // so it needn't be scanned OR rewritten. An `UPDATE … WHERE fp =
+    // '…'` on a Bloom-indexed fingerprint rewrites ~1 segment instead
+    // of the table — Delta's file-pruning-for-DML cost model.
+    val statKeep = DocStore.statsPruner(schema, allFilters)
     new DocStoreRowLevelScan(path, schema, required,
-      segments.filter(partKeep).filter(s => s.maxId >= lo && s.minId <= hi),
+      segments.filter(partKeep).filter(statKeep)
+        .filter(s => s.maxId >= lo && s.minId <= hi),
       segments.size, op, dvs)
   }
 }
@@ -190,8 +198,17 @@ class DocStoreRowLevelScan(path: String, schema: StructType,
           case _ => None
         }
         if (isDocId && ids.length == p.children().length - 1)
+          // per-id conjunction of zone map AND doc_id Bloom (when the
+          // table carries one — section 0): on an id-STRIPED table
+          // every [minId, maxId] spans the whole range and narrows
+          // nothing, but each matched id hashes into exactly its own
+          // segment's filter, so the rewrite set shrinks to the
+          // segments that really hold matches. No false negatives =
+          // no segment holding a match is ever dropped.
           runtimeSurviving = runtimeSurviving.filter(s =>
-            ids.exists(id => id >= s.minId && id <= s.maxId))
+            ids.exists(id => id >= s.minId && id <= s.maxId &&
+              s.blooms.get(0).forall(
+                _.mightContain(DocStore.bloomHashLong(id)))))
       }
     }
   }

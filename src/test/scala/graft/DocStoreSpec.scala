@@ -2836,6 +2836,63 @@ class DocStoreSpec extends SparkSpec {
       s"expected a loud Bloom eligibility refusal, got: $e")
   }
 
+  test("row-level DML group pruning consults stats + Bloom: only provably-matching segments rewrite") {
+    val root = Files.createTempDirectory("docstore_bloom_dml").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.bldml" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.bldml.root" -> root)
+    sc.sql("CREATE NAMESPACE bldml.ns")
+    sc.sql("CREATE TABLE bldml.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.bloom.columns' = 'doc_id,source')")
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        md5(col("text")).as("source"), col("text"))
+      .createOrReplaceTempView("bldml_src")
+    (0 to 3).foreach(k => sc.sql("INSERT INTO bldml.ns.t " +
+      s"SELECT * FROM bldml_src WHERE doc_id % 4 = $k"))
+    val tablePath = java.nio.file.Paths.get(root, "ns", "t").toString
+    def segNames: Set[String] =
+      DocStore.readManifestAndDeletes(tablePath)._1.map(_.name).toSet
+    // STATIC prune — a misaligned DELETE by fingerprint: every
+    // stripe's StrBound envelope spans the hex domain, so only the
+    // Bloom proves three of them matchless; the rewrite must replace
+    // exactly the stripes that hold copies of that text
+    val fp = sc.sql(
+      "SELECT source FROM bldml_src WHERE doc_id = 42").head().getString(0)
+    val stripesWithFp = sc.sql("SELECT COUNT(DISTINCT doc_id % 4) " +
+      s"FROM bldml_src WHERE source = '$fp'").head().getLong(0)
+    val before1 = segNames
+    sc.sql(s"DELETE FROM bldml.ns.t WHERE source = '$fp'")
+    val replaced1 = before1 -- segNames
+    assert(replaced1.size.toLong == stripesWithFp,
+      s"DELETE by fingerprint must rewrite only the $stripesWithFp " +
+        s"stripe(s) holding it, rewrote ${replaced1.size}: $replaced1")
+    assert(sc.sql("SELECT COUNT(*) FROM bldml.ns.t " +
+      s"WHERE source = '$fp'").head().getLong(0) == 0)
+    // RUNTIME prune — a MERGE keyed on doc_id with all source ids in
+    // ONE stripe: the id-striped [minId, maxId] zone maps all overlap
+    // (range narrowing keeps everything), so the doc_id Bloom carries
+    // the runtime group-filter narrowing to the one real segment
+    val before2 = segNames
+    sc.sql("MERGE INTO bldml.ns.t t USING " +
+      "(SELECT * FROM VALUES (1L), (5L), (9L) AS v(doc_id)) s " +
+      "ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1000000")
+    val replaced2 = before2 -- segNames
+    assert(replaced2.size == 1,
+      s"MERGE on 3 one-stripe ids must rewrite exactly that stripe, " +
+        s"rewrote ${replaced2.size}: $replaced2")
+    assert(sc.sql("SELECT COUNT(*) FROM bldml.ns.t " +
+      "WHERE n_chars >= 1000000").head().getLong(0) == 3)
+    // untouched rows intact: total row count only lost the DELETEd copies
+    val expect = sc.sql("SELECT COUNT(*) FROM bldml_src " +
+      s"WHERE source <> '$fp'").head().getLong(0)
+    assert(sc.sql("SELECT COUNT(*) FROM bldml.ns.t").head().getLong(0)
+      == expect)
+  }
+
   test("runtime filtering prunes segments via stats envelopes on non-id join keys") {
     val tmp = Files.createTempDirectory("docstore_rtstats").toString
     Seq("fr", "en", "de", "zh").foreach(l =>
