@@ -695,7 +695,83 @@ class DetailProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   * bound prefix plus the does-it-extend byte — and the shared
   * truncation helpers produce the stored bound). Stats are computed
   * through the READ (deletion vectors applied), which only narrows
-  * envelopes toward the surviving rows — always sound. */
+  * envelopes toward the surviving rows — always sound.
+  *
+  * Also backfills per-segment BLOOM filters for the columns the
+  * table's `graft.bloom.columns` property names (see
+  * [[BloomBackfillAgg]]): setting the property on an EXISTING table
+  * then calling analyze enables point-predicate skipping on every
+  * old segment without rewriting one — beyond Delta, whose bloom
+  * indexes cover newly written files only. DV-narrowing is equally
+  * sound for blooms: fewer folded values can only skip MORE. */
+/** Distributed per-segment Bloom fold for the ANALYZE backfill: the
+  * buffer carries (bit words at a bounded ceiling, value count); merge
+  * is bitwise OR + count add; finish OR-folds down to the smallest
+  * power of two holding ~[[DocStore.BLOOM_BITS_PER_KEY]] bits per
+  * value (the write path's sizing) and serializes big-endian — the
+  * exact bytes [[DocStore.bloomLines]] publishes. The ceiling is
+  * sized from the manifest's largest segment, so agg state per group
+  * is rows-proportional, never the 128 KiB write-path maximum. Hash
+  * functions are the writer's ([[DocStore.bloomHashLong]] /
+  * [[DocStore.bloomHashBytes]]) — probe-side symmetry is the whole
+  * soundness argument. */
+private[sources] final case class BloomBuf(bits: Array[Long], n: Long)
+
+private[sources] abstract class BloomBackfillAgg[I](ceilBits: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      I, BloomBuf, Array[Byte]] {
+  protected def hashOf(v: I): Long
+  override def zero: BloomBuf = BloomBuf(new Array[Long](ceilBits >> 6), 0L)
+  override def reduce(b: BloomBuf, v: I): BloomBuf = {
+    if (v == null) return b
+    val h = hashOf(v)
+    val mask = (ceilBits - 1).toLong
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < DocStore.BLOOM_K) {
+      val idx = ((h + i.toLong * h2) & mask).toInt
+      b.bits(idx >>> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+    BloomBuf(b.bits, b.n + 1)
+  }
+  override def merge(a: BloomBuf, b: BloomBuf): BloomBuf = {
+    var i = 0
+    while (i < a.bits.length) { a.bits(i) |= b.bits(i); i += 1 }
+    BloomBuf(a.bits, a.n + b.n)
+  }
+  override def finish(r: BloomBuf): Array[Byte] = {
+    if (r.n == 0L) return Array.empty
+    var m = DocStore.BLOOM_MIN_BITS
+    while (m < ceilBits && m.toLong < r.n * DocStore.BLOOM_BITS_PER_KEY)
+      m <<= 1
+    val words = m >> 6
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < r.bits.length) { out(i & (words - 1)) |= r.bits(i); i += 1 }
+    val bb = java.nio.ByteBuffer.allocate(words * 8)
+    out.foreach(bb.putLong)
+    bb.array()
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[BloomBuf] =
+    org.apache.spark.sql.Encoders.product[BloomBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
+private[sources] final class BloomLongAgg(ceilBits: Int)
+    extends BloomBackfillAgg[java.lang.Long](ceilBits) {
+  override protected def hashOf(v: java.lang.Long): Long =
+    DocStore.bloomHashLong(v.longValue())
+}
+
+private[sources] final class BloomStrAgg(ceilBits: Int)
+    extends BloomBackfillAgg[String](ceilBits) {
+  override protected def hashOf(v: String): Long =
+    DocStore.bloomHashBytes(
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
+
 class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   override def name(): String = "analyze"
   override def description(): String =
@@ -796,6 +872,67 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       }.toMap
       r.getString(0) -> stats
     }.toMap
+    // Bloom backfill: segments written before the table's
+    // graft.bloom.columns property was set (or before blooms existed)
+    // gain point-predicate skipping WITHOUT a rewrite — beyond
+    // Delta, whose bloom indexes apply to new files only. One more
+    // distributed pass folds each segment's value hashes where the
+    // data lives; only the folded filters (manifest-line-sized, the
+    // exact bytes the commit publishes) reach the driver.
+    // TIMESTAMP_NTZ declines HERE only (no SQL conversion yields the
+    // writer's raw micros); its write-path filters are unaffected.
+    val bloomSecsAll = DocStore.bloomSectionsOf(path, tbl)
+    val bloomCols = tbl.fields.zipWithIndex
+      .filter { case (f, i) => bloomSecsAll(DocStore.sectionOf(f, i)) }
+      .filterNot { case (f, _) =>
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType }
+      .map { case (f, i) => (f, DocStore.sectionOf(f, i)) }
+    val bloomBySeg: Map[String, Map[Int, DocStore.Bloom]] =
+      if (bloomCols.isEmpty) Map.empty
+      else {
+        // agg-buffer ceiling sized from the largest segment: state per
+        // group stays rows-proportional, never the write-path maximum
+        val maxRows =
+          (DocStore.readManifestAndDeletes(path)._1.map(_.rows) :+ 1L).max
+        var ceil = DocStore.BLOOM_MIN_BITS
+        while (ceil < DocStore.BLOOM_MAX_BITS &&
+          ceil.toLong < maxRows * DocStore.BLOOM_BITS_PER_KEY) ceil <<= 1
+        val aggsB = bloomCols.map { case (f, sec) =>
+          val c = col(f.name)
+          // the writer's encodings, reproduced at the SQL surface:
+          // raw integer value, epoch days, micros, UTF-8 bytes
+          val in = f.dataType match {
+            case org.apache.spark.sql.types.StringType => c
+            case org.apache.spark.sql.types.DateType =>
+              expr(s"unix_date(`${f.name}`)")
+            case TimestampType => expr(s"unix_micros(`${f.name}`)")
+            case _ => c.cast("long") // INT widens value-exactly
+          }
+          val u =
+            if (f.dataType == org.apache.spark.sql.types.StringType)
+              udaf(new BloomStrAgg(ceil),
+                org.apache.spark.sql.Encoders.STRING)
+            else udaf(new BloomLongAgg(ceil),
+              org.apache.spark.sql.Encoders.LONG)
+          u(in).as(s"bloom_$sec")
+        }
+        df.groupBy(col("_segment")).agg(aggsB.head, aggsB.tail: _*)
+          .collect().map { r =>
+            val m = bloomCols.flatMap { case (_, sec) =>
+              val bytes = r.getAs[Array[Byte]](r.fieldIndex(s"bloom_$sec"))
+              if (bytes == null || bytes.isEmpty) None
+              else {
+                val bb = java.nio.ByteBuffer.wrap(bytes)
+                val bits = new Array[Long](bytes.length / 8)
+                var i = 0
+                while (i < bits.length) { bits(i) = bb.getLong; i += 1 }
+                Some(sec -> DocStore.Bloom(DocStore.BLOOM_K, bits))
+              }
+            }.toMap
+            r.getString(0) -> m
+          }.toMap
+      }
+    val bloomSecSet = bloomCols.map(_._2).toSet
     var newV = 0L
     var nSegs = 0L
     DocStoreCommitOps.withCommitLock(path) {
@@ -808,13 +945,23 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       // ANALYZE used to silently kill nested null-count pruning).
       val statSecs = statCols.map(_._2).toSet
       val (segs, dvs) = DocStore.readManifestAndDeletes(path)
-      val updated = segs.map(seg => computed.get(seg.name) match {
-        case Some(st) =>
-          nSegs += 1
-          seg.copy(stats = seg.stats.filterNot {
-            case (sec, _) => statSecs(sec) } ++ st)
-        case None => seg
-      })
+      val updated = segs.map { seg =>
+        val withStats = computed.get(seg.name) match {
+          case Some(st) =>
+            nSegs += 1
+            seg.copy(stats = seg.stats.filterNot {
+              case (sec, _) => statSecs(sec) } ++ st)
+          case None => seg
+        }
+        // same attach-by-name contract: a segment rewritten since the
+        // scan keeps its own (fresher) write-path blooms
+        bloomBySeg.get(seg.name) match {
+          case Some(bm) if bm.nonEmpty => withStats.copy(blooms =
+            withStats.blooms.filterNot {
+              case (sec, _) => bloomSecSet(sec) } ++ bm)
+          case _ => withStats
+        }
+      }
       newV = DocStoreCommitOps.writeManifest(path, updated, "analyze",
         deletes = dvs, rewrite = true)
     }

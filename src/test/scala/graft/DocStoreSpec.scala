@@ -2836,6 +2836,58 @@ class DocStoreSpec extends SparkSpec {
       s"expected a loud Bloom eligibility refusal, got: $e")
   }
 
+  test("analyze backfills Bloom filters onto pre-property segments without a rewrite") {
+    val root = Files.createTempDirectory("docstore_bloom_bf").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.blbf" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.blbf.root" -> root)
+    sc.sql("CREATE NAMESPACE blbf.ns")
+    // NO bloom property at write time — striped segments carry none
+    sc.sql("CREATE TABLE blbf.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        md5(col("text")).as("source"), col("text"))
+      .createOrReplaceTempView("blbf_src")
+    (0 to 3).foreach(k => sc.sql("INSERT INTO blbf.ns.t " +
+      s"SELECT * FROM blbf_src WHERE doc_id % 4 = $k"))
+    val fp = sc.sql(
+      "SELECT source FROM blbf_src WHERE doc_id = 42").head().getString(0)
+    def keptOf(df: DataFrame): (Int, Int) = {
+      val m = "segments=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(physical(df)).getOrElse(
+          fail(s"no segment count in plan:\n${physical(df)}"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    def probe = sc.sql(
+      s"SELECT doc_id FROM blbf.ns.t WHERE source = '$fp'")
+    // before: the property lands, but old segments have no filters —
+    // the point query honestly reads everything
+    sc.sql("ALTER TABLE blbf.ns.t SET TBLPROPERTIES " +
+      "('graft.bloom.columns' = 'doc_id,source')")
+    val (k0, n0) = keptOf(probe)
+    assert(n0 == 4 && k0 == 4,
+      s"pre-analyze segments carry no blooms; expected 4/4, got $k0/$n0")
+    val tablePath = java.nio.file.Paths.get(root, "ns", "t").toString
+    val namesBefore =
+      DocStore.readManifestAndDeletes(tablePath)._1.map(_.name).toSet
+    // the backfill: one distributed fold + one metadata-only commit
+    sc.sql("CALL blbf.system.analyze('ns.t')")
+    assert(DocStore.readManifestAndDeletes(tablePath)._1
+      .map(_.name).toSet == namesBefore,
+      "analyze must backfill metadata only — no segment rewritten")
+    val (k1, n1) = keptOf(probe)
+    assert(n1 == 4 && k1 < 4,
+      s"post-analyze blooms must skip striped segments, got $k1/$n1")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // long probe through the backfilled doc_id filter
+    val q2 = sc.sql("SELECT source FROM blbf.ns.t WHERE doc_id = 123")
+    val (k2, _) = keptOf(q2)
+    assert(k2 < 4, s"backfilled doc_id bloom must skip, read $k2/4")
+    assert(q2.count() == 1)
+  }
+
   test("row-level DML group pruning consults stats + Bloom: only provably-matching segments rewrite") {
     val root = Files.createTempDirectory("docstore_bloom_dml").toString
     val sc = graft.core.Sessions.scoped(spark,
