@@ -1203,26 +1203,35 @@ object DocStore {
     case _ => false
   }
 
-  /** Resolve `graft.bloom.columns` to section ids for a write. Loud
-    * on unknown names and ineligible types — a silently dropped
-    * filter would look enabled in SHOW TBLPROPERTIES while skipping
-    * nothing. INT columns fold values as longs, so an INT→BIGINT
-    * widening keeps old segments' filters probeable unchanged. */
+  /** Resolve a `graft.bloom.columns` spec to section ids. Loud on
+    * unknown names and ineligible types — a silently dropped filter
+    * would look enabled in SHOW TBLPROPERTIES while skipping
+    * nothing. Validated at DDL time (CREATE / SET TBLPROPERTIES via
+    * [[DocStoreChecks.validate]]) AND at every write (the task
+    * writer re-resolves), so a typo refuses before any row lands.
+    * INT columns fold values as longs, so an INT→BIGINT widening
+    * keeps old segments' filters probeable unchanged. */
+  private[sources] def validateBloomSpec(schema: StructType,
+      spec: String): Set[Int] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).map { n =>
+      require(schema.fieldNames.contains(n),
+        s"$BLOOM_KEY names an unknown column '$n' " +
+          s"(schema: ${schema.simpleString})")
+      val i = schema.fieldIndex(n)
+      val f = schema.fields(i)
+      require(bloomEligible(f.dataType),
+        s"$BLOOM_KEY: column '$n' is ${f.dataType.simpleString}; " +
+          "Bloom skipping supports BIGINT/INT/DATE/TIMESTAMP/" +
+          "STRING columns (float, decimal, boolean, and nested " +
+          "types decline)")
+      sectionOf(f, i)
+    }.toSet
+
   private[sources] def bloomSectionsOf(path: String,
       schema: StructType): Set[Int] =
     DocStoreCatalog.readProps(path).get(BLOOM_KEY) match {
       case None => Set.empty
-      case Some(spec) =>
-        spec.split(",").map(_.trim).filter(_.nonEmpty).map { n =>
-          val i = schema.fieldIndex(n) // throws on an unknown column
-          val f = schema.fields(i)
-          require(bloomEligible(f.dataType),
-            s"$BLOOM_KEY: column '$n' is ${f.dataType.simpleString}; " +
-              "Bloom skipping supports BIGINT/INT/DATE/TIMESTAMP/" +
-              "STRING columns (float, decimal, boolean, and nested " +
-              "types decline)")
-          sectionOf(f, i)
-        }.toSet
+      case Some(spec) => validateBloomSpec(schema, spec)
     }
 
   /** Max stored bytes of a string envelope bound (Iceberg truncate[16]). */

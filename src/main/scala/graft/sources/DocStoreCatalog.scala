@@ -421,6 +421,21 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     * Every ALTER also stamps `SCHEMA_SINCE` with the current table
     * head, the guard `system.restore` uses to refuse restoring across
     * a schema change. */
+  /** A column named by `graft.bloom.columns` cannot be dropped or
+    * renamed out from under its property — the stale name would make
+    * every later write refuse (the task writer re-validates the
+    * spec). Loud guidance at DDL beats that delayed failure: unset or
+    * re-point the property first. */
+  private def requireNotBloomIndexed(dir: String, colName: String,
+      what: String): Unit = {
+    val spec =
+      DocStoreCatalog.readProps(dir).getOrElse(DocStore.BLOOM_KEY, "")
+    require(!spec.split(",").map(_.trim).contains(colName),
+      s"cannot $what column $colName — it is Bloom-indexed " +
+        s"('${DocStore.BLOOM_KEY}' = '$spec'); ALTER TABLE ... SET " +
+        "TBLPROPERTIES without it first")
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
@@ -506,6 +521,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             _.col == del.fieldNames()(0)),
             s"cannot drop partition column ${del.fieldNames()(0)} — " +
               "partition directories embed the name")
+          requireNotBloomIndexed(dir, del.fieldNames()(0), "drop")
           // retire the section forever — even if this drop leaves no
           // extras (and the SCHEMA file reverts to base-only), the
           // floor file keeps a re-ADD from reusing the old bytes
@@ -521,6 +537,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             _.col == ren.fieldNames()(0)),
             s"cannot rename partition column ${ren.fieldNames()(0)} — " +
               "partition directories embed the name")
+          requireNotBloomIndexed(dir, ren.fieldNames()(0), "rename")
           StructType(s.fields.updated(i, s.fields(i).copy(name = ren.newName())))
         case (s, upd: TableChange.UpdateColumnType) =>
           // Spark addresses nested leaves directly (CANNOT_UPDATE_FIELD

@@ -64,7 +64,7 @@ object DocStoreChecks {
     * called at CREATE TABLE and ALTER ... SET TBLPROPERTIES time so a
     * typo'd column or unparseable predicate refuses at DDL, not at the
     * first write. */
-  def validate(schema: StructType, props: Map[String, String]): Unit =
+  def validate(schema: StructType, props: Map[String, String]): Unit = {
     props.filter(_._1.startsWith(PREFIX)).foreach { case (k, sql) =>
       try analyzedCondition(schema, sql)
       catch {
@@ -73,6 +73,11 @@ object DocStoreChecks {
             s"against ${schema.simpleString}: $sql (${e.getMessage})", e)
       }
     }
+    // graft.bloom.columns refuses typo'd / ineligible columns HERE
+    // (CREATE TABLE + SET TBLPROPERTIES), not at the first write
+    props.get(DocStore.BLOOM_KEY).foreach(spec =>
+      DocStore.validateBloomSpec(schema, spec))
+  }
 
   /** Existing rows must already satisfy a newly-SET constraint —
     * Delta scans and refuses at ADD CONSTRAINT time. Enforcing only

@@ -2821,19 +2821,43 @@ class DocStoreSpec extends SparkSpec {
       s"post-OPTIMIZE bloom must prune to the one id-range segment, " +
         s"read $k5/$n5:\n${physical(q5)}")
     assert(q5.collect().map(_.getLong(0)).toSeq == Seq(42L))
-    // ineligible type refuses loudly at write, not silently no-ops
+    // ineligible type and typo'd names refuse loudly AT DDL TIME
+    // (CREATE / SET TBLPROPERTIES), never silently no-op
     sc.sql("CREATE TABLE blcat.ns.bad (doc_id BIGINT NOT NULL, " +
       "n_chars BIGINT, lang STRING, source STRING, text STRING)")
     sc.sql("ALTER TABLE blcat.ns.bad ADD COLUMNS (score DOUBLE)")
-    sc.sql("ALTER TABLE blcat.ns.bad SET TBLPROPERTIES " +
-      "('graft.bloom.columns' = 'score')")
     val e = intercept[Exception] {
-      sc.sql("INSERT INTO blcat.ns.bad SELECT *, 1.0 FROM bloom_src " +
-        "WHERE doc_id < 10")
+      sc.sql("ALTER TABLE blcat.ns.bad SET TBLPROPERTIES " +
+        "('graft.bloom.columns' = 'score')")
     }
     assert(e.getMessage != null && (e.getMessage.contains("Bloom") ||
       Option(e.getCause).exists(_.getMessage.contains("Bloom"))),
       s"expected a loud Bloom eligibility refusal, got: $e")
+    val e2 = intercept[Exception] {
+      sc.sql("ALTER TABLE blcat.ns.bad SET TBLPROPERTIES " +
+        "('graft.bloom.columns' = 'no_such_col')")
+    }
+    assert(e2.getMessage.contains("unknown column"),
+      s"expected an unknown-column refusal, got: $e2")
+    assert(intercept[Exception] {
+      sc.sql("CREATE TABLE blcat.ns.bad2 (doc_id BIGINT NOT NULL, " +
+        "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+        "TBLPROPERTIES ('graft.bloom.columns' = 'typo')")
+    }.getMessage.contains("unknown column"))
+    // a Bloom-indexed column cannot be dropped or renamed out from
+    // under its property — unset it first
+    sc.sql("ALTER TABLE blcat.ns.bad ADD COLUMNS (fp STRING)")
+    sc.sql("ALTER TABLE blcat.ns.bad SET TBLPROPERTIES " +
+      "('graft.bloom.columns' = 'fp')")
+    assert(intercept[Exception] {
+      sc.sql("ALTER TABLE blcat.ns.bad DROP COLUMN fp")
+    }.getMessage.contains("Bloom-indexed"))
+    assert(intercept[Exception] {
+      sc.sql("ALTER TABLE blcat.ns.bad RENAME COLUMN fp TO fp2")
+    }.getMessage.contains("Bloom-indexed"))
+    sc.sql("ALTER TABLE blcat.ns.bad UNSET TBLPROPERTIES " +
+      "('graft.bloom.columns')")
+    sc.sql("ALTER TABLE blcat.ns.bad DROP COLUMN fp") // now allowed
   }
 
   test("analyze backfills Bloom filters onto pre-property segments without a rewrite") {
