@@ -2860,6 +2860,51 @@ class DocStoreSpec extends SparkSpec {
     sc.sql("ALTER TABLE blcat.ns.bad DROP COLUMN fp") // now allowed
   }
 
+  test("runtime join filtering prunes segments via Bloom filters on striped keys") {
+    val root = Files.createTempDirectory("docstore_bloom_rt").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.blrt" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.blrt.root" -> root)
+    sc.sql("CREATE NAMESPACE blrt.ns")
+    sc.sql("CREATE TABLE blrt.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.bloom.columns' = 'source')")
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        md5(col("text")).as("source"), col("text"))
+      .createOrReplaceTempView("blrt_src")
+    (0 to 3).foreach(k => sc.sql("INSERT INTO blrt.ns.t " +
+      s"SELECT * FROM blrt_src WHERE doc_id % 4 = $k"))
+    // build side: fingerprints of two stripe-2 documents — the
+    // striped StrBound envelopes all span the hex domain, so only
+    // the runtime Bloom probes can narrow the scan
+    val fps = sc.sql("SELECT DISTINCT source FROM blrt_src " +
+      "WHERE doc_id IN (42, 46)").collect().map(_.getString(0))
+    val expectSegs = sc.sql("SELECT COUNT(DISTINCT doc_id % 4) " +
+      "FROM blrt_src WHERE source IN " +
+      fps.map(f => s"'$f'").mkString("(", ",", ")")).head().getLong(0)
+    val tablePath = java.nio.file.Paths.get(root, "ns", "t").toString
+    val store = sc.read.format("graft-docstore")
+      .option("path", tablePath).load()
+    val dim = sc.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id").isin(42, 46))
+      .select(md5(col("text")).as("dim_fp")).distinct()
+    graft.sources.DocStoreScan.lastRuntimePlanned = -1
+    val joined = store.join(broadcast(dim), col("source") === col("dim_fp"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    val row = joined.collect()(0)
+    val planned = graft.sources.DocStoreScan.lastRuntimePlanned
+    assert(planned.toLong == expectSegs,
+      s"runtime Bloom probes must keep exactly the $expectSegs " +
+        s"stripe(s) holding the build-side keys, planned=$planned\n" +
+        joined.queryExecution.executedPlan.toString)
+    val expect = sc.sql("SELECT COUNT(*), SUM(n_chars) FROM blrt_src " +
+      "WHERE source IN " +
+      fps.map(f => s"'$f'").mkString("(", ",", ")")).collect()(0)
+    assert(row.toSeq == expect.toSeq)
+  }
+
   test("analyze backfills Bloom filters onto pre-property segments without a rewrite") {
     val root = Files.createTempDirectory("docstore_bloom_bf").toString
     val sc = graft.core.Sessions.scoped(spark,
