@@ -326,11 +326,20 @@ object Bench {
     // by construction (both derive from the same `timed`); BenchJsonSpec
     // pins that reconciliation on the rendered line and, when the
     // committed file exists, on the artifact itself.
-    val sidecar = sys.env.getOrElse("BENCH_SIDECAR", "bench_sidecar.json")
-    try Files.writeString(Paths.get(sidecar), verbose + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"BENCH: sidecar write to $sidecar failed " +
-        s"(${e.getMessage}); full detail still on stderr.")
+    // A FILTERED run (SPARK_GRAFT_BENCH_ONLY isolation experiments)
+    // must not clobber the committed full-registry artifact with a
+    // subset nobody would notice (sum==wall and recorded-subset-of-
+    // registry both still hold for a partial file — r16 review
+    // finding); the sidecar is the round-over-round trackability
+    // record, so only full sweeps write it by default.
+    val sidecar = sys.env.get("BENCH_SIDECAR")
+      .orElse(if (only.isEmpty) Some("bench_sidecar.json") else None)
+    sidecar.foreach { p =>
+      try Files.writeString(Paths.get(p), verbose + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"BENCH: sidecar write to $p failed " +
+          s"(${e.getMessage}); full detail still on stderr.")
+      }
     }
     System.err.println("BENCH_VERBOSE " + verbose)
     // ADVICE r9: rc must not read clean when queries failed — the r9

@@ -64,4 +64,21 @@ object Fs {
     exitHook
     exitPaths.add(dir)
   }
+
+  private val rotating =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  /** Per-invocation scratch root that ROTATES under `key`: returns a
+    * fresh temp dir, best-effort reclaims the key's previous one (its
+    * lazy consumers are invalidated by the new invocation — the
+    * contract every per-invocation gate fixture shares), and registers
+    * the new dir for JVM-exit cleanup. One implementation instead of a
+    * copy per gate (r16 review finding). */
+  def rotatingTempRoot(key: String): Path = {
+    val fresh = java.nio.file.Files.createTempDirectory(key)
+    deleteOnExit(fresh)
+    Option(rotating.put(key, fresh)).foreach(prev =>
+      try deleteRecursively(prev) catch { case _: Exception => () })
+    fresh
+  }
 }

@@ -1407,11 +1407,7 @@ object EmbedOps {
       import s.implicits._
       // per-invocation scratch root; the previous invocation's copy is
       // reclaimed (its lazy result frame is invalidated anyway)
-      val root = java.nio.file.Files.createTempDirectory("q214_vx")
-      graft.core.Fs.deleteOnExit(root)
-      Option(q214Last.getAndSet(root)).foreach(prev =>
-        try graft.core.Fs.deleteRecursively(prev)
-        catch { case _: Exception => () })
+      val root = graft.core.Fs.rotatingTempRoot("q214_vx")
       val sc = graft.core.Sessions.scoped(s,
         "spark.sql.catalog.graft_cat_vx" ->
           classOf[graft.sources.DocStoreCatalog].getName,
@@ -1478,17 +1474,23 @@ object EmbedOps {
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // two actions consume the micro-batch (fragment append +
+          // centroid fold): persist it so the CDF source's segment
+          // files are read once per commit, not twice (r16 review —
+          // the maintenance IO per batch is the gate's own headline)
           val rows = vecsOf(batch
-            .filter(col("_change_type") === "insert"))
-          // fragment append: BATCH-sized, cell-partitioned
-          rows.write.mode("append").partitionBy("label").parquet(fragDir)
-          // centroid fold: batch aggregates only, integer-exact
-          cellAgg(rows).foreach { case (l, sv, c) =>
-            val (os, oc) = state.getOrElse(l, (new Array[Long](DIM), 0L))
-            var i = 0
-            while (i < DIM) { os(i) += sv(i); i += 1 }
-            state(l) = (os, oc + c)
-          }
+            .filter(col("_change_type") === "insert")).persist()
+          try {
+            // fragment append: BATCH-sized, cell-partitioned
+            rows.write.mode("append").partitionBy("label").parquet(fragDir)
+            // centroid fold: batch aggregates only, integer-exact
+            cellAgg(rows).foreach { case (l, sv, c) =>
+              val (os, oc) = state.getOrElse(l, (new Array[Long](DIM), 0L))
+              var i = 0
+              while (i < DIM) { os(i) += sv(i); i += 1 }
+              state(l) = (os, oc + c)
+            }
+          } finally { rows.unpersist(); () }
           () : Unit
         }
         .start()
@@ -1552,9 +1554,6 @@ object EmbedOps {
         .orderBy("query_id", "rnk")
     }
   )
-
-  private val q214Last =
-    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
 
   /** Shared DuckDB oracle of the incremental-index pair: q207 serves
     * base + delta fragment, q212 serves the folded layout — the SAME

@@ -2898,11 +2898,7 @@ object IoOps {
         WHERE md5(text) IN (SELECT md5(text) FROM documents
                             WHERE doc_id % 4 = 0 AND doc_id < 32)
         ORDER BY doc_id""")) { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("q215_bloom")
-      graft.core.Fs.deleteOnExit(root)
-      Option(q215Last.getAndSet(root)).foreach(prev =>
-        try graft.core.Fs.deleteRecursively(prev)
-        catch { case _: Exception => () })
+      val root = graft.core.Fs.rotatingTempRoot("q215_bloom")
       val sc = graft.core.Sessions.scoped(s,
         "spark.sql.catalog.graft_cat_bloom" ->
           classOf[graft.sources.DocStoreCatalog].getName,
@@ -2939,8 +2935,6 @@ object IoOps {
     }
   )
 
-  private val q215Last =
-    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
 
   /** Shared READ-ONLY Scratch fixture for the SPJ gates: `documents`
     * loaded into TWO bucket(8, doc_id)-partitioned docstore tables
@@ -2999,8 +2993,6 @@ object IoOps {
     * gate per JVM, while per-invocation unique paths keep the original
     * concurrent-JVM hazard closed; the final copy still goes via
     * deleteOnExit. */
-  private val lastCopy =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   /** Per-invocation private copy of the Scratch-built catalog fixture
     * (CREATE + 4 segment-aligned INSERTs of `documents`), registered
@@ -3027,14 +3019,7 @@ object IoOps {
           s"SELECT * FROM docs_src WHERE doc_id BETWEEN $a AND $b2")
       }
     }
-    val base = java.nio.file.Files.createTempDirectory(catName)
-    graft.core.Fs.deleteOnExit(base)
-    // reclaim this gate's PREVIOUS copy now (its lazy result frame is
-    // invalidated by this new invocation anyway — same contract the
-    // old fixed-path scheme had, minus its concurrency hazard)
-    Option(lastCopy.put(catName, base)).foreach(prev =>
-      try graft.core.Fs.deleteRecursively(prev)
-      catch { case _: Exception => () })
+    val base = graft.core.Fs.rotatingTempRoot(catName)
     val root = base.resolve("root").toString
     graft.core.Fs.copyRecursively(
       java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(root))

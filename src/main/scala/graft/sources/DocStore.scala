@@ -704,71 +704,104 @@ object DocStore {
     * plain decoder. */
   def nestedOfProjected(full: DataType, req: DataType,
       payload: Array[Byte]): AnyRef =
-    if (full == req) nestedOf(full, payload)
-    else readProjectedValue(full, req, new DataInputStream(
-      new java.io.ByteArrayInputStream(payload)))
+    projectedDecoderOf(full, req)(payload)
 
-  private def readProjectedValue(full: DataType, req: DataType,
-      in: DataInputStream): AnyRef = (full, req) match {
-    case (f, r) if f == r => readNestedValue(f, in)
+  /** COMPILE the (write type, required type) pair into a reusable
+    * decoder: per-struct name-match index arrays and child decoders
+    * resolve ONCE here, not per decoded value (r16 review finding:
+    * recomputing the projection map per row / per array element
+    * dominated pruned nested decode on wide structs). The reader
+    * hoists one of these per nested section per scan. */
+  def projectedDecoderOf(full: DataType, req: DataType)
+      : Array[Byte] => AnyRef =
+    if (full == req) payload => nestedOf(full, payload)
+    else {
+      val r = projReader(full, req)
+      payload => r(new DataInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+    }
+
+  private def projReader(full: DataType, req: DataType)
+      : DataInputStream => AnyRef = (full, req) match {
+    case (f, r) if f == r => in => readNestedValue(f, in)
     case (fs: StructType, rs: StructType) =>
       val reqIdx = fs.fields.map(f =>
         rs.fields.indexWhere(_.name == f.name))
-      val vals = new Array[Any](rs.fields.length)
-      var i = 0
-      while (i < fs.fields.length) {
-        val present = in.readByte() != 0
-        val ri = reqIdx(i)
-        if (ri >= 0) {
-          if (present) vals(ri) = readProjectedValue(
-            fs.fields(i).dataType, rs.fields(ri).dataType, in)
-        } else if (present) skipNestedValue(fs.fields(i).dataType, in)
-        i += 1
+      val sub: Array[DataInputStream => AnyRef] =
+        fs.fields.zipWithIndex.map { case (f, i) =>
+          if (reqIdx(i) >= 0)
+            projReader(f.dataType, rs.fields(reqIdx(i)).dataType)
+          else null
+        }
+      val fullTypes = fs.fields.map(_.dataType)
+      val nFull = fs.fields.length
+      val nReq = rs.fields.length
+      in => {
+        val vals = new Array[Any](nReq)
+        var i = 0
+        while (i < nFull) {
+          val present = in.readByte() != 0
+          val ri = reqIdx(i)
+          if (ri >= 0) {
+            if (present) vals(ri) = sub(i)(in)
+          } else if (present) skipNestedValue(fullTypes(i), in)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
       }
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
     case (fa: ArrayType, ra: ArrayType) =>
-      val n = in.readInt()
-      val vals = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        if (in.readByte() != 0)
-          vals(i) = readProjectedValue(fa.elementType, ra.elementType, in)
-        i += 1
+      val elem = projReader(fa.elementType, ra.elementType)
+      in => {
+        val n = in.readInt()
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          if (in.readByte() != 0) vals(i) = elem(in)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
       }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
     case (fm: MapType, rm: MapType) =>
-      val n = in.readInt()
-      val ks = new Array[Any](n); val vs = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        ks(i) = readProjectedValue(fm.keyType, rm.keyType, in)
-        if (in.readByte() != 0)
-          vs(i) = readProjectedValue(fm.valueType, rm.valueType, in)
-        i += 1
+      val key = projReader(fm.keyType, rm.keyType)
+      val value = projReader(fm.valueType, rm.valueType)
+      in => {
+        val n = in.readInt()
+        val ks = new Array[Any](n); val vs = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          ks(i) = key(in)
+          if (in.readByte() != 0) vs(i) = value(in)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
       }
-      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
     // WIDENED leaf pairs (nested-codec generations — see
     // NESTED_GEN_KEY): bytes follow the write-time type, the emitted
     // value the live wider one; each conversion is value-exact
     case (IntegerType, LongType) =>
-      java.lang.Long.valueOf(in.readInt().toLong)
-    case (FloatType, DoubleType) => java.lang.Double.valueOf(
-      java.lang.Float.intBitsToFloat(in.readInt()).toDouble)
+      in => java.lang.Long.valueOf(in.readInt().toLong)
+    case (FloatType, DoubleType) =>
+      in => java.lang.Double.valueOf(
+        java.lang.Float.intBitsToFloat(in.readInt()).toDouble)
     case (f: DecimalType, t: DecimalType) if f.precision <= 18 =>
-      val u = in.readLong()
-      if (t.precision <= 18)
-        org.apache.spark.sql.types.Decimal(u, t.precision, t.scale)
-      else org.apache.spark.sql.types.Decimal(
-        new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(u), t.scale),
-        t.precision, t.scale)
+      in => {
+        val u = in.readLong()
+        if (t.precision <= 18)
+          org.apache.spark.sql.types.Decimal(u, t.precision, t.scale)
+        else org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(u), t.scale),
+          t.precision, t.scale)
+      }
     case (f: DecimalType, t: DecimalType) =>
-      val b = new Array[Byte](16); in.readFully(b)
-      org.apache.spark.sql.types.Decimal(
-        new java.math.BigDecimal(dec128Of(b), t.scale),
-        t.precision, t.scale)
+      in => {
+        val b = new Array[Byte](16); in.readFully(b)
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(dec128Of(b), t.scale),
+          t.precision, t.scale)
+      }
     case (f, r) => throw new IllegalStateException(
       s"cannot project nested payload bytes of ${f.simpleString} " +
         s"into ${r.simpleString} — not a pruning or widening pair")
@@ -1170,6 +1203,57 @@ object DocStore {
   private[sources] val BLOOM_MIN_BITS = 1 << 9
   private[sources] val BLOOM_BITS_PER_KEY = 10 // ~1% FPR at k = 5
 
+  /** Fold one value hash into a bit array at `ceilBits` (a power of
+    * two). EXACTLY ONE implementation of the probe positions exists —
+    * this one — shared by the write path's accumulator and the
+    * ANALYZE backfill aggregator; [[Bloom.mightContain]] replays the
+    * same positions against the sealed (smaller) mask. Writer/probe
+    * symmetry is the entire no-false-negative soundness argument, so
+    * a second copy of this math would be a silent-row-loss hazard
+    * (r16 review finding). */
+  private[sources] def bloomFoldHash(bits: Array[Long], ceilBits: Int,
+      h: Long): Unit = {
+    val mask = (ceilBits - 1).toLong
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < BLOOM_K) {
+      val idx = ((h + i.toLong * h2) & mask).toInt
+      bits(idx >>> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+  }
+
+  /** Seal a fold ceiling down to the smallest power of two holding
+    * ~[[BLOOM_BITS_PER_KEY]] bits per value seen: OR-fold words onto
+    * their submask positions (m | ceil, both powers of two, so no
+    * set bit ever leaves its probe position). */
+  private[sources] def bloomSeal(bits: Array[Long], ceilBits: Int,
+      n: Long): Array[Long] = {
+    var m = BLOOM_MIN_BITS
+    while (m < ceilBits && m.toLong < n * BLOOM_BITS_PER_KEY) m <<= 1
+    val words = m >> 6
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < bits.length) { out(i & (words - 1)) |= bits(i); i += 1 }
+    out
+  }
+
+  /** Big-endian packing shared by the manifest writer, parser, and
+    * the backfill collect. */
+  private[sources] def bloomWordsToBytes(words: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private[sources] def bloomBytesToWords(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val words = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < words.length) { words(i) = bb.getLong; i += 1 }
+    words
+  }
+
   /** 64-bit finalizer (splitmix64): the per-value hash whose high and
     * low halves drive the double-hashed probe sequence. */
   private[sources] def bloomMix(x0: Long): Long = {
@@ -1484,25 +1568,9 @@ object DocStore {
       var n = 0L
       def addHash(h: Long): Unit = {
         n += 1
-        val mask = (BLOOM_MAX_BITS - 1).toLong
-        val h2 = (h >>> 32) | 1L
-        var i = 0
-        while (i < BLOOM_K) {
-          val idx = ((h + i.toLong * h2) & mask).toInt
-          bits(idx >>> 6) |= (1L << (idx & 63))
-          i += 1
-        }
+        bloomFoldHash(bits, BLOOM_MAX_BITS, h)
       }
-      def result: Bloom = {
-        var m = BLOOM_MIN_BITS
-        while (m < BLOOM_MAX_BITS && m.toLong < n * BLOOM_BITS_PER_KEY)
-          m <<= 1
-        val words = m >> 6
-        val out = new Array[Long](words)
-        var i = 0
-        while (i < bits.length) { out(i & (words - 1)) |= bits(i); i += 1 }
-        Bloom(BLOOM_K, out)
-      }
+      def result: Bloom = Bloom(BLOOM_K, bloomSeal(bits, BLOOM_MAX_BITS, n))
     }
     private val bloomAccs: Map[Int, BloomAcc] =
       bloomSections.iterator.map(_ -> new BloomAcc).toMap
@@ -1711,19 +1779,14 @@ object DocStore {
   private[sources] def bloomLines(segName: String,
       blooms: Map[Int, Bloom]): Seq[String] =
     blooms.toSeq.sortBy(_._1).map { case (sec, bf) =>
-      val bb = java.nio.ByteBuffer.allocate(bf.bits.length * 8)
-      bf.bits.foreach(bb.putLong)
-      val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString(bloomWordsToBytes(bf.bits))
       s"$BLOOM_TAG$segName,$sec,${bf.k},$b64"
     }
 
   private def parseBloomLine(l: String): (String, Int, Bloom) = {
     val p = l.split(",", -1)
-    val bytes = java.util.Base64.getDecoder.decode(p(4))
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val bits = new Array[Long](bytes.length / 8)
-    var i = 0
-    while (i < bits.length) { bits(i) = bb.getLong; i += 1 }
+    val bits = bloomBytesToWords(java.util.Base64.getDecoder.decode(p(4)))
     (p(1), p(2).toInt, Bloom(p(3).toInt, bits))
   }
 
@@ -2681,7 +2744,13 @@ object DocStoreCommitOps {
     * vs. the unbounded stale-publish window without the fence. */
   val LOCK_STEAL_TTL_MS = 600000L // 10 min: presumed-crashed threshold
   val LOCK_WAIT_MS = 660000L // waiter outlives the TTL by design
-  val LOCK_TOKEN_FILE = "TOKEN"
+  /** The fencing token lives in the token file's NAME (`TOKEN-<uuid>`),
+    * not its content: existence checks and deletes are then atomic BY
+    * NAME — a holder can only ever observe or remove ITS OWN ownership
+    * mark, never a stealer's (the r16 review found the previous
+    * read-content / move-aside-and-restore variants could orphan a
+    * stolen lock or spuriously fence a healthy commit). */
+  val LOCK_TOKEN_PREFIX = "TOKEN-"
 
   /** (table path -> fencing token) for locks THIS thread holds; the
     * manifest swap consults it so unlocked writers (staging-dir CTAS /
@@ -2699,11 +2768,11 @@ object DocStoreCommitOps {
     * gone or replaced. No-op for threads not holding a tracked lock. */
   def assertLockFence(path: String): Unit =
     fenceTokens.get.get(fenceKey(path)).foreach { token =>
-      val cur =
-        try Files.readString(
-          Paths.get(path, ".COMMIT_LOCK", LOCK_TOKEN_FILE))
-        catch { case _: Exception => null }
-      if (cur != token) throw new IllegalStateException(
+      val stillOwned =
+        try Files.exists(
+          Paths.get(path, ".COMMIT_LOCK", LOCK_TOKEN_PREFIX + token))
+        catch { case _: Exception => false }
+      if (!stillOwned) throw new IllegalStateException(
         s"docstore commit fencing violation for $path: this writer's " +
           "commit lock was stolen (it held the lock past the " +
           s"${LOCK_STEAL_TTL_MS / 1000}s steal TTL — a GC pause or " +
@@ -2743,7 +2812,7 @@ object DocStoreCommitOps {
     // release is unconditional — never weaker than before the fence.
     val token = java.util.UUID.randomUUID().toString
     val fenced =
-      try { Files.writeString(lock.resolve(LOCK_TOKEN_FILE), token); true }
+      try { Files.createFile(lock.resolve(LOCK_TOKEN_PREFIX + token)); true }
       catch { case _: Exception => false }
     val outer = fenceTokens.get
     if (fenced) fenceTokens.set(outer + (fenceKey(path) -> token))
@@ -2762,41 +2831,26 @@ object DocStoreCommitOps {
     }
   }
 
-  /** Release ONLY a lock we still own: if the token changed, a waiter
-    * stole this lock (we stalled past the TTL) and now owns it —
-    * deleting it here would put two writers inside the critical
-    * section, the exact hazard the tombstone steal avoids. */
+  /** Release ONLY a lock we still own — atomically BY NAME. The
+    * token file is named with this holder's own token, so the first
+    * delete can only ever remove THIS holder's ownership mark; a lock
+    * stolen in the meantime holds the stealer's differently-named
+    * token and is untouched. The empty-dir delete then succeeds only
+    * when no other writer re-owned the name: DirectoryNotEmpty (a
+    * foreign token inside) and NoSuchFile (a TTL steal moved the dir
+    * aside) are both harmless no-ops. A crash in the tiny window
+    * between the two deletes leaves a token-less empty lock dir that
+    * self-heals via the TTL steal. No move-aside, no restore — the
+    * r16 review found the previous tombstone-restore variant could
+    * resurrect a released lock as an unowned orphan (blocking all
+    * writers for a full TTL) or delete a stealer's live lock
+    * mid-commit (a spurious fencing abort). */
   private def releaseIfOwned(lock: java.nio.file.Path,
       token: String): Unit = {
-    // Ownership must be verified and revoked in ONE atomic step — a
-    // read-then-delete has a TOCTOU hole: a TTL steal landing between
-    // the token read and the deletes would have this stale holder
-    // destroy the STEALER's fresh lock (letting a third writer in
-    // concurrently, and spuriously tripping the stealer's own fence).
-    // So release by the same atomic-rename the steal path uses: move
-    // the lock dir aside to a unique tombstone (only one mover can
-    // win), THEN inspect the token at leisure inside the tombstone we
-    // now exclusively own.
-    try {
-      val tomb = lock.resolveSibling(
-        s".COMMIT_LOCK.rel-${System.nanoTime()}")
-      Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
-      val owned =
-        try Files.readString(tomb.resolve(LOCK_TOKEN_FILE)) == token
-        catch { case _: Exception => false }
-      if (owned) graft.core.Fs.deleteRecursively(tomb)
-      else {
-        // we just renamed a STEALER's live lock aside — put it back.
-        // If a third writer grabbed the vacated name in the window,
-        // the restore fails and the orphaned tombstone is dropped:
-        // the stealer's fence (its TOKEN no longer at the lock path)
-        // refuses its publish, so at most one writer still commits.
-        try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: Exception => graft.core.Fs.deleteRecursively(tomb) }
-      }
-    } catch {
-      case _: Exception => () // lock already stolen + renamed away
-    }
+    try Files.deleteIfExists(lock.resolve(LOCK_TOKEN_PREFIX + token))
+    catch { case _: Exception => () }
+    try Files.deleteIfExists(lock)
+    catch { case _: Exception => () }
   }
 
   /** Atomic manifest write + a retained `MANIFEST.v<n>` snapshot per
@@ -4444,6 +4498,10 @@ class DocStoreReader(file: String, schema: StructType,
             case _ => (0, 0)
           }
           val sin = sectionIn(c)
+          // projection plan compiled ONCE per section, not per value
+          val projDec: Array[Byte] => AnyRef =
+            if (nested) DocStore.projectedDecoderOf(writeDt, reqDt)
+            else null
           val a = new Array[AnyRef](n)
           var i = 0
           while (i < n) {
@@ -4468,7 +4526,7 @@ class DocStoreReader(file: String, schema: StructType,
                 // projected to the (possibly pruned) required shape
                 val b = new Array[Byte](len)
                 sin.readFully(b)
-                a(i) = DocStore.nestedOfProjected(writeDt, reqDt, b)
+                a(i) = projDec(b)
               } else {
                 val b = new Array[Byte](len)
                 sin.readFully(b)

@@ -528,7 +528,22 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
           DocStore.writeSectionFloor(dir, math.max(
             DocStore.readSectionFloor(dir),
             DocStore.sectionOf(s.fields(i), i) + 1))
-          StructType(s.fields.patch(i, Nil, 1))
+          // the nested-codec GENERATION must never regress: if the
+          // dropped column carries the table's max generation, fold it
+          // into doc_id's metadata (base fields are undroppable, and
+          // the counter keeps riding the SCHEMA file atomically).
+          // Otherwise a later nested widening would re-archive an
+          // already-used SCHEMA.gen-<g> name — first-writer-wins would
+          // pin the STALE archive and old-generation segments of the
+          // NEW column would silently misdecode (r16 review finding).
+          val remaining = StructType(s.fields.patch(i, Nil, 1))
+          if (DocStore.nestedGenOf(remaining) < DocStore.nestedGenOf(s)) {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(remaining.fields(0).metadata)
+              .putLong(DocStore.NESTED_GEN_KEY, DocStore.nestedGenOf(s))
+            StructType(remaining.fields.updated(0,
+              remaining.fields(0).copy(metadata = mb.build())))
+          } else remaining
         case (s, ren: TableChange.RenameColumn) =>
           val i = extraIndex(s, ren.fieldNames(), "rename")
           require(!s.fieldNames.contains(ren.newName()),

@@ -211,10 +211,31 @@ class DocStoreCdcReaderFactory(base: StructType,
     genWriteTypes: Map[Long, Map[Int,
       org.apache.spark.sql.types.DataType]] = Map.empty)
     extends PartitionReaderFactory {
+  // the generation this factory's captured schema decodes natively —
+  // the CDC twin of DocStoreScan.genWriteTypes' liveGen guard
+  private val captureGen = DocStore.nestedGenOf(base)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DocStoreCdcPartition]
-    new DocStoreCdcReader(part, base,
-      genWriteTypes.getOrElse(part.schemaGen, Map.empty))
+    // a segment stamped NEWER than the captured schema means a
+    // concurrent nested widening landed: its leaves are wider than
+    // this reader's emit types, and narrowing is not value-exact —
+    // refuse loudly exactly like the batch scan (silently decoding
+    // 8-byte leaves through a 4-byte schema corrupts values)
+    require(part.schemaGen <= captureGen,
+      s"change-feed segment written under nested-codec generation " +
+        s"${part.schemaGen}, newer than this reader's schema " +
+        s"(generation $captureGen) — a concurrent nested widening " +
+        "landed; restart the stream / re-run the batch read")
+    // an OLD generation must resolve through its archive; decoding by
+    // the live schema would misparse narrower-era payload bytes
+    val types =
+      if (part.schemaGen == captureGen)
+        Map.empty[Int, org.apache.spark.sql.types.DataType]
+      else genWriteTypes.getOrElse(part.schemaGen,
+        throw new IllegalStateException(
+          s"missing SCHEMA.gen-${part.schemaGen} archive — cannot " +
+            s"decode generation-${part.schemaGen} nested payloads"))
+    new DocStoreCdcReader(part, base, types)
   }
 }
 

@@ -724,15 +724,7 @@ private[sources] abstract class BloomBackfillAgg[I](ceilBits: Int)
   override def zero: BloomBuf = BloomBuf(new Array[Long](ceilBits >> 6), 0L)
   override def reduce(b: BloomBuf, v: I): BloomBuf = {
     if (v == null) return b
-    val h = hashOf(v)
-    val mask = (ceilBits - 1).toLong
-    val h2 = (h >>> 32) | 1L
-    var i = 0
-    while (i < DocStore.BLOOM_K) {
-      val idx = ((h + i.toLong * h2) & mask).toInt
-      b.bits(idx >>> 6) |= (1L << (idx & 63))
-      i += 1
-    }
+    DocStore.bloomFoldHash(b.bits, ceilBits, hashOf(v))
     BloomBuf(b.bits, b.n + 1)
   }
   override def merge(a: BloomBuf, b: BloomBuf): BloomBuf = {
@@ -740,19 +732,10 @@ private[sources] abstract class BloomBackfillAgg[I](ceilBits: Int)
     while (i < a.bits.length) { a.bits(i) |= b.bits(i); i += 1 }
     BloomBuf(a.bits, a.n + b.n)
   }
-  override def finish(r: BloomBuf): Array[Byte] = {
-    if (r.n == 0L) return Array.empty
-    var m = DocStore.BLOOM_MIN_BITS
-    while (m < ceilBits && m.toLong < r.n * DocStore.BLOOM_BITS_PER_KEY)
-      m <<= 1
-    val words = m >> 6
-    val out = new Array[Long](words)
-    var i = 0
-    while (i < r.bits.length) { out(i & (words - 1)) |= r.bits(i); i += 1 }
-    val bb = java.nio.ByteBuffer.allocate(words * 8)
-    out.foreach(bb.putLong)
-    bb.array()
-  }
+  override def finish(r: BloomBuf): Array[Byte] =
+    if (r.n == 0L) Array.empty
+    else DocStore.bloomWordsToBytes(
+      DocStore.bloomSeal(r.bits, ceilBits, r.n))
   override def bufferEncoder: org.apache.spark.sql.Encoder[BloomBuf] =
     org.apache.spark.sql.Encoders.product[BloomBuf]
   override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
@@ -921,13 +904,8 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
             val m = bloomCols.flatMap { case (_, sec) =>
               val bytes = r.getAs[Array[Byte]](r.fieldIndex(s"bloom_$sec"))
               if (bytes == null || bytes.isEmpty) None
-              else {
-                val bb = java.nio.ByteBuffer.wrap(bytes)
-                val bits = new Array[Long](bytes.length / 8)
-                var i = 0
-                while (i < bits.length) { bits(i) = bb.getLong; i += 1 }
-                Some(sec -> DocStore.Bloom(DocStore.BLOOM_K, bits))
-              }
+              else Some(sec -> DocStore.Bloom(DocStore.BLOOM_K,
+                DocStore.bloomBytesToWords(bytes)))
             }.toMap
             r.getString(0) -> m
           }.toMap

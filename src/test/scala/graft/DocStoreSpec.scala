@@ -3849,6 +3849,81 @@ class DocStoreSpec extends SparkSpec {
       "CDF must decode the int-era payload by its write-time type")
   }
 
+  test("r16: nested-codec generation survives dropping the widened column") {
+    // the r16 review scenario: drop the only generation-carrying
+    // column, re-ADD a nested column, widen again — a counter derived
+    // from live fields alone would RESET, re-archive an already-used
+    // SCHEMA.gen-<g> name (first-writer-wins keeps the STALE one) and
+    // silently misdecode the new column's int-era payloads
+    val root = Files.createTempDirectory("docstore_gendrop").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.gdcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.gdcat.root" -> root)
+    sc.sql("CREATE NAMESPACE gdcat.ns")
+    sc.sql("CREATE TABLE gdcat.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("ALTER TABLE gdcat.ns.t ADD COLUMNS (meta STRUCT<w: INT>)")
+    sc.sql("INSERT INTO gdcat.ns.t VALUES (1, 1, 'en', 's', 'g0', " +
+      "named_struct('w', 7))")
+    sc.sql("ALTER TABLE gdcat.ns.t ALTER COLUMN meta.w TYPE BIGINT")
+    sc.sql("INSERT INTO gdcat.ns.t VALUES (2, 2, 'en', 's', 'g1', " +
+      "named_struct('w', 5000000000L))")
+    sc.sql("ALTER TABLE gdcat.ns.t DROP COLUMN meta")
+    // the counter must NOT regress: it folds into doc_id's metadata
+    val path = java.nio.file.Paths.get(root, "ns", "t").toString
+    assert(DocStore.nestedGenOf(DocStore.tableSchema(path)) == 1L,
+      "generation regressed after dropping the widened column")
+    sc.sql("ALTER TABLE gdcat.ns.t ADD COLUMNS (meta2 STRUCT<v: INT>)")
+    sc.sql("INSERT INTO gdcat.ns.t VALUES (3, 3, 'en', 's', 'g1b', " +
+      "named_struct('v', 9))")
+    // the second widening archives SCHEMA.gen-1 (the meta2-INT era) —
+    // a fresh name, not a collision with the meta-era gen-0 archive
+    sc.sql("ALTER TABLE gdcat.ns.t ALTER COLUMN meta2.v TYPE BIGINT")
+    sc.sql("INSERT INTO gdcat.ns.t VALUES (4, 4, 'en', 's', 'g2', " +
+      "named_struct('v', 6000000000L))")
+    val rows = sc.sql("SELECT doc_id, meta2.v FROM gdcat.ns.t " +
+      "ORDER BY doc_id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1), rows.mkString)
+    assert(rows(2).getLong(1) == 9L,
+      s"int-era meta2 payload misdecoded: ${rows(2)}") // the poison row
+    assert(rows(3).getLong(1) == 6000000000L, rows(3).toString)
+    assert(Files.exists(java.nio.file.Paths.get(path, "SCHEMA.gen-1")),
+      "second widening must archive the meta2-INT era under gen 1")
+  }
+
+  test("r16: CDC readers refuse newer-generation segments instead of misdecoding") {
+    // the batch scan fails loudly when a segment is stamped newer than
+    // the planning schema (a concurrent widening landed); the CDC
+    // reader factory must match — silently decoding 8-byte leaves
+    // through a narrower captured schema corrupts values
+    val base = DocStore.SCHEMA
+    val fac = new graft.sources.DocStoreCdcReaderFactory(base, Map.empty)
+    val newer = graft.sources.DocStoreCdcPartition(
+      "/nonexistent/p.gds", "p.gds", Array.empty, Array.empty,
+      "insert", 3L, schemaGen = 1L)
+    val e = intercept[IllegalArgumentException] {
+      fac.createReader(newer)
+    }
+    assert(e.getMessage.contains("newer"), e.getMessage)
+    // an OLD generation with no archive on disk must also refuse
+    // (decoding by the live schema would misparse narrower payloads)
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(DocStore.NESTED_GEN_KEY, 2L)
+    val gen2 = org.apache.spark.sql.types.StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("meta",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.LongType))),
+        nullable = true, metadata = mb.build()))
+    val fac2 = new graft.sources.DocStoreCdcReaderFactory(gen2, Map.empty)
+    val old = graft.sources.DocStoreCdcPartition(
+      "/nonexistent/p.gds", "p.gds", Array.empty, Array.empty,
+      "insert", 3L, schemaGen = 1L)
+    val e2 = intercept[IllegalStateException] { fac2.createReader(old) }
+    assert(e2.getMessage.contains("missing SCHEMA.gen-1"), e2.getMessage)
+  }
+
   test("r14: -0.0 survives an evolved DOUBLE round-trip; zero filters stay sound") {
     // r13 ADVICE: the stored payload keeps the raw IEEE sign bit
     // (parquet/Delta/Iceberg fidelity); ONLY stats and filter literals

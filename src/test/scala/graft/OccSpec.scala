@@ -254,13 +254,14 @@ class OccSpec extends SparkSpec {
       // our own release below must NOT throw or delete a reacquired
       // lock. Reacquire as a third party to leave a foreign lock live:
       Files.createDirectory(lock)
-      Files.writeString(lock.resolve(DocStoreCommitOps.LOCK_TOKEN_FILE),
-        "third-party-owner")
+      Files.createFile(lock.resolve(
+        DocStoreCommitOps.LOCK_TOKEN_PREFIX + "third-party-owner"))
     }
     // the stalled holder's finally ran: the foreign lock is untouched
     assert(Files.exists(lock), "release deleted a lock it no longer owned")
-    assert(Files.readString(
-      lock.resolve(DocStoreCommitOps.LOCK_TOKEN_FILE)) == "third-party-owner")
+    assert(Files.exists(lock.resolve(
+      DocStoreCommitOps.LOCK_TOKEN_PREFIX + "third-party-owner")),
+      "release removed a foreign owner's token")
     graft.core.Fs.deleteRecursively(lock)
   }
 }
