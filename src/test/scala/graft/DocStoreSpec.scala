@@ -2860,6 +2860,41 @@ class DocStoreSpec extends SparkSpec {
     sc.sql("ALTER TABLE blcat.ns.bad DROP COLUMN fp") // now allowed
   }
 
+  test("Bloom filters survive INT -> BIGINT widening of the indexed column") {
+    // the write path folds INT values AS LONGS, so a metadata-only
+    // widening leaves every existing segment's filter probeable by
+    // the (now BIGINT) literal — the docstring's claim, pinned
+    val root = Files.createTempDirectory("docstore_bloom_widen").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.blw" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.blw.root" -> root)
+    sc.sql("CREATE NAMESPACE blw.ns")
+    sc.sql("CREATE TABLE blw.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("ALTER TABLE blw.ns.t ADD COLUMNS (code INT)")
+    sc.sql("ALTER TABLE blw.ns.t SET TBLPROPERTIES " +
+      "('graft.bloom.columns' = 'code')")
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        col("source"), col("text"))
+      .createOrReplaceTempView("blw_src")
+    // striped: every segment's code envelope spans the same range
+    (0 to 3).foreach(k => sc.sql("INSERT INTO blw.ns.t " +
+      "SELECT *, CAST(doc_id * 7 + doc_id % 4 AS INT) FROM blw_src " +
+      s"WHERE doc_id % 4 = $k"))
+    sc.sql("ALTER TABLE blw.ns.t ALTER COLUMN code TYPE BIGINT")
+    // probe a known pre-widening value with a BIGINT literal
+    val q = sc.sql("SELECT doc_id FROM blw.ns.t WHERE code = " +
+      (42L * 7 + 2).toString)
+    val m = "segments=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(physical(q)).getOrElse(
+        fail(s"no segment count in plan:\n${physical(q)}"))
+    assert(m.group(2).toInt == 4 && m.group(1).toInt < 4,
+      s"pre-widening blooms must still prune, read ${m.group(1)}/4")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
   test("runtime join filtering prunes segments via Bloom filters on striped keys") {
     val root = Files.createTempDirectory("docstore_bloom_rt").toString
     val sc = graft.core.Sessions.scoped(spark,
