@@ -1198,10 +1198,10 @@ object DocStore {
     * rewritten — Delta's semantics). The writer validates names and
     * types loudly; see [[bloomSectionsOf]]. */
   val BLOOM_KEY = "graft.bloom.columns"
-  private[sources] val BLOOM_K = 5
-  private[sources] val BLOOM_MAX_BITS = 1 << 20 // fold ceiling (128 KiB)
-  private[sources] val BLOOM_MIN_BITS = 1 << 9
-  private[sources] val BLOOM_BITS_PER_KEY = 10 // ~1% FPR at k = 5
+  private[graft] val BLOOM_K = 5
+  private[graft] val BLOOM_MAX_BITS = 1 << 20 // fold ceiling (128 KiB)
+  private[graft] val BLOOM_MIN_BITS = 1 << 9
+  private[graft] val BLOOM_BITS_PER_KEY = 10 // ~1% FPR at k = 5
 
   /** Fold one value hash into a bit array at `ceilBits` (a power of
     * two). EXACTLY ONE implementation of the probe positions exists —
@@ -1211,7 +1211,7 @@ object DocStore {
     * symmetry is the entire no-false-negative soundness argument, so
     * a second copy of this math would be a silent-row-loss hazard
     * (r16 review finding). */
-  private[sources] def bloomFoldHash(bits: Array[Long], ceilBits: Int,
+  private[graft] def bloomFoldHash(bits: Array[Long], ceilBits: Int,
       h: Long): Unit = {
     val mask = (ceilBits - 1).toLong
     val h2 = (h >>> 32) | 1L
@@ -1227,7 +1227,7 @@ object DocStore {
     * ~[[BLOOM_BITS_PER_KEY]] bits per value seen: OR-fold words onto
     * their submask positions (m | ceil, both powers of two, so no
     * set bit ever leaves its probe position). */
-  private[sources] def bloomSeal(bits: Array[Long], ceilBits: Int,
+  private[graft] def bloomSeal(bits: Array[Long], ceilBits: Int,
       n: Long): Array[Long] = {
     var m = BLOOM_MIN_BITS
     while (m < ceilBits && m.toLong < n * BLOOM_BITS_PER_KEY) m <<= 1
@@ -1240,13 +1240,13 @@ object DocStore {
 
   /** Big-endian packing shared by the manifest writer, parser, and
     * the backfill collect. */
-  private[sources] def bloomWordsToBytes(words: Array[Long]): Array[Byte] = {
+  private[graft] def bloomWordsToBytes(words: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(words.length * 8)
     words.foreach(bb.putLong)
     bb.array()
   }
 
-  private[sources] def bloomBytesToWords(bytes: Array[Byte]): Array[Long] = {
+  private[graft] def bloomBytesToWords(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val words = new Array[Long](bytes.length / 8)
     var i = 0
@@ -1270,11 +1270,11 @@ object DocStore {
     * literal conversion produces. Float/double (the -0.0 stat
     * canonicalization point), decimals, and booleans are not Bloom-
     * eligible, so no asymmetric encoding can reach this hash. */
-  private[sources] def bloomHashLong(v: Long): Long = bloomMix(v)
+  private[graft] def bloomHashLong(v: Long): Long = bloomMix(v)
 
   /** Canonical hash of a string value's UTF-8 bytes (FNV-1a 64 into
     * the splitmix finalizer). */
-  private[sources] def bloomHashBytes(b: Array[Byte]): Long = {
+  private[graft] def bloomHashBytes(b: Array[Byte]): Long = {
     var h = 0xCBF29CE484222325L
     var i = 0
     while (i < b.length) { h ^= (b(i) & 0xFFL); h *= 0x100000001B3L; i += 1 }

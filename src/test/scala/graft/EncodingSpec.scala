@@ -391,4 +391,54 @@ class EncodingSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(-0.0d), "-0.0 sign preserved")
     assert(inner.getDouble(1) == 2.5d)
   }
+
+  // ---------------------------------------- Bloom fold/seal properties
+
+  test("bloom fold/seal: NO FALSE NEGATIVES at any fold ceiling or seal size") {
+    // the soundness contract the pruner's drop rests on: every value
+    // folded at ANY power-of-two ceiling, sealed down to ANY smaller
+    // power of two, must still probe positive — across the long and
+    // byte hash families and the serialization round trip
+    val genCeilLog = Gen.choose(9, 16) // 512 .. 65536 bits
+    val genLongs = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    val prop = Prop.forAll(genLongs, genCeilLog) { (vs, cl) =>
+      val ceil = 1 << cl
+      val bits = new Array[Long](ceil >> 6)
+      vs.foreach(v => DocStore.bloomFoldHash(bits, ceil,
+        DocStore.bloomHashLong(v)))
+      val sealedBits = DocStore.bloomSeal(bits, ceil, vs.length.toLong)
+      val m = sealedBits.length * 64
+      val bf = DocStore.Bloom(DocStore.BLOOM_K,
+        DocStore.bloomBytesToWords(DocStore.bloomWordsToBytes(sealedBits)))
+      (m & (m - 1)) == 0 && m <= ceil &&
+        vs.forall(v => bf.mightContain(DocStore.bloomHashLong(v)))
+    }
+    check(prop)
+  }
+
+  test("bloom byte-hash family: no false negatives, and the write/backfill ceilings agree") {
+    val genBytes = Gen.listOf(Gen.nonEmptyListOf(
+      Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    val prop = Prop.forAll(genBytes) { vs =>
+      // the WRITE path folds at BLOOM_MAX_BITS; the ANALYZE backfill
+      // folds at a smaller rows-derived ceiling — the sealed filters
+      // must both answer positive for every folded value
+      val a = new Array[Long](DocStore.BLOOM_MAX_BITS >> 6)
+      val b = new Array[Long](DocStore.BLOOM_MIN_BITS >> 6)
+      vs.foreach { v =>
+        val h = DocStore.bloomHashBytes(v)
+        DocStore.bloomFoldHash(a, DocStore.BLOOM_MAX_BITS, h)
+        DocStore.bloomFoldHash(b, DocStore.BLOOM_MIN_BITS, h)
+      }
+      val fa = DocStore.Bloom(DocStore.BLOOM_K,
+        DocStore.bloomSeal(a, DocStore.BLOOM_MAX_BITS, vs.length.toLong))
+      val fb = DocStore.Bloom(DocStore.BLOOM_K,
+        DocStore.bloomSeal(b, DocStore.BLOOM_MIN_BITS, vs.length.toLong))
+      vs.forall { v =>
+        val h = DocStore.bloomHashBytes(v)
+        fa.mightContain(h) && fb.mightContain(h)
+      }
+    }
+    check(prop, n = 500)
+  }
 }
