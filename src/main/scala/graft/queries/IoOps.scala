@@ -2932,6 +2932,77 @@ object IoOps {
       sc.sql("SELECT doc_id, n_chars, lang, source AS fp " +
         "FROM graft_cat_bloom.default.docs " +
         s"WHERE source IN ($inList) ORDER BY doc_id")
+    },
+
+    Q("q216_retention_delete",
+      "METADATA-ONLY retention DELETE past id windows (Delta's " +
+        "file-level remove generalized): canDeleteWhere proves every " +
+        "segment either ALL-MATCH (droppable — exact LongBound " +
+        "envelopes with zero nulls, identity partition values, or " +
+        "the doc_id zone map; truncated string bounds and doubles " +
+        "honestly decline) or MATCHLESS (kept — the same emptiness " +
+        "proofs the read path skips on), and deleteWhere then drops " +
+        "whole segments from the manifest under the commit lock, " +
+        "touching ZERO data bytes (the split is recomputed under the " +
+        "lock — a concurrent append that makes it unprovable refuses " +
+        "loudly instead of silently deleting the newcomer's rows). " +
+        "The gate loads three n_chars bands as separate commits, " +
+        "runs the retention predicate `n_chars < 400` (drops the two " +
+        "low-band segments metadata-only — DocStoreSpec pins that no " +
+        "new segment is written and that misaligned predicates fall " +
+        "back to the exact rewrite), proves the dropped rows stay " +
+        "readable via VERSION AS OF, and aggregates the survivors. " +
+        "At 100 TB: the nightly `DELETE WHERE event_day < cutoff` on " +
+        "a date-clustered corpus is a manifest edit, not a rewrite " +
+        "of the tail — the difference between seconds of metadata " +
+        "and hours of IO.",
+      Some("""
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS chars,
+               (SELECT COUNT(*) FROM documents)::BIGINT AS n_before
+        FROM documents WHERE n_chars >= 400
+        GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val root = graft.core.Fs.rotatingTempRoot("q216_retain")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_ret" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_ret.root" -> root.toString)
+      sc.sql("CREATE NAMESPACE graft_cat_ret.default")
+      sc.sql("CREATE TABLE graft_cat_ret.default.docs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING)")
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("q216_src")
+      // three commits with disjoint n_chars envelopes — the retention
+      // cutoff lands exactly on a band boundary, so the two low bands
+      // are provably all-match and the high band provably matchless
+      Seq("n_chars < 200", "n_chars BETWEEN 200 AND 399",
+        "n_chars >= 400").foreach(band => sc.sql(
+        "INSERT INTO graft_cat_ret.default.docs " +
+          s"SELECT * FROM q216_src WHERE $band"))
+      val tablePath = root.resolve("default").resolve("docs").toString
+      val preNames = graft.sources.DocStore
+        .readManifestAndDeletes(tablePath)._1.map(_.name).toSet
+      val vPre = graft.sources.DocStoreCommitOps
+        .nextVersion(tablePath) - 1
+      sc.sql("DELETE FROM graft_cat_ret.default.docs " +
+        "WHERE n_chars < 400")
+      // the in-query audit: metadata-only means NO new segment was
+      // written, and the dropped rows remain readable at the old
+      // version — fail loudly rather than hash-mismatch quietly
+      val postNames = graft.sources.DocStore
+        .readManifestAndDeletes(tablePath)._1.map(_.name).toSet
+      require(postNames.subsetOf(preNames) && postNames.size == 1,
+        s"retention DELETE must drop two bands metadata-only, " +
+          s"got pre=$preNames post=$postNames")
+      val nBefore = sc.sql("SELECT COUNT(*) FROM " +
+        s"graft_cat_ret.default.docs VERSION AS OF $vPre")
+        .head().getLong(0)
+      sc.sql("SELECT lang, COUNT(*) AS n_docs, " +
+        "SUM(n_chars) AS chars, " +
+        s"CAST($nBefore AS BIGINT) AS n_before " +
+        "FROM graft_cat_ret.default.docs GROUP BY lang ORDER BY lang")
     }
   )
 

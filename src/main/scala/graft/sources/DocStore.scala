@@ -1822,6 +1822,134 @@ object DocStore {
     *    one-sided bounds, and every comparison runs in UTF-8 byte
     *    order ([[utf8Compare]]) — exactly Spark's
     *    UTF8String.binaryCompare semantics for any value. */
+  /** A pushed-filter literal's order-preserving 8-byte encoding (the
+    * space [[LongBound]] envelopes live in) — shared by the emptiness
+    * pruner and the all-match prover. None for classes that need
+    * extra context (decimals need the column scale) or are unknown. */
+  private[sources] def encodedLongLiteral(v: Any): Option[Long] = v match {
+    case n: java.lang.Long => Some(n.longValue())
+    case n: java.lang.Integer => Some(n.longValue())
+    case n: java.lang.Short => Some(n.longValue())
+    case n: java.lang.Byte => Some(n.longValue())
+    case d: java.lang.Double =>
+      // stat variant: -0.0 canonicalizes so the literal probes the
+      // same encoded point the envelope was folded with
+      Some(sortableDoubleStatBits(d.doubleValue()))
+    case f: java.lang.Float =>
+      Some(sortableDoubleStatBits(f.floatValue().toDouble))
+    case b: java.lang.Boolean => Some(if (b.booleanValue()) 1L else 0L)
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t))
+    case t: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(t))
+    case t: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(t))
+    case _ => None
+  }
+
+  /** PROVES every pre-delete row of a segment satisfies `filters` —
+    * the DUAL of [[statsPruner]]'s emptiness proofs, powering the
+    * metadata-only DELETE path (Delta's file-level remove when the
+    * predicate covers a whole file). Everything here must be EXACT,
+    * not just sound-as-an-envelope: LongBound stats are exact
+    * streamed min/max of the 8-byte order-preserving encodings,
+    * null counts are exact, and identity partition values are shared
+    * by every row in the directory. Truncated StrBound, decimals,
+    * bucket transforms, doubles (the -0.0 canonicalization folds two
+    * points onto one), and anything unrecognized return false — the
+    * DELETE then falls back to the exact copy-on-write rewrite. Null
+    * rows satisfy NO predicate, so every value proof also requires
+    * nulls == 0. A false negative here costs a rewrite, never
+    * correctness; a false positive would silently delete surviving
+    * rows — hence the exactness discipline. Proofs hold a fortiori
+    * for merge-on-read survivors (DVs only shrink the row set). */
+  def statsAllMatch(path: String, schema: StructType,
+      filters: Array[Filter]): Segment => Boolean = {
+    val secOf: Map[String, Int] = schema.fields.zipWithIndex.map {
+      case (f, i) => f.name -> sectionOf(f, i) }.toMap
+    // exact-envelope eligibility: the 8-byte integer-family encodings
+    // (NOT double/float — sortableDoubleStatBits canonicalizes -0.0,
+    // so an envelope point can stand for two distinct values)
+    val exactLong: Set[String] = schema.fields.collect {
+      case f if (f.dataType match {
+        case LongType | IntegerType | DateType | TimestampType |
+            TimestampNTZType | BooleanType => true
+        case _ => false
+      }) => f.name
+    }.toSet
+    val spec = DocStorePartitioning.read(path)
+    val identLevel: Map[String, Int] = spec.zipWithIndex.collect {
+      case (t: DocStorePartitioning.PIdentity, i) => t.col -> i }.toMap
+    def partValue(s: Segment, c: String): Option[Option[String]] =
+      identLevel.get(c).flatMap(i =>
+        DocStorePartitioning.valuesOf(s.name, spec).map(_(i)))
+    // the pruner's literal rendering, verbatim: a MATCH against the
+    // directory value implies row equality (both sides render through
+    // the same injective per-type string form); any rendering skew
+    // can only fail the proof, never fake it
+    def renderPart(c: String, v: Any): Option[String] = v match {
+      case null => None
+      case n: java.lang.Number
+          if schema.fields(schema.fieldIndex(c)).dataType == LongType =>
+        Some(n.longValue().toString)
+      case other => Some(other.toString)
+    }
+    // exact (nulls, lo, hi) per column: doc_id synthesizes from the
+    // zone map (format-level non-null), others from LongBound stats
+    def bound(s: Segment, c: String): Option[(Long, Long, Long)] =
+      if (c == "doc_id") Some((0L, s.minId, s.maxId))
+      else secOf.get(c).flatMap(s.stats.get).collect {
+        case ColStat(n, Some(LongBound(lo, hi))) if exactLong(c) =>
+          (n, lo, hi)
+      }
+    def proves(f: Filter, s: Segment): Boolean = f match {
+      case org.apache.spark.sql.sources.AlwaysTrue() => true
+      case And(a, b) => proves(a, s) && proves(b, s)
+      case Or(a, b) => proves(a, s) || proves(b, s)
+      case IsNotNull(c) =>
+        c == "doc_id" || // format-level non-null
+          secOf.get(c).flatMap(s.stats.get).exists(_.nulls == 0L) ||
+          partValue(s, c).exists(_.isDefined)
+      case IsNull(c) =>
+        secOf.get(c).flatMap(s.stats.get).exists(_.nulls == s.rows) ||
+          partValue(s, c).exists(_.isEmpty)
+      case EqualTo(c, v) if v != null =>
+        partValue(s, c).exists(pv =>
+          pv.isDefined && renderPart(c, v) == pv) ||
+          (bound(s, c).exists { case (n, lo, hi) =>
+            n == 0L &&
+              encodedLongLiteral(v).exists(x => lo == x && hi == x)
+          })
+      case In(c, vs) =>
+        val nonNull = vs.filter(_ != null)
+        partValue(s, c).exists(pv => pv.isDefined &&
+          nonNull.exists(v => renderPart(c, v) == pv)) ||
+          (bound(s, c).exists { case (n, lo, hi) =>
+            n == 0L && lo == hi &&
+              nonNull.exists(v => encodedLongLiteral(v).contains(lo))
+          })
+      case GreaterThan(c, v) => bound(s, c).exists { case (n, lo, _) =>
+        n == 0L && encodedLongLiteral(v).exists(lo > _) }
+      case GreaterThanOrEqual(c, v) => bound(s, c).exists {
+        case (n, lo, _) =>
+          n == 0L && encodedLongLiteral(v).exists(lo >= _) }
+      case LessThan(c, v) => bound(s, c).exists { case (n, _, hi) =>
+        n == 0L && encodedLongLiteral(v).exists(hi < _) }
+      case LessThanOrEqual(c, v) => bound(s, c).exists {
+        case (n, _, hi) =>
+          n == 0L && encodedLongLiteral(v).exists(hi <= _) }
+      case _ => false
+    }
+    s => filters.forall(f => proves(f, s))
+  }
+
   def statsPruner(schema: StructType, filters: Array[Filter])
       : Segment => Boolean = {
     if (filters.isEmpty) return _ => true
@@ -1850,33 +1978,7 @@ object DocStore {
     // needs the COLUMN's scale, which the pruner resolves from the
     // schema) — both LongBound (p <= 18 segments) and DecBound
     // (p > 18) envelopes prune under one BigInt comparison.
-    def longOf(v: Any): Option[Long] = v match {
-      case n: java.lang.Long => Some(n.longValue())
-      case n: java.lang.Integer => Some(n.longValue())
-      case n: java.lang.Short => Some(n.longValue())
-      case n: java.lang.Byte => Some(n.longValue())
-      case d: java.lang.Double =>
-        // stat variant: -0.0 canonicalizes so the literal probes the
-        // same encoded point the envelope was folded with
-        Some(sortableDoubleStatBits(d.doubleValue()))
-      case f: java.lang.Float =>
-        Some(sortableDoubleStatBits(f.floatValue().toDouble))
-      case b: java.lang.Boolean => Some(if (b.booleanValue()) 1L else 0L)
-      case d: java.sql.Date =>
-        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .fromJavaDate(d).toLong)
-      case d: java.time.LocalDate => Some(d.toEpochDay)
-      case t: java.sql.Timestamp =>
-        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .fromJavaTimestamp(t))
-      case t: java.time.Instant =>
-        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .instantToMicros(t))
-      case t: java.time.LocalDateTime =>
-        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .localDateTimeToMicros(t))
-      case _ => None
-    }
+    def longOf(v: Any): Option[Long] = encodedLongLiteral(v)
     // decimal literal → unscaled BigInt at the COLUMN's scale. None
     // when the literal's fraction doesn't fit the column scale exactly
     // (setScale would round — the rescaled point is not the literal,

@@ -1099,31 +1099,38 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     tblProps.asJava
   }
 
-  /** The delete window iff EVERY filter is expressible as doc_id
-    * bounds (via the shared [[DocStore.tightenDocIdBound]]) —
-    * all-or-nothing, unlike the scan's per-filter accept. */
-  private def windowOf(filters: Array[Filter]): Option[(Long, Long)] = {
+  /** Split the snapshot for a metadata-only DELETE: Some((drop, keep))
+    * when EVERY segment is either PROVABLY all-match (drop — the
+    * [[DocStore.statsAllMatch]] prover: doc_id zone maps, exact
+    * LongBound envelopes with zero nulls, identity partition values)
+    * or provably matchless (keep — the emptiness pruner + partition
+    * pruner + the doc_id window, the same proofs the read path
+    * skips on). None when ANY segment is ambiguous: the DELETE then
+    * routes through the exact copy-on-write/merge-on-read rewrite.
+    * This is Delta's file-level remove cost model generalized past
+    * id windows: a retention `DELETE WHERE event_day < X` on a
+    * date-clustered table or a `WHERE lang = 'x'` on a partitioned
+    * one is pure metadata, touching zero data bytes. */
+  private def metadataSplit(filters: Array[Filter],
+      segments: Seq[DocStore.Segment])
+      : Option[(Seq[DocStore.Segment], Seq[DocStore.Segment])] = {
+    val schema = DocStore.tableSchema(path)
+    val allMatch = DocStore.statsAllMatch(path, schema, filters)
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    val ok = filters.forall { f =>
-      DocStore.tightenDocIdBound(f, lo, hi) match {
-        case Some((l, h)) => lo = l; hi = h; true
-        case None => f match {
-          case IsNotNull("doc_id") => true
-          case _: AlwaysTrue => true
-          case _ => false
-        }
-      }
-    }
-    if (ok) Some((lo, hi)) else None
+    filters.foreach(f => DocStore.tightenDocIdBound(f, lo, hi)
+      .foreach { case (l, h) => lo = l; hi = h })
+    val partKeep = DocStorePartitioning.pruner(
+      DocStorePartitioning.read(path), schema, filters)
+    val statKeep = DocStore.statsPruner(schema, filters)
+    def mightMatch(s: DocStore.Segment): Boolean =
+      s.maxId >= lo && s.minId <= hi && partKeep(s) && statKeep(s)
+    val (drop, keep) = segments.partition(allMatch)
+    if (keep.forall(s => !mightMatch(s))) Some((drop, keep)) else None
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    windowOf(filters).exists { case (lo, hi) =>
-      DocStore.readManifest(path).forall(s =>
-        (s.minId >= lo && s.maxId <= hi) || // fully covered → droppable
-          (s.maxId < lo || s.minId > hi))   // fully outside → untouched
-    }
+    metadataSplit(filters, DocStore.readManifest(path)).isDefined
 
   /** Drops fully-covered segments from the manifest. The segment FILES
     * are retained — prior versions still reference them (the Delta
@@ -1134,17 +1141,23 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     * checkpointed segment itself voids the checkpoint LOUDLY on
     * restart (see [[DocStoreMicroBatchStream]]). The read-filter-write
     * runs under the commit lock so a concurrent INSERT's append can't
-    * be lost between our manifest read and publish. */
+    * be lost between our manifest read and publish — and the split is
+    * RECOMPUTED under the lock: if a concurrent append landed an
+    * ambiguous segment since canDeleteWhere, publishing the stale
+    * split would silently delete (or resurrect) its rows, so the
+    * operation refuses loudly and the user retries. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(manifest == "MANIFEST",
       "cannot DELETE from a time-travel (VERSION AS OF) snapshot")
-    val (lo, hi) = windowOf(filters).getOrElse(
-      throw new IllegalStateException("deleteWhere without canDeleteWhere"))
     DocStoreCommitOps.withCommitLock(path) {
       val (segments, dvs) = DocStore.readManifestAndDeletes(path)
-      val keep = segments.filterNot(s => s.minId >= lo && s.maxId <= hi)
-      require(keep.forall(s => s.maxId < lo || s.minId > hi),
-        "delete window not segment-aligned; canDeleteWhere should have refused")
+      val keep = metadataSplit(filters, segments) match {
+        case Some((_, k)) => k
+        case None => throw new IllegalStateException(
+          "a concurrent commit made this DELETE's metadata split " +
+            "unprovable (a new segment is neither provably all-match " +
+            "nor provably matchless); retry the DELETE")
+      }
       DocStoreCommitOps.writeManifest(path, keep, "delete", dvs)
     }
   }

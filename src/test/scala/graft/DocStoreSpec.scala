@@ -2860,6 +2860,72 @@ class DocStoreSpec extends SparkSpec {
     sc.sql("ALTER TABLE blcat.ns.bad DROP COLUMN fp") // now allowed
   }
 
+  test("metadata-only DELETE generalizes past id windows: partition values and exact envelopes") {
+    val root = Files.createTempDirectory("docstore_metadel").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.mdcat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.mdcat.root" -> root)
+    sc.sql("CREATE NAMESPACE mdcat.ns")
+    // (a) identity-partitioned: DELETE WHERE lang = 'de' must drop the
+    // partition's segments from the manifest without writing ANY file
+    sc.sql("CREATE TABLE mdcat.ns.p (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (lang)")
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .createOrReplaceTempView("md_src")
+    sc.sql("INSERT INTO mdcat.ns.p SELECT * FROM md_src")
+    val pPath = java.nio.file.Paths.get(root, "ns", "p").toString
+    def names(path: String): Set[String] =
+      DocStore.readManifestAndDeletes(path)._1.map(_.name).toSet
+    val before = names(pPath)
+    val deCount = sc.sql(
+      "SELECT COUNT(*) FROM md_src WHERE lang = 'de'").head().getLong(0)
+    sc.sql("DELETE FROM mdcat.ns.p WHERE lang = 'de'")
+    val after = names(pPath)
+    assert(after.subsetOf(before),
+      s"partition DELETE must write no segment: new = ${after -- before}")
+    assert((before -- after).forall(_.startsWith("lang=de/")),
+      s"only the de partition may drop: ${before -- after}")
+    assert(sc.sql("SELECT COUNT(*) FROM mdcat.ns.p WHERE lang = 'de'")
+      .head().getLong(0) == 0)
+    assert(sc.sql("SELECT COUNT(*) FROM mdcat.ns.p").head().getLong(0)
+      == 500 - deCount)
+    // (b) range-clustered: a retention DELETE aligned to the exact
+    // n_chars band envelopes drops whole segments metadata-only
+    sc.sql("CREATE TABLE mdcat.ns.r (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    Seq("n_chars < 200", "n_chars BETWEEN 200 AND 399",
+      "n_chars >= 400").foreach(band => sc.sql(
+      s"INSERT INTO mdcat.ns.r SELECT * FROM md_src WHERE $band"))
+    val rPath = java.nio.file.Paths.get(root, "ns", "r").toString
+    val rBefore = names(rPath)
+    val lowCount = sc.sql(
+      "SELECT COUNT(*) FROM md_src WHERE n_chars < 400").head().getLong(0)
+    sc.sql("DELETE FROM mdcat.ns.r WHERE n_chars < 400")
+    val rAfter = names(rPath)
+    assert(rAfter.subsetOf(rBefore),
+      s"envelope DELETE must write no segment: new = ${rAfter -- rBefore}")
+    assert((rBefore -- rAfter).size == 2,
+      s"exactly the two low bands drop: ${rBefore -- rAfter}")
+    assert(sc.sql("SELECT COUNT(*) FROM mdcat.ns.r").head().getLong(0)
+      == 500 - lowCount)
+    // the dropped files are RETAINED for time travel
+    assert(sc.sql("SELECT COUNT(*) FROM mdcat.ns.r VERSION AS OF 3")
+      .head().getLong(0) == 500)
+    // (c) a band-MISALIGNED predicate is ambiguous: falls back to the
+    // exact rewrite (fresh segments appear), rows still exact
+    val r2Before = names(rPath)
+    sc.sql("DELETE FROM mdcat.ns.r WHERE n_chars >= 450")
+    val r2After = names(rPath)
+    assert((r2After -- r2Before).nonEmpty,
+      "misaligned DELETE must route through the rewrite")
+    assert(sc.sql("SELECT COUNT(*) FROM mdcat.ns.r").head().getLong(0)
+      == sc.sql("SELECT COUNT(*) FROM md_src " +
+        "WHERE n_chars >= 400 AND n_chars < 450").head().getLong(0))
+  }
+
   test("Bloom filters survive INT -> BIGINT widening of the indexed column") {
     // the write path folds INT values AS LONGS, so a metadata-only
     // widening leaves every existing segment's filter probeable by
