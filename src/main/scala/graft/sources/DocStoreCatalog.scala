@@ -23,11 +23,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path-based lakehouse catalog is.
   *
   * Tables gain `SupportsDelete` through [[DocStoreSqlTable]]:
-  * DELETE WHERE over doc_id bounds is served as a METADATA operation
-  * when every segment falls fully inside or fully outside the window —
-  * covered segments drop from the manifest (then from disk), no row is
-  * rewritten. A misaligned window refuses (`canDeleteWhere` = false)
-  * rather than approximating — deletes must be exact. */
+  * DELETE WHERE is served as a METADATA operation whenever every
+  * segment is PROVABLY all-match (doc_id zone maps, exact LongBound
+  * envelopes with zero nulls, identity partition values) or provably
+  * matchless — covered segments drop from the manifest (then from
+  * disk), no row is rewritten. An ambiguous predicate refuses
+  * (`canDeleteWhere` = false) and routes through the exact rewrite —
+  * deletes must be exact. */
 class DocStoreCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
@@ -935,15 +937,17 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
 }
 
 /** Catalog-loaded docstore table: everything [[DocStoreTable]] does,
-  * plus metadata-only DELETE for segment-aligned doc_id windows and
-  * copy-on-write UPDATE / MERGE / misaligned DELETE through
-  * [[DocStoreRowLevelOperation]]. The two DELETE paths compose the way
-  * Delta's do: Spark plans the row-level rewrite, then
-  * OptimizeMetadataOnlyDeleteFromTable collapses it to the
-  * `SupportsDelete` fast path when `canDeleteWhere` accepts — aligned
-  * windows stay zero-rewrite, misaligned ones rewrite exactly instead
-  * of refusing. `manifest` pins a historical snapshot for VERSION AS
-  * OF reads (read-only: row-level ops refuse on a snapshot). */
+  * plus metadata-only DELETE for segment-provable predicates (doc_id
+  * windows, exact stats envelopes, identity partition values — see
+  * [[DocStore.statsAllMatch]]) and copy-on-write UPDATE / MERGE /
+  * ambiguous DELETE through [[DocStoreRowLevelOperation]]. The two
+  * DELETE paths compose the way Delta's do: Spark plans the row-level
+  * rewrite, then OptimizeMetadataOnlyDeleteFromTable collapses it to
+  * the `SupportsDelete` fast path when `canDeleteWhere` accepts —
+  * provable predicates stay zero-rewrite, ambiguous ones rewrite
+  * exactly instead of refusing. `manifest` pins a historical snapshot
+  * for VERSION AS OF reads (read-only: row-level ops refuse on a
+  * snapshot). */
 class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
     extends DocStoreTable(path, manifest)
     with SupportsDelete
