@@ -72,8 +72,13 @@ object Fs {
     * fresh temp dir, best-effort reclaims the key's previous one (its
     * lazy consumers are invalidated by the new invocation — the
     * contract every per-invocation gate fixture shares), and registers
-    * the new dir for JVM-exit cleanup. One implementation instead of a
-    * copy per gate (r16 review finding). */
+    * the new dir for JVM-exit cleanup. Rotation matters for bench
+    * sweeps: each gate runs ~3× (warm-up + timed), and deferring every
+    * copy to JVM exit would hold ~3× gates of full fixtures in /tmp at
+    * once — rotation bounds it at one previous + one current per key,
+    * while per-invocation unique paths keep the concurrent-JVM hazard
+    * closed. One implementation instead of a copy per gate (r16
+    * review finding). */
   def rotatingTempRoot(key: String): Path = {
     val fresh = java.nio.file.Files.createTempDirectory(key)
     deleteOnExit(fresh)

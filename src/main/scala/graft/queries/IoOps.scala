@@ -2959,7 +2959,8 @@ object IoOps {
       Some("""
         SELECT lang, COUNT(*)::BIGINT AS n_docs,
                SUM(n_chars)::BIGINT AS chars,
-               (SELECT COUNT(*) FROM documents)::BIGINT AS n_before
+               (SELECT COUNT(*) FROM documents
+                WHERE n_chars IS NOT NULL)::BIGINT AS n_before
         FROM documents WHERE n_chars >= 400
         GROUP BY lang ORDER BY lang""")) { (s, dir) =>
       val root = graft.core.Fs.rotatingTempRoot("q216_retain")
@@ -2976,11 +2977,14 @@ object IoOps {
         .createOrReplaceTempView("q216_src")
       // three commits with disjoint n_chars envelopes — the retention
       // cutoff lands exactly on a band boundary, so the two low bands
-      // are provably all-match and the high band provably matchless
+      // are provably all-match and the high band provably matchless.
+      // The bands deliberately exclude NULL n_chars rows (none exist
+      // in the fixture today); the explicit guard keeps the oracle's
+      // n_before equal to the table's pre-delete count if that changes
       Seq("n_chars < 200", "n_chars BETWEEN 200 AND 399",
         "n_chars >= 400").foreach(band => sc.sql(
         "INSERT INTO graft_cat_ret.default.docs " +
-          s"SELECT * FROM q216_src WHERE $band"))
+          s"SELECT * FROM q216_src WHERE n_chars IS NOT NULL AND $band"))
       val tablePath = root.resolve("default").resolve("docs").toString
       val preNames = graft.sources.DocStore
         .readManifestAndDeletes(tablePath)._1.map(_.name).toSet
@@ -3059,15 +3063,6 @@ object IoOps {
         "PARTITIONED BY (lang)")
       b.sql("INSERT INTO gp_build.default.docs SELECT * FROM part_docs_src")
     }
-
-  /** Last live copy per gate: a bench sweep invokes each catalog gate
-    * three times (warm-up + two timed), and deferring every copy's
-    * reclamation to JVM exit would hold ~3× gates full-table copies in
-    * /tmp simultaneously. Deleting the SAME gate's previous copy at
-    * its next invocation bounds this at one live + one current per
-    * gate per JVM, while per-invocation unique paths keep the original
-    * concurrent-JVM hazard closed; the final copy still goes via
-    * deleteOnExit. */
 
   /** Per-invocation private copy of the Scratch-built catalog fixture
     * (CREATE + 4 segment-aligned INSERTs of `documents`), registered

@@ -702,10 +702,6 @@ object DocStore {
     * forty. Fields match by NAME (pruning preserves order, but the
     * match doesn't rely on it); `full == req` short-circuits to the
     * plain decoder. */
-  def nestedOfProjected(full: DataType, req: DataType,
-      payload: Array[Byte]): AnyRef =
-    projectedDecoderOf(full, req)(payload)
-
   /** COMPILE the (write type, required type) pair into a reusable
     * decoder: per-struct name-match index arrays and child decoders
     * resolve ONCE here, not per decoded value (r16 review finding:
@@ -1870,7 +1866,8 @@ object DocStore {
     * correctness; a false positive would silently delete surviving
     * rows — hence the exactness discipline. Proofs hold a fortiori
     * for merge-on-read survivors (DVs only shrink the row set). */
-  def statsAllMatch(path: String, schema: StructType,
+  def statsAllMatch(spec: Seq[DocStorePartitioning.PTransform],
+      schema: StructType,
       filters: Array[Filter]): Segment => Boolean = {
     val secOf: Map[String, Int] = schema.fields.zipWithIndex.map {
       case (f, i) => f.name -> sectionOf(f, i) }.toMap
@@ -1884,23 +1881,15 @@ object DocStore {
         case _ => false
       }) => f.name
     }.toSet
-    val spec = DocStorePartitioning.read(path)
     val identLevel: Map[String, Int] = spec.zipWithIndex.collect {
       case (t: DocStorePartitioning.PIdentity, i) => t.col -> i }.toMap
     def partValue(s: Segment, c: String): Option[Option[String]] =
       identLevel.get(c).flatMap(i =>
         DocStorePartitioning.valuesOf(s.name, spec).map(_(i)))
-    // the pruner's literal rendering, verbatim: a MATCH against the
-    // directory value implies row equality (both sides render through
-    // the same injective per-type string form); any rendering skew
-    // can only fail the proof, never fake it
-    def renderPart(c: String, v: Any): Option[String] = v match {
-      case null => None
-      case n: java.lang.Number
-          if schema.fields(schema.fieldIndex(c)).dataType == LongType =>
-        Some(n.longValue().toString)
-      case other => Some(other.toString)
-    }
+    // the pruner's literal rendering, SHARED (see renderLiteral): a
+    // MATCH against the directory value implies row equality
+    def renderPart(c: String, v: Any): Option[String] =
+      DocStorePartitioning.renderLiteral(schema, c, v)
     // exact (nulls, lo, hi) per column: doc_id synthesizes from the
     // zone map (format-level non-null), others from LongBound stats
     def bound(s: Segment, c: String): Option[(Long, Long, Long)] =

@@ -1119,13 +1119,13 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
       segments: Seq[DocStore.Segment])
       : Option[(Seq[DocStore.Segment], Seq[DocStore.Segment])] = {
     val schema = DocStore.tableSchema(path)
-    val allMatch = DocStore.statsAllMatch(path, schema, filters)
+    val spec = DocStorePartitioning.read(path)
+    val allMatch = DocStore.statsAllMatch(spec, schema, filters)
     var lo = Long.MinValue
     var hi = Long.MaxValue
     filters.foreach(f => DocStore.tightenDocIdBound(f, lo, hi)
       .foreach { case (l, h) => lo = l; hi = h })
-    val partKeep = DocStorePartitioning.pruner(
-      DocStorePartitioning.read(path), schema, filters)
+    val partKeep = DocStorePartitioning.pruner(spec, schema, filters)
     val statKeep = DocStore.statsPruner(schema, filters)
     def mightMatch(s: DocStore.Segment): Boolean =
       s.maxId >= lo && s.minId <= hi && partKeep(s) && statKeep(s)

@@ -199,17 +199,27 @@ object DocStorePartitioning {
     * filtering. Handles the conjuncts that matter for partition
     * elimination: EqualTo / EqualNullSafe / In / IsNull / IsNotNull on
     * an identity column, EqualTo / In on a bucketed doc_id. */
+  /** A filter literal's directory-value rendering for an identity
+    * partition column — ONE implementation shared by the keep-side
+    * pruner and [[DocStore.statsAllMatch]]'s all-match prover, because
+    * the prover's match-implies-row-equality argument rests on this
+    * rendering agreeing with the writer's (injective per supported
+    * type; any skew can only fail a proof, never fake one). */
+  private[sources] def renderLiteral(schema: StructType, col: String,
+      v: Any): Option[String] = v match {
+    case null => None
+    case n: java.lang.Number
+        if schema.fields(schema.fieldIndex(col)).dataType == LongType =>
+      Some(n.longValue().toString)
+    case other => Some(other.toString)
+  }
+
   def pruner(spec: Seq[PTransform], schema: StructType,
       filters: Array[Filter]): DocStore.Segment => Boolean = {
     if (spec.isEmpty || filters.isEmpty) return _ => true
 
-    def render(col: String, v: Any): Option[String] = v match {
-      case null => None
-      case n: java.lang.Number
-          if schema.fields(schema.fieldIndex(col)).dataType == LongType =>
-        Some(n.longValue().toString)
-      case other => Some(other.toString)
-    }
+    def render(col: String, v: Any): Option[String] =
+      renderLiteral(schema, col, v)
 
     // per level: does this (possibly null) partition value survive
     // every filter on the level's column?

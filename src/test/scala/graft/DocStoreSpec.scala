@@ -2898,9 +2898,12 @@ class DocStoreSpec extends SparkSpec {
       "n_chars BIGINT, lang STRING, source STRING, text STRING)")
     Seq("n_chars < 200", "n_chars BETWEEN 200 AND 399",
       "n_chars >= 400").foreach(band => sc.sql(
-      s"INSERT INTO mdcat.ns.r SELECT * FROM md_src WHERE $band"))
+      "INSERT INTO mdcat.ns.r SELECT * FROM md_src " +
+        s"WHERE n_chars IS NOT NULL AND $band"))
     val rPath = java.nio.file.Paths.get(root, "ns", "r").toString
     val rBefore = names(rPath)
+    val rTotal = sc.sql("SELECT COUNT(*) FROM md_src " +
+      "WHERE n_chars IS NOT NULL").head().getLong(0)
     val lowCount = sc.sql(
       "SELECT COUNT(*) FROM md_src WHERE n_chars < 400").head().getLong(0)
     sc.sql("DELETE FROM mdcat.ns.r WHERE n_chars < 400")
@@ -2910,10 +2913,10 @@ class DocStoreSpec extends SparkSpec {
     assert((rBefore -- rAfter).nonEmpty && rAfter.nonEmpty,
       s"the low bands drop, the high band stays: ${rBefore -- rAfter}")
     assert(sc.sql("SELECT COUNT(*) FROM mdcat.ns.r").head().getLong(0)
-      == 500 - lowCount)
+      == rTotal - lowCount)
     // the dropped files are RETAINED for time travel
     assert(sc.sql("SELECT COUNT(*) FROM mdcat.ns.r VERSION AS OF 3")
-      .head().getLong(0) == 500)
+      .head().getLong(0) == rTotal)
     // (c) a band-MISALIGNED predicate is ambiguous: falls back to the
     // exact rewrite (fresh segments appear), rows still exact
     val r2Before = names(rPath)
