@@ -1552,6 +1552,376 @@ object EmbedOps {
             col("cell") === col("r_cell") &&
             col("cosine") === col("r_cosine")).as("fresh"))
         .orderBy("query_id", "rnk")
+    },
+
+    Q("q217_ann_lsm_fold_retire",
+      "The FULL LSM lifecycle for the ANN index (r16 verdict item 1 — " +
+        "q212 proved fold-of-ONE and nothing ever vacuumed a folded " +
+        "fragment; at 100 TB the fragment pile IS the read " +
+        "amplification): THREE accumulated delta fragments — each an " +
+        "upsert batch assigned against the PINNED base coarse " +
+        "quantizer, the FAISS/Milvus posture that makes folds " +
+        "arrival-order-independent — are folded in ONE " +
+        "affected-cells-only pass (base partition-pruned to the union " +
+        "of the fragments' cells; untouched cells never read) and the " +
+        "folded fragments are RETIRED atomically: the index MANIFEST " +
+        "swaps {base + 3 fragments} -> {base + overlay} in one atomic " +
+        "rename under the docstore commit lock (with a conflict check " +
+        "that refuses if the fragment set changed since the fold was " +
+        "computed), and only then are the retired fragment files " +
+        "deleted — a reader resolves its layer set from ONE manifest " +
+        "snapshot, so there is NO window where a vector is served " +
+        "from both its fragment and the overlay (no double-count) or " +
+        "from neither (no loss). serve-after == serve-before row for " +
+        "row (required in-gate, and both equal q207's pre-fold serve " +
+        "— the shared oracle pins the whole triple). At 100 TB: fold " +
+        "cost scales with fragment bytes + affected cells, the " +
+        "manifest swap is metadata-sized, and retired fragments stop " +
+        "taxing every probe — compaction, scheduled off-peak.",
+      Some(annIncOracle)) { (s, dir) =>
+      val idx = ivfIncBase(s, dir)
+      val pristine = annLsmFrags(s, dir)
+      // the retire lifecycle MUTATES fragment state — operate on a
+      // per-invocation copy of the pristine Scratch fragments
+      // (milliseconds; the catalogCopy precedent)
+      val root = graft.core.Fs.rotatingTempRoot("q217_lsm")
+      graft.core.Fs.copyRecursively(
+        java.nio.file.Paths.get(pristine), root.resolve("frags"))
+      val fragDirs = (0 to 2).map(k =>
+        root.resolve("frags").resolve(s"frag-$k"))
+      // ---- the index MANIFEST: `<kind>,<relative path>` lines,
+      // published by ATOMIC RENAME under the docstore commit lock
+      // (the same arbitration the lakehouse commits use); versioned
+      // copies retained like MANIFEST.v<n>
+      val mf = root.resolve("MANIFEST")
+      def readManifest(): Seq[(String, String)] =
+        java.nio.file.Files.readAllLines(mf).toArray.toSeq
+          .map(_.toString.split(",", 2)).map(a => (a(0), a(1)))
+      def publish(lines: Seq[String], v: Int): Unit = {
+        val tmp = root.resolve(s".mf-stg-$v")
+        java.nio.file.Files.write(tmp,
+          lines.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.copy(tmp, root.resolve(s"MANIFEST.v$v"))
+        java.nio.file.Files.move(tmp, mf,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+        publish(Seq(s"base,$idx"), 0)
+      }
+      // three accumulation commits (the steady-state upsert cadence)
+      fragDirs.zipWithIndex.foreach { case (f, k) =>
+        graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+          publish(readManifest().map { case (a, b) => s"$a,$b" } :+
+            s"frag,$f", k + 1)
+        }
+      }
+      // ---- shared serve (the q207 shape): probe the given centroids,
+      // scan only probed cells of the given layer pool
+      def serve(cents: DataFrame, poolOf: Seq[Any] => DataFrame)
+          : DataFrame = {
+        val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("q").as("qv"),
+            col("nn").as("qn"))
+        val dist = qs.crossJoin(broadcast(cents))
+          .withColumn("d", aggregate(
+            zip_with(col("qv"), col("sv"),
+              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+            lit(0L), (acc, x) => acc + x))
+        val wp = Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("label").asc)
+        val probe = dist.withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= 2)
+          .select(col("qid"), col("label"), col("qv"), col("qn"))
+        val cells = probe.select("label").distinct()
+          .collect().map(_.get(0)).toSeq
+        annIncServe(poolOf(cells), probe)
+      }
+      val fragVecs = readManifest().collect { case ("frag", p) =>
+        s"$p/vectors" }
+      val dcents = readManifest().collect { case ("frag", p) =>
+        s"$p/dcent" }
+      val cents = foldedCentroidsAll(s, idx, dcents)
+        .persist() // tiny; probed twice (before + after)
+      val before = serve(cents, cells =>
+        s.read.parquet(s"$idx/vectors")
+          .filter(col("label").isin(cells: _*))
+          .withColumn("is_new", lit(false))
+          .unionByName(fragVecs.map(p => s.read.parquet(p))
+            .reduce(_.unionByName(_))
+            .filter(col("label").isin(cells: _*))
+            .withColumn("is_new", lit(true))))
+        .collect()
+      // ---- the FOLD: one affected-cells-only pass over base + all
+      // three fragments -> overlay + folded centroids
+      val fold = root.resolve("fold")
+      annLsmFoldInput(s, idx, fragVecs).write.partitionBy("label")
+        .parquet(fold.resolve("cells").toString)
+      cents.write.parquet(fold.resolve("centroids").toString)
+      // ---- the atomic RETIRE: swap the manifest under the commit
+      // lock (conflict-checked), then delete the retired fragments —
+      // deletion happens only AFTER the swap made them unreachable
+      graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+        val cur = readManifest()
+        val curFrags = cur.collect { case ("frag", p) => p }
+        require(curFrags == fragDirs.map(_.toString),
+          s"concurrent fragment change since the fold was computed " +
+            s"(expected ${fragDirs.mkString(",")}, manifest has " +
+            s"${curFrags.mkString(",")}); refusing the swap")
+        publish(Seq(s"base,$idx", s"fold,$fold"), 4)
+        curFrags.foreach(graft.core.Fs.deleteRecursively)
+      }
+      require(fragDirs.forall(f => !java.nio.file.Files.exists(f)),
+        "retired fragments must be deleted after the swap")
+      val post = readManifest()
+      require(!post.exists(_._1 == "frag") &&
+        post.exists(_._1 == "fold"),
+        s"post-fold manifest must list base + overlay only, got $post")
+      // ---- serve AFTER, resolving layers from the swapped manifest:
+      // probed affected cells read the overlay, untouched cells the base
+      val foldDir = post.collect { case ("fold", p) => p }.head
+      val foldCells = s"$foldDir/cells"
+      val affected = s.read.parquet(foldCells)
+        .select("label").distinct().collect().map(_.get(0)).toSet
+      // post-swap readers resolve EVERYTHING through the manifest:
+      // centroids come from the overlay's persisted copy, never from
+      // the (retired, deleted) fragment aggregates
+      val afterDf = serve(s.read.parquet(s"$foldDir/centroids"), cells => {
+        val (hot, cold) = cells.partition(affected.contains)
+        s.read.parquet(foldCells)
+          .filter(col("label").isin(hot: _*))
+          .unionByName(s.read.parquet(s"$idx/vectors")
+            .filter(col("label").isin(cold: _*))
+            .withColumn("is_new", lit(false)))
+      })
+      val after = afterDf.collect()
+      cents.unpersist()
+      // the fold's correctness contract, asserted row for row
+      require(before.toSeq == after.toSeq,
+        s"serve-after-fold must equal serve-before-fold: " +
+          s"${before.toSeq.diff(after.toSeq)} vs " +
+          s"${after.toSeq.diff(before.toSeq)}")
+      afterDf
+    },
+
+    Q("q218_filtered_ann_skew",
+      "SKEW REMEDIATION for filtered vector search (r16 verdict item " +
+        "2 — q213's recall audit MEASURED that global centroids can " +
+        "under-recall a skewed filter slice; this gate ACTS on it, " +
+        "the Milvus partition-key / Lance scalar-index answer: " +
+        "partition the INDEX by the filter key). The skew is the " +
+        "realistic one — one source's content concentrates in two " +
+        "clusters (src = 0 iff label <= 1; think a code source " +
+        "inside a text corpus). A filtered query probed through " +
+        "GLOBAL centroids ranks all ten cells by whole-corpus " +
+        "geometry, lands its nprobe = 2 on cells holding ZERO " +
+        "src-0 vectors, and returns a silently empty or partial " +
+        "top-k — recall_global collapses (the production failure " +
+        "filtered-ANN stacks monitor for). The PER-SRC centroid " +
+        "tables (metadata-sized, nested under the same src=<k>/" +
+        "label=<cell>/ layout) rank only the slice's own cells, so " +
+        "the same nprobe covers the slice and recall_slice = 1.0 — " +
+        "asserted in-gate, computed (not assumed) in BOTH engines " +
+        "against the exact filtered baseline. At 100 TB: one extra " +
+        "cells x srcs x dim integer table turns the skewed-filter " +
+        "tail from a recall incident into a partition-pruned read.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n0 AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT vec_id, label, q, nn,
+                      CASE WHEN label <= 1 THEN 0
+                           ELSE 1 + vec_id % 2 END AS src
+               FROM n0 WHERE nn > 0),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM nz CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                 FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM nz GROUP BY 1),
+        cc AS (SELECT cent.label, sv, c
+               FROM cent JOIN cnt ON cent.label = cnt.label),
+        s0 AS (SELECT * FROM nz WHERE src = 0),
+        scellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                     FROM s0 CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                     GROUP BY 1, 2),
+        scent AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                  FROM scellsum GROUP BY 1),
+        scnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM s0 GROUP BY 1),
+        scc AS (SELECT scent.label, sv, c
+                FROM scent JOIN scnt ON scent.label = scnt.label),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
+               WHERE vec_id >= 5 AND vec_id < 10),
+        ex AS (SELECT qid, s0.vec_id AS nid,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) DESC,
+                        s0.vec_id) AS ernk
+               FROM qs JOIN s0 ON s0.vec_id <> qs.qid),
+        ex3 AS (SELECT qid, nid FROM ex WHERE ernk <= 3),
+        gdist AS (SELECT qid, cc.label, qv, qn,
+                         list_sum(list_transform(range($DIM),
+                           i -> (c * qv[i+1] - sv[i+1])
+                              * (c * qv[i+1] - sv[i+1]))) AS d
+                  FROM qs CROSS JOIN cc),
+        gprobe AS (SELECT qid, label, qv, qn FROM (
+                     SELECT qid, label, qv, qn,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY d, label) AS pr
+                     FROM gdist) WHERE pr <= 2),
+        gcand AS (SELECT qid, s0.vec_id AS nid,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                           ${oDot("qv", "q")}::DOUBLE /
+                             (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) DESC,
+                           s0.vec_id) AS rnk
+                  FROM gprobe JOIN s0 ON s0.label = gprobe.label
+                                     AND s0.vec_id <> gprobe.qid),
+        grec AS (SELECT e.qid,
+                        ROUND(COUNT(g.nid) / 3.0, 6) AS recall
+                 FROM ex3 e LEFT JOIN
+                   (SELECT qid, nid FROM gcand WHERE rnk <= 3) g
+                   ON e.qid = g.qid AND e.nid = g.nid
+                 GROUP BY e.qid),
+        sdist AS (SELECT qid, scc.label, qv, qn,
+                         list_sum(list_transform(range($DIM),
+                           i -> (c * qv[i+1] - sv[i+1])
+                              * (c * qv[i+1] - sv[i+1]))) AS d
+                  FROM qs CROSS JOIN scc),
+        sprobe AS (SELECT qid, label, qv, qn FROM (
+                     SELECT qid, label, qv, qn,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY d, label) AS pr
+                     FROM sdist) WHERE pr <= 2),
+        scand AS (SELECT qid, s0.vec_id AS nid, s0.label AS cell,
+                         ${oDot("qv", "q")}::DOUBLE /
+                           (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                  FROM sprobe JOIN s0 ON s0.label = sprobe.label
+                                     AND s0.vec_id <> sprobe.qid),
+        s3 AS (SELECT qid, nid, cell, cos,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, nid) AS rnk
+               FROM scand),
+        srec AS (SELECT e.qid,
+                        ROUND(COUNT(x.nid) / 3.0, 6) AS recall
+                 FROM ex3 e LEFT JOIN
+                   (SELECT qid, nid FROM s3 WHERE rnk <= 3) x
+                   ON e.qid = x.qid AND e.nid = x.nid
+                 GROUP BY e.qid)
+        SELECT s3.qid AS query_id, s3.rnk::INT AS rnk,
+               s3.nid AS neighbor_id, s3.cell,
+               ROUND(s3.cos, 6) AS cosine,
+               srec.recall AS recall_slice, grec.recall AS recall_global
+        FROM s3 JOIN srec ON s3.qid = srec.qid
+                JOIN grec ON s3.qid = grec.qid
+        WHERE s3.rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      val idx = graft.core.Scratch.materialize("ivf_filtered_slice",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+        val v = quantized(s, dir).withColumn("src",
+          when(col("label") <= 1, lit(0L))
+            .otherwise(lit(1L) + pmod(col("vec_id"), lit(2))))
+        def cents(df: DataFrame): DataFrame = {
+          val cellsum = df
+            .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+            .groupBy(col("label"), col("i"))
+            .agg(sum(col("x")).as("s"))
+          val cent = cellsum.groupBy(col("label"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("i"), col("s")))),
+              e => e.getField("s")).as("sv"))
+          cent.join(df.groupBy(col("label")).agg(count(lit(1)).as("c")),
+            "label")
+        }
+        cents(v).write
+          .parquet(java.nio.file.Paths.get(p, "centroids").toString)
+        // the remediation: ONE per-src centroid table, src-partitioned
+        // (a probe reads exactly its slice's cells-x-dim integers)
+        (0L to 2L).map(k => cents(v.filter(col("src") === k))
+            .withColumn("src", lit(k)))
+          .reduce(_.unionByName(_))
+          .write.partitionBy("src")
+          .parquet(java.nio.file.Paths.get(p, "scentroids").toString)
+        v.write.partitionBy("src", "label")
+          .parquet(java.nio.file.Paths.get(p, "vectors").toString)
+      }
+      val qs = s.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      def dist(cents: DataFrame): DataFrame = qs
+        .crossJoin(broadcast(cents))
+        .withColumn("d", aggregate(
+          zip_with(col("qv"), col("sv"),
+            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+          lit(0L), (acc, x) => acc + x))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("label").asc)
+      def top2(d: DataFrame): DataFrame = d
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("label"), col("qv"), col("qn"))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      def rank3(pool: DataFrame, probe: DataFrame): DataFrame = pool
+        .join(broadcast(probe),
+          pool("label") === probe("label") && col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 3)
+      // exact ground truth over the filtered slice (src-pruned scan)
+      val slice = s.read.parquet(s"$idx/vectors").filter(col("src") === 0)
+      val ex3 = slice.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        .withColumn("ernk", row_number().over(wr))
+        .filter(col("ernk") <= 3)
+        .select(col("qid").as("eqid"), col("vec_id").as("enid"))
+      def recallOf(top3: DataFrame, name: String): DataFrame =
+        ex3.join(broadcast(top3
+            .select(col("qid").as("tqid"), col("vec_id").as("tnid"))),
+            col("eqid") === col("tqid") && col("enid") === col("tnid"),
+            "left")
+          .groupBy(col("eqid").as(s"${name}_qid"))
+          .agg(round(count(col("tnid")) / 3.0, 6).as(name))
+      // GLOBAL path: whole-corpus centroids mis-rank the skewed slice
+      val gcells = top2(dist(s.read.parquet(s"$idx/centroids")))
+      val gPool = {
+        val cells = gcells.select("label").distinct()
+          .collect().map(_.get(0))
+        slice.filter(col("label").isin(cells: _*))
+      }
+      val gRec = recallOf(rank3(gPool, gcells), "recall_global")
+      // SLICED path: per-src centroids (partition-pruned to src = 0)
+      // rank only the slice's own cells — nprobe covers the slice
+      val scells = top2(dist(s.read.parquet(s"$idx/scentroids")
+        .filter(col("src") === 0).drop("src")))
+      val sPool = {
+        val cells = scells.select("label").distinct()
+          .collect().map(_.get(0))
+        slice.filter(col("label").isin(cells: _*))
+      }
+      val s3 = rank3(sPool, scells)
+      val sRec = recallOf(s3, "recall_slice")
+      val out = s3
+        .select(col("qid").as("query_id"), col("rnk"),
+          col("vec_id").as("neighbor_id"), sPool("label").as("cell"),
+          round(col("cos"), 6).as("cosine"))
+        .join(broadcast(sRec), col("query_id") === col("recall_slice_qid"))
+        .join(broadcast(gRec), col("query_id") === col("recall_global_qid"))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("cell"), col("cosine"), col("recall_slice"),
+          col("recall_global"))
+        .orderBy("query_id", "rnk")
+      // the remediation contract, asserted where the driver can see a
+      // loud failure: the per-slice index recovers FULL recall on the
+      // slice the global index under-recalls
+      val rows = out.collect()
+      require(rows.nonEmpty && rows.forall(_.getDouble(5) == 1.0),
+        s"per-src centroids must recover recall@3 = 1.0 on the " +
+          s"skewed slice: ${rows.map(_.getDouble(5)).toSeq}")
+      require(rows.exists(_.getDouble(6) < 1.0),
+        "the skewed slice must DEMONSTRATE global under-recall " +
+          s"(got ${rows.map(_.getDouble(6)).distinct.toSeq})")
+      out
     }
   )
 
@@ -1726,6 +2096,95 @@ object EmbedOps {
   /** graft-visible fixture accessors for the fold plan audit. */
   private[graft] def annIncPaths(s: SparkSession, dir: String)
       : (String, String) = (ivfIncBase(s, dir), annIncDelta(s, dir))
+
+  /** THREE accumulated delta fragments (q217's LSM lifecycle input),
+    * each an upsert batch assigned against the PINNED base coarse
+    * quantizer — the FAISS/Milvus posture: the cell space is fixed at
+    * build time, so fold results are arrival-order-independent and
+    * the union of N fragments assigns exactly like one big batch
+    * (which is what lets q207/q212/q217 share one oracle). Pristine
+    * and immutable (Scratch): the retire lifecycle operates on
+    * per-invocation COPIES. */
+  private[graft] def annLsmFrags(s: SparkSession, dir: String): String = {
+    val idx = ivfIncBase(s, dir)
+    graft.core.Scratch.materialize("ivf_lsm_frags",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+      val centroids = s.read.parquet(s"$idx/centroids")
+      (0 to 2).foreach { k =>
+        val batch = quantized(s, dir)
+          .filter(col("vec_id") % 10 === 0 &&
+            pmod(expr("vec_id div 10"), lit(3)) === k)
+          .drop("label")
+        val ad = batch.crossJoin(broadcast(centroids))
+          .withColumn("d", aggregate(
+            zip_with(col("q"), col("sv"),
+              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+            lit(0L), (acc, x) => acc + x))
+        val wa = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").asc, col("label").asc)
+        val vecs = java.nio.file.Paths.get(p, s"frag-$k", "vectors")
+        ad.withColumn("ar", row_number().over(wa))
+          .filter(col("ar") === 1)
+          .select(col("vec_id"), col("q"), col("nn"), col("label"))
+          .write.partitionBy("label").parquet(vecs.toString)
+        // per-fragment integer centroid aggregates, read BACK from
+        // the fragment (the same unpersist shape as annIncDelta)
+        val back = s.read.parquet(vecs.toString)
+        val dsum = back
+          .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("x")).as("ds"))
+        val dvec = dsum.groupBy(col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("ds")))),
+            e => e.getField("ds")).as("dv"))
+        val dcnt = back.groupBy(col("label")).agg(count(lit(1)).as("dc"))
+        dvec.join(dcnt, "label").write.parquet(
+          java.nio.file.Paths.get(p, s"frag-$k", "dcent").toString)
+      }
+    }
+  }
+
+  /** Base centroids + the SUMMED per-cell integer aggregates of N
+    * fragments — the associative fold at any fragment count (the
+    * N = 1 case is [[foldedCentroids]]). Metadata-sized on the
+    * fragment side: cells x (dim + 1) integers per fragment. */
+  private def foldedCentroidsAll(s: SparkSession, idx: String,
+      fragDcents: Seq[String]): DataFrame = {
+    val all = fragDcents.map(p => s.read.parquet(p))
+      .reduce(_.unionByName(_))
+    val dvAll = all
+      .select(col("label"), posexplode(col("dv")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("ds"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("ds")))),
+        e => e.getField("ds")).as("dv"))
+      .join(all.groupBy(col("label")).agg(sum(col("dc")).as("dc")), "label")
+    s.read.parquet(s"$idx/centroids")
+      .join(broadcast(dvAll), Seq("label"), "left")
+      .select(col("label"),
+        when(col("dv").isNull, col("sv"))
+          .otherwise(zip_with(col("sv"), col("dv"), (a, b) => a + b))
+          .as("sv"),
+        (col("c") + coalesce(col("dc"), lit(0L))).as("c"))
+  }
+
+  /** The multi-fragment fold's INPUT frame — ONE pass over base rows
+    * of AFFECTED cells (partition-pruned; untouched cells never read)
+    * plus every accumulated fragment, is_new preserved. graft-visible
+    * so PlanAuditSpec pins the pruned plan over the pristine
+    * fixture. */
+  private[graft] def annLsmFoldInput(s: SparkSession, idx: String,
+      fragVecDirs: Seq[String]): DataFrame = {
+    val frags = fragVecDirs.map(p => s.read.parquet(p))
+      .reduce(_.unionByName(_))
+    val affected = frags.select("label").distinct().collect().map(_.get(0))
+    s.read.parquet(s"$idx/vectors")
+      .filter(col("label").isin(affected: _*))
+      .withColumn("is_new", lit(false))
+      .unionByName(frags.withColumn("is_new", lit(true)))
+  }
 
   /** Shared serve tail of the incremental pair: exact cosine rerank
     * inside the probed pool, top-3 overall PLUS each query's best NEW

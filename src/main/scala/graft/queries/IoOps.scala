@@ -3011,6 +3011,148 @@ object IoOps {
         "SUM(n_chars) AS chars, " +
         s"CAST($nBefore AS BIGINT) AS n_before " +
         "FROM graft_cat_ret.default.docs GROUP BY lang ORDER BY lang")
+    },
+
+    Q("q219_nested_bloom_skipping",
+      "BLOOM skipping on STRUCT LEAVES (r16 verdict item 3 — Delta " +
+        "supports nested Bloom columns; a content fingerprint inside " +
+        "a metadata struct is the COMMON layout for curation corpora, " +
+        "where top-level columns stay the ingest schema and derived " +
+        "identities live under `meta`): graft.bloom.columns accepts " +
+        "dotted leaf paths (`meta.fp`), validated by the SAME " +
+        "eligibility rules as top-level columns — ARRAY/MAP anywhere " +
+        "on the path refuses loudly at DDL time (no fixed per-row " +
+        "position), float/decimal/boolean leaves decline. The writer " +
+        "folds the leaf values that already ride the NestedPayload " +
+        "beside the q210 stat envelopes, publishes composite `B,` " +
+        "manifest lines (`<sec>:<path>`), and the pruner resolves " +
+        "dotted point predicates through them with the same " +
+        "shadowing rule as leaf stats. The gate stripes documents by " +
+        "doc_id % 4 — each segment's leaf-fingerprint ENVELOPE spans " +
+        "the hex domain, so only the Bloom can prove absence — and " +
+        "fetches stripe-0 documents by `meta.fp` IN-list (plus one " +
+        "absent key): PlanAuditSpec pins the strict segment subset, " +
+        "DocStoreSpec pins the refusal matrix and the no-false-" +
+        "negative property on leaves. At 100 TB: decontamination " +
+        "lookups keyed on a nested fingerprint touch ~1 segment " +
+        "instead of the corpus, without flattening the metadata.",
+      Some("""
+        SELECT doc_id, n_chars, lang, md5(text) AS fp
+        FROM documents
+        WHERE md5(text) IN (SELECT md5(text) FROM documents
+                            WHERE doc_id % 4 = 0 AND doc_id < 32)
+        ORDER BY doc_id""")) { (s, dir) =>
+      val root = graft.core.Fs.rotatingTempRoot("q219_nbloom")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_nbl" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_nbl.root" -> root.toString)
+      sc.sql("CREATE NAMESPACE graft_cat_nbl.default")
+      sc.sql("CREATE TABLE graft_cat_nbl.default.docs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING)")
+      // the fingerprint lives INSIDE the evolved metadata struct —
+      // the Bloom property names the dotted leaf, set after the ADD
+      // (validation resolves it against the evolved schema)
+      sc.sql("ALTER TABLE graft_cat_nbl.default.docs ADD COLUMNS " +
+        "(meta STRUCT<fp: STRING, day: BIGINT>)")
+      sc.sql("ALTER TABLE graft_cat_nbl.default.docs SET TBLPROPERTIES " +
+        "('graft.bloom.columns' = 'meta.fp')")
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("q219_src")
+      // id-striped commits: every segment spans ~the full id range and
+      // the full hex domain on the LEAF envelope — only the leaf Bloom
+      // can skip (see q215 for the top-level twin)
+      (0 to 3).foreach(k => sc.sql(
+        "INSERT INTO graft_cat_nbl.default.docs " +
+          "SELECT doc_id, n_chars, lang, source, text, " +
+          "named_struct('fp', md5(text), 'day', doc_id % 7) " +
+          s"FROM q219_src WHERE doc_id % 4 = $k"))
+      val keys = Tables.documents(sc, dir)
+        .filter(col("doc_id") % 4 === 0 && col("doc_id") < 32)
+        .select(md5(col("text"))).collect().map(_.getString(0))
+      val inList = (keys :+ "0000-absent-key-0000")
+        .map(k => s"'$k'").mkString(", ")
+      sc.sql("SELECT doc_id, n_chars, lang, meta.fp AS fp " +
+        "FROM graft_cat_nbl.default.docs " +
+        s"WHERE meta.fp IN ($inList) ORDER BY doc_id")
+    },
+
+    Q("q220_nested_retention_delete",
+      "METADATA-ONLY retention DELETE driven by a STRUCT-LEAF " +
+        "predicate (r16 verdict item 4 — q216 proved the path on " +
+        "top-level envelopes; real curation corpora keep the " +
+        "retention key nested under `meta`): statsAllMatch resolves " +
+        "dotted leaf names through q210's per-leaf envelopes, which " +
+        "are EXACT streamed min/max for the integer family with " +
+        "exact null counts (ancestor-null counts as null — exactly " +
+        "when `meta.day` IS NULL in SQL), so `DELETE WHERE meta.day " +
+        "< cutoff` proves every segment ALL-MATCH or MATCHLESS and " +
+        "drops whole segments from the manifest under the commit " +
+        "lock, touching ZERO data bytes. Truncated string leaves and " +
+        "double leaves honestly decline to the exact rewrite. The " +
+        "gate loads three day bands as separate commits, deletes " +
+        "below the cutoff, audits the manifest in-query (no new " +
+        "segment, survivors a strict subset), proves the dropped " +
+        "rows stay readable via VERSION AS OF, and aggregates the " +
+        "survivors. At 100 TB: the nightly retention sweep on a " +
+        "nested-metadata corpus is a manifest edit, not a rewrite.",
+      Some("""
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS day_sum,
+               (SELECT COUNT(*) FROM documents
+                WHERE n_chars IS NOT NULL)::BIGINT AS n_before
+        FROM documents WHERE n_chars >= 400
+        GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val root = graft.core.Fs.rotatingTempRoot("q220_nret")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_nret" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_nret.root" -> root.toString)
+      sc.sql("CREATE NAMESPACE graft_cat_nret.default")
+      sc.sql("CREATE TABLE graft_cat_nret.default.docs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING)")
+      sc.sql("ALTER TABLE graft_cat_nret.default.docs ADD COLUMNS " +
+        "(meta STRUCT<day: BIGINT, src: STRING>)")
+      Tables.documents(sc, dir)
+        .select("doc_id", "n_chars", "lang", "source", "text")
+        .createOrReplaceTempView("q220_src")
+      // three commits with disjoint LEAF day envelopes (day = n_chars
+      // keeps the oracle expressible over the raw table); the cutoff
+      // lands on a band boundary, so the low bands are provably
+      // all-match on their leaf envelopes and the high band provably
+      // matchless — the same split q216 proved on top-level stats
+      Seq("n_chars < 200", "n_chars BETWEEN 200 AND 399",
+        "n_chars >= 400").foreach(band => sc.sql(
+        "INSERT INTO graft_cat_nret.default.docs " +
+          "SELECT doc_id, n_chars, lang, source, text, " +
+          "named_struct('day', n_chars, 'src', source) " +
+          s"FROM q220_src WHERE n_chars IS NOT NULL AND $band"))
+      val tablePath = root.resolve("default").resolve("docs").toString
+      val preNames = graft.sources.DocStore
+        .readManifestAndDeletes(tablePath)._1.map(_.name).toSet
+      val vPre = graft.sources.DocStoreCommitOps
+        .nextVersion(tablePath) - 1
+      sc.sql("DELETE FROM graft_cat_nret.default.docs " +
+        "WHERE meta.day < 400")
+      // in-query audit: metadata-only means NO new segment was
+      // written and only low-band segments dropped — fail loudly
+      // rather than hash-mismatch quietly
+      val postNames = graft.sources.DocStore
+        .readManifestAndDeletes(tablePath)._1.map(_.name).toSet
+      require(postNames.subsetOf(preNames) && postNames.nonEmpty &&
+        postNames.size < preNames.size,
+        s"leaf retention DELETE must drop the low bands metadata-" +
+          s"only, got pre=$preNames post=$postNames")
+      val nBefore = sc.sql("SELECT COUNT(*) FROM " +
+        s"graft_cat_nret.default.docs VERSION AS OF $vPre")
+        .head().getLong(0)
+      sc.sql("SELECT lang, COUNT(*) AS n_docs, " +
+        "SUM(meta.day) AS day_sum, " +
+        s"CAST($nBefore AS BIGINT) AS n_before " +
+        "FROM graft_cat_nret.default.docs GROUP BY lang ORDER BY lang")
     }
   )
 

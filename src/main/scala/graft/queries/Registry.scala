@@ -70,7 +70,9 @@ object Registry {
     "q210_nested_leaf_pruning", "q211_nested_leaf_widening",
     "q212_ann_delta_fold", "q213_filtered_ann",
     "q214_cdc_ann_freshness", "q215_bloom_skipping",
-    "q216_retention_delete",
+    "q216_retention_delete", "q217_ann_lsm_fold_retire",
+    "q218_filtered_ann_skew", "q219_nested_bloom_skipping",
+    "q220_nested_retention_delete",
     "q182_identity_columns", "q184_stream_chained_agg",
     "q188_stream_static_join")
 

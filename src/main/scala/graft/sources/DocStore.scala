@@ -803,17 +803,33 @@ object DocStore {
         s"into ${r.simpleString} — not a pruning or widening pair")
   }
 
+  /** Skip EXACTLY n bytes. DataInputStream.skipBytes may skip fewer
+    * on a general stream (r16 advice) — every current caller wraps a
+    * ByteArrayInputStream where one call suffices, but a short skip
+    * on any future backing stream would silently desynchronize the
+    * projected decoder, so loop; a zero-progress skip means EOF
+    * mid-value and must fail loudly, not spin. */
+  private def skipFully(in: DataInputStream, n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val k = in.skipBytes(left)
+      if (k <= 0) throw new java.io.EOFException(
+        s"nested payload truncated: $left of $n skip bytes missing")
+      left -= k
+    }
+  }
+
   /** Advance past one encoded value of type `dt` without
     * materializing it — the projected decoder's discard path. */
   private def skipNestedValue(dt: DataType, in: DataInputStream): Unit =
     dt match {
       case LongType | TimestampType | TimestampNTZType | DoubleType =>
-        in.skipBytes(8); ()
-      case IntegerType | DateType | FloatType => in.skipBytes(4); ()
-      case BooleanType => in.skipBytes(1); ()
-      case StringType => val len = in.readInt(); in.skipBytes(len); ()
-      case d: DecimalType if d.precision <= 18 => in.skipBytes(8); ()
-      case _: DecimalType => in.skipBytes(16); ()
+        skipFully(in, 8)
+      case IntegerType | DateType | FloatType => skipFully(in, 4)
+      case BooleanType => skipFully(in, 1)
+      case StringType => val len = in.readInt(); skipFully(in, len)
+      case d: DecimalType if d.precision <= 18 => skipFully(in, 8)
+      case _: DecimalType => skipFully(in, 16)
       case a: ArrayType =>
         val n = in.readInt()
         var i = 0
@@ -1283,36 +1299,111 @@ object DocStore {
     case _ => false
   }
 
-  /** Resolve a `graft.bloom.columns` spec to section ids. Loud on
-    * unknown names and ineligible types — a silently dropped filter
-    * would look enabled in SHOW TBLPROPERTIES while skipping
-    * nothing. Validated at DDL time (CREATE / SET TBLPROPERTIES via
-    * [[DocStoreChecks.validate]]) AND at every write (the task
-    * writer re-resolves), so a typo refuses before any row lands.
-    * INT columns fold values as longs, so an INT→BIGINT widening
-    * keeps old segments' filters probeable unchanged. */
+  /** Resolved `graft.bloom.columns` spec: top-level section ids plus,
+    * per nested section, the struct-leaf paths to Bloom-index (r16
+    * verdict item 3 — Delta supports nested Bloom columns; a content
+    * fingerprint inside a metadata struct is the common curation-
+    * corpus layout). */
+  final case class BloomSpec(sections: Set[Int],
+      leaves: Map[Int, Set[String]]) {
+    def isEmpty: Boolean = sections.isEmpty && leaves.isEmpty
+  }
+
+  /** Resolve a `graft.bloom.columns` spec to section ids and struct-
+    * leaf paths. Loud on unknown names and ineligible types — a
+    * silently dropped filter would look enabled in SHOW TBLPROPERTIES
+    * while skipping nothing. Validated at DDL time (CREATE / SET
+    * TBLPROPERTIES via [[DocStoreChecks.validate]]) AND at every write
+    * (the task writer re-resolves), so a typo refuses before any row
+    * lands. INT columns fold values as longs, so an INT→BIGINT
+    * widening keeps old segments' filters probeable unchanged.
+    * Dotted names resolve struct leaves (`meta.fp`) with the same
+    * shadowing rule the pruner uses: a top-level column whose literal
+    * name matches wins. ARRAY/MAP anywhere on a leaf path refuses —
+    * no fixed per-row position exists, so a filter over the set would
+    * be a different (and unsound) object. */
   private[sources] def validateBloomSpec(schema: StructType,
-      spec: String): Set[Int] =
-    spec.split(",").map(_.trim).filter(_.nonEmpty).map { n =>
-      require(schema.fieldNames.contains(n),
+      spec: String): BloomSpec = {
+    val secs = Set.newBuilder[Int]
+    val leaves = scala.collection.mutable.Map.empty[Int, Set[String]]
+    spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+      if (schema.fieldNames.contains(n)) {
+        val i = schema.fieldIndex(n)
+        val f = schema.fields(i)
+        require(bloomEligible(f.dataType),
+          s"$BLOOM_KEY: column '$n' is ${f.dataType.simpleString}; " +
+            "Bloom skipping supports BIGINT/INT/DATE/TIMESTAMP/" +
+            "STRING columns (float, decimal, boolean, and nested " +
+            "types decline)")
+        secs += sectionOf(f, i)
+      } else if (n.contains(".")) {
+        val root = n.substring(0, n.indexOf('.'))
+        val rest = n.substring(n.indexOf('.') + 1)
+        require(schema.fieldNames.contains(root),
+          s"$BLOOM_KEY names an unknown column '$n' " +
+            s"(schema: ${schema.simpleString})")
+        val i = schema.fieldIndex(root)
+        val f = schema.fields(i)
+        structLeafSpecs(f.dataType).find(_.path == rest) match {
+          case Some(ls) =>
+            require(bloomEligible(ls.dt),
+              s"$BLOOM_KEY: leaf '$n' is ${ls.dt.simpleString}; " +
+                "Bloom skipping supports BIGINT/INT/DATE/TIMESTAMP/" +
+                "STRING leaves (float, decimal, and boolean decline)")
+            val sec = sectionOf(f, i)
+            leaves(sec) = leaves.getOrElse(sec, Set.empty) + rest
+          case None =>
+            throw new IllegalArgumentException(
+              s"$BLOOM_KEY: '$n' is not a Bloom-indexable struct " +
+                s"leaf of column '$root' " +
+                s"(${f.dataType.simpleString}): " + leafRefusalReason(
+                  f.dataType, rest))
+        }
+      } else throw new IllegalArgumentException(
         s"$BLOOM_KEY names an unknown column '$n' " +
           s"(schema: ${schema.simpleString})")
-      val i = schema.fieldIndex(n)
-      val f = schema.fields(i)
-      require(bloomEligible(f.dataType),
-        s"$BLOOM_KEY: column '$n' is ${f.dataType.simpleString}; " +
-          "Bloom skipping supports BIGINT/INT/DATE/TIMESTAMP/" +
-          "STRING columns (float, decimal, boolean, and nested " +
-          "types decline)")
-      sectionOf(f, i)
-    }.toSet
+    }
+    BloomSpec(secs.result(), leaves.toMap)
+  }
 
-  private[sources] def bloomSectionsOf(path: String,
-      schema: StructType): Set[Int] =
+  /** Why `rest` is not a trackable struct leaf of `dt` — the refusal
+    * matrix's actionable message, walked segment by segment so an
+    * ARRAY/MAP on the path names ITSELF as the blocker. */
+  private def leafRefusalReason(dt: DataType, rest: String): String = {
+    var cur: DataType = dt
+    for (part <- rest.split('.')) cur match {
+      case st: StructType => st.fields.find(_.name == part) match {
+        case Some(f) => cur = f.dataType
+        case None => return s"no field named '$part' under " +
+          s"${st.simpleString}"
+      }
+      case _: ArrayType | _: MapType =>
+        return s"the path traverses ${cur.simpleString} before " +
+          s"'$part' — ARRAY/MAP leaves have no fixed per-row " +
+          "position, so Bloom (like the leaf stat envelopes) " +
+          "declines them; index a scalar sibling or restructure " +
+          "the leaf"
+      case other => return s"'$part' descends into a scalar " +
+        s"${other.simpleString}"
+    }
+    cur match {
+      case _: ArrayType | _: MapType =>
+        s"the leaf itself is ${cur.simpleString} — ARRAY/MAP leaves " +
+          "have no fixed per-row position, so Bloom declines them"
+      case other => s"leaf type ${other.simpleString} is not " +
+        "Bloom-eligible"
+    }
+  }
+
+  private[sources] def bloomSpecOf(path: String,
+      schema: StructType): BloomSpec =
     DocStoreCatalog.readProps(path).get(BLOOM_KEY) match {
-      case None => Set.empty
+      case None => BloomSpec(Set.empty, Map.empty)
       case Some(spec) => validateBloomSpec(schema, spec)
     }
+
+  private[sources] def bloomSectionsOf(path: String,
+      schema: StructType): Set[Int] = bloomSpecOf(path, schema).sections
 
   /** Max stored bytes of a string envelope bound (Iceberg truncate[16]). */
   val STR_BOUND_MAX = 16
@@ -1417,7 +1508,8 @@ object DocStore {
       stats: Map[Int, ColStat] = Map.empty,
       leafStats: Map[Int, Map[String, ColStat]] = Map.empty,
       schemaGen: Long = 0L,
-      blooms: Map[Int, Bloom] = Map.empty)
+      blooms: Map[Int, Bloom] = Map.empty,
+      leafBlooms: Map[Int, Map[String, Bloom]] = Map.empty)
 
   /** Build (once per source dir, via Scratch) a docstore lake from
     * `documents.parquet`: 8 doc_id-range segments + manifest, written
@@ -1472,7 +1564,8 @@ object DocStore {
       dec128Extras: Set[Int] = Set.empty,
       nestedExtras: Set[Int] = Set.empty,
       nestedLeafPaths: Map[Int, Array[String]] = Map.empty,
-      bloomSections: Set[Int] = Set.empty) {
+      bloomSections: Set[Int] = Set.empty,
+      bloomLeaves: Map[Int, Set[Int]] = Map.empty) {
     private val sections = Array.fill(5 + nExtra)(new ByteArrayOutputStream())
     private val outs = sections.map(new DataOutputStream(_))
     var rows = 0
@@ -1570,12 +1663,31 @@ object DocStore {
     }
     private val bloomAccs: Map[Int, BloomAcc] =
       bloomSections.iterator.map(_ -> new BloomAcc).toMap
+    // one Bloom accumulator per tracked struct leaf ordinal (keyed by
+    // nested offset -> index into nestedLeafPaths(off)) — leaf values
+    // arrive pre-encoded in the NestedPayload exactly like the stat
+    // accumulators' inputs, so the fold shares the top-level hashes
+    private val leafBloomAccs: Map[Int, Map[Int, BloomAcc]] =
+      bloomLeaves.map { case (off, ks) =>
+        off -> ks.iterator.map(_ -> new BloomAcc).toMap }
 
     /** Section id -> Bloom filter for every tracked section that saw
       * at least one non-null value (an all-null section's filter
       * would skip nothing the null count doesn't already). */
     def blooms: Map[Int, Bloom] =
       bloomAccs.collect { case (sec, a) if a.n > 0 => sec -> a.result }
+
+    /** Section id -> (leaf path -> Bloom). A section whose leaf stats
+      * were dropped (raw pre-encoded payload, no leaf values) drops
+      * its leaf BLOOMS too — a filter missing even one row's value
+      * would have false negatives, i.e. silent row loss, the one bug
+      * class the no-false-negative property must exclude. */
+    def leafBlooms: Map[Int, Map[String, Bloom]] =
+      leafBloomAccs.collect { case (off, m) if !leafDropped(off) =>
+        val paths = nestedLeafPaths(off)
+        (5 + off) -> m.collect {
+          case (k, a) if a.n > 0 => paths(k) -> a.result }
+      }.filter(_._2.nonEmpty)
 
     /** Section id -> stats for every non-id section of this segment. */
     def stats: Map[Int, ColStat] =
@@ -1652,10 +1764,22 @@ object DocStore {
                 k += 1
               }
             }
+            // only Bloom-ELIGIBLE leaves are ever tracked, so a long
+            // here is always the raw integer family / epoch encoding
+            // the pruner's probe hashes reproduce
+            leafBloomAccs.get(j).foreach(_.foreach { case (k, acc) =>
+              p.leaves(k) match {
+                case null => ()
+                case l: java.lang.Long => acc.addHash(bloomHashLong(l.longValue()))
+                case b: Array[Byte] => acc.addHash(bloomHashBytes(b))
+                case _ => ()
+              }
+            })
           case b: Array[Byte] if nestedExtras(j) =>
             outs(5 + j).writeInt(b.length); outs(5 + j).write(b)
             accs(4 + j).addOpaque()
-            if (leafAccs.contains(j)) leafDropped += j
+            if (leafAccs.contains(j) || leafBloomAccs.contains(j))
+              leafDropped += j
           case b: Array[Byte] => str(5 + j, b)
         }
         j += 1
@@ -1780,10 +1904,26 @@ object DocStore {
       s"$BLOOM_TAG$segName,$sec,${bf.k},$b64"
     }
 
-  private def parseBloomLine(l: String): (String, Int, Bloom) = {
+  /** Struct-leaf Bloom lines share the `B,` tag with a composite
+    * section field `<sec>:<encodedPath>` — ':' never appears in a
+    * URL-encoded path (it percent-encodes), so the split is
+    * unambiguous; same forward contract as `L,`. */
+  private[sources] def leafBloomLines(segName: String,
+      leafBlooms: Map[Int, Map[String, Bloom]]): Seq[String] =
+    leafBlooms.toSeq.sortBy(_._1).flatMap { case (sec, byPath) =>
+      byPath.toSeq.sortBy(_._1).map { case (path, bf) =>
+        val ep = java.net.URLEncoder.encode(path, "UTF-8")
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(bloomWordsToBytes(bf.bits))
+        s"$BLOOM_TAG$segName,$sec:$ep,${bf.k},$b64"
+      }
+    }
+
+  /** (segment, sec-or-sec:path, bloom) — the caller routes on ':'. */
+  private def parseBloomLine(l: String): (String, String, Bloom) = {
     val p = l.split(",", -1)
     val bits = bloomBytesToWords(java.util.Base64.getDecoder.decode(p(4)))
-    (p(1), p(2).toInt, Bloom(p(3).toInt, bits))
+    (p(1), p(2), Bloom(p(3).toInt, bits))
   }
 
   /** Struct-leaf stat lines: `L,<segment>,<sectionId>,<encodedPath>,
@@ -1871,16 +2011,44 @@ object DocStore {
       filters: Array[Filter]): Segment => Boolean = {
     val secOf: Map[String, Int] = schema.fields.zipWithIndex.map {
       case (f, i) => f.name -> sectionOf(f, i) }.toMap
+    def exactLongType(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | DateType | TimestampType |
+          TimestampNTZType | BooleanType => true
+      case _ => false
+    }
+    // struct-leaf resolution (r16 verdict item 4 — retention DELETE
+    // through nested metadata): q210's leaf envelopes are EXACT
+    // streamed min/max for the integer family and the per-leaf null
+    // counts are exact (ancestor-null counts as null — exactly when
+    // `col.leaf` IS NULL in SQL), so the all-match proofs hold on
+    // dotted leaf predicates with the same exactness discipline.
+    // Same shadowing rule as the pruner: a literal top-level name
+    // wins; a shadowed leaf can only fall back to the rewrite.
+    val leafOf: Map[String, (Int, String)] =
+      schema.fields.zipWithIndex
+        .filter { case (f, _) => isNestedType(f.dataType) }
+        .flatMap { case (f, i) =>
+          structLeafSpecs(f.dataType).map(ls =>
+            s"${f.name}.${ls.path}" -> ((sectionOf(f, i), ls.path))) }
+        .toMap -- secOf.keySet
     // exact-envelope eligibility: the 8-byte integer-family encodings
     // (NOT double/float — sortableDoubleStatBits canonicalizes -0.0,
-    // so an envelope point can stand for two distinct values)
-    val exactLong: Set[String] = schema.fields.collect {
-      case f if (f.dataType match {
-        case LongType | IntegerType | DateType | TimestampType |
-            TimestampNTZType | BooleanType => true
-        case _ => false
-      }) => f.name
-    }.toSet
+    // so an envelope point can stand for two distinct values; NOT
+    // truncated string bounds; NOT decimals, whose literals need the
+    // column scale the encoded probe lacks)
+    val exactLong: Set[String] = (schema.fields.collect {
+      case f if exactLongType(f.dataType) => f.name
+    } ++ schema.fields.flatMap(f => structLeafSpecs(f.dataType).collect {
+      case ls if exactLongType(ls.dt) &&
+          leafOf.contains(s"${f.name}.${ls.path}") =>
+        s"${f.name}.${ls.path}"
+    })).toSet
+    // ColStat lookup spanning both surfaces (the `bound`/IsNull arms
+    // read through this, so leaves prove exactly like scalars)
+    def statOf(s: Segment, c: String): Option[ColStat] =
+      secOf.get(c).flatMap(s.stats.get).orElse(
+        leafOf.get(c).flatMap { case (sec, p) =>
+          s.leafStats.get(sec).flatMap(_.get(p)) })
     val identLevel: Map[String, Int] = spec.zipWithIndex.collect {
       case (t: DocStorePartitioning.PIdentity, i) => t.col -> i }.toMap
     def partValue(s: Segment, c: String): Option[Option[String]] =
@@ -1894,7 +2062,7 @@ object DocStore {
     // zone map (format-level non-null), others from LongBound stats
     def bound(s: Segment, c: String): Option[(Long, Long, Long)] =
       if (c == "doc_id") Some((0L, s.minId, s.maxId))
-      else secOf.get(c).flatMap(s.stats.get).collect {
+      else statOf(s, c).collect {
         case ColStat(n, Some(LongBound(lo, hi))) if exactLong(c) =>
           (n, lo, hi)
       }
@@ -1904,10 +2072,10 @@ object DocStore {
       case Or(a, b) => proves(a, s) || proves(b, s)
       case IsNotNull(c) =>
         c == "doc_id" || // format-level non-null
-          secOf.get(c).flatMap(s.stats.get).exists(_.nulls == 0L) ||
+          statOf(s, c).exists(_.nulls == 0L) ||
           partValue(s, c).exists(_.isDefined)
       case IsNull(c) =>
-        secOf.get(c).flatMap(s.stats.get).exists(_.nulls == s.rows) ||
+        statOf(s, c).exists(_.nulls == s.rows) ||
           partValue(s, c).exists(_.isEmpty)
       case EqualTo(c, v) if v != null =>
         partValue(s, c).exists(pv =>
@@ -2037,8 +2205,14 @@ object DocStore {
           .localDateTimeToMicros(t)))
       case _ => None
     }
+    // Bloom resolution mirrors st(c): top-level section first, then
+    // the dotted struct-leaf surface (same shadowing rule)
+    def bloomFor(s: Segment, c: String): Option[Bloom] =
+      secOf.get(c).flatMap(s.blooms.get).orElse(
+        leafOf.get(c).flatMap { case (sec, p) =>
+          s.leafBlooms.get(sec).flatMap(_.get(p)) })
     def bloomKeeps(s: Segment, c: String, v: Any): Boolean =
-      secOf.get(c).flatMap(s.blooms.get) match {
+      bloomFor(s, c) match {
         case None => true
         case Some(bf) =>
           bloomProbeHash(v).map(bf.mightContain).getOrElse(true)
@@ -2059,7 +2233,7 @@ object DocStore {
         case In(c, vs) => st(c).forall { t =>
           val nonNull = vs.filter(_ != null)
           t.nulls < s.rows && nonNull.exists(v => !outside(c, t, v))
-        } && (secOf.get(c).flatMap(s.blooms.get) match {
+        } && (bloomFor(s, c) match {
           // value-level disjunction: the segment survives only if SOME
           // non-null literal might be present (no filter -> keep)
           case None => true
@@ -2180,11 +2354,21 @@ object DocStore {
       .map { case (seg, ls) =>
         seg -> ls.groupBy(_._2).map { case (sec, rows) =>
           sec -> rows.map(r => r._3 -> r._4).toMap } }
-    val bloomsBySeg = lines.filter(_.startsWith(BLOOM_TAG))
+    val allBloomLines = lines.filter(_.startsWith(BLOOM_TAG))
       .map(parseBloomLine)
+    val bloomsBySeg = allBloomLines.filterNot(_._2.contains(":"))
       .groupBy(_._1)
       .map { case (seg, bs) =>
-        seg -> bs.map(b => b._2 -> b._3).toMap }
+        seg -> bs.map(b => b._2.toInt -> b._3).toMap }
+    val leafBloomsBySeg = allBloomLines.filter(_._2.contains(":"))
+      .groupBy(_._1)
+      .map { case (seg, bs) =>
+        seg -> bs.groupBy(_._2.takeWhile(_ != ':').toInt)
+          .map { case (sec, rows) =>
+            sec -> rows.map { r =>
+              java.net.URLDecoder.decode(
+                r._2.dropWhile(_ != ':').drop(1), "UTF-8") -> r._3
+            }.toMap } }
     val segs = lines.filterNot(l =>
       l.startsWith(DV_TAG) || l.startsWith("F,") ||
         l.startsWith(STAT_TAG) || l.startsWith(LEAF_STAT_TAG) ||
@@ -2194,7 +2378,8 @@ object DocStore {
         statsBySeg.getOrElse(p(0), Map.empty),
         leafStatsBySeg.getOrElse(p(0), Map.empty),
         if (p.length > 5) p(5).toLong else 0L,
-        bloomsBySeg.getOrElse(p(0), Map.empty))
+        bloomsBySeg.getOrElse(p(0), Map.empty),
+        leafBloomsBySeg.getOrElse(p(0), Map.empty))
     }.toSeq
     val dvs = lines.filter(_.startsWith(DV_TAG))
       .map { l => val p = l.split(","); (p(1), p(2).toLong) }
@@ -2609,7 +2794,8 @@ final case class DocStoreCommit(tmpName: String, rows: Long, minId: Long,
     stats: Map[Int, DocStore.ColStat] = Map.empty,
     leafStats: Map[Int, Map[String, DocStore.ColStat]] = Map.empty,
     schemaGen: Long = 0L,
-    blooms: Map[Int, DocStore.Bloom] = Map.empty)
+    blooms: Map[Int, DocStore.Bloom] = Map.empty,
+    leafBlooms: Map[Int, Map[String, DocStore.Bloom]] = Map.empty)
     extends WriterCommitMessage
 
 /** A partitioned write task stages one segment PER partition value it
@@ -2672,7 +2858,8 @@ object DocStoreCommitOps {
         StandardCopyOption.ATOMIC_MOVE)
       DocStore.Segment(name, m.rows, m.minId, m.maxId, m.bytes,
         stats = m.stats, leafStats = m.leafStats,
-        schemaGen = m.schemaGen, blooms = m.blooms)
+        schemaGen = m.schemaGen, blooms = m.blooms,
+        leafBlooms = m.leafBlooms)
     }
     // identity watermark advance — centralized HERE because every
     // write path (batch append, streaming epoch, row-level rewrite,
@@ -2877,34 +3064,56 @@ object DocStoreCommitOps {
     Files.createDirectories(dir)
     val lock = dir.resolve(".COMMIT_LOCK")
     val deadline = System.currentTimeMillis() + LOCK_WAIT_MS
-    var held = false
-    while (!held) {
-      try { Files.createDirectory(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis
-          catch { case _: Exception => 0L } // holder just released it
-          if (age > LOCK_STEAL_TTL_MS) {
-            try {
-              val tomb = dir.resolve(
-                s".COMMIT_LOCK.stale-${System.nanoTime()}")
-              Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
-              graft.core.Fs.deleteRecursively(tomb)
-            } catch { case _: Exception => () } // lost the steal race
-          } else if (System.currentTimeMillis() > deadline)
+    // Acquisition = createDirectory (the name) + createFile (this
+    // holder's fencing token inside it). A stalled PREVIOUS holder's
+    // release can delete a freshly-created empty lock dir in the tiny
+    // window between the two steps (its releaseIfOwned / token-less
+    // deleteIfExists sees an empty dir and succeeds) — if our token
+    // write then fails with NoSuchFile, the dir we owned is GONE, so
+    // degrading to an unfenced hold would let a third writer acquire
+    // alongside us (two writers in the critical section, r16 advice).
+    // Re-entering the acquisition loop is always safe: we hold
+    // nothing at that point. Only a token failure with the lock dir
+    // STILL PRESENT (exotic FS refusing the create) degrades to the
+    // pre-fence behavior: no fence registered, unconditional release.
+    val token = java.util.UUID.randomUUID().toString
+    var fenced = false
+    var acquired = false
+    while (!acquired) {
+      var held = false
+      while (!held) {
+        try { Files.createDirectory(lock); held = true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val age = try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: Exception => 0L } // holder just released it
+            if (age > LOCK_STEAL_TTL_MS) {
+              try {
+                val tomb = dir.resolve(
+                  s".COMMIT_LOCK.stale-${System.nanoTime()}")
+                Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+                graft.core.Fs.deleteRecursively(tomb)
+              } catch { case _: Exception => () } // lost the steal race
+            } else if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"timed out waiting for docstore commit lock $lock")
+            else Thread.sleep(20)
+        }
+      }
+      try {
+        Files.createFile(lock.resolve(LOCK_TOKEN_PREFIX + token))
+        fenced = true; acquired = true
+      } catch {
+        case _: java.nio.file.NoSuchFileException
+            if !Files.exists(lock) =>
+          // our dir was deleted out from under us — re-acquire
+          if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"timed out waiting for docstore commit lock $lock")
-          else Thread.sleep(20)
+        case _: Exception => fenced = false; acquired = true
       }
     }
-    // Token write failure (exotic FS) degrades to the pre-fence
-    // behavior: no fence registered (publishes aren't refused) and
-    // release is unconditional — never weaker than before the fence.
-    val token = java.util.UUID.randomUUID().toString
-    val fenced =
-      try { Files.createFile(lock.resolve(LOCK_TOKEN_PREFIX + token)); true }
-      catch { case _: Exception => false }
     val outer = fenceTokens.get
     if (fenced) fenceTokens.set(outer + (fenceKey(path) -> token))
     try body finally {
@@ -3079,6 +3288,7 @@ object DocStoreCommitOps {
       segments.flatMap(s => DocStore.statLines(s.name, s.stats)) ++
       segments.flatMap(s => DocStore.leafStatLines(s.name, s.leafStats)) ++
       segments.flatMap(s => DocStore.bloomLines(s.name, s.blooms)) ++
+      segments.flatMap(s => DocStore.leafBloomLines(s.name, s.leafBlooms)) ++
       txns.toSeq.sortBy(_._1).map { case (a, v) =>
         s"${DocStore.TXN_TAG}${java.net.URLEncoder.encode(a, "UTF-8")},$v"
       } ++
@@ -3592,8 +3802,18 @@ class DocStoreDataWriter(path: String, schema: StructType,
   // resolved + type-validated here so EVERY write path — batch,
   // streaming epoch, row-level rewrite, OPTIMIZE (which copies PROPS
   // into its staging table) — regenerates filters consistently
-  private val bloomSections: Set[Int] =
-    DocStore.bloomSectionsOf(path, schema)
+  private val bloomSpec: DocStore.BloomSpec =
+    DocStore.bloomSpecOf(path, schema)
+  private val bloomSections: Set[Int] = bloomSpec.sections
+  // struct-leaf Bloom targets, resolved to leaf ORDINALS in the
+  // section's nestedLeafPaths order (the NestedPayload alignment)
+  private val bloomLeafIdx: Map[Int, Set[Int]] =
+    bloomSpec.leaves.flatMap { case (sec, paths) =>
+      val off = sec - 5
+      val ords = nestedLeafPaths.getOrElse(off, Array.empty[String])
+        .zipWithIndex.collect { case (p, k) if paths(p) => k }.toSet
+      if (ords.isEmpty) None else Some(off -> ords)
+    }
   // insertion-ordered: staged-file ordinals stay deterministic per
   // task. Key = partition dir + roll ordinal; value keeps the bare
   // partition dir for the commit message.
@@ -3648,14 +3868,14 @@ class DocStoreDataWriter(path: String, schema: StructType,
     var enc = encoders.computeIfAbsent(s"$dirKey\u0000$ord",
       _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
         floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets,
-        nestedLeafPaths, bloomSections)))._2
+        nestedLeafPaths, bloomSections, bloomLeafIdx)))._2
     if (enc.rows >= maxRowsPerSegment) { // roll to a fresh segment
       val next = ord + 1
       rollOrdinal.put(dirKey, next)
       enc = encoders.computeIfAbsent(s"$dirKey\u0000$next",
         _ => (dirKey, new DocStore.SegmentEncoder(nExtraSections, compress,
           floatExtraOffsets, dec128ExtraOffsets, nestedExtraOffsets,
-        nestedLeafPaths, bloomSections)))._2
+        nestedLeafPaths, bloomSections, bloomLeafIdx)))._2
     }
     def str(i: Int): Array[Byte] =
       if (r.isNullAt(order(i))) null else r.getUTF8String(order(i)).getBytes
@@ -3732,7 +3952,7 @@ class DocStoreDataWriter(path: String, schema: StructType,
           bytes, dir, enc.stats, enc.leafStats,
           // the generation and the encode types come from the SAME
           // schema instance — they can never disagree
-          DocStore.nestedGenOf(schema), enc.blooms)
+          DocStore.nestedGenOf(schema), enc.blooms, enc.leafBlooms)
     }
     parts match {
       // empty task: report one empty commit (publish drops rows == 0)

@@ -432,7 +432,10 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       what: String): Unit = {
     val spec =
       DocStoreCatalog.readProps(dir).getOrElse(DocStore.BLOOM_KEY, "")
-    require(!spec.split(",").map(_.trim).contains(colName),
+    // a leaf entry (`meta.fp`) pins its ROOT column too: dropping or
+    // renaming `meta` would orphan the leaf path just the same
+    require(!spec.split(",").map(_.trim).exists(n =>
+      n == colName || n.startsWith(s"$colName.")),
       s"cannot $what column $colName — it is Bloom-indexed " +
         s"('${DocStore.BLOOM_KEY}' = '$spec'); ALTER TABLE ... SET " +
         "TBLPROPERTIES without it first")

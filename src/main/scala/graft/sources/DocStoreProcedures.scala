@@ -864,14 +864,35 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     // exact bytes the commit publishes) reach the driver.
     // TIMESTAMP_NTZ declines HERE only (no SQL conversion yields the
     // writer's raw micros); its write-path filters are unaffected.
-    val bloomSecsAll = DocStore.bloomSectionsOf(path, tbl)
-    val bloomCols = tbl.fields.zipWithIndex
-      .filter { case (f, i) => bloomSecsAll(DocStore.sectionOf(f, i)) }
-      .filterNot { case (f, _) =>
-        f.dataType == org.apache.spark.sql.types.TimestampNTZType }
-      .map { case (f, i) => (f, DocStore.sectionOf(f, i)) }
-    val bloomBySeg: Map[String, Map[Int, DocStore.Bloom]] =
-      if (bloomCols.isEmpty) Map.empty
+    val bloomSpecAll = DocStore.bloomSpecOf(path, tbl)
+    // one backfill target per configured column OR struct leaf: the
+    // SQL surface reads a leaf as the dotted nested reference, so the
+    // same distributed fold covers both (key = agg alias suffix)
+    final case class BloomTarget(key: String,
+        quoted: String, dt: org.apache.spark.sql.types.DataType,
+        sec: Int, leafPath: Option[String])
+    val bloomTargets: Seq[BloomTarget] =
+      tbl.fields.zipWithIndex
+        .filter { case (f, i) =>
+          bloomSpecAll.sections(DocStore.sectionOf(f, i)) }
+        .map { case (f, i) => BloomTarget(s"${DocStore.sectionOf(f, i)}",
+          s"`${f.name}`", f.dataType, DocStore.sectionOf(f, i), None) }
+        .toSeq ++
+      tbl.fields.zipWithIndex.flatMap { case (f, i) =>
+        val sec = DocStore.sectionOf(f, i)
+        bloomSpecAll.leaves.getOrElse(sec, Set.empty).toSeq.sorted
+          .zipWithIndex.flatMap { case (p, k) =>
+            DocStore.structLeafSpecs(f.dataType).find(_.path == p)
+              .map(ls => BloomTarget(s"${sec}_$k",
+                (f.name +: p.split('.').toSeq)
+                  .map(n => s"`$n`").mkString("."),
+                ls.dt, sec, Some(p)))
+          }
+      }.filterNot(_.dt == org.apache.spark.sql.types.TimestampNTZType)
+    type SegBlooms =
+      (Map[Int, DocStore.Bloom], Map[Int, Map[String, DocStore.Bloom]])
+    val bloomBySeg: Map[String, SegBlooms] =
+      if (bloomTargets.isEmpty) Map.empty
       else {
         // agg-buffer ceiling sized from the largest segment: state per
         // group stays rows-proportional, never the write-path maximum
@@ -880,37 +901,47 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         var ceil = DocStore.BLOOM_MIN_BITS
         while (ceil < DocStore.BLOOM_MAX_BITS &&
           ceil.toLong < maxRows * DocStore.BLOOM_BITS_PER_KEY) ceil <<= 1
-        val aggsB = bloomCols.map { case (f, sec) =>
-          val c = col(f.name)
+        val aggsB = bloomTargets.map { t =>
           // the writer's encodings, reproduced at the SQL surface:
           // raw integer value, epoch days, micros, UTF-8 bytes
-          val in = f.dataType match {
-            case org.apache.spark.sql.types.StringType => c
+          val in = t.dt match {
+            case org.apache.spark.sql.types.StringType => expr(t.quoted)
             case org.apache.spark.sql.types.DateType =>
-              expr(s"unix_date(`${f.name}`)")
-            case TimestampType => expr(s"unix_micros(`${f.name}`)")
-            case _ => c.cast("long") // INT widens value-exactly
+              expr(s"unix_date(${t.quoted})")
+            case TimestampType => expr(s"unix_micros(${t.quoted})")
+            case _ => expr(t.quoted).cast("long") // INT widens value-exactly
           }
           val u =
-            if (f.dataType == org.apache.spark.sql.types.StringType)
+            if (t.dt == org.apache.spark.sql.types.StringType)
               udaf(new BloomStrAgg(ceil),
                 org.apache.spark.sql.Encoders.STRING)
             else udaf(new BloomLongAgg(ceil),
               org.apache.spark.sql.Encoders.LONG)
-          u(in).as(s"bloom_$sec")
+          u(in).as(s"bloom_${t.key}")
         }
         df.groupBy(col("_segment")).agg(aggsB.head, aggsB.tail: _*)
           .collect().map { r =>
-            val m = bloomCols.flatMap { case (_, sec) =>
-              val bytes = r.getAs[Array[Byte]](r.fieldIndex(s"bloom_$sec"))
+            val folded = bloomTargets.flatMap { t =>
+              val bytes = r.getAs[Array[Byte]](
+                r.fieldIndex(s"bloom_${t.key}"))
               if (bytes == null || bytes.isEmpty) None
-              else Some(sec -> DocStore.Bloom(DocStore.BLOOM_K,
+              else Some(t -> DocStore.Bloom(DocStore.BLOOM_K,
                 DocStore.bloomBytesToWords(bytes)))
-            }.toMap
-            r.getString(0) -> m
+            }
+            val top = folded.collect {
+              case (t, b) if t.leafPath.isEmpty => t.sec -> b }.toMap
+            val leaf = folded.collect {
+              case (t, b) if t.leafPath.isDefined => (t.sec, t.leafPath.get, b) }
+              .groupBy(_._1)
+              .map { case (sec, xs) =>
+                sec -> xs.map(x => x._2 -> x._3).toMap }
+            r.getString(0) -> ((top, leaf))
           }.toMap
       }
-    val bloomSecSet = bloomCols.map(_._2).toSet
+    val bloomSecSet = bloomTargets.filter(_.leafPath.isEmpty).map(_.sec).toSet
+    val bloomLeafSet: Set[(Int, String)] =
+      bloomTargets.collect { case t if t.leafPath.isDefined =>
+        (t.sec, t.leafPath.get) }.toSet
     var newV = 0L
     var nSegs = 0L
     DocStoreCommitOps.withCommitLock(path) {
@@ -934,9 +965,19 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         // same attach-by-name contract: a segment rewritten since the
         // scan keeps its own (fresher) write-path blooms
         bloomBySeg.get(seg.name) match {
-          case Some(bm) if bm.nonEmpty => withStats.copy(blooms =
-            withStats.blooms.filterNot {
-              case (sec, _) => bloomSecSet(sec) } ++ bm)
+          case Some((top, leaf)) if top.nonEmpty || leaf.nonEmpty =>
+            val keptLeaf = withStats.leafBlooms
+              .map { case (sec, byPath) => sec -> byPath.filterNot {
+                case (p, _) => bloomLeafSet((sec, p)) } }
+              .filter(_._2.nonEmpty)
+            val mergedLeaf = (keptLeaf.keySet ++ leaf.keySet).map { sec =>
+              sec -> (keptLeaf.getOrElse(sec, Map.empty) ++
+                leaf.getOrElse(sec, Map.empty))
+            }.toMap
+            withStats.copy(
+              blooms = withStats.blooms.filterNot {
+                case (sec, _) => bloomSecSet(sec) } ++ top,
+              leafBlooms = mergedLeaf)
           case _ => withStats
         }
       }

@@ -309,7 +309,10 @@ final case class DocStoreDeltaCommit(tmpName: String, rows: Long,
     deletes: Seq[(String, Long)],
     stats: Map[Int, DocStore.ColStat] = Map.empty,
     leafStats: Map[Int, Map[String, DocStore.ColStat]] = Map.empty,
-    schemaGen: Long = 0L) extends WriterCommitMessage
+    schemaGen: Long = 0L,
+    blooms: Map[Int, DocStore.Bloom] = Map.empty,
+    leafBlooms: Map[Int, Map[String, DocStore.Bloom]] = Map.empty)
+    extends WriterCommitMessage
 
 class DocStoreDeltaBatchWrite(path: String, schema: StructType,
     order: Array[Int], queryId: String)
@@ -394,7 +397,8 @@ class DocStoreDeltaBatchWrite(path: String, schema: StructType,
         messages.collect { case m: DocStoreDeltaCommit =>
           DocStoreCommit(m.tmpName, m.rows, m.minId, m.maxId, m.bytes,
             stats = m.stats, leafStats = m.leafStats,
-            schemaGen = m.schemaGen): WriterCommitMessage
+            schemaGen = m.schemaGen, blooms = m.blooms,
+            leafBlooms = m.leafBlooms): WriterCommitMessage
         },
         current, queryId, i => f"part-${next + i}%05d.gds", merged)
     }
@@ -473,11 +477,12 @@ class DocStoreDeltaWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     val c = inner.commit().asInstanceOf[DocStoreCommit]
-    // stats, leaf stats and the nested-codec generation stamp all
-    // carry through — a MoR insert segment prunes and decodes exactly
-    // like a batch-appended one
+    // stats, leaf stats, the nested-codec generation stamp AND the
+    // Bloom sections all carry through — a MoR insert segment prunes
+    // and decodes exactly like a batch-appended one
     DocStoreDeltaCommit(c.tmpName, c.rows, c.minId, c.maxId, c.bytes,
-      deletes.toSeq, c.stats, c.leafStats, c.schemaGen)
+      deletes.toSeq, c.stats, c.leafStats, c.schemaGen, c.blooms,
+      c.leafBlooms)
   }
   override def abort(): Unit = inner.abort()
   override def close(): Unit = inner.close()

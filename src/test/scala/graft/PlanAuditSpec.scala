@@ -404,6 +404,38 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q217 LSM fold+retire: one-pass fold input reads only affected cells; post-retire serve prunes and broadcasts") {
+    // the MULTI-fragment fold input (over the pristine Scratch
+    // fragments): the base scan must carry the affected-cell
+    // partition filter — folding 3 fragments still never rescans
+    // untouched cells
+    val idx = graft.queries.EmbedOps.annIncPaths(session, dir)._1
+    val pristine = graft.queries.EmbedOps.annLsmFrags(session, dir)
+    val fragVecs = (0 to 2).map(k => s"$pristine/frag-$k/vectors")
+    val foldPlan = planOf(
+      graft.queries.EmbedOps.annLsmFoldInput(session, idx, fragVecs))
+    val baseScan = foldPlan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("ivf_index_inc"))
+      .getOrElse(fail(s"no base vector scan in the fold input:\n$foldPlan"))
+    assert(baseScan.contains("PartitionFilters: [") &&
+      baseScan.replaceAll(".*PartitionFilters: \\[", "")
+        .takeWhile(_ != ']').contains("label"),
+      s"the multi-fragment fold must prune base cells:\n$baseScan")
+    // the post-retire serve: probed cells pruned on the overlay and
+    // the base; probe set broadcast; no corpus-sized shuffle join
+    val p = q("q217_ann_lsm_fold_retire")
+    val pruned = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "")
+          .takeWhile(_ != ']').contains("label"))
+    assert(pruned >= 1,
+      s"post-retire serve must prune probed cells, got $pruned:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"serve must broadcast-join the probe set:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q213 filtered ANN: the metadata predicate lands in PartitionFilters before the probe") {
     val p = q("q213_filtered_ann")
     // the candidate pool scan must prune on BOTH partition levels:
@@ -439,6 +471,48 @@ class PlanAuditSpec extends SparkSpec {
     // set is deterministic on fixed test data
     assert(total == 4 && kept < total,
       s"bloom must skip at least one striped segment, read $kept/$total:\n$p")
+  }
+
+  test("q218 skewed-filter ANN: per-src centroids and pool both prune on the filter key") {
+    val p = q("q218_filtered_ann_skew")
+    // the remediation's read path: the per-src centroid scan prunes
+    // on src (metadata-sized slice read), and every candidate-pool
+    // scan prunes on src AND label — nothing touches out-of-filter
+    // vector data
+    val srcPruned = p.linesIterator.count { l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "")
+          .takeWhile(_ != ']').contains("src")
+    }
+    assert(srcPruned >= 2,
+      s"expected src PartitionFilters on centroid + pool scans, " +
+        s"got $srcPruned:\n$p")
+    val bothPruned = p.linesIterator.exists { l =>
+      l.contains("FileScan parquet") && {
+        val pf = l.replaceAll(".*PartitionFilters: \\[", "")
+          .takeWhile(_ != ']')
+        pf.contains("src") && pf.contains("label")
+      }
+    }
+    assert(bothPruned,
+      s"no pool scan pruned on src AND label:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe/recall joins must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
+  test("q219 struct-leaf bloom: the dotted IN-list reads a strict subset of segments") {
+    val p = q("q219_nested_bloom_skipping")
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(p).getOrElse(
+      fail(s"no docstore scan with a segment count found:\n$p"))
+    val (kept, total) = (m.group(1).toInt, m.group(2).toInt)
+    // 4 id-striped segments whose LEAF fingerprint envelopes all span
+    // the hex domain — only the composite `B,<sec>:<path>` lines can
+    // prove any of them empty (the struct-leaf twin of the q215 pin)
+    assert(total == 4 && kept < total,
+      s"leaf bloom must skip at least one striped segment, " +
+        s"read $kept/$total:\n$p")
   }
 
   test("q214 CDC freshness: serve prunes probed cells; audit joins broadcast") {
