@@ -116,6 +116,31 @@ object Bench {
         s"${jq(k)}:${if (dec(k)) d else i}" }.mkString("{", ",", "}")
       head + qs + tailStr
     }
+    // Partial rung (r17 — the registry crossed the width where even the
+    // adaptive full map fits the stressed profile): keep the SLOWEST
+    // entries at 1-decimal resolution plus every error, and announce
+    // the omission count IN the JSON (`"omitted":N`) — the sidecar and
+    // stderr keep the full map, so only the compact artifact narrows,
+    // and it narrows to exactly the entries perf analysis reads first.
+    def partial(key: String => String): String = {
+      val errsStr = timed.collect { case (k, _, Some(e)) =>
+        s"${jq(key(k))}:${jq(e)}" }.mkString("{", ",", "}")
+      val head = s"""{"metric":"total","value":${fmt(total, 3)},""" +
+        s""""unit":"sec","queries":"""
+      def tailStr(omitted: Int) =
+        s""","omitted":$omitted,"errors":$errsStr,"sf":${jq(sfDir)}}"""
+      val es = timed.collect { case (k, v, None) => (key(k), fmt(v, 1), v) }
+        .sortBy(-_._3)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var len = head.length + 2 + tailStr(timed.size).length
+      es.foreach { case (k, d, _) =>
+        val add = jq(k).length + 1 + d.length + (if (picked.isEmpty) 0 else 1)
+        if (len + add <= 1900) { picked += ((k, d)); len += add }
+      }
+      val qs = picked.map { case (k, d) => s"${jq(k)}:$d" }
+        .mkString("{", ",", "}")
+      head + qs + tailStr(timed.count(_._3.isEmpty) - picked.size)
+    }
     val candidates = Seq(
       ("3-decimal", line(short, 3)),
       ("2-decimal", line(short, 2)),
@@ -123,7 +148,9 @@ object Bench {
       ("1-decimal bare-key", line(bare, 1)),
       ("adaptive bare-key (2-decimal slowest, integer tail)",
         adaptive(bare)),
-      ("integer-second bare-key", line(bare, 0))).view
+      ("integer-second bare-key", line(bare, 0)),
+      ("partial bare-key (slowest-first, omission counted)",
+        partial(bare))).view
     val safe = candidates.find(_._2.length <= 1900) match {
       case Some((label, l)) =>
         if (label != "3-decimal") System.err.println(s"BENCH NOTE: compact " +
@@ -152,6 +179,33 @@ object Bench {
           .find(_.length <= 1900).getOrElse(dropLine("{}"))
     }
     (safe, verbose)
+  }
+
+  /** The committed sidecar's line (r16 verdict item 5): the official
+    * first-sweep numbers (sum == wall, unchanged semantics) PLUS a
+    * `queries_min`/`value_min` pair folding in a SECOND full timed
+    * pass run later in the process — a per-query min across two
+    * time-separated sweeps is robust to the multi-minute drift phases
+    * that min-of-2 back-to-back runs share (r16: ~+9 s spread across
+    * untouched queries, same-tree idle A/B 150.8 vs 160.4 s). Pure —
+    * unit-tested by BenchJsonSpec. */
+  def sidecarLine(timed: Seq[(String, Double, Option[String])],
+      second: Map[String, Double], sfDir: String): String = {
+    val mins = timed.map { case (k, v, e) =>
+      if (e.isDefined || v < 0) (k, v)
+      else (k, second.get(k).filter(_ >= 0).map(math.min(v, _)).getOrElse(v))
+    }
+    val total = timed.collect { case (_, v, _) if v >= 0 => v }.sum
+    val totalMin = mins.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = timed.map { case (k, v, _) => s"${jq(k)}:$v" }
+      .mkString("{", ",", "}")
+    val qm = mins.map { case (k, v) => s"${jq(k)}:$v" }
+      .mkString("{", ",", "}")
+    val errs = timed.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""value_min":$totalMin,"queries_min":$qm,""" +
+      s""""errors":$errs,"sf":${jq(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -304,6 +358,27 @@ object Bench {
     }
     val timed = (recheck(sweep(light)) ++ sweep(heavy))
       .sortBy(_._1) // report in name order regardless of sweep order
+    // r16 verdict item 5 (min-of-N protocol): ONE more timed pass over
+    // the whole registry, minutes after the first — its per-query min
+    // with the official number lands in the sidecar as `queries_min`,
+    // the drift-robust series round-over-round comparisons should
+    // read. The official wall keeps single-first-sweep semantics.
+    // Skipped for filtered isolation runs (they skip the sidecar too).
+    def sweepOnce(group: Seq[String]): Seq[(String, Double)] = {
+      System.gc()
+      group.headOption.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      group.map { n =>
+        val (v, e) = time1(n)
+        n -> (if (e.isDefined) -1.0 else v)
+      }
+    }
+    val second: Map[String, Double] =
+      if (only.isEmpty) (sweepOnce(light) ++ sweepOnce(heavy)).toMap
+      else Map.empty
     val (compact, verbose) = render(timed, sfDir)
     // r13 (r12 verdict item 1, third artifact failure): EMISSION ORDER is
     // the contract. The driver keeps only the last ~2000 chars of the
@@ -335,7 +410,7 @@ object Bench {
     val sidecar = sys.env.get("BENCH_SIDECAR")
       .orElse(if (only.isEmpty) Some("bench_sidecar.json") else None)
     sidecar.foreach { p =>
-      try Files.writeString(Paths.get(p), verbose + "\n")
+      try Files.writeString(Paths.get(p), sidecarLine(timed, second, sfDir) + "\n")
       catch { case e: Exception =>
         System.err.println(s"BENCH: sidecar write to $p failed " +
           s"(${e.getMessage}); full detail still on stderr.")

@@ -53,7 +53,16 @@ class BenchJsonSpec extends AnyFunSuite {
     val node = parsed.get
     assert(node.get("metric").asText == "total")
     assert(node.get("value").asDouble > 0)
-    assert(node.get("queries").size == names.size)
+    // full map when it fits; past the width floor the partial rung
+    // keeps the slowest entries and ANNOUNCES the omission in-band
+    // (errors are never part of the partial map, always in `errors`)
+    val omitted = if (node.has("omitted")) node.get("omitted").asInt else 0
+    if (omitted == 0) assert(node.get("queries").size == names.size)
+    else {
+      assert(node.get("queries").size > 0)
+      assert(node.get("queries").size + omitted + node.get("errors").size
+        == names.size)
+    }
     assert(node.get("errors").size == 1)
     assert(node.get("sf").asText == "/root/testdata/sf0.1")
     // r15: past the uniform-1-decimal width the ladder lands on the
@@ -85,6 +94,36 @@ class BenchJsonSpec extends AnyFunSuite {
       s"verbose per-query sum $qsum != total ${v.get("value").asDouble}")
   }
 
+  test("sidecar line carries official + min-of-sweeps series, both reconciling") {
+    val names = Registry.all.map(_.name).sorted
+    val timed = fakeTimings(names)
+    // second sweep: half the queries ran faster, half slower (slower
+    // must NOT lower the min), errored queries absent
+    val second = timed.collect { case (n, v, None) =>
+      n -> (if (n.hashCode % 2 == 0) v * 0.8 else v * 1.3) }.toMap
+    val line = Bench.sidecarLine(timed, second, "/root/testdata/sf0.1")
+    val v = mapper.readTree(line)
+    import scala.jdk.CollectionConverters._
+    val qs = v.get("queries")
+    val qm = v.get("queries_min")
+    assert(qs.size == names.size && qm.size == names.size)
+    val qsum = qs.elements().asScala.map(_.asDouble).filter(_ >= 0).sum
+    val msum = qm.elements().asScala.map(_.asDouble).filter(_ >= 0).sum
+    assert(math.abs(qsum - v.get("value").asDouble) < 1e-9 * math.max(1.0, qsum))
+    assert(math.abs(msum - v.get("value_min").asDouble) < 1e-9 * math.max(1.0, msum))
+    names.foreach { n =>
+      val o = qs.get(n).asDouble
+      val m = qm.get(n).asDouble
+      assert(m <= o + 1e-12, s"$n min $m > official $o")
+      if (o >= 0) assert(m >= 0 && m >= o * 0.8 - 1e-9)
+    }
+    // a second-sweep error never poisons a valid official number
+    val withErr = Bench.sidecarLine(timed, Map(names.head -> -1.0), "x")
+    val ve = mapper.readTree(withErr)
+    assert(ve.get("queries_min").get(names.head).asDouble ==
+      ve.get("queries").get(names.head).asDouble)
+  }
+
   test("committed bench sidecar (when present) reconciles sum-vs-wall at full resolution") {
     // Bench.main writes the full-resolution verbose line to
     // bench_sidecar.json (repo-relative), committed per round. When the
@@ -105,6 +144,20 @@ class BenchJsonSpec extends AnyFunSuite {
     val recorded = v.get("queries").fieldNames().asScala.toSet
     assert(recorded.subsetOf(names.toSet),
       s"sidecar has unknown queries: ${recorded -- names.toSet}")
+    // r16 item 5: when the min-of-sweeps series is present (r17+
+    // sidecars), it reconciles too and never exceeds the official
+    if (v.has("queries_min")) {
+      val qm = v.get("queries_min")
+      assert(qm.size == v.get("queries").size)
+      val msum = qm.elements().asScala.map(_.asDouble).filter(_ >= 0).sum
+      assert(math.abs(msum - v.get("value_min").asDouble) <
+        1e-6 * math.max(1.0, msum),
+        s"sidecar min sum $msum != value_min ${v.get("value_min").asDouble}")
+      v.get("queries").fieldNames().asScala.foreach { n =>
+        assert(qm.get(n).asDouble <= v.get("queries").get(n).asDouble + 1e-9,
+          s"$n: min exceeds official")
+      }
+    }
   }
 
   test("short keys are the qNN prefix, falling back to full names on collision") {
@@ -120,9 +173,9 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(real.values.forall(_.length <= 5), "a registry name fell back to its full form")
   }
 
-  test("overflow past the 1900-char floor drops the map LOUDLY and stays parseable") {
-    // enough synthetic colliding names to overflow the compact line: the
-    // prefix collision forces full names into the keys, blowing the width
+  test("overflow past the 1900-char floor degrades to the partial slowest-first rung, loudly") {
+    // enough synthetic colliding names to overflow every full-map rung:
+    // the prefix collision forces full names into the keys
     val names = (1 to 200).map(i => f"q9_synthetic_overflow_case_$i%03d")
     val errBuf = new java.io.ByteArrayOutputStream()
     val prevErr = System.err
@@ -131,16 +184,60 @@ class BenchJsonSpec extends AnyFunSuite {
         System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
         Bench.render(fakeTimings(names), "/root/testdata/sf0.1")
       } finally System.setErr(prevErr)
-    // the fallback line is parseable, carries the total, and drops the map
+    assert(compact.length <= 1900)
+    // the partial rung keeps the SLOWEST entries, announces the
+    // omission count in-band, and never loses an error entry
     val node = driverParse(compact + "\n").get
     assert(node.get("metric").asText == "total")
-    assert(node.get("queries").size == 0)
-    // … and the drop is announced on stderr, not silent (r6 verdict item 7)
+    val kept = node.get("queries").size
+    val omitted = node.get("omitted").asInt
+    assert(kept > 0 && omitted > 0, s"expected a partial map: $compact")
+    assert(kept + omitted + node.get("errors").size == names.size)
+    assert(node.get("errors").size == 1)
+    // the kept entries are the slowest ones (the pathological band)
+    val timings = fakeTimings(names)
+    val slowest = timings.filter(_._2 > 0).maxBy(_._2)._1
+    val slowKey = {
+      val s = Bench.shortKeys(names)(slowest)
+      if (s.length > 1 && s.head == 'q') s.tail else s
+    }
+    assert(node.get("queries").has(slowKey),
+      s"partial map must keep the slowest query $slowKey")
+    // … and the degradation is announced on stderr, not silent
     val warning = errBuf.toString("UTF-8")
-    assert(warning.contains("BENCH WARNING") && warning.contains("1900"),
-      s"expected a loud overflow warning, got: '$warning'")
+    assert(warning.contains("BENCH NOTE") || warning.contains("BENCH WARNING"),
+      s"expected a loud degradation note, got: '$warning'")
     // the verbose channel still has every query
     assert(mapper.readTree(verbose).get("queries").size == names.size)
+  }
+
+  test("pathological widths past even the partial rung drop the map LOUDLY and stay parseable") {
+    // an error message so large the errors map alone overflows: the
+    // final LOUD drop branch must still emit a parseable line whose
+    // failure count survives (ADVICE r9: never read clean over failures)
+    val names = (1 to 40).map(i => f"q8_pathological_drop_case_with_very_long_name_$i%03d")
+    val timings = names.zipWithIndex.map { case (n, i) =>
+      if (i < 39) (n, -1.0, Some(("boom " * 50) + i))
+      else (n, 1.0, Option.empty[String])
+    }
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    val (compact, _) =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+        Bench.render(timings, "/root/testdata/sf0.1")
+      } finally System.setErr(prevErr)
+    assert(compact.length <= 1900)
+    val node = driverParse(compact + "\n").get
+    assert(node.get("metric").asText == "total")
+    // the failure signal survives in SOME form: an errors map or the
+    // _failed count
+    assert(node.get("errors").size > 0 ||
+      node.get("errors").has("_failed"),
+      s"failures must never read clean: $compact")
+    val warning = errBuf.toString("UTF-8")
+    assert(warning.contains("BENCH WARNING"),
+      s"expected a loud drop warning, got: '$warning'")
   }
 
   test("error timings and pathological sf paths stay valid JSON") {
