@@ -1694,6 +1694,10 @@ object EmbedOps {
             .filter(col("label").isin(cold: _*))
             .withColumn("is_new", lit(false)))
       })
+      // persist: the returned frame is executed AGAIN by the caller
+      // (Verify's write / the bench's noop) — without the cache the
+      // whole post-retire serve would recompute a third time
+      afterDf.persist()
       val after = afterDf.collect()
       cents.unpersist()
       // the fold's correctness contract, asserted row for row
@@ -1913,7 +1917,9 @@ object EmbedOps {
         .orderBy("query_id", "rnk")
       // the remediation contract, asserted where the driver can see a
       // loud failure: the per-slice index recovers FULL recall on the
-      // slice the global index under-recalls
+      // slice the global index under-recalls (persist: the caller
+      // executes the returned frame again — serve once, not twice)
+      out.persist()
       val rows = out.collect()
       require(rows.nonEmpty && rows.forall(_.getDouble(5) == 1.0),
         s"per-src centroids must recover recall@3 = 1.0 on the " +
@@ -2066,32 +2072,19 @@ object EmbedOps {
 
   /** Stored centroids + the fragment's per-cell integer sums/counts —
     * the associative fold both serving (q207) and the nightly fold
-    * (q212) publish. */
+    * (q212) publish. The N = 1 case of [[foldedCentroidsAll]]. */
   private def foldedCentroids(s: SparkSession, idx: String,
-      delta: String): DataFrame = {
-    val dcent = s.read.parquet(s"$delta/dcent")
-    s.read.parquet(s"$idx/centroids")
-      .join(broadcast(dcent), Seq("label"), "left")
-      .select(col("label"),
-        when(col("dv").isNull, col("sv"))
-          .otherwise(zip_with(col("sv"), col("dv"), (a, b) => a + b))
-          .as("sv"),
-        (col("c") + coalesce(col("dc"), lit(0L))).as("c"))
-  }
+      delta: String): DataFrame =
+    foldedCentroidsAll(s, idx, Seq(s"$delta/dcent"))
 
   /** The fold's INPUT frame — base rows of AFFECTED cells only
     * (partition pruning; untouched cells are never read) unioned with
     * the delta fragment, is_new preserved. graft-visible so
-    * PlanAuditSpec can pin the pruned plan directly. */
+    * PlanAuditSpec can pin the pruned plan directly. The N = 1 case
+    * of [[annLsmFoldInput]]. */
   private[graft] def annFoldInput(s: SparkSession, idx: String,
-      delta: String): DataFrame = {
-    val dl = s.read.parquet(s"$delta/vectors")
-    val affected = dl.select("label").distinct().collect().map(_.get(0))
-    s.read.parquet(s"$idx/vectors")
-      .filter(col("label").isin(affected: _*))
-      .withColumn("is_new", lit(false))
-      .unionByName(dl.withColumn("is_new", lit(true)))
-  }
+      delta: String): DataFrame =
+    annLsmFoldInput(s, idx, Seq(s"$delta/vectors"))
 
   /** graft-visible fixture accessors for the fold plan audit. */
   private[graft] def annIncPaths(s: SparkSession, dir: String)

@@ -151,14 +151,15 @@ object WindowOps {
         try {
           q.processAllAvailable() // all real data into stage-1 state
           sentinel(1000)
-          q.processAllAvailable() // flushes hourly rows -> stage-2 state
-          sentinel(2000)
-          q.processAllAvailable() // the batch that applies sentinel 1's
-          // watermark evicts the remaining hourly windows into stage 2
-          // AND closes every real daily window in the same batch (state
-          // added in a batch is evaluated against the batch's incoming
-          // watermark, already 1000h ahead here) — verified: a 4th
-          // drain adds nothing
+          // ONE sentinel suffices (r16 item 6, probed 5x deterministic):
+          // processAllAvailable returns only after MicroBatchExecution
+          // stops constructing batches, and a stateful plan's
+          // shouldRunAnotherBatch keeps constructing NO-DATA batches
+          // while the advanced watermark can still evict — so the
+          // engine itself runs the batch that applies sentinel's
+          // watermark (evicting hourly -> stage 2 and closing every
+          // real daily window) before this call returns
+          q.processAllAvailable()
         } finally q.stop()
       }
         .filter(col("ds") < lit(java.sql.Timestamp.from(
@@ -275,9 +276,12 @@ object WindowOps {
         try {
           q.processAllAvailable() // batch 1: all real data
           sentinel(1000)
-          q.processAllAvailable() // batch 2: watermark still at batch-1 max
-          sentinel(2000)
-          q.processAllAvailable() // batch 3: flushes every real window
+          // batch 2 ingests the sentinel; the engine then self-runs the
+          // NO-DATA batch that applies its watermark and flushes every
+          // real window before processAllAvailable returns (see q184 —
+          // shouldRunAnotherBatch keeps the cascade going; one sentinel,
+          // not two: r16 item 6)
+          q.processAllAvailable()
         } finally q.stop()
       }
         .filter(col("ws") < lit(java.sql.Timestamp.from(maxTs.plusSeconds(500 * 3600L))))
@@ -335,9 +339,11 @@ object WindowOps {
         try {
           q.processAllAvailable() // batch 1: all real events into state
           sentinel(1000)
-          q.processAllAvailable() // batch 2: watermark reaches maxTs - 1h
-          sentinel(2000)
-          q.processAllAvailable() // batch 3: timeouts fire for all users
+          // batch 2 ingests the sentinel; the self-run NO-DATA batch
+          // applies its watermark and fires every user's event-time
+          // timeout before processAllAvailable returns (one sentinel,
+          // not two — see q184's contract note; r16 item 6)
+          q.processAllAvailable()
         } finally q.stop()
       }
         .filter(col("user_id") < SentinelUser)

@@ -1208,7 +1208,7 @@ object DocStore {
   /** TBLPROPERTIES key: comma-separated column names to Bloom-index
     * on NEW segments (existing segments are unchanged until
     * rewritten — Delta's semantics). The writer validates names and
-    * types loudly; see [[bloomSectionsOf]]. */
+    * types loudly; see [[validateBloomSpec]]. */
   val BLOOM_KEY = "graft.bloom.columns"
   private[graft] val BLOOM_K = 5
   private[graft] val BLOOM_MAX_BITS = 1 << 20 // fold ceiling (128 KiB)
@@ -1401,9 +1401,6 @@ object DocStore {
       case None => BloomSpec(Set.empty, Map.empty)
       case Some(spec) => validateBloomSpec(schema, spec)
     }
-
-  private[sources] def bloomSectionsOf(path: String,
-      schema: StructType): Set[Int] = bloomSpecOf(path, schema).sections
 
   /** Max stored bytes of a string envelope bound (Iceberg truncate[16]). */
   val STR_BOUND_MAX = 16
@@ -3105,9 +3102,14 @@ object DocStoreCommitOps {
         Files.createFile(lock.resolve(LOCK_TOKEN_PREFIX + token))
         fenced = true; acquired = true
       } catch {
-        case _: java.nio.file.NoSuchFileException
-            if !Files.exists(lock) =>
-          // our dir was deleted out from under us — re-acquire
+        case _: java.nio.file.NoSuchFileException =>
+          // our dir was deleted out from under us (a stalled previous
+          // holder's release hit the empty-dir window). Re-acquire
+          // UNCONDITIONALLY: we hold nothing at this point, and the
+          // lock dir existing NOW only means another writer already
+          // re-owned the name (r17 review: gating the retry on
+          // !exists(lock) would misread that as an exotic-FS failure
+          // and enter the critical section unfenced beside them).
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"timed out waiting for docstore commit lock $lock")

@@ -872,7 +872,7 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         quoted: String, dt: org.apache.spark.sql.types.DataType,
         sec: Int, leafPath: Option[String])
     val bloomTargets: Seq[BloomTarget] =
-      tbl.fields.zipWithIndex
+      (tbl.fields.zipWithIndex
         .filter { case (f, i) =>
           bloomSpecAll.sections(DocStore.sectionOf(f, i)) }
         .map { case (f, i) => BloomTarget(s"${DocStore.sectionOf(f, i)}",
@@ -888,7 +888,11 @@ class AnalyzeProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
                   .map(n => s"`$n`").mkString("."),
                 ls.dt, sec, Some(p)))
           }
-      }.filterNot(_.dt == org.apache.spark.sql.types.TimestampNTZType)
+      // the NTZ decline covers BOTH surfaces (r17 review: parenthesize
+      // or the filterNot binds to the leaf flatMap only, and a
+      // top-level NTZ bloom column would crash the whole ANALYZE on
+      // Spark's refused TIMESTAMP_NTZ -> BIGINT cast)
+      }).filterNot(_.dt == org.apache.spark.sql.types.TimestampNTZType)
     type SegBlooms =
       (Map[Int, DocStore.Bloom], Map[Int, Map[String, DocStore.Bloom]])
     val bloomBySeg: Map[String, SegBlooms] =

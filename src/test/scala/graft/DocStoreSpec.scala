@@ -4522,6 +4522,42 @@ class DocStoreSpec extends SparkSpec {
     assert(bfProbe.collect().map(_.getLong(0)).toSeq == Seq(42L))
   }
 
+  test("analyze declines TIMESTAMP_NTZ bloom targets but still backfills the rest") {
+    // r17 review regression pin: the leaf-target refactor briefly
+    // scoped the NTZ decline to leaf paths only, so a top-level
+    // TIMESTAMP_NTZ bloom column crashed the WHOLE analyze on the
+    // refused TIMESTAMP_NTZ -> BIGINT cast (stats backfill included)
+    val root = Files.createTempDirectory("docstore_bloom_ntz").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.bntz" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.bntz.root" -> root)
+    sc.sql("CREATE NAMESPACE bntz.ns")
+    sc.sql("CREATE TABLE bntz.ns.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    sc.sql("ALTER TABLE bntz.ns.t ADD COLUMNS (tnz TIMESTAMP_NTZ)")
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        md5(col("text")).as("source"), col("text"),
+        lit("2020-01-01 00:00:00").cast("timestamp_ntz").as("tnz"))
+      .createOrReplaceTempView("bntz_src")
+    (0 to 3).foreach(k => sc.sql("INSERT INTO bntz.ns.t " +
+      s"SELECT * FROM bntz_src WHERE doc_id % 4 = $k"))
+    sc.sql("ALTER TABLE bntz.ns.t SET TBLPROPERTIES " +
+      "('graft.bloom.columns' = 'source,tnz')")
+    sc.sql("CALL bntz.system.analyze('ns.t')") // must not throw
+    val fp = docs.where(col("doc_id") === 42)
+      .select(md5(col("text"))).head().getString(0)
+    val probe = sc.sql(
+      s"SELECT doc_id FROM bntz.ns.t WHERE source = '$fp'")
+    val m = "segments=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(physical(probe)).get
+    assert(m.group(2).toInt == 4 && m.group(1).toInt < 4,
+      s"analyze must still backfill the eligible source bloom: " +
+        s"${m.group(1)}/${m.group(2)}")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
   test("retention DELETE through struct-leaf envelopes: aligned drops metadata-only, misaligned and inexact fall back") {
     val root = Files.createTempDirectory("docstore_leaf_ret").toString
     val sc = graft.core.Sessions.scoped(spark,
