@@ -1928,6 +1928,201 @@ object EmbedOps {
         "the skewed slice must DEMONSTRATE global under-recall " +
           s"(got ${rows.map(_.getDouble(6)).distinct.toSeq})")
       out
+    },
+
+    Q("q221_ann_tombstone_delete",
+      "DELETION through the LSM ANN index — the right-to-be-forgotten " +
+        "/ decontamination face the lifecycle was missing (q207 " +
+        "inserts, q212/q217 fold; production stacks must also FORGET: " +
+        "a takedown or a contaminated-document purge must leave the " +
+        "serving index, not just the corpus). Delete requests arrive " +
+        "from the corpus pipeline CARRYING THEIR ROWS (the q214 CDF " +
+        "posture), so the TOMBSTONE FRAGMENT is cell-partitioned and " +
+        "metadata-locatable — no corpus scan ever looks up where a " +
+        "deleted id lives. Three phases, each batch-or-metadata-" +
+        "sized: (1) the tombstone fragment publishes (vec_id, cell) " +
+        "keys plus per-cell integer sums/counts, and the centroid " +
+        "state SUBTRACTS them — exact, because integer sums are a " +
+        "group under addition where float means are not; (2) " +
+        "serve-with-tombstones probes the subtracted centroids and " +
+        "ANTI-JOINS the broadcast tombstone keys inside probed cells " +
+        "only — deleted vectors are unfindable IMMEDIATELY, before " +
+        "any rewrite; (3) COMPACTION rewrites only the affected " +
+        "cells without the tombstoned rows and atomically retires " +
+        "the fragment (commit-locked manifest swap, fragment files " +
+        "deleted after the swap), and serve-after-compaction == " +
+        "serve-with-tombstones row for row (required in-gate; the " +
+        "oracle — brute force over the surviving vectors — pins both " +
+        "independently). In-gate audits: no tombstoned id in either " +
+        "serve, none left in the compacted cells, fragment gone. At " +
+        "100 TB: forget-latency is one metadata commit, compaction " +
+        "cost scales with affected cells, and the physical bytes " +
+        "leave at the next fold — the GDPR story an append-only " +
+        "index cannot tell.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        base AS (SELECT * FROM nz WHERE vec_id % 10 <> 0),
+        live AS (SELECT * FROM base WHERE vec_id % 7 <> 3),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM live CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                 FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM live GROUP BY 1),
+        cc AS (SELECT cent.label, sv, c
+               FROM cent JOIN cnt ON cent.label = cnt.label),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM base
+               WHERE vec_id < 5),
+        dist AS (SELECT qid, cc.label, qv, qn,
+                        list_sum(list_transform(range($DIM),
+                          i -> (c * qv[i+1] - sv[i+1])
+                             * (c * qv[i+1] - sv[i+1]))) AS d
+                 FROM qs CROSS JOIN cc),
+        probe AS (SELECT qid, label, qv, qn FROM (
+                    SELECT qid, label, qv, qn,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY d, label) AS pr
+                    FROM dist) WHERE pr <= 2),
+        cand AS (SELECT qid, live.vec_id AS neighbor_id, live.label,
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                 FROM probe JOIN live ON live.label = probe.label
+                                     AND live.vec_id <> probe.qid),
+        r AS (SELECT qid AS query_id, neighbor_id, label AS cell, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand)
+        SELECT query_id, rnk::INT AS rnk, neighbor_id, cell,
+               ROUND(cos, 6) AS cosine
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      val (idx, pristine) = annTombPaths(s, dir)
+      // per-invocation copy: compaction RETIRES the fragment
+      val root = graft.core.Fs.rotatingTempRoot("q221_tomb")
+      graft.core.Fs.copyRecursively(
+        java.nio.file.Paths.get(pristine), root.resolve("tomb"))
+      val tomb = root.resolve("tomb")
+      val mf = root.resolve("MANIFEST")
+      def publish(lines: Seq[String], v: Int): Unit = {
+        val tmp = root.resolve(s".mf-stg-$v")
+        java.nio.file.Files.write(tmp,
+          lines.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.copy(tmp, root.resolve(s"MANIFEST.v$v"))
+        java.nio.file.Files.move(tmp, mf,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      def readManifest(): Seq[(String, String)] =
+        java.nio.file.Files.readAllLines(mf).toArray.toSeq
+          .map(_.toString.split(",", 2)).map(a => (a(0), a(1)))
+      graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+        publish(Seq(s"base,$idx", s"tomb,$tomb"), 0)
+      }
+      val tombKeys = s.read.parquet(s"$tomb/keys")
+      // deleted-id audit list (tombstones are batch-sized by contract)
+      val deadIds = tombKeys.select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      // centroid state MINUS the fragment's aggregates (exact ints)
+      val cents = s.read.parquet(s"$idx/centroids")
+        .join(broadcast(s.read.parquet(s"$tomb/dcent")),
+          Seq("label"), "left")
+        .select(col("label"),
+          when(col("dv").isNull, col("sv"))
+            .otherwise(zip_with(col("sv"), col("dv"), (a, b) => a - b))
+            .as("sv"),
+          (col("c") - coalesce(col("dc"), lit(0L))).as("c"))
+        .persist()
+      def serve(cc: DataFrame, poolOf: Seq[Any] => DataFrame): DataFrame = {
+        val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("q").as("qv"),
+            col("nn").as("qn"))
+        val dist = qs.crossJoin(broadcast(cc))
+          .withColumn("d", aggregate(
+            zip_with(col("qv"), col("sv"),
+              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+            lit(0L), (acc, x) => acc + x))
+        val wp = Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("label").asc)
+        val probe = dist.withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= 2)
+          .select(col("qid"), col("label"), col("qv"), col("qn"))
+        val cells = probe.select("label").distinct()
+          .collect().map(_.get(0)).toSeq
+        val pool = poolOf(cells)
+        val cand = pool.join(broadcast(probe),
+            pool("label") === probe("label") &&
+              col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        val wr = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cand.withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .select(col("qid").as("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), pool("label").as("cell"),
+            round(col("cos"), 6).as("cosine"))
+          .orderBy("query_id", "rnk")
+      }
+      // ---- serve WITH tombstones: anti-join the broadcast keys
+      // inside probed cells — deleted vectors are unfindable before
+      // any byte is rewritten
+      val before = serve(cents, cells =>
+        s.read.parquet(s"$idx/vectors")
+          .filter(col("label").isin(cells: _*))
+          .join(broadcast(tombKeys), Seq("vec_id", "label"), "left_anti"))
+        .collect()
+      require(before.forall(r => !deadIds(r.getLong(2))),
+        "a tombstoned vector surfaced in the masked serve")
+      // ---- COMPACTION: rewrite ONLY the affected cells without the
+      // tombstoned rows, persist the subtracted centroids, swap the
+      // manifest atomically, delete the retired fragment
+      val affected = tombKeys.select("label").distinct()
+        .collect().map(_.get(0))
+      val compacted = root.resolve("compact")
+      s.read.parquet(s"$idx/vectors")
+        .filter(col("label").isin(affected.toSeq: _*))
+        .join(broadcast(tombKeys), Seq("vec_id", "label"), "left_anti")
+        .write.partitionBy("label")
+        .parquet(compacted.resolve("cells").toString)
+      cents.write.parquet(compacted.resolve("centroids").toString)
+      graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+        val cur = readManifest()
+        require(cur.collect { case ("tomb", p) => p } ==
+          Seq(tomb.toString),
+          s"concurrent tombstone change since compaction was computed; " +
+            "refusing the swap")
+        publish(Seq(s"base,$idx", s"compact,$compacted"), 1)
+        graft.core.Fs.deleteRecursively(tomb)
+      }
+      require(!java.nio.file.Files.exists(tomb),
+        "the retired tombstone fragment must be deleted after the swap")
+      // audit: the compacted cells physically lack the deleted ids
+      val leaked = s.read.parquet(compacted.resolve("cells").toString)
+        .filter(col("vec_id").isin(deadIds.toSeq: _*)).count()
+      require(leaked == 0, s"$leaked tombstoned rows survived compaction")
+      // ---- serve AFTER compaction, resolved through the manifest:
+      // affected cells read the compacted overlay (no mask needed),
+      // untouched cells the base
+      val post = readManifest()
+      val compDir = post.collect { case ("compact", p) => p }.head
+      val affectedSet = affected.toSet
+      val afterDf = serve(
+        s.read.parquet(s"$compDir/centroids"), cells => {
+          val (hot, cold) = cells.partition(affectedSet.contains)
+          s.read.parquet(s"$compDir/cells")
+            .filter(col("label").isin(hot: _*))
+            .unionByName(s.read.parquet(s"$idx/vectors")
+              .filter(col("label").isin(cold: _*)))
+        })
+      afterDf.persist()
+      val after = afterDf.collect()
+      cents.unpersist()
+      require(before.toSeq == after.toSeq,
+        "serve-after-compaction must equal serve-with-tombstones: " +
+          s"${before.toSeq.diff(after.toSeq)} vs " +
+          s"${after.toSeq.diff(before.toSeq)}")
+      afterDf
     }
   )
 
@@ -2089,6 +2284,40 @@ object EmbedOps {
   /** graft-visible fixture accessors for the fold plan audit. */
   private[graft] def annIncPaths(s: SparkSession, dir: String)
       : (String, String) = (ivfIncBase(s, dir), annIncDelta(s, dir))
+
+  /** (base index, pristine tombstone fragment) for q221 and its plan
+    * audit. The fragment is Scratch-immutable: delete requests ride
+    * the corpus CDF with their rows, so it lands cell-partitioned
+    * (`keys/`) WITH the per-cell integer aggregates to subtract
+    * (`dcent/`) — the compaction lifecycle operates on per-invocation
+    * COPIES. */
+  private[graft] def annTombPaths(s: SparkSession, dir: String)
+      : (String, String) = {
+    val idx = ivfIncBase(s, dir)
+    val pristine = graft.core.Scratch.materialize("ivf_tomb_frag",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+      val dead = s.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id") % 7 === 3)
+      dead.select(col("vec_id"), col("label"))
+        .write.partitionBy("label")
+        .parquet(java.nio.file.Paths.get(p, "keys").toString)
+      val back = s.read.parquet(
+        java.nio.file.Paths.get(p, "keys").toString)
+        .join(s.read.parquet(s"$idx/vectors"), Seq("vec_id", "label"))
+      val dsum = back
+        .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("x")).as("ds"))
+      val dvec = dsum.groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("ds")))),
+          e => e.getField("ds")).as("dv"))
+      val dcnt = back.groupBy(col("label")).agg(count(lit(1)).as("dc"))
+      dvec.join(dcnt, "label").write.parquet(
+        java.nio.file.Paths.get(p, "dcent").toString)
+    }
+    (idx, pristine)
+  }
 
   /** THREE accumulated delta fragments (q217's LSM lifecycle input),
     * each an upsert batch assigned against the PINNED base coarse

@@ -38,10 +38,17 @@ object Registry {
     * recovered its r13 number; its r14 "2 s -> 4 s regression" A/B'd
     * clean — the r13 build times identically to HEAD on today's
     * hardware (both ~4.0-4.3 s unpinned), i.e. environment drift, not
-    * a code regression. The sentinel double-drains (q173/q184) are
-    * semantically required: eviction uses the watermark computed from
-    * the PREVIOUS batch, so a successor batch must exist to flush —
-    * collapsing them would break the stream==batch proof. */
+    * a code regression.
+    *
+    * r17 drain audit: eviction DOES use the watermark computed from
+    * the previous batch, but the successor batch that applies it is
+    * the engine's own NO-DATA batch — processAllAvailable returns
+    * only after shouldRunAnotherBatch stops constructing them — so
+    * the SECOND far-future sentinel q48/q57/q184 carried was
+    * redundant (probed 5x per shape, oracles re-verified 3x). The
+    * remaining floor is the state-store/sink commits of the batches
+    * themselves (data + no-data), which are the proof's substance;
+    * q173's one-sentinel-per-side drive was already minimal. */
   lazy val heavy: Set[String] = Set(
     "q38_csv_roundtrip", "q82_orc_roundtrip", "q93_schema_evolution",
     "q86_compaction",
@@ -71,6 +78,7 @@ object Registry {
     "q212_ann_delta_fold", "q213_filtered_ann",
     "q214_cdc_ann_freshness", "q215_bloom_skipping",
     "q216_retention_delete", "q217_ann_lsm_fold_retire",
+    "q221_ann_tombstone_delete",
     "q218_filtered_ann_skew", "q219_nested_bloom_skipping",
     "q220_nested_retention_delete",
     "q182_identity_columns", "q184_stream_chained_agg",

@@ -436,6 +436,38 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q221 tombstone delete: masked pool prunes cells and broadcast-anti-joins the keys; post-compaction serve prunes") {
+    // the masked serve's pool shape over the pristine fixture: the
+    // base scan pruned to probed cells, the tombstone keys a
+    // BROADCAST anti-join (batch-sized by contract) — never a
+    // corpus-wide shuffle to apply a delete
+    val (idx, tomb) = graft.queries.EmbedOps.annTombPaths(session, dir)
+    val keys = session.read.parquet(s"$tomb/keys")
+    val somePool = session.read.parquet(s"$idx/vectors")
+      .filter(col("label").isin(0, 1))
+      .join(broadcast(keys), Seq("vec_id", "label"), "left_anti")
+    val mp = planOf(somePool)
+    assert(mp.contains("BroadcastHashJoin") && mp.contains("LeftAnti"),
+      s"tombstone mask must be a broadcast anti-join:\n$mp")
+    assert(mp.linesIterator.exists(l => l.contains("FileScan parquet") &&
+      l.contains("ivf_index_inc") &&
+      l.replaceAll(".*PartitionFilters: \\[", "")
+        .takeWhile(_ != ']').contains("label")),
+      s"masked pool must prune probed cells:\n$mp")
+    // the gate's returned frame (post-compaction serve): pruned
+    // scans, broadcast probe, qid-partitioned ranking
+    val p = q("q221_ann_tombstone_delete")
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "")
+          .takeWhile(_ != ']').contains("label")),
+      s"post-compaction serve must prune probed cells:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"serve must broadcast-join the probe set:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q213 filtered ANN: the metadata predicate lands in PartitionFilters before the probe") {
     val p = q("q213_filtered_ann")
     // the candidate pool scan must prune on BOTH partition levels:
