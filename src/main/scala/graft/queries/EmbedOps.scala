@@ -2123,6 +2123,211 @@ object EmbedOps {
           s"${before.toSeq.diff(after.toSeq)} vs " +
           s"${after.toSeq.diff(before.toSeq)}")
       afterDf
+    },
+
+    Q("q222_cdc_ann_forget",
+      "CDC-DRIVEN FORGETTING — q214's freshness pipeline closed for " +
+        "DELETES (q214 streams inserts into the index; a production " +
+        "corpus also takes takedowns, and the index must forget " +
+        "WITHOUT a rebuild and WITHOUT scanning the corpus): vectors " +
+        "live in a docstore table, the nightly build lays the base " +
+        "out cell-partitioned, then three DELETE commits remove a " +
+        "slice and the table's CHANGE DATA FEED STREAM drives index " +
+        "maintenance through foreachBatch — each commit's delete " +
+        "rows arrive as ONE micro-batch CARRYING THEIR PRE-IMAGE " +
+        "VALUES (the CDF contract is what makes the tombstone " +
+        "cell-locatable with zero lookups), the batch appends a " +
+        "cell-partitioned tombstone fragment, and the associative " +
+        "integer centroid state SUBTRACTS the batch's per-cell " +
+        "sums/counts. Serving probes the subtracted centroids and " +
+        "anti-joins the broadcast tombstone keys inside probed " +
+        "cells; the `fresh` column is the in-query audit joining it " +
+        "row-by-row against a from-scratch rebuild over the table's " +
+        "CURRENT snapshot (the oracle IS the rebuild). NO maintenance " +
+        "step rescans the corpus: per batch, work is batch + " +
+        "metadata. Composes q214 (CDF-driven maintenance), q216 " +
+        "(the DELETE itself can be metadata-only on the table side) " +
+        "and q221 (tombstone serving) into the full forget path a " +
+        "GDPR/takedown pipeline runs at 100 TB.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        live AS (SELECT * FROM nz WHERE vec_id % 7 <> 3),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM live CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                 FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM live GROUP BY 1),
+        cc AS (SELECT cent.label, sv, c
+               FROM cent JOIN cnt ON cent.label = cnt.label),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
+               WHERE vec_id < 5),
+        dist AS (SELECT qid, cc.label, qv, qn,
+                        list_sum(list_transform(range($DIM),
+                          i -> (c * qv[i+1] - sv[i+1])
+                             * (c * qv[i+1] - sv[i+1]))) AS d
+                 FROM qs CROSS JOIN cc),
+        probe AS (SELECT qid, label, qv, qn FROM (
+                    SELECT qid, label, qv, qn,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY d, label) AS pr
+                    FROM dist) WHERE pr <= 2),
+        cand AS (SELECT qid, live.vec_id AS neighbor_id, live.label,
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                 FROM probe JOIN live ON live.label = probe.label
+                                     AND live.vec_id <> probe.qid),
+        r AS (SELECT qid AS query_id, neighbor_id, label AS cell, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand)
+        SELECT query_id, rnk::INT AS rnk, neighbor_id, cell,
+               ROUND(cos, 6) AS cosine, TRUE AS fresh
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      import s.implicits._
+      val root = graft.core.Fs.rotatingTempRoot("q222_forget")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_fg" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_fg.root" ->
+          root.resolve("cat").toString)
+      sc.sql("CREATE NAMESPACE graft_cat_fg.default")
+      // merge-on-read DELETEs: deletion vectors make the change feed
+      // emit EXACTLY the deleted rows (the CDC-friendly cost model —
+      // Delta enables DVs by default for the same reason); a
+      // copy-on-write DELETE would surface as rewrite churn
+      // (delete-all + reinsert-survivors) in a snapshot-diff CDF
+      sc.sql("CREATE TABLE graft_cat_fg.default.vecs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING) TBLPROPERTIES " +
+        "('graft.rowlevel.mode' = 'merge-on-read')")
+      sc.sql("ALTER TABLE graft_cat_fg.default.vecs ADD COLUMNS " +
+        "(vlabel INT, q ARRAY<BIGINT>)")
+      quantized(sc, dir).createOrReplaceTempView("q222_src")
+      sc.sql("INSERT INTO graft_cat_fg.default.vecs " +
+        "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
+        "FROM q222_src")
+      val tablePath = root.resolve("cat").resolve("default")
+        .resolve("vecs").toString
+      val baseV =
+        graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      // commits 2-4: three takedown batches (together: doc_id % 7 = 3)
+      (0 to 2).foreach(k => sc.sql(
+        "DELETE FROM graft_cat_fg.default.vecs " +
+          s"WHERE doc_id % 7 = 3 AND doc_id % 3 = $k"))
+      // ---- nightly build from the base version: cell-partitioned
+      // layout + driver-held integer centroid state
+      def vecsOf(df: DataFrame): DataFrame = df.select(
+        col("doc_id").as("vec_id"), col("q"),
+        col("n_chars").as("nn"), col("vlabel").as("label"))
+      val baseDir = root.resolve("base").toString
+      vecsOf(sc.sql("SELECT * FROM graft_cat_fg.default.vecs " +
+        s"VERSION AS OF $baseV"))
+        .write.partitionBy("label").parquet(baseDir)
+      def cellAgg(df: DataFrame): Array[(Int, Seq[Long], Long)] =
+        df.select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("x")).as("s"))
+          .groupBy(col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("s")))),
+            e => e.getField("s")).as("sv"))
+          .join(df.groupBy(col("label")).agg(count(lit(1)).as("c")),
+            "label")
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+      val state = scala.collection.mutable.HashMap[Int, (Array[Long], Long)]()
+      cellAgg(s.read.parquet(baseDir)).foreach { case (l, sv, c) =>
+        state(l) = (sv.toArray, c) }
+      // ---- streaming maintenance: one micro-batch per DELETE commit;
+      // per batch: tombstone append (batch-sized, cell-partitioned)
+      // + integer centroid SUBTRACT (metadata-sized)
+      val tombDir = root.resolve("tombs").toString
+      val stream = sc.readStream.format("graft-docstore")
+        .option("path", tablePath)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", (baseV + 1).toString)
+        .load()
+      val q = stream.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = vecsOf(batch
+            .filter(col("_change_type") === "delete")).persist()
+          try {
+            rows.select("vec_id", "label").write.mode("append")
+              .partitionBy("label").parquet(tombDir)
+            cellAgg(rows).foreach { case (l, sv, c) =>
+              val (os, oc) = state.getOrElse(l, (new Array[Long](DIM), 0L))
+              var i = 0
+              while (i < DIM) { os(i) -= sv(i); i += 1 }
+              state(l) = (os, oc - c)
+            }
+          } finally { rows.unpersist(); () }
+          () : Unit
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // ---- serve from the maintained state: subtracted centroids,
+      // base pool MASKED by the broadcast tombstone keys
+      val cents = state.toSeq
+        .map { case (l, (sv, c)) => (l, sv.toSeq, c) }
+        .toDF("label", "sv", "c")
+      val tombKeys = s.read.parquet(tombDir)
+      val qs = s.read.parquet(baseDir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      def serve(pool: DataFrame): DataFrame = {
+        val dist = qs.crossJoin(broadcast(cents))
+          .withColumn("d", aggregate(
+            zip_with(col("qv"), col("sv"),
+              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+            lit(0L), (acc, x) => acc + x))
+        val wp = Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("label").asc)
+        val probe = dist.withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= 2)
+          .select(col("qid"), col("label"), col("qv"), col("qn"))
+        val cells = probe.select("label").distinct()
+          .collect().map(_.get(0))
+        val pruned = pool.filter(col("label").isin(cells: _*))
+        val cand = pruned.join(broadcast(probe),
+            pruned("label") === probe("label") &&
+              col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+        val wr = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cand.withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .select(col("qid").as("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"),
+            pruned("label").as("cell"),
+            round(col("cos"), 6).as("cosine"))
+      }
+      val incr = serve(s.read.parquet(baseDir)
+        .join(broadcast(tombKeys), Seq("vec_id", "label"), "left_anti"))
+      // ---- freshness audit: a from-scratch rebuild over the CURRENT
+      // snapshot must serve identically (one off-path audit scan)
+      val cur = vecsOf(sc.read.format("graft-docstore")
+        .option("path", tablePath).load())
+      val rebuilt = serve(cur)
+        .withColumnRenamed("neighbor_id", "r_neighbor_id")
+        .withColumnRenamed("cell", "r_cell")
+        .withColumnRenamed("cosine", "r_cosine")
+        .withColumnRenamed("query_id", "r_query_id")
+        .withColumnRenamed("rnk", "r_rnk")
+      incr.join(broadcast(rebuilt),
+          incr("query_id") === col("r_query_id") &&
+            incr("rnk") === col("r_rnk"), "left")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("cell"), col("cosine"),
+          (col("neighbor_id") === col("r_neighbor_id") &&
+            col("cell") === col("r_cell") &&
+            col("cosine") === col("r_cosine")).as("fresh"))
+        .orderBy("query_id", "rnk")
     }
   )
 

@@ -4520,6 +4520,27 @@ class DocStoreSpec extends SparkSpec {
     assert(nb1 == 4 && kb1 < 4,
       s"post-analyze leaf blooms must skip, got $kb1/$nb1")
     assert(bfProbe.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // ---- row-level DML group pruning consults leaf blooms too: an
+    // UPDATE keyed on the nested fingerprint rewrites only the
+    // stripe(s) that might hold it (statsPruner is shared, so this
+    // follows from the read-path support — pinned because a rewrite
+    // of all 4 stripes is the silent cost bug the pin exists to catch)
+    val fp2 = docs.where(col("doc_id") === 43)
+      .select(md5(col("text"))).head().getString(0)
+    val stripesWithFp2 = docs
+      .filter(md5(col("text")) === fp2)
+      .select(pmod(col("doc_id"), lit(4))).distinct().count()
+    val bfNames2 =
+      DocStore.readManifestAndDeletes(bfPath)._1.map(_.name).toSet
+    sc.sql(s"UPDATE lbcat.ns.bf SET lang = 'xx' WHERE meta.fp = '$fp2'")
+    val rewritten = bfNames2 --
+      DocStore.readManifestAndDeletes(bfPath)._1.map(_.name).toSet
+    assert(rewritten.size.toLong == stripesWithFp2,
+      s"UPDATE on meta.fp must rewrite only the $stripesWithFp2 " +
+        s"stripe(s) holding it, rewrote ${rewritten.size}")
+    assert(sc.sql("SELECT COUNT(*) FROM lbcat.ns.bf " +
+      s"WHERE lang = 'xx'").head().getLong(0) ==
+      docs.filter(md5(col("text")) === fp2).count())
   }
 
   test("analyze declines TIMESTAMP_NTZ bloom targets but still backfills the rest") {

@@ -468,6 +468,25 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q222 CDC forget: masked serve prunes probed cells; tombstone mask and audit join broadcast") {
+    val p = q("q222_cdc_ann_forget")
+    // the maintained serve scans base cells via label PartitionFilters
+    // and applies the tombstone mask as a broadcast anti-join — never
+    // a corpus-sized shuffle to forget
+    val pruned = p.linesIterator.exists { l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+          .contains("label")
+    }
+    assert(pruned, s"serve must prune probed cells via label:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"tombstone mask must be an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mask/probe/audit joins must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q213 filtered ANN: the metadata predicate lands in PartitionFilters before the probe") {
     val p = q("q213_filtered_ann")
     // the candidate pool scan must prune on BOTH partition levels:
