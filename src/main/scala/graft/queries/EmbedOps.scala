@@ -1754,7 +1754,7 @@ object EmbedOps {
         scc AS (SELECT scent.label, sv, c
                 FROM scent JOIN scnt ON scent.label = scnt.label),
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
-               WHERE vec_id >= 5 AND vec_id < 10),
+               WHERE vec_id >= 5 AND vec_id < 15),
         ex AS (SELECT qid, s0.vec_id AS nid,
                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
                         ${oDot("qv", "q")}::DOUBLE /
@@ -1847,7 +1847,7 @@ object EmbedOps {
           .parquet(java.nio.file.Paths.get(p, "vectors").toString)
       }
       val qs = s.read.parquet(s"$idx/vectors")
-        .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .filter(col("vec_id") >= 5 && col("vec_id") < 15)
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"))
       def dist(cents: DataFrame): DataFrame = qs
