@@ -1263,15 +1263,7 @@ object EmbedOps {
         s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
         val v = quantized(s, dir)
           .withColumn("src", pmod(col("vec_id"), lit(3)))
-        val cellsum = v
-          .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-          .groupBy(col("label"), col("i"))
-          .agg(sum(col("x")).as("s"))
-        val cent = cellsum.groupBy(col("label"))
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
-            e => e.getField("s")).as("sv"))
-        val cnt = v.groupBy(col("label")).agg(count(lit(1)).as("c"))
-        cent.join(cnt, "label").write
+        centroidTable(v).write
           .parquet(java.nio.file.Paths.get(p, "centroids").toString)
         // FILTER KEY FIRST: src prunes before label — the whole point
         v.write.partitionBy("src", "label")
@@ -1439,29 +1431,14 @@ object EmbedOps {
       ins("vec_id % 10 = 0 AND vec_id % 3 = 2")
       // ---- nightly build: base-version rows -> cell-partitioned
       // base + integer centroid state (sums + counts per cell)
-      def vecsOf(df: DataFrame): DataFrame = df.select(
-        col("doc_id").as("vec_id"), col("q"),
-        col("n_chars").as("nn"), col("vlabel").as("label"))
-      val v1 = vecsOf(sc.sql(
+      val v1 = cdcVecsOf(sc.sql(
         s"SELECT * FROM graft_cat_vx.default.vecs VERSION AS OF $baseV"))
       val baseDir = root.resolve("base").toString
       v1.write.partitionBy("label").parquet(baseDir)
-      def cellAgg(df: DataFrame): Array[(Int, Seq[Long], Long)] =
-        df.select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-          .groupBy(col("label"), col("i"))
-          .agg(sum(col("x")).as("s"))
-          .groupBy(col("label"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("s")))),
-            e => e.getField("s")).as("sv"))
-          .join(df.groupBy(col("label")).agg(count(lit(1)).as("c")),
-            "label")
-          .collect()
-          .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
       // associative centroid state, driver-held: cells x (dim + 1)
       // integers — the metastore-sized piece of a production index
       val state = scala.collection.mutable.HashMap[Int, (Array[Long], Long)]()
-      cellAgg(s.read.parquet(baseDir)).foreach { case (l, sv, c) =>
+      cdcCellAgg(s.read.parquet(baseDir)).foreach { case (l, sv, c) =>
         state(l) = (sv.toArray, c) }
       // ---- streaming maintenance: one micro-batch per commit
       val fragDir = root.resolve("frags").toString
@@ -1478,13 +1455,13 @@ object EmbedOps {
           // centroid fold): persist it so the CDF source's segment
           // files are read once per commit, not twice (r16 review —
           // the maintenance IO per batch is the gate's own headline)
-          val rows = vecsOf(batch
+          val rows = cdcVecsOf(batch
             .filter(col("_change_type") === "insert")).persist()
           try {
             // fragment append: BATCH-sized, cell-partitioned
             rows.write.mode("append").partitionBy("label").parquet(fragDir)
             // centroid fold: batch aggregates only, integer-exact
-            cellAgg(rows).foreach { case (l, sv, c) =>
+            cdcCellAgg(rows).foreach { case (l, sv, c) =>
               val (os, oc) = state.getOrElse(l, (new Array[Long](DIM), 0L))
               var i = 0
               while (i < DIM) { os(i) += sv(i); i += 1 }
@@ -1502,56 +1479,16 @@ object EmbedOps {
       val qs = s.read.parquet(baseDir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"))
-      def serve(pool: DataFrame): DataFrame = {
-        val dist = qs.crossJoin(broadcast(cents))
-          .withColumn("d", aggregate(
-            zip_with(col("qv"), col("sv"),
-              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-            lit(0L), (acc, x) => acc + x))
-        val wp = Window.partitionBy(col("qid"))
-          .orderBy(col("d").asc, col("label").asc)
-        val probe = dist.withColumn("pr", row_number().over(wp))
-          .filter(col("pr") <= 2)
-          .select(col("qid"), col("label"), col("qv"), col("qn"))
-        val cells = probe.select("label").distinct()
-          .collect().map(_.get(0))
-        val pruned = pool.filter(col("label").isin(cells: _*))
-        val cand = pruned.join(broadcast(probe),
-            pruned("label") === probe("label") &&
-              col("vec_id") =!= col("qid"))
-          .withColumn("cos",
-            cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
-        val wr = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        cand.withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") <= 3)
-          .select(col("qid").as("query_id"), col("rnk"),
-            col("vec_id").as("neighbor_id"),
-            pruned("label").as("cell"),
-            round(col("cos"), 6).as("cosine"))
-      }
-      val incr = serve(s.read.parquet(baseDir)
-        .unionByName(s.read.parquet(fragDir)))
+      val incr = annStateServe(qs, cents,
+        s.read.parquet(baseDir).unionByName(s.read.parquet(fragDir)))
       // ---- the freshness AUDIT: a from-scratch rebuild over the
       // table's current snapshot must serve identically (one audit
-      // scan, off the maintenance path)
-      val cur = vecsOf(sc.read.format("graft-docstore")
+      // scan, off the maintenance path). The rebuild's CENTROIDS are
+      // re-derived from the snapshot too — probing the maintained
+      // state would audit it against itself (r17 review)
+      val cur = cdcVecsOf(sc.read.format("graft-docstore")
         .option("path", tablePath).load())
-      val rebuilt = serve(cur)
-        .withColumnRenamed("neighbor_id", "r_neighbor_id")
-        .withColumnRenamed("cell", "r_cell")
-        .withColumnRenamed("cosine", "r_cosine")
-        .withColumnRenamed("query_id", "r_query_id")
-        .withColumnRenamed("rnk", "r_rnk")
-      incr.join(broadcast(rebuilt),
-          incr("query_id") === col("r_query_id") &&
-            incr("rnk") === col("r_rnk"), "left")
-        .select(col("query_id"), col("rnk"), col("neighbor_id"),
-          col("cell"), col("cosine"),
-          (col("neighbor_id") === col("r_neighbor_id") &&
-            col("cell") === col("r_cell") &&
-            col("cosine") === col("r_cosine")).as("fresh"))
-        .orderBy("query_id", "rnk")
+      freshAudit(incr, annStateServe(qs, centroidTable(cur), cur))
     },
 
     Q("q217_ann_lsm_fold_retire",
@@ -1593,27 +1530,15 @@ object EmbedOps {
       // published by ATOMIC RENAME under the docstore commit lock
       // (the same arbitration the lakehouse commits use); versioned
       // copies retained like MANIFEST.v<n>
-      val mf = root.resolve("MANIFEST")
-      def readManifest(): Seq[(String, String)] =
-        java.nio.file.Files.readAllLines(mf).toArray.toSeq
-          .map(_.toString.split(",", 2)).map(a => (a(0), a(1)))
-      def publish(lines: Seq[String], v: Int): Unit = {
-        val tmp = root.resolve(s".mf-stg-$v")
-        java.nio.file.Files.write(tmp,
-          lines.mkString("\n").getBytes("UTF-8"))
-        java.nio.file.Files.copy(tmp, root.resolve(s"MANIFEST.v$v"))
-        java.nio.file.Files.move(tmp, mf,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      val manifest = new LsmManifest(root)
       graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
-        publish(Seq(s"base,$idx"), 0)
+        manifest.publish(Seq(s"base,$idx"), 0)
       }
       // three accumulation commits (the steady-state upsert cadence)
       fragDirs.zipWithIndex.foreach { case (f, k) =>
         graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
-          publish(readManifest().map { case (a, b) => s"$a,$b" } :+
-            s"frag,$f", k + 1)
+          manifest.publish(manifest.read().map { case (a, b) =>
+            s"$a,$b" } :+ s"frag,$f", k + 1)
         }
       }
       // ---- shared serve (the q207 shape): probe the given centroids,
@@ -1637,9 +1562,9 @@ object EmbedOps {
           .collect().map(_.get(0)).toSeq
         annIncServe(poolOf(cells), probe)
       }
-      val fragVecs = readManifest().collect { case ("frag", p) =>
+      val fragVecs = manifest.read().collect { case ("frag", p) =>
         s"$p/vectors" }
-      val dcents = readManifest().collect { case ("frag", p) =>
+      val dcents = manifest.read().collect { case ("frag", p) =>
         s"$p/dcent" }
       val cents = foldedCentroidsAll(s, idx, dcents)
         .persist() // tiny; probed twice (before + after)
@@ -1662,18 +1587,18 @@ object EmbedOps {
       // lock (conflict-checked), then delete the retired fragments —
       // deletion happens only AFTER the swap made them unreachable
       graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
-        val cur = readManifest()
+        val cur = manifest.read()
         val curFrags = cur.collect { case ("frag", p) => p }
         require(curFrags == fragDirs.map(_.toString),
           s"concurrent fragment change since the fold was computed " +
             s"(expected ${fragDirs.mkString(",")}, manifest has " +
             s"${curFrags.mkString(",")}); refusing the swap")
-        publish(Seq(s"base,$idx", s"fold,$fold"), 4)
+        manifest.publish(Seq(s"base,$idx", s"fold,$fold"), 4)
         curFrags.foreach(graft.core.Fs.deleteRecursively)
       }
       require(fragDirs.forall(f => !java.nio.file.Files.exists(f)),
         "retired fragments must be deleted after the swap")
-      val post = readManifest()
+      val post = manifest.read()
       require(!post.exists(_._1 == "frag") &&
         post.exists(_._1 == "fold"),
         s"post-fold manifest must list base + overlay only, got $post")
@@ -1822,23 +1747,11 @@ object EmbedOps {
         val v = quantized(s, dir).withColumn("src",
           when(col("label") <= 1, lit(0L))
             .otherwise(lit(1L) + pmod(col("vec_id"), lit(2))))
-        def cents(df: DataFrame): DataFrame = {
-          val cellsum = df
-            .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-            .groupBy(col("label"), col("i"))
-            .agg(sum(col("x")).as("s"))
-          val cent = cellsum.groupBy(col("label"))
-            .agg(transform(
-              array_sort(collect_list(struct(col("i"), col("s")))),
-              e => e.getField("s")).as("sv"))
-          cent.join(df.groupBy(col("label")).agg(count(lit(1)).as("c")),
-            "label")
-        }
-        cents(v).write
+        centroidTable(v).write
           .parquet(java.nio.file.Paths.get(p, "centroids").toString)
         // the remediation: ONE per-src centroid table, src-partitioned
         // (a probe reads exactly its slice's cells-x-dim integers)
-        (0L to 2L).map(k => cents(v.filter(col("src") === k))
+        (0L to 2L).map(k => centroidTable(v.filter(col("src") === k))
             .withColumn("src", lit(k)))
           .reduce(_.unionByName(_))
           .write.partitionBy("src")
@@ -2003,21 +1916,9 @@ object EmbedOps {
       graft.core.Fs.copyRecursively(
         java.nio.file.Paths.get(pristine), root.resolve("tomb"))
       val tomb = root.resolve("tomb")
-      val mf = root.resolve("MANIFEST")
-      def publish(lines: Seq[String], v: Int): Unit = {
-        val tmp = root.resolve(s".mf-stg-$v")
-        java.nio.file.Files.write(tmp,
-          lines.mkString("\n").getBytes("UTF-8"))
-        java.nio.file.Files.copy(tmp, root.resolve(s"MANIFEST.v$v"))
-        java.nio.file.Files.move(tmp, mf,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      def readManifest(): Seq[(String, String)] =
-        java.nio.file.Files.readAllLines(mf).toArray.toSeq
-          .map(_.toString.split(",", 2)).map(a => (a(0), a(1)))
+      val manifest = new LsmManifest(root)
       graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
-        publish(Seq(s"base,$idx", s"tomb,$tomb"), 0)
+        manifest.publish(Seq(s"base,$idx", s"tomb,$tomb"), 0)
       }
       val tombKeys = s.read.parquet(s"$tomb/keys")
       // deleted-id audit list (tombstones are batch-sized by contract)
@@ -2032,6 +1933,12 @@ object EmbedOps {
             .otherwise(zip_with(col("sv"), col("dv"), (a, b) => a - b))
             .as("sv"),
           (col("c") - coalesce(col("dc"), lit(0L))).as("c"))
+        // a fully-tombstoned cell leaves c = 0 with a ZERO vector whose
+        // probe distance is exactly 0 — it would win a probe slot while
+        // holding no candidates, and the oracle (built over survivors)
+        // never sees the label; drop it from the probe AND from the
+        // persisted compacted centroids (r17 review)
+        .filter(col("c") > 0)
         .persist()
       def serve(cc: DataFrame, poolOf: Seq[Any] => DataFrame): DataFrame = {
         val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
@@ -2087,12 +1994,12 @@ object EmbedOps {
         .parquet(compacted.resolve("cells").toString)
       cents.write.parquet(compacted.resolve("centroids").toString)
       graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
-        val cur = readManifest()
+        val cur = manifest.read()
         require(cur.collect { case ("tomb", p) => p } ==
           Seq(tomb.toString),
           s"concurrent tombstone change since compaction was computed; " +
             "refusing the swap")
-        publish(Seq(s"base,$idx", s"compact,$compacted"), 1)
+        manifest.publish(Seq(s"base,$idx", s"compact,$compacted"), 1)
         graft.core.Fs.deleteRecursively(tomb)
       }
       require(!java.nio.file.Files.exists(tomb),
@@ -2104,7 +2011,7 @@ object EmbedOps {
       // ---- serve AFTER compaction, resolved through the manifest:
       // affected cells read the compacted overlay (no mask needed),
       // untouched cells the base
-      val post = readManifest()
+      val post = manifest.read()
       val compDir = post.collect { case ("compact", p) => p }.head
       val affectedSet = affected.toSet
       val afterDf = serve(
@@ -2219,27 +2126,12 @@ object EmbedOps {
           s"WHERE doc_id % 7 = 3 AND doc_id % 3 = $k"))
       // ---- nightly build from the base version: cell-partitioned
       // layout + driver-held integer centroid state
-      def vecsOf(df: DataFrame): DataFrame = df.select(
-        col("doc_id").as("vec_id"), col("q"),
-        col("n_chars").as("nn"), col("vlabel").as("label"))
       val baseDir = root.resolve("base").toString
-      vecsOf(sc.sql("SELECT * FROM graft_cat_fg.default.vecs " +
+      cdcVecsOf(sc.sql("SELECT * FROM graft_cat_fg.default.vecs " +
         s"VERSION AS OF $baseV"))
         .write.partitionBy("label").parquet(baseDir)
-      def cellAgg(df: DataFrame): Array[(Int, Seq[Long], Long)] =
-        df.select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-          .groupBy(col("label"), col("i"))
-          .agg(sum(col("x")).as("s"))
-          .groupBy(col("label"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("s")))),
-            e => e.getField("s")).as("sv"))
-          .join(df.groupBy(col("label")).agg(count(lit(1)).as("c")),
-            "label")
-          .collect()
-          .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
       val state = scala.collection.mutable.HashMap[Int, (Array[Long], Long)]()
-      cellAgg(s.read.parquet(baseDir)).foreach { case (l, sv, c) =>
+      cdcCellAgg(s.read.parquet(baseDir)).foreach { case (l, sv, c) =>
         state(l) = (sv.toArray, c) }
       // ---- streaming maintenance: one micro-batch per DELETE commit;
       // per batch: tombstone append (batch-sized, cell-partitioned)
@@ -2254,12 +2146,12 @@ object EmbedOps {
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val rows = vecsOf(batch
+          val rows = cdcVecsOf(batch
             .filter(col("_change_type") === "delete")).persist()
           try {
             rows.select("vec_id", "label").write.mode("append")
               .partitionBy("label").parquet(tombDir)
-            cellAgg(rows).foreach { case (l, sv, c) =>
+            cdcCellAgg(rows).foreach { case (l, sv, c) =>
               val (os, oc) = state.getOrElse(l, (new Array[Long](DIM), 0L))
               var i = 0
               while (i < DIM) { os(i) -= sv(i); i += 1 }
@@ -2279,55 +2171,16 @@ object EmbedOps {
       val qs = s.read.parquet(baseDir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"))
-      def serve(pool: DataFrame): DataFrame = {
-        val dist = qs.crossJoin(broadcast(cents))
-          .withColumn("d", aggregate(
-            zip_with(col("qv"), col("sv"),
-              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-            lit(0L), (acc, x) => acc + x))
-        val wp = Window.partitionBy(col("qid"))
-          .orderBy(col("d").asc, col("label").asc)
-        val probe = dist.withColumn("pr", row_number().over(wp))
-          .filter(col("pr") <= 2)
-          .select(col("qid"), col("label"), col("qv"), col("qn"))
-        val cells = probe.select("label").distinct()
-          .collect().map(_.get(0))
-        val pruned = pool.filter(col("label").isin(cells: _*))
-        val cand = pruned.join(broadcast(probe),
-            pruned("label") === probe("label") &&
-              col("vec_id") =!= col("qid"))
-          .withColumn("cos",
-            cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
-        val wr = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        cand.withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") <= 3)
-          .select(col("qid").as("query_id"), col("rnk"),
-            col("vec_id").as("neighbor_id"),
-            pruned("label").as("cell"),
-            round(col("cos"), 6).as("cosine"))
-      }
-      val incr = serve(s.read.parquet(baseDir)
+      val incr = annStateServe(qs, cents, s.read.parquet(baseDir)
         .join(broadcast(tombKeys), Seq("vec_id", "label"), "left_anti"))
       // ---- freshness audit: a from-scratch rebuild over the CURRENT
-      // snapshot must serve identically (one off-path audit scan)
-      val cur = vecsOf(sc.read.format("graft-docstore")
+      // snapshot must serve identically (one off-path audit scan);
+      // rebuild centroids re-derive from the snapshot — probing the
+      // maintained state would audit the SUBTRACT path against
+      // itself (r17 review)
+      val cur = cdcVecsOf(sc.read.format("graft-docstore")
         .option("path", tablePath).load())
-      val rebuilt = serve(cur)
-        .withColumnRenamed("neighbor_id", "r_neighbor_id")
-        .withColumnRenamed("cell", "r_cell")
-        .withColumnRenamed("cosine", "r_cosine")
-        .withColumnRenamed("query_id", "r_query_id")
-        .withColumnRenamed("rnk", "r_rnk")
-      incr.join(broadcast(rebuilt),
-          incr("query_id") === col("r_query_id") &&
-            incr("rnk") === col("r_rnk"), "left")
-        .select(col("query_id"), col("rnk"), col("neighbor_id"),
-          col("cell"), col("cosine"),
-          (col("neighbor_id") === col("r_neighbor_id") &&
-            col("cell") === col("r_cell") &&
-            col("cosine") === col("r_cosine")).as("fresh"))
-        .orderBy("query_id", "rnk")
+      freshAudit(incr, annStateServe(qs, centroidTable(cur), cur))
     }
   )
 
@@ -2409,19 +2262,36 @@ object EmbedOps {
 
   /** The incremental index's BASE layer (q113's build over the
     * vec_id % 10 <> 0 slice), materialized once per source dir. */
+  /** (label, sv: array<long>, c) — the integer centroid table of a
+    * (vec_id, q, nn, label) frame. ONE definition for every builder
+    * (base index, filtered layouts, from-scratch audit rebuilds): a
+    * drift between two copies of this fold would silently break the
+    * serve==rebuild and serve==oracle equalities the gates pin. */
+  private def centroidTable(df: DataFrame): DataFrame = {
+    val cellsum = df
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("s"))
+    cellsum.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        e => e.getField("s")).as("sv"))
+      .join(df.groupBy(col("label")).agg(count(lit(1)).as("c")), "label")
+  }
+
+  /** (label, dv: array<long>, dc) — a fragment's per-cell integer
+    * aggregates, computed from the read-back fragment rows (the r15
+    * unpersist shape). Shared by the upsert delta, the multi-fragment
+    * LSM fixture, and the tombstone fixture. */
+  private def fragmentAggregates(back: DataFrame): DataFrame =
+    centroidTable(back)
+      .withColumnRenamed("sv", "dv")
+      .withColumnRenamed("c", "dc")
+
   private def ivfIncBase(s: SparkSession, dir: String): String =
     graft.core.Scratch.materialize("ivf_index_inc",
       s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
       val base = quantized(s, dir).filter(col("vec_id") % 10 =!= 0)
-      val cellsum = base
-        .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-        .groupBy(col("label"), col("i"))
-        .agg(sum(col("x")).as("s"))
-      val cent = cellsum.groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
-          e => e.getField("s")).as("sv"))
-      val cnt = base.groupBy(col("label")).agg(count(lit(1)).as("c"))
-      cent.join(cnt, "label").write.mode("overwrite")
+      centroidTable(base).write.mode("overwrite")
         .parquet(java.nio.file.Paths.get(p, "centroids").toString)
       base.write.mode("overwrite").partitionBy("label")
         .parquet(java.nio.file.Paths.get(p, "vectors").toString)
@@ -2457,15 +2327,7 @@ object EmbedOps {
         .parquet(java.nio.file.Paths.get(p, "vectors").toString)
       val back = s.read.parquet(
         java.nio.file.Paths.get(p, "vectors").toString)
-      val dsum = back
-        .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-        .groupBy(col("label"), col("i"))
-        .agg(sum(col("x")).as("ds"))
-      val dvec = dsum.groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("ds")))),
-          e => e.getField("ds")).as("dv"))
-      val dcnt = back.groupBy(col("label")).agg(count(lit(1)).as("dc"))
-      dvec.join(dcnt, "label").write
+      fragmentAggregates(back).write
         .parquet(java.nio.file.Paths.get(p, "dcent").toString)
     }
   }
@@ -2490,6 +2352,101 @@ object EmbedOps {
   private[graft] def annIncPaths(s: SparkSession, dir: String)
       : (String, String) = (ivfIncBase(s, dir), annIncDelta(s, dir))
 
+  /** (vec_id, q, nn, label) projection of the CDC gates' vecs table
+    * (q214 freshness / q222 forget share one table layout). */
+  private def cdcVecsOf(df: DataFrame): DataFrame = df.select(
+    col("doc_id").as("vec_id"), col("q"),
+    col("n_chars").as("nn"), col("vlabel").as("label"))
+
+  /** Driver-collected per-cell integer aggregates — the CDC gates'
+    * metastore-sized centroid-state entries. */
+  private def cdcCellAgg(df: DataFrame): Array[(Int, Seq[Long], Long)] =
+    centroidTable(df).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+
+  /** The CDC maintenance gates' serve: probe `cents`, prune the pool
+    * to probed cells, exact rerank top-3. Cells with c <= 0 never
+    * probe (r17 review): a maintenance batch that empties a cell
+    * leaves a ZERO centroid whose probe distance is exactly 0, so the
+    * dead cell would win a probe slot while contributing no
+    * candidates — and the from-scratch oracle, built over survivors
+    * only, never sees the label at all. */
+  private def annStateServe(qs: DataFrame, cents0: DataFrame,
+      pool: DataFrame): DataFrame = {
+    val cents = cents0.filter(col("c") > 0)
+    val dist = qs.crossJoin(broadcast(cents))
+      .withColumn("d", aggregate(
+        zip_with(col("qv"), col("sv"),
+          (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+        lit(0L), (acc, x) => acc + x))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("label").asc)
+    val probe = dist.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= 2)
+      .select(col("qid"), col("label"), col("qv"), col("qn"))
+    val cells = probe.select("label").distinct()
+      .collect().map(_.get(0))
+    val pruned = pool.filter(col("label").isin(cells: _*))
+    val cand = pruned.join(broadcast(probe),
+        pruned("label") === probe("label") &&
+          col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"),
+        pruned("label").as("cell"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Tiny versioned layer manifest for the LSM gates (q217
+    * fold+retire, q221 tombstone compaction): `<kind>,<path>` lines
+    * published by ATOMIC RENAME with retained `MANIFEST.v<n>` copies;
+    * swaps run under the docstore commit lock at the call sites. ONE
+    * definition — a drift between two copies of the line format would
+    * break the readers silently. */
+  private final class LsmManifest(root: java.nio.file.Path) {
+    private val mf = root.resolve("MANIFEST")
+    def read(): Seq[(String, String)] =
+      java.nio.file.Files.readAllLines(mf).toArray.toSeq
+        .map(_.toString.split(",", 2)).map(a => (a(0), a(1)))
+    def publish(lines: Seq[String], v: Int): Unit = {
+      val tmp = root.resolve(s".mf-stg-$v")
+      java.nio.file.Files.write(tmp,
+        lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.copy(tmp, root.resolve(s"MANIFEST.v$v"))
+      java.nio.file.Files.move(tmp, mf,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Row-by-row freshness audit: the maintained serve joined against
+    * a from-scratch rebuild (whose centroids MUST be derived from the
+    * current snapshot, not the maintained state — auditing the state
+    * against itself would be vacuous for the fold/subtract path; r17
+    * review). */
+  private def freshAudit(incr: DataFrame, rebuilt0: DataFrame): DataFrame = {
+    val rebuilt = rebuilt0
+      .withColumnRenamed("neighbor_id", "r_neighbor_id")
+      .withColumnRenamed("cell", "r_cell")
+      .withColumnRenamed("cosine", "r_cosine")
+      .withColumnRenamed("query_id", "r_query_id")
+      .withColumnRenamed("rnk", "r_rnk")
+    incr.join(broadcast(rebuilt),
+        incr("query_id") === col("r_query_id") &&
+          incr("rnk") === col("r_rnk"), "left")
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("cell"), col("cosine"),
+        (col("neighbor_id") === col("r_neighbor_id") &&
+          col("cell") === col("r_cell") &&
+          col("cosine") === col("r_cosine")).as("fresh"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** (base index, pristine tombstone fragment) for q221 and its plan
     * audit. The fragment is Scratch-immutable: delete requests ride
     * the corpus CDF with their rows, so it lands cell-partitioned
@@ -2509,16 +2466,7 @@ object EmbedOps {
       val back = s.read.parquet(
         java.nio.file.Paths.get(p, "keys").toString)
         .join(s.read.parquet(s"$idx/vectors"), Seq("vec_id", "label"))
-      val dsum = back
-        .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-        .groupBy(col("label"), col("i"))
-        .agg(sum(col("x")).as("ds"))
-      val dvec = dsum.groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("ds")))),
-          e => e.getField("ds")).as("dv"))
-      val dcnt = back.groupBy(col("label")).agg(count(lit(1)).as("dc"))
-      dvec.join(dcnt, "label").write.parquet(
+      fragmentAggregates(back).write.parquet(
         java.nio.file.Paths.get(p, "dcent").toString)
     }
     (idx, pristine)
@@ -2557,16 +2505,7 @@ object EmbedOps {
         // per-fragment integer centroid aggregates, read BACK from
         // the fragment (the same unpersist shape as annIncDelta)
         val back = s.read.parquet(vecs.toString)
-        val dsum = back
-          .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-          .groupBy(col("label"), col("i"))
-          .agg(sum(col("x")).as("ds"))
-        val dvec = dsum.groupBy(col("label"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("ds")))),
-            e => e.getField("ds")).as("dv"))
-        val dcnt = back.groupBy(col("label")).agg(count(lit(1)).as("dc"))
-        dvec.join(dcnt, "label").write.parquet(
+        fragmentAggregates(back).write.parquet(
           java.nio.file.Paths.get(p, s"frag-$k", "dcent").toString)
       }
     }
