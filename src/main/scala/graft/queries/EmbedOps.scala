@@ -2371,7 +2371,7 @@ object EmbedOps {
     * dead cell would win a probe slot while contributing no
     * candidates — and the from-scratch oracle, built over survivors
     * only, never sees the label at all. */
-  private def annStateServe(qs: DataFrame, cents0: DataFrame,
+  private[graft] def annStateServe(qs: DataFrame, cents0: DataFrame,
       pool: DataFrame): DataFrame = {
     val cents = cents0.filter(col("c") > 0)
     val dist = qs.crossJoin(broadcast(cents))
