@@ -1482,12 +1482,14 @@ object EmbedOps {
       val incr = annStateServe(qs, cents,
         s.read.parquet(baseDir).unionByName(s.read.parquet(fragDir)))
       // ---- the freshness AUDIT: a from-scratch rebuild over the
-      // table's current snapshot must serve identically (one audit
-      // scan, off the maintenance path). The rebuild's CENTROIDS are
-      // re-derived from the snapshot too — probing the maintained
-      // state would audit it against itself (r17 review)
+      // table's current snapshot must serve identically, off the
+      // maintenance path. The rebuild's CENTROIDS are re-derived from
+      // the snapshot too — probing the maintained state would audit
+      // it against itself (r17 review) — and the snapshot is
+      // persisted so the centroid fold, the probe collect, and the
+      // pool read share ONE audit scan instead of rescanning per use
       val cur = cdcVecsOf(sc.read.format("graft-docstore")
-        .option("path", tablePath).load())
+        .option("path", tablePath).load()).persist()
       freshAudit(incr, annStateServe(qs, centroidTable(cur), cur))
     },
 
@@ -1940,37 +1942,14 @@ object EmbedOps {
         // persisted compacted centroids (r17 review)
         .filter(col("c") > 0)
         .persist()
-      def serve(cc: DataFrame, poolOf: Seq[Any] => DataFrame): DataFrame = {
-        val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("q").as("qv"),
-            col("nn").as("qn"))
-        val dist = qs.crossJoin(broadcast(cc))
-          .withColumn("d", aggregate(
-            zip_with(col("qv"), col("sv"),
-              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-            lit(0L), (acc, x) => acc + x))
-        val wp = Window.partitionBy(col("qid"))
-          .orderBy(col("d").asc, col("label").asc)
-        val probe = dist.withColumn("pr", row_number().over(wp))
-          .filter(col("pr") <= 2)
-          .select(col("qid"), col("label"), col("qv"), col("qn"))
-        val cells = probe.select("label").distinct()
-          .collect().map(_.get(0)).toSeq
-        val pool = poolOf(cells)
-        val cand = pool.join(broadcast(probe),
-            pool("label") === probe("label") &&
-              col("vec_id") =!= col("qid"))
-          .withColumn("cos",
-            cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
-        val wr = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        cand.withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") <= 3)
-          .select(col("qid").as("query_id"), col("rnk"),
-            col("vec_id").as("neighbor_id"), pool("label").as("cell"),
-            round(col("cos"), 6).as("cosine"))
-          .orderBy("query_id", "rnk")
-      }
+      // the shared state serve (annStateServeBy), ordered for the
+      // in-gate row-by-row compare
+      val serveQs = s.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      def serve(cc: DataFrame, poolOf: Seq[Any] => DataFrame): DataFrame =
+        annStateServeBy(serveQs, cc, poolOf).orderBy("query_id", "rnk")
       // ---- serve WITH tombstones: anti-join the broadcast keys
       // inside probed cells — deleted vectors are unfindable before
       // any byte is rewritten
@@ -2174,12 +2153,13 @@ object EmbedOps {
       val incr = annStateServe(qs, cents, s.read.parquet(baseDir)
         .join(broadcast(tombKeys), Seq("vec_id", "label"), "left_anti"))
       // ---- freshness audit: a from-scratch rebuild over the CURRENT
-      // snapshot must serve identically (one off-path audit scan);
+      // snapshot must serve identically, off the maintenance path;
       // rebuild centroids re-derive from the snapshot — probing the
       // maintained state would audit the SUBTRACT path against
-      // itself (r17 review)
+      // itself (r17 review) — and the snapshot persists so the
+      // centroid fold, probe collect, and pool read share one scan
       val cur = cdcVecsOf(sc.read.format("graft-docstore")
-        .option("path", tablePath).load())
+        .option("path", tablePath).load()).persist()
       freshAudit(incr, annStateServe(qs, centroidTable(cur), cur))
     }
   )
@@ -2372,7 +2352,16 @@ object EmbedOps {
     * candidates — and the from-scratch oracle, built over survivors
     * only, never sees the label at all. */
   private[graft] def annStateServe(qs: DataFrame, cents0: DataFrame,
-      pool: DataFrame): DataFrame = {
+      pool: DataFrame): DataFrame =
+    annStateServeBy(qs, cents0,
+      cells => pool.filter(col("label").isin(cells: _*)))
+
+  /** The pool-resolution variant: `poolOf` receives the probed cell
+    * ids and builds the (already pruned) candidate pool — the hook
+    * the manifest-layered gates (q221) route overlay-vs-base reads
+    * through. ONE serve definition for every state-probing gate. */
+  private[graft] def annStateServeBy(qs: DataFrame, cents0: DataFrame,
+      poolOf: Seq[Any] => DataFrame): DataFrame = {
     val cents = cents0.filter(col("c") > 0)
     val dist = qs.crossJoin(broadcast(cents))
       .withColumn("d", aggregate(
@@ -2385,8 +2374,8 @@ object EmbedOps {
       .filter(col("pr") <= 2)
       .select(col("qid"), col("label"), col("qv"), col("qn"))
     val cells = probe.select("label").distinct()
-      .collect().map(_.get(0))
-    val pruned = pool.filter(col("label").isin(cells: _*))
+      .collect().map(_.get(0)).toSeq
+    val pruned = poolOf(cells)
     val cand = pruned.join(broadcast(probe),
         pruned("label") === probe("label") &&
           col("vec_id") =!= col("qid"))

@@ -47,8 +47,17 @@ object WindowOps {
                          key: String, dir: String)(
       drive: (org.apache.spark.sql.SparkSession, String, String, String) => Unit)
       : org.apache.spark.sql.DataFrame = {
+    // the cache key carries everything the staged bytes depend on
+    // (r17 review): the session TIMEZONE (most sources cast the NTZ
+    // event time through the session zone — two sessions with
+    // different zones must not share one staging) and the source's
+    // CANONICALIZED plan (a call site editing its projection
+    // auto-invalidates; exprIds are normalized, so the string is
+    // stable across JVMs for the same plan)
+    val tz = s.conf.get("spark.sql.session.timeZone", "")
+    val plan = source.queryExecution.analyzed.canonicalized.toString
     val pristine = graft.core.Scratch.materialize(s"stream_src_$key",
-      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+      s"v1|$dir|$tz|$plan|${graft.core.Scratch.sourceSignature(dir)}") { p =>
       source.coalesce(4).write.mode("overwrite")
         .parquet(java.nio.file.Paths.get(p, "src").toString)
     }

@@ -4538,9 +4538,10 @@ class DocStoreSpec extends SparkSpec {
     // tolerate bloom FALSE POSITIVES (a re-seeded corpus can hit one,
     // and an FP-kept stripe is scanned and therefore rewritten by the
     // group-based CoW) — the pin is that pruning happened at all
-    assert(rewritten.size.toLong >= stripesWithFp2 && rewritten.size < 4,
-      s"UPDATE on meta.fp must rewrite ~the $stripesWithFp2 stripe(s) " +
-        s"holding it (+FP slack), not the table: rewrote ${rewritten.size}")
+    assert(rewritten.size.toLong >= stripesWithFp2 &&
+      rewritten.size.toLong <= stripesWithFp2 + 1,
+      s"UPDATE on meta.fp must rewrite the $stripesWithFp2 stripe(s) " +
+        s"holding it (+at most one bloom FP): rewrote ${rewritten.size}")
     assert(sc.sql("SELECT COUNT(*) FROM lbcat.ns.bf " +
       s"WHERE lang = 'xx'").head().getLong(0) ==
       docs.filter(md5(col("text")) === fp2).count())
