@@ -197,9 +197,13 @@ object Bench {
     }
     val total = timed.collect { case (_, v, _) if v >= 0 => v }.sum
     val totalMin = mins.collect { case (_, v) if v >= 0 => v }.sum
-    val qs = timed.map { case (k, v, _) => s"${jq(k)}:$v" }
+    // ADVICE r17: errored queries carry a -1.0 sentinel internally; do
+    // not leak it into the per-query maps, where an external consumer
+    // summing values would silently subtract — `errors` already names
+    // every failed query, so omission loses nothing.
+    val qs = timed.collect { case (k, v, None) if v >= 0 => s"${jq(k)}:$v" }
       .mkString("{", ",", "}")
-    val qm = mins.map { case (k, v) => s"${jq(k)}:$v" }
+    val qm = mins.collect { case (k, v) if v >= 0 => s"${jq(k)}:$v" }
       .mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
       .mkString("{", ",", "}")
@@ -262,10 +266,20 @@ object Bench {
     // neighboring gate) that dominated r7's driver sweep — a one-off
     // stall inflates ONE of the two runs, not both. Any erroring run
     // marks the query failed; intermittent-only success should read red.
+    // ADVICE r17: lifecycle gates persist() frames their caller must not
+    // recompute; once a run has been materialized (timed or warm-up)
+    // those blocks are dead weight. Dropping them between gates keeps
+    // the double-sweep from accumulating ~230 gates' caches and leaning
+    // on LRU eviction. Always AFTER the clock is read — never inside a
+    // timed window.
+    def clearGateCaches(): Unit =
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
     def time1(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = runNoop(name)
-      (if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearGateCaches()
+      (if (err.isDefined) -1.0 else dt, err)
     }
     // Each group warms AND times before the next begins: a single
     // shared warm-up pass would end with the heavy gates' IO wake
@@ -276,6 +290,7 @@ object Bench {
         try SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        clearGateCaches()
       }
       // Settle before the first TIMED run (r10 verdict item 5): the
       // warm-up pass leaves GC debt and async executor cleanup that
@@ -288,6 +303,7 @@ object Bench {
         try SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        clearGateCaches()
       }
       group.map { name =>
         val (s1, e1) = time1(name)
@@ -370,6 +386,7 @@ object Bench {
         try SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        clearGateCaches()
       }
       group.map { n =>
         val (v, e) = time1(n)
@@ -422,6 +439,27 @@ object Bench {
     val nFailed = timed.count(_._3.isDefined)
     if (nFailed > 0)
       System.err.println(s"BENCH: $nFailed queries failed; exiting nonzero.")
+    // r17 verdict item 1 (fourth artifact failure): a StateStore
+    // maintenance daemon survived spark.stop() and logged a ~1.3 KB
+    // "SparkEnv not active" WARN stack trace AFTER the compact line,
+    // evicting the JSON head from the driver's 2000-char merged tail
+    // (`BENCH_r17.json` -> parsed: null). Emission ordering alone
+    // cannot defend against a daemon thread that fires after our last
+    // statement, so three independent locks:
+    //   1. log level OFF before stop — the stray output was a log4j
+    //      WARN, and setLogLevel rewrites the root logger the console
+    //      appender actually serves (replacing System.err would NOT
+    //      silence it: log4j captured the stream at init).
+    //   2. StateStore.stop() — kill the maintenance task itself, not
+    //      just its mouthpiece.
+    //   3. emitAndExit: println(compact) + flush + UNCONDITIONAL
+    //      sys.exit as the process's terminal statement, so no code of
+    //      ours runs after the line either. BenchJsonSpec pins that
+    //      main's tail matches this contract textually.
+    try spark.sparkContext.setLogLevel("OFF")
+    catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     // ADVICE r13: stop() must not be able to kill the compact line — if a
     // shutdown hook throws, a clean sweep would exit with no parseable
     // artifact, the exact loss the emission ordering exists to prevent.
@@ -430,9 +468,17 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"BENCH: spark.stop() threw ${e.getClass.getName}: ${e.getMessage}; continuing to emit the result line.")
     }
+    emitAndExit(compact, nFailed)
+  }
+
+  /** The ONLY exit path of a bench run: compact line, flush, exit.
+    * Nothing — daemon or shutdown logging — may print after the line;
+    * sys.exit(0) even on success guarantees our own code cannot either.
+    */
+  private def emitAndExit(compact: String, nFailed: Int): Nothing = {
     System.err.flush()
     println(compact)
     System.out.flush()
-    if (nFailed > 0) sys.exit(1)
+    sys.exit(if (nFailed > 0) 1 else 0)
   }
 }

@@ -34,6 +34,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // ADVICE r17: several lifecycle gates persist() frames their
+      // caller must not recompute (serve results probed twice in-gate);
+      // once the gate's output is WRITTEN those blocks are dead weight.
+      // Dropping them here keeps gate-local caches from accumulating
+      // across the 230-gate sweep and leaning on LRU eviction.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

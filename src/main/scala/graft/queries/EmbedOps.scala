@@ -2403,10 +2403,23 @@ object EmbedOps {
       java.nio.file.Files.readAllLines(mf).toArray.toSeq
         .map(_.toString.split(",", 2)).map(a => (a(0), a(1)))
     def publish(lines: Seq[String], v: Int): Unit = {
+      // ADVICE r17: read() splits on the FIRST comma, so a path
+      // containing one would silently shift the layer set — refuse
+      // loudly here (the only writer) rather than corrupt a reader.
+      lines.foreach { l =>
+        val path = l.split(",", 2).lift(1).getOrElse("")
+        require(!path.contains(","),
+          s"LsmManifest: layer path may not contain ',' (got: $l)")
+      }
       val tmp = root.resolve(s".mf-stg-$v")
       java.nio.file.Files.write(tmp,
         lines.mkString("\n").getBytes("UTF-8"))
-      java.nio.file.Files.copy(tmp, root.resolve(s"MANIFEST.v$v"))
+      // ADVICE r17: the retained version copy must never throw
+      // FileAlreadyExistsException on a reused version number — the
+      // call sites anchor v monotonically, but a crash-retry of the
+      // same publish must be idempotent, not fatal.
+      java.nio.file.Files.copy(tmp, root.resolve(s"MANIFEST.v$v"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       java.nio.file.Files.move(tmp, mf,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
