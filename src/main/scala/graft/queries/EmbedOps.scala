@@ -1534,13 +1534,12 @@ object EmbedOps {
       // copies retained like MANIFEST.v<n>
       val manifest = new LsmManifest(root)
       graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
-        manifest.publish(Seq(s"base,$idx"), 0)
+        manifest.publish(Seq(("base", idx)), 0)
       }
       // three accumulation commits (the steady-state upsert cadence)
       fragDirs.zipWithIndex.foreach { case (f, k) =>
         graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
-          manifest.publish(manifest.read().map { case (a, b) =>
-            s"$a,$b" } :+ s"frag,$f", k + 1)
+          manifest.publish(manifest.read() :+ (("frag", f.toString)), k + 1)
         }
       }
       // ---- shared serve (the q207 shape): probe the given centroids,
@@ -1595,7 +1594,7 @@ object EmbedOps {
           s"concurrent fragment change since the fold was computed " +
             s"(expected ${fragDirs.mkString(",")}, manifest has " +
             s"${curFrags.mkString(",")}); refusing the swap")
-        manifest.publish(Seq(s"base,$idx", s"fold,$fold"), 4)
+        manifest.publish(Seq(("base", idx), ("fold", fold.toString)), 4)
         curFrags.foreach(graft.core.Fs.deleteRecursively)
       }
       require(fragDirs.forall(f => !java.nio.file.Files.exists(f)),
@@ -1920,7 +1919,7 @@ object EmbedOps {
       val tomb = root.resolve("tomb")
       val manifest = new LsmManifest(root)
       graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
-        manifest.publish(Seq(s"base,$idx", s"tomb,$tomb"), 0)
+        manifest.publish(Seq(("base", idx), ("tomb", tomb.toString)), 0)
       }
       val tombKeys = s.read.parquet(s"$tomb/keys")
       // deleted-id audit list (tombstones are batch-sized by contract)
@@ -1978,7 +1977,8 @@ object EmbedOps {
           Seq(tomb.toString),
           s"concurrent tombstone change since compaction was computed; " +
             "refusing the swap")
-        manifest.publish(Seq(s"base,$idx", s"compact,$compacted"), 1)
+        manifest.publish(
+          Seq(("base", idx), ("compact", compacted.toString)), 1)
         graft.core.Fs.deleteRecursively(tomb)
       }
       require(!java.nio.file.Files.exists(tomb),
@@ -2161,6 +2161,93 @@ object EmbedOps {
       val cur = cdcVecsOf(sc.read.format("graft-docstore")
         .option("path", tablePath).load()).persist()
       freshAudit(incr, annStateServe(qs, centroidTable(cur), cur))
+    },
+
+    Q("q223_ann_procedures",
+      "The ANN index as a FIRST-CLASS docstore object (r17 verdict " +
+        "item 1 — until now the LSM lifecycle was gate-local plumbing " +
+        "every consumer would re-implement): this gate runs the FULL " +
+        "q217 lifecycle purely through the catalog's SQL procedure " +
+        "surface — CALL system.ann_build (base layer + pinned coarse " +
+        "quantizer, stored beside the table's own manifest under " +
+        "_ann/<col>/), three INSERT commits, CALL system.ann_sync " +
+        "(CDF-driven: one cell-partitioned delta fragment per table " +
+        "version, assigned against the pinned quantizer, integer " +
+        "centroid state folded associatively — batch+metadata per " +
+        "version, never a corpus rescan), and CALL system.ann_fold " +
+        "(ONE affected-cells-only compaction pass, conflict-checked " +
+        "atomic manifest swap under the docstore commit lock, retired " +
+        "fragments deleted only after the swap). The library serve " +
+        "resolves every read from ONE manifest snapshot (layer " +
+        "shadowing newest-first), and serve-after-fold == " +
+        "serve-before-fold row for row is required in-gate; both " +
+        "equal q207/q212/q217's shared oracle — four independent " +
+        "implementations of the same contract now pin each other. At " +
+        "100 TB this is the difference between a re-plumbed script " +
+        "per pipeline and `CALL system.ann_*` next to OPTIMIZE/" +
+        "VACUUM/ANALYZE in the nightly maintenance job.",
+      Some(annIncOracle)) { (s, dir) =>
+      val root = graft.core.Fs.rotatingTempRoot("q223_annproc")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_ap" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_ap.root" ->
+          root.resolve("cat").toString)
+      sc.sql("CREATE NAMESPACE graft_cat_ap.default")
+      sc.sql("CREATE TABLE graft_cat_ap.default.vecs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING)")
+      sc.sql("ALTER TABLE graft_cat_ap.default.vecs ADD COLUMNS " +
+        "(vlabel INT, q ARRAY<BIGINT>)")
+      quantized(sc, dir).createOrReplaceTempView("q223_src")
+      def ins(where: String): Unit =
+        sc.sql("INSERT INTO graft_cat_ap.default.vecs " +
+          "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
+          s"FROM q223_src WHERE $where")
+      // commit 1: the nightly slice; then the build — THROUGH SQL
+      ins("vec_id % 10 <> 0")
+      val b = sc.sql("CALL graft_cat_ap.system.ann_build(" +
+        "'default.vecs', 'doc_id', 'q', 'vlabel')").head()
+      require(b.getLong(3) > 0, s"ann_build indexed no vectors: $b")
+      // commits 2-4: three arrival batches; ONE sync call folds all
+      // three pending versions — one fragment per commit
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 0")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 1")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 2")
+      val sy = sc.sql("CALL graft_cat_ap.system.ann_sync(" +
+        "'default.vecs', 'q')").head()
+      require(sy.getLong(2) == 3 && sy.getLong(3) == 0,
+        s"expected 3 fragments / 0 tombstones from ann_sync, got $sy")
+      val tablePath = root.resolve("cat").resolve("default")
+        .resolve("vecs").toString
+      val idxRoot = graft.sources.AnnIndex.dirFor(tablePath, "q")
+      val qs = s.read.parquet(
+          idxRoot.resolve("base").resolve("vectors").toString)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      // the index stores cells as LONG partition values; the oracle's
+      // cell column is the parquet label (INT) — align the output type
+      def serve(): DataFrame = graft.sources.AnnIndex
+        .serve(sc, tablePath, "q", qs)
+        .withColumn("cell", col("cell").cast("int"))
+      val before = serve().collect()
+      val f = sc.sql("CALL graft_cat_ap.system.ann_fold(" +
+        "'default.vecs', 'q')").head()
+      require(f.getLong(0) == 3 && f.getLong(3) == 3,
+        s"expected 3 fragments folded and retired, got $f")
+      require((0 to 2).forall(k => !java.nio.file.Files.exists(
+        idxRoot.resolve(s"frag-${b.getLong(1) + 1 + k}"))),
+        "retired fragment dirs must be deleted after the swap")
+      val afterDf = serve()
+      // persist: the caller executes the returned frame again
+      afterDf.persist()
+      val after = afterDf.collect()
+      require(before.toSeq == after.toSeq,
+        s"serve-after-fold must equal serve-before-fold: " +
+          s"${before.toSeq.diff(after.toSeq)} vs " +
+          s"${after.toSeq.diff(before.toSeq)}")
+      afterDf
     }
   )
 
@@ -2247,25 +2334,15 @@ object EmbedOps {
     * (base index, filtered layouts, from-scratch audit rebuilds): a
     * drift between two copies of this fold would silently break the
     * serve==rebuild and serve==oracle equalities the gates pin. */
-  private def centroidTable(df: DataFrame): DataFrame = {
-    val cellsum = df
-      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
-      .agg(sum(col("x")).as("s"))
-    cellsum.groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
-        e => e.getField("s")).as("sv"))
-      .join(df.groupBy(col("label")).agg(count(lit(1)).as("c")), "label")
-  }
+  private def centroidTable(df: DataFrame): DataFrame =
+    graft.sources.AnnIndex.centroidTable(df)
 
   /** (label, dv: array<long>, dc) — a fragment's per-cell integer
     * aggregates, computed from the read-back fragment rows (the r15
     * unpersist shape). Shared by the upsert delta, the multi-fragment
     * LSM fixture, and the tombstone fixture. */
   private def fragmentAggregates(back: DataFrame): DataFrame =
-    centroidTable(back)
-      .withColumnRenamed("sv", "dv")
-      .withColumnRenamed("c", "dc")
+    graft.sources.AnnIndex.fragmentAggregates(back)
 
   private def ivfIncBase(s: SparkSession, dir: String): String =
     graft.core.Scratch.materialize("ivf_index_inc",
@@ -2391,40 +2468,11 @@ object EmbedOps {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Tiny versioned layer manifest for the LSM gates (q217
-    * fold+retire, q221 tombstone compaction): `<kind>,<path>` lines
-    * published by ATOMIC RENAME with retained `MANIFEST.v<n>` copies;
-    * swaps run under the docstore commit lock at the call sites. ONE
-    * definition — a drift between two copies of the line format would
-    * break the readers silently. */
-  private final class LsmManifest(root: java.nio.file.Path) {
-    private val mf = root.resolve("MANIFEST")
-    def read(): Seq[(String, String)] =
-      java.nio.file.Files.readAllLines(mf).toArray.toSeq
-        .map(_.toString.split(",", 2)).map(a => (a(0), a(1)))
-    def publish(lines: Seq[String], v: Int): Unit = {
-      // ADVICE r17: read() splits on the FIRST comma, so a path
-      // containing one would silently shift the layer set — refuse
-      // loudly here (the only writer) rather than corrupt a reader.
-      lines.foreach { l =>
-        val path = l.split(",", 2).lift(1).getOrElse("")
-        require(!path.contains(","),
-          s"LsmManifest: layer path may not contain ',' (got: $l)")
-      }
-      val tmp = root.resolve(s".mf-stg-$v")
-      java.nio.file.Files.write(tmp,
-        lines.mkString("\n").getBytes("UTF-8"))
-      // ADVICE r17: the retained version copy must never throw
-      // FileAlreadyExistsException on a reused version number — the
-      // call sites anchor v monotonically, but a crash-retry of the
-      // same publish must be idempotent, not fatal.
-      java.nio.file.Files.copy(tmp, root.resolve(s"MANIFEST.v$v"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.move(tmp, mf,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  /** The LSM gates' layer manifest — the ONE shared definition now
+    * lives in [[graft.sources.AnnIndex.Manifest]] (r17 verdict item 2
+    * promoted the whole lifecycle to a first-class docstore object);
+    * the gate-local alias keeps q217/q221 reading naturally. */
+  private type LsmManifest = graft.sources.AnnIndex.Manifest
 
   /** Row-by-row freshness audit: the maintained serve joined against
     * a from-scratch rebuild (whose centroids MUST be derived from the
@@ -2558,22 +2606,6 @@ object EmbedOps {
     * inside the probed pool, top-3 overall PLUS each query's best NEW
     * neighbor (at its overall rank) — the upserted-vectors-are-
     * searchable proof even when arrivals don't crack the top-3. */
-  private def annIncServe(pool: DataFrame, probe: DataFrame): DataFrame = {
-    val cand = pool.join(broadcast(probe),
-        pool("label") === probe("label") && col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
-    val wr = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    val wn = Window.partitionBy(col("qid"), col("is_new"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cand.withColumn("rnk", row_number().over(wr))
-      .withColumn("nrnk",
-        when(col("is_new"), row_number().over(wn)).otherwise(lit(null)))
-      .filter(col("rnk") <= 3 || col("nrnk") === 1)
-      .select(col("qid").as("query_id"), col("rnk"),
-        col("vec_id").as("neighbor_id"), pool("label").as("cell"),
-        col("is_new"), round(col("cos"), 6).as("cosine"))
-      .orderBy("query_id", "rnk")
-  }
+  private def annIncServe(pool: DataFrame, probe: DataFrame): DataFrame =
+    graft.sources.AnnIndex.topKWithBestNew(pool, probe, 3)
 }

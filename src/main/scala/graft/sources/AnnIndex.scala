@@ -1,0 +1,573 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+
+/** First-class IVF ANN index over a docstore table — the promotion of
+  * the gate-local LSM lifecycle (q207 upsert, q212/q217 fold+retire,
+  * q221 tombstones, q214/q222 CDC maintenance) to a cataloged engine
+  * object with a DDL/procedure surface (r17 verdict item 2):
+  *
+  * {{{
+  *   CALL cat.system.ann_build('ns.t', 'doc_id', 'vec', 'cell')
+  *   CALL cat.system.ann_sync('ns.t', 'vec')   -- CDF-driven, both change types
+  *   CALL cat.system.ann_fold('ns.t', 'vec')   -- compact + retire
+  *   CALL cat.system.ann_drop('ns.t', 'vec')
+  * }}}
+  *
+  * Layout — the index lives BESIDE the table's own manifest, under
+  * `<tableDir>/_ann/<vecCol>/` (vacuum reclaims only `.gds` segment
+  * files, so index parquet is never collateral):
+  *
+  *  - `MANIFEST` (+ retained `MANIFEST.v<n>` copies): `<kind>,<path>`
+  *    lines published by ATOMIC RENAME under the docstore commit lock
+  *    on the index root — a reader resolves its whole layer set from
+  *    ONE manifest snapshot, so there is no window where a vector is
+  *    served from both a fragment and its folded overlay (no double
+  *    count) or from neither (no loss).
+  *  - `base/vectors/label=<cell>/` + `base/centroids/` — the build
+  *    snapshot, cell-partitioned; the centroid table doubles as the
+  *    PINNED coarse quantizer (the FAISS/Milvus posture: the cell
+  *    space is fixed at build, so fragment assignment is
+  *    arrival-order-independent and folds commute).
+  *  - `frag-<v>/vectors/` + `frag-<v>/dcent/` — one delta fragment per
+  *    synced table version carrying inserts; `dcent` is the fragment's
+  *    per-cell integer sums/counts (metadata-sized).
+  *  - `tomb-<v>/keys/` + `tomb-<v>/dcent/` — one tombstone fragment
+  *    per synced version carrying deletes: (vec_id, cell) keys plus
+  *    the per-cell integer aggregates the centroid state SUBTRACTS.
+  *  - `fold-<n>/cells/` + `fold-<n>/centroids/` — compaction output.
+  *    Folds are LSM levels: per cell, the newest fold covering it
+  *    shadows older folds and base; ann_fold rewrites ONLY affected
+  *    cells and deletes an older fold once fully shadowed.
+  *
+  * Exactness: every similarity runs over round(x*1000) integer
+  * vectors (the proven cross-engine grid); centroid state is integer
+  * sums+counts — a group under addition, so ADD (insert), SUBTRACT
+  * (delete) and fold are exact and associative where float means are
+  * not. Cells emptied by deletes leave c = 0 and never probe.
+  *
+  * 100 TB posture: build is one corpus pass; sync touches batch +
+  * metadata per table version (never rescans the corpus — delete
+  * cells resolve via a candidate-cell-pruned lookup, at most two
+  * partitions per deleted row); fold cost scales with fragment bytes
+  * + affected cells; serve reads probed cells only, resolved
+  * newest-layer-first, minus broadcast tombstone keys. */
+object AnnIndex {
+
+  // ------------------------------------------------------------------
+  // canonical vector math — ONE definition engine-wide (the gate suite
+  // in graft.queries.EmbedOps delegates here; a drift between two
+  // copies of these folds would silently break serve == oracle)
+  // ------------------------------------------------------------------
+
+  /** Exact integer dot product — native codegen expression. */
+  def dotL(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.column(graft.expr.DotProduct(
+      org.apache.spark.sql.graftshim.expression(a),
+      org.apache.spark.sql.graftshim.expression(b)))
+
+  /** Cosine from exact integers — deterministic IEEE double. */
+  def cosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** Quantize a float/double vector column onto the round(x*1000)
+    * integer grid; integral element types pass through as BIGINT
+    * (already-quantized columns, the CDC-gate table shape). */
+  def quantExpr(df: DataFrame, vecCol: String): Column =
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1000).cast("long"))
+      case ArrayType(LongType | IntegerType | ShortType | ByteType, _) =>
+        transform(col(vecCol), _.cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"ann index needs ARRAY<numeric> vector column, '$vecCol' is $other")
+    }
+
+  /** (label, sv: array<long>, c) — the integer centroid table of a
+    * (…, q, label) frame. Dimension-agnostic (posexplode, not a fixed
+    * DIM) so one fold serves every vector width. */
+  def centroidTable(df: DataFrame): DataFrame = {
+    val cellsum = df
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("s"))
+    cellsum.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        e => e.getField("s")).as("sv"))
+      .join(df.groupBy(col("label")).agg(count(lit(1)).as("c")), "label")
+  }
+
+  /** (label, dv, dc) — a fragment's per-cell integer aggregates. */
+  def fragmentAggregates(back: DataFrame): DataFrame =
+    centroidTable(back)
+      .withColumnRenamed("sv", "dv")
+      .withColumnRenamed("c", "dc")
+
+  /** Probe: top-`nprobe` cells per query by the exact integer
+    * cross-multiplied distance c^2*||q - sv/c||^2 = sum((c*q_i-sv_i)^2)
+    * (ties by label). Cells with c <= 0 never probe — a fully-deleted
+    * cell leaves a zero centroid whose distance is exactly 0 and would
+    * win a slot while holding no candidates. */
+  def probeCells(qs: DataFrame, cents0: DataFrame, nprobe: Int): DataFrame = {
+    val cents = cents0.filter(col("c") > 0)
+    val dist = qs.crossJoin(broadcast(cents))
+      .withColumn("d", aggregate(
+        zip_with(col("qv"), col("sv"),
+          (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+        lit(0L), (acc, x) => acc + x))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("label").asc)
+    dist.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("label"), col("qv"), col("qn"))
+  }
+
+  /** Serve tail shared with the gate suite: exact cosine rerank inside
+    * the probed pool, top-k overall PLUS each query's best NEW
+    * neighbor at its overall rank — the upserted-vectors-are-
+    * searchable proof even when arrivals don't crack the top-k. */
+  def topKWithBestNew(pool: DataFrame, probe: DataFrame, k: Int): DataFrame = {
+    val cand = pool.join(broadcast(probe),
+        pool("label") === probe("label") && col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosine(dotL(col("qv"), col("q")), col("qn"), col("nn")))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wn = Window.partitionBy(col("qid"), col("is_new"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(wr))
+      .withColumn("nrnk",
+        when(col("is_new"), row_number().over(wn)).otherwise(lit(null)))
+      .filter(col("rnk") <= k || col("nrnk") === 1)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), pool("label").as("cell"),
+        col("is_new"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // ------------------------------------------------------------------
+  // manifest — `<kind>,<path>` lines, atomic-rename publish, retained
+  // version copies (the q217/q221 LsmManifest, promoted to ONE shared
+  // definition)
+  // ------------------------------------------------------------------
+
+  final class Manifest(val root: Path) {
+    private val mf = root.resolve("MANIFEST")
+    def exists: Boolean = Files.exists(mf)
+    def read(): Seq[(String, String)] =
+      Files.readAllLines(mf).asScala.toSeq
+        .map(_.split(",", 2)).map(a => (a(0), a(1)))
+    /** Highest published version, -1 if none. */
+    def currentVersion: Int =
+      if (!Files.exists(root)) -1
+      else {
+        val s = Files.list(root)
+        val vs =
+          try s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("MANIFEST.v"))
+            .map(_.stripPrefix("MANIFEST.v").toInt).toVector
+          finally s.close()
+        if (vs.isEmpty) -1 else vs.max
+      }
+    def publish(entries: Seq[(String, String)], v: Int): Unit = {
+      // read() splits on the FIRST comma — refuse loudly in the only
+      // writer rather than silently corrupt a reader's layer set
+      entries.foreach { case (kind, p) =>
+        require(!kind.contains(",") && !p.contains(","),
+          s"manifest entry may not contain ',' (got: $kind,$p)")
+      }
+      Files.createDirectories(root)
+      val tmp = root.resolve(s".mf-stg-$v")
+      Files.write(tmp, entries.map { case (k, p) => s"$k,$p" }
+        .mkString("\n").getBytes("UTF-8"))
+      // crash-retry of the same publish must be idempotent, not fatal
+      Files.copy(tmp, root.resolve(s"MANIFEST.v$v"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, mf,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** One resolved manifest snapshot. Layer paths are index-relative
+    * (the index survives a table move); `folds` in append (oldest →
+    * newest) order. */
+  final case class Layers(root: Path, idCol: String, vecCol: String,
+      labelCol: String, synced: Long, folds: Seq[String],
+      frags: Seq[String], tombs: Seq[String]) {
+    def abs(rel: String): String = root.resolve(rel).toString
+  }
+
+  def dirFor(tablePath: String, vecCol: String): Path =
+    Paths.get(tablePath, "_ann", vecCol)
+
+  def load(root: Path): Layers = {
+    val m = new Manifest(root)
+    require(m.exists, s"no ann index at $root — CALL system.ann_build first")
+    val es = m.read()
+    val cols = es.collectFirst { case ("cols", c) => c.split('|') }
+      .getOrElse(throw new IllegalStateException(
+        s"ann manifest at $root missing cols line"))
+    Layers(root, cols(0), cols(1), cols(2),
+      synced = es.collectFirst { case ("synced", v) => v.toLong }.get,
+      folds = es.collect { case ("fold", p) => p },
+      frags = es.collect { case ("frag", p) => p },
+      tombs = es.collect { case ("tomb", p) => p })
+  }
+
+  /** Cells covered by a cell-partitioned layer dir — pure directory
+    * metadata (label=<v> subdirs), no data read. */
+  private def coveredCells(dir: Path): Set[Long] =
+    if (!Files.exists(dir)) Set.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("label="))
+        .map(_.stripPrefix("label=").toLong).toSet
+      finally s.close()
+    }
+
+  // ------------------------------------------------------------------
+  // lifecycle
+  // ------------------------------------------------------------------
+
+  /** (vec_id, q, nn, label) projection with the zero-norm guard; keeps
+    * `_change_type` when present (the CDF face). */
+  private def project(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val extra =
+      if (df.columns.contains("_change_type")) Seq(col("_change_type"))
+      else Seq.empty
+    df.select(Seq(col(idCol).cast("long").as("vec_id"),
+        quantExpr(df, vecCol).as("q"),
+        col(labelCol).cast("long").as("label")) ++ extra: _*)
+      .withColumn("nn", dotL(col("q"), col("q")))
+      .filter(col("nn") > 0 && col("label").isNotNull)
+  }
+
+  /** Assign unlabeled arrivals against the PINNED base centroids —
+    * argmin of the exact integer distance, ties by label. */
+  private def assign(batch: DataFrame, baseCents: DataFrame): DataFrame = {
+    val ad = batch.drop("label").crossJoin(broadcast(baseCents))
+      .withColumn("d", aggregate(
+        zip_with(col("q"), col("sv"),
+          (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
+        lit(0L), (acc, x) => acc + x))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("label").asc)
+    ad.withColumn("ar", row_number().over(wa))
+      .filter(col("ar") === 1)
+      .select(col("vec_id"), col("q"), col("nn"), col("label"))
+  }
+
+  final case class BuildStats(indexDir: String, builtAtVersion: Long,
+      cells: Long, vectors: Long)
+
+  /** Build the base layer from the table's CURRENT snapshot. The
+    * label column seeds the coarse quantizer (cells = its distinct
+    * values); later arrivals are assigned against the pinned
+    * centroids, never against their own label. One corpus pass. */
+  def build(tablePath: String, idCol: String, vecCol: String,
+      labelCol: String): BuildStats = {
+    val s = SparkSession.active
+    val root = dirFor(tablePath, vecCol)
+    val m = new Manifest(root)
+    require(!m.exists,
+      s"ann index for '$vecCol' already exists — CALL system.ann_drop first")
+    val head = DocStoreCommitOps.nextVersion(tablePath) - 1
+    val snap = s.read.format("graft-docstore").option("path", tablePath).load()
+    val v = project(snap, idCol, vecCol, labelCol)
+    v.write.partitionBy("label")
+      .parquet(root.resolve("base").resolve("vectors").toString)
+    // centroids from the read-back layer (one extra base read, zero
+    // recompute of the projection) — they double as the pinned quantizer
+    val back = s.read.parquet(root.resolve("base").resolve("vectors").toString)
+    centroidTable(back).write
+      .parquet(root.resolve("base").resolve("centroids").toString)
+    val (cells, vecs) = {
+      val r = back.agg(count_distinct(col("label")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    DocStoreCommitOps.withCommitLock(root.toString) {
+      m.publish(Seq(("cols", s"$idCol|$vecCol|$labelCol"),
+        ("synced", head.toString), ("base", "base")), 0)
+    }
+    BuildStats(root.toString, head, cells, vecs)
+  }
+
+  final case class SyncStats(fromVersion: Long, toVersion: Long,
+      fragments: Long, tombstones: Long, inserted: Long, deleted: Long)
+
+  /** CDF-driven maintenance — BOTH change types in one pass (the
+    * composition of q214's insert path and q222's delete path): for
+    * each unsynced table version, inserts (+ update post-images)
+    * become a cell-partitioned delta fragment assigned against the
+    * pinned quantizer, deletes (+ update pre-images) become a
+    * tombstone fragment whose cells resolve via a candidate-cell-
+    * pruned lookup (a deleted row lives either in the cell its label
+    * column names — the build path — or in the cell the pinned
+    * quantizer assigns — the fragment path; at most two partitions
+    * read per deleted row, never the corpus). One manifest commit per
+    * table version keeps the index crash-consistent: a re-run resumes
+    * from `synced`. */
+  def sync(tablePath: String, vecCol: String): SyncStats = {
+    val s = SparkSession.active
+    val root = dirFor(tablePath, vecCol)
+    val start = load(root)
+    val head = DocStoreCommitOps.nextVersion(tablePath) - 1
+    if (head <= start.synced)
+      return SyncStats(start.synced, start.synced, 0, 0, 0, 0)
+    val baseCents = s.read.parquet(
+      root.resolve("base").resolve("centroids").toString)
+    var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
+    ((start.synced + 1) to head).foreach { w =>
+      val cur = load(root)
+      val cdf = s.read.format("graft-docstore").option("path", tablePath)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", w.toString)
+        .option("endingVersion", w.toString).load()
+      val proj = project(cdf, cur.idCol, cur.vecCol, cur.labelCol).persist()
+      var add = Seq.empty[(String, String)]
+      try {
+        val ins = proj.filter(
+          col("_change_type").isin("insert", "update_postimage"))
+        if (ins.count() > 0) {
+          val fragRel = s"frag-$w"
+          assign(ins, baseCents).write.partitionBy("label")
+            .parquet(root.resolve(fragRel).resolve("vectors").toString)
+          val insBack = s.read.parquet(
+            root.resolve(fragRel).resolve("vectors").toString)
+          fragmentAggregates(insBack).write
+            .parquet(root.resolve(fragRel).resolve("dcent").toString)
+          add :+= ("frag", fragRel); frags += 1; nIns += insBack.count()
+        }
+
+        val del = proj.filter(
+          col("_change_type").isin("delete", "update_preimage")).persist()
+        try {
+          if (del.count() > 0) {
+            // candidate cells: the label-column cell (build-time rows)
+            // and the pinned-quantizer cell (fragment rows) — at most
+            // two partitions read per deleted row, never the corpus
+            val candCells = del.select(col("label"))
+              .unionByName(assign(del, baseCents).select(col("label")))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            val delKeys = del.select(col("vec_id"), col("q"))
+            // resolve where each deleted id ACTUALLY lives — the
+            // current layer view restricted to candidate cells
+            // (includes the fragment just written this version:
+            // insert-then-delete across versions in one sync window
+            // resolves correctly)
+            val withFrag =
+              if (add.exists(_._1 == "frag"))
+                cur.copy(frags = cur.frags :+ s"frag-$w")
+              else cur
+            val resolved = resolvePool(s, withFrag, candCells)
+              .select(col("vec_id"), col("label"))
+              .join(broadcast(delKeys.select("vec_id")), Seq("vec_id"))
+              .persist()
+            try {
+              if (resolved.count() > 0) {
+                val tombRel = s"tomb-$w"
+                resolved.write.partitionBy("label")
+                  .parquet(root.resolve(tombRel).resolve("keys").toString)
+                val keysBack = s.read.parquet(
+                  root.resolve(tombRel).resolve("keys").toString)
+                fragmentAggregates(keysBack
+                    .join(broadcast(delKeys), Seq("vec_id")))
+                  .write
+                  .parquet(root.resolve(tombRel).resolve("dcent").toString)
+                add :+= ("tomb", tombRel); tombs += 1
+                nDel += keysBack.count()
+              }
+            } finally { resolved.unpersist(); () }
+          }
+        } finally { del.unpersist(); () }
+      } finally { proj.unpersist(); () }
+      // one commit per table version: synced advances even for no-op
+      // versions so a crash-rerun never replays a commit
+      DocStoreCommitOps.withCommitLock(root.toString) {
+        val m = new Manifest(root)
+        val es = m.read()
+        val cursynced = es.collectFirst { case ("synced", v) => v.toLong }.get
+        require(cursynced == w - 1,
+          s"concurrent ann_sync advanced synced to $cursynced while " +
+            s"processing version $w; refusing the commit")
+        m.publish(es.map {
+          case ("synced", _) => ("synced", w.toString)
+          case e => e
+        } ++ add, m.currentVersion + 1)
+      }
+    }
+    SyncStats(start.synced, head, frags, tombs, nIns, nDel)
+  }
+
+  /** The serving pool for `cells`, resolved from one manifest
+    * snapshot: per cell the NEWEST fold covering it shadows older
+    * folds and base; pending fragments union in as is_new; pending
+    * tombstone keys anti-join (broadcast — tombstones are batch-sized
+    * by contract). */
+  def resolvePool(s: SparkSession, L: Layers, cells: Seq[Any],
+      applyTombs: Boolean = true): DataFrame = {
+    val want = cells.map(_.toString.toLong).toSet
+    // newest-first shadowing over fold levels, base last
+    var remaining = want
+    var parts = Seq.empty[DataFrame]
+    (L.folds.reverse.map(f => (L.abs(s"$f/cells"), true)) :+
+      (L.abs("base/vectors"), false)).foreach { case (dir, isFold) =>
+      val take = remaining.intersect(coveredCells(Paths.get(dir)))
+      if (take.nonEmpty) {
+        val df0 = s.read.parquet(dir)
+          .filter(col("label").isin(take.toSeq: _*))
+        parts :+= (if (isFold) df0
+          else df0.withColumn("is_new", lit(false)))
+        remaining --= take
+      }
+    }
+    val layered = parts match {
+      case Seq() =>
+        s.read.parquet(L.abs("base/vectors"))
+          .withColumn("is_new", lit(false)).filter(lit(false))
+      case ps => ps.reduce(_.unionByName(_))
+    }
+    val withFrags = L.frags.foldLeft(layered) { (acc, f) =>
+      acc.unionByName(s.read.parquet(L.abs(s"$f/vectors"))
+        .filter(col("label").isin(want.toSeq: _*))
+        .withColumn("is_new", lit(true)))
+    }
+    if (!applyTombs || L.tombs.isEmpty) withFrags
+    else {
+      val keys = L.tombs.map(t => s.read.parquet(L.abs(s"$t/keys")))
+        .reduce(_.unionByName(_))
+      withFrags.join(broadcast(keys), Seq("vec_id", "label"), "left_anti")
+    }
+  }
+
+  /** The centroid state one manifest snapshot serves from: the newest
+    * fold's persisted table (else base), PLUS pending fragment
+    * aggregates, MINUS pending tombstone aggregates — all integer-
+    * exact and metadata-sized. */
+  def serveCentroids(s: SparkSession, L: Layers): DataFrame = {
+    val sealed0 = L.folds.lastOption
+      .map(f => s.read.parquet(L.abs(s"$f/centroids")))
+      .getOrElse(s.read.parquet(L.abs("base/centroids")))
+    def fold(acc: DataFrame, dcent: DataFrame, sign: Int): DataFrame = {
+      val all = dcent
+        .select(col("label"), posexplode(col("dv")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("x")).as("ds"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("ds")))),
+          e => e.getField("ds")).as("dv"))
+        .join(dcent.groupBy(col("label")).agg(sum(col("dc")).as("dc")),
+          "label")
+      acc.join(broadcast(all), Seq("label"), "left")
+        .select(col("label"),
+          when(col("dv").isNull, col("sv"))
+            .otherwise(zip_with(col("sv"), col("dv"),
+              (a, b) => a + lit(sign) * b)).as("sv"),
+          (col("c") + lit(sign.toLong) * coalesce(col("dc"), lit(0L)))
+            .as("c"))
+    }
+    val afterFrags =
+      if (L.frags.isEmpty) sealed0
+      else fold(sealed0, L.frags.map(f => s.read.parquet(L.abs(s"$f/dcent")))
+        .reduce(_.unionByName(_)), 1)
+    if (L.tombs.isEmpty) afterFrags
+    else fold(afterFrags, L.tombs.map(t => s.read.parquet(L.abs(s"$t/dcent")))
+      .reduce(_.unionByName(_)), -1)
+  }
+
+  /** Serve top-k (+ best-new) for `qs` = (qid, qv: array<long>, qn) —
+    * the library face of the index (query vectors are data, not SQL
+    * literals, so serving stays a DataFrame API while the lifecycle is
+    * SQL CALLs). Resolves ONE manifest snapshot for the whole read. */
+  def serve(s: SparkSession, tablePath: String, vecCol: String,
+      qs: DataFrame, nprobe: Int = 2, k: Int = 3): DataFrame = {
+    val L = load(dirFor(tablePath, vecCol))
+    val probe = probeCells(qs, serveCentroids(s, L), nprobe)
+    val cells = probe.select("label").distinct().collect()
+      .map(_.get(0)).toSeq
+    topKWithBestNew(resolvePool(s, L, cells), probe, k)
+  }
+
+  final case class FoldStats(foldedFragments: Long, appliedTombstones: Long,
+      affectedCells: Long, retiredLayers: Long)
+
+  /** Compaction: fold every pending fragment and tombstone into a new
+    * fold level covering ONLY the affected cells (read amplification
+    * leaves with the retired fragments), seal the serve centroids
+    * beside it, and RETIRE atomically — the manifest swap runs under
+    * the commit lock with a conflict check that refuses if the
+    * fragment/tombstone set changed since the fold was computed;
+    * retired files are deleted only AFTER the swap made them
+    * unreachable. Older folds fully shadowed by newer levels are
+    * vacuumed in the same commit. serve-after == serve-before is the
+    * correctness contract (pinned by AnnIndexSpec and gate q223). */
+  def fold(tablePath: String, vecCol: String): FoldStats = {
+    val s = SparkSession.active
+    val root = dirFor(tablePath, vecCol)
+    val L = load(root)
+    if (L.frags.isEmpty && L.tombs.isEmpty)
+      return FoldStats(0, 0, 0, 0)
+    val affected = (L.frags.map(f => coveredCells(
+        Paths.get(L.abs(s"$f/vectors")))) ++
+      L.tombs.map(t => coveredCells(Paths.get(L.abs(s"$t/keys")))))
+      .foldLeft(Set.empty[Long])(_ ++ _)
+    val foldRel = s"fold-${new Manifest(root).currentVersion + 1}"
+    // ONE affected-cells-only pass: current pool resolution (newest
+    // layer per cell + fragments - tombstones), is_new preserved
+    resolvePool(s, L, affected.toSeq).write.partitionBy("label")
+      .parquet(root.resolve(foldRel).resolve("cells").toString)
+    // seal the post-fold centroid state (what serving reads next)
+    serveCentroids(s, L).write
+      .parquet(root.resolve(foldRel).resolve("centroids").toString)
+    var retired = 0L
+    DocStoreCommitOps.withCommitLock(root.toString) {
+      val m = new Manifest(root)
+      val es = m.read()
+      val curFrags = es.collect { case ("frag", p) => p }
+      val curTombs = es.collect { case ("tomb", p) => p }
+      require(curFrags == L.frags && curTombs == L.tombs,
+        s"concurrent fragment/tombstone change since the fold was " +
+          s"computed (expected ${L.frags}/${L.tombs}, manifest has " +
+          s"$curFrags/$curTombs); refusing the swap")
+      // an older fold fully shadowed by newer levels (this one
+      // included) serves no cell — vacuum it in the same commit
+      val folds = es.collect { case ("fold", p) => p } :+ foldRel
+      val keptFolds = folds.zipWithIndex.filter { case (f, i) =>
+        val newer = folds.drop(i + 1)
+          .map(n => coveredCells(root.resolve(n).resolve("cells")))
+          .foldLeft(Set.empty[Long])(_ ++ _)
+        !coveredCells(root.resolve(f).resolve("cells")).subsetOf(newer) ||
+          f == foldRel
+      }.map(_._1)
+      m.publish(es.filter(e =>
+          e._1 != "frag" && e._1 != "tomb" && e._1 != "fold") ++
+        keptFolds.map(("fold", _)), m.currentVersion + 1)
+      (curFrags ++ curTombs ++ folds.filterNot(keptFolds.contains))
+        .foreach { rel =>
+          graft.core.Fs.deleteRecursively(root.resolve(rel)); retired += 1
+        }
+    }
+    FoldStats(L.frags.size.toLong, L.tombs.size.toLong,
+      affected.size.toLong, retired)
+  }
+
+  /** Drop the index directory (the table is untouched). */
+  def drop(tablePath: String, vecCol: String): Boolean = {
+    val root = dirFor(tablePath, vecCol)
+    val existed = Files.exists(root)
+    graft.core.Fs.deleteRecursively(root)
+    existed
+  }
+}

@@ -144,6 +144,10 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "publish_branch") =>
         new PublishBranchProcedure(this)
       case (Seq("system"), "drop_branch") => new DropBranchProcedure(this)
+      case (Seq("system"), "ann_build") => new AnnBuildProcedure(this)
+      case (Seq("system"), "ann_sync") => new AnnSyncProcedure(this)
+      case (Seq("system"), "ann_fold") => new AnnFoldProcedure(this)
+      case (Seq("system"), "ann_drop") => new AnnDropProcedure(this)
       case _ => throw new RuntimeException(
         s"no such docstore procedure: $ident (try system.vacuum / " +
           "system.history / system.restore / system.optimize / " +
@@ -160,7 +164,11 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "expire_snapshots"),
         Identifier.of(namespace, "create_branch"),
         Identifier.of(namespace, "publish_branch"),
-        Identifier.of(namespace, "drop_branch"))
+        Identifier.of(namespace, "drop_branch"),
+        Identifier.of(namespace, "ann_build"),
+        Identifier.of(namespace, "ann_sync"),
+        Identifier.of(namespace, "ann_fold"),
+        Identifier.of(namespace, "ann_drop"))
     else Array.empty
 
   override def initialize(name: String,

@@ -1259,3 +1259,119 @@ class HistoryProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       DocStoreMetaTables.historyRows(dir.toString).toSeq)
   }
 }
+
+/** `CALL cat.system.ann_build('ns.t', id_col, vec_col, label_col)` —
+  * build the first-class IVF ANN index beside the table's manifest
+  * (see [[AnnIndex]] for the layout and the 100 TB posture). The
+  * label column seeds the coarse quantizer; arrivals synced later are
+  * assigned against the PINNED centroids. One corpus pass. */
+class AnnBuildProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "ann_build"
+  override def description(): String =
+    "build an IVF ANN index over a vector column (base layer + " +
+      "pinned coarse quantizer), stored beside the table's manifest"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("id_col", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build(),
+      ProcedureParameter.in("label_col", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("index_dir", StringType, nullable = false),
+    StructField("built_at_version", LongType, nullable = false),
+    StructField("cells", LongType, nullable = false),
+    StructField("vectors", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val st = AnnIndex.build(dir.toString,
+      input.getUTF8String(1).toString,
+      input.getUTF8String(2).toString,
+      input.getUTF8String(3).toString)
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](
+      UTF8String.fromString(st.indexDir), st.builtAtVersion,
+      st.cells, st.vectors))))
+  }
+}
+
+/** `CALL cat.system.ann_sync('ns.t', vec_col)` — CDF-driven index
+  * maintenance, BOTH change types in one pass: per unsynced table
+  * version, inserts (+ update post-images) append a cell-partitioned
+  * delta fragment assigned against the pinned quantizer, deletes
+  * (+ update pre-images) append a tombstone fragment resolved via a
+  * candidate-cell-pruned lookup; the integer centroid state ADDs and
+  * SUBTRACTs per-cell aggregates exactly. Batch + metadata per
+  * version — never a corpus rescan. */
+class AnnSyncProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "ann_sync"
+  override def description(): String =
+    "sync the ANN index from the table's change data feed — inserts " +
+      "become delta fragments, deletes become tombstones"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("from_version", LongType, nullable = false),
+    StructField("to_version", LongType, nullable = false),
+    StructField("fragments", LongType, nullable = false),
+    StructField("tombstones", LongType, nullable = false),
+    StructField("inserted", LongType, nullable = false),
+    StructField("deleted", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val st = AnnIndex.sync(dir.toString, input.getUTF8String(1).toString)
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](
+      st.fromVersion, st.toVersion, st.fragments, st.tombstones,
+      st.inserted, st.deleted))))
+  }
+}
+
+/** `CALL cat.system.ann_fold('ns.t', vec_col)` — compaction: fold
+  * every pending fragment/tombstone into a new fold level covering
+  * only the affected cells, seal the serve centroids, swap the index
+  * manifest atomically under the commit lock (conflict-checked), then
+  * delete the retired layers. serve-after == serve-before. */
+class AnnFoldProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "ann_fold"
+  override def description(): String =
+    "fold pending ANN fragments/tombstones into a compacted level " +
+      "and retire them atomically"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("folded_fragments", LongType, nullable = false),
+    StructField("applied_tombstones", LongType, nullable = false),
+    StructField("affected_cells", LongType, nullable = false),
+    StructField("retired_layers", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val st = AnnIndex.fold(dir.toString, input.getUTF8String(1).toString)
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](
+      st.foldedFragments, st.appliedTombstones, st.affectedCells,
+      st.retiredLayers))))
+  }
+}
+
+/** `CALL cat.system.ann_drop('ns.t', vec_col)` — drop the index. */
+class AnnDropProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "ann_drop"
+  override def description(): String =
+    "drop the ANN index over a vector column (the table is untouched)"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("dropped", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](
+      AnnIndex.drop(dir.toString, input.getUTF8String(1).toString)))))
+  }
+}
