@@ -1,0 +1,258 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.AnnIndex
+
+/** The first-class ANN index lifecycle (build / sync / fold / drop via
+  * the docstore procedure surface) against an INDEPENDENT plain-Scala
+  * oracle: handcrafted integer vectors whose probe routing, centroid
+  * maintenance (ADD on insert, SUBTRACT on delete), tombstone masking,
+  * and fold shadowing are all recomputed here with local arithmetic —
+  * no AnnIndex code on the oracle side. Gate q223 pins the
+  * insert-only lifecycle against DuckDB; this spec pins the paths the
+  * gate can't reach: the delete/tombstone route (MoR CDF pre-images),
+  * mixed insert+delete sync, repeated folds with fully-shadowed-level
+  * vacuuming, and the lifecycle guards. */
+class AnnIndexSpec extends SparkSpec {
+
+  // ---- independent oracle -------------------------------------------
+  private type Vec = Array[Long]
+  private def dot(a: Vec, b: Vec): Long =
+    a.zip(b).map { case (x, y) => x * y }.sum
+  private def cos(a: Vec, b: Vec): Double =
+    dot(a, b).toDouble /
+      (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+
+  /** index state: id -> (vector, index cell, is_new) */
+  private def centroids(state: Map[Long, (Vec, Long, Boolean)])
+      : Map[Long, (Vec, Long)] =
+    state.values.groupBy(_._2).map { case (cell, vs) =>
+      cell -> (vs.map(_._1).transpose.map(_.sum).toArray, vs.size.toLong)
+    }
+
+  private def assignCell(q: Vec, cents: Map[Long, (Vec, Long)]): Long =
+    cents.toSeq.map { case (cell, (sv, c)) =>
+      (q.indices.map(i => { val d = c * q(i) - sv(i); d * d }).sum, cell)
+    }.minBy(identity)._2
+
+  // minBy over (d, cell) pairs — Ordering[(Long, Long)] is lexicographic,
+  // which is exactly the probe's (distance, label) tie-break
+  private def bestCells(q: Vec, cents: Map[Long, (Vec, Long)],
+      nprobe: Int): Seq[Long] =
+    cents.toSeq.filter(_._2._2 > 0).map { case (cell, (sv, c)) =>
+      (q.indices.map(i => { val d = c * q(i) - sv(i); d * d }).sum, cell)
+    }.sorted.take(nprobe).map(_._2)
+
+  /** (neighbor_id, cell, is_new, cosine) rows the serve must return:
+    * top-k overall plus the best NEW row, ordered by rank. */
+  private def expectedServe(q: Vec,
+      state: Map[Long, (Vec, Long, Boolean)],
+      cents: Map[Long, (Vec, Long)], nprobe: Int, k: Int)
+      : Seq[(Long, Long, Boolean, Double)] = {
+    val cells = bestCells(q, cents, nprobe).toSet
+    val ranked = state.toSeq
+      .filter { case (_, (_, cell, _)) => cells(cell) }
+      .map { case (id, (v, cell, isNew)) => (id, cell, isNew, cos(q, v)) }
+      .sortBy { case (id, _, _, c) => (-c, id) }
+    val topK = ranked.take(k)
+    val bestNew = ranked.find(_._3).filterNot(topK.contains)
+    (topK ++ bestNew).sortBy { case (id, _, _, c) => (-c, id) }
+  }
+
+  private def checkServe(s: SparkSession, path: String,
+      q: Vec, state: Map[Long, (Vec, Long, Boolean)]): Unit = {
+    import s.implicits._
+    val qn = dot(q, q)
+    val qs = Seq((900L, q.toSeq, qn)).toDF("qid", "qv", "qn")
+    val got = AnnIndex.serve(s, path, "v", qs).collect()
+      .map(r => (r.getLong(2), r.getAs[Number](3).longValue(),
+        r.getBoolean(4), r.getDouble(5)))
+    val want = expectedServe(q, state, centroids(state), nprobe = 2, k = 3)
+      .map { case (id, cell, isNew, c) =>
+        (id, cell, isNew,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+    assert(got.toSeq == want,
+      s"serve mismatch:\n  got  ${got.toSeq}\n  want $want")
+  }
+
+  // ---- fixture -------------------------------------------------------
+  /** Base corpus: three axis-aligned clusters, cell = the axis. */
+  private val base: Seq[(Long, Long, Vec)] =
+    (0L to 5L).map(k => (1L + k, 0L, Array(1000L, k, 0L, 0L))) ++
+      (0L to 5L).map(k => (11L + k, 1L, Array(0L, 1000L, k, 0L))) ++
+      (0L to 5L).map(k => (21L + k, 2L, Array(0L, k, 1000L, 0L)))
+
+  private def freshCat(name: String): (SparkSession, String) = {
+    val root = Files.createTempDirectory(s"ann-$name").toString
+    val s = graft.core.Sessions.scoped(spark,
+      s"spark.sql.catalog.$name" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      s"spark.sql.catalog.$name.root" -> root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.default")
+    // merge-on-read: DELETEs emit exactly the deleted rows on the CDF
+    // (the q222 posture) — the shape ann_sync's tombstone route needs
+    s.sql(s"CREATE TABLE $name.default.t (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    s.sql(s"ALTER TABLE $name.default.t ADD COLUMNS " +
+      "(cell INT, v ARRAY<BIGINT>)")
+    (s, Paths.get(root, "default", "t").toString)
+  }
+
+  private def ins(s: SparkSession, cat: String,
+      rows: Seq[(Long, Long, Vec)]): Unit =
+    s.sql(s"INSERT INTO $cat.default.t VALUES " + rows.map {
+      case (id, cell, v) =>
+        s"($id, 0, 'x', 's', '', $cell, array(${v.mkString(",")}L))"
+    }.mkString(", "))
+
+  // ---- tests ---------------------------------------------------------
+
+  test("mixed insert+delete sync: fragments, pruned tombstone lookup, " +
+      "exact centroid maintenance, fold retires and serve is unchanged") {
+    val (s, path) = freshCat("annmx")
+    ins(s, "annmx", base)
+    val b = s.sql("CALL annmx.system.ann_build(" +
+      "'default.t', 'doc_id', 'v', 'cell')").head
+    assert(b.getLong(2) == 3 && b.getLong(3) == 18, s"build stats: $b")
+
+    // oracle state after build: label-column cells, nothing new
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val pinned = centroids(state) // the coarse quantizer is FIXED here
+
+    // commit A: arrivals — 101/102 near e1 (assign -> cell 0), 111
+    // near e2 (assign -> cell 1); labelCol deliberately WRONG (9) to
+    // prove sync assigns against the pinned quantizer, not the label
+    val arrivals = Seq(
+      (101L, 9L, Array(1000L, 0L, 0L, 7L): Vec),
+      (102L, 9L, Array(1000L, 0L, 0L, 9L): Vec),
+      (111L, 9L, Array(0L, 1000L, 0L, 7L): Vec))
+    ins(s, "annmx", arrivals)
+    // commit B: delete one BASE row and one ARRIVAL row — the
+    // tombstone lookup must resolve the base row via its label cell
+    // and the fragment row via its assigned cell
+    s.sql("DELETE FROM annmx.default.t WHERE doc_id IN (2, 101)")
+
+    val sy = s.sql("CALL annmx.system.ann_sync('default.t', 'v')").head
+    assert(sy.getLong(2) == 1 && sy.getLong(3) == 1 &&
+      sy.getLong(4) == 3 && sy.getLong(5) == 2,
+      s"expected 1 frag / 1 tomb / 3 ins / 2 del, got $sy")
+
+    state ++= arrivals.map { case (id, _, v) =>
+      id -> (v, assignCell(v, pinned), true) }
+    state --= Seq(2L, 101L)
+    assert(state(102L)._2 == 0L && state(111L)._2 == 1L,
+      "fixture must route arrivals to cells 0 and 1")
+
+    val q: Vec = Array(1000L, 1L, 0L, 0L)
+    checkServe(s, path, q, state)
+    // deleted ids unfindable through any probe direction
+    Seq[Vec](Array(1000L, 1L, 0L, 0L), Array(0L, 1000L, 1L, 0L),
+      Array(0L, 1L, 1000L, 0L)).foreach { qq =>
+      import s.implicits._
+      val qs = Seq((901L, qq.toSeq, dot(qq, qq))).toDF("qid", "qv", "qn")
+      val ids = AnnIndex.serve(s, path, "v", qs).collect()
+        .map(_.getLong(2)).toSet
+      assert(!ids(2L) && !ids(101L), s"tombstoned id served: $ids")
+    }
+
+    // fold: retire the fragment + tombstone, serve unchanged
+    import s.implicits._
+    val qs = Seq((900L, q.toSeq, dot(q, q))).toDF("qid", "qv", "qn")
+    val before = AnnIndex.serve(s, path, "v", qs).collect().toSeq
+    val f = s.sql("CALL annmx.system.ann_fold('default.t', 'v')").head
+    assert(f.getLong(0) == 1 && f.getLong(1) == 1 && f.getLong(3) == 2,
+      s"fold stats: $f")
+    val idxRoot = AnnIndex.dirFor(path, "v")
+    val L = AnnIndex.load(idxRoot)
+    assert(L.frags.isEmpty && L.tombs.isEmpty && L.folds.size == 1,
+      s"post-fold manifest: $L")
+    assert(AnnIndex.serve(s, path, "v", qs).collect().toSeq == before,
+      "serve-after-fold must equal serve-before-fold")
+    // the compacted cells physically lack the tombstoned rows
+    val leaked = s.read.parquet(
+        Paths.get(L.abs(s"${L.folds.head}/cells")).toString)
+      .filter(col("vec_id").isin(2L, 101L)).count()
+    assert(leaked == 0, s"$leaked tombstoned rows survived the fold")
+  }
+
+  test("repeated folds: a level fully shadowed by newer ones is vacuumed") {
+    val (s, path) = freshCat("annsh")
+    ins(s, "annsh", base)
+    s.sql("CALL annsh.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    val idxRoot = AnnIndex.dirFor(path, "v")
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val pinned = centroids(state)
+
+    def round(arr: Seq[(Long, Long, Vec)], del: Seq[Long]): Unit = {
+      if (arr.nonEmpty) ins(s, "annsh", arr)
+      if (del.nonEmpty) s.sql(
+        s"DELETE FROM annsh.default.t WHERE doc_id IN (${del.mkString(",")})")
+      s.sql("CALL annsh.system.ann_sync('default.t', 'v')")
+      s.sql("CALL annsh.system.ann_fold('default.t', 'v')")
+      state ++= arr.map { case (id, _, v) =>
+        id -> (v, assignCell(v, pinned), true) }
+      state --= del
+    }
+
+    // fold 1 touches cells {0, 1}; fold 2 {1, 2}: fold 1 survives
+    round(Seq((101L, 9L, Array(1000L, 0L, 0L, 7L)),
+      (111L, 9L, Array(0L, 1000L, 0L, 7L))), Seq.empty)
+    round(Seq((121L, 9L, Array(0L, 0L, 1000L, 7L))), Seq(11L))
+    val l2 = AnnIndex.load(idxRoot)
+    assert(l2.folds.size == 2, s"fold 1 {0,1} is not shadowed by {1,2}: $l2")
+    // fold 3 touches cell {0}: fold 1 {0,1} is now fully shadowed by
+    // {1,2} ∪ {0} and must be vacuumed in the same commit
+    round(Seq.empty, Seq(3L))
+    val l3 = AnnIndex.load(idxRoot)
+    assert(l3.folds.size == 2 && !l3.folds.contains(l2.folds.head),
+      s"fully-shadowed fold 1 must be vacuumed: $l3")
+    assert(!Files.exists(idxRoot.resolve(l2.folds.head)),
+      "vacuumed fold dir must be deleted")
+    // the serve contract held through every level
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    checkServe(s, path, Array(0L, 1000L, 1L, 0L), state)
+    checkServe(s, path, Array(0L, 1L, 1000L, 0L), state)
+  }
+
+  test("lifecycle guards: double build refuses, no-op sync/fold, " +
+      "drop + rebuild, manifest refuses comma entries") {
+    val (s, path) = freshCat("anngd")
+    ins(s, "anngd", base)
+    s.sql("CALL anngd.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    val ex = intercept[Exception](s.sql(
+      "CALL anngd.system.ann_build('default.t', 'doc_id', 'v', 'cell')"))
+    assert(ex.getMessage.contains("already exists"), ex.getMessage)
+    // nothing pending: sync and fold are explicit no-ops
+    val sy = s.sql("CALL anngd.system.ann_sync('default.t', 'v')").head
+    assert((2 to 5).forall(i => sy.getLong(i) == 0), s"no-op sync: $sy")
+    val f = s.sql("CALL anngd.system.ann_fold('default.t', 'v')").head
+    assert((0 to 3).forall(i => f.getLong(i) == 0), s"no-op fold: $f")
+    // drop + rebuild from the current (post-arrival) snapshot
+    ins(s, "anngd", Seq((101L, 0L, Array(1000L, 0L, 0L, 7L))))
+    assert(s.sql("CALL anngd.system.ann_drop('default.t', 'v')")
+      .head.getBoolean(0))
+    assert(!Files.exists(AnnIndex.dirFor(path, "v")))
+    val b2 = s.sql("CALL anngd.system.ann_build(" +
+      "'default.t', 'doc_id', 'v', 'cell')").head
+    assert(b2.getLong(3) == 19, s"rebuild must index the arrival too: $b2")
+    val state: Map[Long, (Vec, Long, Boolean)] =
+      (base :+ ((101L, 0L, Array(1000L, 0L, 0L, 7L): Vec)))
+        .map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    // the shared manifest writer refuses comma-bearing entries loudly
+    val m = new AnnIndex.Manifest(
+      Files.createTempDirectory("ann-manifest"))
+    val ex2 = intercept[IllegalArgumentException](
+      m.publish(Seq(("base", "/a,b")), 0))
+    assert(ex2.getMessage.contains("','"), ex2.getMessage)
+  }
+}
