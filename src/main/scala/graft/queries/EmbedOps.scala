@@ -2248,6 +2248,184 @@ object EmbedOps {
           s"${before.toSeq.diff(after.toSeq)} vs " +
           s"${after.toSeq.diff(before.toSeq)}")
       afterDf
+    },
+
+    Q("q224_cdc_ann_mixed",
+      "ONE CDF stream, BOTH change types (r17 verdict item 3 — q214 " +
+        "maintained the index from an insert stream, q222 from a " +
+        "delete stream; a production upsert feed INTERLEAVES them, " +
+        "and the index must consume the one real change log, not two " +
+        "curated ones): five commits alternate INSERT and DELETE on a " +
+        "merge-on-read docstore table, and a SINGLE foreachBatch over " +
+        "the table's change feed routes each micro-batch's rows by " +
+        "_change_type against ONE shared state — inserts append a " +
+        "cell-partitioned delta fragment and ADD their per-cell " +
+        "integer aggregates, deletes append a cell-partitioned " +
+        "tombstone (pre-image rows make it cell-locatable with zero " +
+        "lookups) and SUBTRACT theirs. The deletes deliberately hit " +
+        "rows that arrived through EARLIER insert batches as well as " +
+        "base rows — the cross-type interaction a split pipeline " +
+        "gets wrong (a tombstone must mask fragment rows too, and " +
+        "the centroid group structure makes ADD-then-SUBTRACT exact " +
+        "in either arrival order). Serving probes the maintained " +
+        "centroids over base + fragments minus broadcast tombstone " +
+        "keys; the `fresh` column audits it row-by-row against a " +
+        "from-scratch rebuild over the table's CURRENT snapshot " +
+        "(centroids re-derived from the snapshot — the oracle IS the " +
+        "rebuild). Per batch the work is batch + metadata; no step " +
+        "rescans the corpus. This is the steady-state maintenance " +
+        "loop a 100 TB index runs forever.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        live AS (SELECT * FROM nz
+                 WHERE NOT (vec_id % 7 = 3 AND vec_id % 3 IN (0, 1))),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM live CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                 FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM live GROUP BY 1),
+        cc AS (SELECT cent.label, sv, c
+               FROM cent JOIN cnt ON cent.label = cnt.label),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
+               WHERE vec_id < 5 AND vec_id % 10 <> 0),
+        dist AS (SELECT qid, cc.label, qv, qn,
+                        list_sum(list_transform(range($DIM),
+                          i -> (c * qv[i+1] - sv[i+1])
+                             * (c * qv[i+1] - sv[i+1]))) AS d
+                 FROM qs CROSS JOIN cc),
+        probe AS (SELECT qid, label, qv, qn FROM (
+                    SELECT qid, label, qv, qn,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY d, label) AS pr
+                    FROM dist) WHERE pr <= 2),
+        cand AS (SELECT qid, live.vec_id AS neighbor_id, live.label,
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                 FROM probe JOIN live ON live.label = probe.label
+                                     AND live.vec_id <> probe.qid),
+        r AS (SELECT qid AS query_id, neighbor_id, label AS cell, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand)
+        SELECT query_id, rnk::INT AS rnk, neighbor_id, cell,
+               ROUND(cos, 6) AS cosine, TRUE AS fresh
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      import s.implicits._
+      val root = graft.core.Fs.rotatingTempRoot("q224_mixed")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_mx" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_mx.root" ->
+          root.resolve("cat").toString)
+      sc.sql("CREATE NAMESPACE graft_cat_mx.default")
+      // merge-on-read: DELETE commits emit exactly the deleted rows
+      // with their pre-image values on the change feed (q222's cost
+      // model) — what keeps the tombstone cell-locatable lookup-free
+      sc.sql("CREATE TABLE graft_cat_mx.default.vecs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING) TBLPROPERTIES " +
+        "('graft.rowlevel.mode' = 'merge-on-read')")
+      sc.sql("ALTER TABLE graft_cat_mx.default.vecs ADD COLUMNS " +
+        "(vlabel INT, q ARRAY<BIGINT>)")
+      quantized(sc, dir).createOrReplaceTempView("q224_src")
+      def ins(where: String): Unit =
+        sc.sql("INSERT INTO graft_cat_mx.default.vecs " +
+          "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
+          s"FROM q224_src WHERE $where")
+      def del(where: String): Unit =
+        sc.sql(s"DELETE FROM graft_cat_mx.default.vecs WHERE $where")
+      val tablePath = root.resolve("cat").resolve("default")
+        .resolve("vecs").toString
+      // commit 1: the nightly slice the base index is built from
+      ins("vec_id % 10 <> 0")
+      val baseV =
+        graft.sources.DocStoreCommitOps.nextVersion(tablePath) - 1
+      // commits 2-6: INSERT and DELETE interleave; each DELETE also
+      // hits rows the PREVIOUS insert batch brought in (cross-type)
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 0")
+      del("doc_id % 7 = 3 AND doc_id % 3 = 0")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 1")
+      del("doc_id % 7 = 3 AND doc_id % 3 = 1")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 2")
+      // ---- nightly build from the base version: cell-partitioned
+      // layout + driver-held integer centroid state
+      val baseDir = root.resolve("base").toString
+      cdcVecsOf(sc.sql("SELECT * FROM graft_cat_mx.default.vecs " +
+        s"VERSION AS OF $baseV"))
+        .write.partitionBy("label").parquet(baseDir)
+      val state = scala.collection.mutable.HashMap[Int, (Array[Long], Long)]()
+      cdcCellAgg(s.read.parquet(baseDir)).foreach { case (l, sv, c) =>
+        state(l) = (sv.toArray, c) }
+      // ---- ONE maintenance stream: each micro-batch (one per commit)
+      // routes its rows by change type against the SHARED state
+      val fragDir = root.resolve("frags").toString
+      val tombDir = root.resolve("tombs").toString
+      val stream = sc.readStream.format("graft-docstore")
+        .option("path", tablePath)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", (baseV + 1).toString)
+        .load()
+      val q = stream.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // persist ONCE: both routes read the commit's CDF segments
+          // from the cache, not twice from disk
+          val chg = batch.persist()
+          try {
+            val insRows = cdcVecsOf(chg
+              .filter(col("_change_type") === "insert"))
+            val insAgg = cdcCellAgg(insRows)
+            if (insAgg.nonEmpty) {
+              insRows.write.mode("append").partitionBy("label")
+                .parquet(fragDir)
+              insAgg.foreach { case (l, sv, c) =>
+                val (os, oc) = state.getOrElse(l, (new Array[Long](DIM), 0L))
+                var i = 0
+                while (i < DIM) { os(i) += sv(i); i += 1 }
+                state(l) = (os, oc + c)
+              }
+            }
+            val delRows = cdcVecsOf(chg
+              .filter(col("_change_type") === "delete"))
+            val delAgg = cdcCellAgg(delRows)
+            if (delAgg.nonEmpty) {
+              delRows.select("vec_id", "label").write.mode("append")
+                .partitionBy("label").parquet(tombDir)
+              delAgg.foreach { case (l, sv, c) =>
+                val (os, oc) = state.getOrElse(l, (new Array[Long](DIM), 0L))
+                var i = 0
+                while (i < DIM) { os(i) -= sv(i); i += 1 }
+                state(l) = (os, oc - c)
+              }
+            }
+          } finally { chg.unpersist(); () }
+          () : Unit
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // ---- serve from the maintained state: probed cells of base +
+      // fragments, masked by the broadcast tombstone keys (the mask
+      // covers FRAGMENT rows too — the cross-type case)
+      val cents = state.toSeq
+        .map { case (l, (sv, c)) => (l, sv.toSeq, c) }
+        .toDF("label", "sv", "c")
+      val tombKeys = s.read.parquet(tombDir)
+      val qs = s.read.parquet(baseDir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      val incr = annStateServe(qs, cents,
+        s.read.parquet(baseDir).unionByName(s.read.parquet(fragDir))
+          .join(broadcast(tombKeys), Seq("vec_id", "label"), "left_anti"))
+      // ---- freshness audit vs a from-scratch rebuild of the CURRENT
+      // snapshot (centroids re-derived from the snapshot, never the
+      // maintained state)
+      val cur = cdcVecsOf(sc.read.format("graft-docstore")
+        .option("path", tablePath).load()).persist()
+      freshAudit(incr, annStateServe(qs, centroidTable(cur), cur))
     }
   )
 

@@ -585,6 +585,26 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q224 mixed CDC: serve prunes probed cells; tombstone mask anti-joins broadcast over base AND fragments") {
+    val p = q("q224_cdc_ann_mixed")
+    // the maintained serve reads base + fragment cells via label
+    // PartitionFilters and masks deletions as a broadcast anti-join —
+    // per-batch maintenance is batch + metadata, and the serve never
+    // rescans or shuffle-joins the corpus to apply either change type
+    val pruned = p.linesIterator.exists { l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+          .contains("label")
+    }
+    assert(pruned, s"serve must prune probed cells via label:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the tombstone mask must be an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mask/probe/audit joins must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q208 rerank: code scan + bounded candidate fetch broadcast; windows stay per-query") {
     val p = q("q208_hamming_rerank")
     // stage 2's candidate-id fetch and every query-code attach must
