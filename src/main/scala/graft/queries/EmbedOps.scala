@@ -2426,6 +2426,307 @@ object EmbedOps {
       val cur = cdcVecsOf(sc.read.format("graft-docstore")
         .option("path", tablePath).load()).persist()
       freshAudit(incr, annStateServe(qs, centroidTable(cur), cur))
+    },
+
+    Q("q225_filtered_ann_lsm",
+      "LSM maintenance for the FILTERED index (r17 verdict item 4 — " +
+        "q218's per-src centroid tables were built once, statically; " +
+        "at 100 TB the filtered index needs the same fragment/" +
+        "tombstone lifecycle as the global one, scoped to its src " +
+        "partition): the src-partitioned layout (src=<k>/label=" +
+        "<cell>/, per-src pinned quantizers) takes an UPSERT commit " +
+        "(held-out arrivals assigned against src 0's pinned " +
+        "centroids -> a cell-partitioned fragment) and a DELETE " +
+        "commit (tombstone keys + per-cell integer aggregates " +
+        "SUBTRACTed from src 0's centroid state), then a FOLD pruned " +
+        "to src 0's affected cells with the q217 atomic retire " +
+        "(conflict-checked manifest swap under the commit lock, " +
+        "retired fragment/tombstone dirs deleted after the swap). " +
+        "serve-after-fold == serve-before-fold row for row, " +
+        "tombstoned ids unfindable in both, upserted ids searchable " +
+        "(is_new). The OTHER slice is the point: src 1's serve runs " +
+        "through the SAME manifest epoch and its input-file set is " +
+        "asserted in-gate to contain ZERO lifecycle files — every " +
+        "file it reads lives under the immutable base layout, so one " +
+        "src's maintenance storm never taxes another src's latency. " +
+        "At 100 TB: per-src maintenance cost scales with that src's " +
+        "fragments + affected cells; the blast radius of an upsert " +
+        "or takedown is its own partition, by construction.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n0 AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT vec_id, label, q, nn,
+                      CASE WHEN label <= 1 THEN 0
+                           ELSE 1 + vec_id % 2 END AS src
+               FROM n0 WHERE nn > 0),
+        base AS (SELECT * FROM nz WHERE vec_id % 10 <> 0),
+        arr AS (SELECT vec_id, label, q, nn FROM nz
+                WHERE vec_id % 10 = 0 AND src = 0),
+        s0 AS (SELECT * FROM base WHERE src = 0),
+        s1 AS (SELECT * FROM base WHERE src = 1),
+        dead AS (SELECT vec_id, label, q, nn FROM s0 WHERE vec_id % 7 = 3),
+        idxs AS (SELECT unnest(range($DIM)) AS i),
+        c0s AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                FROM s0 CROSS JOIN idxs GROUP BY 1, 2),
+        c0v AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                FROM c0s GROUP BY 1),
+        c0c AS (SELECT label, COUNT(*)::BIGINT AS c FROM s0 GROUP BY 1),
+        cc0 AS (SELECT c0v.label, sv, c
+                FROM c0v JOIN c0c ON c0v.label = c0c.label),
+        ad AS (SELECT arr.vec_id, arr.q, arr.nn, cc0.label,
+                      list_sum(list_transform(range($DIM),
+                        i -> (c * q[i+1] - sv[i+1])
+                           * (c * q[i+1] - sv[i+1]))) AS d
+               FROM arr CROSS JOIN cc0),
+        asg AS (SELECT vec_id, q, nn, label AS cell FROM (
+                  SELECT vec_id, q, nn, label,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d, label) AS ar FROM ad)
+                WHERE ar = 1),
+        adds AS (SELECT cell AS label, i, SUM(q[i+1])::BIGINT AS s
+                 FROM asg CROSS JOIN idxs GROUP BY 1, 2),
+        addv AS (SELECT label, array_agg(s ORDER BY i) AS av
+                 FROM adds GROUP BY 1),
+        addc AS (SELECT cell AS label, COUNT(*)::BIGINT AS ac
+                 FROM asg GROUP BY 1),
+        subs AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                 FROM dead CROSS JOIN idxs GROUP BY 1, 2),
+        subv AS (SELECT label, array_agg(s ORDER BY i) AS bv
+                 FROM subs GROUP BY 1),
+        subc AS (SELECT label, COUNT(*)::BIGINT AS bc
+                 FROM dead GROUP BY 1),
+        upd AS (SELECT cc0.label,
+                       list_transform(range($DIM), i ->
+                         sv[i+1] + COALESCE(av[i+1], 0::BIGINT)
+                                 - COALESCE(bv[i+1], 0::BIGINT)) AS sv,
+                       c + COALESCE(ac, 0::BIGINT)
+                         - COALESCE(bc, 0::BIGINT) AS c
+                FROM cc0 LEFT JOIN addv ON cc0.label = addv.label
+                         LEFT JOIN addc ON cc0.label = addc.label
+                         LEFT JOIN subv ON cc0.label = subv.label
+                         LEFT JOIN subc ON cc0.label = subc.label),
+        live0 AS (SELECT vec_id, label AS cell, q, nn, FALSE AS is_new
+                  FROM s0 WHERE vec_id % 7 <> 3
+                  UNION ALL
+                  SELECT vec_id, cell, q, nn, TRUE AS is_new FROM asg),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM base
+               WHERE vec_id < 5),
+        d0 AS (SELECT qid, upd.label, qv, qn,
+                      list_sum(list_transform(range($DIM),
+                        i -> (c * qv[i+1] - sv[i+1])
+                           * (c * qv[i+1] - sv[i+1]))) AS d
+               FROM qs CROSS JOIN upd WHERE c > 0),
+        p0 AS (SELECT qid, label, qv, qn FROM (
+                 SELECT qid, label, qv, qn,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY d, label) AS pr FROM d0)
+               WHERE pr <= 2),
+        cand0 AS (SELECT qid, l.vec_id AS neighbor_id, l.cell, l.is_new,
+                         ${oDot("qv", "q")}::DOUBLE /
+                           (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                  FROM p0 JOIN live0 l ON l.cell = p0.label
+                                      AND l.vec_id <> p0.qid),
+        r0 AS (SELECT qid AS query_id, neighbor_id, cell, is_new, cos,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, neighbor_id) AS rnk,
+                      CASE WHEN is_new THEN ROW_NUMBER() OVER (
+                        PARTITION BY qid, is_new
+                        ORDER BY cos DESC, neighbor_id)
+                      ELSE NULL END AS nrnk
+               FROM cand0),
+        c1s AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                FROM s1 CROSS JOIN idxs GROUP BY 1, 2),
+        c1v AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                FROM c1s GROUP BY 1),
+        c1c AS (SELECT label, COUNT(*)::BIGINT AS c FROM s1 GROUP BY 1),
+        cc1 AS (SELECT c1v.label, sv, c
+                FROM c1v JOIN c1c ON c1v.label = c1c.label),
+        d1 AS (SELECT qid, cc1.label, qv, qn,
+                      list_sum(list_transform(range($DIM),
+                        i -> (c * qv[i+1] - sv[i+1])
+                           * (c * qv[i+1] - sv[i+1]))) AS d
+               FROM qs CROSS JOIN cc1 WHERE c > 0),
+        p1 AS (SELECT qid, label, qv, qn FROM (
+                 SELECT qid, label, qv, qn,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY d, label) AS pr FROM d1)
+               WHERE pr <= 2),
+        cand1 AS (SELECT qid, s1.vec_id AS neighbor_id,
+                         s1.label AS cell, FALSE AS is_new,
+                         ${oDot("qv", "q")}::DOUBLE /
+                           (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                  FROM p1 JOIN s1 ON s1.label = p1.label
+                                 AND s1.vec_id <> p1.qid),
+        r1 AS (SELECT qid AS query_id, neighbor_id, cell, is_new, cos,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM cand1)
+        SELECT * FROM (
+          SELECT 0 AS flt_src, query_id, rnk::INT AS rnk, neighbor_id,
+                 cell, is_new, ROUND(cos, 6) AS cosine
+          FROM r0 WHERE rnk <= 3 OR nrnk = 1
+          UNION ALL
+          SELECT 1 AS flt_src, query_id, rnk::INT AS rnk, neighbor_id,
+                 cell, is_new, ROUND(cos, 6) AS cosine
+          FROM r1 WHERE rnk <= 3
+        ) ORDER BY flt_src, query_id, rnk""")) { (s, dir) =>
+      val idx = filteredLsmIdx(s, dir)
+      val root = graft.core.Fs.rotatingTempRoot("q225_flsm")
+      val manifest = new LsmManifest(root)
+      graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+        manifest.publish(Seq(("base", idx)), 0)
+      }
+      val pinned0 = s.read.parquet(s"$idx/scentroids")
+        .filter(col("src") === 0).drop("src")
+      // ---- upsert commit into src 0: held-out arrivals assigned
+      // against the PINNED src-0 quantizer (the per-src twin of q207)
+      val frag = root.resolve("frag")
+      graft.sources.AnnIndex.assign(
+          s.read.parquet(s"$idx/arrivals"), pinned0)
+        .write.partitionBy("label")
+        .parquet(frag.resolve("vectors").toString)
+      val fragBack = s.read.parquet(frag.resolve("vectors").toString)
+      fragmentAggregates(fragBack).write
+        .parquet(frag.resolve("dcent").toString)
+      graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+        manifest.publish(manifest.read() :+ (("frag", frag.toString)), 1)
+      }
+      // ---- delete commit in src 0: tombstone keys + aggregates
+      // (requests carry their rows — the q221/q222 CDF posture)
+      val dead = s.read.parquet(s"$idx/vectors")
+        .filter(col("src") === 0 && col("vec_id") % 7 === 3).drop("src")
+      val tomb = root.resolve("tomb")
+      dead.select("vec_id", "label").write.partitionBy("label")
+        .parquet(tomb.resolve("keys").toString)
+      fragmentAggregates(dead).write
+        .parquet(tomb.resolve("dcent").toString)
+      graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+        manifest.publish(manifest.read() :+ (("tomb", tomb.toString)), 2)
+      }
+      val tombKeys = s.read.parquet(tomb.resolve("keys").toString)
+      val deadIds = tombKeys.select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      // maintained src-0 centroid state: pinned + frag adds - tomb subs
+      def applyDelta(acc: DataFrame, dcent: DataFrame, sign: Int)
+          : DataFrame =
+        acc.join(broadcast(dcent), Seq("label"), "left")
+          .select(col("label"),
+            when(col("dv").isNull, col("sv"))
+              .otherwise(zip_with(col("sv"), col("dv"),
+                (a, b) => a + lit(sign) * b)).as("sv"),
+            (col("c") + lit(sign.toLong) * coalesce(col("dc"), lit(0L)))
+              .as("c"))
+      val maintained = applyDelta(
+        applyDelta(pinned0,
+          s.read.parquet(frag.resolve("dcent").toString), 1),
+        s.read.parquet(tomb.resolve("dcent").toString), -1)
+        .persist()
+      val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      def serveSlice(cents: DataFrame, poolOf: Seq[Any] => DataFrame)
+          : DataFrame = {
+        val probe = graft.sources.AnnIndex.probeCells(qs, cents, 2)
+        val cells = probe.select("label").distinct().collect()
+          .map(_.get(0)).toSeq
+        graft.sources.AnnIndex.topKWithBestNew(poolOf(cells), probe, 3)
+      }
+      // ---- serve WITH pending layers: base src-0 cells + fragment,
+      // masked by the broadcast tombstone keys
+      val before = serveSlice(maintained, cells =>
+        s.read.parquet(s"$idx/vectors").filter(col("src") === 0)
+          .drop("src").filter(col("label").isin(cells: _*))
+          .withColumn("is_new", lit(false))
+          .unionByName(fragBack.filter(col("label").isin(cells: _*))
+            .withColumn("is_new", lit(true)))
+          .join(broadcast(tombKeys), Seq("vec_id", "label"), "left_anti"))
+        .collect()
+      require(before.forall(r => !deadIds(r.getLong(2))),
+        "a tombstoned vector surfaced in the masked src-0 serve")
+      require(before.exists(_.getBoolean(4)),
+        "an upserted vector must be searchable in the src-0 serve")
+      // ---- FOLD, pruned to src 0's affected cells only
+      val affected = fragBack.select("label").distinct()
+        .unionByName(tombKeys.select("label").distinct())
+        .distinct().collect().map(_.get(0)).toSeq
+      val fold = root.resolve("fold")
+      s.read.parquet(s"$idx/vectors")
+        .filter(col("src") === 0).drop("src")
+        .filter(col("label").isin(affected: _*))
+        .withColumn("is_new", lit(false))
+        .join(broadcast(tombKeys), Seq("vec_id", "label"), "left_anti")
+        .unionByName(fragBack.withColumn("is_new", lit(true)))
+        .write.partitionBy("label")
+        .parquet(fold.resolve("cells").toString)
+      maintained.filter(col("c") > 0).write
+        .parquet(fold.resolve("centroids").toString)
+      // ---- atomic retire (the q217 swap, conflict-checked)
+      graft.sources.DocStoreCommitOps.withCommitLock(root.toString) {
+        val cur = manifest.read()
+        require(cur.collect { case ("frag", p) => p } ==
+          Seq(frag.toString) &&
+          cur.collect { case ("tomb", p) => p } == Seq(tomb.toString),
+          s"concurrent layer change since the fold was computed " +
+            s"(manifest has $cur); refusing the swap")
+        manifest.publish(
+          Seq(("base", idx), ("fold", fold.toString)), 3)
+        graft.core.Fs.deleteRecursively(frag)
+        graft.core.Fs.deleteRecursively(tomb)
+      }
+      require(!java.nio.file.Files.exists(frag) &&
+        !java.nio.file.Files.exists(tomb),
+        "retired layers must be deleted after the swap")
+      val leaked = s.read.parquet(fold.resolve("cells").toString)
+        .filter(col("vec_id").isin(deadIds.toSeq: _*)).count()
+      require(leaked == 0, s"$leaked tombstoned rows survived the fold")
+      // ---- serve AFTER, resolved through the swapped manifest
+      val post = manifest.read()
+      val foldDir = post.collect { case ("fold", p) => p }.head
+      val affectedSet = affected.toSet
+      val s0after = serveSlice(
+        s.read.parquet(s"$foldDir/centroids"), cells => {
+          val (hot, cold) = cells.partition(affectedSet.contains)
+          s.read.parquet(s"$foldDir/cells")
+            .filter(col("label").isin(hot: _*))
+            .unionByName(s.read.parquet(s"$idx/vectors")
+              .filter(col("src") === 0).drop("src")
+              .filter(col("label").isin(cold: _*))
+              .withColumn("is_new", lit(false)))
+        })
+      s0after.persist()
+      val after = s0after.collect()
+      maintained.unpersist()
+      require(before.toSeq == after.toSeq,
+        s"src-0 serve-after-fold must equal serve-before-fold: " +
+          s"${before.toSeq.diff(after.toSeq)} vs " +
+          s"${after.toSeq.diff(before.toSeq)}")
+      // ---- the OTHER slice: src 1 serves through the same manifest
+      // epoch and provably reads ZERO lifecycle files — its whole
+      // input set lives under the immutable base layout
+      val s1serve = serveSlice(
+        s.read.parquet(s"$idx/scentroids")
+          .filter(col("src") === 1).drop("src"),
+        cells => s.read.parquet(s"$idx/vectors")
+          .filter(col("src") === 1).drop("src")
+          .filter(col("label").isin(cells: _*))
+          .withColumn("is_new", lit(false)))
+      // inputFiles BEFORE persist: caching swaps the optimized plan's
+      // scans for an InMemoryRelation and the file set goes empty
+      val s1files = s1serve.inputFiles
+        .map(f => java.net.URI.create(f).getPath)
+      s1serve.persist()
+      require(s1files.nonEmpty &&
+        s1files.forall(_.startsWith(idx)) &&
+        !s1files.exists(_.startsWith(root.toString)),
+        s"src-1 serve must read zero lifecycle files, got " +
+          s"${s1files.filterNot(_.startsWith(idx)).toSeq}")
+      val out = s0after.withColumn("flt_src", lit(0))
+        .unionByName(s1serve.withColumn("flt_src", lit(1)))
+        .select(col("flt_src"), col("query_id"), col("rnk"),
+          col("neighbor_id"), col("cell"), col("is_new"), col("cosine"))
+        .orderBy("flt_src", "query_id", "rnk")
+      out.persist()
+      out
     }
   )
 
@@ -2586,6 +2887,34 @@ object EmbedOps {
   /** graft-visible fixture accessors for the fold plan audit. */
   private[graft] def annIncPaths(s: SparkSession, dir: String)
       : (String, String) = (ivfIncBase(s, dir), annIncDelta(s, dir))
+
+  /** The filtered-LSM fixture (q225): BASE slice (vec_id % 10 <> 0)
+    * laid out src=<k>/label=<cell>/ with per-src centroid tables over
+    * the base only (the pinned per-src quantizers), plus the held-out
+    * src-0 arrival batch (vec_id % 10 = 0 in the src-0 stratum,
+    * unassigned — assignment is the upsert's job). Pristine and
+    * immutable; the lifecycle writes fragments under a per-invocation
+    * temp root, never here. */
+  private[graft] def filteredLsmIdx(s: SparkSession, dir: String): String =
+    graft.core.Scratch.materialize("ivf_filtered_lsm",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+      val v = quantized(s, dir).withColumn("src",
+        when(col("label") <= 1, lit(0L))
+          .otherwise(lit(1L) + pmod(col("vec_id"), lit(2))))
+      v.filter(col("vec_id") % 10 =!= 0)
+        .write.partitionBy("src", "label")
+        .parquet(java.nio.file.Paths.get(p, "vectors").toString)
+      val back = s.read.parquet(
+        java.nio.file.Paths.get(p, "vectors").toString)
+      (0L to 2L).map(k =>
+          centroidTable(back.filter(col("src") === k).drop("src"))
+            .withColumn("src", lit(k)))
+        .reduce(_.unionByName(_))
+        .write.partitionBy("src")
+        .parquet(java.nio.file.Paths.get(p, "scentroids").toString)
+      v.filter(col("vec_id") % 10 === 0 && col("src") === 0).drop("src")
+        .write.parquet(java.nio.file.Paths.get(p, "arrivals").toString)
+    }
 
   /** (vec_id, q, nn, label) projection of the CDC gates' vecs table
     * (q214 freshness / q222 forget share one table layout). */

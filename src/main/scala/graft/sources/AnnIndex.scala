@@ -255,8 +255,10 @@ object AnnIndex {
   }
 
   /** Assign unlabeled arrivals against the PINNED base centroids —
-    * argmin of the exact integer distance, ties by label. */
-  private def assign(batch: DataFrame, baseCents: DataFrame): DataFrame = {
+    * argmin of the exact integer distance, ties by label. graft-visible:
+    * the filtered-index gate (q225) assigns against per-src centroid
+    * slices through the same single definition. */
+  private[graft] def assign(batch: DataFrame, baseCents: DataFrame): DataFrame = {
     val ad = batch.drop("label").crossJoin(broadcast(baseCents))
       .withColumn("d", aggregate(
         zip_with(col("q"), col("sv"),

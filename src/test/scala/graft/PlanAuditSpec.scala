@@ -605,6 +605,26 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q225 filtered LSM: every pool scan prunes on the filter key; probed cells via label") {
+    val p = q("q225_filtered_ann_lsm")
+    // the src-partitioned layout must reach the scans: the untouched
+    // src-1 serve (and the src-0 cold-cell fallback) read base vectors
+    // with src AND label in PartitionFilters — maintenance in one src
+    // never widens another src's reads
+    val bothPruned = p.linesIterator.exists { l =>
+      l.contains("FileScan parquet") && {
+        val pf = l.replaceAll(".*PartitionFilters: \\[", "")
+          .takeWhile(_ != ']')
+        pf.contains("src") && pf.contains("label")
+      }
+    }
+    assert(bothPruned, s"no pool scan pruned on src AND label:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe/mask joins must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q208 rerank: code scan + bounded candidate fetch broadcast; windows stay per-query") {
     val p = q("q208_hamming_rerank")
     // stage 2's candidate-id fetch and every query-code attach must
