@@ -766,6 +766,23 @@ object RelOps {
           .cast("long").as("ym"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         col("o_orderkey").as("k"))
+      // the bootstrap refresh and the two arrival slices are all
+      // DETERMINISTIC per corpus — Scratch-stage them once and
+      // file-copy per invocation (the streamGate staging rule, r17
+      // verdict item 6): the measured region keeps every micro-batch,
+      // every MV merge, and every ping-pong snapshot write; only the
+      // input-staging scans of `orders` leave it
+      val pristine = graft.core.Scratch.materialize("q120_mv_src",
+        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+        partials(orders.filter(pmod(col("k"), lit(3)) === 0))
+          .write.parquet(java.nio.file.Paths.get(p, "boot").toString)
+        orders.filter(pmod(col("k"), lit(3)) === 1)
+          .coalesce(1).write.mode("append")
+          .parquet(java.nio.file.Paths.get(p, "src").toString)
+        orders.filter(pmod(col("k"), lit(3)) === 2)
+          .coalesce(1).write.mode("append")
+          .parquet(java.nio.file.Paths.get(p, "src").toString)
+      }
       // UNIQUE scratch root per invocation (the streamGate pattern, not
       // the q84 fixed dir: a concurrent invocation must never delete a
       // running stream's checkpoint or ping-pong snapshots — r7 review).
@@ -778,14 +795,16 @@ object RelOps {
       val ckpt = tmp.resolve("ckpt").toString
       val cur = new java.util.concurrent.atomic.AtomicReference((mvA, mvB))
       try {
-        // bootstrap: initial full refresh over slice 0
-        partials(orders.filter(pmod(col("k"), lit(3)) === 0))
-          .write.mode("overwrite").parquet(mvA)
+        // bootstrap: the initial full refresh over slice 0 (copied —
+        // the ping-pong OVERWRITES mvA on the second batch, so the
+        // pristine snapshot must stay private)
+        graft.core.Fs.copyRecursively(
+          java.nio.file.Paths.get(pristine, "boot"),
+          java.nio.file.Paths.get(mvA))
         // slices 1 and 2 arrive as two deterministic micro-batches
-        orders.filter(pmod(col("k"), lit(3)) === 1)
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        orders.filter(pmod(col("k"), lit(3)) === 2)
-          .coalesce(1).write.mode("append").parquet(srcDir)
+        graft.core.Fs.copyRecursively(
+          java.nio.file.Paths.get(pristine, "src"),
+          java.nio.file.Paths.get(srcDir))
         val sc = graft.core.Sessions.scoped(s,
           "spark.sql.shuffle.partitions" -> "4")
         val stream = sc.readStream.schema(orders.schema)
