@@ -286,8 +286,18 @@ object AnnIndex {
     require(!m.exists,
       s"ann index for '$vecCol' already exists — CALL system.ann_drop first")
     val head = DocStoreCommitOps.nextVersion(tablePath) - 1
-    val snap = s.read.format("graft-docstore").option("path", tablePath).load()
+    // read the CAPTURED version's retained manifest, not the live head:
+    // a commit racing between the version capture and this scan would
+    // otherwise land in the base AND later replay through ann_sync
+    // (double-counted)
+    val snap = s.read.format("graft-docstore").option("path", tablePath)
+      .option("manifest", s"MANIFEST.v$head").load()
     val v = project(snap, idCol, vecCol, labelCol)
+    // refuse BEFORE any write: an empty base layer would be an
+    // unreadable parquet dir (no footers) and a useless index
+    require(v.take(1).nonEmpty,
+      s"ann_build over '$vecCol' found no indexable vectors (non-null " +
+        "label, non-zero norm) — refusing to publish an empty index")
     v.write.partitionBy("label")
       .parquet(root.resolve("base").resolve("vectors").toString)
     // centroids from the read-back layer (one extra base read, zero
