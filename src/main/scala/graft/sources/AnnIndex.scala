@@ -350,9 +350,14 @@ object AnnIndex {
       val proj = project(cdf, cur.idCol, cur.vecCol, cur.labelCol).persist()
       var add = Seq.empty[(String, String)]
       try {
+        // the docstore CDF surfaces an UPDATE as a delete(pre-image) +
+        // insert(post-image) pair (AnnIndexSpec pins the route-through);
+        // the update_* names are matched too for Delta-style feeds that
+        // tag update images distinctly
         val ins = proj.filter(
           col("_change_type").isin("insert", "update_postimage"))
-        if (ins.count() > 0) {
+        val insN = ins.count()
+        if (insN > 0) {
           val fragRel = s"frag-$w"
           assign(ins, baseCents).write.partitionBy("label")
             .parquet(root.resolve(fragRel).resolve("vectors").toString)
@@ -360,7 +365,8 @@ object AnnIndex {
             root.resolve(fragRel).resolve("vectors").toString)
           fragmentAggregates(insBack).write
             .parquet(root.resolve(fragRel).resolve("dcent").toString)
-          add :+= ("frag", fragRel); frags += 1; nIns += insBack.count()
+          // assignment is 1:1, so the fragment holds exactly insN rows
+          add :+= ("frag", fragRel); frags += 1; nIns += insN
         }
 
         val del = proj.filter(
@@ -388,7 +394,8 @@ object AnnIndex {
               .join(broadcast(delKeys.select("vec_id")), Seq("vec_id"))
               .persist()
             try {
-              if (resolved.count() > 0) {
+              val resolvedN = resolved.count()
+              if (resolvedN > 0) {
                 val tombRel = s"tomb-$w"
                 resolved.write.partitionBy("label")
                   .parquet(root.resolve(tombRel).resolve("keys").toString)
@@ -399,7 +406,7 @@ object AnnIndex {
                   .write
                   .parquet(root.resolve(tombRel).resolve("dcent").toString)
                 add :+= ("tomb", tombRel); tombs += 1
-                nDel += keysBack.count()
+                nDel += resolvedN
               }
             } finally { resolved.unpersist(); () }
           }

@@ -223,6 +223,37 @@ class AnnIndexSpec extends SparkSpec {
     checkServe(s, path, Array(0L, 1L, 1000L, 0L), state)
   }
 
+  test("UPDATE routes through sync as tombstone + fragment: the old " +
+      "vector is unfindable, the new one is searchable") {
+    val (s, path) = freshCat("annup")
+    ins(s, "annup", base)
+    s.sql("CALL annup.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val pinned = centroids(state)
+    // the docstore CDF surfaces an UPDATE as a delete (pre-image) +
+    // insert (post-image) pair in ONE version — ann_sync must
+    // tombstone the old row and fragment the new one, moving vector 12
+    // from the e2 cluster to the e1 cluster
+    val newV: Vec = Array(1000L, 0L, 0L, 3L)
+    s.sql("UPDATE annup.default.t SET v = array(" +
+      newV.mkString(",") + s") WHERE doc_id = 12")
+    val sy = s.sql("CALL annup.system.ann_sync('default.t', 'v')").head
+    assert(sy.getLong(2) == 1 && sy.getLong(3) == 1 &&
+      sy.getLong(4) == 1 && sy.getLong(5) == 1,
+      s"expected 1 frag / 1 tomb / 1 ins / 1 del from the UPDATE, got $sy")
+    state += 12L -> (newV, assignCell(newV, pinned), true)
+    assert(state(12L)._2 == 0L, "the updated vector must move to cell 0")
+    // the new value ranks near e1 queries; the old value no longer
+    // ranks near e2 queries — both slices checked against the oracle
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    checkServe(s, path, Array(0L, 1000L, 1L, 0L), state)
+    // fold compacts the move and nothing changes
+    s.sql("CALL annup.system.ann_fold('default.t', 'v')")
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    checkServe(s, path, Array(0L, 1000L, 1L, 0L), state)
+  }
+
   test("lifecycle guards: double build refuses, no-op sync/fold, " +
       "drop + rebuild, manifest refuses comma entries") {
     val (s, path) = freshCat("anngd")
