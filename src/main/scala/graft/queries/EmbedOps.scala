@@ -2452,124 +2452,7 @@ object EmbedOps {
         "At 100 TB: per-src maintenance cost scales with that src's " +
         "fragments + affected cells; the blast radius of an upsert " +
         "or takedown is its own partition, by construction.",
-      Some(s"""
-        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
-        n0 AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
-        nz AS (SELECT vec_id, label, q, nn,
-                      CASE WHEN label <= 1 THEN 0
-                           ELSE 1 + vec_id % 2 END AS src
-               FROM n0 WHERE nn > 0),
-        base AS (SELECT * FROM nz WHERE vec_id % 10 <> 0),
-        arr AS (SELECT vec_id, label, q, nn FROM nz
-                WHERE vec_id % 10 = 0 AND src = 0),
-        s0 AS (SELECT * FROM base WHERE src = 0),
-        s1 AS (SELECT * FROM base WHERE src = 1),
-        dead AS (SELECT vec_id, label, q, nn FROM s0 WHERE vec_id % 7 = 3),
-        idxs AS (SELECT unnest(range($DIM)) AS i),
-        c0s AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
-                FROM s0 CROSS JOIN idxs GROUP BY 1, 2),
-        c0v AS (SELECT label, array_agg(s ORDER BY i) AS sv
-                FROM c0s GROUP BY 1),
-        c0c AS (SELECT label, COUNT(*)::BIGINT AS c FROM s0 GROUP BY 1),
-        cc0 AS (SELECT c0v.label, sv, c
-                FROM c0v JOIN c0c ON c0v.label = c0c.label),
-        ad AS (SELECT arr.vec_id, arr.q, arr.nn, cc0.label,
-                      list_sum(list_transform(range($DIM),
-                        i -> (c * q[i+1] - sv[i+1])
-                           * (c * q[i+1] - sv[i+1]))) AS d
-               FROM arr CROSS JOIN cc0),
-        asg AS (SELECT vec_id, q, nn, label AS cell FROM (
-                  SELECT vec_id, q, nn, label,
-                         ROW_NUMBER() OVER (PARTITION BY vec_id
-                           ORDER BY d, label) AS ar FROM ad)
-                WHERE ar = 1),
-        adds AS (SELECT cell AS label, i, SUM(q[i+1])::BIGINT AS s
-                 FROM asg CROSS JOIN idxs GROUP BY 1, 2),
-        addv AS (SELECT label, array_agg(s ORDER BY i) AS av
-                 FROM adds GROUP BY 1),
-        addc AS (SELECT cell AS label, COUNT(*)::BIGINT AS ac
-                 FROM asg GROUP BY 1),
-        subs AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
-                 FROM dead CROSS JOIN idxs GROUP BY 1, 2),
-        subv AS (SELECT label, array_agg(s ORDER BY i) AS bv
-                 FROM subs GROUP BY 1),
-        subc AS (SELECT label, COUNT(*)::BIGINT AS bc
-                 FROM dead GROUP BY 1),
-        upd AS (SELECT cc0.label,
-                       list_transform(range($DIM), i ->
-                         sv[i+1] + COALESCE(av[i+1], 0::BIGINT)
-                                 - COALESCE(bv[i+1], 0::BIGINT)) AS sv,
-                       c + COALESCE(ac, 0::BIGINT)
-                         - COALESCE(bc, 0::BIGINT) AS c
-                FROM cc0 LEFT JOIN addv ON cc0.label = addv.label
-                         LEFT JOIN addc ON cc0.label = addc.label
-                         LEFT JOIN subv ON cc0.label = subv.label
-                         LEFT JOIN subc ON cc0.label = subc.label),
-        live0 AS (SELECT vec_id, label AS cell, q, nn, FALSE AS is_new
-                  FROM s0 WHERE vec_id % 7 <> 3
-                  UNION ALL
-                  SELECT vec_id, cell, q, nn, TRUE AS is_new FROM asg),
-        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM base
-               WHERE vec_id < 5),
-        d0 AS (SELECT qid, upd.label, qv, qn,
-                      list_sum(list_transform(range($DIM),
-                        i -> (c * qv[i+1] - sv[i+1])
-                           * (c * qv[i+1] - sv[i+1]))) AS d
-               FROM qs CROSS JOIN upd WHERE c > 0),
-        p0 AS (SELECT qid, label, qv, qn FROM (
-                 SELECT qid, label, qv, qn,
-                        ROW_NUMBER() OVER (PARTITION BY qid
-                          ORDER BY d, label) AS pr FROM d0)
-               WHERE pr <= 2),
-        cand0 AS (SELECT qid, l.vec_id AS neighbor_id, l.cell, l.is_new,
-                         ${oDot("qv", "q")}::DOUBLE /
-                           (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
-                  FROM p0 JOIN live0 l ON l.cell = p0.label
-                                      AND l.vec_id <> p0.qid),
-        r0 AS (SELECT qid AS query_id, neighbor_id, cell, is_new, cos,
-                      ROW_NUMBER() OVER (PARTITION BY qid
-                        ORDER BY cos DESC, neighbor_id) AS rnk,
-                      CASE WHEN is_new THEN ROW_NUMBER() OVER (
-                        PARTITION BY qid, is_new
-                        ORDER BY cos DESC, neighbor_id)
-                      ELSE NULL END AS nrnk
-               FROM cand0),
-        c1s AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
-                FROM s1 CROSS JOIN idxs GROUP BY 1, 2),
-        c1v AS (SELECT label, array_agg(s ORDER BY i) AS sv
-                FROM c1s GROUP BY 1),
-        c1c AS (SELECT label, COUNT(*)::BIGINT AS c FROM s1 GROUP BY 1),
-        cc1 AS (SELECT c1v.label, sv, c
-                FROM c1v JOIN c1c ON c1v.label = c1c.label),
-        d1 AS (SELECT qid, cc1.label, qv, qn,
-                      list_sum(list_transform(range($DIM),
-                        i -> (c * qv[i+1] - sv[i+1])
-                           * (c * qv[i+1] - sv[i+1]))) AS d
-               FROM qs CROSS JOIN cc1 WHERE c > 0),
-        p1 AS (SELECT qid, label, qv, qn FROM (
-                 SELECT qid, label, qv, qn,
-                        ROW_NUMBER() OVER (PARTITION BY qid
-                          ORDER BY d, label) AS pr FROM d1)
-               WHERE pr <= 2),
-        cand1 AS (SELECT qid, s1.vec_id AS neighbor_id,
-                         s1.label AS cell, FALSE AS is_new,
-                         ${oDot("qv", "q")}::DOUBLE /
-                           (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
-                  FROM p1 JOIN s1 ON s1.label = p1.label
-                                 AND s1.vec_id <> p1.qid),
-        r1 AS (SELECT qid AS query_id, neighbor_id, cell, is_new, cos,
-                      ROW_NUMBER() OVER (PARTITION BY qid
-                        ORDER BY cos DESC, neighbor_id) AS rnk
-               FROM cand1)
-        SELECT * FROM (
-          SELECT 0 AS flt_src, query_id, rnk::INT AS rnk, neighbor_id,
-                 cell, is_new, ROUND(cos, 6) AS cosine
-          FROM r0 WHERE rnk <= 3 OR nrnk = 1
-          UNION ALL
-          SELECT 1 AS flt_src, query_id, rnk::INT AS rnk, neighbor_id,
-                 cell, is_new, ROUND(cos, 6) AS cosine
-          FROM r1 WHERE rnk <= 3
-        ) ORDER BY flt_src, query_id, rnk""")) { (s, dir) =>
+      Some(filteredLsmOracle)) { (s, dir) =>
       val idx = filteredLsmIdx(s, dir)
       val root = graft.core.Fs.rotatingTempRoot("q225_flsm")
       val manifest = new LsmManifest(root)
@@ -2722,6 +2605,117 @@ object EmbedOps {
           s"${s1files.filterNot(_.startsWith(idx)).toSeq}")
       val out = s0after.withColumn("flt_src", lit(0))
         .unionByName(s1serve.withColumn("flt_src", lit(1)))
+        .select(col("flt_src"), col("query_id"), col("rnk"),
+          col("neighbor_id"), col("cell"), col("is_new"), col("cosine"))
+        .orderBy("flt_src", "query_id", "rnk")
+      out.persist()
+      out
+    },
+
+    Q("q226_filtered_ann_family",
+      "The FILTERED index as a first-class docstore object — q225's " +
+        "per-src lifecycle driven purely through the catalog's SQL " +
+        "procedures (the composition of this round's two promotions): " +
+        "CALL system.ann_build('t','id','vec','cell','src') builds a " +
+        "FAMILY of self-contained sub-indexes, one per filter value, " +
+        "each with its OWN manifest, base layer, and pinned per-src " +
+        "quantizer under _ann/<col>/src=<k>/ — the q225 blast-radius " +
+        "contract made STRUCTURAL: one src's maintenance commits " +
+        "never even open another src's manifest. One insert commit " +
+        "and one delete commit land in src 0; ONE ann_sync call reads " +
+        "each table version's change feed ONCE and routes every " +
+        "sub-index its slice (per-sub synced cursors make a crash " +
+        "between subs resume exactly); ann_fold compacts only the " +
+        "sub-indexes holding pending layers. serve(src=0) after the " +
+        "fold equals serve before it row for row; serve(src=1) is " +
+        "asserted in-gate to read ZERO lifecycle files (no fragment/" +
+        "tombstone/fold path in its input set — structurally " +
+        "guaranteed by the separate trees, and checked anyway). The " +
+        "oracle is SHARED with q225 — the gate-local lifecycle and " +
+        "the procedure surface must produce identical serves, so the " +
+        "two implementations pin each other. At 100 TB: `CALL " +
+        "system.ann_build(..., filter_col)` next to OPTIMIZE in the " +
+        "nightly job is the whole filtered-ANN deployment story.",
+      Some(filteredLsmOracle)) { (s, dir) =>
+      val root = graft.core.Fs.rotatingTempRoot("q226_family")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_fa" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_fa.root" ->
+          root.resolve("cat").toString)
+      sc.sql("CREATE NAMESPACE graft_cat_fa.default")
+      sc.sql("CREATE TABLE graft_cat_fa.default.vecs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING) TBLPROPERTIES " +
+        "('graft.rowlevel.mode' = 'merge-on-read')")
+      sc.sql("ALTER TABLE graft_cat_fa.default.vecs ADD COLUMNS " +
+        "(vlabel INT, src INT, q ARRAY<BIGINT>)")
+      quantized(sc, dir).withColumn("src",
+          when(col("label") <= 1, lit(0L))
+            .otherwise(lit(1L) + pmod(col("vec_id"), lit(2))))
+        .createOrReplaceTempView("q226_src")
+      def ins(where: String): Unit =
+        sc.sql("INSERT INTO graft_cat_fa.default.vecs " +
+          "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), " +
+          s"CAST(src AS INT), q FROM q226_src WHERE $where")
+      // commit 1: the base slice; the family build — THROUGH SQL
+      ins("vec_id % 10 <> 0")
+      val b = sc.sql("CALL graft_cat_fa.system.ann_build(" +
+        "'default.vecs', 'doc_id', 'q', 'vlabel', 'src')").head()
+      require(b.getLong(3) > 0, s"family build indexed no vectors: $b")
+      val tablePath = root.resolve("cat").resolve("default")
+        .resolve("vecs").toString
+      val idxRoot = graft.sources.AnnIndex.dirFor(tablePath, "q")
+      require(graft.sources.AnnIndex.isFamily(idxRoot),
+        "ann_build with filter_col must produce a filtered family")
+      // commits 2-3: an upsert and a takedown, both in src 0 only
+      // (the delete targets BASE rows — q225's dead slice)
+      ins("vec_id % 10 = 0 AND src = 0")
+      sc.sql("DELETE FROM graft_cat_fa.default.vecs " +
+        "WHERE doc_id % 7 = 3 AND src = 0 AND doc_id % 10 <> 0")
+      val sy = sc.sql("CALL graft_cat_fa.system.ann_sync(" +
+        "'default.vecs', 'q')").head()
+      require(sy.getLong(2) == 1 && sy.getLong(3) == 1,
+        s"expected 1 fragment + 1 tombstone (both in src 0), got $sy")
+      // queries: base rows vec_id < 5 (any src) — the union of the
+      // sub-index bases IS the base slice
+      val qs = (0L to 2L).map(k => s.read.parquet(idxRoot
+          .resolve(s"src=$k").resolve("base").resolve("vectors").toString))
+        .reduce(_.unionByName(_))
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      def serveF(src: Long): DataFrame = graft.sources.AnnIndex
+        .serve(sc, tablePath, "q", qs, filter = Some(src))
+        .withColumn("cell", col("cell").cast("int"))
+      // src 1 serves WHILE src 0 carries pending layers: its input
+      // set must contain zero lifecycle files (frag/tomb exist right
+      // now in src 0's tree — and nowhere near src 1's)
+      val s1pre = serveF(1L)
+      val s1files = s1pre.inputFiles
+        .map(f => java.net.URI.create(f).getPath)
+      require(s1files.nonEmpty && !s1files.exists(f =>
+        f.contains("frag-") || f.contains("tomb-") || f.contains("fold-")),
+        s"src-1 serve must read zero lifecycle files: " +
+          s"${s1files.filter(f => f.contains("frag-") ||
+            f.contains("tomb-") || f.contains("fold-")).toSeq}")
+      val before = serveF(0L).collect()
+      val f = sc.sql("CALL graft_cat_fa.system.ann_fold(" +
+        "'default.vecs', 'q')").head()
+      require(f.getLong(0) == 1 && f.getLong(1) == 1,
+        s"expected the fold to take 1 fragment + 1 tombstone, got $f")
+      require(graft.sources.AnnIndex
+        .load(idxRoot.resolve("src=1")).folds.isEmpty,
+        "src 1 must not gain a fold level from src-0 compaction")
+      val s0after = serveF(0L)
+      s0after.persist()
+      val after = s0after.collect()
+      require(before.toSeq == after.toSeq,
+        s"src-0 serve-after-fold must equal serve-before-fold: " +
+          s"${before.toSeq.diff(after.toSeq)} vs " +
+          s"${after.toSeq.diff(before.toSeq)}")
+      val out = s0after.withColumn("flt_src", lit(0))
+        .unionByName(serveF(1L).withColumn("flt_src", lit(1)))
         .select(col("flt_src"), col("query_id"), col("rnk"),
           col("neighbor_id"), col("cell"), col("is_new"), col("cosine"))
         .orderBy("flt_src", "query_id", "rnk")
@@ -2887,6 +2881,130 @@ object EmbedOps {
   /** graft-visible fixture accessors for the fold plan audit. */
   private[graft] def annIncPaths(s: SparkSession, dir: String)
       : (String, String) = (ivfIncBase(s, dir), annIncDelta(s, dir))
+
+  /** Shared DuckDB oracle of the filtered-LSM pair: q225 runs the
+    * lifecycle gate-locally, q226 runs it through the catalog's
+    * ann_* procedures over a docstore table — the SAME slices, the
+    * same assignment and add/subtract maintenance, so one oracle pins
+    * both (and the two implementations pin each other). */
+  private lazy val filteredLsmOracle: String = s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n0 AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT vec_id, label, q, nn,
+                      CASE WHEN label <= 1 THEN 0
+                           ELSE 1 + vec_id % 2 END AS src
+               FROM n0 WHERE nn > 0),
+        base AS (SELECT * FROM nz WHERE vec_id % 10 <> 0),
+        arr AS (SELECT vec_id, label, q, nn FROM nz
+                WHERE vec_id % 10 = 0 AND src = 0),
+        s0 AS (SELECT * FROM base WHERE src = 0),
+        s1 AS (SELECT * FROM base WHERE src = 1),
+        dead AS (SELECT vec_id, label, q, nn FROM s0 WHERE vec_id % 7 = 3),
+        idxs AS (SELECT unnest(range($DIM)) AS i),
+        c0s AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                FROM s0 CROSS JOIN idxs GROUP BY 1, 2),
+        c0v AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                FROM c0s GROUP BY 1),
+        c0c AS (SELECT label, COUNT(*)::BIGINT AS c FROM s0 GROUP BY 1),
+        cc0 AS (SELECT c0v.label, sv, c
+                FROM c0v JOIN c0c ON c0v.label = c0c.label),
+        ad AS (SELECT arr.vec_id, arr.q, arr.nn, cc0.label,
+                      list_sum(list_transform(range($DIM),
+                        i -> (c * q[i+1] - sv[i+1])
+                           * (c * q[i+1] - sv[i+1]))) AS d
+               FROM arr CROSS JOIN cc0),
+        asg AS (SELECT vec_id, q, nn, label AS cell FROM (
+                  SELECT vec_id, q, nn, label,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d, label) AS ar FROM ad)
+                WHERE ar = 1),
+        adds AS (SELECT cell AS label, i, SUM(q[i+1])::BIGINT AS s
+                 FROM asg CROSS JOIN idxs GROUP BY 1, 2),
+        addv AS (SELECT label, array_agg(s ORDER BY i) AS av
+                 FROM adds GROUP BY 1),
+        addc AS (SELECT cell AS label, COUNT(*)::BIGINT AS ac
+                 FROM asg GROUP BY 1),
+        subs AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                 FROM dead CROSS JOIN idxs GROUP BY 1, 2),
+        subv AS (SELECT label, array_agg(s ORDER BY i) AS bv
+                 FROM subs GROUP BY 1),
+        subc AS (SELECT label, COUNT(*)::BIGINT AS bc
+                 FROM dead GROUP BY 1),
+        upd AS (SELECT cc0.label,
+                       list_transform(range($DIM), i ->
+                         sv[i+1] + COALESCE(av[i+1], 0::BIGINT)
+                                 - COALESCE(bv[i+1], 0::BIGINT)) AS sv,
+                       c + COALESCE(ac, 0::BIGINT)
+                         - COALESCE(bc, 0::BIGINT) AS c
+                FROM cc0 LEFT JOIN addv ON cc0.label = addv.label
+                         LEFT JOIN addc ON cc0.label = addc.label
+                         LEFT JOIN subv ON cc0.label = subv.label
+                         LEFT JOIN subc ON cc0.label = subc.label),
+        live0 AS (SELECT vec_id, label AS cell, q, nn, FALSE AS is_new
+                  FROM s0 WHERE vec_id % 7 <> 3
+                  UNION ALL
+                  SELECT vec_id, cell, q, nn, TRUE AS is_new FROM asg),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM base
+               WHERE vec_id < 5),
+        d0 AS (SELECT qid, upd.label, qv, qn,
+                      list_sum(list_transform(range($DIM),
+                        i -> (c * qv[i+1] - sv[i+1])
+                           * (c * qv[i+1] - sv[i+1]))) AS d
+               FROM qs CROSS JOIN upd WHERE c > 0),
+        p0 AS (SELECT qid, label, qv, qn FROM (
+                 SELECT qid, label, qv, qn,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY d, label) AS pr FROM d0)
+               WHERE pr <= 2),
+        cand0 AS (SELECT qid, l.vec_id AS neighbor_id, l.cell, l.is_new,
+                         ${oDot("qv", "q")}::DOUBLE /
+                           (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                  FROM p0 JOIN live0 l ON l.cell = p0.label
+                                      AND l.vec_id <> p0.qid),
+        r0 AS (SELECT qid AS query_id, neighbor_id, cell, is_new, cos,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, neighbor_id) AS rnk,
+                      CASE WHEN is_new THEN ROW_NUMBER() OVER (
+                        PARTITION BY qid, is_new
+                        ORDER BY cos DESC, neighbor_id)
+                      ELSE NULL END AS nrnk
+               FROM cand0),
+        c1s AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                FROM s1 CROSS JOIN idxs GROUP BY 1, 2),
+        c1v AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                FROM c1s GROUP BY 1),
+        c1c AS (SELECT label, COUNT(*)::BIGINT AS c FROM s1 GROUP BY 1),
+        cc1 AS (SELECT c1v.label, sv, c
+                FROM c1v JOIN c1c ON c1v.label = c1c.label),
+        d1 AS (SELECT qid, cc1.label, qv, qn,
+                      list_sum(list_transform(range($DIM),
+                        i -> (c * qv[i+1] - sv[i+1])
+                           * (c * qv[i+1] - sv[i+1]))) AS d
+               FROM qs CROSS JOIN cc1 WHERE c > 0),
+        p1 AS (SELECT qid, label, qv, qn FROM (
+                 SELECT qid, label, qv, qn,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY d, label) AS pr FROM d1)
+               WHERE pr <= 2),
+        cand1 AS (SELECT qid, s1.vec_id AS neighbor_id,
+                         s1.label AS cell, FALSE AS is_new,
+                         ${oDot("qv", "q")}::DOUBLE /
+                           (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                  FROM p1 JOIN s1 ON s1.label = p1.label
+                                 AND s1.vec_id <> p1.qid),
+        r1 AS (SELECT qid AS query_id, neighbor_id, cell, is_new, cos,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM cand1)
+        SELECT * FROM (
+          SELECT 0 AS flt_src, query_id, rnk::INT AS rnk, neighbor_id,
+                 cell, is_new, ROUND(cos, 6) AS cosine
+          FROM r0 WHERE rnk <= 3 OR nrnk = 1
+          UNION ALL
+          SELECT 1 AS flt_src, query_id, rnk::INT AS rnk, neighbor_id,
+                 cell, is_new, ROUND(cos, 6) AS cosine
+          FROM r1 WHERE rnk <= 3
+        ) ORDER BY flt_src, query_id, rnk"""
 
   /** The filtered-LSM fixture (q225): BASE slice (vec_id % 10 <> 0)
     * laid out src=<k>/label=<cell>/ with per-src centroid tables over

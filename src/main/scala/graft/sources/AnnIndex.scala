@@ -202,9 +202,11 @@ object AnnIndex {
     * (the index survives a table move); `folds` in append (oldest →
     * newest) order. */
   final case class Layers(root: Path, idCol: String, vecCol: String,
-      labelCol: String, synced: Long, folds: Seq[String],
+      labelCol: String, synced: Long, base: String, folds: Seq[String],
       frags: Seq[String], tombs: Seq[String]) {
     def abs(rel: String): String = root.resolve(rel).toString
+    def baseVectors: String = abs(s"$base/vectors")
+    def baseCentroids: String = abs(s"$base/centroids")
   }
 
   def dirFor(tablePath: String, vecCol: String): Path =
@@ -219,9 +221,41 @@ object AnnIndex {
         s"ann manifest at $root missing cols line"))
     Layers(root, cols(0), cols(1), cols(2),
       synced = es.collectFirst { case ("synced", v) => v.toLong }.get,
+      base = es.collectFirst { case ("base", p) => p }.getOrElse("base"),
       folds = es.collect { case ("fold", p) => p },
       frags = es.collect { case ("frag", p) => p },
       tombs = es.collect { case ("tomb", p) => p })
+  }
+
+  // ------------------------------------------------------------------
+  // filtered-index family: one SELF-CONTAINED sub-index per filter
+  // value under `_ann/<vecCol>/src=<k>/`, each with its OWN manifest —
+  // one src's maintenance commits never even touch another src's
+  // manifest (the q225 blast-radius contract, made structural). The
+  // family root carries a small manifest naming the filter column and
+  // the sub-indexes.
+  // ------------------------------------------------------------------
+
+  /** Is the index at `root` a filtered family? */
+  def isFamily(root: Path): Boolean = {
+    val m = new Manifest(root)
+    m.exists && m.read().exists(_._1 == "filter")
+  }
+
+  final case class Family(root: Path, idCol: String, vecCol: String,
+      labelCol: String, filterCol: String, subs: Seq[Long]) {
+    def subRoot(k: Long): Path = root.resolve(s"src=$k")
+  }
+
+  def loadFamily(root: Path): Family = {
+    val m = new Manifest(root)
+    require(m.exists, s"no ann index at $root — CALL system.ann_build first")
+    val es = m.read()
+    val cols = es.collectFirst { case ("cols", c) => c.split('|') }.get
+    Family(root, cols(0), cols(1), cols(2),
+      filterCol = es.collectFirst { case ("filter", f) => f }.getOrElse(
+        throw new IllegalStateException(s"$root is not a filtered family")),
+      subs = es.collect { case ("sub", k) => k.toLong })
   }
 
   /** Cells covered by a cell-partitioned layer dir — pure directory
@@ -241,17 +275,20 @@ object AnnIndex {
   // ------------------------------------------------------------------
 
   /** (vec_id, q, nn, label) projection with the zero-norm guard; keeps
-    * `_change_type` when present (the CDF face). */
+    * `_change_type` when present (the CDF face) and the filter column
+    * as `src` when the index is a filtered family. */
   private def project(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, filterCol: Option[String] = None): DataFrame = {
     val extra =
-      if (df.columns.contains("_change_type")) Seq(col("_change_type"))
-      else Seq.empty
-    df.select(Seq(col(idCol).cast("long").as("vec_id"),
+      (if (df.columns.contains("_change_type")) Seq(col("_change_type"))
+       else Seq.empty) ++
+        filterCol.map(f => col(f).cast("long").as("src")).toSeq
+    val out = df.select(Seq(col(idCol).cast("long").as("vec_id"),
         quantExpr(df, vecCol).as("q"),
         col(labelCol).cast("long").as("label")) ++ extra: _*)
       .withColumn("nn", dotL(col("q"), col("q")))
       .filter(col("nn") > 0 && col("label").isNotNull)
+    filterCol.map(_ => out.filter(col("src").isNotNull)).getOrElse(out)
   }
 
   /** Assign unlabeled arrivals against the PINNED base centroids —
@@ -277,9 +314,16 @@ object AnnIndex {
   /** Build the base layer from the table's CURRENT snapshot. The
     * label column seeds the coarse quantizer (cells = its distinct
     * values); later arrivals are assigned against the pinned
-    * centroids, never against their own label. One corpus pass. */
+    * centroids, never against their own label. One corpus pass.
+    *
+    * With `filterCol` set, builds a FILTERED FAMILY instead: one
+    * self-contained sub-index per filter value (own manifest, base,
+    * pinned quantizer, lifecycle) under `src=<k>/` — the q218/q225
+    * per-slice posture made structural. Still one corpus pass: the
+    * snapshot writes src/label-partitioned into a staging dir whose
+    * src partitions RENAME into the sub-index roots. */
   def build(tablePath: String, idCol: String, vecCol: String,
-      labelCol: String): BuildStats = {
+      labelCol: String, filterCol: String = ""): BuildStats = {
     val s = SparkSession.active
     val root = dirFor(tablePath, vecCol)
     val m = new Manifest(root)
@@ -292,28 +336,68 @@ object AnnIndex {
     // (double-counted)
     val snap = s.read.format("graft-docstore").option("path", tablePath)
       .option("manifest", s"MANIFEST.v$head").load()
-    val v = project(snap, idCol, vecCol, labelCol)
-    // refuse BEFORE any write: an empty base layer would be an
-    // unreadable parquet dir (no footers) and a useless index
-    require(v.take(1).nonEmpty,
-      s"ann_build over '$vecCol' found no indexable vectors (non-null " +
-        "label, non-zero norm) — refusing to publish an empty index")
-    v.write.partitionBy("label")
-      .parquet(root.resolve("base").resolve("vectors").toString)
-    // centroids from the read-back layer (one extra base read, zero
-    // recompute of the projection) — they double as the pinned quantizer
-    val back = s.read.parquet(root.resolve("base").resolve("vectors").toString)
+    if (filterCol.isEmpty) {
+      val v = project(snap, idCol, vecCol, labelCol)
+      // refuse BEFORE any write: an empty base layer would be an
+      // unreadable parquet dir (no footers) and a useless index
+      require(v.take(1).nonEmpty,
+        s"ann_build over '$vecCol' found no indexable vectors (non-null " +
+          "label, non-zero norm) — refusing to publish an empty index")
+      v.write.partitionBy("label")
+        .parquet(root.resolve("base").resolve("vectors").toString)
+      val (cells, vecs) =
+        sealBase(s, root, s"$idCol|$vecCol|$labelCol", head)
+      BuildStats(root.toString, head, cells, vecs)
+    } else {
+      val v = project(snap, idCol, vecCol, labelCol, Some(filterCol))
+      require(v.take(1).nonEmpty,
+        s"ann_build over '$vecCol' found no indexable vectors — " +
+          "refusing to publish an empty index family")
+      // ONE corpus pass into staging, then per-src directory RENAMES
+      // into the self-contained sub-index roots (no second data pass)
+      val stage = root.resolve(".stage-build")
+      v.write.partitionBy("src", "label").parquet(stage.toString)
+      val srcs = {
+        val l = Files.list(stage)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("src="))
+          .map(_.stripPrefix("src=").toLong).toVector.sorted
+        finally l.close()
+      }
+      var cells = 0L; var vecs = 0L
+      srcs.foreach { k =>
+        val sub = root.resolve(s"src=$k")
+        Files.createDirectories(sub.resolve("base"))
+        Files.move(stage.resolve(s"src=$k"),
+          sub.resolve("base").resolve("vectors"))
+        val (c, n) = sealBase(s, sub, s"$idCol|$vecCol|$labelCol", head)
+        cells += c; vecs += n
+      }
+      graft.core.Fs.deleteRecursively(stage)
+      DocStoreCommitOps.withCommitLock(root.toString) {
+        m.publish(Seq(("cols", s"$idCol|$vecCol|$labelCol"),
+          ("filter", filterCol)) ++
+          srcs.map(k => ("sub", k.toString)), 0)
+      }
+      BuildStats(root.toString, head, cells, vecs)
+    }
+  }
+
+  /** Seal one (sub-)index base: centroids from the read-back layer
+    * (one extra base read, zero recompute of the projection — they
+    * double as the pinned quantizer), then the first manifest. */
+  private def sealBase(s: SparkSession, root: Path, cols: String,
+      head: Long): (Long, Long) = {
+    val back = s.read.parquet(
+      root.resolve("base").resolve("vectors").toString)
     centroidTable(back).write
       .parquet(root.resolve("base").resolve("centroids").toString)
-    val (cells, vecs) = {
-      val r = back.agg(count_distinct(col("label")), count(lit(1))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    val r = back.agg(count_distinct(col("label")), count(lit(1))).head()
     DocStoreCommitOps.withCommitLock(root.toString) {
-      m.publish(Seq(("cols", s"$idCol|$vecCol|$labelCol"),
+      new Manifest(root).publish(Seq(("cols", cols),
         ("synced", head.toString), ("base", "base")), 0)
     }
-    BuildStats(root.toString, head, cells, vecs)
+    (r.getLong(0), r.getLong(1))
   }
 
   final case class SyncStats(fromVersion: Long, toVersion: Long,
@@ -334,21 +418,37 @@ object AnnIndex {
   def sync(tablePath: String, vecCol: String): SyncStats = {
     val s = SparkSession.active
     val root = dirFor(tablePath, vecCol)
+    if (isFamily(root)) return syncFamily(s, tablePath, root)
     val start = load(root)
     val head = DocStoreCommitOps.nextVersion(tablePath) - 1
     if (head <= start.synced)
       return SyncStats(start.synced, start.synced, 0, 0, 0, 0)
-    val baseCents = s.read.parquet(
-      root.resolve("base").resolve("centroids").toString)
+    val baseCents = s.read.parquet(start.baseCentroids)
     var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
     ((start.synced + 1) to head).foreach { w =>
-      val cur = load(root)
       val cdf = s.read.format("graft-docstore").option("path", tablePath)
         .option("readChangeFeed", "true")
         .option("startingVersion", w.toString)
         .option("endingVersion", w.toString).load()
-      val proj = project(cdf, cur.idCol, cur.vecCol, cur.labelCol).persist()
-      var add = Seq.empty[(String, String)]
+      val proj = project(cdf, start.idCol, start.vecCol, start.labelCol)
+      val (f, t, i, d) = syncVersion(s, root, baseCents, proj, w)
+      frags += f; tombs += t; nIns += i; nDel += d
+    }
+    SyncStats(start.synced, head, frags, tombs, nIns, nDel)
+  }
+
+  /** One sub-index's maintenance for ONE table version: fragment the
+    * inserts, tombstone the deletes, commit the manifest with the
+    * synced cursor advanced (conflict-checked). Returns
+    * (fragments, tombstones, inserted, deleted). */
+  private def syncVersion(s: SparkSession, root: Path,
+      baseCents: DataFrame, proj0: DataFrame, w: Long)
+      : (Long, Long, Long, Long) = {
+    val cur = load(root)
+    var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
+    val proj = proj0.persist()
+    var add = Seq.empty[(String, String)]
+    locally {
       try {
         // the docstore CDF surfaces an UPDATE as a delete(pre-image) +
         // insert(post-image) pair (AnnIndexSpec pins the route-through);
@@ -412,22 +512,62 @@ object AnnIndex {
           }
         } finally { del.unpersist(); () }
       } finally { proj.unpersist(); () }
-      // one commit per table version: synced advances even for no-op
-      // versions so a crash-rerun never replays a commit
-      DocStoreCommitOps.withCommitLock(root.toString) {
-        val m = new Manifest(root)
-        val es = m.read()
-        val cursynced = es.collectFirst { case ("synced", v) => v.toLong }.get
-        require(cursynced == w - 1,
-          s"concurrent ann_sync advanced synced to $cursynced while " +
-            s"processing version $w; refusing the commit")
-        m.publish(es.map {
-          case ("synced", _) => ("synced", w.toString)
-          case e => e
-        } ++ add, m.currentVersion + 1)
-      }
     }
-    SyncStats(start.synced, head, frags, tombs, nIns, nDel)
+    // one commit per table version: synced advances even for no-op
+    // versions so a crash-rerun never replays a commit
+    DocStoreCommitOps.withCommitLock(root.toString) {
+      val m = new Manifest(root)
+      val es = m.read()
+      val cursynced = es.collectFirst { case ("synced", v) => v.toLong }.get
+      require(cursynced == w - 1,
+        s"concurrent ann_sync advanced synced to $cursynced while " +
+          s"processing version $w; refusing the commit")
+      m.publish(es.map {
+        case ("synced", _) => ("synced", w.toString)
+        case e => e
+      } ++ add, m.currentVersion + 1)
+    }
+    (frags, tombs, nIns, nDel)
+  }
+
+  /** Family sync: per unsynced table version, ONE CDF read feeds every
+    * sub-index — each sub takes its slice's inserts/deletes against
+    * its OWN manifest and synced cursor (a crash between subs resumes
+    * exactly: only the behind subs replay the version). A change row
+    * whose filter value has no sub-index refuses loudly — it would
+    * otherwise vanish from serving silently. */
+  private def syncFamily(s: SparkSession, tablePath: String,
+      root: Path): SyncStats = {
+    val fam = loadFamily(root)
+    val head = DocStoreCommitOps.nextVersion(tablePath) - 1
+    val start = fam.subs.map(k => load(fam.subRoot(k)).synced).min
+    if (head <= start) return SyncStats(start, start, 0, 0, 0, 0)
+    val subCents = fam.subs.map(k =>
+      k -> s.read.parquet(load(fam.subRoot(k)).baseCentroids)).toMap
+    var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
+    ((start + 1) to head).foreach { w =>
+      val cdf = s.read.format("graft-docstore").option("path", tablePath)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", w.toString)
+        .option("endingVersion", w.toString).load()
+      val proj = project(cdf, fam.idCol, fam.vecCol, fam.labelCol,
+        Some(fam.filterCol)).persist()
+      try {
+        val unknown = proj
+          .filter(!col("src").isin(fam.subs: _*)).count()
+        require(unknown == 0,
+          s"$unknown change rows carry a ${fam.filterCol} value with " +
+            "no sub-index — CALL ann_drop + ann_build to re-partition")
+        fam.subs.foreach { k =>
+          if (load(fam.subRoot(k)).synced == w - 1) {
+            val (f, t, i, d) = syncVersion(s, fam.subRoot(k),
+              subCents(k), proj.filter(col("src") === k).drop("src"), w)
+            frags += f; tombs += t; nIns += i; nDel += d
+          }
+        }
+      } finally { proj.unpersist(); () }
+    }
+    SyncStats(start, head, frags, tombs, nIns, nDel)
   }
 
   /** The serving pool for `cells`, resolved from one manifest
@@ -442,7 +582,7 @@ object AnnIndex {
     var remaining = want
     var parts = Seq.empty[DataFrame]
     (L.folds.reverse.map(f => (L.abs(s"$f/cells"), true)) :+
-      (L.abs("base/vectors"), false)).foreach { case (dir, isFold) =>
+      (L.baseVectors, false)).foreach { case (dir, isFold) =>
       val take = remaining.intersect(coveredCells(Paths.get(dir)))
       if (take.nonEmpty) {
         val df0 = s.read.parquet(dir)
@@ -454,7 +594,7 @@ object AnnIndex {
     }
     val layered = parts match {
       case Seq() =>
-        s.read.parquet(L.abs("base/vectors"))
+        s.read.parquet(L.baseVectors)
           .withColumn("is_new", lit(false)).filter(lit(false))
       case ps => ps.reduce(_.unionByName(_))
     }
@@ -478,7 +618,7 @@ object AnnIndex {
   def serveCentroids(s: SparkSession, L: Layers): DataFrame = {
     val sealed0 = L.folds.lastOption
       .map(f => s.read.parquet(L.abs(s"$f/centroids")))
-      .getOrElse(s.read.parquet(L.abs("base/centroids")))
+      .getOrElse(s.read.parquet(L.baseCentroids))
     def fold(acc: DataFrame, dcent: DataFrame, sign: Int): DataFrame = {
       val all = dcent
         .select(col("label"), posexplode(col("dv")).as(Seq("i", "x")))
@@ -511,8 +651,26 @@ object AnnIndex {
     * literals, so serving stays a DataFrame API while the lifecycle is
     * SQL CALLs). Resolves ONE manifest snapshot for the whole read. */
   def serve(s: SparkSession, tablePath: String, vecCol: String,
-      qs: DataFrame, nprobe: Int = 2, k: Int = 3): DataFrame = {
-    val L = load(dirFor(tablePath, vecCol))
+      qs: DataFrame, nprobe: Int = 2, k: Int = 3,
+      filter: Option[Long] = None): DataFrame = {
+    val root0 = dirFor(tablePath, vecCol)
+    val root = filter match {
+      case Some(f) =>
+        require(isFamily(root0),
+          s"a filter value was given but the '$vecCol' index is not a " +
+            "filtered family")
+        val fam = loadFamily(root0)
+        require(fam.subs.contains(f),
+          s"no sub-index for ${fam.filterCol} = $f " +
+            s"(family covers ${fam.subs.mkString(",")})")
+        fam.subRoot(f)
+      case None =>
+        require(!isFamily(root0),
+          s"the '$vecCol' index is a filtered family — pass the " +
+            "filter value to serve")
+        root0
+    }
+    val L = load(root)
     val probe = probeCells(qs, serveCentroids(s, L), nprobe)
     val cells = probe.select("label").distinct().collect()
       .map(_.get(0)).toSeq
@@ -535,6 +693,21 @@ object AnnIndex {
   def fold(tablePath: String, vecCol: String): FoldStats = {
     val s = SparkSession.active
     val root = dirFor(tablePath, vecCol)
+    if (isFamily(root)) {
+      // fold each sub-index with pending layers; the others are
+      // untouched (their manifests never even open for writing)
+      val fam = loadFamily(root)
+      return fam.subs.map(k => foldOne(s, fam.subRoot(k)))
+        .reduce((a, b) => FoldStats(
+          a.foldedFragments + b.foldedFragments,
+          a.appliedTombstones + b.appliedTombstones,
+          a.affectedCells + b.affectedCells,
+          a.retiredLayers + b.retiredLayers))
+    }
+    foldOne(s, root)
+  }
+
+  private def foldOne(s: SparkSession, root: Path): FoldStats = {
     val L = load(root)
     if (L.frags.isEmpty && L.tombs.isEmpty)
       return FoldStats(0, 0, 0, 0)

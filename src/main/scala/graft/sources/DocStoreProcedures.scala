@@ -1274,7 +1274,13 @@ class AnnBuildProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     Array(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("id_col", StringType).build(),
       ProcedureParameter.in("vec_col", StringType).build(),
-      ProcedureParameter.in("label_col", StringType).build())
+      ProcedureParameter.in("label_col", StringType).build(),
+      // optional: partition the index by a metadata column — one
+      // self-contained sub-index per value (the filtered-ANN answer);
+      // sync/fold/serve dispatch per sub, so one src's maintenance
+      // never touches another src's manifest or files
+      ProcedureParameter.in("filter_col", StringType)
+        .defaultValue("''").build())
 
   private val SCHEMA = StructType(Seq(
     StructField("index_dir", StringType, nullable = false),
@@ -1287,7 +1293,8 @@ class AnnBuildProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     val st = AnnIndex.build(dir.toString,
       input.getUTF8String(1).toString,
       input.getUTF8String(2).toString,
-      input.getUTF8String(3).toString)
+      input.getUTF8String(3).toString,
+      Option(input.getUTF8String(4)).map(_.toString).getOrElse(""))
     result(SCHEMA, Seq(new GenericInternalRow(Array[Any](
       UTF8String.fromString(st.indexDir), st.builtAtVersion,
       st.cells, st.vectors))))

@@ -254,6 +254,92 @@ class AnnIndexSpec extends SparkSpec {
     checkServe(s, path, Array(0L, 1000L, 1L, 0L), state)
   }
 
+  test("filtered family: per-src sub-indexes, maintenance in one src " +
+      "leaves the others' manifests and files untouched") {
+    val (s, path) = freshCat("annfm")
+    import s.implicits._
+    // src 0 = ids < 100, src 1 = ids >= 100; both span cells 0-2
+    val fam = base.map { case (id, cell, v) => (id, cell, 0L, v) } ++
+      base.map { case (id, cell, v) => (id + 100L, cell, 1L, v) }
+    s.sql("ALTER TABLE annfm.default.t ADD COLUMNS (src INT)")
+    s.sql("INSERT INTO annfm.default.t VALUES " + fam.map {
+      case (id, cell, src, v) =>
+        s"($id, 0, 'x', 's', '', $cell, array(${v.mkString(",")}L), $src)"
+    }.mkString(", "))
+    val b = s.sql("CALL annfm.system.ann_build(" +
+      "'default.t', 'doc_id', 'v', 'cell', 'src')").head
+    assert(b.getLong(2) == 6 && b.getLong(3) == 36,
+      s"family build: 2 subs x 3 cells, 36 vectors: $b")
+    val root = AnnIndex.dirFor(path, "v")
+    assert(AnnIndex.isFamily(root))
+    // per-src oracle state (the same hand model, one map per src)
+    var st0: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val st1: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => (id + 100L) -> (v, cell, false) }
+        .toMap
+    val pinned0 = centroids(st0)
+
+    // maintenance lands ONLY in src 0: one insert commit, one delete
+    // commit (the delete hits a base row and the fresh arrival's
+    // sibling stays)
+    s.sql("INSERT INTO annfm.default.t VALUES " +
+      "(50, 0, 'x', 's', '', 9, array(1000,0,0,7), 0), " +
+      "(51, 0, 'x', 's', '', 9, array(0,1000,0,7), 0)")
+    s.sql("DELETE FROM annfm.default.t WHERE doc_id IN (2, 50)")
+    val sy = s.sql("CALL annfm.system.ann_sync('default.t', 'v')").head
+    assert(sy.getLong(2) == 1 && sy.getLong(3) == 1 &&
+      sy.getLong(4) == 2 && sy.getLong(5) == 2, s"family sync: $sy")
+    st0 ++= Seq(
+      50L -> (Array(1000L, 0L, 0L, 7L): Vec, assignCell(
+        Array(1000L, 0L, 0L, 7L), pinned0), true),
+      51L -> (Array(0L, 1000L, 0L, 7L): Vec, assignCell(
+        Array(0L, 1000L, 0L, 7L), pinned0), true))
+    st0 --= Seq(2L, 50L)
+
+    def serveF(src: Long, q: Vec): Array[(Long, Long, Boolean, Double)] = {
+      val qs = Seq((900L, q.toSeq, dot(q, q))).toDF("qid", "qv", "qn")
+      AnnIndex.serve(s, path, "v", qs, filter = Some(src)).collect()
+        .map(r => (r.getLong(2), r.getAs[Number](3).longValue(),
+          r.getBoolean(4), r.getDouble(5)))
+    }
+    def checkF(src: Long, q: Vec,
+        st: Map[Long, (Vec, Long, Boolean)]): Unit = {
+      val want = expectedServe(q, st, centroids(st), 2, 3).map {
+        case (id, cell, isNew, c) => (id, cell, isNew,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      assert(serveF(src, q).toSeq == want,
+        s"src=$src serve mismatch vs hand oracle")
+    }
+    checkF(0L, Array(1000L, 1L, 0L, 0L), st0)
+    checkF(0L, Array(0L, 1000L, 1L, 0L), st0)
+    checkF(1L, Array(1000L, 1L, 0L, 0L), st1)
+    // the untouched sub-index gains NO layers — its synced cursor
+    // advances (it observed the versions and found nothing), but one
+    // src's maintenance storm leaves zero fragment/tombstone/fold
+    // files in another's tree
+    val l1 = AnnIndex.load(root.resolve("src=1"))
+    assert(l1.frags.isEmpty && l1.tombs.isEmpty && l1.folds.isEmpty,
+      s"src=1 must take no layers from src-0 maintenance: $l1")
+    // fold compacts src 0 only; src 1 still has no fold dirs
+    val f = s.sql("CALL annfm.system.ann_fold('default.t', 'v')").head
+    assert(f.getLong(0) == 1 && f.getLong(1) == 1, s"family fold: $f")
+    assert(AnnIndex.load(root.resolve("src=1")).folds.isEmpty,
+      "src=1 must not gain a fold level")
+    checkF(0L, Array(1000L, 1L, 0L, 0L), st0)
+    checkF(1L, Array(0L, 1000L, 1L, 0L), st1)
+    // serving a family without a filter, or an unknown value, refuses
+    val qs = Seq((900L, Seq(1000L, 0L, 0L, 0L), 1000000L))
+      .toDF("qid", "qv", "qn")
+    assert(intercept[IllegalArgumentException](
+      AnnIndex.serve(s, path, "v", qs)).getMessage.contains("family"))
+    assert(intercept[IllegalArgumentException](AnnIndex.serve(
+      s, path, "v", qs, filter = Some(7L))).getMessage
+      .contains("no sub-index"))
+  }
+
   test("lifecycle guards: double build refuses, no-op sync/fold, " +
       "drop + rebuild, manifest refuses comma entries") {
     val (s, path) = freshCat("anngd")
