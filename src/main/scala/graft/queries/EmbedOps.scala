@@ -2692,8 +2692,13 @@ object EmbedOps {
       // set must contain zero lifecycle files (frag/tomb exist right
       // now in src 0's tree — and nowhere near src 1's)
       val s1pre = serveF(1L)
+      // inputFiles BEFORE persist (caching swaps the scans for an
+      // InMemoryRelation); persist because s1pre serves the output
+      // union too — src 1 is untouched by the src-0 fold, so the
+      // pre-fold serve IS the post-fold serve
       val s1files = s1pre.inputFiles
         .map(f => java.net.URI.create(f).getPath)
+      s1pre.persist()
       require(s1files.nonEmpty && !s1files.exists(f =>
         f.contains("frag-") || f.contains("tomb-") || f.contains("fold-")),
         s"src-1 serve must read zero lifecycle files: " +
@@ -2715,7 +2720,7 @@ object EmbedOps {
           s"${before.toSeq.diff(after.toSeq)} vs " +
           s"${after.toSeq.diff(before.toSeq)}")
       val out = s0after.withColumn("flt_src", lit(0))
-        .unionByName(serveF(1L).withColumn("flt_src", lit(1)))
+        .unionByName(s1pre.withColumn("flt_src", lit(1)))
         .select(col("flt_src"), col("query_id"), col("rnk"),
           col("neighbor_id"), col("cell"), col("is_new"), col("cosine"))
         .orderBy("flt_src", "query_id", "rnk")

@@ -625,6 +625,22 @@ class PlanAuditSpec extends SparkSpec {
       s"per-query ranking windows must stay qid-partitioned:\n$p")
   }
 
+  test("q226 family: sub-index pool scans prune probed cells; no corpus shuffle join") {
+    val p = q("q226_filtered_ann_family")
+    // every pool read resolves to ONE sub-index tree (the src choice
+    // is a directory, not a filter) and prunes probed cells via label
+    val pruned = p.linesIterator.exists { l =>
+      l.contains("FileScan parquet") &&
+        l.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+          .contains("label")
+    }
+    assert(pruned, s"no pool scan pruned probed cells via label:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe/serve joins must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-query ranking windows must stay qid-partitioned:\n$p")
+  }
+
   test("q208 rerank: code scan + bounded candidate fetch broadcast; windows stay per-query") {
     val p = q("q208_hamming_rerank")
     // stage 2's candidate-id fetch and every query-code attach must
