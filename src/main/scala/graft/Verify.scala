@@ -39,7 +39,13 @@ object Verify {
       // once the gate's output is WRITTEN those blocks are dead weight.
       // Dropping them here keeps gate-local caches from accumulating
       // across the 230-gate sweep and leaning on LRU eviction.
-      spark.catalog.clearCache()
+      // Guarded (review r18): a broken cached relation left behind by
+      // a FAILING gate must cost that gate only, not abort the sweep
+      // and zero every remaining gate's correctness row.
+      try spark.catalog.clearCache()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] clearCache after $name: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

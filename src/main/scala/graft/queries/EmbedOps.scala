@@ -34,17 +34,15 @@ object EmbedOps {
   /** Exact integer squared norm (native dot with itself). */
   private def norm2(v: Column): Column = dotL(v, v)
 
-  /** Exact integer dot product — native expression (the interpreted
-    * aggregate(zip_with(...)) form dominates verify stages; see
-    * graft.expr.DotProduct). */
+  /** Exact integer dot product / cosine — delegates to the ONE
+    * canonical definition in [[graft.sources.AnnIndex]] (a precision
+    * or codegen tweak there must reach the gate oracle path and the
+    * index serve path together; review r18). */
   private def dotL(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftshim.column(graft.expr.DotProduct(
-      org.apache.spark.sql.graftshim.expression(a),
-      org.apache.spark.sql.graftshim.expression(b)))
+    graft.sources.AnnIndex.dotL(a, b)
 
-  /** Cosine from exact integers — deterministic double both engines. */
   private def cosine(dot: Column, n1: Column, n2: Column): Column =
-    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+    graft.sources.AnnIndex.cosine(dot, n1, n2)
 
   /** Sign code for one 32-dim half of a quantized vector `q`: a fold
     * acc*2 + (x>0) — the first element lands on the word's high bit,

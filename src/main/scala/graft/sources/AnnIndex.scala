@@ -329,6 +329,10 @@ object AnnIndex {
     val m = new Manifest(root)
     require(!m.exists,
       s"ann index for '$vecCol' already exists — CALL system.ann_drop first")
+    // no published manifest -> anything under the root is a crashed
+    // earlier build's unreachable debris; clear it so the rerun's
+    // writes don't die on ErrorIfExists (review r18)
+    graft.core.Fs.deleteRecursively(root)
     val head = DocStoreCommitOps.nextVersion(tablePath) - 1
     // read the CAPTURED version's retained manifest, not the live head:
     // a commit racing between the version capture and this scan would
@@ -459,6 +463,9 @@ object AnnIndex {
         val insN = ins.count()
         if (insN > 0) {
           val fragRel = s"frag-$w"
+          // clear a crashed attempt's orphan (unreachable: its manifest
+          // commit never ran) so the rerun doesn't die on ErrorIfExists
+          graft.core.Fs.deleteRecursively(root.resolve(fragRel))
           assign(ins, baseCents).write.partitionBy("label")
             .parquet(root.resolve(fragRel).resolve("vectors").toString)
           val insBack = s.read.parquet(
@@ -480,16 +487,16 @@ object AnnIndex {
               .unionByName(assign(del, baseCents).select(col("label")))
               .distinct().collect().map(_.getLong(0)).toSeq
             val delKeys = del.select(col("vec_id"), col("q"))
-            // resolve where each deleted id ACTUALLY lives — the
-            // current layer view restricted to candidate cells
-            // (includes the fragment just written this version:
-            // insert-then-delete across versions in one sync window
-            // resolves correctly)
-            val withFrag =
-              if (add.exists(_._1 == "frag"))
-                cur.copy(frags = cur.frags :+ s"frag-$w")
-              else cur
-            val resolved = resolvePool(s, withFrag, candCells)
+            // resolve where each deleted id ACTUALLY lives — the layer
+            // view as of version w-1 (`cur`), which already includes
+            // fragments committed for EARLIER versions in this sync
+            // window (insert-then-delete across versions resolves).
+            // Deliberately NOT the fragment written for version w
+            // itself: a version's deletes target rows that existed
+            // BEFORE it — including the same-version fragment would
+            // make a same-cell UPDATE tombstone its own post-image
+            // and double-subtract the centroid state (review r18)
+            val resolved = resolvePool(s, cur, candCells)
               .select(col("vec_id"), col("label"))
               .join(broadcast(delKeys.select("vec_id")), Seq("vec_id"))
               .persist()
@@ -497,6 +504,7 @@ object AnnIndex {
               val resolvedN = resolved.count()
               if (resolvedN > 0) {
                 val tombRel = s"tomb-$w"
+                graft.core.Fs.deleteRecursively(root.resolve(tombRel))
                 resolved.write.partitionBy("label")
                   .parquet(root.resolve(tombRel).resolve("keys").toString)
                 val keysBack = s.read.parquet(
@@ -570,44 +578,74 @@ object AnnIndex {
     SyncStats(start, head, frags, tombs, nIns, nDel)
   }
 
+  /** The table version a `frag-<v>` / `tomb-<v>` layer carries. */
+  private def layerVersion(rel: String): Long =
+    rel.dropWhile(!_.isDigit).toLong
+
+  /** Layer schemas are FIXED by the writers, so reads declare them —
+    * schema inference would die on a data-less layer dir (a fold that
+    * emptied every affected cell holds only empty label= dirs, which
+    * is exactly the shadowing the emptied-cell contract needs). */
+  private def layerSchema(withNew: Boolean) = {
+    import org.apache.spark.sql.types._
+    val core = Seq(StructField("vec_id", LongType),
+      StructField("q", ArrayType(LongType)),
+      StructField("nn", LongType))
+    StructType((if (withNew) core :+ StructField("is_new", BooleanType)
+      else core) :+ StructField("label", LongType))
+  }
+
   /** The serving pool for `cells`, resolved from one manifest
     * snapshot: per cell the NEWEST fold covering it shadows older
     * folds and base; pending fragments union in as is_new; pending
     * tombstone keys anti-join (broadcast — tombstones are batch-sized
-    * by contract). */
+    * by contract).
+    *
+    * Tombstone VISIBILITY is versioned: a tombstone at table version
+    * w masks only layers OLDER than w — base and folds always (folds
+    * seal pre-tombstone state: ann_fold retires every pending
+    * tombstone it folds), a pending fragment frag-v only when v < w.
+    * A same-cell UPDATE (delete pre-image + insert post-image in ONE
+    * version) would otherwise have its own post-image masked by its
+    * tombstone, vanishing the updated vector (review r18). */
   def resolvePool(s: SparkSession, L: Layers, cells: Seq[Any],
       applyTombs: Boolean = true): DataFrame = {
     val want = cells.map(_.toString.toLong).toSet
-    // newest-first shadowing over fold levels, base last
+    val tombsOf: Long => Seq[String] =
+      v => if (!applyTombs) Seq.empty
+        else L.tombs.filter(t => layerVersion(t) > v)
+    def mask(df: DataFrame, tombs: Seq[String]): DataFrame =
+      if (tombs.isEmpty) df
+      else df.join(broadcast(tombs.map(t => s.read.parquet(
+          L.abs(s"$t/keys"))).reduce(_.unionByName(_))),
+        Seq("vec_id", "label"), "left_anti")
+    // newest-first shadowing over fold levels, base last; all masked
+    // by every pending tombstone (strictly newer than sealed layers)
     var remaining = want
     var parts = Seq.empty[DataFrame]
     (L.folds.reverse.map(f => (L.abs(s"$f/cells"), true)) :+
       (L.baseVectors, false)).foreach { case (dir, isFold) =>
       val take = remaining.intersect(coveredCells(Paths.get(dir)))
       if (take.nonEmpty) {
-        val df0 = s.read.parquet(dir)
+        val df0 = s.read.schema(layerSchema(isFold)).parquet(dir)
           .filter(col("label").isin(take.toSeq: _*))
         parts :+= (if (isFold) df0
           else df0.withColumn("is_new", lit(false)))
         remaining --= take
       }
     }
-    val layered = parts match {
+    val layered = mask(parts match {
       case Seq() =>
-        s.read.parquet(L.baseVectors)
+        s.read.schema(layerSchema(withNew = false)).parquet(L.baseVectors)
           .withColumn("is_new", lit(false)).filter(lit(false))
       case ps => ps.reduce(_.unionByName(_))
-    }
-    val withFrags = L.frags.foldLeft(layered) { (acc, f) =>
-      acc.unionByName(s.read.parquet(L.abs(s"$f/vectors"))
+    }, tombsOf(Long.MinValue))
+    L.frags.foldLeft(layered) { (acc, f) =>
+      acc.unionByName(mask(
+        s.read.schema(layerSchema(withNew = false))
+          .parquet(L.abs(s"$f/vectors"))
         .filter(col("label").isin(want.toSeq: _*))
-        .withColumn("is_new", lit(true)))
-    }
-    if (!applyTombs || L.tombs.isEmpty) withFrags
-    else {
-      val keys = L.tombs.map(t => s.read.parquet(L.abs(s"$t/keys")))
-        .reduce(_.unionByName(_))
-      withFrags.join(broadcast(keys), Seq("vec_id", "label"), "left_anti")
+        .withColumn("is_new", lit(true)), tombsOf(layerVersion(f))))
     }
   }
 
@@ -716,10 +754,24 @@ object AnnIndex {
       L.tombs.map(t => coveredCells(Paths.get(L.abs(s"$t/keys")))))
       .foldLeft(Set.empty[Long])(_ ++ _)
     val foldRel = s"fold-${new Manifest(root).currentVersion + 1}"
+    // a crashed earlier attempt may have left this dir half-written
+    // and unreachable (its manifest swap never ran) — clear it so the
+    // documented crash-rerun actually reruns (review r18)
+    graft.core.Fs.deleteRecursively(root.resolve(foldRel))
     // ONE affected-cells-only pass: current pool resolution (newest
     // layer per cell + fragments - tombstones), is_new preserved
     resolvePool(s, L, affected.toSeq).write.partitionBy("label")
       .parquet(root.resolve(foldRel).resolve("cells").toString)
+    // an affected cell whose rows ALL died writes no label dir, which
+    // would UN-cover it — base would leak its tombstoned rows back
+    // once a later arrival re-populates the cell and probing resumes.
+    // Materialize empty partition dirs so the fold keeps shadowing
+    // every affected cell (review r18; pinned by AnnIndexSpec's
+    // emptied-cell test)
+    affected.foreach { c =>
+      Files.createDirectories(root.resolve(foldRel)
+        .resolve("cells").resolve(s"label=$c"))
+    }
     // seal the post-fold centroid state (what serving reads next)
     serveCentroids(s, L).write
       .parquet(root.resolve(foldRel).resolve("centroids").toString)

@@ -254,6 +254,68 @@ class AnnIndexSpec extends SparkSpec {
     checkServe(s, path, Array(0L, 1000L, 1L, 0L), state)
   }
 
+  test("SAME-CELL update: the tombstone must not mask its own " +
+      "post-image (versioned tombstone visibility)") {
+    val (s, path) = freshCat("annsc")
+    ins(s, "annsc", base)
+    s.sql("CALL annsc.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val pinned = centroids(state)
+    // vector 3 stays in the e1 cluster: pre-image cell 0, post-image
+    // assigns to cell 0 too — the delete+insert pair lands in ONE
+    // version, so an unversioned tombstone would kill the post-image
+    // (and double-subtract the centroid state; r18 review finding)
+    val newV: Vec = Array(1000L, 0L, 0L, 5L)
+    s.sql("UPDATE annsc.default.t SET v = array(" +
+      newV.mkString(",") + ") WHERE doc_id = 3")
+    val sy = s.sql("CALL annsc.system.ann_sync('default.t', 'v')").head
+    assert(sy.getLong(4) == 1 && sy.getLong(5) == 1,
+      s"expected 1 insert + 1 delete routed, got $sy")
+    state += 3L -> (newV, assignCell(newV, pinned), true)
+    assert(state(3L)._2 == 0L, "fixture: the update must stay in cell 0")
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    // fold compacts the in-place update and nothing changes
+    s.sql("CALL annsc.system.ann_fold('default.t', 'v')")
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+  }
+
+  test("fold of a fully-emptied cell keeps shadowing it: deleted rows " +
+      "must not resurrect when an arrival re-populates the cell") {
+    val (s, path) = freshCat("annec")
+    ins(s, "annec", base)
+    s.sql("CALL annec.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    // empty cell 0 entirely, fold the tombstone away (the fold writes
+    // ZERO rows for cell 0 — before the r18 fix it also wrote no
+    // label=0 dir, un-covering the cell so base leaked back)
+    s.sql("DELETE FROM annec.default.t WHERE doc_id <= 6")
+    s.sql("CALL annec.system.ann_sync('default.t', 'v')")
+    s.sql("CALL annec.system.ann_fold('default.t', 'v')")
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.filter(_._1 > 6L)
+        .map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    // an arrival re-populates cell 0 (assignment runs against the
+    // PINNED base quantizer, where cell 0 still exists)
+    val arrV: Vec = Array(1000L, 0L, 0L, 2L)
+    ins(s, "annec", Seq((200L, 9L, arrV)))
+    s.sql("CALL annec.system.ann_sync('default.t', 'v')")
+    state += 200L -> (arrV, 0L, true)
+    assert(state(200L)._2 == 0L)
+    // an e1-direction query probes cell 0 again: it must see ONLY the
+    // arrival — none of the six deleted base rows
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    import s.implicits._
+    val qs = Seq((900L, Seq(1000L, 1L, 0L, 0L), 1000001L))
+      .toDF("qid", "qv", "qn")
+    val served = AnnIndex.serve(s, path, "v", qs).collect()
+      .map(_.getLong(2)).toSet
+    assert((1L to 6L).forall(id => !served(id)),
+      s"deleted base rows resurrected through the emptied fold: $served")
+    // and a second fold persists the correct state
+    s.sql("CALL annec.system.ann_fold('default.t', 'v')")
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+  }
+
   test("filtered family: per-src sub-indexes, maintenance in one src " +
       "leaves the others' manifests and files untouched") {
     val (s, path) = freshCat("annfm")

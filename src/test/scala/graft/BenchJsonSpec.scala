@@ -286,7 +286,13 @@ class BenchJsonSpec extends AnyFunSuite {
     //    run after the line even on a clean sweep.
     val helper = code.substring(code.indexOf("private def emitAndExit"))
     assert(helper.contains(": Nothing ="))
-    val body = helper.substring(0, helper.indexOf("}") max helper.length.min(400))
+    // bound the examined text to the HELPER BODY: up to its closing
+    // brace (first `}` — the body has no nested blocks), capped at 400
+    // chars. The previous `max` picked the LARGER bound, so the pin
+    // examined the rest of the file and would keep passing if the
+    // emission lines moved outside the helper (review r18).
+    val body = helper.substring(0,
+      (helper.indexOf("}") + 1) min helper.length min 400)
     assert(body.contains("println(compact)"))
     assert(body.contains("System.out.flush()"))
     assert(body.contains("sys.exit(if (nFailed > 0) 1 else 0)"))
