@@ -368,14 +368,47 @@ object AnnIndex {
           .map(_.stripPrefix("src=").toLong).toVector.sorted
         finally l.close()
       }
+      // EVERY sub's pinned quantizer in ONE aggregation over the
+      // read-back staging (per-sub centroid jobs would pay the
+      // posexplode shuffle once per src); the result is metadata-sized
+      // (subs x cells x (dim+1) integers), so it collects and writes
+      // per sub from the driver
+      val centRows = {
+        val back = s.read.parquet(stage.toString)
+        val cellsum = back
+          .select(col("src"), col("label"),
+            posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("src"), col("label"), col("i"))
+          .agg(sum(col("x")).as("cs"))
+          .groupBy(col("src"), col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("cs")))),
+            e => e.getField("cs")).as("sv"))
+        cellsum.join(back.groupBy(col("src"), col("label"))
+            .agg(count(lit(1)).as("c")), Seq("src", "label"))
+          .collect()
+          // src/label are partition-inferred (INT) on the read-back
+          .map(r => (r.getAs[Number](0).longValue(),
+            r.getAs[Number](1).longValue(),
+            r.getSeq[Long](2), r.getLong(3)))
+      }
       var cells = 0L; var vecs = 0L
       srcs.foreach { k =>
         val sub = root.resolve(s"src=$k")
         Files.createDirectories(sub.resolve("base"))
         Files.move(stage.resolve(s"src=$k"),
           sub.resolve("base").resolve("vectors"))
-        val (c, n) = sealBase(s, sub, s"$idCol|$vecCol|$labelCol", head)
-        cells += c; vecs += n
+        val mine = centRows.filter(_._1 == k)
+          .map { case (_, l, sv, c) => (l, sv, c) }.toSeq
+        import s.implicits._
+        mine.toDF("label", "sv", "c").coalesce(1).write
+          .parquet(sub.resolve("base").resolve("centroids").toString)
+        DocStoreCommitOps.withCommitLock(sub.toString) {
+          new Manifest(sub).publish(
+            Seq(("cols", s"$idCol|$vecCol|$labelCol"),
+              ("synced", head.toString), ("base", "base")), 0)
+        }
+        cells += mine.size; vecs += mine.map(_._3).sum
       }
       graft.core.Fs.deleteRecursively(stage)
       DocStoreCommitOps.withCommitLock(root.toString) {
@@ -521,8 +554,14 @@ object AnnIndex {
         } finally { del.unpersist(); () }
       } finally { proj.unpersist(); () }
     }
-    // one commit per table version: synced advances even for no-op
-    // versions so a crash-rerun never replays a commit
+    commitSynced(root, w, add)
+    (frags, tombs, nIns, nDel)
+  }
+
+  /** One index commit per table version: synced advances even for
+    * no-op versions so a crash-rerun never replays a commit. */
+  private def commitSynced(root: Path, w: Long,
+      add: Seq[(String, String)]): Unit =
     DocStoreCommitOps.withCommitLock(root.toString) {
       val m = new Manifest(root)
       val es = m.read()
@@ -535,8 +574,6 @@ object AnnIndex {
         case e => e
       } ++ add, m.currentVersion + 1)
     }
-    (frags, tombs, nIns, nDel)
-  }
 
   /** Family sync: per unsynced table version, ONE CDF read feeds every
     * sub-index — each sub takes its slice's inserts/deletes against
@@ -561,16 +598,26 @@ object AnnIndex {
       val proj = project(cdf, fam.idCol, fam.vecCol, fam.labelCol,
         Some(fam.filterCol)).persist()
       try {
-        val unknown = proj
-          .filter(!col("src").isin(fam.subs: _*)).count()
-        require(unknown == 0,
-          s"$unknown change rows carry a ${fam.filterCol} value with " +
-            "no sub-index — CALL ann_drop + ann_build to re-partition")
+        // ONE routing pre-pass: per-src change counts. Unknown filter
+        // values refuse loudly (they would vanish from serving
+        // silently), and a sub with ZERO rows in this version takes a
+        // metadata-only cursor advance — no Spark jobs at all
+        val perSub = proj.groupBy(col("src")).count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val unknown = perSub.keySet -- fam.subs.toSet
+        require(unknown.isEmpty,
+          s"change rows carry ${fam.filterCol} values with no " +
+            s"sub-index (${unknown.mkString(",")}) — CALL ann_drop + " +
+            "ann_build to re-partition")
         fam.subs.foreach { k =>
           if (load(fam.subRoot(k)).synced == w - 1) {
-            val (f, t, i, d) = syncVersion(s, fam.subRoot(k),
-              subCents(k), proj.filter(col("src") === k).drop("src"), w)
-            frags += f; tombs += t; nIns += i; nDel += d
+            if (perSub.getOrElse(k, 0L) == 0L)
+              commitSynced(fam.subRoot(k), w, Seq.empty)
+            else {
+              val (f, t, i, d) = syncVersion(s, fam.subRoot(k),
+                subCents(k), proj.filter(col("src") === k).drop("src"), w)
+              frags += f; tombs += t; nIns += i; nDel += d
+            }
           }
         }
       } finally { proj.unpersist(); () }
