@@ -854,6 +854,27 @@ object AnnIndex {
       affected.size.toLong, retired)
   }
 
+  final case class DetailRow(scope: String, synced: Long, cells: Long,
+      fragments: Long, tombstones: Long, folds: Long)
+
+  /** Metadata-only index inspection (the DESCRIBE DETAIL face): one
+    * row per (sub-)index — synced cursor and layer counts from the
+    * manifest, cell count from partition-directory listings. Zero
+    * data bytes read. */
+  def detail(tablePath: String, vecCol: String): Seq[DetailRow] = {
+    val root = dirFor(tablePath, vecCol)
+    def rowOf(scope: String, r: Path): DetailRow = {
+      val l = load(r)
+      DetailRow(scope, l.synced,
+        coveredCells(Paths.get(l.baseVectors)).size.toLong,
+        l.frags.size.toLong, l.tombs.size.toLong, l.folds.size.toLong)
+    }
+    if (isFamily(root)) {
+      val fam = loadFamily(root)
+      fam.subs.map(k => rowOf(s"${fam.filterCol}=$k", fam.subRoot(k)))
+    } else Seq(rowOf("", root))
+  }
+
   /** Drop the index directory (the table is untouched). */
   def drop(tablePath: String, vecCol: String): Boolean = {
     val root = dirFor(tablePath, vecCol)

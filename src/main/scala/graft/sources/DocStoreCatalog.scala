@@ -148,6 +148,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "ann_sync") => new AnnSyncProcedure(this)
       case (Seq("system"), "ann_fold") => new AnnFoldProcedure(this)
       case (Seq("system"), "ann_drop") => new AnnDropProcedure(this)
+      case (Seq("system"), "ann_detail") => new AnnDetailProcedure(this)
       case _ => throw new RuntimeException(
         s"no such docstore procedure: $ident (try system.vacuum / " +
           "system.history / system.restore / system.optimize / " +
@@ -168,7 +169,8 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "ann_build"),
         Identifier.of(namespace, "ann_sync"),
         Identifier.of(namespace, "ann_fold"),
-        Identifier.of(namespace, "ann_drop"))
+        Identifier.of(namespace, "ann_drop"),
+        Identifier.of(namespace, "ann_detail"))
     else Array.empty
 
   override def initialize(name: String,

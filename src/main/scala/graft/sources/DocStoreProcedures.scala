@@ -1382,3 +1382,34 @@ class AnnDropProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       AnnIndex.drop(dir.toString, input.getUTF8String(1).toString)))))
   }
 }
+
+/** `CALL cat.system.ann_detail('ns.t', vec_col)` — the index's
+  * DESCRIBE DETAIL: one row per (sub-)index with the synced cursor
+  * and layer counts, resolved entirely from manifests and partition
+  * directory listings (zero data bytes). */
+class AnnDetailProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "ann_detail"
+  override def description(): String =
+    "inspect an ANN index: synced version and layer counts per " +
+      "(sub-)index, metadata-only"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("scope", StringType, nullable = false),
+    StructField("synced_version", LongType, nullable = false),
+    StructField("cells", LongType, nullable = false),
+    StructField("fragments", LongType, nullable = false),
+    StructField("tombstones", LongType, nullable = false),
+    StructField("folds", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    result(SCHEMA, AnnIndex.detail(dir.toString,
+        input.getUTF8String(1).toString)
+      .map(r => new GenericInternalRow(Array[Any](
+        UTF8String.fromString(r.scope), r.synced, r.cells,
+        r.fragments, r.tombstones, r.folds))))
+  }
+}

@@ -385,6 +385,13 @@ class AnnIndexSpec extends SparkSpec {
     val l1 = AnnIndex.load(root.resolve("src=1"))
     assert(l1.frags.isEmpty && l1.tombs.isEmpty && l1.folds.isEmpty,
       s"src=1 must take no layers from src-0 maintenance: $l1")
+    // ann_detail: one metadata row per sub-index, layers where the
+    // maintenance actually landed
+    val det = s.sql("CALL annfm.system.ann_detail('default.t', 'v')")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(det == Seq(("src=0", 1L, 1L), ("src=1", 0L, 0L)),
+      s"family detail rows: $det")
     // fold compacts src 0 only; src 1 still has no fold dirs
     val f = s.sql("CALL annfm.system.ann_fold('default.t', 'v')").head
     assert(f.getLong(0) == 1 && f.getLong(1) == 1, s"family fold: $f")
@@ -400,6 +407,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](AnnIndex.serve(
       s, path, "v", qs, filter = Some(7L))).getMessage
       .contains("no sub-index"))
+  }
+
+  test("crash-rerun: orphaned layer dirs from a crashed attempt never " +
+      "wedge sync or build") {
+    val (s, path) = freshCat("anncr")
+    ins(s, "anncr", base)
+    // a crashed BUILD leaves debris under the index root with no
+    // published manifest — the rerun clears and succeeds
+    val root = AnnIndex.dirFor(path, "v")
+    Files.createDirectories(root.resolve("base").resolve("vectors"))
+    Files.writeString(root.resolve("base").resolve("vectors")
+      .resolve("junk"), "crashed attempt")
+    val b = s.sql("CALL anncr.system.ann_build(" +
+      "'default.t', 'doc_id', 'v', 'cell')").head
+    assert(b.getLong(3) == 18, s"rerun build must succeed: $b")
+    // a crashed SYNC leaves frag-<w> written but uncommitted — the
+    // rerun (same version, same path) must overwrite, not die on
+    // ErrorIfExists
+    ins(s, "anncr", Seq((50L, 9L, Array(1000L, 0L, 0L, 7L))))
+    val w = graft.sources.DocStoreCommitOps.nextVersion(path) - 1
+    Files.createDirectories(root.resolve(s"frag-$w").resolve("vectors"))
+    Files.writeString(root.resolve(s"frag-$w").resolve("vectors")
+      .resolve("part-junk.parquet"), "half-written")
+    val sy = s.sql("CALL anncr.system.ann_sync('default.t', 'v')").head
+    assert(sy.getLong(2) == 1 && sy.getLong(4) == 1,
+      s"rerun sync must fragment the arrival: $sy")
+    val state: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap +
+        (50L -> (Array(1000L, 0L, 0L, 7L): Vec, 0L, true))
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    // ann_detail reads the whole story from metadata only
+    val d = s.sql("CALL anncr.system.ann_detail('default.t', 'v')")
+      .collect()
+    assert(d.length == 1 && d(0).getString(0) == "" &&
+      d(0).getLong(2) == 3 && d(0).getLong(3) == 1 &&
+      d(0).getLong(4) == 0, s"detail: ${d.toSeq}")
   }
 
   test("lifecycle guards: double build refuses, no-op sync/fold, " +
