@@ -93,16 +93,21 @@ object AnnIndex {
 
   /** (label, sv: array<long>, c) — the integer centroid table of a
     * (…, q, label) frame. Dimension-agnostic (posexplode, not a fixed
-    * DIM) so one fold serves every vector width. */
-  def centroidTable(df: DataFrame): DataFrame = {
+    * DIM) so one fold serves every vector width. Extra grouping
+    * columns ride along (the family build groups by src too —
+    * one fold definition for every quantizer). */
+  def centroidTable(df: DataFrame, extra: Seq[String] = Seq.empty)
+      : DataFrame = {
+    val keys = (extra :+ "label").map(col)
     val cellsum = df
-      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
+      .select(keys :+ posexplode(col("q")).as(Seq("i", "x")): _*)
+      .groupBy(keys :+ col("i"): _*)
       .agg(sum(col("x")).as("s"))
-    cellsum.groupBy(col("label"))
+    cellsum.groupBy(keys: _*)
       .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
         e => e.getField("s")).as("sv"))
-      .join(df.groupBy(col("label")).agg(count(lit(1)).as("c")), "label")
+      .join(df.groupBy(keys: _*).agg(count(lit(1)).as("c")),
+        extra :+ "label")
   }
 
   /** (label, dv, dc) — a fragment's per-cell integer aggregates. */
@@ -373,25 +378,14 @@ object AnnIndex {
       // posexplode shuffle once per src); the result is metadata-sized
       // (subs x cells x (dim+1) integers), so it collects and writes
       // per sub from the driver
-      val centRows = {
-        val back = s.read.parquet(stage.toString)
-        val cellsum = back
-          .select(col("src"), col("label"),
-            posexplode(col("q")).as(Seq("i", "x")))
-          .groupBy(col("src"), col("label"), col("i"))
-          .agg(sum(col("x")).as("cs"))
-          .groupBy(col("src"), col("label"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("cs")))),
-            e => e.getField("cs")).as("sv"))
-        cellsum.join(back.groupBy(col("src"), col("label"))
-            .agg(count(lit(1)).as("c")), Seq("src", "label"))
+      val centRows =
+        centroidTable(s.read.parquet(stage.toString), Seq("src"))
+          .select(col("src"), col("label"), col("sv"), col("c"))
           .collect()
           // src/label are partition-inferred (INT) on the read-back
           .map(r => (r.getAs[Number](0).longValue(),
             r.getAs[Number](1).longValue(),
             r.getSeq[Long](2), r.getLong(3)))
-      }
       var cells = 0L; var vecs = 0L
       srcs.foreach { k =>
         val sub = root.resolve(s"src=$k")

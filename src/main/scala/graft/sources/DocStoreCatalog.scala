@@ -153,7 +153,9 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         s"no such docstore procedure: $ident (try system.vacuum / " +
           "system.history / system.restore / system.optimize / " +
           "system.expire_snapshots / system.create_branch / " +
-          "system.publish_branch / system.drop_branch)")
+          "system.publish_branch / system.drop_branch / " +
+          "system.ann_build / system.ann_sync / system.ann_fold / " +
+          "system.ann_drop / system.ann_detail)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
