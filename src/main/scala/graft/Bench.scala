@@ -181,6 +181,20 @@ object Bench {
     (safe, verbose)
   }
 
+  /** Box-drift canaries (r18 verdict item 3: builder-box and
+    * driver-box runs of the SAME tree disagreed 24% and the repo had
+    * no way to tell drift from regression). Two pinned carried
+    * queries anchor every sidecar series: the ZERO-point is a
+    * metadata-only aggregation (~0.03 s steady state — measures fixed
+    * per-query harness overhead, immune to data-path regressions) and
+    * the SCALE-point is a mid-weight scan-bound carried query
+    * (measures the box's actual compute/IO speed). A cross-box
+    * comparison normalizes a query series against the two canaries
+    * before calling anything a regression: if the canaries moved by
+    * the same factor as the suite, it's the box. */
+  val CanaryZero = "q123_metadata_only_agg"
+  val CanaryScale = "q21_pricing_summary"
+
   /** The committed sidecar's line (r16 verdict item 5): the official
     * first-sweep numbers (sum == wall, unchanged semantics) PLUS a
     * `queries_min`/`value_min` pair folding in a SECOND full timed
@@ -207,8 +221,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
       .mkString("{", ",", "}")
+    // canary fields from the drift-robust min series (absent when a
+    // canary query errored or a filtered run skipped it — consumers
+    // treat absence as "not normalizable")
+    val minMap = mins.toMap
+    val canary = (minMap.get(CanaryZero).filter(_ >= 0),
+        minMap.get(CanaryScale).filter(_ >= 0)) match {
+      case (Some(z), Some(sc)) =>
+        s""""canary":{"zero":${jq(CanaryZero)},"zero_sec":$z,""" +
+          s""""scale":${jq(CanaryScale)},"scale_sec":$sc},"""
+      case _ => ""
+    }
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""value_min":$totalMin,"queries_min":$qm,""" +
+      s""""value_min":$totalMin,"queries_min":$qm,$canary""" +
       s""""errors":$errs,"sf":${jq(sfDir)}}"""
   }
 

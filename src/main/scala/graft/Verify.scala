@@ -41,9 +41,12 @@ object Verify {
       // across the 230-gate sweep and leaning on LRU eviction.
       // Guarded (review r18): a broken cached relation left behind by
       // a FAILING gate must cost that gate only, not abort the sweep
-      // and zero every remaining gate's correctness row.
+      // and zero every remaining gate's correctness row. NonFatal only
+      // (r18 advice): an OutOfMemoryError/LinkageError surfacing here
+      // means the JVM is corrupted — continuing would misreport every
+      // later gate as its own failure; let it propagate and die loudly.
       try spark.catalog.clearCache()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] clearCache after $name: ${e.getMessage}")
       }
     }

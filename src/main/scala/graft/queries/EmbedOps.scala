@@ -65,6 +65,19 @@ object EmbedOps {
       .withColumn("nn", norm2(col("q")))
       .filter(col("nn") > 0)
 
+  /** [[quantized]] staged ONCE as a Scratch parquet, shared by every
+    * docstore-backed ann gate (r18 verdict item 1: q214/q222/q223/
+    * q224/q226 each re-derived quant()+norms from the embeddings
+    * parquet on EVERY INSERT INTO their gate-local table — ~10
+    * recomputes of the same projection per bench sweep; the staged
+    * copy makes each load a columnar read of precomputed q/nn). */
+  private def quantizedStaged(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(graft.core.Scratch.materialize("quantized_src",
+      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+      quantized(s, dir).write.mode("overwrite")
+        .parquet(java.nio.file.Paths.get(p, "rows").toString)
+    } + "/rows")
+
   private val oQuant =
     "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)"
   private val oNorm2 = "list_sum(list_transform(q, a -> a * a))"
@@ -72,6 +85,25 @@ object EmbedOps {
     s"list_sum(list_transform(range($DIM), i -> $a[i+1] * $b[i+1]))"
   private def oDotHalf(a: String, b: String): String =
     s"list_sum(list_transform(range(${DIM / 2}), i -> $a[i+1] * $b[i+1]))"
+
+  /** Count-normalized probe/assign distance ||q - sv/c||^2 — the ONE
+    * engine-wide definition (r18 advice: the old cross-multiplied
+    * integer form c^2*||q - sv/c||^2 biased probing toward low-count
+    * cells; see [[graft.sources.AnnIndex.cellDist]] for the
+    * exactness + cross-engine-determinism argument). */
+  private def cellDist(qv: Column, sv: Column, c: Column): Column =
+    graft.sources.AnnIndex.cellDist(qv, sv, c)
+
+  /** The oracle twin of [[cellDist]]: exact HUGEINT numerator (order-
+    * independent integer sum, no 64-bit wrap), ONE correctly-rounded
+    * cast to DOUBLE, denominator a product of exactly-representable
+    * doubles — the same IEEE op sequence Spark's decimal path runs,
+    * so the ranking doubles are bit-identical across engines. */
+  private def oCellDist(qv: String): String =
+    s"(CAST(list_sum(list_transform(range($DIM), i -> " +
+      s"(c::HUGEINT * $qv[i+1] - sv[i+1]) * " +
+      s"(c::HUGEINT * $qv[i+1] - sv[i+1]))) AS DOUBLE) " +
+      "/ (c::DOUBLE * c::DOUBLE))"
 
   val all: Seq[Q] = Seq(
 
@@ -170,7 +202,8 @@ object EmbedOps {
     Q("q33_knn_ivf",
       "IVF-style ANN: per-cell integer centroids (elementwise sums + " +
         "counts — exact, no float drift), each query probes the nprobe=3 " +
-        "nearest cells by scaled integer distance ||c*v - s||², then " +
+        "nearest cells by the count-normalized distance-to-mean " +
+        "||q - sv/c||² (FAISS-style; exact integer numerator), then " +
         "searches only those cells. Search cost drops from N to " +
         "N*nprobe/cells; at 100 TB the cells are the partition layout.",
       Some(s"""
@@ -184,8 +217,7 @@ object EmbedOps {
         cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM v GROUP BY 1),
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz WHERE vec_id < 5),
         dist AS (SELECT qid, cent.label, qv, qn,
-                        list_sum(list_transform(range($DIM),
-                          i -> (c * qv[i+1] - sv[i+1]) * (c * qv[i+1] - sv[i+1]))) AS d
+                        ${oCellDist("qv")} AS d
                  FROM qs CROSS JOIN cent JOIN cnt ON cent.label = cnt.label),
         probe AS (SELECT qid, label, qv, qn FROM (
                     SELECT qid, label, qv, qn,
@@ -214,12 +246,9 @@ object EmbedOps {
       val centroids = cent.join(cnt, "label") // 1 row per cell — tiny
       val qs = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"))
-      // scaled integer distance to every centroid: ||c*v - s||² (exact)
+      // count-normalized distance to every centroid mean: ||q - sv/c||²
       val dist = qs.crossJoin(broadcast(centroids))
-        .withColumn("d", aggregate(
-          zip_with(col("qv"), col("sv"),
-            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
       val wp = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
         .filter(col("pr") <= 3)
@@ -254,14 +283,15 @@ object EmbedOps {
         "probes that each touch nprobe/cells of the corpus. Probed cell " +
         "ids reach the driver (nprobe × |queries| rows, metadata-sized " +
         "— the q104 manifest move) to prune partitions; vector data " +
-        "never does. Cell ranking note (r15 advice): cells are scored " +
-        "by c^2 * ||q - sv/c||^2 (the cross-multiplied integer form of " +
-        "distance-to-mean, c = cell count) rather than the unscaled " +
-        "distance — a DELIBERATE trade: both engines compare exact " +
-        "integers with zero float drift, at the cost of a small bias " +
-        "toward low-count cells on skewed cell sizes (recall, not " +
-        "correctness: the exact rerank inside probed cells is " +
-        "unaffected).",
+        "never does. Cell ranking note (r18 advice closed the r15 " +
+        "trade): cells are scored by the count-normalized " +
+        "distance-to-mean ||q - sv/c||^2 — comparable across cells of " +
+        "different populations (the earlier cross-multiplied integer " +
+        "form inflated dense cells by c^2 and biased probes toward " +
+        "low-count cells). Cross-engine exactness survives the " +
+        "normalization: the numerator stays an exact integer sum and " +
+        "the double conversion/division is the same correctly-rounded " +
+        "IEEE op sequence in both engines.",
       Some(s"""
         WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
         n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
@@ -274,8 +304,7 @@ object EmbedOps {
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
                WHERE vec_id >= 5 AND vec_id < 10),
         dist AS (SELECT qid, cent.label, qv, qn,
-                        list_sum(list_transform(range($DIM),
-                          i -> (c * qv[i+1] - sv[i+1]) * (c * qv[i+1] - sv[i+1]))) AS d
+                        ${oCellDist("qv")} AS d
                  FROM qs CROSS JOIN cent JOIN cnt ON cent.label = cnt.label),
         probe AS (SELECT qid, label, qv, qn FROM (
                     SELECT qid, label, qv, qn,
@@ -313,10 +342,7 @@ object EmbedOps {
         .filter(col("vec_id") >= 5 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"))
       val dist = qs.crossJoin(broadcast(centroids))
-        .withColumn("d", aggregate(
-          zip_with(col("qv"), col("sv"),
-            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
       val wp = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
         .filter(col("pr") <= 3)
@@ -1077,11 +1103,10 @@ object EmbedOps {
         "folded into q113's persisted index WITHOUT rebuilding it and " +
         "WITHOUT scanning the stored corpus. Three incremental steps, " +
         "all new-batch-sized: (1) ASSIGN each new vector to a cell by " +
-        "exact scaled-integer centroid score (broadcast the tiny " +
-        "centroid table, map-only over the batch; the score is " +
-        "c^2 * ||q - sv/c||^2 — the cross-multiplied integer form, " +
-        "the same deliberate exactness-over-skew trade q113 " +
-        "documents); (2) PERSIST the batch as a cell-partitioned " +
+        "the count-normalized centroid score ||q - sv/c||^2 " +
+        "(broadcast the tiny centroid table, map-only over the batch; " +
+        "exact integer numerator, deterministic double normalization " +
+        "— the q113 ranking); (2) PERSIST the batch as a cell-partitioned " +
         "DELTA FRAGMENT beside the immutable base (r15 verdict item " +
         "2: a managed Scratch artifact now, not a temp overlay — " +
         "q212 is the nightly fold that merges it back); (3) update " +
@@ -1106,10 +1131,7 @@ object EmbedOps {
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"))
       val dist = qs.crossJoin(broadcast(upd))
-        .withColumn("d", aggregate(
-          zip_with(col("qv"), col("sv"),
-            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
       val wp = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
@@ -1147,7 +1169,7 @@ object EmbedOps {
       val idx = ivfIncBase(s, dir)
       val delta = annIncDelta(s, dir)
       val folded = graft.core.Scratch.materialize("ivf_inc_folded",
-        s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+        s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
         annFoldInput(s, idx, delta).write.partitionBy("label")
           .parquet(java.nio.file.Paths.get(p, "cells").toString)
         foldedCentroids(s, idx, delta).write
@@ -1160,10 +1182,7 @@ object EmbedOps {
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"))
       val dist = qs.crossJoin(broadcast(cents))
-        .withColumn("d", aggregate(
-          zip_with(col("qv"), col("sv"),
-            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
       val wp = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
@@ -1221,9 +1240,7 @@ object EmbedOps {
                       (vec_id + 1) % 3 AS filt
                FROM nz WHERE vec_id >= 5 AND vec_id < 10),
         dist AS (SELECT qid, cc.label, qv, qn, filt,
-                        list_sum(list_transform(range($DIM),
-                          i -> (c * qv[i+1] - sv[i+1])
-                             * (c * qv[i+1] - sv[i+1]))) AS d
+                        ${oCellDist("qv")} AS d
                  FROM qs CROSS JOIN cc),
         probe AS (SELECT qid, label, qv, qn, filt FROM (
                     SELECT qid, label, qv, qn, filt,
@@ -1274,10 +1291,7 @@ object EmbedOps {
           col("nn").as("qn"),
           pmod(col("vec_id") + 1, lit(3)).as("filt"))
       val dist = qs.crossJoin(broadcast(cents))
-        .withColumn("d", aggregate(
-          zip_with(col("qv"), col("sv"),
-            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
       val wp = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
@@ -1373,9 +1387,7 @@ object EmbedOps {
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
                WHERE vec_id < 5 AND vec_id % 10 <> 0),
         dist AS (SELECT qid, cc.label, qv, qn,
-                        list_sum(list_transform(range($DIM),
-                          i -> (c * qv[i+1] - sv[i+1])
-                             * (c * qv[i+1] - sv[i+1]))) AS d
+                        ${oCellDist("qv")} AS d
                  FROM qs CROSS JOIN cc),
         probe AS (SELECT qid, label, qv, qn FROM (
                     SELECT qid, label, qv, qn,
@@ -1409,7 +1421,7 @@ object EmbedOps {
         "source STRING, text STRING)")
       sc.sql("ALTER TABLE graft_cat_vx.default.vecs ADD COLUMNS " +
         "(vlabel INT, q ARRAY<BIGINT>)")
-      quantized(sc, dir).createOrReplaceTempView("q214_src")
+      quantizedStaged(sc, dir).createOrReplaceTempView("q214_src")
       def ins(where: String): Unit =
         sc.sql("INSERT INTO graft_cat_vx.default.vecs " +
           "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
@@ -1548,10 +1560,7 @@ object EmbedOps {
           .select(col("vec_id").as("qid"), col("q").as("qv"),
             col("nn").as("qn"))
         val dist = qs.crossJoin(broadcast(cents))
-          .withColumn("d", aggregate(
-            zip_with(col("qv"), col("sv"),
-              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-            lit(0L), (acc, x) => acc + x))
+          .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
         val wp = Window.partitionBy(col("qid"))
           .orderBy(col("d").asc, col("label").asc)
         val probe = dist.withColumn("pr", row_number().over(wp))
@@ -1687,9 +1696,7 @@ object EmbedOps {
                FROM qs JOIN s0 ON s0.vec_id <> qs.qid),
         ex3 AS (SELECT qid, nid FROM ex WHERE ernk <= 3),
         gdist AS (SELECT qid, cc.label, qv, qn,
-                         list_sum(list_transform(range($DIM),
-                           i -> (c * qv[i+1] - sv[i+1])
-                              * (c * qv[i+1] - sv[i+1]))) AS d
+                         ${oCellDist("qv")} AS d
                   FROM qs CROSS JOIN cc),
         gprobe AS (SELECT qid, label, qv, qn FROM (
                      SELECT qid, label, qv, qn,
@@ -1710,9 +1717,7 @@ object EmbedOps {
                    ON e.qid = g.qid AND e.nid = g.nid
                  GROUP BY e.qid),
         sdist AS (SELECT qid, scc.label, qv, qn,
-                         list_sum(list_transform(range($DIM),
-                           i -> (c * qv[i+1] - sv[i+1])
-                              * (c * qv[i+1] - sv[i+1]))) AS d
+                         ${oCellDist("qv")} AS d
                   FROM qs CROSS JOIN scc),
         sprobe AS (SELECT qid, label, qv, qn FROM (
                      SELECT qid, label, qv, qn,
@@ -1764,10 +1769,7 @@ object EmbedOps {
           col("nn").as("qn"))
       def dist(cents: DataFrame): DataFrame = qs
         .crossJoin(broadcast(cents))
-        .withColumn("d", aggregate(
-          zip_with(col("qv"), col("sv"),
-            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
       val wp = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("label").asc)
       def top2(d: DataFrame): DataFrame = d
@@ -1888,9 +1890,7 @@ object EmbedOps {
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM base
                WHERE vec_id < 5),
         dist AS (SELECT qid, cc.label, qv, qn,
-                        list_sum(list_transform(range($DIM),
-                          i -> (c * qv[i+1] - sv[i+1])
-                             * (c * qv[i+1] - sv[i+1]))) AS d
+                        ${oCellDist("qv")} AS d
                  FROM qs CROSS JOIN cc),
         probe AS (SELECT qid, label, qv, qn FROM (
                     SELECT qid, label, qv, qn,
@@ -2049,9 +2049,7 @@ object EmbedOps {
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
                WHERE vec_id < 5),
         dist AS (SELECT qid, cc.label, qv, qn,
-                        list_sum(list_transform(range($DIM),
-                          i -> (c * qv[i+1] - sv[i+1])
-                             * (c * qv[i+1] - sv[i+1]))) AS d
+                        ${oCellDist("qv")} AS d
                  FROM qs CROSS JOIN cc),
         probe AS (SELECT qid, label, qv, qn FROM (
                     SELECT qid, label, qv, qn,
@@ -2089,7 +2087,7 @@ object EmbedOps {
         "('graft.rowlevel.mode' = 'merge-on-read')")
       sc.sql("ALTER TABLE graft_cat_fg.default.vecs ADD COLUMNS " +
         "(vlabel INT, q ARRAY<BIGINT>)")
-      quantized(sc, dir).createOrReplaceTempView("q222_src")
+      quantizedStaged(sc, dir).createOrReplaceTempView("q222_src")
       sc.sql("INSERT INTO graft_cat_fg.default.vecs " +
         "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
         "FROM q222_src")
@@ -2197,7 +2195,7 @@ object EmbedOps {
         "source STRING, text STRING)")
       sc.sql("ALTER TABLE graft_cat_ap.default.vecs ADD COLUMNS " +
         "(vlabel INT, q ARRAY<BIGINT>)")
-      quantized(sc, dir).createOrReplaceTempView("q223_src")
+      quantizedStaged(sc, dir).createOrReplaceTempView("q223_src")
       def ins(where: String): Unit =
         sc.sql("INSERT INTO graft_cat_ap.default.vecs " +
           "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
@@ -2290,9 +2288,7 @@ object EmbedOps {
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
                WHERE vec_id < 5 AND vec_id % 10 <> 0),
         dist AS (SELECT qid, cc.label, qv, qn,
-                        list_sum(list_transform(range($DIM),
-                          i -> (c * qv[i+1] - sv[i+1])
-                             * (c * qv[i+1] - sv[i+1]))) AS d
+                        ${oCellDist("qv")} AS d
                  FROM qs CROSS JOIN cc),
         probe AS (SELECT qid, label, qv, qn FROM (
                     SELECT qid, label, qv, qn,
@@ -2328,7 +2324,7 @@ object EmbedOps {
         "('graft.rowlevel.mode' = 'merge-on-read')")
       sc.sql("ALTER TABLE graft_cat_mx.default.vecs ADD COLUMNS " +
         "(vlabel INT, q ARRAY<BIGINT>)")
-      quantized(sc, dir).createOrReplaceTempView("q224_src")
+      quantizedStaged(sc, dir).createOrReplaceTempView("q224_src")
       def ins(where: String): Unit =
         sc.sql("INSERT INTO graft_cat_mx.default.vecs " +
           "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
@@ -2648,7 +2644,7 @@ object EmbedOps {
         "('graft.rowlevel.mode' = 'merge-on-read')")
       sc.sql("ALTER TABLE graft_cat_fa.default.vecs ADD COLUMNS " +
         "(vlabel INT, src INT, q ARRAY<BIGINT>)")
-      quantized(sc, dir).withColumn("src",
+      quantizedStaged(sc, dir).withColumn("src",
           when(col("label") <= 1, lit(0L))
             .otherwise(lit(1L) + pmod(col("vec_id"), lit(2))))
         .createOrReplaceTempView("q226_src")
@@ -2746,9 +2742,7 @@ object EmbedOps {
         cc AS (SELECT cent.label, sv, c
                FROM cent JOIN cnt ON cent.label = cnt.label),
         ad AS (SELECT newb.vec_id, newb.q, newb.nn, cc.label,
-                      list_sum(list_transform(range($DIM),
-                        i -> (c * q[i+1] - sv[i+1])
-                           * (c * q[i+1] - sv[i+1]))) AS d
+                      ${oCellDist("q")} AS d
                FROM newb CROSS JOIN cc),
         assign AS (SELECT vec_id, q, nn, label AS cell FROM (
                      SELECT vec_id, q, nn, label,
@@ -2772,9 +2766,7 @@ object EmbedOps {
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM base
                WHERE vec_id < 5),
         dist AS (SELECT qid, upd.label, qv, qn,
-                        list_sum(list_transform(range($DIM),
-                          i -> (c * qv[i+1] - sv[i+1])
-                             * (c * qv[i+1] - sv[i+1]))) AS d
+                        ${oCellDist("qv")} AS d
                  FROM qs CROSS JOIN upd),
         probe AS (SELECT qid, label, qv, qn FROM (
                     SELECT qid, label, qv, qn,
@@ -2840,17 +2832,14 @@ object EmbedOps {
   private def annIncDelta(s: SparkSession, dir: String): String = {
     val idx = ivfIncBase(s, dir)
     graft.core.Scratch.materialize("ivf_inc_delta",
-      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+      s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
       val centroids = s.read.parquet(s"$idx/centroids")
       // arrivals are UNLABELED as far as the index is concerned — the
       // cell is the assignment's output, not an input
       val newb = quantized(s, dir).filter(col("vec_id") % 10 === 0)
         .drop("label")
       val ad = newb.crossJoin(broadcast(centroids))
-        .withColumn("d", aggregate(
-          zip_with(col("q"), col("sv"),
-            (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("d", cellDist(col("q"), col("sv"), col("c")))
       val wa = Window.partitionBy(col("vec_id"))
         .orderBy(col("d").asc, col("label").asc)
       ad.withColumn("ar", row_number().over(wa))
@@ -2912,9 +2901,7 @@ object EmbedOps {
         cc0 AS (SELECT c0v.label, sv, c
                 FROM c0v JOIN c0c ON c0v.label = c0c.label),
         ad AS (SELECT arr.vec_id, arr.q, arr.nn, cc0.label,
-                      list_sum(list_transform(range($DIM),
-                        i -> (c * q[i+1] - sv[i+1])
-                           * (c * q[i+1] - sv[i+1]))) AS d
+                      ${oCellDist("q")} AS d
                FROM arr CROSS JOIN cc0),
         asg AS (SELECT vec_id, q, nn, label AS cell FROM (
                   SELECT vec_id, q, nn, label,
@@ -2950,9 +2937,7 @@ object EmbedOps {
         qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM base
                WHERE vec_id < 5),
         d0 AS (SELECT qid, upd.label, qv, qn,
-                      list_sum(list_transform(range($DIM),
-                        i -> (c * qv[i+1] - sv[i+1])
-                           * (c * qv[i+1] - sv[i+1]))) AS d
+                      ${oCellDist("qv")} AS d
                FROM qs CROSS JOIN upd WHERE c > 0),
         p0 AS (SELECT qid, label, qv, qn FROM (
                  SELECT qid, label, qv, qn,
@@ -2980,9 +2965,7 @@ object EmbedOps {
         cc1 AS (SELECT c1v.label, sv, c
                 FROM c1v JOIN c1c ON c1v.label = c1c.label),
         d1 AS (SELECT qid, cc1.label, qv, qn,
-                      list_sum(list_transform(range($DIM),
-                        i -> (c * qv[i+1] - sv[i+1])
-                           * (c * qv[i+1] - sv[i+1]))) AS d
+                      ${oCellDist("qv")} AS d
                FROM qs CROSS JOIN cc1 WHERE c > 0),
         p1 AS (SELECT qid, label, qv, qn FROM (
                  SELECT qid, label, qv, qn,
@@ -3069,10 +3052,7 @@ object EmbedOps {
       poolOf: Seq[Any] => DataFrame): DataFrame = {
     val cents = cents0.filter(col("c") > 0)
     val dist = qs.crossJoin(broadcast(cents))
-      .withColumn("d", aggregate(
-        zip_with(col("qv"), col("sv"),
-          (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("d").asc, col("label").asc)
     val probe = dist.withColumn("pr", row_number().over(wp))
@@ -3161,7 +3141,7 @@ object EmbedOps {
   private[graft] def annLsmFrags(s: SparkSession, dir: String): String = {
     val idx = ivfIncBase(s, dir)
     graft.core.Scratch.materialize("ivf_lsm_frags",
-      s"v1|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
+      s"v2|$dir|${graft.core.Scratch.sourceSignature(dir)}") { p =>
       val centroids = s.read.parquet(s"$idx/centroids")
       (0 to 2).foreach { k =>
         val batch = quantized(s, dir)
@@ -3169,10 +3149,7 @@ object EmbedOps {
             pmod(expr("vec_id div 10"), lit(3)) === k)
           .drop("label")
         val ad = batch.crossJoin(broadcast(centroids))
-          .withColumn("d", aggregate(
-            zip_with(col("q"), col("sv"),
-              (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-            lit(0L), (acc, x) => acc + x))
+          .withColumn("d", cellDist(col("q"), col("sv"), col("c")))
         val wa = Window.partitionBy(col("vec_id"))
           .orderBy(col("d").asc, col("label").asc)
         val vecs = java.nio.file.Paths.get(p, s"frag-$k", "vectors")

@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, I
   *    on the index root — a reader resolves its whole layer set from
   *    ONE manifest snapshot, so there is no window where a vector is
   *    served from both a fragment and its folded overlay (no double
-  *    count) or from neither (no loss).
+  *    count) or from neither (no loss). `ann_fold` EXPIRES version
+  *    copies below its own publish (they reference the layer dirs the
+  *    fold just deleted), bounding the per-sync small-file growth.
   *  - `base/vectors/label=<cell>/` + `base/centroids/` — the build
   *    snapshot, cell-partitioned; the centroid table doubles as the
   *    PINNED coarse quantizer (the FAISS/Milvus posture: the cell
@@ -51,7 +53,9 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, I
   * vectors (the proven cross-engine grid); centroid state is integer
   * sums+counts — a group under addition, so ADD (insert), SUBTRACT
   * (delete) and fold are exact and associative where float means are
-  * not. Cells emptied by deletes leave c = 0 and never probe.
+  * not. Probe/assign ranking is the count-normalized [[cellDist]]
+  * (exact integer numerator, deterministic double normalization).
+  * Cells emptied by deletes leave c = 0 and never probe.
   *
   * 100 TB posture: build is one corpus pass; sync touches batch +
   * metadata per table version (never rescans the corpus — delete
@@ -76,6 +80,40 @@ object AnnIndex {
   /** Cosine from exact integers — deterministic IEEE double. */
   def cosine(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** Count-normalized probe/assign distance ||q - sv/c||^2 — the
+    * FAISS-style distance-to-centroid-MEAN, comparable ACROSS cells
+    * with different populations (r18 advice: the previous
+    * cross-multiplied form sum((c*q_i - sv_i)^2) = c^2*||q - sv/c||^2
+    * inflated dense cells by c^2, biasing probes toward low-count
+    * cells as permanent serving semantics).
+    *
+    * Determinism across engines AND overflow safety (the second r18
+    * advice finding — at c ~ 1e9, per-term Long math wraps) come from
+    * the evaluation shape, shared verbatim by the DuckDB oracles:
+    *  1. the NUMERATOR sum((c*q_i - sv_i)^2) is exact integer
+    *     arithmetic in DECIMAL(38,0) (DuckDB: HUGEINT) — order of
+    *     summation cannot matter, and 38 digits hold the 100 TB worst
+    *     case (c ~ 1e9, |q_i| ~ 1e3 -> terms ~ 1e24, sums ~ 1e26);
+    *  2. ONE rounding converts the exact numerator to double (both
+    *     engines' integer->double casts are correctly rounded for
+    *     values < 2^64 — oracle-scale numerators are far below);
+    *  3. the denominator c*c is a product of exactly-representable
+    *     doubles (c < 2^53) and the final division is one more
+    *     correctly-rounded IEEE op.
+    * Same exact inputs + same correctly-rounded op sequence =
+    * bit-identical doubles, so (d, label) ranking stays engine-exact
+    * the way the old all-integer form was. */
+  def cellDist(qv: Column, sv: Column, c: Column): Column = {
+    val num = aggregate(
+      zip_with(qv, sv, (v, sC) => {
+        val t = c.cast("decimal(38,0)") * v - sC
+        t * t
+      }),
+      lit(0L).cast("decimal(38,0)"),
+      (acc, x) => acc + x)
+    num.cast("double") / (c.cast("double") * c.cast("double"))
+  }
 
   /** Quantize a float/double vector column onto the round(x*1000)
     * integer grid; integral element types pass through as BIGINT
@@ -116,18 +154,14 @@ object AnnIndex {
       .withColumnRenamed("sv", "dv")
       .withColumnRenamed("c", "dc")
 
-  /** Probe: top-`nprobe` cells per query by the exact integer
-    * cross-multiplied distance c^2*||q - sv/c||^2 = sum((c*q_i-sv_i)^2)
-    * (ties by label). Cells with c <= 0 never probe — a fully-deleted
-    * cell leaves a zero centroid whose distance is exactly 0 and would
-    * win a slot while holding no candidates. */
+  /** Probe: top-`nprobe` cells per query by the count-normalized
+    * distance-to-mean [[cellDist]] (ties by label). Cells with c <= 0
+    * never probe — a fully-deleted cell leaves a zero centroid whose
+    * distance would otherwise compete while holding no candidates. */
   def probeCells(qs: DataFrame, cents0: DataFrame, nprobe: Int): DataFrame = {
     val cents = cents0.filter(col("c") > 0)
     val dist = qs.crossJoin(broadcast(cents))
-      .withColumn("d", aggregate(
-        zip_with(col("qv"), col("sv"),
-          (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("d").asc, col("label").asc)
     dist.withColumn("pr", row_number().over(wp))
@@ -280,32 +314,31 @@ object AnnIndex {
   // ------------------------------------------------------------------
 
   /** (vec_id, q, nn, label) projection with the zero-norm guard; keeps
-    * `_change_type` when present (the CDF face) and the filter column
-    * as `src` when the index is a filtered family. */
+    * `_change_type`/`_commit_version` when present (the CDF face) and
+    * the filter column as `src` when the index is a filtered family. */
   private def project(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, filterCol: Option[String] = None): DataFrame = {
     val extra =
-      (if (df.columns.contains("_change_type")) Seq(col("_change_type"))
-       else Seq.empty) ++
+      Seq("_change_type", "_commit_version")
+        .filter(df.columns.contains).map(col) ++
         filterCol.map(f => col(f).cast("long").as("src")).toSeq
-    val out = df.select(Seq(col(idCol).cast("long").as("vec_id"),
+    // NULL filter values are NOT dropped here (r18 advice: a NULL-src
+    // change row silently vanishing from serving is a data-loss bug);
+    // the family build and sync paths each detect and refuse loudly
+    df.select(Seq(col(idCol).cast("long").as("vec_id"),
         quantExpr(df, vecCol).as("q"),
         col(labelCol).cast("long").as("label")) ++ extra: _*)
       .withColumn("nn", dotL(col("q"), col("q")))
       .filter(col("nn") > 0 && col("label").isNotNull)
-    filterCol.map(_ => out.filter(col("src").isNotNull)).getOrElse(out)
   }
 
   /** Assign unlabeled arrivals against the PINNED base centroids —
-    * argmin of the exact integer distance, ties by label. graft-visible:
-    * the filtered-index gate (q225) assigns against per-src centroid
-    * slices through the same single definition. */
+    * argmin of the count-normalized [[cellDist]], ties by label.
+    * graft-visible: the filtered-index gate (q225) assigns against
+    * per-src centroid slices through the same single definition. */
   private[graft] def assign(batch: DataFrame, baseCents: DataFrame): DataFrame = {
     val ad = batch.drop("label").crossJoin(broadcast(baseCents))
-      .withColumn("d", aggregate(
-        zip_with(col("q"), col("sv"),
-          (v, sC) => (col("c") * v - sC) * (col("c") * v - sC)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("d", cellDist(col("q"), col("sv"), col("c")))
     val wa = Window.partitionBy(col("vec_id"))
       .orderBy(col("d").asc, col("label").asc)
     ad.withColumn("ar", row_number().over(wa))
@@ -346,19 +379,36 @@ object AnnIndex {
     val snap = s.read.format("graft-docstore").option("path", tablePath)
       .option("manifest", s"MANIFEST.v$head").load()
     if (filterCol.isEmpty) {
-      val v = project(snap, idCol, vecCol, labelCol)
-      // refuse BEFORE any write: an empty base layer would be an
-      // unreadable parquet dir (no footers) and a useless index
-      require(v.take(1).nonEmpty,
-        s"ann_build over '$vecCol' found no indexable vectors (non-null " +
-          "label, non-zero norm) — refusing to publish an empty index")
-      v.write.partitionBy("label")
-        .parquet(root.resolve("base").resolve("vectors").toString)
-      val (cells, vecs) =
-        sealBase(s, root, s"$idCol|$vecCol|$labelCol", head)
-      BuildStats(root.toString, head, cells, vecs)
+      // ONE corpus pass feeds the base write AND the centroid/stat
+      // aggregations off the cache (r18 verdict item 1: the sealed
+      // base used to re-read the written layer for its centroids).
+      // The cache is advisory — an evicted partition recomputes the
+      // projection, which is exactly the old read-back cost.
+      val v = project(snap, idCol, vecCol, labelCol).persist()
+      try {
+        // refuse BEFORE any write: an empty base layer would be an
+        // unreadable parquet dir (no footers) and a useless index
+        require(v.take(1).nonEmpty,
+          s"ann_build over '$vecCol' found no indexable vectors (non-null " +
+            "label, non-zero norm) — refusing to publish an empty index")
+        v.write.partitionBy("label")
+          .parquet(root.resolve("base").resolve("vectors").toString)
+        centroidTable(v).write
+          .parquet(root.resolve("base").resolve("centroids").toString)
+        val r = v.agg(count_distinct(col("label")), count(lit(1))).head()
+        DocStoreCommitOps.withCommitLock(root.toString) {
+          m.publish(Seq(("cols", s"$idCol|$vecCol|$labelCol"),
+            ("synced", head.toString), ("base", "base")), 0)
+        }
+        BuildStats(root.toString, head, r.getLong(0), r.getLong(1))
+      } finally { v.unpersist(); () }
     } else {
+      // the cached projection feeds the staging write AND the
+      // family-wide centroid aggregation (r18 verdict item 1: the
+      // aggregation used to re-read the entire staging dir)
       val v = project(snap, idCol, vecCol, labelCol, Some(filterCol))
+        .persist()
+      try {
       require(v.take(1).nonEmpty,
         s"ann_build over '$vecCol' found no indexable vectors — " +
           "refusing to publish an empty index family")
@@ -366,23 +416,35 @@ object AnnIndex {
       // into the self-contained sub-index roots (no second data pass)
       val stage = root.resolve(".stage-build")
       v.write.partitionBy("src", "label").parquet(stage.toString)
-      val srcs = {
+      // a NULL filter value has no sub-index to live in — it would be
+      // unreachable from every filtered serve. Detection is FREE: the
+      // partitioned write routes null-src rows to the hive default
+      // partition dir, so one directory listing (no data read, no
+      // second corpus pass) proves their presence (r18 advice)
+      val stagedDirs = {
         val l = Files.list(stage)
         try l.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("src="))
-          .map(_.stripPrefix("src=").toLong).toVector.sorted
+          .filter(_.startsWith("src=")).toVector
         finally l.close()
       }
+      if (stagedDirs.exists(_.contains("__HIVE_DEFAULT_PARTITION__"))) {
+        graft.core.Fs.deleteRecursively(root)
+        throw new IllegalArgumentException(
+          s"ann_build: rows with NULL '$filterCol' cannot join any " +
+            "sub-index and would vanish from filtered serving — " +
+            "refusing the family build")
+      }
+      val srcs = stagedDirs.map(_.stripPrefix("src=").toLong).sorted
       // EVERY sub's pinned quantizer in ONE aggregation over the
-      // read-back staging (per-sub centroid jobs would pay the
-      // posexplode shuffle once per src); the result is metadata-sized
+      // CACHED projection (per-sub centroid jobs would pay the
+      // posexplode shuffle once per src, and the r18 shape re-read
+      // the whole staging dir); the result is metadata-sized
       // (subs x cells x (dim+1) integers), so it collects and writes
       // per sub from the driver
       val centRows =
-        centroidTable(s.read.parquet(stage.toString), Seq("src"))
+        centroidTable(v, Seq("src"))
           .select(col("src"), col("label"), col("sv"), col("c"))
           .collect()
-          // src/label are partition-inferred (INT) on the read-back
           .map(r => (r.getAs[Number](0).longValue(),
             r.getAs[Number](1).longValue(),
             r.getSeq[Long](2), r.getLong(3)))
@@ -411,28 +473,32 @@ object AnnIndex {
           srcs.map(k => ("sub", k.toString)), 0)
       }
       BuildStats(root.toString, head, cells, vecs)
+      } finally { v.unpersist(); () }
     }
-  }
-
-  /** Seal one (sub-)index base: centroids from the read-back layer
-    * (one extra base read, zero recompute of the projection — they
-    * double as the pinned quantizer), then the first manifest. */
-  private def sealBase(s: SparkSession, root: Path, cols: String,
-      head: Long): (Long, Long) = {
-    val back = s.read.parquet(
-      root.resolve("base").resolve("vectors").toString)
-    centroidTable(back).write
-      .parquet(root.resolve("base").resolve("centroids").toString)
-    val r = back.agg(count_distinct(col("label")), count(lit(1))).head()
-    DocStoreCommitOps.withCommitLock(root.toString) {
-      new Manifest(root).publish(Seq(("cols", cols),
-        ("synced", head.toString), ("base", "base")), 0)
-    }
-    (r.getLong(0), r.getLong(1))
   }
 
   final case class SyncStats(fromVersion: Long, toVersion: Long,
       fragments: Long, tombstones: Long, inserted: Long, deleted: Long)
+
+  /** Test-visible count of CDF reads `sync` issues — AnnIndexSpec pins
+    * the one-read-per-sync-window contract (r19: a regression back to
+    * per-version reads would be invisible to correctness gates). */
+  private[graft] val cdfReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** ONE windowed change-feed read for a whole unsynced range —
+    * r18 verdict item 2: the per-version loop paid one CDF read (and
+    * its full plan/scan setup) per table version, so a table 500
+    * commits behind ran 500 serial read cycles. The batch CDC face
+    * serves `table_changes(from, to)` in one scan and stamps each row
+    * with `_commit_version`, which the sync loop groups by. */
+  private def readChanges(s: SparkSession, tablePath: String,
+      from: Long, to: Long): DataFrame = {
+    cdfReads.incrementAndGet()
+    s.read.format("graft-docstore").option("path", tablePath)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", from.toString)
+      .option("endingVersion", to.toString).load()
+  }
 
   /** CDF-driven maintenance — BOTH change types in one pass (the
     * composition of q214's insert path and q222's delete path): for
@@ -443,9 +509,15 @@ object AnnIndex {
     * pruned lookup (a deleted row lives either in the cell its label
     * column names — the build path — or in the cell the pinned
     * quantizer assigns — the fragment path; at most two partitions
-    * read per deleted row, never the corpus). One manifest commit per
-    * table version keeps the index crash-consistent: a re-run resumes
-    * from `synced`. */
+    * read per deleted row, never the corpus).
+    *
+    * Read amplification vs crash consistency (r18 verdict item 2):
+    * the change feed is read ONCE for the whole `synced+1..head`
+    * window (persisted; per-version slices filter the cache on
+    * `_commit_version`), but the index still commits its manifest
+    * ONCE PER TABLE VERSION with the synced cursor conflict-checked —
+    * the crash contract is untouched: a re-run resumes from `synced`
+    * and re-reads only the remaining window. */
   def sync(tablePath: String, vecCol: String): SyncStats = {
     val s = SparkSession.active
     val root = dirFor(tablePath, vecCol)
@@ -455,17 +527,18 @@ object AnnIndex {
     if (head <= start.synced)
       return SyncStats(start.synced, start.synced, 0, 0, 0, 0)
     val baseCents = s.read.parquet(start.baseCentroids)
-    var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
-    ((start.synced + 1) to head).foreach { w =>
-      val cdf = s.read.format("graft-docstore").option("path", tablePath)
-        .option("readChangeFeed", "true")
-        .option("startingVersion", w.toString)
-        .option("endingVersion", w.toString).load()
-      val proj = project(cdf, start.idCol, start.vecCol, start.labelCol)
-      val (f, t, i, d) = syncVersion(s, root, baseCents, proj, w)
-      frags += f; tombs += t; nIns += i; nDel += d
-    }
-    SyncStats(start.synced, head, frags, tombs, nIns, nDel)
+    val proj = project(readChanges(s, tablePath, start.synced + 1, head),
+      start.idCol, start.vecCol, start.labelCol).persist()
+    try {
+      var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
+      ((start.synced + 1) to head).foreach { w =>
+        val (f, t, i, d) = syncVersion(s, root, baseCents,
+          proj.filter(col("_commit_version") === w)
+            .drop("_commit_version"), w)
+        frags += f; tombs += t; nIns += i; nDel += d
+      }
+      SyncStats(start.synced, head, frags, tombs, nIns, nDel)
+    } finally { proj.unpersist(); () }
   }
 
   /** One sub-index's maintenance for ONE table version: fragment the
@@ -569,12 +642,14 @@ object AnnIndex {
       } ++ add, m.currentVersion + 1)
     }
 
-  /** Family sync: per unsynced table version, ONE CDF read feeds every
-    * sub-index — each sub takes its slice's inserts/deletes against
-    * its OWN manifest and synced cursor (a crash between subs resumes
-    * exactly: only the behind subs replay the version). A change row
-    * whose filter value has no sub-index refuses loudly — it would
-    * otherwise vanish from serving silently. */
+  /** Family sync: ONE windowed CDF read feeds every sub-index across
+    * every unsynced table version (r18 verdict item 2 extended the
+    * one-read-per-version routing to one read per WINDOW) — each sub
+    * takes its slice's inserts/deletes against its OWN manifest and
+    * synced cursor (a crash between subs resumes exactly: only the
+    * behind subs replay their versions, off a fresh window read). A
+    * change row whose filter value has no sub-index — or a NULL one —
+    * refuses loudly; it would otherwise vanish from serving silently. */
   private def syncFamily(s: SparkSession, tablePath: String,
       root: Path): SyncStats = {
     val fam = loadFamily(root)
@@ -583,40 +658,51 @@ object AnnIndex {
     if (head <= start) return SyncStats(start, start, 0, 0, 0, 0)
     val subCents = fam.subs.map(k =>
       k -> s.read.parquet(load(fam.subRoot(k)).baseCentroids)).toMap
-    var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
-    ((start + 1) to head).foreach { w =>
-      val cdf = s.read.format("graft-docstore").option("path", tablePath)
-        .option("readChangeFeed", "true")
-        .option("startingVersion", w.toString)
-        .option("endingVersion", w.toString).load()
-      val proj = project(cdf, fam.idCol, fam.vecCol, fam.labelCol,
-        Some(fam.filterCol)).persist()
-      try {
-        // ONE routing pre-pass: per-src change counts. Unknown filter
-        // values refuse loudly (they would vanish from serving
-        // silently), and a sub with ZERO rows in this version takes a
-        // metadata-only cursor advance — no Spark jobs at all
-        val perSub = proj.groupBy(col("src")).count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val unknown = perSub.keySet -- fam.subs.toSet
-        require(unknown.isEmpty,
-          s"change rows carry ${fam.filterCol} values with no " +
-            s"sub-index (${unknown.mkString(",")}) — CALL ann_drop + " +
-            "ann_build to re-partition")
+    val proj = project(readChanges(s, tablePath, start + 1, head),
+      fam.idCol, fam.vecCol, fam.labelCol, Some(fam.filterCol)).persist()
+    try {
+      // ONE routing pre-pass for the WHOLE window: per-(version, src)
+      // change counts in a single aggregation. Unknown filter values
+      // refuse loudly (they would vanish from serving silently) — and
+      // so do NULL filter values, which the same silent-vanish
+      // argument covers (r18 advice: project() used to drop them
+      // before this check could see them). A (sub, version) with ZERO
+      // rows takes a metadata-only cursor advance — no Spark jobs
+      val counted = proj
+        .groupBy(col("_commit_version"), col("src")).count().collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      counted.collectFirst { case (_, None, n) => n }.foreach { n =>
+        throw new IllegalStateException(
+          s"ann_sync: $n change rows carry NULL ${fam.filterCol} — " +
+            "no sub-index can serve them; refusing the sync")
+      }
+      val perVerSub =
+        counted.collect { case (w, Some(k), n) => (w, k) -> n }.toMap
+      val unknown = perVerSub.keySet.map(_._2) -- fam.subs.toSet
+      require(unknown.isEmpty,
+        s"change rows carry ${fam.filterCol} values with no " +
+          s"sub-index (${unknown.mkString(",")}) — CALL ann_drop + " +
+          "ann_build to re-partition")
+      var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
+      ((start + 1) to head).foreach { w =>
         fam.subs.foreach { k =>
           if (load(fam.subRoot(k)).synced == w - 1) {
-            if (perSub.getOrElse(k, 0L) == 0L)
+            if (perVerSub.getOrElse((w, k), 0L) == 0L)
               commitSynced(fam.subRoot(k), w, Seq.empty)
             else {
               val (f, t, i, d) = syncVersion(s, fam.subRoot(k),
-                subCents(k), proj.filter(col("src") === k).drop("src"), w)
+                subCents(k),
+                proj.filter(col("_commit_version") === w &&
+                  col("src") === k)
+                  .drop("_commit_version", "src"), w)
               frags += f; tombs += t; nIns += i; nDel += d
             }
           }
         }
-      } finally { proj.unpersist(); () }
-    }
-    SyncStats(start, head, frags, tombs, nIns, nDel)
+      }
+      SyncStats(start, head, frags, tombs, nIns, nDel)
+    } finally { proj.unpersist(); () }
   }
 
   /** The table version a `frag-<v>` / `tomb-<v>` layer carries. */
@@ -836,13 +922,32 @@ object AnnIndex {
         !coveredCells(root.resolve(f).resolve("cells")).subsetOf(newer) ||
           f == foldRel
       }.map(_._1)
+      val published = m.currentVersion + 1
       m.publish(es.filter(e =>
           e._1 != "frag" && e._1 != "tomb" && e._1 != "fold") ++
-        keptFolds.map(("fold", _)), m.currentVersion + 1)
+        keptFolds.map(("fold", _)), published)
       (curFrags ++ curTombs ++ folds.filterNot(keptFolds.contains))
         .foreach { rel =>
           graft.core.Fs.deleteRecursively(root.resolve(rel)); retired += 1
         }
+      // manifest retention (r18 verdict item 4): sync publishes one
+      // MANIFEST.v<n> per table version, forever — an unbounded
+      // small-file leak under the "runs forever" posture. Older
+      // versions also reference the fragment/tombstone dirs this
+      // commit just deleted, so they are dangling the moment the swap
+      // lands; expire everything below the fold's own version
+      // (mirroring the table's expire_snapshots contract, q154).
+      // Readers are unaffected: the current snapshot is resolved from
+      // the atomically-renamed MANIFEST, never from version copies.
+      val expired = {
+        val s2 = Files.list(root)
+        try s2.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("MANIFEST.v") &&
+            n.stripPrefix("MANIFEST.v").toInt < published)
+          .toVector
+        finally s2.close()
+      }
+      expired.foreach(n => Files.delete(root.resolve(n)))
     }
     FoldStats(L.frags.size.toLong, L.tombs.size.toLong,
       affected.size.toLong, retired)

@@ -34,17 +34,26 @@ class AnnIndexSpec extends SparkSpec {
       cell -> (vs.map(_._1).transpose.map(_.sum).toArray, vs.size.toLong)
     }
 
-  private def assignCell(q: Vec, cents: Map[Long, (Vec, Long)]): Long =
-    cents.toSeq.map { case (cell, (sv, c)) =>
-      (q.indices.map(i => { val d = c * q(i) - sv(i); d * d }).sum, cell)
-    }.minBy(identity)._2
+  // count-normalized distance-to-mean ||q - sv/c||^2 (r18 advice),
+  // recomputed with local arithmetic in the SAME op sequence as the
+  // engine: exact integer numerator, one int->double rounding, double
+  // denominator product, one division — bit-identical doubles
+  private def cellDist(q: Vec, sv: Vec, c: Long): Double = {
+    val num = q.indices.map(i => { val d = c * q(i) - sv(i); d * d }).sum
+    num.toDouble / (c.toDouble * c.toDouble)
+  }
 
-  // minBy over (d, cell) pairs — Ordering[(Long, Long)] is lexicographic,
-  // which is exactly the probe's (distance, label) tie-break
+  private def assignCell(q: Vec, cents: Map[Long, (Vec, Long)]): Long =
+    cents.toSeq.map { case (cell, (sv, c)) => (cellDist(q, sv, c), cell) }
+      .minBy(identity)._2
+
+  // minBy over (d, cell) pairs — Ordering[(Double, Long)] is
+  // lexicographic, which is exactly the probe's (distance, label)
+  // tie-break
   private def bestCells(q: Vec, cents: Map[Long, (Vec, Long)],
       nprobe: Int): Seq[Long] =
     cents.toSeq.filter(_._2._2 > 0).map { case (cell, (sv, c)) =>
-      (q.indices.map(i => { val d = c * q(i) - sv(i); d * d }).sum, cell)
+      (cellDist(q, sv, c), cell)
     }.sorted.take(nprobe).map(_._2)
 
   /** (neighbor_id, cell, is_new, cosine) rows the serve must return:
@@ -409,6 +418,63 @@ class AnnIndexSpec extends SparkSpec {
       .contains("no sub-index"))
   }
 
+  test("windowed sync: ONE change-feed read covers the whole unsynced " +
+      "range while the manifest still commits once per table version") {
+    val (s, path) = freshCat("annwd")
+    ins(s, "annwd", base)
+    s.sql("CALL annwd.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val pinned = centroids(state)
+    // three table commits pend before ONE sync call: two arrival
+    // batches and a delete that targets a row from the FIRST batch
+    // (cross-version resolution inside the window)
+    val a1 = Seq((101L, 9L, Array(1000L, 0L, 0L, 7L): Vec))
+    val a2 = Seq((111L, 9L, Array(0L, 1000L, 0L, 7L): Vec))
+    ins(s, "annwd", a1)
+    ins(s, "annwd", a2)
+    s.sql("DELETE FROM annwd.default.t WHERE doc_id IN (101, 21)")
+    val reads0 = AnnIndex.cdfReads.get()
+    val sy = s.sql("CALL annwd.system.ann_sync('default.t', 'v')").head
+    assert(AnnIndex.cdfReads.get() == reads0 + 1,
+      s"sync must read the change feed ONCE for the whole window, " +
+        s"issued ${AnnIndex.cdfReads.get() - reads0} reads")
+    assert(sy.getLong(2) == 2 && sy.getLong(3) == 1 &&
+      sy.getLong(4) == 2 && sy.getLong(5) == 2,
+      s"expected 2 frags / 1 tomb / 2 ins / 2 del, got $sy")
+    // one manifest commit PER version: 3 versions -> synced advanced 3
+    // times past the build manifest (v0), so current version is 3
+    val root = AnnIndex.dirFor(path, "v")
+    assert(new AnnIndex.Manifest(root).currentVersion == 3,
+      "the crash contract needs one manifest version per table version")
+    state ++= (a1 ++ a2).map { case (id, _, v) =>
+      id -> (v, assignCell(v, pinned), true) }
+    state --= Seq(101L, 21L)
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    checkServe(s, path, Array(0L, 1L, 1000L, 0L), state)
+    // manifest retention (r18 verdict item 4): before the fold, one
+    // MANIFEST.v<n> per synced version has accumulated (v0..v3); the
+    // fold publishes v4 and EXPIRES everything below it — a reader on
+    // the current MANIFEST (load + serve) is unaffected
+    assert((0 to 3).forall(n =>
+      Files.exists(root.resolve(s"MANIFEST.v$n"))),
+      "pre-fold: every synced version retains a manifest copy")
+    s.sql("CALL annwd.system.ann_fold('default.t', 'v')")
+    val kept = {
+      val l = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("MANIFEST.v")).toVector.sorted
+      } finally l.close()
+    }
+    assert(kept == Vector("MANIFEST.v4"),
+      s"fold must expire manifest versions below its own publish: $kept")
+    assert(new AnnIndex.Manifest(root).currentVersion == 4)
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    checkServe(s, path, Array(0L, 1L, 1000L, 0L), state)
+  }
+
   test("crash-rerun: orphaned layer dirs from a crashed attempt never " +
       "wedge sync or build") {
     val (s, path) = freshCat("anncr")
@@ -443,6 +509,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(d.length == 1 && d(0).getString(0) == "" &&
       d(0).getLong(2) == 3 && d(0).getLong(3) == 1 &&
       d(0).getLong(4) == 0, s"detail: ${d.toSeq}")
+  }
+
+  test("system.vacuum against a table WITH a live index is " +
+      "non-collateral: segments reclaimed, index intact, serve identical") {
+    val (s, path) = freshCat("annvc")
+    ins(s, "annvc", base)
+    s.sql("CALL annvc.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    // leave the index with PENDING layers (frag + tomb) so the walk
+    // crosses a populated _ann tree, not just the base
+    ins(s, "annvc", Seq((101L, 9L, Array(1000L, 0L, 0L, 7L))))
+    s.sql("DELETE FROM annvc.default.t WHERE doc_id = 2")
+    s.sql("CALL annvc.system.ann_sync('default.t', 'v')")
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    state += 101L -> (Array(1000L, 0L, 0L, 7L): Vec, 0L, true)
+    state --= Seq(2L)
+    import s.implicits._
+    val q: Vec = Array(1000L, 1L, 0L, 0L)
+    val qs = Seq((900L, q.toSeq, dot(q, q))).toDF("qid", "qv", "qn")
+    val before = AnnIndex.serve(s, path, "v", qs).collect().toSeq
+    val detBefore = AnnIndex.detail(path, "v")
+    // compaction rewrites table segments -> dead .gds for vacuum to
+    // actually reclaim (a 0-file vacuum would prove nothing)
+    s.sql("CALL annvc.system.optimize('default.t', 1)")
+    val vac = s.sql("CALL annvc.system.vacuum('default.t')").head
+    assert(vac.getLong(0) > 0,
+      s"fixture must reclaim real segment files, got $vac")
+    // the layout contract (AnnIndex.scala header): vacuum touches only
+    // .gds segments — every index file survives, the manifest resolves,
+    // and the serve is row-identical
+    assert(AnnIndex.serve(s, path, "v", qs).collect().toSeq == before,
+      "serve must be unchanged across vacuum")
+    assert(AnnIndex.detail(path, "v") == detBefore,
+      "index metadata must be unchanged across vacuum")
+    checkServe(s, path, q, state)
   }
 
   test("lifecycle guards: double build refuses, no-op sync/fold, " +

@@ -131,6 +131,20 @@ class BenchJsonSpec extends AnyFunSuite {
     val ve = mapper.readTree(withErr)
     assert(ve.get("queries_min").get(names.head).asDouble ==
       ve.get("queries").get(names.head).asDouble)
+    // r18 verdict item 3: the box-drift canary fields are present and
+    // consistent with the min series (both canary queries are real,
+    // carried registry entries — renaming either must break this pin)
+    assert(names.contains(Bench.CanaryZero) &&
+      names.contains(Bench.CanaryScale),
+      "canary queries must exist in the registry")
+    val c = v.get("canary")
+    assert(c != null, "sidecar must carry the canary object")
+    assert(c.get("zero").asText == Bench.CanaryZero)
+    assert(c.get("scale").asText == Bench.CanaryScale)
+    assert(c.get("zero_sec").asDouble ==
+      qm.get(Bench.CanaryZero).asDouble)
+    assert(c.get("scale_sec").asDouble ==
+      qm.get(Bench.CanaryScale).asDouble)
   }
 
   test("committed bench sidecar (when present) reconciles sum-vs-wall at full resolution") {
@@ -165,6 +179,19 @@ class BenchJsonSpec extends AnyFunSuite {
       v.get("queries").fieldNames().asScala.foreach { n =>
         assert(qm.get(n).asDouble <= v.get("queries").get(n).asDouble + 1e-9,
           s"$n: min exceeds official")
+      }
+    }
+    // r19+ sidecars carry the drift canary; when present it must
+    // match the min series it was derived from
+    if (v.has("canary")) {
+      val c = v.get("canary")
+      assert(c.get("zero").asText == Bench.CanaryZero &&
+        c.get("scale").asText == Bench.CanaryScale)
+      if (v.has("queries_min")) {
+        assert(c.get("zero_sec").asDouble ==
+          v.get("queries_min").get(Bench.CanaryZero).asDouble)
+        assert(c.get("scale_sec").asDouble ==
+          v.get("queries_min").get(Bench.CanaryScale).asDouble)
       }
     }
   }
