@@ -25,9 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    same rows as CALL system.history).
   *  - `partitions`: per-partition-directory rollup — identifier,
   *    segment/row/byte totals (DV-adjusted).
+  *  - `ann`: one row per (vector column, sub-index scope) of every
+  *    ANN index living under the table's `_ann/` dir — the SQL
+  *    discovery face of `CALL system.ann_detail` (r18 verdict item
+  *    6: a SQL-only consumer had no way to learn an index exists
+  *    without calling a procedure). Zero rows when no index exists;
+  *    metadata-only (manifest + partition-dir listings).
   */
 object DocStoreMetaTables {
-  val KINDS: Set[String] = Set("files", "history", "partitions")
+  val KINDS: Set[String] = Set("files", "history", "partitions", "ann")
 
   /** ONE implementation of the version-log rows — shared by `CALL
     * system.history` and the `.history` metadata table, so the two
@@ -80,6 +86,14 @@ class DocStoreMetaTable(path: String, kind: String)
       StructField("bytes", LongType, nullable = false),
       StructField("is_current", BooleanType, nullable = false),
       StructField("committed_at", TimestampType, nullable = false)))
+    case "ann" => StructType(Seq(
+      StructField("vec_column", StringType, nullable = false),
+      StructField("scope", StringType, nullable = false),
+      StructField("synced_version", LongType, nullable = false),
+      StructField("cells", LongType, nullable = false),
+      StructField("fragments", LongType, nullable = false),
+      StructField("tombstones", LongType, nullable = false),
+      StructField("folds", LongType, nullable = false)))
     case _ => StructType(Seq(
       StructField("partition", StringType, nullable = false),
       StructField("n_segments", LongType, nullable = false),
@@ -93,6 +107,7 @@ class DocStoreMetaTable(path: String, kind: String)
   override def partitioning(): Array[Transform] = Array.empty
 
   private def rows(): Array[InternalRow] = {
+    if (kind == "ann") return annRows()
     val (segs, dvs) = DocStore.readManifestAndDeletes(path)
     def dvCount(name: String): Long =
       dvs.get(name).map(_.length.toLong).getOrElse(0L)
@@ -126,6 +141,33 @@ class DocStoreMetaTable(path: String, kind: String)
             ps.map(_.bytes).sum)): InternalRow
         }.toArray
     }
+  }
+
+  /** One row per (vector column, sub-index scope): the discovery face
+    * of `CALL system.ann_detail`, empty (never an error) when the
+    * table has no index — "does this table have ANN indexes?" is the
+    * query this relation exists to answer. Crashed-build debris (a
+    * vec-col dir with no published manifest) is unreachable state and
+    * is skipped, matching every other reader. */
+  private def annRows(): Array[InternalRow] = {
+    val annRoot = Paths.get(path, "_ann")
+    if (!Files.exists(annRoot)) return Array.empty
+    val cols = {
+      val l = Files.list(annRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+      } finally l.close()
+    }
+    cols.filter(c => new AnnIndex.Manifest(annRoot.resolve(c)).exists)
+      .flatMap { c =>
+        AnnIndex.detail(path, c).map { d =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(c), UTF8String.fromString(d.scope),
+            d.synced, d.cells, d.fragments, d.tombstones,
+            d.folds)): InternalRow
+        }
+      }.toArray
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -401,6 +401,14 @@ class AnnIndexSpec extends SparkSpec {
       .toSeq.sorted
     assert(det == Seq(("src=0", 1L, 1L), ("src=1", 0L, 0L)),
       s"family detail rows: $det")
+    // the SQL discovery face (r18 verdict item 6): the same story
+    // through the `.ann` metadata table — no procedure call needed
+    val meta = s.sql("SELECT vec_column, scope, fragments, tombstones " +
+        "FROM annfm.default.t.ann ORDER BY scope")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(meta == Seq(("v", "src=0", 1L, 1L), ("v", "src=1", 0L, 0L)),
+      s"ann meta-table rows: $meta")
     // fold compacts src 0 only; src 1 still has no fold dirs
     val f = s.sql("CALL annfm.system.ann_fold('default.t', 'v')").head
     assert(f.getLong(0) == 1 && f.getLong(1) == 1, s"family fold: $f")
@@ -550,7 +558,14 @@ class AnnIndexSpec extends SparkSpec {
       "drop + rebuild, manifest refuses comma entries") {
     val (s, path) = freshCat("anngd")
     ins(s, "anngd", base)
+    // no index yet: the .ann metadata table answers with ZERO rows —
+    // discovery must never error on an unindexed table
+    assert(s.sql("SELECT * FROM anngd.default.t.ann").count() == 0)
     s.sql("CALL anngd.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    val metaRows = s.sql("SELECT vec_column, scope, cells FROM " +
+        "anngd.default.t.ann").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(metaRows == Seq(("v", "", 3L)), s"ann meta rows: $metaRows")
     val ex = intercept[Exception](s.sql(
       "CALL anngd.system.ann_build('default.t', 'doc_id', 'v', 'cell')"))
     assert(ex.getMessage.contains("already exists"), ex.getMessage)
