@@ -91,8 +91,14 @@ object EmbedOps {
     * integer form c^2*||q - sv/c||^2 biased probing toward low-count
     * cells; see [[graft.sources.AnnIndex.cellDist]] for the
     * exactness + cross-engine-determinism argument). */
-  private def cellDist(qv: Column, sv: Column, c: Column): Column =
-    graft.sources.AnnIndex.cellDist(qv, sv, c)
+  private def cellDist(qv: Column, sv: Column, c: Column,
+      qn: Column, sn: Column): Column =
+    graft.sources.AnnIndex.cellDist(qv, sv, c, qn, sn)
+
+  /** Per-cell ||sv||^2 staged before the query crossJoin — see
+    * [[graft.sources.AnnIndex.withCentNorm]]. */
+  private def withCentNorm(cents: DataFrame): DataFrame =
+    graft.sources.AnnIndex.withCentNorm(cents)
 
   /** The oracle twin of [[cellDist]]: exact HUGEINT numerator (order-
     * independent integer sum, no 64-bit wrap), ONE correctly-rounded
@@ -247,8 +253,9 @@ object EmbedOps {
       val qs = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"))
       // count-normalized distance to every centroid mean: ||q - sv/c||²
-      val dist = qs.crossJoin(broadcast(centroids))
-        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
+      val dist = qs.crossJoin(broadcast(withCentNorm(centroids)))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c"),
+          col("qn"), col("sn")))
       val wp = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
         .filter(col("pr") <= 3)
@@ -341,8 +348,9 @@ object EmbedOps {
       val qs = quantized(s, dir)
         .filter(col("vec_id") >= 5 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"))
-      val dist = qs.crossJoin(broadcast(centroids))
-        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
+      val dist = qs.crossJoin(broadcast(withCentNorm(centroids)))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c"),
+          col("qn"), col("sn")))
       val wp = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
         .filter(col("pr") <= 3)
@@ -1130,8 +1138,9 @@ object EmbedOps {
       val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"))
-      val dist = qs.crossJoin(broadcast(upd))
-        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
+      val dist = qs.crossJoin(broadcast(withCentNorm(upd)))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c"),
+          col("qn"), col("sn")))
       val wp = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
@@ -1181,8 +1190,9 @@ object EmbedOps {
       val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"))
-      val dist = qs.crossJoin(broadcast(cents))
-        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
+      val dist = qs.crossJoin(broadcast(withCentNorm(cents)))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c"),
+          col("qn"), col("sn")))
       val wp = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
@@ -1290,8 +1300,9 @@ object EmbedOps {
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"),
           pmod(col("vec_id") + 1, lit(3)).as("filt"))
-      val dist = qs.crossJoin(broadcast(cents))
-        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
+      val dist = qs.crossJoin(broadcast(withCentNorm(cents)))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c"),
+          col("qn"), col("sn")))
       val wp = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("label").asc)
       val probe = dist.withColumn("pr", row_number().over(wp))
@@ -1559,8 +1570,9 @@ object EmbedOps {
         val qs = s.read.parquet(s"$idx/vectors").filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("q").as("qv"),
             col("nn").as("qn"))
-        val dist = qs.crossJoin(broadcast(cents))
-          .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
+        val dist = qs.crossJoin(broadcast(withCentNorm(cents)))
+          .withColumn("d", cellDist(col("qv"), col("sv"), col("c"),
+            col("qn"), col("sn")))
         val wp = Window.partitionBy(col("qid"))
           .orderBy(col("d").asc, col("label").asc)
         val probe = dist.withColumn("pr", row_number().over(wp))
@@ -1768,8 +1780,9 @@ object EmbedOps {
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("nn").as("qn"))
       def dist(cents: DataFrame): DataFrame = qs
-        .crossJoin(broadcast(cents))
-        .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
+        .crossJoin(broadcast(withCentNorm(cents)))
+        .withColumn("d", cellDist(col("qv"), col("sv"), col("c"),
+          col("qn"), col("sn")))
       val wp = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("label").asc)
       def top2(d: DataFrame): DataFrame = d
@@ -2838,8 +2851,9 @@ object EmbedOps {
       // cell is the assignment's output, not an input
       val newb = quantized(s, dir).filter(col("vec_id") % 10 === 0)
         .drop("label")
-      val ad = newb.crossJoin(broadcast(centroids))
-        .withColumn("d", cellDist(col("q"), col("sv"), col("c")))
+      val ad = newb.crossJoin(broadcast(withCentNorm(centroids)))
+        .withColumn("d", cellDist(col("q"), col("sv"), col("c"),
+          col("nn"), col("sn")))
       val wa = Window.partitionBy(col("vec_id"))
         .orderBy(col("d").asc, col("label").asc)
       ad.withColumn("ar", row_number().over(wa))
@@ -3051,8 +3065,9 @@ object EmbedOps {
   private[graft] def annStateServeBy(qs: DataFrame, cents0: DataFrame,
       poolOf: Seq[Any] => DataFrame): DataFrame = {
     val cents = cents0.filter(col("c") > 0)
-    val dist = qs.crossJoin(broadcast(cents))
-      .withColumn("d", cellDist(col("qv"), col("sv"), col("c")))
+    val dist = qs.crossJoin(broadcast(withCentNorm(cents)))
+      .withColumn("d", cellDist(col("qv"), col("sv"), col("c"),
+        col("qn"), col("sn")))
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("d").asc, col("label").asc)
     val probe = dist.withColumn("pr", row_number().over(wp))
@@ -3148,8 +3163,9 @@ object EmbedOps {
           .filter(col("vec_id") % 10 === 0 &&
             pmod(expr("vec_id div 10"), lit(3)) === k)
           .drop("label")
-        val ad = batch.crossJoin(broadcast(centroids))
-          .withColumn("d", cellDist(col("q"), col("sv"), col("c")))
+        val ad = batch.crossJoin(broadcast(withCentNorm(centroids)))
+          .withColumn("d", cellDist(col("q"), col("sv"), col("c"),
+            col("nn"), col("sn")))
         val wa = Window.partitionBy(col("vec_id"))
           .orderBy(col("d").asc, col("label").asc)
         val vecs = java.nio.file.Paths.get(p, s"frag-$k", "vectors")
