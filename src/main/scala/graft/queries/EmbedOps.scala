@@ -2802,27 +2802,25 @@ object EmbedOps {
             (col("synced_version") - lit(built)).as("synced_delta"),
             col("cells"), col("fragments"), col("tombstones"),
             col("folds"))
-      // materialize the pre-fold snapshot BEFORE the fold mutates the
-      // index (the relation reads live state lazily)
-      val pending = snap("pending").persist()
-      pending.count()
+      // pin the pre-fold snapshot DRIVER-SIDE before the fold mutates
+      // the index — a persist() would be advisory only: an evicted
+      // partition of the lazy metadata relation would recompute
+      // against post-fold state and flip the 'pending' row silently
+      // (r19 review)
+      val pre = snap("pending")
+      val preRows = pre.collect().toSeq
       sc.sql("CALL graft_cat_ad.system.ann_fold('default.vecs', 'q')")
       // retention through the procedure surface: build v0 + two sync
       // commits (v1, v2) + the fold's v3 — the fold keeps ONLY v3
       val idxRoot = graft.sources.AnnIndex.dirFor(root.resolve("cat")
         .resolve("default").resolve("vecs").toString, "q")
-      val keptVs = {
-        val l = java.nio.file.Files.list(idxRoot)
-        try {
-          import scala.jdk.CollectionConverters._
-          l.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("MANIFEST.v")).toVector.sorted
-        } finally l.close()
-      }
-      require(keptVs == Vector("MANIFEST.v3"),
+      val keptVs = new graft.sources.AnnIndex.Manifest(idxRoot).versionCopies
+      require(keptVs == Seq(3),
         s"ann_fold must expire manifest versions below its publish, " +
           s"kept: $keptVs")
-      pending.unionByName(snap("folded")).orderBy("phase")
+      import scala.jdk.CollectionConverters._
+      sc.createDataFrame(preRows.asJava, pre.schema)
+        .unionByName(snap("folded")).orderBy("phase")
     }
   )
 

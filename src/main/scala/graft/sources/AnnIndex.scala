@@ -220,19 +220,26 @@ object AnnIndex {
     def read(): Seq[(String, String)] =
       Files.readAllLines(mf).asScala.toSeq
         .map(_.split(",", 2)).map(a => (a(0), a(1)))
-    /** Highest published version, -1 if none. */
-    def currentVersion: Int =
-      if (!Files.exists(root)) -1
+    /** Version numbers of the retained `MANIFEST.v<n>` copies — the
+      * ONE owner of the name format (fold expiry, currentVersion, and
+      * the retention pins all read through here; r19 review). */
+    def versionCopies: Seq[Int] =
+      if (!Files.exists(root)) Seq.empty
       else {
         val s = Files.list(root)
-        val vs =
-          try s.iterator().asScala
-            .map(_.getFileName.toString)
-            .filter(_.startsWith("MANIFEST.v"))
-            .map(_.stripPrefix("MANIFEST.v").toInt).toVector
-          finally s.close()
-        if (vs.isEmpty) -1 else vs.max
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("MANIFEST.v"))
+          .map(_.stripPrefix("MANIFEST.v").toInt).toVector.sorted
+        finally s.close()
       }
+    /** Expire retained copies strictly below `v` (the current
+      * MANIFEST file is untouched — readers resolve from it). */
+    def expireCopiesBelow(v: Int): Unit =
+      versionCopies.filter(_ < v)
+        .foreach(n => Files.delete(root.resolve(s"MANIFEST.v$n")))
+    /** Highest published version, -1 if none. */
+    def currentVersion: Int = versionCopies.lastOption.getOrElse(-1)
     def publish(entries: Seq[(String, String)], v: Int): Unit = {
       // read() splits on the FIRST comma — refuse loudly in the only
       // writer rather than silently corrupt a reader's layer set
@@ -690,11 +697,10 @@ object AnnIndex {
         .groupBy(col("_commit_version"), col("src")).count().collect()
         .map(r => (r.getLong(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
-      counted.collectFirst { case (_, None, n) => n }.foreach { n =>
-        throw new IllegalStateException(
-          s"ann_sync: $n change rows carry NULL ${fam.filterCol} — " +
-            "no sub-index can serve them; refusing the sync")
-      }
+      val nullRows = counted.collect { case (_, None, n) => n }.sum
+      if (nullRows > 0) throw new IllegalStateException(
+        s"ann_sync: $nullRows change rows carry NULL ${fam.filterCol} " +
+          "— no sub-index can serve them; refusing the sync")
       val perVerSub =
         counted.collect { case (w, Some(k), n) => (w, k) -> n }.toMap
       val unknown = perVerSub.keySet.map(_._2) -- fam.subs.toSet
@@ -957,15 +963,7 @@ object AnnIndex {
       // (mirroring the table's expire_snapshots contract, q154).
       // Readers are unaffected: the current snapshot is resolved from
       // the atomically-renamed MANIFEST, never from version copies.
-      val expired = {
-        val s2 = Files.list(root)
-        try s2.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("MANIFEST.v") &&
-            n.stripPrefix("MANIFEST.v").toInt < published)
-          .toVector
-        finally s2.close()
-      }
-      expired.foreach(n => Files.delete(root.resolve(n)))
+      m.expireCopiesBelow(published)
     }
     FoldStats(L.frags.size.toLong, L.tombs.size.toLong,
       affected.size.toLong, retired)
@@ -990,6 +988,94 @@ object AnnIndex {
       val fam = loadFamily(root)
       fam.subs.map(k => rowOf(s"${fam.filterCol}=$k", fam.subRoot(k)))
     } else Seq(rowOf("", root))
+  }
+
+  /** Every PUBLISHED index root under `tablePath/_ann`, flattened to
+    * (vecCol, scope, root) — family subs listed individually, crashed
+    * builds (no manifest) skipped. Directory metadata only. */
+  private def publishedRoots(tablePath: String): Seq[(String, String, Path)] = {
+    val annRoot = Paths.get(tablePath, "_ann")
+    if (!Files.exists(annRoot)) return Seq.empty
+    val cols = {
+      val l = Files.list(annRoot)
+      try l.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+      finally l.close()
+    }
+    cols.flatMap { c =>
+      val root = annRoot.resolve(c)
+      if (!new Manifest(root).exists) Seq.empty
+      else if (isFamily(root))
+        loadFamily(root).subs.map(k => (c, s"src=$k", root.resolve(s"src=$k")))
+      else Seq((c, "", root))
+    }
+  }
+
+  /** Guard for CONTENT-destroying history resets (TRUNCATE, INSERT
+    * OVERWRITE truncate commits, CREATE OR REPLACE): the index would
+    * keep serving rows the reset just destroyed, silently. Refuse
+    * while any index is published — `CALL system.ann_drop` first,
+    * rebuild after (r19 review: vacuum's version renumbering already
+    * desynced the cursor; content resets are strictly worse). */
+  def refuseContentReset(tablePath: String, op: String): Unit = {
+    val cols = publishedRoots(tablePath).map(_._1).distinct
+    require(cols.isEmpty,
+      s"$op would invalidate the ANN index(es) on column(s) " +
+        s"${cols.mkString(", ")} — the index would keep serving " +
+        "destroyed rows. CALL system.ann_drop first and ann_build " +
+        "after the reset")
+  }
+
+  /** Pre-check for a CONTENT-PRESERVING history reset (vacuum): every
+    * index must be synced past the last DATA-CHANGING table version,
+    * because the reset deletes the retained version manifests the
+    * change feed replays from — an index still behind could never
+    * catch up and its unsynced changes would silently never serve.
+    * Unsynced `dataChange=false` rewrites (OPTIMIZE) are exempt: the
+    * change feed skips them, so skipping them in the cursor loses
+    * nothing. Runs BEFORE anything is deleted so the refusal aborts
+    * cleanly. */
+  def requireSyncedForHistoryReset(tablePath: String, oldHead: Long): Unit =
+    publishedRoots(tablePath).foreach { case (c, scope, root) =>
+      val synced = load(root).synced
+      val pendingData = ((synced + 1) to oldHead).filterNot(v =>
+        DocStoreCommitOps.isRewriteCommit(tablePath, v))
+      require(pendingData.isEmpty,
+        s"vacuum resets version history, but the ann index on '$c'" +
+          (if (scope.isEmpty) "" else s" ($scope)") +
+          s" is synced to $synced and data-changing version(s) " +
+          s"${pendingData.mkString(",")} pend — their change feed " +
+          "would become unreadable. CALL system.ann_sync first " +
+          "(or ann_drop)")
+    }
+
+  /** Re-anchor every index's synced cursor after the reset renumbered
+    * the table's history (vacuum reseeds at version `newCurrent`, so
+    * the next commit is newCurrent+1): without this, the stale cursor
+    * makes the windowed sync see head <= synced and silently no-op
+    * while new arrivals never index (r19 review finding).
+    *
+    * Pending layers are COMPACTED first: fragment/tombstone dirs are
+    * named by the TABLE version that produced them (`frag-<v>`), so
+    * the renumbered era would eventually reuse a name an old-era
+    * layer still holds — the sync's crash-orphan clearing would then
+    * destroy committed, reachable data — and versioned tombstone
+    * visibility is undefined across eras. Fold levels are named by
+    * the INDEX-LOCAL manifest version, which never resets, so a
+    * folded index re-anchors with zero cross-era state. */
+  def rebaseAfterHistoryReset(tablePath: String, newCurrent: Long): Unit = {
+    val roots = publishedRoots(tablePath)
+    if (roots.isEmpty) return
+    val s = SparkSession.active
+    roots.foreach { case (_, _, root) =>
+      foldOne(s, root)
+      DocStoreCommitOps.withCommitLock(root.toString) {
+        val m = new Manifest(root)
+        m.publish(m.read().map {
+          case ("synced", _) => ("synced", newCurrent.toString)
+          case e => e
+        }, m.currentVersion + 1)
+      }
+    }
   }
 
   /** Drop the index directory (the table is untouched). */

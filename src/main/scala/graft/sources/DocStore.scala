@@ -3572,8 +3572,10 @@ class DocStoreBatchWrite(path: String, schema: StructType,
       val next = DocStoreCommitOps.claimPartNumbers(path,
         DocStoreCommitOps.stagedOf(messages).count(_.rows > 0))
       // truncate rewrites the data old versions reference → history reset
-      if (truncate && Files.exists(Paths.get(path)))
+      if (truncate && Files.exists(Paths.get(path))) {
+        AnnIndex.refuseContentReset(path, "INSERT OVERWRITE (truncate)")
         DocStoreCommitOps.clearVersions(path)
+      }
       val fresh = DocStoreCommitOps.publish(path, messages, keep, queryId,
         i => f"part-${next + i}%05d.gds", keepDv, manifestName,
         newTxns = txn.toMap)
@@ -3647,8 +3649,10 @@ class DocStoreStreamingWrite(path: String, schema: StructType,
       } else {
         val keep = if (truncate) Seq.empty else old
         val keepDv = if (truncate) Map.empty[String, Array[Long]] else dvs
-        if (truncate && Files.exists(Paths.get(path)))
+        if (truncate && Files.exists(Paths.get(path))) {
+          AnnIndex.refuseContentReset(path, "streaming complete-mode truncate")
           DocStoreCommitOps.clearVersions(path) // history reset, as in batch
+        }
         val fresh = DocStoreCommitOps.publish(path, messages, keep,
           s"$queryId-e$epochId", i => f"$prefix$i%05d.gds", keepDv)
         if (truncate)

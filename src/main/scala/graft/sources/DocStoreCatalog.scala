@@ -924,6 +924,7 @@ class DocStoreStagedTable(staging: Path, finalDir: Path,
       // old versions reference the replaced content → history reset
       // FIRST, so the metadata moves below sit directly against the
       // publication point
+      AnnIndex.refuseContentReset(finalDir.toString, "CREATE OR REPLACE")
       DocStoreCommitOps.clearVersions(finalDir.toString)
       // replace may change the evolved schema, props, or partition
       // spec; absence in the staged table means ABSENT in the result,
@@ -1081,6 +1082,7 @@ class DocStoreSqlTable(path: String, manifest: String = "MANIFEST")
       s"cannot TRUNCATE: table has unpublished branches " +
         s"(${DocStoreBranches.list(path).mkString(", ")}) — publish or " +
         "drop them first")
+    AnnIndex.refuseContentReset(path, "TRUNCATE")
     DocStoreCommitOps.withCommitLock(path) {
       DocStoreCommitOps.persistPartNumberFloor(path)
       DocStoreCommitOps.clearVersions(path)

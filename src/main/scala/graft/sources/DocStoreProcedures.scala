@@ -77,6 +77,14 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     var files = 0L
     var bytes = 0L
     DocStoreCommitOps.withCommitLock(dir.toString) {
+      // ANN indexes survive vacuum physically (.gds-only reclaim), but
+      // the history reset below RENUMBERS versions — an index synced
+      // behind the pre-reset head could never replay its pending
+      // changes (their retained manifests are about to go), so refuse
+      // BEFORE anything is deleted; fully-synced cursors re-anchor to
+      // the new numbering after the reset (r19 review finding)
+      if (!dryRun) AnnIndex.requireSyncedForHistoryReset(dir.toString,
+        DocStoreCommitOps.nextVersion(dir.toString) - 1)
       // unpublished branch segments are NOT dead: their manifests are
       // additional liveness roots until published or dropped
       val live = DocStore.readManifest(dir.toString).map(_.name).toSet ++
@@ -118,6 +126,9 @@ class VacuumProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
         DocStoreCommitOps.assertLockFence(dir.toString)
         DocStoreCommitOps.clearVersions(dir.toString)
         Files.copy(dir.resolve("MANIFEST"), dir.resolve("MANIFEST.v1"))
+        // the new numbering's current version is 1 — re-anchor every
+        // index cursor so the next commit (version 2) syncs normally
+        AnnIndex.rebaseAfterHistoryReset(dir.toString, 1L)
       }
     }
     result(SCHEMA, Seq(new GenericInternalRow(Array[Any](files, bytes))))

@@ -468,15 +468,8 @@ class AnnIndexSpec extends SparkSpec {
       Files.exists(root.resolve(s"MANIFEST.v$n"))),
       "pre-fold: every synced version retains a manifest copy")
     s.sql("CALL annwd.system.ann_fold('default.t', 'v')")
-    val kept = {
-      val l = Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        l.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("MANIFEST.v")).toVector.sorted
-      } finally l.close()
-    }
-    assert(kept == Vector("MANIFEST.v4"),
+    val kept = new AnnIndex.Manifest(root).versionCopies
+    assert(kept == Seq(4),
       s"fold must expire manifest versions below its own publish: $kept")
     assert(new AnnIndex.Manifest(root).currentVersion == 4)
     checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
@@ -549,9 +542,51 @@ class AnnIndexSpec extends SparkSpec {
     // and the serve is row-identical
     assert(AnnIndex.serve(s, path, "v", qs).collect().toSeq == before,
       "serve must be unchanged across vacuum")
-    assert(AnnIndex.detail(path, "v") == detBefore,
-      "index metadata must be unchanged across vacuum")
+    // vacuum RENUMBERED history (next commit is version 2); the index
+    // cursor re-anchored to the new numbering (r19 review: a stale
+    // cursor made post-vacuum syncs silently no-op forever) and the
+    // pending layers compacted into a fold level first — frag-<v>/
+    // tomb-<v> names belong to the OLD numbering and a new-era sync
+    // landing on a still-held name would clobber committed data
+    assert(detBefore.map(d => (d.fragments, d.tombstones, d.folds)) ==
+      Seq((1L, 1L, 0L)), "fixture: layers must pend before vacuum")
+    assert(AnnIndex.detail(path, "v") ==
+      detBefore.map(_.copy(synced = 1L, fragments = 0L,
+        tombstones = 0L, folds = 1L)),
+      "vacuum must fold pending layers and rebase the cursor")
     checkServe(s, path, q, state)
+    // ...and post-vacuum arrivals index + serve normally
+    ins(s, "annvc", Seq((102L, 9L, Array(1000L, 0L, 0L, 9L))))
+    val sy2 = s.sql("CALL annvc.system.ann_sync('default.t', 'v')").head
+    assert(sy2.getLong(2) == 1 && sy2.getLong(4) == 1,
+      s"post-vacuum sync must index the arrival, got $sy2")
+    state += 102L -> (Array(1000L, 0L, 0L, 9L): Vec, 0L, true)
+    checkServe(s, path, q, state)
+  }
+
+  test("history resets refuse while an index would silently desync: " +
+      "vacuum with a behind cursor, TRUNCATE with any index") {
+    val (s, path) = freshCat("annrs")
+    ins(s, "annrs", base)
+    s.sql("CALL annrs.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    // an unsynced commit pends: vacuum would delete the retained
+    // manifests its change feed replays from — must refuse, and the
+    // pending change must still sync afterwards
+    ins(s, "annrs", Seq((101L, 9L, Array(1000L, 0L, 0L, 7L))))
+    val ex = intercept[Exception](
+      s.sql("CALL annrs.system.vacuum('default.t')"))
+    assert(ex.getMessage.contains("ann_sync first"), ex.getMessage)
+    val sy = s.sql("CALL annrs.system.ann_sync('default.t', 'v')").head
+    assert(sy.getLong(4) == 1, s"the pending change must survive: $sy")
+    // content-destroying resets refuse outright — the index would keep
+    // serving destroyed rows
+    val ex2 = intercept[Exception](
+      s.sql("TRUNCATE TABLE annrs.default.t"))
+    assert(ex2.getMessage.contains("ann_drop"), ex2.getMessage)
+    // after ann_drop the same TRUNCATE proceeds
+    s.sql("CALL annrs.system.ann_drop('default.t', 'v')")
+    s.sql("TRUNCATE TABLE annrs.default.t")
+    assert(s.sql("SELECT * FROM annrs.default.t").count() == 0)
   }
 
   test("lifecycle guards: double build refuses, no-op sync/fold, " +
