@@ -2821,6 +2821,115 @@ object EmbedOps {
       import scala.jdk.CollectionConverters._
       sc.createDataFrame(preRows.asJava, pre.schema)
         .unionByName(snap("folded")).orderBy("phase")
+    },
+
+    Q("q228_ann_rebuild",
+      "Zero-downtime REINDEX (r19, beyond the list): the coarse " +
+        "quantizer is PINNED at build time — the invariant that makes " +
+        "folds commute and fragment assignment arrival-order-" +
+        "independent — so as the corpus drifts, arrival assignment " +
+        "degrades and the only remedy used to be ann_drop + ann_build " +
+        "with serve downtime. CALL system.ann_rebuild builds a fresh " +
+        "base + quantizer from the table's CURRENT snapshot under an " +
+        "ERA-NAMED dir (base-<n>) while readers keep resolving the " +
+        "live manifest, then flips it with ONE atomic manifest " +
+        "publish — a reader is entirely pre- or entirely post-rebuild " +
+        "— and retires every old layer (base, fragments, tombstones, " +
+        "folds) plus expired manifest copies only after the swap. " +
+        "Pending layers need no replay: the snapshot already holds " +
+        "every synced and unsynced change, so a rebuild also heals a " +
+        "behind index. The gate builds, syncs an insert + a MoR " +
+        "delete commit, rebuilds, asserts the post-swap manifest " +
+        "holds ONLY the new era (old dirs physically gone, cursor at " +
+        "head), and serves — the oracle is a FRESH BUILD over the " +
+        "live rows (label-column cells, nothing is_new): " +
+        "rebuild == build-from-scratch is the swap's correctness " +
+        "contract. At 100 TB this is the nightly/weekly retrain every " +
+        "IVF deployment schedules, priced at one corpus pass with " +
+        "zero serve interruption.",
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, label, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        live AS (SELECT * FROM nz
+                 WHERE NOT (vec_id % 7 = 3 AND vec_id % 10 <> 0)),
+        cellsum AS (SELECT label, i, SUM(q[i+1])::BIGINT AS s
+                    FROM live CROSS JOIN (SELECT unnest(range($DIM)) AS i) idx
+                    GROUP BY 1, 2),
+        cent AS (SELECT label, array_agg(s ORDER BY i) AS sv
+                 FROM cellsum GROUP BY 1),
+        cnt AS (SELECT label, COUNT(*)::BIGINT AS c FROM live GROUP BY 1),
+        cc AS (SELECT cent.label, sv, c
+               FROM cent JOIN cnt ON cent.label = cnt.label),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM live
+               WHERE vec_id < 5),
+        dist AS (SELECT qid, cc.label, qv, qn,
+                        ${oCellDist("qv")} AS d
+                 FROM qs CROSS JOIN cc),
+        probe AS (SELECT qid, label, qv, qn FROM (
+                    SELECT qid, label, qv, qn,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY d, label) AS pr
+                    FROM dist) WHERE pr <= 2),
+        cand AS (SELECT qid, live.vec_id AS neighbor_id, live.label,
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS cos
+                 FROM probe JOIN live ON live.label = probe.label
+                                     AND live.vec_id <> probe.qid),
+        r AS (SELECT qid AS query_id, neighbor_id, label AS cell, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand)
+        SELECT query_id, rnk::INT AS rnk, neighbor_id, cell,
+               FALSE AS is_new, ROUND(cos, 6) AS cosine
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")) { (s, dir) =>
+      val root = graft.core.Fs.rotatingTempRoot("q228_annrb")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_rb" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_rb.root" ->
+          root.resolve("cat").toString)
+      sc.sql("CREATE NAMESPACE graft_cat_rb.default")
+      sc.sql("CREATE TABLE graft_cat_rb.default.vecs (" +
+        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+        "source STRING, text STRING) TBLPROPERTIES " +
+        "('graft.rowlevel.mode' = 'merge-on-read')")
+      sc.sql("ALTER TABLE graft_cat_rb.default.vecs ADD COLUMNS " +
+        "(vlabel INT, q ARRAY<BIGINT>)")
+      quantizedStaged(sc, dir).createOrReplaceTempView("q228_src")
+      def ins(where: String): Unit =
+        sc.sql("INSERT INTO graft_cat_rb.default.vecs " +
+          "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
+          s"FROM q228_src WHERE $where")
+      ins("vec_id % 10 <> 0")
+      sc.sql("CALL graft_cat_rb.system.ann_build(" +
+        "'default.vecs', 'doc_id', 'q', 'vlabel')")
+      ins("vec_id % 10 = 0")
+      sc.sql("DELETE FROM graft_cat_rb.default.vecs " +
+        "WHERE doc_id % 7 = 3 AND doc_id % 10 <> 0")
+      sc.sql("CALL graft_cat_rb.system.ann_sync('default.vecs', 'q')")
+      val tablePath = root.resolve("cat").resolve("default")
+        .resolve("vecs").toString
+      val rb = sc.sql("CALL graft_cat_rb.system.ann_rebuild(" +
+        "'default.vecs', 'q')").head()
+      val idxRoot = graft.sources.AnnIndex.dirFor(tablePath, "q")
+      val L = graft.sources.AnnIndex.load(idxRoot)
+      // the swap's post-state, asserted in-gate: ONLY the new era
+      // base serves (cursor at the rebuild head, no pending layers),
+      // and the old era's dirs are physically unreachable AND gone
+      require(L.synced == rb.getLong(1) && L.base.startsWith("base-") &&
+        L.frags.isEmpty && L.tombs.isEmpty && L.folds.isEmpty,
+        s"post-rebuild manifest must hold only the new era: $L")
+      require(!java.nio.file.Files.exists(idxRoot.resolve("base")),
+        "the old era's base dir must be deleted after the swap")
+      val qs = sc.sql("SELECT doc_id, n_chars, q FROM " +
+          "graft_cat_rb.default.vecs WHERE doc_id < 5")
+        .select(col("doc_id").as("qid"), col("q").as("qv"),
+          col("n_chars").as("qn"))
+      val out = graft.sources.AnnIndex.serve(sc, tablePath, "q", qs)
+        .withColumn("cell", col("cell").cast("int"))
+      out.persist()
+      out
     }
   )
 

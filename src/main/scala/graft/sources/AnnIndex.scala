@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, I
   *   CALL cat.system.ann_build('ns.t', 'doc_id', 'vec', 'cell')
   *   CALL cat.system.ann_sync('ns.t', 'vec')   -- CDF-driven, both change types
   *   CALL cat.system.ann_fold('ns.t', 'vec')   -- compact + retire
+  *   CALL cat.system.ann_rebuild('ns.t', 'vec') -- fresh quantizer, atomic swap
   *   CALL cat.system.ann_drop('ns.t', 'vec')
   * }}}
   *
@@ -988,6 +989,155 @@ object AnnIndex {
       val fam = loadFamily(root)
       fam.subs.map(k => rowOf(s"${fam.filterCol}=$k", fam.subRoot(k)))
     } else Seq(rowOf("", root))
+  }
+
+  /** Zero-downtime REINDEX from the table's CURRENT snapshot — the
+    * quantizer-refresh step every IVF deployment eventually needs:
+    * the coarse quantizer is PINNED at build time (what makes folds
+    * commute), so as the corpus drifts, arrival assignment degrades
+    * and the only remedy used to be ann_drop + ann_build (serve
+    * downtime, and the family's unknown-filter-value refusal told
+    * users to do exactly that). Rebuild is downtime-free:
+    *
+    *  - the new base layer is built under an ERA-NAMED dir
+    *    (`base-<n>`, n = the index manifest's next version) while
+    *    readers keep resolving the current manifest untouched;
+    *  - ONE atomic manifest publish (the existing rename contract)
+    *    flips `base` to the new era with `synced` = the snapshot
+    *    head and ZERO fragment/tombstone/fold entries — a reader is
+    *    entirely pre-rebuild or entirely post-rebuild;
+    *  - the old era's layers (base, folds, fragments, tombstones)
+    *    are deleted only AFTER the swap made them unreachable, and
+    *    retained manifest copies below the publish expire with them.
+    *
+    * Pending layers need no replay: the snapshot at `head` already
+    * contains every synced AND unsynced change, so the rebuild also
+    * heals an index that had fallen behind. The label column re-seeds
+    * the quantizer from the CURRENT rows (rows that arrived through
+    * sync contribute their own labels now). For a FAMILY, the sub
+    * SET is re-derived from the current snapshot's filter values —
+    * new values gain self-contained subs, vanished values' subs are
+    * dropped — each sub swapping through its own manifest, the
+    * family manifest publishing the new sub list last. Crash-rerun:
+    * unpublished era/staging dirs are unreachable debris, cleared on
+    * the next attempt; a concurrent index commit between the era
+    * build and the swap fails the version conflict check and refuses
+    * (rerun rebuilds against the new state). */
+  def rebuild(tablePath: String, vecCol: String): BuildStats = {
+    val s = SparkSession.active
+    val root = dirFor(tablePath, vecCol)
+    require(new Manifest(root).exists,
+      s"no ann index at $root — CALL system.ann_build first")
+    val head = DocStoreCommitOps.nextVersion(tablePath) - 1
+    val snap = s.read.format("graft-docstore").option("path", tablePath)
+      .option("manifest", s"MANIFEST.v$head").load()
+    if (isFamily(root)) return rebuildFamily(s, tablePath, root, snap, head)
+    val L = load(root)
+    val v = project(snap, L.idCol, L.vecCol, L.labelCol).persist()
+    try {
+      require(v.take(1).nonEmpty,
+        s"ann_rebuild over '$vecCol' found no indexable vectors — " +
+          "refusing to swap the index away")
+      val era = s"base-${new Manifest(root).currentVersion + 1}"
+      graft.core.Fs.deleteRecursively(root.resolve(era))
+      v.write.partitionBy("label")
+        .parquet(root.resolve(era).resolve("vectors").toString)
+      centroidTable(v).write
+        .parquet(root.resolve(era).resolve("centroids").toString)
+      val r = v.agg(count_distinct(col("label")), count(lit(1))).head()
+      swapToEra(root, s"${L.idCol}|${L.vecCol}|${L.labelCol}", era, head)
+      BuildStats(root.toString, head, r.getLong(0), r.getLong(1))
+    } finally { v.unpersist(); () }
+  }
+
+  /** The rebuild's atomic flip: publish a manifest whose ONLY layer
+    * is the new era base, conflict-checked against concurrent index
+    * commits, then delete the old era's now-unreachable layers. */
+  private def swapToEra(root: Path, cols: String, era: String,
+      head: Long): Unit =
+    DocStoreCommitOps.withCommitLock(root.toString) {
+      val m = new Manifest(root)
+      val published = m.currentVersion + 1
+      require(era == s"base-$published",
+        s"concurrent index commit during ann_rebuild (expected to " +
+          s"publish ${era.stripPrefix("base-")}, next is $published); " +
+          "rerun the rebuild")
+      // a brand-new family sub has no manifest yet — nothing to retire
+      val old = if (!m.exists) Seq.empty else m.read().collect {
+        case (k, p) if Set("base", "fold", "frag", "tomb")(k) => p }
+      m.publish(Seq(("cols", cols), ("synced", head.toString),
+        ("base", era)), published)
+      old.foreach(p => graft.core.Fs.deleteRecursively(root.resolve(p)))
+      m.expireCopiesBelow(published)
+    }
+
+  private def rebuildFamily(s: SparkSession, tablePath: String,
+      root: Path, snap: DataFrame, head: Long): BuildStats = {
+    val fam = loadFamily(root)
+    val cols = s"${fam.idCol}|${fam.vecCol}|${fam.labelCol}"
+    val v = project(snap, fam.idCol, fam.vecCol, fam.labelCol,
+      Some(fam.filterCol)).persist()
+    try {
+      require(v.take(1).nonEmpty,
+        s"ann_rebuild found no indexable vectors — refusing to swap " +
+          "the family away")
+      val stage = root.resolve(".stage-rebuild")
+      graft.core.Fs.deleteRecursively(stage)
+      v.write.partitionBy("src", "label").parquet(stage.toString)
+      val stagedDirs = {
+        val l = Files.list(stage)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("src=")).toVector
+        finally l.close()
+      }
+      if (stagedDirs.exists(_.contains("__HIVE_DEFAULT_PARTITION__"))) {
+        graft.core.Fs.deleteRecursively(stage)
+        throw new IllegalArgumentException(
+          s"ann_rebuild: rows with NULL '${fam.filterCol}' cannot " +
+            "join any sub-index — refusing the rebuild")
+      }
+      val srcs = stagedDirs.map(_.stripPrefix("src=").toLong).sorted
+      val centRows = centroidTable(v, Seq("src"))
+        .select(col("src"), col("label"), col("sv"), col("c"))
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue(),
+          r.getAs[Number](1).longValue(),
+          r.getSeq[Long](2), r.getLong(3)))
+      var cells = 0L; var vecs = 0L
+      srcs.foreach { k =>
+        val sub = root.resolve(s"src=$k")
+        val era = s"base-${new Manifest(sub).currentVersion + 1}"
+        graft.core.Fs.deleteRecursively(sub.resolve(era))
+        Files.createDirectories(sub.resolve(era))
+        Files.move(stage.resolve(s"src=$k"),
+          sub.resolve(era).resolve("vectors"))
+        val mine = centRows.filter(_._1 == k)
+          .map { case (_, l, sv, c) => (l, sv, c) }.toSeq
+        import s.implicits._
+        mine.toDF("label", "sv", "c").coalesce(1).write
+          .parquet(sub.resolve(era).resolve("centroids").toString)
+        swapToEra(sub, cols, era, head)
+        cells += mine.size; vecs += mine.map(_._3).sum
+      }
+      graft.core.Fs.deleteRecursively(stage)
+      DocStoreCommitOps.withCommitLock(root.toString) {
+        val m = new Manifest(root)
+        m.publish(Seq(("cols", cols), ("filter", fam.filterCol)) ++
+          srcs.map(k => ("sub", k.toString)), m.currentVersion + 1)
+      }
+      // subs for VANISHED filter values (and any prior crash's orphan
+      // sub dirs) are unreachable once the family manifest stopped
+      // listing them — delete after the publish
+      val keep = srcs.map(k => s"src=$k").toSet
+      val orphans = {
+        val l = Files.list(root)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("src=") && !keep(n)).toVector
+        finally l.close()
+      }
+      orphans.foreach(n => graft.core.Fs.deleteRecursively(root.resolve(n)))
+      BuildStats(root.toString, head, cells, vecs)
+    } finally { v.unpersist(); () }
   }
 
   /** Every PUBLISHED index root under `tablePath/_ann`, flattened to

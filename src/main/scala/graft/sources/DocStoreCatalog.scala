@@ -148,6 +148,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "ann_sync") => new AnnSyncProcedure(this)
       case (Seq("system"), "ann_fold") => new AnnFoldProcedure(this)
       case (Seq("system"), "ann_drop") => new AnnDropProcedure(this)
+      case (Seq("system"), "ann_rebuild") => new AnnRebuildProcedure(this)
       case (Seq("system"), "ann_detail") => new AnnDetailProcedure(this)
       case _ => throw new RuntimeException(
         s"no such docstore procedure: $ident (try system.vacuum / " +
@@ -155,7 +156,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
           "system.expire_snapshots / system.create_branch / " +
           "system.publish_branch / system.drop_branch / " +
           "system.ann_build / system.ann_sync / system.ann_fold / " +
-          "system.ann_drop / system.ann_detail)")
+          "system.ann_drop / system.ann_rebuild / system.ann_detail)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -172,6 +173,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "ann_sync"),
         Identifier.of(namespace, "ann_fold"),
         Identifier.of(namespace, "ann_drop"),
+        Identifier.of(namespace, "ann_rebuild"),
         Identifier.of(namespace, "ann_detail"))
     else Array.empty
 

@@ -1394,6 +1394,39 @@ class AnnDropProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
   }
 }
 
+/** `CALL cat.system.ann_rebuild('ns.t', vec_col)` — zero-downtime
+  * reindex from the table's current snapshot: a fresh base + coarse
+  * quantizer build under an era-named dir, flipped live by ONE
+  * atomic manifest publish; old layers retire after the swap. The
+  * quantizer-refresh step for corpus drift, and the one-call answer
+  * to the family's unknown-filter-value refusal (the sub set is
+  * re-derived — new values gain subs, vanished values drop). See
+  * [[AnnIndex.rebuild]]. */
+class AnnRebuildProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "ann_rebuild"
+  override def description(): String =
+    "rebuild an ANN index from the current snapshot with a fresh " +
+      "coarse quantizer — one atomic manifest swap, serve stays live"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("index_dir", StringType, nullable = false),
+    StructField("built_at_version", LongType, nullable = false),
+    StructField("cells", LongType, nullable = false),
+    StructField("vectors", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val st = AnnIndex.rebuild(dir.toString,
+      input.getUTF8String(1).toString)
+    result(SCHEMA, Seq(new GenericInternalRow(Array[Any](
+      UTF8String.fromString(st.indexDir), st.builtAtVersion,
+      st.cells, st.vectors))))
+  }
+}
+
 /** `CALL cat.system.ann_detail('ns.t', vec_col)` — the index's
   * DESCRIBE DETAIL: one row per (sub-)index with the synced cursor
   * and layer counts, resolved entirely from manifests and partition

@@ -512,6 +512,108 @@ class AnnIndexSpec extends SparkSpec {
       d(0).getLong(4) == 0, s"detail: ${d.toSeq}")
   }
 
+  test("ann_rebuild: fresh quantizer from the current snapshot, one " +
+      "atomic swap, old layers retired, sync continues against it") {
+    val (s, path) = freshCat("annrb")
+    ins(s, "annrb", base)
+    s.sql("CALL annrb.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    // arrivals carry label 9 — the PINNED quantizer has no cell 9, so
+    // sync assigns them into cells 0/1; after the rebuild their label
+    // column re-seeds the quantizer and cell 9 exists
+    ins(s, "annrb", Seq((101L, 9L, Array(1000L, 0L, 0L, 7L)),
+      (111L, 9L, Array(0L, 1000L, 0L, 7L))))
+    s.sql("DELETE FROM annrb.default.t WHERE doc_id = 2")
+    s.sql("CALL annrb.system.ann_sync('default.t', 'v')")
+    val rb = s.sql("CALL annrb.system.ann_rebuild('default.t', 'v')").head
+    assert(rb.getLong(2) == 4 && rb.getLong(3) == 19,
+      s"rebuild must re-seed 4 cells (0,1,2,9) over 19 live rows: $rb")
+    val root = AnnIndex.dirFor(path, "v")
+    val L = AnnIndex.load(root)
+    assert(L.frags.isEmpty && L.tombs.isEmpty && L.folds.isEmpty &&
+      L.base.startsWith("base-"),
+      s"post-rebuild manifest must hold ONLY the new era base: $L")
+    assert(!Files.exists(root.resolve("base")),
+      "the old era's base dir must be retired after the swap")
+    assert(new AnnIndex.Manifest(root).versionCopies.size == 1,
+      "rebuild expires manifest copies below its publish")
+    // oracle state: every live row under its LABEL column cell,
+    // nothing is_new — exactly a fresh build over the current rows
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      (base.filter(_._1 != 2L) ++ Seq(
+        (101L, 9L, Array(1000L, 0L, 0L, 7L): Vec),
+        (111L, 9L, Array(0L, 1000L, 0L, 7L): Vec)))
+        .map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    checkServe(s, path, Array(0L, 1000L, 1L, 0L), state)
+    // maintenance continues against the REFRESHED quantizer
+    val pinned2 = centroids(state)
+    ins(s, "annrb", Seq((102L, 9L, Array(990L, 0L, 0L, 9L))))
+    val sy2 = s.sql("CALL annrb.system.ann_sync('default.t', 'v')").head
+    assert(sy2.getLong(4) == 1, s"post-rebuild sync must index: $sy2")
+    state += 102L -> (Array(990L, 0L, 0L, 9L): Vec,
+      assignCell(Array(990L, 0L, 0L, 9L), pinned2), true)
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+  }
+
+  test("family ann_rebuild re-derives the sub set: new filter values " +
+      "gain subs (the refusal's one-call answer), vanished values drop") {
+    val (s, path) = freshCat("annrf")
+    import s.implicits._
+    val fam = base.map { case (id, cell, v) => (id, cell, 0L, v) } ++
+      base.map { case (id, cell, v) => (id + 100L, cell, 1L, v) } ++
+      base.take(6).map { case (id, cell, v) => (id + 200L, cell, 2L, v) }
+    s.sql("ALTER TABLE annrf.default.t ADD COLUMNS (src INT)")
+    s.sql("INSERT INTO annrf.default.t VALUES " + fam.map {
+      case (id, cell, src, v) =>
+        s"($id, 0, 'x', 's', '', $cell, array(${v.mkString(",")}L), $src)"
+    }.mkString(", "))
+    s.sql("CALL annrf.system.ann_build(" +
+      "'default.t', 'doc_id', 'v', 'cell', 'src')")
+    val root = AnnIndex.dirFor(path, "v")
+    assert(AnnIndex.loadFamily(root).subs == Seq(0L, 1L, 2L))
+    // a NEW filter value arrives and src 2 vanishes entirely — sync
+    // refuses the unknown value (it has no sub-index to live in)...
+    s.sql("INSERT INTO annrf.default.t VALUES " +
+      "(300, 0, 'x', 's', '', 0, array(1000,0,0,3), 3), " +
+      "(301, 0, 'x', 's', '', 1, array(0,1000,0,3), 3)")
+    s.sql("DELETE FROM annrf.default.t WHERE src = 2")
+    val ex = intercept[Exception](
+      s.sql("CALL annrf.system.ann_sync('default.t', 'v')"))
+    assert(ex.getMessage.contains("no sub-index"), ex.getMessage)
+    // ...and ann_rebuild is the one-call answer: sub 3 exists, sub 2
+    // is gone, every sub rebuilt from the current snapshot
+    val rb = s.sql("CALL annrf.system.ann_rebuild('default.t', 'v')").head
+    assert(rb.getLong(3) == 38, s"38 live rows across 3 subs: $rb")
+    val fam2 = AnnIndex.loadFamily(root)
+    assert(fam2.subs == Seq(0L, 1L, 3L), s"re-derived subs: ${fam2.subs}")
+    assert(!Files.exists(root.resolve("src=2")),
+      "the vanished value's sub dir must be deleted")
+    def checkF(src: Long, q: Vec,
+        st: Map[Long, (Vec, Long, Boolean)]): Unit = {
+      val qs = Seq((900L, q.toSeq, dot(q, q))).toDF("qid", "qv", "qn")
+      val got = AnnIndex.serve(s, path, "v", qs, filter = Some(src))
+        .collect().map(r => (r.getLong(2), r.getAs[Number](3).longValue(),
+          r.getBoolean(4), r.getDouble(5)))
+      val want = expectedServe(q, st, centroids(st), 2, 3).map {
+        case (id, cell, isNew, c) => (id, cell, isNew,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      assert(got.toSeq == want, s"src=$src serve mismatch vs hand oracle")
+    }
+    val st0: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val st3: Map[Long, (Vec, Long, Boolean)] = Map(
+      300L -> (Array(1000L, 0L, 0L, 3L): Vec, 0L, false),
+      301L -> (Array(0L, 1000L, 0L, 3L): Vec, 1L, false))
+    checkF(0L, Array(1000L, 1L, 0L, 0L), st0)
+    checkF(3L, Array(1000L, 1L, 0L, 0L), st3)
+    assert(intercept[IllegalArgumentException](AnnIndex.serve(
+      s, path, "v", Seq((900L, Seq(1000L, 0L, 0L, 0L), 1000000L))
+        .toDF("qid", "qv", "qn"), filter = Some(2L))).getMessage
+      .contains("no sub-index"))
+  }
+
   test("system.vacuum against a table WITH a live index is " +
       "non-collateral: segments reclaimed, index intact, serve identical") {
     val (s, path) = freshCat("annvc")
