@@ -1198,6 +1198,27 @@ object AnnIndex {
           "(or ann_drop)")
     }
 
+  /** Guard for RETENTION expiry (expire_snapshots): the change-feed
+    * diff for table version v reads the retained manifests of v AND
+    * v-1, so an index synced to s still needs versions s..head
+    * retained until its next sync. Dropping one would strand the
+    * index permanently (the later sync fails loudly on the missing
+    * manifest with no way to catch up short of a rebuild) — refuse
+    * instead, before anything is deleted. */
+  def requireCdfReplayable(tablePath: String, drop: Seq[Long]): Unit =
+    if (drop.nonEmpty) publishedRoots(tablePath).foreach {
+      case (c, scope, root) =>
+        val synced = load(root).synced
+        val clash = drop.filter(_ >= synced)
+        require(clash.isEmpty,
+          s"expire_snapshots would drop version(s) " +
+            s"${clash.mkString(",")} that the ann index on '$c'" +
+            (if (scope.isEmpty) "" else s" ($scope)") +
+            s" (synced to $synced) still needs for change-feed " +
+            "replay — CALL system.ann_sync first (or ann_drop / " +
+            "ann_rebuild)")
+    }
+
   /** Re-anchor every index's synced cursor after the reset renumbered
     * the table's history (vacuum reseeds at version `newCurrent`, so
     * the next commit is newCurrent+1): without this, the stale cursor

@@ -64,7 +64,7 @@ object DocStoreCdcPlanner {
       if (DocStoreCommitOps.isRewriteCommit(path, ver))
         Seq.empty[InputPartition]
       else {
-        val (added, removed, fromDv, toDv, dvDelta) =
+        val (added, removed, fromDv, toDv, dvDelta, dvUndelta) =
           DocStoreCdf.snapshotDiff(path, ver - 1, ver)
         val inserts = added.map(s =>
           DocStoreCdcPartition(dir.resolve(s.name).toString, s.name,
@@ -78,7 +78,15 @@ object DocStoreCdcPlanner {
           DocStoreCdcPartition(dir.resolve(seg.name).toString, seg.name,
             Array.empty, delta, "delete", ver, seg.schemaGen)
         }
-        inserts ++ removes ++ dvDeletes
+        // reinstated positions (system.restore across a MoR DELETE
+        // republishes the smaller pre-delete vector) re-enter the
+        // feed as emit-only-these-positions 'insert' partitions —
+        // without them every CDC consumer silently missed un-deletes
+        val dvInserts = dvUndelta.map { case (seg, und) =>
+          DocStoreCdcPartition(dir.resolve(seg.name).toString, seg.name,
+            Array.empty, und, "insert", ver, seg.schemaGen)
+        }
+        inserts ++ removes ++ dvDeletes ++ dvInserts
       }
     }.toArray
   }

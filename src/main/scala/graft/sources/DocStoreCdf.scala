@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *    delete+insert pairs — exactly Delta CDF's behavior without row
   *    tracking);
   *  - segments in both → positions dead in `to` but alive in `from`
-  *    (the deletion-vector delta) are **deletes**; everything else is
-  *    untouched and never scanned.
+  *    (the deletion-vector delta) are **deletes**, and positions alive
+  *    in `to` but dead in `from` (possible only through
+  *    `system.restore` republishing a pre-delete vector) are
+  *    **inserts** — reinstated rows; everything else is untouched and
+  *    never scanned.
   *
   * The scans read ONLY the changed files, via the format's `manifest`
   * (version face) + `segments` (explicit name subset) read options —
@@ -62,6 +65,7 @@ object DocStoreCdf {
   def snapshotDiff(path: String, fromV: Long, toV: Long)
       : (Seq[DocStore.Segment], Seq[DocStore.Segment],
          Map[String, Array[Long]], Map[String, Array[Long]],
+         Seq[(DocStore.Segment, Array[Long])],
          Seq[(DocStore.Segment, Array[Long])]) = {
     require(fromV <= toV, s"snapshotDiff: fromV $fromV > toV $toV")
     def read(at: Long) =
@@ -88,7 +92,20 @@ object DocStoreCdf {
       val delta = toDv.getOrElse(n, Array.empty[Long]).filterNot(before).sorted
       if (delta.isEmpty) None else Some(toByName(n) -> delta)
     }
-    (added, removed, fromDv, toDv, dvDelta)
+    // positions alive in `to` but dead in `from` — UN-deletes. The
+    // "DVs only grow" write discipline means DML never produces these,
+    // but system.restore across a MoR DELETE republishes the smaller
+    // pre-delete vector, REINSTATING rows: without this component the
+    // change feed emitted nothing for them and every CDC consumer
+    // (streams, incremental dedup, the ANN index) silently served a
+    // stale world (r19: found by the restore-replay spec, which is
+    // exactly the audit Delta's RESTORE-emits-CDF contract implies)
+    val dvUndelta = (fromNames & toNames).toSeq.sorted.flatMap { n =>
+      val after = toDv.getOrElse(n, Array.empty[Long]).toSet
+      val und = fromDv.getOrElse(n, Array.empty[Long]).filterNot(after).sorted
+      if (und.isEmpty) None else Some(toByName(n) -> und)
+    }
+    (added, removed, fromDv, toDv, dvDelta, dvUndelta)
   }
 
   /** One commit's change faces, from the SHARED [[snapshotDiff]]
@@ -100,12 +117,14 @@ object DocStoreCdf {
   private def commitChanges(s: SparkSession, path: String,
       v: Long): Seq[DataFrame] = {
     if (DocStoreCommitOps.isRewriteCommit(path, v)) return Seq.empty
-    val (addedSegs, removedSegs, _, _, dvDeltaSegs) =
+    val (addedSegs, removedSegs, _, _, dvDeltaSegs, dvUndeltaSegs) =
       snapshotDiff(path, v - 1, v)
     val added = addedSegs.map(_.name)
     val removed = removedSegs.map(_.name)
     val dvDelta: Seq[(String, Long)] =
       dvDeltaSegs.flatMap { case (seg, ps) => ps.map(seg.name -> _) }
+    val dvUndelta: Seq[(String, Long)] =
+      dvUndeltaSegs.flatMap { case (seg, ps) => ps.map(seg.name -> _) }
 
     val dataCols = DocStore.tableSchema(path).fieldNames.toSeq
     def face(manifest: String, names: Seq[String]): DataFrame =
@@ -136,7 +155,23 @@ object DocStoreCdf {
               alive("_pos") === delta("_pos_d")),
           "delete"))
       }
-    (inserts.toSeq ++ removals ++ dvRemovals)
+    // the un-delete face (restore across a MoR DELETE): rows alive in
+    // `to` but dead in `from` re-enter the feed as inserts, read from
+    // the TO manifest where they are visible again
+    val dvReinstates =
+      if (dvUndelta.isEmpty) None
+      else {
+        import s.implicits._
+        val und = dvUndelta.toDF("_seg_u", "_pos_u")
+        val aliveNow = face(s"MANIFEST.v$v", dvUndelta.map(_._1).distinct)
+          .select((dataCols.map(col) :+ col("_segment") :+ col("_pos")): _*)
+        Some(tagged(
+          aliveNow.join(broadcast(und),
+            aliveNow("_segment") === und("_seg_u") &&
+              aliveNow("_pos") === und("_pos_u")),
+          "insert"))
+      }
+    (inserts.toSeq ++ removals ++ dvRemovals ++ dvReinstates)
   }
 
   def changesBetween(s: SparkSession, path: String,

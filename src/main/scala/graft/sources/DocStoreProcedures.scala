@@ -516,6 +516,10 @@ class ExpireSnapshotsProcedure(catalog: DocStoreCatalog) extends DocStoreProcedu
           else Vector.empty
       }
       if (drop.nonEmpty) {
+        // an ANN index synced behind the expiry horizon could never
+        // replay its pending change feed (the dropped manifests are
+        // the diff bases) — refuse before the first mutation (r19)
+        AnnIndex.requireCdfReplayable(dir.toString, drop)
         val kept = versions.filterNot(drop.toSet)
         // a file survives if ANY kept version or the live manifest
         // references it. Kept manifests are read WITH their deletion

@@ -691,6 +691,71 @@ class AnnIndexSpec extends SparkSpec {
     assert(s.sql("SELECT * FROM annrs.default.t").count() == 0)
   }
 
+  test("expire_snapshots refuses to drop versions a behind index still " +
+      "needs for change-feed replay; proceeds once synced") {
+    val (s, path) = freshCat("annex")
+    ins(s, "annex", base)
+    s.sql("CALL annex.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    // several commits pend unsynced; an expiry that dropped their
+    // manifests would strand the index (the CDF diff bases vanish)
+    ins(s, "annex", Seq((101L, 9L, Array(1000L, 0L, 0L, 7L))))
+    ins(s, "annex", Seq((111L, 9L, Array(0L, 1000L, 0L, 7L))))
+    ins(s, "annex", Seq((121L, 9L, Array(0L, 0L, 1000L, 7L))))
+    val ex = intercept[Exception](s.sql(
+      "CALL annex.system.expire_snapshots('default.t', 1)"))
+    assert(ex.getMessage.contains("change-feed replay"), ex.getMessage)
+    // sync first, then the same expiry proceeds — and the index keeps
+    // working against commits made after the expiry
+    s.sql("CALL annex.system.ann_sync('default.t', 'v')")
+    val exp = s.sql(
+      "CALL annex.system.expire_snapshots('default.t', 1)").head
+    assert(exp.getLong(0) > 0, s"expiry must drop versions now: $exp")
+    ins(s, "annex", Seq((102L, 9L, Array(1000L, 0L, 0L, 9L))))
+    val sy = s.sql("CALL annex.system.ann_sync('default.t', 'v')").head
+    assert(sy.getLong(4) == 1, s"post-expiry sync must index: $sy")
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val pinned = centroids(state)
+    state ++= Seq(
+      (101L, Array(1000L, 0L, 0L, 7L): Vec),
+      (111L, Array(0L, 1000L, 0L, 7L): Vec),
+      (121L, Array(0L, 0L, 1000L, 7L): Vec),
+      (102L, Array(1000L, 0L, 0L, 9L): Vec))
+      .map { case (id, v) => id -> (v, assignCell(v, pinned), true) }
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+  }
+
+  test("RESTORE routes through ann_sync like any commit: reinstated " +
+      "rows re-index as inserts, the restored serve matches the oracle") {
+    val (s, path) = freshCat("annrt")
+    ins(s, "annrt", base)
+    s.sql("CALL annrt.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    val goodV = graft.sources.DocStoreCommitOps.nextVersion(path) - 1
+    // a bad DELETE lands and the index follows it (tombstones)
+    s.sql("DELETE FROM annrt.default.t WHERE doc_id IN (2, 3)")
+    s.sql("CALL annrt.system.ann_sync('default.t', 'v')")
+    var state: Map[Long, (Vec, Long, Boolean)] =
+      base.filterNot(r => Set(2L, 3L)(r._1))
+        .map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val pinned = centroids(
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap)
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    // RESTORE to the pre-delete version — a NEW commit whose change
+    // feed reinstates the deleted rows; ONE ann_sync re-indexes them
+    // (assigned against the pinned quantizer, is_new like any arrival)
+    s.sql(s"CALL annrt.system.restore('default.t', $goodV)")
+    val sy = s.sql("CALL annrt.system.ann_sync('default.t', 'v')").head
+    assert(sy.getLong(4) == 2, s"restore must re-index rows 2 and 3: $sy")
+    state ++= Seq(2L, 3L).map { id =>
+      val v = base.find(_._1 == id).get._3
+      id -> (v, assignCell(v, pinned), true)
+    }
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+    // and the fold compacts the round-trip with serve unchanged
+    s.sql("CALL annrt.system.ann_fold('default.t', 'v')")
+    checkServe(s, path, Array(1000L, 1L, 0L, 0L), state)
+  }
+
   test("lifecycle guards: double build refuses, no-op sync/fold, " +
       "drop + rebuild, manifest refuses comma entries") {
     val (s, path) = freshCat("anngd")

@@ -1209,6 +1209,61 @@ class DocStoreSpec extends SparkSpec {
       empty.columns.contains("_commit_version"))
   }
 
+  test("change feed emits reinstated rows: RESTORE across a MoR DELETE " +
+      "shows un-deletes as inserts on BOTH faces") {
+    // Delta's RESTORE-emits-CDF contract: a restore that republishes a
+    // pre-delete deletion vector REINSTATES rows, and the change feed
+    // must say so — before the r19 fix the DV delta only tracked
+    // growth, so every CDC consumer silently missed un-deletes
+    val root = Files.createTempDirectory("docstore_undel").toString
+    val sc = graft.core.Sessions.scoped(spark,
+      "spark.sql.catalog.ucat" ->
+        classOf[graft.sources.DocStoreCatalog].getName,
+      "spark.sql.catalog.ucat.root" -> root)
+    sc.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars", "lang", "source", "text")
+      .coalesce(1).createOrReplaceTempView("undel_src")
+    sc.sql("CREATE NAMESPACE ucat.ns")
+    sc.sql("CREATE TABLE ucat.ns.t (doc_id BIGINT NOT NULL, n_chars BIGINT, " +
+      "lang STRING, source STRING, text STRING) " +
+      "TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    sc.sql("INSERT INTO ucat.ns.t " +
+      "SELECT * FROM undel_src WHERE doc_id BETWEEN 0 AND 99")
+    val tableDir = java.nio.file.Paths.get(root, "ns", "t").toString
+    val vGood = graft.sources.DocStoreCommitOps.nextVersion(tableDir) - 1
+    sc.sql("DELETE FROM ucat.ns.t WHERE doc_id BETWEEN 10 AND 14")
+    val vDel = graft.sources.DocStoreCommitOps.nextVersion(tableDir) - 1
+    sc.sql(s"CALL ucat.system.restore('ns.t', $vGood)")
+    val vRest = graft.sources.DocStoreCommitOps.nextVersion(tableDir) - 1
+    // batch face 1: changesBetween over the restore commit alone
+    val ch = graft.sources.DocStoreCdf
+      .changesBetween(sc, tableDir, vDel, vRest)
+    val ins = ch.filter(col("_change_type") === "insert")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ins == (10L to 14L),
+      s"the restore commit must emit the reinstated rows as inserts: $ins")
+    assert(ch.filter(col("_change_type") === "delete").count() == 0)
+    // batch face 2 (the reader-option face both streams and ann_sync
+    // plan through): same window, same classification
+    val ch2 = sc.read.format("graft-docstore").option("path", tableDir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", vRest.toString)
+      .option("endingVersion", vRest.toString).load()
+    val ins2 = ch2.filter(col("_change_type") === "insert")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ins2 == (10L to 14L), s"planner face must agree: $ins2")
+    // and the whole window nets out per Delta semantics: the delete
+    // AND the reinstatement both appear, attributed to their commits
+    val all = graft.sources.DocStoreCdf
+      .changesBetween(sc, tableDir, vGood, vRest)
+      .filter(col("doc_id").between(10, 14))
+      .select("_change_type", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all.count(_ == ("delete", vDel)) == 5 &&
+      all.count(_ == ("insert", vRest)) == 5,
+      s"exact per-commit attribution across the round-trip: $all")
+  }
+
   test("runtime-filter attrs decline when doc_id is pruned from the projection") {
     // regression: filterAttributes() unconditionally advertised doc_id,
     // so ANY plan whose docstore scan did not project it — a DML whose
