@@ -1160,6 +1160,35 @@ object AnnIndex {
     }
   }
 
+  /** The vector columns whose published indexes DEPEND on `column`
+    * (as their id, vector, label, or family filter column) — the DDL
+    * guard's input: dropping or renaming such a column would strand
+    * every later sync/serve against a name the manifest still
+    * records. Metadata-only. */
+  def indexesDependingOn(tablePath: String, column: String): Seq[String] = {
+    val annRoot = Paths.get(tablePath, "_ann")
+    if (!Files.exists(annRoot)) return Seq.empty
+    val cols = {
+      val l = Files.list(annRoot)
+      try l.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+      finally l.close()
+    }
+    cols.filter { c =>
+      val root = annRoot.resolve(c)
+      new Manifest(root).exists && {
+        val deps =
+          if (isFamily(root)) {
+            val f = loadFamily(root)
+            Seq(f.idCol, f.vecCol, f.labelCol, f.filterCol)
+          } else {
+            val l = load(root)
+            Seq(l.idCol, l.vecCol, l.labelCol)
+          }
+        deps.contains(column)
+      }
+    }
+  }
+
   /** Guard for CONTENT-destroying history resets (TRUNCATE, INSERT
     * OVERWRITE truncate commits, CREATE OR REPLACE): the index would
     * keep serving rows the reset just destroyed, silently. Refuse

@@ -453,6 +453,15 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       s"cannot $what column $colName — it is Bloom-indexed " +
         s"('${DocStore.BLOOM_KEY}' = '$spec'); ALTER TABLE ... SET " +
         "TBLPROPERTIES without it first")
+    // the ANN twin (r19): an index's manifest records its id/vector/
+    // label/filter columns BY NAME — dropping or renaming one strands
+    // every later sync and serve against a name that no longer
+    // resolves, long after the DDL succeeded
+    val annDeps = AnnIndex.indexesDependingOn(dir, colName)
+    require(annDeps.isEmpty,
+      s"cannot $what column $colName — the ann index(es) on " +
+        s"${annDeps.mkString(", ")} depend on it as an id/vector/" +
+        "label/filter column; CALL system.ann_drop first")
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {

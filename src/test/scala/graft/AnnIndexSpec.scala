@@ -691,6 +691,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(s.sql("SELECT * FROM annrs.default.t").count() == 0)
   }
 
+  test("DDL guard: dropping or renaming a column a live index depends " +
+      "on refuses; after ann_drop the same DDL proceeds") {
+    val (s, path) = freshCat("anndd")
+    ins(s, "anndd", base)
+    s.sql("CALL anndd.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    // all three recorded dependency columns refuse drop AND rename —
+    // the index manifest records them by name, so the DDL would
+    // strand every later sync/serve
+    Seq("v", "cell").foreach { c =>
+      val e1 = intercept[Exception](
+        s.sql(s"ALTER TABLE anndd.default.t DROP COLUMN $c"))
+      assert(e1.getMessage.contains("ann index"), s"$c: ${e1.getMessage}")
+      val e2 = intercept[Exception](
+        s.sql(s"ALTER TABLE anndd.default.t RENAME COLUMN $c TO ${c}2"))
+      assert(e2.getMessage.contains("ann index"), s"$c: ${e2.getMessage}")
+    }
+    // unrelated (extra) columns still alter freely under a live index
+    s.sql("ALTER TABLE anndd.default.t ADD COLUMNS (note STRING)")
+    s.sql("ALTER TABLE anndd.default.t RENAME COLUMN note TO note2")
+    s.sql("ALTER TABLE anndd.default.t DROP COLUMN note2")
+    // and the guard lifts with the index
+    s.sql("CALL anndd.system.ann_drop('default.t', 'v')")
+    s.sql("ALTER TABLE anndd.default.t RENAME COLUMN cell TO cell2")
+    s.sql("ALTER TABLE anndd.default.t DROP COLUMN v")
+  }
+
   test("expire_snapshots refuses to drop versions a behind index still " +
       "needs for change-feed replay; proceeds once synced") {
     val (s, path) = freshCat("annex")
