@@ -202,9 +202,20 @@ object Bench {
     * time-separated sweeps is robust to the multi-minute drift phases
     * that min-of-2 back-to-back runs share (r16: ~+9 s spread across
     * untouched queries, same-tree idle A/B 150.8 vs 160.4 s). Pure —
-    * unit-tested by BenchJsonSpec. */
+    * unit-tested by BenchJsonSpec.
+    *
+    * `sweeps` (r19 verdict item 4: the round ran three full timed
+    * passes with 10-18% sweep-to-sweep spread, and "which run is
+    * definitive" was a prose question): the RAW series of every full
+    * timed pass, in time order — per-sweep total + both canaries —
+    * plus `value_median`, the median of the sweep totals. One
+    * artifact now carries the spread itself: min for
+    * round-over-round comparison, median as the
+    * single-number-with-its-noise answer, per-sweep canaries to tell
+    * box drift from regression. */
   def sidecarLine(timed: Seq[(String, Double, Option[String])],
-      second: Map[String, Double], sfDir: String): String = {
+      second: Map[String, Double], sfDir: String,
+      sweeps: Seq[Map[String, Double]] = Seq.empty): String = {
     val mins = timed.map { case (k, v, e) =>
       if (e.isDefined || v < 0) (k, v)
       else (k, second.get(k).filter(_ >= 0).map(math.min(v, _)).getOrElse(v))
@@ -232,8 +243,24 @@ object Bench {
           s""""scale":${jq(CanaryScale)},"scale_sec":$sc},"""
       case _ => ""
     }
+    val sweepsJson = if (sweeps.isEmpty) "" else {
+      val objs = sweeps.map { m =>
+        val tot = m.values.filter(_ >= 0).sum
+        s"""{"total":${fmt(tot, 3)}""" +
+          m.get(CanaryZero).filter(_ >= 0)
+            .map(v => s""","zero_sec":${fmt(v, 3)}""").getOrElse("") +
+          m.get(CanaryScale).filter(_ >= 0)
+            .map(v => s""","scale_sec":${fmt(v, 3)}""").getOrElse("") + "}"
+      }
+      val totals = sweeps.map(_.values.filter(_ >= 0).sum).sorted
+      val median =
+        if (totals.size % 2 == 1) totals(totals.size / 2)
+        else (totals(totals.size / 2 - 1) + totals(totals.size / 2)) / 2
+      s""""sweeps":[${objs.mkString(",")}],""" +
+        s""""value_median":${fmt(median, 3)},"""
+    }
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""value_min":$totalMin,"queries_min":$qm,$canary""" +
+      s""""value_min":$totalMin,"queries_min":$qm,$canary$sweepsJson""" +
       s""""errors":$errs,"sf":${jq(sfDir)}}"""
   }
 
@@ -301,11 +328,23 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
     def time1(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val err = runNoop(name)
+      // phase attribution rides along (r19 verdict item 1): engine
+      // steps instrumented with graft.core.Phases accumulate under
+      // this gate's name; each withGate clears the previous run, so
+      // what survives the sweeps is the LAST timed run's breakdown
+      val err = graft.core.Phases.withGate(name) { runNoop(name) }
       val dt = (System.nanoTime() - t0) / 1e9
       clearGateCaches()
       (if (err.isDefined) -1.0 else dt, err)
     }
+    // Raw per-sweep series (r19 verdict item 4): every full timed pass
+    // records its unmodified numbers here — sweep 0/1 are the
+    // back-to-back min-of-2 runs, sweep 2 the time-separated pass —
+    // so the sidecar can carry the sweep-to-sweep spread itself.
+    // Recheck re-timings deliberately do NOT touch these: they repair
+    // the official min, not the box-state record.
+    val sweepSeries =
+      Array.fill(3)(scala.collection.mutable.Map.empty[String, Double])
     // Each group warms AND times before the next begins: a single
     // shared warm-up pass would end with the heavy gates' IO wake
     // draining right into the first timed light queries — the exact
@@ -332,9 +371,11 @@ object Bench {
       }
       group.map { name =>
         val (s1, e1) = time1(name)
+        sweepSeries(0)(name) = s1
         if (e1.isDefined) (name, -1.0, e1)
         else {
           val (s2, e2) = time1(name)
+          sweepSeries(1)(name) = s2
           if (e2.isDefined) (name, -1.0, e2)
           else (name, math.min(s1, s2), None)
         }
@@ -415,7 +456,9 @@ object Bench {
       }
       group.map { n =>
         val (v, e) = time1(n)
-        n -> (if (e.isDefined) -1.0 else v)
+        val clean = if (e.isDefined) -1.0 else v
+        sweepSeries(2)(n) = clean
+        n -> clean
       }
     }
     val second: Map[String, Double] =
@@ -452,11 +495,32 @@ object Bench {
     val sidecar = sys.env.get("BENCH_SIDECAR")
       .orElse(if (only.isEmpty) Some("bench_sidecar.json") else None)
     sidecar.foreach { p =>
-      try Files.writeString(Paths.get(p), sidecarLine(timed, second, sfDir) + "\n")
+      try Files.writeString(Paths.get(p), sidecarLine(timed, second, sfDir,
+        sweepSeries.map(_.toMap).toSeq.filter(_.nonEmpty)) + "\n")
       catch { case e: Exception =>
         System.err.println(s"BENCH: sidecar write to $p failed " +
           s"(${e.getMessage}); full detail still on stderr.")
       }
+    }
+    // Per-phase attribution artifact (r19 verdict item 1): one JSON
+    // object per instrumented gate — the last timed run's dotted-path
+    // phase seconds. Sidecar-adjacent; absence of a gate means no
+    // instrumented engine step ran inside it. Written for filtered
+    // isolation runs too (that is exactly when attribution is read).
+    val phasesPath = sys.env.getOrElse("BENCH_PHASES", "bench_phases.json")
+    try {
+      val gates = timed.map(_._1).flatMap { n =>
+        val m = graft.core.Phases.forGate(n)
+        if (m.isEmpty) None
+        else Some(s"${jq(n)}:" + m.toSeq.sortBy(-_._2)
+          .map { case (p, v) => s"${jq(p)}:${fmt(v, 3)}" }
+          .mkString("{", ",", "}"))
+      }
+      if (gates.nonEmpty)
+        Files.writeString(Paths.get(phasesPath),
+          gates.mkString("{", ",", "}") + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH: phases write failed (${e.getMessage})")
     }
     System.err.println("BENCH_VERBOSE " + verbose)
     // ADVICE r9: rc must not read clean when queries failed — the r9

@@ -1,0 +1,67 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+/** Per-gate phase attribution (r19 verdict item 1): the composite
+  * lifecycle gates (q223-q228) cost ~20% of the bench suite, and their
+  * data work is already minimal — the residual is a FLOOR of many
+  * small engine steps (DML commits, index manifest commits, per-layer
+  * writes, serve collects) that per-query wall times cannot attribute.
+  * This records dotted-path phase timings per gate into an in-memory
+  * accumulator the bench main snapshots into `bench_phases.json`
+  * beside the sidecar, so "cut the biggest term" is a read, not a
+  * guess.
+  *
+  * Recording is driver-side and context-scoped: `withGate(name)` marks
+  * the current thread as timing gate `name`; `Phases("step") { ... }`
+  * inside any engine call then accumulates wall seconds under
+  * `step` (nested calls dot-join: `sync.frag`). Outside a gate
+  * context — Verify runs, ScalaTest, library users — `apply` is a
+  * zero-allocation passthrough, so instrumented engine code pays
+  * nothing in production paths. */
+object Phases {
+  private val gate = new ThreadLocal[String]
+  private val stack = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+  // gate -> (dotted phase path -> accumulated seconds)
+  private val acc =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]]()
+
+  /** Run `body` with phase recording attributed to `name`; clears any
+    * previous accumulation for the gate so a re-run (bench min-of-2)
+    * reports that run alone, not a sum across runs. */
+  def withGate[T](name: String)(body: => T): T = {
+    val prev = gate.get
+    gate.set(name)
+    acc.remove(name)
+    try body finally gate.set(prev)
+  }
+
+  def apply[T](phase: String)(body: => T): T = {
+    val g = gate.get
+    if (g == null) body
+    else {
+      val outer = stack.get
+      val path = (outer :+ phase).mkString(".")
+      stack.set(outer :+ phase)
+      val t0 = System.nanoTime()
+      try body finally {
+        stack.set(outer)
+        val dt = (System.nanoTime() - t0) / 1e9
+        acc.computeIfAbsent(g, _ =>
+            new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]())
+          .merge(path, dt, (a, b) => a + b)
+      }
+    }
+  }
+
+  /** Phase map recorded for `name`'s most recent withGate run. */
+  def forGate(name: String): Map[String, Double] =
+    Option(acc.get(name))
+      .map(_.asScala.map { case (k, v) => k -> v.doubleValue }.toMap)
+      .getOrElse(Map.empty)
+
+  def clear(): Unit = acc.clear()
+}

@@ -2202,29 +2202,36 @@ object EmbedOps {
           classOf[graft.sources.DocStoreCatalog].getName,
         "spark.sql.catalog.graft_cat_ap.root" ->
           root.resolve("cat").toString)
-      sc.sql("CREATE NAMESPACE graft_cat_ap.default")
-      sc.sql("CREATE TABLE graft_cat_ap.default.vecs (" +
-        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
-        "source STRING, text STRING)")
-      sc.sql("ALTER TABLE graft_cat_ap.default.vecs ADD COLUMNS " +
-        "(vlabel INT, q ARRAY<BIGINT>)")
-      quantizedStaged(sc, dir).createOrReplaceTempView("q223_src")
-      def ins(where: String): Unit =
+      graft.core.Phases("setup") {
+        sc.sql("CREATE NAMESPACE graft_cat_ap.default")
+        sc.sql("CREATE TABLE graft_cat_ap.default.vecs (" +
+          "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+          "source STRING, text STRING)")
+        sc.sql("ALTER TABLE graft_cat_ap.default.vecs ADD COLUMNS " +
+          "(vlabel INT, q ARRAY<BIGINT>)")
+        quantizedStaged(sc, dir).createOrReplaceTempView("q223_src")
+      }
+      def ins(where: String): Unit = graft.core.Phases("dml") {
         sc.sql("INSERT INTO graft_cat_ap.default.vecs " +
           "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
           s"FROM q223_src WHERE $where")
+      }
       // commit 1: the nightly slice; then the build — THROUGH SQL
       ins("vec_id % 10 <> 0")
-      val b = sc.sql("CALL graft_cat_ap.system.ann_build(" +
-        "'default.vecs', 'doc_id', 'q', 'vlabel')").head()
+      val b = graft.core.Phases("build") {
+        sc.sql("CALL graft_cat_ap.system.ann_build(" +
+          "'default.vecs', 'doc_id', 'q', 'vlabel')").head()
+      }
       require(b.getLong(3) > 0, s"ann_build indexed no vectors: $b")
       // commits 2-4: three arrival batches; ONE sync call folds all
       // three pending versions — one fragment per commit
       ins("vec_id % 10 = 0 AND vec_id % 3 = 0")
       ins("vec_id % 10 = 0 AND vec_id % 3 = 1")
       ins("vec_id % 10 = 0 AND vec_id % 3 = 2")
-      val sy = sc.sql("CALL graft_cat_ap.system.ann_sync(" +
-        "'default.vecs', 'q')").head()
+      val sy = graft.core.Phases("sync") {
+        sc.sql("CALL graft_cat_ap.system.ann_sync(" +
+          "'default.vecs', 'q')").head()
+      }
       require(sy.getLong(2) == 3 && sy.getLong(3) == 0,
         s"expected 3 fragments / 0 tombstones from ann_sync, got $sy")
       val tablePath = root.resolve("cat").resolve("default")
@@ -2240,9 +2247,11 @@ object EmbedOps {
       def serve(): DataFrame = graft.sources.AnnIndex
         .serve(sc, tablePath, "q", qs)
         .withColumn("cell", col("cell").cast("int"))
-      val before = serve().collect()
-      val f = sc.sql("CALL graft_cat_ap.system.ann_fold(" +
-        "'default.vecs', 'q')").head()
+      val before = graft.core.Phases("serve_pre") { serve().collect() }
+      val f = graft.core.Phases("fold") {
+        sc.sql("CALL graft_cat_ap.system.ann_fold(" +
+          "'default.vecs', 'q')").head()
+      }
       require(f.getLong(0) == 3 && f.getLong(3) == 3,
         s"expected 3 fragments folded and retired, got $f")
       require((0 to 2).forall(k => !java.nio.file.Files.exists(
@@ -2251,7 +2260,7 @@ object EmbedOps {
       val afterDf = serve()
       // persist: the caller executes the returned frame again
       afterDf.persist()
-      val after = afterDf.collect()
+      val after = graft.core.Phases("serve_post") { afterDf.collect() }
       require(before.toSeq == after.toSeq,
         s"serve-after-fold must equal serve-before-fold: " +
           s"${before.toSeq.diff(after.toSeq)} vs " +
@@ -2650,25 +2659,30 @@ object EmbedOps {
           classOf[graft.sources.DocStoreCatalog].getName,
         "spark.sql.catalog.graft_cat_fa.root" ->
           root.resolve("cat").toString)
-      sc.sql("CREATE NAMESPACE graft_cat_fa.default")
-      sc.sql("CREATE TABLE graft_cat_fa.default.vecs (" +
-        "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
-        "source STRING, text STRING) TBLPROPERTIES " +
-        "('graft.rowlevel.mode' = 'merge-on-read')")
-      sc.sql("ALTER TABLE graft_cat_fa.default.vecs ADD COLUMNS " +
-        "(vlabel INT, src INT, q ARRAY<BIGINT>)")
-      quantizedStaged(sc, dir).withColumn("src",
-          when(col("label") <= 1, lit(0L))
-            .otherwise(lit(1L) + pmod(col("vec_id"), lit(2))))
-        .createOrReplaceTempView("q226_src")
-      def ins(where: String): Unit =
+      graft.core.Phases("setup") {
+        sc.sql("CREATE NAMESPACE graft_cat_fa.default")
+        sc.sql("CREATE TABLE graft_cat_fa.default.vecs (" +
+          "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+          "source STRING, text STRING) TBLPROPERTIES " +
+          "('graft.rowlevel.mode' = 'merge-on-read')")
+        sc.sql("ALTER TABLE graft_cat_fa.default.vecs ADD COLUMNS " +
+          "(vlabel INT, src INT, q ARRAY<BIGINT>)")
+        quantizedStaged(sc, dir).withColumn("src",
+            when(col("label") <= 1, lit(0L))
+              .otherwise(lit(1L) + pmod(col("vec_id"), lit(2))))
+          .createOrReplaceTempView("q226_src")
+      }
+      def ins(where: String): Unit = graft.core.Phases("dml") {
         sc.sql("INSERT INTO graft_cat_fa.default.vecs " +
           "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), " +
           s"CAST(src AS INT), q FROM q226_src WHERE $where")
+      }
       // commit 1: the base slice; the family build — THROUGH SQL
       ins("vec_id % 10 <> 0")
-      val b = sc.sql("CALL graft_cat_fa.system.ann_build(" +
-        "'default.vecs', 'doc_id', 'q', 'vlabel', 'src')").head()
+      val b = graft.core.Phases("build") {
+        sc.sql("CALL graft_cat_fa.system.ann_build(" +
+          "'default.vecs', 'doc_id', 'q', 'vlabel', 'src')").head()
+      }
       require(b.getLong(3) > 0, s"family build indexed no vectors: $b")
       val tablePath = root.resolve("cat").resolve("default")
         .resolve("vecs").toString
@@ -2678,10 +2692,14 @@ object EmbedOps {
       // commits 2-3: an upsert and a takedown, both in src 0 only
       // (the delete targets BASE rows — q225's dead slice)
       ins("vec_id % 10 = 0 AND src = 0")
-      sc.sql("DELETE FROM graft_cat_fa.default.vecs " +
-        "WHERE doc_id % 7 = 3 AND src = 0 AND doc_id % 10 <> 0")
-      val sy = sc.sql("CALL graft_cat_fa.system.ann_sync(" +
-        "'default.vecs', 'q')").head()
+      graft.core.Phases("dml") {
+        sc.sql("DELETE FROM graft_cat_fa.default.vecs " +
+          "WHERE doc_id % 7 = 3 AND src = 0 AND doc_id % 10 <> 0")
+      }
+      val sy = graft.core.Phases("sync") {
+        sc.sql("CALL graft_cat_fa.system.ann_sync(" +
+          "'default.vecs', 'q')").head()
+      }
       require(sy.getLong(2) == 1 && sy.getLong(3) == 1,
         s"expected 1 fragment + 1 tombstone (both in src 0), got $sy")
       // queries: base rows vec_id < 5 (any src) — the union of the
@@ -2703,17 +2721,20 @@ object EmbedOps {
       // InMemoryRelation); persist because s1pre serves the output
       // union too — src 1 is untouched by the src-0 fold, so the
       // pre-fold serve IS the post-fold serve
-      val s1files = s1pre.inputFiles
-        .map(f => java.net.URI.create(f).getPath)
+      val s1files = graft.core.Phases("audit_inputs") {
+        s1pre.inputFiles.map(f => java.net.URI.create(f).getPath)
+      }
       s1pre.persist()
       require(s1files.nonEmpty && !s1files.exists(f =>
         f.contains("frag-") || f.contains("tomb-") || f.contains("fold-")),
         s"src-1 serve must read zero lifecycle files: " +
           s"${s1files.filter(f => f.contains("frag-") ||
             f.contains("tomb-") || f.contains("fold-")).toSeq}")
-      val before = serveF(0L).collect()
-      val f = sc.sql("CALL graft_cat_fa.system.ann_fold(" +
-        "'default.vecs', 'q')").head()
+      val before = graft.core.Phases("serve_pre") { serveF(0L).collect() }
+      val f = graft.core.Phases("fold") {
+        sc.sql("CALL graft_cat_fa.system.ann_fold(" +
+          "'default.vecs', 'q')").head()
+      }
       require(f.getLong(0) == 1 && f.getLong(1) == 1,
         s"expected the fold to take 1 fragment + 1 tombstone, got $f")
       require(graft.sources.AnnIndex
@@ -2721,7 +2742,7 @@ object EmbedOps {
         "src 1 must not gain a fold level from src-0 compaction")
       val s0after = serveF(0L)
       s0after.persist()
-      val after = s0after.collect()
+      val after = graft.core.Phases("serve_post") { s0after.collect() }
       require(before.toSeq == after.toSeq,
         s"src-0 serve-after-fold must equal serve-before-fold: " +
           s"${before.toSeq.diff(after.toSeq)} vs " +
@@ -2930,6 +2951,84 @@ object EmbedOps {
         .withColumn("cell", col("cell").cast("int"))
       out.persist()
       out
+    },
+
+    Q("q229_ann_search_sql",
+      "The index's SQL QUERY face — the step the q227 catalog story " +
+        "stopped short of (r19 verdict item 2: discovery via `t.ann`, " +
+        "lifecycle via CALL system.ann_*, detail via ann_detail were " +
+        "all SQL; SERVING was Scala-only): this gate drives " +
+        "build -> three arrival commits -> windowed sync -> SEARCH " +
+        "entirely through SQL. Query vectors are data, not SQL " +
+        "literals, so `CALL system.ann_search('ns.t','q'," +
+        "'ns.queries',k,nprobe)` takes a query TABLE whose rows carry " +
+        "the indexed table's id and vector column names; the result " +
+        "is q113's serve shape (query_id, rnk, neighbor_id, cell, " +
+        "is_new, cosine) plus the family-routing value (NULL here — " +
+        "plain index), driver-materialized because top-k over a query " +
+        "batch is queries x k rows by contract. The oracle is SHARED " +
+        "with q207/q212/q217/q223 (annIncOracle) — five independent " +
+        "faces of the same serve contract now pin each other. At " +
+        "100 TB: an analyst answers a similarity question with one " +
+        "CALL next to the SELECTs they already write — no Scala, no " +
+        "notebook plumbing.",
+      Some(annIncOracle)) { (s, dir) =>
+      val root = graft.core.Fs.rotatingTempRoot("q229_annsearch")
+      val sc = graft.core.Sessions.scoped(s,
+        "spark.sql.catalog.graft_cat_as" ->
+          classOf[graft.sources.DocStoreCatalog].getName,
+        "spark.sql.catalog.graft_cat_as.root" ->
+          root.resolve("cat").toString)
+      graft.core.Phases("setup") {
+        sc.sql("CREATE NAMESPACE graft_cat_as.default")
+        sc.sql("CREATE TABLE graft_cat_as.default.vecs (" +
+          "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+          "source STRING, text STRING)")
+        sc.sql("ALTER TABLE graft_cat_as.default.vecs ADD COLUMNS " +
+          "(vlabel INT, q ARRAY<BIGINT>)")
+        // the query table: same id/vector column NAMES as the indexed
+        // table — that correspondence IS the query shape contract
+        sc.sql("CREATE TABLE graft_cat_as.default.queries (" +
+          "doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING, " +
+          "source STRING, text STRING)")
+        sc.sql("ALTER TABLE graft_cat_as.default.queries " +
+          "ADD COLUMNS (q ARRAY<BIGINT>)")
+        quantizedStaged(sc, dir).createOrReplaceTempView("q229_src")
+      }
+      def ins(where: String): Unit = graft.core.Phases("dml") {
+        sc.sql("INSERT INTO graft_cat_as.default.vecs " +
+          "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
+          s"FROM q229_src WHERE $where")
+      }
+      ins("vec_id % 10 <> 0")
+      val b = graft.core.Phases("build") {
+        sc.sql("CALL graft_cat_as.system.ann_build(" +
+          "'default.vecs', 'doc_id', 'q', 'vlabel')").head()
+      }
+      require(b.getLong(3) > 0, s"ann_build indexed no vectors: $b")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 0")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 1")
+      ins("vec_id % 10 = 0 AND vec_id % 3 = 2")
+      graft.core.Phases("sync") {
+        sc.sql("CALL graft_cat_as.system.ann_sync('default.vecs', 'q')")
+      }
+      graft.core.Phases("dml") {
+        sc.sql("INSERT INTO graft_cat_as.default.queries " +
+          "SELECT vec_id, nn, 'x', 's', '', q FROM q229_src " +
+          "WHERE vec_id % 10 <> 0 AND vec_id < 5")
+      }
+      val hits = graft.core.Phases("search") {
+        sc.sql("CALL graft_cat_as.system.ann_search(" +
+          "'default.vecs', 'q', 'default.queries', 3, 2)")
+      }
+      // plain index: the family-routing value must be NULL on every
+      // row; dropped for the shared-oracle shape
+      val out = hits
+        .withColumn("cell", col("cell").cast("int"))
+      out.persist()
+      require(out.filter(col("flt").isNotNull).isEmpty,
+        "ann_search on a plain index must return flt = NULL")
+      out.drop("flt")
     }
   )
 

@@ -81,7 +81,7 @@ object Registry {
     "q221_ann_tombstone_delete", "q222_cdc_ann_forget",
     "q223_ann_procedures", "q224_cdc_ann_mixed", "q225_filtered_ann_lsm",
     "q226_filtered_ann_family", "q227_ann_catalog_discovery",
-    "q228_ann_rebuild",
+    "q228_ann_rebuild", "q229_ann_search_sql",
     "q218_filtered_ann_skew", "q219_nested_bloom_skipping",
     "q220_nested_retention_delete",
     "q182_identity_columns", "q184_stream_chained_agg",

@@ -96,15 +96,23 @@ object AnnIndex {
     *     arithmetic in DECIMAL(38,0) (DuckDB: HUGEINT) — order of
     *     summation cannot matter, and 38 digits hold the 100 TB worst
     *     case (c ~ 1e9, |q_i| ~ 1e3 -> terms ~ 1e24, sums ~ 1e26);
-    *  2. ONE rounding converts the exact numerator to double (both
-    *     engines' integer->double casts are correctly rounded for
-    *     values < 2^64 — oracle-scale numerators are far below);
+    *  2. ONE rounding converts the exact numerator to double;
     *  3. the denominator c*c is a product of exactly-representable
     *     doubles (c < 2^53) and the final division is one more
     *     correctly-rounded IEEE op.
     * Same exact inputs + same correctly-rounded op sequence =
     * bit-identical doubles, so (d, label) ranking stays engine-exact
-    * the way the old all-integer form was.
+    * the way the old all-integer form was — at every magnitude this
+    * repo VERIFIES (oracle-scale numerators < 2^63, where both
+    * engines' conversion is exactly the long->double cast, correctly
+    * rounded by the IEEE/JLS spec). Beyond 2^63 (the 1e26 worst case
+    * above) the ranking stays deterministic WITHIN each engine, and
+    * cross-engine bit-identity additionally rests on
+    * BigDecimal.doubleValue and DuckDB's HUGEINT->DOUBLE cast both
+    * rounding to nearest — believed true but not pinned by any gate
+    * here, so the cross-engine claim is scoped to verified magnitudes
+    * (r19 advice: the earlier comment over-claimed "< 2^64" while
+    * sizing the worst case at 1e26).
     *
     * Evaluation shape, per (query, cell) pair: the numerator expands
     * algebraically to c^2*||q||^2 - 2c*(q . sv) + ||sv||^2, so the
@@ -360,16 +368,22 @@ object AnnIndex {
     * argmin of the count-normalized [[cellDist]], ties by label.
     * graft-visible: the filtered-index gate (q225) assigns against
     * per-src centroid slices through the same single definition. */
-  private[graft] def assign(batch: DataFrame, baseCents: DataFrame): DataFrame = {
+  /** `carry` columns ride through the assignment (the windowed sync
+    * carries `_commit_version` so ONE assignment job serves every
+    * version's arrivals); they join the argmin window's partition key
+    * because the same vec_id may legitimately recur across versions
+    * (delete + re-insert) and each occurrence assigns independently. */
+  private[graft] def assign(batch: DataFrame, baseCents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val ad = batch.drop("label")
       .crossJoin(broadcast(withCentNorm(baseCents)))
       .withColumn("d",
         cellDist(col("q"), col("sv"), col("c"), col("nn"), col("sn")))
-    val wa = Window.partitionBy(col("vec_id"))
+    val wa = Window.partitionBy(col("vec_id") +: carry.map(col): _*)
       .orderBy(col("d").asc, col("label").asc)
     ad.withColumn("ar", row_number().over(wa))
       .filter(col("ar") === 1)
-      .select(col("vec_id"), col("q"), col("nn"), col("label"))
+      .select((Seq("vec_id", "q", "nn", "label") ++ carry).map(col): _*)
   }
 
   final case class BuildStats(indexDir: String, builtAtVersion: Long,
@@ -417,11 +431,19 @@ object AnnIndex {
         require(v.take(1).nonEmpty,
           s"ann_build over '$vecCol' found no indexable vectors (non-null " +
             "label, non-zero norm) — refusing to publish an empty index")
-        v.write.partitionBy("label")
-          .parquet(root.resolve("base").resolve("vectors").toString)
-        centroidTable(v).write
-          .parquet(root.resolve("base").resolve("centroids").toString)
-        val r = v.agg(count_distinct(col("label")), count(lit(1))).head()
+        // vectors, centroids, and stats all derive from the cached
+        // projection and write/collect independently — run concurrently
+        // (the serial chain left the box idle between small jobs)
+        var r: org.apache.spark.sql.Row = null
+        graft.core.Phases("build.base_write") {
+          inParallel(
+            v.write.partitionBy("label")
+              .parquet(root.resolve("base").resolve("vectors").toString),
+            inParallel(
+              centroidTable(v).write
+                .parquet(root.resolve("base").resolve("centroids").toString),
+              { r = v.agg(count_distinct(col("label")), count(lit(1))).head() }))
+        }
         DocStoreCommitOps.withCommitLock(root.toString) {
           m.publish(Seq(("cols", s"$idCol|$vecCol|$labelCol"),
             ("synced", head.toString), ("base", "base")), 0)
@@ -439,9 +461,21 @@ object AnnIndex {
         s"ann_build over '$vecCol' found no indexable vectors — " +
           "refusing to publish an empty index family")
       // ONE corpus pass into staging, then per-src directory RENAMES
-      // into the self-contained sub-index roots (no second data pass)
+      // into the self-contained sub-index roots (no second data pass).
+      // The family-wide centroid aggregation reads the SAME cached
+      // projection and is independent of the staging dir — concurrent;
+      // its rows are mapped only after the NULL-filter refusal below
+      // (a null src group would fail the long mapping before the
+      // intended loud refusal could fire).
       val stage = root.resolve(".stage-build")
-      v.write.partitionBy("src", "label").parquet(stage.toString)
+      var centRowsRaw: Array[org.apache.spark.sql.Row] = null
+      graft.core.Phases("build.stage_write") {
+        inParallel(
+          v.write.partitionBy("src", "label").parquet(stage.toString),
+          { centRowsRaw = centroidTable(v, Seq("src"))
+            .select(col("src"), col("label"), col("sv"), col("c"))
+            .collect() })
+      }
       // a NULL filter value has no sub-index to live in — it would be
       // unreachable from every filtered serve. Detection is FREE: the
       // partitioned write routes null-src rows to the hive default
@@ -467,15 +501,12 @@ object AnnIndex {
       // the whole staging dir); the result is metadata-sized
       // (subs x cells x (dim+1) integers), so it collects and writes
       // per sub from the driver
-      val centRows =
-        centroidTable(v, Seq("src"))
-          .select(col("src"), col("label"), col("sv"), col("c"))
-          .collect()
-          .map(r => (r.getAs[Number](0).longValue(),
-            r.getAs[Number](1).longValue(),
-            r.getSeq[Long](2), r.getLong(3)))
+      val centRows = centRowsRaw
+        .map(r => (r.getAs[Number](0).longValue(),
+          r.getAs[Number](1).longValue(),
+          r.getSeq[Long](2), r.getLong(3)))
       var cells = 0L; var vecs = 0L
-      srcs.foreach { k =>
+      srcs.foreach { k => graft.core.Phases("build.sub_publish") {
         val sub = root.resolve(s"src=$k")
         Files.createDirectories(sub.resolve("base"))
         Files.move(stage.resolve(s"src=$k"),
@@ -491,7 +522,7 @@ object AnnIndex {
               ("synced", head.toString), ("base", "base")), 0)
         }
         cells += mine.size; vecs += mine.map(_._3).sum
-      }
+      } }
       graft.core.Fs.deleteRecursively(stage)
       DocStoreCommitOps.withCommitLock(root.toString) {
         m.publish(Seq(("cols", s"$idCol|$vecCol|$labelCol"),
@@ -552,109 +583,225 @@ object AnnIndex {
     val head = DocStoreCommitOps.nextVersion(tablePath) - 1
     if (head <= start.synced)
       return SyncStats(start.synced, start.synced, 0, 0, 0, 0)
-    val baseCents = s.read.parquet(start.baseCentroids)
+    val baseCents = baseCentroidsOf(s, start)
     val proj = project(readChanges(s, tablePath, start.synced + 1, head),
       start.idCol, start.vecCol, start.labelCol).persist()
     try {
-      var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
-      ((start.synced + 1) to head).foreach { w =>
-        val (f, t, i, d) = syncVersion(s, root, baseCents,
-          proj.filter(col("_commit_version") === w)
-            .drop("_commit_version"), w)
-        frags += f; tombs += t; nIns += i; nDel += d
-      }
+      // ONE routing pre-pass over the cached window (r19 phase
+      // attribution: the per-version ins.count()/del.count() pair cost
+      // more than the actual fragment writes — two full-plan jobs per
+      // version just to learn emptiness). One aggregation yields every
+      // (version, change-kind) count; the per-version loop then runs
+      // ONLY the jobs its routed counts justify.
+      val routed = routeCounts(proj, Seq(col("_commit_version")),
+        r => r.getLong(0))
+      val (frags, tombs, nIns, nDel) = syncRange(s, root, baseCents,
+        proj, (start.synced + 1) to head, routed)
       SyncStats(start.synced, head, frags, tombs, nIns, nDel)
     } finally { proj.unpersist(); () }
   }
 
-  /** One sub-index's maintenance for ONE table version: fragment the
-    * inserts, tombstone the deletes, commit the manifest with the
-    * synced cursor advanced (conflict-checked). Returns
-    * (fragments, tombstones, inserted, deleted). */
-  private def syncVersion(s: SparkSession, root: Path,
-      baseCents: DataFrame, proj0: DataFrame, w: Long)
-      : (Long, Long, Long, Long) = {
-    val cur = load(root)
-    var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
-    val proj = proj0.persist()
-    var add = Seq.empty[(String, String)]
-    locally {
-      try {
-        // the docstore CDF surfaces an UPDATE as a delete(pre-image) +
-        // insert(post-image) pair (AnnIndexSpec pins the route-through);
-        // the update_* names are matched too for Delta-style feeds that
-        // tag update images distinctly
-        val ins = proj.filter(
-          col("_change_type").isin("insert", "update_postimage"))
-        val insN = ins.count()
-        if (insN > 0) {
-          val fragRel = s"frag-$w"
-          // clear a crashed attempt's orphan (unreachable: its manifest
-          // commit never ran) so the rerun doesn't die on ErrorIfExists
-          graft.core.Fs.deleteRecursively(root.resolve(fragRel))
-          assign(ins, baseCents).write.partitionBy("label")
-            .parquet(root.resolve(fragRel).resolve("vectors").toString)
-          val insBack = s.read.parquet(
-            root.resolve(fragRel).resolve("vectors").toString)
-          fragmentAggregates(insBack).write
-            .parquet(root.resolve(fragRel).resolve("dcent").toString)
-          // assignment is 1:1, so the fragment holds exactly insN rows
-          add :+= ("frag", fragRel); frags += 1; nIns += insN
-        }
-
-        val del = proj.filter(
-          col("_change_type").isin("delete", "update_preimage")).persist()
-        try {
-          if (del.count() > 0) {
-            // candidate cells: the label-column cell (build-time rows)
-            // and the pinned-quantizer cell (fragment rows) — at most
-            // two partitions read per deleted row, never the corpus
-            val candCells = del.select(col("label"))
-              .unionByName(assign(del, baseCents).select(col("label")))
-              .distinct().collect().map(_.getLong(0)).toSeq
-            val delKeys = del.select(col("vec_id"), col("q"))
-            // resolve where each deleted id ACTUALLY lives — the layer
-            // view as of version w-1 (`cur`), which already includes
-            // fragments committed for EARLIER versions in this sync
-            // window (insert-then-delete across versions resolves).
-            // Deliberately NOT the fragment written for version w
-            // itself: a version's deletes target rows that existed
-            // BEFORE it — including the same-version fragment would
-            // make a same-cell UPDATE tombstone its own post-image
-            // and double-subtract the centroid state (review r18)
-            val resolved = resolvePool(s, cur, candCells)
-              .select(col("vec_id"), col("label"))
-              .join(broadcast(delKeys.select("vec_id")), Seq("vec_id"))
-              .persist()
-            try {
-              val resolvedN = resolved.count()
-              if (resolvedN > 0) {
-                val tombRel = s"tomb-$w"
-                graft.core.Fs.deleteRecursively(root.resolve(tombRel))
-                resolved.write.partitionBy("label")
-                  .parquet(root.resolve(tombRel).resolve("keys").toString)
-                val keysBack = s.read.parquet(
-                  root.resolve(tombRel).resolve("keys").toString)
-                fragmentAggregates(keysBack
-                    .join(broadcast(delKeys), Seq("vec_id")))
-                  .write
-                  .parquet(root.resolve(tombRel).resolve("dcent").toString)
-                add :+= ("tomb", tombRel); tombs += 1
-                nDel += resolvedN
-              }
-            } finally { resolved.unpersist(); () }
-          }
-        } finally { del.unpersist(); () }
-      } finally { proj.unpersist(); () }
+  /** Windowed (key -> (inserts, deletes)) routing counts in ONE
+    * aggregation over the cached change window — what lets the
+    * per-version maintenance loop skip the jobs its slice doesn't
+    * need. UPDATE images count with their CDF kind (post -> insert,
+    * pre -> delete), matching the per-version filters. */
+  private def routeCounts[K](proj: DataFrame, keys: Seq[Column],
+      keyOf: org.apache.spark.sql.Row => K): Map[K, (Long, Long)] =
+    graft.core.Phases("sync.route") {
+      proj.groupBy(keys: _*)
+        .agg(
+          sum(when(col("_change_type").isin("insert", "update_postimage"),
+            1L).otherwise(0L)).as("ni"),
+          sum(when(col("_change_type").isin("delete", "update_preimage"),
+            1L).otherwise(0L)).as("nd"))
+        .collect()
+        .map(r => keyOf(r) ->
+          (r.getAs[Long]("ni"), r.getAs[Long]("nd"))).toMap
     }
-    commitSynced(root, w, add)
-    (frags, tombs, nIns, nDel)
+
+  /** One (sub-)index's maintenance across `versions`, driven by the
+    * routed per-version (inserts, deletes) counts over the cached
+    * change window `proj` (which carries `_commit_version`).
+    *
+    * Job shape (r19 phase attribution: the floor was COUNT of small
+    * serial jobs, not data): ONE windowed assignment job labels every
+    * version's arrivals against the pinned quantizer (assignment
+    * depends only on the quantizer, so per-version slices of the
+    * windowed result equal per-version assignments); runs of
+    * DELETE-FREE versions then write their fragment layers
+    * concurrently (independent dirs, nothing same-window reads them
+    * before their commit) while manifest commits stay strictly serial
+    * and per-version — the crash contract is untouched: a re-run
+    * resumes from the synced cursor, uncommitted fragment dirs are
+    * unreachable debris the rerun clears. A delete-bearing version is
+    * a barrier: its tombstone resolution reads the layer view as of
+    * its predecessor, so every earlier version must have committed. */
+  private def syncRange(s: SparkSession, root: Path,
+      baseCents: DataFrame, proj: DataFrame, versions: Seq[Long],
+      routed: Map[Long, (Long, Long)]): (Long, Long, Long, Long) = {
+    var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
+    def routedOf(w: Long) = routed.getOrElse(w, (0L, 0L))
+    val anyIns = versions.exists(w => routedOf(w)._1 > 0)
+    // the docstore CDF surfaces an UPDATE as a delete(pre-image) +
+    // insert(post-image) pair (AnnIndexSpec pins the route-through);
+    // the update_* names are matched too for Delta-style feeds that
+    // tag update images distinctly
+    val assignedW = if (!anyIns) None else Some(
+      assign(proj.filter(
+          col("_change_type").isin("insert", "update_postimage")),
+        baseCents, carry = Seq("_commit_version")).persist())
+    def fragSlice(w: Long): DataFrame =
+      assignedW.get.filter(col("_commit_version") === w)
+        .drop("_commit_version")
+    try {
+      val vs = versions.toVector
+      var idx = 0
+      while (idx < vs.size) {
+        val w = vs(idx)
+        val (ri, rd) = routedOf(w)
+        if (rd == 0) {
+          // extend to the whole delete-free run: parallel writes,
+          // then serial per-version commits
+          val run = vs.drop(idx).takeWhile(v => routedOf(v)._2 == 0)
+          val withIns = run.filter(v => routedOf(v)._1 > 0)
+          graft.core.Phases("sync.frag_write") {
+            inParallelAll(withIns.map(v =>
+              () => writeFragment(root, v, fragSlice(v))))
+          }
+          run.foreach { v =>
+            val hasFrag = routedOf(v)._1 > 0
+            commitSynced(root, v,
+              if (hasFrag) Seq(("frag", s"frag-$v")) else Seq.empty)
+            if (hasFrag) { frags += 1; nIns += routedOf(v)._1 }
+          }
+          idx += run.size
+        } else {
+          // delete-bearing barrier version
+          if (ri > 0) {
+            graft.core.Phases("sync.frag_write") {
+              writeFragment(root, w, fragSlice(w))
+            }
+          }
+          val del = proj.filter(col("_commit_version") === w &&
+            col("_change_type").isin("delete", "update_preimage"))
+            .drop("_commit_version").persist()
+          try {
+            val d = tombstoneVersion(s, root, baseCents, del, w)
+            commitSynced(root, w,
+              (if (ri > 0) Seq(("frag", s"frag-$w")) else Seq.empty) ++
+                (if (d > 0) Seq(("tomb", s"tomb-$w")) else Seq.empty))
+            if (ri > 0) { frags += 1; nIns += ri }
+            if (d > 0) { tombs += 1; nDel += d }
+          } finally { del.unpersist(); () }
+          idx += 1
+        }
+      }
+      (frags, tombs, nIns, nDel)
+    } finally { assignedW.foreach(_.unpersist()); () }
   }
+
+  /** One fragment layer: vectors + dcent aggregates from the SAME
+    * pre-assigned slice (the aggregation used to re-read the written
+    * layer), the two independent writes concurrent. Clears a crashed
+    * attempt's orphan dir first (unreachable: its manifest commit
+    * never ran) so the rerun doesn't die on ErrorIfExists. */
+  private def writeFragment(root: Path, w: Long, slice: DataFrame): Unit = {
+    val fragRel = s"frag-$w"
+    graft.core.Fs.deleteRecursively(root.resolve(fragRel))
+    inParallel(
+      slice.write.partitionBy("label")
+        .parquet(root.resolve(fragRel).resolve("vectors").toString),
+      fragmentAggregates(slice).write
+        .parquet(root.resolve(fragRel).resolve("dcent").toString))
+  }
+
+  /** One version's tombstone layer (if any of its deleted ids resolve
+    * to live index rows): keys + dcent from the same cached
+    * resolution, written concurrently. Returns resolved-row count. */
+  private def tombstoneVersion(s: SparkSession, root: Path,
+      baseCents: DataFrame, del: DataFrame, w: Long): Long = {
+    // the layer view as of version w-1 (already committed — the
+    // barrier), which includes fragments committed for EARLIER
+    // versions in this sync window (insert-then-delete across
+    // versions resolves). Deliberately NOT the fragment written for
+    // version w itself: a version's deletes target rows that existed
+    // BEFORE it — including the same-version fragment would make a
+    // same-cell UPDATE tombstone its own post-image and
+    // double-subtract the centroid state (review r18)
+    val cur = load(root)
+    // candidate cells: the label-column cell (build-time rows) and
+    // the pinned-quantizer cell (fragment rows) — at most two
+    // partitions read per deleted row, never the corpus
+    val candCells = graft.core.Phases("sync.tomb_cells") {
+      del.select(col("label"))
+        .unionByName(assign(del, baseCents).select(col("label")))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    }
+    val delKeys = del.select(col("vec_id"), col("q"))
+    val resolved = resolvePool(s, cur, candCells)
+      .select(col("vec_id"), col("label"))
+      .join(broadcast(delKeys.select("vec_id")), Seq("vec_id"))
+      .persist()
+    try {
+      val resolvedN =
+        graft.core.Phases("sync.tomb_resolve") { resolved.count() }
+      if (resolvedN > 0) {
+        val tombRel = s"tomb-$w"
+        graft.core.Fs.deleteRecursively(root.resolve(tombRel))
+        graft.core.Phases("sync.tomb_write") {
+          inParallel(
+            resolved.write.partitionBy("label")
+              .parquet(root.resolve(tombRel).resolve("keys").toString),
+            fragmentAggregates(resolved
+                .join(broadcast(delKeys), Seq("vec_id")))
+              .write
+              .parquet(root.resolve(tombRel).resolve("dcent").toString))
+        }
+      }
+      resolvedN
+    } finally { resolved.unpersist(); () }
+  }
+
+  /** A dedicated unbounded daemon pool for concurrent INDEPENDENT
+    * Spark actions (writes to different dirs, a write beside an
+    * aggregation): the lifecycle's serial chains of small jobs leave
+    * 30 of 32 local cores idle, and a 1000-executor cluster idles the
+    * same way between tiny metadata-sized jobs. Not the global EC —
+    * nested inParallel calls (a parallel fragment batch whose members
+    * each pair two writes) must never starve a fixed pool into an
+    * Await deadlock. */
+  private lazy val ioPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-ann-io-${n.incrementAndGet()}")
+            t.setDaemon(true); t
+          }
+        }))
+
+  /** Failures propagate: the head's immediately, the rest's after all
+    * settle (never abandoning an in-flight write). */
+  private def inParallelAll(thunks: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    if (thunks.isEmpty) return
+    if (thunks.size == 1) { thunks.head.apply(); return }
+    val rest = thunks.tail.map(t => Future(t())(ioPool))
+    try thunks.head.apply()
+    finally rest.foreach(f => Await.ready(f, Duration.Inf))
+    rest.foreach(f => Await.result(f, Duration.Inf))
+  }
+
+  private def inParallel(a: => Unit, b: => Unit): Unit =
+    inParallelAll(Seq(() => a, () => b))
 
   /** One index commit per table version: synced advances even for
     * no-op versions so a crash-rerun never replays a commit. */
   private def commitSynced(root: Path, w: Long,
-      add: Seq[(String, String)]): Unit =
+      add: Seq[(String, String)]): Unit = graft.core.Phases("sync.commit") {
     DocStoreCommitOps.withCommitLock(root.toString) {
       val m = new Manifest(root)
       val es = m.read()
@@ -667,6 +814,7 @@ object AnnIndex {
         case e => e
       } ++ add, m.currentVersion + 1)
     }
+  }
 
   /** Family sync: ONE windowed CDF read feeds every sub-index across
     * every unsynced table version (r18 verdict item 2 extended the
@@ -683,47 +831,48 @@ object AnnIndex {
     val start = fam.subs.map(k => load(fam.subRoot(k)).synced).min
     if (head <= start) return SyncStats(start, start, 0, 0, 0, 0)
     val subCents = fam.subs.map(k =>
-      k -> s.read.parquet(load(fam.subRoot(k)).baseCentroids)).toMap
+      k -> baseCentroidsOf(s, load(fam.subRoot(k)))).toMap
     val proj = project(readChanges(s, tablePath, start + 1, head),
       fam.idCol, fam.vecCol, fam.labelCol, Some(fam.filterCol)).persist()
     try {
       // ONE routing pre-pass for the WHOLE window: per-(version, src)
-      // change counts in a single aggregation. Unknown filter values
-      // refuse loudly (they would vanish from serving silently) — and
-      // so do NULL filter values, which the same silent-vanish
+      // insert/delete counts in a single aggregation. Unknown filter
+      // values refuse loudly (they would vanish from serving silently)
+      // — and so do NULL filter values, which the same silent-vanish
       // argument covers (r18 advice: project() used to drop them
       // before this check could see them). A (sub, version) with ZERO
-      // rows takes a metadata-only cursor advance — no Spark jobs
-      val counted = proj
-        .groupBy(col("_commit_version"), col("src")).count().collect()
-        .map(r => (r.getLong(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
-      val nullRows = counted.collect { case (_, None, n) => n }.sum
+      // rows takes a metadata-only cursor advance — no Spark jobs —
+      // and the per-kind counts let syncVersion skip its own
+      // emptiness-probe jobs too (r19 phase attribution).
+      val counted = routeCounts(proj,
+        Seq(col("_commit_version"), col("src")),
+        r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      val nullRows = counted.collect {
+        case ((_, None), (i, d)) => i + d }.sum
       if (nullRows > 0) throw new IllegalStateException(
         s"ann_sync: $nullRows change rows carry NULL ${fam.filterCol} " +
           "— no sub-index can serve them; refusing the sync")
-      val perVerSub =
-        counted.collect { case (w, Some(k), n) => (w, k) -> n }.toMap
+      val perVerSub = counted.collect {
+        case ((w, Some(k)), nd) => (w, k) -> nd }.toMap
       val unknown = perVerSub.keySet.map(_._2) -- fam.subs.toSet
       require(unknown.isEmpty,
         s"change rows carry ${fam.filterCol} values with no " +
           s"sub-index (${unknown.mkString(",")}) — CALL ann_drop + " +
           "ann_build to re-partition")
       var frags = 0L; var tombs = 0L; var nIns = 0L; var nDel = 0L
-      ((start + 1) to head).foreach { w =>
-        fam.subs.foreach { k =>
-          if (load(fam.subRoot(k)).synced == w - 1) {
-            if (perVerSub.getOrElse((w, k), 0L) == 0L)
-              commitSynced(fam.subRoot(k), w, Seq.empty)
-            else {
-              val (f, t, i, d) = syncVersion(s, fam.subRoot(k),
-                subCents(k),
-                proj.filter(col("_commit_version") === w &&
-                  col("src") === k)
-                  .drop("_commit_version", "src"), w)
-              frags += f; tombs += t; nIns += i; nDel += d
-            }
-          }
+      // one syncRange per sub (each sub's versions serial against its
+      // OWN manifest; a crash between subs resumes exactly — only the
+      // behind subs replay their versions, off a fresh window read)
+      fam.subs.foreach { k =>
+        val subVersions = (load(fam.subRoot(k)).synced + 1) to head
+        if (subVersions.nonEmpty) {
+          val subRouted = subVersions.map(w =>
+            w -> perVerSub.getOrElse((w, k), (0L, 0L))).toMap
+          val (f, t, i, d) = syncRange(s, fam.subRoot(k), subCents(k),
+            proj.filter(col("src") === k).drop("src"),
+            subVersions, subRouted)
+          frags += f; tombs += t; nIns += i; nDel += d
         }
       }
       SyncStats(start, head, frags, tombs, nIns, nDel)
@@ -733,6 +882,26 @@ object AnnIndex {
   /** The table version a `frag-<v>` / `tomb-<v>` layer carries. */
   private def layerVersion(rel: String): Long =
     rel.dropWhile(!_.isDigit).toLong
+
+  /** Centroid/dcent layer schemas are FIXED by their writers —
+    * declaring them on read skips a per-layer parquet footer
+    * inference pass (r19 phase attribution: serve and sync each open
+    * several metadata-sized layers, and inference was a visible slice
+    * of their driver latency). */
+  private val centroidSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("label", LongType),
+      StructField("sv", ArrayType(LongType)),
+      StructField("c", LongType)))
+  }
+  private val dcentSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("label", LongType),
+      StructField("dv", ArrayType(LongType)),
+      StructField("dc", LongType)))
+  }
+  private def baseCentroidsOf(s: SparkSession, L: Layers): DataFrame =
+    s.read.schema(centroidSchema).parquet(L.baseCentroids)
 
   /** Layer schemas are FIXED by the writers, so reads declare them —
     * schema inference would die on a data-less layer dir (a fold that
@@ -766,10 +935,15 @@ object AnnIndex {
     val tombsOf: Long => Seq[String] =
       v => if (!applyTombs) Seq.empty
         else L.tombs.filter(t => layerVersion(t) > v)
+    val keysSchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", LongType)))
+    }
     def mask(df: DataFrame, tombs: Seq[String]): DataFrame =
       if (tombs.isEmpty) df
-      else df.join(broadcast(tombs.map(t => s.read.parquet(
-          L.abs(s"$t/keys"))).reduce(_.unionByName(_))),
+      else df.join(broadcast(tombs.map(t => s.read.schema(keysSchema)
+          .parquet(L.abs(s"$t/keys"))).reduce(_.unionByName(_))),
         Seq("vec_id", "label"), "left_anti")
     // newest-first shadowing over fold levels, base last; all masked
     // by every pending tombstone (strictly newer than sealed layers)
@@ -807,8 +981,9 @@ object AnnIndex {
     * exact and metadata-sized. */
   def serveCentroids(s: SparkSession, L: Layers): DataFrame = {
     val sealed0 = L.folds.lastOption
-      .map(f => s.read.parquet(L.abs(s"$f/centroids")))
-      .getOrElse(s.read.parquet(L.baseCentroids))
+      .map(f => s.read.schema(centroidSchema)
+        .parquet(L.abs(s"$f/centroids")))
+      .getOrElse(baseCentroidsOf(s, L))
     def fold(acc: DataFrame, dcent: DataFrame, sign: Int): DataFrame = {
       val all = dcent
         .select(col("label"), posexplode(col("dv")).as(Seq("i", "x")))
@@ -829,10 +1004,12 @@ object AnnIndex {
     }
     val afterFrags =
       if (L.frags.isEmpty) sealed0
-      else fold(sealed0, L.frags.map(f => s.read.parquet(L.abs(s"$f/dcent")))
+      else fold(sealed0, L.frags.map(f => s.read.schema(dcentSchema)
+          .parquet(L.abs(s"$f/dcent")))
         .reduce(_.unionByName(_)), 1)
     if (L.tombs.isEmpty) afterFrags
-    else fold(afterFrags, L.tombs.map(t => s.read.parquet(L.abs(s"$t/dcent")))
+    else fold(afterFrags, L.tombs.map(t => s.read.schema(dcentSchema)
+        .parquet(L.abs(s"$t/dcent")))
       .reduce(_.unionByName(_)), -1)
   }
 
@@ -857,14 +1034,124 @@ object AnnIndex {
       case None =>
         require(!isFamily(root0),
           s"the '$vecCol' index is a filtered family — pass the " +
-            "filter value to serve")
+            "filter value to serve (or a filter column via serveMixed)")
         root0
     }
+    serveOne(s, root, qs, nprobe, k)
+  }
+
+  /** MIXED-filter family serve (r19 verdict item 3): `qs` carries the
+    * family's filter column, and ONE call routes each query to its
+    * sub-index and unions the per-sub top-k — a batch spanning N
+    * filter values used to pay N serve calls and N manifest
+    * resolutions. Only subs the batch actually names resolve their
+    * manifests. NULL filter values refuse loudly (no sub-index could
+    * serve them — the build/sync posture), as do values without a
+    * sub. Per (filter value, query) the result rows equal the
+    * single-value `serve(filter = Some(v))` exactly (spec-pinned). */
+  def serveMixed(s: SparkSession, tablePath: String, vecCol: String,
+      qs: DataFrame, filterCol: String, nprobe: Int = 2, k: Int = 3)
+      : DataFrame = {
+    val root = dirFor(tablePath, vecCol)
+    require(isFamily(root),
+      s"serveMixed needs a filtered family; the '$vecCol' index is " +
+        "plain — call serve without a filter")
+    val fam = loadFamily(root)
+    val vals = qs.select(col(filterCol).cast("long").as("f"))
+      .distinct().collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    require(!vals.contains(None),
+      s"serveMixed: query rows carry NULL $filterCol — no sub-index " +
+        "can serve them; refusing the batch")
+    val known = vals.flatten.sorted
+    val unknown = known.filterNot(fam.subs.contains)
+    require(unknown.isEmpty,
+      s"no sub-index for ${fam.filterCol} = ${unknown.mkString(",")} " +
+        s"(family covers ${fam.subs.mkString(",")})")
+    known.map { v =>
+      serveOne(s, fam.subRoot(v),
+          qs.filter(col(filterCol) === v).drop(filterCol), nprobe, k)
+        .withColumn(filterCol, lit(v))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** One (sub-)index's serve against a resolved root. */
+  private def serveOne(s: SparkSession, root: Path, qs: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
     val L = load(root)
-    val probe = probeCells(qs, serveCentroids(s, L), nprobe)
-    val cells = probe.select("label").distinct().collect()
-      .map(_.get(0)).toSeq
-    topKWithBestNew(resolvePool(s, L, cells), probe, k)
+    graft.core.Phases("serve.plan") {
+      // the probed (qid, cell) PAIRS collect — not just the distinct
+      // cells (r19 phase attribution: the final top-k job used to
+      // re-execute the whole probe plan — centroid-state folds,
+      // crossJoin, window — behind the broadcast). The pairs are
+      // queries x nprobe x 16 bytes (no vectors), so the driver cost
+      // stays negligible even for huge offline query batches; the
+      // query vectors re-join from `qs` itself, which the top-k job
+      // needed anyway.
+      val pairs = probeCells(qs, serveCentroids(s, L), nprobe)
+        .select(col("qid"), col("label")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val cells = pairs.map(_._2).distinct.toSeq
+      import s.implicits._
+      val probe = qs.join(
+          broadcast(pairs.toSeq.toDF("qid", "label")), Seq("qid"))
+        .select(col("qid"), col("label"), col("qv"), col("qn"))
+      topKWithBestNew(resolvePool(s, L, cells.map(c => c: Any)), probe, k)
+    }
+  }
+
+  /** The SQL query face (r19 verdict item 1/2: discovery `t.ann`,
+    * lifecycle `CALL system.ann_*`, and detail were SQL; SERVING was
+    * Scala-only, so the catalog story ended one step short of an
+    * answered query). Query vectors are data, not SQL literals — so
+    * the procedure takes a query TABLE whose rows carry the SAME id
+    * and vector column NAMES as the indexed table (and, for a
+    * filtered family, the filter column, which routes each query row
+    * to its sub-index in this one call — the mixed-filter face).
+    * Zero-norm query vectors refuse loudly: their cosine is undefined
+    * and silently returning nothing for a qid would read as "no
+    * neighbors". Returns (flt, query_id, rnk, neighbor_id, cell,
+    * is_new, cosine) — q113's output shape plus the routing value
+    * (NULL for a plain index). */
+  def searchTable(s: SparkSession, tablePath: String, vecCol: String,
+      queryDf: DataFrame, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val root = dirFor(tablePath, vecCol)
+    val m = new Manifest(root)
+    require(m.exists,
+      s"no ann index at $root — CALL system.ann_build first")
+    val cols = m.read().collectFirst { case ("cols", c) => c.split('|') }
+      .getOrElse(throw new IllegalStateException(
+        s"ann manifest at $root missing cols line"))
+    val idCol = cols(0)
+    Seq(idCol, vecCol).foreach(c => require(queryDf.columns.contains(c),
+      s"ann_search: the query table must carry the indexed table's " +
+        s"'$c' column (its id/vector names name the query shape)"))
+    val qs0 = queryDf.withColumn("qv", quantExpr(queryDf, vecCol))
+      .withColumn("qn", dotL(col("qv"), col("qv")))
+    val zeroNorm = qs0.filter(col("qn") <= 0).count()
+    require(zeroNorm == 0,
+      s"ann_search: $zeroNorm query rows have zero-norm vectors — " +
+        "cosine similarity is undefined for them; filter them out")
+    val out =
+      if (isFamily(root)) {
+        val fam = loadFamily(root)
+        require(queryDf.columns.contains(fam.filterCol),
+          s"the '$vecCol' index is a filtered family — the query " +
+            s"table must carry its '${fam.filterCol}' column to route")
+        val qs = qs0.select(col(idCol).cast("long").as("qid"),
+          col("qv"), col("qn"),
+          col(fam.filterCol).cast("long").as("_flt"))
+        serveMixed(s, tablePath, vecCol, qs, "_flt", nprobe, k)
+          .withColumnRenamed("_flt", "flt")
+      } else {
+        val qs = qs0.select(col(idCol).cast("long").as("qid"),
+          col("qv"), col("qn"))
+        serve(s, tablePath, vecCol, qs, nprobe, k)
+          .withColumn("flt", lit(null).cast("long"))
+      }
+    out.select(col("flt"), col("query_id"), col("rnk"),
+        col("neighbor_id"), col("cell"), col("is_new"), col("cosine"))
+      .orderBy(col("flt").asc_nulls_first, col("query_id"), col("rnk"))
   }
 
   final case class FoldStats(foldedFragments: Long, appliedTombstones: Long,
@@ -911,9 +1198,16 @@ object AnnIndex {
     // documented crash-rerun actually reruns (review r18)
     graft.core.Fs.deleteRecursively(root.resolve(foldRel))
     // ONE affected-cells-only pass: current pool resolution (newest
-    // layer per cell + fragments - tombstones), is_new preserved
-    resolvePool(s, L, affected.toSeq).write.partitionBy("label")
-      .parquet(root.resolve(foldRel).resolve("cells").toString)
+    // layer per cell + fragments - tombstones), is_new preserved.
+    // The sealed centroid write below is independent (it reads the
+    // PRE-fold layer aggregates, not the new cells dir) — concurrent.
+    graft.core.Phases("fold.cells_write") {
+      inParallel(
+        resolvePool(s, L, affected.toSeq).write.partitionBy("label")
+          .parquet(root.resolve(foldRel).resolve("cells").toString),
+        serveCentroids(s, L).write
+          .parquet(root.resolve(foldRel).resolve("centroids").toString))
+    }
     // an affected cell whose rows ALL died writes no label dir, which
     // would UN-cover it — base would leak its tombstoned rows back
     // once a later arrival re-populates the cell and probing resumes.
@@ -924,10 +1218,8 @@ object AnnIndex {
       Files.createDirectories(root.resolve(foldRel)
         .resolve("cells").resolve(s"label=$c"))
     }
-    // seal the post-fold centroid state (what serving reads next)
-    serveCentroids(s, L).write
-      .parquet(root.resolve(foldRel).resolve("centroids").toString)
     var retired = 0L
+    graft.core.Phases("fold.swap") {
     DocStoreCommitOps.withCommitLock(root.toString) {
       val m = new Manifest(root)
       val es = m.read()
@@ -965,6 +1257,7 @@ object AnnIndex {
       // Readers are unaffected: the current snapshot is resolved from
       // the atomically-renamed MANIFEST, never from version copies.
       m.expireCopiesBelow(published)
+    }
     }
     FoldStats(L.frags.size.toLong, L.tombs.size.toLong,
       affected.size.toLong, retired)
@@ -1022,7 +1315,23 @@ object AnnIndex {
     * unpublished era/staging dirs are unreachable debris, cleared on
     * the next attempt; a concurrent index commit between the era
     * build and the swap fails the version conflict check and refuses
-    * (rerun rebuilds against the new state). */
+    * (rerun rebuilds against the new state).
+    *
+    * Family crash WINDOW (r19 advice, documented as the contract): a
+    * crash or swapToEra conflict BETWEEN sub swaps leaves the family
+    * manifest still listing the pre-rebuild sub set — every sub
+    * remains internally consistent (its own era swap is atomic), but
+    * already-swapped subs serve the new snapshot while unswapped ones
+    * (including subs whose filter value vanished from the table)
+    * serve the PRE-rebuild rows until a rerun completes. That is the
+    * same read semantics any interrupted multi-table refresh has:
+    * per-object atomicity, cross-object eventual consistency via
+    * rerun — the rerun converges from any interruption point
+    * (spec-pinned), and vanished-value subs plus orphan era dirs are
+    * deleted once the new family manifest publishes. Publishing the
+    * new sub list FIRST would be strictly worse: it would name subs
+    * whose era dirs do not exist yet, breaking serves instead of
+    * aging them. */
   def rebuild(tablePath: String, vecCol: String): BuildStats = {
     val s = SparkSession.active
     val root = dirFor(tablePath, vecCol)
@@ -1033,6 +1342,7 @@ object AnnIndex {
       .option("manifest", s"MANIFEST.v$head").load()
     if (isFamily(root)) return rebuildFamily(s, tablePath, root, snap, head)
     val L = load(root)
+    sweepOrphanEras(root)
     val v = project(snap, L.idCol, L.vecCol, L.labelCol).persist()
     try {
       require(v.take(1).nonEmpty,
@@ -1040,14 +1350,43 @@ object AnnIndex {
           "refusing to swap the index away")
       val era = s"base-${new Manifest(root).currentVersion + 1}"
       graft.core.Fs.deleteRecursively(root.resolve(era))
-      v.write.partitionBy("label")
-        .parquet(root.resolve(era).resolve("vectors").toString)
-      centroidTable(v).write
-        .parquet(root.resolve(era).resolve("centroids").toString)
-      val r = v.agg(count_distinct(col("label")), count(lit(1))).head()
+      // all three derive from the cached projection — concurrent
+      var r: org.apache.spark.sql.Row = null
+      inParallel(
+        v.write.partitionBy("label")
+          .parquet(root.resolve(era).resolve("vectors").toString),
+        inParallel(
+          centroidTable(v).write
+            .parquet(root.resolve(era).resolve("centroids").toString),
+          { r = v.agg(count_distinct(col("label")), count(lit(1))).head() }))
       swapToEra(root, s"${L.idCol}|${L.vecCol}|${L.labelCol}", era, head)
       BuildStats(root.toString, head, r.getLong(0), r.getLong(1))
     } finally { v.unpersist(); () }
+  }
+
+  /** Clear era dirs NO manifest references before a rebuild writes its
+    * own (r19 advice: a rebuild refused by swapToEra's conflict check —
+    * or crashed after the era write — orphans its `base-<n>` dir
+    * forever, because the next attempt computes a HIGHER era number
+    * and the per-attempt clearing only targets that one name; repeated
+    * conflicts leaked one dir each). An unreferenced `base-*` dir is
+    * unreachable by construction (readers resolve only manifest
+    * entries), so the sweep can never race a serve. The live base —
+    * `base` from the original build or the `base-<n>` the manifest
+    * names — is never touched. */
+  private def sweepOrphanEras(root: Path): Unit = {
+    if (!Files.exists(root)) return
+    val m = new Manifest(root)
+    val live: Set[String] =
+      if (!m.exists) Set.empty
+      else m.read().collect { case ("base", p) => p }.toSet
+    val orphans = {
+      val l = Files.list(root)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("base-") && !live(n)).toVector
+      finally l.close()
+    }
+    orphans.foreach(n => graft.core.Fs.deleteRecursively(root.resolve(n)))
   }
 
   /** The rebuild's atomic flip: publish a manifest whose ONLY layer
@@ -1083,7 +1422,14 @@ object AnnIndex {
           "the family away")
       val stage = root.resolve(".stage-rebuild")
       graft.core.Fs.deleteRecursively(stage)
-      v.write.partitionBy("src", "label").parquet(stage.toString)
+      // staging write ∥ centroid aggregation — same cached projection,
+      // independent outputs; rows map after the NULL refusal below
+      var centRowsRaw: Array[org.apache.spark.sql.Row] = null
+      inParallel(
+        v.write.partitionBy("src", "label").parquet(stage.toString),
+        { centRowsRaw = centroidTable(v, Seq("src"))
+          .select(col("src"), col("label"), col("sv"), col("c"))
+          .collect() })
       val stagedDirs = {
         val l = Files.list(stage)
         try l.iterator().asScala.map(_.getFileName.toString)
@@ -1097,15 +1443,14 @@ object AnnIndex {
             "join any sub-index — refusing the rebuild")
       }
       val srcs = stagedDirs.map(_.stripPrefix("src=").toLong).sorted
-      val centRows = centroidTable(v, Seq("src"))
-        .select(col("src"), col("label"), col("sv"), col("c"))
-        .collect()
+      val centRows = centRowsRaw
         .map(r => (r.getAs[Number](0).longValue(),
           r.getAs[Number](1).longValue(),
           r.getSeq[Long](2), r.getLong(3)))
       var cells = 0L; var vecs = 0L
       srcs.foreach { k =>
         val sub = root.resolve(s"src=$k")
+        sweepOrphanEras(sub)
         val era = s"base-${new Manifest(sub).currentVersion + 1}"
         graft.core.Fs.deleteRecursively(sub.resolve(era))
         Files.createDirectories(sub.resolve(era))

@@ -2701,6 +2701,13 @@ class DocStoreWriteBuilder(path: String, schema: StructType,
     require(manifestName == "MANIFEST",
       "INSERT OVERWRITE on a docstore BRANCH is not supported — " +
         "branches stage appends; publish or drop the branch instead")
+    // fail FAST at write-build time (r19 advice): the commit-time
+    // refusal inside DocStoreBatchWrite.commit stays authoritative
+    // (it runs under the lock, after a racing ann_build could have
+    // published), but by then executors have staged every segment and
+    // the claimed part-number range burns on abort — a doomed
+    // overwrite should die before any data moves
+    AnnIndex.refuseContentReset(path, "INSERT OVERWRITE (truncate)")
     new DocStoreWriteBuilder(path, schema, order, queryId, truncate = true,
       partSpec = partSpec, txn = txn, identity = identity)
   }

@@ -150,13 +150,15 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "ann_drop") => new AnnDropProcedure(this)
       case (Seq("system"), "ann_rebuild") => new AnnRebuildProcedure(this)
       case (Seq("system"), "ann_detail") => new AnnDetailProcedure(this)
+      case (Seq("system"), "ann_search") => new AnnSearchProcedure(this)
       case _ => throw new RuntimeException(
         s"no such docstore procedure: $ident (try system.vacuum / " +
           "system.history / system.restore / system.optimize / " +
           "system.expire_snapshots / system.create_branch / " +
           "system.publish_branch / system.drop_branch / " +
           "system.ann_build / system.ann_sync / system.ann_fold / " +
-          "system.ann_drop / system.ann_rebuild / system.ann_detail)")
+          "system.ann_drop / system.ann_rebuild / system.ann_detail / " +
+          "system.ann_search)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -174,7 +176,8 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "ann_fold"),
         Identifier.of(namespace, "ann_drop"),
         Identifier.of(namespace, "ann_rebuild"),
-        Identifier.of(namespace, "ann_detail"))
+        Identifier.of(namespace, "ann_detail"),
+        Identifier.of(namespace, "ann_search"))
     else Array.empty
 
   override def initialize(name: String,

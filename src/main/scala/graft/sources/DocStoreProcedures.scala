@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Stored procedures for the docstore catalog — the `CALL
@@ -1459,5 +1459,59 @@ class AnnDetailProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
       .map(r => new GenericInternalRow(Array[Any](
         UTF8String.fromString(r.scope), r.synced, r.cells,
         r.fragments, r.tombstones, r.folds))))
+  }
+}
+
+/** `CALL cat.system.ann_search('ns.t', vec_col, 'ns.queries', k,
+  * nprobe)` — the index's SQL QUERY face (r19 verdict item 2:
+  * discovery, lifecycle, and detail were SQL; serving was
+  * Scala-only). Query vectors are data, not SQL literals, so the
+  * procedure takes a query TABLE: its rows carry the indexed table's
+  * id and vector column names (and, for a filtered family, the
+  * filter column — each query row routes to its sub-index in this
+  * one call). Returns q113's serve shape, (query_id, rnk,
+  * neighbor_id, cell, is_new, cosine), plus the routing value `flt`
+  * (NULL for a plain index). Top-k results are batch-sized by
+  * contract, so the procedure's driver-materialized result set stays
+  * queries x k rows. See [[AnnIndex.searchTable]]. */
+class AnnSearchProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
+  override def name(): String = "ann_search"
+  override def description(): String =
+    "serve top-k ANN neighbors for every row of a query table — " +
+      "the SQL face of AnnIndex.serve"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build(),
+      ProcedureParameter.in("query_table", StringType).build(),
+      ProcedureParameter.in("k", IntegerType).defaultValue("3").build(),
+      ProcedureParameter.in("nprobe", IntegerType)
+        .defaultValue("2").build())
+
+  private val SCHEMA = StructType(Seq(
+    StructField("flt", LongType, nullable = true),
+    StructField("query_id", LongType, nullable = false),
+    StructField("rnk", IntegerType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cell", LongType, nullable = false),
+    StructField("is_new", BooleanType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = tableDir(catalog, input.getUTF8String(0).toString)
+    val vecCol = input.getUTF8String(1).toString
+    val qdir = tableDir(catalog, input.getUTF8String(2).toString)
+    val k = input.getInt(3)
+    val nprobe = input.getInt(4)
+    require(k > 0 && nprobe > 0,
+      s"ann_search: k and nprobe must be positive (got k=$k, nprobe=$nprobe)")
+    val s = org.apache.spark.sql.SparkSession.active
+    val queryDf = s.read.format("graft-docstore")
+      .option("path", qdir.toString).load()
+    val out = AnnIndex.searchTable(s, dir.toString, vecCol, queryDf,
+      k = k, nprobe = nprobe)
+    // top-k over a query batch — the result is queries x k rows; the
+    // copy() is required (executeCollect may reuse row buffers)
+    result(SCHEMA, out.queryExecution.executedPlan.executeCollect()
+      .map(_.copy()).toSeq)
   }
 }

@@ -821,4 +821,239 @@ class AnnIndexSpec extends SparkSpec {
       m.publish(Seq(("base", "/a,b")), 0))
     assert(ex2.getMessage.contains("','"), ex2.getMessage)
   }
+
+  test("mixed-filter family serve: one call with a filter column on qs " +
+      "equals the per-value serves; NULL/unknown/plain-index refuse") {
+    val (s, path) = freshCat("annmf")
+    import s.implicits._
+    val fam = base.map { case (id, cell, v) => (id, cell, 0L, v) } ++
+      base.map { case (id, cell, v) => (id + 100L, cell, 1L, v) }
+    s.sql("ALTER TABLE annmf.default.t ADD COLUMNS (src INT)")
+    s.sql("INSERT INTO annmf.default.t VALUES " + fam.map {
+      case (id, cell, src, v) =>
+        s"($id, 0, 'x', 's', '', $cell, array(${v.mkString(",")}L), $src)"
+    }.mkString(", "))
+    s.sql("CALL annmf.system.ann_build(" +
+      "'default.t', 'doc_id', 'v', 'cell', 'src')")
+    // a batch spanning BOTH filter values, two queries each
+    val batch = Seq(
+      (900L, Seq(1000L, 1L, 0L, 0L), 0L),
+      (901L, Seq(0L, 1000L, 1L, 0L), 0L),
+      (902L, Seq(1000L, 1L, 0L, 0L), 1L),
+      (903L, Seq(0L, 0L, 1000L, 1L), 1L))
+      .map { case (qid, qv, f) =>
+        (qid, qv, dot(qv.toArray, qv.toArray), f) }
+      .toDF("qid", "qv", "qn", "f")
+    val mixed = AnnIndex.serveMixed(s, path, "v", batch, "f")
+      .collect().map(r => (r.getLong(6), r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getAs[Number](3).longValue(), r.getBoolean(4),
+        r.getDouble(5))).toSet
+    val perValue = Seq(0L, 1L).flatMap { v =>
+      AnnIndex.serve(s, path, "v",
+          batch.filter(col("f") === v).drop("f"), filter = Some(v))
+        .collect().map(r => (v, r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getAs[Number](3).longValue(), r.getBoolean(4), r.getDouble(5)))
+    }.toSet
+    assert(mixed == perValue,
+      s"mixed serve must equal per-value serves:\n  mixed " +
+        s"${mixed.toSeq.sorted}\n  per-value ${perValue.toSeq.sorted}")
+    // refusals: NULL filter value, unknown value, plain (non-family)
+    val withNull = batch.withColumn("f",
+      when(col("qid") === 900L, lit(null)).otherwise(col("f")))
+    assert(intercept[IllegalArgumentException](AnnIndex.serveMixed(
+      s, path, "v", withNull, "f")).getMessage.contains("NULL"))
+    val unknown = batch.withColumn("f", col("f") + 7L)
+    assert(intercept[IllegalArgumentException](AnnIndex.serveMixed(
+      s, path, "v", unknown, "f")).getMessage.contains("no sub-index"))
+    val (s2, path2) = freshCat("annmfp")
+    ins(s2, "annmfp", base)
+    s2.sql("CALL annmfp.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    assert(intercept[IllegalArgumentException](AnnIndex.serveMixed(
+      s2, path2, "v", batch, "f")).getMessage.contains("family"))
+  }
+
+  test("ann_search routes a FAMILY query table by its filter column " +
+      "and refuses zero-norm query vectors") {
+    val (s, path) = freshCat("annsf")
+    import s.implicits._
+    val fam = base.map { case (id, cell, v) => (id, cell, 0L, v) } ++
+      base.map { case (id, cell, v) => (id + 100L, cell, 1L, v) }
+    s.sql("ALTER TABLE annsf.default.t ADD COLUMNS (src INT)")
+    s.sql("INSERT INTO annsf.default.t VALUES " + fam.map {
+      case (id, cell, src, v) =>
+        s"($id, 0, 'x', 's', '', $cell, array(${v.mkString(",")}L), $src)"
+    }.mkString(", "))
+    s.sql("CALL annsf.system.ann_build(" +
+      "'default.t', 'doc_id', 'v', 'cell', 'src')")
+    // query TABLE with the indexed table's id/vector/filter col names
+    s.sql("CREATE TABLE annsf.default.qs (doc_id BIGINT NOT NULL, " +
+      "n_chars BIGINT, lang STRING, source STRING, text STRING)")
+    s.sql("ALTER TABLE annsf.default.qs ADD COLUMNS (src INT, " +
+      "v ARRAY<BIGINT>)")
+    s.sql("INSERT INTO annsf.default.qs VALUES " +
+      "(900, 0, 'x', 's', '', 0, array(1000L, 1L, 0L, 0L)), " +
+      "(901, 0, 'x', 's', '', 1, array(0L, 1000L, 1L, 0L))")
+    val hits = s.sql("CALL annsf.system.ann_search(" +
+        "'default.t', 'v', 'default.qs', 3, 2)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getAs[Number](4).longValue(), r.getBoolean(5), r.getDouble(6)))
+      .toSet
+    val want = Seq((900L, Array(1000L, 1L, 0L, 0L): Vec, 0L),
+      (901L, Array(0L, 1000L, 1L, 0L): Vec, 1L)).flatMap {
+      case (qid, qv, f) =>
+        val qs = Seq((qid, qv.toSeq, dot(qv, qv))).toDF("qid", "qv", "qn")
+        AnnIndex.serve(s, path, "v", qs, filter = Some(f)).collect()
+          .map(r => (f, r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getAs[Number](3).longValue(), r.getBoolean(4),
+            r.getDouble(5)))
+    }.toSet
+    assert(hits == want, s"ann_search family routing:\n  got  " +
+      s"${hits.toSeq.sorted}\n  want ${want.toSeq.sorted}")
+    // zero-norm query vectors refuse loudly (cosine undefined)
+    s.sql("INSERT INTO annsf.default.qs VALUES " +
+      "(902, 0, 'x', 's', '', 0, array(0L, 0L, 0L, 0L))")
+    assert(intercept[IllegalArgumentException](s.sql(
+      "CALL annsf.system.ann_search('default.t', 'v', 'default.qs')"))
+      .getMessage.contains("zero-norm"))
+  }
+
+  test("count-normalized probe ranking recovers the recall the old " +
+      "c^2-form lost on skewed cell sizes") {
+    // r19 verdict item 7: the r18 ranking fix closed a RECALL-quality
+    // defect hash gates cannot see (they pin whatever ranking is
+    // defined). Skewed corpus: a DENSE cell (c=30) whose mean sits
+    // 500 off the query on one axis, and a SPARSE cell (c=1) whose
+    // one point sits 1400 off — the true nearest neighbor lives in
+    // the dense cell. Count-normalized distances: dense 500^2 <<
+    // sparse 1400^2 -> probe the dense cell, recall@1 = 1. The old
+    // cross-multiplied form c^2*||q - sv/c||^2 scores dense
+    // 30^2*500^2 = 2.25e8 > sparse 1.96e6 -> probes the sparse cell
+    // and MISSES the true neighbor at nprobe=1, recall@1 = 0.
+    val (s, path) = freshCat("annsk")
+    import s.implicits._
+    val dense = (0L until 30L).map(i =>
+      (i + 1, 0L, Array(1000L, 500L + (i % 3) - 1L, 0L, 0L): Vec))
+    val sparse = Seq((100L, 1L, Array(1000L, -900L, 0L, 0L): Vec))
+    ins(s, "annsk", dense ++ sparse)
+    s.sql("CALL annsk.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    val q: Vec = Array(1000L, 0L, 0L, 0L)
+    val trueNn = (dense ++ sparse)
+      .maxBy { case (id, _, v) => (cos(q, v), -id) }._1
+    assert(dense.exists(_._1 == trueNn),
+      "fixture: the true NN must live in the dense cell")
+    val qs = Seq((900L, q.toSeq, dot(q, q))).toDF("qid", "qv", "qn")
+    val got = AnnIndex.serve(s, path, "v", qs, nprobe = 1, k = 1)
+      .collect().map(_.getLong(2))
+    assert(got.headOption.contains(trueNn),
+      s"count-normalized probe must find the dense-cell NN: $got")
+    // the OLD form, recomputed locally, probes the sparse cell — the
+    // documented bias this fixture is built to exhibit
+    val cents = centroids((dense ++ sparse).map {
+      case (id, cell, v) => id -> (v, cell, false) }.toMap)
+    def oldForm(sv: Vec, c: Long): Double =
+      q.indices.map(i => { val d = c * q(i) - sv(i); d.toDouble * d }).sum
+    val oldPick = cents.toSeq.map { case (cell, (sv, c)) =>
+      (oldForm(sv, c), cell) }.minBy(identity)._2
+    assert(oldPick == 1L,
+      s"fixture must exhibit the c^2 bias (old form picks sparse): $oldPick")
+    val newPick = cents.toSeq.map { case (cell, (sv, c)) =>
+      (cellDist(q, sv, c), cell) }.minBy(identity)._2
+    assert(newPick == 0L, s"count-normalized form picks dense: $newPick")
+  }
+
+  test("family rebuild crash matrix: published-but-unlisted sub dirs, " +
+      "orphaned era dirs, and stage debris all clear on the rerun") {
+    val (s, path) = freshCat("annfc")
+    import s.implicits._
+    val fam = base.map { case (id, cell, v) => (id, cell, 0L, v) } ++
+      base.map { case (id, cell, v) => (id + 100L, cell, 1L, v) }
+    s.sql("ALTER TABLE annfc.default.t ADD COLUMNS (src INT)")
+    s.sql("INSERT INTO annfc.default.t VALUES " + fam.map {
+      case (id, cell, src, v) =>
+        s"($id, 0, 'x', 's', '', $cell, array(${v.mkString(",")}L), $src)"
+    }.mkString(", "))
+    s.sql("CALL annfc.system.ann_build(" +
+      "'default.t', 'doc_id', 'v', 'cell', 'src')")
+    val root = AnnIndex.dirFor(path, "v")
+    // table drift: src 1 vanishes entirely, src 2 appears. NO sync —
+    // an unknown filter value REFUSES sync by design, and ann_rebuild
+    // is its one-call answer (it heals a behind index from the
+    // snapshot, no replay)
+    s.sql("DELETE FROM annfc.default.t WHERE src = 1")
+    s.sql("INSERT INTO annfc.default.t VALUES " + base.map {
+      case (id, cell, v) =>
+        s"(${id + 200L}, 0, 'x', 's', '', $cell, " +
+          s"array(${v.mkString(",")}L), 2)"
+    }.mkString(", "))
+    // fabricate the crash debris an interrupted earlier rebuild leaves
+    // (the r19 advice + verdict item 5 shapes):
+    //  - a sub that swapped + published but the family manifest never
+    //    listed (crash between sub swaps and the family publish) —
+    //    modeled by a fully-formed unlisted sub dir
+    val orphanSub = root.resolve("src=99")
+    Files.createDirectories(orphanSub.resolve("base-3").resolve("vectors"))
+    new AnnIndex.Manifest(orphanSub).publish(
+      Seq(("cols", "doc_id|v|cell"), ("synced", "9"),
+        ("base", "base-3")), 3)
+    //  - an era dir written but never swapped in an existing sub (the
+    //    refused-swap orphan the r19 advice found leaking forever)
+    val orphanEra = root.resolve("src=0").resolve("base-9")
+    Files.createDirectories(orphanEra.resolve("vectors"))
+    Files.writeString(orphanEra.resolve("vectors").resolve("junk"), "x")
+    //  - stage debris
+    Files.createDirectories(root.resolve(".stage-rebuild"))
+    // the rerun (one call) converges: subs re-derived to {0, 2},
+    // vanished/unlisted/orphan state all deleted
+    val rb = s.sql("CALL annfc.system.ann_rebuild('default.t', 'v')").head
+    assert(rb.getLong(2) == 6 && rb.getLong(3) == 36,
+      s"rebuild over {src 0, src 2} x 3 cells x 6 vectors: $rb")
+    val famM = AnnIndex.loadFamily(root)
+    assert(famM.subs == Seq(0L, 2L), s"re-derived subs: ${famM.subs}")
+    assert(!Files.exists(root.resolve("src=1")),
+      "vanished filter value's sub must be deleted after the publish")
+    assert(!Files.exists(orphanSub),
+      "published-but-unlisted crash sub must be deleted")
+    assert(!Files.exists(orphanEra),
+      "orphaned era dir must be swept by the rerun")
+    assert(!Files.exists(root.resolve(".stage-rebuild")),
+      "stage debris must be cleared")
+    // every surviving sub serves the post-rebuild snapshot exactly
+    val st0: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => id -> (v, cell, false) }.toMap
+    val st2: Map[Long, (Vec, Long, Boolean)] =
+      base.map { case (id, cell, v) => (id + 200L) -> (v, cell, false) }
+        .toMap
+    def checkF(src: Long, q: Vec,
+        st: Map[Long, (Vec, Long, Boolean)]): Unit = {
+      val qs = Seq((900L, q.toSeq, dot(q, q))).toDF("qid", "qv", "qn")
+      val got = AnnIndex.serve(s, path, "v", qs, filter = Some(src))
+        .collect().map(r => (r.getLong(2), r.getAs[Number](3).longValue(),
+          r.getBoolean(4), r.getDouble(5)))
+      val want = expectedServe(q, st, centroids(st), 2, 3).map {
+        case (id, cell, isNew, c) => (id, cell, isNew,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      assert(got.toSeq == want, s"src=$src post-crash-rerun serve")
+    }
+    checkF(0L, Array(1000L, 1L, 0L, 0L), st0)
+    checkF(2L, Array(0L, 1000L, 1L, 0L), st2)
+    // single-index twin of the era sweep: a refused/crashed rebuild's
+    // base-<n> orphan is cleared by the NEXT rebuild even though that
+    // one computes a higher era number (the r19 advice leak)
+    val (s3, path3) = freshCat("annoe")
+    ins(s3, "annoe", base)
+    s3.sql("CALL annoe.system.ann_build('default.t', 'doc_id', 'v', 'cell')")
+    val root3 = AnnIndex.dirFor(path3, "v")
+    // a HIGHER era number than the next rebuild will use (it computes
+    // base-1) — the r19 advice leak was exactly that the per-attempt
+    // clearing only ever targeted the attempt's OWN era name
+    val orphan3 = root3.resolve("base-7")
+    Files.createDirectories(orphan3.resolve("vectors"))
+    s3.sql("CALL annoe.system.ann_rebuild('default.t', 'v')")
+    assert(!Files.exists(orphan3),
+      "single-index rebuild must sweep unreferenced base-* orphans")
+    assert(AnnIndex.load(root3).base.startsWith("base-"),
+      "the live era itself must survive the sweep")
+  }
 }

@@ -145,6 +145,36 @@ class BenchJsonSpec extends AnyFunSuite {
       qm.get(Bench.CanaryZero).asDouble)
     assert(c.get("scale_sec").asDouble ==
       qm.get(Bench.CanaryScale).asDouble)
+    // r19 verdict item 4: with raw sweep series supplied, the sidecar
+    // carries per-sweep totals + canaries AND the median of totals —
+    // one artifact holding the sweep-to-sweep spread itself
+    val rawSweeps = Seq(
+      timed.collect { case (n, t, None) => n -> t }.toMap,
+      timed.collect { case (n, t, None) => n -> t * 1.15 }.toMap,
+      second)
+    val lineS = Bench.sidecarLine(timed, second, "x", rawSweeps)
+    val vs = mapper.readTree(lineS)
+    val sw = vs.get("sweeps")
+    assert(sw != null && sw.isArray && sw.size == 3,
+      "sidecar must carry one entry per full timed sweep")
+    val totals = (0 until 3).map(i => sw.get(i).get("total").asDouble)
+    rawSweeps.zip(totals).foreach { case (m, t) =>
+      val want = m.values.filter(_ >= 0).sum
+      assert(math.abs(t - want) < 5e-3, s"sweep total $t != sum $want")
+    }
+    (0 until 3).foreach { i =>
+      assert(sw.get(i).has("zero_sec") == rawSweeps(i)
+        .get(Bench.CanaryZero).exists(_ >= 0))
+      assert(sw.get(i).has("scale_sec") == rawSweeps(i)
+        .get(Bench.CanaryScale).exists(_ >= 0))
+    }
+    val med = vs.get("value_median")
+    assert(med != null, "sidecar must carry value_median")
+    assert(math.abs(med.asDouble - totals.sorted.apply(1)) < 5e-3,
+      s"median ${med.asDouble} must be the middle sweep total")
+    // no sweeps supplied (filtered isolation runs) -> fields absent,
+    // line still parses with every carried field intact
+    assert(!v.has("sweeps") && !v.has("value_median"))
   }
 
   test("committed bench sidecar (when present) reconciles sum-vs-wall at full resolution") {
