@@ -647,6 +647,12 @@ object AnnIndex {
     // insert(post-image) pair (AnnIndexSpec pins the route-through);
     // the update_* names are matched too for Delta-style feeds that
     // tag update images distinctly
+    // one windowed assignment, lazily materialized by the first
+    // fragment write (an explicit pre-count was A/B'd: the concurrent
+    // writes dedupe cache computation via block locks already, and the
+    // extra job only added wall — the residual frag_write cost is
+    // serialized DRIVER planning of the per-layer write commands, not
+    // executor work)
     val assignedW = if (!anyIns) None else Some(
       assign(proj.filter(
           col("_change_type").isin("insert", "update_postimage")),
@@ -1068,6 +1074,13 @@ object AnnIndex {
     require(unknown.isEmpty,
       s"no sub-index for ${fam.filterCol} = ${unknown.mkString(",")} " +
         s"(family covers ${fam.subs.mkString(",")})")
+    if (known.isEmpty) {
+      // empty batch -> empty result in the serve shape (not a crash):
+      // one sub's serve over zero queries IS that frame
+      return serveOne(s, fam.subRoot(fam.subs.head),
+          qs.limit(0).drop(filterCol), nprobe, k)
+        .withColumn(filterCol, lit(null).cast("long"))
+    }
     known.map { v =>
       serveOne(s, fam.subRoot(v),
           qs.filter(col(filterCol) === v).drop(filterCol), nprobe, k)

@@ -857,6 +857,8 @@ class AnnIndexSpec extends SparkSpec {
     assert(mixed == perValue,
       s"mixed serve must equal per-value serves:\n  mixed " +
         s"${mixed.toSeq.sorted}\n  per-value ${perValue.toSeq.sorted}")
+    // an empty batch answers empty (not a crash)
+    assert(AnnIndex.serveMixed(s, path, "v", batch.limit(0), "f").isEmpty)
     // refusals: NULL filter value, unknown value, plain (non-family)
     val withNull = batch.withColumn("f",
       when(col("qid") === 900L, lit(null)).otherwise(col("f")))
