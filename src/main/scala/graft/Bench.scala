@@ -504,23 +504,27 @@ object Bench {
     }
     // Per-phase attribution artifact (r19 verdict item 1): one JSON
     // object per instrumented gate — the last timed run's dotted-path
-    // phase seconds. Sidecar-adjacent; absence of a gate means no
-    // instrumented engine step ran inside it. Written for filtered
-    // isolation runs too (that is exactly when attribution is read).
-    val phasesPath = sys.env.getOrElse("BENCH_PHASES", "bench_phases.json")
-    try {
-      val gates = timed.map(_._1).flatMap { n =>
-        val m = graft.core.Phases.forGate(n)
-        if (m.isEmpty) None
-        else Some(s"${jq(n)}:" + m.toSeq.sortBy(-_._2)
-          .map { case (p, v) => s"${jq(p)}:${fmt(v, 3)}" }
-          .mkString("{", ",", "}"))
+    // phase seconds. Sidecar-adjacent, and it inherits the sidecar's
+    // two write rules (review r20): a FILTERED isolation run must not
+    // clobber the committed full-registry artifact (set BENCH_PHASES
+    // explicitly for isolation experiments), and a full sweep always
+    // writes — "{}" when no instrumented gate recorded — so a stale
+    // prior-round file can never masquerade as this round's.
+    val phasesPath = sys.env.get("BENCH_PHASES")
+      .orElse(if (only.isEmpty) Some("bench_phases.json") else None)
+    phasesPath.foreach { p =>
+      try {
+        val gates = timed.map(_._1).flatMap { n =>
+          val m = graft.core.Phases.forGate(n)
+          if (m.isEmpty) None
+          else Some(s"${jq(n)}:" + m.toSeq.sortBy(-_._2)
+            .map { case (ph, v) => s"${jq(ph)}:${fmt(v, 3)}" }
+            .mkString("{", ",", "}"))
+        }
+        Files.writeString(Paths.get(p), gates.mkString("{", ",", "}") + "\n")
+      } catch { case e: Exception =>
+        System.err.println(s"BENCH: phases write failed (${e.getMessage})")
       }
-      if (gates.nonEmpty)
-        Files.writeString(Paths.get(phasesPath),
-          gates.mkString("{", ",", "}") + "\n")
-    } catch { case e: Exception =>
-      System.err.println(s"BENCH: phases write failed (${e.getMessage})")
     }
     System.err.println("BENCH_VERBOSE " + verbose)
     // ADVICE r9: rc must not read clean when queries failed — the r9

@@ -18,7 +18,15 @@ import scala.jdk.CollectionConverters._
   * `step` (nested calls dot-join: `sync.frag`). Outside a gate
   * context — Verify runs, ScalaTest, library users — `apply` is a
   * zero-allocation passthrough, so instrumented engine code pays
-  * nothing in production paths. */
+  * nothing in production paths.
+  *
+  * Naming convention (review r20): ENGINE steps use bare names
+  * (`frag_write`, `cells_write`) and rely on the dot-join for
+  * context; the GATE supplies the lifecycle prefix by wrapping its
+  * CALL (`Phases("sync") { CALL ann_sync }` -> `sync.frag_write`).
+  * Prefixing inside the engine would double up (`sync.sync.frag`)
+  * whenever a gate also wraps, and gates DO wrap — they time the
+  * whole procedure call, overhead included. */
 object Phases {
   private val gate = new ThreadLocal[String]
   private val stack = new ThreadLocal[List[String]] {

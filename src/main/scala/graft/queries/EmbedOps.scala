@@ -2804,19 +2804,26 @@ object EmbedOps {
       sc.sql("ALTER TABLE graft_cat_ad.default.vecs ADD COLUMNS " +
         "(vlabel INT, q ARRAY<BIGINT>)")
       quantizedStaged(sc, dir).createOrReplaceTempView("q227_src")
-      def ins(where: String): Unit =
+      def ins(where: String): Unit = graft.core.Phases("dml") {
         sc.sql("INSERT INTO graft_cat_ad.default.vecs " +
           "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
           s"FROM q227_src WHERE $where")
+      }
       ins("vec_id % 10 <> 0")
-      val b = sc.sql("CALL graft_cat_ad.system.ann_build(" +
-        "'default.vecs', 'doc_id', 'q', 'vlabel')").head()
+      val b = graft.core.Phases("build") {
+        sc.sql("CALL graft_cat_ad.system.ann_build(" +
+          "'default.vecs', 'doc_id', 'q', 'vlabel')").head()
+      }
       val built = b.getLong(1)
       // one insert commit + one MoR delete commit; ONE windowed sync
       ins("vec_id % 10 = 0")
-      sc.sql("DELETE FROM graft_cat_ad.default.vecs " +
-        "WHERE doc_id % 7 = 3 AND doc_id % 10 <> 0")
-      sc.sql("CALL graft_cat_ad.system.ann_sync('default.vecs', 'q')")
+      graft.core.Phases("dml") {
+        sc.sql("DELETE FROM graft_cat_ad.default.vecs " +
+          "WHERE doc_id % 7 = 3 AND doc_id % 10 <> 0")
+      }
+      graft.core.Phases("sync") {
+        sc.sql("CALL graft_cat_ad.system.ann_sync('default.vecs', 'q')")
+      }
       def snap(phase: String) =
         sc.sql("SELECT * FROM graft_cat_ad.default.vecs.ann")
           .select(lit(phase).as("phase"), col("vec_column"), col("scope"),
@@ -2829,8 +2836,10 @@ object EmbedOps {
       // against post-fold state and flip the 'pending' row silently
       // (r19 review)
       val pre = snap("pending")
-      val preRows = pre.collect().toSeq
-      sc.sql("CALL graft_cat_ad.system.ann_fold('default.vecs', 'q')")
+      val preRows = graft.core.Phases("snap_pre") { pre.collect().toSeq }
+      graft.core.Phases("fold") {
+        sc.sql("CALL graft_cat_ad.system.ann_fold('default.vecs', 'q')")
+      }
       // retention through the procedure surface: build v0 + two sync
       // commits (v1, v2) + the fold's v3 — the fold keeps ONLY v3
       val idxRoot = graft.sources.AnnIndex.dirFor(root.resolve("cat")
@@ -2918,21 +2927,30 @@ object EmbedOps {
       sc.sql("ALTER TABLE graft_cat_rb.default.vecs ADD COLUMNS " +
         "(vlabel INT, q ARRAY<BIGINT>)")
       quantizedStaged(sc, dir).createOrReplaceTempView("q228_src")
-      def ins(where: String): Unit =
+      def ins(where: String): Unit = graft.core.Phases("dml") {
         sc.sql("INSERT INTO graft_cat_rb.default.vecs " +
           "SELECT vec_id, nn, 'x', 's', '', CAST(label AS INT), q " +
           s"FROM q228_src WHERE $where")
+      }
       ins("vec_id % 10 <> 0")
-      sc.sql("CALL graft_cat_rb.system.ann_build(" +
-        "'default.vecs', 'doc_id', 'q', 'vlabel')")
+      graft.core.Phases("build") {
+        sc.sql("CALL graft_cat_rb.system.ann_build(" +
+          "'default.vecs', 'doc_id', 'q', 'vlabel')")
+      }
       ins("vec_id % 10 = 0")
-      sc.sql("DELETE FROM graft_cat_rb.default.vecs " +
-        "WHERE doc_id % 7 = 3 AND doc_id % 10 <> 0")
-      sc.sql("CALL graft_cat_rb.system.ann_sync('default.vecs', 'q')")
+      graft.core.Phases("dml") {
+        sc.sql("DELETE FROM graft_cat_rb.default.vecs " +
+          "WHERE doc_id % 7 = 3 AND doc_id % 10 <> 0")
+      }
+      graft.core.Phases("sync") {
+        sc.sql("CALL graft_cat_rb.system.ann_sync('default.vecs', 'q')")
+      }
       val tablePath = root.resolve("cat").resolve("default")
         .resolve("vecs").toString
-      val rb = sc.sql("CALL graft_cat_rb.system.ann_rebuild(" +
-        "'default.vecs', 'q')").head()
+      val rb = graft.core.Phases("rebuild") {
+        sc.sql("CALL graft_cat_rb.system.ann_rebuild(" +
+          "'default.vecs', 'q')").head()
+      }
       val idxRoot = graft.sources.AnnIndex.dirFor(tablePath, "q")
       val L = graft.sources.AnnIndex.load(idxRoot)
       // the swap's post-state, asserted in-gate: ONLY the new era
@@ -2947,8 +2965,10 @@ object EmbedOps {
           "graft_cat_rb.default.vecs WHERE doc_id < 5")
         .select(col("doc_id").as("qid"), col("q").as("qv"),
           col("n_chars").as("qn"))
-      val out = graft.sources.AnnIndex.serve(sc, tablePath, "q", qs)
-        .withColumn("cell", col("cell").cast("int"))
+      val out = graft.core.Phases("serve") {
+        graft.sources.AnnIndex.serve(sc, tablePath, "q", qs)
+          .withColumn("cell", col("cell").cast("int"))
+      }
       out.persist()
       out
     },

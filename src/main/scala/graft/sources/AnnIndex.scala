@@ -435,7 +435,7 @@ object AnnIndex {
         // projection and write/collect independently — run concurrently
         // (the serial chain left the box idle between small jobs)
         var r: org.apache.spark.sql.Row = null
-        graft.core.Phases("build.base_write") {
+        graft.core.Phases("base_write") {
           inParallel(
             v.write.partitionBy("label")
               .parquet(root.resolve("base").resolve("vectors").toString),
@@ -469,7 +469,7 @@ object AnnIndex {
       // intended loud refusal could fire).
       val stage = root.resolve(".stage-build")
       var centRowsRaw: Array[org.apache.spark.sql.Row] = null
-      graft.core.Phases("build.stage_write") {
+      graft.core.Phases("stage_write") {
         inParallel(
           v.write.partitionBy("src", "label").parquet(stage.toString),
           { centRowsRaw = centroidTable(v, Seq("src"))
@@ -506,7 +506,7 @@ object AnnIndex {
           r.getAs[Number](1).longValue(),
           r.getSeq[Long](2), r.getLong(3)))
       var cells = 0L; var vecs = 0L
-      srcs.foreach { k => graft.core.Phases("build.sub_publish") {
+      srcs.foreach { k => graft.core.Phases("sub_publish") {
         val sub = root.resolve(s"src=$k")
         Files.createDirectories(sub.resolve("base"))
         Files.move(stage.resolve(s"src=$k"),
@@ -608,7 +608,7 @@ object AnnIndex {
     * pre -> delete), matching the per-version filters. */
   private def routeCounts[K](proj: DataFrame, keys: Seq[Column],
       keyOf: org.apache.spark.sql.Row => K): Map[K, (Long, Long)] =
-    graft.core.Phases("sync.route") {
+    graft.core.Phases("route") {
       proj.groupBy(keys: _*)
         .agg(
           sum(when(col("_change_type").isin("insert", "update_postimage"),
@@ -671,7 +671,7 @@ object AnnIndex {
           // then serial per-version commits
           val run = vs.drop(idx).takeWhile(v => routedOf(v)._2 == 0)
           val withIns = run.filter(v => routedOf(v)._1 > 0)
-          graft.core.Phases("sync.frag_write") {
+          graft.core.Phases("frag_write") {
             inParallelAll(withIns.map(v =>
               () => writeFragment(root, v, fragSlice(v))))
           }
@@ -685,7 +685,7 @@ object AnnIndex {
         } else {
           // delete-bearing barrier version
           if (ri > 0) {
-            graft.core.Phases("sync.frag_write") {
+            graft.core.Phases("frag_write") {
               writeFragment(root, w, fragSlice(w))
             }
           }
@@ -739,7 +739,7 @@ object AnnIndex {
     // candidate cells: the label-column cell (build-time rows) and
     // the pinned-quantizer cell (fragment rows) — at most two
     // partitions read per deleted row, never the corpus
-    val candCells = graft.core.Phases("sync.tomb_cells") {
+    val candCells = graft.core.Phases("tomb_cells") {
       del.select(col("label"))
         .unionByName(assign(del, baseCents).select(col("label")))
         .distinct().collect().map(_.getLong(0)).toSeq
@@ -751,11 +751,11 @@ object AnnIndex {
       .persist()
     try {
       val resolvedN =
-        graft.core.Phases("sync.tomb_resolve") { resolved.count() }
+        graft.core.Phases("tomb_resolve") { resolved.count() }
       if (resolvedN > 0) {
         val tombRel = s"tomb-$w"
         graft.core.Fs.deleteRecursively(root.resolve(tombRel))
-        graft.core.Phases("sync.tomb_write") {
+        graft.core.Phases("tomb_write") {
           inParallel(
             resolved.write.partitionBy("label")
               .parquet(root.resolve(tombRel).resolve("keys").toString),
@@ -788,17 +788,31 @@ object AnnIndex {
           }
         }))
 
-  /** Failures propagate: the head's immediately, the rest's after all
-    * settle (never abandoning an in-flight write). */
+  /** Concurrency cap per batch: a delete-free CDC backlog of N
+    * versions offers N fragment writes at once — unchunked, a
+    * 5000-commit backlog would submit thousands of simultaneous Spark
+    * actions and ~2x as many threads at the driver (review r20).
+    * Chunks of 8 keep the wall win (the serialized cost is per-write
+    * DRIVER planning, which 8-way overlap already hides) with a
+    * bounded footprint; nested pairs inside a chunk stay
+    * deadlock-free on the unbounded pool. */
+  private val MaxParallelActions = 8
+
+  /** Failures propagate: the chunk head's immediately, the rest's
+    * after that chunk settles (never abandoning an in-flight write);
+    * later chunks don't start after a failed one. */
   private def inParallelAll(thunks: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    if (thunks.isEmpty) return
-    if (thunks.size == 1) { thunks.head.apply(); return }
-    val rest = thunks.tail.map(t => Future(t())(ioPool))
-    try thunks.head.apply()
-    finally rest.foreach(f => Await.ready(f, Duration.Inf))
-    rest.foreach(f => Await.result(f, Duration.Inf))
+    thunks.grouped(MaxParallelActions).foreach { chunk =>
+      if (chunk.size == 1) chunk.head.apply()
+      else {
+        val rest = chunk.tail.map(t => Future(t())(ioPool))
+        try chunk.head.apply()
+        finally rest.foreach(f => Await.ready(f, Duration.Inf))
+        rest.foreach(f => Await.result(f, Duration.Inf))
+      }
+    }
   }
 
   private def inParallel(a: => Unit, b: => Unit): Unit =
@@ -807,7 +821,7 @@ object AnnIndex {
   /** One index commit per table version: synced advances even for
     * no-op versions so a crash-rerun never replays a commit. */
   private def commitSynced(root: Path, w: Long,
-      add: Seq[(String, String)]): Unit = graft.core.Phases("sync.commit") {
+      add: Seq[(String, String)]): Unit = graft.core.Phases("commit") {
     DocStoreCommitOps.withCommitLock(root.toString) {
       val m = new Manifest(root)
       val es = m.read()
@@ -1092,7 +1106,7 @@ object AnnIndex {
   private def serveOne(s: SparkSession, root: Path, qs: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
     val L = load(root)
-    graft.core.Phases("serve.plan") {
+    graft.core.Phases("serve_plan") {
       // the probed (qid, cell) PAIRS collect — not just the distinct
       // cells (r19 phase attribution: the final top-k job used to
       // re-execute the whole probe plan — centroid-state folds,
@@ -1101,9 +1115,12 @@ object AnnIndex {
       // stays negligible even for huge offline query batches; the
       // query vectors re-join from `qs` itself, which the top-k job
       // needed anyway.
+      // getAs[Number]: qid's type is the CALLER's (an Int qid worked
+      // through the joins before this collect existed — review r20)
       val pairs = probeCells(qs, serveCentroids(s, L), nprobe)
         .select(col("qid"), col("label")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+        .map(r => (r.getAs[Number](0).longValue(),
+          r.getAs[Number](1).longValue()))
       val cells = pairs.map(_._2).distinct.toSeq
       import s.implicits._
       val probe = qs.join(
@@ -1141,10 +1158,14 @@ object AnnIndex {
         s"'$c' column (its id/vector names name the query shape)"))
     val qs0 = queryDf.withColumn("qv", quantExpr(queryDf, vecCol))
       .withColumn("qn", dotL(col("qv"), col("qv")))
-    val zeroNorm = qs0.filter(col("qn") <= 0).count()
-    require(zeroNorm == 0,
-      s"ann_search: $zeroNorm query rows have zero-norm vectors — " +
-        "cosine similarity is undefined for them; filter them out")
+    // NULL vectors produce NULL qn — `qn <= 0` alone would pass them
+    // through to meaningless NULL-cosine neighbors (review r20); the
+    // guard refuses both shapes in one count
+    val badNorm = qs0.filter(col("qn").isNull || col("qn") <= 0).count()
+    require(badNorm == 0,
+      s"ann_search: $badNorm query rows have NULL or zero-norm " +
+        "vectors — cosine similarity is undefined for them; filter " +
+        "them out")
     val out =
       if (isFamily(root)) {
         val fam = loadFamily(root)
@@ -1214,7 +1235,7 @@ object AnnIndex {
     // layer per cell + fragments - tombstones), is_new preserved.
     // The sealed centroid write below is independent (it reads the
     // PRE-fold layer aggregates, not the new cells dir) — concurrent.
-    graft.core.Phases("fold.cells_write") {
+    graft.core.Phases("cells_write") {
       inParallel(
         resolvePool(s, L, affected.toSeq).write.partitionBy("label")
           .parquet(root.resolve(foldRel).resolve("cells").toString),
@@ -1232,7 +1253,7 @@ object AnnIndex {
         .resolve("cells").resolve(s"label=$c"))
     }
     var retired = 0L
-    graft.core.Phases("fold.swap") {
+    graft.core.Phases("swap") {
     DocStoreCommitOps.withCommitLock(root.toString) {
       val m = new Manifest(root)
       val es = m.read()

@@ -1505,13 +1505,19 @@ class AnnSearchProcedure(catalog: DocStoreCatalog) extends DocStoreProcedure {
     require(k > 0 && nprobe > 0,
       s"ann_search: k and nprobe must be positive (got k=$k, nprobe=$nprobe)")
     val s = org.apache.spark.sql.SparkSession.active
+    // cache the query-table scan for the CALL's lifetime: the search
+    // reads it several times (zero-norm guard, per-sub routing, the
+    // probe, the top-k join) and the procedure face materializes
+    // eagerly, so the cache has a clean unpersist point (review r20)
     val queryDf = s.read.format("graft-docstore")
-      .option("path", qdir.toString).load()
-    val out = AnnIndex.searchTable(s, dir.toString, vecCol, queryDf,
-      k = k, nprobe = nprobe)
-    // top-k over a query batch — the result is queries x k rows; the
-    // copy() is required (executeCollect may reuse row buffers)
-    result(SCHEMA, out.queryExecution.executedPlan.executeCollect()
-      .map(_.copy()).toSeq)
+      .option("path", qdir.toString).load().persist()
+    try {
+      val out = AnnIndex.searchTable(s, dir.toString, vecCol, queryDf,
+        k = k, nprobe = nprobe)
+      // top-k over a query batch — the result is queries x k rows; the
+      // copy() is required (executeCollect may reuse row buffers)
+      result(SCHEMA, out.queryExecution.executedPlan.executeCollect()
+        .map(_.copy()).toSeq)
+    } finally { queryDf.unpersist(); () }
   }
 }

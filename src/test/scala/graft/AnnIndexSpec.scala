@@ -911,12 +911,19 @@ class AnnIndexSpec extends SparkSpec {
     }.toSet
     assert(hits == want, s"ann_search family routing:\n  got  " +
       s"${hits.toSeq.sorted}\n  want ${want.toSeq.sorted}")
-    // zero-norm query vectors refuse loudly (cosine undefined)
+    // zero-norm AND NULL query vectors refuse loudly (cosine
+    // undefined for both; `qn <= 0` alone would pass a NULL through)
     s.sql("INSERT INTO annsf.default.qs VALUES " +
       "(902, 0, 'x', 's', '', 0, array(0L, 0L, 0L, 0L))")
     assert(intercept[IllegalArgumentException](s.sql(
       "CALL annsf.system.ann_search('default.t', 'v', 'default.qs')"))
       .getMessage.contains("zero-norm"))
+    s.sql("DELETE FROM annsf.default.qs WHERE doc_id = 902")
+    s.sql("INSERT INTO annsf.default.qs VALUES " +
+      "(903, 0, 'x', 's', '', 0, NULL)")
+    assert(intercept[IllegalArgumentException](s.sql(
+      "CALL annsf.system.ann_search('default.t', 'v', 'default.qs')"))
+      .getMessage.contains("NULL or zero-norm"))
   }
 
   test("count-normalized probe ranking recovers the recall the old " +
