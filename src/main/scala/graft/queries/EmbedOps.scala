@@ -3049,6 +3049,133 @@ object EmbedOps {
       require(out.filter(col("flt").isNotNull).isEmpty,
         "ann_search on a plain index must return flt = NULL")
       out.drop("flt")
+    },
+
+    Q("q230_hybrid_rrf",
+      "HYBRID retrieval with reciprocal-rank fusion — the RAG/" +
+        "training-data shape neither pure system covers alone: a " +
+        "LEXICAL channel (distinct-token Jaccard, candidates " +
+        "generated by an inverted-index join — query tokens " +
+        "broadcast against the corpus posting list, so cost scales " +
+        "with postings touched, never corpus x queries) and a " +
+        "VECTOR channel (the q32 exact integer cosine) each rank " +
+        "their top-20 per query, and RRF fuses the UNION: score = " +
+        "sum over channels of 1/(60 + rank), missing membership " +
+        "contributing zero — the standard k=60 form, robust to the " +
+        "two channels' incomparable score scales precisely because " +
+        "only RANKS cross the fusion boundary. Cross-engine " +
+        "exactness: Jaccard is one correctly-rounded division of " +
+        "exact integer set sizes, cosine is the proven integer-grid " +
+        "form, and each RRF term is one correctly-rounded division " +
+        "of small integers summed once — bit-identical doubles, so " +
+        "rank order and the 6-dp rounding agree with DuckDB " +
+        "exactly. Output marks each fused hit's channel membership " +
+        "(in_lex / in_vec) — the observability a fusion debug needs. " +
+        "At 100 TB: the lexical side is a posting-list join (skew-" +
+        "capped the q25/q116 way), the vector side swaps in the ANN " +
+        "index's probed serve (q113/q229) unchanged — fusion only " +
+        "ever sees two ranked top-k lists.",
+      Some(s"""
+        WITH tn AS (SELECT doc_id,
+                           unnest(list_distinct(string_split_regex(
+                             text, '\\s+'))) AS tok
+                    FROM documents),
+        toks AS (SELECT doc_id, tok FROM tn WHERE tok <> ''),
+        sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS nt
+                  FROM toks GROUP BY 1),
+        qt AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id < 5),
+        inter AS (SELECT qt.qid, toks.doc_id, COUNT(*)::BIGINT AS ni
+                  FROM toks JOIN qt USING (tok)
+                  WHERE toks.doc_id <> qt.qid
+                  GROUP BY 1, 2),
+        lex0 AS (SELECT qid, inter.doc_id,
+                        ni::DOUBLE / (sq.nt + sd.nt - ni) AS jac
+                 FROM inter
+                 JOIN sizes sq ON sq.doc_id = inter.qid
+                 JOIN sizes sd ON sd.doc_id = inter.doc_id),
+        lex AS (SELECT qid, doc_id, rl FROM (
+                  SELECT qid, doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY qid ORDER BY jac DESC, doc_id) AS rl
+                  FROM lex0) WHERE rl <= 20),
+        v AS (SELECT vec_id, $oQuant AS q FROM embeddings),
+        n AS (SELECT vec_id, q, $oNorm2 AS nn FROM v),
+        nz AS (SELECT * FROM n WHERE nn > 0),
+        qs AS (SELECT vec_id AS qid, q AS qv, nn AS qn FROM nz
+               WHERE vec_id < 5),
+        cosd AS (SELECT qid, nz.vec_id AS doc_id,
+                        ${oDot("qv", "q")}::DOUBLE /
+                          (sqrt(qn::DOUBLE) * sqrt(nn::DOUBLE)) AS c
+                 FROM qs CROSS JOIN nz WHERE nz.vec_id <> qs.qid),
+        vec AS (SELECT qid, doc_id, rv FROM (
+                  SELECT qid, doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY qid ORDER BY c DESC, doc_id) AS rv
+                  FROM cosd) WHERE rv <= 20),
+        fused AS (SELECT COALESCE(lex.qid, vec.qid) AS qid,
+                         COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                         rl, rv
+                  FROM lex FULL JOIN vec
+                    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id),
+        sc AS (SELECT qid, doc_id,
+                      COALESCE(1.0 / (60 + rl), 0) +
+                        COALESCE(1.0 / (60 + rv), 0) AS s,
+                      rl IS NOT NULL AS in_lex,
+                      rv IS NOT NULL AS in_vec
+               FROM fused),
+        r AS (SELECT qid AS query_id, doc_id, s, in_lex, in_vec,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY s DESC, doc_id) AS rnk
+              FROM sc)
+        SELECT query_id, rnk::INT AS rnk, doc_id, ROUND(s, 6) AS rrf,
+               in_lex, in_vec
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")) { (s, dir) =>
+      // ---- lexical channel: inverted-index candidate generation
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val qt = toks.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val inter = toks.join(broadcast(qt), Seq("tok"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("ni"))
+      val lex = inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "qid")
+          .withColumnRenamed("nt", "nq")), Seq("qid"))
+        .join(sizes, Seq("doc_id"))
+        .withColumn("jac", col("ni").cast("double") /
+          (col("nq") + col("nt") - col("ni")))
+        .withColumn("rl", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("jac").desc, col("doc_id").asc)))
+        .filter(col("rl") <= 20)
+        .select(col("qid"), col("doc_id"), col("rl"))
+      // ---- vector channel: q32's exact integer cosine
+      val nz = quantized(s, dir)
+      val qs = nz.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("nn").as("qn"))
+      val vec = nz.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("c", cosine(dotL(col("qv"), col("q")),
+          col("qn"), col("nn")))
+        .withColumn("rv", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("vec_id").asc)))
+        .filter(col("rv") <= 20)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rv"))
+      // ---- RRF over the union of the two top-20 lists
+      val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("s",
+          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)))
+        .withColumn("in_lex", col("rl").isNotNull)
+        .withColumn("in_vec", col("rv").isNotNull)
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("s").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= 5)
+      fused.select(col("qid").as("query_id"), col("rnk"), col("doc_id"),
+          round(col("s"), 6).as("rrf"), col("in_lex"), col("in_vec"))
+        .orderBy("query_id", "rnk")
     }
   )
 
