@@ -1253,6 +1253,98 @@ object CorpusOps {
         .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("shared_ngrams"))
         .orderBy("src_a", "src_b")
+    },
+
+    Q("q231_bm25_topk",
+      "BM25 retrieval (k1=1.2, b=0.75) under the q63 exactness " +
+        "discipline — no transcendental in the score, so the ranking " +
+        "is BIT-EXACT across engines instead of hoping two libm's " +
+        "agree: the tf-saturation term tf*(k1+1) / (tf + k1*(1-b) + " +
+        "k1*b*dl/avgdl) clears its rationals to the all-integer form " +
+        "44*tf*sumdl / (20*tf*sumdl + 6*sumdl + 18*dl*N) (multiply " +
+        "through by 20*sumdl; avgdl = sumdl/N never materializes as " +
+        "a float), the IDF is q63's integer-scaled ratio " +
+        "(N*1e6 // df, monotone in log-IDF), and each per-term " +
+        "contribution is ONE exact integer floor-division in " +
+        "DECIMAL(38,0) (DuckDB: HUGEINT — worst case " +
+        "idf*44*tf*sumdl*1e6 ~ 4e37 at 100 TB scale, inside both " +
+        "engines' 38 digits), summed as exact longs — order-free, so " +
+        "no engine's aggregation order can perturb a rank. Queries " +
+        "are docs 0-4's distinct token sets; candidates come from the " +
+        "same inverted-index posting-list join as q230's lexical " +
+        "channel (query terms broadcast — cost scales with postings " +
+        "touched, never corpus x queries). Top-5 per query, self " +
+        "excluded. The full-text-search scoring half of the hybrid " +
+        "story: q230 fuses ranked lists, this gate is where a real " +
+        "lexical ranked list comes from.",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+        tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+               FROM tk GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tk GROUP BY 1),
+        g AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS sumdl
+              FROM dl),
+        qt AS (SELECT DISTINCT doc_id AS qid, term FROM tk
+               WHERE doc_id < 5),
+        sc AS (SELECT qt.qid, tf.doc_id,
+                      ((n * 1000000) // df)::HUGEINT *
+                        (44::HUGEINT * tf * sumdl) * 1000000 AS num,
+                      (20::HUGEINT * tf * sumdl + 6::HUGEINT * sumdl +
+                        18::HUGEINT * dl.dl * n) AS den
+               FROM tf
+               JOIN qt USING (term)
+               JOIN df USING (term)
+               JOIN dl ON dl.doc_id = tf.doc_id, g
+               WHERE tf.doc_id <> qt.qid),
+        agg AS (SELECT qid AS query_id, doc_id,
+                       SUM((num // den)::BIGINT)::BIGINT AS score
+                FROM sc GROUP BY 1, 2),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rnk
+              FROM agg)
+        SELECT query_id, rnk::INT AS rnk, doc_id, score
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")) { (s, dir) =>
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val tk = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      val qt = tk.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term")).distinct()
+      // exact floor division via the remainder identity — Spark's
+      // decimal `/` rounds HALF_UP at a result scale, so a bare
+      // floor(a/b) could round a just-below-integer quotient UP first
+      // and disagree with DuckDB's true integer `//`
+      def floorDiv(a: Column, b: Column): Column = (a - (a % b)) / b
+      val idf = floorDiv(dec(col("n")) * lit(1000000L), dec(col("df")))
+      val num = idf * (lit(44) * dec(col("tf")) * dec(col("sumdl"))) *
+        lit(1000000L)
+      val den = lit(20) * dec(col("tf")) * dec(col("sumdl")) +
+        lit(6) * dec(col("sumdl")) +
+        lit(18) * dec(col("dl")) * dec(col("n"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      tf.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(df, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(g))
+        .select(col("qid").as("query_id"), col("doc_id"),
+          floorDiv(num, den).cast("long").as("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy("query_id", "rnk")
     }
   )
 }
