@@ -65,6 +65,26 @@ object Phases {
     }
   }
 
+  /** (gate, nesting stack) of the CURRENT thread — capture where a
+    * parallel task is SUBMITTED, replay on the worker via
+    * [[withSnapshot]]. The r20 ADVICE finding: gate/stack are plain
+    * ThreadLocals, so a `Phases(...)` call made from an ioPool thread
+    * silently recorded nothing; snapshot+replay is the deliberate
+    * propagation (an InheritableThreadLocal would capture at THREAD
+    * CREATION, which for a cached pool is the wrong, stale gate). */
+  def snapshot(): (String, List[String]) = (gate.get, stack.get)
+
+  /** Run `body` attributing under a submitter's [[snapshot]]; the
+    * worker thread's own state is restored after. Accumulation is a
+    * concurrent sum, so OVERLAPPING parallel spans add — phase seconds
+    * are attribution, not wall clock (the gate total stays the wall). */
+  def withSnapshot[T](snap: (String, List[String]))(body: => T): T = {
+    val (g, st) = snap
+    val pg = gate.get; val ps = stack.get
+    gate.set(g); stack.set(st)
+    try body finally { gate.set(pg); stack.set(ps) }
+  }
+
   /** Phase map recorded for `name`'s most recent withGate run. */
   def forGate(name: String): Map[String, Double] =
     Option(acc.get(name))

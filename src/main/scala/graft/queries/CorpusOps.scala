@@ -1315,7 +1315,14 @@ object CorpusOps {
         .filter(col("term") =!= "")
       val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // dl/g derive from tf, NOT from a second tokenize pass over tk:
+      // sum(tf) per doc == count of tokens per doc exactly, and the
+      // (doc_id, term) exchange feeding tf is then the ONE subtree all
+      // corpus statistics share (AQE stage reuse) — the r20 shape
+      // re-tokenized the corpus for dl (plan audit: 5 documents scans,
+      // r21 optimization round; at 100 TB that second pass is a full
+      // corpus re-scan for a count the first pass already holds)
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       val qt = tk.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("term")).distinct()
@@ -1324,7 +1331,14 @@ object CorpusOps {
       // floor(a/b) could round a just-below-integer quotient UP first
       // and disagree with DuckDB's true integer `//`
       def floorDiv(a: Column, b: Column): Column = (a - (a % b)) / b
+      // the scale-0 cast keeps idf's integer value exact while giving
+      // the downstream products all 38 INTEGER digits (r20 ADVICE: the
+      // bare floorDiv result is decimal(38,6) under allowPrecisionLoss,
+      // capping integer headroom at ~1e32 — short of the ~4e37 worst
+      // case the exactness note sizes; with scale-0 operands the
+      // products genuinely hold 38 digits on the Spark side too)
       val idf = floorDiv(dec(col("n")) * lit(1000000L), dec(col("df")))
+        .cast("decimal(38,0)")
       val num = idf * (lit(44) * dec(col("tf")) * dec(col("sumdl"))) *
         lit(1000000L)
       val den = lit(20) * dec(col("tf")) * dec(col("sumdl")) +

@@ -1275,10 +1275,13 @@ object LlmOps {
         "across engines, which a float log-sum is not — the same " +
         "trade q79's integer alpha-sampling makes). Selection = " +
         "top-(N div 10) by (importance, doc_id) — deterministic, " +
-        "rerun-stable. 100 TB shape: one gram-explode agg into a " +
-        "256-row bucket table broadcast back over a second map-only " +
-        "pass, then distributed top-k (TakeOrdered, never a global " +
-        "window). Long headroom: the widest intermediate is " +
+        "rerun-stable. 100 TB shape: ONE gram-explode pass folds to " +
+        "(doc, bucket) counts; the 256-row bucket table and the " +
+        "importance scoring are both re-aggregations of that frame " +
+        "(the broadcast ratio joins back on ≤ docs×256 rows, never a " +
+        "second corpus scan), then distributed top-k (TakeOrdered, " +
+        "never a global window). Long headroom: the widest " +
+        "intermediate is " +
         "(t_b+1)*R*10^4, so the integer path is exact while " +
         "(max per-bucket target grams + 1) x (total raw grams R) " +
         "stays under ~9x10^14 — e.g. R ~ 10^9 grams with <= ~10^5 " +
@@ -1334,18 +1337,30 @@ object LlmOps {
             "i -> concat(element_at(wd, i), '_', element_at(wd, i + 1)))))"))
             .as("gram"))
         .withColumn("b", hash28(col("gram")) % 256)
+      // (doc, bucket) gram counts FIRST: every downstream statistic is
+      // a re-aggregation of this ≤ docs×256-row frame, so the corpus
+      // tokenizes ONCE and the second "pass" never re-reads it (the
+      // r20 shape exploded the grams twice — plan audit showed 3
+      // documents scans, r21 optimization round; at 100 TB the scoring
+      // pass was a second full corpus scan). lang/source join the keys
+      // (functionally dependent on doc_id), replacing the first()
+      // aggregates. Exact: sum over grams of sc(b) == sum over
+      // (doc, b) of n·sc(b) — integers throughout, order-free.
+      val docB = grams.groupBy(col("doc_id"), col("lang"), col("source"),
+          col("b"))
+        .agg(count(lit(1)).as("n"))
       // ONE aggregation folds raw and target bucket counts together
-      val agg = grams.groupBy(col("b"))
-        .agg(count(lit(1)).as("r"),
-          cnt(col("source") === "src0").as("tb"))
+      val agg = docB.groupBy(col("b"))
+        .agg(sum(col("n")).as("r"),
+          sum(when(col("source") === "src0", col("n"))
+            .otherwise(lit(0L))).as("tb"))
       val tot = agg.agg(sum("r").as("rt"), sum("tb").as("tt"))
       val ratio = agg.crossJoin(broadcast(tot)) // 256 rows x 1 row
         .withColumn("sc", expr("((tb + 1) * rt * 10000) div ((r + 1) * tt)"))
         .select("b", "sc")
-      val imp = grams.join(broadcast(ratio), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(first(col("lang")).as("lang"), first(col("source")).as("source"),
-          sum(col("sc")).as("imp"))
+      val imp = docB.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(sum(col("n") * col("sc")).as("imp"))
       // bounded scalar collect: the quota is one number
       val k = (docs.count() / 10L).toInt
       imp.orderBy(col("imp").desc, col("doc_id").asc).limit(k)

@@ -437,7 +437,7 @@ object AnnIndex {
         var r: org.apache.spark.sql.Row = null
         graft.core.Phases("base_write") {
           inParallel(
-            v.write.partitionBy("label")
+            clusterForWrite(v, "label").write.partitionBy("label")
               .parquet(root.resolve("base").resolve("vectors").toString),
             inParallel(
               centroidTable(v).write
@@ -471,7 +471,8 @@ object AnnIndex {
       var centRowsRaw: Array[org.apache.spark.sql.Row] = null
       graft.core.Phases("stage_write") {
         inParallel(
-          v.write.partitionBy("src", "label").parquet(stage.toString),
+          clusterForWrite(v, "src", "label").write
+            .partitionBy("src", "label").parquet(stage.toString),
           { centRowsRaw = centroidTable(v, Seq("src"))
             .select(col("src"), col("label"), col("sv"), col("c"))
             .collect() })
@@ -505,8 +506,10 @@ object AnnIndex {
         .map(r => (r.getAs[Number](0).longValue(),
           r.getAs[Number](1).longValue(),
           r.getSeq[Long](2), r.getLong(3)))
-      var cells = 0L; var vecs = 0L
-      srcs.foreach { k => graft.core.Phases("sub_publish") {
+      // per-sub publishes are independent (own dir, own manifest, own
+      // lock) — a serial loop left the driver idle between three tiny
+      // centroid writes (guide §2.6); parallel, summed after
+      val perSub = inParallelMap(srcs) { k => graft.core.Phases("sub_publish") {
         val sub = root.resolve(s"src=$k")
         Files.createDirectories(sub.resolve("base"))
         Files.move(stage.resolve(s"src=$k"),
@@ -521,8 +524,10 @@ object AnnIndex {
             Seq(("cols", s"$idCol|$vecCol|$labelCol"),
               ("synced", head.toString), ("base", "base")), 0)
         }
-        cells += mine.size; vecs += mine.map(_._3).sum
+        (mine.size.toLong, mine.map(_._3).sum)
       } }
+      val cells = perSub.map(_._1).sum
+      val vecs = perSub.map(_._2).sum
       graft.core.Fs.deleteRecursively(stage)
       DocStoreCommitOps.withCommitLock(root.toString) {
         m.publish(Seq(("cols", s"$idCol|$vecCol|$labelCol"),
@@ -653,10 +658,18 @@ object AnnIndex {
     // extra job only added wall — the residual frag_write cost is
     // serialized DRIVER planning of the per-layer write commands, not
     // executor work)
+    // the windowed assignment is clustered by (version, label) ONCE for
+    // the whole window before it persists: every (version, cell) group
+    // then lives in one cached partition, so each fragment write emits
+    // ~one file per cell WITHOUT a per-write exchange (the first r21
+    // attempt put a REBALANCE inside writeFragment — one shuffle per
+    // version — and the interleaved A/B read neutral: the added
+    // exchanges ate the file-count win; one shared exchange keeps it)
     val assignedW = if (!anyIns) None else Some(
-      assign(proj.filter(
+      clusterForWrite(assign(proj.filter(
           col("_change_type").isin("insert", "update_postimage")),
-        baseCents, carry = Seq("_commit_version")).persist())
+        baseCents, carry = Seq("_commit_version")),
+        "_commit_version", "label").persist())
     def fragSlice(w: Long): DataFrame =
       assignedW.get.filter(col("_commit_version") === w)
         .drop("_commit_version")
@@ -711,7 +724,10 @@ object AnnIndex {
     * pre-assigned slice (the aggregation used to re-read the written
     * layer), the two independent writes concurrent. Clears a crashed
     * attempt's orphan dir first (unreachable: its manifest commit
-    * never ran) so the rerun doesn't die on ErrorIfExists. */
+    * never ran) so the rerun doesn't die on ErrorIfExists. The slice
+    * arrives (version, label)-clustered from the shared windowed
+    * assignment, so the partitioned write needs no exchange of its
+    * own to come out at ~one file per cell. */
   private def writeFragment(root: Path, w: Long, slice: DataFrame): Unit = {
     val fragRel = s"frag-$w"
     graft.core.Fs.deleteRecursively(root.resolve(fragRel))
@@ -757,7 +773,7 @@ object AnnIndex {
         graft.core.Fs.deleteRecursively(root.resolve(tombRel))
         graft.core.Phases("tomb_write") {
           inParallel(
-            resolved.write.partitionBy("label")
+            clusterForWrite(resolved, "label").write.partitionBy("label")
               .parquet(root.resolve(tombRel).resolve("keys").toString),
             fragmentAggregates(resolved
                 .join(broadcast(delKeys), Seq("vec_id")))
@@ -800,23 +816,46 @@ object AnnIndex {
 
   /** Failures propagate: the chunk head's immediately, the rest's
     * after that chunk settles (never abandoning an in-flight write);
-    * later chunks don't start after a failed one. */
-  private def inParallelAll(thunks: Seq[() => Unit]): Unit = {
+    * later chunks don't start after a failed one. Each task replays
+    * the SUBMITTER's Phases snapshot so instrumentation inside a
+    * parallel thunk attributes to the right gate (r20 ADVICE: the
+    * plain ThreadLocal dropped pool-thread phases silently). Returns
+    * results in input order. */
+  private def inParallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    thunks.grouped(MaxParallelActions).foreach { chunk =>
-      if (chunk.size == 1) chunk.head.apply()
+    val snap = graft.core.Phases.snapshot()
+    items.grouped(MaxParallelActions).flatMap { chunk =>
+      if (chunk.size == 1) Seq(f(chunk.head))
       else {
-        val rest = chunk.tail.map(t => Future(t())(ioPool))
-        try chunk.head.apply()
-        finally rest.foreach(f => Await.ready(f, Duration.Inf))
-        rest.foreach(f => Await.result(f, Duration.Inf))
+        val rest = chunk.tail.map(a =>
+          Future(graft.core.Phases.withSnapshot(snap)(f(a)))(ioPool))
+        val headR =
+          try f(chunk.head)
+          finally rest.foreach(r => Await.ready(r, Duration.Inf))
+        headR +: rest.map(r => Await.result(r, Duration.Inf))
       }
-    }
+    }.toVector
+  }
+
+  private def inParallelAll(thunks: Seq[() => Unit]): Unit = {
+    inParallelMap(thunks)(t => t()); ()
   }
 
   private def inParallel(a: => Unit, b: => Unit): Unit =
     inParallelAll(Seq(() => a, () => b))
+
+  /** Cluster a cell-partitioned layer write by its partition column(s)
+    * before `partitionBy` (guide §6 file sizing): the un-clustered
+    * write emits one file per (task × cell) — q223's fold layer
+    * measured 344 parquet files averaging 1.4 KB, and every later
+    * serve/fold read plus the write commit pays per-file overhead.
+    * AQE REBALANCE both coalesces small cells into shared write tasks
+    * (local layers come out at ~one file per cell) and splits an
+    * oversized cell at the advisory partition size (a 100 TB cell
+    * still fans out across tasks — no skewed single-task write). */
+  private def clusterForWrite(df: DataFrame, cols: String*): DataFrame =
+    df.hint("rebalance", cols.map(col): _*)
 
   /** One index commit per table version: synced advances even for
     * no-op versions so a crash-rerun never replays a commit. */
@@ -1095,7 +1134,11 @@ object AnnIndex {
           qs.limit(0).drop(filterCol), nprobe, k)
         .withColumn(filterCol, lit(null).cast("long"))
     }
-    known.map { v =>
+    // per-sub serves are independent reads (own manifest snapshot, own
+    // layer dirs) whose probe jobs the driver used to run back-to-back
+    // — overlap them (guide §2.6); results union in `known` order
+    // exactly as the serial loop did
+    inParallelMap(known) { v =>
       serveOne(s, fam.subRoot(v),
           qs.filter(col(filterCol) === v).drop(filterCol), nprobe, k)
         .withColumn(filterCol, lit(v))
@@ -1107,25 +1150,20 @@ object AnnIndex {
       nprobe: Int, k: Int): DataFrame = {
     val L = load(root)
     graft.core.Phases("serve_plan") {
-      // the probed (qid, cell) PAIRS collect — not just the distinct
-      // cells (r19 phase attribution: the final top-k job used to
-      // re-execute the whole probe plan — centroid-state folds,
-      // crossJoin, window — behind the broadcast). The pairs are
-      // queries x nprobe x 16 bytes (no vectors), so the driver cost
-      // stays negligible even for huge offline query batches; the
-      // query vectors re-join from `qs` itself, which the top-k job
-      // needed anyway.
-      // getAs[Number]: qid's type is the CALLER's (an Int qid worked
-      // through the joins before this collect existed — review r20)
-      val pairs = probeCells(qs, serveCentroids(s, L), nprobe)
-        .select(col("qid"), col("label")).collect()
-        .map(r => (r.getAs[Number](0).longValue(),
-          r.getAs[Number](1).longValue()))
-      val cells = pairs.map(_._2).distinct.toSeq
-      import s.implicits._
-      val probe = qs.join(
-          broadcast(pairs.toSeq.toDF("qid", "label")), Seq("qid"))
-        .select(col("qid"), col("label"), col("qv"), col("qn"))
+      // The probed (qid, cell) pairs stay DISTRIBUTED: the probe frame
+      // persists and the driver collects only the DISTINCT probed
+      // cells — bounded by the index's cell count, never the query
+      // batch — which it needs to pick layer dirs / partition filters.
+      // r19 stopped top-k re-executing the probe plan by collecting
+      // the full pairs; the persisted probe keeps that property (the
+      // top-k job reads the cache) while the driver no longer
+      // materializes queries × nprobe rows, so an offline mega-batch
+      // serve stops scaling driver memory with the batch size, and
+      // the top-k job drops its `qs` re-scan + re-join (the probe
+      // frame already carries qid, label, qv, qn).
+      val probe = probeCells(qs, serveCentroids(s, L), nprobe).persist()
+      val cells = probe.select(col("label")).distinct().collect()
+        .map(_.getAs[Number](0).longValue()).toSeq
       topKWithBestNew(resolvePool(s, L, cells.map(c => c: Any)), probe, k)
     }
   }
@@ -1160,12 +1198,20 @@ object AnnIndex {
       .withColumn("qn", dotL(col("qv"), col("qv")))
     // NULL vectors produce NULL qn — `qn <= 0` alone would pass them
     // through to meaningless NULL-cosine neighbors (review r20); the
-    // guard refuses both shapes in one count
-    val badNorm = qs0.filter(col("qn").isNull || col("qn") <= 0).count()
-    require(badNorm == 0,
-      s"ann_search: $badNorm query rows have NULL or zero-norm " +
+    // guard refuses both shapes in one count. NULL ids refuse in the
+    // SAME job (r20 ADVICE: a NULL id used to slide through the serve
+    // joins and surface as an opaque downstream error instead of this
+    // procedure's refuse-loudly posture).
+    val bad = qs0.select(
+      count(when(col("qn").isNull || col("qn") <= 0, 1)).as("badNorm"),
+      count(when(col(idCol).isNull, 1)).as("badId")).head()
+    require(bad.getLong(0) == 0,
+      s"ann_search: ${bad.getLong(0)} query rows have NULL or zero-norm " +
         "vectors — cosine similarity is undefined for them; filter " +
         "them out")
+    require(bad.getLong(1) == 0,
+      s"ann_search: ${bad.getLong(1)} query rows have NULL '$idCol' — " +
+        "a result row could not name its query; filter them out")
     val out =
       if (isFamily(root)) {
         val fam = loadFamily(root)
@@ -1237,7 +1283,8 @@ object AnnIndex {
     // PRE-fold layer aggregates, not the new cells dir) — concurrent.
     graft.core.Phases("cells_write") {
       inParallel(
-        resolvePool(s, L, affected.toSeq).write.partitionBy("label")
+        clusterForWrite(resolvePool(s, L, affected.toSeq), "label")
+          .write.partitionBy("label")
           .parquet(root.resolve(foldRel).resolve("cells").toString),
         serveCentroids(s, L).write
           .parquet(root.resolve(foldRel).resolve("centroids").toString))
@@ -1387,7 +1434,7 @@ object AnnIndex {
       // all three derive from the cached projection — concurrent
       var r: org.apache.spark.sql.Row = null
       inParallel(
-        v.write.partitionBy("label")
+        clusterForWrite(v, "label").write.partitionBy("label")
           .parquet(root.resolve(era).resolve("vectors").toString),
         inParallel(
           centroidTable(v).write
@@ -1407,20 +1454,31 @@ object AnnIndex {
     * unreachable by construction (readers resolve only manifest
     * entries), so the sweep can never race a serve. The live base —
     * `base` from the original build or the `base-<n>` the manifest
-    * names — is never touched. */
+    * names — is never touched.
+    *
+    * Concurrency (r20 ADVICE): the sweep runs under the index commit
+    * lock so the manifest it reads cannot flip mid-listing. CONCURRENT
+    * REBUILDS of one index remain unsupported regardless — both
+    * attempts name the same `base-<currentVersion+1>` era dir, so
+    * their era WRITES collide before any sweep matters; the swapToEra
+    * conflict check refuses the loser cleanly whenever the attempts
+    * serialize, and a refused attempt's debris is what this sweep
+    * exists to clear on the next run. */
   private def sweepOrphanEras(root: Path): Unit = {
     if (!Files.exists(root)) return
-    val m = new Manifest(root)
-    val live: Set[String] =
-      if (!m.exists) Set.empty
-      else m.read().collect { case ("base", p) => p }.toSet
-    val orphans = {
-      val l = Files.list(root)
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("base-") && !live(n)).toVector
-      finally l.close()
+    DocStoreCommitOps.withCommitLock(root.toString) {
+      val m = new Manifest(root)
+      val live: Set[String] =
+        if (!m.exists) Set.empty
+        else m.read().collect { case ("base", p) => p }.toSet
+      val orphans = {
+        val l = Files.list(root)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("base-") && !live(n)).toVector
+        finally l.close()
+      }
+      orphans.foreach(n => graft.core.Fs.deleteRecursively(root.resolve(n)))
     }
-    orphans.foreach(n => graft.core.Fs.deleteRecursively(root.resolve(n)))
   }
 
   /** The rebuild's atomic flip: publish a manifest whose ONLY layer
@@ -1460,7 +1518,8 @@ object AnnIndex {
       // independent outputs; rows map after the NULL refusal below
       var centRowsRaw: Array[org.apache.spark.sql.Row] = null
       inParallel(
-        v.write.partitionBy("src", "label").parquet(stage.toString),
+        clusterForWrite(v, "src", "label").write
+          .partitionBy("src", "label").parquet(stage.toString),
         { centRowsRaw = centroidTable(v, Seq("src"))
           .select(col("src"), col("label"), col("sv"), col("c"))
           .collect() })
