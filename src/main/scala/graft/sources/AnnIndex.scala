@@ -1150,20 +1150,32 @@ object AnnIndex {
       nprobe: Int, k: Int): DataFrame = {
     val L = load(root)
     graft.core.Phases("serve_plan") {
-      // The probed (qid, cell) pairs stay DISTRIBUTED: the probe frame
-      // persists and the driver collects only the DISTINCT probed
-      // cells — bounded by the index's cell count, never the query
-      // batch — which it needs to pick layer dirs / partition filters.
-      // r19 stopped top-k re-executing the probe plan by collecting
-      // the full pairs; the persisted probe keeps that property (the
-      // top-k job reads the cache) while the driver no longer
-      // materializes queries × nprobe rows, so an offline mega-batch
-      // serve stops scaling driver memory with the batch size, and
-      // the top-k job drops its `qs` re-scan + re-join (the probe
-      // frame already carries qid, label, qv, qn).
-      val probe = probeCells(qs, serveCentroids(s, L), nprobe).persist()
-      val cells = probe.select(col("label")).distinct().collect()
-        .map(_.getAs[Number](0).longValue()).toSeq
+      // the probed (qid, cell) PAIRS collect — not just the distinct
+      // cells (r19 phase attribution: the final top-k job used to
+      // re-execute the whole probe plan — centroid-state folds,
+      // crossJoin, window — behind the broadcast). The pairs are
+      // queries x nprobe x 16 bytes (no vectors), so the driver cost
+      // stays negligible even for huge offline query batches; the
+      // query vectors re-join from `qs` itself, which the top-k job
+      // needed anyway.
+      // r21 note: a persist()-based variant that kept the pairs
+      // distributed (collect only the distinct cells) was built and
+      // interleave-A/B'd — serve_plan read 0.48-1.5 s vs this form's
+      // 0.24-0.81 s on every gate (cache write of the vector-carrying
+      // probe frame + an uncollectable CacheManager entry per serve),
+      // so the pairs collect stays; the unbounded-batch face is the
+      // documented serveToTable follow-up, not this path.
+      // getAs[Number]: qid's type is the CALLER's (an Int qid worked
+      // through the joins before this collect existed — review r20)
+      val pairs = probeCells(qs, serveCentroids(s, L), nprobe)
+        .select(col("qid"), col("label")).collect()
+        .map(r => (r.getAs[Number](0).longValue(),
+          r.getAs[Number](1).longValue()))
+      val cells = pairs.map(_._2).distinct.toSeq
+      import s.implicits._
+      val probe = qs.join(
+          broadcast(pairs.toSeq.toDF("qid", "label")), Seq("qid"))
+        .select(col("qid"), col("label"), col("qv"), col("qn"))
       topKWithBestNew(resolvePool(s, L, cells.map(c => c: Any)), probe, k)
     }
   }
